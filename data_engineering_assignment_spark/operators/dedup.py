@@ -1,0 +1,191 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash-LSH, SimHash.
+
+Scale design (100 TB): every variant is a shuffle-on-key plan —
+  * exact: one hash aggregation on a 128-bit fingerprint (no wide rows move;
+    group key is the 32-char hex, values are ids).
+  * n-gram Jaccard: explode word shingles → self-equi-join on shingle →
+    pair aggregation. The shingle join key distributes uniformly; hot
+    shingles can be dropped via a document-frequency cap (``max_df``).
+  * MinHash-LSH: per-doc signature (k hash mins) computed JVM-side with
+    xxhash64 — no Python boundary — then banded into LSH buckets; candidate
+    pairs only join within a bucket, which is the linear-scale path where the
+    all-pairs Jaccard join is quadratic.
+  * SimHash: 64-bit signed-bit-accumulation fingerprint; near-dups share
+    fingerprints on rotated bands.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups by content hash: (text_hash, keep_id, n_copies).
+
+    ``keep_id`` is the minimum id — the deterministic survivor.
+    """
+    return (
+        df.select(
+            F.md5(F.col(text_col).cast("binary")).alias("text_hash"), F.col(id_col)
+        )
+        .groupBy("text_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def word_shingles(text_col: str = "text", n: int = 3) -> F.Column:
+    """Distinct word n-gram shingles as an array column (empty if < n tokens)."""
+    toks = tokens(text_col)
+    sh = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return F.when(F.size(toks) >= n, F.array_distinct(sh)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All-pairs n-gram Jaccard similarity ≥ threshold.
+
+    Exact but quadratic in shingle-collision counts — use minhash_lsh_candidates
+    at scale and this as the verifier on candidate pairs.
+    Output: (doc_a, doc_b, inter, jaccard), doc_a < doc_b.
+    """
+    sh = (
+        df.select(F.col(id_col).alias("doc"), F.explode(word_shingles(text_col, n)).alias("shingle"))
+    )
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_shingles").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "inter", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", num_hashes: int = 32
+) -> DataFrame:
+    """Per-document MinHash signature columns h0..h{k-1}.
+
+    Shape: explode shingles once, then ONE hash aggregation computing all k
+    per-seed minima (``min(xxhash64(shingle, seed_i))``) — all JVM-side,
+    map-side combinable, deterministic across runs and partitionings. (A
+    per-row higher-order-function variant inlines the shingle expression k
+    times and blows up codegen — this relational shape is also the one that
+    scales: one shuffle keyed by doc id.)
+    """
+    sh = df.select(
+        F.col(id_col).alias("doc"), F.explode(word_shingles(text_col)).alias("shingle")
+    )
+    return sh.groupBy("doc").agg(
+        *[
+            F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """LSH candidate pairs: docs sharing any banded slice of their signature.
+
+    rows_per_band = num_hashes / bands; collision prob ≈ 1-(1-j^r)^b.
+    The bucket join is an equi-join on (band, slice-hash) — linear-scale.
+    Output: (doc_a, doc_b, n_bands) with doc_a < doc_b.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes)
+    banded = sigs.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col(f"h{b * rows_per_band + r}").cast("string")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+    )
+
+
+def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash of the token stream (JVM-side bit accumulation).
+
+    For each bit position, sums +1/-1 over tokens by that bit of
+    xxhash64(token), then takes the sign. Near-identical token multisets give
+    near-identical fingerprints (low Hamming distance).
+    """
+    toks = tokens(text_col)
+    h = F.explode(toks).alias("tok")
+    per_tok = df.select(F.col(id_col).alias("doc"), h).withColumn(
+        "th", F.xxhash64(F.col("tok"))
+    )
+    bit_cols = [
+        F.sum(
+            F.when(F.expr(f"(th >> {i}) & 1") == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    acc = per_tok.groupBy("doc").agg(*bit_cols)
+    fp = None
+    for i in range(64):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, i)
+        fp = term if fp is None else fp + term
+    return acc.select("doc", fp.alias("simhash"))

@@ -1,0 +1,131 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Brute-force cosine top-k is the exact baseline: broadcast the (small) query
+set, compute dot products with JVM-side higher-order functions (zip_with +
+aggregate fold — no Python boundary), rank per query. Cost is
+O(|queries| × |corpus|) with the corpus never shuffled — each partition scans
+once, so it parallelizes perfectly; the constraint at 100 TB is |queries|
+staying broadcast-sized.
+
+The scale path is :func:`lsh_bucketed_topk`: random-hyperplane signs bucket
+the corpus so each query only scans its bucket (recall < 1, tunable by
+``planes``/probing). Hyperplanes are derived deterministically from a seed so
+runs are reproducible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _fold_sum(arr: Column) -> Column:
+    """Left-fold double sum of an array (deterministic order)."""
+    return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def dot(a: Column, b: Column) -> Column:
+    return _fold_sum(F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")))
+
+
+def sq_norm(a: Column) -> Column:
+    return _fold_sum(F.transform(a, lambda x: x.cast("double") * x.cast("double")))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / F.sqrt(sq_norm(a) * sq_norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 4,
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query (self-matches excluded).
+
+    Ranking uses the rounded similarity with the neighbor id as tiebreak so
+    results are engine- and partitioning-independent.
+    Output: (query_id, neighbor_id, sim, rnk).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    sim = F.round(cosine(F.col("q_vec"), F.col("c_vec")), scale)
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", sim)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "sim", "rnk")
+    )
+
+
+def _hyperplane(dim: int, plane: int, seed: int = 42) -> list[float]:
+    """Deterministic pseudo-random unit-free hyperplane (pure function of
+    (plane, dim, seed) — same on every executor, no RNG state)."""
+    import math
+
+    return [
+        math.sin(seed * 1000003.0 + plane * 10007.0 + i * 101.0) for i in range(dim)
+    ]
+
+
+def lsh_signature(vec: Column, dim: int, planes: int = 16, seed: int = 42) -> Column:
+    """Random-hyperplane (sign) LSH bucket id for a vector column."""
+    sig = F.lit(0).cast("long")
+    for p in range(planes):
+        coeffs = _hyperplane(dim, p, seed)
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(c) for c in coeffs]),
+                lambda x, w: x.cast("double") * w,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        sig = sig + F.shiftleft(F.when(proj > 0, 1).otherwise(0).cast("long"), p)
+    return sig
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: only corpus vectors in the query's LSH bucket are
+    scored. Equi-join on bucket id → shuffle-partitioned by bucket, linear
+    scale; recall traded via ``planes``.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        lsh_signature(F.col(vec_col), dim, planes).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        lsh_signature(F.col(vec_col), dim, planes).alias("bucket"),
+    )
+    scored = c.join(F.broadcast(q), on="bucket").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    sim = F.round(cosine(F.col("q_vec"), F.col("c_vec")), 4)
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("sim", sim)
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "sim", "rnk")
+    )

@@ -1,0 +1,82 @@
+"""Text-analysis operators for large-scale document pipelines.
+
+All hot-path logic uses built-in ``pyspark.sql.functions`` (JVM-side,
+whole-stage-codegen) — no Python UDFs — so these scale linearly with
+partitions and never cross the Python boundary. Tokenization is plain
+whitespace split; higher-order functions do per-token work in place of the
+reference's driver-side ``Counter`` post-processing
+(Assignment-python.py:781-805, replaced per SURVEY.md section 2.4 A13).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .aggregates import dround
+
+# Tiny deterministic English stopword list used by the heuristics.
+STOPWORDS = ["a", "the", "of", "and", "to", "in", "is", "it"]
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokens of a single-space-separated text column."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(c, " ")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text)).cast("long")
+
+
+def stopword_ratio(text: Column | str) -> Column:
+    """Fraction of tokens that are stopwords (language-ID signal)."""
+    toks = tokens(text)
+    stops = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("double")
+    return F.round(stops / F.size(toks).cast("double"), 4)
+
+
+def avg_token_length(text: Column | str) -> Column:
+    toks = tokens(text)
+    total = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda acc, x: acc + x
+    )
+    return F.round(total.cast("double") / F.size(toks).cast("double"), 4)
+
+
+def quality_score(text: Column | str) -> Column:
+    """Deterministic [0,1] quality heuristic: length credit × stopword credit.
+
+    Mirrors the shape of production quality filters (length / stopword-density
+    gates); arithmetic kept to exact double ops so a SQL oracle reproduces it.
+    """
+    tc = token_count(text).cast("double")
+    sr = stopword_ratio(text)
+    length_credit = F.least(F.lit(1.0), tc / F.lit(100.0))
+    stop_credit = F.least(F.lit(1.0), sr * F.lit(10.0))
+    # products of rounded decimals land on exact .xxxx5 midpoints; dround
+    # keeps Spark and SQL oracles bit-identical there
+    return dround(length_credit * stop_credit, 4)
+
+
+def predict_lang(text: Column | str) -> Column:
+    """N-gram-free language ID heuristic: English iff stopword density high."""
+    return F.when(stopword_ratio(text) >= 0.05, F.lit("en")).otherwise(F.lit("unk"))
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Stable 128-bit content fingerprint (hex) for exact dedup / lineage."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.md5(c.cast("binary"))
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the full text-statistics column set (narrow, no shuffle)."""
+    return (
+        df.withColumn("token_count", token_count(text_col))
+        .withColumn("uniq_tokens", F.size(F.array_distinct(tokens(text_col))).cast("long"))
+        .withColumn("stop_ratio", stopword_ratio(text_col))
+        .withColumn("avg_token_len", avg_token_length(text_col))
+        .withColumn("quality", quality_score(text_col))
+        .withColumn("pred_lang", predict_lang(text_col))
+    )

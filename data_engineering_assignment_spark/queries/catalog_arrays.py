@@ -1,0 +1,127 @@
+"""Array / higher-order-function queries over the embeddings table.
+
+Covers the reference's array surface (F9-F12: size/filter/HOF lambdas/
+array_contains, Assignment-python.py:736-828) and the additive similarity-
+search operators (brute-force + LSH cosine top-k)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.similarity import cosine_topk, lsh_bucketed_topk, sq_norm
+from ..tables import load
+from . import register
+
+_EMB_STATS_ORACLE = """
+SELECT vec_id,
+       label,
+       len(embedding)::BIGINT AS n_dims,
+       len(list_filter(embedding, x -> x > 0))::BIGINT AS n_pos,
+       ROUND(CAST(len(list_filter(embedding, x -> x > 0)) AS DOUBLE)
+             / CAST(len(embedding) AS DOUBLE), 4) AS pos_ratio,
+       CASE WHEN len(list_filter(embedding, x -> abs(x) > 0.3)) > 0
+            THEN 1 ELSE 0 END::BIGINT AS has_extreme,
+       ROUND(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6)
+         AS sq_norm
+FROM embeddings
+"""
+
+
+@register(
+    "embedding_stats",
+    oracle=_EMB_STATS_ORACLE,
+    doc="F9-F12 analog (:736-828): size, HOF filter with lambda, exists-membership, fold aggregate.",
+)
+def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    e = F.col("embedding")
+    n_pos = F.size(F.filter(e, lambda x: x > 0)).cast("long")
+    return emb.select(
+        "vec_id",
+        "label",
+        F.size(e).cast("long").alias("n_dims"),
+        n_pos.alias("n_pos"),
+        F.round(n_pos.cast("double") / F.size(e).cast("double"), 4).alias("pos_ratio"),
+        F.exists(e, lambda x: F.abs(x) > 0.3).cast("long").alias("has_extreme"),
+        F.round(sq_norm(e), 6).alias("sq_norm"),
+    )
+
+
+_COSINE_ORACLE = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings
+), q AS (SELECT * FROM v WHERE vec_id < 10),
+ scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ROUND(
+           list_sum(list_transform(range(1, 65), i -> q.e[i] * c.e[i]))
+           / sqrt(list_sum(list_transform(q.e, x -> x * x))
+                  * list_sum(list_transform(c.e, x -> x * x))), 4) AS sim
+  FROM q CROSS JOIN v c
+  WHERE q.vec_id <> c.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         (ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC))::BIGINT AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, sim, rnk FROM ranked WHERE rnk <= 5
+"""
+
+
+@register(
+    "cosine_topk",
+    oracle=_COSINE_ORACLE,
+    doc="Additive similarity search: exact brute-force cosine top-5 per query (broadcast queries, JVM fold dot products).",
+)
+def cosine_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return cosine_topk(emb, queries, k=5)
+
+
+@register(
+    "cosine_topk_lsh",
+    oracle=None,  # approximate — validated by recall unit test, rows-only here
+    doc="Additive similarity search, scale path: random-hyperplane LSH bucketed cosine top-k.",
+)
+def cosine_topk_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return lsh_bucketed_topk(emb, queries, dim=64, k=5, planes=4)
+
+
+_LABEL_CENTROID_ORACLE = """
+WITH per_dim AS (
+  SELECT label, i.i AS dim, ROUND(AVG(CAST(embedding[i.i] AS DOUBLE)), 6) AS mean_val
+  FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i
+  GROUP BY label, i.i
+)
+SELECT label,
+       COUNT(*)::BIGINT AS n_dims,
+       ROUND(SUM(CAST(mean_val * mean_val AS DECIMAL(27,12))), 6)::DOUBLE AS centroid_sq_norm
+FROM per_dim
+GROUP BY label
+"""
+
+
+@register(
+    "label_centroids",
+    oracle=_LABEL_CENTROID_ORACLE,
+    doc="Additive: per-label centroid via posexplode + per-dimension avg (vector aggregate decomposed to relational ops).",
+)
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    per_dim = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("label", (F.col("pos") + 1).alias("dim"))
+        .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("mean_val"))
+    )
+    return per_dim.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_dims"),
+        F.round(
+            F.sum((F.col("mean_val") * F.col("mean_val")).cast("decimal(27,12)")), 6
+        )
+        .cast("double")
+        .alias("centroid_sq_norm"),
+    )

@@ -1,0 +1,121 @@
+"""Event-time queries: calendar parts (reference F13 analog) and
+tumbling/sliding window aggregation (streaming-in-batch, SURVEY.md 2.12)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.aggregates import davg, o_davg, o_dsum
+from ..operators.windows import sessionize, sliding_agg, tumbling_agg
+from ..tables import load
+from . import register
+
+_HOURLY_ORACLE = f"""
+SELECT hour(ts) AS hour_of_day,
+       CASE WHEN hour(ts) BETWEEN 8 AND 18 THEN 1 ELSE 0 END::BIGINT AS is_peak,
+       COUNT(*) AS n_events,
+       {o_davg('value', 'avg_value', 4)}
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "events_hourly",
+    oracle=_HOURLY_ORACLE,
+    doc="F13/F3 analog (:913-917): hour extraction from epoch timestamps, peak-hour CASE flag, grouped avg.",
+)
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    hour = F.hour("ts").cast("long")
+    return (
+        ev.withColumn("hour_of_day", hour)
+        .withColumn(
+            "is_peak",
+            F.when(F.col("hour_of_day").between(8, 18), 1).otherwise(0).cast("long"),
+        )
+        .groupBy("hour_of_day", "is_peak")
+        .agg(F.count(F.lit(1)).alias("n_events"), davg("value", "avg_value", 4))
+    )
+
+
+_TUMBLING_ORACLE = f"""
+SELECT (epoch_ms(time_bucket(INTERVAL '10 minutes', ts)) // 1000)::BIGINT AS win_start,
+       event_type,
+       COUNT(*) AS n_events,
+       {o_dsum('value', 'total_value')}
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "events_tumbling_10m",
+    oracle=_TUMBLING_ORACLE,
+    doc="Additive streaming surface (2.12): tumbling event-time window agg via F.window.",
+)
+def events_tumbling_10m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return tumbling_agg(ev, "10 minutes", keys=["event_type"])
+
+
+_SLIDING_ORACLE = f"""
+WITH offs AS (SELECT unnest([0, 1]) AS o),
+ exploded AS (
+  SELECT time_bucket(INTERVAL '5 minutes', ts) - o * INTERVAL '5 minutes' AS win, value
+  FROM events CROSS JOIN offs
+  WHERE ts >= time_bucket(INTERVAL '5 minutes', ts) - o * INTERVAL '5 minutes'
+    AND ts <  time_bucket(INTERVAL '5 minutes', ts) - o * INTERVAL '5 minutes' + INTERVAL '10 minutes'
+)
+SELECT (epoch_ms(win) // 1000)::BIGINT AS win_start,
+       COUNT(*) AS n_events,
+       {o_dsum('value', 'total_value')}
+FROM exploded
+GROUP BY 1
+"""
+
+
+@register(
+    "events_sliding_10m_5m",
+    oracle=_SLIDING_ORACLE,
+    doc="Additive streaming surface (2.12): sliding event-time window agg (10m window / 5m slide).",
+)
+def events_sliding_10m_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return sliding_agg(ev, "10 minutes", "5 minutes")
+
+
+_SESSION_ORACLE = """
+WITH seq AS (
+  SELECT user_id,
+         epoch_ms(ts) // 1000 AS ts_sec,
+         CASE WHEN epoch_ms(ts) // 1000
+                   - LAG(epoch_ms(ts) // 1000) OVER (PARTITION BY user_id ORDER BY ts)
+                   > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), numbered AS (
+  SELECT user_id, ts_sec,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_sec
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM seq
+)
+SELECT user_id AS user,
+       session_seq::BIGINT AS session_id,
+       MIN(ts_sec)::BIGINT AS session_start,
+       MAX(ts_sec)::BIGINT AS session_end,
+       COUNT(*) AS n_events
+FROM numbered
+GROUP BY user_id, session_seq
+"""
+
+
+@register(
+    "events_sessionize",
+    oracle=_SESSION_ORACLE,
+    doc="Additive stateful-streaming analog: gap-based sessionization via lag/cumsum windows.",
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return sessionize(ev, "30 minutes")

@@ -1,0 +1,521 @@
+"""Relational query catalog — reference-parity shapes on the driver tables.
+
+Each query re-expresses an operator pattern from the reference notebook
+(citations are /root/reference/Assignment-python.py:line) on the driver's
+TPC-H-ish tables so the DuckDB oracle can gate it (FIXTURES.md section B).
+
+Scale notes: dimension joins are explicitly broadcast; aggregations are plain
+``groupBy().agg()`` so Catalyst plans partial (map-side) aggregation; all
+filters are plain column predicates so they push into the parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.aggregates import (
+    cond_sum,
+    davg,
+    dratio,
+    dsum,
+    o_davg,
+    o_dratio,
+    o_dsum,
+)
+from ..tables import load
+from . import register
+
+# ---------------------------------------------------------------------------
+# Flagship: pricing summary (scan → filter → hash agg; reference shape
+# S2+P7+A2: parquet scan, range predicate, grouped rounded sums :52-77).
+# ---------------------------------------------------------------------------
+
+_PRICING_ORACLE = f"""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  {o_dsum('l_quantity', 'sum_qty')},
+  {o_dsum('l_extendedprice', 'sum_base_price')},
+  {o_dsum('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
+  {o_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge')},
+  {o_davg('l_quantity', 'avg_qty')},
+  {o_davg('l_extendedprice', 'avg_price')},
+  {o_davg('l_discount', 'avg_disc')},
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register(
+    "pricing_summary",
+    oracle=_PRICING_ORACLE,
+    doc="S2/P7/A2 analog (Assignment-python.py:52-77): filtered grouped sums/avgs.",
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    cutoff = F.lit("2000-09-02").cast(dict(li.dtypes)["l_shipdate"])
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= cutoff)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum(disc_price, "sum_disc_price"),
+            dsum(charge, "sum_charge"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Basic 1 task shapes (video-game sales :35-82)
+# ---------------------------------------------------------------------------
+
+_SALES_PER_YEAR_ORACLE = f"""
+SELECT
+  year(o_orderdate) AS sales_year,
+  {o_dsum('o_totalprice', 'total_sales')},
+  COUNT(*) AS n_orders
+FROM orders
+WHERE year(o_orderdate) BETWEEN 1996 AND 1998
+GROUP BY 1
+"""
+
+
+@register(
+    "sales_per_year",
+    oracle=_SALES_PER_YEAR_ORACLE,
+    doc="P3/P7/A2/O2 analog (:58-77): derived year, BETWEEN filter, rounded grouped sums.",
+)
+def sales_per_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.withColumn("sales_year", F.year("o_orderdate").cast("long"))
+        .filter(F.col("sales_year").between(1996, 1998))
+        .groupBy("sales_year")
+        .agg(dsum("o_totalprice", "total_sales"), F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+_TOP_PRIORITY_ORACLE = """
+WITH f AS (
+  SELECT * FROM orders WHERE year(o_orderdate) BETWEEN 1995 AND 1998
+), totals AS (
+  SELECT o_orderpriority,
+         ROUND(SUM(CAST(o_totalprice AS DECIMAL(27,6))), 2)::DOUBLE AS total
+  FROM f GROUP BY o_orderpriority
+), best AS (
+  SELECT o_orderpriority FROM totals ORDER BY total DESC, o_orderpriority ASC LIMIT 1
+)
+SELECT
+  (SELECT o_orderpriority FROM best) AS best_priority,
+  (SELECT COUNT(*) FROM f
+    WHERE o_orderpriority = (SELECT o_orderpriority FROM best)
+      AND NULLIF(o_orderstatus, 'O') IS NULL) AS null_status_orders
+"""
+
+
+@register(
+    "top_priority_null_count",
+    oracle=_TOP_PRIORITY_ORACLE,
+    doc="Basic-1 A+B analog (:64-70): argmax via sort+limit, scalar-subquery filter, isNull count; S7 local-rows result.",
+)
+def top_priority_null_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    filtered = orders.filter(F.year("o_orderdate").between(1995, 1998)).cache()
+    best = (
+        filtered.groupBy("o_orderpriority")
+        .agg(dsum("o_totalprice", "total"))
+        .orderBy(F.desc("total"), F.asc("o_orderpriority"))
+        .limit(1)
+        .collect()[0][0]
+    )
+    n_null = (
+        filtered.filter(
+            (F.col("o_orderpriority") == best)
+            & F.nullif(F.col("o_orderstatus"), F.lit("O")).isNull()
+        ).count()
+    )
+    filtered.unpersist()
+    return spark.createDataFrame(
+        [(best, n_null)], "best_priority string, null_status_orders bigint"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Football pipeline shapes (Basic 2-8, :133-484)
+# ---------------------------------------------------------------------------
+
+_USER_PURCHASE_ORACLE = f"""
+WITH p AS (
+  SELECT user_id,
+         {o_dsum('value', 'purchase_total')},
+         COUNT(*) AS n_purchases
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+), u AS (SELECT DISTINCT user_id FROM events)
+SELECT u.user_id,
+       COALESCE(p.purchase_total, 0.0) AS purchase_total,
+       COALESCE(p.n_purchases, 0) AS n_purchases
+FROM u LEFT JOIN p USING (user_id)
+"""
+
+
+@register(
+    "user_purchase_totals",
+    oracle=_USER_PURCHASE_ORACLE,
+    doc="A3/A4/J1/P13 analog (:168-188): conditional agg, distinct keys, left join, fillna 0.",
+)
+def user_purchase_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(dsum("value", "purchase_total"), F.count(F.lit(1)).alias("n_purchases"))
+    )
+    users = ev.select("user_id").distinct()
+    return users.join(purchases, on="user_id", how="left").fillna(
+        {"purchase_total": 0.0, "n_purchases": 0}
+    )
+
+
+_LEAGUE_ORACLE = """
+WITH matches AS (
+  SELECT o_custkey % 10 AS home_team,
+         (o_custkey + o_orderkey) % 10 AS away_team,
+         o_orderkey % 4 AS home_goals,
+         (o_orderkey // 7) % 3 AS away_goals
+  FROM orders
+  WHERE (o_custkey % 10) <> ((o_custkey + o_orderkey) % 10)
+), team_rows AS (
+  SELECT home_team AS team, home_goals AS scored, away_goals AS conceded FROM matches
+  UNION ALL
+  SELECT away_team AS team, away_goals AS scored, home_goals AS conceded FROM matches
+), stats AS (
+  SELECT team,
+         COUNT(*) AS games,
+         SUM(CASE WHEN scored > conceded THEN 1 ELSE 0 END)::BIGINT AS wins,
+         SUM(CASE WHEN scored = conceded THEN 1 ELSE 0 END)::BIGINT AS draws,
+         SUM(CASE WHEN scored < conceded THEN 1 ELSE 0 END)::BIGINT AS losses,
+         SUM(scored)::BIGINT AS goals_scored,
+         SUM(conceded)::BIGINT AS goals_conceded,
+         SUM(CASE WHEN scored > conceded THEN 3 WHEN scored = conceded THEN 1 ELSE 0 END)::BIGINT AS points
+  FROM team_rows GROUP BY team
+)
+SELECT
+  (ROW_NUMBER() OVER (ORDER BY points DESC, (goals_scored - goals_conceded) DESC,
+                      goals_scored DESC, team ASC))::BIGINT AS pos,
+  team, games, wins, draws, losses, goals_scored, goals_conceded,
+  printf('%+d', goals_scored - goals_conceded) AS gd,
+  points
+FROM stats
+"""
+
+
+@register(
+    "league_table",
+    oracle=_LEAGUE_ORACLE,
+    doc="U1/F3/A5/W1/F5/P5 analog (:228-332): unionByName reshape, CASE points, grouped sums, global row_number ranking, %+d goal difference.",
+)
+def league_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    matches = (
+        orders.select(
+            (F.col("o_custkey") % 10).alias("home_team"),
+            ((F.col("o_custkey") + F.col("o_orderkey")) % 10).alias("away_team"),
+            (F.col("o_orderkey") % 4).alias("home_goals"),
+            (F.expr("o_orderkey div 7") % 3).alias("away_goals"),
+        )
+        .filter(F.col("home_team") != F.col("away_team"))
+    )
+    home = matches.select(
+        F.col("home_team").alias("team"),
+        F.col("home_goals").alias("scored"),
+        F.col("away_goals").alias("conceded"),
+    )
+    # different column order on purpose: unionByName resolves by name (:228-238)
+    away = matches.select(
+        F.col("home_goals").alias("conceded"),
+        F.col("away_team").alias("team"),
+        F.col("away_goals").alias("scored"),
+    )
+    team_rows = home.unionByName(away)
+    s, c = F.col("scored"), F.col("conceded")
+    stats = team_rows.groupBy("team").agg(
+        F.count(F.lit(1)).alias("games"),
+        cond_sum(s > c, "wins"),
+        cond_sum(s == c, "draws"),
+        cond_sum(s < c, "losses"),
+        F.sum(s).alias("goals_scored"),
+        F.sum(c).alias("goals_conceded"),
+        F.sum(F.when(s > c, 3).when(s == c, 1).otherwise(0)).alias("points"),
+    )
+    order = Window.orderBy(
+        F.desc("points"),
+        F.desc(F.col("goals_scored") - F.col("goals_conceded")),
+        F.desc("goals_scored"),
+        F.asc("team"),
+    )
+    return (
+        stats.withColumn("pos", F.row_number().over(order).cast("long"))
+        .withColumn(
+            "gd", F.format_string("%+d", F.col("goals_scored") - F.col("goals_conceded"))
+        )
+        .selectExpr(
+            "pos", "team", "games", "wins", "draws", "losses",
+            "goals_scored", "goals_conceded", "gd", "points",
+        )
+    )
+
+
+_RETURN_RATIO_ORACLE = """
+SELECT l_suppkey,
+       SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT AS returned_items,
+       COUNT(*) AS total_items,
+       ROUND((CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS DOUBLE)
+              / CAST(COUNT(*) AS DOUBLE)) * 100.0, 2) AS return_pct
+FROM lineitem
+GROUP BY l_suppkey
+"""
+
+
+@register(
+    "supplier_return_ratio",
+    oracle=_RETURN_RATIO_ORACLE,
+    doc="A6/A7/F7 analog (:357-391): conditional count via bool→int cast, ratio-of-sums (Q4 semantics).",
+)
+def supplier_return_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    returned = F.sum((F.col("l_returnflag") == "R").cast("int")).alias("returned_items")
+    return (
+        li.groupBy("l_suppkey")
+        .agg(returned, F.count(F.lit(1)).alias("total_items"))
+        .withColumn("returned_items", F.col("returned_items").cast("long"))
+        .withColumn(
+            "return_pct",
+            F.round(
+                F.col("returned_items").cast("double")
+                / F.col("total_items").cast("double")
+                * 100.0,
+                2,
+            ),
+        )
+    )
+
+
+_NATION_RANK_ORACLE = """
+WITH stats AS (
+  SELECT r.r_name, n.n_name,
+         ROUND(SUM(CAST(c.c_acctbal AS DECIMAL(27,6))), 2)::DOUBLE AS total_acctbal,
+         COUNT(*) AS n_customers
+  FROM customer c
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY r.r_name, n.n_name
+)
+SELECT * FROM (
+  SELECT r_name, n_name, total_acctbal, n_customers,
+         (RANK() OVER (PARTITION BY r_name ORDER BY total_acctbal DESC))::BIGINT AS rnk
+  FROM stats
+) WHERE rnk <= 2
+"""
+
+
+@register(
+    "nation_rank_top2",
+    oracle=_NATION_RANK_ORACLE,
+    doc="J2/W2/P11 analog (:440-458): multi-hop broadcast dim joins, rank() with ties, rank<=2 filter (Q6 semantics).",
+)
+def nation_rank_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    joined = c.join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    ).join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+    stats = joined.groupBy("r_name", "n_name").agg(
+        dsum("c_acctbal", "total_acctbal"), F.count(F.lit(1)).alias("n_customers")
+    )
+    w = Window.partitionBy("r_name").orderBy(F.desc("total_acctbal"))
+    return (
+        stats.withColumn("rnk", F.rank().over(w).cast("long"))
+        .filter(F.col("rnk") <= 2)
+    )
+
+
+_BRAND_REVENUE_ORACLE = f"""
+SELECT p.p_brand,
+       {o_dsum('l.l_extendedprice * (1 - l.l_discount)', 'revenue')},
+       COUNT(*) AS n_items,
+       {o_davg('l.l_extendedprice', 'avg_price')}
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand
+"""
+
+
+@register(
+    "brand_revenue",
+    oracle=_BRAND_REVENUE_ORACLE,
+    doc="J3/P4 analog (:720-723): pre-renamed expression inner join (broadcast dim), grouped revenue.",
+)
+def brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").withColumnRenamed("p_partkey", "pk")
+    j = li.join(F.broadcast(p), li.l_partkey == p.pk, "inner")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return j.groupBy("p_brand").agg(
+        dsum(revenue, "revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+        davg("l_extendedprice", "avg_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sorts / limits / set ops / null handling / scalar functions
+# ---------------------------------------------------------------------------
+
+_TOP5_ORDERS_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 5
+"""
+
+
+@register(
+    "top5_orders",
+    oracle=_TOP5_ORDERS_ORACLE,
+    doc="O1/O5-O7 analog (:65,743-832): global top-k via sort+limit (TakeOrderedAndProject).",
+)
+def top5_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(5)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+    )
+
+
+@register(
+    "distinct_status_priority",
+    oracle="SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+    doc="A4 analog (:180): dedup aggregate via distinct().",
+)
+def distinct_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return orders.select("o_orderstatus", "o_orderpriority").distinct()
+
+
+_NULL_HANDLING_ORACLE = """
+SELECT
+  COUNT(*) AS n_total,
+  (COUNT(*) - COUNT(NULLIF(l_discount, 0.0)))::BIGINT AS n_null_discount,
+  COUNT(NULLIF(l_discount, 0.0)) AS n_after_dropna,
+  ROUND(SUM(CAST(COALESCE(NULLIF(l_discount, 0.0), 0.05) AS DECIMAL(27,6))), 2)::DOUBLE
+    AS filled_discount_sum
+FROM lineitem
+"""
+
+
+@register(
+    "null_handling_metrics",
+    oracle=_NULL_HANDLING_ORACLE,
+    doc="P8/P13/P14 analog (:68-70,188,910): isNull predicate, fillna, dropna.",
+)
+def null_handling_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    d_df = li.withColumn("d", F.nullif(F.col("l_discount"), F.lit(0.0)))
+    base = d_df.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.col("d").isNull().cast("int")).cast("long").alias("n_null_discount"),
+    )
+    dropped = d_df.dropna(subset=["d"]).agg(F.count(F.lit(1)).alias("n_after_dropna"))
+    filled = d_df.fillna({"d": 0.05}).agg(dsum("d", "filled_discount_sum"))
+    return base.crossJoin(dropped).crossJoin(filled)
+
+
+_METRICS_UNION_ORACLE = f"""
+SELECT 'n_orders' AS metric, COUNT(*)::DOUBLE AS value FROM orders
+UNION ALL
+SELECT 'n_customers' AS metric, COUNT(*)::DOUBLE AS value FROM customer
+UNION ALL
+SELECT 'max_item_price' AS metric, MAX(l_extendedprice) AS value FROM lineitem
+UNION ALL
+SELECT 'avg_order_value' AS metric, {o_davg('o_totalprice', 'value', 4)} FROM orders
+"""
+
+
+@register(
+    "metrics_union",
+    oracle=_METRICS_UNION_ORACLE,
+    doc="U2/A11/A12 analog (:984,1025-1033): positional union chain of single-row aggregates.",
+)
+def metrics_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    li = load(spark, sf_dir, "lineitem")
+    parts = [
+        orders.agg(F.count(F.lit(1)).cast("double").alias("value")).select(
+            F.lit("n_orders").alias("metric"), "value"
+        ),
+        customer.agg(F.count(F.lit(1)).cast("double").alias("value")).select(
+            F.lit("n_customers").alias("metric"), "value"
+        ),
+        li.agg(F.max("l_extendedprice").alias("value")).select(
+            F.lit("max_item_price").alias("metric"), "value"
+        ),
+        orders.agg(davg("o_totalprice", "value", 4)).select(
+            F.lit("avg_order_value").alias("metric"), "value"
+        ),
+    ]
+    res = parts[0]
+    for p in parts[1:]:
+        res = res.union(p)  # positional union (:1025-1033)
+    return res
+
+
+_DOC_PATH_ORACLE = """
+SELECT doc_id,
+       'data/' || lang || '/' || source || '/' || CAST(doc_id AS VARCHAR) || '.txt' AS path,
+       string_split('data/' || lang || '/' || source || '/' || CAST(doc_id AS VARCHAR) || '.txt', '/')[-1]
+         AS fname,
+       string_split(string_split('data/' || lang || '/' || source || '/'
+         || CAST(doc_id AS VARCHAR) || '.txt', '/')[-1], '.')[1] AS stem,
+       n_chars - 250 AS gd,
+       CASE WHEN n_chars - 250 > 0 THEN '+' ELSE '' END || CAST(n_chars - 250 AS VARCHAR) AS signed_concat,
+       printf('%+d', n_chars - 250) AS signed_fmt
+FROM documents
+"""
+
+
+@register(
+    "doc_path_format",
+    oracle=_DOC_PATH_ORACLE,
+    doc="F5/F6/F8/P6 analog (:317,471-474,713-717): substring_index stem extraction, both GD-formatting variants (Q2: '0' vs '+0').",
+)
+def doc_path_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    path = F.concat(
+        F.lit("data/"), F.col("lang"), F.lit("/"), F.col("source"), F.lit("/"),
+        F.col("doc_id").cast("string"), F.lit(".txt"),
+    )
+    gd = F.col("n_chars") - 250
+    return docs.select(
+        "doc_id",
+        path.alias("path"),
+        F.substring_index(path, "/", -1).alias("fname"),
+        F.substring_index(F.substring_index(path, "/", -1), ".", 1).alias("stem"),
+        gd.alias("gd"),
+        F.concat(
+            F.when(gd > 0, F.lit("+")).otherwise(F.lit("")), gd.cast("string")
+        ).alias("signed_concat"),
+        F.format_string("%+d", gd).alias("signed_fmt"),
+    )

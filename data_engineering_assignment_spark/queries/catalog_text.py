@@ -1,0 +1,188 @@
+"""Text-analysis / dedup queries over the documents table (north-star
+operators: token stats, language ID, quality scoring, exact + n-gram
+near-dedup, MinHash-LSH candidates, SimHash fingerprints)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.aggregates import davg, o_davg
+from ..operators.dedup import (
+    exact_dedup,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash64,
+)
+from ..operators.text import with_text_stats
+from ..tables import load
+from . import register
+
+_STOP_SQL = "('a','the','of','and','to','in','is','it')"
+
+_TOKEN_STATS_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, lang, n_chars, string_split(text, ' ') AS toks FROM documents
+), s AS (
+  SELECT doc_id, lang, n_chars,
+         len(toks)::BIGINT AS token_count,
+         len(list_distinct(toks))::BIGINT AS uniq_tokens,
+         ROUND(CAST(len(list_filter(toks, x -> x IN {_STOP_SQL})) AS DOUBLE)
+               / CAST(len(toks) AS DOUBLE), 4) AS stop_ratio,
+         ROUND(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+               / CAST(len(toks) AS DOUBLE), 4) AS avg_token_len
+  FROM t
+)
+SELECT doc_id, lang, n_chars, token_count, uniq_tokens, stop_ratio, avg_token_len,
+       ROUND(CAST(LEAST(1.0, CAST(token_count AS DOUBLE) / 100.0)
+                  * LEAST(1.0, stop_ratio * 10.0) AS DECIMAL(27,8)), 4)::DOUBLE AS quality,
+       CASE WHEN stop_ratio >= 0.05 THEN 'en' ELSE 'unk' END AS pred_lang
+FROM s
+"""
+
+
+@register(
+    "doc_token_stats",
+    oracle=_TOKEN_STATS_ORACLE,
+    doc="North-star text analysis (replaces driver-side Counter, :781-805): token counts, stopword ratio, quality score, heuristic language ID — all JVM-side HOFs.",
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return with_text_stats(docs).select(
+        "doc_id", "lang", "n_chars", "token_count", "uniq_tokens",
+        "stop_ratio", "avg_token_len", "quality", "pred_lang",
+    )
+
+
+_QUALITY_BY_SOURCE_ORACLE = f"""
+WITH t AS (
+  SELECT lang, source, n_chars, string_split(text, ' ') AS toks FROM documents
+), s AS (
+  SELECT lang, source, n_chars,
+         ROUND(CAST(LEAST(1.0, CAST(len(toks) AS DOUBLE) / 100.0)
+                    * LEAST(1.0, ROUND(CAST(len(list_filter(toks, x -> x IN {_STOP_SQL})) AS DOUBLE)
+                                       / CAST(len(toks) AS DOUBLE), 4) * 10.0) AS DECIMAL(27,8)), 4)::DOUBLE AS quality
+  FROM t
+)
+SELECT lang, source,
+       COUNT(*) AS n_docs,
+       {o_davg('n_chars', 'avg_chars', 2)},
+       {o_davg('quality', 'avg_quality', 4)}
+FROM s
+GROUP BY lang, source
+"""
+
+
+@register(
+    "quality_by_source",
+    oracle=_QUALITY_BY_SOURCE_ORACLE,
+    doc="North-star corpus triage: per-(lang, source) doc counts and mean quality.",
+)
+def quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = with_text_stats(load(spark, sf_dir, "documents"))
+    return docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        davg("n_chars", "avg_chars", 2),
+        davg("quality", "avg_quality", 4),
+    )
+
+
+_DEDUP_EXACT_ORACLE = """
+SELECT md5(text) AS text_hash,
+       MIN(doc_id) AS keep_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY md5(text)
+"""
+
+
+@register(
+    "dedup_exact",
+    oracle=_DEDUP_EXACT_ORACLE,
+    doc="North-star exact dedup: content-hash groups with deterministic min-id survivor.",
+)
+def dedup_exact_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(load(spark, sf_dir, "documents"))
+
+
+_NGRAM_JACCARD_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+), sh AS (
+  SELECT DISTINCT a.doc_id AS doc, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+  FROM toks a
+  JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  JOIN toks c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+), sizes AS (
+  SELECT doc, COUNT(*) AS n_shingles FROM sh GROUP BY doc
+), inter AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+  GROUP BY a.doc, b.doc
+)
+SELECT i.doc_a, i.doc_b, i.inter,
+       ROUND(CAST(i.inter AS DOUBLE)
+             / CAST(sa.n_shingles + sb.n_shingles - i.inter AS DOUBLE), 4) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc = i.doc_a
+JOIN sizes sb ON sb.doc = i.doc_b
+WHERE ROUND(CAST(i.inter AS DOUBLE)
+            / CAST(sa.n_shingles + sb.n_shingles - i.inter AS DOUBLE), 4) >= 0.005
+"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=_NGRAM_JACCARD_ORACLE,
+    doc="North-star near-dedup, exact variant: word-3-gram Jaccard pairs via shingle self-join.",
+)
+def dedup_ngram_jaccard_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(load(spark, sf_dir, "documents"), threshold=0.005)
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=None,  # probabilistic bucketing — validated by unit tests vs exact jaccard
+    doc="North-star near-dedup, scale path: MinHash signatures banded into LSH buckets; candidate pairs via bucket equi-join.",
+)
+def dedup_minhash_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_candidates(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_simhash",
+    oracle=None,  # xxhash64 has no DuckDB twin — validated by unit tests
+    doc="North-star fingerprinting: 64-bit SimHash per document (JVM-side bit accumulation).",
+)
+def doc_simhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash64(load(spark, sf_dir, "documents"))
+
+
+_TOP_TOKENS_ORACLE = """
+WITH tok AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents
+), counts AS (
+  SELECT lang, tok, COUNT(*) AS n FROM tok GROUP BY lang, tok
+), ranked AS (
+  SELECT lang, tok, n,
+         (ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, tok ASC))::BIGINT AS rnk
+  FROM counts
+)
+SELECT lang, tok, n, rnk FROM ranked WHERE rnk <= 3
+"""
+
+
+@register(
+    "top_tokens_per_lang",
+    oracle=_TOP_TOKENS_ORACLE,
+    doc="A13/D3 replacement (:781-805): top-3-by-frequency per group as explode → count → window top-k (the engine-native Counter.most_common).",
+)
+def top_tokens_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.topk import top_k_by_freq
+
+    docs = load(spark, sf_dir, "documents")
+    exploded = docs.select("lang", F.explode(F.split("text", " ")).alias("tok"))
+    return top_k_by_freq(exploded, group_cols=["lang"], item_col="tok", k=3)
