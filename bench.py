@@ -1,0 +1,80 @@
+"""Benchmark the headline queries (driver contract: one JSON line to stdout).
+
+Runs each headline query at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS], forcing full execution through the noop sink
+(measures the whole plan, no driver-transfer bias), and prints:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <float>}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from data_engineering_assignment_spark.queries import load_catalog
+from data_engineering_assignment_spark.session import get_spark
+
+HEADLINE = [
+    "pricing_summary",
+    "sales_per_year",
+    "user_purchase_totals",
+    "league_table",
+    "supplier_return_ratio",
+    "nation_rank_top2",
+    "brand_revenue",
+    "top5_orders",
+    "doc_token_stats",
+    "top_tokens_per_lang",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "cosine_topk",
+    "embedding_stats",
+    "events_hourly",
+    "events_tumbling_10m",
+    "events_sessionize",
+]
+
+
+def run_query(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    catalog = load_catalog()
+
+    # JVM/codegen warm-up on the smallest SF so per-query numbers reflect the
+    # plan, not first-job setup cost.
+    run_query(catalog["pricing_summary"].build(spark, "/root/testdata/sf0.001"))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        run_query(catalog[name].build(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

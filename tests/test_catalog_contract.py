@@ -1,0 +1,35 @@
+"""Driver-contract tests: every catalog entry builds against sf0.001, the
+entry() smoke query returns rows, and queries()/oracle_sql() keys line up."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import __spark_entry__ as entrymod
+from data_engineering_assignment_spark.queries import load_catalog
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
+
+
+def test_oracle_keys_subset_of_queries():
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert set(oracles) <= set(qs)
+    # the vast majority of queries must be oracle-gated (the driver's strong check)
+    assert len(oracles) >= 0.7 * len(qs)
+
+
+@pytest.mark.parametrize("name", sorted(load_catalog()))
+def test_catalog_query_builds_and_runs(spark, sf_dir, name):
+    df = load_catalog()[name].build(spark, sf_dir)
+    # schema must be resolvable and the plan executable at tiny scale
+    assert df.columns
+    df.limit(5).collect()

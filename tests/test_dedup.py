@@ -1,0 +1,78 @@
+"""Dedup operator tests: exact groups, n-gram Jaccard values, MinHash-LSH
+recall against exact Jaccard, SimHash locality."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_engineering_assignment_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash64,
+    word_shingles,
+)
+
+BASE = "the quick brown fox jumps over the lazy dog near the old river bank " \
+       "while birds sing in the tall green trees above the quiet meadow"
+
+
+def docs_df(spark):
+    near = BASE.replace("quiet", "sunny")          # one token changed
+    far = "completely different content about spark query engines and shuffles"
+    rows = [(1, BASE), (2, BASE), (3, near), (4, far)]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_exact_dedup_groups(spark):
+    out = exact_dedup(docs_df(spark)).collect()
+    groups = {r["keep_id"]: r["n_copies"] for r in out}
+    assert groups[1] == 2          # docs 1+2 identical, min-id survivor
+    assert groups[3] == 1 and groups[4] == 1
+    assert len(out) == 3
+
+
+def test_word_shingles_count(spark):
+    df = spark.createDataFrame([("a b c d",)], "text string")
+    row = df.select(word_shingles("text", 3).alias("s")).collect()[0]
+    assert row["s"] == ["a b c", "b c d"]
+    short = spark.createDataFrame([("a b",)], "text string")
+    assert short.select(word_shingles("text", 3).alias("s")).collect()[0]["s"] == []
+
+
+def test_ngram_jaccard_exact_value(spark):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs_df(spark), threshold=0.1).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    # one token change in 24 tokens → 22 shingles each, 19 shared... compute:
+    # changed token at position 20 affects shingles starting at 18,19,20.
+    j = pairs[(1, 3)]
+    assert 0.5 < j < 1.0
+    assert (1, 4) not in pairs and (2, 4) not in pairs
+
+
+def test_minhash_lsh_recall_of_high_jaccard_pairs(spark):
+    cands = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_candidates(docs_df(spark)).collect()
+    }
+    # identical docs must always collide in every band
+    assert (1, 2) in cands
+    # near-dup (jaccard > 0.8) should collide in at least one of 8 bands
+    assert (1, 3) in cands or (2, 3) in cands
+
+
+def _hamming(a: int, b: int) -> int:
+    # fingerprints are signed 64-bit longs; mask before popcount
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+def test_simhash_locality(spark):
+    fps = {r["doc"]: r["simhash"] for r in simhash64(docs_df(spark)).collect()}
+    assert fps[1] == fps[2]
+    ham_near = _hamming(fps[1], fps[3])
+    ham_far = _hamming(fps[1], fps[4])
+    assert ham_near < ham_far
+    assert ham_near <= 8

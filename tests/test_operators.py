@@ -1,0 +1,66 @@
+"""Unit tests for the core operator library: top-k-by-frequency, text stats,
+and the deterministic decimal aggregation helpers."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_engineering_assignment_spark.operators.aggregates import dround, dsum
+from data_engineering_assignment_spark.operators.text import with_text_stats
+from data_engineering_assignment_spark.operators.topk import (
+    argmax_row,
+    top_k_by_freq,
+    top_k_by_freq_agg,
+)
+
+
+def test_top_k_by_freq_counts_and_tiebreak(spark):
+    rows = [("g1", t) for t in ["a", "a", "a", "b", "b", "c", "d"]] + [
+        ("g2", t) for t in ["x", "y"]  # tie at n=1 → break by item asc
+    ]
+    df = spark.createDataFrame(rows, "grp string, item string")
+    out = top_k_by_freq(df, ["grp"], "item", k=2).collect()
+    g1 = sorted([(r["item"], r["n"], r["rnk"]) for r in out if r["grp"] == "g1"])
+    assert g1 == [("a", 3, 1), ("b", 2, 2)]
+    g2 = sorted([(r["item"], r["rnk"]) for r in out if r["grp"] == "g2"])
+    assert g2 == [("x", 1), ("y", 2)]
+
+
+def test_top_k_agg_ordered_array(spark):
+    rows = [("g", t) for t in ["b", "a", "a", "c", "b", "a"]]
+    df = spark.createDataFrame(rows, "grp string, item string")
+    out = top_k_by_freq_agg(df, ["grp"], "item", k=3).collect()[0]
+    assert out["top_items"] == ["a", "b", "c"]  # Counter.most_common shape (D3)
+
+
+def test_argmax_row(spark):
+    df = spark.createDataFrame([("a", 3), ("b", 9), ("c", 9)], "k string, v int")
+    top = argmax_row(df, [F.desc("v"), F.asc("k")], 1).collect()
+    assert (top[0]["k"], top[0]["v"]) == ("b", 9)
+
+
+def test_text_stats_hand_computed(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat")], "doc_id int, text string"
+    )
+    r = with_text_stats(df).collect()[0]
+    assert r["token_count"] == 6
+    assert r["uniq_tokens"] == 5
+    assert r["stop_ratio"] == pytest.approx(2 / 6, abs=1e-4)  # 'the' twice
+    assert r["avg_token_len"] == pytest.approx(17 / 6, abs=1e-4)
+    assert r["pred_lang"] == "en"
+
+
+def test_dsum_partitioning_independent(spark):
+    """The decimal detour makes double sums independent of partition count."""
+    vals = [(float(i) * 0.1 + 0.01,) for i in range(1, 2000)]
+    a = spark.createDataFrame(vals, "v double").repartition(1).agg(dsum("v", "s"))
+    b = spark.createDataFrame(vals, "v double").repartition(16).agg(dsum("v", "s"))
+    assert a.collect()[0]["s"] == b.collect()[0]["s"]
+
+
+def test_dround_midpoint(spark):
+    df = spark.createDataFrame([(0.5, 0.25)], "a double, b double")
+    r = df.select(dround(F.col("a") * F.col("b"), 4).alias("x")).collect()[0]
+    assert r["x"] == 0.125

@@ -1,0 +1,65 @@
+"""Similarity-search tests: exact cosine top-k golden values and LSH recall."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_engineering_assignment_spark.operators.similarity import (
+    cosine,
+    cosine_topk,
+    lsh_bucketed_topk,
+)
+
+
+def test_cosine_column_value(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [1.0, 0.0]), ([1.0, 0.0], [0.0, 1.0]), ([1.0, 1.0], [1.0, 0.0])],
+        "a array<double>, b array<double>",
+    )
+    vals = [r["c"] for r in df.select(cosine(F.col("a"), F.col("b")).alias("c")).collect()]
+    assert vals[0] == pytest.approx(1.0)
+    assert vals[1] == pytest.approx(0.0)
+    assert vals[2] == pytest.approx(1 / math.sqrt(2))
+
+
+def _unit(rng, dim):
+    v = [rng.gauss(0, 1) for _ in range(dim)]
+    n = math.sqrt(sum(x * x for x in v))
+    return [x / n for x in v]
+
+
+def test_exact_topk_finds_planted_neighbor(spark):
+    rng = random.Random(7)
+    dim = 16
+    base = _unit(rng, dim)
+    near = [x + rng.gauss(0, 0.01) for x in base]  # planted ≈1.0 neighbor
+    corpus = [(0, base), (1, near)] + [(i, _unit(rng, dim)) for i in range(2, 50)]
+    df = spark.createDataFrame(corpus, "vec_id bigint, embedding array<double>")
+    out = cosine_topk(df, df.filter(F.col("vec_id") == 0), k=3).collect()
+    assert out[0]["neighbor_id"] == 1 and out[0]["rnk"] == 1
+    assert out[0]["sim"] > 0.99
+
+
+def test_lsh_topk_recall_vs_exact(spark):
+    rng = random.Random(11)
+    dim = 16
+    corpus = [(i, _unit(rng, dim)) for i in range(200)]
+    df = spark.createDataFrame(corpus, "vec_id bigint, embedding array<double>")
+    queries = df.filter(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(df, queries, k=3).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in lsh_bucketed_topk(df, queries, dim=dim, k=3, planes=2).collect()
+    }
+    # 2 planes → 4 buckets → each bucket ~50 vectors; recall should be decent
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4
+    # every returned neighbor must share the query's bucket → subsets are sane
+    assert all(q != n for q, n in approx)
