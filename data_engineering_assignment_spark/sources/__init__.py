@@ -1,0 +1,72 @@
+"""Typed sources and sinks (SURVEY.md §2.1 S1-S8).
+
+The reference's scans, generalized: explicit-schema CSV (S1), parquet
+(S2-S4), binary files standing in for the Databricks-only ``image`` format
+(S5 — decode happens in ``functions.colors`` / ``functions.multimodal``
+UDFs), schema-inferred JSON Lines (S6), and local rows (S7). The engine adds
+a parquet sink (S8 — the reference only ever ``show()``s).
+
+Scale notes: explicit schemas avoid inference scans; binaryFile reads
+parallelize per file and push ``pathGlobFilter`` down to the listing; the
+parquet sink partitions by caller-chosen columns so downstream scans prune.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    sep: str = ",",
+    header: bool = True,
+    date_format: str | None = None,
+) -> DataFrame:
+    """S1: explicit-schema CSV scan (Assignment-python.py:52)."""
+    reader = spark.read.schema(schema)
+    if date_format:
+        reader = reader.option("dateFormat", date_format)
+    return reader.csv(path, header=header, sep=sep)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """S2-S4: self-describing parquet scan (:134,907)."""
+    return spark.read.parquet(path)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: StructType | None = None) -> DataFrame:
+    """S6: JSON Lines scan; schema optional (inference costs an extra pass,
+    :711 — pass one in production)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_binary_files(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """S5 (portable image source): one row per file with (path,
+    modificationTime, length, content). Decode via functions/ UDFs."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)
+
+
+def local_rows(spark: SparkSession, rows: list, schema) -> DataFrame:
+    """S7: driver-local rows (:1010-1011)."""
+    return spark.createDataFrame(rows, schema)
+
+
+def write_parquet(
+    df: DataFrame, path: str, partition_by: list[str] | None = None, mode: str = "overwrite"
+) -> None:
+    """S8+: parquet sink with optional partition columns."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
