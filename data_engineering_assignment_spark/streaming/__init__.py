@@ -1,0 +1,114 @@
+"""Structured Streaming surface (additive — the reference has none,
+SURVEY.md §2.12).
+
+The batch window operators in ``operators/windows.py`` are built on
+``F.window``/analytic windows, which Structured Streaming plans identically;
+this module supplies the stream wiring: file-source ``readStream``,
+watermarked tumbling/sliding aggregation, ``session_window`` sessionization
+(the built-in streaming-safe equivalent of the batch lag/cumsum
+sessionizer), and an ``availableNow`` runner used by tests and backfills.
+
+Scale notes: watermarks bound the state store (late events beyond the
+watermark are dropped); session_window state is per (user, open session) and
+is evicted at watermark + gap; file sources list incrementally, so a backfill
+over a petabyte of parquet proceeds file-batch by file-batch with bounded
+memory.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.aggregates import dsum
+from ..session import tune
+
+
+def read_parquet_stream(
+    spark: SparkSession, path: str, schema=None
+) -> DataFrame:
+    """File-source stream over a parquet directory. File streams require an
+    explicit schema; by default it is taken from the existing files (one
+    driver-side footer read, no data scan)."""
+    tune(spark)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def tumbling_counts(
+    stream: DataFrame,
+    duration: str = "10 minutes",
+    keys: list[str] | None = None,
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Watermarked tumbling-window counts/sums — streaming twin of
+    ``operators.windows.tumbling_agg`` (same aggregate expressions, so batch
+    and streaming results agree exactly for on-time data)."""
+    keys = keys or []
+    win = F.window(F.col(ts_col), duration)
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(win.alias("w"), *keys)
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "total_value"))
+        .select(
+            F.unix_timestamp(F.col("w").getField("start")).alias("win_start"),
+            *keys,
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def session_window_agg(
+    df: DataFrame,
+    gap: str = "30 minutes",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Gap-based sessions via the built-in ``session_window`` — works on both
+    batch and streaming frames (streaming needs ``watermark``).
+
+    Output: (user, session_start, last_event, n_events) with epoch-second
+    instants; ``last_event`` is the max event time (the window's end is
+    last_event + gap by definition — trimmed here to match the batch
+    sessionizer's session_end).
+    """
+    if watermark is not None:
+        df = df.withWatermark(ts_col, watermark)
+    sw = F.session_window(F.col(ts_col), gap)
+    return (
+        df.groupBy(sw.alias("w"), F.col(user_col).alias("user"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max(F.unix_timestamp(F.col(ts_col))).alias("last_event"),
+        )
+        .select(
+            "user",
+            F.unix_timestamp(F.col("w").getField("start")).alias("session_start"),
+            "last_event",
+            "n_events",
+        )
+    )
+
+
+def run_available_now(
+    df: DataFrame, output_mode: str = "complete", query_name: str | None = None
+) -> DataFrame:
+    """Execute a streaming frame over all currently-available input
+    (Trigger.AvailableNow) into a memory sink; returns the result table.
+    Test/backfill helper — production sinks write parquet/kafka instead."""
+    name = query_name or f"q_{uuid.uuid4().hex[:8]}"
+    query = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return df.sparkSession.table(name)

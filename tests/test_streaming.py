@@ -1,0 +1,65 @@
+"""Streaming-surface tests: batch/streaming parity for tumbling windows, and
+session_window vs the analytic batch sessionizer."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+
+from data_engineering_assignment_spark import streaming as st
+from data_engineering_assignment_spark.operators.windows import sessionize, tumbling_agg
+
+
+def ts(minute):
+    return datetime(2024, 1, 1, 0, minute)
+
+
+@pytest.fixture(scope="module")
+def events_path(spark, tmp_path_factory):
+    rows = [
+        (1, ts(0), "a", 1.0),
+        (1, ts(4), "b", 2.0),
+        (1, ts(11), "a", 4.0),
+        (2, ts(12), "a", 8.0),
+        (2, ts(55), "a", 16.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, ts timestamp, event_type string, value double"
+    )
+    path = str(tmp_path_factory.mktemp("stream") / "events")
+    df.repartition(2).write.parquet(path)
+    return path
+
+
+def test_streaming_tumbling_matches_batch(spark, events_path):
+    stream = st.read_parquet_stream(spark, events_path)
+    assert stream.isStreaming
+    result = st.run_available_now(st.tumbling_counts(stream, "10 minutes"))
+    batch = tumbling_agg(spark.read.parquet(events_path), "10 minutes")
+    got = sorted((r["win_start"], r["n_events"], r["total_value"]) for r in result.collect())
+    want = sorted((r["win_start"], r["n_events"], r["total_value"]) for r in batch.collect())
+    assert got == want and len(got) == 3
+
+
+def test_session_window_agg_batch_matches_sessionizer(spark, events_path):
+    df = spark.read.parquet(events_path)
+    via_builtin = sorted(
+        (r["user"], r["session_start"], r["last_event"], r["n_events"])
+        for r in st.session_window_agg(df, "30 minutes").collect()
+    )
+    via_analytic = sorted(
+        (r["user"], r["session_start"], r["session_end"], r["n_events"])
+        for r in sessionize(df, "30 minutes").collect()
+    )
+    assert via_builtin == via_analytic
+
+
+def test_streaming_sessionize(spark, events_path):
+    stream = st.read_parquet_stream(spark, events_path)
+    out = st.run_available_now(
+        st.session_window_agg(stream, "30 minutes", watermark="1 minute")
+    )
+    rows = sorted((r["user"], r["n_events"]) for r in out.collect())
+    # user 1: one session (0,4,11); user 2: sessions (12) and (55)
+    assert rows == [(1, 3), (2, 1), (2, 1)]
