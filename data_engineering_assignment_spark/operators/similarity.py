@@ -67,6 +67,41 @@ def cosine_topk(
     )
 
 
+def cosine_pairs(
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: all (a, b), a < b, with rounded
+    cosine ≥ threshold.
+
+    Exact all-pairs (quadratic) — the verification path. At corpus scale,
+    generate candidates with :func:`lsh_bucketed_topk`'s bucketing first and
+    feed only candidate pairs through this filter. Norms are computed once
+    per side before the join, so the joined row does only the dot product.
+    """
+    prepped = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.sqrt(sq_norm(F.col(vec_col))).alias("norm"),
+    )
+    a = prepped.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("norm").alias("na")
+    )
+    b = prepped.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("norm").alias("nb")
+    )
+    sim = F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), scale)
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", sim)
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )
+
+
 def _hyperplane(dim: int, plane: int, seed: int = 42) -> list[float]:
     """Deterministic pseudo-random unit-free hyperplane (pure function of
     (plane, dim, seed) — same on every executor, no RNG state)."""

@@ -70,6 +70,37 @@ def fingerprint(text: Column | str) -> Column:
     return F.md5(c.cast("binary"))
 
 
+# BPE-style pre-tokenization classes: letter runs, digit runs, single
+# non-space symbols (the GPT-2 pre-tokenizer shape, minus contractions —
+# chosen so Java and RE2 regex dialects agree exactly).
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def regex_tokens(text: Column | str, pattern: str = BPE_PATTERN) -> Column:
+    """Regex (BPE-ish) tokens — JVM-side regexp_extract_all."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(c, F.lit(pattern), 0)
+
+
+ROLLING_BASE = 31
+ROLLING_MOD = 1_000_000_007
+
+
+def rolling_hash(text: Column | str) -> Column:
+    """Polynomial rolling hash of the character stream:
+    ``h = (h*31 + ascii(char)) mod 1e9+7`` — a deterministic 31-bit document
+    fingerprint computable identically in any engine (unlike xxhash64).
+    JVM-side fold; values stay < 2^35 so ANSI arithmetic never overflows.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    return F.aggregate(
+        F.sequence(F.lit(1), F.length(c)),
+        F.lit(0).cast("long"),
+        lambda acc, i: (acc * ROLLING_BASE + F.ascii(F.substring(c, i, F.lit(1))))
+        % ROLLING_MOD,
+    )
+
+
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the full text-statistics column set (narrow, no shuffle)."""
     return (

@@ -91,6 +91,35 @@ def cosine_topk_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucketed_topk(emb, queries, dim=64, k=5, planes=4)
 
 
+_NEAR_DUP_ORACLE = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), n AS (
+  SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_sum(list_transform(range(1, 65), i -> a.e[i] * b.e[i]))
+             / (a.nrm * b.nrm), 4) AS sim
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE ROUND(list_sum(list_transform(range(1, 65), i -> a.e[i] * b.e[i]))
+            / (a.nrm * b.nrm), 4) >= 0.4
+"""
+
+
+@register(
+    "embedding_near_dup",
+    oracle=_NEAR_DUP_ORACLE,
+    doc="North-star embedding-cosine near-dup: exact all-pairs cosine >= 0.4 "
+    "(verification path; LSH bucketing is the candidate generator at scale).",
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import cosine_pairs
+
+    emb = load(spark, sf_dir, "embeddings")
+    return cosine_pairs(emb, threshold=0.4)
+
+
 _LABEL_CENTROID_ORACLE = """
 WITH per_dim AS (
   SELECT label, i.i AS dim, ROUND(AVG(CAST(embedding[i.i] AS DOUBLE)), 6) AS mean_val

@@ -161,6 +161,72 @@ def doc_simhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash64(load(spark, sf_dir, "documents"))
 
 
+_REGEX_TOKENS_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       len(toks)::BIGINT AS n_tokens,
+       len(list_filter(toks, x -> regexp_matches(x, '^[A-Za-z]+$')))::BIGINT AS n_word,
+       len(list_filter(toks, x -> regexp_matches(x, '^[0-9]+$')))::BIGINT AS n_num,
+       len(list_filter(toks, x -> NOT regexp_matches(x, '^[A-Za-z0-9]')))::BIGINT AS n_punct,
+       len(list_distinct(toks))::BIGINT AS n_uniq
+FROM t
+"""
+
+
+@register(
+    "doc_regex_tokens",
+    oracle=_REGEX_TOKENS_ORACLE,
+    doc="North-star BPE-style token counting: regexp_extract_all pre-tokenizer "
+    "with per-class counts, all JVM-side.",
+)
+def doc_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import regex_tokens
+
+    docs = load(spark, sf_dir, "documents")
+    toks = regex_tokens("text")
+    is_word = lambda x: x.rlike("^[A-Za-z]+$")  # noqa: E731
+    is_num = lambda x: x.rlike("^[0-9]+$")  # noqa: E731
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.filter(toks, is_word)).cast("long").alias("n_word"),
+        F.size(F.filter(toks, is_num)).cast("long").alias("n_num"),
+        F.size(F.filter(toks, lambda x: ~x.rlike("^[A-Za-z0-9]")))
+        .cast("long")
+        .alias("n_punct"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_uniq"),
+    )
+
+
+_ROLLING_HASH_ORACLE = """
+SELECT doc_id,
+       list_reduce(
+         list_prepend(0::BIGINT,
+           list_transform(range(1, length(text) + 1),
+                          i -> ascii(substr(text, i, 1))::BIGINT)),
+         (a, b) -> (a * 31 + b) % 1000000007
+       ) AS rhash
+FROM documents
+"""
+
+
+@register(
+    "doc_rolling_hash",
+    oracle=_ROLLING_HASH_ORACLE,
+    doc="North-star document fingerprinting: polynomial rolling hash "
+    "(h*31+ascii mod 1e9+7) as a JVM-side fold — engine-independent, unlike xxhash.",
+)
+def doc_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import rolling_hash
+
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", rolling_hash("text").alias("rhash"))
+
+
 _TOP_TOKENS_ORACLE = """
 WITH tok AS (
   SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents

@@ -64,3 +64,26 @@ def test_dround_midpoint(spark):
     df = spark.createDataFrame([(0.5, 0.25)], "a double, b double")
     r = df.select(dround(F.col("a") * F.col("b"), 4).alias("x")).collect()[0]
     assert r["x"] == 0.125
+
+
+def test_regex_tokens_classes(spark):
+    from data_engineering_assignment_spark.operators.text import regex_tokens
+
+    df = spark.createDataFrame([("hello, world42 x!",)], "text string")
+    out = df.select(regex_tokens("text").alias("t")).collect()[0]["t"]
+    assert out == ["hello", ",", "world", "42", "x", "!"]
+
+
+def test_rolling_hash_matches_python(spark):
+    from data_engineering_assignment_spark.operators.text import (
+        ROLLING_BASE,
+        ROLLING_MOD,
+        rolling_hash,
+    )
+
+    s = "the quick brown fox!"
+    h = 0
+    for ch in s:
+        h = (h * ROLLING_BASE + ord(ch)) % ROLLING_MOD
+    df = spark.createDataFrame([(s,)], "text string")
+    assert df.select(rolling_hash("text").alias("h")).collect()[0]["h"] == h

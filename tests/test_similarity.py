@@ -63,3 +63,17 @@ def test_lsh_topk_recall_vs_exact(spark):
     assert recall >= 0.4
     # every returned neighbor must share the query's bucket → subsets are sane
     assert all(q != n for q, n in approx)
+
+
+def test_cosine_pairs_threshold(spark):
+    from data_engineering_assignment_spark.operators.similarity import cosine_pairs
+
+    vecs = [
+        (1, [1.0, 0.0]), (2, [0.999, 0.01]),   # near-identical pair
+        (3, [0.0, 1.0]),                        # orthogonal to both
+        (4, [-1.0, 0.0]),                       # opposite
+    ]
+    df = spark.createDataFrame(vecs, "vec_id bigint, embedding array<double>")
+    out = {(r["id_a"], r["id_b"]): r["sim"] for r in cosine_pairs(df, 0.9).collect()}
+    assert set(out) == {(1, 2)}
+    assert out[(1, 2)] > 0.99
