@@ -1,0 +1,56 @@
+"""Physical-plan property tests: the 100 TB-relevant plan shapes must hold —
+filters push into parquet scans, projections prune columns, dimension joins
+broadcast, aggregations partial-aggregate map-side."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_engineering_assignment_spark import plans
+from data_engineering_assignment_spark.queries import load_catalog
+
+
+def build(spark, sf_dir, name):
+    return load_catalog()[name].build(spark, sf_dir)
+
+
+def test_pricing_summary_pushdown_and_pruning(spark, sf_dir):
+    df = build(spark, sf_dir, "pricing_summary")
+    assert "l_shipdate" in plans.pushed_filters(df)
+    schemas = plans.read_schemas(df)
+    # only the 7 needed columns are read, not the full 11-column table
+    assert "l_comment" not in schemas and "l_partkey" not in schemas
+    assert plans.has_partial_aggregation(df)
+
+
+def test_dim_joins_broadcast(spark, sf_dir):
+    assert plans.has_broadcast_join(build(spark, sf_dir, "nation_rank_top2"))
+    assert plans.has_broadcast_join(build(spark, sf_dir, "brand_revenue"))
+
+
+def test_filter_pushdown_on_events(spark, sf_dir):
+    df = build(spark, sf_dir, "user_purchase_totals")
+    # event_type = 'purchase' must reach the scan
+    assert "event_type" in plans.pushed_filters(df)
+
+
+def test_grouped_aggs_are_partial(spark, sf_dir):
+    for name in ["supplier_return_ratio", "sales_per_year", "events_hourly"]:
+        assert plans.has_partial_aggregation(build(spark, sf_dir, name)), name
+
+
+def test_top5_orders_is_take_ordered(spark, sf_dir):
+    # global sort+limit must plan as TakeOrderedAndProject, not a full sort
+    assert "TakeOrderedAndProject" in plans.simple_plan(
+        build(spark, sf_dir, "top5_orders")
+    )
+
+
+def test_minhash_single_shuffle_signature(spark, sf_dir):
+    """The minhash signature computation must be one shuffle (explode →
+    single hash aggregation), not one per hash function."""
+    from data_engineering_assignment_spark.operators.dedup import minhash_signatures
+    from data_engineering_assignment_spark.tables import load
+
+    sigs = minhash_signatures(load(spark, sf_dir, "documents"))
+    assert plans.count_shuffles(sigs) <= 2  # partial+final agg exchange(s)
