@@ -38,6 +38,11 @@ HEADLINE = [
     "events_hourly",
     "events_tumbling_10m",
     "events_sessionize",
+    "order_ship_lag_30d",
+    "click_purchase_attribution",
+    "doc_regex_tokens",
+    "doc_rolling_hash",
+    "embedding_near_dup",
 ]
 
 

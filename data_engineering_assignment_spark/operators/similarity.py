@@ -102,6 +102,59 @@ def cosine_pairs(
     )
 
 
+def cosine_pairs_blocked(
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 4,
+) -> DataFrame:
+    """Exact all-pairs cosine ≥ threshold via broadcast block matmul.
+
+    The full (normalized) matrix is broadcast to executors; each partition
+    multiplies its block against it with one BLAS call and emits only
+    surviving pairs — identical output to :func:`cosine_pairs`, ~2 orders of
+    magnitude faster than per-row HOF folds. Broadcast holds to ~10⁷ vectors
+    (64-dim float64 ≈ 5 GB); beyond that, shard the right side and union, or
+    use LSH candidates + this as the verifier per shard.
+    """
+    import numpy as np
+    import pandas as pd
+
+    rows = corpus.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    normed = mat / np.where(norms == 0, 1.0, norms)
+    spark = corpus.sparkSession
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(normed)
+
+    def mapper(batches):
+        all_ids, all_mat = b_ids.value, b_mat.value
+        for pdf in batches:
+            q_ids = pdf["qid"].to_numpy(dtype=np.int64)
+            q = np.array(pdf["qvec"].tolist(), dtype=np.float64)
+            qn = np.linalg.norm(q, axis=1, keepdims=True)
+            q = q / np.where(qn == 0, 1.0, qn)
+            sims = np.round(q @ all_mat.T, scale)
+            keep_i, keep_j = np.nonzero(
+                (sims >= threshold) & (q_ids[:, None] < all_ids[None, :])
+            )
+            yield pd.DataFrame(
+                {
+                    "id_a": q_ids[keep_i],
+                    "id_b": all_ids[keep_j],
+                    "sim": sims[keep_i, keep_j],
+                }
+            )
+
+    prepped = corpus.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).cast("array<double>").alias("qvec")
+    )
+    return prepped.mapInPandas(mapper, "id_a bigint, id_b bigint, sim double")
+
+
 def _hyperplane(dim: int, plane: int, seed: int = 42) -> list[float]:
     """Deterministic pseudo-random unit-free hyperplane (pure function of
     (plane, dim, seed) — same on every executor, no RNG state)."""

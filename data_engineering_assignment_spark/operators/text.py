@@ -93,11 +93,14 @@ def rolling_hash(text: Column | str) -> Column:
     JVM-side fold; values stay < 2^35 so ANSI arithmetic never overflows.
     """
     c = F.col(text) if isinstance(text, str) else text
+    # fold over split-to-chars: one pass per document. (A sequence(1, len) +
+    # substring(c, i, 1) formulation is quadratic — each substring re-seeks
+    # from the string start.) ascii('') = 0, so the empty-text edge matches
+    # the oracle's empty-range fold (hash 0).
     return F.aggregate(
-        F.sequence(F.lit(1), F.length(c)),
+        F.split(c, ""),
         F.lit(0).cast("long"),
-        lambda acc, i: (acc * ROLLING_BASE + F.ascii(F.substring(c, i, F.lit(1))))
-        % ROLLING_MOD,
+        lambda acc, ch: (acc * ROLLING_BASE + F.ascii(ch)) % ROLLING_MOD,
     )
 
 

@@ -22,6 +22,22 @@ def _win_start_epoch(win: Column) -> Column:
     return F.unix_timestamp(win.getField("start")).alias("win_start")
 
 
+_UNIT_SECONDS = {
+    "second": 1, "seconds": 1,
+    "minute": 60, "minutes": 60,
+    "hour": 3600, "hours": 3600,
+    "day": 86400, "days": 86400,
+}
+
+
+def _interval_seconds(interval: str) -> int:
+    """'30 minutes' / '1 hour' → seconds (same grammar F.window accepts)."""
+    parts = interval.strip().split()
+    if len(parts) != 2 or parts[1].lower() not in _UNIT_SECONDS:
+        raise ValueError(f"unsupported interval: {interval!r}")
+    return int(parts[0]) * _UNIT_SECONDS[parts[1].lower()]
+
+
 def tumbling_agg(
     events: DataFrame,
     duration: str = "10 minutes",
@@ -74,9 +90,7 @@ def sessionize(
     """
     from pyspark.sql import Window as W
 
-    gap_secs = {"30 minutes": 1800, "10 minutes": 600, "5 minutes": 300}.get(gap)
-    if gap_secs is None:
-        raise ValueError(f"unsupported gap: {gap}")
+    gap_secs = _interval_seconds(gap)
     w = W.partitionBy(user_col).orderBy(ts_col)
     ts_sec = F.unix_timestamp(F.col(ts_col))
     marked = events.withColumn(

@@ -114,10 +114,10 @@ WHERE ROUND(list_sum(list_transform(range(1, 65), i -> a.e[i] * b.e[i]))
     "(verification path; LSH bucketing is the candidate generator at scale).",
 )
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.similarity import cosine_pairs
+    from ..operators.similarity import cosine_pairs_blocked
 
     emb = load(spark, sf_dir, "embeddings")
-    return cosine_pairs(emb, threshold=0.4)
+    return cosine_pairs_blocked(emb, threshold=0.4)
 
 
 _LABEL_CENTROID_ORACLE = """

@@ -77,3 +77,19 @@ def test_cosine_pairs_threshold(spark):
     out = {(r["id_a"], r["id_b"]): r["sim"] for r in cosine_pairs(df, 0.9).collect()}
     assert set(out) == {(1, 2)}
     assert out[(1, 2)] > 0.99
+
+
+def test_cosine_pairs_blocked_matches_hof(spark):
+    import random
+
+    from data_engineering_assignment_spark.operators.similarity import (
+        cosine_pairs,
+        cosine_pairs_blocked,
+    )
+
+    rng = random.Random(5)
+    vecs = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(120)]
+    df = spark.createDataFrame(vecs, "vec_id bigint, embedding array<double>")
+    hof = {(r["id_a"], r["id_b"]): r["sim"] for r in cosine_pairs(df, 0.3).collect()}
+    blk = {(r["id_a"], r["id_b"]): r["sim"] for r in cosine_pairs_blocked(df, 0.3).collect()}
+    assert hof == blk and len(blk) > 0
