@@ -152,7 +152,94 @@ def cosine_pairs_blocked(
     prepped = corpus.select(
         F.col(id_col).alias("qid"), F.col(vec_col).cast("array<double>").alias("qvec")
     )
-    return prepped.mapInPandas(mapper, "id_a bigint, id_b bigint, sim double")
+    # a single parquet file would otherwise serialize the whole matmul into
+    # one task; block size ~1000 query rows balances task overhead (Python
+    # worker spin-up, broadcast fetch) against parallelism
+    n_part = max(1, min(spark.sparkContext.defaultParallelism, len(ids) // 1000))
+    return prepped.repartition(n_part).mapInPandas(
+        mapper, "id_a bigint, id_b bigint, sim double"
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 4,
+) -> DataFrame:
+    """IVF-style approximate top-k: corpus vectors are partitioned into
+    inverted lists by nearest centroid; each query scores only its ``n_probe``
+    nearest lists.
+
+    Centroids are a deterministic sample of the corpus (the ``n_centroids``
+    rows with smallest ``xxhash64(id)`` — uniform and seedless-reproducible),
+    broadcast to executors; assignment is one numpy pass per partition. The
+    candidate join is an equi-join on cell id — the same linear-scale shape
+    as LSH bucketing, but with data-adaptive cells (better recall on
+    clustered corpora). Recall is tuned by ``n_probe``/``n_centroids``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    cent_rows = (
+        corpus.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        .limit(n_centroids)
+        .collect()
+    )
+    cents = np.array([r[1] for r in cent_rows], dtype=np.float64)
+    cn = np.linalg.norm(cents, axis=1, keepdims=True)
+    b_cents = spark.sparkContext.broadcast(cents / np.where(cn == 0, 1.0, cn))
+
+    def assign(n_cells: int):
+        def mapper(batches):
+            cmat = b_cents.value
+
+            def cells_of(block: np.ndarray) -> np.ndarray:
+                bn = np.linalg.norm(block, axis=1, keepdims=True)
+                sims = (block / np.where(bn == 0, 1.0, bn)) @ cmat.T
+                # top n_cells centroid indices per row, best first
+                return np.argsort(-sims, axis=1)[:, :n_cells]
+
+            for pdf in batches:
+                block = np.array(pdf["vec"].tolist(), dtype=np.float64)
+                cells = cells_of(block)
+                out = pdf.loc[pdf.index.repeat(n_cells)].reset_index(drop=True)
+                out["cell"] = cells.reshape(-1)
+                yield out
+
+        return mapper
+
+    c_prep = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vec")
+    )
+    q_prep = queries.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vec")
+    )
+    schema = "id bigint, vec array<double>, cell int"
+    assigned = c_prep.mapInPandas(assign(1), schema).select(
+        F.col("id").alias("neighbor_id"), F.col("vec").alias("c_vec"), "cell"
+    )
+    probed = q_prep.mapInPandas(assign(n_probe), schema).select(
+        F.col("id").alias("query_id"), F.col("vec").alias("q_vec"), "cell"
+    )
+    scored = assigned.join(F.broadcast(probed), on="cell").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    sim = F.round(cosine(F.col("q_vec"), F.col("c_vec")), scale)
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("sim", sim)
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "sim", "rnk")
+    )
 
 
 def _hyperplane(dim: int, plane: int, seed: int = 42) -> list[float]:

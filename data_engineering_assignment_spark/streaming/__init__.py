@@ -96,6 +96,53 @@ def session_window_agg(
     )
 
 
+def stateful_user_totals(
+    stream: DataFrame,
+    user_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: running
+    per-user event count and value sum maintained across micro-batches.
+
+    The reference has no stateful streaming; this is the north-star "custom
+    stateful operator" shape — state is one (count, total) pair per user key,
+    updated with a numpy sum per batch, emitted in update mode. State size is
+    O(users), independent of stream length.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user", LongType()),
+            StructField("n_events", LongType()),
+            StructField("total_value", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("total", DoubleType())]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf[value_col].sum())
+        state.update((n, total))
+        yield pd.DataFrame({"user": [key[0]], "n_events": [n], "total_value": [total]})
+
+    return stream.groupBy(user_col).applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def run_available_now(
     df: DataFrame, output_mode: str = "complete", query_name: str | None = None
 ) -> DataFrame:

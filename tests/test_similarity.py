@@ -93,3 +93,38 @@ def test_cosine_pairs_blocked_matches_hof(spark):
     hof = {(r["id_a"], r["id_b"]): r["sim"] for r in cosine_pairs(df, 0.3).collect()}
     blk = {(r["id_a"], r["id_b"]): r["sim"] for r in cosine_pairs_blocked(df, 0.3).collect()}
     assert hof == blk and len(blk) > 0
+
+
+def test_ivf_topk_recall_vs_exact(spark):
+    import math
+    import random
+
+    from data_engineering_assignment_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+    )
+    from pyspark.sql import functions as F
+
+    rng = random.Random(13)
+
+    def unit(dim=16):
+        v = [rng.gauss(0, 1) for _ in range(dim)]
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    df = spark.createDataFrame(
+        [(i, unit()) for i in range(200)], "vec_id bigint, embedding array<double>"
+    )
+    queries = df.filter(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["neighbor_id"]) for r in cosine_topk(df, queries, k=3).collect()
+    }
+    approx_rows = ivf_topk(df, queries, k=3, n_centroids=8, n_probe=4).collect()
+    approx = {(r["query_id"], r["neighbor_id"]) for r in approx_rows}
+    # probing half the cells on random data should recover most true neighbors
+    assert len(exact & approx) / len(exact) >= 0.5
+    # ranks are 1..k per query with no duplicate neighbors
+    per_q = {}
+    for r in approx_rows:
+        per_q.setdefault(r["query_id"], []).append(r["rnk"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())

@@ -63,3 +63,33 @@ def test_streaming_sessionize(spark, events_path):
     rows = sorted((r["user"], r["n_events"]) for r in out.collect())
     # user 1: one session (0,4,11); user 2: sessions (12) and (55)
     assert rows == [(1, 3), (2, 1), (2, 1)]
+
+
+def test_stateful_user_totals_across_batches(spark, events_path):
+    """applyInPandasWithState accumulates across micro-batches; final state
+    matches a batch groupBy."""
+    # maxFilesPerTrigger=1 forces multiple micro-batches over the 2 files
+    src = (
+        spark.readStream.schema(spark.read.parquet(events_path).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_path)
+    )
+    out = st.run_available_now(st.stateful_user_totals(src), output_mode="update")
+    # update mode emits one row per user per batch that touched it — the LAST
+    # emission per user carries the final running totals
+    from pyspark.sql import functions as F
+
+    final = {
+        r["user"]: (r["n_events"], r["total_value"])
+        for r in out.groupBy("user")
+        .agg(F.max("n_events").alias("n_events"), F.max("total_value").alias("total_value"))
+        .collect()
+    }
+    batch = {
+        r["user_id"]: (r["n"], r["v"])
+        for r in spark.read.parquet(events_path)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+        .collect()
+    }
+    assert final == batch
