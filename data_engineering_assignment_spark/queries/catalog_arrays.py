@@ -91,6 +91,20 @@ def cosine_topk_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucketed_topk(emb, queries, dim=64, k=5, planes=4)
 
 
+@register(
+    "cosine_topk_ivf",
+    oracle=None,  # approximate — recall-tested vs exact in tests/test_similarity.py
+    doc="Additive similarity search, IVF variant: sampled-centroid inverted "
+    "lists, n_probe cells per query, candidate join + window top-k.",
+)
+def cosine_topk_ivf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivf_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=4)
+
+
 _NEAR_DUP_ORACLE = """
 WITH v AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
