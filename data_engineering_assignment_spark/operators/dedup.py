@@ -54,16 +54,29 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """All-pairs n-gram Jaccard similarity ≥ threshold.
 
     Exact but quadratic in shingle-collision counts — use minhash_lsh_candidates
     at scale and this as the verifier on candidate pairs.
+
+    ``max_df`` drops shingles occurring in more than that many documents
+    (boilerplate headers, common phrases) BEFORE the self-join — the
+    document-frequency cap that keeps the join's per-key fan-out bounded at
+    corpus scale. Jaccard is then computed over the kept-shingle universe
+    (both intersection and sizes), so it stays a proper similarity.
     Output: (doc_a, doc_b, inter, jaccard), doc_a < doc_b.
     """
     sh = (
         df.select(F.col(id_col).alias("doc"), F.explode(word_shingles(text_col, n)).alias("shingle"))
     )
+    if max_df is not None:
+        doc_freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+        sh = (
+            sh.join(F.broadcast(doc_freq.filter(F.col("_df") <= max_df)), "shingle")
+            .drop("_df")
+        )
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -1,0 +1,98 @@
+"""Property-based tests (hypothesis): engine operators vs local Python models
+on randomized inputs. Few examples per property — each example is a Spark
+job — but each example covers a whole randomized input set."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from data_engineering_assignment_spark.operators.text import (
+    ROLLING_BASE,
+    ROLLING_MOD,
+    rolling_hash,
+)
+from data_engineering_assignment_spark.operators.topk import top_k_by_freq
+from data_engineering_assignment_spark.pipelines import football as fb
+from data_engineering_assignment_spark.schemas import FOOTBALL_EVENT_SCHEMA
+
+SETTINGS = dict(max_examples=8, deadline=None)
+
+ascii_text = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=60
+)
+
+
+@settings(**SETTINGS)
+@given(st.lists(ascii_text, min_size=1, max_size=8))
+def test_rolling_hash_matches_python_model(spark, texts):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i int, text string")
+    got = {r["i"]: r["h"] for r in df.select("i", rolling_hash("text").alias("h")).collect()}
+    for i, t in enumerate(texts):
+        h = 0
+        for ch in t:
+            h = (h * ROLLING_BASE + ord(ch)) % ROLLING_MOD
+        assert got[i] == h
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["g1", "g2"]), st.sampled_from(list("abcde"))),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_topk_matches_counter(spark, pairs):
+    df = spark.createDataFrame(pairs, "grp string, item string")
+    out = top_k_by_freq(df, ["grp"], "item", k=3).collect()
+    for grp in {g for g, _ in pairs}:
+        counts = Counter(i for g, i in pairs if g == grp)
+        got = sorted(
+            ((r["item"], r["n"]) for r in out if r["grp"] == grp),
+            key=lambda x: (-x[1], x[0]),
+        )
+        # engine tie-break is (count desc, item asc); Counter.most_common is
+        # insertion-ordered on ties — compare the multiset of counts and that
+        # every reported item's count is exact
+        want_counts = sorted(counts.values(), reverse=True)[: len(got)]
+        assert [n for _, n in got] == want_counts
+        assert all(counts[i] == n for i, n in got)
+
+
+match_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 5),   # home team id
+        st.integers(0, 5),   # away team id
+        st.integers(0, 3),   # home goals
+        st.integers(0, 3),   # away goals
+    ).filter(lambda m: m[0] != m[1]),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(**SETTINGS)
+@given(match_strategy)
+def test_league_invariants_on_random_seasons(spark, matches):
+    rows = []
+    for mid, (h, a, hg, ag) in enumerate(matches):
+        home, away = f"T{h}", f"T{a}"
+        # goals come from the CONCEDING keeper's save attempt (Basic-2 rule)
+        for _ in range(hg):
+            rows.append(("L", "s", mid, 0, home, away, "Save attempt", None,
+                         away, None, "1H", 1.0, ["Goal"], None, None))
+        for _ in range(ag):
+            rows.append(("L", "s", mid, 0, home, away, "Save attempt", None,
+                         home, None, "1H", 1.0, ["Goal"], None, None))
+        rows.append(("L", "s", mid, 0, home, away, "Pass", None, home, None,
+                     "1H", 1.0, [], None, None))
+    events = spark.createDataFrame(rows, FOOTBALL_EVENT_SCHEMA)
+    table = fb.season_table(fb.match_results(events)).collect()
+    assert sum(r["games"] for r in table) == 2 * len(matches)
+    assert sum(r["goalsScored"] for r in table) == sum(r["goalsConceded"] for r in table)
+    for r in table:
+        assert r["wins"] + r["draws"] + r["losses"] == r["games"]
+        assert r["points"] == 3 * r["wins"] + r["draws"]
