@@ -482,6 +482,73 @@ def metrics_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res
 
 
+@register(
+    "distinct_users_per_type",
+    oracle="""
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS n_users,
+       COUNT(*) AS n_events
+FROM events GROUP BY event_type
+""",
+    doc="Distinct aggregation (expand+two-phase plan): per-type exact user counts.",
+)
+def distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "value_quantiles_by_type",
+    oracle="""
+SELECT event_type,
+       quantile_cont(value::DOUBLE, 0.25) AS q25,
+       quantile_cont(value::DOUBLE, 0.50) AS q50,
+       quantile_cont(value::DOUBLE, 0.75) AS q75,
+       quantile_cont(value::DOUBLE, 0.95) AS q95
+FROM events GROUP BY event_type
+""",
+    doc="Exact interpolated quantiles per group (F.percentile — Spark and "
+    "DuckDB share the continuous-quantile definition bit-for-bit on doubles).",
+)
+def value_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    qs = F.percentile("value", F.array(*[F.lit(p) for p in (0.25, 0.5, 0.75, 0.95)]))
+    return (
+        ev.groupBy("event_type")
+        .agg(qs.alias("_q"))
+        .select(
+            "event_type",
+            F.element_at("_q", 1).alias("q25"),
+            F.element_at("_q", 2).alias("q50"),
+            F.element_at("_q", 3).alias("q75"),
+            F.element_at("_q", 4).alias("q95"),
+        )
+    )
+
+
+@register(
+    "supplier_stats_salted",
+    oracle="""
+SELECT l_suppkey, COUNT(*) AS n_items, MAX(l_extendedprice) AS max_price
+FROM lineitem GROUP BY l_suppkey
+""",
+    doc="Skew-safe two-phase (salted) aggregation — must hash-match the plain "
+    "single-phase oracle exactly (operators/skew.two_phase_agg).",
+)
+def supplier_stats_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import two_phase_agg
+
+    li = load(spark, sf_dir, "lineitem")
+    return two_phase_agg(
+        li,
+        ["l_suppkey"],
+        [("l_suppkey", "count", "n_items"), ("l_extendedprice", "max", "max_price")],
+    )
+
+
 _DOC_PATH_ORACLE = """
 SELECT doc_id,
        'data/' || lang || '/' || source || '/' || CAST(doc_id AS VARCHAR) || '.txt' AS path,

@@ -161,6 +161,33 @@ def doc_simhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash64(load(spark, sf_dir, "documents"))
 
 
+@register(
+    "doc_normalized_fingerprint",
+    oracle="""
+SELECT doc_id,
+       md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                               ' +', ' ', 'g'))) AS norm_hash,
+       length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                  ' +', ' ', 'g'))) AS n_chars_norm
+FROM documents
+""",
+    doc="North-star text normalization: lowercase, strip punctuation, collapse "
+    "whitespace, fingerprint — the canonical pre-dedup cleanup, all JVM-side.",
+)
+def doc_normalized_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), " +", " "
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(norm.cast("binary")).alias("norm_hash"),
+        F.length(norm).cast("long").alias("n_chars_norm"),
+    )
+
+
 _REGEX_TOKENS_ORACLE = r"""
 WITH t AS (
   SELECT doc_id,
