@@ -177,6 +177,72 @@ def minhash_lsh_candidates(
     )
 
 
+def keep_best(
+    df: DataFrame, cluster_col, order_cols: list, keep_cols: list[str] | None = None
+) -> DataFrame:
+    """Survivor selection: one row per duplicate cluster under a total order
+    (e.g. longest text, then smallest id). Window row_number == 1."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(cluster_col).orderBy(*order_cols)
+    out = df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    return out.select(*keep_cols) if keep_cols else out.drop("_rn")
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 10,
+) -> DataFrame:
+    """Connected components over candidate-pair edges → (node, cluster) with
+    cluster = min node id of the component.
+
+    Iterative min-label propagation (the GraphX/GraphFrames CC algorithm on
+    plain DataFrames): each round every node takes the minimum label in its
+    neighborhood; converges in O(diameter) rounds — near-dup clusters are
+    tiny, so 2-3 rounds in practice. Each round is one shuffle join; lineage
+    is truncated with localCheckpoint so plans stay bounded.
+    """
+    sym = pairs.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+    edges = sym.distinct().localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neigh_min = (
+            edges.join(labels.withColumnRenamed("node", "dst"), on="dst")
+            .groupBy("src")
+            .agg(F.min("label").alias("neigh_label"))
+            .withColumnRenamed("src", "node")
+        )
+        new_labels = (
+            labels.join(neigh_min, on="node", how="left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("neigh_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("cluster"))
+
+
 def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash of the token stream (JVM-side bit accumulation).
 

@@ -483,6 +483,42 @@ def metrics_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "customers_with_open_orders",
+    oracle="""
+SELECT c.c_custkey, c.c_acctbal
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+""",
+    doc="Left-semi join (engine completeness beyond the reference's join set): "
+    "customers having at least one open order.",
+)
+def customers_with_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_acctbal"
+    )
+
+
+@register(
+    "customers_without_orders",
+    oracle="""
+SELECT c.c_custkey, c.c_nationkey
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+    doc="Left-anti join: customers that never ordered.",
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_nationkey"
+    )
+
+
+@register(
     "distinct_users_per_type",
     oracle="""
 SELECT event_type,

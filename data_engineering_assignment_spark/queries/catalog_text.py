@@ -144,6 +144,44 @@ def dedup_ngram_jaccard_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_survivors",
+    oracle="""
+SELECT doc_id, lang, n_chars FROM (
+  SELECT d.doc_id, d.lang, d.n_chars,
+         ROW_NUMBER() OVER (PARTITION BY md5(d.text)
+                            ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn
+  FROM documents d
+) WHERE rn = 1
+""",
+    doc="North-star survivor selection: one doc per exact-dup cluster under a "
+    "total (quality, id) order — operators/dedup.keep_best.",
+)
+def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import keep_best
+
+    docs = load(spark, sf_dir, "documents")
+    return keep_best(
+        docs.withColumn("_cluster", F.md5(F.col("text").cast("binary"))),
+        "_cluster",
+        [F.desc("n_chars"), F.asc("doc_id")],
+        keep_cols=["doc_id", "lang", "n_chars"],
+    )
+
+
+@register(
+    "dedup_clusters_lsh",
+    oracle=None,  # iterative label propagation — correctness via unit tests
+    doc="North-star dedup clustering: connected components (min-label "
+    "propagation) over MinHash-LSH candidate pairs.",
+)
+def dedup_clusters_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import dedup_clusters
+
+    pairs = minhash_lsh_candidates(load(spark, sf_dir, "documents"))
+    return dedup_clusters(pairs)
+
+
+@register(
     "dedup_minhash_lsh",
     oracle=None,  # probabilistic bucketing — validated by unit tests vs exact jaccard
     doc="North-star near-dedup, scale path: MinHash signatures banded into LSH buckets; candidate pairs via bucket equi-join.",

@@ -76,3 +76,31 @@ def test_simhash_locality(spark):
     ham_far = _hamming(fps[1], fps[4])
     assert ham_near < ham_far
     assert ham_near <= 8
+
+
+def test_keep_best_survivor(spark):
+    from pyspark.sql import functions as F
+
+    from data_engineering_assignment_spark.operators.dedup import keep_best
+
+    df = spark.createDataFrame(
+        [(1, "g1", 10), (2, "g1", 30), (3, "g1", 30), (4, "g2", 5)],
+        "id bigint, grp string, score bigint",
+    )
+    out = keep_best(df, "grp", [F.desc("score"), F.asc("id")], keep_cols=["id", "grp"])
+    got = sorted((r["grp"], r["id"]) for r in out.collect())
+    assert got == [("g1", 2), ("g2", 4)]  # score tie broken by smaller id
+
+
+def test_dedup_clusters_connected_components(spark):
+    from data_engineering_assignment_spark.operators.dedup import dedup_clusters
+
+    # components: {1,2,3,4} (chain), {7,8}, {9,10,11} (star)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (7, 8), (10, 9), (10, 11)],
+        "doc_a bigint, doc_b bigint",
+    )
+    out = {r["node"]: r["cluster"] for r in dedup_clusters(pairs).collect()}
+    assert {out[n] for n in (1, 2, 3, 4)} == {1}
+    assert {out[n] for n in (7, 8)} == {7}
+    assert {out[n] for n in (9, 10, 11)} == {9}
