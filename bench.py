@@ -43,6 +43,14 @@ HEADLINE = [
     "doc_regex_tokens",
     "doc_rolling_hash",
     "embedding_near_dup",
+    "orders_rollup",
+    "distinct_users_per_type",
+    "value_quantiles_by_type",
+    "supplier_stats_salted",
+    "doc_normalized_fingerprint",
+    "dedup_survivors",
+    "customers_with_open_orders",
+    "customers_without_orders",
 ]
 
 

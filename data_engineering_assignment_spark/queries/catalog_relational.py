@@ -483,6 +483,25 @@ def metrics_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "orders_rollup",
+    oracle=f"""
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_orders,
+       {o_dsum('o_totalprice', 'total')}
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+""",
+    doc="Hierarchical ROLLUP aggregation (engine completeness beyond the "
+    "reference): per-(status, priority), per-status, and grand-total rows.",
+)
+def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "total")
+    )
+
+
+@register(
     "customers_with_open_orders",
     oracle="""
 SELECT c.c_custkey, c.c_acctbal

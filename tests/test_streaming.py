@@ -93,3 +93,35 @@ def test_stateful_user_totals_across_batches(spark, events_path):
         .collect()
     }
     assert final == batch
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Append-mode windowed aggregation must exclude events arriving after
+    the watermark has passed their window."""
+    from datetime import datetime
+
+    schema = "user_id bigint, ts timestamp, event_type string, value double"
+    d = str(tmp_path / "late")
+    batch1 = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 0, 1), "a", 1.0),
+         (1, datetime(2024, 1, 1, 1, 0), "a", 2.0)],  # advances watermark past 00:xx
+        schema,
+    )
+    batch1.write.parquet(d)
+    src = (
+        spark.readStream.schema(batch1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    # a late event for the long-closed 00:00 window, arriving in a later file
+    late = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 0, 2), "a", 100.0)], schema
+    )
+    late.write.mode("append").parquet(d)
+    agg = st.tumbling_counts(src, "10 minutes", watermark="5 minutes")
+    out = st.run_available_now(agg, output_mode="append")
+    rows = {r["win_start"]: r["total_value"] for r in out.collect()}
+    win0 = int(datetime(2024, 1, 1, 0, 0, tzinfo=__import__("datetime").timezone.utc).timestamp())
+    # the 00:00 window closed when the watermark advanced; the late 100.0 is
+    # dropped, leaving only the on-time 1.0 — and never double-counted
+    assert rows.get(win0) == 1.0
