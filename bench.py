@@ -66,9 +66,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     catalog = load_catalog()
 
-    # JVM/codegen warm-up on the smallest SF so per-query numbers reflect the
-    # plan, not first-job setup cost.
+    # Warm-up on the smallest SF so per-query numbers reflect the plan, not
+    # first-job setup cost: one JVM/codegen query + one Python-worker query
+    # (pandas UDF pool spin-up is ~5s and would otherwise be billed to the
+    # first mapInPandas query).
     run_query(catalog["pricing_summary"].build(spark, "/root/testdata/sf0.001"))
+    run_query(catalog["embedding_near_dup"].build(spark, "/root/testdata/sf0.001"))
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -54,3 +54,19 @@ def test_minhash_single_shuffle_signature(spark, sf_dir):
 
     sigs = minhash_signatures(load(spark, sf_dir, "documents"))
     assert plans.count_shuffles(sigs) <= 2  # partial+final agg exchange(s)
+
+
+def test_partitioned_sink_prunes_partitions(spark, sf_dir, tmp_path):
+    """write_parquet(partition_by=...) output must support partition pruning:
+    a filter on the partition column shows up as PartitionFilters, not a
+    data-file filter."""
+    from data_engineering_assignment_spark import sources
+    from data_engineering_assignment_spark.tables import load
+
+    out = str(tmp_path / "events_by_type")
+    ev = load(spark, sf_dir, "events")
+    sources.write_parquet(ev, out, partition_by=["event_type"])
+    back = spark.read.parquet(out).filter("event_type = 'purchase'")
+    plan = plans.formatted_plan(back)
+    assert "PartitionFilters" in plan and "event_type" in plan.split("PartitionFilters")[1].split("\n")[0]
+    assert back.count() > 0
