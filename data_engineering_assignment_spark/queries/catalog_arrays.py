@@ -92,6 +92,42 @@ def cosine_topk_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "image_color_analytics",
+    oracle=None,  # binary color decode is UDF-only; pipeline is golden-tested
+    doc="Advanced-3 surface (Assignment-python.py:705-841) on deterministic "
+    "synthetic images: binary BGRA -> per-pixel colors (Arrow-batched UDF) -> "
+    "distributed top-colors/red-count/ratio analytics.",
+)
+def image_color_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Builds a deterministic image per document (pixels derived from the
+    text's md5 bytes, alpha from doc_id) and runs the color pipeline —
+    exercises the whole binary/UDF path under the driver's row/schema check.
+    """
+    from ..functions.colors import pixel_colors_udf
+    from ..pipelines.images import with_color_stats
+
+    docs = load(spark, sf_dir, "documents")
+    # 8 BGRA pixels per doc from two md5 digests (32 bytes) — deterministic,
+    # with naturally varying alpha bytes so some pixels count as transparent
+    imgs = docs.select(
+        F.col("doc_id"),
+        F.col("lang").alias("group"),
+        F.concat(F.unhex(F.md5(F.col("text").cast("binary"))),
+                 F.unhex(F.md5(F.concat(F.col("text"), F.lit("x")).cast("binary"))))
+        .alias("data"),
+    ).withColumn("hexcode", F.col("doc_id").cast("string")).withColumn(
+        "annotation", F.concat(F.lit("doc-"), F.col("doc_id").cast("string"))
+    )
+    with_colors = imgs.withColumn("colors", pixel_colors_udf("data"))
+    stats = with_color_stats(with_colors)
+    return stats.groupBy("group").agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.sum("nonTransparentCount").alias("colored_pixels"),
+        F.round(F.avg("colorRatio"), 4).alias("avg_color_ratio"),
+    )
+
+
+@register(
     "cosine_topk_ivf",
     oracle=None,  # approximate — recall-tested vs exact in tests/test_similarity.py
     doc="Additive similarity search, IVF variant: sampled-centroid inverted "

@@ -125,3 +125,31 @@ def test_watermark_drops_late_events(spark, tmp_path):
     # the 00:00 window closed when the watermark advanced; the late 100.0 is
     # dropped, leaving only the on-time 1.0 — and never double-counted
     assert rows.get(win0) == 1.0
+
+
+def test_streaming_sliding_matches_batch(spark, events_path):
+    from data_engineering_assignment_spark.operators.windows import sliding_agg
+    from data_engineering_assignment_spark.operators.aggregates import dsum
+    from pyspark.sql import functions as F
+
+    stream = st.read_parquet_stream(spark, events_path)
+    win = F.window(F.col("ts"), "10 minutes", "5 minutes")
+    streaming = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(win.alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "total_value"))
+        .select(
+            F.unix_timestamp(F.col("w").getField("start")).alias("win_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+    got = sorted(
+        (r["win_start"], r["n_events"], r["total_value"])
+        for r in st.run_available_now(streaming).collect()
+    )
+    want = sorted(
+        (r["win_start"], r["n_events"], r["total_value"])
+        for r in sliding_agg(spark.read.parquet(events_path), "10 minutes", "5 minutes").collect()
+    )
+    assert got == want
