@@ -86,6 +86,44 @@ def events_sliding_10m_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sliding_agg(ev, "10 minutes", "5 minutes")
 
 
+_MULTI_ROLLUP_ORACLE = f"""
+SELECT (epoch_ms(date_trunc('hour', ts)) // 1000)::BIGINT AS hour_bucket,
+       (epoch_ms(date_trunc('day', ts)) // 1000)::BIGINT AS day_bucket,
+       COUNT(*) AS n_events,
+       {o_dsum('value', 'total_value')}
+FROM events
+GROUP BY GROUPING SETS (
+  ((epoch_ms(date_trunc('hour', ts)) // 1000)::BIGINT),
+  ((epoch_ms(date_trunc('day', ts)) // 1000)::BIGINT)
+)
+"""
+
+
+@register(
+    "events_multi_rollup",
+    oracle=_MULTI_ROLLUP_ORACLE,
+    doc="Hypertable-style continuous-aggregate rollup: hourly AND daily "
+    "buckets in one pass via GROUPING SETS (one expand+aggregate, not two "
+    "scans) — spark.sql string API surface.",
+)
+def events_multi_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("events_v")
+    return spark.sql(
+        """
+        SELECT unix_timestamp(date_trunc('HOUR', ts)) AS hour_bucket,
+               unix_timestamp(date_trunc('DAY', ts)) AS day_bucket,
+               COUNT(*) AS n_events,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(27,6))), 2) AS DOUBLE) AS total_value
+        FROM events_v
+        GROUP BY GROUPING SETS (
+          (unix_timestamp(date_trunc('HOUR', ts))),
+          (unix_timestamp(date_trunc('DAY', ts)))
+        )
+        """
+    )
+
+
 _SESSION_ORACLE = """
 WITH seq AS (
   SELECT user_id,

@@ -57,6 +57,53 @@ def order_ship_lag_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ASOF_ORACLE = """
+WITH p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+)
+SELECT p.event_id AS purchase_id,
+       c.value AS last_click_value,
+       (epoch_ms(c.ts) // 1000)::BIGINT AS last_click_epoch
+FROM p ASOF LEFT JOIN c
+  ON p.user_id = c.user_id AND c.ts < p.ts
+"""
+
+
+@register(
+    "purchase_asof_last_click",
+    oracle=_ASOF_ORACLE,
+    doc="As-of join (custom operator — Spark has no native asof plan): each "
+    "purchase gets the most recent PRIOR click of the same user, via the "
+    "union + running-last window composition; oracle is DuckDB's native "
+    "ASOF JOIN.",
+)
+def purchase_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("value").alias("last_click_value"),
+        F.unix_timestamp("ts").alias("last_click_epoch"),
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        by="user_id",
+        left_ts="ts",
+        right_ts="click_ts",
+        value_cols=["last_click_value", "last_click_epoch"],
+        strict=True,
+    )
+    return joined.select("purchase_id", "last_click_value", "last_click_epoch")
+
+
 _ATTRIBUTION_ORACLE = """
 WITH p AS (
   SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
