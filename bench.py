@@ -51,6 +51,10 @@ HEADLINE = [
     "dedup_survivors",
     "customers_with_open_orders",
     "customers_without_orders",
+    "purchase_asof_last_click",
+    "events_multi_rollup",
+    "user_rolling_stats",
+    "image_color_analytics",
 ]
 
 

@@ -86,6 +86,41 @@ def events_sliding_10m_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sliding_agg(ev, "10 minutes", "5 minutes")
 
 
+_ROLLING_ORACLE = """
+SELECT event_id,
+       user_id,
+       LAG(value) OVER w AS prev_value,
+       ROUND(CAST(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                  AS DECIMAL(27,8)), 4)::DOUBLE AS rolling_avg3
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+@register(
+    "user_rolling_stats",
+    oracle=_ROLLING_ORACLE,
+    doc="Analytic frame aggregates (beyond the reference's frame-less "
+    "windows): per-user lag and 3-row rolling average with an explicit "
+    "ROWS BETWEEN frame.",
+)
+def user_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.aggregates import dround
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = w.rowsBetween(-2, Window.currentRow)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.lag("value").over(w).alias("prev_value"),
+        dround(F.avg("value").over(frame), 4).alias("rolling_avg3"),
+    )
+
+
 _MULTI_ROLLUP_ORACLE = f"""
 SELECT (epoch_ms(date_trunc('hour', ts)) // 1000)::BIGINT AS hour_bucket,
        (epoch_ms(date_trunc('day', ts)) // 1000)::BIGINT AS day_bucket,
