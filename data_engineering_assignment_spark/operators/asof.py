@@ -49,11 +49,13 @@ def asof_join(
             r_tagged = r_tagged.withColumn(c, F.lit(None).cast(left_dtypes[c]))
     unioned = l_tagged.unionByName(r_tagged.select(*l_tagged.columns))
     # strict: left rows sort BEFORE right rows at equal _t, so a simultaneous
-    # right row is not yet visible; non-strict: right rows sort first
+    # right row is not yet visible; non-strict: right rows sort first.
+    # value_cols as trailing sort keys make the winner among exactly-equal
+    # right timestamps deterministic across partitionings (last = max values).
     side_order = F.asc("_side") if not strict else F.desc("_side")
     w = (
         Window.partitionBy(by)
-        .orderBy(F.asc("_t"), side_order)
+        .orderBy(F.asc("_t"), side_order, *[F.asc(c) for c in value_cols])
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     carried = unioned.select(

@@ -86,6 +86,29 @@ def events_sliding_10m_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sliding_agg(ev, "10 minutes", "5 minutes")
 
 
+@register(
+    "event_props_json",
+    oracle="""
+SELECT event_type,
+       COUNT(json_extract(props, '$.k')) AS n_with_k,
+       SUM(json_extract(props, '$.k')::BIGINT)::BIGINT AS k_sum,
+       MAX(json_extract(props, '$.k')::BIGINT)::BIGINT AS k_max
+FROM events GROUP BY event_type
+""",
+    doc="JSON-function surface (engine completeness — the reference only "
+    "infers JSON at scan): get_json_object path extraction + typed aggregation "
+    "over a JSON string column.",
+)
+def event_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(k).alias("n_with_k"),
+        F.sum(k).alias("k_sum"),
+        F.max(k).alias("k_max"),
+    )
+
+
 _ROLLING_ORACLE = """
 SELECT event_id,
        user_id,

@@ -44,3 +44,36 @@ def test_asof_preserves_left_rows(spark):
     out = asof_join(left, right, "k", "t", "rt", ["v"]).collect()
     assert len(out) == 4
     assert set(r["tag"] for r in out) == {"a", "b", "c", "d"}
+
+
+def test_asof_matches_pandas_merge_asof(spark):
+    """Randomized check against pandas' reference implementation."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(17)
+    left_rows = [
+        (rng.randint(1, 3), float(rng.randint(0, 100)), i) for i in range(60)
+    ]
+    right_rows = [
+        (rng.randint(1, 3), float(rng.randint(0, 100)), float(i)) for i in range(40)
+    ]
+    left = spark.createDataFrame(left_rows, "k bigint, t double, lid bigint")
+    right = spark.createDataFrame(right_rows, "k bigint, rt double, v double")
+    got = {
+        r["lid"]: r["v"]
+        for r in asof_join(left, right, "k", "t", "rt", ["v"], strict=False).collect()
+    }
+    lp = pd.DataFrame(left_rows, columns=["k", "t", "lid"]).sort_values("t", kind="stable")
+    rp = (
+        pd.DataFrame(right_rows, columns=["k", "rt", "v"])
+        .sort_values(["rt", "v"], kind="stable")
+        # pandas merge_asof takes the LAST of equal-time rows, as does the
+        # running-last window; make ties deterministic the same way
+    )
+    merged = pd.merge_asof(
+        lp, rp, left_on="t", right_on="rt", by="k", allow_exact_matches=True
+    )
+    want = {int(r.lid): (None if pd.isna(r.v) else float(r.v)) for r in merged.itertuples()}
+    assert got == want
