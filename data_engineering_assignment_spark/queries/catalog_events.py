@@ -87,6 +87,26 @@ def events_sliding_10m_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "approx_distinct_users_rollup",
+    oracle=None,  # sketch estimates are approximate; bounded-error unit test
+    doc="Scale path for COUNT(DISTINCT): per-day HLL sketches "
+    "(hll_sketch_agg) merged with hll_union_agg to a global estimate — "
+    "mergeable sketches are the 100 TB rollup pattern (datasketches HLL).",
+)
+def approx_distinct_users_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("DAY", "ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.approx_count_distinct("user_id").alias("daily_users_est"),
+    )
+    return daily.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("daily_users_est").alias("daily_est_sum"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("total_users_est"),
+    )
+
+
+@register(
     "event_props_json",
     oracle="""
 SELECT event_type,

@@ -87,3 +87,14 @@ def test_rolling_hash_matches_python(spark):
         h = (h * ROLLING_BASE + ord(ch)) % ROLLING_MOD
     df = spark.createDataFrame([(s,)], "text string")
     assert df.select(rolling_hash("text").alias("h")).collect()[0]["h"] == h
+
+
+def test_hll_rollup_bounded_error(spark, sf_dir):
+    """The merged-sketch estimate must be within 5% of the exact distinct
+    count (HLL standard error at default lgK is ~1.6%)."""
+    from data_engineering_assignment_spark.queries import load_catalog
+    from data_engineering_assignment_spark.tables import load
+
+    est = load_catalog()["approx_distinct_users_rollup"].build(spark, sf_dir).collect()[0]
+    exact = load(spark, sf_dir, "events").select("user_id").distinct().count()
+    assert abs(est["total_users_est"] - exact) / exact < 0.05
