@@ -55,6 +55,8 @@ HEADLINE = [
     "events_multi_rollup",
     "user_rolling_stats",
     "image_color_analytics",
+    "event_props_json",
+    "approx_distinct_users_rollup",
 ]
 
 
