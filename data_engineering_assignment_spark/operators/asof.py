@@ -2,8 +2,10 @@
 has no native physical plan for.
 
 Composed from built-ins with ONE shuffle and no range join: tag both sides,
-union by (key, time), and carry the right side's latest values forward with
-a running `last(..., ignorenulls=True)` window. Cost is a single
+union by (key, time), and carry the right side's latest ROW forward with a
+running `last(struct(values), ignorenulls=True)` window — the struct keeps
+all value columns from the single matched row (NULLs included), exactly
+DuckDB ASOF JOIN semantics. Cost is a single
 sort-within-partition of |left|+|right| rows keyed by the join key — linear
 at any scale, no per-row lookups, no broadcast requirement. (The
 pandas-on-Spark `merge_asof` does a similar union-sort under the hood; this
@@ -58,16 +60,18 @@ def asof_join(
         .orderBy(F.asc("_t"), side_order, *[F.asc(c) for c in value_cols])
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    # Carry the whole matched right ROW as one struct (null only for left
+    # rows), not each value column independently: per-column
+    # last(..., ignorenulls) would skip a NULL in one column and take it from
+    # an older right row, mixing columns across rows — DuckDB ASOF JOIN
+    # returns the matched row's values including its NULLs.
+    right_row = F.when(
+        F.col("_side") == 0, F.struct(*[F.col(c) for c in value_cols])
+    )
     carried = unioned.select(
-        "*",
-        *[
-            F.last(F.when(F.col("_side") == 0, F.col(c)), ignorenulls=True)
-            .over(w)
-            .alias(f"_asof_{c}")
-            for c in value_cols
-        ],
+        "*", F.last(right_row, ignorenulls=True).over(w).alias("_asof_row")
     )
     out = carried.filter(F.col("_side") == 1)
     for c in value_cols:
-        out = out.drop(c).withColumnRenamed(f"_asof_{c}", c)
-    return out.drop("_t", "_side")
+        out = out.drop(c).withColumn(c, F.col("_asof_row").getField(c))
+    return out.drop("_t", "_side", "_asof_row")

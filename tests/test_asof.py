@@ -46,6 +46,27 @@ def test_asof_preserves_left_rows(spark):
     assert set(r["tag"] for r in out) == {"a", "b", "c", "d"}
 
 
+def test_asof_null_value_comes_from_matched_row(spark):
+    """A NULL in one value column of the matched right row must be returned
+    as NULL — not back-filled from an older right row (DuckDB ASOF JOIN
+    returns the matched row's values, NULLs included)."""
+    left = spark.createDataFrame(
+        [(1, 30.0, "x"), (1, 12.0, "y")], "k bigint, t double, tag string"
+    )
+    right = spark.createDataFrame(
+        [(1, 5.0, 100.0, "old"), (1, 20.0, None, "new")],
+        "k bigint, rt double, v double, src string",
+    )
+    out = {
+        r["tag"]: (r["v"], r["src"])
+        for r in asof_join(left, right, "k", "t", "rt", ["v", "src"]).collect()
+    }
+    # t=30 matches rt=20 whose v is NULL: both columns from that one row.
+    assert out["x"] == (None, "new")
+    # t=12 matches rt=5: the non-null older row, untouched.
+    assert out["y"] == (100.0, "old")
+
+
 def test_asof_matches_pandas_merge_asof(spark):
     """Randomized check against pandas' reference implementation."""
     import random
