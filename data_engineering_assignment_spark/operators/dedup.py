@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .aggregates import dround
 from .text import tokens
 
 
@@ -92,7 +93,9 @@ def ngram_jaccard_pairs(
         .join(sb, "doc_b")
         .withColumn(
             "jaccard",
-            F.round(
+            # dround: integer-quotient ratios hit exact .xxxx5 midpoints
+            # (e.g. 1/32) where plain rounding diverges between engines
+            dround(
                 F.col("inter").cast("double")
                 / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
                 4,

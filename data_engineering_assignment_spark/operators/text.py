@@ -30,10 +30,15 @@ def token_count(text: Column | str) -> Column:
 
 
 def stopword_ratio(text: Column | str) -> Column:
-    """Fraction of tokens that are stopwords (language-ID signal)."""
+    """Fraction of tokens that are stopwords (language-ID signal).
+
+    dround, not plain F.round: these ratios feed oracle-gated queries, and
+    integer quotients land on exact .xxxx5 midpoints where Spark's
+    round-exact-binary diverges from DuckDB's multiply-then-round.
+    """
     toks = tokens(text)
     stops = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("double")
-    return F.round(stops / F.size(toks).cast("double"), 4)
+    return dround(stops / F.size(toks).cast("double"), 4)
 
 
 def avg_token_length(text: Column | str) -> Column:
@@ -41,7 +46,7 @@ def avg_token_length(text: Column | str) -> Column:
     total = F.aggregate(
         F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda acc, x: acc + x
     )
-    return F.round(total.cast("double") / F.size(toks).cast("double"), 4)
+    return dround(total.cast("double") / F.size(toks).cast("double"), 4)
 
 
 def quality_score(text: Column | str) -> Column:

@@ -9,20 +9,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.aggregates import dround, o_davg, o_dround
 from ..operators.similarity import cosine_topk, lsh_bucketed_topk, sq_norm
 from ..tables import load
 from . import register
 
-_EMB_STATS_ORACLE = """
+_EMB_STATS_ORACLE = f"""
 SELECT vec_id,
        label,
        len(embedding)::BIGINT AS n_dims,
        len(list_filter(embedding, x -> x > 0))::BIGINT AS n_pos,
-       ROUND(CAST(len(list_filter(embedding, x -> x > 0)) AS DOUBLE)
-             / CAST(len(embedding) AS DOUBLE), 4) AS pos_ratio,
+       {o_dround('CAST(len(list_filter(embedding, x -> x > 0)) AS DOUBLE)'
+                 ' / CAST(len(embedding) AS DOUBLE)', 4)} AS pos_ratio,
        CASE WHEN len(list_filter(embedding, x -> abs(x) > 0.3)) > 0
             THEN 1 ELSE 0 END::BIGINT AS has_extreme,
-       ROUND(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6)
+       {o_dround('list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))', 6)}
          AS sq_norm
 FROM embeddings
 """
@@ -42,9 +43,9 @@ def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.size(e).cast("long").alias("n_dims"),
         n_pos.alias("n_pos"),
-        F.round(n_pos.cast("double") / F.size(e).cast("double"), 4).alias("pos_ratio"),
+        dround(n_pos.cast("double") / F.size(e).cast("double"), 4).alias("pos_ratio"),
         F.exists(e, lambda x: F.abs(x) > 0.3).cast("long").alias("has_extreme"),
-        F.round(sq_norm(e), 6).alias("sq_norm"),
+        dround(sq_norm(e), 6).alias("sq_norm"),
     )
 
 
@@ -170,9 +171,10 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_pairs_blocked(emb, threshold=0.4)
 
 
-_LABEL_CENTROID_ORACLE = """
+_LABEL_CENTROID_ORACLE = f"""
 WITH per_dim AS (
-  SELECT label, i.i AS dim, ROUND(AVG(CAST(embedding[i.i] AS DOUBLE)), 6) AS mean_val
+  SELECT label, i.i AS dim,
+         {o_davg('CAST(embedding[i.i] AS DOUBLE)', 'mean_val', 6)}
   FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i
   GROUP BY label, i.i
 )
@@ -190,11 +192,16 @@ GROUP BY label
     doc="Additive: per-label centroid via posexplode + per-dimension avg (vector aggregate decomposed to relational ops).",
 )
 def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.aggregates import davg
+
     emb = load(spark, sf_dir, "embeddings")
+    # davg (decimal-sum detour), not F.avg: double accumulation order depends
+    # on partitioning, so plain avg can flip the 6th decimal between the
+    # rehearsal session and the driver's untuned one.
     per_dim = (
         emb.select("label", F.posexplode("embedding").alias("pos", "val"))
         .groupBy("label", (F.col("pos") + 1).alias("dim"))
-        .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("mean_val"))
+        .agg(davg(F.col("val").cast("double"), "mean_val", 6))
     )
     return per_dim.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_dims"),

@@ -18,9 +18,11 @@ from ..operators.aggregates import (
     cond_sum,
     davg,
     dratio,
+    dround,
     dsum,
     o_davg,
     o_dratio,
+    o_dround,
     o_dsum,
 )
 from ..tables import load
@@ -275,12 +277,17 @@ def league_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_RETURN_RATIO_ORACLE = """
+_RETURN_PCT = o_dround(
+    "(CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS DOUBLE)"
+    " / CAST(COUNT(*) AS DOUBLE)) * 100.0",
+    2,
+)
+
+_RETURN_RATIO_ORACLE = f"""
 SELECT l_suppkey,
        SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT AS returned_items,
        COUNT(*) AS total_items,
-       ROUND((CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS DOUBLE)
-              / CAST(COUNT(*) AS DOUBLE)) * 100.0, 2) AS return_pct
+       {_RETURN_PCT} AS return_pct
 FROM lineitem
 GROUP BY l_suppkey
 """
@@ -300,7 +307,9 @@ def supplier_return_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("returned_items", F.col("returned_items").cast("long"))
         .withColumn(
             "return_pct",
-            F.round(
+            # dround: integer-count quotients × 100 hit exact .xx5 midpoints
+            # where plain F.round diverges from DuckDB (CLAUDE.md invariant)
+            dround(
                 F.col("returned_items").cast("double")
                 / F.col("total_items").cast("double")
                 * 100.0,

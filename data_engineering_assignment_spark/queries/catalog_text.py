@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.aggregates import davg, o_davg
+from ..operators.aggregates import davg, o_davg, o_dround
 from ..operators.dedup import (
     exact_dedup,
     minhash_lsh_candidates,
@@ -27,10 +27,10 @@ WITH t AS (
   SELECT doc_id, lang, n_chars,
          len(toks)::BIGINT AS token_count,
          len(list_distinct(toks))::BIGINT AS uniq_tokens,
-         ROUND(CAST(len(list_filter(toks, x -> x IN {_STOP_SQL})) AS DOUBLE)
-               / CAST(len(toks) AS DOUBLE), 4) AS stop_ratio,
-         ROUND(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
-               / CAST(len(toks) AS DOUBLE), 4) AS avg_token_len
+         {o_dround(f'CAST(len(list_filter(toks, x -> x IN {_STOP_SQL})) AS DOUBLE)'
+                   ' / CAST(len(toks) AS DOUBLE)', 4)} AS stop_ratio,
+         {o_dround('CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)'
+                   ' / CAST(len(toks) AS DOUBLE)', 4)} AS avg_token_len
   FROM t
 )
 SELECT doc_id, lang, n_chars, token_count, uniq_tokens, stop_ratio, avg_token_len,
@@ -60,8 +60,8 @@ WITH t AS (
 ), s AS (
   SELECT lang, source, n_chars,
          ROUND(CAST(LEAST(1.0, CAST(len(toks) AS DOUBLE) / 100.0)
-                    * LEAST(1.0, ROUND(CAST(len(list_filter(toks, x -> x IN {_STOP_SQL})) AS DOUBLE)
-                                       / CAST(len(toks) AS DOUBLE), 4) * 10.0) AS DECIMAL(27,8)), 4)::DOUBLE AS quality
+                    * LEAST(1.0, {o_dround(f'CAST(len(list_filter(toks, x -> x IN {_STOP_SQL})) AS DOUBLE)'
+                                           ' / CAST(len(toks) AS DOUBLE)', 4)} * 10.0) AS DECIMAL(27,8)), 4)::DOUBLE AS quality
   FROM t
 )
 SELECT lang, source,
@@ -105,7 +105,13 @@ def dedup_exact_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(load(spark, sf_dir, "documents"))
 
 
-_NGRAM_JACCARD_ORACLE = """
+JACC = o_dround(
+    "CAST(i.inter AS DOUBLE)"
+    " / CAST(sa.n_shingles + sb.n_shingles - i.inter AS DOUBLE)",
+    4,
+)
+
+_NGRAM_JACCARD_ORACLE = f"""
 WITH toks AS (
   SELECT doc_id,
          unnest(string_split(text, ' ')) AS tok,
@@ -124,13 +130,11 @@ WITH toks AS (
   GROUP BY a.doc, b.doc
 )
 SELECT i.doc_a, i.doc_b, i.inter,
-       ROUND(CAST(i.inter AS DOUBLE)
-             / CAST(sa.n_shingles + sb.n_shingles - i.inter AS DOUBLE), 4) AS jaccard
+       {JACC} AS jaccard
 FROM inter i
 JOIN sizes sa ON sa.doc = i.doc_a
 JOIN sizes sb ON sb.doc = i.doc_b
-WHERE ROUND(CAST(i.inter AS DOUBLE)
-            / CAST(sa.n_shingles + sb.n_shingles - i.inter AS DOUBLE), 4) >= 0.005
+WHERE {JACC} >= 0.005
 """
 
 
