@@ -102,6 +102,99 @@ def cosine_pairs(
     )
 
 
+def cosine_pairs_grouped(
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 4,
+    n_blocks: int = 16,
+) -> DataFrame:
+    """Exact all-pairs cosine ≥ threshold, fully distributed (no driver
+    collect, no corpus broadcast) — identical output to :func:`cosine_pairs`.
+
+    2-D block decomposition: vectors are hash-assigned to ``n_blocks``
+    blocks; each row is replicated to every unordered block pair its block
+    participates in (narrow explode, ``n_blocks`` copies), grouped by block
+    pair (ONE shuffle), and each group does one numpy matmul of its two
+    blocks, emitting only surviving pairs.
+
+    Scale: shuffle volume is ``n_blocks × |corpus|`` rows and per-task memory
+    is two blocks (``2·N/n_blocks`` vectors), so ``n_blocks ≈ √(N·dim·8 /
+    task_mem)`` keeps tasks bounded at any corpus size. The compute is
+    inherently quadratic (it is exact all-pairs): at real corpus scale,
+    generate candidates with MinHash/LSH bucketing first and verify only
+    candidate pairs — this operator is the dense verifier/oracle path.
+    """
+    import numpy as np
+    import pandas as pd
+
+    prepped = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("blk"),
+    )
+    # every unordered block pair (min(blk,j), max(blk,j)) this row's block is in
+    pair_structs = F.array(
+        *[
+            F.struct(
+                F.least(F.col("blk"), F.lit(j)).alias("pa"),
+                F.greatest(F.col("blk"), F.lit(j)).alias("pb"),
+            )
+            for j in range(n_blocks)
+        ]
+    )
+    exploded = prepped.select(
+        "id", "v", "blk", F.explode(pair_structs).alias("p")
+    ).select("id", "v", "blk", F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb"))
+
+    def _empty() -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "id_a": np.array([], dtype=np.int64),
+                "id_b": np.array([], dtype=np.int64),
+                "sim": np.array([], dtype=np.float64),
+            }
+        )
+
+    def compute(key, pdf):
+        ka, kb = key
+
+        def mat(sub):
+            ids = sub["id"].to_numpy(dtype=np.int64)
+            m = np.stack(sub["v"].to_numpy()).astype(np.float64)
+            n = np.linalg.norm(m, axis=1, keepdims=True)
+            return ids, m / np.where(n == 0, 1.0, n)
+
+        if ka == kb:
+            ids_a, a = mat(pdf)
+            ids_b, b = ids_a, a
+        else:
+            in_a = pdf["blk"] == ka
+            if not in_a.any() or in_a.all():  # one side empty → no cross pairs
+                return _empty()
+            ids_a, a = mat(pdf[in_a])
+            ids_b, b = mat(pdf[~in_a])
+        sims = np.round(a @ b.T, scale)
+        mask = sims >= threshold
+        if ka == kb:
+            mask &= ids_a[:, None] < ids_b[None, :]
+        i, j = np.nonzero(mask)
+        if not len(i):
+            return _empty()
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(ids_a[i], ids_b[j]),
+                "id_b": np.maximum(ids_a[i], ids_b[j]),
+                "sim": sims[i, j],
+            }
+        )
+
+    return exploded.groupBy("pa", "pb").applyInPandas(
+        compute, "id_a bigint, id_b bigint, sim double"
+    )
+
+
 def cosine_pairs_blocked(
     corpus: DataFrame,
     threshold: float,
@@ -109,14 +202,12 @@ def cosine_pairs_blocked(
     vec_col: str = "embedding",
     scale: int = 4,
 ) -> DataFrame:
-    """Exact all-pairs cosine ≥ threshold via broadcast block matmul.
-
-    The full (normalized) matrix is broadcast to executors; each partition
-    multiplies its block against it with one BLAS call and emits only
-    surviving pairs — identical output to :func:`cosine_pairs`, ~2 orders of
-    magnitude faster than per-row HOF folds. Broadcast holds to ~10⁷ vectors
-    (64-dim float64 ≈ 5 GB); beyond that, shard the right side and union, or
-    use LSH candidates + this as the verifier per shard.
+    """Small-N utility: exact all-pairs cosine via DRIVER-side collect +
+    broadcast matmul. NOT a scale path — the whole corpus is pulled to the
+    driver, so this caps out around 10⁷ vectors and should never back a
+    catalog query; use :func:`cosine_pairs_grouped` (distributed, same
+    output) instead. Kept for notebook-style exploration of small corpora
+    where the one-round-trip latency beats a shuffle.
     """
     import numpy as np
     import pandas as pd

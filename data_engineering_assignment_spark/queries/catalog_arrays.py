@@ -162,13 +162,14 @@ WHERE ROUND(list_sum(list_transform(range(1, 65), i -> a.e[i] * b.e[i]))
     "embedding_near_dup",
     oracle=_NEAR_DUP_ORACLE,
     doc="North-star embedding-cosine near-dup: exact all-pairs cosine >= 0.4 "
-    "(verification path; LSH bucketing is the candidate generator at scale).",
+    "via distributed 2-D block matmul (no driver collect, no corpus "
+    "broadcast; LSH bucketing is the candidate generator at scale).",
 )
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.similarity import cosine_pairs_blocked
+    from ..operators.similarity import cosine_pairs_grouped
 
     emb = load(spark, sf_dir, "embeddings")
-    return cosine_pairs_blocked(emb, threshold=0.4)
+    return cosine_pairs_grouped(emb, threshold=0.4)
 
 
 _LABEL_CENTROID_ORACLE = f"""

@@ -56,6 +56,17 @@ def test_minhash_single_shuffle_signature(spark, sf_dir):
     assert plans.count_shuffles(sigs) <= 2  # partial+final agg exchange(s)
 
 
+def test_embedding_near_dup_is_fully_distributed(spark, sf_dir):
+    """The near-dup catalog path must not pull the corpus to the driver:
+    no Collect in the plan, no broadcast of the corpus (nested-loop join),
+    and the block matmul runs as a grouped pandas stage."""
+    df = build(spark, sf_dir, "embedding_near_dup")
+    plan = plans.simple_plan(df)
+    assert "Collect" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "FlatMapGroupsInPandas" in plan
+
+
 def test_partitioned_sink_prunes_partitions(spark, sf_dir, tmp_path):
     """write_parquet(partition_by=...) output must support partition pruning:
     a filter on the partition column shows up as PartitionFilters, not a

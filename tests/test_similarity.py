@@ -95,6 +95,26 @@ def test_cosine_pairs_blocked_matches_hof(spark):
     assert hof == blk and len(blk) > 0
 
 
+def test_cosine_pairs_grouped_matches_hof(spark):
+    import random
+
+    from data_engineering_assignment_spark.operators.similarity import (
+        cosine_pairs,
+        cosine_pairs_grouped,
+    )
+
+    rng = random.Random(5)
+    vecs = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(120)]
+    df = spark.createDataFrame(vecs, "vec_id bigint, embedding array<double>")
+    hof = {(r["id_a"], r["id_b"]): r["sim"] for r in cosine_pairs(df, 0.3).collect()}
+    for n_blocks in (1, 4, 16):  # incl. blocks larger than the corpus/row count
+        grp = {
+            (r["id_a"], r["id_b"]): r["sim"]
+            for r in cosine_pairs_grouped(df, 0.3, n_blocks=n_blocks).collect()
+        }
+        assert grp == hof and len(grp) > 0
+
+
 def test_ivf_topk_recall_vs_exact(spark):
     import math
     import random
