@@ -46,6 +46,37 @@ def _canon_value(v):
     return (type(v).__name__, v)
 
 
+def _vals_within_tol(a, b, rel: float = 1e-9, abs_: float = 1e-12) -> bool:
+    """True when two canonical values are equal or are floats within
+    tolerance (recursing into canonical list values)."""
+    if a == b:
+        return True
+    if (
+        isinstance(a, tuple)
+        and isinstance(b, tuple)
+        and len(a) == 2
+        and len(b) == 2
+        and a[0] == "f"
+        and b[0] == "f"
+    ):
+        return math.isclose(a[1], b[1], rel_tol=rel, abs_tol=abs_)
+    if (
+        isinstance(a, tuple)
+        and isinstance(b, tuple)
+        and a[:1] == ("l",)
+        and b[:1] == ("l",)
+        and len(a[1]) == len(b[1])
+    ):
+        return all(_vals_within_tol(x, y, rel, abs_) for x, y in zip(a[1], b[1]))
+    return False
+
+
+def _rows_within_tol(a: tuple, b: tuple) -> bool:
+    return len(a) == len(b) and all(
+        _vals_within_tol(x, y) for x, y in zip(a, b)
+    )
+
+
 def _canon_frame(df: pd.DataFrame) -> list[tuple]:
     df = df.reindex(sorted(df.columns), axis=1)
     rows = [tuple(_canon_value(v) for v in row) for row in df.itertuples(index=False)]
@@ -72,6 +103,19 @@ def compare_frames(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame)
     ]
     if not mismatches:
         return CompareResult(name, True)
+    if all(_rows_within_tol(a, b) for _, a, b in mismatches):
+        return CompareResult(
+            name,
+            True,
+            f"{len(mismatches)}/{len(s_rows)} rows differ only in floats "
+            "within tolerance",
+            warnings=[
+                f"{len(mismatches)} rows have float-only differences within "
+                "rel 1e-9 — the driver hashes EXACT values, so its gate may "
+                "still fail; route the column through the decimal detour "
+                "(operators/aggregates.dround) for bit-exact results"
+            ],
+        )
     i, a, b = mismatches[0]
     return CompareResult(
         name,

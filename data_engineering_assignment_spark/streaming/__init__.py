@@ -26,16 +26,61 @@ from ..operators.aggregates import dsum
 from ..session import tune
 
 
+def _nanos_timestamp_cols(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS). With
+    ``spark.sql.legacy.parquet.nanosAsLong`` pinned (session.RUNTIME_CONF,
+    required for the driver's events table) Spark surfaces these as plain
+    ``bigint`` nanoseconds — silently, with no conversion. Detected from one
+    footer read so the stream reader can restore real timestamps."""
+    import glob
+    import os
+
+    try:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        if os.path.isdir(path):
+            files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+            if not files:
+                return []
+            target = files[0]
+        else:
+            target = path
+        schema = pq.read_schema(target)
+        return [
+            f.name
+            for f in schema
+            if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+        ]
+    except Exception:
+        return []  # best-effort: unknown layout streams through unchanged
+
+
 def read_parquet_stream(
     spark: SparkSession, path: str, schema=None
 ) -> DataFrame:
     """File-source stream over a parquet directory. File streams require an
     explicit schema; by default it is taken from the existing files (one
-    driver-side footer read, no data scan)."""
+    driver-side footer read, no data scan).
+
+    TIMESTAMP(NANOS) columns (e.g. the driver's ``events.ts``) are converted
+    nanos→micros after the stream scan, mirroring ``tables.load`` — without
+    this they arrive as raw ``bigint`` and watermark/window calls fail or
+    silently mis-window. An explicit ``schema`` disables the conversion (the
+    caller owns the types then)."""
     tune(spark)
+    explicit = schema is not None
     if schema is None:
         schema = spark.read.parquet(path).schema
-    return spark.readStream.schema(schema).parquet(path)
+    stream = spark.readStream.schema(schema).parquet(path)
+    if not explicit:
+        for c in _nanos_timestamp_cols(path):
+            if dict(stream.dtypes).get(c) == "bigint":
+                # integer division, exactly tables.load / DuckDB truncation
+                stream = stream.withColumn(
+                    c, F.timestamp_micros(F.expr(f"`{c}` div 1000"))
+                )
+    return stream
 
 
 def tumbling_counts(

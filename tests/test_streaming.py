@@ -114,10 +114,20 @@ def test_watermark_drops_late_events(spark, tmp_path):
         .parquet(d)
     )
     # a late event for the long-closed 00:00 window, arriving in a later file
+    import glob
+    import os
+    import time
+
+    before = set(glob.glob(os.path.join(d, "*.parquet")))
     late = spark.createDataFrame(
         [(1, datetime(2024, 1, 1, 0, 2), "a", 100.0)], schema
     )
     late.write.mode("append").parquet(d)
+    # FileStreamSource orders micro-batches by mtime; force the late file
+    # strictly after batch1 so the test can't flake on mtime ties
+    future = time.time() + 60
+    for f in set(glob.glob(os.path.join(d, "*.parquet"))) - before:
+        os.utime(f, (future, future))
     agg = st.tumbling_counts(src, "10 minutes", watermark="5 minutes")
     out = st.run_available_now(agg, output_mode="append")
     rows = {r["win_start"]: r["total_value"] for r in out.collect()}
@@ -125,6 +135,36 @@ def test_watermark_drops_late_events(spark, tmp_path):
     # the 00:00 window closed when the watermark advanced; the late 100.0 is
     # dropped, leaving only the on-time 1.0 — and never double-counted
     assert rows.get(win0) == 1.0
+
+
+def test_read_parquet_stream_converts_nanos_ts(spark, sf_dir, tmp_path):
+    """The driver's events.parquet is TIMESTAMP(NANOS); with nanosAsLong
+    pinned, a naive readStream would surface ts as bigint and watermarks
+    would mis-window. read_parquet_stream must restore real timestamps,
+    agreeing exactly with tables.load's nanos→micros truncation."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from data_engineering_assignment_spark.tables import load
+
+    d = tmp_path / "events_nanos"
+    d.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", d / "part-0.parquet")
+    stream = st.read_parquet_stream(spark, str(d))
+    assert stream.isStreaming
+    assert dict(stream.dtypes)["ts"] == "timestamp"
+    got = st.run_available_now(
+        stream.agg(
+            F.min("ts").alias("lo"), F.max("ts").alias("hi"), F.count("*").alias("n")
+        )
+    ).collect()[0]
+    want = (
+        load(spark, sf_dir, "events")
+        .agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"), F.count("*").alias("n"))
+        .collect()[0]
+    )
+    assert (got["lo"], got["hi"], got["n"]) == (want["lo"], want["hi"], want["n"])
 
 
 def test_streaming_sliding_matches_batch(spark, events_path):
