@@ -52,6 +52,54 @@ def decode_rawm(content: bytes) -> tuple[np.ndarray, dict]:
     return frames.reshape(n, h, w, c), {"width": w, "height": h, "channels": c, "n_frames": n}
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_JPEG_MAGIC = b"\xff\xd8\xff"
+
+
+def _pil_image_module():
+    """Optional-dependency hook: PIL is not in this container, but the decode
+    path must exist (reference decodes real OpenMoji PNGs via Spark's image
+    source, Assignment-python.py:710). Returns PIL.Image or None."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+
+        return Image
+    except ImportError:
+        return None
+
+
+def decode_image_pil(content: bytes) -> tuple[np.ndarray, dict]:
+    """Decode a real PNG/JPEG via PIL into the same (frames, meta) shape as
+    ``decode_rawm``: one frame of uint8 BGRA — byte order matching Spark's
+    ``image`` source (CV BGR(A)), so the color analytics in
+    ``functions/colors.py`` apply unchanged (reference parity with
+    Assignment-python.py:654-661's image.data handling)."""
+    Image = _pil_image_module()
+    if Image is None:
+        raise NotImplementedError(
+            "PNG/JPEG decode needs PIL (pillow) on the executors; this "
+            "container does not ship it. The RAWM test container exercises "
+            "the identical Spark-side path."
+        )
+    import io
+
+    rgba = np.asarray(Image.open(io.BytesIO(content)).convert("RGBA"))
+    bgra = rgba[:, :, [2, 1, 0, 3]]  # RGBA → BGRA, Spark image-source order
+    h, w, c = bgra.shape
+    frames = np.ascontiguousarray(bgra).reshape(1, h, w, c)
+    return frames, {"width": w, "height": h, "channels": c, "n_frames": 1}
+
+
+def decode_any(content: bytes) -> tuple[np.ndarray, dict]:
+    """Magic-byte dispatch: RAWM container natively, PNG/JPEG via the guarded
+    PIL hook. Other formats raise ``NotImplementedError``."""
+    if content[:4] == b"RAWM":
+        return decode_rawm(content)
+    if content[: len(_PNG_MAGIC)] == _PNG_MAGIC or content[:3] == _JPEG_MAGIC:
+        return decode_image_pil(content)
+    return decode_rawm(content)  # raises the canonical NotImplementedError
+
+
 def decode_media(df: DataFrame, content_col: str = "content") -> DataFrame:
     """Decode + verify metadata for each media row (mapInPandas; bytes never
     leave the executor). Output adds ``decoded_ok`` and refreshed metadata."""
@@ -62,7 +110,7 @@ def decode_media(df: DataFrame, content_col: str = "content") -> DataFrame:
             meta = []
             for content in pdf[content_col]:
                 try:
-                    _, m = decode_rawm(bytes(content))
+                    _, m = decode_any(bytes(content))
                     meta.append((m["width"], m["height"], m["channels"], m["n_frames"], True))
                 except Exception:
                     meta.append((None, None, None, None, False))

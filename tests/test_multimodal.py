@@ -88,3 +88,70 @@ def test_binary_file_source_roundtrip(spark, tmp_path):
     assert len(rows) == 1
     decoded, meta = decode_rawm(bytes(rows[0]["content"]))
     assert meta["width"] == 3 and np.array_equal(decoded, f)
+
+
+def tiny_png(pixels: np.ndarray) -> bytes:
+    """Minimal in-test PNG encoder (RGBA, 8-bit, no filters) — lets the PIL
+    decode hook be exercised without shipping binary fixtures."""
+    import struct
+    import zlib
+
+    h, w, _ = pixels.shape
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0)  # 8-bit RGBA
+    raw = b"".join(b"\x00" + pixels[y].tobytes() for y in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _pil_available() -> bool:
+    from data_engineering_assignment_spark.functions.multimodal import (
+        _pil_image_module,
+    )
+
+    return _pil_image_module() is not None
+
+
+def test_png_without_pil_raises_clear_error():
+    from data_engineering_assignment_spark.functions.multimodal import decode_any
+
+    if _pil_available():
+        pytest.skip("PIL present — covered by test_png_decode_with_pil")
+    png = tiny_png(frames(1, 2, 2)[0])
+    with pytest.raises(NotImplementedError, match="PIL"):
+        decode_any(png)
+
+
+@pytest.mark.skipif(not _pil_available(), reason="PIL not installed in this container")
+def test_png_decode_with_pil():
+    """Real-codec hook: PNG bytes → one BGRA frame matching Spark's image
+    source byte order (reference decodes OpenMoji PNGs the same way)."""
+    from data_engineering_assignment_spark.functions.multimodal import decode_any
+
+    rgba = frames(1, 3, 2)[0]  # (h=3, w=2, 4) RGBA
+    decoded, meta = decode_any(tiny_png(rgba))
+    assert meta == {"width": 2, "height": 3, "channels": 4, "n_frames": 1}
+    assert np.array_equal(decoded[0], rgba[:, :, [2, 1, 0, 3]])
+
+
+def test_decode_media_png_graceful_without_pil(spark):
+    """decode_media must not explode on real PNGs when PIL is absent — the
+    row is flagged decoded_ok=False like any undecodable content."""
+    if _pil_available():
+        pytest.skip("PIL present — PNG would decode fine")
+    png = tiny_png(frames(1, 2, 2)[0])
+    df = media_df(spark, [("x.png", "image", 2, 2, 4, 1, bytearray(png))])
+    row = decode_media(df).collect()[0]
+    assert row["decoded_ok"] is False
