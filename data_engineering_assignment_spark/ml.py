@@ -88,13 +88,19 @@ def exact_accuracy(preds: DataFrame, label_col: str) -> float:
     return float(row["acc"])
 
 
+def cyclic_within(pred, label, modulus: int, tolerance: int = 1):
+    """P15/F14: boolean column — |pred−label| ≤ tol on the modular circle
+    (months: Δ of 11 is distance 1; :962-977). Pure column arithmetic,
+    shared by the ML evaluator and the oracle-gated catalog query."""
+    diff = F.abs(pred - label)
+    return (diff <= tolerance) | (diff >= modulus - tolerance)
+
+
 def cyclic_accuracy(
     preds: DataFrame, label_col: str, modulus: int, tolerance: int = 1
 ) -> float:
-    """M7: accuracy under cyclic label distance — |Δ| ≤ tol on the modular
-    circle (months: Δ of 11 is distance 1; :962-977)."""
-    diff = F.abs(F.col("prediction") - F.col(label_col))
-    ok = (diff <= tolerance) | (diff >= modulus - tolerance)
+    """M7: accuracy under cyclic label distance (:962-977)."""
+    ok = cyclic_within(F.col("prediction"), F.col(label_col), modulus, tolerance)
     row = preds.agg(F.avg(ok.cast("double")).alias("acc")).collect()[0]
     return float(row["acc"])
 

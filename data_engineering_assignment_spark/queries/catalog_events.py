@@ -136,6 +136,52 @@ def event_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CYCLIC_ORACLE = """
+WITH p AS (
+  SELECT event_type,
+         hour(ts)::BIGINT AS h,
+         (((hour(ts) + event_id % 5 - 2) % 24) + 24) % 24 AS pred
+  FROM events
+)
+SELECT event_type,
+       COUNT(*) AS n,
+       SUM(CASE WHEN pred = h THEN 1 ELSE 0 END)::BIGINT AS n_exact,
+       ROUND(CAST(SUM(CAST(CASE WHEN pred = h THEN 1 ELSE 0 END AS DECIMAL(27,6)))::DOUBLE
+                  / COUNT(*) AS DECIMAL(27,8)), 4)::DOUBLE AS exact_rate,
+       ROUND(CAST(SUM(CAST(CASE WHEN abs(pred - h) <= 1 OR abs(pred - h) >= 23
+                           THEN 1 ELSE 0 END AS DECIMAL(27,6)))::DOUBLE
+                  / COUNT(*) AS DECIMAL(27,8)), 4)::DOUBLE AS within1_rate
+FROM p
+GROUP BY event_type
+"""
+
+
+@register(
+    "cyclic_prediction_rates",
+    oracle=_CYCLIC_ORACLE,
+    doc="P15/F14 oracle gate (Assignment-python.py:962-977): the cyclic "
+    "label-distance evaluator as pure column arithmetic over a deterministic "
+    "mod-24 prediction (hour + event_id%5 - 2), exact and within-1-cyclic "
+    "match rates per event type. Shares ml.cyclic_within with the M7 "
+    "evaluator.",
+)
+def cyclic_prediction_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml import cyclic_within
+
+    ev = load(spark, sf_dir, "events")
+    h = F.hour("ts").cast("long")
+    pred = F.pmod(h + F.col("event_id") % 5 - 2, 24)
+    p = ev.select("event_type", h.alias("h"), pred.alias("pred"))
+    exact = (F.col("pred") == F.col("h")).cast("int")
+    within1 = cyclic_within(F.col("pred"), F.col("h"), 24, 1).cast("int")
+    return p.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(exact).alias("n_exact"),
+        davg(exact, "exact_rate", 4),
+        davg(within1, "within1_rate", 4),
+    )
+
+
 _ROLLING_ORACLE = """
 SELECT event_id,
        user_id,

@@ -36,3 +36,36 @@ def ml_peak_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("hour_cyclic", ["minute_of_day", "value"], "hour_of_day", 24),
     ]
     return classification_report(feats, runs, num_trees=10, seed=1)
+
+
+@register(
+    "ml_energy_report",
+    oracle=None,  # RF training is not SQL-expressible; floors in tests/test_energy.py
+    doc="The FULL Advanced-4 report (Assignment-python.py:1015-1035): all 8 "
+    "RF train/evaluate runs (month/hour/day-of-month/peak × feature sets) "
+    "positionally unioned into one (run, accuracy, within_one, correct_prob) "
+    "table, driven by an energy-shaped frame derived deterministically from "
+    "the events table (hour-encoding features, so the peak/hour runs are "
+    "learnable).",
+)
+def ml_energy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from ..pipelines.energy import run_all
+
+    ev = load(spark, sf_dir, "events")
+    # deterministic subsample bounds RF cost at higher SFs; the report's
+    # schema and run set are the surface under test, not model quality
+    ev = ev.filter(F.col("event_id") % 2 == 0)
+    angle = (F.hour("ts") - 6) * (math.pi / 12)
+    energy = ev.select(
+        F.unix_timestamp("ts").alias("time"),
+        (10.0 + 8.0 * F.sin(angle) + (F.col("event_id") % 7) * 0.01).alias("temperature"),
+        (50.0 + F.hour("ts")).cast("double").alias("humidity"),
+        (3.0 + (F.col("event_id") % 5) * 0.1).alias("wind_speed"),
+        (20.0 + F.col("user_id") % 11).cast("double").alias("power_tenants"),
+        (5.0 + F.col("event_id") % 3).cast("double").alias("power_maintenance"),
+        F.greatest(F.lit(0.0), 5.0 * F.sin(angle)).alias("power_solar_panels"),
+        (30.0 + F.col("value")).alias("electricity_price"),
+    )
+    return run_all(energy, num_trees=5, seed=1)

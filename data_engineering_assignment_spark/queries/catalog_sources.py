@@ -1,0 +1,66 @@
+"""Source-format queries gated by the DuckDB oracle — closes the S1 gap
+(CSV scan with explicit schema was pytest-only in round 1).
+
+The input is a COMMITTED pipe-delimited fixture (tests/fixtures/
+video_game_sales.csv, reference schema Assignment-python.py:38-51) so the
+Spark scan and the DuckDB ``read_csv`` read the identical bytes with the
+identical declared types — no write ordering between query and oracle runs.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.aggregates import cond_sum, dsum, o_dsum
+from ..pipelines.sales import read_sales_csv, sales_in_window
+from ..session import tune
+from . import register
+
+_CSV_PATH = str(
+    Path(__file__).resolve().parents[2] / "tests" / "fixtures" / "video_game_sales.csv"
+)
+
+_CSV_COLUMNS = (
+    "{'title':'VARCHAR','publisher':'VARCHAR','developer':'VARCHAR',"
+    "'release_date':'DATE','platform':'VARCHAR','total_sales':'DOUBLE',"
+    "'na_sales':'DOUBLE','japan_sales':'DOUBLE','pal_sales':'DOUBLE',"
+    "'other_sales':'DOUBLE','user_score':'DOUBLE','critic_score':'DOUBLE'}"
+)
+
+_CSV_ORACLE = f"""
+SELECT publisher,
+       year(release_date)::BIGINT AS year,
+       COUNT(*) AS n_titles,
+       SUM(CASE WHEN na_sales IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null_na,
+       {o_dsum('na_sales', 'na_total')},
+       {o_dsum('total_sales', 'global_total')}
+FROM read_csv('{_CSV_PATH}', delim='|', header=true,
+              dateformat='%d-%m-%Y', columns={_CSV_COLUMNS})
+WHERE year(release_date) BETWEEN 2006 AND 2015
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "csv_sales_publisher_year",
+    oracle=_CSV_ORACLE,
+    doc="S1 oracle gate (Assignment-python.py:38-52): pipe-delimited CSV scan "
+    "with explicit schema + dateFormat, year window filter, grouped decimal "
+    "sums and a null-count — Basic-1's operator set end-to-end vs DuckDB "
+    "read_csv over the same committed fixture.",
+)
+def csv_sales_publisher_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    windowed = sales_in_window(read_sales_csv(spark, _CSV_PATH))
+    return (
+        windowed.groupBy("publisher", F.col("year").cast("long").alias("year"))
+        .agg(
+            F.count(F.lit(1)).alias("n_titles"),
+            cond_sum(F.col("na_sales").isNull(), "n_null_na").cast("long").alias("n_null_na"),
+            dsum("na_sales", "na_total"),
+            dsum("total_sales", "global_total"),
+        )
+    )
