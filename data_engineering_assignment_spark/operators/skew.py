@@ -20,6 +20,22 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def scatter_salt(df: DataFrame, salt: int) -> Column:
+    """Salt expression that scatters even IDENTICAL duplicate rows.
+
+    A content-only hash (xxhash64 of all columns) sends literal duplicate
+    rows — the worst skew case — to one salt value, defeating the salting.
+    Mixing in ``monotonically_increasing_id`` gives every physical row its
+    own salt draw. The id is partitioning-dependent, but join/agg results are
+    salt-value-independent (the build side carries ALL salt values; algebraic
+    partials combine the same under any split), so this stays deterministic
+    where it matters.
+    """
+    return F.pmod(
+        F.xxhash64(F.monotonically_increasing_id(), *df.columns), F.lit(salt)
+    ).cast("int")
+
+
 def salted_join(
     probe: DataFrame,
     build: DataFrame,
@@ -29,15 +45,11 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join with the build side replicated ``salt`` ways.
 
-    ``probe`` (large, skewed) gets a uniform random-ish salt derived
-    deterministically from its row content hash; ``build`` (smaller) is
-    exploded once per salt value. Join key becomes (on, _salt); output drops
-    the salt. Deterministic: the salt is a hash of the probe row's key plus
-    a per-row monotonic id substitute (xxhash64 of all columns).
+    ``probe`` (large, skewed) gets a per-physical-row salt (content hash +
+    row id — see :func:`scatter_salt`); ``build`` (smaller) is exploded once
+    per salt value. Join key becomes (on, _salt); output drops the salt.
     """
-    probe_salted = probe.withColumn(
-        "_salt", F.pmod(F.xxhash64(*probe.columns), F.lit(salt)).cast("int")
-    )
+    probe_salted = probe.withColumn("_salt", scatter_salt(probe, salt))
     build_salted = build.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
     )
@@ -67,9 +79,7 @@ def two_phase_agg(
             phase1_exprs.append(getattr(F, fn)(col).alias(f"_p_{alias}"))
         else:
             raise ValueError(f"non-algebraic aggregate: {fn}")
-    salted = df.withColumn(
-        "_salt", F.pmod(F.xxhash64(*df.columns), F.lit(salt)).cast("int")
-    )
+    salted = df.withColumn("_salt", scatter_salt(df, salt))
     partial = salted.groupBy(*keys, "_salt").agg(*phase1_exprs)
     final_exprs = [
         combiners[fn](f"_p_{alias}").alias(alias) for _, fn, alias in aggs

@@ -60,7 +60,7 @@ def test_minhash_lsh_recall_of_high_jaccard_pairs(spark):
     }
     # identical docs must always collide in every band
     assert (1, 2) in cands
-    # near-dup (jaccard > 0.8) should collide in at least one of 8 bands
+    # near-dup (jaccard > 0.8) should collide in at least one of the 6 bands
     assert (1, 3) in cands or (2, 3) in cands
 
 

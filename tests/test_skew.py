@@ -37,6 +37,30 @@ def test_salted_left_join_keeps_unmatched(spark):
     assert [r["tag"] for r in out if r["k"] == 99] == [None]
 
 
+def test_scatter_salt_spreads_identical_rows(spark):
+    """Literal duplicate rows are the worst skew: a content-only hash sends
+    them all to ONE salt value. The row-id component must spread them."""
+    from data_engineering_assignment_spark.operators.skew import scatter_salt
+
+    dups = spark.createDataFrame([(1, 7)] * 1000, "k bigint, v bigint").repartition(4)
+    counts = {
+        r["_salt"]: r["n"]
+        for r in dups.withColumn("_salt", scatter_salt(dups, 8))
+        .groupBy("_salt")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert len(counts) == 8  # every salt value used
+    assert max(counts.values()) < 3 * (1000 / 8)  # no salt hoards the rows
+
+
+def test_salted_join_correct_with_duplicate_rows(spark):
+    dups = spark.createDataFrame([(1, 7)] * 500, "k bigint, v bigint")
+    build = spark.createDataFrame([(1, "dim1")], "k bigint, tag string")
+    out = salted_join(dups, build, "k", salt=4).collect()
+    assert len(out) == 500 and all(r["tag"] == "dim1" for r in out)
+
+
 def test_two_phase_agg_matches_plain(spark):
     probe, _ = skewed_frames(spark)
     plain = {
