@@ -110,12 +110,36 @@ def rolling_hash(text: Column | str) -> Column:
 
 
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Attach the full text-statistics column set (narrow, no shuffle)."""
+    """Attach the full text-statistics column set (narrow, no shuffle).
+
+    The token array is projected ONCE and every stat derives from it —
+    composing the per-stat helpers directly would re-split the text ~8×
+    per row (each helper inlines its own ``tokens(text)``); same values,
+    half the row work. Downstream arithmetic is kept bit-identical to the
+    helpers (rounded stop_ratio feeds quality and pred_lang, as before).
+    """
+    toks = F.col("_toks")
+    n = F.size(toks)
+    stops = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("double")
+    sr = dround(stops / n.cast("double"), 4)
+    total_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda acc, x: acc + x
+    )
+    out = (
+        df.withColumn("_toks", tokens(text_col))
+        .withColumn("token_count", n.cast("long"))
+        .withColumn("uniq_tokens", F.size(F.array_distinct(toks)).cast("long"))
+        .withColumn("stop_ratio", sr)
+        .withColumn("avg_token_len", dround(total_len.cast("double") / n.cast("double"), 4))
+    )
+    tc = F.col("token_count").cast("double")
+    length_credit = F.least(F.lit(1.0), tc / F.lit(100.0))
+    stop_credit = F.least(F.lit(1.0), F.col("stop_ratio") * F.lit(10.0))
     return (
-        df.withColumn("token_count", token_count(text_col))
-        .withColumn("uniq_tokens", F.size(F.array_distinct(tokens(text_col))).cast("long"))
-        .withColumn("stop_ratio", stopword_ratio(text_col))
-        .withColumn("avg_token_len", avg_token_length(text_col))
-        .withColumn("quality", quality_score(text_col))
-        .withColumn("pred_lang", predict_lang(text_col))
+        out.withColumn("quality", dround(length_credit * stop_credit, 4))
+        .withColumn(
+            "pred_lang",
+            F.when(F.col("stop_ratio") >= 0.05, F.lit("en")).otherwise(F.lit("unk")),
+        )
+        .drop("_toks")
     )

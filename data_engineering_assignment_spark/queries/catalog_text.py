@@ -223,10 +223,14 @@ def doc_normalized_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), " +", " "
         )
     )
-    return docs.select(
+    # project the normalized text ONCE: inlining it into both md5 and length
+    # doubles the regex work per row (Catalyst keeps this projection because
+    # the expression is non-cheap and multiply-referenced — plan-verified
+    # 2 regexp_replace in the physical plan vs 4 inlined)
+    return docs.select("doc_id", norm.alias("_norm")).select(
         "doc_id",
-        F.md5(norm.cast("binary")).alias("norm_hash"),
-        F.length(norm).cast("long").alias("n_chars_norm"),
+        F.md5(F.col("_norm").cast("binary")).alias("norm_hash"),
+        F.length("_norm").cast("long").alias("n_chars_norm"),
     )
 
 
