@@ -57,6 +57,14 @@ HEADLINE = [
     "image_color_analytics",
     "event_props_json",
     "approx_distinct_users_rollup",
+    # LLM-prep surface (round 2)
+    "docs_hash_sample",
+    "data_mix_by_source",
+    "decontaminate_ngram",
+    "pii_redaction",
+    "seq_packing",
+    "repetition_stats",
+    "cyclic_prediction_rates",
 ]
 
 

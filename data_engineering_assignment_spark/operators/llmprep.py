@@ -1,0 +1,180 @@
+"""Training-data preparation operators for LLM-scale corpora: deterministic
+sampling / source mixing, benchmark decontamination, PII redaction, sequence
+packing, and repetition statistics.
+
+Every operator is engine-portable column arithmetic (so a SQL oracle can
+reproduce it bit-for-bit) and shuffle-disciplined:
+
+  * sampling/mixing — narrow per-row predicate on a portable content hash
+    (``text.rolling_hash``; xxhash64 has no cross-engine twin). Zero
+    shuffles; the mixing-rate table is broadcast.
+  * decontamination — shingle explode + equi-join on the shingle, the same
+    linear-scale shape as the n-gram dedup verifier. The benchmark side is
+    orders of magnitude smaller than the corpus and is broadcast.
+  * PII redaction — one regexp pass per pattern, JVM-side.
+  * sequence packing — a per-group running token total (one window sort)
+    binned by capacity: the contiguous-greedy packing used by large
+    pretraining pipelines (exact first-fit is inherently sequential; the
+    contiguous variant is the deterministic, distributable one).
+  * repetition stats — token explode + two-level aggregation (per-token
+    counts, then per-doc max), the Gopher-style repetition signal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .aggregates import dround
+from .text import rolling_hash, tokens
+
+# Engine-portable PII patterns: a regex subset valid in both Java regex
+# (Spark) and RE2 (DuckDB) — no backrefs, no lookaround.
+EMAIL_PATTERN = r"[A-Za-z0-9._]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_PATTERN = r"\b555-[0-9]{2,8}\b"
+
+
+def hash_bucket(text_col: Column | str, buckets: int = 100) -> Column:
+    """Deterministic [0, buckets) bucket from document content — the
+    reproducible substitute for ``rand()`` sampling: the same document lands
+    in the same bucket on every engine, every run, every partitioning."""
+    return rolling_hash(text_col) % buckets
+
+
+def hash_sample(
+    df: DataFrame, rate_pct: int, text_col: str = "text", buckets: int = 100
+) -> DataFrame:
+    """Keep ~rate_pct% of rows by content-hash bucket (narrow, no shuffle)."""
+    return df.filter(hash_bucket(text_col, buckets) < rate_pct)
+
+
+def mix_sources(
+    df: DataFrame,
+    rates: dict[str, int],
+    source_col: str = "source",
+    text_col: str = "text",
+    default_pct: int = 0,
+) -> DataFrame:
+    """Per-source sampling rates (data mixing): source s keeps ~rates[s]% of
+    its documents, deterministically. The rate table is a broadcast join —
+    at 100 TB the corpus never shuffles; each row evaluates one hash and one
+    comparison."""
+    spark = df.sparkSession
+    rate_df = spark.createDataFrame(
+        list(rates.items()), f"{source_col} string, _rate_pct int"
+    )
+    # hash in a narrow pre-join projection: the join condition and filter
+    # stay simple int comparisons instead of carrying the fold expression
+    with_bucket = df.withColumn("_bucket", hash_bucket(text_col))
+    return (
+        with_bucket.join(F.broadcast(rate_df), on=source_col, how="left")
+        .filter(F.col("_bucket") < F.coalesce("_rate_pct", F.lit(default_pct)))
+        .drop("_rate_pct", "_bucket")
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: train docs sharing any word ``n``-gram with
+    the benchmark set → (doc_id, n_shared_shingles). Join key is the shingle
+    (uniformly distributed); the benchmark side is deduplicated to distinct
+    shingles and broadcast when small."""
+    from .dedup import word_shingles
+
+    t_sh = train.select(
+        F.col(id_col).alias("doc"), F.explode(word_shingles(text_col, n)).alias("shingle")
+    )
+    b_sh = (
+        benchmark.select(F.explode(word_shingles(text_col, n)).alias("shingle"))
+        .distinct()
+    )
+    # plain count, not count_distinct: word_shingles array_distincts per doc,
+    # and the benchmark side is distinct — (doc, shingle) pairs are unique,
+    # so the distinct-expansion shuffle would be pure waste
+    return (
+        t_sh.join(F.broadcast(b_sh), on="shingle")
+        .groupBy(F.col("doc").alias(id_col))
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+    )
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Replace emails/phone numbers with typed placeholder tokens, keeping
+    match counts for audit. Adds: n_emails, n_phones, redacted."""
+    c = F.col(text_col)
+    return (
+        df.withColumn("n_emails", F.regexp_count(c, F.lit(EMAIL_PATTERN)))
+        .withColumn("n_phones", F.regexp_count(c, F.lit(PHONE_PATTERN)))
+        .withColumn(
+            "redacted",
+            F.regexp_replace(
+                F.regexp_replace(c, EMAIL_PATTERN, "<EMAIL>"),
+                PHONE_PATTERN,
+                "<PHONE>",
+            ),
+        )
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    capacity: int,
+    group_col: str = "lang",
+    order_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Contiguous sequence packing: within each group (ordered
+    deterministically), assign docs to fixed-capacity packs by running token
+    count — ``pack_id = floor(cumulative_tokens_before / capacity)``.
+
+    One window sort per group; at scale the group column (language/source
+    shard) bounds each window's partition. Oversized docs (> capacity) still
+    get a pack of their own rather than being dropped — filter upstream if
+    truncation is the policy.
+    """
+    n_tok = F.size(tokens(text_col)).cast("long")
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    with_tok = df.withColumn("n_tokens", n_tok)
+    return with_tok.withColumn(
+        "pack_id",
+        (F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / capacity).cast("long"),
+    )
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition signals per document: token count, distinct
+    tokens, distinct ratio, and the most-frequent token's share. Explode →
+    (doc, token) counts → per-doc max: two map-side-combinable aggregations
+    keyed by doc id."""
+    tok = df.select(F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("tok"))
+    per_tok = tok.groupBy("doc", "tok").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        per_tok.groupBy("doc")
+        .agg(
+            F.sum("n").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_uniq"),
+            F.max("n").alias("top_tok_n"),
+        )
+        .select(
+            F.col("doc").alias(id_col),
+            "n_tokens",
+            "n_uniq",
+            dround(F.col("n_uniq").cast("double") / F.col("n_tokens").cast("double"), 4).alias(
+                "uniq_ratio"
+            ),
+            dround(F.col("top_tok_n").cast("double") / F.col("n_tokens").cast("double"), 4).alias(
+                "top_tok_share"
+            ),
+        )
+    )

@@ -43,5 +43,6 @@ def load_catalog() -> dict[str, Query]:
     from . import catalog_intervals  # noqa: F401
     from . import catalog_ml  # noqa: F401
     from . import catalog_sources  # noqa: F401
+    from . import catalog_llm  # noqa: F401
 
     return REGISTRY

@@ -1,0 +1,219 @@
+"""LLM training-data pipeline queries (operators/llmprep.py), every one
+gated by a DuckDB oracle: deterministic sampling, source mixing,
+decontamination, PII redaction, sequence packing, repetition stats.
+
+The portable content hash is ``operators.text.rolling_hash`` (already
+oracle-proven by ``doc_rolling_hash``); its SQL twin is `_o_rhash`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.llmprep import (
+    EMAIL_PATTERN,
+    PHONE_PATTERN,
+    decontaminate,
+    hash_sample,
+    mix_sources,
+    pack_sequences,
+    redact_pii,
+    repetition_stats,
+)
+from ..tables import load
+from . import register
+
+
+def _o_rhash(col: str) -> str:
+    """DuckDB twin of operators.text.rolling_hash (h*31+ascii mod 1e9+7)."""
+    return f"""list_reduce(
+         list_prepend(0::BIGINT,
+           list_transform(range(1, length({col}) + 1),
+                          i -> ascii(substr({col}, i, 1))::BIGINT)),
+         (a, b) -> (a * 31 + b) % 1000000007
+       )"""
+
+
+_SAMPLE_ORACLE = f"""
+SELECT doc_id, lang, source, ({_o_rhash('text')} % 100)::BIGINT AS bucket
+FROM documents
+WHERE {_o_rhash('text')} % 100 < 10
+"""
+
+
+@register(
+    "docs_hash_sample",
+    oracle=_SAMPLE_ORACLE,
+    doc="LLM-prep: deterministic ~10% corpus sample by content-hash bucket "
+    "— the reproducible substitute for rand() sampling (same doc → same "
+    "bucket on every engine/run/partitioning). Narrow filter, zero shuffle.",
+)
+def docs_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.llmprep import hash_bucket
+
+    docs = load(spark, sf_dir, "documents")
+    return hash_sample(docs, 10).select(
+        "doc_id", "lang", "source", hash_bucket("text").alias("bucket")
+    )
+
+
+_MIX_RATES = {"src0": 50, "src1": 25, "src2": 10, "src3": 0}
+_MIX_DEFAULT = 20
+
+_MIX_ORACLE = f"""
+WITH rates(source, rate_pct) AS (
+  VALUES ('src0', 50), ('src1', 25), ('src2', 10), ('src3', 0)
+), kept AS (
+  SELECT d.source
+  FROM documents d LEFT JOIN rates r USING (source)
+  WHERE {_o_rhash('d.text')} % 100 < COALESCE(r.rate_pct, {_MIX_DEFAULT})
+)
+SELECT source, COUNT(*) AS n_kept
+FROM kept
+GROUP BY source
+"""
+
+
+@register(
+    "data_mix_by_source",
+    oracle=_MIX_ORACLE,
+    doc="LLM-prep: deterministic per-source mixing — each source keeps its "
+    "configured percentage by content-hash bucket (src0 50%, src1 25%, "
+    "src2 10%, src3 dropped, rest 20%). Rate table broadcast; corpus never "
+    "shuffles for the filter.",
+)
+def data_mix_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    mixed = mix_sources(docs, _MIX_RATES, default_pct=_MIX_DEFAULT)
+    return mixed.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+_DECON_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS shingle
+  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS i
+        FROM toks WHERE len(t) >= 5)
+), bench AS (
+  SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0
+)
+SELECT s.doc_id, COUNT(DISTINCT s.shingle) AS n_shared_shingles
+FROM sh s JOIN bench b USING (shingle)
+WHERE s.doc_id % 97 <> 0
+GROUP BY s.doc_id
+"""
+
+
+@register(
+    "decontaminate_ngram",
+    oracle=_DECON_ORACLE,
+    doc="LLM-prep: benchmark decontamination — train docs sharing any word "
+    "5-gram with the benchmark subset (doc_id % 97 = 0 stands in for an "
+    "eval set), with shared-shingle counts. Shingle equi-join, benchmark "
+    "side distinct + broadcast.",
+)
+def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    return decontaminate(train, bench, n=5)
+
+
+_PII_ORACLE = f"""
+WITH withpii AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@example.com or 555-' ||
+           lpad((doc_id % 10000)::VARCHAR, 4, '0') AS text
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(text, '{EMAIL_PATTERN}'))::BIGINT AS n_emails,
+       len(regexp_extract_all(text, '{PHONE_PATTERN}'))::BIGINT AS n_phones,
+       md5(regexp_replace(regexp_replace(text, '{EMAIL_PATTERN}', '<EMAIL>', 'g'),
+                          '{PHONE_PATTERN}', '<PHONE>', 'g')) AS redacted_md5
+FROM withpii
+"""
+
+
+@register(
+    "pii_redaction",
+    oracle=_PII_ORACLE,
+    doc="LLM-prep: PII redaction — emails/phones replaced with typed "
+    "placeholders, with per-doc match counts; patterns restricted to the "
+    "Java-regex ∩ RE2 dialect so both engines match identically. Synthetic "
+    "PII is appended deterministically so the fixture corpus exercises the "
+    "patterns.",
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    withpii = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    red = redact_pii(withpii)
+    return red.select(
+        "doc_id",
+        F.col("n_emails").cast("long").alias("n_emails"),
+        F.col("n_phones").cast("long").alias("n_phones"),
+        F.md5(F.col("redacted").cast("binary")).alias("redacted_md5"),
+    )
+
+
+_PACK_ORACLE = """
+WITH t AS (
+  SELECT doc_id, lang, len(string_split(text, ' '))::BIGINT AS n_tokens
+  FROM documents
+)
+SELECT doc_id, lang, n_tokens,
+       (COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        // 2048)::BIGINT AS pack_id
+FROM t
+"""
+
+
+@register(
+    "seq_packing",
+    oracle=_PACK_ORACLE,
+    doc="LLM-prep: contiguous sequence packing — per-language running token "
+    "total binned into 2048-token packs (the deterministic, distributable "
+    "variant of greedy packing; one window sort per language shard).",
+)
+def seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return pack_sequences(docs, 2048).select("doc_id", "lang", "n_tokens", "pack_id")
+
+
+_REP_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), per_tok AS (
+  SELECT doc_id, tok, COUNT(*) AS n FROM tok GROUP BY doc_id, tok
+)
+SELECT doc_id,
+       SUM(n)::BIGINT AS n_tokens,
+       COUNT(*) AS n_uniq,
+       ROUND(CAST(COUNT(*)::DOUBLE / SUM(n)::DOUBLE AS DECIMAL(27,8)), 4)::DOUBLE AS uniq_ratio,
+       ROUND(CAST(MAX(n)::DOUBLE / SUM(n)::DOUBLE AS DECIMAL(27,8)), 4)::DOUBLE AS top_tok_share
+FROM per_tok
+GROUP BY doc_id
+"""
+
+
+@register(
+    "repetition_stats",
+    oracle=_REP_ORACLE,
+    doc="LLM-prep: Gopher-style repetition signals — distinct-token ratio "
+    "and most-frequent-token share per document (two map-side-combinable "
+    "aggregations keyed by doc id).",
+)
+def repetition_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return repetition_stats(load(spark, sf_dir, "documents"))

@@ -44,6 +44,73 @@ GROUP BY 1, 2
 """
 
 
+_JSONL_PATH = str(
+    Path(__file__).resolve().parents[2] / "tests" / "fixtures" / "media_metadata.jsonl"
+)
+
+_JSONL_ORACLE = f"""
+SELECT "group" AS media_group,
+       COUNT(*) AS n_items,
+       COUNT(DISTINCT annotation) AS n_annotations,
+       COUNT(skintone) AS n_with_skintone,
+       MIN(hexcode) AS first_hexcode
+FROM read_json('{_JSONL_PATH}', format='newline_delimited')
+GROUP BY 1
+"""
+
+
+@register(
+    "jsonl_media_groups",
+    oracle=_JSONL_ORACLE,
+    doc="S6 oracle gate (Assignment-python.py:711): schema-INFERRED JSON "
+    "Lines scan (OpenMoji-metadata shape incl. a field missing from some "
+    "rows) + grouped counts/distincts, vs DuckDB read_json over the same "
+    "committed fixture.",
+)
+def jsonl_media_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import read_jsonl
+
+    tune(spark)
+    meta = read_jsonl(spark, _JSONL_PATH)
+    return meta.groupBy(F.col("group").alias("media_group")).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.countDistinct("annotation").alias("n_annotations"),
+        F.count("skintone").alias("n_with_skintone"),
+        F.min("hexcode").alias("first_hexcode"),
+    )
+
+
+_MEDIA_DIR = str(Path(__file__).resolve().parents[2] / "tests" / "fixtures" / "media")
+
+_BINARY_ORACLE = f"""
+SELECT string_split(filename, '/')[-1] AS fname,
+       size AS n_bytes,
+       md5(hex(content)) AS content_md5
+FROM read_blob('{_MEDIA_DIR}/*.rawm')
+"""
+
+
+@register(
+    "binary_media_inventory",
+    oracle=_BINARY_ORACLE,
+    doc="S5 oracle gate (image-format stand-in, Assignment-python.py:710): "
+    "binaryFile scan with pathGlobFilter pushdown over committed RAWM "
+    "fixtures; per-file size + content digest vs DuckDB read_blob. The hex "
+    "detour makes the digest engine-portable (DuckDB md5 only takes "
+    "VARCHAR, and BLOB::VARCHAR escapes bytes).",
+)
+def binary_media_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import read_binary_files
+
+    tune(spark)
+    files = read_binary_files(spark, _MEDIA_DIR, glob="*.rawm")
+    return files.select(
+        F.element_at(F.split("path", "/"), -1).alias("fname"),
+        F.col("length").alias("n_bytes"),
+        F.md5(F.hex("content").cast("binary")).alias("content_md5"),
+    )
+
+
 @register(
     "csv_sales_publisher_year",
     oracle=_CSV_ORACLE,

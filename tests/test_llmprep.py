@@ -1,0 +1,96 @@
+"""LLM-prep operator tests: deterministic sampling/mixing, decontamination,
+PII redaction, sequence packing, repetition stats."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_engineering_assignment_spark.operators.llmprep import (
+    decontaminate,
+    hash_bucket,
+    hash_sample,
+    mix_sources,
+    pack_sequences,
+    redact_pii,
+    repetition_stats,
+)
+
+
+def docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+
+
+def test_hash_sample_deterministic_and_proportional(spark):
+    df = docs(spark, [(i, "s", f"document number {i} with some words") for i in range(400)])
+    a = sorted(r["doc_id"] for r in hash_sample(df, 25).collect())
+    b = sorted(r["doc_id"] for r in hash_sample(df.repartition(7), 25).collect())
+    assert a == b  # partitioning-independent
+    assert 0.15 * 400 < len(a) < 0.35 * 400  # ~25%
+
+
+def test_hash_bucket_range(spark):
+    df = docs(spark, [(i, "s", f"text {i}") for i in range(50)])
+    buckets = [r["b"] for r in df.select(hash_bucket("text").alias("b")).collect()]
+    assert all(0 <= b < 100 for b in buckets)
+
+
+def test_mix_sources_rates(spark):
+    rows = [(i, f"src{i % 2}", f"mixed corpus doc {i} alpha beta") for i in range(600)]
+    df = docs(spark, rows)
+    kept = mix_sources(df, {"src0": 100, "src1": 0}).groupBy("source").count().collect()
+    by_src = {r["source"]: r["count"] for r in kept}
+    assert by_src.get("src0") == 300  # 100% kept
+    assert "src1" not in by_src  # 0% kept
+
+
+def test_mix_sources_default_rate(spark):
+    df = docs(spark, [(i, "unlisted", f"doc {i} gamma delta") for i in range(300)])
+    n = mix_sources(df, {"src0": 100}, default_pct=50).count()
+    assert 0.3 * 300 < n < 0.7 * 300
+
+
+def test_decontaminate_finds_shared_ngrams(spark):
+    bench = docs(spark, [(100, "b", "the quick brown fox jumps over the lazy dog")])
+    train = docs(
+        spark,
+        [
+            (1, "t", "intro text then the quick brown fox jumps right here"),
+            (2, "t", "completely unrelated content about query engines today"),
+        ],
+    )
+    out = {r["doc_id"]: r["n_shared_shingles"] for r in decontaminate(train, bench).collect()}
+    assert 1 in out and out[1] >= 1  # shares "the quick brown fox jumps"
+    assert 2 not in out
+
+
+def test_redact_pii_counts_and_replaces(spark):
+    df = docs(spark, [(1, "s", "mail a.user@example.com or b@x.org, call 555-0199 now")])
+    row = redact_pii(df).collect()[0]
+    assert row["n_emails"] == 2 and row["n_phones"] == 1
+    assert "<EMAIL>" in row["redacted"] and "<PHONE>" in row["redacted"]
+    assert "example.com" not in row["redacted"] and "555-0199" not in row["redacted"]
+
+
+def test_pack_sequences_capacity_bins(spark):
+    # 5 docs of 4 tokens each, capacity 8 → packs of 2 docs (contiguous)
+    rows = [(i, "en", "w x y z") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string, text string")
+    out = {r["doc_id"]: r["pack_id"] for r in pack_sequences(df, 8, group_col="lang").collect()}
+    assert out == {0: 0, 1: 0, 2: 1, 3: 1, 4: 2}
+
+
+def test_pack_sequences_oversized_doc_gets_own_pack(spark):
+    rows = [(0, "en", " ".join(["t"] * 20)), (1, "en", "a b")]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string, text string")
+    out = {r["doc_id"]: r["pack_id"] for r in pack_sequences(df, 8, group_col="lang").collect()}
+    assert out[0] == 0 and out[1] == 2  # 20 tokens before doc 1 → bin 2
+
+
+def test_repetition_stats_values(spark):
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "w x y z")], "doc_id bigint, text string"
+    )
+    out = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert out[1]["n_tokens"] == 4 and out[1]["n_uniq"] == 2
+    assert out[1]["top_tok_share"] == 0.75 and out[1]["uniq_ratio"] == 0.5
+    assert out[2]["uniq_ratio"] == 1.0 and out[2]["top_tok_share"] == 0.25
