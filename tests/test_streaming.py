@@ -96,45 +96,59 @@ def test_stateful_user_totals_across_batches(spark, events_path):
 
 
 def test_watermark_drops_late_events(spark, tmp_path):
-    """Append-mode windowed aggregation must exclude events arriving after
-    the watermark has passed their window."""
-    from datetime import datetime
+    """Windowed aggregation must exclude events arriving after the watermark
+    has passed their window.
+
+    Exercised across TWO availableNow runs sharing one checkpoint: run 1
+    processes the on-time data (watermark advances to 00:55 and is persisted
+    in the commit log); the late event lands between runs, and run 2 restores
+    the watermark and must drop it. A single-run variant with
+    maxFilesPerTrigger=1 is inherently flaky — FileStreamSource's initial
+    snapshot has no deterministic intra-run file order, so the late file can
+    be scheduled before the watermark-advancing one."""
+    from datetime import datetime, timezone
 
     schema = "user_id bigint, ts timestamp, event_type string, value double"
     d = str(tmp_path / "late")
-    batch1 = spark.createDataFrame(
-        [(1, datetime(2024, 1, 1, 0, 1), "a", 1.0),
-         (1, datetime(2024, 1, 1, 1, 0), "a", 2.0)],  # advances watermark past 00:xx
-        schema,
-    )
-    batch1.write.parquet(d)
-    src = (
-        spark.readStream.schema(batch1.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(d)
-    )
-    # a late event for the long-closed 00:00 window, arriving in a later file
-    import glob
-    import os
-    import time
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
 
-    before = set(glob.glob(os.path.join(d, "*.parquet")))
-    late = spark.createDataFrame(
+    def run_once():
+        src = spark.readStream.schema(schema).parquet(d)
+        agg = st.tumbling_counts(src, "10 minutes", watermark="5 minutes")
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            r["win_start"]: r["total_value"]
+            for r in spark.read.parquet(sink).collect()
+        }
+
+    spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 0, 1), "a", 1.0),
+         (1, datetime(2024, 1, 1, 1, 0), "a", 2.0)],  # advances watermark to 00:55
+        schema,
+    ).coalesce(1).write.parquet(d)
+    win0 = int(datetime(2024, 1, 1, 0, 0, tzinfo=timezone.utc).timestamp())
+    first = run_once()
+    # watermark passed 00:10, so the 00:00 window was finalized and emitted;
+    # the 01:00 window is still open and held back in state
+    assert first == {win0: 1.0}
+    # a late event for the long-closed 00:00 window arrives before run 2
+    spark.createDataFrame(
         [(1, datetime(2024, 1, 1, 0, 2), "a", 100.0)], schema
-    )
-    late.write.mode("append").parquet(d)
-    # FileStreamSource orders micro-batches by mtime; force the late file
-    # strictly after batch1 so the test can't flake on mtime ties
-    future = time.time() + 60
-    for f in set(glob.glob(os.path.join(d, "*.parquet"))) - before:
-        os.utime(f, (future, future))
-    agg = st.tumbling_counts(src, "10 minutes", watermark="5 minutes")
-    out = st.run_available_now(agg, output_mode="append")
-    rows = {r["win_start"]: r["total_value"] for r in out.collect()}
-    win0 = int(datetime(2024, 1, 1, 0, 0, tzinfo=__import__("datetime").timezone.utc).timestamp())
-    # the 00:00 window closed when the watermark advanced; the late 100.0 is
-    # dropped, leaving only the on-time 1.0 — and never double-counted
-    assert rows.get(win0) == 1.0
+    ).coalesce(1).write.mode("append").parquet(d)
+    # run 2 restores watermark 00:55 from the checkpoint: 00:02 is far behind
+    # it, so the event is dropped — an accepted late event would re-open win0
+    # and re-emit it immediately (a duplicate win0 row with 100.0)
+    second = run_once()
+    assert second == {win0: 1.0}
 
 
 def test_read_parquet_stream_converts_nanos_ts(spark, sf_dir, tmp_path):
