@@ -65,6 +65,11 @@ HEADLINE = [
     "seq_packing",
     "repetition_stats",
     "cyclic_prediction_rates",
+    # corpus-level surface (round 2)
+    "doc_tfidf_top_terms",
+    "doc_chunks",
+    "corpus_boilerplate_3gram",
+    "orders_profile",
 ]
 
 

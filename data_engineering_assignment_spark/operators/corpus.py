@@ -1,0 +1,182 @@
+"""Corpus-level text operators: TF-IDF-style term weighting, fixed-stride
+token chunking, boilerplate n-gram detection, and table profiling.
+
+These extend the per-document statistics in ``operators/text.py`` with the
+cross-document signals a training-data pipeline needs (RAG chunking, CCNet/
+RefinedWeb-style boilerplate removal, salient-term extraction, ingest QA).
+
+Shuffle discipline:
+
+  * ``tfidf_top_terms`` — one (doc, token) aggregation, one analytic window
+    keyed by token for document frequency, one window keyed by doc for the
+    top-1; the corpus size joins in as a broadcast single row.
+  * ``token_chunks`` — narrow: sequence + explode per row, zero shuffles.
+    Chunk fan-out is bounded by ``ceil(n_tokens / stride)`` per document.
+  * ``boilerplate_ngrams`` — shingle explode, ONE shuffle keyed by shingle
+    (analytic count, no separate frequency-table join), then a per-doc
+    aggregation. Shingles are per-doc distinct, so the shingle key is
+    near-uniform and skew-safe.
+  * ``profile_table`` — single full-scan aggregation; the multi-column
+    ``count_distinct`` plans as one Expand pass (rows × columns). At
+    100 TB swap ``exact=False`` in: ``approx_count_distinct`` drops the
+    Expand for one HLL sketch per column.
+
+The arithmetic is deliberately log-free: the rarity weight is
+``tf * (n_docs/df)^2`` (squared idf) rather than ``tf * ln(n_docs/df)`` —
+natural-log implementations differ in the last ulp across engines/libms,
+and two mathematically-equal scores computed via ``ln`` can land on
+different adjacent doubles per engine, silently flipping a rank ahead of
+the deterministic tie-break. Multiplication and division are correctly
+rounded IEEE ops, so the same expression tree is bit-identical everywhere.
+The square keeps the idf term dominant: a corpus-unique term beats a
+ubiquitous one even when the latter repeats within the document (a linear
+``tf * n_docs/df`` scores tf=3,df=n_docs equal to tf=1,df=1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .aggregates import dround
+from .dedup import word_shingles
+from .text import tokens
+
+
+def tfidf_top_terms(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Most corpus-salient term per document: the token maximizing
+    ``tf * (n_docs/df)^2`` (ties broken by token, so the result is
+    total-order deterministic). Output: (id, top_term, tf, df, rarity)."""
+    tok = df.select(F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("tok"))
+    tf = tok.groupBy("doc", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    # (doc, tok) rows are unique post-aggregation, so a per-token row count
+    # IS the document frequency — no second frequency table to join
+    df_w = tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("tok")))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    # all-double chain (not long multiplication): overflow-free at any corpus
+    # size, and IEEE mul/div make it bit-identical to the SQL twin
+    nd = F.col("n_docs").cast("double")
+    scored = df_w.crossJoin(F.broadcast(n_docs)).withColumn(
+        "_score",
+        (F.col("tf").cast("double") * nd * nd)
+        / (F.col("df").cast("double") * F.col("df")),
+    )
+    top = Window.partitionBy("doc").orderBy(F.col("_score").desc(), F.col("tok"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(top))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("doc").alias(id_col),
+            F.col("tok").alias("top_term"),
+            "tf",
+            "df",
+            dround(F.col("_score"), 4).alias("rarity"),
+        )
+    )
+
+
+def token_chunks(
+    df: DataFrame,
+    size: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fixed-stride token chunks with overlap (``size - stride`` tokens),
+    the RAG / context-window packing primitive. Narrow per-row explode —
+    zero shuffles; every token lands in ≥1 chunk when ``stride <= size``.
+
+    Output: (id, chunk_id, n_chunk_tokens, chunk_md5)."""
+    if stride <= 0 or size <= 0:
+        raise ValueError("size and stride must be positive")
+    toks = tokens(text_col)
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(stride)
+    )
+    chunk = F.slice(F.col("_toks"), F.col("_start") + 1, size)
+    return (
+        df.select(
+            F.col(id_col), toks.alias("_toks"), F.explode(starts).alias("_start")
+        )
+        .select(
+            id_col,
+            (F.col("_start") / stride).cast("long").alias("chunk_id"),
+            F.size(chunk).cast("long").alias("n_chunk_tokens"),
+            F.md5(F.concat_ws(" ", chunk).cast("binary")).alias("chunk_md5"),
+        )
+    )
+
+
+def boilerplate_ngrams(
+    df: DataFrame,
+    n: int = 3,
+    min_docs: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style boilerplate signal: per document, the fraction of its
+    distinct word ``n``-grams that appear in ≥ ``min_docs`` documents
+    corpus-wide (navigation chrome, license headers, templated text).
+
+    One analytic count keyed by shingle (per-doc-distinct, so the document
+    frequency is a plain row count), then a per-doc aggregation. Documents
+    with < n tokens have no shingles and are absent from the output.
+
+    Output: (id, n_shingles, n_boiler, boiler_ratio)."""
+    sh = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(word_shingles(text_col, n)).alias("shingle"),
+    )
+    df_sh = sh.withColumn(
+        "df_sh", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+    )
+    boiler = F.sum((F.col("df_sh") >= min_docs).cast("long"))
+    return (
+        df_sh.groupBy(F.col("doc").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            boiler.alias("n_boiler"),
+        )
+        .select(
+            id_col,
+            "n_shingles",
+            "n_boiler",
+            dround(
+                F.col("n_boiler").cast("double") / F.col("n_shingles").cast("double"), 4
+            ).alias("boiler_ratio"),
+        )
+    )
+
+
+def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Ingest-QA profile: one row per column with row/null/distinct counts.
+
+    Single scan: all counts evaluate in one aggregation, then the one result
+    row unpivots to long form driver-free (explode of a literal struct
+    array). Exact ``count_distinct`` over k columns plans as an Expand
+    (k× the scan rows); at extreme scale prefer ``approx_count_distinct``
+    (one HLL per column, no Expand) and accept the ±2% estimate.
+
+    Output: (column_name, n_rows, n_nulls, n_distinct)."""
+    columns = columns or df.columns
+    aggs = [F.count(F.lit(1)).alias("_rows")]
+    for c in columns:
+        aggs.append(F.count(c).alias(f"_nn_{c}"))
+        aggs.append(F.count_distinct(c).alias(f"_nd_{c}"))
+    one = df.agg(*aggs)
+    stacked = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("column_name"),
+                    F.col("_rows").alias("n_rows"),
+                    (F.col("_rows") - F.col(f"_nn_{c}")).alias("n_nulls"),
+                    F.col(f"_nd_{c}").alias("n_distinct"),
+                )
+                for c in columns
+            ]
+        )
+    )
+    return one.select(stacked.alias("p")).select("p.*")

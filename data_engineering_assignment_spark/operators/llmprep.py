@@ -154,27 +154,51 @@ def repetition_stats(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Gopher-style repetition signals per document: token count, distinct
-    tokens, distinct ratio, and the most-frequent token's share. Explode →
-    (doc, token) counts → per-doc max: two map-side-combinable aggregations
-    keyed by doc id."""
-    tok = df.select(F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("tok"))
-    per_tok = tok.groupBy("doc", "tok").agg(F.count(F.lit(1)).alias("n"))
-    return (
-        per_tok.groupBy("doc")
-        .agg(
-            F.sum("n").alias("n_tokens"),
-            F.count(F.lit(1)).alias("n_uniq"),
-            F.max("n").alias("top_tok_n"),
+    tokens, distinct ratio, and the most-frequent token's share.
+
+    Entirely narrow — zero shuffles. The most-frequent token's count is the
+    longest run of equal elements in the SORTED token array, computed by a
+    JVM-side fold (struct accumulator: previous token, current run, max
+    run). The earlier explode → (doc, token) agg → per-doc agg formulation
+    computed the same values through two shuffles of every token in the
+    corpus; at 100 TB that shuffle IS the job, while this version is a pure
+    map over documents."""
+    toks = tokens(text_col)
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("mx"),
+    )
+
+    def step(acc, x):
+        new_run = F.when(x == acc.getField("prev"), acc.getField("run") + 1).otherwise(
+            F.lit(1).cast("long")
         )
-        .select(
-            F.col("doc").alias(id_col),
-            "n_tokens",
-            "n_uniq",
-            dround(F.col("n_uniq").cast("double") / F.col("n_tokens").cast("double"), 4).alias(
-                "uniq_ratio"
-            ),
-            dround(F.col("top_tok_n").cast("double") / F.col("n_tokens").cast("double"), 4).alias(
-                "top_tok_share"
-            ),
+        return F.struct(
+            x.alias("prev"),
+            new_run.alias("run"),
+            F.greatest(acc.getField("mx"), new_run).alias("mx"),
         )
+
+    # project the token array once; every stat derives from the reference
+    # (tokenizing per-stat would re-split the text several times per row)
+    t = df.select(F.col(id_col), toks.alias("_toks"))
+    counted = t.select(
+        id_col,
+        F.size("_toks").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("_toks")).cast("long").alias("n_uniq"),
+        F.aggregate(F.array_sort("_toks"), init, step, lambda acc: acc.getField("mx")).alias(
+            "_top_tok_n"
+        ),
+    )
+    return counted.select(
+        id_col,
+        "n_tokens",
+        "n_uniq",
+        dround(F.col("n_uniq").cast("double") / F.col("n_tokens").cast("double"), 4).alias(
+            "uniq_ratio"
+        ),
+        dround(F.col("_top_tok_n").cast("double") / F.col("n_tokens").cast("double"), 4).alias(
+            "top_tok_share"
+        ),
     )

@@ -1,0 +1,138 @@
+"""Corpus-level queries (operators/corpus.py), every one gated by a DuckDB
+oracle: TF-IDF-style salient terms, fixed-stride chunking, boilerplate n-gram
+detection, and table profiling."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.aggregates import o_dround
+from ..operators.corpus import (
+    boilerplate_ngrams,
+    profile_table,
+    tfidf_top_terms,
+    token_chunks,
+)
+from ..tables import load
+from . import register
+
+_TFIDF_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), tf AS (
+  SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY doc_id, tok
+), wd AS (
+  SELECT doc_id, tok, tf, COUNT(*) OVER (PARTITION BY tok) AS df FROM tf
+), n AS (
+  SELECT COUNT(*)::DOUBLE AS nd FROM documents
+), scored AS (
+  SELECT doc_id, tok, tf, df,
+         (CAST(tf AS DOUBLE) * nd * nd) / (CAST(df AS DOUBLE) * df) AS score
+  FROM wd, n
+), ranked AS (
+  SELECT doc_id, tok, tf, df, score,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS rn
+  FROM scored
+)
+SELECT doc_id, tok AS top_term, tf, df, {o_dround('score', 4)} AS rarity
+FROM ranked WHERE rn = 1
+"""
+
+
+@register(
+    "doc_tfidf_top_terms",
+    oracle=_TFIDF_ORACLE,
+    doc="LLM-prep: most corpus-salient term per document by the log-free "
+    "squared-idf weight tf*(n_docs/df)^2 (IEEE mul/div only, so the oracle "
+    "is bit-exact; ln differs in the last ulp across libms). One (doc,token) "
+    "agg + one token-keyed analytic count; corpus size broadcast.",
+)
+def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tfidf_top_terms(load(spark, sf_dir, "documents"))
+
+
+_CHUNKS_ORACLE = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), c AS (
+  SELECT doc_id, toks, unnest(range(0, greatest(len(toks), 1), 48)) AS start
+  FROM t
+)
+SELECT doc_id,
+       (start // 48)::BIGINT AS chunk_id,
+       len(toks[start + 1:start + 64])::BIGINT AS n_chunk_tokens,
+       md5(array_to_string(toks[start + 1:start + 64], ' ')) AS chunk_md5
+FROM c
+"""
+
+
+@register(
+    "doc_chunks",
+    oracle=_CHUNKS_ORACLE,
+    doc="LLM-prep: fixed-stride token chunking (64-token chunks, stride 48 "
+    "→ 16-token overlap), the RAG/context-window packing primitive. Narrow "
+    "sequence+explode per row, zero shuffles.",
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_chunks(load(spark, sf_dir, "documents"), size=64, stride=48)
+
+
+_BOILER_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[i:i + 2], ' ') AS shingle
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i
+        FROM t WHERE len(toks) >= 3)
+), w AS (
+  SELECT doc_id, COUNT(*) OVER (PARTITION BY shingle) AS df_sh FROM sh
+)
+SELECT doc_id,
+       COUNT(*) AS n_shingles,
+       SUM(CASE WHEN df_sh >= 10 THEN 1 ELSE 0 END)::BIGINT AS n_boiler,
+       {o_dround('CAST(SUM(CASE WHEN df_sh >= 10 THEN 1 ELSE 0 END) AS DOUBLE)'
+                 ' / CAST(COUNT(*) AS DOUBLE)', 4)} AS boiler_ratio
+FROM w
+GROUP BY doc_id
+"""
+
+
+@register(
+    "corpus_boilerplate_3gram",
+    oracle=_BOILER_ORACLE,
+    doc="LLM-prep: CCNet-style boilerplate signal — per document, the "
+    "fraction of its distinct 3-gram shingles appearing in ≥10 documents "
+    "corpus-wide. One shingle-keyed analytic count (no frequency-table "
+    "join), then a per-doc agg.",
+)
+def corpus_boilerplate_3gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return boilerplate_ngrams(load(spark, sf_dir, "documents"), n=3, min_docs=10)
+
+
+_PROFILE_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+]
+
+_PROFILE_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS column_name, COUNT(*) AS n_rows,
+       COUNT(*) - COUNT({c}) AS n_nulls,
+       COUNT(DISTINCT {c}) AS n_distinct FROM orders"""
+    for c in _PROFILE_COLS
+)
+
+
+@register(
+    "orders_profile",
+    oracle=_PROFILE_ORACLE,
+    doc="Ingest QA: one-scan table profile of orders — per-column row/null/"
+    "distinct counts, unpivoted to long form without touching the driver. "
+    "Exact count_distinct plans one Expand; approx_count_distinct is the "
+    "no-Expand variant at extreme scale.",
+)
+def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return profile_table(load(spark, sf_dir, "orders"), _PROFILE_COLS)

@@ -1,0 +1,94 @@
+"""Corpus-operator tests: TF-IDF salient terms, token chunking, boilerplate
+n-gram detection, table profiling."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_engineering_assignment_spark.operators.corpus import (
+    boilerplate_ngrams,
+    profile_table,
+    tfidf_top_terms,
+    token_chunks,
+)
+
+
+def docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_tfidf_prefers_rare_terms(spark):
+    # "zebra" appears once in one doc; "common" appears everywhere
+    df = docs(
+        spark,
+        [
+            (1, "common common zebra common"),
+            (2, "common common common words"),
+            (3, "common words words other"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in tfidf_top_terms(df).collect()}
+    # squared idf: zebra scores 1*(3/1)^2 = 9 > common's 3*(3/3)^2 = 3
+    assert out[1]["top_term"] == "zebra"
+    assert out[1]["tf"] == 1 and out[1]["df"] == 1
+    assert out[1]["rarity"] == 9.0
+
+
+def test_tfidf_tie_breaks_by_token(spark):
+    # both tokens unique to the doc with tf=1 → identical scores; tie-break asc
+    df = docs(spark, [(1, "beta alpha"), (2, "filler filler")])
+    out = {r["doc_id"]: r["top_term"] for r in tfidf_top_terms(df).collect()}
+    assert out[1] == "alpha"
+
+
+def test_token_chunks_cover_and_overlap(spark):
+    text = " ".join(f"t{i}" for i in range(10))
+    df = docs(spark, [(1, text)])
+    out = sorted(
+        (r["chunk_id"], r["n_chunk_tokens"]) for r in token_chunks(df, size=4, stride=3).collect()
+    )
+    # starts 0,3,6,9 → sizes 4,4,4,1
+    assert out == [(0, 4), (1, 4), (2, 4), (3, 1)]
+
+
+def test_token_chunks_single_short_doc(spark):
+    df = docs(spark, [(1, "only two")])
+    rows = token_chunks(df, size=64, stride=48).collect()
+    assert len(rows) == 1 and rows[0]["n_chunk_tokens"] == 2 and rows[0]["chunk_id"] == 0
+
+
+def test_boilerplate_ngrams_flags_shared_shingles(spark):
+    shared = "all rights reserved"
+    rows = [(i, f"{shared} unique{i} tail{i} end{i}") for i in range(5)]
+    rows.append((99, "completely fresh content here today"))
+    df = docs(spark, rows)
+    out = {r["doc_id"]: r for r in boilerplate_ngrams(df, n=3, min_docs=5).collect()}
+    assert out[0]["n_boiler"] == 1  # only the shared 3-gram crosses min_docs
+    assert out[0]["n_shingles"] == 4
+    assert out[0]["boiler_ratio"] == 0.25
+    assert out[99]["n_boiler"] == 0
+
+
+def test_boilerplate_short_docs_absent(spark):
+    df = docs(spark, [(1, "just two"), (2, "one two three")])
+    ids = {r["doc_id"] for r in boilerplate_ngrams(df, n=3, min_docs=1).collect()}
+    assert ids == {2}  # doc 1 has < n tokens → no shingles → absent
+
+
+def test_profile_table_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "b")], "k bigint, v string"
+    )
+    out = {r["column_name"]: r for r in profile_table(df).collect()}
+    assert out["k"]["n_rows"] == 3 and out["k"]["n_nulls"] == 0 and out["k"]["n_distinct"] == 2
+    assert out["v"]["n_nulls"] == 1 and out["v"]["n_distinct"] == 2
+
+
+def test_repetition_and_chunks_are_narrow(spark):
+    """The per-row corpus ops must plan without a single Exchange."""
+    from data_engineering_assignment_spark.operators.llmprep import repetition_stats
+
+    df = docs(spark, [(1, "a b c")])
+    for frame in (token_chunks(df), repetition_stats(df)):
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
