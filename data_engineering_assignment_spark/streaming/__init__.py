@@ -141,6 +141,55 @@ def session_window_agg(
     )
 
 
+def dedup_within_watermark(
+    stream: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming exactly-once dedup for at-least-once sources:
+    ``dropDuplicatesWithinWatermark`` keeps the first arrival per key and
+    drops re-deliveries until the watermark passes the first arrival's event
+    time. State is one entry per key per watermark window — bounded, unlike
+    ``dropDuplicates`` on a stream, whose state grows forever. Batch twin:
+    ``operators.dedup.exact_dedup`` / ``dropDuplicates`` (same keys)."""
+    keys = keys or ["event_id"]
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    user_col: str = "user_id",
+    left_ts: str = "l_ts",
+    right_ts: str = "r_ts",
+    lookback: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: right rows match left rows of
+    the same user within ``[left_ts - lookback, left_ts]`` — the streaming
+    twin of ``operators.intervals.point_in_interval_join`` (the
+    click→purchase attribution shape). Both sides carry a watermark and the
+    join condition bounds event-time distance, so each side's buffered
+    state is evicted once the other side's watermark passes the interval —
+    state is O(rows within lookback + watermark), not O(stream).
+
+    Callers rename each side's event-time column to ``left_ts`` /
+    ``right_ts`` beforehand (stream-stream joins need distinct names on
+    both the key and the two clocks)."""
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withWatermark(right_ts, watermark)
+    return l.join(
+        r.withColumnRenamed(user_col, f"_r_{user_col}"),
+        F.expr(
+            f"{user_col} = _r_{user_col} AND "
+            f"{right_ts} >= {left_ts} - INTERVAL {lookback} AND "
+            f"{right_ts} <= {left_ts}"
+        ),
+        "inner",
+    ).drop(f"_r_{user_col}")
+
+
 def stateful_user_totals(
     stream: DataFrame,
     user_col: str = "user_id",

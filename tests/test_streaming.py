@@ -151,6 +151,93 @@ def test_watermark_drops_late_events(spark, tmp_path):
     assert second == {win0: 1.0}
 
 
+def test_dedup_within_watermark_same_batch(spark, tmp_path):
+    """Duplicate keys arriving together are collapsed to one row."""
+    d = str(tmp_path / "dup")
+    schema = "event_id bigint, ts timestamp, value double"
+    spark.createDataFrame(
+        [(1, ts(0), 1.0), (1, ts(1), 1.0), (2, ts(2), 2.0)], schema
+    ).coalesce(1).write.parquet(d)
+    src = spark.readStream.schema(schema).parquet(d)
+    out = st.run_available_now(
+        st.dedup_within_watermark(src, ["event_id"]), output_mode="append"
+    )
+    assert sorted(r["event_id"] for r in out.collect()) == [1, 2]
+
+
+def test_dedup_within_watermark_across_restarts(spark, tmp_path):
+    """A re-delivery in a later run (at-least-once source) is dropped while
+    its first arrival is still within the watermark — state survives the
+    restart via the checkpoint."""
+    d = str(tmp_path / "dup2")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    schema = "event_id bigint, ts timestamp, value double"
+
+    def run_once():
+        src = spark.readStream.schema(schema).parquet(d)
+        q = (
+            st.dedup_within_watermark(src, ["event_id"], watermark="1 hour")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted(r["event_id"] for r in spark.read.parquet(sink).collect())
+
+    spark.createDataFrame([(1, ts(0), 1.0)], schema).coalesce(1).write.parquet(d)
+    assert run_once() == [1]
+    # the same event re-delivered (same key, event time within the watermark)
+    # plus one genuinely new event
+    spark.createDataFrame(
+        [(1, ts(0), 1.0), (2, ts(3), 2.0)], schema
+    ).coalesce(1).write.mode("append").parquet(d)
+    assert run_once() == [1, 2]  # no second copy of event 1
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream lookback join returns exactly the batch
+    inner-join rows when all data is on time."""
+    from pyspark.sql import functions as F
+
+    purchases = [(1, ts(30)), (2, ts(40))]
+    clicks = [
+        (1, ts(10)),  # within 30 min of purchase(1, :30)
+        (1, ts(31)),  # after the purchase → no match
+        (2, ts(5)),   # 35 min before purchase(2, :40) → outside lookback
+        (2, ts(39)),  # within
+    ]
+    pdir, cdir = str(tmp_path / "p"), str(tmp_path / "c")
+    pschema = "user_id bigint, l_ts timestamp"
+    cschema = "user_id bigint, r_ts timestamp"
+    spark.createDataFrame(purchases, pschema).coalesce(1).write.parquet(pdir)
+    spark.createDataFrame(clicks, cschema).coalesce(1).write.parquet(cdir)
+
+    ps = spark.readStream.schema(pschema).parquet(pdir)
+    cs = spark.readStream.schema(cschema).parquet(cdir)
+    joined = st.stream_stream_interval_join(ps, cs, lookback="30 minutes")
+    assert joined.isStreaming
+    got = sorted(
+        (r["user_id"], r["l_ts"].minute, r["r_ts"].minute)
+        for r in st.run_available_now(joined, output_mode="append").collect()
+    )
+    pb = spark.read.parquet(pdir)
+    cb = spark.read.parquet(cdir).withColumnRenamed("user_id", "c_user")
+    want = sorted(
+        (r["user_id"], r["l_ts"].minute, r["r_ts"].minute)
+        for r in pb.join(
+            cb,
+            (F.col("user_id") == F.col("c_user"))
+            & (F.col("r_ts") >= F.col("l_ts") - F.expr("INTERVAL 30 minutes"))
+            & (F.col("r_ts") <= F.col("l_ts")),
+        ).collect()
+    )
+    assert got == want and len(got) == 2
+
+
 def test_read_parquet_stream_converts_nanos_ts(spark, sf_dir, tmp_path):
     """The driver's events.parquet is TIMESTAMP(NANOS); with nanosAsLong
     pinned, a naive readStream would surface ts as bigint and watermarks
