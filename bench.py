@@ -70,6 +70,11 @@ HEADLINE = [
     "doc_chunks",
     "corpus_boilerplate_3gram",
     "orders_profile",
+    # analytic surface (round 2)
+    "events_pivot_by_type",
+    "orders_cube",
+    "order_price_distribution",
+    "customer_year_setops",
 ]
 
 

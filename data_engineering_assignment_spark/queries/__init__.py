@@ -45,5 +45,6 @@ def load_catalog() -> dict[str, Query]:
     from . import catalog_sources  # noqa: F401
     from . import catalog_llm  # noqa: F401
     from . import catalog_corpus  # noqa: F401
+    from . import catalog_analytics  # noqa: F401
 
     return REGISTRY

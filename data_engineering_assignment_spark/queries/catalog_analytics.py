@@ -1,0 +1,163 @@
+"""Analytic-surface queries rounding out the relational operator set:
+PIVOT, CUBE, distribution window functions (ntile / percent_rank /
+cume_dist), set operations (INTERSECT / EXCEPT), and fuzzy string matching
+(levenshtein). Every query is oracle-gated.
+
+Scale notes: the pivot passes its value list explicitly (no extra distinct
+scan to discover columns, and the output schema is fixed up front — at
+100 TB an implicit pivot is a full second pass over the fact table). The
+distribution windows partition by priority, so no global single-partition
+sort. The fuzzy join is a broadcast self-join over a dimension — levenshtein
+is O(len^2) per pair and belongs on small sides only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.aggregates import dround, dsum, o_dround, o_dsum
+from ..tables import load
+from . import register
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+_PIVOT_ORACLE = f"""
+SELECT hour(ts)::BIGINT AS hour_of_day,
+       {", ".join(f"SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END)::BIGINT AS {t}"
+                  for t in EVENT_TYPES)}
+FROM events
+GROUP BY 1
+"""
+
+
+@register(
+    "events_pivot_by_type",
+    oracle=_PIVOT_ORACLE,
+    doc="PIVOT: hour-of-day × event-type count matrix. The value list is "
+    "explicit, so Spark skips the distinct-discovery scan and the schema is "
+    "static; absent combinations are 0, not null.",
+)
+def events_pivot_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    pv = (
+        ev.groupBy(F.hour("ts").cast("long").alias("hour_of_day"))
+        .pivot("event_type", EVENT_TYPES)
+        .count()
+    )
+    return pv.fillna(0, subset=EVENT_TYPES)
+
+
+_CUBE_ORACLE = f"""
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_orders,
+       {o_dsum('o_totalprice', 'total')}
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+@register(
+    "orders_cube",
+    oracle=_CUBE_ORACLE,
+    doc="CUBE: all 2^2 grouping combinations of (status, priority) in one "
+    "pass — completes the ROLLUP/GROUPING SETS family (orders_rollup, "
+    "events_multi_rollup).",
+)
+def orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "total")
+    )
+
+
+_NTILE_ORACLE = f"""
+SELECT o_orderkey, o_orderpriority, o_totalprice,
+       NTILE(4) OVER w AS quartile,
+       {o_dround('PERCENT_RANK() OVER w', 6)} AS pct_rank,
+       {o_dround('CUME_DIST() OVER w', 6)} AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+"""
+
+
+@register(
+    "order_price_distribution",
+    oracle=_NTILE_ORACLE,
+    doc="Distribution window functions: per-priority price quartile "
+    "(ntile), percent_rank, cume_dist. The orderkey tie-break makes the "
+    "ordering total, so ranks are engine-independent; partitioning by "
+    "priority keeps every sort bounded (no global single-partition window).",
+)
+def order_price_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        dround(F.percent_rank().over(w), 6).alias("pct_rank"),
+        dround(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+_SETOPS_ORACLE = """
+WITH y96 AS (
+  SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+), y97 AS (
+  SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+)
+SELECT 'both' AS tag, o_custkey FROM (SELECT o_custkey FROM y96 INTERSECT SELECT o_custkey FROM y97)
+UNION ALL
+SELECT 'only_1996' AS tag, o_custkey FROM (SELECT o_custkey FROM y96 EXCEPT SELECT o_custkey FROM y97)
+"""
+
+
+@register(
+    "customer_year_setops",
+    oracle=_SETOPS_ORACLE,
+    doc="Set operations: customers ordering in both 1996 and 1997 "
+    "(INTERSECT) vs only 1996 (EXCEPT), tagged and unioned.",
+)
+def customer_year_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+
+    def year_keys(y: int) -> DataFrame:
+        return (
+            orders.filter(F.year("o_orderdate") == y)
+            .select("o_custkey")
+            .distinct()
+        )
+
+    y96, y97 = year_keys(1996), year_keys(1997)
+    both = y96.intersect(y97).select(F.lit("both").alias("tag"), "o_custkey")
+    only = y96.subtract(y97).select(F.lit("only_1996").alias("tag"), "o_custkey")
+    return both.unionByName(only)
+
+
+_FUZZY_ORACLE = """
+SELECT a.n_name AS name_a, b.n_name AS name_b,
+       levenshtein(a.n_name, b.n_name)::BIGINT AS dist
+FROM nation a JOIN nation b ON a.n_name < b.n_name
+WHERE levenshtein(a.n_name, b.n_name) <= 1
+"""
+
+
+@register(
+    "nation_name_fuzzy",
+    oracle=_FUZZY_ORACLE,
+    doc="Fuzzy string matching: near-identical nation-name pairs by "
+    "levenshtein edit distance (classic DP, integer-exact in any engine). "
+    "Broadcast self-join over the dimension — the O(len^2)-per-pair cost "
+    "stays off the fact tables.",
+)
+def nation_name_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load(spark, sf_dir, "nation").select("n_name")
+    a = n.withColumnRenamed("n_name", "name_a")
+    b = n.withColumnRenamed("n_name", "name_b")
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(F.broadcast(b), F.col("name_a") < F.col("name_b"))
+        .filter(dist <= 1)
+        .select("name_a", "name_b", dist.cast("long").alias("dist"))
+    )

@@ -67,6 +67,23 @@ def test_embedding_near_dup_is_fully_distributed(spark, sf_dir):
     assert "FlatMapGroupsInPandas" in plan
 
 
+def test_pivot_has_no_discovery_scan(spark, sf_dir):
+    """With an explicit value list, pivot must plan exactly one pass over
+    events — an implicit pivot adds a distinct-values collect first."""
+    df = build(spark, sf_dir, "events_pivot_by_type")
+    plan = plans.simple_plan(df)
+    assert plan.count("Scan parquet") == 1
+    assert plans.has_partial_aggregation(df)
+
+
+def test_fuzzy_join_broadcasts_dimension(spark, sf_dir):
+    # non-equi self-join on a dimension: broadcast nested loop, never a
+    # shuffled cartesian
+    plan = plans.simple_plan(build(spark, sf_dir, "nation_name_fuzzy"))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_partitioned_sink_prunes_partitions(spark, sf_dir, tmp_path):
     """write_parquet(partition_by=...) output must support partition pruning:
     a filter on the partition column shows up as PartitionFilters, not a
