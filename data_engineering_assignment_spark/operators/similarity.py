@@ -252,12 +252,135 @@ def cosine_pairs_blocked(
     )
 
 
+def _normed(m):
+    import numpy as np
+
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    return m / np.where(n == 0, 1.0, n)
+
+
+def _cell_mapper(b_cents, n_cells: int):
+    """mapInPandas factory: append the ``n_cells`` nearest-centroid indices
+    (cosine, best first) to each row of (id, vec) batches."""
+    import numpy as np
+
+    def mapper(batches):
+        cmat = b_cents.value
+        for pdf in batches:
+            block = np.array(pdf["vec"].tolist(), dtype=np.float64)
+            sims = _normed(block) @ cmat.T
+            cells = np.argsort(-sims, axis=1)[:, :n_cells]
+            out = pdf.loc[pdf.index.repeat(n_cells)].reset_index(drop=True)
+            out["cell"] = cells.reshape(-1)
+            yield out
+
+    return mapper
+
+
+_VEC_SCHEMA = "id bigint, vec array<double>, cell int"
+
+
+def _seed_centroids(prep: DataFrame, n_centroids: int):
+    """Deterministic corpus sample: the ``n_centroids`` rows with smallest
+    ``xxhash64(id)`` — uniform and seedless-reproducible."""
+    import numpy as np
+
+    rows = prep.orderBy(F.xxhash64(F.col("id")), F.col("id")).limit(n_centroids).collect()
+    return _normed(np.array([r["vec"] for r in rows], dtype=np.float64))
+
+
+def _farthest_point_seeds(prep: DataFrame, n_centroids: int, oversample: int = 16):
+    """Deterministic k-means++-style init: pull a hash-ordered sample of
+    ``oversample × n_centroids`` rows (bounded, never the corpus), then
+    greedily pick seeds by farthest-point (max-min cosine distance). A
+    plain uniform sample routinely drops two seeds into one cluster and
+    leaves another cluster unserved — Lloyd cannot split a merged cell, so
+    the init must spread; greedy max-min does, and stays bit-deterministic
+    (ties broken by sample order)."""
+    import numpy as np
+
+    sample = (
+        prep.orderBy(F.xxhash64(F.col("id")), F.col("id"))
+        .limit(max(256, oversample * n_centroids))
+        .collect()
+    )
+    pts = _normed(np.array([r["vec"] for r in sample], dtype=np.float64))
+    if len(pts) <= n_centroids:
+        return pts
+    chosen = [0]
+    # best_sim[i] = similarity of point i to its nearest chosen seed
+    best_sim = pts @ pts[0]
+    for _ in range(n_centroids - 1):
+        nxt = int(np.argmin(best_sim))  # farthest from every chosen seed
+        chosen.append(nxt)
+        best_sim = np.maximum(best_sim, pts @ pts[nxt])
+    return pts[chosen]
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Distributed Lloyd refinement of the IVF centroids (spherical-k-means
+    variant: cosine assignment, per-cell raw mean, renormalized each round).
+
+    Per iteration: one narrow assignment pass (broadcast centroids, numpy
+    argmax per batch) and one aggregation of (cell, dim, value) —
+    posexplode fans each row out ``dim``-fold, but the per-(cell, dim) sum
+    partial-aggregates map-side, so the shuffle carries at most
+    ``n_centroids × dim`` rows per task regardless of corpus size. Only the
+    k×dim centroid matrix ever reaches the driver. Dimension sums go
+    through the decimal detour, so centroids (and therefore every
+    downstream assignment) are independent of partitioning.
+
+    Returns the normalized (n_centroids × dim) numpy matrix; empty cells
+    keep their previous centroid.
+    """
+    import numpy as np
+
+    from .aggregates import DEC
+
+    spark = corpus.sparkSession
+    prep = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vec")
+    )
+    cents = _farthest_point_seeds(prep, n_centroids)
+    for _ in range(n_iter):
+        b = spark.sparkContext.broadcast(cents)
+        assigned = prep.mapInPandas(_cell_mapper(b, 1), _VEC_SCHEMA)
+        stats = (
+            assigned.select("cell", F.posexplode("vec").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(
+                F.sum(F.col("val").cast(DEC)).cast("double").alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        new = cents.copy()
+        by_cell: dict[int, list] = {}
+        for r in stats:
+            by_cell.setdefault(r["cell"], []).append(r)
+        for cell, rs in by_cell.items():
+            vec = np.zeros(cents.shape[1])
+            for r in rs:
+                vec[r["pos"]] = r["s"] / r["n"]
+            new[cell] = vec
+        cents = _normed(new)
+        b.unpersist()
+    return cents
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
     n_centroids: int = 16,
     n_probe: int = 4,
+    n_iter: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = 4,
@@ -266,57 +389,32 @@ def ivf_topk(
     inverted lists by nearest centroid; each query scores only its ``n_probe``
     nearest lists.
 
-    Centroids are a deterministic sample of the corpus (the ``n_centroids``
-    rows with smallest ``xxhash64(id)`` — uniform and seedless-reproducible),
-    broadcast to executors; assignment is one numpy pass per partition. The
+    Centroids start as a deterministic corpus sample and are optionally
+    refined with ``n_iter`` distributed Lloyd iterations
+    (:func:`kmeans_centroids`) — data-adaptive cells concentrate each
+    cluster into fewer lists, buying recall at fixed ``n_probe``. The
     candidate join is an equi-join on cell id — the same linear-scale shape
-    as LSH bucketing, but with data-adaptive cells (better recall on
-    clustered corpora). Recall is tuned by ``n_probe``/``n_centroids``.
+    as LSH bucketing. Recall is tuned by ``n_probe``/``n_centroids``/
+    ``n_iter``.
     """
-    import numpy as np
-    import pandas as pd
-
     spark = corpus.sparkSession
-    cent_rows = (
-        corpus.select(id_col, vec_col)
-        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
-        .limit(n_centroids)
-        .collect()
-    )
-    cents = np.array([r[1] for r in cent_rows], dtype=np.float64)
-    cn = np.linalg.norm(cents, axis=1, keepdims=True)
-    b_cents = spark.sparkContext.broadcast(cents / np.where(cn == 0, 1.0, cn))
-
-    def assign(n_cells: int):
-        def mapper(batches):
-            cmat = b_cents.value
-
-            def cells_of(block: np.ndarray) -> np.ndarray:
-                bn = np.linalg.norm(block, axis=1, keepdims=True)
-                sims = (block / np.where(bn == 0, 1.0, bn)) @ cmat.T
-                # top n_cells centroid indices per row, best first
-                return np.argsort(-sims, axis=1)[:, :n_cells]
-
-            for pdf in batches:
-                block = np.array(pdf["vec"].tolist(), dtype=np.float64)
-                cells = cells_of(block)
-                out = pdf.loc[pdf.index.repeat(n_cells)].reset_index(drop=True)
-                out["cell"] = cells.reshape(-1)
-                yield out
-
-        return mapper
-
     c_prep = corpus.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vec")
     )
     q_prep = queries.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vec")
     )
-    schema = "id bigint, vec array<double>, cell int"
-    assigned = c_prep.mapInPandas(assign(1), schema).select(
+    if n_iter > 0:
+        cents = kmeans_centroids(
+            corpus, n_centroids, n_iter, id_col=id_col, vec_col=vec_col
+        )
+    else:
+        cents = _seed_centroids(c_prep, n_centroids)
+    b_cents = spark.sparkContext.broadcast(cents)
+    assigned = c_prep.mapInPandas(_cell_mapper(b_cents, 1), _VEC_SCHEMA).select(
         F.col("id").alias("neighbor_id"), F.col("vec").alias("c_vec"), "cell"
     )
-    probed = q_prep.mapInPandas(assign(n_probe), schema).select(
+    probed = q_prep.mapInPandas(_cell_mapper(b_cents, n_probe), _VEC_SCHEMA).select(
         F.col("id").alias("query_id"), F.col("vec").alias("q_vec"), "cell"
     )
     scored = assigned.join(F.broadcast(probed), on="cell").filter(

@@ -131,15 +131,16 @@ def image_color_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "cosine_topk_ivf",
     oracle=None,  # approximate — recall-tested vs exact in tests/test_similarity.py
-    doc="Additive similarity search, IVF variant: sampled-centroid inverted "
-    "lists, n_probe cells per query, candidate join + window top-k.",
+    doc="Additive similarity search, IVF variant: inverted lists from "
+    "2 distributed Lloyd iterations (spherical k-means), n_probe cells per "
+    "query, candidate join + window top-k.",
 )
 def cosine_topk_ivf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import ivf_topk
 
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=4)
+    return ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=4, n_iter=2)
 
 
 _NEAR_DUP_ORACLE = """

@@ -148,3 +148,60 @@ def test_ivf_topk_recall_vs_exact(spark):
     for r in approx_rows:
         per_q.setdefault(r["query_id"], []).append(r["rnk"])
     assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
+
+
+def _clustered_corpus(spark, n_clusters=4, per_cluster=50, dim=16, spread=0.05):
+    """Well-separated clusters: orthogonal axis centers + small noise."""
+    import math
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for c in range(n_clusters):
+        center = [1.0 if i == c else 0.0 for i in range(dim)]
+        for j in range(per_cluster):
+            v = [center[i] + rng.gauss(0, spread) for i in range(dim)]
+            n = math.sqrt(sum(x * x for x in v))
+            rows.append((c * per_cluster + j, [x / n for x in v], c))
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<double>, cl int")
+
+
+def test_kmeans_centroids_find_clusters(spark):
+    """Two Lloyd iterations on a well-separated corpus must land one
+    centroid near each true cluster center (cosine > 0.95) — and the result
+    must be partitioning-independent (decimal-detour dimension sums)."""
+    import numpy as np
+
+    from data_engineering_assignment_spark.operators.similarity import kmeans_centroids
+
+    df = _clustered_corpus(spark)
+    cents = kmeans_centroids(df, n_centroids=4, n_iter=2)
+    axes = np.eye(16)[:4]
+    # every true center is captured by some centroid
+    best = (cents @ axes.T).max(axis=0)
+    assert (best > 0.95).all()
+    again = kmeans_centroids(df.repartition(7), n_centroids=4, n_iter=2)
+    assert np.allclose(cents, again)
+
+
+def test_ivf_lloyd_refinement_recall(spark):
+    """With data-adaptive (refined) cells and 1-cell probing on clustered
+    data, IVF recall vs exact must be near-total — each cluster collapses
+    into one inverted list."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_assignment_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+    )
+
+    df = _clustered_corpus(spark).select("vec_id", "embedding")
+    queries = df.filter(F.col("vec_id") % 50 == 0)  # one per cluster
+    exact = {
+        (r["query_id"], r["neighbor_id"]) for r in cosine_topk(df, queries, k=3).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(df, queries, k=3, n_centroids=4, n_probe=1, n_iter=2).collect()
+    }
+    assert len(exact & approx) / len(exact) >= 0.9
