@@ -75,6 +75,7 @@ HEADLINE = [
     "orders_cube",
     "order_price_distribution",
     "customer_year_setops",
+    "orders_cdc_apply",
 ]
 
 

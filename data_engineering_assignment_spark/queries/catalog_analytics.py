@@ -135,6 +135,62 @@ def customer_year_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return both.unionByName(only)
 
 
+_CDC_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice, -1 AS seq, 'I' AS op FROM orders
+), upd AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice * 1.1 AS o_totalprice, 1 AS seq, 'U' AS op
+  FROM orders WHERE o_orderkey % 7 = 3
+), del AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice, 2 AS seq, 'D' AS op
+  FROM orders WHERE o_orderkey % 37 = 5
+), merged AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+  FROM (SELECT * FROM base UNION ALL SELECT * FROM upd UNION ALL SELECT * FROM del)
+)
+SELECT o_orderkey, o_orderstatus,
+       ROUND(CAST(o_totalprice AS DECIMAL(27,8)), 2)::DOUBLE AS totalprice
+FROM merged WHERE rn = 1 AND op <> 'D'
+"""
+
+
+@register(
+    "orders_cdc_apply",
+    oracle=_CDC_ORACLE,
+    doc="CDC / MERGE INTO: fold an upsert+delete change stream into the "
+    "orders snapshot with latest-wins semantics (operators/cdc.py). The "
+    "change set is derived deterministically from orders itself (every 7th "
+    "key re-priced +10%, every 37th deleted; overlaps exercise the "
+    "sequence ordering). One merge-key shuffle, no driver involvement.",
+)
+def orders_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cdc import apply_changes
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    upd = orders.filter(F.col("o_orderkey") % 7 == 3).select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.col("o_totalprice") * 1.1).alias("o_totalprice"),
+        F.lit(1).alias("seq"),
+        F.lit("U").alias("op"),
+    )
+    dele = orders.filter(F.col("o_orderkey") % 37 == 5).select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.lit(2).alias("seq"),
+        F.lit("D").alias("op"),
+    )
+    merged = apply_changes(orders, upd.unionByName(dele), ["o_orderkey"])
+    return merged.select(
+        "o_orderkey",
+        "o_orderstatus",
+        dround(F.col("o_totalprice"), 2).alias("totalprice"),
+    )
+
+
 _FUZZY_ORACLE = """
 SELECT a.n_name AS name_a, b.n_name AS name_b,
        levenshtein(a.n_name, b.n_name)::BIGINT AS dist

@@ -96,3 +96,62 @@ def test_league_invariants_on_random_seasons(spark, matches):
     for r in table:
         assert r["wins"] + r["draws"] + r["losses"] == r["games"]
         assert r["points"] == 3 * r["wins"] + r["draws"]
+
+
+cdc_changes = st.lists(
+    st.tuples(
+        st.integers(0, 6),                      # key
+        st.sampled_from(["U", "D"]),            # op
+        st.floats(-100, 100, allow_nan=False),  # new value
+    ),
+    min_size=1,
+    max_size=15,
+)
+
+
+@settings(**SETTINGS)
+@given(cdc_changes)
+def test_apply_changes_matches_dict_model(spark, ops):
+    from data_engineering_assignment_spark.operators.cdc import apply_changes
+
+    base_rows = [(k, float(k) * 10.0) for k in range(4)]
+    base = spark.createDataFrame(base_rows, "k bigint, v double")
+    # distinct seqs via enumeration → fully deterministic latest-wins
+    chg_rows = [(k, v, i, op) for i, (k, op, v) in enumerate(ops)]
+    changes = spark.createDataFrame(chg_rows, "k bigint, v double, seq int, op string")
+    got = {r["k"]: r["v"] for r in apply_changes(base, changes, ["k"]).collect()}
+
+    model = dict(base_rows)
+    for k, op, v in ops:  # ops are already in ascending-seq order
+        if op == "D":
+            model.pop(k, None)
+        else:
+            model[k] = v
+    assert got == model
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.floats(-1e6, 1e6, allow_nan=False, allow_infinity=False),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_dround_matches_duckdb(spark, values):
+    """The decimal-detour rounding must agree with its oracle twin
+    (o_dround) bit-for-bit — the exact midpoint cases plain F.round gets
+    wrong are fair game for hypothesis to find."""
+    import duckdb
+
+    from data_engineering_assignment_spark.operators.aggregates import dround
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(values)], "i int, x double")
+    got = {r["i"]: r["r"] for r in df.select("i", dround(F.col("x"), 4).alias("r")).collect()}
+    con = duckdb.connect()
+    for i, v in enumerate(values):
+        want = con.execute(
+            "SELECT ROUND(CAST(? AS DECIMAL(27,8)), 4)::DOUBLE", [v]
+        ).fetchone()[0]
+        assert got[i] == want, (v, got[i], want)
