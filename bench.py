@@ -76,6 +76,8 @@ HEADLINE = [
     "order_price_distribution",
     "customer_year_setops",
     "orders_cdc_apply",
+    "user_state_scd2",
+    "daily_conversion_funnel",
 ]
 
 

@@ -135,6 +135,99 @@ def customer_year_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return both.unionByName(only)
 
 
+_SCD2_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_id, event_type, (epoch_ms(ts) // 1000)::BIGINT AS ts_s
+  FROM events
+), ch AS (
+  SELECT *, LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts_s, event_id) AS prev
+  FROM e
+)
+SELECT user_id, event_type, ts_s AS valid_from,
+       LEAD(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id) AS valid_to
+FROM ch
+WHERE prev IS NULL OR prev <> event_type
+"""
+
+
+@register(
+    "user_state_scd2",
+    oracle=_SCD2_ORACLE,
+    doc="SCD-2 dimension build: collapse each user's event stream into "
+    "validity intervals of their current event_type (valid_from/valid_to, "
+    "NULL = current). lag finds the change points, lead closes the "
+    "intervals — both windows share the user partitioning, so the plan is "
+    "ONE shuffle with two sorts.",
+)
+def user_state_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_timestamp("ts").alias("ts_s")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    changed = ev.withColumn("prev", F.lag("event_type").over(w)).filter(
+        F.col("prev").isNull() | (F.col("prev") != F.col("event_type"))
+    )
+    return changed.select(
+        "user_id",
+        "event_type",
+        F.col("ts_s").alias("valid_from"),
+        F.lead("ts_s").over(w).alias("valid_to"),
+    )
+
+
+_FUNNEL_ORACLE = """
+WITH e AS (
+  SELECT user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS d, event_type,
+         (epoch_ms(ts) // 1000)::BIGINT AS ts_s
+  FROM events
+), w AS (
+  SELECT *, MIN(CASE WHEN event_type = 'view' THEN ts_s END)
+              OVER (PARTITION BY user_id, d) AS first_view
+  FROM e
+)
+SELECT d,
+       COUNT(DISTINCT user_id) AS n_users,
+       COUNT(DISTINCT CASE WHEN first_view IS NOT NULL THEN user_id END) AS n_viewers,
+       COUNT(DISTINCT CASE WHEN event_type = 'purchase' AND ts_s >= first_view
+                           THEN user_id END) AS n_converted
+FROM w
+GROUP BY d
+"""
+
+
+@register(
+    "daily_conversion_funnel",
+    oracle=_FUNNEL_ORACLE,
+    doc="Event funnel: per day, users who viewed and users who purchased "
+    "at-or-after their first view that day. One (user, day) analytic min "
+    "+ one day-keyed distinct aggregation.",
+)
+def daily_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.to_date("ts").cast("string").alias("d"),
+        "event_type",
+        F.unix_timestamp("ts").alias("ts_s"),
+    )
+    first_view = F.min(
+        F.when(F.col("event_type") == "view", F.col("ts_s"))
+    ).over(Window.partitionBy("user_id", "d"))
+    env = ev.withColumn("first_view", first_view)
+    return env.groupBy("d").agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.count_distinct(
+            F.when(F.col("first_view").isNotNull(), F.col("user_id"))
+        ).alias("n_viewers"),
+        F.count_distinct(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts_s") >= F.col("first_view")),
+                F.col("user_id"),
+            )
+        ).alias("n_converted"),
+    )
+
+
 _CDC_ORACLE = """
 WITH base AS (
   SELECT o_orderkey, o_orderstatus, o_totalprice, -1 AS seq, 'I' AS op FROM orders

@@ -84,6 +84,12 @@ def test_fuzzy_join_broadcasts_dimension(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_scd2_is_single_shuffle(spark, sf_dir):
+    # lag (change detection) and lead (interval close) share the user
+    # partitioning — the exchange must be reused, not repeated
+    assert plans.count_shuffles(build(spark, sf_dir, "user_state_scd2")) == 1
+
+
 def test_partitioned_sink_prunes_partitions(spark, sf_dir, tmp_path):
     """write_parquet(partition_by=...) output must support partition pruning:
     a filter on the partition column shows up as PartitionFilters, not a
