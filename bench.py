@@ -78,6 +78,8 @@ HEADLINE = [
     "orders_cdc_apply",
     "user_state_scd2",
     "daily_conversion_funnel",
+    "event_value_trend",
+    "training_corpus_build",
 ]
 
 

@@ -135,6 +135,65 @@ def customer_year_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return both.unionByName(only)
 
 
+_TREND_ORACLE = """
+WITH e AS (
+  SELECT event_type,
+         (epoch_ms(ts) // 3600000)::BIGINT AS xh,
+         value
+  FROM events
+), s AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         SUM(CAST(xh AS DECIMAL(27,6)))::DOUBLE AS sx,
+         SUM(CAST(value AS DECIMAL(27,6)))::DOUBLE AS sy,
+         SUM(CAST(xh * value AS DECIMAL(27,6)))::DOUBLE AS sxy,
+         SUM(CAST(xh * xh AS DECIMAL(27,6)))::DOUBLE AS sxx
+  FROM e
+  GROUP BY event_type
+)
+SELECT event_type, n,
+       ROUND(CAST((n * sxy - sx * sy) / (n * sxx - sx * sx) AS DECIMAL(27,8)), 6)::DOUBLE AS slope,
+       ROUND(CAST((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n AS DECIMAL(27,8)), 6)::DOUBLE AS intercept
+FROM s
+"""
+
+
+@register(
+    "event_value_trend",
+    oracle=_TREND_ORACLE,
+    doc="Per-group OLS trend (regr_slope/regr_intercept semantics) of event "
+    "value against hour index, via the closed-form normal equations over "
+    "decimal-exact sums — a streaming-aggregable single pass, bit-identical "
+    "at any partitioning (the built-in covar/var aggregates accumulate "
+    "doubles in partition order and cannot be oracle-gated exactly).",
+)
+def event_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.aggregates import DEC
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        (F.unix_timestamp("ts").cast("long") / F.lit(3600)).cast("long").alias("xh"),
+        "value",
+    )
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("xh").cast(DEC)).cast("double").alias("sx"),
+        F.sum(F.col("value").cast(DEC)).cast("double").alias("sy"),
+        F.sum((F.col("xh") * F.col("value")).cast(DEC)).cast("double").alias("sxy"),
+        F.sum((F.col("xh") * F.col("xh")).cast(DEC)).cast("double").alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    return s.select(
+        "event_type",
+        "n",
+        dround(slope, 6).alias("slope"),
+        dround(intercept, 6).alias("intercept"),
+    )
+
+
 _SCD2_ORACLE = """
 WITH e AS (
   SELECT user_id, event_id, event_type, (epoch_ms(ts) // 1000)::BIGINT AS ts_s

@@ -192,6 +192,59 @@ def seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(docs, 2048).select("doc_id", "lang", "n_tokens", "pack_id")
 
 
+_STOP_SQL = "('a','the','of','and','to','in','is','it')"
+
+_CORPUS_BUILD_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, source, text, string_split(text, ' ') AS toks FROM documents
+), q AS (
+  SELECT doc_id, source, text,
+         ROUND(CAST(LEAST(1.0, CAST(len(toks) AS DOUBLE) / 100.0)
+                    * LEAST(1.0, ROUND(CAST(CAST(len(list_filter(toks, x -> x IN {_STOP_SQL})) AS DOUBLE)
+                                            / CAST(len(toks) AS DOUBLE) AS DECIMAL(27,8)), 4)::DOUBLE * 10.0)
+                    AS DECIMAL(27,8)), 4)::DOUBLE AS quality
+  FROM t
+), survivors AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM q
+)
+SELECT doc_id, source, quality
+FROM survivors
+WHERE rn = 1
+  AND quality >= 0.3
+  AND {_o_rhash('text')} % 100 < 50
+"""
+
+
+@register(
+    "training_corpus_build",
+    oracle=_CORPUS_BUILD_ORACLE,
+    doc="LLM-prep pipeline composition, end to end: quality scoring → "
+    "quality gate → exact-dedup survivor selection (first doc per content "
+    "fingerprint) → deterministic 50% hash sample. One narrow stats pass, "
+    "one fingerprint-keyed window, one narrow sample filter — the shape of "
+    "a production corpus build, stacked from the individually-proven "
+    "operators.",
+)
+def training_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.llmprep import hash_bucket
+    from ..operators.text import fingerprint, with_text_stats
+
+    docs = load(spark, sf_dir, "documents")
+    stats = with_text_stats(docs).select("doc_id", "source", "text", "quality")
+    w = Window.partitionBy(fingerprint("text")).orderBy("doc_id")
+    return (
+        stats.withColumn("rn", F.row_number().over(w))
+        .filter(
+            (F.col("rn") == 1)
+            & (F.col("quality") >= 0.3)
+            & (hash_bucket("text") < 50)
+        )
+        .select("doc_id", "source", "quality")
+    )
+
+
 _REP_ORACLE = """
 WITH tok AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
