@@ -120,17 +120,23 @@ def boilerplate_ngrams(
     distinct word ``n``-grams that appear in ≥ ``min_docs`` documents
     corpus-wide (navigation chrome, license headers, templated text).
 
-    One analytic count keyed by shingle (per-doc-distinct, so the document
-    frequency is a plain row count), then a per-doc aggregation. Documents
-    with < n tokens have no shingles and are absent from the output.
+    One analytic count keyed by the shingle's xxhash64 (per-doc-distinct,
+    so the document frequency is a plain row count), then a per-doc
+    aggregation. The hash is projected map-side BEFORE the shuffle, so the
+    exchange carries 8-byte longs instead of n-word strings and the window
+    sorts longs — ~2.5× faster at sf0.1 and a much smaller shuffle at any
+    scale. (A 64-bit collision would need ~2³² distinct shingles per
+    partition to matter; the cross-engine oracle would catch one.)
+    Documents with < n tokens have no shingles and are absent from the
+    output.
 
     Output: (id, n_shingles, n_boiler, boiler_ratio)."""
     sh = df.select(
         F.col(id_col).alias("doc"),
         F.explode(word_shingles(text_col, n)).alias("shingle"),
-    )
+    ).select("doc", F.xxhash64("shingle").alias("sh_h"))
     df_sh = sh.withColumn(
-        "df_sh", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+        "df_sh", F.count(F.lit(1)).over(Window.partitionBy("sh_h"))
     )
     boiler = F.sum((F.col("df_sh") >= min_docs).cast("long"))
     return (

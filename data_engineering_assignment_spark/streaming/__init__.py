@@ -237,6 +237,39 @@ def stateful_user_totals(
     )
 
 
+def cdc_snapshot_sink(
+    changes: DataFrame,
+    snapshot_path: str,
+    keys: list[str],
+    seq_col: str = "seq",
+    op_col: str = "op",
+):
+    """Maintain a parquet snapshot from a CDC change stream: every
+    micro-batch folds into the snapshot via ``operators.cdc.apply_changes``
+    (latest-wins upserts + deletes). The lakehouse ``MERGE INTO``-from-a-
+    stream pattern without a table format.
+
+    The merged frame is eagerly materialized (``localCheckpoint``) before
+    the overwrite — the merge reads the same path it rewrites, and a lazy
+    plan would scan files mid-delete. Plain parquet overwrite is not atomic
+    for concurrent readers; production deployments point this at a
+    transactional table format and replace the write with its MERGE. Batch
+    cost is one merge-key shuffle over |snapshot| + |batch|.
+
+    Returns a ``DataStreamWriter`` — caller adds trigger/checkpoint and
+    ``.start()``."""
+    from ..operators.cdc import apply_changes
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        base = spark.read.parquet(snapshot_path)
+        merged = apply_changes(base, batch_df, keys, seq_col, op_col)
+        merged = merged.localCheckpoint(eager=True)
+        merged.write.mode("overwrite").parquet(snapshot_path)
+
+    return changes.writeStream.foreachBatch(apply_batch)
+
+
 def run_available_now(
     df: DataFrame, output_mode: str = "complete", query_name: str | None = None
 ) -> DataFrame:

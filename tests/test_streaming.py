@@ -238,6 +238,70 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     assert got == want and len(got) == 2
 
 
+def test_stream_static_broadcast_join_matches_batch(spark, events_path):
+    """Streaming enrichment with a static dimension (broadcast): the
+    stream side never shuffles, and results equal the batch join."""
+    from pyspark.sql import functions as F
+
+    dim = spark.createDataFrame(
+        [("a", 10.0), ("b", 100.0)], "event_type string, weight double"
+    )
+    stream = st.read_parquet_stream(spark, events_path)
+    enriched = (
+        stream.join(F.broadcast(dim), "event_type")
+        .groupBy("user_id")
+        .agg(F.sum(F.col("value") * F.col("weight")).alias("wsum"))
+    )
+    got = {
+        r["user_id"]: r["wsum"]
+        for r in st.run_available_now(enriched, output_mode="complete").collect()
+    }
+    want = {
+        r["user_id"]: r["wsum"]
+        for r in spark.read.parquet(events_path)
+        .join(dim, "event_type")
+        .groupBy("user_id")
+        .agg(F.sum(F.col("value") * F.col("weight")).alias("wsum"))
+        .collect()
+    }
+    assert got == want and len(got) == 2
+
+
+def test_cdc_snapshot_sink_applies_change_stream(spark, tmp_path):
+    """foreachBatch CDC: a change stream folds into a parquet snapshot with
+    latest-wins semantics, across two checkpointed availableNow runs."""
+    snap = str(tmp_path / "snap")
+    chg = str(tmp_path / "chg")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "k bigint, s string, v double"
+    ).coalesce(1).write.parquet(snap)
+    cschema = "k bigint, s string, v double, seq int, op string"
+
+    def run_once():
+        src = spark.readStream.schema(cschema).parquet(chg)
+        q = (
+            st.cdc_snapshot_sink(src, snap, ["k"])
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            r["k"]: (r["s"], r["v"]) for r in spark.read.parquet(snap).collect()
+        }
+
+    spark.createDataFrame(
+        [(2, "b2", 21.0, 1, "U"), (3, "c", 30.0, 2, "U")], cschema
+    ).coalesce(1).write.parquet(chg)
+    assert run_once() == {1: ("a", 10.0), 2: ("b2", 21.0), 3: ("c", 30.0)}
+    # second batch: delete key 1, update key 3 — only NEW files are applied
+    spark.createDataFrame(
+        [(1, "a", 10.0, 3, "D"), (3, "c2", 31.0, 4, "U")], cschema
+    ).coalesce(1).write.mode("append").parquet(chg)
+    assert run_once() == {2: ("b2", 21.0), 3: ("c2", 31.0)}
+
+
 def test_read_parquet_stream_converts_nanos_ts(spark, sf_dir, tmp_path):
     """The driver's events.parquet is TIMESTAMP(NANOS); with nanosAsLong
     pinned, a naive readStream would surface ts as bigint and watermarks
