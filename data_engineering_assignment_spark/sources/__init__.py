@@ -37,10 +37,32 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
-def read_jsonl(spark: SparkSession, path: str, schema: StructType | None = None) -> DataFrame:
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | None = None,
+    corrupt_col: str | None = None,
+) -> DataFrame:
     """S6: JSON Lines scan; schema optional (inference costs an extra pass,
-    :711 — pass one in production)."""
+    :711 — pass one in production).
+
+    ``corrupt_col`` opts into quarantine-style ingestion: malformed lines
+    land intact in that column (PERMISSIVE mode) instead of silently
+    nulling out or failing the job — filter on it to split clean rows from
+    a dead-letter stream. Requires an explicit ``schema`` (the column must
+    be declared; with inference Spark would widen every field to string)."""
     reader = spark.read
+    if corrupt_col is not None:
+        if schema is None:
+            raise ValueError("corrupt_col requires an explicit schema")
+        from pyspark.sql.types import StringType, StructField
+
+        schema = StructType(
+            [*schema.fields, StructField(corrupt_col, StringType(), True)]
+        )
+        reader = reader.option("mode", "PERMISSIVE").option(
+            "columnNameOfCorruptRecord", corrupt_col
+        )
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(path)
