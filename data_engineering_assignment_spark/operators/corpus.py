@@ -156,7 +156,9 @@ def boilerplate_ngrams(
     )
 
 
-def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+def profile_table(
+    df: DataFrame, columns: list[str] | None = None, exact: bool = True
+) -> DataFrame:
     """Ingest-QA profile: one row per column with row/null/distinct counts.
 
     Single scan: all counts evaluate in one aggregation, then the one result
@@ -167,10 +169,11 @@ def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
 
     Output: (column_name, n_rows, n_nulls, n_distinct)."""
     columns = columns or df.columns
+    distinct = F.count_distinct if exact else F.approx_count_distinct
     aggs = [F.count(F.lit(1)).alias("_rows")]
     for c in columns:
         aggs.append(F.count(c).alias(f"_nn_{c}"))
-        aggs.append(F.count_distinct(c).alias(f"_nd_{c}"))
+        aggs.append(distinct(c).alias(f"_nd_{c}"))
     one = df.agg(*aggs)
     stacked = F.explode(
         F.array(

@@ -84,6 +84,29 @@ def local_rows(spark: SparkSession, rows: list, schema) -> DataFrame:
     return spark.createDataFrame(rows, schema)
 
 
+def write_sorted_parquet(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    n_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Clustered layout sink: range-partition on ``sort_cols`` then sort
+    within each partition before writing. Every output file then covers a
+    disjoint key range, so parquet min/max statistics prune whole files /
+    row groups on key predicates — the single-key-prefix version of
+    clustering a 100 TB table for scan locality. (Partition-value
+    directories — ``write_parquet(partition_by=...)`` — prune on LOW-
+    cardinality columns; range-clustering handles the high-cardinality
+    keys a directory per value would shatter.)"""
+    part = (
+        df.repartitionByRange(n_files, *sort_cols)
+        if n_files
+        else df.repartitionByRange(*sort_cols)
+    )
+    part.sortWithinPartitions(*sort_cols).write.mode(mode).parquet(path)
+
+
 def write_parquet(
     df: DataFrame, path: str, partition_by: list[str] | None = None, mode: str = "overwrite"
 ) -> None:

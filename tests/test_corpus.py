@@ -92,3 +92,23 @@ def test_repetition_and_chunks_are_narrow(spark):
     for frame in (token_chunks(df), repetition_stats(df)):
         plan = frame._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
+
+
+def test_token_chunks_cover_every_token(spark):
+    """Property: with stride <= size every token index lands in >= 1 chunk,
+    and consecutive chunks overlap by exactly size - stride (except the
+    tail)."""
+    texts = [" ".join(f"t{j}" for j in range(n)) for n in (1, 2, 47, 48, 49, 64, 100, 200)]
+    df = docs(spark, list(enumerate(texts)))
+    out = token_chunks(df, size=64, stride=48).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append((r["chunk_id"], r["n_chunk_tokens"]))
+    for i, text in enumerate(texts):
+        n = len(text.split(" "))
+        chunks = sorted(by_doc[i])
+        # chunk c starts at 48*c; union of [start, start+len) must cover [0, n)
+        covered = set()
+        for cid, clen in chunks:
+            covered.update(range(48 * cid, 48 * cid + clen))
+        assert covered == set(range(n)), (i, n, chunks)

@@ -51,3 +51,52 @@ def test_parquet_merge_schema_evolution(spark, tmp_path):
     assert set(merged.columns) == {"id", "s", "score"}
     rows = {r["id"]: r["score"] for r in merged.collect()}
     assert rows == {1: None, 2: 9.5}
+
+
+def test_sorted_parquet_files_cover_disjoint_ranges(spark, sf_dir, tmp_path):
+    """write_sorted_parquet must produce files whose key ranges do not
+    overlap — the property that lets parquet min/max stats prune whole
+    files on key predicates at scale."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from data_engineering_assignment_spark.tables import load
+
+    out = str(tmp_path / "orders_sorted")
+    sources.write_sorted_parquet(
+        load(spark, sf_dir, "orders"), out, ["o_orderkey"], n_files=4
+    )
+    ranges = []
+    for f in glob.glob(f"{out}/*.parquet"):
+        md = pq.read_metadata(f)
+        idx = md.schema.names.index("o_orderkey")
+        lo = min(md.row_group(i).column(idx).statistics.min for i in range(md.num_row_groups))
+        hi = max(md.row_group(i).column(idx).statistics.max for i in range(md.num_row_groups))
+        ranges.append((lo, hi))
+    assert len(ranges) >= 2
+    ranges.sort()
+    for (a_lo, a_hi), (b_lo, b_hi) in zip(ranges, ranges[1:]):
+        assert a_hi < b_lo  # strictly disjoint, no interleaving
+    # and the clustered copy is read-identical to the source
+    n = spark.read.parquet(out).count()
+    assert n == load(spark, sf_dir, "orders").count()
+
+
+def test_profile_approx_variant_avoids_expand(spark, sf_dir):
+    """Exact multi-column count_distinct plans an Expand (rows x columns);
+    the approx variant must not — that is its reason to exist at scale."""
+    from data_engineering_assignment_spark import plans
+    from data_engineering_assignment_spark.operators.corpus import profile_table
+    from data_engineering_assignment_spark.tables import load
+
+    orders = load(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    assert "Expand" in plans.simple_plan(profile_table(orders, cols))
+    approx = profile_table(orders, cols, exact=False)
+    assert "Expand" not in plans.simple_plan(approx)
+    got = {r["column_name"]: r for r in approx.collect()}
+    exact = {r["column_name"]: r for r in profile_table(orders, cols).collect()}
+    for c in cols:  # HLL estimates within a loose band of truth
+        assert abs(got[c]["n_distinct"] - exact[c]["n_distinct"]) <= 0.1 * exact[c]["n_distinct"] + 5
+        assert got[c]["n_nulls"] == exact[c]["n_nulls"]
