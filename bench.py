@@ -80,6 +80,9 @@ HEADLINE = [
     "daily_conversion_funnel",
     "event_value_trend",
     "training_corpus_build",
+    "regional_revenue",
+    "shipping_priority_top10",
+    "above_nation_avg_customers",
 ]
 
 

@@ -650,3 +650,122 @@ def doc_path_format(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("signed_concat"),
         F.format_string("%+d", gd).alias("signed_fmt"),
     )
+
+
+_REGIONAL_REVENUE_ORACLE = f"""
+SELECT n.n_name,
+       {o_dsum('l.l_extendedprice * (1 - l.l_discount)', 'revenue')}
+FROM lineitem l
+JOIN orders o    ON l.l_orderkey = o.o_orderkey
+JOIN customer c  ON o.o_custkey = c.c_custkey
+JOIN supplier s  ON l.l_suppkey = s.s_suppkey AND s.s_nationkey = c.c_nationkey
+JOIN nation n    ON c.c_nationkey = n.n_nationkey
+JOIN region r    ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA' AND year(o.o_orderdate) = 1996
+GROUP BY n.n_name
+"""
+
+
+@register(
+    "regional_revenue",
+    oracle=_REGIONAL_REVENUE_ORACLE,
+    doc="TPC-H Q5 shape: six-way join (lineitem-orders-customer-supplier-"
+    "nation-region) with local supply (supplier nation = customer nation), "
+    "one big shuffle join (lineitem-orders) and broadcast everything else. "
+    "The join-order/broadcast decisions are Catalyst's — declared, not "
+    "hand-scheduled.",
+)
+def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1996)
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey),
+        )
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")), "revenue"
+            )
+        )
+    )
+
+
+_SHIP_PRIORITY_ORACLE = f"""
+SELECT l.l_orderkey,
+       (epoch_ms(o.o_orderdate) // 1000)::BIGINT AS order_epoch,
+       o.o_orderpriority,
+       {o_dsum('l.l_extendedprice * (1 - l.l_discount)', 'revenue')}
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-06-01'
+  AND l.l_shipdate  > TIMESTAMP '1998-06-01'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, l.l_orderkey
+LIMIT 10
+"""
+
+
+@register(
+    "shipping_priority_top10",
+    oracle=_SHIP_PRIORITY_ORACLE,
+    doc="TPC-H Q3 shape: segment-filtered three-way join, grouped revenue, "
+    "global top-10 by revenue (orderkey tie-break → deterministic set; "
+    "plans as TakeOrderedAndProject, not a full sort).",
+)
+def shipping_priority_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = F.lit("1998-06-01").cast("timestamp")
+    l = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            "l_orderkey",
+            F.unix_timestamp("o_orderdate").alias("order_epoch"),
+            "o_orderpriority",
+        )
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")), "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+_ABOVE_AVG_SQL = """
+SELECT c_custkey, c_nationkey, c_acctbal
+FROM customer c
+WHERE c_acctbal > (SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(27,6))) AS DOUBLE)
+                          / COUNT(*)
+                   FROM customer c2
+                   WHERE c2.c_nationkey = c.c_nationkey)
+"""
+
+
+@register(
+    "above_nation_avg_customers",
+    oracle=_ABOVE_AVG_SQL,
+    doc="Correlated scalar subquery through the SQL API: customers whose "
+    "balance beats their nation's mean. The SAME SQL text runs on both "
+    "engines (decimal-detour mean keeps the threshold bit-identical); "
+    "Catalyst decorrelates it into an aggregate + join, no per-row "
+    "re-execution.",
+)
+def above_nation_avg_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_ABOVE_AVG_SQL)

@@ -84,6 +84,20 @@ def test_fuzzy_join_broadcasts_dimension(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_q5_shape_broadcasts_all_dims(spark, sf_dir):
+    """Six-way join: every dimension side broadcasts; only lineitem-orders
+    may shuffle."""
+    df = build(spark, sf_dir, "regional_revenue")
+    plan = plans.simple_plan(df)
+    assert plan.count("BroadcastHashJoin") == 4 or plan.count("BroadcastHashJoin") == 5
+
+
+def test_q3_shape_takeordered_and_pushdown(spark, sf_dir):
+    df = build(spark, sf_dir, "shipping_priority_top10")
+    assert "TakeOrderedAndProject" in plans.simple_plan(df)
+    assert "l_shipdate" in plans.pushed_filters(df)
+
+
 def test_scd2_is_single_shuffle(spark, sf_dir):
     # lag (change detection) and lead (interval close) share the user
     # partitioning — the exchange must be reused, not repeated
