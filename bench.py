@@ -83,6 +83,9 @@ HEADLINE = [
     "regional_revenue",
     "shipping_priority_top10",
     "above_nation_avg_customers",
+    "events_trailing_hour_sum",
+    "user_event_type_sets",
+    "nation_presence_full_outer",
 ]
 
 

@@ -369,3 +369,113 @@ def nation_name_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(dist <= 1)
         .select("name_a", "name_b", dist.cast("long").alias("dist"))
     )
+
+
+_TRAILING_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_id, (epoch_ms(ts) // 1000)::BIGINT AS ts_s, value
+  FROM events
+)
+SELECT user_id, event_id, ts_s,
+       ROUND(CAST(CAST(SUM(CAST(value AS DECIMAL(27,6)))
+                         OVER (PARTITION BY user_id ORDER BY ts_s
+                               RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+                       AS DOUBLE) AS DECIMAL(27,8)), 2)::DOUBLE AS trailing_1h
+FROM e
+"""
+
+
+@register(
+    "events_trailing_hour_sum",
+    oracle=_TRAILING_ORACLE,
+    doc="RANGE-framed analytic window (vs the ROWS frame in "
+    "user_rolling_stats): per event, the sum of the user's values in the "
+    "trailing 3600 s of EVENT TIME — rows at equal offsets share frames, "
+    "which a ROWS frame cannot express. Decimal window sum keeps it "
+    "partitioning-independent.",
+)
+def events_trailing_hour_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.aggregates import DEC
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_timestamp("ts").alias("ts_s"), "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_s")
+        .rangeBetween(-3599, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts_s",
+        dround(F.sum(F.col("value").cast(DEC)).over(w).cast("double"), 2).alias(
+            "trailing_1h"
+        ),
+    )
+
+
+_TYPE_SET_ORACLE = """
+SELECT user_id,
+       COUNT(DISTINCT event_type) AS n_types,
+       array_to_string(list_sort(list_distinct(list(event_type))), ',') AS type_set
+FROM events
+GROUP BY user_id
+"""
+
+
+@register(
+    "user_event_type_sets",
+    oracle=_TYPE_SET_ORACLE,
+    doc="Deterministic collect_list/array_agg: per-user distinct event "
+    "types as a SORTED joined string — collect_set alone is "
+    "partition-order-nondeterministic and could never hash-match; "
+    "sort_array makes the aggregation order-free.",
+)
+def user_event_type_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count_distinct("event_type").alias("n_types"),
+        F.array_join(F.sort_array(F.collect_set("event_type")), ",").alias("type_set"),
+    )
+
+
+_FULL_OUTER_ORACLE = """
+WITH c AS (
+  SELECT c_nationkey AS nk, COUNT(*) AS n_customers FROM customer GROUP BY 1
+), s AS (
+  SELECT s_nationkey AS nk, COUNT(*) AS n_suppliers FROM supplier GROUP BY 1
+)
+SELECT COALESCE(c.nk, s.nk) AS nationkey,
+       COALESCE(c.n_customers, 0) AS n_customers,
+       COALESCE(s.n_suppliers, 0) AS n_suppliers
+FROM c FULL OUTER JOIN s ON c.nk = s.nk
+"""
+
+
+@register(
+    "nation_presence_full_outer",
+    oracle=_FULL_OUTER_ORACLE,
+    doc="FULL OUTER join (completes the join-type family: inner/left/semi/"
+    "anti/interval/asof/stream-stream): nations present on either side of "
+    "customer/supplier with zero-filled counts.",
+)
+def nation_presence_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        load(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    s = (
+        load(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    return (
+        c.join(s, "nk", "full_outer")
+        .select(
+            F.col("nk").alias("nationkey"),
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        )
+    )
