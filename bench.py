@@ -86,6 +86,7 @@ HEADLINE = [
     "events_trailing_hour_sum",
     "user_event_type_sets",
     "nation_presence_full_outer",
+    "docs_stratified_sample",
 ]
 
 

@@ -270,3 +270,45 @@ GROUP BY doc_id
 )
 def repetition_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(load(spark, sf_dir, "documents"))
+
+
+_STRATIFIED_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id, lang, {_o_rhash('text')} AS rh FROM documents
+), r AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY rh, doc_id) AS rn,
+         CAST(CEIL(COUNT(*) OVER (PARTITION BY lang) / 10.0) AS BIGINT) AS strata_quota
+  FROM h
+)
+SELECT doc_id, lang, rn, strata_quota FROM r WHERE rn <= strata_quota
+"""
+
+
+@register(
+    "docs_stratified_sample",
+    oracle=_STRATIFIED_ORACLE,
+    doc="LLM-prep: EXACT-size stratified sample — per language, precisely "
+    "ceil(10%) of documents, chosen by content-hash order (deterministic, "
+    "partitioning-independent). Complements the rate-based hash_sample: "
+    "rate sampling drifts per stratum on small strata; quota sampling "
+    "guarantees the mix. One window per stratum, no driver involvement.",
+)
+def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.text import rolling_hash
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", rolling_hash("text").alias("rh")
+    )
+    w = Window.partitionBy("lang").orderBy("rh", "doc_id")
+    quota = F.ceil(
+        F.count(F.lit(1)).over(Window.partitionBy("lang")) / 10.0
+    ).cast("long")
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .withColumn("strata_quota", quota)
+        .filter(F.col("rn") <= F.col("strata_quota"))
+        .select("doc_id", "lang", "rn", "strata_quota")
+    )
