@@ -87,6 +87,10 @@ HEADLINE = [
     "user_event_type_sets",
     "nation_presence_full_outer",
     "docs_stratified_sample",
+    "events_gapfill_5m",
+    "event_transitions",
+    "user_retention_cohorts",
+    "quality_percentile_gate",
 ]
 
 

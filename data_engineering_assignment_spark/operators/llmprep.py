@@ -202,3 +202,36 @@ def repetition_stats(
             "top_tok_share"
         ),
     )
+
+
+def quality_percentile_gate(
+    df: DataFrame,
+    keep_pct: int = 80,
+    quality_col: str = "quality",
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group percentile quality gate: within each group, keep the top
+    ``keep_pct``% of documents by quality score (ties broken by id, so the
+    cut is a total order). The comparison is pure integer arithmetic —
+    ``rank * 100 <= n * keep_pct`` — never a floating-point percentile, so
+    the kept set is identical on every engine and partitioning.
+
+    This is the relative counterpart to an absolute quality threshold:
+    production filters cut the worst X% *per source* so a uniformly-noisy
+    source is trimmed rather than deleted. One window per group (rank +
+    group size in a single sort), one aggregation.
+
+    Output: (group, n_docs, n_kept, min_kept_quality)."""
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(quality_col).desc(), F.col(id_col)
+    )
+    ranked = df.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_n", F.count(F.lit(1)).over(Window.partitionBy(group_col))
+    )
+    kept = F.col("_rn") * 100 <= F.col("_n") * keep_pct
+    return ranked.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(kept.cast("long")).alias("n_kept"),
+        F.min(F.when(kept, F.col(quality_col))).alias("min_kept_quality"),
+    )

@@ -75,6 +75,120 @@ def sliding_agg(
     )
 
 
+def gapfill(
+    events: DataFrame,
+    bucket: str = "5 minutes",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Time-series gap fill with forward fill: per key, every ``bucket``-sized
+    slot between the key's first and last event appears in the output —
+    empty slots carry ``n_events = 0`` and the most recent non-empty slot's
+    value sum (the standard downsample-then-ffill shape for dashboards and
+    feature pipelines over irregular event streams).
+
+    Shuffle discipline: one aggregation keyed by (key, bucket) — the only
+    pass over the raw events — then each aggregated row OWNS the empty slots
+    between itself and the key's next non-empty slot (``lead`` + ``sequence``
+    explode), carrying its value sum into them. No scaffold join, no fill
+    window, no second scan: two exchanges total, and everything after the
+    first moves only bucket-sized data (span/bucket rows per key, independent
+    of event count).
+
+    Output: (key, bucket_start epoch-sec, n_events, filled_value).
+    """
+    from pyspark.sql import Window as W
+
+    secs = _interval_seconds(bucket)
+    slot = F.window(F.col(ts_col), bucket)
+    agg = (
+        events.groupBy(slot.alias("w"), key_col)
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum(value_col, "_tv"))
+        .select(key_col, _win_start_epoch(F.col("w")).alias("bucket_start"),
+                "n_events", "_tv")
+    )
+    nxt = F.lead("bucket_start").over(W.partitionBy(key_col).orderBy("bucket_start"))
+    owned = F.sequence(
+        F.col("bucket_start"),
+        F.coalesce(F.col("_nxt") - secs, F.col("bucket_start")),
+        F.lit(secs),
+    )
+    return (
+        agg.withColumn("_nxt", nxt)
+        .withColumn("_slot", F.explode(owned))
+        .select(
+            key_col,
+            F.col("_slot").alias("bucket_start"),
+            F.when(F.col("_slot") == F.col("bucket_start"), F.col("n_events"))
+            .otherwise(0)
+            .cast("long")
+            .alias("n_events"),
+            F.col("_tv").alias("filled_value"),
+        )
+    )
+
+
+def transition_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """First-order transition matrix of the per-user event stream: counts of
+    consecutive (event_type → next event_type) pairs, the Markov-chain /
+    clickstream-path primitive. One per-user window (``lead``), one count
+    aggregation; the order is made total by the tie-break column so results
+    are engine- and partitioning-independent.
+
+    Output: (from_type, to_type, n_transitions)."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    return (
+        events.select(
+            F.col(type_col).alias("from_type"),
+            F.lead(type_col).over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Weekly retention cohorts: users are assigned to the ISO week (Monday
+    truncation) of their first event; for each (cohort_week, week_offset) the
+    output counts the distinct cohort users active that many weeks later —
+    the standard cohort-retention triangle.
+
+    Single event scan, no join: per-(user, week) distinct activity first
+    (map-side-combined, so the shuffle carries user-weeks not events), then
+    the per-user cohort week is an analytic ``min`` over those few rows, then
+    one final count. Week arithmetic is pure integer epoch math — no
+    engine-specific week numbering.
+
+    Output: (cohort_week epoch-sec, week_offset, n_users)."""
+    from pyspark.sql import Window as W
+
+    week = F.unix_timestamp(F.date_trunc("week", F.col(ts_col)))
+    active = events.select(user_col, week.alias("_wk")).distinct()
+    cohort = F.min("_wk").over(W.partitionBy(user_col))
+    return (
+        active.select(
+            cohort.alias("cohort_week"),
+            ((F.col("_wk") - cohort) / 604800).cast("long").alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
 def sessionize(
     events: DataFrame,
     gap: str = "30 minutes",

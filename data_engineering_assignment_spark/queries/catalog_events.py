@@ -288,3 +288,92 @@ GROUP BY user_id, session_seq
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     return sessionize(ev, "30 minutes")
+
+
+_GAPFILL_ORACLE = """
+WITH b AS (
+  SELECT event_type,
+         (epoch_ms(time_bucket(INTERVAL '5 minutes', ts)) // 1000)::BIGINT AS bucket_start,
+         COUNT(*) AS n,
+         ROUND(SUM(CAST(value AS DECIMAL(27,6))), 2)::DOUBLE AS tv
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT event_type,
+         unnest(range(MIN(bucket_start), MAX(bucket_start) + 1, 300)) AS bucket_start
+  FROM b GROUP BY event_type
+)
+SELECT r.event_type, r.bucket_start,
+       COALESCE(b.n, 0)::BIGINT AS n_events,
+       LAST_VALUE(b.tv IGNORE NULLS) OVER (
+         PARTITION BY r.event_type ORDER BY r.bucket_start
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+FROM r LEFT JOIN b USING (event_type, bucket_start)
+"""
+
+
+@register(
+    "events_gapfill_5m",
+    oracle=_GAPFILL_ORACLE,
+    doc="Time-series gap fill + forward fill: every 5-minute slot between a "
+    "type's first and last event, empty slots carrying n_events=0 and the "
+    "last non-empty slot's value sum. sequence-exploded scaffold joined on "
+    "(key, bucket); scaffold size is span/bucket per key, independent of "
+    "event count.",
+)
+def events_gapfill_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.windows import gapfill
+
+    return gapfill(load(spark, sf_dir, "events"), "5 minutes")
+
+
+_TRANSITIONS_ORACLE = """
+WITH o AS (
+  SELECT event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events
+)
+SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n_transitions
+FROM o WHERE next_type IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "event_transitions",
+    oracle=_TRANSITIONS_ORACLE,
+    doc="Clickstream first-order transition matrix: consecutive event-type "
+    "pairs per user (lead over a (ts, event_id)-total order), counted. One "
+    "per-user window + one aggregation.",
+)
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.windows import transition_counts
+
+    return transition_counts(load(spark, sf_dir, "events"))
+
+
+_COHORTS_ORACLE = """
+WITH u AS (
+  SELECT user_id, (epoch_ms(date_trunc('week', MIN(ts))) // 1000)::BIGINT AS cohort_week
+  FROM events GROUP BY user_id
+), a AS (
+  SELECT DISTINCT e.user_id, u.cohort_week,
+         ((epoch_ms(date_trunc('week', e.ts)) // 1000)::BIGINT - u.cohort_week) // 604800
+           AS week_offset
+  FROM events e JOIN u USING (user_id)
+)
+SELECT cohort_week, week_offset, COUNT(*) AS n_users
+FROM a GROUP BY 1, 2
+"""
+
+
+@register(
+    "user_retention_cohorts",
+    oracle=_COHORTS_ORACLE,
+    doc="Weekly retention triangle: users cohorted by ISO week (Monday "
+    "truncation) of first event; distinct active users per (cohort_week, "
+    "week_offset). Integer epoch-week arithmetic — no engine week numbering.",
+)
+def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.windows import retention_cohorts
+
+    return retention_cohorts(load(spark, sf_dir, "events"))

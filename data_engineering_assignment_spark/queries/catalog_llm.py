@@ -312,3 +312,45 @@ def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= F.col("strata_quota"))
         .select("doc_id", "lang", "rn", "strata_quota")
     )
+
+
+_QGATE_ORACLE = """
+WITH t AS (
+  SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents
+), s AS (
+  SELECT doc_id, source,
+         ROUND(CAST(LEAST(1.0, CAST(len(toks) AS DOUBLE) / 100.0)
+                    * LEAST(1.0, ROUND(CAST(CAST(len(list_filter(toks,
+                          x -> x IN ('a','the','of','and','to','in','is','it'))) AS DOUBLE)
+                        / CAST(len(toks) AS DOUBLE) AS DECIMAL(27,8)), 4)::DOUBLE * 10.0)
+                    AS DECIMAL(27,8)), 4)::DOUBLE AS quality
+  FROM t
+), r AS (
+  SELECT source, quality,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM s
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       SUM(CASE WHEN rn * 100 <= n * 80 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       MIN(CASE WHEN rn * 100 <= n * 80 THEN quality END) AS min_kept_quality
+FROM r GROUP BY source
+"""
+
+
+@register(
+    "quality_percentile_gate",
+    oracle=_QGATE_ORACLE,
+    doc="LLM-prep: per-source percentile quality gate — keep the top 80% of "
+    "documents by quality score within each source (total order via "
+    "(quality DESC, doc_id)); the cut is integer rank arithmetic "
+    "(rn*100 <= n*80), never a floating-point percentile. One window per "
+    "source + one aggregation.",
+)
+def quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.llmprep import quality_percentile_gate as qgate
+    from ..operators.text import with_text_stats
+
+    docs = with_text_stats(load(spark, sf_dir, "documents"))
+    return qgate(docs, keep_pct=80)

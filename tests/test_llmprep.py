@@ -94,3 +94,18 @@ def test_repetition_stats_values(spark):
     assert out[1]["n_tokens"] == 4 and out[1]["n_uniq"] == 2
     assert out[1]["top_tok_share"] == 0.75 and out[1]["uniq_ratio"] == 0.5
     assert out[2]["uniq_ratio"] == 1.0 and out[2]["top_tok_share"] == 0.25
+
+
+def test_quality_percentile_gate_integer_cut(spark):
+    from data_engineering_assignment_spark.operators.llmprep import (
+        quality_percentile_gate,
+    )
+
+    # 5 docs in one source → top 80% keeps exactly 4 (rank*100 <= 5*80)
+    rows = [(i, "s1", q) for i, q in enumerate([0.9, 0.8, 0.7, 0.6, 0.5])]
+    rows += [(10, "s2", 0.3)]  # singleton source: 1*100 <= 1*80 is false → kept 0
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, quality double")
+    out = {r["source"]: r for r in quality_percentile_gate(df, 80).collect()}
+    assert out["s1"]["n_docs"] == 5 and out["s1"]["n_kept"] == 4
+    assert out["s1"]["min_kept_quality"] == 0.6
+    assert out["s2"]["n_kept"] == 0 and out["s2"]["min_kept_quality"] is None

@@ -66,3 +66,71 @@ def test_sessionize_gap_split(spark):
     assert u1 == [(_epoch(0), _epoch(20), 2), (_epoch(55), _epoch(55), 1)]
     u2 = [r for r in out if r["user"] == 2]
     assert len(u2) == 1 and u2[0]["n_events"] == 1
+
+
+def test_gapfill_forward_fills_empty_slots(spark):
+    from data_engineering_assignment_spark.operators.windows import gapfill
+
+    df = events_df(
+        spark,
+        [
+            (1, ts(0), "a", 2.5),
+            (1, ts(2), "a", 1.5),    # same slot as above
+            (1, ts(21), "a", 8.0),   # two empty slots between
+            (2, ts(5), "b", 3.0),    # separate key, single slot
+        ],
+    )
+    out = {
+        (r["event_type"], r["bucket_start"]): (r["n_events"], r["filled_value"])
+        for r in gapfill(df, "5 minutes").collect()
+    }
+    assert out[("a", _epoch(0))] == (2, 4.0)
+    assert out[("a", _epoch(5))] == (0, 4.0)    # gap: carries slot-0 sum
+    assert out[("a", _epoch(10))] == (0, 4.0)
+    assert out[("a", _epoch(15))] == (0, 4.0)
+    assert out[("a", _epoch(20))] == (1, 8.0)
+    assert out[("b", _epoch(5))] == (1, 3.0)
+    assert len(out) == 6  # scaffold spans min..max per key only
+
+
+def test_transition_counts_orders_by_ts_then_id(spark):
+    from data_engineering_assignment_spark.operators.windows import transition_counts
+
+    df = spark.createDataFrame(
+        [
+            (1, ts(0), 10, "view", 0.0),
+            (2, ts(1), 10, "click", 0.0),
+            (3, ts(1), 10, "buy", 0.0),   # same ts as event 2 → id breaks tie
+            (4, ts(0), 20, "view", 0.0),
+            (5, ts(9), 20, "click", 0.0),
+        ],
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, value double",
+    )
+    out = {
+        (r["from_type"], r["to_type"]): r["n_transitions"]
+        for r in transition_counts(df).collect()
+    }
+    assert out == {("view", "click"): 2, ("click", "buy"): 1}
+
+
+def test_retention_cohorts_week_offsets(spark):
+    from data_engineering_assignment_spark.operators.windows import retention_cohorts
+
+    jan1 = datetime(2024, 1, 1)  # a Monday
+    rows = [
+        # user 10: first event week 0, active again weeks 0 and 2
+        (1, datetime(2024, 1, 2), 10, "a", 0.0),
+        (2, datetime(2024, 1, 3), 10, "a", 0.0),
+        (3, datetime(2024, 1, 16), 10, "a", 0.0),
+        # user 20: first event week 1
+        (4, datetime(2024, 1, 10), 20, "a", 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string, value double"
+    )
+    wk0 = int(jan1.replace(tzinfo=timezone.utc).timestamp())
+    out = {
+        (r["cohort_week"], r["week_offset"]): r["n_users"]
+        for r in retention_cohorts(df).collect()
+    }
+    assert out == {(wk0, 0): 1, (wk0, 2): 1, (wk0 + 604800, 0): 1}
