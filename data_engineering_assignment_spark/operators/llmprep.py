@@ -56,21 +56,15 @@ def mix_sources(
     default_pct: int = 0,
 ) -> DataFrame:
     """Per-source sampling rates (data mixing): source s keeps ~rates[s]% of
-    its documents, deterministically. The rate table is a broadcast join —
-    at 100 TB the corpus never shuffles; each row evaluates one hash and one
-    comparison."""
-    spark = df.sparkSession
-    rate_df = spark.createDataFrame(
-        list(rates.items()), f"{source_col} string, _rate_pct int"
-    )
-    # hash in a narrow pre-join projection: the join condition and filter
-    # stay simple int comparisons instead of carrying the fold expression
-    with_bucket = df.withColumn("_bucket", hash_bucket(text_col))
-    return (
-        with_bucket.join(F.broadcast(rate_df), on=source_col, how="left")
-        .filter(F.col("_bucket") < F.coalesce("_rate_pct", F.lit(default_pct)))
-        .drop("_rate_pct", "_bucket")
-    )
+    its documents, deterministically. The rate table is a literal map lookup
+    in the filter itself (rates are configuration, not data) — zero joins,
+    zero shuffles, and the content-hash fold is evaluated exactly once per
+    row. (An earlier broadcast-join formulation let Catalyst inline the
+    ``_bucket`` projection into three consumers, tripling the per-char fold;
+    a rates table too large for a literal map would want that join back.)"""
+    mapping = F.create_map(*[F.lit(x) for kv in rates.items() for x in kv])
+    rate = F.coalesce(mapping[F.col(source_col)], F.lit(default_pct))
+    return df.filter(hash_bucket(text_col) < rate)
 
 
 def decontaminate(
