@@ -91,6 +91,9 @@ HEADLINE = [
     "event_transitions",
     "user_retention_cohorts",
     "quality_percentile_gate",
+    "events_anomaly_zscore",
+    "order_price_histogram",
+    "median_price_by_priority",
 ]
 
 

@@ -479,3 +479,138 @@ def nation_presence_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
         )
     )
+
+
+_ZSCORE_ORACLE = """
+WITH e AS (
+  SELECT event_type, (epoch_ms(ts) // 1000)::BIGINT AS ts_s, value FROM events
+), w AS (
+  SELECT event_type, value,
+         COUNT(value) OVER fr AS n,
+         CAST(SUM(CAST(value AS DECIMAL(27,6))) OVER fr AS DOUBLE) AS s1,
+         CAST(SUM(CAST(value * value AS DECIMAL(27,6))) OVER fr AS DOUBLE) AS s2
+  FROM e
+  WINDOW fr AS (PARTITION BY event_type ORDER BY ts_s
+                RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+)
+SELECT event_type,
+       COUNT(*) AS n_events,
+       SUM(CASE WHEN n >= 30 THEN 1 ELSE 0 END)::BIGINT AS n_evaluated,
+       SUM(CASE WHEN n >= 30
+                 AND (value - s1 / CAST(n AS DOUBLE)) * (value - s1 / CAST(n AS DOUBLE))
+                     > 9.0 * ((s2 - s1 * s1 / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE))
+            THEN 1 ELSE 0 END)::BIGINT AS n_anomalies
+FROM w GROUP BY event_type
+"""
+
+
+@register(
+    "events_anomaly_zscore",
+    oracle=_ZSCORE_ORACLE,
+    doc="Trailing-window anomaly detection: an event is anomalous when its "
+    "squared deviation from the trailing-hour mean exceeds 9x the trailing "
+    "variance (|z| > 3), evaluated only on windows with >= 30 samples. "
+    "Variance via the computational formula over decimal-exact power sums — "
+    "no stddev/sqrt, so both engines compute bit-identical doubles. One "
+    "RANGE-framed window + one aggregation.",
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.aggregates import DEC
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", F.unix_timestamp("ts").alias("ts_s"), "value"
+    )
+    fr = (
+        Window.partitionBy("event_type")
+        .orderBy("ts_s")
+        .rangeBetween(-3599, Window.currentRow)
+    )
+    v = F.col("value")
+    n = F.count("value").over(fr)
+    s1 = F.sum(v.cast(DEC)).over(fr).cast("double")
+    s2 = F.sum((v * v).cast(DEC)).over(fr).cast("double")
+    nd = n.cast("double")
+    mean = s1 / nd
+    var = (s2 - s1 * s1 / nd) / (n - 1).cast("double")
+    # the n>=30 gate must wrap the expression, not just the final filter:
+    # ANSI mode makes the n=1 window's (n-1) divisor a runtime error, and
+    # CaseWhen is the construct that short-circuits evaluation
+    hit = F.when(n >= 30, (v - mean) * (v - mean) > 9.0 * var).otherwise(F.lit(False))
+    flagged = ev.select("event_type", n.alias("_n"), hit.alias("_hit"))
+    return flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum((F.col("_n") >= 30).cast("long")).alias("n_evaluated"),
+        F.sum(((F.col("_n") >= 30) & F.col("_hit")).cast("long")).alias("n_anomalies"),
+    )
+
+
+_HISTOGRAM_ORACLE = f"""
+SELECT LEAST(FLOOR(o_totalprice / 50000.0), 11)::BIGINT AS bucket,
+       COUNT(*) AS n_orders,
+       {o_dsum('o_totalprice', 'total_price')}
+FROM orders
+GROUP BY 1
+"""
+
+
+@register(
+    "order_price_histogram",
+    oracle=_HISTOGRAM_ORACLE,
+    doc="Fixed-width histogram: orders binned into 50k-wide price buckets "
+    "(top bucket open-ended), with per-bucket counts and exact sums. Pure "
+    "arithmetic binning — no window, no second scan for bounds — so it is "
+    "one map-side-combined aggregation at any scale (vs the ntile "
+    "distribution in order_price_distribution, which needs a per-partition "
+    "sort).",
+)
+def order_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    bucket = F.least(F.floor(F.col("o_totalprice") / 50000.0), F.lit(11)).cast("long")
+    return (
+        orders.groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "total_price"))
+    )
+
+
+_MEDIAN_ORACLE = """
+WITH r AS (
+  SELECT o_orderpriority, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice) AS rn,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders
+)
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       MAX(CASE WHEN rn = FLOOR((n + 1) / 2) THEN o_totalprice END) AS median_price,
+       MAX(CASE WHEN rn = FLOOR((9 * n + 9) / 10) THEN o_totalprice END) AS p90_price
+FROM r GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "median_price_by_priority",
+    oracle=_MEDIAN_ORACLE,
+    doc="EXACT distributed quantiles (percentile_disc semantics) without "
+    "approx sketches: per priority, the value at integer rank floor((n+1)/2) "
+    "(median) and floor((9n+9)/10) (p90) from one per-group sort window. "
+    "Rank positions are integer arithmetic — no 0.9*n float ceil, whose "
+    "binary 0.9 can flip the index. Ties share a value, so row_number "
+    "nondeterminism among equal prices cannot change the result.",
+)
+def median_price_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    wp = Window.partitionBy("o_orderpriority")
+    r = orders.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    med_pos = F.floor((F.col("n") + 1) / F.lit(2))
+    p90_pos = F.floor((9 * F.col("n") + 9) / F.lit(10))
+    return r.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.max(F.when(F.col("rn") == med_pos, F.col("o_totalprice"))).alias("median_price"),
+        F.max(F.when(F.col("rn") == p90_pos, F.col("o_totalprice"))).alias("p90_price"),
+    )
