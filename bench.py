@@ -94,6 +94,10 @@ HEADLINE = [
     "events_anomaly_zscore",
     "order_price_histogram",
     "median_price_by_priority",
+    "returned_items_top20",
+    "promo_revenue_pct",
+    "large_volume_orders",
+    "disjunctive_brand_revenue",
 ]
 
 

@@ -769,3 +769,165 @@ WHERE c_acctbal > (SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(27,6))) AS DOUBL
 def above_nation_avg_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     return spark.sql(_ABOVE_AVG_SQL)
+
+
+_RETURNED_ITEMS_ORACLE = f"""
+SELECT c.c_custkey, c.c_name, n.n_name,
+       {o_dsum('l.l_extendedprice * (1 - l.l_discount)', 'revenue')}
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1996-04-01'
+  AND l.l_returnflag = 'R'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, c.c_custkey
+LIMIT 20
+"""
+
+
+@register(
+    "returned_items_top20",
+    oracle=_RETURNED_ITEMS_ORACLE,
+    doc="TPC-H Q10 shape: quarter-windowed customer revenue from returned "
+    "items — lineitem-orders shuffle join with the return-flag and date "
+    "filters pushed to the scans, nation broadcast, global top-20 "
+    "(TakeOrderedAndProject) with custkey tie-break.",
+)
+def returned_items_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dsum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")), "revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+_PROMO_REVENUE_ORACLE = f"""
+SELECT {o_dratio("CASE WHEN p.p_type = 'PROMO' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END",
+                 'l.l_extendedprice * (1 - l.l_discount)', 'promo_revenue_pct', 4, pct=True)}
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
+  AND l.l_shipdate <  TIMESTAMP '1997-10-01'
+"""
+
+
+@register(
+    "promo_revenue_pct",
+    oracle=_PROMO_REVENUE_ORACLE,
+    doc="TPC-H Q14 shape: month-windowed promo-revenue share — ratio of "
+    "conditional to total revenue over a lineitem-part join (part broadcast, "
+    "date filter pushed), decimal ratio-of-sums per the Q4-semantics "
+    "invariant.",
+)
+def promo_revenue_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    p = load(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(dratio(promo, rev, "promo_revenue_pct", 4, pct=True))
+    )
+
+
+_BIG_ORDERS_ORACLE = """
+WITH big AS (
+  SELECT l_orderkey,
+         ROUND(SUM(CAST(l_quantity AS DECIMAL(27,6))), 2)::DOUBLE AS total_qty
+  FROM lineitem
+  GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(27,6))) > 150
+)
+SELECT c.c_custkey, c.c_name, o.o_orderkey,
+       (epoch_ms(o.o_orderdate) // 1000)::BIGINT AS order_epoch,
+       o.o_totalprice, b.total_qty
+FROM big b
+JOIN orders o   ON b.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+
+@register(
+    "large_volume_orders",
+    oracle=_BIG_ORDERS_ORACLE,
+    doc="TPC-H Q18 shape: HAVING on an exact decimal quantity sum selects "
+    "big orders BEFORE joining back to orders/customer — the aggregate "
+    "prunes the join input instead of joining everything then filtering. "
+    "The decimal comparison makes the selected set partitioning-independent "
+    "(a double HAVING near the threshold could flip rows per run).",
+)
+def large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.aggregates import DEC
+
+    l = load(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("_q"))
+        .filter(F.col("_q") > 150)
+        .select("l_orderkey", F.round("_q", 2).cast("double").alias("total_qty"))
+    )
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey", "c_name", "o_orderkey",
+            F.unix_timestamp("o_orderdate").alias("order_epoch"),
+            "o_totalprice", "total_qty",
+        )
+    )
+
+
+_DISJUNCTIVE_ORACLE = f"""
+SELECT {o_dsum('l.l_extendedprice * (1 - l.l_discount)', 'revenue')},
+       COUNT(*) AS n_lines
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#11' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#22' AND p.p_size BETWEEN 1 AND 25 AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 35 AND l.l_quantity BETWEEN 20 AND 30)
+"""
+
+
+@register(
+    "disjunctive_brand_revenue",
+    oracle=_DISJUNCTIVE_ORACLE,
+    doc="TPC-H Q19 shape: three OR-branches mixing build-side (brand/size) "
+    "and probe-side (quantity) predicates over a lineitem-part broadcast "
+    "join. Catalyst extracts the common l_quantity/p_size bounds as "
+    "pushable conjuncts; the residual disjunction evaluates post-join.",
+)
+def disjunctive_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    cond = (
+        ((b == "Brand#11") & s.between(1, 15) & q.between(1, 11))
+        | ((b == "Brand#22") & s.between(1, 25) & q.between(10, 20))
+        | ((b == "Brand#23") & s.between(1, 35) & q.between(20, 30))
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            dsum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")), "revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
