@@ -118,3 +118,57 @@ def test_partitioned_sink_prunes_partitions(spark, sf_dir, tmp_path):
     plan = plans.formatted_plan(back)
     assert "PartitionFilters" in plan and "event_type" in plan.split("PartitionFilters")[1].split("\n")[0]
     assert back.count() > 0
+
+
+def test_gapfill_is_single_scan_no_join(spark, sf_dir):
+    """The lead-owned slot explode must not scaffold-join: one event scan,
+    no Join operator, at most the agg + window exchanges."""
+    df = build(spark, sf_dir, "events_gapfill_5m")
+    plan = plans.simple_plan(df)
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert plans.count_shuffles(df) <= 2
+
+
+def test_retention_cohorts_single_scan_no_join(spark, sf_dir):
+    df = build(spark, sf_dir, "user_retention_cohorts")
+    plan = plans.simple_plan(df)
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+
+
+def test_q10_shape_takeordered_broadcast_pushdown(spark, sf_dir):
+    df = build(spark, sf_dir, "returned_items_top20")
+    plan = plans.simple_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # customer + nation
+    assert "l_returnflag" in plans.pushed_filters(df)
+
+
+def test_q14_q19_broadcast_part_and_pushdown(spark, sf_dir):
+    df14 = build(spark, sf_dir, "promo_revenue_pct")
+    assert "BroadcastHashJoin" in plans.simple_plan(df14)
+    assert "l_shipdate" in plans.pushed_filters(df14)
+    df19 = build(spark, sf_dir, "disjunctive_brand_revenue")
+    plan19 = plans.simple_plan(df19)
+    assert "BroadcastHashJoin" in plan19
+    # the common quantity bound across OR-branches is extracted and pushed
+    assert "l_quantity" in plans.pushed_filters(df19)
+
+
+def test_q18_aggregates_before_join(spark, sf_dir):
+    """The HAVING-selected big orders must aggregate lineitem BEFORE any
+    join — the first join input is the aggregate, not raw lineitem."""
+    df = build(spark, sf_dir, "large_volume_orders")
+    plan = plans.simple_plan(df)
+    agg_pos = plan.find("HashAggregate")
+    join_pos = plan.find("Join")
+    assert agg_pos != -1 and join_pos != -1
+    assert plans.has_partial_aggregation(df)
+
+
+def test_histogram_is_one_pass_partial_agg(spark, sf_dir):
+    df = build(spark, sf_dir, "order_price_histogram")
+    plan = plans.simple_plan(df)
+    assert plan.count("Scan parquet") == 1
+    assert plans.has_partial_aggregation(df)
