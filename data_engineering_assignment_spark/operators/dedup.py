@@ -278,3 +278,81 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
         term = F.shiftleft(bit, i)
         fp = term if fp is None else fp + term
     return acc.select("doc", fp.alias("simhash"))
+
+
+# Portable-hash MinHash: permutations of text.rolling_hash (31-bit domain,
+# exactly reproducible in any engine) instead of xxhash64. a_i/b_i are small
+# fixed odd/prime-stepped constants; products stay < 2^37, so ANSI bigint
+# arithmetic never overflows.
+PORTABLE_MOD = 1_000_000_007
+
+
+def _portable_perm(i: int, rh: F.Column) -> F.Column:
+    return (F.lit(2 * i + 1) * rh + F.lit(7919 * i + 13)) % PORTABLE_MOD
+
+
+def minhash_signatures_portable(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", num_hashes: int = 12
+) -> DataFrame:
+    """MinHash signatures over k affine permutations of the portable rolling
+    hash — same one-shuffle shape as :func:`minhash_signatures`, but every
+    value has an exact SQL twin, so the whole LSH pipeline can be gated by
+    the cross-engine oracle (xxhash64 cannot). The per-char hash fold costs
+    more than xxhash64; this is the verifiable variant, not the fast path.
+    """
+    from .text import rolling_hash
+
+    sh = df.select(
+        F.col(id_col).alias("doc"), F.explode(word_shingles(text_col)).alias("shingle")
+    ).select("doc", rolling_hash(F.col("shingle")).alias("rh"))
+    return sh.groupBy("doc").agg(
+        *[F.min(_portable_perm(i, F.col("rh"))).alias(f"h{i}") for i in range(num_hashes)]
+    )
+
+
+def minhash_lsh_candidates_portable(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH candidate pairs from portable signatures. Band buckets are the
+    comma-joined slice values (a plain string both engines build identically)
+    rather than an engine hash. Output: (doc_a, doc_b, n_bands), doc_a <
+    doc_b — deterministic, so it is oracle-gated end to end.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures_portable(df, text_col, id_col, num_hashes)
+    banded = sigs.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col(f"h{b * rows_per_band + r}").cast("string")
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc", "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+    )

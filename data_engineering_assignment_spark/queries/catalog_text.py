@@ -325,3 +325,105 @@ def top_tokens_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     exploded = docs.select("lang", F.explode(F.split("text", " ")).alias("tok"))
     return top_k_by_freq(exploded, group_cols=["lang"], item_col="tok", k=3)
+
+
+_SHINGLE_CTE = """toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+), shs AS (
+  SELECT DISTINCT a.doc_id AS doc, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+  FROM toks a
+  JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  JOIN toks c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+)"""
+
+_O_RH_SHINGLE = """list_reduce(
+     list_prepend(0::BIGINT,
+       list_transform(range(1, length(shingle) + 1),
+                      i -> ascii(substr(shingle, i, 1))::BIGINT)),
+     (a, b) -> (a * 31 + b) % 1000000007
+   )"""
+
+_PORTABLE_K, _PORTABLE_BANDS = 12, 4
+_PORTABLE_R = _PORTABLE_K // _PORTABLE_BANDS
+
+_PORTABLE_MINS = ",\n".join(
+    f"MIN(({2 * i + 1} * rh + {7919 * i + 13}) % 1000000007) AS h{i}"
+    for i in range(_PORTABLE_K)
+)
+_PORTABLE_BANDED = " UNION ALL ".join(
+    f"SELECT doc, {b} AS band, "
+    + " || ',' || ".join(f"h{b * _PORTABLE_R + r}::VARCHAR" for r in range(_PORTABLE_R))
+    + " AS bucket FROM sig"
+    for b in range(_PORTABLE_BANDS)
+)
+
+_LSH_PORTABLE_ORACLE = f"""
+WITH {_SHINGLE_CTE}, rhs AS (
+  SELECT doc, {_O_RH_SHINGLE} AS rh FROM shs
+), sig AS (
+  SELECT doc, {_PORTABLE_MINS} FROM rhs GROUP BY doc
+), banded AS ({_PORTABLE_BANDED})
+SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_bands
+FROM banded a
+JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "dedup_lsh_portable",
+    oracle=_LSH_PORTABLE_ORACLE,
+    doc="North-star near-dedup, VERIFIABLE variant: MinHash over affine "
+    "permutations of the portable rolling hash, banded into string buckets — "
+    "every intermediate value has an exact SQL twin, so the full "
+    "signature→band→bucket-join pipeline is oracle-gated (xxhash64's "
+    "fast path, dedup_minhash_lsh, is checked against this in tests). Same "
+    "one-shuffle signature shape as the fast path.",
+)
+def dedup_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import minhash_lsh_candidates_portable
+
+    return minhash_lsh_candidates_portable(load(spark, sf_dir, "documents"))
+
+
+_CLUSTERS_JACCARD_ORACLE = f"""
+WITH RECURSIVE {_SHINGLE_CTE}, sizes AS (
+  SELECT doc, COUNT(*) AS n_shingles FROM shs GROUP BY doc
+), inter AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS inter
+  FROM shs a JOIN shs b ON a.shingle = b.shingle AND a.doc < b.doc
+  GROUP BY a.doc, b.doc
+), pairs AS (
+  SELECT doc_a, doc_b FROM inter i
+  JOIN sizes sa ON sa.doc = i.doc_a
+  JOIN sizes sb ON sb.doc = i.doc_b
+  WHERE {JACC} >= 0.5
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+), reach AS (
+  SELECT src AS node, src AS r FROM edges
+  UNION
+  SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src
+)
+SELECT node, MIN(r) AS cluster FROM reach GROUP BY node
+"""
+
+
+@register(
+    "dedup_clusters_jaccard",
+    oracle=_CLUSTERS_JACCARD_ORACLE,
+    doc="North-star dedup clustering, oracle-gated: connected components "
+    "(min-label propagation) over EXACT 3-gram Jaccard >= 0.5 pairs, checked "
+    "against a recursive-CTE transitive closure in the oracle engine. "
+    "Label propagation converges in O(component diameter) shuffle rounds; "
+    "the recursive closure is the small-data cross-check, not the scale "
+    "algorithm.",
+)
+def dedup_clusters_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import dedup_clusters, ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(load(spark, sf_dir, "documents"), threshold=0.5)
+    return dedup_clusters(pairs)

@@ -104,3 +104,23 @@ def test_dedup_clusters_connected_components(spark):
     assert {out[n] for n in (1, 2, 3, 4)} == {1}
     assert {out[n] for n in (7, 8)} == {7}
     assert {out[n] for n in (9, 10, 11)} == {9}
+
+
+def test_portable_lsh_recall_and_fast_path_agreement(spark):
+    from data_engineering_assignment_spark.operators.dedup import (
+        minhash_lsh_candidates_portable,
+    )
+
+    cands = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_candidates_portable(docs_df(spark)).collect()
+    }
+    # identical docs share every band; near-dups (j>0.8) at least one
+    assert (1, 2) in cands
+    assert (1, 3) in cands or (2, 3) in cands
+    # agreement with the xxhash64 fast path on must-hit pairs
+    fast = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_candidates(docs_df(spark)).collect()
+    }
+    assert (1, 2) in fast and cands & fast
