@@ -356,3 +356,35 @@ def minhash_lsh_candidates_portable(
         .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_bands"))
     )
+
+
+def simhash_portable(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 31
+) -> DataFrame:
+    """31-bit SimHash over the portable rolling hash of each token — the
+    verifiable twin of :func:`simhash64` (whose xxhash64 has no SQL twin).
+    Same shape: token explode → one aggregation of per-bit +1/-1 sums →
+    fingerprint assembly. 31 bits because the rolling hash's domain is
+    [0, 1e9+7); locality behavior is the same, collision resistance is
+    lower — use simhash64 as the production path.
+    """
+    from .text import rolling_hash
+
+    per_tok = df.select(
+        F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("tok")
+    ).select("doc", rolling_hash(F.col("tok")).alias("rh"))
+    bit_cols = [
+        F.sum(
+            F.when(F.shiftright(F.col("rh"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    acc = per_tok.groupBy("doc").agg(*bit_cols)
+    fp = None
+    for i in range(bits):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, i)
+        fp = term if fp is None else fp + term
+    return acc.select("doc", fp.alias("simhash31"))

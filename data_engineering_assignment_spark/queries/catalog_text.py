@@ -427,3 +427,46 @@ def dedup_clusters_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = ngram_jaccard_pairs(load(spark, sf_dir, "documents"), threshold=0.5)
     return dedup_clusters(pairs)
+
+
+_O_RH_TOK = """list_reduce(
+     list_prepend(0::BIGINT,
+       list_transform(range(1, length(tok) + 1),
+                      i -> ascii(substr(tok, i, 1))::BIGINT)),
+     (a, b) -> (a * 31 + b) % 1000000007
+   )"""
+
+_SIMHASH_BITS = 31
+_SIMHASH_BIT_SUMS = ",\n".join(
+    f"SUM(CASE WHEN (rh >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+    for i in range(_SIMHASH_BITS)
+)
+_SIMHASH_ASSEMBLE = " + ".join(
+    f"(CASE WHEN b{i} > 0 THEN 1 ELSE 0 END)::BIGINT * {1 << i}"
+    for i in range(_SIMHASH_BITS)
+)
+
+_SIMHASH_PORTABLE_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id AS doc, unnest(string_split(text, ' ')) AS tok FROM documents
+), rhs AS (
+  SELECT doc, {_O_RH_TOK} AS rh FROM t
+), bits AS (
+  SELECT doc, {_SIMHASH_BIT_SUMS} FROM rhs GROUP BY doc
+)
+SELECT doc, {_SIMHASH_ASSEMBLE} AS simhash31 FROM bits
+"""
+
+
+@register(
+    "doc_simhash_portable",
+    oracle=_SIMHASH_PORTABLE_ORACLE,
+    doc="North-star fingerprinting, VERIFIABLE variant: 31-bit SimHash over "
+    "portable rolling-hashed tokens, hash-matched bit-for-bit against the "
+    "SQL twin (simhash64's xxhash64 fast path keeps locality tests). Token "
+    "explode + one aggregation, JVM-side bit arithmetic.",
+)
+def doc_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import simhash_portable
+
+    return simhash_portable(load(spark, sf_dir, "documents"))

@@ -124,3 +124,14 @@ def test_portable_lsh_recall_and_fast_path_agreement(spark):
         for r in minhash_lsh_candidates(docs_df(spark)).collect()
     }
     assert (1, 2) in fast and cands & fast
+
+
+def test_simhash_portable_locality(spark):
+    from data_engineering_assignment_spark.operators.dedup import simhash_portable
+
+    fps = {r["doc"]: r["simhash31"] for r in simhash_portable(docs_df(spark)).collect()}
+    assert fps[1] == fps[2]
+    mask = (1 << 31) - 1
+    ham_near = bin((fps[1] ^ fps[3]) & mask).count("1")
+    ham_far = bin((fps[1] ^ fps[4]) & mask).count("1")
+    assert ham_near < ham_far
