@@ -81,10 +81,50 @@ def cosine_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, queries, k=5)
 
 
+def _lsh_oracle(dim: int = 64, planes: int = 4) -> str:
+    """SQL twin of lsh_bucketed_topk: the hyperplane coefficients are literal
+    doubles baked into the plan on the Spark side, and ``repr(float)``
+    round-trips exactly, so the SAME literals inline into the oracle — the
+    'approximate' LSH is a deterministic function of its inputs and is
+    therefore exact-oracle-checkable."""
+    from ..operators.similarity import _hyperplane
+
+    bucket_terms = []
+    for p in range(planes):
+        coeffs = ", ".join(repr(c) for c in _hyperplane(dim, p))
+        proj = f"list_sum(list_transform(range(1, {dim + 1}), i -> e[i] * [{coeffs}][i]))"
+        bucket_terms.append(f"(CASE WHEN {proj} > 0 THEN 1 ELSE 0 END)::BIGINT * {1 << p}")
+    bucket = " + ".join(bucket_terms)
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings
+), s AS (
+  SELECT vec_id, e, {bucket} AS bucket FROM v
+), q AS (SELECT * FROM s WHERE vec_id < 10),
+ scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ROUND(
+           list_sum(list_transform(range(1, {dim + 1}), i -> q.e[i] * c.e[i]))
+           / sqrt(list_sum(list_transform(q.e, x -> x * x))
+                  * list_sum(list_transform(c.e, x -> x * x))), 4) AS sim
+  FROM q JOIN s c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         (ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC))::BIGINT AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, sim, rnk FROM ranked WHERE rnk <= 5
+"""
+
+
 @register(
     "cosine_topk_lsh",
-    oracle=None,  # approximate — validated by recall unit test, rows-only here
-    doc="Additive similarity search, scale path: random-hyperplane LSH bucketed cosine top-k.",
+    oracle=_lsh_oracle(),
+    doc="Additive similarity search, scale path: random-hyperplane LSH "
+    "bucketed cosine top-k — now oracle-gated end to end: the hyperplanes "
+    "are literal doubles that round-trip into the SQL twin exactly, and the "
+    "projection/dot folds are order-pinned on both engines. Recall vs exact "
+    "top-k remains unit-tested.",
 )
 def cosine_topk_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
