@@ -98,6 +98,9 @@ HEADLINE = [
     "promo_revenue_pct",
     "large_volume_orders",
     "disjunctive_brand_revenue",
+    "event_interarrival_stats",
+    "nation_revenue_share",
+    "referential_integrity_audit",
 ]
 
 

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators.aggregates import dround, dsum, o_dround, o_dsum
+from ..operators.aggregates import dround, dsum, o_davg, o_dround, o_dsum
 from ..tables import load
 from . import register
 
@@ -613,4 +613,136 @@ def median_price_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.max(F.when(F.col("rn") == med_pos, F.col("o_totalprice"))).alias("median_price"),
         F.max(F.when(F.col("rn") == p90_pos, F.col("o_totalprice"))).alias("p90_price"),
+    )
+
+
+_INTERARRIVAL_ORACLE = f"""
+WITH g AS (
+  SELECT event_type,
+         (epoch_ms(ts) // 1000)::BIGINT
+           - LAG((epoch_ms(ts) // 1000)::BIGINT)
+               OVER (PARTITION BY event_type ORDER BY ts, event_id) AS gap_s
+  FROM events
+)
+SELECT event_type,
+       COUNT(gap_s) AS n_gaps,
+       {o_davg('gap_s', 'avg_gap_s', 2)},
+       MAX(gap_s)::BIGINT AS max_gap_s
+FROM g WHERE gap_s IS NOT NULL
+GROUP BY event_type
+"""
+
+
+@register(
+    "event_interarrival_stats",
+    oracle=_INTERARRIVAL_ORACLE,
+    doc="Inter-arrival analysis (MTBF shape): per event type, count/mean/max "
+    "of the gaps between consecutive events under a (ts, event_id) total "
+    "order. One per-type sort window + one aggregation; decimal mean.",
+)
+def event_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.aggregates import davg
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", "event_id", F.unix_timestamp("ts").alias("ts_s"), "ts"
+    )
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    g = ev.select(
+        "event_type", (F.col("ts_s") - F.lag("ts_s").over(w)).alias("gap_s")
+    ).filter(F.col("gap_s").isNotNull())
+    return g.groupBy("event_type").agg(
+        F.count("gap_s").alias("n_gaps"),
+        davg("gap_s", "avg_gap_s", 2),
+        F.max("gap_s").alias("max_gap_s"),
+    )
+
+
+_REV_SHARE_ORACLE = f"""
+WITH n AS (
+  SELECT na.n_name,
+         SUM(CAST(o.o_totalprice AS DECIMAL(27,6))) AS rev
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation na  ON c.c_nationkey = na.n_nationkey
+  GROUP BY na.n_name
+)
+SELECT n_name,
+       ROUND(rev, 2)::DOUBLE AS revenue,
+       {o_dround('CAST(rev AS DOUBLE) * 100.0 / CAST(SUM(rev) OVER () AS DOUBLE)', 4)}
+         AS revenue_share_pct
+FROM n
+"""
+
+
+@register(
+    "nation_revenue_share",
+    oracle=_REV_SHARE_ORACLE,
+    doc="Contribution analysis: each nation's share of global order revenue. "
+    "The global total is an empty-frame window over the ALREADY-AGGREGATED "
+    "nation rows (25 rows), not a second scan or driver collect; decimal "
+    "sums make numerator and denominator partitioning-independent.",
+)
+def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.aggregates import DEC
+
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    per_nation = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(F.col("o_totalprice").cast(DEC)).alias("_rev"))
+    )
+    total = F.sum("_rev").over(Window.partitionBy())
+    return per_nation.select(
+        "n_name",
+        F.round("_rev", 2).cast("double").alias("revenue"),
+        dround(
+            F.col("_rev").cast("double") * 100.0 / total.cast("double"), 4
+        ).alias("revenue_share_pct"),
+    )
+
+
+_RI_AUDIT_ORACLE = """
+SELECT 'orders.o_custkey -> customer' AS fk, COUNT(*) AS n_orphans
+FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+UNION ALL
+SELECT 'lineitem.l_orderkey -> orders', COUNT(*)
+FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+UNION ALL
+SELECT 'customer.c_nationkey -> nation', COUNT(*)
+FROM customer c WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
+"""
+
+
+@register(
+    "referential_integrity_audit",
+    oracle=_RI_AUDIT_ORACLE,
+    doc="Ingest QA: orphan counts for three FK relations via LEFT ANTI joins "
+    "(dimension side broadcast where small). The audit is a union of "
+    "independent global counts — each branch is one scan + one anti join, "
+    "no shuffle of the fact side beyond the join itself.",
+)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    l = load(spark, sf_dir, "lineitem")
+    n = load(spark, sf_dir, "nation")
+
+    def orphans(fact: DataFrame, dim: DataFrame, cond, label: str) -> DataFrame:
+        return (
+            fact.join(F.broadcast(dim), cond, "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+            .select(F.lit(label).alias("fk"), "n_orphans")
+        )
+
+    return (
+        orphans(o, c, o.o_custkey == c.c_custkey, "orders.o_custkey -> customer")
+        .unionByName(
+            orphans(l, o, l.l_orderkey == o.o_orderkey, "lineitem.l_orderkey -> orders")
+        )
+        .unionByName(
+            orphans(c, n, c.c_nationkey == n.n_nationkey, "customer.c_nationkey -> nation")
+        )
     )
