@@ -377,3 +377,33 @@ def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.windows import retention_cohorts
 
     return retention_cohorts(load(spark, sf_dir, "events"))
+
+
+_VARIANT_ORACLE = """
+SELECT event_type,
+       COUNT(json_extract(props, '$.k')) AS n_with_k,
+       SUM(json_extract(props, '$.k')::BIGINT)::BIGINT AS k_sum,
+       MIN(json_extract(props, '$.k')::BIGINT)::BIGINT AS k_min,
+       MAX(json_extract(props, '$.k')::BIGINT)::BIGINT AS k_max
+FROM events GROUP BY event_type
+"""
+
+
+@register(
+    "event_props_variant",
+    oracle=_VARIANT_ORACLE,
+    doc="Spark 4 VARIANT surface: props parsed ONCE into the binary variant "
+    "encoding (parse_json), then typed path extraction via variant_get — "
+    "the open-schema semi-structured column pattern (vs event_props_json's "
+    "per-path string get_json_object). One parse per row, one aggregation.",
+)
+def event_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "long")
+    typed = ev.select("event_type", k.alias("k"))
+    return typed.groupBy("event_type").agg(
+        F.count("k").alias("n_with_k"),
+        F.sum("k").alias("k_sum"),
+        F.min("k").alias("k_min"),
+        F.max("k").alias("k_max"),
+    )

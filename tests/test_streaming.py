@@ -10,6 +10,13 @@ import pytest
 from data_engineering_assignment_spark import streaming as st
 from data_engineering_assignment_spark.operators.windows import sessionize, tumbling_agg
 
+try:
+    import google.protobuf  # noqa: F401
+
+    _HAS_PROTOBUF = True
+except ImportError:
+    _HAS_PROTOBUF = False
+
 
 def ts(minute):
     return datetime(2024, 1, 1, 0, minute)
@@ -358,3 +365,46 @@ def test_streaming_sliding_matches_batch(spark, events_path):
         for r in sliding_agg(spark.read.parquet(events_path), "10 minutes", "5 minutes").collect()
     )
     assert got == want
+
+
+@pytest.mark.skipif(
+    not _HAS_PROTOBUF,
+    reason="transformWithState needs google.protobuf (state-server protocol); "
+    "not installed in this environment",
+)
+def test_transform_with_state_matches_apply_in_pandas_with_state(spark, events_path):
+    """Spark 4 transformWithState twin of stateful_user_totals: same final
+    running totals across multi-batch execution, same as a batch groupBy."""
+    from pyspark.sql import functions as F
+
+    src = (
+        spark.readStream.schema(spark.read.parquet(events_path).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_path)
+    )
+    out = st.run_available_now(
+        st.transform_with_state_totals(src), output_mode="update"
+    )
+    final = {
+        r["user"]: (r["n_events"], r["total_value"])
+        for r in out.groupBy("user")
+        .agg(F.max("n_events").alias("n_events"), F.max("total_value").alias("total_value"))
+        .collect()
+    }
+    batch = {
+        r["user_id"]: (r["n"], r["v"])
+        for r in spark.read.parquet(events_path)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+        .collect()
+    }
+    assert final == batch
+
+
+@pytest.mark.skipif(_HAS_PROTOBUF, reason="guard only fires without protobuf")
+def test_transform_with_state_guard_message(spark, events_path):
+    src = spark.readStream.schema(spark.read.parquet(events_path).schema).parquet(
+        events_path
+    )
+    with pytest.raises(ImportError, match="stateful_user_totals"):
+        st.transform_with_state_totals(src)
