@@ -100,3 +100,37 @@ def test_profile_approx_variant_avoids_expand(spark, sf_dir):
     for c in cols:  # HLL estimates within a loose band of truth
         assert abs(got[c]["n_distinct"] - exact[c]["n_distinct"]) <= 0.1 * exact[c]["n_distinct"] + 5
         assert got[c]["n_nulls"] == exact[c]["n_nulls"]
+
+
+def test_synthetic_docs_datasource(spark):
+    """Spark 4 Python DataSource API: partition-parallel deterministic reads
+    through the normal spark.read.format path."""
+    from data_engineering_assignment_spark.sources.synthetic import (
+        make_doc,
+        register_synthetic_docs,
+    )
+
+    register_synthetic_docs(spark)
+    df = (
+        spark.read.format("synthetic_docs")
+        .option("n", 200)
+        .option("partitions", 4)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 4
+    rows = df.collect()
+    assert len(rows) == 200
+    assert sorted(r["doc_id"] for r in rows) == list(range(200))
+    # executor rows match the shared row function exactly (determinism)
+    by_id = {r["doc_id"]: tuple(r) for r in rows}
+    for i in (0, 7, 199):
+        assert by_id[i] == make_doc(i)
+    # a second read is byte-identical
+    again = (
+        spark.read.format("synthetic_docs")
+        .option("n", 200)
+        .option("partitions", 4)
+        .load()
+        .collect()
+    )
+    assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
