@@ -746,3 +746,53 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             orphans(c, n, c.c_nationkey == n.n_nationkey, "customer.c_nationkey -> nation")
         )
     )
+
+
+_CHISQ_ORACLE = f"""
+WITH o AS (
+  SELECT lang, source, COUNT(*)::DOUBLE AS obs FROM documents GROUP BY lang, source
+), t AS (
+  SELECT lang, source, obs,
+         SUM(obs) OVER (PARTITION BY lang) AS row_total,
+         SUM(obs) OVER (PARTITION BY source) AS col_total,
+         SUM(obs) OVER () AS grand
+  FROM o
+)
+SELECT lang, source,
+       obs::BIGINT AS observed,
+       {o_dround('row_total * col_total / grand', 4)} AS expected,
+       {o_dround('(obs - row_total * col_total / grand) * (obs - row_total * col_total / grand)'
+                 ' / (row_total * col_total / grand)', 6)} AS chi2_term
+FROM t
+"""
+
+
+@register(
+    "lang_source_chisq",
+    oracle=_CHISQ_ORACLE,
+    doc="Data-drift QA: chi-square contingency terms for lang x source "
+    "independence — observed vs expected cell counts and per-cell "
+    "contributions. Marginals come from windows over the ALREADY-AGGREGATED "
+    "contingency cells (|langs| x |sources| rows), so the corpus is scanned "
+    "and shuffled once; the arithmetic is pure IEEE mul/div (no p-value "
+    "lookup, which would need incomplete-gamma transcendentals).",
+)
+def lang_source_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = (
+        load(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).cast("double").alias("obs"))
+    )
+    row_total = F.sum("obs").over(Window.partitionBy("lang"))
+    col_total = F.sum("obs").over(Window.partitionBy("source"))
+    grand = F.sum("obs").over(Window.partitionBy())
+    t = o.select("lang", "source", "obs",
+                 row_total.alias("_r"), col_total.alias("_c"), grand.alias("_g"))
+    exp = F.col("_r") * F.col("_c") / F.col("_g")
+    return t.select(
+        "lang",
+        "source",
+        F.col("obs").cast("long").alias("observed"),
+        dround(exp, 4).alias("expected"),
+        dround((F.col("obs") - exp) * (F.col("obs") - exp) / exp, 6).alias("chi2_term"),
+    )
