@@ -365,3 +365,81 @@ def transform_with_state_totals(
         outputMode="Update",
         timeMode="None",
     )
+
+
+def running_anomaly_flags(
+    stream: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    min_n: int = 30,
+    z: float = 3.0,
+) -> DataFrame:
+    """Streaming twin of the batch ``events_anomaly_zscore``: per key, each
+    event is judged against the running mean/variance of all PRIOR events,
+    maintained as (n, sum, sum-of-squares) state — the same sqrt-free
+    power-sum formulation, O(1) state per key.
+
+    Within a micro-batch rows are ordered by event time; prior-stats per row
+    are vectorized (shifted cumulative sums), so the Python work per batch is
+    one numpy pass. Emits (key, n_seen, n_anomalies) per touched key per
+    batch in update mode — the last emission per key is the stream total.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("key", StringType()),
+            StructField("n_seen", LongType()),
+            StructField("n_anomalies", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("s1", DoubleType()),
+            StructField("s2", DoubleType()),
+            StructField("flagged", LongType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        import numpy as np
+        import pandas as pd
+
+        n0, s1_0, s2_0, flagged = (
+            state.get if state.exists else (0, 0.0, 0.0, 0)
+        )
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col)
+            v = pdf[value_col].to_numpy(dtype=np.float64)
+            cs = np.cumsum(v)
+            cs2 = np.cumsum(v * v)
+            n_prior = n0 + np.arange(len(v), dtype=np.int64)
+            s1_prior = s1_0 + np.concatenate(([0.0], cs[:-1]))
+            s2_prior = s2_0 + np.concatenate(([0.0], cs2[:-1]))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                mean = s1_prior / n_prior
+                var = (s2_prior - s1_prior * s1_prior / n_prior) / (n_prior - 1)
+                hit = (n_prior >= min_n) & (
+                    (v - mean) * (v - mean) > (z * z) * var
+                )
+            flagged += int(hit.sum())
+            n0 += len(v)
+            s1_0 += float(cs[-1]) if len(v) else 0.0
+            s2_0 += float(cs2[-1]) if len(v) else 0.0
+        state.update((n0, s1_0, s2_0, flagged))
+        yield __import__("pandas").DataFrame(
+            {"key": [key[0]], "n_seen": [n0], "n_anomalies": [flagged]}
+        )
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

@@ -408,3 +408,45 @@ def test_transform_with_state_guard_message(spark, events_path):
     )
     with pytest.raises(ImportError, match="stateful_user_totals"):
         st.transform_with_state_totals(src)
+
+
+def test_running_anomaly_flags_across_batches(spark, tmp_path):
+    """Streaming z-score: baseline batch establishes state, a later outlier
+    is flagged against the running mean/variance of prior events."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path / "anom")
+    base = datetime(2024, 1, 1)
+    # file 0: 40 calm values alternating 9.5/10.5 (mean 10, tight variance)
+    rows0 = [
+        (i, datetime(2024, 1, 1, 0, i), "a", 10.0 + (0.5 if i % 2 else -0.5))
+        for i in range(40)
+    ]
+    # file 1: one wild outlier then two calm values
+    rows1 = [
+        (100, datetime(2024, 1, 1, 2, 0), "a", 500.0),
+        (101, datetime(2024, 1, 1, 2, 1), "a", 10.5),
+        (102, datetime(2024, 1, 1, 2, 2), "a", 9.5),
+    ]
+    schema = "event_id bigint, ts timestamp, event_type string, value double"
+    spark.createDataFrame(rows0, schema).coalesce(1).write.parquet(d)
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("append").parquet(d)
+    src = (
+        spark.readStream.schema(spark.read.parquet(d).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    out = st.run_available_now(
+        st.running_anomaly_flags(src), output_mode="update"
+    )
+    final = (
+        out.groupBy("key")
+        .agg(F.max("n_seen").alias("n"), F.max("n_anomalies").alias("hits"))
+        .collect()[0]
+    )
+    assert final["n"] == 43
+    # exactly the 500.0 outlier is flagged: calm values stay within 3 sigma,
+    # and after the outlier inflates the variance the next calm values pass
+    assert final["hits"] == 1
