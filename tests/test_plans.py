@@ -172,3 +172,12 @@ def test_histogram_is_one_pass_partial_agg(spark, sf_dir):
     plan = plans.simple_plan(df)
     assert plan.count("Scan parquet") == 1
     assert plans.has_partial_aggregation(df)
+
+
+def test_variant_query_parses_once(spark, sf_dir):
+    """The variant path extraction must be projected once before the
+    aggregation — not re-parsed per aggregate (the event_props_json trap)."""
+    df = build(spark, sf_dir, "event_props_variant")
+    plan = plans.simple_plan(df)
+    assert plan.count("variant_get") == 1
+    assert plans.has_partial_aggregation(df)
