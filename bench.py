@@ -101,6 +101,8 @@ HEADLINE = [
     "event_interarrival_stats",
     "nation_revenue_share",
     "referential_integrity_audit",
+    "event_props_variant",
+    "lang_source_chisq",
 ]
 
 
