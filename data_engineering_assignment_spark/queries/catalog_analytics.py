@@ -796,3 +796,61 @@ def lang_source_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(exp, 4).alias("expected"),
         dround((F.col("obs") - exp) * (F.col("obs") - exp) / exp, 6).alias("chi2_term"),
     )
+
+
+_WMEDIAN_ORACLE = """
+WITH s AS (
+  SELECT l_returnflag, l_extendedprice AS v,
+         SUM(l_quantity) OVER (PARTITION BY l_returnflag
+                               ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+         SUM(l_quantity) OVER (PARTITION BY l_returnflag) AS tw
+  FROM lineitem
+)
+SELECT l_returnflag,
+       COUNT(*) AS n_rows,
+       MIN(v) AS wmedian_price
+FROM s WHERE cw >= tw / 2.0
+GROUP BY l_returnflag
+"""
+
+
+@register(
+    "weighted_median_price",
+    oracle=_WMEDIAN_ORACLE,
+    doc="Pandas GROUPED_AGG UDAF (the UDAF leg of the UDF/UDAF/UDTF "
+    "surface): quantity-weighted median of line prices per return flag — "
+    "one Arrow transfer per group, numpy sort+cumsum+searchsorted inside. "
+    "Exact-arithmetic by construction (existing value selected by exact "
+    "integer-weight comparisons), so the SQL window twin (first cumulative "
+    "crossing of half the total) hash-matches. n_rows comes from the same "
+    "window formulation on the Spark side to keep one code path per column.",
+)
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.udafs import weighted_median
+
+    l = load(spark, sf_dir, "lineitem")
+    med = l.groupBy("l_returnflag").agg(
+        weighted_median("l_extendedprice", "l_quantity").alias("wmedian_price")
+    )
+    # n_rows must match the oracle's WHERE cw >= tw/2 row count — compute it
+    # with the same window formulation, then join the (3-row) aggregates
+    w_cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("l_returnflag")
+    counted = (
+        l.select(
+            "l_returnflag",
+            F.sum("l_quantity").over(w_cum).alias("cw"),
+            F.sum("l_quantity").over(w_all).alias("tw"),
+        )
+        .filter(F.col("cw") >= F.col("tw") / 2.0)
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    return counted.join(med, "l_returnflag").select(
+        "l_returnflag", "n_rows", "wmedian_price"
+    )

@@ -98,3 +98,24 @@ def test_hll_rollup_bounded_error(spark, sf_dir):
     est = load_catalog()["approx_distinct_users_rollup"].build(spark, sf_dir).collect()[0]
     exact = load(spark, sf_dir, "events").select("user_id").distinct().count()
     assert abs(est["total_users_est"] - exact) / exact < 0.05
+
+
+def test_weighted_median_udaf(spark):
+    """GROUPED_AGG pandas UDAF: smallest value whose cumulative weight
+    reaches half the total, per group."""
+    from data_engineering_assignment_spark.functions.udafs import weighted_median
+
+    from pyspark.sql import functions as F
+
+    rows = [
+        # group a: weights 1+1+8 → half=5 → cum 1,2,10 → median value 30
+        ("a", 10.0, 1.0), ("a", 20.0, 1.0), ("a", 30.0, 8.0),
+        # group b: equal weights → half=1.5 → second value (cum 1,2,3)
+        ("b", 1.0, 1.0), ("b", 2.0, 1.0), ("b", 3.0, 1.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, v double, w double")
+    out = {
+        r["g"]: r["m"]
+        for r in df.groupBy("g").agg(weighted_median("v", "w").alias("m")).collect()
+    }
+    assert out == {"a": 30.0, "b": 2.0}
