@@ -75,23 +75,28 @@ def decontaminate(
     n: int = 5,
 ) -> DataFrame:
     """Benchmark decontamination: train docs sharing any word ``n``-gram with
-    the benchmark set → (doc_id, n_shared_shingles). Join key is the shingle
-    (uniformly distributed); the benchmark side is deduplicated to distinct
-    shingles and broadcast when small."""
+    the benchmark set → (doc_id, n_shared_shingles). Both sides project the
+    shingle's xxhash64 before the join, so the broadcast map holds 8-byte
+    longs instead of n-word strings and probes hash longs — same trick as
+    ``corpus.boilerplate_ngrams`` (a 64-bit collision would need ~2³²
+    distinct shingles to matter; the cross-engine oracle would catch one).
+    The benchmark side is deduplicated to distinct hashes and broadcast when
+    small."""
     from .dedup import word_shingles
 
     t_sh = train.select(
         F.col(id_col).alias("doc"), F.explode(word_shingles(text_col, n)).alias("shingle")
-    )
+    ).select("doc", F.xxhash64("shingle").alias("sh_h"))
     b_sh = (
         benchmark.select(F.explode(word_shingles(text_col, n)).alias("shingle"))
+        .select(F.xxhash64("shingle").alias("sh_h"))
         .distinct()
     )
     # plain count, not count_distinct: word_shingles array_distincts per doc,
-    # and the benchmark side is distinct — (doc, shingle) pairs are unique,
+    # and the benchmark side is distinct — (doc, sh_h) pairs are unique,
     # so the distinct-expansion shuffle would be pure waste
     return (
-        t_sh.join(F.broadcast(b_sh), on="shingle")
+        t_sh.join(F.broadcast(b_sh), on="sh_h")
         .groupBy(F.col("doc").alias(id_col))
         .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
     )
