@@ -134,3 +134,59 @@ def test_retention_cohorts_week_offsets(spark):
         for r in retention_cohorts(df).collect()
     }
     assert out == {(wk0, 0): 1, (wk0, 2): 1, (wk0 + 604800, 0): 1}
+
+
+def test_gapfill_invariants_on_catalog_data(spark):
+    """Structural invariants at sf0.001: per key, slots are contiguous at
+    300 s spacing from min to max, slot count = span/300 + 1, and the sum of
+    n_events equals the key's event count."""
+    from collections import defaultdict
+
+    from data_engineering_assignment_spark.operators.windows import gapfill
+    from data_engineering_assignment_spark.tables import load
+
+    ev = load(spark, "/root/testdata/sf0.001", "events")
+    rows = gapfill(ev, "5 minutes").collect()
+    by_key = defaultdict(list)
+    for r in rows:
+        by_key[r["event_type"]].append(r)
+    counts = {r["event_type"]: r["n"] for r in ev.groupBy("event_type").count().withColumnRenamed("count", "n").collect()}
+    for k, rs in by_key.items():
+        slots = sorted(r["bucket_start"] for r in rs)
+        assert slots == list(range(slots[0], slots[-1] + 1, 300))
+        assert sum(r["n_events"] for r in rs) == counts[k]
+        assert all(r["filled_value"] is not None for r in rs)
+
+
+def test_retention_cohort_week0_equals_cohort_size(spark):
+    """Every user is active in their own cohort week, so the week_offset=0
+    row of each cohort counts exactly the cohort's users."""
+    from data_engineering_assignment_spark.operators.windows import retention_cohorts
+    from data_engineering_assignment_spark.tables import load
+
+    ev = load(spark, "/root/testdata/sf0.001", "events")
+    out = {(r["cohort_week"], r["week_offset"]): r["n_users"]
+           for r in retention_cohorts(ev).collect()}
+    from pyspark.sql import functions as F
+    week = F.unix_timestamp(F.date_trunc("week", F.col("ts")))
+    cohort_sizes = {
+        r["cohort_week"]: r["n"]
+        for r in ev.groupBy("user_id").agg(F.min(week).alias("cohort_week"))
+        .groupBy("cohort_week").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for cw, size in cohort_sizes.items():
+        assert out[(cw, 0)] == size
+
+
+def test_transition_total_is_events_minus_users(spark):
+    """Each user's n-event stream yields exactly n-1 transitions."""
+    from data_engineering_assignment_spark.operators.windows import transition_counts
+    from data_engineering_assignment_spark.tables import load
+
+    ev = load(spark, "/root/testdata/sf0.001", "events")
+    total = sum(
+        r["n_transitions"] for r in transition_counts(ev).collect()
+    )
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert total == n_events - n_users
