@@ -11,7 +11,30 @@ import pytest
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import __spark_entry__ as entrymod
-from data_engineering_assignment_spark.queries import load_catalog
+from data_engineering_assignment_spark.queries import DRIVER_SAMPLE_HEAD, load_catalog
+
+
+def test_driver_sample_spans_all_modules():
+    """The driver's correctness gate checks the first 50 registered queries;
+    that prefix must cover every catalog module so each family gets a driver
+    CORRECTNESS entry."""
+    import inspect
+
+    catalog = load_catalog()
+    names = list(catalog)
+    assert names[: len(DRIVER_SAMPLE_HEAD)] == list(DRIVER_SAMPLE_HEAD)
+    assert len(DRIVER_SAMPLE_HEAD) == 50
+    all_modules = {
+        inspect.getmodule(q.build).__name__.split(".")[-1] for q in catalog.values()
+    }
+    first50_modules = {
+        inspect.getmodule(catalog[n].build).__name__.split(".")[-1]
+        for n in names[:50]
+    }
+    assert first50_modules == all_modules
+    # the sample should be overwhelmingly oracle-gated (strong hash check)
+    gated = sum(1 for n in names[:50] if catalog[n].oracle is not None)
+    assert gated >= 45
 
 
 def test_entry_smoke(spark):
