@@ -104,17 +104,15 @@ def compare_frames(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame)
     if not mismatches:
         return CompareResult(name, True)
     if all(_rows_within_tol(a, b) for _, a, b in mismatches):
+        # The driver hashes EXACT values, so a tolerance-only match would
+        # still fail its gate — count it as a rehearsal failure too.
         return CompareResult(
             name,
-            True,
-            f"{len(mismatches)}/{len(s_rows)} rows differ only in floats "
-            "within tolerance",
-            warnings=[
-                f"{len(mismatches)} rows have float-only differences within "
-                "rel 1e-9 — the driver hashes EXACT values, so its gate may "
-                "still fail; route the column through the decimal detour "
-                "(operators/aggregates.dround) for bit-exact results"
-            ],
+            False,
+            f"{len(mismatches)}/{len(s_rows)} rows differ ONLY in floats "
+            "within rel 1e-9 — the driver hashes exact values and would "
+            "fail this; route the column through the decimal detour "
+            "(operators/aggregates.dround) for bit-exact results",
         )
     i, a, b = mismatches[0]
     return CompareResult(
