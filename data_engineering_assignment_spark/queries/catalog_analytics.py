@@ -138,23 +138,38 @@ def customer_year_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TREND_ORACLE = """
 WITH e AS (
   SELECT event_type,
-         (epoch_ms(ts) // 3600000)::BIGINT AS xh,
-         value
+         ((epoch_ms(ts) // 3600000)::BIGINT - 473000) AS xh0,
+         CAST(value AS DECIMAL(16,6)) AS v
   FROM events
 ), s AS (
   SELECT event_type,
          COUNT(*) AS n,
-         SUM(CAST(xh AS DECIMAL(27,6)))::DOUBLE AS sx,
-         SUM(CAST(value AS DECIMAL(27,6)))::DOUBLE AS sy,
-         SUM(CAST(xh * value AS DECIMAL(27,6)))::DOUBLE AS sxy,
-         SUM(CAST(xh * xh AS DECIMAL(27,6)))::DOUBLE AS sxx
+         CAST(SUM(xh0) AS DECIMAL(19,0)) AS sx0,
+         CAST(SUM(v) AS DECIMAL(16,6)) AS sy,
+         CAST(SUM(CAST(xh0 AS DECIMAL(8,0)) * v) AS DECIMAL(20,6)) AS sxy0,
+         CAST(SUM(xh0 * xh0) AS DECIMAL(20,0)) AS sxx0
   FROM e
   GROUP BY event_type
+), t AS (
+  SELECT event_type, n, sy,
+         CAST(CAST(n AS DECIMAL(12,0)) * sxy0 - sx0 * sy AS DECIMAL(22,6)) AS num,
+         CAST(CAST(n AS DECIMAL(12,0)) * sxx0 - sx0 * sx0 AS DECIMAL(22,0)) AS den,
+         CAST(sx0 + CAST(n AS DECIMAL(12,0)) * 473000 AS DECIMAL(16,0)) AS sx
+  FROM s
+), u AS (
+  SELECT event_type, n, num, den,
+         CAST(sy * den - num * sx AS DECIMAL(38,6)) AS inum,
+         CAST(CAST(n AS DECIMAL(12,0)) * den AS DECIMAL(34,0)) AS iden
+  FROM t
 )
 SELECT event_type, n,
-       ROUND(CAST((n * sxy - sx * sy) / (n * sxx - sx * sx) AS DECIMAL(27,8)), 6)::DOUBLE AS slope,
-       ROUND(CAST((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n AS DECIMAL(27,8)), 6)::DOUBLE AS intercept
-FROM s
+       CASE WHEN den <> 0 THEN
+         ROUND(CAST(num::DOUBLE / den::DOUBLE AS DECIMAL(27,8)), 6)::DOUBLE
+       END AS slope,
+       CASE WHEN den <> 0 THEN
+         ROUND(CAST(inum::DOUBLE / iden::DOUBLE AS DECIMAL(27,8)), 6)::DOUBLE
+       END AS intercept
+FROM u
 """
 
 
@@ -162,35 +177,72 @@ FROM s
     "event_value_trend",
     oracle=_TREND_ORACLE,
     doc="Per-group OLS trend (regr_slope/regr_intercept semantics) of event "
-    "value against hour index, via the closed-form normal equations over "
-    "decimal-exact sums — a streaming-aggregable single pass, bit-identical "
-    "at any partitioning (the built-in covar/var aggregates accumulate "
-    "doubles in partition order and cannot be oracle-gated exactly).",
+    "value against hour index, via the closed-form normal equations kept "
+    "EXACT in pinned DECIMAL types through the cancellative numerator/"
+    "denominator algebra (n·sxy−sx·sy is a ~6-digit cancellation that "
+    "amplifies any ulp-level double divergence between engines ~1e6×; the "
+    "x-origin shift keeps every intermediate within DECIMAL(38,6) bind "
+    "limits on both Spark and DuckDB). Only the final division runs in "
+    "double — one correctly-rounded IEEE op — then the midpoint-safe "
+    "dround. Streaming-aggregable single pass, bit-identical at any "
+    "partitioning (built-in covar/var accumulate doubles in partition "
+    "order and cannot be oracle-gated exactly).",
 )
 def event_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.aggregates import DEC
+    shift = 473000  # epoch-hour origin near the data; slope is shift-invariant
 
     ev = load(spark, sf_dir, "events").select(
         "event_type",
         (F.unix_timestamp("ts").cast("long") / F.lit(3600)).cast("long").alias("xh"),
         "value",
     )
-    s = ev.groupBy("event_type").agg(
+    e = ev.select(
+        "event_type",
+        (F.col("xh") - shift).alias("xh0"),
+        F.col("value").cast("decimal(16,6)").alias("v"),
+    )
+    s = e.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("xh").cast(DEC)).cast("double").alias("sx"),
-        F.sum(F.col("value").cast(DEC)).cast("double").alias("sy"),
-        F.sum((F.col("xh") * F.col("value")).cast(DEC)).cast("double").alias("sxy"),
-        F.sum((F.col("xh") * F.col("xh")).cast(DEC)).cast("double").alias("sxx"),
+        # 19,0 (not 14,0): DuckDB multiplies int64-backed decimals (p<=18) in
+        # int64 regardless of result precision; p>=19 forces int128 math.
+        F.sum("xh0").cast("decimal(19,0)").alias("sx0"),
+        F.sum("v").cast("decimal(16,6)").alias("sy"),
+        F.sum(F.col("xh0").cast("decimal(8,0)") * F.col("v"))
+        .cast("decimal(20,6)")
+        .alias("sxy0"),
+        F.sum(F.col("xh0") * F.col("xh0")).cast("decimal(20,0)").alias("sxx0"),
     )
-    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
-        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    )
-    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
-    return s.select(
+    nd = F.col("n").cast("decimal(12,0)")
+    t = s.select(
         "event_type",
         "n",
-        dround(slope, 6).alias("slope"),
-        dround(intercept, 6).alias("intercept"),
+        "sy",
+        (nd * F.col("sxy0") - F.col("sx0") * F.col("sy"))
+        .cast("decimal(22,6)")
+        .alias("num"),
+        (nd * F.col("sxx0") - F.col("sx0") * F.col("sx0"))
+        .cast("decimal(22,0)")
+        .alias("den"),
+        (F.col("sx0") + nd * F.lit(shift)).cast("decimal(16,0)").alias("sx"),
+    )
+    u = t.select(
+        "event_type",
+        "n",
+        "num",
+        "den",
+        (F.col("sy") * F.col("den") - F.col("num") * F.col("sx"))
+        .cast("decimal(38,6)")
+        .alias("inum"),
+        (F.col("n").cast("decimal(12,0)") * F.col("den"))
+        .cast("decimal(34,0)")
+        .alias("iden"),
+    )
+    nz = F.col("den") != 0
+    return u.select(
+        "event_type",
+        "n",
+        F.when(nz, dround(F.col("num").cast("double") / F.col("den").cast("double"), 6)).alias("slope"),
+        F.when(nz, dround(F.col("inum").cast("double") / F.col("iden").cast("double"), 6)).alias("intercept"),
     )
 
 

@@ -63,11 +63,13 @@ def read_parquet_stream(
     explicit schema; by default it is taken from the existing files (one
     driver-side footer read, no data scan).
 
-    TIMESTAMP(NANOS) columns (e.g. the driver's ``events.ts``) are converted
-    nanos→micros after the stream scan, mirroring ``tables.load`` — without
-    this they arrive as raw ``bigint`` and watermark/window calls fail or
-    silently mis-window. An explicit ``schema`` disables the conversion (the
-    caller owns the types then)."""
+    TIMESTAMP(NANOS) columns (e.g. the driver's ``events.ts``) surface as
+    ``timestamp_ntz`` — natively on Spark 4, or via the nanos-long fallback
+    conversion below on configurations that read them as raw ``bigint``
+    (where watermark/window calls would otherwise fail or silently
+    mis-window). Either way the dtype contract matches ``tables.load`` batch
+    reads exactly, so stream-batch unions line up. An explicit ``schema``
+    disables the conversion (the caller owns the types then)."""
     tune(spark)
     explicit = schema is not None
     if schema is None:
@@ -78,7 +80,10 @@ def read_parquet_stream(
             if dict(stream.dtypes).get(c) == "bigint":
                 # integer division, exactly tables.load / DuckDB truncation
                 stream = stream.withColumn(
-                    c, F.timestamp_micros(F.expr(f"`{c}` div 1000"))
+                    c,
+                    F.timestamp_micros(F.expr(f"`{c}` div 1000")).cast(
+                        "timestamp_ntz"
+                    ),
                 )
     return stream
 

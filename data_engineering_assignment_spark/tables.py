@@ -36,7 +36,11 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # nanos → micros via integer division (matches DuckDB truncation);
         # plain `/` would route through double and lose precision past 2^53.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # Cast to TIMESTAMP_NTZ: Spark 4 reads TIMESTAMP(NANOS) natively as
+        # NTZ, so the contract is NTZ on every Spark version / conf.
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+        )
     return df
 
 

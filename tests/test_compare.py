@@ -1,6 +1,7 @@
 """Unit tests for the oracle-differential comparison harness (compare.py) —
-exact equality, the float-tolerance-with-warning fallback, and hard
-mismatches. Pure pandas, no Spark session needed."""
+exact equality, the strict tolerance-only-diff-is-still-a-failure rule
+(the driver hashes exact values), and hard mismatches. Pure pandas, no
+Spark session needed."""
 
 from __future__ import annotations
 
@@ -16,12 +17,15 @@ def test_exact_match_no_warnings():
     assert res.ok and not res.warnings
 
 
-def test_float_within_tolerance_warns():
+def test_float_within_tolerance_fails_strict():
+    # The driver hashes EXACT values: a tolerance-only float match must be
+    # reported as a rehearsal FAILURE (with the decimal-detour hint), not a
+    # warning-pass.
     a = pd.DataFrame({"k": [1], "v": [0.1 + 0.2]})
     b = pd.DataFrame({"k": [1], "v": [0.3]})  # differs by ~5.6e-17
     res = compare_frames("t", a, b)
-    assert res.ok
-    assert res.warnings and "driver hashes EXACT" in res.warnings[0]
+    assert not res.ok
+    assert "ONLY in floats" in res.detail and "decimal detour" in res.detail
 
 
 def test_float_beyond_tolerance_fails():
@@ -31,11 +35,11 @@ def test_float_beyond_tolerance_fails():
     assert not res.ok
 
 
-def test_nested_array_tolerance():
+def test_nested_array_tolerance_fails_strict():
     a = pd.DataFrame({"e": [[0.1 + 0.2, 1.0]]})
     b = pd.DataFrame({"e": [[0.3, 1.0]]})
     res = compare_frames("t", a, b)
-    assert res.ok and res.warnings
+    assert not res.ok and "ONLY in floats" in res.detail
 
 
 def test_non_float_mismatch_fails():

@@ -310,10 +310,11 @@ def test_cdc_snapshot_sink_applies_change_stream(spark, tmp_path):
 
 
 def test_read_parquet_stream_converts_nanos_ts(spark, sf_dir, tmp_path):
-    """The driver's events.parquet is TIMESTAMP(NANOS); with nanosAsLong
-    pinned, a naive readStream would surface ts as bigint and watermarks
-    would mis-window. read_parquet_stream must restore real timestamps,
-    agreeing exactly with tables.load's nanos→micros truncation."""
+    """The driver's events.parquet is TIMESTAMP(NANOS). The dtype contract
+    is timestamp_ntz (Spark 4 reads nanos natively as NTZ; the nanos-long
+    fallback path casts to NTZ too) and it must agree with tables.load's
+    batch dtype exactly — a stream/batch mismatch would break stream-batch
+    unions downstream."""
     import shutil
 
     from pyspark.sql import functions as F
@@ -325,7 +326,11 @@ def test_read_parquet_stream_converts_nanos_ts(spark, sf_dir, tmp_path):
     shutil.copy(f"{sf_dir}/events.parquet", d / "part-0.parquet")
     stream = st.read_parquet_stream(spark, str(d))
     assert stream.isStreaming
-    assert dict(stream.dtypes)["ts"] == "timestamp"
+    assert dict(stream.dtypes)["ts"] == "timestamp_ntz"
+    assert (
+        dict(stream.dtypes)["ts"]
+        == dict(load(spark, sf_dir, "events").dtypes)["ts"]
+    )
     got = st.run_available_now(
         stream.agg(
             F.min("ts").alias("lo"), F.max("ts").alias("hi"), F.count("*").alias("n")
