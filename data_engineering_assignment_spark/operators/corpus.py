@@ -7,8 +7,9 @@ RefinedWeb-style boilerplate removal, salient-term extraction, ingest QA).
 
 Shuffle discipline:
 
-  * ``tfidf_top_terms`` — one (doc, token) aggregation, one analytic window
-    keyed by token for document frequency, one window keyed by doc for the
+  * ``tfidf_top_terms`` — one (doc, token) aggregation, a partially-
+    aggregated (token, df) table equi-joined back (AQE-skew-splittable,
+    unlike a token-partitioned window), one window keyed by doc for the
     top-1; the corpus size joins in as a broadcast single row.
   * ``token_chunks`` — narrow: sequence + explode per row, zero shuffles.
     Chunk fan-out is bounded by ``ceil(n_tokens / stride)`` per document.
@@ -52,8 +53,13 @@ def tfidf_top_terms(
     tok = df.select(F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("tok"))
     tf = tok.groupBy("doc", "tok").agg(F.count(F.lit(1)).alias("tf"))
     # (doc, tok) rows are unique post-aggregation, so a per-token row count
-    # IS the document frequency — no second frequency table to join
-    df_w = tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("tok")))
+    # IS the document frequency. Aggregate it into a (tok, df) table and
+    # equi-join back rather than an unbounded window partitioned by token:
+    # the aggregation gets a map-side partial combine, and AQE can split a
+    # hot stop-word key in the join — a window partition is unsplittable, so
+    # at corpus scale one stop-word token would pin a whole straggler task.
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    df_w = tf.join(dfreq, "tok")
     n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
     # all-double chain (not long multiplication): overflow-free at any corpus
     # size, and IEEE mul/div make it bit-identical to the SQL twin
