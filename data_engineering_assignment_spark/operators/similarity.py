@@ -201,17 +201,29 @@ def cosine_pairs_blocked(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = 4,
+    max_rows: int = 1_000_000,
 ) -> DataFrame:
     """Small-N utility: exact all-pairs cosine via DRIVER-side collect +
     broadcast matmul. NOT a scale path — the whole corpus is pulled to the
-    driver, so this caps out around 10⁷ vectors and should never back a
-    catalog query; use :func:`cosine_pairs_grouped` (distributed, same
-    output) instead. Kept for notebook-style exploration of small corpora
-    where the one-round-trip latency beats a shuffle.
+    driver, so it should never back a catalog query; use
+    :func:`cosine_pairs_grouped` (distributed, same output) instead. Kept
+    for notebook-style exploration of small corpora where the
+    one-round-trip latency beats a shuffle.
+
+    Refuses to run above ``max_rows`` (a cheap count() precedes the
+    collect) so the one driver-collect utility in the tree can never be
+    pointed at a full-scale corpus by accident.
     """
     import numpy as np
     import pandas as pd
 
+    n_rows = corpus.count()
+    if n_rows > max_rows:
+        raise ValueError(
+            f"cosine_pairs_blocked is a driver-collect utility capped at "
+            f"{max_rows} rows; got {n_rows}. Use cosine_pairs_grouped (the "
+            f"distributed equivalent) for corpora of this size."
+        )
     rows = corpus.select(id_col, vec_col).collect()
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     mat = np.array([r[1] for r in rows], dtype=np.float64)

@@ -95,6 +95,22 @@ def test_cosine_pairs_blocked_matches_hof(spark):
     assert hof == blk and len(blk) > 0
 
 
+def test_cosine_pairs_blocked_refuses_large_corpus(spark):
+    """The one driver-collect utility in the tree must refuse to collect a
+    corpus above its cap, so it can never back a scale path by accident."""
+    import pytest
+
+    from data_engineering_assignment_spark.operators.similarity import (
+        cosine_pairs_blocked,
+    )
+
+    df = spark.range(200).select(
+        F.col("id").alias("vec_id"), F.array(F.lit(1.0)).alias("embedding")
+    )
+    with pytest.raises(ValueError, match="capped at 100 rows"):
+        cosine_pairs_blocked(df, 0.5, max_rows=100)
+
+
 def test_cosine_pairs_grouped_matches_hof(spark):
     import random
 
