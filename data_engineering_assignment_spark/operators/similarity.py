@@ -443,6 +443,81 @@ def ivf_topk(
     )
 
 
+def ivf_topk_portable(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 4,
+) -> DataFrame:
+    """IVF top-k whose every step is SQL-expressible, so the operator is
+    exact-oracle-checkable end to end (the portable twin of :func:`ivf_topk`,
+    mirroring the ``dedup_minhash_lsh`` / ``dedup_lsh_portable`` split).
+
+    Differences from the numpy/k-means path that make it checkable:
+
+      * seeding — the ``n_centroids`` corpus rows with smallest Knuth
+        multiplicative hash ``(id * 2654435761) % 2^32`` (pure integer
+        arithmetic, identical in any engine), cells indexed in hash order;
+      * assignment — argmax cosine over the broadcast centroid rows via
+        JVM ``aggregate``/``zip_with`` folds, whose left-to-right order is
+        pinned and matches DuckDB's ``list_sum`` bit-for-bit (ties broken
+        by cell index), instead of numpy matmul whose pairwise/SIMD
+        summation order is engine-private.
+
+    The candidate join stays the linear-scale equi-join on cell id. The
+    assignment uses a per-id window over a ``n_centroids``-fold fan-out —
+    fine at oracle scale; at 100 TB prefer :func:`ivf_topk`, whose
+    assignment is a narrow numpy argmax pass with no shuffle.
+    """
+    c_prep = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vec")
+    )
+    q_prep = queries.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vec")
+    )
+    h = (F.col("id") * F.lit(2654435761)) % F.lit(4294967296)
+    seeds = (
+        c_prep.select("id", "vec", h.alias("h")).orderBy("h", "id").limit(n_centroids)
+    )
+    w_seed = Window.orderBy("h", "id")  # n_centroids rows: single task is fine
+    cents = seeds.select(
+        (F.row_number().over(w_seed) - 1).alias("cell"), F.col("vec").alias("cent")
+    )
+
+    def assign(df: DataFrame, n_take: int) -> DataFrame:
+        w = Window.partitionBy("id").orderBy(F.desc("_csim"), F.asc("cell"))
+        return (
+            df.crossJoin(F.broadcast(cents))
+            .withColumn("_csim", cosine(F.col("vec"), F.col("cent")))
+            .withColumn("_crn", F.row_number().over(w))
+            .filter(F.col("_crn") <= n_take)
+            .drop("_csim", "_crn", "cent")
+        )
+
+    assigned = assign(c_prep, 1).select(
+        F.col("id").alias("neighbor_id"), F.col("vec").alias("c_vec"), "cell"
+    )
+    probed = assign(q_prep, n_probe).select(
+        F.col("id").alias("query_id"), F.col("vec").alias("q_vec"), "cell"
+    )
+    # corpus rows live in exactly one cell, so (query, neighbor) is unique
+    scored = assigned.join(F.broadcast(probed), on="cell").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    sim = F.round(cosine(F.col("q_vec"), F.col("c_vec")), scale)
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("sim", sim)
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "sim", "rnk")
+    )
+
+
 def _hyperplane(dim: int, plane: int, seed: int = 42) -> list[float]:
     """Deterministic pseudo-random unit-free hyperplane (pure function of
     (plane, dim, seed) — same on every executor, no RNG state)."""

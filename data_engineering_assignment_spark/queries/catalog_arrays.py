@@ -168,19 +168,65 @@ def image_color_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_oracle(dim: int = 64, k: int = 5, n_centroids: int = 16, n_probe: int = 4) -> str:
+    """SQL twin of ivf_topk_portable: centroid seeding is pure integer
+    arithmetic (Knuth multiplicative hash) and assignment/scoring use the
+    same left-to-right dot-product folds as the Spark expressions, so the
+    'approximate' IVF is a deterministic function of its inputs and
+    exact-oracle-checkable — same argument as the LSH twin."""
+    cos = (
+        "list_sum(list_transform(range(1, {d}), i -> {a}[i] * {b}[i]))"
+        " / sqrt(list_sum(list_transform({a}, x -> x * x))"
+        " * list_sum(list_transform({b}, x -> x * x)))"
+    )
+    assign_cos = cos.format(d=dim + 1, a="v.e", b="c.cent")
+    score_cos = cos.format(d=dim + 1, a="p.qe", b="cc.ce")
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings
+), seeds AS (
+  SELECT vec_id, e, (vec_id * 2654435761) % 4294967296 AS h
+  FROM v ORDER BY h, vec_id LIMIT {n_centroids}
+), cents AS (
+  SELECT (ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1)::INT AS cell, e AS cent FROM seeds
+), ca AS (
+  SELECT v.vec_id, v.e, c.cell,
+         ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                            ORDER BY {assign_cos} DESC, c.cell ASC) AS rn
+  FROM v CROSS JOIN cents c
+), corpus_cells AS (
+  SELECT vec_id AS neighbor_id, e AS ce, cell FROM ca WHERE rn = 1
+), probes AS (
+  SELECT vec_id AS query_id, e AS qe, cell FROM ca WHERE rn <= {n_probe} AND vec_id < 10
+), scored AS (
+  SELECT p.query_id, cc.neighbor_id, ROUND({score_cos}, 4) AS sim
+  FROM corpus_cells cc JOIN probes p USING (cell)
+  WHERE p.query_id <> cc.neighbor_id
+), ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         (ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC))::BIGINT AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, sim, rnk FROM ranked WHERE rnk <= {k}
+"""
+
+
 @register(
     "cosine_topk_ivf",
-    oracle=None,  # approximate — recall-tested vs exact in tests/test_similarity.py
-    doc="Additive similarity search, IVF variant: inverted lists from "
-    "2 distributed Lloyd iterations (spherical k-means), n_probe cells per "
-    "query, candidate join + window top-k.",
+    oracle=_ivf_oracle(),
+    doc="Additive similarity search, IVF variant — now oracle-gated end to "
+    "end via the portable twin: Knuth-hash centroid seeding and order-pinned "
+    "JVM dot-product folds round-trip into the SQL twin exactly "
+    "(ivf_topk_portable). The numpy/k-means scale path (ivf_topk, 2 Lloyd "
+    "iterations, narrow argmax assignment) remains recall-tested in "
+    "tests/test_similarity.py.",
 )
 def cosine_topk_ivf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.similarity import ivf_topk
+    from ..operators.similarity import ivf_topk_portable
 
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=4, n_iter=2)
+    return ivf_topk_portable(emb, queries, k=5, n_centroids=16, n_probe=4)
 
 
 _NEAR_DUP_ORACLE = """

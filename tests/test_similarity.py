@@ -166,6 +166,45 @@ def test_ivf_topk_recall_vs_exact(spark):
     assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
 
 
+def test_ivf_topk_portable_recall_and_determinism(spark):
+    """The oracle-gated portable IVF: decent recall vs exact top-k, rank
+    integrity, and partitioning-independence (its whole point is being a
+    deterministic function of its inputs)."""
+    import math
+    import random
+
+    from data_engineering_assignment_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk_portable,
+    )
+
+    rng = random.Random(13)
+
+    def unit(dim=16):
+        v = [rng.gauss(0, 1) for _ in range(dim)]
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    df = spark.createDataFrame(
+        [(i, unit()) for i in range(200)], "vec_id bigint, embedding array<double>"
+    )
+    queries = df.filter(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["neighbor_id"]) for r in cosine_topk(df, queries, k=3).collect()
+    }
+    rows = ivf_topk_portable(df, queries, k=3, n_centroids=8, n_probe=4).collect()
+    approx = {(r["query_id"], r["neighbor_id"]) for r in rows}
+    assert len(exact & approx) / len(exact) >= 0.5
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r["rnk"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
+    again = ivf_topk_portable(
+        df.repartition(7), queries, k=3, n_centroids=8, n_probe=4
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
 def _clustered_corpus(spark, n_clusters=4, per_cluster=50, dim=16, spread=0.05):
     """Well-separated clusters: orthogonal axis centers + small noise."""
     import math
