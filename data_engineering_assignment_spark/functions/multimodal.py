@@ -7,12 +7,16 @@ end — the driver never sees pixel data; each transform is a narrow
 ``mapInPandas`` over whatever partitioning the source had, so scans
 parallelize by file and no shuffle is introduced.
 
-Real image/audio codecs are not installed in this environment, so the DECODE
-step for standard formats raises ``NotImplementedError`` behind an
-import-try (PIL hook), while the deterministic ``RAWM`` container below —
-``b"RAWM" + u16 width + u16 height + u8 channels + u8 n_frames + payload``
-(little-endian, frame-major BGRA payload) — exercises the full Spark-side
-path (schema, batching, partition mapping) hermetically.
+PNG decodes natively: :func:`decode_png` is a dependency-free decoder
+(stdlib ``zlib`` inflate + numpy scanline unfiltering) covering the spec's
+common profile — 8-bit depth, color types 0/2/3/4/6 (gray / RGB / palette /
+gray+alpha / RGBA), all five filter types, tRNS transparency — which is the
+profile the reference's OpenMoji corpus uses (Assignment-python.py:654-661,
+:710). JPEG/audio/video codecs are NOT in this container, so those decode
+steps stay behind a guarded PIL hook / ``NotImplementedError``; the
+deterministic ``RAWM`` container — ``b"RAWM" + u16 width + u16 height +
+u8 channels + u8 n_frames + payload`` (little-endian, frame-major BGRA
+payload) — exercises the video paths hermetically.
 """
 
 from __future__ import annotations
@@ -55,11 +59,172 @@ def decode_rawm(content: bytes) -> tuple[np.ndarray, dict]:
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 _JPEG_MAGIC = b"\xff\xd8\xff"
 
+# PNG color type → samples per pixel (8-bit depth)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Invert PNG scanline filtering (spec §9, filter types 0-4). Rows are
+    sequential by construction (each references the previous reconstructed
+    row); types 0/2 vectorize, 1/3/4 walk the row because each byte needs
+    the already-reconstructed left neighbor. Fine for icon/thumbnail-sized
+    media; megapixel-scale corpora should ship a compiled codec to the
+    executors instead."""
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    pos = 0
+    for y in range(h):
+        ftype = raw[pos]
+        line = np.frombuffer(raw, np.uint8, stride, pos + 1).astype(np.int32)
+        pos += 1 + stride
+        if ftype == 0:  # None
+            cur = line
+        elif ftype == 1:  # Sub
+            cur = line.copy()
+            for x in range(bpp, stride):
+                cur[x] = (cur[x] + cur[x - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif ftype == 3:  # Average
+            cur = line.copy()
+            for x in range(stride):
+                left = cur[x - bpp] if x >= bpp else 0
+                cur[x] = (line[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            cur = line.copy()
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (line[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"PNG: unknown filter type {ftype} on row {y}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return out
+
+
+def decode_png(content: bytes) -> tuple[np.ndarray, dict]:
+    """Dependency-free PNG decode → one uint8 BGRA frame in the same
+    (frames, meta) shape as :func:`decode_rawm`.
+
+    Handles the common profile: 8-bit depth, non-interlaced, color types
+    0/2/3/4/6, all filter types, PLTE + tRNS. 16-bit, sub-byte palette
+    depths and Adam7 interlacing raise ``NotImplementedError`` (rare in
+    training corpora; the reference's OpenMoji PNGs are plain 8-bit RGBA,
+    Assignment-python.py:710). Byte order matches Spark's ``image`` source
+    (CV BGRA), so ``functions/colors.py`` analytics apply unchanged."""
+    import struct as _struct
+    import zlib
+
+    if content[: len(_PNG_MAGIC)] != _PNG_MAGIC:
+        raise ValueError("not a PNG: bad signature")
+    pos, ihdr, plte, trns, idat = len(_PNG_MAGIC), None, None, None, []
+    while pos + 8 <= len(content):
+        (length,) = _struct.unpack_from(">I", content, pos)
+        ctype = content[pos + 4 : pos + 8]
+        data = content[pos + 8 : pos + 8 + length]
+        if len(data) != length:
+            raise ValueError("PNG: truncated chunk")
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            ihdr = _struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = data
+        elif ctype == b"tRNS":
+            trns = data
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("PNG: missing IHDR or IDAT")
+    w, h, depth, color_type, _comp, _filt, interlace = ihdr
+    if color_type not in _PNG_CHANNELS:
+        raise ValueError(f"PNG: invalid color type {color_type}")
+    if depth != 8 or interlace != 0:
+        raise NotImplementedError(
+            f"PNG: only 8-bit non-interlaced images are supported "
+            f"(got depth={depth}, interlace={interlace})"
+        )
+    nch = _PNG_CHANNELS[color_type]
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * nch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG: decompressed size mismatch")
+    px = _png_unfilter(raw, h, stride, nch).reshape(h, w, nch)
+
+    opaque = np.full((h, w), 255, dtype=np.uint8)
+    if color_type == 3:  # palette
+        if plte is None:
+            raise ValueError("PNG: palette image without PLTE")
+        pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+        idx = px[:, :, 0]
+        if idx.max(initial=0) >= len(pal):
+            raise ValueError("PNG: palette index out of range")
+        rgb = pal[idx]
+        alpha = opaque
+        if trns is not None:
+            atab = np.full(len(pal), 255, dtype=np.uint8)
+            t = np.frombuffer(trns, np.uint8)
+            atab[: len(t)] = t
+            alpha = atab[idx]
+        rgba = np.dstack([rgb, alpha])
+    elif color_type == 0:  # grayscale
+        g = px[:, :, 0]
+        rgba = np.dstack([g, g, g, opaque])
+    elif color_type == 4:  # gray + alpha
+        g = px[:, :, 0]
+        rgba = np.dstack([g, g, g, px[:, :, 1]])
+    elif color_type == 2:  # RGB
+        rgba = np.dstack([px, opaque])
+    else:  # 6: RGBA
+        rgba = px
+    bgra = np.ascontiguousarray(rgba[:, :, [2, 1, 0, 3]])
+    return bgra.reshape(1, h, w, 4), {
+        "width": w,
+        "height": h,
+        "channels": 4,
+        "n_frames": 1,
+    }
+
+
+def encode_png(frame: np.ndarray) -> bytes:
+    """Serialize one uint8 BGRA frame (h, w, 4) — :func:`decode_png`'s
+    output shape — as an 8-bit RGBA PNG (filter 0, one IDAT)."""
+    import struct as _struct
+    import zlib
+
+    h, w, c = frame.shape
+    if c != 4 or frame.dtype != np.uint8:
+        raise ValueError("encode_png expects a (h, w, 4) uint8 BGRA frame")
+    rgba = np.ascontiguousarray(frame[:, :, [2, 1, 0, 3]])
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            _struct.pack(">I", len(data))
+            + typ
+            + data
+            + _struct.pack(">I", zlib.crc32(typ + data))
+        )
+
+    ihdr = _struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0)
+    raw = b"".join(b"\x00" + rgba[y].tobytes() for y in range(h))
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
 
 def _pil_image_module():
-    """Optional-dependency hook: PIL is not in this container, but the decode
-    path must exist (reference decodes real OpenMoji PNGs via Spark's image
-    source, Assignment-python.py:710). Returns PIL.Image or None."""
+    """Optional-dependency hook for formats beyond PNG (JPEG, WebP, …): PIL
+    is not in this container, but the path must exist. Returns PIL.Image or
+    None."""
     try:
         from PIL import Image  # noqa: PLC0415
 
@@ -69,17 +234,17 @@ def _pil_image_module():
 
 
 def decode_image_pil(content: bytes) -> tuple[np.ndarray, dict]:
-    """Decode a real PNG/JPEG via PIL into the same (frames, meta) shape as
-    ``decode_rawm``: one frame of uint8 BGRA — byte order matching Spark's
-    ``image`` source (CV BGR(A)), so the color analytics in
-    ``functions/colors.py`` apply unchanged (reference parity with
-    Assignment-python.py:654-661's image.data handling)."""
+    """Decode a JPEG (or any PIL-supported format) into the same
+    (frames, meta) shape as :func:`decode_png`: one frame of uint8 BGRA —
+    byte order matching Spark's ``image`` source (CV BGR(A)), so the color
+    analytics in ``functions/colors.py`` apply unchanged (reference parity
+    with Assignment-python.py:654-661's image.data handling)."""
     Image = _pil_image_module()
     if Image is None:
         raise NotImplementedError(
-            "PNG/JPEG decode needs PIL (pillow) on the executors; this "
-            "container does not ship it. The RAWM test container exercises "
-            "the identical Spark-side path."
+            "JPEG decode needs PIL (pillow) on the executors; this "
+            "container does not ship it. PNG decodes natively via "
+            "decode_png; the RAWM container covers the video paths."
         )
     import io
 
@@ -91,11 +256,14 @@ def decode_image_pil(content: bytes) -> tuple[np.ndarray, dict]:
 
 
 def decode_any(content: bytes) -> tuple[np.ndarray, dict]:
-    """Magic-byte dispatch: RAWM container natively, PNG/JPEG via the guarded
-    PIL hook. Other formats raise ``NotImplementedError``."""
+    """Magic-byte dispatch: RAWM container and PNG natively (both
+    dependency-free), JPEG via the guarded PIL hook. Other formats raise
+    ``NotImplementedError``."""
     if content[:4] == b"RAWM":
         return decode_rawm(content)
-    if content[: len(_PNG_MAGIC)] == _PNG_MAGIC or content[:3] == _JPEG_MAGIC:
+    if content[: len(_PNG_MAGIC)] == _PNG_MAGIC:
+        return decode_png(content)
+    if content[:3] == _JPEG_MAGIC:
         return decode_image_pil(content)
     return decode_rawm(content)  # raises the canonical NotImplementedError
 

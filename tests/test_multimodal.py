@@ -116,28 +116,23 @@ def tiny_png(pixels: np.ndarray) -> bytes:
     )
 
 
-def _pil_available() -> bool:
+def test_jpeg_without_pil_raises_clear_error():
+    """JPEG stays behind the guarded PIL hook (not shipped here); the error
+    must say so and point at the native paths."""
     from data_engineering_assignment_spark.functions.multimodal import (
         _pil_image_module,
+        decode_any,
     )
 
-    return _pil_image_module() is not None
-
-
-def test_png_without_pil_raises_clear_error():
-    from data_engineering_assignment_spark.functions.multimodal import decode_any
-
-    if _pil_available():
-        pytest.skip("PIL present — covered by test_png_decode_with_pil")
-    png = tiny_png(frames(1, 2, 2)[0])
+    if _pil_image_module() is not None:
+        pytest.skip("PIL present — JPEG would decode fine")
     with pytest.raises(NotImplementedError, match="PIL"):
-        decode_any(png)
+        decode_any(b"\xff\xd8\xff\xe0 fake jpeg")
 
 
-@pytest.mark.skipif(not _pil_available(), reason="PIL not installed in this container")
-def test_png_decode_with_pil():
-    """Real-codec hook: PNG bytes → one BGRA frame matching Spark's image
-    source byte order (reference decodes OpenMoji PNGs the same way)."""
+def test_png_decode_native():
+    """PNG decodes dependency-free: bytes → one BGRA frame matching Spark's
+    image-source byte order (reference decodes OpenMoji PNGs the same way)."""
     from data_engineering_assignment_spark.functions.multimodal import decode_any
 
     rgba = frames(1, 3, 2)[0]  # (h=3, w=2, 4) RGBA
@@ -146,12 +141,167 @@ def test_png_decode_with_pil():
     assert np.array_equal(decoded[0], rgba[:, :, [2, 1, 0, 3]])
 
 
-def test_decode_media_png_graceful_without_pil(spark):
-    """decode_media must not explode on real PNGs when PIL is absent — the
-    row is flagged decoded_ok=False like any undecodable content."""
-    if _pil_available():
-        pytest.skip("PIL present — PNG would decode fine")
-    png = tiny_png(frames(1, 2, 2)[0])
-    df = media_df(spark, [("x.png", "image", 2, 2, 4, 1, bytearray(png))])
-    row = decode_media(df).collect()[0]
-    assert row["decoded_ok"] is False
+def test_png_encode_decode_roundtrip():
+    from data_engineering_assignment_spark.functions.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    bgra = frames(1, 5, 7)[0]  # treat as BGRA, encode_png's input order
+    decoded, meta = decode_png(encode_png(bgra))
+    assert meta == {"width": 7, "height": 5, "channels": 4, "n_frames": 1}
+    assert np.array_equal(decoded[0], bgra)
+
+
+def _png_with_filters(pixels: np.ndarray, filters: list[int]) -> bytes:
+    """Forward-filter each scanline per the PNG spec (one filter type per
+    row) so the decoder's unfiltering of every type is exercised."""
+    import struct
+    import zlib
+
+    h, w, c = pixels.shape
+    raw = bytearray()
+    prev = np.zeros(w * c, dtype=np.int32)
+    for y in range(h):
+        cur = pixels[y].reshape(-1).astype(np.int32)
+        f = filters[y % len(filters)]
+        line = cur.copy()
+        for x in range(w * c):
+            a = cur[x - c] if x >= c else 0
+            b = prev[x]
+            cc = prev[x - c] if x >= c else 0
+            if f == 1:
+                line[x] = (cur[x] - a) & 0xFF
+            elif f == 2:
+                line[x] = (cur[x] - b) & 0xFF
+            elif f == 3:
+                line[x] = (cur[x] - ((a + b) >> 1)) & 0xFF
+            elif f == 4:
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                line[x] = (cur[x] - pred) & 0xFF
+        raw += bytes([f]) + bytes(line.astype(np.uint8))
+        prev = cur
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_all_filter_types():
+    """Rows filtered with Sub/Up/Average/Paeth (and None) must all
+    reconstruct to the original pixels."""
+    from data_engineering_assignment_spark.functions.multimodal import decode_png
+
+    rgba = frames(1, 10, 6, seed=3)[0]
+    decoded, _ = decode_png(_png_with_filters(rgba, [0, 1, 2, 3, 4]))
+    assert np.array_equal(decoded[0], rgba[:, :, [2, 1, 0, 3]])
+
+
+def _png_chunks(w, h, depth, color_type, raw, extra=b""):
+    import struct
+    import zlib
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + extra
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_palette_with_transparency():
+    import struct
+    import zlib
+
+    from data_engineering_assignment_spark.functions.multimodal import decode_png
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data))
+        )
+
+    # palette: red, green, blue; tRNS: red fully transparent, green 128
+    pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+    raw = b"\x00" + bytes([0, 1, 2])  # one row, indices 0 1 2
+    png = _png_chunks(
+        3, 1, 8, 3, raw, extra=chunk(b"PLTE", pal) + chunk(b"tRNS", bytes([0, 128]))
+    )
+    decoded, meta = decode_png(png)
+    assert meta["width"] == 3 and meta["height"] == 1
+    # BGRA order
+    assert decoded[0, 0, 0].tolist() == [0, 0, 255, 0]      # red, alpha 0
+    assert decoded[0, 0, 1].tolist() == [0, 255, 0, 128]    # green, alpha 128
+    assert decoded[0, 0, 2].tolist() == [255, 0, 0, 255]    # blue, opaque
+
+
+def test_png_grayscale_and_gray_alpha():
+    from data_engineering_assignment_spark.functions.multimodal import decode_png
+
+    gray = _png_chunks(2, 1, 8, 0, b"\x00" + bytes([7, 200]))
+    decoded, _ = decode_png(gray)
+    assert decoded[0, 0, 0].tolist() == [7, 7, 7, 255]
+    assert decoded[0, 0, 1].tolist() == [200, 200, 200, 255]
+
+    ga = _png_chunks(1, 1, 8, 4, b"\x00" + bytes([9, 42]))
+    decoded, _ = decode_png(ga)
+    assert decoded[0, 0, 0].tolist() == [9, 9, 9, 42]
+
+
+def test_png_rgb_opaque():
+    from data_engineering_assignment_spark.functions.multimodal import decode_png
+
+    rgb = _png_chunks(1, 1, 8, 2, b"\x00" + bytes([10, 20, 30]))
+    decoded, _ = decode_png(rgb)
+    assert decoded[0, 0, 0].tolist() == [30, 20, 10, 255]  # BGR + opaque
+
+
+def test_png_16bit_raises():
+    from data_engineering_assignment_spark.functions.multimodal import decode_png
+
+    png = _png_chunks(1, 1, 16, 0, b"\x00" + bytes([1, 2]))
+    with pytest.raises(NotImplementedError, match="8-bit"):
+        decode_png(png)
+
+
+def test_decode_media_real_png_end_to_end(spark):
+    """decode_media over a DataFrame of real PNG bytes: the mapInPandas
+    plumbing + native decoder refresh metadata and flag decoded_ok."""
+    png = tiny_png(frames(1, 4, 6)[0])  # h=4, w=6
+    df = media_df(
+        spark,
+        [
+            ("x.png", "image", 0, 0, 0, 0, bytearray(png)),
+            ("bad.png", "image", 0, 0, 0, 0, bytearray(b"\x89PNG\r\n\x1a\njunk")),
+        ],
+    )
+    out = {r["path"]: r for r in decode_media(df).collect()}
+    ok = out["x.png"]
+    assert ok["decoded_ok"] and (ok["width"], ok["height"], ok["channels"], ok["n_frames"]) == (6, 4, 4, 1)
+    assert out["bad.png"]["decoded_ok"] is False
