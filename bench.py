@@ -131,17 +131,24 @@ def main() -> None:
         run_query(catalog[name].build(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total_wall",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+        },
+        separators=(",", ":"),
     )
+    # The driver parses the LAST stdout line and keeps only a bounded tail:
+    # stop Spark first (so no shutdown chatter can trail the result), mirror
+    # the full line to a file as belt-and-braces, then print it alone.
+    spark.stop()
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"), "w") as f:
+        f.write(line + "\n")
+    sys.stdout.flush()
+    print(line, flush=True)
 
 
 if __name__ == "__main__":
