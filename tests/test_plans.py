@@ -181,3 +181,27 @@ def test_variant_query_parses_once(spark, sf_dir):
     plan = plans.simple_plan(df)
     assert plan.count("variant_get") == 1
     assert plans.has_partial_aggregation(df)
+
+
+def test_tfidf_df_is_joined_aggregate_not_token_window(spark, sf_dir):
+    """Document frequency must come from an aggregated (token, df) table
+    joined back, never an unbounded window partitioned by token — a window
+    partition is unsplittable, so one stop-word key would pin a straggler
+    task at corpus scale (AQE can split a skewed join, not a window)."""
+    df = build(spark, sf_dir, "doc_tfidf_top_terms")
+    plan = plans.simple_plan(df)
+    # exactly one Window op — the per-doc top-1 row_number, partitioned by
+    # doc (WindowGroupLimit partial/final nodes are the rank-limit pushdown
+    # of that same window, not extra windows)
+    assert plan.count("Window [") == 1
+    assert "windowspecdefinition(doc" in plan
+    assert plans.has_partial_aggregation(df)
+
+
+def test_ivf_portable_candidate_join_and_broadcasts(spark, sf_dir):
+    """The oracle-gated IVF: centroid/probe sides broadcast, candidates come
+    from an equi-join on cell id (linear), not a cartesian corpus product."""
+    df = build(spark, sf_dir, "cosine_topk_ivf")
+    plan = plans.simple_plan(df)
+    assert plans.has_broadcast_join(df)
+    assert "CartesianProduct" not in plan
