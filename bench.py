@@ -103,6 +103,13 @@ HEADLINE = [
     "referential_integrity_audit",
     "event_props_variant",
     "lang_source_chisq",
+    # round-4 additions: portable (oracle-gated) ANN/dedup twins + the
+    # native-PNG multimodal decode gate
+    "cosine_topk_lsh",
+    "cosine_topk_ivf",
+    "dedup_lsh_portable",
+    "doc_simhash_portable",
+    "png_decode_stats",
 ]
 
 

@@ -41,17 +41,20 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # entirely this round and come back next round).
 #
 # Round-4 head: the 4 never-checked queries + event_value_trend (red in r3,
-# fixed this round — must re-verify), the 5 queries last checked in r1, and
-# 40 of the 43 queries last checked in r2.  The 3 r2 rows-only entries whose
-# oracle-gated twins ARE in the head (image_color_analytics → golden tests,
-# dedup_clusters_lsh → dedup_clusters_jaccard, doc_simhash →
-# doc_simhash_portable) are deferred to round 5.
+# fixed this round — must re-verify) + png_decode_stats (new this round,
+# oracle-gated multimodal decode), the 5 queries last checked in r1, and
+# 39 of the 43 queries last checked in r2.  The 4 r2 rows-only entries whose
+# oracle-gated twins ARE in the head or were green in r3
+# (image_color_analytics → golden tests, dedup_clusters_lsh →
+# dedup_clusters_jaccard, doc_simhash → doc_simhash_portable,
+# dedup_minhash_lsh → dedup_lsh_portable) are deferred to round 5.
 DRIVER_SAMPLE_HEAD: tuple[str, ...] = (
-    # never driver-checked (4)
+    # never driver-checked (4 + new this round)
     "cyclic_prediction_rates",
     "events_gapfill_5m",
     "event_props_variant",
     "ml_energy_report",
+    "png_decode_stats",
     # red in r3, fixed this round (1)
     "event_value_trend",
     # last checked r1 (5)
@@ -93,7 +96,6 @@ DRIVER_SAMPLE_HEAD: tuple[str, ...] = (
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_survivors",
-    "dedup_minhash_lsh",
     "doc_normalized_fingerprint",
     "doc_regex_tokens",
     "doc_rolling_hash",

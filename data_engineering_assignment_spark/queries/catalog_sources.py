@@ -131,3 +131,67 @@ def csv_sales_publisher_year(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("total_sales", "global_total"),
         )
     )
+
+
+_PNG_DECODE_ORACLE = """
+SELECT (2 + doc_id % 3)::BIGINT AS width,
+       (2 + doc_id % 2)::BIGINT AS height,
+       COUNT(*) AS n_imgs,
+       COUNT(*) AS n_ok
+FROM documents
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "png_decode_stats",
+    oracle=_PNG_DECODE_ORACLE,
+    doc="Multimodal decode gate over the native PNG codec "
+    "(functions/multimodal.py decode_png; reference decodes OpenMoji PNGs, "
+    "Assignment-python.py:654-661,710): every document becomes a real PNG "
+    "whose dimensions are an arithmetic function of doc_id (pixels from the "
+    "text's md5), decoded back via mapInPandas decode_media. The oracle "
+    "computes the expected dimensions purely arithmetically, so any codec "
+    "regression (chunk parse, inflate, unfilter, metadata) breaks the "
+    "width/height/n_ok hash. Pixel-level exactness is unit-tested "
+    "(tests/test_multimodal.py round-trip + per-filter-type tests).",
+)
+def png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.multimodal import MEDIA_SCHEMA, decode_media, encode_png
+    from ..tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def make(batches):
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                w, h = 2 + int(did) % 3, 2 + int(did) % 2
+                digest = hashlib.md5(str(text).encode("utf-8")).digest()
+                payload = (digest * (w * h * 4 // len(digest) + 1))[: w * h * 4]
+                frame = np.frombuffer(payload, np.uint8).reshape(h, w, 4)
+                rows.append(
+                    (f"doc-{did}.png", "image", 0, 0, 0, 0, encode_png(frame))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "path", "media_type", "width", "height",
+                    "channels", "n_frames", "content",
+                ],
+            )
+
+    media = docs.mapInPandas(make, MEDIA_SCHEMA)
+    decoded = decode_media(media)
+    return decoded.groupBy(
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_imgs"),
+        F.sum(F.col("decoded_ok").cast("int")).cast("long").alias("n_ok"),
+    )
