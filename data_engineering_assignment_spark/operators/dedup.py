@@ -173,7 +173,23 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    a = banded.alias("a")
+    return _bucket_self_join(banded)
+
+
+def _bucket_self_join(banded: DataFrame) -> DataFrame:
+    """Candidate pairs from a (doc, band, bucket) table: self-equi-join on
+    (band, bucket), doc_a < doc_b, counting shared bands.
+
+    The SHUFFLE_HASH hint matters at every scale: left alone, Catalyst
+    broadcasts one side — i.e. ships the ENTIRE banded corpus to every
+    executor (a scale-killer at 100 TB, and ~2× slower even at sf0.1
+    because the broadcast side's whole signature pipeline funnels through
+    the driver). A shuffle hash join partitions both sides by (band,
+    bucket) — linear, AQE-skew-splittable. The two identical shuffle
+    subtrees still execute twice (signatures are recomputed per side);
+    for repeated candidate queries over one corpus, persist ``banded``
+    first and the join reads the cache on both sides."""
+    a = banded.alias("a").hint("shuffle_hash")
     b = banded.alias("b")
     return (
         a.join(
@@ -344,18 +360,7 @@ def minhash_lsh_candidates_portable(
             )
         ).alias("bb"),
     ).select("doc", "bb.band", "bb.bucket")
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc") < F.col("b.doc")),
-        )
-        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_bands"))
-    )
+    return _bucket_self_join(banded)
 
 
 def simhash_portable(

@@ -205,3 +205,13 @@ def test_ivf_portable_candidate_join_and_broadcasts(spark, sf_dir):
     plan = plans.simple_plan(df)
     assert plans.has_broadcast_join(df)
     assert "CartesianProduct" not in plan
+
+
+def test_lsh_candidate_join_never_broadcasts_corpus(spark, sf_dir):
+    """The LSH bucket self-join must shuffle-partition both sides on
+    (band, bucket) — a broadcast side would ship the entire banded corpus
+    to every executor at 100 TB."""
+    for name in ("dedup_minhash_lsh", "dedup_lsh_portable"):
+        plan = plans.simple_plan(build(spark, sf_dir, name))
+        assert "BroadcastExchange" not in plan, name
+        assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan, name
