@@ -741,7 +741,8 @@ def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
     n = load(spark, sf_dir, "nation")
     per_nation = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        # customer scales with SF: size-based broadcast (CBO/AQE decides)
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name")
         .agg(F.sum(F.col("o_totalprice").cast(DEC)).alias("_rev"))
@@ -784,7 +785,8 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def orphans(fact: DataFrame, dim: DataFrame, cond, label: str) -> DataFrame:
         return (
-            fact.join(F.broadcast(dim), cond, "left_anti")
+            # 'dim' here includes orders/customer (SF-scaled): size-based broadcast
+            fact.join(dim, cond, "left_anti")
             .agg(F.count(F.lit(1)).alias("n_orphans"))
             .select(F.lit(label).alias("fk"), "n_orphans")
         )

@@ -378,7 +378,9 @@ GROUP BY p.p_brand
 def brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     p = load(spark, sf_dir, "part").withColumnRenamed("p_partkey", "pk")
-    j = li.join(F.broadcast(p), li.l_partkey == p.pk, "inner")
+    # part scales with SF: size-based broadcast (CBO/AQE) — broadcasts at
+    # bench scale, degrades to a shuffle join at 100 TB instead of OOMing
+    j = li.join(p, li.l_partkey == p.pk, "inner")
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return j.groupBy("p_brand").agg(
         dsum(revenue, "revenue"),
@@ -684,9 +686,9 @@ def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)  # SF-scaled: size-based broadcast
         .join(
-            F.broadcast(s),
+            s,
             (l.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey),
         )
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
@@ -731,7 +733,7 @@ def shipping_priority_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy(
             "l_orderkey",
             F.unix_timestamp("o_orderdate").alias("order_epoch"),
@@ -805,7 +807,7 @@ def returned_items_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load(spark, sf_dir, "nation")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(dsum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")), "revenue"))
@@ -841,7 +843,7 @@ def promo_revenue_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
     promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .agg(dratio(promo, rev, "promo_revenue_pct", 4, pct=True))
     )
 
@@ -886,7 +888,7 @@ def large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
     return (
         big.join(o, big.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .select(
             "c_custkey", "c_name", "o_orderkey",
             F.unix_timestamp("o_orderdate").alias("order_epoch"),
@@ -924,7 +926,7 @@ def disjunctive_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((b == "Brand#23") & s.between(1, 35) & q.between(20, 30))
     )
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .filter(cond)
         .agg(
             dsum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")), "revenue"),
