@@ -13,10 +13,10 @@ Shuffle discipline:
     top-1; the corpus size joins in as a broadcast single row.
   * ``token_chunks`` — narrow: sequence + explode per row, zero shuffles.
     Chunk fan-out is bounded by ``ceil(n_tokens / stride)`` per document.
-  * ``boilerplate_ngrams`` — shingle explode, ONE shuffle keyed by shingle
-    (analytic count, no separate frequency-table join), then a per-doc
-    aggregation. Shingles are per-doc distinct, so the shingle key is
-    near-uniform and skew-safe.
+  * ``boilerplate_ngrams`` — shingle explode, a partially-aggregated
+    (shingle-hash, df) table equi-joined back (AQE-skew-splittable — a
+    boilerplate shingle is by definition a hot key), then a per-doc
+    aggregation.
   * ``profile_table`` — single full-scan aggregation; the multi-column
     ``count_distinct`` plans as one Expand pass (rows × columns). At
     100 TB swap ``exact=False`` in: ``approx_count_distinct`` drops the
@@ -126,13 +126,15 @@ def boilerplate_ngrams(
     distinct word ``n``-grams that appear in ≥ ``min_docs`` documents
     corpus-wide (navigation chrome, license headers, templated text).
 
-    One analytic count keyed by the shingle's xxhash64 (per-doc-distinct,
-    so the document frequency is a plain row count), then a per-doc
-    aggregation. The hash is projected map-side BEFORE the shuffle, so the
-    exchange carries 8-byte longs instead of n-word strings and the window
-    sorts longs — ~2.5× faster at sf0.1 and a much smaller shuffle at any
-    scale. (A 64-bit collision would need ~2³² distinct shingles per
-    partition to matter; the cross-engine oracle would catch one.)
+    Document frequency comes from a (shingle-hash, count) aggregation
+    (map-side partial combine) equi-joined back — NOT a window partitioned
+    by shingle: a boilerplate shingle is by definition a hot key (it
+    appears in most documents), and a window partition is unsplittable
+    while AQE can split a skewed join key. Shingles are per-doc distinct,
+    so the frequency is a plain row count. The xxhash64 is projected
+    map-side BEFORE the shuffle, so the exchange carries 8-byte longs
+    instead of n-word strings. (A 64-bit collision would need ~2³²
+    distinct shingles to matter; the cross-engine oracle would catch one.)
     Documents with < n tokens have no shingles and are absent from the
     output.
 
@@ -141,9 +143,8 @@ def boilerplate_ngrams(
         F.col(id_col).alias("doc"),
         F.explode(word_shingles(text_col, n)).alias("shingle"),
     ).select("doc", F.xxhash64("shingle").alias("sh_h"))
-    df_sh = sh.withColumn(
-        "df_sh", F.count(F.lit(1)).over(Window.partitionBy("sh_h"))
-    )
+    dfreq = sh.groupBy("sh_h").agg(F.count(F.lit(1)).alias("df_sh"))
+    df_sh = sh.join(dfreq, "sh_h")
     boiler = F.sum((F.col("df_sh") >= min_docs).cast("long"))
     return (
         df_sh.groupBy(F.col("doc").alias(id_col))
