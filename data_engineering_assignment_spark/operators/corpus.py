@@ -13,10 +13,10 @@ Shuffle discipline:
     top-1; the corpus size joins in as a broadcast single row.
   * ``token_chunks`` — narrow: sequence + explode per row, zero shuffles.
     Chunk fan-out is bounded by ``ceil(n_tokens / stride)`` per document.
-  * ``boilerplate_ngrams`` — shingle explode, a partially-aggregated
-    (shingle-hash, df) table equi-joined back (AQE-skew-splittable — a
-    boilerplate shingle is by definition a hot key), then a per-doc
-    aggregation.
+  * ``boilerplate_ngrams`` — shingle explode, a filtered boiler-key marker
+    table left-joined back (size-decided, AQE-skew-splittable — a
+    boilerplate shingle is by definition a hot key), ONE full shuffle
+    keyed by doc.
   * ``profile_table`` — single full-scan aggregation; the multi-column
     ``count_distinct`` plans as one Expand pass (rows × columns). At
     100 TB swap ``exact=False`` in: ``approx_count_distinct`` drops the
@@ -126,31 +126,38 @@ def boilerplate_ngrams(
     distinct word ``n``-grams that appear in ≥ ``min_docs`` documents
     corpus-wide (navigation chrome, license headers, templated text).
 
-    Document frequency comes from a (shingle-hash, count) aggregation
-    (map-side partial combine) equi-joined back — NOT a window partitioned
-    by shingle: a boilerplate shingle is by definition a hot key (it
-    appears in most documents), and a window partition is unsplittable
-    while AQE can split a skewed join key. Shingles are per-doc distinct,
-    so the frequency is a plain row count. The xxhash64 is projected
-    map-side BEFORE the shuffle, so the exchange carries 8-byte longs
-    instead of n-word strings. (A 64-bit collision would need ~2³²
-    distinct shingles to matter; the cross-engine oracle would catch one.)
-    Documents with < n tokens have no shingles and are absent from the
-    output.
+    Shape: the document-frequency aggregation is FILTERED to just the
+    boiler keys (df >= min_docs — the small set of template shingles) and
+    left-joined back as a marker; counting markers in the per-doc
+    aggregation yields n_boiler. The full (doc, shingle) stream therefore
+    shuffles exactly once (by doc) — never a window partitioned by shingle,
+    where a boilerplate shingle (by definition present in most documents)
+    would pin an unsplittable hot partition; the marker join is
+    size-decided and AQE-skew-splittable. The shingle explode runs twice
+    (once per branch) — pure map-side CPU that amortizes at cluster scale,
+    where the shuffle is the cost. The xxhash64 is projected map-side so
+    exchanges carry 8-byte longs, not n-word strings (a 64-bit collision
+    would need ~2³² distinct shingles; the cross-engine oracle would catch
+    one). Documents with < n tokens have no shingles and are absent from
+    the output.
 
     Output: (id, n_shingles, n_boiler, boiler_ratio)."""
     sh = df.select(
         F.col(id_col).alias("doc"),
         F.explode(word_shingles(text_col, n)).alias("shingle"),
     ).select("doc", F.xxhash64("shingle").alias("sh_h"))
-    dfreq = sh.groupBy("sh_h").agg(F.count(F.lit(1)).alias("df_sh"))
-    df_sh = sh.join(dfreq, "sh_h")
-    boiler = F.sum((F.col("df_sh") >= min_docs).cast("long"))
+    boiler_keys = (
+        sh.groupBy("sh_h")
+        .agg(F.count(F.lit(1)).alias("df_sh"))
+        .filter(F.col("df_sh") >= min_docs)
+        .select("sh_h", F.lit(1).alias("_boiler"))
+    )
+    marked = sh.join(boiler_keys, "sh_h", "left")
     return (
-        df_sh.groupBy(F.col("doc").alias(id_col))
+        marked.groupBy(F.col("doc").alias(id_col))
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),
-            boiler.alias("n_boiler"),
+            F.count("_boiler").alias("n_boiler"),
         )
         .select(
             id_col,

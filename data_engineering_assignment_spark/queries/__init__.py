@@ -42,12 +42,17 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #
 # Round-4 head: the 4 never-checked queries + event_value_trend (red in r3,
 # fixed this round — must re-verify) + png_decode_stats (new this round,
-# oracle-gated multimodal decode), the 5 queries last checked in r1, and
-# 39 of the 43 queries last checked in r2.  The 4 r2 rows-only entries whose
-# oracle-gated twins ARE in the head or were green in r3
-# (image_color_analytics → golden tests, dedup_clusters_lsh →
-# dedup_clusters_jaccard, doc_simhash → doc_simhash_portable,
-# dedup_minhash_lsh → dedup_lsh_portable) are deferred to round 5.
+# oracle-gated multimodal decode), the 5 queries last checked in r1, one
+# r3-green anchor from each module the rotation would otherwise leave
+# uncovered (intervals / llm / corpus — the gate must span every family
+# every round), and 36 of the 43 queries last checked in r2.  Deferred to
+# round 5: the 4 r2 rows-only entries whose oracle-gated twins ARE in the
+# head or were green in r3 (image_color_analytics → golden tests,
+# dedup_clusters_lsh → dedup_clusters_jaccard, doc_simhash →
+# doc_simhash_portable, dedup_minhash_lsh → dedup_lsh_portable) and 3
+# near-twins of entries that stay (events_hourly → events_tumbling_10m,
+# doc_regex_tokens → doc_token_stats, distinct_status_priority →
+# distinct_users_per_type).
 DRIVER_SAMPLE_HEAD: tuple[str, ...] = (
     # never driver-checked (4 + new this round)
     "cyclic_prediction_rates",
@@ -63,7 +68,11 @@ DRIVER_SAMPLE_HEAD: tuple[str, ...] = (
     "event_props_json",
     "user_rolling_stats",
     "events_multi_rollup",
-    # last checked r2 (40 of 43)
+    # r3-green module anchors (3)
+    "order_ship_lag_30d",
+    "decontaminate_ngram",
+    "doc_chunks",
+    # last checked r2 (36 of 43)
     "sales_per_year",
     "top_priority_null_count",
     "user_purchase_totals",
@@ -71,7 +80,6 @@ DRIVER_SAMPLE_HEAD: tuple[str, ...] = (
     "supplier_return_ratio",
     "brand_revenue",
     "top5_orders",
-    "distinct_status_priority",
     "null_handling_metrics",
     "metrics_union",
     "orders_rollup",
@@ -97,11 +105,9 @@ DRIVER_SAMPLE_HEAD: tuple[str, ...] = (
     "dedup_ngram_jaccard",
     "dedup_survivors",
     "doc_normalized_fingerprint",
-    "doc_regex_tokens",
     "doc_rolling_hash",
     "dedup_clusters_jaccard",
     "doc_simhash_portable",
-    "events_hourly",
     "events_tumbling_10m",
 )
 
