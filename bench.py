@@ -131,6 +131,14 @@ def main() -> None:
     # first mapInPandas query).
     run_query(catalog["pricing_summary"].build(spark, "/root/testdata/sf0.001"))
     run_query(catalog["embedding_near_dup"].build(spark, "/root/testdata/sf0.001"))
+    # Warm the target-SF tables (one count each) so first-touch file I/O and
+    # footer reads are not billed to whichever query happens to scan a table
+    # first — per-query numbers then measure the plan, same methodology as
+    # the standing baseline.
+    from data_engineering_assignment_spark.tables import TABLE_NAMES, load
+
+    for t in TABLE_NAMES:
+        load(spark, sf_dir, t).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
