@@ -7,16 +7,19 @@ end — the driver never sees pixel data; each transform is a narrow
 ``mapInPandas`` over whatever partitioning the source had, so scans
 parallelize by file and no shuffle is introduced.
 
-PNG decodes natively: :func:`decode_png` is a dependency-free decoder
-(stdlib ``zlib`` inflate + numpy scanline unfiltering) covering the spec's
-common profile — 8-bit depth, color types 0/2/3/4/6 (gray / RGB / palette /
-gray+alpha / RGBA), all five filter types, tRNS transparency — which is the
-profile the reference's OpenMoji corpus uses (Assignment-python.py:654-661,
-:710). JPEG/audio/video codecs are NOT in this container, so those decode
-steps stay behind a guarded PIL hook / ``NotImplementedError``; the
-deterministic ``RAWM`` container — ``b"RAWM" + u16 width + u16 height +
-u8 channels + u8 n_frames + payload`` (little-endian, frame-major BGRA
-payload) — exercises the video paths hermetically.
+PNG and WAV decode natively: :func:`decode_png` is a dependency-free
+decoder (stdlib ``zlib`` inflate + numpy scanline unfiltering) covering the
+spec's common profile — 8-bit depth, color types 0/2/3/4/6 (gray / RGB /
+palette / gray+alpha / RGBA), all five filter types, tRNS transparency —
+which is the profile the reference's OpenMoji corpus uses
+(Assignment-python.py:654-661, :710); :func:`decode_wav` covers RIFF/WAVE
+integer PCM (8/16/32-bit) and float32, with :func:`extract_audio_features`
+as the audio feature stage. JPEG and compressed-audio/video codecs are NOT
+in this container, so those decode steps stay behind a guarded PIL hook /
+``NotImplementedError``; the deterministic ``RAWM`` container —
+``b"RAWM" + u16 width + u16 height + u8 channels + u8 n_frames + payload``
+(little-endian, frame-major BGRA payload) — exercises the video paths
+hermetically.
 """
 
 from __future__ import annotations
@@ -256,13 +259,23 @@ def decode_image_pil(content: bytes) -> tuple[np.ndarray, dict]:
 
 
 def decode_any(content: bytes) -> tuple[np.ndarray, dict]:
-    """Magic-byte dispatch: RAWM container and PNG natively (both
+    """Magic-byte dispatch: RAWM container, PNG and WAV natively (all
     dependency-free), JPEG via the guarded PIL hook. Other formats raise
-    ``NotImplementedError``."""
+    ``NotImplementedError``. WAV rows report (n_samples, n_channels) via
+    the frame fields: width=n_samples, height=1, channels=n_channels."""
     if content[:4] == b"RAWM":
         return decode_rawm(content)
     if content[: len(_PNG_MAGIC)] == _PNG_MAGIC:
         return decode_png(content)
+    if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+        samples, meta = decode_wav(content)
+        frames = samples.T.reshape(1, 1, *samples.T.shape[-2:])  # (1,1,ch,n)
+        return frames, {
+            "width": meta["n_samples"],
+            "height": 1,
+            "channels": meta["n_channels"],
+            "n_frames": 1,
+        }
     if content[:3] == _JPEG_MAGIC:
         return decode_image_pil(content)
     return decode_rawm(content)  # raises the canonical NotImplementedError
@@ -348,6 +361,124 @@ def extract_mean_color(df: DataFrame) -> DataFrame:
                     "media_type": pdf["media_type"],
                     "mean_channels": means,
                 }
+            )
+
+    return df.mapInPandas(mapper, schema)
+
+# ---------------------------------------------------------------------------
+# Audio: RIFF/WAVE PCM codec (dependency-free, like decode_png) + features
+# ---------------------------------------------------------------------------
+
+def decode_wav(content: bytes) -> tuple[np.ndarray, dict]:
+    """Dependency-free RIFF/WAVE decode → (samples, meta).
+
+    Handles the common PCM profile: format tag 1 (integer PCM, 8/16/32-bit)
+    and 3 (float32), any channel count; chunks are walked by the spec
+    (word-aligned), so fmt/data need not be adjacent. Compressed formats
+    (ADPCM, MP3-in-WAV…) raise ``NotImplementedError``.
+
+    Returns samples as float64 in [-1, 1], shape (n_frames, n_channels),
+    and meta {sample_rate, n_channels, n_samples, bit_depth}."""
+    import struct as _struct
+
+    if len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("not a WAV: bad RIFF/WAVE signature")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(content):
+        cid = content[pos : pos + 4]
+        (size,) = _struct.unpack_from("<I", content, pos + 4)
+        body = content[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+        if cid == b"fmt ":
+            fmt = _struct.unpack_from("<HHIIHH", body)
+        elif cid == b"data":
+            data = body
+    if fmt is None or data is None:
+        raise ValueError("WAV: missing fmt or data chunk")
+    tag, n_ch, rate, _byterate, _align, bits = fmt
+    if tag == 1 and bits in (8, 16, 32):
+        if bits == 8:  # 8-bit PCM is unsigned per spec
+            raw = np.frombuffer(data, np.uint8).astype(np.float64)
+            samples = (raw - 128.0) / 128.0
+        else:
+            dtype = np.int16 if bits == 16 else np.int32
+            raw = np.frombuffer(data, dtype).astype(np.float64)
+            samples = raw / float(2 ** (bits - 1))
+    elif tag == 3 and bits == 32:
+        samples = np.frombuffer(data, np.float32).astype(np.float64)
+    else:
+        raise NotImplementedError(
+            f"WAV: only integer PCM (8/16/32-bit) and float32 are supported "
+            f"(got format tag {tag}, {bits}-bit)"
+        )
+    n_frames = len(samples) // n_ch
+    samples = samples[: n_frames * n_ch].reshape(n_frames, n_ch)
+    return samples, {
+        "sample_rate": rate,
+        "n_channels": n_ch,
+        "n_samples": n_frames,
+        "bit_depth": bits,
+    }
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """Serialize (n_frames, n_channels) float samples in [-1, 1] as 16-bit
+    PCM WAV — :func:`decode_wav`'s common profile."""
+    import struct as _struct
+
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n_frames, n_ch = samples.shape
+    pcm = np.clip(np.asarray(samples, np.float64), -1.0, 1.0)
+    ints = np.round(pcm * 32767.0).astype("<i2")
+    data = ints.tobytes()
+    fmt = _struct.pack("<HHIIHH", 1, n_ch, sample_rate, sample_rate * n_ch * 2, n_ch * 2, 16)
+    return (
+        b"RIFF"
+        + _struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + _struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + _struct.pack("<I", len(data))
+        + data
+    )
+
+
+def extract_audio_features(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Audio feature extraction over WAV binary columns (mapInPandas; bytes
+    never leave the executor): duration, RMS energy, peak amplitude and
+    zero-crossing rate per row — the audio analog of
+    :func:`extract_mean_color`."""
+    schema = (
+        "path string, media_type string, sample_rate int, n_channels int,"
+        " duration_s double, rms double, peak double, zero_cross_rate double"
+    )
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, mtype, content in zip(
+                pdf["path"], pdf["media_type"], pdf[content_col]
+            ):
+                samples, meta = decode_wav(bytes(content))
+                mono = samples.mean(axis=1)
+                n = len(mono)
+                dur = n / meta["sample_rate"] if meta["sample_rate"] else 0.0
+                rms = float(np.sqrt(np.mean(mono**2))) if n else 0.0
+                peak = float(np.abs(mono).max()) if n else 0.0
+                zcr = float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1]))) if n > 1 else 0.0
+                rows.append(
+                    (path, mtype, meta["sample_rate"], meta["n_channels"],
+                     dur, rms, peak, zcr)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "path", "media_type", "sample_rate", "n_channels",
+                    "duration_s", "rms", "peak", "zero_cross_rate",
+                ],
             )
 
     return df.mapInPandas(mapper, schema)

@@ -305,3 +305,73 @@ def test_decode_media_real_png_end_to_end(spark):
     ok = out["x.png"]
     assert ok["decoded_ok"] and (ok["width"], ok["height"], ok["channels"], ok["n_frames"]) == (6, 4, 4, 1)
     assert out["bad.png"]["decoded_ok"] is False
+
+
+def test_wav_roundtrip_and_meta():
+    from data_engineering_assignment_spark.functions.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    t = np.linspace(0, 1, 1600, endpoint=False)
+    stereo = np.stack([np.sin(2 * np.pi * 440 * t), np.cos(2 * np.pi * 220 * t)], axis=1)
+    wav = encode_wav(stereo, sample_rate=1600)
+    samples, meta = decode_wav(wav)
+    assert meta == {"sample_rate": 1600, "n_channels": 2, "n_samples": 1600, "bit_depth": 16}
+    # 16-bit quantization: encode scales by 32767, decode by 2^15, so the
+    # worst case is (0.5 + |x|) / 32768 ≈ 1.5 LSB
+    assert np.abs(samples - stereo).max() < 2.0 / 32768
+
+
+def test_wav_8bit_and_float32():
+    import struct
+    from data_engineering_assignment_spark.functions.multimodal import decode_wav
+
+    def wav(tag, bits, data):
+        fmt = struct.pack("<HHIIHH", tag, 1, 8000, 8000, 1, bits)
+        return (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data)) + b"WAVE"
+                + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(data)) + data)
+
+    s8, _ = decode_wav(wav(1, 8, bytes([128, 255, 0])))  # mid, max, min
+    assert np.allclose(s8[:, 0], [0.0, 127 / 128, -1.0])
+    sf, meta = decode_wav(wav(3, 32, np.array([0.5, -0.25], np.float32).tobytes()))
+    assert np.allclose(sf[:, 0], [0.5, -0.25]) and meta["bit_depth"] == 32
+
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError, match="format tag"):
+        decode_wav(wav(2, 4, b"\x00\x00"))  # ADPCM
+
+
+def test_extract_audio_features(spark):
+    from data_engineering_assignment_spark.functions.multimodal import (
+        encode_wav,
+        extract_audio_features,
+    )
+
+    t = np.linspace(0, 1, 800, endpoint=False)
+    rows = [
+        ("sine.wav", "audio", 0, 0, 0, 0, bytearray(encode_wav(np.sin(2 * np.pi * 4 * t), 800))),
+        ("silence.wav", "audio", 0, 0, 0, 0, bytearray(encode_wav(np.zeros(400), 800))),
+    ]
+    df = media_df(spark, rows)
+    out = {r["path"]: r for r in extract_audio_features(df).collect()}
+    sine, silence = out["sine.wav"], out["silence.wav"]
+    assert sine["sample_rate"] == 800 and sine["n_channels"] == 1
+    assert abs(sine["duration_s"] - 1.0) < 1e-9
+    assert abs(sine["rms"] - 1 / np.sqrt(2)) < 0.01  # sine RMS = 1/sqrt(2)
+    assert 0.95 < sine["peak"] <= 1.0
+    assert abs(sine["zero_cross_rate"] - 8 / 799) < 0.01  # 4 Hz → 8 crossings
+    assert silence["rms"] == 0.0 and silence["duration_s"] == 0.5
+
+
+def test_decode_media_wav(spark):
+    """decode_any dispatches RIFF/WAVE: decode_media reports
+    (n_samples, 1, n_channels) via the frame metadata fields."""
+    from data_engineering_assignment_spark.functions.multimodal import encode_wav
+
+    wav = encode_wav(np.zeros((100, 2)), 8000)
+    df = media_df(spark, [("a.wav", "audio", 0, 0, 0, 0, bytearray(wav))])
+    row = decode_media(df).collect()[0]
+    assert row["decoded_ok"]
+    assert (row["width"], row["height"], row["channels"], row["n_frames"]) == (100, 1, 2, 1)
