@@ -195,3 +195,62 @@ def png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_imgs"),
         F.sum(F.col("decoded_ok").cast("int")).cast("long").alias("n_ok"),
     )
+
+
+_WAV_ORACLE = """
+SELECT (1 + doc_id % 3)::BIGINT AS run_len,
+       COUNT(*) AS n_clips,
+       COUNT(*) AS n_rms_exact,
+       ROUND(SUM(CAST(CAST(1 + doc_id % 3 AS DOUBLE) / 200 AS DECIMAL(27,6))), 4)::DOUBLE AS total_dur_s,
+       ROUND(CAST(MIN(CAST(39 AS DOUBLE) / (40 * (1 + doc_id % 3) - 1)) AS DECIMAL(27,8)), 6)::DOUBLE AS zcr
+FROM documents
+GROUP BY 1
+"""
+
+
+@register(
+    "wav_audio_stats",
+    oracle=_WAV_ORACLE,
+    doc="Multimodal audio gate over the native WAV codec "
+    "(functions/multimodal.py decode_wav + extract_audio_features): every "
+    "document becomes a 16-bit PCM square wave whose run length is an "
+    "arithmetic function of doc_id, decoded back through mapInPandas "
+    "feature extraction. Amplitude 0.25 quantizes exactly in int16 "
+    "(round(0.25*32767)=8192 -> 8192/2^15=0.25), so RMS is bit-exactly "
+    "0.25 and duration/zero-crossing-rate are pure arithmetic — the "
+    "oracle computes all three without decoding, and any codec or "
+    "feature regression breaks the hash.",
+)
+def wav_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.multimodal import encode_wav, extract_audio_features
+    from ..operators.aggregates import dround
+    from ..tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def make(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                r = 1 + int(did) % 3
+                # 40 alternating runs of length r, amplitude +/-0.25
+                wave = np.repeat(np.tile([0.25, -0.25], 20), r)
+                rows.append((f"doc-{did}.wav", "audio", encode_wav(wave, 8000)))
+            yield pd.DataFrame(rows, columns=["path", "media_type", "content"])
+
+    media = docs.mapInPandas(make, "path string, media_type string, content binary")
+    feats = extract_audio_features(media)
+    # run_len recovered from the DECODED duration (duration*200 = r within
+    # 1 ulp), so even the group key proves the codec round-trip
+    run_len = F.round(F.col("duration_s") * 200).cast("long")
+    return feats.groupBy(run_len.alias("run_len")).agg(
+        F.count(F.lit(1)).alias("n_clips"),
+        F.sum((F.col("rms") == 0.25).cast("int")).cast("long").alias("n_rms_exact"),
+        F.round(F.sum(F.col("duration_s").cast("decimal(27,6)")), 4)
+        .cast("double")
+        .alias("total_dur_s"),
+        dround(F.min("zero_cross_rate"), 6).alias("zcr"),
+    )
