@@ -110,6 +110,8 @@ HEADLINE = [
     "dedup_lsh_portable",
     "doc_simhash_portable",
     "png_decode_stats",
+    "wav_audio_stats",
+    "ml_eval_metrics",
 ]
 
 

@@ -69,3 +69,71 @@ def ml_energy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         (30.0 + F.col("value")).alias("electricity_price"),
     )
     return run_all(energy, num_trees=5, seed=1)
+
+
+_ML_EVAL_ORACLE = """
+WITH p AS (
+  SELECT CASE event_type WHEN 'click' THEN 0.0 WHEN 'error' THEN 1.0
+              WHEN 'purchase' THEN 2.0 WHEN 'signup' THEN 3.0 ELSE 4.0 END AS label,
+         CASE WHEN value < 50 THEN 0.0 WHEN value < 150 THEN 2.0
+              WHEN value < 300 THEN 4.0 ELSE 1.0 END AS prediction
+  FROM events
+)
+SELECT 'accuracy' AS metric,
+       (SUM(CASE WHEN label = prediction THEN 1 ELSE 0 END)::DOUBLE / COUNT(*)) AS value
+FROM p
+UNION ALL
+SELECT 'precision_label_2' AS metric,
+       (SUM(CASE WHEN label = 2.0 AND prediction = 2.0 THEN 1 ELSE 0 END)::DOUBLE
+        / SUM(CASE WHEN prediction = 2.0 THEN 1 ELSE 0 END)) AS value
+FROM p
+UNION ALL
+SELECT 'recall_label_2' AS metric,
+       (SUM(CASE WHEN label = 2.0 AND prediction = 2.0 THEN 1 ELSE 0 END)::DOUBLE
+        / SUM(CASE WHEN label = 2.0 THEN 1 ELSE 0 END)) AS value
+FROM p
+"""
+
+
+@register(
+    "ml_eval_metrics",
+    oracle=_ML_EVAL_ORACLE,
+    doc="M5 oracle gate (MulticlassClassificationEvaluator, "
+    "Assignment-python.py:947-952): the MLlib evaluator itself runs against "
+    "deterministic rule-based predictions, and the oracle recomputes the "
+    "same metrics from a SQL confusion matrix. Only single-division metrics "
+    "are used (accuracy, per-label precision/recall = one ratio of exact "
+    "counts), so the evaluator's result is bit-identical to the SQL — no "
+    "float-accumulation slack, unlike weighted F1.",
+)
+def ml_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.evaluation import MulticlassClassificationEvaluator
+
+    ev = load(spark, sf_dir, "events")
+    label = (
+        F.when(F.col("event_type") == "click", 0.0)
+        .when(F.col("event_type") == "error", 1.0)
+        .when(F.col("event_type") == "purchase", 2.0)
+        .when(F.col("event_type") == "signup", 3.0)
+        .otherwise(4.0)
+    )
+    prediction = (
+        F.when(F.col("value") < 50, 0.0)
+        .when(F.col("value") < 150, 2.0)
+        .when(F.col("value") < 300, 4.0)
+        .otherwise(1.0)
+    )
+    preds = ev.select(label.alias("label"), prediction.alias("prediction"))
+
+    def metric(name: str, **params) -> float:
+        ev_ = MulticlassClassificationEvaluator(
+            labelCol="label", predictionCol="prediction", metricName=name, **params
+        )
+        return float(ev_.evaluate(preds))
+
+    rows = [
+        ("accuracy", metric("accuracy")),
+        ("precision_label_2", metric("precisionByLabel", metricLabel=2.0)),
+        ("recall_label_2", metric("recallByLabel", metricLabel=2.0)),
+    ]
+    return spark.createDataFrame(rows, "metric string, value double")
