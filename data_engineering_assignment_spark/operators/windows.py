@@ -228,3 +228,105 @@ def sessionize(
         .withColumn("session_id", F.col("session_seq").cast("long"))
         .select("user", "session_id", "session_start", "session_end", "n_events")
     )
+
+
+def trailing_agg_bucketed(
+    df: DataFrame,
+    window_s: int,
+    key_col: str = "event_type",
+    ts_col: str = "ts_s",
+    value_col: str = "value",
+    n_buckets: int = 60,
+) -> DataFrame:
+    """Per-row trailing-window sum/count over event time — the 100 TB
+    formulation of ``rangeBetween(-(window_s-1), 0)`` windows.
+
+    The flat range-frame window partitions by ``key_col``; with a
+    low-cardinality key (the events table has 5 event types) each partition
+    is the key's ENTIRE history in one unsplittable sorted task. This
+    operator decomposes the trailing range exactly into three splittable
+    pieces, each bounded by the bucket size ``B = window_s / n_buckets``:
+
+      * tail — same-bucket rows at or before t: a window partitioned by
+        (key, bucket), so partitions hold at most one bucket's rows;
+      * middle — the n_buckets-1 full buckets before t's bucket: a range
+        window over the per-(key, bucket) aggregate table, whose row count
+        per key is time-span/B (tiny — it is the aggregate, not the data);
+      * head — rows of bucket(t) - n_buckets newer than the range start:
+        an equi-join on (key, bucket), fan-out bounded by bucket occupancy.
+
+    Decimal sums make the decomposition EXACT (decimal addition is
+    associative), so results are bit-identical to the flat window at any
+    partitioning — asserted in tests. Requires ``window_s % n_buckets == 0``.
+
+    Output: df + (trail_n bigint, trail_sum decimal) columns.
+    """
+    from pyspark.sql import Window
+
+    from .aggregates import DEC
+
+    if window_s % n_buckets:
+        raise ValueError("window_s must be divisible by n_buckets")
+    bsize = window_s // n_buckets
+    k, t, v = F.col(key_col), F.col(ts_col), F.col(value_col).cast(DEC)
+    bucket = (t - (t % bsize)) / bsize  # floor div, works for negative ts too
+
+    e = df.withColumn("_b", bucket.cast("long")).withColumn("_v", v)
+
+    # per-(key, bucket) partial aggregates — map-side combinable
+    bsums = e.groupBy(key_col, "_b").agg(
+        F.sum("_v").alias("_bs"), F.count(F.lit(1)).alias("_bn")
+    )
+    # middle: full buckets [b - n_buckets + 1, b - 1], range frame over the
+    # AGGREGATE table so gaps in bucket ids are handled by value
+    wmid = (
+        Window.partitionBy(key_col)
+        .orderBy("_b")
+        .rangeBetween(-(n_buckets - 1), -1)
+    )
+    mids = bsums.select(
+        key_col,
+        "_b",
+        F.coalesce(F.sum("_bs").over(wmid), F.lit(0).cast(DEC)).alias("_ms"),
+        F.coalesce(F.sum("_bn").over(wmid), F.lit(0)).alias("_mn"),
+    )
+    # tail: same-bucket rows with ts <= t (range frame includes ties, same
+    # as the flat window's semantics)
+    wtail = (
+        Window.partitionBy(key_col, "_b")
+        .orderBy(ts_col)
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    tailed = e.withColumn("_ts", F.sum("_v").over(wtail)).withColumn(
+        "_tn", F.count(F.lit(1)).over(wtail)
+    )
+    # head: rows of bucket b - n_buckets inside the range start
+    head_src = e.select(
+        k.alias("_hk"), F.col("_b").alias("_hb"), t.alias("_ht"), F.col("_v").alias("_hv")
+    )
+    with_head = (
+        tailed.join(
+            head_src,
+            (k == F.col("_hk"))
+            & (F.col("_hb") == F.col("_b") - n_buckets)
+            & (F.col("_ht") >= t - (window_s - 1)),
+            "left",
+        )
+        .groupBy(*tailed.columns)
+        .agg(
+            F.coalesce(F.sum("_hv"), F.lit(0).cast(DEC)).alias("_hs"),
+            F.count("_hv").alias("_hn"),
+        )
+    )
+    out = (
+        with_head.join(mids, [key_col, "_b"], "left")
+        .withColumn(
+            "trail_sum",
+            F.col("_ts") + F.coalesce(F.col("_ms"), F.lit(0).cast(DEC)) + F.col("_hs"),
+        )
+        .withColumn(
+            "trail_n",
+            F.col("_tn") + F.coalesce(F.col("_mn"), F.lit(0)) + F.col("_hn"),
+        )
+    )
+    return out.drop("_b", "_v", "_ts", "_tn", "_hs", "_hn", "_ms", "_mn")

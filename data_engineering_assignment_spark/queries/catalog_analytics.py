@@ -564,7 +564,10 @@ FROM w GROUP BY event_type
     "variance (|z| > 3), evaluated only on windows with >= 30 samples. "
     "Variance via the computational formula over decimal-exact power sums — "
     "no stddev/sqrt, so both engines compute bit-identical doubles. One "
-    "RANGE-framed window + one aggregation.",
+    "RANGE-framed window + one aggregation. The window partitions by the "
+    "5-value event_type — fine here, unsplittable at 100 TB; the bucketed "
+    "decomposition (operators/windows.trailing_agg_bucketed, bit-identical "
+    "by the same decimal associativity) is the scale path.",
 )
 def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.aggregates import DEC

@@ -190,3 +190,51 @@ def test_transition_total_is_events_minus_users(spark):
     n_events = ev.count()
     n_users = ev.select("user_id").distinct().count()
     assert total == n_events - n_users
+
+
+def test_trailing_agg_bucketed_matches_flat_window(spark):
+    """The two-level bucketed decomposition must be BIT-identical to the
+    flat rangeBetween window (decimal sums are associative), including
+    tied timestamps, bucket-boundary range starts, and sparse buckets."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from data_engineering_assignment_spark.operators.aggregates import DEC
+    from data_engineering_assignment_spark.operators.windows import (
+        trailing_agg_bucketed,
+    )
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(600):
+        # clustered + sparse regions, duplicate timestamps, bucket edges
+        ts = rng.choice(
+            [rng.randrange(0, 4000), rng.randrange(40000, 41000), 3600, 3599, 7200]
+        )
+        rows.append((i, "k%d" % (i % 3), ts, round(rng.uniform(0, 100), 2)))
+    df = spark.createDataFrame(rows, "event_id long, event_type string, ts_s long, value double")
+
+    flat_w = (
+        Window.partitionBy("event_type").orderBy("ts_s").rangeBetween(-3599, 0)
+    )
+    flat = df.select(
+        "event_id",
+        F.sum(F.col("value").cast(DEC)).over(flat_w).alias("trail_sum"),
+        F.count(F.lit(1)).over(flat_w).alias("trail_n"),
+    )
+    bucketed = trailing_agg_bucketed(df, 3600, n_buckets=60).select(
+        "event_id", "trail_sum", "trail_n"
+    )
+    a = {r["event_id"]: (r["trail_sum"], r["trail_n"]) for r in flat.collect()}
+    b = {r["event_id"]: (r["trail_sum"], r["trail_n"]) for r in bucketed.collect()}
+    assert a == b
+    # and partitioning-independent
+    c = {
+        r["event_id"]: (r["trail_sum"], r["trail_n"])
+        for r in trailing_agg_bucketed(df.repartition(13), 3600, n_buckets=60)
+        .select("event_id", "trail_sum", "trail_n")
+        .collect()
+    }
+    assert a == c
