@@ -5,6 +5,7 @@ detection, and table profiling."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators.aggregates import o_dround
 from ..operators.corpus import (
@@ -136,3 +137,67 @@ _PROFILE_ORACLE = "\nUNION ALL\n".join(
 )
 def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_table(load(spark, sf_dir, "orders"), _PROFILE_COLS)
+
+
+_CMS_ORACLE = """
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+), counts AS (
+  SELECT tok, COUNT(*) AS exact_n FROM tok GROUP BY tok
+), rh AS (
+  SELECT tok, exact_n,
+         list_reduce(
+           list_prepend(0::BIGINT,
+             list_transform(range(1, length(tok) + 1),
+                            i -> ascii(substr(tok, i, 1))::BIGINT)),
+           (a, b) -> (a * 31 + b) % 1000000007
+         ) AS rh
+  FROM counts
+), probes AS (
+  SELECT tok, exact_n, d.d AS d,
+         (((2 * d.d + 1) * rh + (7919 * d.d + 13)) % 1000000007) % 256 AS bucket
+  FROM rh CROSS JOIN (SELECT unnest(range(0, 4)) AS d) d
+), sketch AS (
+  SELECT d, bucket, SUM(exact_n) AS counter FROM probes GROUP BY d, bucket
+), ranked AS (
+  SELECT tok, exact_n,
+         (ROW_NUMBER() OVER (ORDER BY exact_n DESC, tok ASC))::BIGINT AS rnk
+  FROM counts
+)
+SELECT t.tok, t.exact_n, t.rnk, CAST(MIN(s.counter) AS BIGINT) AS cms_est
+FROM ranked t
+JOIN probes p ON p.tok = t.tok
+JOIN sketch s ON s.d = p.d AND s.bucket = p.bucket
+WHERE t.rnk <= 20
+GROUP BY t.tok, t.exact_n, t.rnk
+"""
+
+
+@register(
+    "cms_token_counts",
+    oracle=_CMS_ORACLE,
+    doc="Count-Min sketch heavy hitters (operators/sketches.py): token "
+    "frequencies sketched into a 4x256 counter table (one explode + one "
+    "map-side-combinable aggregation, no vocabulary state), then the top-20 "
+    "exact tokens point-estimated from the sketch (min over depth rows, "
+    "broadcast probe join). Portable-hash buckets make every counter and "
+    "estimate reproducible in SQL, so the oracle rebuilds the identical "
+    "sketch in DuckDB and the comparison is bit-exact — est >= exact "
+    "visible in the result wherever buckets collide at width 256.",
+)
+def cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.sketches import cms_estimate, cms_sketch
+    from ..operators.text import tokens
+
+    docs = load(spark, sf_dir, "documents")
+    stream = docs.select(F.explode(tokens("text")).alias("tok"))
+    sketch = cms_sketch(stream, "tok", depth=4, width=256)
+    counts = stream.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_n"))
+    w = Window.orderBy(F.desc("exact_n"), F.asc("tok"))
+    top = (
+        counts.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 20)
+    )
+    return cms_estimate(sketch, top, "tok", depth=4, width=256)
