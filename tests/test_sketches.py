@@ -65,3 +65,23 @@ def test_cms_weighted(spark):
         for r in cms_estimate(sk, df.select("tok").distinct(), "tok", 2, 128).collect()
     }
     assert est["a"] >= 12 and est["b"] >= 1
+
+
+def test_cms_sketch_streaming_matches_batch(spark, tmp_path):
+    """cms_sketch is a plain groupBy aggregation, so the SAME code runs as
+    a Structured Streaming query — the streamed sketch over a file source
+    must equal the batch sketch bit-for-bit."""
+    from data_engineering_assignment_spark import streaming as st
+
+    docs = spark.createDataFrame(
+        [("a b c a",), ("b b hot hot hot",), ("c a hot",)], "text string"
+    )
+    path = str(tmp_path / "toks")
+    docs.select(F.explode(F.split("text", " ")).alias("tok")).write.parquet(path)
+
+    batch = cms_sketch(spark.read.parquet(path), "tok", depth=3, width=64)
+    stream_in = st.read_parquet_stream(spark, path)
+    streamed = st.run_available_now(
+        cms_sketch(stream_in, "tok", depth=3, width=64)
+    )
+    assert sorted(map(tuple, batch.collect())) == sorted(map(tuple, streamed.collect()))
