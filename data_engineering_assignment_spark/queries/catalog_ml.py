@@ -123,7 +123,8 @@ def ml_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("value") < 300, 4.0)
         .otherwise(1.0)
     )
-    preds = ev.select(label.alias("label"), prediction.alias("prediction"))
+    # cached across the three evaluator jobs (C1 idiom), freed before return
+    preds = ev.select(label.alias("label"), prediction.alias("prediction")).cache()
 
     def metric(name: str, **params) -> float:
         ev_ = MulticlassClassificationEvaluator(
@@ -131,9 +132,12 @@ def ml_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return float(ev_.evaluate(preds))
 
-    rows = [
-        ("accuracy", metric("accuracy")),
-        ("precision_label_2", metric("precisionByLabel", metricLabel=2.0)),
-        ("recall_label_2", metric("recallByLabel", metricLabel=2.0)),
-    ]
+    try:
+        rows = [
+            ("accuracy", metric("accuracy")),
+            ("precision_label_2", metric("precisionByLabel", metricLabel=2.0)),
+            ("recall_label_2", metric("recallByLabel", metricLabel=2.0)),
+        ]
+    finally:
+        preds.unpersist()
     return spark.createDataFrame(rows, "metric string, value double")
