@@ -2,9 +2,11 @@
 
 Runs each headline query at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
 on local[$SPARK_GRAFT_CPUS], forcing full execution through the noop sink
-(measures the whole plan, no driver-transfer bias), and prints:
-  {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <float>}
+(measures the whole plan, no driver-transfer bias), and prints ONE compact
+summary line (guaranteed < 2000 chars so the driver's bounded tail parses):
+  {"metric": "...", "value": <total sec>, "unit": "sec", "sf": <float>,
+   "n_queries": N, "queries": {10 slowest only}, "full": "BENCH_LOCAL.json"}
+The complete per-query map is written to BENCH_LOCAL.json beside this file.
 """
 
 from __future__ import annotations
@@ -148,7 +150,7 @@ def main() -> None:
         run_query(catalog[name].build(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
     total = round(sum(timings.values()), 3)
-    line = json.dumps(
+    full_line = json.dumps(
         {
             "metric": "headline_queries_total_wall",
             "value": total,
@@ -158,14 +160,30 @@ def main() -> None:
         },
         separators=(",", ":"),
     )
-    # The driver parses the LAST stdout line and keeps only a bounded tail:
-    # stop Spark first (so no shutdown chatter can trail the result), mirror
-    # the full line to a file as belt-and-braces, then print it alone.
+    # The driver parses the LAST stdout line and keeps only a 2000-char tail;
+    # the full per-query map (~2.5k chars) does NOT fit, so the printed line is
+    # a compact summary (total + the 10 slowest queries, ~500 chars) that always
+    # parses, while the complete map is mirrored to BENCH_LOCAL.json.
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
+    summary_line = json.dumps(
+        {
+            "metric": "headline_queries_total_wall",
+            "value": total,
+            "unit": "sec",
+            "sf": sf,
+            "n_queries": len(timings),
+            "queries": slowest,
+            "full": "BENCH_LOCAL.json",
+        },
+        separators=(",", ":"),
+    )
+    # Stop Spark first (so no shutdown chatter can trail the result), mirror
+    # the full line to a file, then print the summary alone.
     spark.stop()
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"), "w") as f:
-        f.write(line + "\n")
+        f.write(full_line + "\n")
     sys.stdout.flush()
-    print(line, flush=True)
+    print(summary_line, flush=True)
 
 
 if __name__ == "__main__":

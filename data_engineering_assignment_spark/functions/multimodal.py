@@ -269,7 +269,10 @@ def decode_any(content: bytes) -> tuple[np.ndarray, dict]:
         return decode_png(content)
     if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
         samples, meta = decode_wav(content)
-        frames = samples.T.reshape(1, 1, *samples.T.shape[-2:])  # (1,1,ch,n)
+        # (n_frames, height, width, channels) = (1, 1, n_samples, n_channels)
+        # — same axis convention as decode_rawm/decode_png, matching the
+        # width/height/channels meta below
+        frames = samples.reshape(1, 1, meta["n_samples"], meta["n_channels"])
         return frames, {
             "width": meta["n_samples"],
             "height": 1,

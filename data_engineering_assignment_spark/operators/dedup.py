@@ -73,11 +73,15 @@ def ngram_jaccard_pairs(
         df.select(F.col(id_col).alias("doc"), F.explode(word_shingles(text_col, n)).alias("shingle"))
     )
     if max_df is not None:
+        # Broadcast the HOT side: shingles with df > max_df are few by
+        # definition (boilerplate headers, stock phrases), while the kept set
+        # is nearly the whole corpus vocabulary — broadcasting the kept set
+        # would ship a corpus-sized table to every executor at scale. A
+        # broadcast LEFT ANTI join against the small hot set is the inverse
+        # filter with a bounded broadcast.
         doc_freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
-        sh = (
-            sh.join(F.broadcast(doc_freq.filter(F.col("_df") <= max_df)), "shingle")
-            .drop("_df")
-        )
+        hot = doc_freq.filter(F.col("_df") > max_df).select("shingle")
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")

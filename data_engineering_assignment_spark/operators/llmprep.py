@@ -209,28 +209,84 @@ def quality_percentile_gate(
     quality_col: str = "quality",
     group_col: str = "source",
     id_col: str = "doc_id",
+    bucket_width: float = 0.01,
 ) -> DataFrame:
     """Per-group percentile quality gate: within each group, keep the top
-    ``keep_pct``% of documents by quality score (ties broken by id, so the
-    cut is a total order). The comparison is pure integer arithmetic —
-    ``rank * 100 <= n * keep_pct`` — never a floating-point percentile, so
-    the kept set is identical on every engine and partitioning.
+    ``keep_pct``% of documents by quality score. The cut is pure integer
+    arithmetic — ``n_kept = (n * keep_pct) div 100`` — never a
+    floating-point percentile, so the kept set is identical on every engine
+    and partitioning.
 
     This is the relative counterpart to an absolute quality threshold:
     production filters cut the worst X% *per source* so a uniformly-noisy
-    source is trimmed rather than deleted. One window per group (rank +
-    group size in a single sort), one aggregation.
+    source is trimmed rather than deleted.
 
-    Output: (group, n_docs, n_kept, min_kept_quality)."""
-    w = Window.partitionBy(group_col).orderBy(
-        F.col(quality_col).desc(), F.col(id_col)
+    Scale shape (the ``quantiles.weighted_median_pruned`` pattern): the
+    output depends only on each group's quality MULTISET — ``n_kept`` is a
+    count and ``min_kept_quality`` is the k-th largest quality — so no
+    per-row rank is needed. A per-row window partitioned by ``group_col``
+    (a low-cardinality content key) would pin one unsplittable sort task
+    per source at corpus scale; instead:
+
+      1. histogram — groupBy (group, floor(quality / bucket_width)):
+         splittable, map-side combinable;
+      2. locate — descending cumulative counts over the per-group BUCKET
+         table (a window, but over the aggregate: rows per group =
+         quality-range / bucket_width, not the corpus) finds the bucket
+         holding the k-th largest quality;
+      3. resolve — join back only that bucket's rows, aggregate per
+         (group, quality) value, and take the first descending crossing
+         (window bounded by the bucket's distinct-value count).
+
+    ``id_col`` is kept for API compatibility: the rank tiebreak affects
+    which tied ROWS are kept, but not any of the outputs, which are
+    tie-invariant. Output: (group, n_docs, n_kept, min_kept_quality)."""
+    bw = F.lit(float(bucket_width))
+    e = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(quality_col).alias("_q"),
+        F.floor(F.col(quality_col) / bw).alias("_qb"),
     )
-    ranked = df.withColumn("_rn", F.row_number().over(w)).withColumn(
-        "_n", F.count(F.lit(1)).over(Window.partitionBy(group_col))
+    hist = e.groupBy("_g", "_qb").agg(F.count(F.lit(1)).alias("_bc"))
+    wdesc = (
+        Window.partitionBy("_g")
+        .orderBy(F.col("_qb").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    kept = F.col("_rn") * 100 <= F.col("_n") * keep_pct
-    return ranked.groupBy(group_col).agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(kept.cast("long")).alias("n_kept"),
-        F.min(F.when(kept, F.col(quality_col))).alias("min_kept_quality"),
+    located = hist.select(
+        "_g",
+        "_qb",
+        "_bc",
+        F.coalesce(F.sum("_bc").over(wdesc), F.lit(0)).alias("_before"),
+        F.sum("_bc").over(Window.partitionBy("_g")).alias("_n"),
+    ).withColumn("_k", F.expr(f"(_n * {int(keep_pct)}) div 100"))
+    # the bucket containing the k-th largest quality (absent when k = 0)
+    target = located.filter(
+        (F.col("_before") < F.col("_k"))
+        & (F.col("_before") + F.col("_bc") >= F.col("_k"))
+    ).select("_g", "_qb", "_before", "_k")
+
+    per_val = (
+        e.join(target, ["_g", "_qb"])
+        .groupBy("_g", "_q", "_before", "_k")
+        .agg(F.count(F.lit(1)).alias("_vc"))
+    )
+    wval = (
+        Window.partitionBy("_g")
+        .orderBy(F.col("_q").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    qstar = (
+        per_val.withColumn("_cum", F.sum("_vc").over(wval) + F.col("_before"))
+        .filter(F.col("_cum") >= F.col("_k"))
+        .groupBy("_g")
+        .agg(F.max("_q").alias("min_kept_quality"))
+    )
+    totals = (
+        hist.groupBy("_g")
+        .agg(F.sum("_bc").alias("n_docs"))
+        .withColumn("n_kept", F.expr(f"(n_docs * {int(keep_pct)}) div 100"))
+    )
+    return totals.join(qstar, "_g", "left").select(
+        F.col("_g").alias(group_col), "n_docs", "n_kept", "min_kept_quality"
     )

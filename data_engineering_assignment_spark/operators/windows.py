@@ -269,9 +269,20 @@ def trailing_agg_bucketed(
         raise ValueError("window_s must be divisible by n_buckets")
     bsize = window_s // n_buckets
     k, t, v = F.col(key_col), F.col(ts_col), F.col(value_col).cast(DEC)
-    bucket = (t - (t % bsize)) / bsize  # floor div, works for negative ts too
+    # exact integer floor division: pmod's remainder is non-negative, so the
+    # bucket is the true floor for negative timestamps too (t % bsize
+    # truncates toward zero, which would give bucket 0 a double width
+    # spanning (-bsize, bsize))
+    bucket = (t - F.pmod(t, F.lit(bsize))) / bsize
 
-    e = df.withColumn("_b", bucket.cast("long")).withColumn("_v", v)
+    # _rid makes each input row unique for the head join's regroup below —
+    # without it, exact-duplicate input rows would collapse to one output
+    # row (and double-count each other's head sums)
+    e = (
+        df.withColumn("_b", bucket.cast("long"))
+        .withColumn("_v", v)
+        .withColumn("_rid", F.monotonically_increasing_id())
+    )
 
     # per-(key, bucket) partial aggregates — map-side combinable
     bsums = e.groupBy(key_col, "_b").agg(
@@ -329,4 +340,4 @@ def trailing_agg_bucketed(
             F.col("_tn") + F.coalesce(F.col("_mn"), F.lit(0)) + F.col("_hn"),
         )
     )
-    return out.drop("_b", "_v", "_ts", "_tn", "_hs", "_hn", "_ms", "_mn")
+    return out.drop("_b", "_v", "_rid", "_ts", "_tn", "_hs", "_hn", "_ms", "_mn")

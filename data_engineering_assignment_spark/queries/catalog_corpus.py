@@ -195,9 +195,15 @@ def cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = docs.select(F.explode(tokens("text")).alias("tok"))
     sketch = cms_sketch(stream, "tok", depth=4, width=256)
     counts = stream.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_n"))
+    # bound the rank's input first: orderBy+limit plans as a distributed
+    # TakeOrderedAndProject over the vocabulary, so the unpartitioned
+    # row_number window only ever sees a 100-row superset of the top 20
+    # (the (exact_n DESC, tok ASC) total order makes ranks identical to
+    # ranking the full vocabulary)
+    cand = counts.orderBy(F.desc("exact_n"), F.asc("tok")).limit(100)
     w = Window.orderBy(F.desc("exact_n"), F.asc("tok"))
     top = (
-        counts.withColumn("rnk", F.row_number().over(w).cast("long"))
+        cand.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= 20)
     )
     return cms_estimate(sketch, top, "tok", depth=4, width=256)

@@ -343,10 +343,10 @@ FROM r GROUP BY source
     "quality_percentile_gate",
     oracle=_QGATE_ORACLE,
     doc="LLM-prep: per-source percentile quality gate — keep the top 80% of "
-    "documents by quality score within each source (total order via "
-    "(quality DESC, doc_id)); the cut is integer rank arithmetic "
-    "(rn*100 <= n*80), never a floating-point percentile. One window per "
-    "source + one aggregation.",
+    "documents by quality score within each source; the cut is integer "
+    "arithmetic (k = n*80 div 100), never a floating-point percentile. "
+    "Histogram-pruned (quantiles.py pattern): no per-row window over the "
+    "source content key — splittable aggs locate the k-th largest quality.",
 )
 def quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.llmprep import quality_percentile_gate as qgate

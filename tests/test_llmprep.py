@@ -109,3 +109,20 @@ def test_quality_percentile_gate_integer_cut(spark):
     assert out["s1"]["n_docs"] == 5 and out["s1"]["n_kept"] == 4
     assert out["s1"]["min_kept_quality"] == 0.6
     assert out["s2"]["n_kept"] == 0 and out["s2"]["min_kept_quality"] is None
+
+
+def test_quality_percentile_gate_ties_and_bucket_edges(spark):
+    """The histogram-pruned formulation must survive heavy ties (the k-th
+    largest value repeated across the cut) and values that land exactly on
+    bucket boundaries."""
+    from data_engineering_assignment_spark.operators.llmprep import (
+        quality_percentile_gate,
+    )
+
+    rows = [(i, "t", 0.5) for i in range(10)]  # all tied: k=8, q* = 0.5
+    rows += [(100 + i, "e", q) for i, q in enumerate([0.01, 0.01, 0.02, 0.02, 0.03])]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, quality double")
+    out = {r["source"]: r for r in quality_percentile_gate(df, 80).collect()}
+    assert out["t"]["n_kept"] == 8 and out["t"]["min_kept_quality"] == 0.5
+    # "e": 5 docs, k=4, desc order (.03,.02,.02,.01,.01) → 4th largest = 0.01
+    assert out["e"]["n_kept"] == 4 and out["e"]["min_kept_quality"] == 0.01

@@ -375,3 +375,20 @@ def test_decode_media_wav(spark):
     row = decode_media(df).collect()[0]
     assert row["decoded_ok"]
     assert (row["width"], row["height"], row["channels"], row["n_frames"]) == (100, 1, 2, 1)
+
+
+def test_decode_any_wav_frame_axis_convention():
+    """decode_any's WAV frames must follow the (n_frames, height, width,
+    channels) convention of decode_rawm/decode_png — frames[..., ch] is
+    channel ch, frames.shape[2] == width == n_samples."""
+    from data_engineering_assignment_spark.functions.multimodal import (
+        decode_any,
+        encode_wav,
+    )
+
+    left = np.linspace(-1, 1, 50)
+    right = np.linspace(1, -1, 50)
+    frames, meta = decode_any(encode_wav(np.stack([left, right], axis=1), 8000))
+    assert frames.shape == (1, 1, meta["width"], meta["channels"]) == (1, 1, 50, 2)
+    assert np.abs(frames[0, 0, :, 0] - left).max() < 2.0 / 32768
+    assert np.abs(frames[0, 0, :, 1] - right).max() < 2.0 / 32768

@@ -207,6 +207,41 @@ def test_ivf_portable_candidate_join_and_broadcasts(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_quality_gate_has_no_per_row_content_key_window(spark, sf_dir):
+    """The percentile gate must locate the cut via histogram aggregation —
+    never rank every row in a window partitioned by source (an unsplittable
+    per-source sort task at corpus scale). Windows may appear only over the
+    aggregated bucket/value tables (no row_number anywhere)."""
+    df = build(spark, sf_dir, "quality_percentile_gate")
+    plan = plans.simple_plan(df)
+    assert "row_number" not in plan
+    assert plans.has_partial_aggregation(df)
+
+
+def test_ngram_max_df_broadcasts_hot_side_only(spark, sf_dir):
+    """The df-cap filter must broadcast the HOT shingle set (df > max_df —
+    small by definition) as a LEFT ANTI join, never the kept set (nearly the
+    whole corpus vocabulary — a corpus-sized broadcast at 100 TB)."""
+    from data_engineering_assignment_spark.operators.dedup import ngram_jaccard_pairs
+    from data_engineering_assignment_spark.tables import load
+
+    df = ngram_jaccard_pairs(load(spark, sf_dir, "documents"), max_df=100)
+    # disable size-based broadcasts so only explicitly-hinted ones survive:
+    # at test scale CBO broadcasts every tiny side (harmless — those degrade
+    # to shuffles at 100 TB), but a HINTED broadcast never degrades.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = plans.simple_plan(df)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    # every broadcast in the plan is the hot-set anti join (it recurs once
+    # per consumer branch of the filtered shingle table) — the kept set is
+    # never broadcast
+    assert "LeftAnti, BuildRight" in plan
+    assert plan.count("BroadcastExchange") == plan.count("LeftAnti, BuildRight")
+
+
 def test_lsh_candidate_join_never_broadcasts_corpus(spark, sf_dir):
     """The LSH bucket self-join must shuffle-partition both sides on
     (band, bucket) — a broadcast side would ship the entire banded corpus

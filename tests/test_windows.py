@@ -238,3 +238,43 @@ def test_trailing_agg_bucketed_matches_flat_window(spark):
         .collect()
     }
     assert a == c
+
+
+def test_trailing_agg_bucketed_duplicate_rows_and_negative_ts(spark):
+    """Exact-duplicate input rows must each survive (one output row per
+    input row, not collapsed by the head-join regroup), and negative
+    timestamps must bucket by true floor division — bucket 0 must span
+    [0, bsize), not (-bsize, bsize)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from data_engineering_assignment_spark.operators.aggregates import DEC
+    from data_engineering_assignment_spark.operators.windows import (
+        trailing_agg_bucketed,
+    )
+
+    rows = [
+        ("k", 10, 1.0),
+        ("k", 3700, 2.0),
+        ("k", 3700, 2.0),  # exact duplicate — advisor's repro
+        ("k", -30, 5.0),
+        ("k", -3650, 7.0),
+    ]
+    df = spark.createDataFrame(rows, "event_type string, ts_s long, value double")
+    flat_w = Window.partitionBy("event_type").orderBy("ts_s").rangeBetween(-3599, 0)
+    flat = sorted(
+        (r["ts_s"], r["trail_sum"], r["trail_n"])
+        for r in df.select(
+            "ts_s",
+            F.sum(F.col("value").cast(DEC)).over(flat_w).alias("trail_sum"),
+            F.count(F.lit(1)).over(flat_w).alias("trail_n"),
+        ).collect()
+    )
+    bucketed = sorted(
+        (r["ts_s"], r["trail_sum"], r["trail_n"])
+        for r in trailing_agg_bucketed(df, 3600, n_buckets=60)
+        .select("ts_s", "trail_sum", "trail_n")
+        .collect()
+    )
+    assert flat == bucketed
+    assert len(bucketed) == 5  # every duplicate row kept
