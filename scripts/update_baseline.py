@@ -24,7 +24,13 @@ over 79 (biggest drops: `event_props_json` 6.75→0.45 s single JSON parse,
 matmul). Round 4 re-record: the machine slowed ~1.8× uniformly between the
 r2 and r4 measurements (every query shifted together, none algorithmically
 regressed — isolated reruns confirm), so the standing table is re-measured
-under current conditions to keep the driver's 2×-bar comparison meaningful."""
+under current conditions to keep the driver's 2×-bar comparison meaningful.
+Round 5 re-record: bench.py now times each query as the min of two full
+executions (one-shot timing billed first-run codegen/analysis plus transient
+GC/IO hiccups to whichever query hit them — r4's `returned_items_top20`
+2.37× and `median_price_by_priority` 1.93× flags re-measured at baseline
+steady-state on 5-rep solo probes; min-of-2 records plan cost), so the
+standing table is re-measured under the same policy."""
 
 
 def main() -> None:

@@ -218,6 +218,17 @@ def test_quality_gate_has_no_per_row_content_key_window(spark, sf_dir):
     assert plans.has_partial_aggregation(df)
 
 
+def test_median_by_priority_is_histogram_pruned(spark, sf_dir):
+    """The exact-quantile query must locate ranks via histogram aggregation
+    (splittable) — never row_number the whole priority group in one window
+    task. Only the bounded resolve windows (bucket table / target bucket)
+    may remain."""
+    df = build(spark, sf_dir, "median_price_by_priority")
+    plan = plans.simple_plan(df)
+    assert "row_number" not in plan
+    assert plans.has_partial_aggregation(df)
+
+
 def test_ngram_max_df_broadcasts_hot_side_only(spark, sf_dir):
     """The df-cap filter must broadcast the HOT shingle set (df > max_df —
     small by definition) as a LEFT ANTI join, never the kept set (nearly the
