@@ -116,6 +116,8 @@ HEADLINE = [
     "png_decode_stats",
     "wav_audio_stats",
     "ml_eval_metrics",
+    # round-5 addition: Advanced-2 plus-minus pipeline, driver-gated
+    "plusminus_player_stats",
 ]
 
 

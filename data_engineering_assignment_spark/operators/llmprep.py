@@ -126,27 +126,48 @@ def pack_sequences(
     group_col: str = "lang",
     order_col: str = "doc_id",
     text_col: str = "text",
+    shards_per_group: int | None = None,
 ) -> DataFrame:
     """Contiguous sequence packing: within each group (ordered
     deterministically), assign docs to fixed-capacity packs by running token
     count — ``pack_id = floor(cumulative_tokens_before / capacity)``.
 
-    One window sort per group; at scale the group column (language/source
-    shard) bounds each window's partition. Oversized docs (> capacity) still
-    get a pack of their own rather than being dropped — filter upstream if
-    truncation is the policy.
+    Contiguous packing is inherently sequential per group (each doc's pack
+    depends on every earlier doc's length), so the group key bounds the
+    unsplittable work. A language/source group key is a CONTENT key: at
+    corpus scale one dominant language would pin its entire history in a
+    single sort task. ``shards_per_group`` makes the key shardable — docs
+    are packed within ``(group, rolling_hash(order_col) % shards)``
+    subgroups, each a deterministic, capacity-exact packing of its own doc
+    subset, and ``pack_id`` is offset by ``shard * 2^40`` so ids stay
+    unique across shards (2^40 packs ≈ 10^12 × capacity tokens per shard,
+    unreachable). Training-data packing is order-agnostic across packs, so
+    sharding only changes WHICH docs pack together, never the capacity
+    discipline.
+
+    Oversized docs (> capacity) still get a pack of their own rather than
+    being dropped — filter upstream if truncation is the policy.
     """
     n_tok = F.size(tokens(text_col)).cast("long")
+    with_tok = df.withColumn("n_tokens", n_tok)
+    part_cols: list = [group_col]
+    if shards_per_group is not None:
+        with_tok = with_tok.withColumn(
+            "_shard",
+            F.pmod(rolling_hash(F.col(order_col).cast("string")), F.lit(int(shards_per_group))),
+        )
+        part_cols.append("_shard")
     w = (
-        Window.partitionBy(group_col)
+        Window.partitionBy(*part_cols)
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    with_tok = df.withColumn("n_tokens", n_tok)
+    local_pack = (F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / capacity).cast("long")
+    if shards_per_group is None:
+        return with_tok.withColumn("pack_id", local_pack)
     return with_tok.withColumn(
-        "pack_id",
-        (F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / capacity).cast("long"),
-    )
+        "pack_id", F.col("_shard") * F.lit(1 << 40) + local_pack
+    ).drop("_shard")
 
 
 def repetition_stats(

@@ -104,8 +104,13 @@ def player_intervals(matches: DataFrame, events: DataFrame) -> DataFrame:
     )
     on_rows = starters.unionByName(subbed_in)
     with_out = on_rows.join(outs, on=["matchId", "team", "playerId"], how="left")
+    # no broadcast hint: the per-match length table is one row per MATCH —
+    # SF-scaled, not bounded — so a forced broadcast would ship the whole
+    # season history to every executor at corpus scale. Size-based CBO/AQE
+    # still broadcasts it at bench scale and degrades to a shuffle join on
+    # the matchId equi key beyond the threshold.
     with_len = with_out.join(
-        F.broadcast(second_half_lengths(events)), on="matchId", how="left"
+        second_half_lengths(events), on="matchId", how="left"
     ).withColumn("match_len", F.lit(45) + F.coalesce(F.col("len2h"), F.lit(45)))
     return with_len.select(
         "matchId",

@@ -37,78 +37,79 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # The driver's correctness gate samples the FIRST 50 entries of ``queries()``
 # in registration order.  The head rotates every round so no query goes
 # unverified for long: never-driver-checked queries first, then queries whose
-# last green row is oldest (r1 before r2; r3-verified queries rotate out
-# entirely this round and come back next round).
+# last green row is oldest, then anything whose implementation changed this
+# round (a green history does not cover new code).
 #
-# Round-4 head: the 4 never-checked queries + event_value_trend (red in r3,
-# fixed this round — must re-verify) + png_decode_stats (new this round,
-# oracle-gated multimodal decode), the 5 queries last checked in r1, one
-# r3-green anchor from each module the rotation would otherwise leave
-# uncovered (intervals / llm / corpus — the gate must span every family
-# every round), and 36 of the 43 queries last checked in r2.  Deferred to
-# round 5: the 4 r2 rows-only entries whose oracle-gated twins ARE in the
-# head or were green in r3 (image_color_analytics → golden tests,
-# dedup_clusters_lsh → dedup_clusters_jaccard, doc_simhash →
-# doc_simhash_portable, dedup_minhash_lsh → dedup_lsh_portable) and 3
-# near-twins of entries that stay (events_hourly → events_tumbling_10m,
-# doc_regex_tokens → doc_token_stats, distinct_status_priority →
-# distinct_users_per_type).
+# Round-5 head: the 4 never-checked queries (plusminus_player_stats and
+# image_color_analytics' oracle are new this round; cms_token_counts /
+# ml_eval_metrics / wav_audio_stats were added after the r4 sample head was
+# frozen), the 7 queries last checked in r2 (the stale tail the r4 verdict
+# flagged), dedup_ngram_jaccard (r4-green but its max_df join was inverted
+# this round), and 38 of the 46 queries last checked in r3 — including
+# quality_percentile_gate and median_price_by_priority, both reimplemented
+# via histogram pruning this round.  Deferred to round 6 (each with its
+# machinery covered in-head or by twins): weighted_median_price (same
+# pruned-median operator as median_price_by_priority), doc_path_format,
+# nation_name_fuzzy (BroadcastNestedLoop shape plan-asserted),
+# ml_peak_classification (rows-only; ML family covered by ml_eval_metrics),
+# jsonl_media_groups / binary_media_inventory (static-fixture source gates,
+# golden-tested; csv_sales_publisher_year stays), cosine_topk_lsh (twin
+# cosine_topk_ivf r4-green), orders_cube (rollup family r4-green).
 DRIVER_SAMPLE_HEAD: tuple[str, ...] = (
-    # never driver-checked (4 + new this round)
-    "cyclic_prediction_rates",
-    "events_gapfill_5m",
-    "event_props_variant",
-    "ml_energy_report",
-    "png_decode_stats",
-    # red in r3, fixed this round (1)
-    "event_value_trend",
-    # last checked r1 (5)
-    "events_sliding_10m_5m",
-    "approx_distinct_users_rollup",
-    "event_props_json",
-    "user_rolling_stats",
-    "events_multi_rollup",
-    # r3-green module anchors (3)
-    "order_ship_lag_30d",
-    "decontaminate_ngram",
-    "doc_chunks",
-    # last checked r2 (36 of 43)
-    "sales_per_year",
-    "top_priority_null_count",
-    "user_purchase_totals",
-    "league_table",
-    "supplier_return_ratio",
-    "brand_revenue",
-    "top5_orders",
-    "null_handling_metrics",
-    "metrics_union",
-    "orders_rollup",
-    "customers_with_open_orders",
-    "customers_without_orders",
-    "distinct_users_per_type",
-    "value_quantiles_by_type",
-    "supplier_stats_salted",
-    "regional_revenue",
-    "shipping_priority_top10",
-    "above_nation_avg_customers",
-    "returned_items_top20",
-    "promo_revenue_pct",
-    "large_volume_orders",
-    "disjunctive_brand_revenue",
-    "embedding_stats",
-    "cosine_topk",
-    "cosine_topk_ivf",
-    "label_centroids",
-    "doc_token_stats",
-    "quality_by_source",
-    "dedup_exact",
+    # never driver-checked (4)
+    "plusminus_player_stats",
+    "cms_token_counts",
+    "ml_eval_metrics",
+    "wav_audio_stats",
+    # last checked r2 (7; image_color_analytics newly oracle-gated)
+    "distinct_status_priority",
+    "image_color_analytics",
+    "dedup_clusters_lsh",
+    "dedup_minhash_lsh",
+    "doc_simhash",
+    "doc_regex_tokens",
+    "events_hourly",
+    # implementation changed this round (r4-green history doesn't cover it)
     "dedup_ngram_jaccard",
-    "dedup_survivors",
-    "doc_normalized_fingerprint",
-    "doc_rolling_hash",
-    "dedup_clusters_jaccard",
-    "doc_simhash_portable",
-    "events_tumbling_10m",
+    # last checked r3 (38 of 46; qgate + median reimplemented this round)
+    "quality_percentile_gate",
+    "median_price_by_priority",
+    "pricing_summary",
+    "nation_rank_top2",
+    "embedding_near_dup",
+    "top_tokens_per_lang",
+    "dedup_lsh_portable",
+    "events_sessionize",
+    "event_transitions",
+    "user_retention_cohorts",
+    "purchase_asof_last_click",
+    "click_purchase_attribution",
+    "csv_sales_publisher_year",
+    "docs_hash_sample",
+    "data_mix_by_source",
+    "pii_redaction",
+    "seq_packing",
+    "training_corpus_build",
+    "repetition_stats",
+    "docs_stratified_sample",
+    "doc_tfidf_top_terms",
+    "corpus_boilerplate_3gram",
+    "orders_profile",
+    "events_pivot_by_type",
+    "order_price_distribution",
+    "customer_year_setops",
+    "user_state_scd2",
+    "daily_conversion_funnel",
+    "orders_cdc_apply",
+    "events_trailing_hour_sum",
+    "user_event_type_sets",
+    "nation_presence_full_outer",
+    "events_anomaly_zscore",
+    "order_price_histogram",
+    "event_interarrival_stats",
+    "nation_revenue_share",
+    "referential_integrity_audit",
+    "lang_source_chisq",
 )
 
 

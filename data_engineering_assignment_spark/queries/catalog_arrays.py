@@ -132,19 +132,51 @@ def cosine_topk_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucketed_topk(emb, queries, dim=64, k=5, planes=4)
 
 
+_IMG_COLOR_ORACLE = f"""
+WITH pp AS (SELECT unnest(range(0, 8)) AS p),
+px AS (
+  SELECT d.doc_id, d.lang,
+         CASE WHEN pp.p < 4 THEN md5(d.text) ELSE md5(d.text || 'x') END AS hx,
+         CASE WHEN pp.p < 4 THEN 4 * pp.p + 3 ELSE 4 * (pp.p - 4) + 3 END AS bi
+  FROM documents d, pp
+), al AS (
+  SELECT doc_id, lang,
+         (strpos('0123456789abcdef', substr(hx, 2 * bi + 1, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(hx, 2 * bi + 2, 1)) - 1) AS alpha
+  FROM px
+), perdoc AS (
+  SELECT doc_id, lang,
+         SUM(CASE WHEN alpha >= 128 THEN 1 ELSE 0 END) AS nt
+  FROM al GROUP BY doc_id, lang
+)
+SELECT lang AS "group",
+       COUNT(*) AS n_images,
+       SUM(nt)::BIGINT AS colored_pixels,
+       {o_davg('nt / 8.0', 'avg_color_ratio', 4)}
+FROM perdoc GROUP BY lang
+"""
+
+
 @register(
     "image_color_analytics",
-    oracle=None,  # binary color decode is UDF-only; pipeline is golden-tested
+    oracle=_IMG_COLOR_ORACLE,
     doc="Advanced-3 surface (Assignment-python.py:705-841) on deterministic "
     "synthetic images: binary BGRA -> per-pixel colors (Arrow-batched UDF) -> "
-    "distributed top-colors/red-count/ratio analytics.",
+    "distributed top-colors/red-count/ratio analytics. Oracle-gated: each "
+    "doc's 8 BGRA pixels come from its text's two md5 digests, so the "
+    "transparency rule (alpha byte < 128 -> 'None') has a closed-form SQL "
+    "twin that parses the same alpha bytes out of DuckDB's md5() hex — any "
+    "regression in the Arrow-batched decode (byte order, alpha threshold, "
+    "ratio arithmetic) breaks the hash. Color-NAME fidelity (the 27-entry "
+    "table) stays golden-tested in tests/test_colors.py.",
 )
 def image_color_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Builds a deterministic image per document (pixels derived from the
-    text's md5 bytes, alpha from doc_id) and runs the color pipeline —
-    exercises the whole binary/UDF path under the driver's row/schema check.
+    text's md5 bytes) and runs the color pipeline — exercises the whole
+    binary/UDF path under the driver's value-hash check.
     """
     from ..functions.colors import pixel_colors_udf
+    from ..operators.aggregates import davg
     from ..pipelines.images import with_color_stats
 
     docs = load(spark, sf_dir, "documents")
@@ -163,8 +195,8 @@ def image_color_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = with_color_stats(with_colors)
     return stats.groupBy("group").agg(
         F.count(F.lit(1)).alias("n_images"),
-        F.sum("nonTransparentCount").alias("colored_pixels"),
-        F.round(F.avg("colorRatio"), 4).alias("avg_color_ratio"),
+        F.sum("nonTransparentCount").cast("long").alias("colored_pixels"),
+        davg("colorRatio", "avg_color_ratio", 4),
     )
 
 

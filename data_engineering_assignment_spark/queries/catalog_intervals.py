@@ -152,3 +152,172 @@ def click_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(counts, "purchase_id", "left")
         .fillna({"n_clicks_30m": 0})
     )
+
+
+_PLUSMINUS_ORACLE = """
+WITH src AS (
+  SELECT o_orderkey AS k, o_custkey AS c FROM orders WHERE o_orderkey % 97 = 0
+), m AS (
+  SELECT k, c % 20 AS ht, (c % 20 + 7) % 20 AS att, 2700 + k % 300 AS h2,
+         40 + k % 10 AS m1, 60 + k % 25 AS m2, 50 + k % 30 AS m3
+  FROM src
+), ml AS (
+  SELECT k, 45 + CAST(CEIL(h2 / 60.0) AS BIGINT) AS mlen FROM m
+), iv0 AS (
+  SELECT m.k, 100 * ht + j.j AS pid, 'h' AS side, 0 AS on_min,
+         CASE j.j WHEN 1 THEN m1 WHEN 2 THEN m2 END AS out_min
+  FROM m, (SELECT unnest(range(1, 12)) AS j) j
+  UNION ALL SELECT k, 100 * ht + 12, 'h', m1, NULL FROM m
+  UNION ALL SELECT k, 100 * ht + 13, 'h', m2, NULL FROM m
+  UNION ALL
+  SELECT m.k, 100 * att + j.j, 'a', 0, CASE j.j WHEN 3 THEN m3 END
+  FROM m, (SELECT unnest(range(1, 12)) AS j) j
+  UNION ALL SELECT k, 100 * att + 12, 'a', m3, NULL FROM m
+), iv AS (
+  SELECT iv0.k, pid, side, on_min, COALESCE(out_min, mlen) AS off_min,
+         CASE WHEN on_min < 45 THEN on_min * 60
+              ELSE 100000 + (on_min - 45) * 60 END AS on_code,
+         CASE WHEN out_min IS NULL THEN 200000
+              WHEN out_min < 45 THEN out_min * 60
+              ELSE 100000 + (out_min - 45) * 60 END AS off_code
+  FROM iv0 JOIN ml ON ml.k = iv0.k
+), goals AS (
+  SELECT k, CASE WHEN k % 2 = 0 THEN 'a' ELSE 'h' END AS scoring_side,
+         600 + (k * 13) % 2400 AS gcode
+  FROM m
+  UNION ALL
+  SELECT k, CASE WHEN k % 3 = 0 THEN 'h' ELSE 'a' END,
+         100000 + (k * 29) % h2
+  FROM m WHERE k % 5 <> 0
+), pm AS (
+  SELECT pid, SUM(CASE WHEN g.scoring_side = i.side THEN 1 ELSE -1 END) AS pm
+  FROM goals g
+  JOIN iv i ON g.k = i.k AND i.on_code <= g.gcode AND g.gcode < i.off_code
+  GROUP BY pid
+), mins AS (
+  SELECT pid, SUM(off_min - on_min) AS minutes FROM iv GROUP BY pid
+)
+SELECT mins.pid AS playerId,
+       CASE WHEN mins.pid % 100 = 1 THEN 'Goalkeeper'
+            WHEN mins.pid % 100 <= 5 THEN 'Defender'
+            WHEN mins.pid % 100 <= 9 THEN 'Midfielder'
+            ELSE 'Forward' END AS role,
+       CAST(mins.minutes AS INT) AS minutes,
+       CAST(COALESCE(pm.pm, 0) AS INT) AS plusMinus
+FROM mins LEFT JOIN pm ON pm.pid = mins.pid
+"""
+
+
+@register(
+    "plusminus_player_stats",
+    oracle=_PLUSMINUS_ORACLE,
+    doc="SURVEY.md 2.13 Advanced-2 plus-minus pipeline end-to-end "
+    "(Assignment-python.py:544-584), driver-gated: matches (lineup arrays, "
+    "3-substitution structs with start-of-minute semantics straddling "
+    "half-time), events (2H-derived match length, 1H-additional-time goals) "
+    "are synthesized deterministically from orders arithmetic, then the "
+    "REAL pipeline runs: pipelines/plusminus.player_intervals (struct "
+    "access, explode, interval construction) + minutes_played + plus_minus "
+    "(point-in-interval goal attribution). The oracle re-derives the same "
+    "arithmetic relationally. Scale: the goal join is a per-match equi-join "
+    "with constant fan-out; no forced broadcasts of SF-scaled frames.",
+)
+def plusminus_player_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipelines.plusminus import minutes_played, player_intervals, plus_minus
+
+    orders = load(spark, sf_dir, "orders")
+    src = orders.filter(F.col("o_orderkey") % 97 == 0).select(
+        F.col("o_orderkey").alias("k"), F.col("o_custkey").alias("c")
+    )
+    m = src.select(
+        "k",
+        (F.col("c") % 20).alias("ht"),
+        ((F.col("c") % 20 + 7) % 20).alias("at"),
+        (F.lit(2700) + F.col("k") % 300).alias("h2"),
+    )
+    k, ht, at = F.col("k"), F.col("ht"), F.col("at")
+    m1, m2, m3 = F.lit(40) + k % 10, F.lit(60) + k % 25, F.lit(50) + k % 30
+
+    def team_name(t):
+        return F.concat(F.lit("T"), t.cast("string"))
+
+    def sub_struct(pin, pout, minute):
+        return F.struct(
+            pin.cast("long").alias("playerIn"),
+            pout.cast("long").alias("playerOut"),
+            minute.cast("long").alias("minute"),
+        )
+
+    def null_sub():
+        n = F.lit(None).cast("long")
+        return F.struct(
+            n.alias("playerIn"), n.alias("playerOut"), n.alias("minute")
+        )
+
+    def lineup(t):
+        return F.transform(
+            F.sequence(F.lit(1), F.lit(11)), lambda j: (t * 100 + j).cast("long")
+        )
+
+    matches = m.select(
+        k.alias("matchId"),
+        F.lit("2017-2018").alias("season"),
+        F.struct(
+            team_name(ht).alias("team"),
+            lineup(ht).alias("lineup"),
+            sub_struct(ht * 100 + 12, ht * 100 + 1, m1).alias("substitution1"),
+            sub_struct(ht * 100 + 13, ht * 100 + 2, m2).alias("substitution2"),
+            null_sub().alias("substitution3"),
+        ).alias("homeTeamData"),
+        F.struct(
+            team_name(at).alias("team"),
+            lineup(at).alias("lineup"),
+            sub_struct(at * 100 + 12, at * 100 + 3, m3).alias("substitution1"),
+            null_sub().alias("substitution2"),
+            null_sub().alias("substitution3"),
+        ).alias("awayTeamData"),
+    )
+    home_n, away_n = team_name(ht), team_name(at)
+
+    def ev_frame(frame, event, team_col, period, time_col, tags):
+        return frame.select(
+            k.alias("matchId"),
+            home_n.alias("homeTeam"),
+            away_n.alias("awayTeam"),
+            F.lit(event).alias("event"),
+            team_col.alias("eventTeam"),
+            F.lit(period).alias("eventPeriod"),
+            time_col.cast("double").alias("eventTime"),
+            tags.alias("tags"),
+        )
+
+    no_tags = F.array().cast("array<string>")
+    goal_tag = F.array(F.lit("Goal"))
+    length_ev = ev_frame(m, "Pass", home_n, "2H", F.col("h2"), no_tags)
+    # eventTeam is the KEEPER's team (the conceding side, Basic-2 semantics)
+    g1 = ev_frame(
+        m, "Save attempt", F.when(k % 2 == 0, home_n).otherwise(away_n),
+        "1H", F.lit(600) + (k * 13) % 2400, goal_tag,
+    )
+    g2 = ev_frame(
+        m.filter(k % 5 != 0), "Save attempt",
+        F.when(k % 3 == 0, away_n).otherwise(home_n),
+        "2H", (k * 29) % F.col("h2"), goal_tag,
+    )
+    events = length_ev.unionByName(g1).unionByName(g2)
+
+    intervals = player_intervals(matches, events)
+    mins = minutes_played(intervals)
+    pm = plus_minus(intervals, events)
+    j = F.col("playerId") % 100
+    role = (
+        F.when(j == 1, "Goalkeeper")
+        .when(j <= 5, "Defender")
+        .when(j <= 9, "Midfielder")
+        .otherwise("Forward")
+    )
+    return (
+        mins.join(pm, "playerId", "left")
+        .fillna({"plusMinus": 0})
+        .select("playerId", role.alias("role"), "minutes", "plusMinus")
+    )

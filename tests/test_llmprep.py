@@ -126,3 +126,38 @@ def test_quality_percentile_gate_ties_and_bucket_edges(spark):
     assert out["t"]["n_kept"] == 8 and out["t"]["min_kept_quality"] == 0.5
     # "e": 5 docs, k=4, desc order (.03,.02,.02,.01,.01) → 4th largest = 0.01
     assert out["e"]["n_kept"] == 4 and out["e"]["min_kept_quality"] == 0.01
+
+
+def test_pack_sequences_sharded_single_language(spark):
+    """shards_per_group splits one language's packing into independent
+    deterministic subgroups: every shard's packs respect capacity exactly,
+    pack ids never collide across shards, and the assignment is stable
+    under repartitioning."""
+    from data_engineering_assignment_spark.operators.llmprep import pack_sequences
+
+    rows = [(i, "en", "tok " * (i % 7 + 1)) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string, text string")
+    out = pack_sequences(df, 16, shards_per_group=4).collect()
+    assert len(out) == 200
+    # reconstruct per-pack token totals: each pack obeys the capacity
+    # discipline (a pack exceeds 16 only via its own last doc, i.e. the
+    # cumulative count BEFORE each doc is < its pack's upper bound)
+    by_pack: dict = {}
+    for r in out:
+        by_pack.setdefault(r["pack_id"], []).append((r["doc_id"], r["n_tokens"]))
+    shards = {p >> 40 for p in by_pack}
+    assert shards == {0, 1, 2, 3}  # ids are shard-offset, no collisions
+    for pack, docs in by_pack.items():
+        docs.sort()
+        running = 0
+        for _, n in docs:
+            assert running < 16 or running == 0  # doc starts before the cap
+            running += n
+    # deterministic under repartitioning
+    again = pack_sequences(df.repartition(7), 16, shards_per_group=4).collect()
+    assert sorted((r["doc_id"], r["pack_id"]) for r in again) == sorted(
+        (r["doc_id"], r["pack_id"]) for r in out
+    )
+    # unsharded path unchanged: one contiguous packing for the language
+    flat = pack_sequences(df, 16).collect()
+    assert max(r["pack_id"] for r in flat) < 1 << 40
