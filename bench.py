@@ -116,8 +116,12 @@ HEADLINE = [
     "png_decode_stats",
     "wav_audio_stats",
     "ml_eval_metrics",
-    # round-5 addition: Advanced-2 plus-minus pipeline, driver-gated
+    # round-5 additions: Advanced-2 plus-minus pipeline + tokenizer vocab,
+    # all driver-gated
     "plusminus_player_stats",
+    "plusminus_top_by_role",
+    "vocab_top64",
+    "vocab_encode_stats",
 ]
 
 

@@ -203,3 +203,86 @@ def profile_table(
         )
     )
     return one.select(stacked.alias("p")).select("p.*")
+
+
+def build_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_v: int = 64,
+    min_count: int = 1,
+) -> DataFrame:
+    """Tokenizer-style vocabulary: the ``top_v`` most frequent tokens with
+    contiguous ids 0..V-1 under the deterministic (count DESC, token ASC)
+    total order. Output: (token_id, token, n_occ, n_docs).
+
+    Scale shape: one (token, doc) aggregation then one (token) aggregation —
+    both map-side combinable — feed an ``orderBy().limit(top_v)`` that plans
+    as a distributed TakeOrderedAndProject over the vocabulary (each task
+    keeps its local top-V; the driver merges V-sized heaps, never the
+    vocabulary). Ids are then assigned by a row_number window whose input is
+    the ALREADY-BOUNDED V-row set — the cms_token_counts pattern, not a
+    global sort of the corpus vocabulary.
+    """
+    tok = df.select(
+        F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("token")
+    )
+    td = tok.groupBy("token", "doc").agg(F.count(F.lit(1)).alias("_c"))
+    counts = td.groupBy("token").agg(
+        F.sum("_c").alias("n_occ"), F.count(F.lit(1)).alias("n_docs")
+    )
+    cand = (
+        counts.filter(F.col("n_occ") >= min_count)
+        .orderBy(F.desc("n_occ"), F.asc("token"))
+        .limit(top_v)
+    )
+    w = Window.orderBy(F.desc("n_occ"), F.asc("token"))
+    return cand.select(
+        (F.row_number().over(w).cast("long") - 1).alias("token_id"),
+        "token",
+        "n_occ",
+        "n_docs",
+    )
+
+
+def encode_tokens(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    oov_id: int = -1,
+) -> DataFrame:
+    """Encode each document's token stream as an array of vocabulary ids
+    (order-preserving; out-of-vocabulary tokens become ``oov_id``) — the
+    text→ids step every training pipeline runs after vocab construction.
+    Output: df columns + ``token_ids array<long>``.
+
+    Scale shape: the vocabulary is bounded by construction (top-V), so the
+    id lookup is a legitimate broadcast join against the exploded
+    (doc, pos, token) stream; the array is reassembled by one doc-keyed
+    aggregation (collect positions+ids, sort by position) — a single
+    shuffle keyed by the entity id, no content-key windows.
+    """
+    pos_tok = df.select(
+        F.col(id_col),
+        F.posexplode(tokens(text_col)).alias("_pos", "_tok"),
+    )
+    looked = (
+        pos_tok.join(
+            F.broadcast(vocab.select(F.col("token").alias("_tok"), "token_id")),
+            "_tok",
+            "left",
+        )
+        .select(
+            id_col,
+            "_pos",
+            F.coalesce(F.col("token_id"), F.lit(int(oov_id)).cast("long")).alias("_id"),
+        )
+    )
+    encoded = looked.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_pos", "_id"))),
+            lambda s: s.getField("_id"),
+        ).alias("token_ids")
+    )
+    return df.join(encoded, id_col, "left")

@@ -54,10 +54,17 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # ml_peak_classification (rows-only; ML family covered by ml_eval_metrics),
 # jsonl_media_groups / binary_media_inventory (static-fixture source gates,
 # golden-tested; csv_sales_publisher_year stays), cosine_topk_lsh (twin
-# cosine_topk_ivf r4-green), orders_cube (rollup family r4-green).
+# cosine_topk_ivf r4-green), orders_cube (rollup family r4-green),
+# events_trailing_hour_sum (trailing-window machinery covered in-head by
+# events_anomaly_zscore), events_pivot_by_type (single-scan pivot
+# plan-asserted, r3-green), customer_year_setops (plain INTERSECT/EXCEPT,
+# r3-green).
 DRIVER_SAMPLE_HEAD: tuple[str, ...] = (
-    # never driver-checked (4)
+    # never driver-checked (7)
     "plusminus_player_stats",
+    "plusminus_top_by_role",
+    "vocab_top64",
+    "vocab_encode_stats",
     "cms_token_counts",
     "ml_eval_metrics",
     "wav_audio_stats",
@@ -95,13 +102,10 @@ DRIVER_SAMPLE_HEAD: tuple[str, ...] = (
     "doc_tfidf_top_terms",
     "corpus_boilerplate_3gram",
     "orders_profile",
-    "events_pivot_by_type",
     "order_price_distribution",
-    "customer_year_setops",
     "user_state_scd2",
     "daily_conversion_funnel",
     "orders_cdc_apply",
-    "events_trailing_hour_sum",
     "user_event_type_sets",
     "nation_presence_full_outer",
     "events_anomaly_zscore",

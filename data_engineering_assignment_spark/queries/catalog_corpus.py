@@ -207,3 +207,83 @@ def cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 20)
     )
     return cms_estimate(sketch, top, "tok", depth=4, width=256)
+
+
+_VOCAB_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), td AS (
+  SELECT token, doc_id, COUNT(*) AS c FROM tok GROUP BY token, doc_id
+), counts AS (
+  SELECT token, SUM(c)::BIGINT AS n_occ, COUNT(*) AS n_docs FROM td GROUP BY token
+), ranked AS (
+  SELECT (ROW_NUMBER() OVER (ORDER BY n_occ DESC, token ASC))::BIGINT - 1 AS token_id,
+         token, n_occ, n_docs
+  FROM counts
+)
+SELECT token_id, token, n_occ, n_docs FROM ranked WHERE token_id < 64
+"""
+
+
+@register(
+    "vocab_top64",
+    oracle=_VOCAB_ORACLE,
+    doc="LLM-prep: tokenizer-style vocabulary construction "
+    "(operators/corpus.build_vocab) — top-64 tokens by corpus frequency "
+    "with contiguous deterministic ids under (count DESC, token ASC). "
+    "Two map-side-combinable aggregations + a distributed "
+    "TakeOrderedAndProject; the id-assigning window sees only the bounded "
+    "V-row set (cms_token_counts pattern, never a vocabulary-wide sort).",
+)
+def vocab_top64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import build_vocab
+
+    return build_vocab(load(spark, sf_dir, "documents"), top_v=64)
+
+
+_ENCODE_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), td AS (
+  SELECT token, doc_id, COUNT(*) AS c FROM tok GROUP BY token, doc_id
+), counts AS (
+  SELECT token, SUM(c)::BIGINT AS n_occ, COUNT(*) AS n_docs FROM td GROUP BY token
+), ranked AS (
+  SELECT (ROW_NUMBER() OVER (ORDER BY n_occ DESC, token ASC))::BIGINT - 1 AS token_id,
+         token
+  FROM counts
+), vocab AS (
+  SELECT token, token_id FROM ranked WHERE token_id < 32
+)
+SELECT t.doc_id,
+       COUNT(*) AS n_tokens,
+       SUM(CASE WHEN v.token_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+       SUM(COALESCE(v.token_id, -1))::BIGINT AS id_sum
+FROM tok t LEFT JOIN vocab v USING (token)
+GROUP BY t.doc_id
+"""
+
+
+@register(
+    "vocab_encode_stats",
+    oracle=_ENCODE_ORACLE,
+    doc="LLM-prep: text-to-ids encoding (operators/corpus.encode_tokens) — "
+    "every document's token stream becomes an array of top-32 vocabulary "
+    "ids (OOV = -1), order-preserving via posexplode + per-doc positional "
+    "sort; the bounded vocab broadcasts legitimately. Gated on per-doc "
+    "(n_tokens, n_oov, id_sum); array ORDER is asserted in "
+    "tests/test_corpus.py (a sum cannot see order).",
+)
+def vocab_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import build_vocab, encode_tokens
+
+    docs = load(spark, sf_dir, "documents")
+    vocab = build_vocab(docs, top_v=32)
+    encoded = encode_tokens(docs.select("doc_id", "text"), vocab)
+    ids = F.col("token_ids")
+    return encoded.filter(ids.isNotNull()).select(
+        "doc_id",
+        F.size(ids).cast("long").alias("n_tokens"),
+        F.size(F.filter(ids, lambda x: x == -1)).cast("long").alias("n_oov"),
+        F.aggregate(ids, F.lit(0).cast("long"), lambda a, x: a + x).alias("id_sum"),
+    )

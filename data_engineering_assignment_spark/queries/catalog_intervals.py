@@ -208,23 +208,10 @@ FROM mins LEFT JOIN pm ON pm.pid = mins.pid
 """
 
 
-@register(
-    "plusminus_player_stats",
-    oracle=_PLUSMINUS_ORACLE,
-    doc="SURVEY.md 2.13 Advanced-2 plus-minus pipeline end-to-end "
-    "(Assignment-python.py:544-584), driver-gated: matches (lineup arrays, "
-    "3-substitution structs with start-of-minute semantics straddling "
-    "half-time), events (2H-derived match length, 1H-additional-time goals) "
-    "are synthesized deterministically from orders arithmetic, then the "
-    "REAL pipeline runs: pipelines/plusminus.player_intervals (struct "
-    "access, explode, interval construction) + minutes_played + plus_minus "
-    "(point-in-interval goal attribution). The oracle re-derives the same "
-    "arithmetic relationally. Scale: the goal join is a per-match equi-join "
-    "with constant fan-out; no forced broadcasts of SF-scaled frames.",
-)
-def plusminus_player_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..pipelines.plusminus import minutes_played, player_intervals, plus_minus
-
+def _synth_football(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Deterministic MATCH_SCHEMA-shaped matches + goal/length events derived
+    from orders arithmetic (shared by the two plus-minus gates; every
+    constant here is mirrored in the SQL oracles)."""
     orders = load(spark, sf_dir, "orders")
     src = orders.filter(F.col("o_orderkey") % 97 == 0).select(
         F.col("o_orderkey").alias("k"), F.col("o_custkey").alias("c")
@@ -305,19 +292,127 @@ def plusminus_player_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "2H", (k * 29) % F.col("h2"), goal_tag,
     )
     events = length_ev.unionByName(g1).unionByName(g2)
+    return matches, events
 
-    intervals = player_intervals(matches, events)
-    mins = minutes_played(intervals)
-    pm = plus_minus(intervals, events)
-    j = F.col("playerId") % 100
-    role = (
+
+def _role_of(pid: F.Column) -> F.Column:
+    j = pid % 100
+    return (
         F.when(j == 1, "Goalkeeper")
         .when(j <= 5, "Defender")
         .when(j <= 9, "Midfielder")
         .otherwise("Forward")
     )
+
+
+@register(
+    "plusminus_player_stats",
+    oracle=_PLUSMINUS_ORACLE,
+    doc="SURVEY.md 2.13 Advanced-2 plus-minus pipeline end-to-end "
+    "(Assignment-python.py:544-584), driver-gated: matches (lineup arrays, "
+    "3-substitution structs with start-of-minute semantics straddling "
+    "half-time), events (2H-derived match length, 1H-additional-time goals) "
+    "are synthesized deterministically from orders arithmetic, then the "
+    "REAL pipeline runs: pipelines/plusminus.player_intervals (struct "
+    "access, explode, interval construction) + minutes_played + plus_minus "
+    "(point-in-interval goal attribution). The oracle re-derives the same "
+    "arithmetic relationally. Scale: the goal join is a per-match equi-join "
+    "with constant fan-out; no forced broadcasts of SF-scaled frames.",
+)
+def plusminus_player_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipelines.plusminus import minutes_played, player_intervals, plus_minus
+
+    matches, events = _synth_football(spark, sf_dir)
+    intervals = player_intervals(matches, events)
+    mins = minutes_played(intervals)
+    pm = plus_minus(intervals, events)
     return (
         mins.join(pm, "playerId", "left")
         .fillna({"plusMinus": 0})
-        .select("playerId", role.alias("role"), "minutes", "plusMinus")
+        .select(
+            "playerId",
+            _role_of(F.col("playerId")).alias("role"),
+            "minutes",
+            "plusMinus",
+        )
     )
+
+
+_TOP_ROLE_ORACLE = """
+WITH src AS (
+  SELECT o_orderkey AS k, o_custkey AS c FROM orders WHERE o_orderkey % 97 = 0
+), m AS (
+  SELECT k, c % 20 AS ht, (c % 20 + 7) % 20 AS att, 2700 + k % 300 AS h2,
+         40 + k % 10 AS m1, 60 + k % 25 AS m2, 50 + k % 30 AS m3
+  FROM src
+), ml AS (
+  SELECT k, 45 + CAST(CEIL(h2 / 60.0) AS BIGINT) AS mlen FROM m
+), iv0 AS (
+  SELECT m.k, 100 * ht + j.j AS pid, 0 AS on_min,
+         CASE j.j WHEN 1 THEN m1 WHEN 2 THEN m2 END AS out_min
+  FROM m, (SELECT unnest(range(1, 12)) AS j) j
+  UNION ALL SELECT k, 100 * ht + 12, m1, NULL FROM m
+  UNION ALL SELECT k, 100 * ht + 13, m2, NULL FROM m
+  UNION ALL
+  SELECT m.k, 100 * att + j.j, 0, CASE j.j WHEN 3 THEN m3 END
+  FROM m, (SELECT unnest(range(1, 12)) AS j) j
+  UNION ALL SELECT k, 100 * att + 12, m3, NULL FROM m
+), mins AS (
+  SELECT pid, SUM(COALESCE(out_min, mlen) - on_min) AS minutes
+  FROM iv0 JOIN ml ON ml.k = iv0.k GROUP BY pid
+), named AS (
+  SELECT pid,
+         CASE WHEN pid % 100 = 1 THEN 'Goalkeeper'
+              WHEN pid % 100 <= 5 THEN 'Defender'
+              WHEN pid % 100 <= 9 THEN 'Midfielder'
+              ELSE 'Forward' END AS role,
+         'P ' || pid::VARCHAR AS player,
+         'A' || (pid % 5)::VARCHAR AS birthArea,
+         CAST(minutes AS INT) AS minutes
+  FROM mins
+), ranked AS (
+  SELECT role, player, birthArea, minutes,
+         ROW_NUMBER() OVER (PARTITION BY role ORDER BY minutes DESC, pid ASC) AS rn
+  FROM named
+)
+SELECT role, player, birthArea, minutes FROM ranked WHERE rn = 1
+"""
+
+
+@register(
+    "plusminus_top_by_role",
+    oracle=_TOP_ROLE_ORACLE,
+    doc="SURVEY.md 2.13 Advanced-2 output 1 (Assignment-python.py:572-578), "
+    "driver-gated: top player by total minutes per role over the synthetic "
+    "fixture stream — exercises the pipeline's roster join, name concat "
+    "(concat_ws), and the per-role row_number top-1 with the "
+    "(minutes DESC, playerId) tie-break the spec leaves implicit. The "
+    "per-role window runs post-aggregation over one row per player — "
+    "bounded, not a content-key scan.",
+)
+def plusminus_top_by_role(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipelines.plusminus import most_minutes_by_role, player_intervals
+
+    matches, events = _synth_football(spark, sf_dir)
+    intervals = player_intervals(matches, events)
+    # synthetic roster: 20 teams x 13 shirts; names/areas are arithmetic in
+    # playerId so the oracle derives them without a roster table
+    pid = (
+        (F.col("t") * 100 + F.col("j")).cast("long").alias("playerId")
+    )
+    players = (
+        spark.range(0, 20)
+        .select(F.col("id").alias("t"))
+        .select("t", F.explode(F.sequence(F.lit(1), F.lit(13))).alias("j"))
+        .select(pid)
+        .select(
+            "playerId",
+            F.lit("P").alias("firstName"),
+            F.col("playerId").cast("string").alias("lastName"),
+            F.concat(F.lit("A"), (F.col("playerId") % 5).cast("string")).alias(
+                "birthArea"
+            ),
+            _role_of(F.col("playerId")).alias("role"),
+        )
+    )
+    return most_minutes_by_role(intervals, players)

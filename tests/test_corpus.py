@@ -112,3 +112,46 @@ def test_token_chunks_cover_every_token(spark):
         for cid, clen in chunks:
             covered.update(range(48 * cid, 48 * cid + clen))
         assert covered == set(range(n)), (i, n, chunks)
+
+
+def test_build_vocab_and_encode_tokens_order(spark):
+    """Vocab ids follow (count DESC, token ASC); encode_tokens preserves
+    token ORDER in the id array (the oracle's id_sum cannot see order) and
+    maps OOV to -1."""
+    from data_engineering_assignment_spark.operators.corpus import (
+        build_vocab,
+        encode_tokens,
+    )
+
+    rows = [
+        (1, "b b b a a c"),
+        (2, "a b zz a"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    vocab = build_vocab(df, top_v=3)
+    v = {r["token"]: r for r in vocab.collect()}
+    # counts: b=4, a=4, c=1, zz=1 → ties broken by token: a=0, b=1, c=2
+    assert (v["a"]["token_id"], v["b"]["token_id"], v["c"]["token_id"]) == (0, 1, 2)
+    assert v["a"]["n_occ"] == 4 and v["a"]["n_docs"] == 2
+    enc = {r["doc_id"]: r["token_ids"] for r in encode_tokens(df, vocab).collect()}
+    assert enc[1] == [1, 1, 1, 0, 0, 2]
+    assert enc[2] == [0, 1, -1, 0]  # zz is OOV
+    # stable under repartitioning
+    enc2 = {
+        r["doc_id"]: r["token_ids"]
+        for r in encode_tokens(df.repartition(5), vocab).collect()
+    }
+    assert enc2 == enc
+
+
+def test_vocab_plans_take_ordered(spark, sf_dir):
+    """The vocabulary cut must plan as TakeOrderedAndProject (distributed
+    per-task heaps), never a global sort of the corpus vocabulary."""
+    from data_engineering_assignment_spark import plans
+    from data_engineering_assignment_spark.operators.corpus import build_vocab
+    from data_engineering_assignment_spark.tables import load
+
+    df = build_vocab(load(spark, sf_dir, "documents"), top_v=64)
+    plan = plans.simple_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert plans.has_partial_aggregation(df)
