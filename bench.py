@@ -122,6 +122,7 @@ HEADLINE = [
     "plusminus_top_by_role",
     "vocab_top64",
     "vocab_encode_stats",
+    "embedding_quantize_stats",
 ]
 
 

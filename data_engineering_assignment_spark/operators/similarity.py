@@ -580,3 +580,37 @@ def lsh_bucketed_topk(
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "sim", "rnk")
     )
+
+
+def quantize_int8(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Symmetric int8 scalar quantization of an embedding column — the
+    standard 4× memory reduction for ANN indexes (float32 → int8 per
+    dimension, one scale per vector).
+
+    Per vector: ``scale = max(|x|) / 127``; ``q_i = floor(x_i/scale + 0.5)``
+    clamped to [-127, 127] (the ``floor(x+0.5)`` form is two correctly-
+    rounded IEEE ops, identical on every engine, where ROUND(double)'s
+    midpoint convention differs between engines). All-zero vectors get
+    q = 0. Entirely narrow (one projection, zero shuffles, JVM-side HOFs);
+    adds ``q_scale double`` and ``q array<long>``.
+    """
+    e = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    scale = F.array_max(F.transform(e, F.abs)) / F.lit(127.0)
+    q = F.when(
+        scale > 0,
+        F.transform(
+            e,
+            lambda x: F.greatest(
+                F.lit(-127).cast("long"),
+                F.least(
+                    F.lit(127).cast("long"),
+                    F.floor(x / scale + F.lit(0.5)),
+                ),
+            ),
+        ),
+    ).otherwise(F.transform(e, lambda x: F.lit(0).cast("long")))
+    return df.withColumn("q_scale", scale).withColumn("q", q)

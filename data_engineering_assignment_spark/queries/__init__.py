@@ -58,13 +58,15 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # events_trailing_hour_sum (trailing-window machinery covered in-head by
 # events_anomaly_zscore), events_pivot_by_type (single-scan pivot
 # plan-asserted, r3-green), customer_year_setops (plain INTERSECT/EXCEPT,
-# r3-green).
+# r3-green), docs_stratified_sample (sampling family covered in-head by
+# docs_hash_sample).
 DRIVER_SAMPLE_HEAD: tuple[str, ...] = (
-    # never driver-checked (7)
+    # never driver-checked (8)
     "plusminus_player_stats",
     "plusminus_top_by_role",
     "vocab_top64",
     "vocab_encode_stats",
+    "embedding_quantize_stats",
     "cms_token_counts",
     "ml_eval_metrics",
     "wav_audio_stats",
@@ -98,7 +100,6 @@ DRIVER_SAMPLE_HEAD: tuple[str, ...] = (
     "seq_packing",
     "training_corpus_build",
     "repetition_stats",
-    "docs_stratified_sample",
     "doc_tfidf_top_terms",
     "corpus_boilerplate_3gram",
     "orders_profile",

@@ -331,3 +331,56 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("centroid_sq_norm"),
     )
+
+
+_QUANT_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), s AS (
+  SELECT vec_id, label, e,
+         list_max(list_transform(e, x -> abs(x))) / 127.0 AS q_scale
+  FROM v
+), q AS (
+  SELECT vec_id, label, q_scale,
+         list_transform(e, x -> CASE WHEN q_scale > 0
+             THEN greatest(-127, least(127, floor(x / q_scale + 0.5)))::BIGINT
+             ELSE 0::BIGINT END) AS qv
+  FROM s
+)
+SELECT vec_id, label,
+       {o_dround('q_scale', 8)} AS q_scale,
+       list_sum(qv)::BIGINT AS q_sum,
+       list_sum(list_transform(qv, x -> x * x))::BIGINT AS q_sq,
+       list_max(qv)::BIGINT AS q_max,
+       len(list_filter(qv, x -> x = 0))::BIGINT AS n_zero
+FROM q
+"""
+
+
+@register(
+    "embedding_quantize_stats",
+    oracle=_QUANT_ORACLE,
+    doc="Additive ANN scale path: symmetric int8 scalar quantization "
+    "(operators/similarity.quantize_int8) — one scale per vector, "
+    "floor(x/scale + 0.5) code assignment (two correctly-rounded IEEE ops; "
+    "engine ROUND midpoint conventions never enter), gated on the exact "
+    "integer code sums/squares per vector so any drift in the quantizer "
+    "breaks the hash. Narrow projection, zero shuffles; 4x index memory "
+    "reduction ahead of the IVF/LSH candidate joins.",
+)
+def embedding_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import quantize_int8
+
+    emb = load(spark, sf_dir, "embeddings")
+    out = quantize_int8(emb)
+    q = F.col("q")
+    return out.select(
+        "vec_id",
+        "label",
+        dround(F.col("q_scale"), 8).alias("q_scale"),
+        F.aggregate(q, F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
+        F.aggregate(q, F.lit(0).cast("long"), lambda a, x: a + x * x).alias("q_sq"),
+        F.array_max(q).alias("q_max"),
+        F.size(F.filter(q, lambda x: x == 0)).cast("long").alias("n_zero"),
+    )

@@ -260,3 +260,25 @@ def test_ivf_lloyd_refinement_recall(spark):
         for r in ivf_topk(df, queries, k=3, n_centroids=4, n_probe=1, n_iter=2).collect()
     }
     assert len(exact & approx) / len(exact) >= 0.9
+
+
+def test_quantize_int8_roundtrip_and_zero_vector(spark):
+    """int8 quantization: codes bounded, max-|x| dimension hits ±127,
+    reconstruction error bounded by scale/2 per dim, all-zero vector safe."""
+    from data_engineering_assignment_spark.operators.similarity import quantize_int8
+
+    rows = [
+        (1, [1.0, -0.5, 0.25, 0.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),
+        (3, [-2.0, 1.0, 0.5, -0.25]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = {r["vec_id"]: r for r in quantize_int8(df).collect()}
+    assert out[1]["q"][0] == 127  # max-|x| dim maps to full range
+    assert out[2]["q"] == [0, 0, 0, 0] and out[2]["q_scale"] == 0.0
+    assert out[3]["q"][0] == -127
+    for vid, emb in ((1, rows[0][1]), (3, rows[2][1])):
+        s, q = out[vid]["q_scale"], out[vid]["q"]
+        assert all(-127 <= c <= 127 for c in q)
+        for x, c in zip(emb, q):
+            assert abs(x - c * s) <= s / 2 + 1e-12
