@@ -123,6 +123,7 @@ HEADLINE = [
     "vocab_top64",
     "vocab_encode_stats",
     "embedding_quantize_stats",
+    "image_format_inventory",
 ]
 
 

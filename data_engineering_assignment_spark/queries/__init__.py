@@ -59,14 +59,16 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # events_anomaly_zscore), events_pivot_by_type (single-scan pivot
 # plan-asserted, r3-green), customer_year_setops (plain INTERSECT/EXCEPT,
 # r3-green), docs_stratified_sample (sampling family covered in-head by
-# docs_hash_sample).
+# docs_hash_sample), pii_redaction (narrow JVM regex pass, r3-green,
+# golden-tested).
 DRIVER_SAMPLE_HEAD: tuple[str, ...] = (
-    # never driver-checked (8)
+    # never driver-checked (9)
     "plusminus_player_stats",
     "plusminus_top_by_role",
     "vocab_top64",
     "vocab_encode_stats",
     "embedding_quantize_stats",
+    "image_format_inventory",
     "cms_token_counts",
     "ml_eval_metrics",
     "wav_audio_stats",
@@ -96,7 +98,6 @@ DRIVER_SAMPLE_HEAD: tuple[str, ...] = (
     "csv_sales_publisher_year",
     "docs_hash_sample",
     "data_mix_by_source",
-    "pii_redaction",
     "seq_packing",
     "training_corpus_build",
     "repetition_stats",

@@ -254,3 +254,45 @@ def wav_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("total_dur_s"),
         dround(F.min("zero_cross_rate"), 6).alias("zcr"),
     )
+
+
+_IMAGE_DIR = str(Path(__file__).resolve().parents[2] / "tests" / "fixtures" / "media_png")
+
+# Static committed fixtures -> static truth: dims/mode/pixel-digest literals
+# regression-pin the native decode. The INDEPENDENT check is in
+# tests/test_sources.py, where the same files decoded by Java ImageIO
+# (format("image")) and by our dependency-free codec (multimodal.decode_png)
+# must agree byte-for-byte on the BGRA buffer.
+_IMAGE_FORMAT_ORACLE = """
+SELECT * FROM (VALUES
+  ('checker.png',  8, 3, 4, 24, '7156765f48a5013ea5aac54b25dd7801'),
+  ('gradient.png', 5, 7, 4, 24, '1107164bfa58f2e3f3cbbe147a8a1bc8'),
+  ('stripes.png',  4, 4, 4, 24, 'c5e2bfdbe88e878743b693cf0d8c6eb2')
+) AS t(fname, width, height, n_channels, mode, data_md5)
+"""
+
+
+@register(
+    "image_format_inventory",
+    oracle=_IMAGE_FORMAT_ORACLE,
+    doc="S5, reference-exact surface (Assignment-python.py:710): Spark's "
+    "NATIVE format('image') source over committed PNG fixtures — ImageIO "
+    "decodes JVM-side into the OpenCV BGRA image struct; the query emits "
+    "dims/mode plus an md5 of the pixel buffer. Closes the one documented "
+    "S5 fidelity deviation: the engine now exercises both the native image "
+    "source and the binaryFile+own-codec route, and the two decoders are "
+    "asserted byte-identical in tests/test_sources.py.",
+)
+def image_format_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import read_images
+
+    tune(spark)
+    imgs = read_images(spark, _IMAGE_DIR)
+    return imgs.select(
+        F.element_at(F.split("image.origin", "/"), -1).alias("fname"),
+        F.col("image.width").cast("int").alias("width"),
+        F.col("image.height").cast("int").alias("height"),
+        F.col("image.nChannels").cast("int").alias("n_channels"),
+        F.col("image.mode").cast("int").alias("mode"),
+        F.md5("image.data").alias("data_md5"),
+    )

@@ -79,6 +79,27 @@ def read_binary_files(
     return reader.load(path)
 
 
+def read_images(
+    spark: SparkSession, path: str, drop_invalid: bool = True
+) -> DataFrame:
+    """S5, reference-exact surface (Assignment-python.py:710): Spark's native
+    ``image`` source — one row per file with the ``image`` struct (origin,
+    height, width, nChannels, mode, data), decoded JVM-side by Java ImageIO
+    in OpenCV BGR(A) byte order. Parallelizes per file like binaryFile.
+
+    The binaryFile + own-codec path (:func:`read_binary_files` +
+    functions/multimodal.decode_png) remains the production route — it
+    handles formats ImageIO lacks, keeps bytes for non-image analytics, and
+    its decode is cross-checked against THIS source in
+    tests/test_sources.py — but the native format is available for
+    reference-parity workloads."""
+    return (
+        spark.read.format("image")
+        .option("dropInvalid", str(drop_invalid).lower())
+        .load(path)
+    )
+
+
 def local_rows(spark: SparkSession, rows: list, schema) -> DataFrame:
     """S7: driver-local rows (:1010-1011)."""
     return spark.createDataFrame(rows, schema)

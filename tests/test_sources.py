@@ -169,3 +169,38 @@ def test_zorder_sink_clusters_all_dimensions(spark, tmp_path):
     assert max(xs) <= 32 and max(ys) <= 32
     # correctness: round trip preserves the data
     assert spark.read.parquet(out).count() == n
+
+
+def test_native_image_source_matches_own_codec(spark):
+    """The native format('image') decode (Java ImageIO, OpenCV BGRA order)
+    and our dependency-free PNG codec must agree BYTE-FOR-BYTE on every
+    committed fixture — two independent decoders pinning each other."""
+    import hashlib
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    from data_engineering_assignment_spark.functions.multimodal import decode_png
+    from data_engineering_assignment_spark.sources import read_images
+
+    d = Path(__file__).parent / "fixtures" / "media_png"
+    native = {
+        r["fname"]: r
+        for r in read_images(spark, str(d))
+        .select(
+            F.element_at(F.split("image.origin", "/"), -1).alias("fname"),
+            "image.width",
+            "image.height",
+            "image.nChannels",
+            F.md5("image.data").alias("data_md5"),
+        )
+        .collect()
+    }
+    assert len(native) == 3
+    for png in sorted(d.glob("*.png")):
+        frames, meta = decode_png(png.read_bytes())
+        n = native[png.name]
+        assert (n["width"], n["height"], n["nChannels"]) == (
+            meta["width"], meta["height"], meta["channels"],
+        )
+        assert n["data_md5"] == hashlib.md5(frames[0].tobytes()).hexdigest()
