@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 
 from .aggregates import dround
 from .dedup import word_shingles
+from .parallelism import ensure_min_parallelism
 from .text import tokens
 
 
@@ -133,19 +134,28 @@ def boilerplate_ngrams(
     shuffles exactly once (by doc) — never a window partitioned by shingle,
     where a boilerplate shingle (by definition present in most documents)
     would pin an unsplittable hot partition; the marker join is
-    size-decided and AQE-skew-splittable. The shingle explode runs twice
-    (once per branch) — pure map-side CPU that amortizes at cluster scale,
-    where the shuffle is the cost. The xxhash64 is projected map-side so
-    exchanges carry 8-byte longs, not n-word strings (a 64-bit collision
-    would need ~2³² distinct shingles; the cross-engine oracle would catch
-    one). Documents with < n tokens have no shingles and are absent from
-    the output.
+    size-decided and AQE-skew-splittable. The hashed (doc, shingle) stream
+    is MATERIALIZED (eager localCheckpoint) before fan-out so the explode
+    runs exactly once — both consumers (df-aggregation branch and marker
+    join probe side) read the checkpointed 16-byte rows instead of
+    re-scanning and re-exploding the corpus. The xxhash64 is projected
+    map-side BEFORE the checkpoint so the stored rows carry 8-byte longs,
+    not n-word strings (a 64-bit collision would need ~2³² distinct
+    shingles; the cross-engine oracle would catch one). On a cluster with
+    preemptible executors swap localCheckpoint for
+    ``persist(StorageLevel.DISK_ONLY)`` — same single-explode shape.
+    Documents with < n tokens have no shingles and are absent from the
+    output.
 
     Output: (id, n_shingles, n_boiler, boiler_ratio)."""
-    sh = df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(word_shingles(text_col, n)).alias("shingle"),
-    ).select("doc", F.xxhash64("shingle").alias("sh_h"))
+    sh = (
+        ensure_min_parallelism(df).select(
+            F.col(id_col).alias("doc"),
+            F.explode(word_shingles(text_col, n)).alias("shingle"),
+        )
+        .select("doc", F.xxhash64("shingle").alias("sh_h"))
+        .localCheckpoint(eager=True)
+    )
     boiler_keys = (
         sh.groupBy("sh_h")
         .agg(F.count(F.lit(1)).alias("df_sh"))

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .aggregates import dround
+from .parallelism import ensure_min_parallelism
 from .text import tokens
 
 
@@ -122,6 +123,7 @@ def minhash_signatures(
     times and blows up codegen — this relational shape is also the one that
     scales: one shuffle keyed by doc id.)
     """
+    df = ensure_min_parallelism(df)
     sh = df.select(
         F.col(id_col).alias("doc"), F.explode(word_shingles(text_col)).alias("shingle")
     )
@@ -184,15 +186,23 @@ def _bucket_self_join(banded: DataFrame) -> DataFrame:
     """Candidate pairs from a (doc, band, bucket) table: self-equi-join on
     (band, bucket), doc_a < doc_b, counting shared bands.
 
+    The banded table is MATERIALIZED (eager localCheckpoint) before the
+    self-join: without it each join side re-executes the entire
+    shingle-explode → signature → band subtree — a ~2× tax on the dominant
+    stage of the engine's most expensive operator family, at every scale.
+    After materialization both sides read the checkpointed partitions and
+    the shingle shuffle runs exactly once. (localCheckpoint stores blocks
+    on executors — on a cluster with preemptible executors swap in
+    ``persist(StorageLevel.DISK_ONLY)`` + a reliable checkpoint dir; the
+    single-materialization shape is the same.)
+
     The SHUFFLE_HASH hint matters at every scale: left alone, Catalyst
     broadcasts one side — i.e. ships the ENTIRE banded corpus to every
     executor (a scale-killer at 100 TB, and ~2× slower even at sf0.1
     because the broadcast side's whole signature pipeline funnels through
     the driver). A shuffle hash join partitions both sides by (band,
-    bucket) — linear, AQE-skew-splittable. The two identical shuffle
-    subtrees still execute twice (signatures are recomputed per side);
-    for repeated candidate queries over one corpus, persist ``banded``
-    first and the join reads the cache on both sides."""
+    bucket) — linear, AQE-skew-splittable."""
+    banded = banded.localCheckpoint(eager=True)
     a = banded.alias("a").hint("shuffle_hash")
     b = banded.alias("b")
     return (
@@ -322,6 +332,7 @@ def minhash_signatures_portable(
     """
     from .text import rolling_hash
 
+    df = ensure_min_parallelism(df)
     sh = df.select(
         F.col(id_col).alias("doc"), F.explode(word_shingles(text_col)).alias("shingle")
     ).select("doc", rolling_hash(F.col("shingle")).alias("rh"))

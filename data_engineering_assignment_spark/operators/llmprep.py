@@ -83,8 +83,9 @@ def decontaminate(
     The benchmark side is deduplicated to distinct hashes and broadcast when
     small."""
     from .dedup import word_shingles
+    from .parallelism import ensure_min_parallelism
 
-    t_sh = train.select(
+    t_sh = ensure_min_parallelism(train).select(
         F.col(id_col).alias("doc"), F.explode(word_shingles(text_col, n)).alias("shingle")
     ).select("doc", F.xxhash64("shingle").alias("sh_h"))
     b_sh = (

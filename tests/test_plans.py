@@ -253,6 +253,31 @@ def test_ngram_max_df_broadcasts_hot_side_only(spark, sf_dir):
     assert plan.count("BroadcastExchange") == plan.count("LeftAnti, BuildRight")
 
 
+def test_lsh_self_join_materializes_banded_once(spark, sf_dir):
+    """The banded bucket table must be materialized before the self-join:
+    both join sides read the checkpointed table, so the candidate plan
+    contains NO shingle explode and NO parquet scan — the signature
+    subtree executed exactly once, in the materialization job, not twice
+    (once per side)."""
+    for name in ("dedup_minhash_lsh", "dedup_lsh_portable"):
+        plan = plans.simple_plan(build(spark, sf_dir, name))
+        assert plan.count("Scan ExistingRDD") == 2, name
+        assert "Scan parquet" not in plan, name
+        assert "Generate" not in plan, name  # explode ran pre-checkpoint
+
+
+def test_boilerplate_single_shingle_explode(spark, sf_dir):
+    """The hashed (doc, shingle) stream must be materialized before the
+    branch fan-out: the df-aggregation branch and the marker-join probe
+    both read the checkpointed stream — one corpus scan + explode total,
+    not one per branch."""
+    df = build(spark, sf_dir, "corpus_boilerplate_3gram")
+    plan = plans.simple_plan(df)
+    assert plan.count("Scan ExistingRDD") == 2
+    assert "Scan parquet" not in plan
+    assert "Generate" not in plan
+
+
 def test_lsh_candidate_join_never_broadcasts_corpus(spark, sf_dir):
     """The LSH bucket self-join must shuffle-partition both sides on
     (band, bucket) — a broadcast side would ship the entire banded corpus
