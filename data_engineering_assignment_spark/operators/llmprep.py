@@ -262,7 +262,12 @@ def quality_percentile_gate(
 
     ``id_col`` is kept for API compatibility: the rank tiebreak affects
     which tied ROWS are kept, but not any of the outputs, which are
-    tie-invariant. Output: (group, n_docs, n_kept, min_kept_quality)."""
+    tie-invariant. NULL-quality documents are excluded up front — from
+    ``n_docs``, the cut computation, and the kept set (the old window
+    formulation's MIN skipped NULLs implicitly; without the filter a NULL
+    bucket could absorb the target rank and then silently drop out of the
+    resolve join). Output: (group, n_docs, n_kept, min_kept_quality)."""
+    df = df.filter(F.col(quality_col).isNotNull())
     bw = F.lit(float(bucket_width))
     e = df.select(
         F.col(group_col).alias("_g"),

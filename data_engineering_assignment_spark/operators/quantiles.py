@@ -105,7 +105,9 @@ def rank_values_pruned(
     are safe: the value at rank k is tie-invariant even though row order
     among equal values is not.
 
-    Output: one row per key — (key, n_rows, <name> double ... per position).
+    Output: one row per key — (key, n_rows, one ``<name>`` column per
+    position). The position columns carry the VALUE column's input type
+    (DECIMAL stays DECIMAL — oracle comparisons depend on it), not double.
     """
     v = F.col(value_col)
     e = df.select(

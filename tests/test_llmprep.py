@@ -128,6 +128,23 @@ def test_quality_percentile_gate_ties_and_bucket_edges(spark):
     assert out["e"]["n_kept"] == 4 and out["e"]["min_kept_quality"] == 0.01
 
 
+def test_quality_percentile_gate_excludes_null_quality(spark):
+    """NULL-quality docs are excluded up front: from n_docs, the cut, and
+    min_kept_quality — a NULL bucket absorbing the target rank would
+    otherwise yield min_kept_quality NULL (the r5 advice finding)."""
+    from data_engineering_assignment_spark.operators.llmprep import (
+        quality_percentile_gate,
+    )
+
+    rows = [(i, "s", q) for i, q in enumerate([0.9, 0.8, 0.7, 0.6, 0.5])]
+    rows += [(10 + i, "s", None) for i in range(5)]  # half the source is NULL
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, quality double")
+    out = {r["source"]: r for r in quality_percentile_gate(df, 80).collect()}
+    # identical to the 5-doc non-null case: NULLs invisible to every output
+    assert out["s"]["n_docs"] == 5 and out["s"]["n_kept"] == 4
+    assert out["s"]["min_kept_quality"] == 0.6
+
+
 def test_pack_sequences_sharded_single_language(spark):
     """shards_per_group splits one language's packing into independent
     deterministic subgroups: every shard's packs respect capacity exactly,
