@@ -156,3 +156,29 @@ def classification_report(
         rows, "run string, accuracy double, within_one double, correct_prob double"
     )
     return result.sort(F.desc("accuracy"))
+
+
+def enforce_report_floors(
+    report: DataFrame, floors: list[tuple[str, str, float]]
+) -> DataFrame:
+    """Raise if any (run, metric) of a classification report falls below its
+    floor. The report frames are literal local rows (metrics were collected
+    during construction), so the check is driver-side and free.
+
+    Guards the rows-only driver gate: RF training has no SQL oracle, so the
+    driver's CORRECTNESS row for these queries checks row shape only — a
+    silently-broken model (wrong features, bad split, label drift) would
+    still produce 3/8 well-shaped rows. Embedding the floors in the BUILDER
+    makes such a regression fail the driver run instead of passing it.
+    Floors sit well under seeded observed values (margins recorded at the
+    call sites) so RF's partition-level nondeterminism can't trip them."""
+    rows = {r["run"]: r.asDict() for r in report.collect()}
+    for run, metric, floor in floors:
+        if run not in rows:
+            raise AssertionError(f"report floor: run {run!r} missing from report")
+        got = rows[run][metric]
+        if not got >= floor:
+            raise AssertionError(
+                f"report floor violated: {run}.{metric} = {got} < {floor}"
+            )
+    return report

@@ -18,7 +18,7 @@ from . import register
     "seeded RF → built-in + custom evaluators, one report row per run.",
 )
 def ml_peak_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..ml import classification_report
+    from ..ml import classification_report, enforce_report_floors
 
     ev = load(spark, sf_dir, "events")
     feats = (
@@ -35,7 +35,18 @@ def ml_peak_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("peak_from_value", ["value", "dow"], "is_peak", None),
         ("hour_cyclic", ["minute_of_day", "value"], "hour_of_day", 24),
     ]
-    return classification_report(feats, runs, num_trees=10, seed=1)
+    report = classification_report(feats, runs, num_trees=10, seed=1)
+    # floors vs seeded observations at sf0.001/sf0.01: peak_from_time acc
+    # .966/.972, hour_cyclic within_one .994/1.0, peak_from_value acc
+    # .514/.533 (value is noise for is_peak — base-rate sanity floor only)
+    return enforce_report_floors(
+        report,
+        [
+            ("peak_from_time", "accuracy", 0.85),
+            ("hour_cyclic", "within_one", 0.9),
+            ("peak_from_value", "accuracy", 0.40),
+        ],
+    )
 
 
 @register(
@@ -68,7 +79,20 @@ def ml_energy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest(F.lit(0.0), 5.0 * F.sin(angle)).alias("power_solar_panels"),
         (30.0 + F.col("value")).alias("electricity_price"),
     )
-    return run_all(energy, num_trees=5, seed=1)
+    from ..ml import enforce_report_floors
+
+    # floors vs seeded observations at sf0.001/sf0.01: month/peak runs 1.0
+    # exactly (fully-derivable labels), hour_all within_one .884/.958; the
+    # day runs are label noise by construction — no floor.
+    return enforce_report_floors(
+        run_all(energy, num_trees=5, seed=1),
+        [
+            ("month_weather", "accuracy", 0.9),
+            ("peak_weather", "accuracy", 0.9),
+            ("peak_all", "accuracy", 0.9),
+            ("hour_all", "within_one", 0.5),
+        ],
+    )
 
 
 _ML_EVAL_ORACLE = """

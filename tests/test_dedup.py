@@ -135,3 +135,48 @@ def test_simhash_portable_locality(spark):
     ham_near = bin((fps[1] ^ fps[3]) & mask).count("1")
     ham_far = bin((fps[1] ^ fps[4]) & mask).count("1")
     assert ham_near < ham_far
+
+
+def test_twin_drift_production_vs_portable_on_fixture_corpus(spark, sf_dir):
+    """Twin-drift guard (round-6 brief): the oracle-gated portable LSH twin
+    vouches for the xxhash64 production path, so the two must stay in
+    semantic lockstep on the committed fixture corpus (sf0.001 documents).
+
+    Candidate SETS are not bit-identical across hash families — the 31-bit
+    portable rolling hash collides more than xxhash64, so the portable twin
+    admits a few extra false-positive candidates (verified away downstream;
+    that is what LSH candidates are). The invariants that pin the shared
+    signature→band→bucket-join plumbing, all deterministic on this corpus:
+
+      * both variants recall EVERY exact Jaccard>=0.5 pair (recall drift in
+        either pipeline fails here);
+      * at the production defaults (24 hashes / 6 bands) the production
+        candidate set equals the exact pair set exactly;
+      * under IDENTICAL banding parameters the production set is contained
+        in the portable set (same true pairs + portable's extra collisions).
+    """
+    from data_engineering_assignment_spark.operators.dedup import (
+        minhash_lsh_candidates_portable,
+    )
+    from data_engineering_assignment_spark.tables import load
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert len(exact) > 20  # the fixture corpus has real near-dup structure
+    prod_default = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_candidates(docs, num_hashes=24, bands=6).collect()
+    }
+    assert prod_default == exact
+    prod = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_candidates(docs, num_hashes=12, bands=4).collect()
+    }
+    port = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_candidates_portable(docs, num_hashes=12, bands=4).collect()
+    }
+    assert exact <= prod <= port

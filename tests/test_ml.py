@@ -69,3 +69,20 @@ def test_classification_report_shape(spark, blobs):
     ).collect()
     assert [r["run"] for r in report] and len(report) == 2
     assert all(0.0 <= r["accuracy"] <= 1.0 for r in report)
+
+
+def test_enforce_report_floors_raises_on_violation(spark):
+    import pytest as _pytest
+
+    from data_engineering_assignment_spark.ml import enforce_report_floors
+
+    report = spark.createDataFrame(
+        [("a", 0.95, 1.0, 0.9), ("b", 0.30, 0.5, 0.2)],
+        "run string, accuracy double, within_one double, correct_prob double",
+    )
+    # passing floors return the frame unchanged
+    assert enforce_report_floors(report, [("a", "accuracy", 0.9)]) is report
+    with _pytest.raises(AssertionError, match="b.accuracy"):
+        enforce_report_floors(report, [("b", "accuracy", 0.5)])
+    with _pytest.raises(AssertionError, match="missing"):
+        enforce_report_floors(report, [("zz", "accuracy", 0.5)])
