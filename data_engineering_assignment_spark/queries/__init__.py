@@ -40,82 +40,82 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # last green row is oldest, then anything whose implementation changed this
 # round (a green history does not cover new code).
 #
-# Round-5 head: the 4 never-checked queries (plusminus_player_stats and
-# image_color_analytics' oracle are new this round; cms_token_counts /
-# ml_eval_metrics / wav_audio_stats were added after the r4 sample head was
-# frozen), the 7 queries last checked in r2 (the stale tail the r4 verdict
-# flagged), dedup_ngram_jaccard (r4-green but its max_df join was inverted
-# this round), and 38 of the 46 queries last checked in r3 — including
-# quality_percentile_gate and median_price_by_priority, both reimplemented
-# via histogram pruning this round.  Deferred to round 6 (each with its
-# machinery covered in-head or by twins): weighted_median_price (same
-# pruned-median operator as median_price_by_priority), doc_path_format,
-# nation_name_fuzzy (BroadcastNestedLoop shape plan-asserted),
-# ml_peak_classification (rows-only; ML family covered by ml_eval_metrics),
-# jsonl_media_groups / binary_media_inventory (static-fixture source gates,
-# golden-tested; csv_sales_publisher_year stays), cosine_topk_lsh (twin
-# cosine_topk_ivf r4-green), orders_cube (rollup family r4-green),
-# events_trailing_hour_sum (trailing-window machinery covered in-head by
-# events_anomaly_zscore), events_pivot_by_type (single-scan pivot
-# plan-asserted, r3-green), customer_year_setops (plain INTERSECT/EXCEPT,
-# r3-green), docs_stratified_sample (sampling family covered in-head by
-# docs_hash_sample), pii_redaction (narrow JVM regex pass, r3-green,
-# golden-tested).
+# Round-6 head: the 2 never-checked queries (the recall-telemetry pair, new
+# this round), all 13 queries last checked in r3 (the stale set the r5
+# verdict scheduled for this head), the 7 queries whose implementation
+# changed this round (LSH materialization + parallelism guard:
+# dedup_minhash_lsh / dedup_lsh_portable / dedup_clusters_lsh /
+# corpus_boilerplate_3gram / decontaminate_ngram; NULL-quality exclusion:
+# quality_percentile_gate; report floors: ml_energy_report —
+# ml_peak_classification got the same floors and is already in the r3 set),
+# and 28 of the 47 remaining queries last checked in r4.  Deferred to round
+# 7 (19, all r4-green TPC-H-style relational queries whose machinery —
+# broadcast dim joins, partial aggs, decimal-detour sums,
+# TakeOrderedAndProject — is plan-asserted and exercised in-head by
+# orders_cube / weighted_median_price / customer_year_setops /
+# events_pivot_by_type / league_table / user_purchase_totals):
+# above_nation_avg_customers, brand_revenue, customers_with_open_orders,
+# customers_without_orders, disjunctive_brand_revenue,
+# distinct_users_per_type, doc_chunks, large_volume_orders, metrics_union,
+# null_handling_metrics, orders_rollup, promo_revenue_pct, regional_revenue,
+# returned_items_top20, sales_per_year, shipping_priority_top10,
+# supplier_return_ratio, top5_orders, top_priority_null_count.  These 19
+# lead the r7 head.
 DRIVER_SAMPLE_HEAD: tuple[str, ...] = (
-    # never driver-checked (9)
-    "plusminus_player_stats",
-    "plusminus_top_by_role",
-    "vocab_top64",
-    "vocab_encode_stats",
-    "embedding_quantize_stats",
-    "image_format_inventory",
-    "cms_token_counts",
-    "ml_eval_metrics",
-    "wav_audio_stats",
-    # last checked r2 (7; image_color_analytics newly oracle-gated)
-    "distinct_status_priority",
-    "image_color_analytics",
-    "dedup_clusters_lsh",
+    # never driver-checked (2, new this round)
+    "lsh_recall_telemetry",
+    "ivf_recall_telemetry",
+    # last checked r3 (13 — the full stale set)
+    "binary_media_inventory",
+    "cosine_topk_lsh",
+    "customer_year_setops",
+    "doc_path_format",
+    "docs_stratified_sample",
+    "events_pivot_by_type",
+    "events_trailing_hour_sum",
+    "jsonl_media_groups",
+    "ml_peak_classification",
+    "nation_name_fuzzy",
+    "orders_cube",
+    "pii_redaction",
+    "weighted_median_price",
+    # implementation changed this round (green history doesn't cover it)
     "dedup_minhash_lsh",
-    "doc_simhash",
-    "doc_regex_tokens",
-    "events_hourly",
-    # implementation changed this round (r4-green history doesn't cover it)
-    "dedup_ngram_jaccard",
-    # last checked r3 (38 of 46; qgate + median reimplemented this round)
-    "quality_percentile_gate",
-    "median_price_by_priority",
-    "pricing_summary",
-    "nation_rank_top2",
-    "embedding_near_dup",
-    "top_tokens_per_lang",
     "dedup_lsh_portable",
-    "events_sessionize",
-    "event_transitions",
-    "user_retention_cohorts",
-    "purchase_asof_last_click",
-    "click_purchase_attribution",
-    "csv_sales_publisher_year",
-    "docs_hash_sample",
-    "data_mix_by_source",
-    "seq_packing",
-    "training_corpus_build",
-    "repetition_stats",
-    "doc_tfidf_top_terms",
+    "dedup_clusters_lsh",
     "corpus_boilerplate_3gram",
-    "orders_profile",
-    "order_price_distribution",
-    "user_state_scd2",
-    "daily_conversion_funnel",
-    "orders_cdc_apply",
-    "user_event_type_sets",
-    "nation_presence_full_outer",
-    "events_anomaly_zscore",
-    "order_price_histogram",
-    "event_interarrival_stats",
-    "nation_revenue_share",
-    "referential_integrity_audit",
-    "lang_source_chisq",
+    "decontaminate_ngram",
+    "quality_percentile_gate",
+    "ml_energy_report",
+    # last checked r4 (28 of 47)
+    "cosine_topk",
+    "cosine_topk_ivf",
+    "dedup_clusters_jaccard",
+    "dedup_exact",
+    "dedup_survivors",
+    "doc_normalized_fingerprint",
+    "doc_rolling_hash",
+    "doc_simhash_portable",
+    "doc_token_stats",
+    "embedding_stats",
+    "event_props_json",
+    "event_props_variant",
+    "event_value_trend",
+    "events_gapfill_5m",
+    "events_multi_rollup",
+    "events_sliding_10m_5m",
+    "events_tumbling_10m",
+    "label_centroids",
+    "png_decode_stats",
+    "quality_by_source",
+    "supplier_stats_salted",
+    "user_rolling_stats",
+    "value_quantiles_by_type",
+    "approx_distinct_users_rollup",
+    "cyclic_prediction_rates",
+    "league_table",
+    "order_ship_lag_30d",
+    "user_purchase_totals",
 )
 
 

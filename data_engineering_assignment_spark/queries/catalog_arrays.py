@@ -261,6 +261,65 @@ def cosine_topk_ivf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk_portable(emb, queries, k=5, n_centroids=16, n_probe=4)
 
 
+_IVF_RECALL_ORACLE = f"""
+WITH appr AS ({_ivf_oracle()}), ex AS ({_COSINE_ORACLE}), s AS (
+  SELECT (SELECT COUNT(*) FROM appr) AS n_ivf,
+         (SELECT COUNT(*) FROM ex) AS n_exact,
+         (SELECT COUNT(*) FROM appr a
+          JOIN ex e ON a.query_id = e.query_id
+                   AND a.neighbor_id = e.neighbor_id) AS n_found
+)
+SELECT n_ivf, n_exact, n_found,
+       {{recall}} AS recall
+FROM s
+"""
+
+
+@register(
+    "ivf_recall_telemetry",
+    oracle=_IVF_RECALL_ORACLE.format(
+        recall="ROUND(CAST(CAST(n_found AS DOUBLE) / CAST(n_exact AS DOUBLE)"
+        " AS DECIMAL(27,8)), 4)::DOUBLE"
+    ),
+    doc="Round-6 stretch: ANN recall telemetry — one row of (n_ivf, n_exact, "
+    "n_found, recall) comparing the oracle-gated portable IVF top-5 against "
+    "the exact brute-force cosine top-5 over the same query set. n_probe / "
+    "n_centroids changes now move a measured recall number instead of only "
+    "flipping the oracle; both legs and the recall division have exact SQL "
+    "twins, so the telemetry itself is oracle-gated.",
+)
+def ivf_recall_telemetry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivf_topk_portable
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    appr = (
+        ivf_topk_portable(emb, queries, k=5, n_centroids=16, n_probe=4)
+        .select("query_id", "neighbor_id")
+        .withColumn("_c", F.lit(1))
+    )
+    exact = (
+        cosine_topk(emb, queries, k=5)
+        .select("query_id", "neighbor_id")
+        .withColumn("_t", F.lit(1))
+    )
+    both = appr.join(exact, ["query_id", "neighbor_id"], "full_outer")
+    return both.agg(
+        F.count("_c").alias("n_ivf"),
+        F.count("_t").alias("n_exact"),
+        F.count(
+            F.when(F.col("_c").isNotNull() & F.col("_t").isNotNull(), 1)
+        ).alias("n_found"),
+    ).select(
+        "n_ivf",
+        "n_exact",
+        "n_found",
+        dround(
+            F.col("n_found").cast("double") / F.col("n_exact").cast("double"), 4
+        ).alias("recall"),
+    )
+
+
 _NEAR_DUP_ORACLE = """
 WITH v AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e

@@ -388,6 +388,84 @@ def dedup_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_candidates_portable(load(spark, sf_dir, "documents"))
 
 
+_LSH_RECALL_ORACLE = f"""
+WITH {_SHINGLE_CTE}, rhs AS (
+  SELECT doc, {_O_RH_SHINGLE} AS rh FROM shs
+), sig AS (
+  SELECT doc, {_PORTABLE_MINS} FROM rhs GROUP BY doc
+), banded AS ({_PORTABLE_BANDED}),
+cand AS (
+  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+  FROM banded a
+  JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc
+), sizes AS (
+  SELECT doc, COUNT(*) AS n_shingles FROM shs GROUP BY doc
+), i AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS inter
+  FROM shs a JOIN shs b ON a.shingle = b.shingle AND a.doc < b.doc
+  GROUP BY 1, 2
+), truth AS (
+  SELECT i.doc_a, i.doc_b FROM i
+  JOIN sizes sa ON sa.doc = i.doc_a
+  JOIN sizes sb ON sb.doc = i.doc_b
+  WHERE {JACC} >= 0.5
+), s AS (
+  SELECT (SELECT COUNT(*) FROM cand) AS n_candidates,
+         (SELECT COUNT(*) FROM truth) AS n_true_pairs,
+         (SELECT COUNT(*) FROM cand c
+          JOIN truth t ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b) AS n_found
+)
+SELECT n_candidates, n_true_pairs, n_found,
+       {o_dround("CAST(n_found AS DOUBLE) / CAST(n_true_pairs AS DOUBLE)", 4)} AS recall
+FROM s
+"""
+
+
+@register(
+    "lsh_recall_telemetry",
+    oracle=_LSH_RECALL_ORACLE,
+    doc="Round-6 stretch: candidate-generation telemetry for the LSH family — "
+    "one row of (n_candidates, n_true_pairs, n_found, recall) comparing the "
+    "oracle-gated portable LSH candidates against exact 3-gram Jaccard >= 0.5 "
+    "on the same corpus. Banding-parameter changes now have a quantitative "
+    "regression signal beyond 'oracle still green' (recall drops the moment "
+    "bands/rows drift). The full-outer pair join keeps everything "
+    "distributed; the result is a single aggregated row, and every leg "
+    "(signatures, banding, truth set, the recall division) has an exact SQL "
+    "twin, so the telemetry itself is oracle-gated.",
+)
+def lsh_recall_telemetry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.aggregates import dround
+    from ..operators.dedup import minhash_lsh_candidates_portable
+
+    docs = load(spark, sf_dir, "documents")
+    cand = (
+        minhash_lsh_candidates_portable(docs)
+        .select("doc_a", "doc_b")
+        .withColumn("_c", F.lit(1))
+    )
+    truth = (
+        ngram_jaccard_pairs(docs, threshold=0.5)
+        .select("doc_a", "doc_b")
+        .withColumn("_t", F.lit(1))
+    )
+    both = cand.join(truth, ["doc_a", "doc_b"], "full_outer")
+    return both.agg(
+        F.count("_c").alias("n_candidates"),
+        F.count("_t").alias("n_true_pairs"),
+        F.count(
+            F.when(F.col("_c").isNotNull() & F.col("_t").isNotNull(), 1)
+        ).alias("n_found"),
+    ).select(
+        "n_candidates",
+        "n_true_pairs",
+        "n_found",
+        dround(
+            F.col("n_found").cast("double") / F.col("n_true_pairs").cast("double"), 4
+        ).alias("recall"),
+    )
+
+
 _CLUSTERS_JACCARD_ORACLE = f"""
 WITH RECURSIVE {_SHINGLE_CTE}, sizes AS (
   SELECT doc, COUNT(*) AS n_shingles FROM shs GROUP BY doc
