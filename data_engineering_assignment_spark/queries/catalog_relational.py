@@ -57,12 +57,19 @@ GROUP BY l_returnflag, l_linestatus
     doc="S2/P7/A2 analog (Assignment-python.py:52-77): filtered grouped sums/avgs.",
 )
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.parallelism import ensure_min_parallelism
+
     li = load(spark, sf_dir, "lineitem")
     cutoff = F.lit("2000-09-02").cast(dict(li.dtypes)["l_shipdate"])
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
+    # the 7 decimal-detour aggregates are the query's real CPU; on a
+    # single-row-group file the scan stage IS the partial-agg stage, so the
+    # guard buys 32-way aggregation for one ~10 MB row shuffle (no-op at
+    # scale, where partial agg without a row shuffle is the right plan;
+    # decimal sums are partitioning-independent, so values cannot change)
     return (
-        li.filter(F.col("l_shipdate") <= cutoff)
+        ensure_min_parallelism(li.filter(F.col("l_shipdate") <= cutoff))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             dsum("l_quantity", "sum_qty"),
