@@ -180,6 +180,71 @@ def boilerplate_ngrams(
     )
 
 
+def dup_span_stats(
+    df: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-substring-dedup signal (the n-gram approximation of Lee et
+    al. 2022's suffix-array dedup): per document, the fraction of its word
+    ``n``-gram START POSITIONS whose shingle also appears in at least one
+    OTHER document — "how much of this doc is copied from elsewhere in the
+    corpus", counting repeated spans at full multiplicity (unlike
+    :func:`boilerplate_ngrams`, which scores DISTINCT shingles against a
+    df >= min_docs template threshold).
+
+    Shape mirrors boilerplate_ngrams: the positional (doc, shingle-hash)
+    stream — explode WITHOUT array_distinct, one row per position — is
+    materialized once (eager localCheckpoint, 8-byte hashed rows), then
+    (a) reduced to distinct (doc, hash) for the cross-doc document
+    frequency and (b) marker-joined against the df >= 2 key set. Both
+    shuffles are hash-keyed equi-joins/aggregations (AQE-splittable);
+    never a window over the shingle content key. Documents with < n
+    tokens have no positions and are absent from the output.
+
+    Output: (id, n_positions, n_dup_positions, dup_ratio)."""
+    toks = tokens(text_col)
+    sh_pos = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    stream = (
+        ensure_min_parallelism(df)
+        .select(F.col(id_col).alias("doc"), F.explode(sh_pos).alias("shingle"))
+        .select("doc", F.xxhash64("shingle").alias("sh_h"))
+        .localCheckpoint(eager=True)
+    )
+    dup_keys = (
+        stream.distinct()
+        .groupBy("sh_h")
+        .agg(F.count(F.lit(1)).alias("_nd"))
+        .filter(F.col("_nd") >= 2)
+        .select("sh_h", F.lit(1).alias("_dup"))
+    )
+    marked = stream.join(dup_keys, "sh_h", "left")
+    return (
+        marked.groupBy(F.col("doc").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_positions"),
+            F.count("_dup").alias("n_dup_positions"),
+        )
+        .select(
+            id_col,
+            "n_positions",
+            "n_dup_positions",
+            dround(
+                F.col("n_dup_positions").cast("double")
+                / F.col("n_positions").cast("double"),
+                4,
+            ).alias("dup_ratio"),
+        )
+    )
+
+
 def profile_table(
     df: DataFrame, columns: list[str] | None = None, exact: bool = True
 ) -> DataFrame:

@@ -68,6 +68,74 @@ def cms_sketch(
     )
 
 
+def bloom_position(rh: Column, i: int, m_bits: int) -> Column:
+    """Probe-``i`` bit position of an item whose portable rolling hash is
+    ``rh`` — the same affine-permutation family as :func:`cms_bucket`, so
+    every position is reproducible in any engine."""
+    return ((F.lit(2 * i + 1) * rh + F.lit(7919 * i + 13)) % PORTABLE_MOD) % m_bits
+
+
+def bloom_build(
+    df: DataFrame, item_col: str, k: int = 4, m_bits: int = 1 << 14
+) -> DataFrame:
+    """Build a Bloom filter over the items as a DataFrame of DISTINCT set
+    bit positions (one ``pos`` long column, at most ``min(k*|items|, m_bits)``
+    rows — bounded by ``m_bits`` regardless of corpus size, hence always
+    broadcast-eligible).
+
+    The membership structure the 100 TB decontamination path wants: the
+    exact benchmark-shingle set grows with the benchmark suite, but the
+    filter is a fixed ``m_bits`` bits chosen for the target false-positive
+    rate (k = 4 probes, m/n ≈ 8 bits/item → ~2.4% FP), so the broadcast
+    cost is a constant. Building is one explode + one distinct — map-side
+    combinable, linear.
+    """
+    from .text import rolling_hash
+
+    rh = rolling_hash(item_col)
+    return (
+        df.select(
+            F.explode(
+                F.array(*[bloom_position(rh, i, m_bits) for i in range(k)])
+            ).alias("pos")
+        )
+        .distinct()
+    )
+
+
+def bloom_maybe_contains(
+    bloom: DataFrame,
+    items: DataFrame,
+    item_col: str,
+    k: int = 4,
+    m_bits: int = 1 << 14,
+    flag_col: str = "bloom_hit",
+) -> DataFrame:
+    """Probe each row's ``item_col`` against the filter: ``flag_col`` is
+    true iff ALL ``k`` probe positions are set (the Bloom "maybe present";
+    false is a certainty). One explode + one broadcast join + one regroup —
+    the corpus is never shuffled by content, only by its own row identity.
+    ``items`` rows must be unique (the regroup keys on all columns; exact
+    duplicates would collapse) — probe distinct (id, item) pairs.
+    """
+    from .text import rolling_hash
+
+    rh = rolling_hash(item_col)
+    probes = items.select(
+        "*",
+        F.explode(
+            F.array(*[bloom_position(rh, i, m_bits) for i in range(k)])
+        ).alias("pos"),
+    )
+    joined = probes.join(
+        F.broadcast(bloom.withColumn("_set", F.lit(1))), on="pos", how="left"
+    )
+    return (
+        joined.groupBy(*items.columns)
+        .agg((F.count("_set") == k).alias(flag_col))
+    )
+
+
 def cms_merge(*sketches: DataFrame) -> DataFrame:
     """Merge sketches built with identical (depth, width): counters add."""
     merged = sketches[0]

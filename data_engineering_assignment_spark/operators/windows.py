@@ -235,7 +235,7 @@ def trailing_agg_bucketed(
     window_s: int,
     key_col: str = "event_type",
     ts_col: str = "ts_s",
-    value_col: str = "value",
+    value_col: str | list[str] = "value",
     n_buckets: int = 60,
 ) -> DataFrame:
     """Per-row trailing-window sum/count over event time — the 100 TB
@@ -259,16 +259,27 @@ def trailing_agg_bucketed(
     associative), so results are bit-identical to the flat window at any
     partitioning — asserted in tests. Requires ``window_s % n_buckets == 0``.
 
-    Output: df + (trail_n bigint, trail_sum decimal) columns.
+    ``value_col`` may be a list: every column shares the one decomposition
+    (one bucket aggregate, one tail window, one head join — the marginal
+    cost of an extra trailing sum is one more map-side accumulator, which
+    is how the z-score query gets both power sums for free).
+
+    Output: df + (trail_n bigint, trail_sum decimal) columns for a string
+    ``value_col``; for a list, one ``trail_sum_<col>`` per column.
+    ``trail_n`` counts ROWS in the trailing range (the flat
+    ``F.count(F.lit(1)).over(...)``), including rows whose value is NULL.
     """
     from pyspark.sql import Window
 
     from .aggregates import DEC
 
+    single = isinstance(value_col, str)
+    vcols = [value_col] if single else list(value_col)
+    sums = ["trail_sum"] if single else [f"trail_sum_{c}" for c in vcols]
     if window_s % n_buckets:
         raise ValueError("window_s must be divisible by n_buckets")
     bsize = window_s // n_buckets
-    k, t, v = F.col(key_col), F.col(ts_col), F.col(value_col).cast(DEC)
+    k, t = F.col(key_col), F.col(ts_col)
     # exact integer floor division: pmod's remainder is non-negative, so the
     # bucket is the true floor for negative timestamps too (t % bsize
     # truncates toward zero, which would give bucket 0 a double width
@@ -278,15 +289,17 @@ def trailing_agg_bucketed(
     # _rid makes each input row unique for the head join's regroup below —
     # without it, exact-duplicate input rows would collapse to one output
     # row (and double-count each other's head sums)
-    e = (
-        df.withColumn("_b", bucket.cast("long"))
-        .withColumn("_v", v)
-        .withColumn("_rid", F.monotonically_increasing_id())
+    e = df.withColumn("_b", bucket.cast("long")).withColumn(
+        "_rid", F.monotonically_increasing_id()
     )
+    for j, c in enumerate(vcols):
+        e = e.withColumn(f"_v{j}", F.col(c).cast(DEC))
+    vr = range(len(vcols))
 
     # per-(key, bucket) partial aggregates — map-side combinable
     bsums = e.groupBy(key_col, "_b").agg(
-        F.sum("_v").alias("_bs"), F.count(F.lit(1)).alias("_bn")
+        *[F.sum(f"_v{j}").alias(f"_bs{j}") for j in vr],
+        F.count(F.lit(1)).alias("_bn"),
     )
     # middle: full buckets [b - n_buckets + 1, b - 1], range frame over the
     # AGGREGATE table so gaps in bucket ids are handled by value
@@ -298,7 +311,10 @@ def trailing_agg_bucketed(
     mids = bsums.select(
         key_col,
         "_b",
-        F.coalesce(F.sum("_bs").over(wmid), F.lit(0).cast(DEC)).alias("_ms"),
+        *[
+            F.coalesce(F.sum(f"_bs{j}").over(wmid), F.lit(0).cast(DEC)).alias(f"_ms{j}")
+            for j in vr
+        ],
         F.coalesce(F.sum("_bn").over(wmid), F.lit(0)).alias("_mn"),
     )
     # tail: same-bucket rows with ts <= t (range frame includes ties, same
@@ -308,12 +324,18 @@ def trailing_agg_bucketed(
         .orderBy(ts_col)
         .rangeBetween(Window.unboundedPreceding, 0)
     )
-    tailed = e.withColumn("_ts", F.sum("_v").over(wtail)).withColumn(
-        "_tn", F.count(F.lit(1)).over(wtail)
-    )
-    # head: rows of bucket b - n_buckets inside the range start
+    tailed = e
+    for j in vr:
+        tailed = tailed.withColumn(f"_ts{j}", F.sum(f"_v{j}").over(wtail))
+    tailed = tailed.withColumn("_tn", F.count(F.lit(1)).over(wtail))
+    # head: rows of bucket b - n_buckets inside the range start; _hm is the
+    # match marker so the count keeps row semantics even for NULL values
     head_src = e.select(
-        k.alias("_hk"), F.col("_b").alias("_hb"), t.alias("_ht"), F.col("_v").alias("_hv")
+        k.alias("_hk"),
+        F.col("_b").alias("_hb"),
+        t.alias("_ht"),
+        F.lit(1).alias("_hm"),
+        *[F.col(f"_v{j}").alias(f"_hv{j}") for j in vr],
     )
     with_head = (
         tailed.join(
@@ -325,19 +347,26 @@ def trailing_agg_bucketed(
         )
         .groupBy(*tailed.columns)
         .agg(
-            F.coalesce(F.sum("_hv"), F.lit(0).cast(DEC)).alias("_hs"),
-            F.count("_hv").alias("_hn"),
+            *[
+                F.coalesce(F.sum(f"_hv{j}"), F.lit(0).cast(DEC)).alias(f"_hs{j}")
+                for j in vr
+            ],
+            F.count("_hm").alias("_hn"),
         )
     )
-    out = (
-        with_head.join(mids, [key_col, "_b"], "left")
-        .withColumn(
-            "trail_sum",
-            F.col("_ts") + F.coalesce(F.col("_ms"), F.lit(0).cast(DEC)) + F.col("_hs"),
+    out = with_head.join(mids, [key_col, "_b"], "left")
+    for j, name in enumerate(sums):
+        out = out.withColumn(
+            name,
+            F.col(f"_ts{j}")
+            + F.coalesce(F.col(f"_ms{j}"), F.lit(0).cast(DEC))
+            + F.col(f"_hs{j}"),
         )
-        .withColumn(
-            "trail_n",
-            F.col("_tn") + F.coalesce(F.col("_mn"), F.lit(0)) + F.col("_hn"),
-        )
+    out = out.withColumn(
+        "trail_n",
+        F.col("_tn") + F.coalesce(F.col("_mn"), F.lit(0)) + F.col("_hn"),
     )
-    return out.drop("_b", "_v", "_rid", "_ts", "_tn", "_hs", "_hn", "_ms", "_mn")
+    drop = ["_b", "_rid", "_tn", "_hn", "_mn"] + [
+        f"_{p}{j}" for j in vr for p in ("v", "ts", "hs", "ms")
+    ]
+    return out.drop(*drop)

@@ -40,31 +40,38 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # last green row is oldest, then anything whose implementation changed this
 # round (a green history does not cover new code).
 #
-# Round-6 head: the 2 never-checked queries (the recall-telemetry pair, new
-# this round), all 13 queries last checked in r3 (the stale set the r5
-# verdict scheduled for this head), the 7 queries whose implementation
+# Round-6 head: the 5 never-checked queries (the recall-telemetry pair +
+# bloom_decontaminate / events_anomaly_zscore_bucketed / doc_dup_span_stats,
+# all new this round), all 13 queries last checked in r3 (the stale set the
+# r5 verdict scheduled for this head), the 7 queries whose implementation
 # changed this round (LSH materialization + parallelism guard:
 # dedup_minhash_lsh / dedup_lsh_portable / dedup_clusters_lsh /
 # corpus_boilerplate_3gram / decontaminate_ngram; NULL-quality exclusion:
 # quality_percentile_gate; report floors: ml_energy_report —
 # ml_peak_classification got the same floors and is already in the r3 set),
-# and 28 of the 47 remaining queries last checked in r4.  Deferred to round
-# 7 (19, all r4-green TPC-H-style relational queries whose machinery —
+# and 25 of the 47 remaining queries last checked in r4.  Deferred to round
+# 7 (22): the 19 r4-green TPC-H-style relational queries whose machinery —
 # broadcast dim joins, partial aggs, decimal-detour sums,
 # TakeOrderedAndProject — is plan-asserted and exercised in-head by
 # orders_cube / weighted_median_price / customer_year_setops /
-# events_pivot_by_type / league_table / user_purchase_totals):
-# above_nation_avg_customers, brand_revenue, customers_with_open_orders,
+# events_pivot_by_type / league_table / user_purchase_totals
+# (above_nation_avg_customers, brand_revenue, customers_with_open_orders,
 # customers_without_orders, disjunctive_brand_revenue,
 # distinct_users_per_type, doc_chunks, large_volume_orders, metrics_union,
 # null_handling_metrics, orders_rollup, promo_revenue_pct, regional_revenue,
 # returned_items_top20, sales_per_year, shipping_priority_top10,
-# supplier_return_ratio, top5_orders, top_priority_null_count.  These 19
-# lead the r7 head.
+# supplier_return_ratio, top5_orders, top_priority_null_count), plus 3 more
+# r4-green queries displaced by the new-query head whose families keep
+# in-head representatives: events_sliding_10m_5m (events_tumbling_10m),
+# events_multi_rollup (orders_cube), embedding_stats (cosine_topk /
+# label_centroids array HOFs).  These 22 lead the r7 head.
 DRIVER_SAMPLE_HEAD: tuple[str, ...] = (
-    # never driver-checked (2, new this round)
+    # never driver-checked (5, new this round)
     "lsh_recall_telemetry",
     "ivf_recall_telemetry",
+    "bloom_decontaminate",
+    "events_anomaly_zscore_bucketed",
+    "doc_dup_span_stats",
     # last checked r3 (13 — the full stale set)
     "binary_media_inventory",
     "cosine_topk_lsh",
@@ -87,7 +94,7 @@ DRIVER_SAMPLE_HEAD: tuple[str, ...] = (
     "decontaminate_ngram",
     "quality_percentile_gate",
     "ml_energy_report",
-    # last checked r4 (28 of 47)
+    # last checked r4 (25 of 47)
     "cosine_topk",
     "cosine_topk_ivf",
     "dedup_clusters_jaccard",
@@ -97,13 +104,10 @@ DRIVER_SAMPLE_HEAD: tuple[str, ...] = (
     "doc_rolling_hash",
     "doc_simhash_portable",
     "doc_token_stats",
-    "embedding_stats",
     "event_props_json",
     "event_props_variant",
     "event_value_trend",
     "events_gapfill_5m",
-    "events_multi_rollup",
-    "events_sliding_10m_5m",
     "events_tumbling_10m",
     "label_centroids",
     "png_decode_stats",

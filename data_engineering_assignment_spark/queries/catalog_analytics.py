@@ -603,6 +603,52 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_anomaly_zscore_bucketed",
+    oracle=_ZSCORE_ORACLE,
+    doc="The 100 TB formulation of events_anomaly_zscore, gated by the SAME "
+    "oracle: both trailing power sums ride one bucketed decomposition "
+    "(operators/windows.trailing_agg_bucketed with value_col=[value, v2]) "
+    "instead of a flat RANGE window partitioned by the 5-value event_type "
+    "content key. Decimal associativity makes the decomposition bit-exact, "
+    "so the scale-safe plan — tail windows bounded by one bucket, middle "
+    "over the per-bucket aggregate, head equi-join — reproduces the flat "
+    "window's bytes, proven cross-engine rather than only flat-vs-bucketed "
+    "in-engine (tests/test_windows.py). This is the plan the flat query's "
+    "docstring points at when one event type's history no longer fits a "
+    "single sorted task.",
+)
+def events_anomaly_zscore_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.windows import trailing_agg_bucketed
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_timestamp("ts").alias("ts_s"),
+        "value",
+        (F.col("value") * F.col("value")).alias("v2"),
+    )
+    tr = trailing_agg_bucketed(
+        ev, 3600, key_col="event_type", ts_col="ts_s",
+        value_col=["value", "v2"], n_buckets=60,
+    )
+    v = F.col("value")
+    n = F.col("trail_n")
+    s1 = F.col("trail_sum_value").cast("double")
+    s2 = F.col("trail_sum_v2").cast("double")
+    nd = n.cast("double")
+    mean = s1 / nd
+    var = (s2 - s1 * s1 / nd) / (n - 1).cast("double")
+    # same ANSI guard as the flat query: CaseWhen short-circuits the n=1
+    # divisor, a & conjunction does not
+    hit = F.when(n >= 30, (v - mean) * (v - mean) > 9.0 * var).otherwise(F.lit(False))
+    flagged = tr.select("event_type", n.alias("_n"), hit.alias("_hit"))
+    return flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum((F.col("_n") >= 30).cast("long")).alias("n_evaluated"),
+        F.sum(((F.col("_n") >= 30) & F.col("_hit")).cast("long")).alias("n_anomalies"),
+    )
+
+
 _HISTOGRAM_ORACLE = f"""
 SELECT LEAST(FLOOR(o_totalprice / 50000.0), 11)::BIGINT AS bucket,
        COUNT(*) AS n_orders,

@@ -287,3 +287,41 @@ def vocab_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.filter(ids, lambda x: x == -1)).cast("long").alias("n_oov"),
         F.aggregate(ids, F.lit(0).cast("long"), lambda a, x: a + x).alias("id_sum"),
     )
+
+
+_DUP_SPAN_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), pos AS (
+  SELECT doc_id, array_to_string(t[i:i+7], ' ') AS shingle
+  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS i
+        FROM toks WHERE len(t) >= 8)
+), dfreq AS (
+  SELECT shingle, COUNT(DISTINCT doc_id) AS nd FROM pos GROUP BY shingle
+)
+SELECT p.doc_id,
+       COUNT(*) AS n_positions,
+       SUM(CASE WHEN d.nd >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup_positions,
+       {o_dround('CAST(SUM(CASE WHEN d.nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)'
+                 ' / CAST(COUNT(*) AS DOUBLE)', 4)} AS dup_ratio
+FROM pos p JOIN dfreq d USING (shingle)
+GROUP BY p.doc_id
+"""
+
+
+@register(
+    "doc_dup_span_stats",
+    oracle=_DUP_SPAN_ORACLE,
+    doc="LLM-prep: exact-substring-dedup signal (operators/corpus."
+    "dup_span_stats) — per document, the fraction of word 8-gram positions "
+    "whose span also appears in another document, at full positional "
+    "multiplicity (the n-gram approximation of suffix-array substring "
+    "dedup; complements boilerplate_ngrams' distinct-shingle template "
+    "ratio). Planted near-duplicate docs surface with high dup_ratio, "
+    "independent text sits at ~0. Single materialized positional stream, "
+    "hash-keyed shuffles only.",
+)
+def doc_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import dup_span_stats
+
+    return dup_span_stats(load(spark, sf_dir, "documents"), n=8)

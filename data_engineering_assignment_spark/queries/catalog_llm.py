@@ -354,3 +354,124 @@ def quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = with_text_stats(load(spark, sf_dir, "documents"))
     return qgate(docs, keep_pct=80)
+
+
+_BLOOM_K = 4
+_BLOOM_M = 1 << 16
+
+_BLOOM_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, source, array_to_string(t[i:i+4], ' ') AS shingle
+  FROM (SELECT doc_id, source, t, unnest(range(1, len(t) - 3)) AS i
+        FROM toks WHERE len(t) >= 5)
+), bench_sh AS (
+  SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0
+), bench_rh AS (
+  SELECT shingle, {_o_rhash('shingle')} AS rh FROM bench_sh
+), bloom AS (
+  SELECT DISTINCT (((2 * k.k + 1) * rh + (7919 * k.k + 13)) % 1000000007)
+                  % {_BLOOM_M} AS pos
+  FROM bench_rh CROSS JOIN (SELECT unnest(range(0, {_BLOOM_K})) AS k) k
+), train_sh AS (
+  SELECT doc_id, source, shingle FROM sh WHERE doc_id % 97 <> 0
+), train_rh AS (
+  SELECT doc_id, source, shingle, {_o_rhash('shingle')} AS rh FROM train_sh
+), probes AS (
+  SELECT doc_id, source, shingle,
+         (((2 * k.k + 1) * rh + (7919 * k.k + 13)) % 1000000007)
+         % {_BLOOM_M} AS pos
+  FROM train_rh CROSS JOIN (SELECT unnest(range(0, {_BLOOM_K})) AS k) k
+), hits AS (
+  SELECT doc_id, source, shingle, COUNT(b.pos) = {_BLOOM_K} AS bloom_hit
+  FROM probes p LEFT JOIN bloom b USING (pos)
+  GROUP BY doc_id, source, shingle
+), perdoc AS (
+  SELECT doc_id, source,
+         MAX(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS b
+  FROM hits GROUP BY doc_id, source
+), exact AS (
+  SELECT DISTINCT s.doc_id FROM train_sh s JOIN bench_sh USING (shingle)
+), flags AS (
+  SELECT p.doc_id, p.source, p.b,
+         CASE WHEN e.doc_id IS NULL THEN 0 ELSE 1 END AS x
+  FROM perdoc p LEFT JOIN exact e USING (doc_id)
+), src AS (
+  SELECT source, COUNT(*) AS n_docs FROM documents
+  WHERE doc_id % 97 <> 0 GROUP BY source
+)
+SELECT s.source, s.n_docs,
+       COALESCE(SUM(f.x), 0)::BIGINT AS n_exact_flagged,
+       COALESCE(SUM(f.b), 0)::BIGINT AS n_bloom_flagged,
+       COALESCE(SUM(CASE WHEN f.b = 1 AND f.x = 0 THEN 1 ELSE 0 END), 0)::BIGINT
+         AS n_false_pos
+FROM src s LEFT JOIN flags f USING (source)
+GROUP BY s.source, s.n_docs
+"""
+
+
+@register(
+    "bloom_decontaminate",
+    oracle=_BLOOM_ORACLE,
+    doc="LLM-prep: Bloom-filter decontamination telemetry "
+    "(operators/sketches.bloom_build/bloom_maybe_contains) — per source, "
+    "train docs flagged by a 2^16-bit k=4 Bloom filter over the benchmark "
+    "5-gram shingles vs the exact shingle join, with the false-positive "
+    "count measured (false negatives are impossible by construction, "
+    "visible as n_bloom >= n_exact in every row). The 100 TB shape: the "
+    "exact broadcast grows with the benchmark suite, the filter is a FIXED "
+    "m-bit broadcast chosen for the target FP rate — constant cost per "
+    "probe join regardless of suite size. Portable-hash positions make the "
+    "filter SQL-rebuildable, so the telemetry is oracle-gated end to end.",
+)
+def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import word_shingles
+    from ..operators.sketches import bloom_build, bloom_maybe_contains
+
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+
+    b_sh = (
+        bench.select(F.explode(word_shingles("text", 5)).alias("shingle"))
+        .distinct()
+    )
+    bloom = bloom_build(b_sh, "shingle", k=_BLOOM_K, m_bits=_BLOOM_M)
+
+    # word_shingles array_distincts per doc, so (doc, shingle) pairs are
+    # unique — the regroup inside bloom_maybe_contains is lossless
+    t_pairs = train.select(
+        "doc_id", "source", F.explode(word_shingles("text", 5)).alias("shingle")
+    )
+    probed = bloom_maybe_contains(
+        bloom, t_pairs, "shingle", k=_BLOOM_K, m_bits=_BLOOM_M
+    )
+    perdoc = probed.groupBy("doc_id", "source").agg(
+        F.max(F.col("bloom_hit").cast("int")).alias("_b")
+    )
+
+    exact = (
+        t_pairs.join(F.broadcast(b_sh), on="shingle")
+        .select("doc_id")
+        .distinct()
+        .withColumn("_x", F.lit(1))
+    )
+    flags = perdoc.join(exact, on="doc_id", how="left").withColumn(
+        "_x", F.coalesce("_x", F.lit(0))
+    )
+    src = train.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    agg = flags.groupBy("source").agg(
+        F.sum("_x").alias("n_exact_flagged"),
+        F.sum("_b").alias("n_bloom_flagged"),
+        F.sum(((F.col("_b") == 1) & (F.col("_x") == 0)).cast("long")).alias(
+            "n_false_pos"
+        ),
+    )
+    return src.join(agg, on="source", how="left").select(
+        "source",
+        "n_docs",
+        F.coalesce("n_exact_flagged", F.lit(0)).alias("n_exact_flagged"),
+        F.coalesce("n_bloom_flagged", F.lit(0)).alias("n_bloom_flagged"),
+        F.coalesce("n_false_pos", F.lit(0)).alias("n_false_pos"),
+    )

@@ -155,3 +155,28 @@ def test_vocab_plans_take_ordered(spark, sf_dir):
     plan = plans.simple_plan(df)
     assert "TakeOrderedAndProject" in plan
     assert plans.has_partial_aggregation(df)
+
+
+def test_dup_span_stats_counts_positions_with_multiplicity(spark):
+    from data_engineering_assignment_spark.operators.corpus import dup_span_stats
+
+    copied = "a b c d e f g h"          # 8 tokens -> 1 position
+    rows = [
+        (1, copied + " x1 x2 x3"),      # 4 positions, 1 shared with doc 2
+        (2, copied),                    # 1 position, shared with doc 1
+        (3, "p q r s t u v w y z"),     # 3 positions, unique
+        (4, "a b c d e f g h a b c d e f g h"),  # internal repeat AND cross-doc
+        (5, "too short"),               # < 8 tokens -> absent
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in dup_span_stats(df, n=8).collect()}
+
+    assert set(got) == {1, 2, 3, 4}
+    assert (got[1]["n_positions"], got[1]["n_dup_positions"]) == (4, 1)
+    assert (got[2]["n_positions"], got[2]["n_dup_positions"]) == (1, 1)
+    assert got[2]["dup_ratio"] == 1.0
+    assert (got[3]["n_positions"], got[3]["n_dup_positions"]) == (3, 0)
+    # doc 4: 9 positions; those equal to the copied 8-gram (positions 0 and
+    # 8) are cross-doc dups — every position counts at multiplicity
+    assert got[4]["n_positions"] == 9
+    assert got[4]["n_dup_positions"] == 2

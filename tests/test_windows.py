@@ -278,3 +278,44 @@ def test_trailing_agg_bucketed_duplicate_rows_and_negative_ts(spark):
     )
     assert flat == bucketed
     assert len(bucketed) == 5  # every duplicate row kept
+
+
+def test_trailing_agg_bucketed_multi_value_columns(spark):
+    """The list form must equal per-column flat windows (shared
+    decomposition, one accumulator per column)."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from data_engineering_assignment_spark.operators.aggregates import DEC
+    from data_engineering_assignment_spark.operators.windows import (
+        trailing_agg_bucketed,
+    )
+
+    rng = random.Random(23)
+    rows = [
+        (i, "k%d" % (i % 2), rng.randrange(0, 9000), round(rng.uniform(0, 9), 2))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts_s long, value double"
+    ).withColumn("v2", F.col("value") * F.col("value"))
+
+    flat_w = Window.partitionBy("event_type").orderBy("ts_s").rangeBetween(-3599, 0)
+    flat = {
+        r["event_id"]: (r["s1"], r["s2"], r["n"])
+        for r in df.select(
+            "event_id",
+            F.sum(F.col("value").cast(DEC)).over(flat_w).alias("s1"),
+            F.sum(F.col("v2").cast(DEC)).over(flat_w).alias("s2"),
+            F.count(F.lit(1)).over(flat_w).alias("n"),
+        ).collect()
+    }
+    got = {
+        r["event_id"]: (r["trail_sum_value"], r["trail_sum_v2"], r["trail_n"])
+        for r in trailing_agg_bucketed(
+            df, 3600, value_col=["value", "v2"], n_buckets=60
+        ).collect()
+    }
+    assert flat == got
