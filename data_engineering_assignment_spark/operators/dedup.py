@@ -217,6 +217,147 @@ def _bucket_self_join(banded: DataFrame) -> DataFrame:
     )
 
 
+def simhash_band_pairs(
+    fps: DataFrame,
+    bits: int = 31,
+    bands: int = 3,
+    radius: int = 2,
+    id_col: str = "doc",
+    fp_col: str = "simhash31",
+    payload_cols: tuple[str, ...] = (),
+    materialize: bool = True,
+) -> DataFrame:
+    """EXACT Hamming-ball pair generation over SimHash fingerprints via
+    bit-band LSH: any two fingerprints within ``radius`` bit flips agree on
+    at least one of ``bands`` disjoint bit-bands (pigeonhole — requires
+    ``bands >= radius + 1``), so a banded equi-join generates a candidate
+    superset and the exact popcount verify loses NOTHING. Unlike MinHash
+    banding (probabilistic recall), this decomposition is exact, which is
+    why the catalog query can share an all-pairs SQL oracle.
+
+    Shape: band explode (narrow; fingerprint and any ``payload_cols`` RIDE
+    the banded table, so no back-joins recover them) → self-equi-join on
+    (band, bucket) with SHUFFLE_HASH on both sides (never broadcasts the
+    corpus — _bucket_self_join discipline) → distinct (a pair can match in
+    several bands) → one ``bit_count(xor)`` filter. All shuffles are
+    hash-keyed and AQE-splittable; candidate volume is governed by band
+    width (``bits/bands``) — wider bands = fewer, more selective buckets.
+    ``materialize=True`` checkpoints the banded table so the self-join
+    does not execute the upstream fingerprint subtree twice; pass False
+    when ``fps`` is already materialized (the census does).
+
+    Output: (doc_a, doc_b, <payload>_a..., <payload>_b..., hamming int),
+    hamming <= radius, doc_a < doc_b.
+    """
+    if bands < radius + 1:
+        raise ValueError("bands must be >= radius + 1 for exact recall")
+    base, rem = divmod(bits, bands)
+    widths = [base + 1 if b < rem else base for b in range(bands)]
+    offsets = [sum(widths[:b]) for b in range(bands)]
+    fp = F.col(fp_col)
+    banded = fps.select(
+        F.col(id_col).alias("_doc"),
+        fp.alias("_fp"),
+        *[F.col(c) for c in payload_cols],
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(fp, offsets[b])
+                        .bitwiseAND(F.lit((1 << widths[b]) - 1))
+                        .cast("string")
+                        .alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("_doc", "_fp", *payload_cols, "bb.band", "bb.bucket")
+    if materialize:
+        banded = banded.localCheckpoint(eager=True)
+    a = banded.alias("a").hint("shuffle_hash")
+    b = banded.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a._doc") < F.col("b._doc")),
+    ).select(
+        F.col("a._doc").alias("doc_a"),
+        F.col("b._doc").alias("doc_b"),
+        F.col("a._fp").alias("_fa"),
+        F.col("b._fp").alias("_fb"),
+        *[F.col(f"a.{c}").alias(f"{c}_a") for c in payload_cols],
+        *[F.col(f"b.{c}").alias(f"{c}_b") for c in payload_cols],
+    )
+    return (
+        pairs.distinct()
+        .withColumn("hamming", F.bit_count(F.col("_fa").bitwiseXOR(F.col("_fb"))))
+        .filter(F.col("hamming") <= radius)
+        .drop("_fa", "_fb")
+    )
+
+
+def simhash_hamming_census(
+    fps: DataFrame,
+    bits: int = 31,
+    bands: int = 3,
+    radius: int = 2,
+    id_col: str = "doc",
+    fp_col: str = "simhash31",
+) -> DataFrame:
+    """Per-distance census of Hamming-ball pairs: (hamming, n_pairs) for
+    every distance <= ``radius`` that occurs, exact.
+
+    Runs :func:`simhash_band_pairs` over the DISTINCT fingerprint table
+    with per-fingerprint multiplicities, then weights: same-fingerprint
+    pairs contribute C(c, 2) at distance 0, cross-fingerprint pairs
+    c_a * c_b at their distance. Collapsing to distinct values first is
+    the aggregate-before-join discipline: exact-duplicate documents (the
+    common case in a raw crawl) multiply the banded join's hot buckets
+    quadratically if banded per doc, but cost ONE row here regardless of
+    copy count. Work is bounded by distinct-fingerprint pairs within the
+    radius — the same census any algorithm must pay for, never inflated
+    by multiplicity.
+
+    The (fingerprint, count) table is MATERIALIZED (eager localCheckpoint)
+    before fan-out: its consumers (the distance-0 aggregate and both sides
+    of the banded self-join) would otherwise each re-execute the whole
+    token-explode → bit-sum fingerprint subtree — the _bucket_self_join
+    lesson applied at this operator's level. The checkpoint holds one row
+    per distinct fingerprint (12 bytes), bounded by min(corpus, 2^bits);
+    the multiplicities ride the banded table as payload, so no weight
+    back-joins.
+    """
+    cnt = fps.groupBy(fp_col).agg(F.count(F.lit(1)).alias("_c")).localCheckpoint(
+        eager=True
+    )
+    h0 = (
+        cnt.filter(F.col("_c") >= 2)
+        .agg(
+            F.sum(F.col("_c") * (F.col("_c") - 1) / 2).cast("long").alias("n_pairs")
+        )
+        .select(F.lit(0).cast("long").alias("hamming"), "n_pairs")
+        .filter(F.col("n_pairs").isNotNull())
+    )
+    dfp = cnt.select(F.col(fp_col).alias("doc"), F.col(fp_col), "_c")
+    pairs = simhash_band_pairs(
+        dfp,
+        bits=bits,
+        bands=bands,
+        radius=radius,
+        id_col="doc",
+        fp_col=fp_col,
+        payload_cols=("_c",),
+        materialize=False,
+    )
+    cross = pairs.groupBy(F.col("hamming").cast("long").alias("hamming")).agg(
+        F.sum(F.col("_c_a") * F.col("_c_b")).alias("n_pairs")
+    )
+    return h0.unionByName(cross)
+
+
 def keep_best(
     df: DataFrame, cluster_col, order_cols: list, keep_cols: list[str] | None = None
 ) -> DataFrame:

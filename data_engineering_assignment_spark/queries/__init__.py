@@ -40,17 +40,17 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # last green row is oldest, then anything whose implementation changed this
 # round (a green history does not cover new code).
 #
-# Round-6 head: the 5 never-checked queries (the recall-telemetry pair +
-# bloom_decontaminate / events_anomaly_zscore_bucketed / doc_dup_span_stats,
-# all new this round), all 13 queries last checked in r3 (the stale set the
+# Round-6 head: the 6 never-checked queries (the recall-telemetry pair +
+# bloom_decontaminate / events_anomaly_zscore_bucketed / doc_dup_span_stats /
+# simhash_hamming_pairs, all new this round), all 13 queries last checked in r3 (the stale set the
 # r5 verdict scheduled for this head), the 7 queries whose implementation
 # changed this round (LSH materialization + parallelism guard:
 # dedup_minhash_lsh / dedup_lsh_portable / dedup_clusters_lsh /
 # corpus_boilerplate_3gram / decontaminate_ngram; NULL-quality exclusion:
 # quality_percentile_gate; report floors: ml_energy_report —
 # ml_peak_classification got the same floors and is already in the r3 set),
-# and 25 of the 47 remaining queries last checked in r4.  Deferred to round
-# 7 (22): the 19 r4-green TPC-H-style relational queries whose machinery —
+# and 24 of the 47 remaining queries last checked in r4.  Deferred to round
+# 7 (23): the 19 r4-green TPC-H-style relational queries whose machinery —
 # broadcast dim joins, partial aggs, decimal-detour sums,
 # TakeOrderedAndProject — is plan-asserted and exercised in-head by
 # orders_cube / weighted_median_price / customer_year_setops /
@@ -64,14 +64,16 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # r4-green queries displaced by the new-query head whose families keep
 # in-head representatives: events_sliding_10m_5m (events_tumbling_10m),
 # events_multi_rollup (orders_cube), embedding_stats (cosine_topk /
-# label_centroids array HOFs).  These 22 lead the r7 head.
+# label_centroids array HOFs), event_props_json (event_props_variant).
+# These 23 lead the r7 head.
 DRIVER_SAMPLE_HEAD: tuple[str, ...] = (
-    # never driver-checked (5, new this round)
+    # never driver-checked (6, new this round)
     "lsh_recall_telemetry",
     "ivf_recall_telemetry",
     "bloom_decontaminate",
     "events_anomaly_zscore_bucketed",
     "doc_dup_span_stats",
+    "simhash_hamming_pairs",
     # last checked r3 (13 — the full stale set)
     "binary_media_inventory",
     "cosine_topk_lsh",
@@ -94,7 +96,7 @@ DRIVER_SAMPLE_HEAD: tuple[str, ...] = (
     "decontaminate_ngram",
     "quality_percentile_gate",
     "ml_energy_report",
-    # last checked r4 (25 of 47)
+    # last checked r4 (24 of 47)
     "cosine_topk",
     "cosine_topk_ivf",
     "dedup_clusters_jaccard",
@@ -104,7 +106,6 @@ DRIVER_SAMPLE_HEAD: tuple[str, ...] = (
     "doc_rolling_hash",
     "doc_simhash_portable",
     "doc_token_stats",
-    "event_props_json",
     "event_props_variant",
     "event_value_trend",
     "events_gapfill_5m",

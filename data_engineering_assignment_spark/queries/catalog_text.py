@@ -548,3 +548,43 @@ def doc_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import simhash_portable
 
     return simhash_portable(load(spark, sf_dir, "documents"))
+
+
+_SIMHASH_PAIRS_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id AS doc, unnest(string_split(text, ' ')) AS tok FROM documents
+), rhs AS (
+  SELECT doc, {_O_RH_TOK} AS rh FROM t
+), bits AS (
+  SELECT doc, {_SIMHASH_BIT_SUMS} FROM rhs GROUP BY doc
+), fp AS (
+  SELECT doc, {_SIMHASH_ASSEMBLE} AS f FROM bits
+)
+SELECT CAST(bit_count(xor(a.f, b.f)) AS BIGINT) AS hamming,
+       COUNT(*) AS n_pairs
+FROM fp a JOIN fp b ON a.doc < b.doc
+WHERE bit_count(xor(a.f, b.f)) <= 1
+GROUP BY 1
+"""
+
+
+@register(
+    "simhash_hamming_pairs",
+    oracle=_SIMHASH_PAIRS_ORACLE,
+    doc="North-star near-dup candidates, EXACT variant "
+    "(operators/dedup.simhash_band_pairs): Hamming-ball pairs (radius 1) "
+    "over the portable 31-bit SimHash via 2-band bit-LSH — the pigeonhole "
+    "guarantee (any pair within r flips shares one of r+1 disjoint bands) "
+    "makes the banded candidate join + popcount verify EXACT, so the "
+    "banded plan is gated by an ALL-PAIRS oracle: the scale path provably "
+    "loses nothing vs brute force. Output is the per-distance pair census; "
+    "the oracle's O(n^2) join is the small-data cross-check, never the "
+    "engine plan. The census collapses to DISTINCT fingerprints with "
+    "multiplicities before banding (simhash_hamming_census), so "
+    "exact-duplicate documents never inflate the banded join's buckets.",
+)
+def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import simhash_hamming_census, simhash_portable
+
+    fps = simhash_portable(load(spark, sf_dir, "documents"))
+    return simhash_hamming_census(fps, bits=31, bands=2, radius=1)

@@ -180,3 +180,40 @@ def test_twin_drift_production_vs_portable_on_fixture_corpus(spark, sf_dir):
         for r in minhash_lsh_candidates_portable(docs, num_hashes=12, bands=4).collect()
     }
     assert exact <= prod <= port
+
+
+def test_simhash_band_pairs_exact_vs_brute_force(spark):
+    """Banded Hamming-ball generation must equal brute force (pigeonhole
+    exactness), including fingerprints with the sign bit set."""
+    from itertools import combinations
+
+    from data_engineering_assignment_spark.operators.dedup import simhash_band_pairs
+
+    base = 0x5A5A5A5A5A5A5A5A
+    fps = {
+        1: base,
+        2: base ^ 1,                      # h=1 from 1
+        3: base ^ (1 << 62) ^ 2,          # h=2 from 1
+        4: base ^ (1 << 63),              # h=1 from 1, negative long
+        5: base ^ 0xFF,                   # h=8 from 1 — outside radius
+        6: (1 << 63) | 7,                 # negative, far from everything
+    }
+    signed = {k: v - (1 << 64) if v >= 1 << 63 else v for k, v in fps.items()}
+    df = spark.createDataFrame(list(signed.items()), "doc long, simhash31 long")
+
+    got = sorted(
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_band_pairs(df, bits=64, bands=4, radius=3).collect()
+    )
+    expect = sorted(
+        (a, b, bin((fps[a] ^ fps[b]) & ((1 << 64) - 1)).count("1"))
+        for a, b in combinations(sorted(fps), 2)
+        if bin((fps[a] ^ fps[b]) & ((1 << 64) - 1)).count("1") <= 3
+    )
+    assert got == expect
+    assert (1, 4, 1) in got  # sign-bit flip handled
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        simhash_band_pairs(df, bits=64, bands=3, radius=3)
