@@ -124,6 +124,14 @@ HEADLINE = [
     "vocab_encode_stats",
     "embedding_quantize_stats",
     "image_format_inventory",
+    # round-6 additions: bloom decontamination, the oracle-gated scale
+    # formulation of the z-score window, dup-span stats, simhash band LSH.
+    # The recall-telemetry pair stays out: diagnostics the driver runs at
+    # oracle scale, each leg already benched via its parent query family.
+    "bloom_decontaminate",
+    "events_anomaly_zscore_bucketed",
+    "doc_dup_span_stats",
+    "simhash_hamming_pairs",
 ]
 
 

@@ -471,12 +471,15 @@ def minhash_signatures_portable(
     the cross-engine oracle (xxhash64 cannot). The per-char hash fold costs
     more than xxhash64; this is the verifiable variant, not the fast path.
     """
-    from .text import rolling_hash
+    from .text import shingle_hash_stream
 
     df = ensure_min_parallelism(df)
-    sh = df.select(
-        F.col(id_col).alias("doc"), F.explode(word_shingles(text_col)).alias("shingle")
-    ).select("doc", rolling_hash(F.col("shingle")).alias("rh"))
+    # composed shingle hashes (no shingle strings, one char fold per doc —
+    # text.shingle_hash_stream); values equal rolling_hash(shingle), so
+    # the SQL twins are unchanged
+    sh = shingle_hash_stream(df, 3, (id_col,), text_col, out_col="rh").select(
+        F.col(id_col).alias("doc"), "rh"
+    )
     return sh.groupBy("doc").agg(
         *[F.min(_portable_perm(i, F.col("rh"))).alias(f"h{i}") for i in range(num_hashes)]
     )

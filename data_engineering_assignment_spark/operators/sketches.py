@@ -76,7 +76,11 @@ def bloom_position(rh: Column, i: int, m_bits: int) -> Column:
 
 
 def bloom_build(
-    df: DataFrame, item_col: str, k: int = 4, m_bits: int = 1 << 14
+    df: DataFrame,
+    item_col: str,
+    k: int = 4,
+    m_bits: int = 1 << 14,
+    hash_col: str | None = None,
 ) -> DataFrame:
     """Build a Bloom filter over the items as a DataFrame of DISTINCT set
     bit positions (one ``pos`` long column, at most ``min(k*|items|, m_bits)``
@@ -88,11 +92,13 @@ def bloom_build(
     filter is a fixed ``m_bits`` bits chosen for the target false-positive
     rate (k = 4 probes, m/n ≈ 8 bits/item → ~2.4% FP), so the broadcast
     cost is a constant. Building is one explode + one distinct — map-side
-    combinable, linear.
+    combinable, linear. ``hash_col`` names a column already holding the
+    item's rolling hash — callers that materialize a hashed stream skip
+    the per-char fold here.
     """
     from .text import rolling_hash
 
-    rh = rolling_hash(item_col)
+    rh = F.col(hash_col) if hash_col else rolling_hash(item_col)
     return (
         df.select(
             F.explode(
@@ -110,29 +116,35 @@ def bloom_maybe_contains(
     k: int = 4,
     m_bits: int = 1 << 14,
     flag_col: str = "bloom_hit",
+    hash_col: str | None = None,
 ) -> DataFrame:
     """Probe each row's ``item_col`` against the filter: ``flag_col`` is
     true iff ALL ``k`` probe positions are set (the Bloom "maybe present";
-    false is a certainty). One explode + one broadcast join + one regroup —
-    the corpus is never shuffled by content, only by its own row identity.
-    ``items`` rows must be unique (the regroup keys on all columns; exact
-    duplicates would collapse) — probe distinct (id, item) pairs.
+    false is a certainty). ``k`` chained BROADCAST left joins, one per
+    probe position — fully NARROW: the probed stream is never exploded,
+    regrouped, or shuffled, each row just does k hash lookups against the
+    broadcast position set (the filter is bounded by ``m_bits``, so the
+    broadcasts are constant-size at any corpus size). ``hash_col`` as in
+    :func:`bloom_build` — without it the per-char hash fold is inlined
+    into every join condition, so pass a materialized hash column for
+    anything large.
     """
     from .text import rolling_hash
 
-    rh = rolling_hash(item_col)
-    probes = items.select(
-        "*",
-        F.explode(
-            F.array(*[bloom_position(rh, i, m_bits) for i in range(k)])
-        ).alias("pos"),
-    )
-    joined = probes.join(
-        F.broadcast(bloom.withColumn("_set", F.lit(1))), on="pos", how="left"
-    )
-    return (
-        joined.groupBy(*items.columns)
-        .agg((F.count("_set") == k).alias(flag_col))
+    rh = F.col(hash_col) if hash_col else rolling_hash(item_col)
+    out = items
+    for i in range(k):
+        bi = bloom.select(
+            F.col("pos").alias(f"_p{i}"), F.lit(1).alias(f"_s{i}")
+        )
+        out = out.join(
+            F.broadcast(bi), bloom_position(rh, i, m_bits) == F.col(f"_p{i}"), "left"
+        )
+    hit = F.lit(True)
+    for i in range(k):
+        hit = hit & F.col(f"_s{i}").isNotNull()
+    return out.withColumn(flag_col, hit).drop(
+        *[c for i in range(k) for c in (f"_p{i}", f"_s{i}")]
     )
 
 

@@ -392,7 +392,8 @@ WITH toks AS (
          MAX(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS b
   FROM hits GROUP BY doc_id, source
 ), exact AS (
-  SELECT DISTINCT s.doc_id FROM train_sh s JOIN bench_sh USING (shingle)
+  SELECT DISTINCT t.doc_id
+  FROM train_rh t JOIN (SELECT DISTINCT rh FROM bench_rh) b USING (rh)
 ), flags AS (
   SELECT p.doc_id, p.source, p.b,
          CASE WHEN e.doc_id IS NULL THEN 0 ELSE 1 END AS x
@@ -426,33 +427,42 @@ GROUP BY s.source, s.n_docs
     "filter SQL-rebuildable, so the telemetry is oracle-gated end to end.",
 )
 def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import word_shingles
     from ..operators.sketches import bloom_build, bloom_maybe_contains
+    from ..operators.text import shingle_hash_stream
 
     docs = load(spark, sf_dir, "documents")
-    bench = docs.filter(F.col("doc_id") % 97 == 0)
     train = docs.filter(F.col("doc_id") % 97 != 0)
 
-    b_sh = (
-        bench.select(F.explode(word_shingles("text", 5)).alias("shingle"))
-        .distinct()
-    )
-    bloom = bloom_build(b_sh, "shingle", k=_BLOOM_K, m_bits=_BLOOM_M)
+    # shingle strings are never built: the composed-hash stream
+    # (text.shingle_hash_stream) folds each char once per doc, and the
+    # whole corpus is hashed in ONE materialized pass shared by all three
+    # consumers (bloom build, bloom probe leg, exact leg) — the
+    # boilerplate_ngrams single-pass discipline on 8-byte rows
+    all_sh = shingle_hash_stream(
+        docs, 5, ("doc_id", "source"), out_col="_rh"
+    ).localCheckpoint(eager=True)
+    t_pairs = all_sh.filter(F.col("doc_id") % 97 != 0)
+    b_rh = all_sh.filter(F.col("doc_id") % 97 == 0).select("_rh").distinct()
+    bloom = bloom_build(b_rh, "_rh", k=_BLOOM_K, m_bits=_BLOOM_M, hash_col="_rh")
 
-    # word_shingles array_distincts per doc, so (doc, shingle) pairs are
-    # unique — the regroup inside bloom_maybe_contains is lossless
-    t_pairs = train.select(
-        "doc_id", "source", F.explode(word_shingles("text", 5)).alias("shingle")
-    )
+    # probe is k narrow broadcast lookups per row — no explode, no regroup
     probed = bloom_maybe_contains(
-        bloom, t_pairs, "shingle", k=_BLOOM_K, m_bits=_BLOOM_M
+        bloom,
+        t_pairs.select("doc_id", "source", "_rh"),
+        "_rh",
+        k=_BLOOM_K,
+        m_bits=_BLOOM_M,
+        hash_col="_rh",
     )
     perdoc = probed.groupBy("doc_id", "source").agg(
         F.max(F.col("bloom_hit").cast("int")).alias("_b")
     )
 
+    # "exact" = shares a shingle ROLLING HASH with the benchmark (31-bit;
+    # both engines join the same hashes, so the oracle is bit-exact — for
+    # true string-equality decontamination see decontaminate_ngram)
     exact = (
-        t_pairs.join(F.broadcast(b_sh), on="shingle")
+        t_pairs.join(F.broadcast(b_rh), on="_rh")
         .select("doc_id")
         .distinct()
         .withColumn("_x", F.lit(1))

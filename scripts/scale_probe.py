@@ -73,8 +73,17 @@ def main() -> None:
         out[name] = {"sf0.1": t01, "sf1": t1, "ratio": round(t1 / t01, 2)}
         print(f"{name}: sf0.1={t01}s sf1={t1}s ratio={t1 / t01:.2f}x", flush=True)
     spark.stop()
-    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE_PROBE.json"), "w") as f:
-        json.dump(out, f, indent=1)
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE_PROBE.json"
+    )
+    # merge: probing a subset must not drop earlier queries' records
+    merged = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            merged = json.load(f)
+    merged.update(out)
+    with open(path, "w") as f:
+        json.dump(merged, f, indent=1)
 
 
 if __name__ == "__main__":

@@ -119,3 +119,66 @@ def test_weighted_median_udaf(spark):
         for r in df.groupBy("g").agg(weighted_median("v", "w").alias("m")).collect()
     }
     assert out == {"a": 30.0, "b": 2.0}
+
+
+def test_shingle_hash_stream_equals_string_fold(spark):
+    """Composed shingle hashes must equal rolling_hash of the concatenated
+    shingle string bit-for-bit (the oracle-compatibility contract), with
+    word_shingles' distinct semantics and the <n-token edge."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from data_engineering_assignment_spark.operators.dedup import word_shingles
+    from data_engineering_assignment_spark.operators.text import (
+        rolling_hash,
+        shingle_hash_stream,
+    )
+
+    rng = random.Random(5)
+    vocab = ["tok%d" % i for i in range(30)] + ["x", "yy", "zzz", ""]
+    rows = [(i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 40))))
+            for i in range(80)]
+    rows += [(100, ""), (101, "a"), (102, "a b"), (103, "a b c"),
+             (104, "dup dup dup dup")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    for n in (2, 3, 5):
+        got = {
+            (r["doc_id"], tuple(r["hs"]))
+            for r in shingle_hash_stream(df, n, ("doc_id",), out_col="rh")
+            .groupBy("doc_id")
+            .agg(F.sort_array(F.collect_list("rh")).alias("hs"))
+            .collect()
+        }
+        want = {
+            (r["doc_id"], tuple(r["hs"]))
+            for r in df.select(
+                "doc_id", F.explode(word_shingles("text", n)).alias("s")
+            )
+            .select("doc_id", rolling_hash(F.col("s")).alias("rh"))
+            .groupBy("doc_id")
+            .agg(F.sort_array(F.collect_list("rh")).alias("hs"))
+            .collect()
+        }
+        assert got == want, f"n={n}"
+
+
+def test_shingle_hash_stream_plan_has_single_char_fold(spark):
+    """The per-token hash arrays must be Generate-input ATTRIBUTES, not
+    inlined expressions: Catalyst substituting the array-builders into the
+    composition lambda re-derives token hashes per (position, offset) — a
+    measured ~100x blowup. One compose aggregate, bounded split count."""
+    from data_engineering_assignment_spark.operators.text import shingle_hash_stream
+
+    df = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    plan = (
+        shingle_hash_stream(df, 3, ("doc_id",))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("aggregate(sequence") == 1
+    # 2 char folds (hash + pow) in the projection, plus tokenizer splits —
+    # NOT one per shingle position
+    assert plan.count("split(") <= 6
