@@ -335,8 +335,10 @@ def simhash_hamming_census(
     )
     h0 = (
         cnt.filter(F.col("_c") >= 2)
+        # integer DIV: c*(c-1) is even, so this is exact — a double
+        # division would round above 2^53 total pairs
         .agg(
-            F.sum(F.col("_c") * (F.col("_c") - 1) / 2).cast("long").alias("n_pairs")
+            F.sum(F.expr("_c * (_c - 1) DIV 2")).cast("long").alias("n_pairs")
         )
         .select(F.lit(0).cast("long").alias("hamming"), "n_pairs")
         .filter(F.col("n_pairs").isNotNull())

@@ -443,7 +443,11 @@ def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
     t_pairs = all_sh.filter(F.col("doc_id") % 97 != 0)
     b_rh = all_sh.filter(F.col("doc_id") % 97 == 0).select("_rh").distinct()
-    bloom = bloom_build(b_rh, "_rh", k=_BLOOM_K, m_bits=_BLOOM_M, hash_col="_rh")
+    # the filter is <= m_bits rows; checkpointing it keeps the k probe
+    # broadcasts from re-aggregating the bench stream once each
+    bloom = bloom_build(
+        b_rh, "_rh", k=_BLOOM_K, m_bits=_BLOOM_M, hash_col="_rh"
+    ).localCheckpoint(eager=True)
 
     # probe is k narrow broadcast lookups per row — no explode, no regroup
     probed = bloom_maybe_contains(

@@ -286,3 +286,27 @@ def test_lsh_candidate_join_never_broadcasts_corpus(spark, sf_dir):
         plan = plans.simple_plan(build(spark, sf_dir, name))
         assert "BroadcastExchange" not in plan, name
         assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan, name
+
+
+def test_bloom_probe_leg_is_narrow(spark, sf_dir):
+    """bloom_decontaminate's probe leg must be k broadcast lookups over the
+    materialized hash stream — the probed corpus is never exploded or
+    re-hashed: no Generate (bloom build is checkpointed too), document
+    text is never re-read (the only parquet scan is the 2-column per-source
+    count), and every probe/exact join is a BroadcastHashJoin."""
+    df = build(spark, sf_dir, "bloom_decontaminate")
+    plan = plans.simple_plan(df)
+    assert plan.count("Scan parquet") == 1   # the pruned src count only
+    assert "text" not in plan.split("FileScan parquet")[1].split("ReadSchema")[1][:120]
+    assert "Generate" not in plan            # no probe explode anywhere
+    assert plan.count("BroadcastHashJoin") >= 5  # 4 probe positions + exact leg
+
+
+def test_simhash_census_materializes_fingerprints_once(spark, sf_dir):
+    """simhash_hamming_pairs: the distinct-fingerprint table is checkpointed
+    before fan-out — no token explode or parquet scan remains in the census
+    plan, and the banded self-join reads the checkpoint on both sides."""
+    df = build(spark, sf_dir, "simhash_hamming_pairs")
+    plan = plans.simple_plan(df)
+    assert "Scan parquet" not in plan
+    assert plan.count("Scan ExistingRDD") >= 3  # h0 + both self-join sides
