@@ -132,6 +132,7 @@ HEADLINE = [
     "events_anomaly_zscore_bucketed",
     "doc_dup_span_stats",
     "simhash_hamming_pairs",
+    "dedup_jaccard_prefix",
 ]
 
 

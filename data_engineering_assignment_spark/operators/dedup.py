@@ -299,6 +299,127 @@ def simhash_band_pairs(
     )
 
 
+def jaccard_prefix_join(
+    df: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT Jaccard-threshold self-join via prefix filtering (Bayardo et
+    al., "Scaling Up All Pairs Similarity Search") — the deterministic
+    complement to MinHash-LSH: identical output to the full shingle
+    self-join at the same threshold, with candidate volume cut by the
+    prefix bound instead of by probabilistic banding.
+
+    Principle: order every document's shingle set by a GLOBAL rarity order
+    (corpus frequency asc, hash asc); two sets with Jaccard >= t must
+    share an element among each set's first ``|S| - ceil(t*|S|) + 1``
+    elements, so only those prefixes join. Rare shingles sort first, so
+    prefix buckets are the COLD end of the frequency distribution — the
+    hot boilerplate keys that blow up a naive shingle self-join never
+    enter the candidate join.
+
+    Shape: composed-hash shingle stream (no strings) → frequency
+    aggregation joined back (one shuffle, the tfidf discipline — never a
+    window over the shingle key) → per-doc sorted array (doc-keyed
+    shuffle) materialized ONCE → prefix explode → self equi-join on the
+    prefix shingle (SHUFFLE_HASH, AQE-splittable) → length filter →
+    exact verify on the two sorted arrays (array_intersect — no third
+    shuffle; the arrays ride the candidate rows).
+
+    Output: (doc_a, doc_b, inter, jaccard), Jaccard computed over
+    DISTINCT shingle hashes, doc_a < doc_b, jaccard >= threshold.
+    """
+    import math
+
+    from .text import shingle_hash_stream
+
+    sh = shingle_hash_stream(
+        ensure_min_parallelism(df), n, (id_col,), text_col, out_col="rh"
+    ).select(F.col(id_col).alias("doc"), "rh")
+    freq = sh.groupBy("rh").agg(F.count(F.lit(1)).alias("_f"))
+    arrs = (
+        sh.join(freq, "rh")
+        .groupBy("doc")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_f"), F.col("rh")))
+            ).alias("_s"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .select(
+            "doc",
+            F.transform(F.col("_s"), lambda x: x.getField("rh")).alias("_sh"),
+            "_n",
+        )
+        .localCheckpoint(eager=True)
+    )
+    # prefix length L = n - ceil(t*n) + 1; the 1e-9 slack keeps an FP
+    # product that lands epsilon ABOVE the true integer from shortening
+    # the prefix (a longer prefix is always safe — superset of candidates)
+    t_num = threshold
+    pre = arrs.select(
+        "doc",
+        "_n",
+        F.posexplode(
+            F.slice(
+                "_sh",
+                F.lit(1),
+                F.col("_n")
+                - F.ceil(F.lit(t_num) * F.col("_n") - 1e-9).cast("int")
+                + 1,
+            )
+        ).alias("pos", "rh"),
+    )
+    a = pre.alias("a").hint("shuffle_hash")
+    b = pre.alias("b")
+    # PPJoin positional filter: a match at prefix positions (pa, pb) bounds
+    # the intersection by min(na-pa, nb-pb); a qualifying pair needs
+    # inter >= t/(1+t) * (na+nb), and its FIRST common prefix element
+    # always satisfies the bound — so dropping matches that violate it
+    # prunes candidates without losing any true pair
+    ubound = F.least(
+        F.col("a._n") - F.col("a.pos"), F.col("b._n") - F.col("b.pos")
+    ).cast("double")
+    need = F.lit(t_num / (1.0 + t_num)) * (F.col("a._n") + F.col("b._n")) - 1e-9
+    cand = (
+        a.join(
+            b,
+            (F.col("a.rh") == F.col("b.rh"))
+            & (F.col("a.doc") < F.col("b.doc"))
+            & (ubound >= need),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+    fa = arrs.select(
+        F.col("doc").alias("doc_a"), F.col("_sh").alias("_sa"), F.col("_n").alias("_na")
+    )
+    fb = arrs.select(
+        F.col("doc").alias("doc_b"), F.col("_sh").alias("_sb"), F.col("_n").alias("_nb")
+    )
+    inter = F.size(F.array_intersect(F.col("_sa"), F.col("_sb")))
+    jac = inter.cast("double") / (F.col("_na") + F.col("_nb") - inter).cast("double")
+    return (
+        cand.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        # length filter: |A| >= t|B| and |B| >= t|A| (cheap, before the
+        # intersection)
+        .filter(
+            (F.col("_na").cast("double") >= t_num * F.col("_nb"))
+            & (F.col("_nb").cast("double") >= t_num * F.col("_na"))
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            inter.cast("long").alias("inter"),
+            dround(jac, 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= t_num)
+    )
+
+
 def simhash_hamming_census(
     fps: DataFrame,
     bits: int = 31,

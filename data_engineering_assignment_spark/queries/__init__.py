@@ -40,17 +40,17 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # last green row is oldest, then anything whose implementation changed this
 # round (a green history does not cover new code).
 #
-# Round-6 head: the 6 never-checked queries (the recall-telemetry pair +
+# Round-6 head: the 7 never-checked queries (the recall-telemetry pair +
 # bloom_decontaminate / events_anomaly_zscore_bucketed / doc_dup_span_stats /
-# simhash_hamming_pairs, all new this round), all 13 queries last checked in r3 (the stale set the
+# simhash_hamming_pairs / dedup_jaccard_prefix, all new this round), all 13 queries last checked in r3 (the stale set the
 # r5 verdict scheduled for this head), the 7 queries whose implementation
 # changed this round (LSH materialization + parallelism guard:
 # dedup_minhash_lsh / dedup_lsh_portable / dedup_clusters_lsh /
 # corpus_boilerplate_3gram / decontaminate_ngram; NULL-quality exclusion:
 # quality_percentile_gate; report floors: ml_energy_report —
 # ml_peak_classification got the same floors and is already in the r3 set),
-# and 24 of the 47 remaining queries last checked in r4.  Deferred to round
-# 7 (23): the 19 r4-green TPC-H-style relational queries whose machinery —
+# and 23 of the 47 remaining queries last checked in r4.  Deferred to round
+# 7 (24): the 19 r4-green TPC-H-style relational queries whose machinery —
 # broadcast dim joins, partial aggs, decimal-detour sums,
 # TakeOrderedAndProject — is plan-asserted and exercised in-head by
 # orders_cube / weighted_median_price / customer_year_setops /
@@ -64,16 +64,18 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # r4-green queries displaced by the new-query head whose families keep
 # in-head representatives: events_sliding_10m_5m (events_tumbling_10m),
 # events_multi_rollup (orders_cube), embedding_stats (cosine_topk /
-# label_centroids array HOFs), event_props_json (event_props_variant).
-# These 23 lead the r7 head.
+# label_centroids array HOFs), event_props_json (event_props_variant),
+# user_rolling_stats (events_trailing_hour_sum + value_quantiles_by_type
+# cover the per-entity window family).  These 24 lead the r7 head.
 DRIVER_SAMPLE_HEAD: tuple[str, ...] = (
-    # never driver-checked (6, new this round)
+    # never driver-checked (7, new this round)
     "lsh_recall_telemetry",
     "ivf_recall_telemetry",
     "bloom_decontaminate",
     "events_anomaly_zscore_bucketed",
     "doc_dup_span_stats",
     "simhash_hamming_pairs",
+    "dedup_jaccard_prefix",
     # last checked r3 (13 — the full stale set)
     "binary_media_inventory",
     "cosine_topk_lsh",
@@ -96,7 +98,7 @@ DRIVER_SAMPLE_HEAD: tuple[str, ...] = (
     "decontaminate_ngram",
     "quality_percentile_gate",
     "ml_energy_report",
-    # last checked r4 (24 of 47)
+    # last checked r4 (23 of 47)
     "cosine_topk",
     "cosine_topk_ivf",
     "dedup_clusters_jaccard",
@@ -114,7 +116,6 @@ DRIVER_SAMPLE_HEAD: tuple[str, ...] = (
     "png_decode_stats",
     "quality_by_source",
     "supplier_stats_salted",
-    "user_rolling_stats",
     "value_quantiles_by_type",
     "approx_distinct_users_rollup",
     "cyclic_prediction_rates",

@@ -588,3 +588,60 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     fps = simhash_portable(load(spark, sf_dir, "documents"))
     return simhash_hamming_census(fps, bits=31, bands=2, radius=1)
+
+
+_O_RH_SHINGLE = """list_reduce(
+     list_prepend(0::BIGINT,
+       list_transform(range(1, length(shingle) + 1),
+                      i -> ascii(substr(shingle, i, 1))::BIGINT)),
+     (a, b) -> (a * 31 + b) % 1000000007
+   )"""
+
+_PREFIX_JACC = o_dround(
+    "CAST(i.inter AS DOUBLE)"
+    " / CAST(sa.n + sb.n - i.inter AS DOUBLE)",
+    4,
+)
+
+_JACCARD_PREFIX_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), shs AS (
+  SELECT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+        FROM toks WHERE len(t) >= 3)
+), sh AS (
+  SELECT DISTINCT doc_id AS doc, {_O_RH_SHINGLE} AS rh FROM shs
+), sizes AS (
+  SELECT doc, COUNT(*) AS n FROM sh GROUP BY doc
+), inter AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.rh = b.rh AND a.doc < b.doc
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b, i.inter, {_PREFIX_JACC} AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc = i.doc_a
+JOIN sizes sb ON sb.doc = i.doc_b
+WHERE {_PREFIX_JACC} >= 0.5
+"""
+
+
+@register(
+    "dedup_jaccard_prefix",
+    oracle=_JACCARD_PREFIX_ORACLE,
+    doc="North-star near-dedup, EXACT-at-scale variant "
+    "(operators/dedup.jaccard_prefix_join): Jaccard >= 0.5 pairs via "
+    "prefix filtering (Bayardo et al. AllPairs) — documents' shingle sets "
+    "sorted by global rarity; only each set's |S|-ceil(t|S|)+1 rarest "
+    "elements enter the candidate self-join, so hot boilerplate shingles "
+    "never join. Deterministically IDENTICAL to the full shingle "
+    "self-join (the oracle IS the full join, over the same composed "
+    "hashes) — the exact complement to the probabilistic MinHash-LSH "
+    "path. Jaccard is over distinct 3-gram rolling hashes; "
+    "dedup_ngram_jaccard keeps the string-equality reference.",
+)
+def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import jaccard_prefix_join
+
+    return jaccard_prefix_join(load(spark, sf_dir, "documents"), threshold=0.5, n=3)

@@ -217,3 +217,53 @@ def test_simhash_band_pairs_exact_vs_brute_force(spark):
 
     with pytest.raises(ValueError):
         simhash_band_pairs(df, bits=64, bands=3, radius=3)
+
+
+def test_jaccard_prefix_join_equals_brute_force(spark):
+    """Prefix filtering must lose NOTHING vs the all-pairs join: same
+    (pairs, intersections, jaccards) on a corpus with shared boilerplate,
+    near-dups, exact dups, and short docs — at two thresholds."""
+    from data_engineering_assignment_spark.operators.dedup import (
+        jaccard_prefix_join,
+        ngram_jaccard_pairs,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base),
+        (2, base),                                   # exact dup of 1
+        (3, base + " extra tail tokens here"),       # near-dup
+        (4, "totally different words nothing shared at all ok"),
+        (5, "alpha beta gamma unrelated suffix path x y z"),  # partial overlap
+        (6, "a b"),                                  # < 3 tokens: no shingles
+        (7, "shared boiler plate " + base),          # overlap via boilerplate
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for t in (0.5, 0.3):
+        got = sorted(
+            (r["doc_a"], r["doc_b"], r["inter"], r["jaccard"])
+            for r in jaccard_prefix_join(df, threshold=t, n=3).collect()
+        )
+        want = sorted(
+            (r["doc_a"], r["doc_b"], r["inter"], r["jaccard"])
+            for r in ngram_jaccard_pairs(df, threshold=t, n=3).collect()
+        )
+        assert got == want, f"t={t}"
+        assert (1, 2) in {(a, b) for a, b, *_ in got}  # the exact dup survives
+
+
+def test_jaccard_prefix_join_prunes_hot_shingles_from_candidates(spark):
+    """The prefix stream must be strictly smaller than the full shingle
+    stream when a hot shingle spans the corpus (the point of the rarity
+    order: boilerplate sorts LAST and stays out of every prefix)."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_assignment_spark.operators.dedup import jaccard_prefix_join
+
+    # every doc shares 'common common common'; each has unique tail
+    rows = [(i, "common common common u%d v%d w%d x%d" % (i, i, i, i))
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = jaccard_prefix_join(df, threshold=0.5, n=3)
+    # no pair reaches 0.5 (1 shared shingle of 5); exactness says empty
+    assert out.count() == 0
