@@ -133,6 +133,7 @@ HEADLINE = [
     "doc_dup_span_stats",
     "simhash_hamming_pairs",
     "dedup_jaccard_prefix",
+    "incremental_dedup",
 ]
 
 

@@ -489,3 +489,105 @@ def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_bloom_flagged", F.lit(0)).alias("n_bloom_flagged"),
         F.coalesce("n_false_pos", F.lit(0)).alias("n_false_pos"),
     )
+
+
+_INCR_ORACLE = """
+WITH newdocs AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+), corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0
+), corpus_md5 AS (
+  SELECT DISTINCT md5(text) AS h FROM corpus
+), toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS shingle
+  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS i
+        FROM toks WHERE len(t) >= 5)
+), corpus_sh AS (
+  SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 <> 0
+), overlap AS (
+  SELECT s.doc_id, COUNT(*) AS n_shared
+  FROM sh s JOIN corpus_sh USING (shingle)
+  WHERE s.doc_id % 10 = 0
+  GROUP BY s.doc_id
+)
+SELECT n.doc_id,
+       CASE WHEN c.h IS NULL THEN 0 ELSE 1 END AS exact_dup,
+       COALESCE(o.n_shared, 0)::BIGINT AS n_shared_shingles,
+       CASE WHEN c.h IS NOT NULL THEN 'exact'
+            WHEN COALESCE(o.n_shared, 0) >= 8 THEN 'near'
+            ELSE 'novel' END AS status
+FROM newdocs n
+LEFT JOIN corpus_md5 c ON md5(n.text) = c.h
+LEFT JOIN overlap o ON o.doc_id = n.doc_id
+"""
+
+
+@register(
+    "incremental_dedup",
+    oracle=_INCR_ORACLE,
+    doc="LLM-prep: incremental (delta) dedup — an incoming batch (doc_id % "
+    "10 = 0 stands in for today's crawl) deduplicated against the standing "
+    "corpus: exact via content-hash join, near via shared word-5-gram "
+    "count, per-doc status novel/near/exact. The 100 TB shape inverts the "
+    "usual broadcast: the DELTA side is broadcast (bounded by ingest "
+    "batch size) and the corpus is scanned in place — the corpus is never "
+    "shuffled, collected, or broadcast, so daily ingest cost is "
+    "O(corpus scan + batch size), not O(corpus shuffle). Shingle equality "
+    "is by string (the batch is small; no need for the hash detour).",
+)
+def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import word_shingles
+
+    docs = load(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % 10 == 0
+    new = docs.filter(is_new)
+    corpus = docs.filter(~is_new)
+
+    # exact: the batch's md5 set is the broadcast side of a LEFT SEMI-style
+    # mark against the corpus — realized as corpus-side aggregation joined
+    # back to the batch (corpus never broadcast)
+    new_md5 = new.select("doc_id", F.md5(F.col("text").cast("binary")).alias("_h"))
+    corpus_md5 = (
+        corpus.select(F.md5(F.col("text").cast("binary")).alias("_h"))
+        .distinct()
+        .withColumn("_e", F.lit(1))
+    )
+    exact = new_md5.join(
+        corpus_md5.join(
+            F.broadcast(new_md5.select("_h").distinct()), "_h", "left_semi"
+        ),
+        "_h",
+        "left",
+    ).select("doc_id", F.coalesce("_e", F.lit(0)).alias("exact_dup"))
+
+    # near: batch shingles broadcast, corpus shingle stream filtered by
+    # them (LEFT SEMI), then the surviving corpus-shingle set (bounded by
+    # the batch's vocabulary) joins back to count per-batch-doc overlap
+    new_sh = new.select(
+        "doc_id", F.explode(word_shingles("text", 5)).alias("shingle")
+    )
+    corpus_sh = (
+        corpus.select(F.explode(word_shingles("text", 5)).alias("shingle"))
+        .join(F.broadcast(new_sh.select("shingle").distinct()), "shingle", "left_semi")
+        .distinct()
+    )
+    overlap = (
+        new_sh.join(F.broadcast(corpus_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+    )
+
+    return (
+        exact.join(overlap, "doc_id", "left")
+        .select(
+            "doc_id",
+            "exact_dup",
+            F.coalesce("n_shared_shingles", F.lit(0)).alias("n_shared_shingles"),
+            F.when(F.col("exact_dup") == 1, F.lit("exact"))
+            .when(F.coalesce("n_shared_shingles", F.lit(0)) >= 8, F.lit("near"))
+            .otherwise(F.lit("novel"))
+            .alias("status"),
+        )
+    )

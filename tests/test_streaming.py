@@ -455,3 +455,49 @@ def test_running_anomaly_flags_across_batches(spark, tmp_path):
     # exactly the 500.0 outlier is flagged: calm values stay within 3 sigma,
     # and after the outlier inflates the variance the next calm values pass
     assert final["hits"] == 1
+
+
+def test_streaming_bloom_filter_matches_batch(spark, tmp_path):
+    """The Bloom probe is pure narrow expressions + broadcast lookups, so
+    the same operator runs unchanged under Structured Streaming: stream a
+    doc batch through bloom_maybe_contains against a static filter and
+    check flags equal the batch run (and no false negatives)."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_assignment_spark.operators.sketches import (
+        bloom_build,
+        bloom_maybe_contains,
+    )
+
+    members = spark.createDataFrame(
+        [("secret%d" % i,) for i in range(50)], "item string"
+    )
+    bloom = bloom_build(members, "item", k=4, m_bits=1 << 12).localCheckpoint(True)
+
+    rows = [(i, "secret%d" % (i % 50) if i % 3 == 0 else "clean%d" % i)
+            for i in range(90)]
+    d = str(tmp_path / "docs")
+    spark.createDataFrame(rows, "doc_id long, item string").write.parquet(d)
+    schema = spark.read.parquet(d).schema
+
+    src = spark.readStream.schema(schema).parquet(d)
+    flagged = bloom_maybe_contains(bloom, src, "item", k=4, m_bits=1 << 12)
+    out = str(tmp_path / "out")
+    (
+        flagged.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(120)
+    )
+    got = {r["doc_id"]: r["bloom_hit"] for r in spark.read.parquet(out).collect()}
+    batch = {
+        r["doc_id"]: r["bloom_hit"]
+        for r in bloom_maybe_contains(
+            bloom, spark.read.parquet(d), "item", k=4, m_bits=1 << 12
+        ).collect()
+    }
+    assert got == batch
+    # no false negatives: every member item flagged
+    assert all(got[i] for i in range(0, 90, 3))
