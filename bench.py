@@ -134,6 +134,7 @@ HEADLINE = [
     "simhash_hamming_pairs",
     "dedup_jaccard_prefix",
     "incremental_dedup",
+    "bm25_topk",
 ]
 
 

@@ -361,3 +361,97 @@ def encode_tokens(
         ).alias("token_ids")
     )
     return df.join(encoded, id_col, "left")
+
+
+def bm25_topk(
+    df: DataFrame,
+    terms: list[str],
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Log-free BM25 retrieval: top-``k`` documents for a literal term set
+    under the rational BM25 weighting
+
+        score = sum_t ((N - df + 0.5)/(df + 0.5))
+                      * (tf * (k1+1)) / (tf + k1*(1 - b + b*dl/avdl))
+
+    — the classic formula minus the ln() around the idf ratio (ln differs
+    in the last ulp across libms; every operation here is IEEE +-*/ and
+    reproduces bit-exactly in any engine). Ranking compares the EXACT
+    decimal sum of per-term scores (FP summation order varies with
+    partitioning; decimal addition doesn't), tie-broken by id.
+
+    Shape: the token stream is filtered to the query terms BEFORE any
+    aggregation (the surviving stream is corpus_occurrences(terms), tiny);
+    document frequencies and corpus stats are single-row/bounded
+    aggregates broadcast by the optimizer; the final cut is a distributed
+    TakeOrderedAndProject over per-doc scores — the corpus is scanned
+    once and never shuffled except by the bounded (doc, term) stream.
+
+    Output: (rank, id, n_terms_matched, score) — score rounded to 6.
+    """
+    from pyspark.sql import Window
+
+    from .text import tokens
+
+    toks = tokens(text_col)
+    dl = df.select(F.col(id_col), F.size(toks).alias("_dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("_dl").alias("_sumdl")
+    )
+    tf = (
+        df.select(F.col(id_col), F.explode(toks).alias("_t"))
+        .filter(F.col("_t").isin(*terms))
+        .groupBy(id_col, "_t")
+        .agg(F.count(F.lit(1)).alias("_tf"))
+    )
+    dfreq = tf.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
+    kp1 = k1 + 1.0
+    one_b = 1.0 - b
+    scored = (
+        tf.join(dl, id_col)
+        .join(F.broadcast(dfreq), "_t")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "_ts",
+            (
+                (F.col("_n") - F.col("_df") + 0.5) / (F.col("_df") + 0.5)
+            )
+            * (
+                (F.col("_tf") * kp1)
+                / (
+                    F.col("_tf")
+                    + k1
+                    * (
+                        one_b
+                        + b
+                        * (
+                            F.col("_dl").cast("double")
+                            / (
+                                F.col("_sumdl").cast("double")
+                                / F.col("_n").cast("double")
+                            )
+                        )
+                    )
+                )
+            ),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.sum(F.col("_ts").cast("decimal(27,12)")).alias("_s"),
+        F.count(F.lit(1)).alias("n_terms_matched"),
+    )
+    bounded = per_doc.orderBy(F.desc("_s"), F.asc(id_col)).limit(k)
+    w = Window.orderBy(F.desc("_s"), F.asc(id_col))
+    return (
+        bounded.withColumn("rank", F.row_number().over(w).cast("long"))
+        .select(
+            "rank",
+            id_col,
+            "n_terms_matched",
+            F.round(F.col("_s"), 6).cast("double").alias("score"),
+        )
+    )

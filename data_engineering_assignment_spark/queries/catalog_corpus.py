@@ -325,3 +325,58 @@ def doc_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.corpus import dup_span_stats
 
     return dup_span_stats(load(spark, sf_dir, "documents"), n=8)
+
+
+_BM25_TERMS = ("spark", "query", "merge", "vector")
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+_BM25_ORACLE = f"""
+WITH dl AS (
+  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS dl FROM documents
+), stats AS (
+  SELECT COUNT(*)::BIGINT AS n, SUM(dl)::BIGINT AS sumdl FROM dl
+), tf AS (
+  SELECT doc_id, tok, COUNT(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+  WHERE tok IN ({_BM25_TERMS_SQL})
+  GROUP BY doc_id, tok
+), dfq AS (
+  SELECT tok, COUNT(*)::BIGINT AS df FROM tf GROUP BY tok
+), scored AS (
+  SELECT t.doc_id,
+         ((s.n - d.df + 0.5) / (d.df + 0.5))
+         * ((t.tf * 2.2)
+            / (t.tf + 1.2 * (0.25 + 0.75 * (CAST(l.dl AS DOUBLE)
+                 / (CAST(s.sumdl AS DOUBLE) / CAST(s.n AS DOUBLE)))))) AS ts
+  FROM tf t JOIN dl l USING (doc_id) JOIN dfq d USING (tok) CROSS JOIN stats s
+), perdoc AS (
+  SELECT doc_id, SUM(CAST(ts AS DECIMAL(27,12))) AS s,
+         COUNT(*) AS n_terms_matched
+  FROM scored GROUP BY doc_id
+), ranked AS (
+  SELECT doc_id, s, n_terms_matched,
+         ROW_NUMBER() OVER (ORDER BY s DESC, doc_id ASC) AS rank
+  FROM perdoc
+)
+SELECT rank::BIGINT AS rank, doc_id, n_terms_matched,
+       ROUND(s, 6)::DOUBLE AS score
+FROM ranked WHERE rank <= 20
+"""
+
+
+@register(
+    "bm25_topk",
+    oracle=_BM25_ORACLE,
+    doc="Retrieval: log-free BM25 top-20 (operators/corpus.bm25_topk) for "
+    "a literal 4-term query — the classic weighting minus the ln() around "
+    "the idf ratio (IEEE +-*/ only, bit-identical cross-engine; the "
+    "transcendental-free discipline of tfidf_top_terms). The token stream "
+    "is filtered to the query terms BEFORE aggregation; df and corpus "
+    "stats broadcast; ranking compares the EXACT decimal sum of per-term "
+    "scores (FP sum order varies with partitioning, decimal addition does "
+    "not) and cuts via distributed TakeOrderedAndProject.",
+)
+def bm25_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import bm25_topk
+
+    return bm25_topk(load(spark, sf_dir, "documents"), list(_BM25_TERMS), k=20)

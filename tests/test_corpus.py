@@ -180,3 +180,27 @@ def test_dup_span_stats_counts_positions_with_multiplicity(spark):
     # 8) are cross-doc dups — every position counts at multiplicity
     assert got[4]["n_positions"] == 9
     assert got[4]["n_dup_positions"] == 2
+
+
+def test_bm25_topk_hand_computed(spark):
+    """BM25 on a 3-doc corpus against hand math; rank order must favor the
+    doc where the query term is dense and the doc short."""
+    from data_engineering_assignment_spark.operators.corpus import bm25_topk
+
+    rows = [
+        (1, "spark spark spark"),             # dense, short
+        (2, "spark filler filler filler filler filler filler filler"),
+        (3, "nothing here at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["rank"]: r for r in bm25_topk(df, ["spark"], k=10).collect()}
+    assert [got[r]["doc_id"] for r in sorted(got)] == [1, 2]  # doc 3 absent
+
+    # hand-compute doc 1: N=3, df=2, dl=3, avdl=5
+    n, dfq, k1, b = 3, 2, 1.2, 0.75
+    idf = (n - dfq + 0.5) / (dfq + 0.5)
+    def s(tf, dl):
+        return idf * (tf * (k1 + 1.0)) / (tf + k1 * (1 - b + b * (dl / 5.0)))
+    assert abs(got[1]["score"] - round(s(3, 3), 6)) < 1e-9
+    assert abs(got[2]["score"] - round(s(1, 8), 6)) < 1e-9
+    assert got[1]["n_terms_matched"] == 1
