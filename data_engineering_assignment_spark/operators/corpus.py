@@ -384,12 +384,13 @@ def bm25_topk(
     decimal sum of per-term scores (FP summation order varies with
     partitioning; decimal addition doesn't), tie-broken by id.
 
-    Shape: the token stream is filtered to the query terms BEFORE any
-    aggregation (the surviving stream is corpus_occurrences(terms), tiny);
-    document frequencies and corpus stats are single-row/bounded
-    aggregates broadcast by the optimizer; the final cut is a distributed
-    TakeOrderedAndProject over per-doc scores — the corpus is scanned
-    once and never shuffled except by the bounded (doc, term) stream.
+    Shape: ONE pass over the text — per doc, the token count plus the
+    matched-term occurrences (tokens filtered to the query terms before
+    the explode, so the stream is corpus_occurrences(terms) + one row per
+    doc, tiny) — materialized for its three consumers (tf, document
+    lengths, corpus stats); document frequencies and corpus stats are
+    bounded aggregates broadcast by the optimizer; the final cut is a
+    distributed TakeOrderedAndProject over per-doc scores.
 
     Output: (rank, id, n_terms_matched, score) — score rounded to 6.
     """
@@ -398,13 +399,19 @@ def bm25_topk(
     from .text import tokens
 
     toks = tokens(text_col)
-    dl = df.select(F.col(id_col), F.size(toks).alias("_dl"))
+    base = df.select(
+        F.col(id_col),
+        F.size(toks).alias("_dl"),
+        F.explode_outer(
+            F.filter(toks, lambda t: t.isin(*terms))
+        ).alias("_t"),
+    ).localCheckpoint(eager=True)
+    dl = base.groupBy(id_col).agg(F.first("_dl").alias("_dl"))
     stats = dl.agg(
         F.count(F.lit(1)).alias("_n"), F.sum("_dl").alias("_sumdl")
     )
     tf = (
-        df.select(F.col(id_col), F.explode(toks).alias("_t"))
-        .filter(F.col("_t").isin(*terms))
+        base.filter(F.col("_t").isNotNull())
         .groupBy(id_col, "_t")
         .agg(F.count(F.lit(1)).alias("_tf"))
     )

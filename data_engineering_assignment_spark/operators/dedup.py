@@ -331,8 +331,6 @@ def jaccard_prefix_join(
     Output: (doc_a, doc_b, inter, jaccard), Jaccard computed over
     DISTINCT shingle hashes, doc_a < doc_b, jaccard >= threshold.
     """
-    import math
-
     from .text import shingle_hash_stream
 
     sh = shingle_hash_stream(
@@ -405,10 +403,12 @@ def jaccard_prefix_join(
         cand.join(fa, "doc_a")
         .join(fb, "doc_b")
         # length filter: |A| >= t|B| and |B| >= t|A| (cheap, before the
-        # intersection)
+        # intersection); the same 1e-9 slack as the prefix bound — an FP
+        # product landing epsilon above the true value must never drop a
+        # qualifying pair
         .filter(
-            (F.col("_na").cast("double") >= t_num * F.col("_nb"))
-            & (F.col("_nb").cast("double") >= t_num * F.col("_na"))
+            (F.col("_na").cast("double") >= t_num * F.col("_nb") - 1e-9)
+            & (F.col("_nb").cast("double") >= t_num * F.col("_na") - 1e-9)
         )
         .select(
             "doc_a",
