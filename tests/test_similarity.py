@@ -282,3 +282,54 @@ def test_quantize_int8_roundtrip_and_zero_vector(spark):
         assert all(-127 <= c <= 127 for c in q)
         for x, c in zip(emb, q):
             assert abs(x - c * s) <= s / 2 + 1e-12
+
+
+def test_pq_portable_recall_floor_and_determinism(spark, sf_dir):
+    """PQ twin: recall@5 vs exact cosine must hold the floor that backs
+    the catalog docstring, and the result must be partitioning-independent."""
+    from data_engineering_assignment_spark.operators.similarity import (
+        cosine_topk,
+        pq_topk_portable,
+    )
+    from data_engineering_assignment_spark.tables import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    got = pq_topk_portable(emb, queries, k=5, m=32, n_codes=16, dim=64).collect()
+    pq = {(r["query_id"], r["neighbor_id"]) for r in got}
+    assert len(exact & pq) / len(exact) >= 0.35
+
+    again = {
+        (r["query_id"], r["neighbor_id"], r["approx_dist"], r["rnk"])
+        for r in pq_topk_portable(
+            emb.repartition(7), queries, k=5, m=32, n_codes=16, dim=64
+        ).collect()
+    }
+    assert again == {
+        (r["query_id"], r["neighbor_id"], r["approx_dist"], r["rnk"]) for r in got
+    }
+
+
+def test_pq_production_matches_portable_twin(spark, sf_dir):
+    """The numpy scan and the portable twin share codebook and semantics;
+    numpy's summation order may flip final ulps, so assert the top-5 SETS
+    match per query (the fixture has no boundary ties)."""
+    from data_engineering_assignment_spark.operators.similarity import (
+        pq_topk,
+        pq_topk_portable,
+    )
+    from data_engineering_assignment_spark.tables import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    fast = {}
+    for r in pq_topk(emb, queries, k=5, m=32, n_codes=16).collect():
+        fast.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    twin = {}
+    for r in pq_topk_portable(emb, queries, k=5, m=32, n_codes=16, dim=64).collect():
+        twin.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert fast == twin
