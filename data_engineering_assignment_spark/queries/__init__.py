@@ -45,11 +45,13 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # simhash_hamming_pairs / dedup_jaccard_prefix / incremental_dedup /
 # bm25_topk / cosine_topk_pq, all new this round), all 13 queries last checked in r3 (the stale set the
 # r5 verdict scheduled for this head), the 7 queries whose implementation
-# changed this round (LSH materialization + parallelism guard:
+# changed this round (LSH materialization + parallelism guard, then the
+# late-round composed-hash rewrite of minhash_signatures_portable:
 # dedup_minhash_lsh / dedup_lsh_portable / dedup_clusters_lsh /
 # corpus_boilerplate_3gram / decontaminate_ngram; NULL-quality exclusion:
 # quality_percentile_gate; report floors: ml_energy_report —
-# ml_peak_classification got the same floors and is already in the r3 set),
+# ml_peak_classification got the same floors and is already in the r3 set;
+# the other late-round rewrites are all in the never-checked head group),
 # and 20 of the 47 remaining queries last checked in r4.  Deferred to round
 # 7 (27): the 19 r4-green TPC-H-style relational queries whose machinery —
 # broadcast dim joins, partial aggs, decimal-detour sums,
