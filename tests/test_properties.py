@@ -155,3 +155,59 @@ def test_dround_matches_duckdb(spark, values):
             "SELECT ROUND(CAST(? AS DECIMAL(27,8)), 4)::DOUBLE", [v]
         ).fetchone()[0]
         assert got[i] == want, (v, got[i], want)
+
+
+_word = st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh"])
+_doc = st.lists(_word, min_size=0, max_size=12).map(" ".join)
+
+
+@settings(**SETTINGS)
+@given(st.lists(_doc, min_size=2, max_size=10), st.sampled_from([0.3, 0.5, 0.8]))
+def test_prefix_join_equals_brute_force_fuzz(spark, docs, t):
+    """Prefix filtering + positional/size bounds must equal the all-pairs
+    join on ANY corpus — the tiny word alphabet forces heavy shingle
+    sharing, duplicate docs, and boundary Jaccard values."""
+    from data_engineering_assignment_spark.operators.dedup import (
+        jaccard_prefix_join,
+        ngram_jaccard_pairs,
+    )
+
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    got = sorted(
+        (r["doc_a"], r["doc_b"], r["inter"], r["jaccard"])
+        for r in jaccard_prefix_join(df, threshold=t, n=2).collect()
+    )
+    want = sorted(
+        (r["doc_a"], r["doc_b"], r["inter"], r["jaccard"])
+        for r in ngram_jaccard_pairs(df, threshold=t, n=2).collect()
+    )
+    assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(st.integers(min_value=-(2**63), max_value=2**63 - 1),
+             min_size=2, max_size=12, unique=True),
+    st.sampled_from([(2, 1), (4, 3), (5, 3)]),
+)
+def test_simhash_band_pairs_fuzz(spark, fps, br):
+    """Banded Hamming-ball generation must equal brute force for ANY
+    fingerprints (including sign bits) at any (bands, radius)."""
+    from itertools import combinations
+
+    from data_engineering_assignment_spark.operators.dedup import simhash_band_pairs
+
+    bands, radius = br
+    df = spark.createDataFrame(list(enumerate(fps)), "doc long, simhash31 long")
+    got = sorted(
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_band_pairs(df, bits=64, bands=bands, radius=radius).collect()
+    )
+    fp_by_id = dict(enumerate(fps))
+    mask = (1 << 64) - 1
+    want = sorted(
+        (a, b, bin((fp_by_id[a] ^ fp_by_id[b]) & mask).count("1"))
+        for a, b in combinations(sorted(fp_by_id), 2)
+        if bin((fp_by_id[a] ^ fp_by_id[b]) & mask).count("1") <= radius
+    )
+    assert got == want
