@@ -184,3 +184,24 @@ def write_zorder_parquet(
         else with_z.repartitionByRange("_zkey")
     )
     part.sortWithinPartitions("_zkey").drop("_zkey").write.mode(mode).parquet(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — the columnar format family's second member, JVM-native
+    (predicate pushdown + column pruning like parquet; Spark's OrcFileFormat
+    keeps the same FileScan machinery, so every plan invariant in
+    tests/test_plans.py applies unchanged)."""
+    return spark.read.orc(path)
+
+
+def write_orc(
+    df: DataFrame, path: str, partition_by: list[str] | None = None, mode: str = "overwrite"
+) -> None:
+    """ORC sink with optional partition columns — parquet-sink parity for
+    pipelines whose downstream readers are ORC-native (Hive/Trino estates).
+    No DuckDB reader exists for ORC in this sandbox, so the round-trip is
+    test-gated (byte-identical dataframe content vs the parquet sink)."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)

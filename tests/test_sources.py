@@ -204,3 +204,37 @@ def test_native_image_source_matches_own_codec(spark):
             meta["width"], meta["height"], meta["channels"],
         )
         assert n["data_md5"] == hashlib.md5(frames[0].tobytes()).hexdigest()
+
+
+def test_orc_roundtrip_matches_parquet(spark, sf_dir, tmp_path):
+    """ORC sink + scan must reproduce the exact rows the parquet sink
+    writes, including partitioned layout pruning."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_assignment_spark.sources import (
+        read_orc,
+        write_orc,
+        write_parquet,
+    )
+    from data_engineering_assignment_spark.tables import load
+
+    orders = load(spark, sf_dir, "orders").limit(500)
+    po, pp = str(tmp_path / "o.orc"), str(tmp_path / "o.parquet")
+    write_orc(orders, po, partition_by=["o_orderpriority"])
+    write_parquet(orders, pp, partition_by=["o_orderpriority"])
+
+    a = sorted(map(tuple, read_orc(spark, po).select(sorted(orders.columns)).collect()))
+    b = sorted(
+        map(tuple, spark.read.parquet(pp).select(sorted(orders.columns)).collect())
+    )
+    assert a == b and len(a) == 500
+
+    # partition pruning reaches the ORC scan like it does parquet
+    plan = (
+        read_orc(spark, po)
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters: [isnotnull(o_orderpriority" in plan
