@@ -276,8 +276,10 @@ def simhash_band_pairs(
     ).select("_doc", "_fp", *payload_cols, "bb.band", "bb.bucket")
     if materialize:
         banded = banded.localCheckpoint(eager=True)
+    # both sides hinted — the _bucket_self_join discipline: never let
+    # Catalyst broadcast the banded corpus (plan-asserted in test_plans.py)
     a = banded.alias("a").hint("shuffle_hash")
-    b = banded.alias("b")
+    b = banded.alias("b").hint("shuffle_hash")
     pairs = a.join(
         b,
         (F.col("a.band") == F.col("b.band"))

@@ -665,13 +665,18 @@ def pq_topk_portable(
     def prep(df: DataFrame) -> DataFrame:
         e = F.col(vec_col).cast("array<double>")
         nrm = F.sqrt(_fold_sum(F.transform(e, lambda x: x * x)))
+        # zero-norm guard matching the production pq_topk's
+        # np.where(n == 0, 1, n): a zero vector divides by 1 (stays zero)
+        # instead of producing NaNs that sort engine-dependently; the SQL
+        # twin (_pq_oracle) writes the same CASE WHEN guard
+        safe = F.when(nrm == 0, F.lit(1.0)).otherwise(nrm)
         # materialized: the normalized array is consumed via element_at
         # inside fold lambdas downstream, and Catalyst would inline the
         # whole normalization transform into every element access (the
         # shingle_hash_stream trap); the checkpoint is N x dim doubles
         return df.select(
             F.col(id_col).alias("id"),
-            F.transform(e, lambda x: x / nrm).alias("vec"),
+            F.transform(e, lambda x: x / safe).alias("vec"),
         ).localCheckpoint(eager=True)
 
     c_prep = prep(corpus)
@@ -792,6 +797,8 @@ def pq_topk(
     import pandas as pd
 
     dim_row = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
+    if dim_row is None:
+        raise ValueError("pq_topk: empty corpus — cannot infer vector dim")
     dim = dim_row["d"]
     if dim % m:
         raise ValueError("dim must be divisible by m")

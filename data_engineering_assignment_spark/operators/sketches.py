@@ -70,9 +70,11 @@ def cms_sketch(
 
 def bloom_position(rh: Column, i: int, m_bits: int) -> Column:
     """Probe-``i`` bit position of an item whose portable rolling hash is
-    ``rh`` — the same affine-permutation family as :func:`cms_bucket`, so
-    every position is reproducible in any engine."""
-    return ((F.lit(2 * i + 1) * rh + F.lit(7919 * i + 13)) % PORTABLE_MOD) % m_bits
+    ``rh`` — delegates to :func:`cms_bucket` so the portable
+    affine-permutation hash family has exactly ONE definition (a drift in
+    either family would silently desynchronize every SQL oracle that
+    inlines the constants)."""
+    return cms_bucket(rh, i, m_bits)
 
 
 def bloom_build(

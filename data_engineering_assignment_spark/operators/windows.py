@@ -264,10 +264,14 @@ def trailing_agg_bucketed(
     cost of an extra trailing sum is one more map-side accumulator, which
     is how the z-score query gets both power sums for free).
 
-    Output: df + (trail_n bigint, trail_sum decimal) columns for a string
-    ``value_col``; for a list, one ``trail_sum_<col>`` per column.
-    ``trail_n`` counts ROWS in the trailing range (the flat
-    ``F.count(F.lit(1)).over(...)``), including rows whose value is NULL.
+    Output: df + (trail_n bigint, trail_sum decimal, trail_nn bigint)
+    columns for a string ``value_col``; for a list, one ``trail_sum_<col>``
+    and one ``trail_nn_<col>`` per column. ``trail_n`` counts ROWS in the
+    trailing range (the flat ``F.count(F.lit(1)).over(...)``), including
+    rows whose value is NULL; ``trail_nn[_<col>]`` counts NON-NULL values
+    (the flat ``F.count(col).over(...)`` / SQL ``COUNT(value) OVER``) and
+    rides the same decomposition — use it wherever the consumer's oracle
+    counts values, not rows (the z-score gate).
     """
     from pyspark.sql import Window
 
@@ -299,6 +303,7 @@ def trailing_agg_bucketed(
     # per-(key, bucket) partial aggregates — map-side combinable
     bsums = e.groupBy(key_col, "_b").agg(
         *[F.sum(f"_v{j}").alias(f"_bs{j}") for j in vr],
+        *[F.count(f"_v{j}").alias(f"_bq{j}") for j in vr],
         F.count(F.lit(1)).alias("_bn"),
     )
     # middle: full buckets [b - n_buckets + 1, b - 1], range frame over the
@@ -315,6 +320,10 @@ def trailing_agg_bucketed(
             F.coalesce(F.sum(f"_bs{j}").over(wmid), F.lit(0).cast(DEC)).alias(f"_ms{j}")
             for j in vr
         ],
+        *[
+            F.coalesce(F.sum(f"_bq{j}").over(wmid), F.lit(0)).alias(f"_mq{j}")
+            for j in vr
+        ],
         F.coalesce(F.sum("_bn").over(wmid), F.lit(0)).alias("_mn"),
     )
     # tail: same-bucket rows with ts <= t (range frame includes ties, same
@@ -327,6 +336,7 @@ def trailing_agg_bucketed(
     tailed = e
     for j in vr:
         tailed = tailed.withColumn(f"_ts{j}", F.sum(f"_v{j}").over(wtail))
+        tailed = tailed.withColumn(f"_tq{j}", F.count(f"_v{j}").over(wtail))
     tailed = tailed.withColumn("_tn", F.count(F.lit(1)).over(wtail))
     # head: rows of bucket b - n_buckets inside the range start; _hm is the
     # match marker so the count keeps row semantics even for NULL values
@@ -351,22 +361,33 @@ def trailing_agg_bucketed(
                 F.coalesce(F.sum(f"_hv{j}"), F.lit(0).cast(DEC)).alias(f"_hs{j}")
                 for j in vr
             ],
+            *[F.count(f"_hv{j}").alias(f"_hq{j}") for j in vr],
             F.count("_hm").alias("_hn"),
         )
     )
     out = with_head.join(mids, [key_col, "_b"], "left")
-    for j, name in enumerate(sums):
+    nns = ["trail_nn"] if single else [f"trail_nn_{c}" for c in vcols]
+    # non-null counts first: the sums below need them for SQL skip-NULL
+    # semantics (SUM over a frame is NULL only when EVERY value is NULL;
+    # a NULL tail-bucket partial must not poison a frame that has values
+    # in its middle/head pieces)
+    for j, name in enumerate(nns):
         out = out.withColumn(
             name,
-            F.col(f"_ts{j}")
-            + F.coalesce(F.col(f"_ms{j}"), F.lit(0).cast(DEC))
-            + F.col(f"_hs{j}"),
+            F.col(f"_tq{j}") + F.coalesce(F.col(f"_mq{j}"), F.lit(0)) + F.col(f"_hq{j}"),
         )
+    for j, name in enumerate(sums):
+        total = (
+            F.coalesce(F.col(f"_ts{j}"), F.lit(0).cast(DEC))
+            + F.coalesce(F.col(f"_ms{j}"), F.lit(0).cast(DEC))
+            + F.col(f"_hs{j}")
+        )
+        out = out.withColumn(name, F.when(F.col(nns[j]) > 0, total))
     out = out.withColumn(
         "trail_n",
         F.col("_tn") + F.coalesce(F.col("_mn"), F.lit(0)) + F.col("_hn"),
     )
     drop = ["_b", "_rid", "_tn", "_hn", "_mn"] + [
-        f"_{p}{j}" for j in vr for p in ("v", "ts", "hs", "ms")
+        f"_{p}{j}" for j in vr for p in ("v", "ts", "hs", "ms", "tq", "hq", "mq")
     ]
     return out.drop(*drop)

@@ -632,7 +632,10 @@ def events_anomaly_zscore_bucketed(spark: SparkSession, sf_dir: str) -> DataFram
         value_col=["value", "v2"], n_buckets=60,
     )
     v = F.col("value")
-    n = F.col("trail_n")
+    # non-null value count, NOT trail_n (row count): the shared oracle and
+    # the flat query use COUNT(value) OVER — identical while events.value
+    # has no NULLs, divergent the day one appears
+    n = F.col("trail_nn_value")
     s1 = F.col("trail_sum_value").cast("double")
     s2 = F.col("trail_sum_v2").cast("double")
     nd = n.cast("double")

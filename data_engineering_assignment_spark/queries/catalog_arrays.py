@@ -470,8 +470,10 @@ def _pq_oracle(dim: int = 64, m: int = 32, n_codes: int = 16, k: int = 5,
 WITH v AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings
 ), nv AS (
+  -- zero-norm guard mirrors the Spark twin (divide by 1, keep the zeros)
   SELECT vec_id,
-         list_transform(e, x -> x / sqrt(list_sum(list_transform(e, y -> y * y)))) AS e
+         list_transform(e, x -> x / (CASE WHEN sqrt(list_sum(list_transform(e, y -> y * y))) = 0
+                                          THEN 1 ELSE sqrt(list_sum(list_transform(e, y -> y * y))) END)) AS e
   FROM v
 ), seeds AS (
   SELECT vec_id, e, (vec_id * 2654435761) % 4294967296 AS h

@@ -319,3 +319,48 @@ def test_trailing_agg_bucketed_multi_value_columns(spark):
         ).collect()
     }
     assert flat == got
+
+
+def test_trailing_agg_bucketed_null_values(spark):
+    """trail_nn must equal the flat COUNT(value) OVER (non-null values
+    only) while trail_n keeps row semantics — the z-score oracle counts
+    VALUES, so NULL rows must not widen its n (r6 advice: latent oracle
+    divergence if events.value ever carries NULLs)."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from data_engineering_assignment_spark.operators.aggregates import DEC
+    from data_engineering_assignment_spark.operators.windows import (
+        trailing_agg_bucketed,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        (
+            i,
+            "k%d" % (i % 2),
+            rng.randrange(0, 9000),
+            None if rng.random() < 0.3 else round(rng.uniform(0, 9), 2),
+        )
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts_s long, value double"
+    )
+    flat_w = Window.partitionBy("event_type").orderBy("ts_s").rangeBetween(-3599, 0)
+    flat = {
+        r["event_id"]: (r["s"], r["n_rows"], r["n_vals"])
+        for r in df.select(
+            "event_id",
+            F.sum(F.col("value").cast(DEC)).over(flat_w).alias("s"),
+            F.count(F.lit(1)).over(flat_w).alias("n_rows"),
+            F.count("value").over(flat_w).alias("n_vals"),
+        ).collect()
+    }
+    got = {
+        r["event_id"]: (r["trail_sum"], r["trail_n"], r["trail_nn"])
+        for r in trailing_agg_bucketed(df, 3600, n_buckets=60).collect()
+    }
+    assert flat == got
