@@ -144,6 +144,39 @@ def run_query(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def contention_markers() -> tuple[float, float]:
+    """(single-thread, multi-thread) CPU markers, seconds (min of 2 reps).
+
+    The box suffers intermittent host-level contention (r4, r6 episodes:
+    solo totals swung 1.3-2x with untouched queries moving uniformly).
+    The discriminator: a single-threaded marker holds constant under
+    parallel-throughput contention (it shifts only if this core itself
+    slows), while a multi-threaded BLAS matmul swings with whatever else
+    is stealing cores. Embedding both in every bench artifact answers
+    "is this total real?" mechanically instead of burning a day on
+    re-measurement archaeology (r6 postmortem). Reference fast values on
+    this box: st ~0.08s, mt ~0.28s; an mt reading 2x+ its standing value
+    with st flat means the TOTAL is contended and per-query comparisons
+    should be read against the best solo run, not this one.
+    """
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    a = rng.random((2048, 2048))
+    st = mt = float("inf")
+    for _ in range(2):
+        # single-thread: element-wise sort (no BLAS threading)
+        x = a.ravel().copy()
+        t0 = time.perf_counter()
+        np.sort(x)
+        st = min(st, time.perf_counter() - t0)
+        # multi-thread: BLAS matmul (uses every core it can get)
+        t0 = time.perf_counter()
+        a @ a
+        mt = min(mt, time.perf_counter() - t0)
+    return round(st, 3), round(mt, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -173,6 +206,7 @@ def main() -> None:
     # plan cost (a query measuring 1.3s one-shot re-measures 0.25s steady-
     # state). clearCache between passes keeps both passes full executions
     # for the queries that cache() an intermediate.
+    mk_pre = contention_markers()
     timings: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
@@ -183,6 +217,13 @@ def main() -> None:
             spark.catalog.clearCache()
         timings[name] = round(best, 3)
     total = round(sum(timings.values()), 3)
+    mk_post = contention_markers()
+    # [pre_run, post_run] for each marker: contention that starts or stops
+    # mid-bench shows as pre/post disagreement
+    markers = {
+        "marker_st": [mk_pre[0], mk_post[0]],
+        "marker_mt": [mk_pre[1], mk_post[1]],
+    }
     full_line = json.dumps(
         {
             "metric": "headline_queries_total_wall",
@@ -190,6 +231,7 @@ def main() -> None:
             "unit": "sec",
             "queries": timings,
             "sf": sf,
+            **markers,
         },
         separators=(",", ":"),
     )
@@ -207,6 +249,7 @@ def main() -> None:
             "n_queries": len(timings),
             "queries": slowest,
             "full": "BENCH_LOCAL.json",
+            **markers,
         },
         separators=(",", ":"),
     )
