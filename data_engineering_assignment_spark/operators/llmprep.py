@@ -262,19 +262,31 @@ def quality_percentile_gate(
 
     ``id_col`` is kept for API compatibility: the rank tiebreak affects
     which tied ROWS are kept, but not any of the outputs, which are
-    tie-invariant. NULL-quality documents are excluded up front — from
-    ``n_docs``, the cut computation, and the kept set (the old window
-    formulation's MIN skipped NULLs implicitly; without the filter a NULL
-    bucket could absorb the target rank and then silently drop out of the
-    resolve join). Output: (group, n_docs, n_kept, min_kept_quality)."""
-    df = df.filter(F.col(quality_col).isNotNull())
+    tie-invariant. NULL-quality documents are excluded — from ``n_docs``,
+    the cut computation, and the kept set (the old window formulation's
+    MIN skipped NULLs implicitly; unexcluded, a NULL bucket could absorb
+    the target rank and then silently drop out of the resolve join). The
+    exclusion happens on the AGGREGATED histogram (drop the NULL bucket),
+    not as a corpus-level pre-filter: ``quality_col`` is typically an
+    expensive derived expression (with_text_stats inlines token splits),
+    and a separate Filter operator evaluates it once more per row on top
+    of the projection — codegen subexpression elimination shares the
+    evaluation within one Project, but not across Filter + Project (the
+    r6 pre-filter measured ~1.8x on the catalog query; probed solo,
+    uncontended). The resolve join on ``_qb`` drops NULL rows for free
+    (equi-join never matches NULL). Output: (group, n_docs, n_kept,
+    min_kept_quality)."""
     bw = F.lit(float(bucket_width))
     e = df.select(
         F.col(group_col).alias("_g"),
         F.col(quality_col).alias("_q"),
         F.floor(F.col(quality_col) / bw).alias("_qb"),
     )
-    hist = e.groupBy("_g", "_qb").agg(F.count(F.lit(1)).alias("_bc"))
+    hist = (
+        e.groupBy("_g", "_qb")
+        .agg(F.count(F.lit(1)).alias("_bc"))
+        .filter(F.col("_qb").isNotNull())
+    )
     wdesc = (
         Window.partitionBy("_g")
         .orderBy(F.col("_qb").desc())
