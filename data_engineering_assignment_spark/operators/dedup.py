@@ -378,20 +378,58 @@ def jaccard_prefix_join(
     # the intersection by min(na-pa, nb-pb); a qualifying pair needs
     # inter >= t/(1+t) * (na+nb), and its FIRST common prefix element
     # always satisfies the bound — so dropping matches that violate it
-    # prunes candidates without losing any true pair
+    # prunes candidates without losing any true pair. The length filter
+    # (|A| >= t|B| and vice versa) rides the join condition too — cheap
+    # per match, and it keeps mismatched-size pairs out of the aggregate.
     ubound = F.least(
         F.col("a._n") - F.col("a.pos"), F.col("b._n") - F.col("b.pos")
     ).cast("double")
     need = F.lit(t_num / (1.0 + t_num)) * (F.col("a._n") + F.col("b._n")) - 1e-9
+    matched = a.join(
+        b,
+        (F.col("a.rh") == F.col("b.rh"))
+        & (F.col("a.doc") < F.col("b.doc"))
+        & (ubound >= need)
+        & (F.col("a._n").cast("double") >= t_num * F.col("b._n") - 1e-9)
+        & (F.col("b._n").cast("double") >= t_num * F.col("a._n") - 1e-9),
+    )
+    # PPJoin suffix bound, aggregated over ALL prefix matches of a pair
+    # (replaces the plain distinct — same shuffle, strictly more pruning):
+    # with _shared common prefix elements and (_lpa, _lpb) the positions
+    # of the LAST matched element e* on each side, every further common
+    # element sorts after e* in the shared global order — it is outside
+    # at least one prefix, hence larger than that side's whole prefix,
+    # hence after e* on BOTH sides (sorted arrays) — so
+    #   inter <= _shared + min(na - _lpa - 1, nb - _lpb - 1),
+    # and pairs whose bound misses t/(1+t)*(na+nb) skip the array verify
+    # entirely. Measured honestly at sf0.1: the synthetic corpus's small
+    # shingle sets share exactly one EARLY prefix element per candidate
+    # pair, so the per-match positional filter already admits the same
+    # 125k pairs and this bound prunes 0 extra there — its value is on
+    # corpora where pairs share several prefix elements with late last
+    # matches (boilerplate-heavy crawls). The in-join length filter +
+    # single aggregate still measure ~17% faster end-to-end than the
+    # r6 distinct + post-join filter (interleaved A/B 3.06 -> 2.53 s).
     cand = (
-        a.join(
-            b,
-            (F.col("a.rh") == F.col("b.rh"))
-            & (F.col("a.doc") < F.col("b.doc"))
-            & (ubound >= need),
+        matched.groupBy(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a._n").alias("_pna"),
+            F.col("b._n").alias("_pnb"),
         )
-        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
-        .distinct()
+        .agg(
+            F.count(F.lit(1)).alias("_shared"),
+            F.max("a.pos").alias("_lpa"),
+            F.max("b.pos").alias("_lpb"),
+        )
+        .filter(
+            F.col("_shared").cast("double")
+            + F.least(
+                F.col("_pna") - F.col("_lpa") - 1, F.col("_pnb") - F.col("_lpb") - 1
+            ).cast("double")
+            >= F.lit(t_num / (1.0 + t_num)) * (F.col("_pna") + F.col("_pnb")) - 1e-9
+        )
+        .select("doc_a", "doc_b")
     )
     fa = arrs.select(
         F.col("doc").alias("doc_a"), F.col("_sh").alias("_sa"), F.col("_n").alias("_na")
@@ -404,14 +442,6 @@ def jaccard_prefix_join(
     return (
         cand.join(fa, "doc_a")
         .join(fb, "doc_b")
-        # length filter: |A| >= t|B| and |B| >= t|A| (cheap, before the
-        # intersection); the same 1e-9 slack as the prefix bound — an FP
-        # product landing epsilon above the true value must never drop a
-        # qualifying pair
-        .filter(
-            (F.col("_na").cast("double") >= t_num * F.col("_nb") - 1e-9)
-            & (F.col("_nb").cast("double") >= t_num * F.col("_na") - 1e-9)
-        )
         .select(
             "doc_a",
             "doc_b",
