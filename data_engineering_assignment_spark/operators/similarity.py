@@ -518,6 +518,174 @@ def ivf_topk_portable(
     )
 
 
+def semantic_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.4,
+    n_centroids: int = 16,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 4,
+    centroids=None,
+) -> DataFrame:
+    """SemDeDup-style semantic duplicate pairs (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication"): cluster embeddings into ``n_centroids`` spherical
+    k-means cells, then emit within-cell pairs with rounded cosine >=
+    ``threshold`` — cross-cell duplicates are deliberately out of scope
+    (the paper's trade: the quadratic all-pairs scan shrinks to per-cell
+    scans, and semantically-close points overwhelmingly co-locate).
+
+    Production path: :func:`kmeans_centroids` training (``n_iter`` Lloyd
+    rounds; deterministic farthest-point seeding) + one narrow numpy
+    argmax assignment pass per row, then a cell-keyed self-join. The
+    assignment table is localCheckpointed before the self-join (it feeds
+    both sides — without it the mapInPandas assignment subtree executes
+    twice) and BOTH aliases carry SHUFFLE_HASH (the _bucket_self_join
+    discipline: Catalyst must never broadcast the assigned corpus).
+
+    Scale: the join is an equi-join on cell id — linear shuffle,
+    AQE-skew-splittable — but work within a cell is quadratic in cell
+    occupancy, so ``n_centroids`` must grow with the corpus to keep cells
+    bounded (SemDeDup uses 11k clusters for LAION-440M; occupancy
+    N/n_centroids is the knob, exactly the LSH bucket-width discipline).
+
+    ``centroids`` injects a precomputed (k x dim) matrix (parity tests);
+    ``n_iter=0`` uses the hash-sample seeds unrefined.
+    Output: (id_a, id_b, cell, sim), id_a < id_b, sim >= threshold.
+    """
+    spark = corpus.sparkSession
+    c_prep = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vec")
+    )
+    if centroids is not None:
+        cents = centroids
+    elif n_iter > 0:
+        cents = kmeans_centroids(corpus, n_centroids, n_iter, id_col=id_col, vec_col=vec_col)
+    else:
+        cents = _seed_centroids(c_prep, n_centroids)
+    b_cents = spark.sparkContext.broadcast(cents)
+    assigned = c_prep.mapInPandas(_cell_mapper(b_cents, 1), _VEC_SCHEMA).localCheckpoint(
+        eager=True
+    )
+    a = assigned.alias("a").hint("shuffle_hash")
+    b = assigned.alias("b").hint("shuffle_hash")
+    sim = F.round(cosine(F.col("a.vec"), F.col("b.vec")), scale)
+    return (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.cell").alias("cell"),
+            sim.alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )
+
+
+def portable_cells(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SQL-expressible cell assignment: Knuth-hash seed centroids (the
+    ivf_topk_portable seeding), argmax cosine via order-pinned JVM folds,
+    ties broken by cell index. Returns (id, vec, cell), eagerly
+    materialized — every consumer (pair self-join sides, occupancy counts)
+    would otherwise re-execute the n_centroids-fold assignment fan-out."""
+    c_prep = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vec")
+    )
+    h = (F.col("id") * F.lit(2654435761)) % F.lit(4294967296)
+    seeds = (
+        c_prep.select("id", "vec", h.alias("h")).orderBy("h", "id").limit(n_centroids)
+    )
+    w_seed = Window.orderBy("h", "id")  # n_centroids rows: single task is fine
+    cents = seeds.select(
+        (F.row_number().over(w_seed) - 1).alias("cell"), F.col("vec").alias("cent")
+    )
+    aw = Window.partitionBy("id").orderBy(F.desc("_cs"), F.asc("cell"))
+    return (
+        c_prep.crossJoin(F.broadcast(cents))
+        .withColumn("_cs", cosine(F.col("vec"), F.col("cent")))
+        .withColumn("_rn", F.row_number().over(aw))
+        .filter(F.col("_rn") == 1)
+        .select("id", "vec", "cell")
+        .localCheckpoint(eager=True)
+    )
+
+
+def semantic_dup_pairs_portable(
+    corpus: DataFrame,
+    threshold: float = 0.4,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 4,
+) -> DataFrame:
+    """SQL-expressible twin of :func:`semantic_dup_pairs` (the
+    ivf_topk_portable discipline): Knuth-hash centroid seeding, no Lloyd
+    refinement, assignment by argmax cosine over the broadcast seed rows
+    via order-pinned JVM folds — every step reproducible bit-for-bit in
+    DuckDB, so the within-cell pair set is exact-oracle-checkable. The
+    per-id assignment window fans each row ``n_centroids``-fold — fine at
+    oracle scale; production uses the narrow numpy pass.
+
+    Output: (id_a, id_b, cell, sim), id_a < id_b, sim >= threshold.
+    """
+    assigned = portable_cells(corpus, n_centroids, id_col=id_col, vec_col=vec_col)
+    a = assigned.alias("a").hint("shuffle_hash")
+    b = assigned.alias("b").hint("shuffle_hash")
+    sim = F.round(cosine(F.col("a.vec"), F.col("b.vec")), scale)
+    return (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.cell").alias("cell"),
+            sim.alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )
+
+
+def semantic_survivor_stats(pairs: DataFrame, assigned_counts: DataFrame) -> DataFrame:
+    """Per-cell SemDeDup keep/drop accounting from a duplicate-pair table.
+
+    Keep rule (deterministic, SQL-expressible): a point is DROPPED iff it
+    has a duplicate neighbor with a smaller id — the min-id variant of
+    SemDeDup's keep-one-per-ball (the paper keeps the point with lowest
+    centroid similarity; min-id is the engine's standard survivor tiebreak,
+    cf. dedup.py survivor selection). Dropped ids are exactly the distinct
+    ``id_b`` values of the (id_a < id_b) pair table, computed per cell with
+    one aggregation — no window, no iteration.
+
+    ``assigned_counts``: (cell, n_points) — per-cell occupancy from the
+    assignment. Output: (cell, n_points, n_dup_pairs, n_dropped, n_kept).
+    """
+    per_cell = pairs.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_dup_pairs"),
+        F.count_distinct(F.col("id_b")).alias("n_dropped"),
+    )
+    return (
+        assigned_counts.join(per_cell, "cell", "left")
+        .select(
+            "cell",
+            "n_points",
+            F.coalesce("n_dup_pairs", F.lit(0)).alias("n_dup_pairs"),
+            F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
+            (F.col("n_points") - F.coalesce("n_dropped", F.lit(0))).alias("n_kept"),
+        )
+    )
+
+
 def _hyperplane(dim: int, plane: int, seed: int = 42) -> list[float]:
     """Deterministic pseudo-random unit-free hyperplane (pure function of
     (plane, dim, seed) — same on every executor, no RNG state)."""

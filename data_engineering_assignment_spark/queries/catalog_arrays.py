@@ -530,3 +530,184 @@ def cosine_topk_pq_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return pq_topk_portable(emb, queries, k=5, m=32, n_codes=16, dim=64)
+
+
+def _semdedup_cells_cte(dim: int = 64, n_centroids: int = 16) -> str:
+    """Shared CTE chain for the SemDeDup oracles: Knuth-hash seed centroids
+    + pinned-fold argmax assignment (the _ivf_oracle skeleton), ending in
+    cells(vec_id, e, cell)."""
+    cos = (
+        "list_sum(list_transform(range(1, {d}), i -> {a}[i] * {b}[i]))"
+        " / sqrt(list_sum(list_transform({a}, x -> x * x))"
+        " * list_sum(list_transform({b}, x -> x * x)))"
+    )
+    assign_cos = cos.format(d=dim + 1, a="v.e", b="c.cent")
+    return f"""
+v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings
+), seeds AS (
+  SELECT vec_id, e, (vec_id * 2654435761) % 4294967296 AS h
+  FROM v ORDER BY h, vec_id LIMIT {n_centroids}
+), cents AS (
+  SELECT (ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1)::INT AS cell, e AS cent FROM seeds
+), ca AS (
+  SELECT v.vec_id, v.e, c.cell,
+         ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                            ORDER BY {assign_cos} DESC, c.cell ASC) AS rn
+  FROM v CROSS JOIN cents c
+), cells AS (
+  SELECT vec_id, e, cell FROM ca WHERE rn = 1
+)"""
+
+
+_SEMDEDUP_PAIR_COS = (
+    "list_sum(list_transform(range(1, 65), i -> a.e[i] * b.e[i]))"
+    " / sqrt(list_sum(list_transform(a.e, x -> x * x))"
+    " * list_sum(list_transform(b.e, x -> x * x)))"
+)
+
+
+def _semdedup_oracle(t: float = 0.4, scale: int = 4) -> str:
+    return f"""
+WITH {_semdedup_cells_cte()}
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cell AS cell,
+       ROUND({_SEMDEDUP_PAIR_COS}, {scale}) AS sim
+FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+WHERE ROUND({_SEMDEDUP_PAIR_COS}, {scale}) >= {t}
+"""
+
+
+@register(
+    "dedup_semantic",
+    oracle=_semdedup_oracle(),
+    doc="SemDeDup-style semantic dedup (Abbas et al. 2023), oracle-gated "
+    "via the portable twin (operators/similarity.semantic_dup_pairs_"
+    "portable): embeddings bucketed into 16 Knuth-seeded spherical cells, "
+    "within-cell pairs with rounded cosine >= 0.4 emitted by a cell-keyed "
+    "self-join (SHUFFLE_HASH both sides, never all-pairs; quadratic only "
+    "in cell occupancy, which n_centroids bounds at scale). The "
+    "production path (semantic_dup_pairs: k-means training + narrow numpy "
+    "assignment) is set-parity-tested against this twin in "
+    "tests/test_similarity.py.",
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import semantic_dup_pairs_portable
+
+    emb = load(spark, sf_dir, "embeddings")
+    return semantic_dup_pairs_portable(emb, threshold=0.4, n_centroids=16)
+
+
+_SEMDEDUP_SURV_ORACLE = f"""
+WITH {_semdedup_cells_cte()}, pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cell AS cell
+  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE ROUND({_SEMDEDUP_PAIR_COS}, 4) >= 0.4
+), occ AS (
+  SELECT cell, COUNT(*) AS n_points FROM cells GROUP BY cell
+), pc AS (
+  SELECT cell, COUNT(*) AS n_dup_pairs, COUNT(DISTINCT id_b) AS n_dropped
+  FROM pairs GROUP BY cell
+)
+SELECT o.cell, o.n_points,
+       COALESCE(pc.n_dup_pairs, 0) AS n_dup_pairs,
+       COALESCE(pc.n_dropped, 0) AS n_dropped,
+       o.n_points - COALESCE(pc.n_dropped, 0) AS n_kept
+FROM occ o LEFT JOIN pc USING (cell)
+"""
+
+
+@register(
+    "dedup_semantic_survivors",
+    oracle=_SEMDEDUP_SURV_ORACLE,
+    doc="SemDeDup keep/drop accounting per cell: a point is dropped iff it "
+    "has a smaller-id duplicate neighbor (the min-id variant of the "
+    "paper's keep-one-per-ball; dropped ids = distinct id_b of the pair "
+    "table — one aggregation, no window). Output is tie-invariant: "
+    "(cell, n_points, n_dup_pairs, n_dropped, n_kept).",
+)
+def dedup_semantic_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import (
+        portable_cells,
+        semantic_survivor_stats,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    cells = portable_cells(emb, n_centroids=16)
+    a = cells.alias("a").hint("shuffle_hash")
+    b = cells.alias("b").hint("shuffle_hash")
+    from ..operators.similarity import cosine
+
+    sim = F.round(cosine(F.col("a.vec"), F.col("b.vec")), 4)
+    pairs = (
+        a.join(b, (F.col("a.cell") == F.col("b.cell")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.cell").alias("cell"),
+            sim.alias("sim"),
+        )
+        .filter(F.col("sim") >= 0.4)
+    )
+    occ = cells.groupBy("cell").agg(F.count(F.lit(1)).alias("n_points"))
+    return semantic_survivor_stats(pairs, occ)
+
+
+_SEM_RECALL_ORACLE = f"""
+WITH sem AS ({_semdedup_oracle()}), ex AS ({_NEAR_DUP_ORACLE}), s AS (
+  SELECT (SELECT COUNT(*) FROM sem) AS n_sem,
+         (SELECT COUNT(*) FROM ex) AS n_exact,
+         (SELECT COUNT(*) FROM sem a
+          JOIN ex e ON a.id_a = e.id_a AND a.id_b = e.id_b) AS n_found
+)
+SELECT n_sem, n_exact, n_found,
+       CASE WHEN n_exact > 0 THEN
+         ROUND(CAST(CAST(n_found AS DOUBLE) / CAST(n_exact AS DOUBLE)
+               AS DECIMAL(27,8)), 4)::DOUBLE
+       END AS recall
+FROM s
+"""
+
+
+@register(
+    "semantic_recall_telemetry",
+    oracle=_SEM_RECALL_ORACLE,
+    doc="SemDeDup recall telemetry vs the embedding_near_dup exact truth: "
+    "one row of (n_sem, n_exact, n_found, recall) comparing the 16-cell "
+    "within-cell pair set against exact all-pairs cosine >= 0.4 — the "
+    "measured cost of the paper's cross-cell blindness at this cell "
+    "count. Both legs and the recall division have exact SQL twins, so "
+    "the telemetry itself is oracle-gated (the ivf_recall_telemetry "
+    "pattern).",
+)
+def semantic_recall_telemetry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import cosine_pairs_grouped, semantic_dup_pairs_portable
+
+    emb = load(spark, sf_dir, "embeddings")
+    sem = (
+        semantic_dup_pairs_portable(emb, threshold=0.4, n_centroids=16)
+        .select("id_a", "id_b")
+        .withColumn("_c", F.lit(1))
+    )
+    exact = (
+        cosine_pairs_grouped(emb, threshold=0.4)
+        .select("id_a", "id_b")
+        .withColumn("_t", F.lit(1))
+    )
+    both = sem.join(exact, ["id_a", "id_b"], "full_outer")
+    return both.agg(
+        F.count("_c").alias("n_sem"),
+        F.count("_t").alias("n_exact"),
+        F.count(
+            F.when(F.col("_c").isNotNull() & F.col("_t").isNotNull(), 1)
+        ).alias("n_found"),
+    ).select(
+        "n_sem",
+        "n_exact",
+        "n_found",
+        F.when(
+            F.col("n_exact") > 0,
+            dround(
+                F.col("n_found").cast("double") / F.col("n_exact").cast("double"), 4
+            ),
+        ).alias("recall"),
+    )

@@ -333,3 +333,104 @@ def test_pq_production_matches_portable_twin(spark, sf_dir):
     for r in pq_topk_portable(emb, queries, k=5, m=32, n_codes=16, dim=64).collect():
         twin.setdefault(r["query_id"], set()).add(r["neighbor_id"])
     assert fast == twin
+
+
+def test_semantic_production_matches_portable_twin(spark, sf_dir):
+    """semantic_dup_pairs fed the SAME centroids as the portable twin must
+    emit the same (id_a, id_b, cell) pair set — the numpy argmax assignment
+    and the pinned-fold assignment may differ only in last-ulp sims, so
+    assert set parity on pairs and approx-equality on sims (the pq twin
+    discipline)."""
+    import numpy as np
+
+    from data_engineering_assignment_spark.operators.similarity import (
+        _normed,
+        semantic_dup_pairs,
+        semantic_dup_pairs_portable,
+    )
+    from data_engineering_assignment_spark.tables import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    # the twin's Knuth-hash seed centroids, replicated for the production path
+    h_rows = (
+        emb.select(
+            F.col("vec_id").alias("id"),
+            F.col("embedding").cast("array<double>").alias("vec"),
+            ((F.col("vec_id") * F.lit(2654435761)) % F.lit(4294967296)).alias("h"),
+        )
+        .orderBy("h", "id")
+        .limit(16)
+        .collect()
+    )
+    cents = _normed(np.array([r["vec"] for r in h_rows], dtype=np.float64))
+    prod = {
+        (r["id_a"], r["id_b"], r["cell"]): r["sim"]
+        for r in semantic_dup_pairs(emb, threshold=0.4, centroids=cents).collect()
+    }
+    twin = {
+        (r["id_a"], r["id_b"], r["cell"]): r["sim"]
+        for r in semantic_dup_pairs_portable(emb, threshold=0.4, n_centroids=16).collect()
+    }
+    assert set(prod) == set(twin)
+    assert prod  # non-trivial fixture: some duplicates exist
+    for k in prod:
+        assert prod[k] == pytest.approx(twin[k], abs=1e-4)
+
+
+def test_semantic_pairs_are_within_cell_restriction_of_exact(spark, sf_dir):
+    """Within-cell pairs must be exactly the cell-equality restriction of
+    the exact all-pairs set at the same threshold: no pair invented, and
+    every same-cell exact pair found (the SemDeDup trade is cross-cell
+    blindness, nothing else)."""
+    from data_engineering_assignment_spark.operators.similarity import (
+        cosine,
+        portable_cells,
+        semantic_dup_pairs_portable,
+    )
+    from data_engineering_assignment_spark.tables import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in semantic_dup_pairs_portable(emb, threshold=0.4, n_centroids=16).collect()
+    }
+    cells = {r["id"]: r["cell"] for r in portable_cells(emb, 16).collect()}
+    n = emb.select(F.col("vec_id").alias("id"), F.col("embedding").cast("array<double>").alias("vec"))
+    a, b = n.alias("a"), n.alias("b")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cosine(F.col("a.vec"), F.col("b.vec")), 4).alias("sim"),
+        )
+        .filter(F.col("sim") >= 0.4)
+        .collect()
+    }
+    want = {(x, y) for (x, y) in exact if cells[x] == cells[y]}
+    assert got == want
+
+
+def test_semantic_survivor_stats_rule(spark):
+    """Min-id survivor accounting on a hand-built pair table: drops are
+    distinct id_b per cell, kept = occupancy - drops."""
+    from data_engineering_assignment_spark.operators.similarity import (
+        semantic_survivor_stats,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2, 0, 0.9), (1, 3, 0, 0.8), (2, 3, 0, 0.85), (10, 11, 1, 0.7)],
+        "id_a long, id_b long, cell int, sim double",
+    )
+    occ = spark.createDataFrame(
+        [(0, 5), (1, 3), (2, 4)], "cell int, n_points long"
+    )
+    got = {
+        r["cell"]: (r["n_points"], r["n_dup_pairs"], r["n_dropped"], r["n_kept"])
+        for r in semantic_survivor_stats(pairs, occ).collect()
+    }
+    # cell 0: ids 2 and 3 each have a smaller-id dup neighbor -> 2 dropped
+    assert got[0] == (5, 3, 2, 3)
+    assert got[1] == (3, 1, 1, 2)
+    assert got[2] == (4, 0, 0, 4)  # no pairs: zero-filled
