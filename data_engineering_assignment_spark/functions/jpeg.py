@@ -1,0 +1,379 @@
+"""Dependency-free baseline JPEG codec (grayscale, single component).
+
+The multimodal surface treats JPEG as a first-class image format
+(reference parity: Assignment-python.py:710-716 consumes Spark's ``image``
+source, whose real-world corpus is mostly JPEG), but this container ships
+neither PIL nor ffmpeg. Instead of leaving the JPEG hook forever untested,
+this module implements the baseline sequential DCT process from the public
+JPEG specification (ITU-T T.81 / ISO 10918-1) for the 8-bit single-component
+(grayscale) case:
+
+* :func:`decode_jpeg_gray` — a REAL decoder: marker parse (SOI/DQT/SOF0/
+  DHT/SOS/EOI, unknown segments skipped), canonical Huffman tables built
+  from the file's own DHT, entropy decode with 0xFF00 un-stuffing, EXTEND
+  sign recovery (T.81 F.2.2.1), dequantize, de-zigzag, orthonormal 2-D
+  IDCT, level shift + clamp, edge-padding crop. It decodes any conformant
+  baseline grayscale JPEG, not just this module's own output.
+* :func:`encode_jpeg_gray` — the fixture generator: block DCT, Annex-K
+  luminance quantization, zigzag run-length + magnitude coding, and a
+  fixed-length canonical Huffman table (all DC categories at 4 bits, all
+  162 run/size symbols at 8 bits — valid JPEG, since the tables ride the
+  file's DHT segment and the all-ones code stays unused as T.81 requires).
+
+Color (multi-component, subsampled) JPEGs still route through the guarded
+PIL hook (:func:`multimodal.decode_image_pil`); this decoder raises
+``NotImplementedError`` for them rather than guessing.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------- tables
+
+# zigzag scan order (T.81 figure 5), generated: diagonal s = i + j walks
+# i-ascending when s is odd, i-descending when s is even
+_ZIGZAG: list[tuple[int, int]] = []
+for _s in range(15):
+    _rng = range(0, _s + 1) if _s % 2 == 1 else range(_s, -1, -1)
+    for _i in _rng:
+        _j = _s - _i
+        if _i < 8 and _j < 8:
+            _ZIGZAG.append((_i, _j))
+
+# Annex K.1 luminance quantization table (quality ~50), natural order
+_QTABLE = np.array(
+    [
+        [16, 11, 10, 16, 24, 40, 51, 61],
+        [12, 12, 14, 19, 26, 58, 60, 55],
+        [14, 13, 16, 24, 40, 57, 69, 56],
+        [14, 17, 22, 29, 51, 87, 80, 62],
+        [18, 22, 37, 56, 68, 109, 103, 77],
+        [24, 35, 55, 64, 81, 104, 113, 92],
+        [49, 64, 78, 87, 103, 121, 120, 101],
+        [72, 92, 95, 98, 112, 100, 103, 99],
+    ],
+    dtype=np.int32,
+)
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal DCT-II basis: A[u, x] = c(u) cos((2x+1)u pi / 16)."""
+    a = np.zeros((8, 8))
+    for u in range(8):
+        c = np.sqrt(1.0 / 8.0) if u == 0 else np.sqrt(2.0 / 8.0)
+        for x in range(8):
+            a[u, x] = c * np.cos((2 * x + 1) * u * np.pi / 16.0)
+    return a
+
+
+_A = _dct_matrix()
+
+# encoder Huffman tables: fixed-length canonical codes (see module doc).
+# DC: categories 0..11 at 4 bits; AC: EOB, ZRL and every (run, size) with
+# run 0..15, size 1..10 at 8 bits (162 symbols < 255, all-ones unused).
+_DC_SYMBOLS = list(range(12))
+_AC_SYMBOLS = [0x00, 0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+]
+
+
+def _canonical_codes(bits: list[int], symbols: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) per the T.81 canonical procedure."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[symbols[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+_DC_BITS = [0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 162, 0, 0, 0, 0, 0, 0, 0, 0]
+_DC_CODES = _canonical_codes(_DC_BITS, _DC_SYMBOLS)
+_AC_CODES = _canonical_codes(_AC_BITS, _AC_SYMBOLS)
+
+
+# ---------------------------------------------------------------- encoder
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self._acc = (self._acc << length) | (code & ((1 << length) - 1))
+        self._n += length
+        while self._n >= 8:
+            byte = (self._acc >> (self._n - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing (T.81 F.1.2.3)
+                self.out.append(0x00)
+            self._n -= 8
+            self._acc &= (1 << self._n) - 1
+
+    def flush(self) -> None:
+        if self._n:
+            pad = 8 - self._n
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits per spec
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(category, appended bits) for a DC diff / AC coefficient."""
+    if v == 0:
+        return 0, 0
+    s = abs(v).bit_length()
+    return (s, v) if v > 0 else (s, v + (1 << s) - 1)
+
+
+def encode_jpeg_gray(img: np.ndarray) -> bytes:
+    """Encode an (h, w) uint8 array as a baseline grayscale JPEG."""
+    img = np.asarray(img, dtype=np.uint8)
+    h, w = img.shape
+    if not (0 < h < 65536 and 0 < w < 65536):
+        raise ValueError("image dims out of JPEG range")
+    by, bx = -(-h // 8), -(-w // 8)
+    padded = np.pad(img, ((0, by * 8 - h), (0, bx * 8 - w)), mode="edge")
+
+    wtr = _BitWriter()
+    prev_dc = 0
+    for bj in range(by):
+        for bi in range(bx):
+            block = padded[bj * 8 : bj * 8 + 8, bi * 8 : bi * 8 + 8].astype(np.float64)
+            coef = _A @ (block - 128.0) @ _A.T
+            q = np.round(coef / _QTABLE).astype(np.int64)
+            zz = [int(q[i, j]) for (i, j) in _ZIGZAG]
+            s, bits = _magnitude(zz[0] - prev_dc)
+            prev_dc = zz[0]
+            code, length = _DC_CODES[s]
+            wtr.write(code, length)
+            if s:
+                wtr.write(bits, s)
+            run = 0
+            last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
+            for k in range(1, last_nz + 1):
+                if zz[k] == 0:
+                    run += 1
+                    continue
+                while run >= 16:
+                    c, ln = _AC_CODES[0xF0]  # ZRL
+                    wtr.write(c, ln)
+                    run -= 16
+                s, bits = _magnitude(zz[k])
+                c, ln = _AC_CODES[(run << 4) | s]
+                wtr.write(c, ln)
+                wtr.write(bits, s)
+                run = 0
+            if last_nz < 63:
+                c, ln = _AC_CODES[0x00]  # EOB
+                wtr.write(c, ln)
+    wtr.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    zz_q = bytes([0]) + bytes(int(_QTABLE[i, j]) for (i, j) in _ZIGZAG)
+    sof = struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
+    dht = (
+        bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_SYMBOLS)
+        + bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_SYMBOLS)
+    )
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    return (
+        b"\xff\xd8"
+        + seg(0xDB, zz_q)
+        + seg(0xC0, sof)
+        + seg(0xC4, dht)
+        + seg(0xDA, sos)
+        + bytes(wtr.out)
+        + b"\xff\xd9"
+    )
+
+
+# ---------------------------------------------------------------- decoder
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00 un-stuffing."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self._acc = 0
+        self._n = 0
+
+    def read_bit(self) -> int:
+        if self._n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG: entropy data truncated")
+            byte = self.data[self.pos]
+            self.pos += 1
+            if byte == 0xFF:
+                if self.pos >= len(self.data):
+                    raise ValueError("JPEG: entropy data truncated at 0xFF")
+                nxt = self.data[self.pos]
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed
+                else:
+                    raise ValueError(f"JPEG: unexpected marker 0xFF{nxt:02x} in scan")
+            self._acc = byte
+            self._n = 8
+        self._n -= 1
+        return (self._acc >> self._n) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _extend(r: int, s: int) -> int:
+    """T.81 F.2.2.1 sign extension of an s-bit magnitude field."""
+    if s == 0:
+        return 0
+    return r if r >= (1 << (s - 1)) else r - (1 << s) + 1
+
+
+def _huff_decode(rdr: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | rdr.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("JPEG: invalid Huffman code")
+
+
+def decode_jpeg_gray(content: bytes) -> np.ndarray:
+    """Decode a baseline single-component JPEG into an (h, w) uint8 array.
+
+    Raises ``NotImplementedError`` for progressive scans, multi-component
+    (color) images, 12-bit precision, or restart intervals — those route
+    through the PIL hook when available.
+    """
+    if content[:2] != b"\xff\xd8":
+        raise ValueError("JPEG: missing SOI")
+    qtables: dict[int, np.ndarray] = {}
+    # (class, id) -> {(length, code): symbol}
+    htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    h = w = 0
+    comp_q = 0
+    dc_id = ac_id = 0
+    pos = 2
+    while pos < len(content):
+        if content[pos] != 0xFF:
+            raise ValueError("JPEG: expected marker")
+        marker = content[pos + 1]
+        if marker == 0xD9:  # EOI before SOS
+            raise ValueError("JPEG: no scan data")
+        pos += 2
+        (seglen,) = struct.unpack_from(">H", content, pos)
+        payload = content[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT (possibly several tables)
+            p = 0
+            while p < len(payload):
+                pq, tq = payload[p] >> 4, payload[p] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("JPEG: 16-bit quant tables")
+                vals = payload[p + 1 : p + 65]
+                q = np.zeros((8, 8), dtype=np.int32)
+                for k, (i, j) in enumerate(_ZIGZAG):
+                    q[i, j] = vals[k]
+                qtables[tq] = q
+                p += 65
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise NotImplementedError("JPEG: only baseline sequential (SOF0)")
+        elif marker == 0xC0:  # SOF0
+            prec, h, w, ncomp = struct.unpack_from(">BHHB", payload, 0)
+            if prec != 8:
+                raise NotImplementedError("JPEG: only 8-bit precision")
+            if ncomp != 1:
+                raise NotImplementedError(
+                    "JPEG: only single-component (grayscale) baseline; "
+                    "color JPEGs need the PIL hook"
+                )
+            samp, comp_q = payload[7], payload[8]  # after id at payload[6]
+            if samp != 0x11:
+                raise NotImplementedError("JPEG: subsampling on 1 component")
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            p = 0
+            while p < len(payload):
+                tc, th = payload[p] >> 4, payload[p] & 0x0F
+                bits = list(payload[p + 1 : p + 17])
+                nsym = sum(bits)
+                symbols = list(payload[p + 17 : p + 17 + nsym])
+                table: dict[tuple[int, int], int] = {}
+                code = 0
+                k = 0
+                for length in range(1, 17):
+                    for _ in range(bits[length - 1]):
+                        table[(length, code)] = symbols[k]
+                        code += 1
+                        k += 1
+                    code <<= 1
+                htables[(tc, th)] = table
+                p += 17 + nsym
+        elif marker == 0xDD:  # DRI
+            (interval,) = struct.unpack_from(">H", payload, 0)
+            if interval:
+                raise NotImplementedError("JPEG: restart intervals")
+        elif marker == 0xDA:  # SOS — entropy data follows
+            ns = payload[0]
+            if ns != 1:
+                raise NotImplementedError("JPEG: interleaved scan")
+            dc_id, ac_id = payload[2] >> 4, payload[2] & 0x0F
+            pos += seglen
+            break
+        pos += seglen
+    else:
+        raise ValueError("JPEG: no SOS marker")
+    if h == 0 or w == 0:
+        raise ValueError("JPEG: SOS before SOF")
+    if comp_q not in qtables:
+        raise ValueError("JPEG: missing quantization table")
+    qt = qtables[comp_q].astype(np.float64)
+    dc_tab = htables.get((0, dc_id))
+    ac_tab = htables.get((1, ac_id))
+    if dc_tab is None or ac_tab is None:
+        raise ValueError("JPEG: missing Huffman table")
+
+    by, bx = -(-h // 8), -(-w // 8)
+    out = np.zeros((by * 8, bx * 8), dtype=np.float64)
+    rdr = _BitReader(content, pos)
+    prev_dc = 0
+    for bj in range(by):
+        for bi in range(bx):
+            zz = np.zeros(64, dtype=np.float64)
+            s = _huff_decode(rdr, dc_tab)
+            diff = _extend(rdr.read_bits(s), s)
+            prev_dc += diff
+            zz[0] = prev_dc
+            k = 1
+            while k < 64:
+                rs = _huff_decode(rdr, ac_tab)
+                if rs == 0x00:  # EOB
+                    break
+                if rs == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                k += rs >> 4
+                size = rs & 0x0F
+                if k > 63:
+                    raise ValueError("JPEG: AC index out of range")
+                zz[k] = _extend(rdr.read_bits(size), size)
+                k += 1
+            coef = np.zeros((8, 8), dtype=np.float64)
+            for idx, (i, j) in enumerate(_ZIGZAG):
+                coef[i, j] = zz[idx]
+            block = _A.T @ (coef * qt) @ _A
+            out[bj * 8 : bj * 8 + 8, bi * 8 : bi * 8 + 8] = block
+    return np.clip(np.round(out + 128.0), 0, 255).astype(np.uint8)[:h, :w]

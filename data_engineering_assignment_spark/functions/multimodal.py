@@ -258,9 +258,35 @@ def decode_image_pil(content: bytes) -> tuple[np.ndarray, dict]:
     return frames, {"width": w, "height": h, "channels": c, "n_frames": 1}
 
 
+def decode_image_jpeg(content: bytes) -> tuple[np.ndarray, dict]:
+    """JPEG → (frames, meta) in :func:`decode_png`'s BGRA shape. Baseline
+    single-component (grayscale) JPEGs decode via the dependency-free
+    T.81 decoder in :mod:`.jpeg` — gray replicated to B=G=R, alpha 255,
+    the same convention decode_png uses for PNG color type 0. Color /
+    progressive JPEGs fall through to the guarded PIL hook (real corpora
+    are mostly color; with PIL absent they raise its NotImplementedError
+    rather than guessing)."""
+    from .jpeg import decode_jpeg_gray
+
+    try:
+        gray = decode_jpeg_gray(content)
+    except NotImplementedError:
+        return decode_image_pil(content)
+    h, w = gray.shape
+    bgra = np.empty((h, w, 4), dtype=np.uint8)
+    bgra[:, :, 0] = bgra[:, :, 1] = bgra[:, :, 2] = gray
+    bgra[:, :, 3] = 255
+    return bgra.reshape(1, h, w, 4), {
+        "width": w,
+        "height": h,
+        "channels": 4,
+        "n_frames": 1,
+    }
+
+
 def decode_any(content: bytes) -> tuple[np.ndarray, dict]:
-    """Magic-byte dispatch: RAWM container, PNG and WAV natively (all
-    dependency-free), JPEG via the guarded PIL hook. Other formats raise
+    """Magic-byte dispatch: RAWM container, PNG, WAV and baseline grayscale
+    JPEG natively (all dependency-free; color JPEG needs PIL). Other formats raise
     ``NotImplementedError``. WAV rows report (n_samples, n_channels) via
     the frame fields: width=n_samples, height=1, channels=n_channels."""
     if content[:4] == b"RAWM":
@@ -280,7 +306,7 @@ def decode_any(content: bytes) -> tuple[np.ndarray, dict]:
             "n_frames": 1,
         }
     if content[:3] == _JPEG_MAGIC:
-        return decode_image_pil(content)
+        return decode_image_jpeg(content)
     return decode_rawm(content)  # raises the canonical NotImplementedError
 
 

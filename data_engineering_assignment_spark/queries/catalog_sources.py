@@ -86,7 +86,7 @@ _BINARY_ORACLE = f"""
 SELECT string_split(filename, '/')[-1] AS fname,
        size AS n_bytes,
        md5(hex(content)) AS content_md5
-FROM read_blob('{_MEDIA_DIR}/*.rawm')
+FROM read_blob(['{_MEDIA_DIR}/*.rawm', '{_MEDIA_DIR}/*.jpg'])
 """
 
 
@@ -94,16 +94,16 @@ FROM read_blob('{_MEDIA_DIR}/*.rawm')
     "binary_media_inventory",
     oracle=_BINARY_ORACLE,
     doc="S5 oracle gate (image-format stand-in, Assignment-python.py:710): "
-    "binaryFile scan with pathGlobFilter pushdown over committed RAWM "
-    "fixtures; per-file size + content digest vs DuckDB read_blob. The hex "
-    "detour makes the digest engine-portable (DuckDB md5 only takes "
-    "VARCHAR, and BLOB::VARCHAR escapes bytes).",
+    "binaryFile scan with pathGlobFilter pushdown over committed RAWM + "
+    "JPEG fixtures; per-file size + content digest vs DuckDB read_blob. "
+    "The hex detour makes the digest engine-portable (DuckDB md5 only "
+    "takes VARCHAR, and BLOB::VARCHAR escapes bytes).",
 )
 def binary_media_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources import read_binary_files
 
     tune(spark)
-    files = read_binary_files(spark, _MEDIA_DIR, glob="*.rawm")
+    files = read_binary_files(spark, _MEDIA_DIR, glob="*.{rawm,jpg}")
     return files.select(
         F.element_at(F.split("path", "/"), -1).alias("fname"),
         F.col("length").alias("n_bytes"),
@@ -194,6 +194,63 @@ def png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count(F.lit(1)).alias("n_imgs"),
         F.sum(F.col("decoded_ok").cast("int")).cast("long").alias("n_ok"),
+    )
+
+
+_JPEG_DECODE_ORACLE = """
+SELECT (8 * (1 + doc_id % 2))::BIGINT AS width,
+       COUNT(*) AS n_imgs,
+       COUNT(*) AS n_ok,
+       SUM(68 + 2 * (doc_id % 60))::BIGINT AS val_sum
+FROM documents
+GROUP BY 1
+"""
+
+
+@register(
+    "jpeg_decode_stats",
+    oracle=_JPEG_DECODE_ORACLE,
+    doc="Multimodal decode gate over the native baseline JPEG codec "
+    "(functions/jpeg.py, ITU-T T.81 grayscale subset): every document "
+    "becomes a real JPEG — flat gray 8x8 or 8x16, value 128 + 2*(doc_id%60)"
+    " - 60 — and is decoded back through decode_any's magic-byte dispatch. "
+    "Flat blocks with EVEN level-shift offsets survive the Annex-K Q[0,0]="
+    "16 quantizer exactly (round(8d/16)=d/2 integral), so the decoded "
+    "pixel value is pure arithmetic in doc_id and the oracle gates the "
+    "whole marker-parse/Huffman/dequant/IDCT path bit-for-bit. AC-rich "
+    "and padded images are covered by the committed jg_*.jpg fixtures "
+    "(filename pins dims + decoded mean) and round-trip unit tests.",
+)
+def jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.jpeg import encode_jpeg_gray
+    from ..functions.multimodal import decode_any
+    from ..tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def roundtrip(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                w = 8 * (1 + int(did) % 2)
+                v = 68 + 2 * (int(did) % 60)
+                enc = encode_jpeg_gray(np.full((8, w), v, np.uint8))
+                try:
+                    frames, meta = decode_any(enc)
+                    # frames are (1, h, w, 4) BGRA with gray replicated
+                    rows.append((meta["width"], True, int(frames[0, 0, 0, 0])))
+                except Exception:
+                    rows.append((w, False, 0))
+            yield pd.DataFrame(rows, columns=["width", "ok", "val"])
+
+    decoded = docs.mapInPandas(roundtrip, "width int, ok boolean, val int")
+    return decoded.groupBy(F.col("width").cast("long").alias("width")).agg(
+        F.count(F.lit(1)).alias("n_imgs"),
+        F.sum(F.col("ok").cast("int")).cast("long").alias("n_ok"),
+        F.sum(F.col("val").cast("long")).alias("val_sum"),
     )
 
 

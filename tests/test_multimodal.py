@@ -116,9 +116,11 @@ def tiny_png(pixels: np.ndarray) -> bytes:
     )
 
 
-def test_jpeg_without_pil_raises_clear_error():
-    """JPEG stays behind the guarded PIL hook (not shipped here); the error
-    must say so and point at the native paths."""
+def test_jpeg_color_without_pil_raises_clear_error():
+    """Baseline GRAYSCALE JPEG decodes natively now (functions/jpeg.py);
+    color JPEG stays behind the guarded PIL hook — the error must say so."""
+    import struct
+
     from data_engineering_assignment_spark.functions.multimodal import (
         _pil_image_module,
         decode_any,
@@ -126,8 +128,18 @@ def test_jpeg_without_pil_raises_clear_error():
 
     if _pil_image_module() is not None:
         pytest.skip("PIL present — JPEG would decode fine")
+    # minimal SOI + SOF0 declaring THREE components (color)
+    sof_payload = struct.pack(">BHHB", 8, 8, 8, 3) + bytes(
+        [1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]
+    )
+    color = (
+        b"\xff\xd8"
+        + b"\xff\xc0"
+        + (len(sof_payload) + 2).to_bytes(2, "big")
+        + sof_payload
+    )
     with pytest.raises(NotImplementedError, match="PIL"):
-        decode_any(b"\xff\xd8\xff\xe0 fake jpeg")
+        decode_any(color)
 
 
 def test_png_decode_native():
@@ -392,3 +404,104 @@ def test_decode_any_wav_frame_axis_convention():
     assert frames.shape == (1, 1, meta["width"], meta["channels"]) == (1, 1, 50, 2)
     assert np.abs(frames[0, 0, :, 0] - left).max() < 2.0 / 32768
     assert np.abs(frames[0, 0, :, 1] - right).max() < 2.0 / 32768
+
+
+# ---------------------------------------------------------------- JPEG
+
+
+def test_jpeg_flat_even_offset_roundtrip_exact():
+    """Flat blocks with even level-shift offsets survive the Annex-K
+    quantizer bit-exactly (the jpeg_decode_stats oracle's premise)."""
+    import numpy as np
+
+    from data_engineering_assignment_spark.functions.jpeg import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    for v in (68, 128, 130, 186, 246):
+        img = np.full((8, 16), v, np.uint8)
+        dec = decode_jpeg_gray(encode_jpeg_gray(img))
+        assert dec.shape == (8, 16)
+        assert np.array_equal(dec, img), f"flat value {v} drifted"
+
+
+def test_jpeg_roundtrip_ac_and_padding():
+    """AC-rich and non-multiple-of-8 images: dims exact, pixel error
+    bounded by quantization loss (smooth content)."""
+    import numpy as np
+
+    from data_engineering_assignment_spark.functions.jpeg import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    x, y = np.meshgrid(np.arange(21), np.arange(13))
+    img = (128 + 70 * np.sin(x / 5.0) + 40 * np.cos(y / 4.0)).clip(0, 255).astype(np.uint8)
+    dec = decode_jpeg_gray(encode_jpeg_gray(img))
+    assert dec.shape == img.shape
+    assert int(np.max(np.abs(dec.astype(int) - img.astype(int)))) <= 8
+
+
+def test_jpeg_committed_fixtures_decode_to_named_goldens():
+    """The committed jg_WxH_mM.jpg fixtures pin dims AND decoded mean in
+    their filenames — a decoder regression breaks this without touching
+    any fixture bytes."""
+    import re
+    from pathlib import Path
+
+    import numpy as np
+
+    from data_engineering_assignment_spark.functions.jpeg import decode_jpeg_gray
+
+    fdir = Path(__file__).parent / "fixtures" / "media"
+    names = sorted(p.name for p in fdir.glob("jg_*.jpg"))
+    assert len(names) >= 2
+    for name in names:
+        m = re.fullmatch(r"jg_(\d+)x(\d+)_m(\d+)\.jpg", name)
+        assert m, name
+        w, h, mean = int(m.group(1)), int(m.group(2)), int(m.group(3))
+        dec = decode_jpeg_gray((fdir / name).read_bytes())
+        assert dec.shape == (h, w)
+        assert int(round(float(dec.mean()))) == mean
+
+
+def test_jpeg_decode_any_dispatch_and_unknown_segments():
+    """decode_any routes JPEG magic to the native decoder (BGRA frames,
+    gray replicated, alpha 255), and the marker parser skips unknown
+    segments (APP0 / COM) like a real-world file carries."""
+    import numpy as np
+
+    from data_engineering_assignment_spark.functions.jpeg import encode_jpeg_gray
+    from data_engineering_assignment_spark.functions.multimodal import decode_any
+
+    img = np.full((8, 8), 130, np.uint8)
+    enc = encode_jpeg_gray(img)
+    # splice an APP0 (JFIF) and a COM segment right after SOI
+    app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    com = b"\xff\xfe" + (7).to_bytes(2, "big") + b"hello"
+    spliced = enc[:2] + app0 + com + enc[2:]
+    frames, meta = decode_any(spliced)
+    assert (meta["width"], meta["height"], meta["channels"], meta["n_frames"]) == (8, 8, 4, 1)
+    assert frames.shape == (1, 8, 8, 4)
+    assert np.all(frames[0, :, :, 0] == 130)  # B == gray
+    assert np.all(frames[0, :, :, 2] == 130)  # R == gray
+    assert np.all(frames[0, :, :, 3] == 255)
+
+
+def test_jpeg_rejects_out_of_scope_profiles():
+    """Progressive / color JPEGs must raise NotImplementedError (PIL hook
+    territory), never decode wrong."""
+    import numpy as np
+    import pytest
+
+    from data_engineering_assignment_spark.functions.jpeg import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    enc = bytearray(encode_jpeg_gray(np.full((8, 8), 99, np.uint8)))
+    sof_at = bytes(enc).find(b"\xff\xc0")
+    progressive = bytes(enc[:sof_at + 1]) + b"\xc2" + bytes(enc[sof_at + 2:])
+    with pytest.raises(NotImplementedError):
+        decode_jpeg_gray(progressive)
