@@ -563,15 +563,15 @@ FROM w GROUP BY event_type
 @register(
     "events_anomaly_zscore",
     oracle=_ZSCORE_ORACLE,
-    doc="Trailing-window anomaly detection: an event is anomalous when its "
-    "squared deviation from the trailing-hour mean exceeds 9x the trailing "
-    "variance (|z| > 3), evaluated only on windows with >= 30 samples. "
-    "Variance via the computational formula over decimal-exact power sums — "
-    "no stddev/sqrt, so both engines compute bit-identical doubles. One "
-    "RANGE-framed window + one aggregation. The window partitions by the "
-    "5-value event_type — fine here, unsplittable at 100 TB; the bucketed "
-    "decomposition (operators/windows.trailing_agg_bucketed, bit-identical "
-    "by the same decimal associativity) is the scale path.",
+    doc="FLAT-WINDOW comparison variant (NOT the default — use "
+    "events_anomaly_zscore_bucketed): trailing-window anomaly detection "
+    "via one RANGE-framed window partitioned by the 5-value event_type "
+    "content key — an unsplittable per-key sorted task that SCALE.md "
+    "measured at 5.40x per data decade vs the bucketed decomposition's "
+    "1.41x (and 2.4x slower absolute at sf1). Retained, oracle-green, as "
+    "the cross-proof that the bucketed plan reproduces the textbook "
+    "window's bytes (shared _ZSCORE_ORACLE; decimal-exact power sums, "
+    "|z| > 3 on windows with >= 30 samples).",
 )
 def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.aggregates import DEC
@@ -606,17 +606,16 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "events_anomaly_zscore_bucketed",
     oracle=_ZSCORE_ORACLE,
-    doc="The 100 TB formulation of events_anomaly_zscore, gated by the SAME "
-    "oracle: both trailing power sums ride one bucketed decomposition "
-    "(operators/windows.trailing_agg_bucketed with value_col=[value, v2]) "
-    "instead of a flat RANGE window partitioned by the 5-value event_type "
-    "content key. Decimal associativity makes the decomposition bit-exact, "
-    "so the scale-safe plan — tail windows bounded by one bucket, middle "
-    "over the per-bucket aggregate, head equi-join — reproduces the flat "
-    "window's bytes, proven cross-engine rather than only flat-vs-bucketed "
-    "in-engine (tests/test_windows.py). This is the plan the flat query's "
-    "docstring points at when one event type's history no longer fits a "
-    "single sorted task.",
+    doc="DEFAULT trailing-window anomaly detection (promoted r7; SCALE.md: "
+    "1.41x per data decade vs the flat window's 5.40x, 2.4x faster "
+    "absolute at sf1): both trailing power sums ride one bucketed "
+    "decomposition (operators/windows.trailing_agg_bucketed with "
+    "value_col=[value, v2]) instead of a flat RANGE window partitioned by "
+    "the 5-value event_type content key. Decimal associativity makes the "
+    "decomposition bit-exact, so the scale-safe plan — tail windows "
+    "bounded by one bucket, middle over the per-bucket aggregate, head "
+    "equi-join — reproduces the flat window's bytes, proven cross-engine "
+    "by the SAME oracle the flat comparison variant keeps green.",
 )
 def events_anomaly_zscore_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.windows import trailing_agg_bucketed

@@ -501,3 +501,67 @@ def test_streaming_bloom_filter_matches_batch(spark, tmp_path):
     assert got == batch
     # no false negatives: every member item flagged
     assert all(got[i] for i in range(0, 90, 3))
+
+
+def test_streaming_decontamination_probe_pipeline_matches_batch(spark, tmp_path):
+    """The REAL bloom_decontaminate probe side — composed shingle-hash
+    stream (project + explode, narrow) -> k broadcast Bloom probes ->
+    per-doc flag aggregation — runs unchanged as an availableNow stream
+    over the documents table, with the Bloom bits a static broadcast: the
+    ingest-path decontamination gate closes the loop against the batch
+    per-doc flags (r6 verdict stretch item)."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_assignment_spark.operators.sketches import (
+        bloom_build,
+        bloom_maybe_contains,
+    )
+    from data_engineering_assignment_spark.operators.text import shingle_hash_stream
+    from data_engineering_assignment_spark.tables import load
+
+    k, m_bits = 4, 1 << 16
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    # the file-stream source needs a DIRECTORY; the sf table is one file
+    path = str(tmp_path / "docs_dir")
+    docs.write.parquet(path)
+
+    # static side: Bloom bits over the bench docs' 5-gram shingle hashes
+    bench_sh = (
+        shingle_hash_stream(docs.filter(F.col("doc_id") % 97 == 0), 5, ("doc_id",), out_col="_rh")
+        .select("_rh")
+        .distinct()
+    )
+    bloom = bloom_build(bench_sh, "_rh", k=k, m_bits=m_bits, hash_col="_rh").localCheckpoint(True)
+
+    def probe_perdoc(df):
+        train_sh = shingle_hash_stream(
+            df.filter(F.col("doc_id") % 97 != 0), 5, ("doc_id", "source"), out_col="_rh"
+        )
+        probed = bloom_maybe_contains(
+            bloom, train_sh.select("doc_id", "source", "_rh"), "_rh",
+            k=k, m_bits=m_bits, hash_col="_rh",
+        )
+        return probed.groupBy("doc_id", "source").agg(
+            F.max(F.col("bloom_hit").cast("int")).alias("flagged")
+        )
+
+    src = spark.readStream.schema(docs.schema).parquet(path)
+    q = (
+        probe_perdoc(src)
+        .writeStream.format("memory")
+        .queryName("decon_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["doc_id"], r["source"]): r["flagged"]
+        for r in spark.sql("SELECT * FROM decon_stream").collect()
+    }
+    want = {
+        (r["doc_id"], r["source"]): r["flagged"]
+        for r in probe_perdoc(docs).collect()
+    }
+    assert got == want
+    assert len(got) > 0 and any(v == 1 for v in got.values())
