@@ -36,100 +36,79 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 
 # The driver's correctness gate samples the FIRST 50 entries of ``queries()``
 # in registration order.  The head rotates every round so no query goes
-# unverified for long: never-driver-checked queries first, then queries whose
-# last green row is oldest, then anything whose implementation changed this
-# round (a green history does not cover new code).
+# unverified for long: never-driver-checked queries first, then anything
+# whose implementation changed this round (a green history does not cover
+# new code), then queries whose last green row is oldest.
 #
-# Round-6 head: the 10 never-checked queries (the recall-telemetry pair +
-# bloom_decontaminate / events_anomaly_zscore_bucketed / doc_dup_span_stats /
-# simhash_hamming_pairs / dedup_jaccard_prefix / incremental_dedup /
-# bm25_topk / cosine_topk_pq, all new this round), all 13 queries last checked in r3 (the stale set the
-# r5 verdict scheduled for this head), the 7 queries whose implementation
-# changed this round (LSH materialization + parallelism guard, then the
-# late-round composed-hash rewrite of minhash_signatures_portable:
-# dedup_minhash_lsh / dedup_lsh_portable / dedup_clusters_lsh /
-# corpus_boilerplate_3gram / decontaminate_ngram; NULL-quality exclusion:
-# quality_percentile_gate; report floors: ml_energy_report —
-# ml_peak_classification got the same floors and is already in the r3 set;
-# the other late-round rewrites are all in the never-checked head group),
-# and 20 of the 47 remaining queries last checked in r4.  Deferred to round
-# 7 (27): the 19 r4-green TPC-H-style relational queries whose machinery —
-# broadcast dim joins, partial aggs, decimal-detour sums,
-# TakeOrderedAndProject — is plan-asserted and exercised in-head by
-# orders_cube / weighted_median_price / customer_year_setops /
-# events_pivot_by_type / league_table / user_purchase_totals
-# (above_nation_avg_customers, brand_revenue, customers_with_open_orders,
-# customers_without_orders, disjunctive_brand_revenue,
-# distinct_users_per_type, doc_chunks, large_volume_orders, metrics_union,
-# null_handling_metrics, orders_rollup, promo_revenue_pct, regional_revenue,
-# returned_items_top20, sales_per_year, shipping_priority_top10,
-# supplier_return_ratio, top5_orders, top_priority_null_count), plus 3 more
-# r4-green queries displaced by the new-query head whose families keep
-# in-head representatives: events_sliding_10m_5m (events_tumbling_10m),
-# events_multi_rollup (orders_cube), embedding_stats (cosine_topk /
-# label_centroids array HOFs), event_props_json (event_props_variant),
-# user_rolling_stats (events_trailing_hour_sum + value_quantiles_by_type
-# cover the per-entity window family), approx_distinct_users_rollup
-# (rows-only HLL; its error bound is pytest-gated and the rollup shape is
-# covered in-head by orders_cube), cyclic_prediction_rates (M7 custom
-# evaluators; ml_eval_metrics r5-green gates the evaluator arithmetic),
-# label_centroids (array-HOF family covered in-head by cosine_topk /
-# cosine_topk_ivf / cosine_topk_pq).  These 27 lead the r7 head.
+# Round-7 head (catalog = 126 after the SemDeDup trio + jpeg_decode_stats):
+# the 4 never-checked queries; the 7 whose implementation changed this
+# round (trail_nn gate: events_anomaly_zscore_bucketed; histogram-level
+# NULL exclusion: quality_percentile_gate; in-join length + suffix-bound
+# filter: dedup_jaccard_prefix; zero-norm guard in twin AND oracle:
+# cosine_topk_pq; dual shuffle hint: simhash_hamming_pairs; jpg fixtures +
+# glob: binary_media_inventory; bloom_position delegation: bloom_
+# decontaminate); ALL 27 queries last checked in r4 (the set the r6
+# verdict scheduled for this head); and the first 12 (alphabetical) of
+# the 45 queries last checked in r5 (click_purchase_attribution ...
+# docs_hash_sample, with ml_eval_metrics swapped in for embedding_near_dup
+# so the head spans catalog_ml — the module-coverage contract).  The
+# remaining 33 r5-checked queries lead the r8 head, followed by the
+# r6-checked set as it ages.
 DRIVER_SAMPLE_HEAD: tuple[str, ...] = (
-    # never driver-checked (10, new this round)
-    "lsh_recall_telemetry",
-    "ivf_recall_telemetry",
-    "bloom_decontaminate",
-    "events_anomaly_zscore_bucketed",
-    "doc_dup_span_stats",
-    "simhash_hamming_pairs",
-    "dedup_jaccard_prefix",
-    "incremental_dedup",
-    "bm25_topk",
-    "cosine_topk_pq",
-    # last checked r3 (13 — the full stale set)
-    "binary_media_inventory",
-    "cosine_topk_lsh",
-    "customer_year_setops",
-    "doc_path_format",
-    "docs_stratified_sample",
-    "events_pivot_by_type",
-    "events_trailing_hour_sum",
-    "jsonl_media_groups",
-    "ml_peak_classification",
-    "nation_name_fuzzy",
-    "orders_cube",
-    "pii_redaction",
-    "weighted_median_price",
+    # never driver-checked (4, new this round)
+    "dedup_semantic",
+    "dedup_semantic_survivors",
+    "semantic_recall_telemetry",
+    "jpeg_decode_stats",
     # implementation changed this round (green history doesn't cover it)
-    "dedup_minhash_lsh",
-    "dedup_lsh_portable",
-    "dedup_clusters_lsh",
-    "corpus_boilerplate_3gram",
-    "decontaminate_ngram",
+    "events_anomaly_zscore_bucketed",
     "quality_percentile_gate",
-    "ml_energy_report",
-    # last checked r4 (20 of 47)
-    "cosine_topk",
-    "cosine_topk_ivf",
-    "dedup_clusters_jaccard",
-    "dedup_exact",
-    "dedup_survivors",
-    "doc_normalized_fingerprint",
-    "doc_rolling_hash",
-    "doc_simhash_portable",
-    "doc_token_stats",
-    "event_props_variant",
-    "event_value_trend",
-    "events_gapfill_5m",
-    "events_tumbling_10m",
-    "png_decode_stats",
-    "quality_by_source",
-    "supplier_stats_salted",
-    "value_quantiles_by_type",
-    "league_table",
-    "order_ship_lag_30d",
-    "user_purchase_totals",
+    "dedup_jaccard_prefix",
+    "cosine_topk_pq",
+    "simhash_hamming_pairs",
+    "binary_media_inventory",
+    "bloom_decontaminate",
+    # last checked r4 (all 27)
+    "above_nation_avg_customers",
+    "approx_distinct_users_rollup",
+    "brand_revenue",
+    "customers_with_open_orders",
+    "customers_without_orders",
+    "cyclic_prediction_rates",
+    "disjunctive_brand_revenue",
+    "distinct_users_per_type",
+    "doc_chunks",
+    "embedding_stats",
+    "event_props_json",
+    "events_multi_rollup",
+    "events_sliding_10m_5m",
+    "label_centroids",
+    "large_volume_orders",
+    "metrics_union",
+    "null_handling_metrics",
+    "orders_rollup",
+    "promo_revenue_pct",
+    "regional_revenue",
+    "returned_items_top20",
+    "sales_per_year",
+    "shipping_priority_top10",
+    "supplier_return_ratio",
+    "top5_orders",
+    "top_priority_null_count",
+    "user_rolling_stats",
+    # last checked r5 (first 12 alphabetically of 45)
+    "click_purchase_attribution",
+    "cms_token_counts",
+    "csv_sales_publisher_year",
+    "daily_conversion_funnel",
+    "data_mix_by_source",
+    "dedup_ngram_jaccard",
+    "distinct_status_priority",
+    "doc_regex_tokens",
+    "doc_simhash",
+    "doc_tfidf_top_terms",
+    "docs_hash_sample",
+    "ml_eval_metrics",
 )
 
 
