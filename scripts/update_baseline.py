@@ -30,7 +30,24 @@ executions (one-shot timing billed first-run codegen/analysis plus transient
 GC/IO hiccups to whichever query hit them — r4's `returned_items_top20`
 2.37× and `median_price_by_priority` 1.93× flags re-measured at baseline
 steady-state on 5-rep solo probes; min-of-2 records plan cost), so the
-standing table is re-measured under the same policy."""
+standing table is re-measured under the same policy.
+Round 7 re-record: seven r6 queries had no standing entry (the r6
+contention window blocked recording them), ambient drifted ~1.25×
+uniformly since the r5 table (untouched doc_token_stats/doc_rolling_hash
+probed 1.0× vs TODAY's ambient, quality gate's r5-identical plan probed
+0.71 s vs its 0.57 s entry), and the flat events_anomaly_zscore left the
+headline set (bucketed variant promoted). bench.py now embeds
+single/multi-thread contention markers (`marker_st`/`marker_mt`
+[pre, post]) in every artifact; this table was recorded with both at
+their fast values (st ~0.07-0.09 s, mt ~0.10-0.19 s on current BLAS).
+Standing entries are the per-query MIN across TWO marker-verified solo
+bench runs (69.3 s and 79.1 s totals): even min-of-2-within-a-run lets a
+multi-second transient burst land on one query per run, and the burst
+ROAMS between runs (run A: simhash_hamming_pairs 5.20 s / orders_cube
+0.50 s; run B: 1.99 s / 4.09 s — each 5-rep-probe-confirmed transient,
+steady-state at the lower value). The min-across-runs is the plan cost;
+single future runs should expect 1-2 such outliers and read the markers
+before believing any per-query flag."""
 
 
 def main() -> None:
