@@ -140,11 +140,13 @@ HEADLINE = [
     "dedup_jaccard_prefix",
     "incremental_dedup",
     "bm25_topk",
-    # round-7 additions: none benched — the SemDeDup trio (dedup_semantic,
-    # dedup_semantic_survivors, semantic_recall_telemetry) are interpreted-
-    # HOF portable twins in the cosine_topk_pq class: they run at oracle
-    # scale under the driver gate, and the production semantic_dup_pairs
-    # path (numpy assignment) is set-parity-tested in tests.
+    # round-7 additions: the SemDeDup PRODUCTION path (occupancy-sized
+    # k-means cells + per-cell numpy pair scan; rows-only under the driver
+    # like dedup_minhash_lsh). The oracle-gated trio (dedup_semantic,
+    # dedup_semantic_survivors, semantic_recall_telemetry) stays out —
+    # interpreted-HOF portable twins in the cosine_topk_pq class that run
+    # at oracle scale under the driver gate.
+    "dedup_semantic_kmeans",
 ]
 
 

@@ -584,9 +584,12 @@ WHERE ROUND({_SEMDEDUP_PAIR_COS}, {scale}) >= {t}
     "via the portable twin (operators/similarity.semantic_dup_pairs_"
     "portable): embeddings bucketed into 16 Knuth-seeded spherical cells, "
     "within-cell pairs with rounded cosine >= 0.4 emitted by a cell-keyed "
-    "self-join (SHUFFLE_HASH both sides, never all-pairs; quadratic only "
-    "in cell occupancy, which n_centroids bounds at scale). The "
-    "production path (semantic_dup_pairs: k-means training + narrow numpy "
+    "self-join (SHUFFLE_HASH both sides, never all-pairs). The FIXED cell "
+    "count makes this the verification twin only — occupancy N/16 grows "
+    "with the corpus and the within-cell scan is quadratic in it (r7 sf1 "
+    "probe: 19x/decade); the scale path is dedup_semantic_kmeans below, "
+    "whose target_cell_rows knob holds occupancy constant. The production "
+    "operator (semantic_dup_pairs: k-means training + narrow numpy "
     "assignment) is set-parity-tested against this twin in "
     "tests/test_similarity.py.",
 )
@@ -711,3 +714,27 @@ def semantic_recall_telemetry(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("recall"),
     )
+
+
+@register(
+    "dedup_semantic_kmeans",
+    doc="SemDeDup production path (Abbas et al. 2023) at the paper's "
+    "operating point: spherical k-means cells sized by target occupancy "
+    "(target_cell_rows=125 -> n_centroids = max(16, ceil(N/125)); "
+    "SemDeDup's 11k clusters for LAION-440M is the same ~constant-"
+    "occupancy rule), 2 Lloyd rounds over deterministic farthest-point "
+    "seeds, narrow numpy assignment (mapInPandas, Arrow-batched), then a "
+    "per-cell numpy pair scan (groupBy(cell).applyInPandas: one block "
+    "matmul + upper-triangle cut per cell). Per-cell work stays "
+    "O(target^2) as the corpus grows — the r7 sf0.1->sf1 probe is the "
+    "measured contrast with the fixed-16-cell twin (SCALE.md). Rows-only "
+    "under the driver (k-means cells are not SQL-expressible); "
+    "correctness rides the oracle-gated dedup_semantic twin plus the "
+    "injected-centroid set-parity test (tests/test_similarity.py) and "
+    "the emitted-pair validity floor (cosine recomputed row-wise).",
+)
+def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import semantic_dup_pairs
+
+    emb = load(spark, sf_dir, "embeddings")
+    return semantic_dup_pairs(emb, threshold=0.4, target_cell_rows=125)

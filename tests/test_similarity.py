@@ -434,3 +434,85 @@ def test_semantic_survivor_stats_rule(spark):
     assert got[0] == (5, 3, 2, 3)
     assert got[1] == (3, 1, 1, 2)
     assert got[2] == (4, 0, 0, 4)  # no pairs: zero-filled
+
+
+def test_semantic_target_cell_rows_occupancy_knob(spark, sf_dir):
+    """target_cell_rows is the scale knob: with target >= N the derived k
+    collapses to the floor, and with floor 1 the result is EXACTLY the
+    brute-force duplicate-pair set (one cell = no cross-cell blindness).
+    With a small target the pair set is a subset of brute force (cells can
+    only hide pairs, never invent them), every emitted sim re-verifies
+    against numpy cosine, and the output is partitioning-independent."""
+    import numpy as np
+
+    from data_engineering_assignment_spark.operators.similarity import (
+        cosine,
+        semantic_dup_pairs,
+    )
+    from data_engineering_assignment_spark.tables import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    n = emb.count()
+
+    # target >= N -> k = max(1, ceil(N/target)) = 1 -> exact all-pairs
+    one_cell = {
+        (r["id_a"], r["id_b"], r["sim"])
+        for r in semantic_dup_pairs(
+            emb, threshold=0.4, n_centroids=1, n_iter=0, target_cell_rows=n
+        ).collect()
+    }
+    v = emb.select(
+        F.col("vec_id").alias("id"), F.col("embedding").cast("array<double>").alias("vec")
+    )
+    a, b = v.alias("a"), v.alias("b")
+    brute = {
+        (r["id_a"], r["id_b"], r["sim"])
+        for r in a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cosine(F.col("a.vec"), F.col("b.vec")), 4).alias("sim"),
+        )
+        .filter(F.col("sim") >= 0.4)
+        .collect()
+    }
+    assert {(x, y) for (x, y, _) in one_cell} == {(x, y) for (x, y, _) in brute}
+
+    # small target -> many cells: subset of brute force, sims re-verified
+    got = semantic_dup_pairs(
+        emb, threshold=0.4, n_centroids=2, n_iter=1, target_cell_rows=max(1, n // 8)
+    ).collect()
+    assert got, "fixture has within-cell duplicates"
+    pair_set = {(r["id_a"], r["id_b"]) for r in got}
+    assert pair_set <= {(x, y) for (x, y, _) in brute}
+    vecs = {r["id"]: np.array(r["vec"], dtype=np.float64) for r in v.collect()}
+    for r in got:
+        assert r["id_a"] < r["id_b"]
+        x, y = vecs[r["id_a"]], vecs[r["id_b"]]
+        c = float(x @ y / (np.linalg.norm(x) * np.linalg.norm(y)))
+        assert r["sim"] == pytest.approx(round(c, 4), abs=2e-4)
+        assert r["sim"] >= 0.4
+
+    again = {
+        (r["id_a"], r["id_b"], r["cell"], r["sim"])
+        for r in semantic_dup_pairs(
+            emb.repartition(7),
+            threshold=0.4,
+            n_centroids=2,
+            n_iter=1,
+            target_cell_rows=max(1, n // 8),
+        ).collect()
+    }
+    assert again == {(r["id_a"], r["id_b"], r["cell"], r["sim"]) for r in got}
+
+
+def test_dedup_semantic_kmeans_catalog_entry(spark, sf_dir):
+    """The rows-only production catalog query builds on a bare sf_dir and
+    emits schema-stable, threshold-valid pairs."""
+    from data_engineering_assignment_spark.queries import load_catalog
+
+    df = load_catalog()["dedup_semantic_kmeans"].build(spark, sf_dir)
+    assert [f.name for f in df.schema.fields] == ["id_a", "id_b", "cell", "sim"]
+    rows = df.collect()
+    assert rows
+    assert all(r["id_a"] < r["id_b"] and r["sim"] >= 0.4 for r in rows)
