@@ -147,6 +147,8 @@ HEADLINE = [
     # interpreted-HOF portable twins in the cosine_topk_pq class that run
     # at oracle scale under the driver gate.
     "dedup_semantic_kmeans",
+    # CCNet-style paragraph-level exact dedup (oracle-gated)
+    "paragraph_dedup_stats",
 ]
 
 

@@ -116,6 +116,97 @@ def token_chunks(
     )
 
 
+def paragraph_dedup_stats(
+    df: DataFrame,
+    size: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style paragraph-level exact dedup accounting (Wenzek et al.
+    2020, "CCNet: Extracting high quality monolingual datasets from web
+    crawl data" — dedup at paragraph granularity by content hash, keep the
+    first occurrence; also MassiveText/Gopher's repeated-paragraph filter).
+    The synthetic corpus has no layout, so a "paragraph" is a
+    non-overlapping ``size``-token block — the segmentation is a
+    parameter, the dedup semantics are the point.
+
+    Keep rule (deterministic, tie-invariant): a paragraph key survives at
+    its globally first occurrence, ordered by (doc_id, para_idx); every
+    later occurrence is dropped. Keys are md5 of the block text — the
+    same hash-key dedup CCNet ships (their sha1-64), and the SQL oracle
+    hashes identically so the gate is exact.
+
+    Shape: the exploded (doc, para) stream carries only (ids, 32-char key,
+    chars) and is MATERIALIZED (eager localCheckpoint, the
+    boilerplate_ngrams discipline) because two branches consume it: the
+    per-doc totals aggregation and the per-key firsts aggregation. The
+    firsts winner is min(doc_id*2^20 + para_idx) — an integer argmin, no
+    window over the content key (a viral paragraph would pin an
+    unsplittable sorted partition; the aggregate is map-side-combinable
+    and AQE-splittable). Kept mass is then attributed by grouping the
+    ALREADY-AGGREGATED firsts by winner doc and equi-joining back on
+    doc_id, an entity key. para_idx < 2^20 is asserted by construction
+    (a doc would need 16M tokens to overflow; lineage: _PIDX_CAP).
+
+    Output: (doc_id, n_paras, n_kept, n_dropped, kept_char_ratio) —
+    kept_char_ratio is this doc's surviving-paragraph chars over its total
+    paragraph chars, the per-doc shrink a corpus-wide paragraph dedup
+    would inflict.
+    """
+    toks = tokens(text_col)
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(F.col("_toks")) - 1, F.lit(0)), F.lit(size)
+    )
+    para = F.concat_ws(" ", F.slice(F.col("_toks"), F.col("_start") + 1, size))
+    stream = (
+        df.select(F.col(id_col).alias("doc_id"), toks.alias("_toks"))
+        .select("doc_id", F.col("_toks"), F.explode(starts).alias("_start"))
+        .select(
+            "doc_id",
+            (F.col("_start") / size).cast("long").alias("para_idx"),
+            F.md5(para.cast("binary")).alias("key"),
+            F.length(para).cast("long").alias("chars"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    totals = stream.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_paras"),
+        F.sum("chars").alias("_total_chars"),
+    )
+    firsts = stream.groupBy("key").agg(
+        F.min(F.col("doc_id") * _PIDX_CAP + F.col("para_idx")).alias("_code"),
+        F.min("chars").alias("_chars"),  # chars is a function of the key
+    )
+    kept = (
+        firsts.withColumn("doc_id", (F.col("_code") / _PIDX_CAP).cast("long"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("_n_kept"),
+            F.sum("_chars").alias("_kept_chars"),
+        )
+    )
+    return (
+        totals.join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_paras",
+            F.coalesce("_n_kept", F.lit(0)).alias("n_kept"),
+            (F.col("n_paras") - F.coalesce("_n_kept", F.lit(0))).alias("n_dropped"),
+            F.when(
+                F.col("_total_chars") > 0,
+                dround(
+                    F.coalesce("_kept_chars", F.lit(0)).cast("double")
+                    / F.col("_total_chars").cast("double"),
+                    4,
+                ),
+            ).alias("kept_char_ratio"),
+        )
+    )
+
+
+_PIDX_CAP = 1 << 20  # paragraph-index headroom in the integer argmin code
+
+
 def boilerplate_ngrams(
     df: DataFrame,
     n: int = 3,

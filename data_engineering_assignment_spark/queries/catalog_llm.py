@@ -21,6 +21,7 @@ from ..operators.llmprep import (
     redact_pii,
     repetition_stats,
 )
+from ..operators.aggregates import o_dround
 from ..tables import load
 from . import register
 
@@ -591,3 +592,50 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("status"),
         )
     )
+
+
+_PARA_DEDUP_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), paras AS (
+  SELECT doc_id, (s // 16)::BIGINT AS para_idx,
+         md5(array_to_string(t[s + 1 : s + 16], ' ')) AS key,
+         length(array_to_string(t[s + 1 : s + 16], ' '))::BIGINT AS chars
+  FROM toks, unnest(range(0, len(t), 16)) AS u(s)
+), firsts AS (
+  SELECT key, MIN(doc_id * 1048576 + para_idx) AS code, MIN(chars) AS chars
+  FROM paras GROUP BY key
+), kept AS (
+  SELECT code // 1048576 AS doc_id, COUNT(*)::BIGINT AS n_kept,
+         SUM(chars)::BIGINT AS kept_chars
+  FROM firsts GROUP BY 1
+), totals AS (
+  SELECT doc_id, COUNT(*)::BIGINT AS n_paras, SUM(chars)::BIGINT AS total_chars
+  FROM paras GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_paras,
+       COALESCE(k.n_kept, 0)::BIGINT AS n_kept,
+       (t.n_paras - COALESCE(k.n_kept, 0))::BIGINT AS n_dropped,
+       CASE WHEN t.total_chars > 0 THEN
+         {o_dround('CAST(COALESCE(k.kept_chars, 0) AS DOUBLE)'
+                   ' / CAST(t.total_chars AS DOUBLE)', 4)}
+       END AS kept_char_ratio
+FROM totals t LEFT JOIN kept k USING (doc_id)
+"""
+
+
+@register(
+    "paragraph_dedup_stats",
+    oracle=_PARA_DEDUP_ORACLE,
+    doc="CCNet-style paragraph-level exact dedup (Wenzek et al. 2020; "
+    "MassiveText's repeated-paragraph filter): md5-keyed 16-token blocks, "
+    "keep the globally first occurrence by (doc_id, para_idx), per-doc "
+    "survival accounting. Integer-argmin firsts (no content-key window), "
+    "checkpointed keyed stream, kept mass re-attributed by entity-key "
+    "join — operators/corpus.paragraph_dedup_stats.",
+)
+def paragraph_dedup_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import paragraph_dedup_stats
+
+    docs = load(spark, sf_dir, "documents")
+    return paragraph_dedup_stats(docs, size=16)

@@ -204,3 +204,48 @@ def test_bm25_topk_hand_computed(spark):
     assert abs(got[1]["score"] - round(s(3, 3), 6)) < 1e-9
     assert abs(got[2]["score"] - round(s(1, 8), 6)) < 1e-9
     assert got[1]["n_terms_matched"] == 1
+
+
+def test_paragraph_dedup_keep_first_semantics(spark):
+    """Hand-built corpus: paragraph P repeated across docs and within a
+    doc survives only at its globally first (doc_id, para_idx); per-doc
+    accounting and char ratios follow."""
+    from data_engineering_assignment_spark.operators.corpus import (
+        paragraph_dedup_stats,
+    )
+
+    p1 = "a b c d"  # 4 tokens = one paragraph at size=4
+    p2 = "e f g h"
+    p3 = "i j k l"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{p1} {p2}"),       # both first occurrences -> all kept
+            (2, f"{p2} {p3}"),       # p2 dup (first in doc 1), p3 kept
+            (3, f"{p1} {p1} {p3}"),  # everything already seen -> 0 kept
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_paras"], r["n_kept"], r["n_dropped"], r["kept_char_ratio"])
+        for r in paragraph_dedup_stats(docs, size=4).collect()
+    }
+    assert got[1] == (2, 2, 0, 1.0)
+    assert got[2] == (2, 1, 1, 0.5)
+    assert got[3] == (3, 0, 3, 0.0)
+
+
+def test_paragraph_dedup_partitioning_independent(spark, sf_dir):
+    """Same result regardless of input partitioning (integer-argmin keep
+    rule is deterministic; no window order dependence)."""
+    from data_engineering_assignment_spark.operators.corpus import (
+        paragraph_dedup_stats,
+    )
+    from data_engineering_assignment_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    base = {tuple(r) for r in paragraph_dedup_stats(docs, size=16).collect()}
+    reparted = {
+        tuple(r) for r in paragraph_dedup_stats(docs.repartition(7), size=16).collect()
+    }
+    assert base == reparted
+    assert base  # non-trivial fixture
