@@ -149,6 +149,8 @@ HEADLINE = [
     "dedup_semantic_kmeans",
     # CCNet-style paragraph-level exact dedup (oracle-gated)
     "paragraph_dedup_stats",
+    # DSIR-inspired hashed-ngram data selection (oracle-gated)
+    "dsir_affinity_top64",
 ]
 
 

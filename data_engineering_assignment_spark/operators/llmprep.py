@@ -329,3 +329,91 @@ def quality_percentile_gate(
     return totals.join(qstar, "_g", "left").select(
         F.col("_g").alias(group_col), "n_docs", "n_kept", "min_kept_quality"
     )
+
+
+def dsir_affinity_topk(
+    docs: DataFrame,
+    target_sources: list[str],
+    k: int = 64,
+    n_buckets: int = 1024,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    scale: int = 6,
+) -> DataFrame:
+    """DSIR-inspired data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document by
+    how much its hashed n-gram profile resembles a TARGET domain (here:
+    the documents whose ``source`` is in ``target_sources``), and return
+    the top-``k``. DSIR proper resamples by exp(sum of log-ratios); this
+    engine is log-free by invariant (libm last-ulp drift breaks oracle
+    gates), so the score is the linear analog — the count-weighted sum of
+    smoothed frequency ratios
+
+        affinity(d) = sum_b  c_d[b] * (tgt[b] * T_raw) / (T_tgt * (raw[b]+1))
+
+    over ``n_buckets`` hashed unigram+bigram buckets — rank-equivalent to
+    DSIR's estimator under a first-order expansion and exactly
+    SQL-expressible. Hashes are the portable rolling hash via
+    text.shingle_hash_stream (one char fold per doc, n=1 and n=2 streams,
+    multiset counts).
+
+    Shape: the (doc, source, bucket) feature stream is localCheckpointed
+    once for its four consumers (per-doc-bucket counts, per-bucket raw and
+    target counts, the two scalar totals). Per-bucket weights are a
+    BOUNDED table (n_buckets rows) — broadcast to the per-doc counts; the
+    corpus never shuffles on a content key beyond the one bucket-count
+    aggregation (map-side combinable, 1024 keys, never a window). Top-k
+    is bounded FIRST (orderBy + limit = TakeOrderedAndProject), then
+    ranked on the k-row set. The weight numerators/denominators are int64
+    products kept < 2^53 so their double casts are exact on both engines
+    (at 1e15+ features, lift them to DECIMAL(38) — documented headroom);
+    per-element products are quantized to DECIMAL(27,6) and summed
+    exactly (dsum), so scores are partitioning-independent.
+
+    Output: (doc_id, affinity, rnk), rnk 1..k, ties broken by doc_id.
+    """
+    from .aggregates import dsum
+    from .text import shingle_hash_stream
+
+    uni = shingle_hash_stream(
+        docs, n=1, id_cols=(id_col, source_col), text_col=text_col, distinct=False
+    )
+    bi = shingle_hash_stream(
+        docs, n=2, id_cols=(id_col, source_col), text_col=text_col, distinct=False
+    )
+    feats = (
+        uni.unionByName(bi)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.col(source_col).alias("source"),
+            (F.col("rh") % n_buckets).cast("int").alias("bucket"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    is_tgt = F.col("source").isin(list(target_sources))
+    totals = feats.agg(
+        F.count(F.lit(1)).alias("t_raw"),
+        F.sum(is_tgt.cast("long")).alias("t_tgt"),
+    )
+    raw_b = feats.groupBy("bucket").agg(F.count(F.lit(1)).alias("raw_n"))
+    tgt_b = feats.filter(is_tgt).groupBy("bucket").agg(F.count(F.lit(1)).alias("tgt_n"))
+    num = (F.coalesce("tgt_n", F.lit(0)) * F.col("t_raw")).cast("double")
+    den = ((F.col("raw_n") + 1) * F.col("t_tgt")).cast("double")
+    weights = (
+        raw_b.join(tgt_b, "bucket", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            # CaseWhen guard: ANSI division would error on an empty target
+            # set even though callers never pass one (CLAUDE.md invariant)
+            F.when(F.col("t_tgt") > 0, num / den).alias("wt"),
+        )
+    )
+    db = feats.groupBy("doc_id", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    scores = db.join(F.broadcast(weights), "bucket").groupBy("doc_id").agg(
+        dsum(F.col("c") * F.col("wt"), "affinity", scale)
+    )
+    bounded = scores.orderBy(F.desc("affinity"), F.asc("doc_id")).limit(k)
+    w = Window.orderBy(F.desc("affinity"), F.asc("doc_id"))
+    return bounded.withColumn("rnk", F.row_number().over(w).cast("long"))

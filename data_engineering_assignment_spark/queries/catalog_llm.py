@@ -639,3 +639,63 @@ def paragraph_dedup_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return paragraph_dedup_stats(docs, size=16)
+
+
+_DSIR_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+), uni AS (
+  SELECT doc_id, source, ({_o_rhash('u.tok')} % 1024)::INT AS bucket
+  FROM toks, unnest(t) AS u(tok)
+), bi AS (
+  SELECT doc_id, source,
+         ({_o_rhash("(t[s + 1] || ' ' || t[s + 2])")} % 1024)::INT AS bucket
+  FROM toks, unnest(range(0, len(t) - 1)) AS r(s)
+), feats AS (
+  SELECT * FROM uni UNION ALL SELECT * FROM bi
+), tot AS (
+  SELECT COUNT(*)::BIGINT AS t_raw,
+         (COUNT(*) FILTER (WHERE source IN ('src0', 'src1')))::BIGINT AS t_tgt
+  FROM feats
+), rawb AS (
+  SELECT bucket, COUNT(*)::BIGINT AS raw_n FROM feats GROUP BY 1
+), tgtb AS (
+  SELECT bucket, COUNT(*)::BIGINT AS tgt_n
+  FROM feats WHERE source IN ('src0', 'src1') GROUP BY 1
+), w AS (
+  SELECT r.bucket,
+         CASE WHEN t.t_tgt > 0 THEN
+           CAST(COALESCE(g.tgt_n, 0) * t.t_raw AS DOUBLE)
+           / CAST((r.raw_n + 1) * t.t_tgt AS DOUBLE)
+         END AS wt
+  FROM rawb r LEFT JOIN tgtb g USING (bucket) CROSS JOIN tot t
+), db AS (
+  SELECT doc_id, bucket, COUNT(*)::BIGINT AS c FROM feats GROUP BY 1, 2
+), scores AS (
+  SELECT doc_id,
+         ROUND(SUM(CAST(db.c * w.wt AS DECIMAL(27,6))), 6)::DOUBLE AS affinity
+  FROM db JOIN w USING (bucket) GROUP BY doc_id
+), ranked AS (
+  SELECT doc_id, affinity,
+         (ROW_NUMBER() OVER (ORDER BY affinity DESC, doc_id ASC))::BIGINT AS rnk
+  FROM scores
+)
+SELECT doc_id, affinity, rnk FROM ranked WHERE rnk <= 64
+"""
+
+
+@register(
+    "dsir_affinity_top64",
+    oracle=_DSIR_ORACLE,
+    doc="DSIR-inspired data selection (Xie et al. 2023): rank the corpus "
+    "by hashed unigram+bigram affinity to a target domain (sources src0/"
+    "src1) and keep the top 64 — the log-free linear analog of DSIR's "
+    "importance weights (operators/llmprep.dsir_affinity_topk). "
+    "Checkpointed feature stream, bounded 1024-row broadcast weight "
+    "table, TakeOrderedAndProject cut before ranking.",
+)
+def dsir_affinity_top64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.llmprep import dsir_affinity_topk
+
+    docs = load(spark, sf_dir, "documents")
+    return dsir_affinity_topk(docs, ["src0", "src1"], k=64)

@@ -178,3 +178,46 @@ def test_pack_sequences_sharded_single_language(spark):
     # unsharded path unchanged: one contiguous packing for the language
     flat = pack_sequences(df, 16).collect()
     assert max(r["pack_id"] for r in flat) < 1 << 40
+
+
+def test_dsir_affinity_ranks_target_like_docs_first(spark):
+    """Docs sharing the target domain's n-gram profile outrank docs that
+    don't; rnk is a 1..k dense prefix with doc_id tie-breaks."""
+    from data_engineering_assignment_spark.operators.llmprep import (
+        dsir_affinity_topk,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta alpha beta", "tgt"),
+            (2, "alpha beta gamma", "tgt"),
+            (10, "alpha beta alpha", "raw"),   # target-like
+            (11, "delta epsilon zeta", "raw"), # disjoint vocabulary
+            (12, "beta alpha", "raw"),         # target-like
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = dsir_affinity_topk(docs, ["tgt"], k=5).collect()
+    assert [r["rnk"] for r in got] == [1, 2, 3, 4, 5]
+    by_doc = {r["doc_id"]: r for r in got}
+    # the disjoint-vocabulary doc scores below every target-like doc
+    assert all(
+        by_doc[11]["affinity"] < by_doc[d]["affinity"] for d in (1, 2, 10, 12)
+    )
+
+
+def test_dsir_affinity_partitioning_independent(spark, sf_dir):
+    """Scores (decimal-detour sums) and ranks are identical across input
+    partitionings."""
+    from data_engineering_assignment_spark.operators.llmprep import (
+        dsir_affinity_topk,
+    )
+    from data_engineering_assignment_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    a = [tuple(r) for r in dsir_affinity_topk(docs, ["src0", "src1"], k=16).collect()]
+    b = [
+        tuple(r)
+        for r in dsir_affinity_topk(docs.repartition(7), ["src0", "src1"], k=16).collect()
+    ]
+    assert a == b and len(a) == 16
