@@ -151,6 +151,8 @@ HEADLINE = [
     "paragraph_dedup_stats",
     # DSIR-inspired hashed-ngram data selection (oracle-gated)
     "dsir_affinity_top64",
+    # BPE merge-step primitive (oracle-gated)
+    "bpe_merge_top32",
 ]
 
 

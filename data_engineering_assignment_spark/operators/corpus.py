@@ -411,6 +411,52 @@ def build_vocab(
     )
 
 
+def bpe_merge_pairs(
+    df: DataFrame,
+    k: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The BPE merge-step primitive (Sennrich et al. 2016, "Neural Machine
+    Translation of Rare Words with Subword Units"): count adjacent symbol
+    pairs across the corpus, weighted by word frequency, and rank the
+    top-``k`` merge candidates. Symbols here are the step-0 state
+    (characters — each pair is a 2-char substring); iterating the training
+    loop re-runs pair counting over the merged symbol sequences, which is
+    work on the BOUNDED distinct-word table, not another corpus pass.
+
+    Scale shape: the corpus is touched exactly once, by the word-frequency
+    aggregation (map-side combinable); pair counting then runs on the
+    vocabulary-sized distinct-word table with a per-word explode bounded
+    by word length; top-k is bounded FIRST (orderBy + limit =
+    TakeOrderedAndProject) and ranked on the k-row set (the
+    cms_token_counts pattern). Words shorter than 2 symbols contribute no
+    pairs and are filtered before the explode (also dodging Spark's
+    DESCENDING sequence(1, 0) surprise).
+
+    Output: (pair, n, rnk), rnk 1..k under (n DESC, pair ASC).
+    """
+    words = (
+        df.select(F.explode(tokens(text_col)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.length("tok") >= 2)
+    )
+    pairs = (
+        words.select(
+            "tok",
+            "freq",
+            F.explode(F.sequence(F.lit(1), F.length("tok") - 1)).alias("i"),
+        )
+        .select(F.col("tok").substr(F.col("i"), F.lit(2)).alias("pair"), "freq")
+        .groupBy("pair")
+        .agg(F.sum("freq").alias("n"))
+    )
+    cand = pairs.orderBy(F.desc("n"), F.asc("pair")).limit(k)
+    w = Window.orderBy(F.desc("n"), F.asc("pair"))
+    return cand.withColumn("rnk", F.row_number().over(w).cast("long"))
+
+
 def encode_tokens(
     df: DataFrame,
     vocab: DataFrame,

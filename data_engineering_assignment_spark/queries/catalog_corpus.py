@@ -380,3 +380,38 @@ def bm25_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.corpus import bm25_topk
 
     return bm25_topk(load(spark, sf_dir, "documents"), list(_BM25_TERMS), k=20)
+
+
+_BPE_ORACLE = """
+WITH words AS (
+  SELECT tok, COUNT(*)::BIGINT AS freq
+  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY tok
+), pairs AS (
+  SELECT substr(tok, i, 2) AS pair, freq
+  FROM words, unnest(range(1, length(tok))) AS r(i)
+  WHERE length(tok) >= 2
+), agg AS (
+  SELECT pair, SUM(freq)::BIGINT AS n FROM pairs GROUP BY pair
+), ranked AS (
+  SELECT pair, n, (ROW_NUMBER() OVER (ORDER BY n DESC, pair ASC))::BIGINT AS rnk
+  FROM agg
+)
+SELECT pair, n, rnk FROM ranked WHERE rnk <= 32
+"""
+
+
+@register(
+    "bpe_merge_top32",
+    oracle=_BPE_ORACLE,
+    doc="Tokenizer training: the BPE merge-step primitive (Sennrich et al. "
+    "2016) — corpus-frequency-weighted adjacent symbol-pair counts over "
+    "the distinct-word table, top-32 merge candidates "
+    "(operators/corpus.bpe_merge_pairs). One corpus pass (word-frequency "
+    "aggregation), vocabulary-sized pair explode, TakeOrderedAndProject "
+    "cut before ranking.",
+)
+def bpe_merge_top32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import bpe_merge_pairs
+
+    return bpe_merge_pairs(load(spark, sf_dir, "documents"), k=32)

@@ -249,3 +249,22 @@ def test_paragraph_dedup_partitioning_independent(spark, sf_dir):
     }
     assert base == reparted
     assert base  # non-trivial fixture
+
+
+def test_bpe_merge_pairs_hand_computed(spark):
+    """Frequency-weighted adjacent-pair counts on a corpus small enough to
+    count by hand; single-char words contribute nothing."""
+    from data_engineering_assignment_spark.operators.corpus import bpe_merge_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "low low lower a"), (2, "low newest a b")],
+        "doc_id long, text string",
+    )
+    # words: low x3, lower x1, newest x1 (a, b dropped: length < 2)
+    # pairs: lo 3+1, ow 3+1, we 1+1, er 1, ne 1, ew 1, es 1, st 1
+    got = {r["pair"]: (r["n"], r["rnk"]) for r in bpe_merge_pairs(docs, k=10).collect()}
+    assert got["lo"] == (4, 1)
+    assert got["ow"] == (4, 2)  # tie with lo broken by pair text
+    assert got["we"][0] == 2
+    assert got["er"][0] == 1 and got["st"][0] == 1
+    assert len(got) == 8
