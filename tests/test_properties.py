@@ -211,3 +211,75 @@ def test_simhash_band_pairs_fuzz(spark, fps, br):
         if bin((fp_by_id[a] ^ fp_by_id[b]) & mask).count("1") <= radius
     )
     assert got == want
+
+
+small_word = st.text(alphabet="ab", min_size=1, max_size=3)
+small_doc = st.lists(small_word, min_size=1, max_size=12).map(" ".join)
+
+
+@settings(**SETTINGS)
+@given(st.lists(small_doc, min_size=1, max_size=8))
+def test_paragraph_dedup_matches_python_model(spark, texts):
+    """paragraph_dedup_stats vs a local keep-first model on random corpora
+    over a 2-letter alphabet (dense cross-doc paragraph collisions).
+    size=2 so most docs span several paragraphs."""
+    from data_engineering_assignment_spark.operators.corpus import (
+        paragraph_dedup_stats,
+    )
+
+    size = 2
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_paras"], r["n_kept"], r["n_dropped"], r["kept_char_ratio"])
+        for r in paragraph_dedup_stats(df, size=size).collect()
+    }
+
+    paras = []  # (doc, idx, para) in global keep-first order
+    for d, t in enumerate(texts):
+        toks = t.split(" ")
+        for i, s in enumerate(range(0, len(toks), size)):
+            paras.append((d, i, " ".join(toks[s : s + size])))
+    first: dict[str, tuple[int, int]] = {}
+    for d, i, p in paras:  # already (doc, idx)-ordered
+        first.setdefault(p, (d, i))
+    for d, t in enumerate(texts):
+        mine = [(i, p) for (dd, i, p) in paras if dd == d]
+        kept = [(i, p) for (i, p) in mine if first[p] == (d, i)]
+        total_chars = sum(len(p) for _, p in mine)
+        kept_chars = sum(len(p) for _, p in kept)
+        n_paras, n_kept, n_dropped, ratio = got[d]
+        assert (n_paras, n_kept, n_dropped) == (
+            len(mine),
+            len(kept),
+            len(mine) - len(kept),
+        )
+        if total_chars > 0:
+            # dround is decimal HALF_UP; allow half a 4-dp ulp of slack
+            assert ratio == pytest.approx(kept_chars / total_chars, abs=6e-5)
+        else:
+            assert ratio is None
+
+
+@settings(**SETTINGS)
+@given(st.lists(small_doc, min_size=1, max_size=8))
+def test_bpe_merge_pairs_matches_counter_model(spark, texts):
+    """bpe_merge_pairs vs a Counter model: same weighted pair counts, same
+    (n DESC, pair ASC) ranking."""
+    from data_engineering_assignment_spark.operators.corpus import bpe_merge_pairs
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    words = Counter(w for t in texts for w in t.split(" "))
+    pairs: Counter = Counter()
+    for w, f in words.items():
+        for i in range(len(w) - 1):
+            pairs[w[i : i + 2]] += f
+    want = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+    got = [
+        (r["pair"], r["n"], r["rnk"])
+        for r in bpe_merge_pairs(df, k=100).orderBy("rnk").collect()
+    ]
+    assert got == [(p, n, i + 1) for i, (p, n) in enumerate(want)]
