@@ -13,10 +13,11 @@ spec's common profile — 8-bit depth, color types 0/2/3/4/6 (gray / RGB /
 palette / gray+alpha / RGBA), all five filter types, tRNS transparency —
 which is the profile the reference's OpenMoji corpus uses
 (Assignment-python.py:654-661, :710); :func:`decode_wav` covers RIFF/WAVE
-integer PCM (8/16/32-bit) and float32, with :func:`extract_audio_features`
-as the audio feature stage. JPEG and compressed-audio/video codecs are NOT
-in this container, so those decode steps stay behind a guarded PIL hook /
-``NotImplementedError``; the deterministic ``RAWM`` container —
+integer PCM (8/16/32-bit), float32 and G.711 mu-law (r7), with
+:func:`extract_audio_features` as the audio feature stage. JPEG now has a
+dependency-free baseline decoder (r7); remaining compressed-audio/video
+codecs are NOT in this container, so those decode steps stay behind a
+guarded PIL hook / ``NotImplementedError``; the deterministic ``RAWM`` container —
 ``b"RAWM" + u16 width + u16 height + u8 channels + u8 n_frames + payload``
 (little-endian, frame-major BGRA payload) — exercises the video paths
 hermetically.
@@ -401,10 +402,13 @@ def extract_mean_color(df: DataFrame) -> DataFrame:
 def decode_wav(content: bytes) -> tuple[np.ndarray, dict]:
     """Dependency-free RIFF/WAVE decode → (samples, meta).
 
-    Handles the common PCM profile: format tag 1 (integer PCM, 8/16/32-bit)
-    and 3 (float32), any channel count; chunks are walked by the spec
-    (word-aligned), so fmt/data need not be adjacent. Compressed formats
-    (ADPCM, MP3-in-WAV…) raise ``NotImplementedError``.
+    Handles the common PCM profile: format tag 1 (integer PCM, 8/16/32-bit),
+    3 (float32), and 7 (ITU-T G.711 mu-law, the 8-bit companded telephony
+    format — expanded with the standard segment/mantissa formula, bit-exact
+    to the reference g711 tables, vectorized); any channel count; chunks are
+    walked by the spec (word-aligned), so fmt/data need not be adjacent.
+    Remaining compressed formats (A-law, ADPCM, MP3-in-WAV…) raise
+    ``NotImplementedError``.
 
     Returns samples as float64 in [-1, 1], shape (n_frames, n_channels),
     and meta {sample_rate, n_channels, n_samples, bit_depth}."""
@@ -435,10 +439,17 @@ def decode_wav(content: bytes) -> tuple[np.ndarray, dict]:
             samples = raw / float(2 ** (bits - 1))
     elif tag == 3 and bits == 32:
         samples = np.frombuffer(data, np.float32).astype(np.float64)
+    elif tag == 7 and bits == 8:
+        # G.711 mu-law expansion (the inverted-byte segment/mantissa form
+        # of the classic g711.c ulaw2linear): byte 0xFF/0x7F -> 0 silence,
+        # 0x80 -> +32124, 0x00 -> -32124 (the codec's full-scale anchors)
+        u = (~np.frombuffer(data, np.uint8)).astype(np.int32) & 0xFF
+        t = (((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 0x07)
+        samples = np.where(u & 0x80, 0x84 - t, t - 0x84).astype(np.float64) / 32768.0
     else:
         raise NotImplementedError(
-            f"WAV: only integer PCM (8/16/32-bit) and float32 are supported "
-            f"(got format tag {tag}, {bits}-bit)"
+            f"WAV: only integer PCM (8/16/32-bit), float32 and 8-bit mu-law "
+            f"are supported (got format tag {tag}, {bits}-bit)"
         )
     n_frames = len(samples) // n_ch
     samples = samples[: n_frames * n_ch].reshape(n_frames, n_ch)

@@ -505,3 +505,49 @@ def test_jpeg_rejects_out_of_scope_profiles():
     progressive = bytes(enc[:sof_at + 1]) + b"\xc2" + bytes(enc[sof_at + 2:])
     with pytest.raises(NotImplementedError):
         decode_jpeg_gray(progressive)
+
+
+def test_wav_mulaw_decode():
+    """G.711 mu-law expansion: the published full-scale/silence anchors,
+    plus round-trip through an independent linear2ulaw reference encoder
+    (the Sun g711.c segment search) — every decoded value must land within
+    its segment's quantization step of the original."""
+    import struct
+    from data_engineering_assignment_spark.functions.multimodal import decode_wav
+
+    def wav(data):
+        fmt = struct.pack("<HHIIHH", 7, 1, 8000, 8000, 1, 8)
+        return (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data)) + b"WAVE"
+                + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(data)) + data)
+
+    # table anchors: 0xFF and 0x7F are both zero (mu-law's double zero);
+    # 0x80 is +32124 full scale, 0x00 is -32124
+    s, meta = decode_wav(wav(bytes([0xFF, 0x7F, 0x80, 0x00])))
+    got = (s[:, 0] * 32768.0).round().astype(int).tolist()
+    assert got == [0, 0, 32124, -32124]
+    assert meta["bit_depth"] == 8 and meta["sample_rate"] == 8000
+
+    # independent encoder: Sun g711.c linear2ulaw
+    seg_end = [0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF, 0x1FFF, 0x3FFF, 0x7FFF]
+
+    def linear2ulaw(pcm):
+        if pcm < 0:
+            pcm = 0x84 - pcm
+            mask = 0x7F
+        else:
+            pcm += 0x84
+            mask = 0xFF
+        seg = next((i for i, e in enumerate(seg_end) if pcm <= e), 8)
+        if seg >= 8:
+            return 0x7F ^ mask
+        return ((seg << 4) | ((pcm >> (seg + 3)) & 0xF)) ^ mask
+
+    pcms = list(range(-32000, 32001, 977)) + [-1, 0, 1, 8158, -8159]
+    data = bytes(linear2ulaw(p) for p in pcms)
+    s, _ = decode_wav(wav(data))
+    decoded = (s[:, 0] * 32768.0).round().astype(int)
+    for p, d in zip(pcms, decoded):
+        # quantization step of p's segment bounds the round-trip error
+        seg = next((i for i, e in enumerate(seg_end) if abs(p) + 0x84 <= e), 7)
+        assert abs(d - p) <= (1 << (seg + 3)), (p, d, seg)
