@@ -272,6 +272,11 @@ def decode_jpeg_gray(content: bytes) -> np.ndarray:
     while pos < len(content):
         if content[pos] != 0xFF:
             raise ValueError("JPEG: expected marker")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may pad the stream
+        # before a marker id — skip the run, dispatch on the first non-FF
+        # byte (hardware encoders emit fill bytes; r7 review)
+        while pos + 1 < len(content) and content[pos + 1] == 0xFF:
+            pos += 1
         marker = content[pos + 1]
         if marker == 0xD9:  # EOI before SOS
             raise ValueError("JPEG: no scan data")

@@ -266,12 +266,18 @@ def decode_image_jpeg(content: bytes) -> tuple[np.ndarray, dict]:
     the same convention decode_png uses for PNG color type 0. Color /
     progressive JPEGs fall through to the guarded PIL hook (real corpora
     are mostly color; with PIL absent they raise its NotImplementedError
-    rather than guessing)."""
+    rather than guessing). Malformed-stream errors from the native parser
+    (ValueError/IndexError/struct.error on truncated or exotic files) fall
+    through to PIL as well: the hook is the decoder of last resort for
+    anything the baseline parser can't PROVE it handles — a file PIL could
+    decode must never be failed by our narrower parser (r7 review)."""
+    import struct as _struct
+
     from .jpeg import decode_jpeg_gray
 
     try:
         gray = decode_jpeg_gray(content)
-    except NotImplementedError:
+    except (NotImplementedError, ValueError, IndexError, _struct.error):
         return decode_image_pil(content)
     h, w = gray.shape
     bgra = np.empty((h, w, 4), dtype=np.uint8)

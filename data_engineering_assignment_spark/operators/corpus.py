@@ -145,8 +145,10 @@ def paragraph_dedup_stats(
     unsplittable sorted partition; the aggregate is map-side-combinable
     and AQE-splittable). Kept mass is then attributed by grouping the
     ALREADY-AGGREGATED firsts by winner doc and equi-joining back on
-    doc_id, an entity key. para_idx < 2^20 is asserted by construction
-    (a doc would need 16M tokens to overflow; lineage: _PIDX_CAP).
+    doc_id, an entity key. Bounds: para_idx < 2^20 by construction (a doc
+    would need 16M tokens to overflow; lineage: _PIDX_CAP) and the encode
+    needs doc_id < 2^43 to stay in bigint (ANSI mode errors loudly past
+    it); the decode is an exact shiftright, never a double divide.
 
     Output: (doc_id, n_paras, n_kept, n_dropped, kept_char_ratio) —
     kept_char_ratio is this doc's surviving-paragraph chars over its total
@@ -178,7 +180,10 @@ def paragraph_dedup_stats(
         F.min("chars").alias("_chars"),  # chars is a function of the key
     )
     kept = (
-        firsts.withColumn("doc_id", (F.col("_code") / _PIDX_CAP).cast("long"))
+        # exact long decode (shiftright = floor-div by 2^20 for the
+        # non-negative code): a double divide would round doc_ids >= 2^33
+        # before the cast and diverge from the oracle's integer //
+        firsts.withColumn("doc_id", F.shiftright(F.col("_code"), 20))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("_n_kept"),

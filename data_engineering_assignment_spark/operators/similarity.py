@@ -592,11 +592,16 @@ def _cell_pair_scanner(threshold: float, scale: int):
     """applyInPandas factory: one cell's rows in, its duplicate pairs out.
 
     Sorts the block by id (partitioning-independent), computes the full
-    cosine Gram via one normalized matmul, rounds with the midpoint-safe
-    floor(x*10^s + 0.5) (matches Spark's HALF_UP ``F.round`` for the
-    positive sims that can pass a positive threshold — np.round is
-    banker's and would diverge on exact midpoints), and emits the upper
-    triangle at or above ``threshold``. Memory and flops are quadratic in
+    cosine Gram via one normalized matmul, and emits the upper triangle at
+    or above ``threshold``. Rounding replicates ``F.round(double, s)``
+    EXACTLY: Spark rounds the shortest-decimal representation HALF_UP
+    (BigDecimal.valueOf semantics), so candidates within a slack band of
+    the threshold are re-rounded via ``Decimal(repr(x))`` — a float
+    multiply trick (floor(x*10^s + 0.5)) can cross a .xxxx5 midpoint the
+    exact decimal doesn't, silently breaking production/twin pair-set
+    parity at the threshold boundary (r7 review). The Decimal pass runs
+    only on surviving candidates — a few hundred per cell, not the
+    occupancy-squared Gram. Memory and flops are quadratic in
     CELL OCCUPANCY only — the caller's ``target_cell_rows`` bound is what
     makes this a constant-size task at any corpus scale. A degenerate
     corpus (mass collapse onto one semantic point) still concentrates in
@@ -606,20 +611,33 @@ def _cell_pair_scanner(threshold: float, scale: int):
     import numpy as np
     import pandas as pd
 
+    from decimal import ROUND_HALF_UP, Decimal
+
+    quantum = Decimal(1).scaleb(-scale)
+
+    def fround(x: float) -> float:
+        # F.round(double, s): shortest-decimal repr, HALF_UP
+        return float(Decimal(repr(x)).quantize(quantum, ROUND_HALF_UP))
+
     def scanner(pdf):
         pdf = pdf.sort_values("id").reset_index(drop=True)
         ids = pdf["id"].to_numpy()
         block = _normed(np.array(pdf["vec"].tolist(), dtype=np.float64))
         sims = block @ block.T
-        sims = np.floor(sims * 10.0**scale + 0.5) / 10.0**scale
         ii, jj = np.triu_indices(len(ids), k=1)
-        keep = sims[ii, jj] >= threshold
+        raw = sims[ii, jj]
+        # slack superset: rounding at scale s moves a value < 10^-s, so
+        # nothing below threshold - 10^-s can round up across it
+        cand = raw >= threshold - 10.0**-scale
+        ii, jj, raw = ii[cand], jj[cand], raw[cand]
+        rounded = np.array([fround(x) for x in raw], dtype=np.float64)
+        keep = rounded >= threshold
         return pd.DataFrame(
             {
                 "id_a": ids[ii[keep]],
                 "id_b": ids[jj[keep]],
                 "cell": np.full(int(keep.sum()), pdf["cell"].iat[0], dtype=np.int32),
-                "sim": sims[ii[keep], jj[keep]],
+                "sim": rounded[keep],
             }
         )
 
@@ -666,6 +684,7 @@ def semantic_dup_pairs_portable(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = 4,
+    cells: DataFrame | None = None,
 ) -> DataFrame:
     """SQL-expressible twin of :func:`semantic_dup_pairs` (the
     ivf_topk_portable discipline): Knuth-hash centroid seeding, no Lloyd
@@ -675,9 +694,18 @@ def semantic_dup_pairs_portable(
     per-id assignment window fans each row ``n_centroids``-fold — fine at
     oracle scale; production uses the narrow numpy pass.
 
+    ``cells`` injects a precomputed :func:`portable_cells` result so a
+    caller that also needs the assignment (occupancy counts, survivor
+    stats) shares ONE checkpointed table and ONE definition of the pair
+    join — the survivors query used to carbon-copy this body (r7 review).
+
     Output: (id_a, id_b, cell, sim), id_a < id_b, sim >= threshold.
     """
-    assigned = portable_cells(corpus, n_centroids, id_col=id_col, vec_col=vec_col)
+    assigned = (
+        cells
+        if cells is not None
+        else portable_cells(corpus, n_centroids, id_col=id_col, vec_col=vec_col)
+    )
     a = assigned.alias("a").hint("shuffle_hash")
     b = assigned.alias("b").hint("shuffle_hash")
     sim = F.round(cosine(F.col("a.vec"), F.col("b.vec")), scale)
@@ -873,18 +901,25 @@ def pq_topk_portable(
     def prep(df: DataFrame) -> DataFrame:
         e = F.col(vec_col).cast("array<double>")
         nrm = F.sqrt(_fold_sum(F.transform(e, lambda x: x * x)))
+        # stage 1 materializes the norm as a COLUMN: referenced inside the
+        # normalization lambda as an expression, the whole fold would
+        # inline per element — and the zero-norm CaseWhen guard references
+        # it twice, doubling an already-O(dim) fold per element (r7
+        # review); behind the boundary it is one fold per row, period
+        staged = df.select(
+            F.col(id_col).alias("id"), e.alias("_e"), nrm.alias("_nrm")
+        ).localCheckpoint(eager=True)
         # zero-norm guard matching the production pq_topk's
         # np.where(n == 0, 1, n): a zero vector divides by 1 (stays zero)
         # instead of producing NaNs that sort engine-dependently; the SQL
         # twin (_pq_oracle) writes the same CASE WHEN guard
-        safe = F.when(nrm == 0, F.lit(1.0)).otherwise(nrm)
-        # materialized: the normalized array is consumed via element_at
-        # inside fold lambdas downstream, and Catalyst would inline the
-        # whole normalization transform into every element access (the
-        # shingle_hash_stream trap); the checkpoint is N x dim doubles
-        return df.select(
-            F.col(id_col).alias("id"),
-            F.transform(e, lambda x: x / safe).alias("vec"),
+        safe = F.when(F.col("_nrm") == 0, F.lit(1.0)).otherwise(F.col("_nrm"))
+        # stage 2 materializes the normalized array: it is consumed via
+        # element_at inside fold lambdas downstream, and Catalyst would
+        # inline the whole normalization transform into every element
+        # access (the shingle_hash_stream trap); N x dim doubles
+        return staged.select(
+            "id", F.transform("_e", lambda x: x / safe).alias("vec")
         ).localCheckpoint(eager=True)
 
     c_prep = prep(corpus)

@@ -631,26 +631,15 @@ FROM occ o LEFT JOIN pc USING (cell)
 def dedup_semantic_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import (
         portable_cells,
+        semantic_dup_pairs_portable,
         semantic_survivor_stats,
     )
 
     emb = load(spark, sf_dir, "embeddings")
+    # one checkpointed assignment shared by the pair join and the
+    # occupancy counts; the pair join itself has exactly one definition
     cells = portable_cells(emb, n_centroids=16)
-    a = cells.alias("a").hint("shuffle_hash")
-    b = cells.alias("b").hint("shuffle_hash")
-    from ..operators.similarity import cosine
-
-    sim = F.round(cosine(F.col("a.vec"), F.col("b.vec")), 4)
-    pairs = (
-        a.join(b, (F.col("a.cell") == F.col("b.cell")) & (F.col("a.id") < F.col("b.id")))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.cell").alias("cell"),
-            sim.alias("sim"),
-        )
-        .filter(F.col("sim") >= 0.4)
-    )
+    pairs = semantic_dup_pairs_portable(emb, threshold=0.4, cells=cells)
     occ = cells.groupBy("cell").agg(F.count(F.lit(1)).alias("n_points"))
     return semantic_survivor_stats(pairs, occ)
 

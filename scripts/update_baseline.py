@@ -47,10 +47,11 @@ ROAMS between runs (run A: simhash_hamming_pairs 5.20 s / orders_cube
 0.50 s; run B: 1.99 s / 4.09 s — each 5-rep-probe-confirmed transient,
 steady-state at the lower value). The min-across-runs is the plan cost;
 single future runs should expect 1-2 such outliers and read the markers
-before believing any per-query flag. `dedup_semantic_kmeans` and
-`paragraph_dedup_stats` joined the headline set after the re-record;
-their entries are min-of-2 solo probes under the same policy
-(scale_probe.py session: warm tables, noop sink)."""
+before believing any per-query flag. Four queries joined the headline
+set after the re-record (`dedup_semantic_kmeans`, `paragraph_dedup_stats`,
+`dsir_affinity_top64`, `bpe_merge_top32`); their entries are min-of-2
+solo probes under the same policy (scale_probe.py session: warm tables,
+noop sink), so single-run outlier expectations apply to them too."""
 
 
 def main() -> None:

@@ -268,3 +268,23 @@ def test_bpe_merge_pairs_hand_computed(spark):
     assert got["we"][0] == 2
     assert got["er"][0] == 1 and got["st"][0] == 1
     assert len(got) == 8
+
+
+def test_paragraph_dedup_large_doc_ids_exact_decode(spark):
+    """The keep-first argmin code decodes with exact long arithmetic
+    (shiftright), never a double divide — pinned with doc_ids past 2^40,
+    where the code exceeds double's 2^53 exact-integer range."""
+    from data_engineering_assignment_spark.operators.corpus import (
+        paragraph_dedup_stats,
+    )
+
+    a, b = (1 << 42) + 3, (1 << 42) + 4
+    docs = spark.createDataFrame(
+        [(a, "p q r s"), (b, "p q r s t u")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_paras"], r["n_kept"], r["n_dropped"])
+        for r in paragraph_dedup_stats(docs, size=2).collect()
+    }
+    assert got[a] == (2, 2, 0)          # both paragraphs first here
+    assert got[b] == (3, 1, 2)          # "p q"/"r s" dup, "t u" novel

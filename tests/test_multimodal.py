@@ -551,3 +551,20 @@ def test_wav_mulaw_decode():
         # quantization step of p's segment bounds the round-trip error
         seg = next((i for i, e in enumerate(seg_end) if abs(p) + 0x84 <= e), 7)
         assert abs(d - p) <= (1 << (seg + 3)), (p, d, seg)
+
+
+def test_jpeg_fill_bytes_before_markers():
+    """T.81 B.1.1.2 fill bytes (0xFF padding before a marker id) must be
+    skipped, not dispatched on — hardware encoders emit them (r7 review:
+    previously raised 'no SOS marker' on conformant files)."""
+    from data_engineering_assignment_spark.functions.jpeg import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    img = (np.arange(64, dtype=np.uint8).reshape(8, 8) * 3 + 10).astype(np.uint8)
+    wav = encode_jpeg_gray(img)
+    base = decode_jpeg_gray(wav)
+    # inject fill-byte runs after SOI (before the first marker's 0xFF)
+    padded = wav[:2] + b"\xff\xff\xff" + wav[2:]
+    assert np.array_equal(decode_jpeg_gray(padded), base)
