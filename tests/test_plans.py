@@ -310,3 +310,30 @@ def test_simhash_census_materializes_fingerprints_once(spark, sf_dir):
     plan = plans.simple_plan(df)
     assert "Scan parquet" not in plan
     assert plan.count("Scan ExistingRDD") >= 3  # h0 + both self-join sides
+
+
+def test_bpe_and_dsir_bound_before_ranking(spark, sf_dir):
+    """The r7 top-k queries bound FIRST: the global cut plans as a
+    distributed TakeOrderedAndProject, never a full sort of the
+    vocabulary/corpus score table (the cms_token_counts discipline)."""
+    assert "TakeOrderedAndProject" in plans.simple_plan(
+        build(spark, sf_dir, "bpe_merge_top32")
+    )
+    assert "TakeOrderedAndProject" in plans.simple_plan(
+        build(spark, sf_dir, "dsir_affinity_top64")
+    )
+
+
+def test_dsir_weight_join_broadcasts_bounded_side(spark, sf_dir):
+    """The 1024-row weight table is the broadcast side of the per-doc
+    score join — the corpus-side counts must never ship."""
+    assert plans.has_broadcast_join(build(spark, sf_dir, "dsir_affinity_top64"))
+
+
+def test_paragraph_dedup_no_content_key_window(spark, sf_dir):
+    """Keep-first is an integer argmin aggregate + entity-key join: the
+    plan must contain no Window at all (a window partitioned by the
+    paragraph key would pin a viral paragraph on one task)."""
+    plan = plans.simple_plan(build(spark, sf_dir, "paragraph_dedup_stats"))
+    assert "Window" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
