@@ -516,3 +516,29 @@ def test_dedup_semantic_kmeans_catalog_entry(spark, sf_dir):
     rows = df.collect()
     assert rows
     assert all(r["id_a"] < r["id_b"] and r["sim"] >= 0.4 for r in rows)
+
+
+def test_semantic_kmeans_production_precision_and_recall_floor(spark, sf_dir):
+    """Production path vs exact all-pairs truth: perfect precision (a
+    within-cell pair IS an exact pair — cells can hide pairs, never
+    invent them) and a pinned recall floor at the aggressive 125-row
+    cell target (measured 0.27 on the fixture; the cross-cell blindness
+    SemDeDup trades for the quadratic cut, reported per-corpus by
+    semantic_recall_telemetry)."""
+    from data_engineering_assignment_spark.operators.similarity import (
+        cosine_pairs_grouped,
+        semantic_dup_pairs,
+    )
+    from data_engineering_assignment_spark.tables import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    prod = {
+        (r["id_a"], r["id_b"])
+        for r in semantic_dup_pairs(emb, threshold=0.4, target_cell_rows=125).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_pairs_grouped(emb, threshold=0.4).collect()
+    }
+    assert prod <= exact and prod
+    assert len(prod & exact) / len(exact) >= 0.2
