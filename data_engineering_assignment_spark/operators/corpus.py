@@ -155,21 +155,8 @@ def paragraph_dedup_stats(
     paragraph chars, the per-doc shrink a corpus-wide paragraph dedup
     would inflict.
     """
-    toks = tokens(text_col)
-    starts = F.sequence(
-        F.lit(0), F.greatest(F.size(F.col("_toks")) - 1, F.lit(0)), F.lit(size)
-    )
-    para = F.concat_ws(" ", F.slice(F.col("_toks"), F.col("_start") + 1, size))
-    stream = (
-        df.select(F.col(id_col).alias("doc_id"), toks.alias("_toks"))
-        .select("doc_id", F.col("_toks"), F.explode(starts).alias("_start"))
-        .select(
-            "doc_id",
-            (F.col("_start") / size).cast("long").alias("para_idx"),
-            F.md5(para.cast("binary")).alias("key"),
-            F.length(para).cast("long").alias("chars"),
-        )
-        .localCheckpoint(eager=True)
+    stream = paragraph_stream(df, size, text_col=text_col, id_col=id_col).localCheckpoint(
+        eager=True
     )
     totals = stream.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_paras"),
@@ -210,6 +197,36 @@ def paragraph_dedup_stats(
 
 
 _PIDX_CAP = 1 << 20  # paragraph-index headroom in the integer argmin code
+
+
+def paragraph_stream(
+    df: DataFrame,
+    size: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The (doc_id, para_idx, key, chars) paragraph-key stream — one row
+    per ``size``-token block, md5-keyed. Deliberately checkpoint-free so
+    it composes with Structured Streaming: the batch accounting
+    (:func:`paragraph_dedup_stats`) materializes it for its two-consumer
+    fan-out, while the streaming ingest path runs it straight into
+    ``dropDuplicates``/``dropDuplicatesWithinWatermark`` (parity test in
+    tests/test_streaming.py)."""
+    toks = tokens(text_col)
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(F.col("_toks")) - 1, F.lit(0)), F.lit(size)
+    )
+    para = F.concat_ws(" ", F.slice(F.col("_toks"), F.col("_start") + 1, size))
+    return (
+        df.select(F.col(id_col).alias("doc_id"), toks.alias("_toks"))
+        .select("doc_id", F.col("_toks"), F.explode(starts).alias("_start"))
+        .select(
+            "doc_id",
+            (F.col("_start") / size).cast("long").alias("para_idx"),
+            F.md5(para.cast("binary")).alias("key"),
+            F.length(para).cast("long").alias("chars"),
+        )
+    )
 
 
 def boilerplate_ngrams(

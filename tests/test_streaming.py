@@ -565,3 +565,32 @@ def test_streaming_decontamination_probe_pipeline_matches_batch(spark, tmp_path)
     }
     assert got == want
     assert len(got) > 0 and any(v == 1 for v in got.values())
+
+
+def test_streaming_paragraph_dedup_count_parity(spark, tmp_path):
+    """Paragraph dedup in the ingest path: the stream-safe paragraph-key
+    stage (operators/corpus.paragraph_stream) feeds streaming
+    dropDuplicates; the deduped key count must equal the batch
+    accounting's total kept paragraphs (keep-first keeps exactly one row
+    per distinct key, so the SET agrees even though a stream's arrival
+    order can pick a different first occurrence)."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_assignment_spark.operators.corpus import (
+        paragraph_dedup_stats,
+        paragraph_stream,
+    )
+    from data_engineering_assignment_spark.tables import load
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    batch_kept = (
+        paragraph_dedup_stats(docs, size=16)
+        .agg(F.sum("n_kept").alias("k"))
+        .collect()[0]["k"]
+    )
+    d = str(tmp_path / "docs")
+    docs.write.parquet(d)
+    src = spark.readStream.schema(docs.schema).parquet(d)
+    deduped = paragraph_stream(src, size=16).dropDuplicates(["key"])
+    out = st.run_available_now(deduped.select("key"), output_mode="append")
+    assert out.count() == batch_kept
