@@ -649,18 +649,30 @@ def portable_cells(
     n_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    seed_corpus: DataFrame | None = None,
 ) -> DataFrame:
     """SQL-expressible cell assignment: Knuth-hash seed centroids (the
     ivf_topk_portable seeding), argmax cosine via order-pinned JVM folds,
     ties broken by cell index. Returns (id, vec, cell), eagerly
     materialized — every consumer (pair self-join sides, occupancy counts)
-    would otherwise re-execute the n_centroids-fold assignment fan-out."""
+    would otherwise re-execute the n_centroids-fold assignment fan-out.
+
+    ``seed_corpus`` seeds the centroids from a DIFFERENT table than the
+    one being assigned (the incremental-ingest shape: a delta batch is
+    assigned into the standing corpus's cells, never its own)."""
     c_prep = corpus.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vec")
     )
+    s_prep = (
+        c_prep
+        if seed_corpus is None
+        else seed_corpus.select(
+            F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vec")
+        )
+    )
     h = (F.col("id") * F.lit(2654435761)) % F.lit(4294967296)
     seeds = (
-        c_prep.select("id", "vec", h.alias("h")).orderBy("h", "id").limit(n_centroids)
+        s_prep.select("id", "vec", h.alias("h")).orderBy("h", "id").limit(n_centroids)
     )
     w_seed = Window.orderBy("h", "id")  # n_centroids rows: single task is fine
     cents = seeds.select(
@@ -721,6 +733,65 @@ def semantic_dup_pairs_portable(
             sim.alias("sim"),
         )
         .filter(F.col("sim") >= threshold)
+    )
+
+
+def incremental_semantic_dedup(
+    corpus: DataFrame,
+    delta: DataFrame,
+    threshold: float = 0.4,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 4,
+) -> DataFrame:
+    """Incremental (delta-batch) semantic dedup — the embedding-modality
+    twin of the exact ``incremental_dedup`` catalog query: assign the
+    DELTA into the STANDING corpus's cells (corpus-seeded portable
+    centroids — a new batch must never re-derive its own cell geometry)
+    and judge each delta vector against the corpus rows sharing its cell.
+
+    Scale shape (the incremental_dedup discipline): the corpus is
+    assigned and scanned IN PLACE — one pass, never shuffled against
+    itself, never broadcast; the bounded delta is the broadcast side of
+    the cell join, and the per-delta verdict aggregate (delta-sized) is
+    the broadcast side of the attach-back join. Daily ingest is
+    O(corpus scan + batch). Preserving unmatched deltas while
+    broadcasting the delta cannot be one outer BroadcastHashJoin (the
+    preserved side can't be the build side), hence inner-join → aggregate
+    → left-attach.
+
+    Output per delta row: (vec_id, cell, best_sim, n_dups, status) —
+    best_sim = max rounded same-cell cosine vs the corpus (NULL when the
+    cell holds no corpus rows), n_dups = same-cell corpus rows at or
+    above ``threshold``, status = 'dup'/'novel'. All tie-invariant.
+    """
+    cells_c = portable_cells(corpus, n_centroids, id_col=id_col, vec_col=vec_col)
+    cells_d = portable_cells(
+        delta, n_centroids, id_col=id_col, vec_col=vec_col, seed_corpus=corpus
+    )
+    sim = F.round(cosine(F.col("d.vec"), F.col("c.vec")), scale)
+    scored = (
+        cells_c.alias("c")
+        .join(F.broadcast(cells_d.alias("d")), F.col("d.cell") == F.col("c.cell"))
+        .select(F.col("d.id").alias("id"), sim.alias("sim"))
+    )
+    agg = scored.groupBy("id").agg(
+        F.max("sim").alias("best_sim"),
+        F.sum((F.col("sim") >= threshold).cast("long")).alias("n_dups"),
+    )
+    return (
+        cells_d.select("id", "cell")
+        .join(F.broadcast(agg), "id", "left")
+        .select(
+            F.col("id").alias("vec_id"),
+            "cell",
+            "best_sim",
+            F.coalesce("n_dups", F.lit(0)).alias("n_dups"),
+            F.when(F.coalesce("n_dups", F.lit(0)) > 0, F.lit("dup"))
+            .otherwise(F.lit("novel"))
+            .alias("status"),
+        )
     )
 
 

@@ -727,3 +727,69 @@ def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     return semantic_dup_pairs(emb, threshold=0.4, target_cell_rows=125)
+
+
+def _sem_assign_cte(src: str, out: str, dim: int = 64) -> str:
+    """Assignment CTE pair: rows of CTE ``src`` → (vec_id, e, cell) in CTE
+    ``out``, argmax cosine over the corpus-seeded `cents` (must be in
+    scope), ties to the lower cell index — the portable_cells twin."""
+    cos = (
+        f"list_sum(list_transform(range(1, {dim + 1}), i -> v.e[i] * c.cent[i]))"
+        " / sqrt(list_sum(list_transform(v.e, x -> x * x))"
+        " * list_sum(list_transform(c.cent, x -> x * x)))"
+    )
+    return f"""ca_{out} AS (
+  SELECT v.vec_id, v.e, c.cell,
+         ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                            ORDER BY {cos} DESC, c.cell ASC) AS rn
+  FROM {src} v CROSS JOIN cents c
+), {out} AS (
+  SELECT vec_id, e, cell FROM ca_{out} WHERE rn = 1
+)"""
+
+
+_INC_SEM_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings
+), cor AS (SELECT * FROM v WHERE vec_id % 97 <> 0),
+del AS (SELECT * FROM v WHERE vec_id % 97 = 0),
+seeds AS (
+  SELECT vec_id, e, (vec_id * 2654435761) % 4294967296 AS h
+  FROM cor ORDER BY h, vec_id LIMIT 16
+), cents AS (
+  SELECT (ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1)::INT AS cell, e AS cent FROM seeds
+), {_sem_assign_cte('cor', 'cc')}, {_sem_assign_cte('del', 'cd')},
+pairs AS (
+  SELECT d.vec_id, ROUND({_SEMDEDUP_PAIR_COS.replace('a.e', 'd.e').replace('b.e', 'c.e')}, 4) AS sim
+  FROM cd d JOIN cc c ON d.cell = c.cell
+), agg AS (
+  SELECT vec_id, MAX(sim) AS best_sim,
+         SUM(CASE WHEN sim >= 0.4 THEN 1 ELSE 0 END)::BIGINT AS n_dups
+  FROM pairs GROUP BY vec_id
+)
+SELECT d.vec_id, d.cell, a.best_sim,
+       COALESCE(a.n_dups, 0)::BIGINT AS n_dups,
+       CASE WHEN COALESCE(a.n_dups, 0) > 0 THEN 'dup' ELSE 'novel' END AS status
+FROM cd d LEFT JOIN agg a USING (vec_id)
+"""
+
+
+@register(
+    "incremental_semantic_dedup",
+    oracle=_INC_SEM_ORACLE,
+    doc="Incremental SEMANTIC dedup — the embedding-modality twin of the "
+    "exact incremental_dedup: the delta batch (vec_id % 97 = 0) is "
+    "assigned into the STANDING corpus's cells (corpus-seeded portable "
+    "centroids) and judged against same-cell corpus rows. Corpus scanned "
+    "in place, never shuffled/broadcast; the bounded delta and the "
+    "delta-sized verdict aggregate are the only broadcast sides "
+    "(operators/similarity.incremental_semantic_dedup). Output: per-delta "
+    "(cell, best_sim, n_dups, dup/novel).",
+)
+def incremental_semantic_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import incremental_semantic_dedup
+
+    emb = load(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 97 != 0)
+    delta = emb.filter(F.col("vec_id") % 97 == 0)
+    return incremental_semantic_dedup(corpus, delta, threshold=0.4, n_centroids=16)

@@ -542,3 +542,35 @@ def test_semantic_kmeans_production_precision_and_recall_floor(spark, sf_dir):
     }
     assert prod <= exact and prod
     assert len(prod & exact) / len(exact) >= 0.2
+
+
+def test_incremental_semantic_dedup_statuses(spark):
+    """Hand-built corpus/delta: a delta vector colinear with corpus mass is
+    'dup' with best_sim ~1; an orthogonal delta vector is 'novel' with 0
+    dups; every delta row appears exactly once, on any partitioning."""
+    from data_engineering_assignment_spark.operators.similarity import (
+        incremental_semantic_dedup,
+    )
+
+    def rows(ids_vecs):
+        return spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in ids_vecs],
+            "vec_id long, embedding array<double>",
+        )
+
+    corpus = rows([(1, [1, 0, 0, 0]), (2, [0.9, 0.1, 0, 0]), (3, [0, 1, 0, 0])])
+    delta = rows([(100, [1, 0.05, 0, 0]), (101, [0, 0, 1, 0])])
+    got = {r["vec_id"]: r for r in incremental_semantic_dedup(
+        corpus, delta, threshold=0.4, n_centroids=2
+    ).collect()}
+    assert set(got) == {100, 101}
+    assert got[100]["status"] == "dup" and got[100]["n_dups"] >= 1
+    assert got[100]["best_sim"] >= 0.9
+    assert got[101]["status"] == "novel" and got[101]["n_dups"] == 0
+
+    again = {r["vec_id"]: (r["cell"], r["best_sim"], r["n_dups"], r["status"])
+             for r in incremental_semantic_dedup(
+                 corpus.repartition(5), delta.repartition(3),
+                 threshold=0.4, n_centroids=2).collect()}
+    assert again == {k: (v["cell"], v["best_sim"], v["n_dups"], v["status"])
+                     for k, v in got.items()}
