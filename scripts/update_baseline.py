@@ -3,7 +3,13 @@
 Usage:
     python bench.py                            # run ALONE (JVM contention);
                                                # also writes BENCH_LOCAL.json
-    python scripts/update_baseline.py BENCH_LOCAL.json [round-label]
+    python scripts/update_baseline.py BASELINE_STANDING.json [round-label]
+
+BASELINE_STANDING.json is the committed source of the standing table (the
+per-query min across marker-verified solo runs plus side-probe entries for
+queries added after a re-record); edit it and re-run this script so
+BASELINE.md stays exactly regenerable. Passing a raw BENCH_LOCAL.json
+works too but replaces the whole table with that single run.
 
 Replaces everything from the '## Standing per-query baseline' heading down;
 the intro keeps the cross-round comparison notes.
