@@ -492,7 +492,7 @@ def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_INCR_ORACLE = """
+_INCR_ORACLE = f"""
 WITH newdocs AS (
   SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
 ), corpus AS (
@@ -501,10 +501,15 @@ WITH newdocs AS (
   SELECT DISTINCT md5(text) AS h FROM corpus
 ), toks AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents
-), sh AS (
-  SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS shingle
+), shs AS (
+  SELECT doc_id, array_to_string(t[i:i+4], ' ') AS s
   FROM (SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS i
         FROM toks WHERE len(t) >= 5)
+), sh AS (
+  -- shingle identity by the portable rolling hash (the Spark side streams
+  -- composed hashes, never shingle strings); a collision merges the same
+  -- two shingles on both engines
+  SELECT DISTINCT doc_id, {_o_rhash('s')} AS shingle FROM shs
 ), corpus_sh AS (
   SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 <> 0
 ), overlap AS (
@@ -535,11 +540,14 @@ LEFT JOIN overlap o ON o.doc_id = n.doc_id
     "usual broadcast: the DELTA side is broadcast (bounded by ingest "
     "batch size) and the corpus is scanned in place — the corpus is never "
     "shuffled, collected, or broadcast, so daily ingest cost is "
-    "O(corpus scan + batch size), not O(corpus shuffle). Shingle equality "
-    "is by string (the batch is small; no need for the hash detour).",
+    "O(corpus scan + batch size), not O(corpus shuffle). Shingle identity "
+    "is the portable rolling hash streamed via composed token hashes (r7: "
+    "the corpus-side 5-gram STRING build was the dominant phase, 2x the "
+    "hash stream); the oracle hashes the same strings, so the gate stays "
+    "exact.",
 )
 def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import word_shingles
+    from ..operators.text import shingle_hash_stream
 
     docs = load(spark, sf_dir, "documents")
     is_new = F.col("doc_id") % 10 == 0
@@ -563,19 +571,23 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left",
     ).select("doc_id", F.coalesce("_e", F.lit(0)).alias("exact_dup"))
 
-    # near: batch shingles broadcast, corpus shingle stream filtered by
-    # them (LEFT SEMI), then the surviving corpus-shingle set (bounded by
-    # the batch's vocabulary) joins back to count per-batch-doc overlap
-    new_sh = new.select(
-        "doc_id", F.explode(word_shingles("text", 5)).alias("shingle")
-    )
+    # near: batch shingle hashes broadcast, corpus shingle-hash stream
+    # filtered by them (LEFT SEMI), then the surviving corpus set (bounded
+    # by the batch's vocabulary) joins back to count per-batch-doc overlap.
+    # Hashes, not strings: the corpus-side 5-gram STRING build was the
+    # query's dominant phase (measured 1.35 s vs 0.69 s for the composed
+    # hash stream at sf0.1 — shingle_hash_stream folds each char once per
+    # doc); the oracle hashes the same strings with the same rolling hash,
+    # so a collision merges identically on both engines
+    new_sh = shingle_hash_stream(new, n=5)
     corpus_sh = (
-        corpus.select(F.explode(word_shingles("text", 5)).alias("shingle"))
-        .join(F.broadcast(new_sh.select("shingle").distinct()), "shingle", "left_semi")
+        shingle_hash_stream(corpus, n=5)
+        .select("rh")
+        .join(F.broadcast(new_sh.select("rh").distinct()), "rh", "left_semi")
         .distinct()
     )
     overlap = (
-        new_sh.join(F.broadcast(corpus_sh), "shingle")
+        new_sh.join(F.broadcast(corpus_sh), "rh")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
     )
