@@ -75,29 +75,29 @@ def decontaminate(
     n: int = 5,
 ) -> DataFrame:
     """Benchmark decontamination: train docs sharing any word ``n``-gram with
-    the benchmark set → (doc_id, n_shared_shingles). Both sides project the
-    shingle's xxhash64 before the join, so the broadcast map holds 8-byte
-    longs instead of n-word strings and probes hash longs — same trick as
-    ``corpus.boilerplate_ngrams`` (a 64-bit collision would need ~2³²
-    distinct shingles to matter; the cross-engine oracle would catch one).
+    the benchmark set → (doc_id, n_shared_shingles). Both sides stream the
+    shingle's PORTABLE rolling hash (text.shingle_hash_stream — one char
+    fold per doc, never an n-word string per position: the corpus-side
+    string build was measured 2x the composed-hash stream, r7), so the
+    broadcast map holds 8-byte longs and the SQL oracle hashes the same
+    strings with the same family — a collision merges identically on both
+    engines instead of hiding behind a string-vs-xxhash64 asymmetry.
     The benchmark side is deduplicated to distinct hashes and broadcast when
     small."""
-    from .dedup import word_shingles
     from .parallelism import ensure_min_parallelism
+    from .text import shingle_hash_stream
 
-    t_sh = ensure_min_parallelism(train).select(
-        F.col(id_col).alias("doc"), F.explode(word_shingles(text_col, n)).alias("shingle")
-    ).select("doc", F.xxhash64("shingle").alias("sh_h"))
-    b_sh = (
-        benchmark.select(F.explode(word_shingles(text_col, n)).alias("shingle"))
-        .select(F.xxhash64("shingle").alias("sh_h"))
-        .distinct()
-    )
-    # plain count, not count_distinct: word_shingles array_distincts per doc,
-    # and the benchmark side is distinct — (doc, sh_h) pairs are unique,
-    # so the distinct-expansion shuffle would be pure waste
+    t_sh = shingle_hash_stream(
+        ensure_min_parallelism(train), n=n, id_cols=(id_col,), text_col=text_col
+    ).withColumnRenamed(id_col, "doc")
+    b_sh = shingle_hash_stream(benchmark, n=n, id_cols=(), text_col=text_col).select(
+        "rh"
+    ).distinct()
+    # plain count, not count_distinct: the stream is per-doc-distinct and
+    # the benchmark side is distinct — (doc, rh) pairs are unique, so the
+    # distinct-expansion shuffle would be pure waste
     return (
-        t_sh.join(F.broadcast(b_sh), on="sh_h")
+        t_sh.join(F.broadcast(b_sh), on="rh")
         .groupBy(F.col("doc").alias(id_col))
         .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
     )

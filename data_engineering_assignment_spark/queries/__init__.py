@@ -43,20 +43,20 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # Round-7 head (catalog = 131 after the SemDeDup trio + jpeg_decode_stats
 # + the dedup_semantic_kmeans production path + paragraph_dedup_stats
 # + dsir_affinity_top64 + bpe_merge_top32 + incremental_semantic_dedup):
-# the 9 never-checked queries; the 8 whose implementation changed this
+# the 9 never-checked queries; the 9 whose implementation changed this
 # round (trail_nn gate: events_anomaly_zscore_bucketed; histogram-level
 # NULL exclusion: quality_percentile_gate; in-join length + suffix-bound
 # filter: dedup_jaccard_prefix; zero-norm guard in twin AND oracle:
 # cosine_topk_pq; dual shuffle hint: simhash_hamming_pairs; jpg fixtures +
 # glob: binary_media_inventory; bloom_position delegation: bloom_
-# decontaminate; hashed shingle stream: incremental_dedup);
-# ALL 27 queries last checked in r4 (the set the r6
-# verdict scheduled for this head); and the first 6 (alphabetical) of
+# decontaminate; hashed shingle stream: incremental_dedup AND
+# decontaminate_ngram); ALL 27 queries last checked in r4 (the set the r6
+# verdict scheduled for this head); and the first 5 (alphabetical) of
 # the 45 queries last checked in r5 (click_purchase_attribution ...
-# data_mix_by_source, with ml_eval_metrics swapped in for
+# daily_conversion_funnel, with ml_eval_metrics swapped in for
 # embedding_near_dup so the head spans catalog_ml — the module-coverage
-# contract).  The remaining 39 r5-checked queries
-# (dedup_ngram_jaccard onward) lead the r8 head, followed by the
+# contract).  The remaining 40 r5-checked queries
+# (data_mix_by_source onward) lead the r8 head, followed by the
 # r6-checked set as it ages.
 DRIVER_SAMPLE_HEAD: tuple[str, ...] = (
     # never driver-checked (9, new this round)
@@ -78,6 +78,7 @@ DRIVER_SAMPLE_HEAD: tuple[str, ...] = (
     "binary_media_inventory",
     "bloom_decontaminate",
     "incremental_dedup",
+    "decontaminate_ngram",
     # last checked r4 (all 27)
     "above_nation_avg_customers",
     "approx_distinct_users_rollup",
@@ -106,15 +107,15 @@ DRIVER_SAMPLE_HEAD: tuple[str, ...] = (
     "top5_orders",
     "top_priority_null_count",
     "user_rolling_stats",
-    # last checked r5 (first 6 alphabetically of 45; dedup_ngram_jaccard,
-    # distinct_status_priority, doc_regex_tokens, doc_simhash,
-    # doc_tfidf_top_terms and docs_hash_sample yielded their slots to the
-    # five queries added and one rewritten mid-round and lead the r8 head)
+    # last checked r5 (first 5 alphabetically of 45; data_mix_by_source,
+    # dedup_ngram_jaccard, distinct_status_priority, doc_regex_tokens,
+    # doc_simhash, doc_tfidf_top_terms and docs_hash_sample yielded their
+    # slots to the five queries added and two rewritten mid-round and
+    # lead the r8 head)
     "click_purchase_attribution",
     "cms_token_counts",
     "csv_sales_publisher_year",
     "daily_conversion_funnel",
-    "data_mix_by_source",
     "ml_eval_metrics",
 )
 

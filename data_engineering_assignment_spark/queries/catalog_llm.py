@@ -90,13 +90,17 @@ def data_mix_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixed.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
 
 
-_DECON_ORACLE = """
+_DECON_ORACLE = f"""
 WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents
-), sh AS (
-  SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS shingle
+), shs AS (
+  SELECT doc_id, array_to_string(t[i:i+4], ' ') AS s
   FROM (SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS i
         FROM toks WHERE len(t) >= 5)
+), sh AS (
+  -- shingle identity by the portable rolling hash, matching the Spark
+  -- side's composed-hash stream (a collision merges identically)
+  SELECT DISTINCT doc_id, {_o_rhash('s')} AS shingle FROM shs
 ), bench AS (
   SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0
 )
