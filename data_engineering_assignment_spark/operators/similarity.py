@@ -588,6 +588,18 @@ def semantic_dup_pairs(
     )
 
 
+def _fround_double(x: float, scale: int) -> float:
+    """Python replica of Spark's ``F.round(double, scale)``: round the
+    SHORTEST-decimal representation HALF_UP (Catalyst's Round delegates to
+    BigDecimal.valueOf, i.e. Double.toString — the same shortest-repr
+    algorithm as Python's repr). Pinned bit-for-bit against F.round in
+    tests/test_similarity.py; a float multiply trick (floor(x*10^s+0.5))
+    crosses .xxxx5 midpoints differently and must not replace this."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal(1).scaleb(-scale), ROUND_HALF_UP))
+
+
 def _cell_pair_scanner(threshold: float, scale: int):
     """applyInPandas factory: one cell's rows in, its duplicate pairs out.
 
@@ -611,13 +623,8 @@ def _cell_pair_scanner(threshold: float, scale: int):
     import numpy as np
     import pandas as pd
 
-    from decimal import ROUND_HALF_UP, Decimal
-
-    quantum = Decimal(1).scaleb(-scale)
-
     def fround(x: float) -> float:
-        # F.round(double, s): shortest-decimal repr, HALF_UP
-        return float(Decimal(repr(x)).quantize(quantum, ROUND_HALF_UP))
+        return _fround_double(x, scale)
 
     def scanner(pdf):
         pdf = pdf.sort_values("id").reset_index(drop=True)

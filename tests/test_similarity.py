@@ -574,3 +574,36 @@ def test_incremental_semantic_dedup_statuses(spark):
                  threshold=0.4, n_centroids=2).collect()}
     assert again == {k: (v["cell"], v["best_sim"], v["n_dups"], v["status"])
                      for k, v in got.items()}
+
+
+def test_fround_matches_spark_round_bitwise(spark):
+    """_fround_double (the numpy pair scanner's rounding) must equal
+    F.round(double, 4) BIT-FOR-BIT — adversarial .xxxx5 midpoints, values
+    whose double*10^4 product crosses a midpoint the decimal doesn't, and
+    random doubles. This is the contract that keeps production/twin pair
+    sets in exact agreement at the threshold boundary."""
+    import random
+    import struct as _struct
+
+    from data_engineering_assignment_spark.operators.similarity import (
+        _fround_double,
+    )
+
+    rng = random.Random(42)
+    vals = [0.40005, 0.39995, 0.12345, -0.40005, 0.5, -0.5, 0.0, 1.0]
+    # doubles just below/above 4-dp midpoints
+    for k in range(1, 40):
+        m = k / 10000 + 5e-5
+        for ulps in (-2, -1, 0, 1, 2):
+            (bits,) = _struct.unpack("<q", _struct.pack("<d", m))
+            (v,) = _struct.unpack("<d", _struct.pack("<q", bits + ulps))
+            vals.append(v)
+    vals += [rng.uniform(-1, 1) for _ in range(200)]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "i long, x double")
+    got = {
+        r["i"]: r["r"]
+        for r in df.select("i", F.round("x", 4).alias("r")).collect()
+    }
+    for i, v in enumerate(vals):
+        mine = _fround_double(v, 4)
+        assert mine == got[i] or (mine == 0.0 and got[i] == 0.0), (v, mine, got[i])
