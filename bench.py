@@ -172,10 +172,12 @@ def contention_markers() -> tuple[float, float]:
     slows), while a multi-threaded BLAS matmul swings with whatever else
     is stealing cores. Embedding both in every bench artifact answers
     "is this total real?" mechanically instead of burning a day on
-    re-measurement archaeology (r6 postmortem). Reference fast values on
-    this box: st ~0.08s, mt ~0.28s; an mt reading 2x+ its standing value
-    with st flat means the TOTAL is contended and per-query comparisons
-    should be read against the best solo run, not this one.
+    re-measurement archaeology (r6 postmortem). Fast bands DRIFT (the
+    BLAS figure moved from ~0.28s in r6 to ~0.10-0.19s by r7) — anchor
+    against the markers in recent BENCH_LOCAL.json artifacts, never a
+    hardcoded number; an mt reading 2x+ its recent fast value with st
+    flat means the TOTAL is contended and per-query comparisons should
+    be read against the best solo run, not this one.
     """
     import numpy as np
 

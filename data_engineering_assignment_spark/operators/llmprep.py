@@ -355,15 +355,22 @@ def dsir_affinity_topk(
     over ``n_buckets`` hashed unigram+bigram buckets — rank-equivalent to
     DSIR's estimator under a first-order expansion and exactly
     SQL-expressible. Hashes are the portable rolling hash via
-    text.shingle_hash_stream (one char fold per doc, n=1 and n=2 streams,
-    multiset counts).
+    text.multi_shingle_hash_stream: ONE char fold per document feeds both
+    the n=1 and n=2 streams (multiset counts). The r7 formulation called
+    shingle_hash_stream twice and folded every character twice — the fold
+    was the whole profile (4.32×/decade CPU-bound, SCALE.md r7); the fused
+    stream halves it.
 
-    Shape: the (doc, source, bucket) feature stream is localCheckpointed
-    once for its four consumers (per-doc-bucket counts, per-bucket raw and
-    target counts, the two scalar totals). Per-bucket weights are a
-    BOUNDED table (n_buckets rows) — broadcast to the per-doc counts; the
-    corpus never shuffles on a content key beyond the one bucket-count
-    aggregation (map-side combinable, 1024 keys, never a window). Top-k
+    Shape: the feature stream is aggregated to (doc, source, bucket,
+    count) FIRST — map-side combinable, the only shuffle of corpus-sized
+    data — and THAT bounded table (≤ n_buckets rows per doc) is
+    localCheckpointed for its four consumers (per-doc-bucket counts,
+    per-bucket raw and target counts, the two scalar totals). The r7
+    formulation checkpointed the raw per-shingle stream and re-scanned it
+    per consumer — 3 extra passes over ~2×tokens rows. Per-bucket weights
+    are a BOUNDED table (n_buckets rows) — broadcast to the per-doc
+    counts; the corpus never shuffles on a content key beyond the one
+    bucket-count aggregation (1024 keys, never a window). Top-k
     is bounded FIRST (orderBy + limit = TakeOrderedAndProject), then
     ranked on the k-row set. The weight numerators/denominators are int64
     products kept < 2^53 so their double casts are exact on both engines
@@ -374,30 +381,28 @@ def dsir_affinity_topk(
     Output: (doc_id, affinity, rnk), rnk 1..k, ties broken by doc_id.
     """
     from .aggregates import dsum
-    from .text import shingle_hash_stream
+    from .text import multi_shingle_hash_stream
 
-    uni = shingle_hash_stream(
-        docs, n=1, id_cols=(id_col, source_col), text_col=text_col, distinct=False
-    )
-    bi = shingle_hash_stream(
-        docs, n=2, id_cols=(id_col, source_col), text_col=text_col, distinct=False
+    stream = multi_shingle_hash_stream(
+        docs, ns=(1, 2), id_cols=(id_col, source_col), text_col=text_col
     )
     feats = (
-        uni.unionByName(bi)
-        .select(
+        stream.select(
             F.col(id_col).alias("doc_id"),
             F.col(source_col).alias("source"),
             (F.col("rh") % n_buckets).cast("int").alias("bucket"),
         )
+        .groupBy("doc_id", "source", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
         .localCheckpoint(eager=True)
     )
     is_tgt = F.col("source").isin(list(target_sources))
     totals = feats.agg(
-        F.count(F.lit(1)).alias("t_raw"),
-        F.sum(is_tgt.cast("long")).alias("t_tgt"),
+        F.sum("c").alias("t_raw"),
+        F.sum(F.when(is_tgt, F.col("c")).otherwise(F.lit(0))).alias("t_tgt"),
     )
-    raw_b = feats.groupBy("bucket").agg(F.count(F.lit(1)).alias("raw_n"))
-    tgt_b = feats.filter(is_tgt).groupBy("bucket").agg(F.count(F.lit(1)).alias("tgt_n"))
+    raw_b = feats.groupBy("bucket").agg(F.sum("c").alias("raw_n"))
+    tgt_b = feats.filter(is_tgt).groupBy("bucket").agg(F.sum("c").alias("tgt_n"))
     num = (F.coalesce("tgt_n", F.lit(0)) * F.col("t_raw")).cast("double")
     den = ((F.col("raw_n") + 1) * F.col("t_tgt")).cast("double")
     weights = (
@@ -410,7 +415,8 @@ def dsir_affinity_topk(
             F.when(F.col("t_tgt") > 0, num / den).alias("wt"),
         )
     )
-    db = feats.groupBy("doc_id", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    # doc_id determines source, so (doc_id, bucket) is already unique in feats
+    db = feats.select("doc_id", "bucket", "c")
     scores = db.join(F.broadcast(weights), "bucket").groupBy("doc_id").agg(
         dsum(F.col("c") * F.col("wt"), "affinity", scale)
     )

@@ -149,6 +149,22 @@ def shingle_hash_stream(
     Hashes are per-doc-distinct by default (matching
     ``dedup.word_shingles``); documents with < n tokens emit no rows.
     """
+    step1 = _token_hash_projection(df, id_cols, text_col, need_pow=n > 1)
+    sh = _composed_shingles(n)
+    if distinct:
+        sh = F.array_distinct(sh)
+    out = F.when(F.col("__nt") >= n, sh).otherwise(F.array().cast("array<long>"))
+    return step1.select(*id_cols, F.explode(out).alias(out_col))
+
+
+def _token_hash_projection(
+    df: DataFrame, id_cols: tuple[str, ...], text_col: str, need_pow: bool = True
+) -> DataFrame:
+    """The one-char-fold-per-document projection shared by the shingle
+    streams: per-token rolling hashes ``__hs``, per-token 31^len powers
+    ``__pw`` (skipped for unigram-only callers), and the token count
+    ``__nt``. Callers MUST put a Generate (explode) between this Project
+    and any element_at over the arrays — see shingle_hash_stream."""
     p = ROLLING_MOD
     toks = tokens(text_col)
     hs = F.transform(
@@ -159,26 +175,34 @@ def shingle_hash_stream(
             lambda acc, ch: (acc * ROLLING_BASE + F.ascii(ch)) % p,
         ),
     )
-    pw = F.transform(
-        toks,
-        lambda t: F.when(F.length(t) == 0, F.lit(1).cast("long")).otherwise(
-            F.aggregate(
-                F.split(t, ""),
-                F.lit(1).cast("long"),
-                lambda acc, ch: (acc * ROLLING_BASE) % p,
-            )
-        ),
-    )
-    step1 = df.select(
-        *id_cols, hs.alias("__hs"), pw.alias("__pw"), F.size(toks).alias("__nt")
-    )
-    HS, PW, NT = F.col("__hs"), F.col("__pw"), F.col("__nt")
+    cols = [hs.alias("__hs")]
+    if need_pow:
+        pw = F.transform(
+            toks,
+            lambda t: F.when(F.length(t) == 0, F.lit(1).cast("long")).otherwise(
+                F.aggregate(
+                    F.split(t, ""),
+                    F.lit(1).cast("long"),
+                    lambda acc, ch: (acc * ROLLING_BASE) % p,
+                )
+            ),
+        )
+        cols.append(pw.alias("__pw"))
+    return df.select(*id_cols, *cols, F.size(toks).alias("__nt"))
+
+
+def _composed_shingles(n: int) -> Column:
+    """Array of composed shingle hashes for one ``n`` over the
+    ``_token_hash_projection`` columns (``__hs``/``__pw``/``__nt``)."""
+    p = ROLLING_MOD
+    HS, NT = F.col("__hs"), F.col("__nt")
 
     def compose(i):
         # i is the 0-based shingle start; element_at is 1-based
         first = F.element_at(HS, i + 1)
         if n == 1:
             return first
+        PW = F.col("__pw")
         rest = F.sequence(i + F.lit(2), i + F.lit(n))
         return F.aggregate(
             rest,
@@ -190,10 +214,37 @@ def shingle_hash_stream(
             % p,
         )
 
-    sh = F.transform(F.sequence(F.lit(0), NT - n), compose)
-    if distinct:
-        sh = F.array_distinct(sh)
-    out = F.when(NT >= n, sh).otherwise(F.array().cast("array<long>"))
+    return F.transform(F.sequence(F.lit(0), NT - n), compose)
+
+
+def multi_shingle_hash_stream(
+    df: DataFrame,
+    ns: tuple[int, ...],
+    id_cols: tuple[str, ...] = ("doc_id",),
+    text_col: str = "text",
+    out_col: str = "rh",
+) -> DataFrame:
+    """Fused multi-order shingle stream: one row per word ``n``-gram for
+    EVERY ``n`` in ``ns``, all composed from a SINGLE per-document character
+    fold. Calling ``shingle_hash_stream`` once per order folds every
+    document's characters len(ns) times — the char fold dominates (it is
+    the DSIR profile's whole cost), so the fused emitter is ~len(ns)× less
+    per-doc CPU for multi-order consumers (hashed unigram+bigram features).
+    Values are bit-identical to concatenating the per-order streams with
+    ``distinct=False`` (asserted in tests), so oracles written against the
+    string hash family stay valid. Emission is multiset (no per-doc
+    distinct): the fused consumers count occurrences."""
+    step1 = _token_hash_projection(
+        df, id_cols, text_col, need_pow=max(ns) > 1
+    )
+    NT = F.col("__nt")
+    parts = [
+        F.when(NT >= n, _composed_shingles(n)).otherwise(
+            F.array().cast("array<long>")
+        )
+        for n in ns
+    ]
+    out = parts[0] if len(parts) == 1 else F.concat(*parts)
     return step1.select(*id_cols, F.explode(out).alias(out_col))
 
 

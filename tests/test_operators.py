@@ -182,3 +182,35 @@ def test_shingle_hash_stream_plan_has_single_char_fold(spark):
     # 2 char folds (hash + pow) in the projection, plus tokenizer splits —
     # NOT one per shingle position
     assert plan.count("split(") <= 6
+
+
+def test_multi_shingle_hash_stream_parity_and_single_fold(spark):
+    """The fused multi-order stream must equal the concatenation of the
+    per-order streams (distinct=False multisets), while folding each
+    document's characters exactly ONCE (the DSIR cost contract)."""
+    import random
+    from collections import Counter
+
+    from data_engineering_assignment_spark.operators.text import (
+        multi_shingle_hash_stream,
+        shingle_hash_stream,
+    )
+
+    rng = random.Random(11)
+    vocab = ["w%d" % i for i in range(20)] + ["", "a"]
+    rows = [(i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 25))))
+            for i in range(60)]
+    rows += [(100, ""), (101, "solo"), (102, "two toks")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    fused = multi_shingle_hash_stream(df, ns=(1, 2), id_cols=("doc_id",))
+    got = Counter((r["doc_id"], r["rh"]) for r in fused.collect())
+    want = Counter()
+    for n in (1, 2):
+        s = shingle_hash_stream(df, n, ("doc_id",), distinct=False)
+        want.update((r["doc_id"], r["rh"]) for r in s.collect())
+    assert got == want
+
+    plan = fused._jdf.queryExecution().executedPlan().toString()
+    # one hash fold + one pow fold in the projection — not one per order
+    assert plan.count("split(") <= 6
