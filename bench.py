@@ -153,6 +153,8 @@ HEADLINE = [
     "dsir_affinity_top64",
     # BPE merge-step primitive (oracle-gated)
     "bpe_merge_top32",
+    # iterated BPE training loop, 6 recounted merges (oracle-gated)
+    "bpe_train_merges",
     # incremental semantic dedup: delta batch vs standing corpus cells
     "incremental_semantic_dedup",
 ]

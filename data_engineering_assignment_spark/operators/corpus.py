@@ -479,6 +479,102 @@ def bpe_merge_pairs(
     return cand.withColumn("rnk", F.row_number().over(w).cast("long"))
 
 
+def _merge_adjacent(sym_col, left: str, right: str):
+    """Left-to-right non-overlapping merge of the adjacent symbol pair
+    (``left``, ``right``) within one symbol array — the per-word step of a
+    BPE merge (Sennrich et al. 2016's ``(?<!\\S)l r(?!\\S)`` replace,
+    re-expressed as a JVM-side fold). Greedy-left semantics fall out of the
+    accumulator shape: the merged symbol is ``left+right``, which can never
+    equal ``left`` (``right`` is non-empty), so a freshly-merged tail can
+    never seed an overlapping second merge. Array-append folds are O(len²)
+    per word, bounded by token length."""
+    merged = left + right
+
+    def step(acc, x):
+        can = (
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (x == F.lit(right))
+        )
+        return F.when(
+            can,
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))),
+        ).otherwise(F.concat(acc, F.array(x)))
+
+    return F.aggregate(sym_col, F.array().cast("array<string>"), step)
+
+
+def bpe_train(
+    df: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Iterated BPE training (Sennrich et al. 2016): run ``k`` merge steps,
+    RECOUNTING adjacent symbol pairs after every merge, and return the
+    ordered merge table — the artifact a tokenizer build ships. Extends the
+    single-step ``bpe_merge_pairs`` primitive with the actual training loop.
+
+    Per iteration: (1) count adjacent symbol pairs over the distinct-word
+    table, weighted by word frequency; (2) take the argmax under the
+    deterministic (n DESC, lhs ASC, rhs ASC) order; (3) merge that pair in
+    every word's symbol sequence left-to-right non-overlapping
+    (``_merge_adjacent``); (4) ``localCheckpoint`` the new state so lineage
+    stays flat across iterations (the dedup_clusters discipline).
+
+    Scale shape: the corpus is touched exactly ONCE (the word-frequency
+    aggregation); all ``k`` iterations run on the BOUNDED distinct-word
+    table. The per-iteration argmax is ``orderBy().limit(1)`` — a
+    distributed TakeOrderedAndProject; the driver holds one (lhs, rhs, n)
+    row per iteration, never the vocabulary. Words of < 2 symbols carry no
+    pairs and never change, so they are filtered from the state up front
+    (identical outputs, smaller state).
+
+    Output: (rnk 1..k, lhs, rhs, pair, n) — the merge table in training
+    order. Stops early if the pair supply is exhausted.
+    """
+    spark = df.sparkSession
+    state = (
+        df.select(F.explode(tokens(text_col)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.length("tok") >= 2)
+        .select(F.split("tok", "").alias("syms"), "freq")
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[int, str, str, str, int]] = []
+    for i in range(1, k + 1):
+        pairs = (
+            # size >= 2 guard: a word can shrink to one symbol after merges,
+            # and sequence(1, 0) is DESCENDING in Spark (the bpe_merge_pairs
+            # dodge), with element_at(syms, 0) an ANSI runtime error
+            state.filter(F.size("syms") >= 2)
+            .select(
+                "freq",
+                F.explode(F.sequence(F.lit(1), F.size("syms") - 1)).alias("j"),
+                "syms",
+            )
+            .select(
+                F.element_at("syms", F.col("j")).alias("lhs"),
+                F.element_at("syms", F.col("j") + 1).alias("rhs"),
+                "freq",
+            )
+            .groupBy("lhs", "rhs")
+            .agg(F.sum("freq").alias("n"))
+        )
+        top = pairs.orderBy(F.desc("n"), F.asc("lhs"), F.asc("rhs")).limit(1).collect()
+        if not top:
+            break
+        lhs, rhs, n = top[0]["lhs"], top[0]["rhs"], top[0]["n"]
+        merges.append((i, lhs, rhs, lhs + rhs, int(n)))
+        state = state.select(
+            _merge_adjacent(F.col("syms"), lhs, rhs).alias("syms"), "freq"
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges, "rnk bigint, lhs string, rhs string, pair string, n bigint"
+    )
+
+
 def encode_tokens(
     df: DataFrame,
     vocab: DataFrame,

@@ -415,3 +415,72 @@ def bpe_merge_top32(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.corpus import bpe_merge_pairs
 
     return bpe_merge_pairs(load(spark, sf_dir, "documents"), k=32)
+
+
+def _bpe_train_oracle(k: int) -> str:
+    """Step-unrolled SQL twin of ``corpus.bpe_train``: ``k`` chained CTE
+    blocks, each recounting adjacent pairs, taking the (n DESC, lhs, rhs)
+    argmax, and applying the merge with the gaps-and-islands parity trick —
+    in a run of consecutive match positions, the left-to-right
+    non-overlapping merges are exactly the ODD island offsets (aaaa ->
+    positions 1,3; aaa -> position 1), which is the same greedy-left
+    semantics as the engine's fold."""
+    ctes = ["""
+WITH w AS (
+  SELECT tok, COUNT(*)::BIGINT AS freq
+  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+  WHERE length(tok) >= 2 GROUP BY tok
+), s0 AS (
+  SELECT tok AS wid, freq, string_split(tok, '') AS syms FROM w
+)"""]
+    for i in range(1, k + 1):
+        prev = f"s{i - 1}"
+        ctes.append(f"""p{i} AS (
+  SELECT syms[j] AS lhs, syms[j + 1] AS rhs, SUM(freq)::BIGINT AS n
+  FROM {prev}, unnest(range(1, len(syms))) AS rr(j)
+  GROUP BY 1, 2
+), t{i} AS (
+  SELECT lhs, rhs, n FROM p{i} ORDER BY n DESC, lhs ASC, rhs ASC LIMIT 1
+), u{i} AS (
+  SELECT wid, freq, j, syms[j] AS s,
+         (j < len(syms) AND syms[j] = t.lhs AND syms[j + 1] = t.rhs) AS m
+  FROM {prev}, unnest(range(1, len(syms) + 1)) AS rr(j), t{i} AS t
+), g{i} AS (
+  SELECT *, j - ROW_NUMBER() OVER (PARTITION BY wid, m ORDER BY j) AS grp
+  FROM u{i}
+), h{i} AS (
+  SELECT *, (m AND ROW_NUMBER() OVER (PARTITION BY wid, m, grp ORDER BY j) % 2 = 1) AS mg
+  FROM g{i}
+), x{i} AS (
+  SELECT wid, freq, j, s, mg,
+         COALESCE(LAG(mg) OVER (PARTITION BY wid ORDER BY j), FALSE) AS pmg,
+         LEAD(s) OVER (PARTITION BY wid ORDER BY j) AS ns
+  FROM h{i}
+), s{i} AS (
+  SELECT wid, freq, list(CASE WHEN mg THEN s || ns ELSE s END ORDER BY j) AS syms
+  FROM x{i} WHERE NOT pmg GROUP BY wid, freq
+)""")
+        i += 1
+    unions = "\nUNION ALL ".join(
+        f"SELECT {i}::BIGINT AS rnk, lhs, rhs, lhs || rhs AS pair, n FROM t{i}"
+        for i in range(1, k + 1)
+    )
+    return ",\n".join(ctes) + "\n" + unions
+
+
+@register(
+    "bpe_train_merges",
+    oracle=_bpe_train_oracle(6),
+    doc="Tokenizer training: the ITERATED BPE loop (Sennrich et al. 2016) "
+    "— 6 merge steps, pair counts recounted after every merge, greedy "
+    "left-to-right non-overlapping application per word "
+    "(operators/corpus.bpe_train). One corpus pass builds the distinct-"
+    "word table; every iteration runs on that bounded state with a "
+    "TakeOrderedAndProject argmax and localCheckpoint lineage (the "
+    "dedup_clusters discipline). Oracle: step-unrolled gaps-and-islands "
+    "SQL, odd-island-offset merge parity.",
+)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import bpe_train
+
+    return bpe_train(load(spark, sf_dir, "documents"), k=6)

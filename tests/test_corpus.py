@@ -288,3 +288,55 @@ def test_paragraph_dedup_large_doc_ids_exact_decode(spark):
     }
     assert got[a] == (2, 2, 0)          # both paragraphs first here
     assert got[b] == (3, 1, 2)          # "p q"/"r s" dup, "t u" novel
+
+
+def test_bpe_train_hand_computed_multistep(spark):
+    """Sennrich et al. 2016 semantics hand-checked over 4 merge steps:
+    pair counts are RECOUNTED after every merge, merges are left-to-right
+    non-overlapping (aaaa -> [aa, aa], aaa -> [aa, a]), and the loop
+    stops early when the pair supply is exhausted."""
+    from data_engineering_assignment_spark.operators.corpus import bpe_train
+
+    # words: aaaa x2, abab x1, ab x3
+    docs = spark.createDataFrame(
+        [(1, "aaaa abab ab"), (2, "aaaa ab ab")], "doc_id long, text string"
+    )
+    got = [
+        (r["rnk"], r["lhs"], r["rhs"], r["pair"], r["n"])
+        for r in bpe_train(docs, k=6).orderBy("rnk").collect()
+    ]
+    # iter1: (a,a) 3*2 + 1 = 6 wait — abab has (a,b)x2,(b,a)x1 only;
+    #        (a,a) = 3 adjacencies * freq 2 = 6 -> merge aaaa -> [aa,aa]
+    # iter2: (a,b) = 2*1 + 1*3 = 5 -> merge abab -> [ab,ab], ab -> [ab]
+    # iter3: (aa,aa) = 1*2 = 2 -> merge -> [aaaa]
+    # iter4: (ab,ab) = 1*1 = 1 -> merge -> [abab]
+    # iter5: no pairs left -> early stop
+    assert got == [
+        (1, "a", "a", "aa", 6),
+        (2, "a", "b", "ab", 5),
+        (3, "aa", "aa", "aaaa", 2),
+        (4, "ab", "ab", "abab", 1),
+    ]
+
+
+def test_bpe_merge_adjacent_greedy_left(spark):
+    """The per-word merge fold is left-to-right non-overlapping, including
+    runs (aaa) and merged symbols that could re-match later symbols."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_assignment_spark.operators.corpus import _merge_adjacent
+
+    rows = [(1, ["a", "a", "a"]), (2, ["a", "a", "a", "a"]),
+            (3, ["b", "a", "a"]), (4, ["aa", "a"]), (5, ["a"]), (6, [])]
+    df = spark.createDataFrame(rows, "id long, syms array<string>")
+    got = {
+        r["id"]: r["m"]
+        for r in df.select(
+            "id", _merge_adjacent(F.col("syms"), "a", "a").alias("m")
+        ).collect()
+    }
+    assert got[1] == ["aa", "a"]
+    assert got[2] == ["aa", "aa"]
+    assert got[3] == ["b", "aa"]
+    assert got[4] == ["aa", "a"]  # pre-existing 'aa' symbol never re-matches 'a'
+    assert got[5] == ["a"] and got[6] == []
