@@ -261,27 +261,31 @@ def decode_image_pil(content: bytes) -> tuple[np.ndarray, dict]:
 
 def decode_image_jpeg(content: bytes) -> tuple[np.ndarray, dict]:
     """JPEG → (frames, meta) in :func:`decode_png`'s BGRA shape. Baseline
-    single-component (grayscale) JPEGs decode via the dependency-free
-    T.81 decoder in :mod:`.jpeg` — gray replicated to B=G=R, alpha 255,
-    the same convention decode_png uses for PNG color type 0. Color /
-    progressive JPEGs fall through to the guarded PIL hook (real corpora
-    are mostly color; with PIL absent they raise its NotImplementedError
-    rather than guessing). Malformed-stream errors from the native parser
-    (ValueError/IndexError/struct.error on truncated or exotic files) fall
-    through to PIL as well: the hook is the decoder of last resort for
-    anything the baseline parser can't PROVE it handles — a file PIL could
-    decode must never be failed by our narrower parser (r7 review)."""
+    JPEGs — grayscale AND interleaved YCbCr color (4:4:4 / 4:2:2 / 4:2:0)
+    — decode via the dependency-free T.81 decoder in :mod:`.jpeg`: gray
+    replicated to B=G=R (the decode_png color-type-0 convention), RGB
+    reordered to BGRA, alpha 255. Progressive / 12-bit / restart-interval
+    files fall through to the guarded PIL hook (with PIL absent they raise
+    its NotImplementedError rather than guessing). Malformed-stream errors
+    from the native parser (ValueError/IndexError/struct.error on
+    truncated or exotic files) fall through to PIL as well: the hook is
+    the decoder of last resort for anything the baseline parser can't
+    PROVE it handles — a file PIL could decode must never be failed by our
+    narrower parser (r7 review)."""
     import struct as _struct
 
-    from .jpeg import decode_jpeg_gray
+    from .jpeg import decode_jpeg
 
     try:
-        gray = decode_jpeg_gray(content)
+        img = decode_jpeg(content)
     except (NotImplementedError, ValueError, IndexError, _struct.error):
         return decode_image_pil(content)
-    h, w = gray.shape
+    h, w = img.shape[:2]
     bgra = np.empty((h, w, 4), dtype=np.uint8)
-    bgra[:, :, 0] = bgra[:, :, 1] = bgra[:, :, 2] = gray
+    if img.ndim == 2:
+        bgra[:, :, 0] = bgra[:, :, 1] = bgra[:, :, 2] = img
+    else:
+        bgra[:, :, :3] = img[:, :, ::-1]  # RGB → BGR
     bgra[:, :, 3] = 255
     return bgra.reshape(1, h, w, 4), {
         "width": w,

@@ -201,7 +201,9 @@ _JPEG_DECODE_ORACLE = """
 SELECT (8 * (1 + doc_id % 2))::BIGINT AS width,
        COUNT(*) AS n_imgs,
        COUNT(*) AS n_ok,
-       SUM(68 + 2 * (doc_id % 60))::BIGINT AS val_sum
+       SUM(68 + 2 * (doc_id % 60))::BIGINT AS val_sum,
+       COUNT(*) AS n_color_ok,
+       SUM(78 + 2 * (doc_id % 50))::BIGINT AS color_val_sum
 FROM documents
 GROUP BY 1
 """
@@ -211,25 +213,30 @@ GROUP BY 1
     "jpeg_decode_stats",
     oracle=_JPEG_DECODE_ORACLE,
     doc="Multimodal decode gate over the native baseline JPEG codec "
-    "(functions/jpeg.py, ITU-T T.81 grayscale subset): every document "
-    "becomes a real JPEG — flat gray 8x8 or 8x16, value 128 + 2*(doc_id%60)"
-    " - 60 — and is decoded back through decode_any's magic-byte dispatch. "
-    "Flat blocks with EVEN level-shift offsets survive the Annex-K Q[0,0]="
-    "16 quantizer exactly (round(8d/16)=d/2 integral), so the decoded "
-    "pixel value is pure arithmetic in doc_id and the oracle gates the "
-    "whole marker-parse/Huffman/dequant/IDCT path bit-for-bit. AC-rich "
-    "and padded images are covered by the committed jg_*.jpg fixtures "
-    "(filename pins dims + decoded mean) and round-trip unit tests.",
+    "(functions/jpeg.py, ITU-T T.81): every document becomes TWO real "
+    "JPEGs — a flat gray 8x8/8x16 (value 128 + 2*(doc_id%60) - 60) and a "
+    "flat neutral-chroma COLOR file (value 128 + 2*(doc_id%50) - 50, "
+    "subsampling rotating 4:4:4 / 4:2:2 / 4:2:0 by doc_id) — decoded back "
+    "through decode_any's magic-byte dispatch. Flat blocks with EVEN "
+    "level-shift offsets survive the Annex-K Q[0,0]=16 quantizer exactly, "
+    "and neutral chroma (Cb=Cr=128) is exact under any quantizer/"
+    "subsampling, so both decoded values are pure arithmetic in doc_id "
+    "and the oracle gates marker parse, Huffman, dequant, IDCT, the "
+    "interleaved-MCU walk, chroma upsampling and the YCbCr->RGB transform "
+    "bit-for-bit. AC-rich, padded and chroma-rich images are covered by "
+    "the committed jg_*/jc_*.jpg fixtures (filename pins dims + decoded "
+    "mean) and round-trip unit tests.",
 )
 def jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    from ..functions.jpeg import encode_jpeg_gray
+    from ..functions.jpeg import encode_jpeg_color, encode_jpeg_gray
     from ..functions.multimodal import decode_any
     from ..tables import load
 
     docs = load(spark, sf_dir, "documents").select("doc_id")
+    subsamplings = ("444", "422", "420")
 
     def roundtrip(batches):
         for pdf in batches:
@@ -241,16 +248,38 @@ def jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 try:
                     frames, meta = decode_any(enc)
                     # frames are (1, h, w, 4) BGRA with gray replicated
-                    rows.append((meta["width"], True, int(frames[0, 0, 0, 0])))
+                    g = (meta["width"], True, int(frames[0, 0, 0, 0]))
                 except Exception:
-                    rows.append((w, False, 0))
-            yield pd.DataFrame(rows, columns=["width", "ok", "val"])
+                    g = (w, False, 0)
+                cv = 78 + 2 * (int(did) % 50)
+                cenc = encode_jpeg_color(
+                    np.full((8, w, 3), cv, np.uint8),
+                    subsamplings[int(did) % 3],
+                )
+                try:
+                    cframes, _ = decode_any(cenc)
+                    # neutral chroma: B == G == R == cv exactly
+                    ok = bool(
+                        (cframes[0, :, :, :3] == cv).all()
+                        and cframes.shape[1:3] == (8, w)
+                    )
+                    c = (ok, int(cframes[0, 0, 0, 0]))
+                except Exception:
+                    c = (False, 0)
+                rows.append(g + c)
+            yield pd.DataFrame(
+                rows, columns=["width", "ok", "val", "cok", "cval"]
+            )
 
-    decoded = docs.mapInPandas(roundtrip, "width int, ok boolean, val int")
+    decoded = docs.mapInPandas(
+        roundtrip, "width int, ok boolean, val int, cok boolean, cval int"
+    )
     return decoded.groupBy(F.col("width").cast("long").alias("width")).agg(
         F.count(F.lit(1)).alias("n_imgs"),
         F.sum(F.col("ok").cast("int")).cast("long").alias("n_ok"),
         F.sum(F.col("val").cast("long")).alias("val_sum"),
+        F.sum(F.col("cok").cast("int")).cast("long").alias("n_color_ok"),
+        F.sum(F.col("cval").cast("long")).alias("color_val_sum"),
     )
 
 

@@ -116,9 +116,10 @@ def tiny_png(pixels: np.ndarray) -> bytes:
     )
 
 
-def test_jpeg_color_without_pil_raises_clear_error():
-    """Baseline GRAYSCALE JPEG decodes natively now (functions/jpeg.py);
-    color JPEG stays behind the guarded PIL hook — the error must say so."""
+def test_jpeg_malformed_without_pil_raises_clear_error():
+    """Baseline JPEG (gray AND interleaved color) decodes natively now
+    (functions/jpeg.py); a MALFORMED file (SOF but no scan data) still
+    falls through to the guarded PIL hook — the error must say so."""
     import struct
 
     from data_engineering_assignment_spark.functions.multimodal import (
@@ -127,19 +128,19 @@ def test_jpeg_color_without_pil_raises_clear_error():
     )
 
     if _pil_image_module() is not None:
-        pytest.skip("PIL present — JPEG would decode fine")
-    # minimal SOI + SOF0 declaring THREE components (color)
+        pytest.skip("PIL present — PIL raises its own error")
+    # SOI + SOF0 declaring three components, but no SOS/entropy data
     sof_payload = struct.pack(">BHHB", 8, 8, 8, 3) + bytes(
         [1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]
     )
-    color = (
+    truncated = (
         b"\xff\xd8"
         + b"\xff\xc0"
         + (len(sof_payload) + 2).to_bytes(2, "big")
         + sof_payload
     )
     with pytest.raises(NotImplementedError, match="PIL"):
-        decode_any(color)
+        decode_any(truncated)
 
 
 def test_png_decode_native():
@@ -568,3 +569,152 @@ def test_jpeg_fill_bytes_before_markers():
     # inject fill-byte runs after SOI (before the first marker's 0xFF)
     padded = wav[:2] + b"\xff\xff\xff" + wav[2:]
     assert np.array_equal(decode_jpeg_gray(padded), base)
+
+
+def test_jpeg_color_roundtrip_all_subsamplings():
+    """Interleaved color decode: smooth gradients survive each subsampling
+    with small bounded error; dims exact; output is (h, w, 3) RGB."""
+    import numpy as np
+
+    from data_engineering_assignment_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg_color,
+    )
+
+    h, w = 24, 33
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [(xx * 7) % 256, (yy * 5) % 256, ((xx + yy) * 3) % 256], axis=-1
+    ).astype(np.uint8)
+    img = (img // 16 * 16).astype(np.uint8)  # low-pass, JPEG-friendly
+    for ss in ("444", "422", "420"):
+        dec = decode_jpeg(encode_jpeg_color(img, ss))
+        assert dec.shape == (h, w, 3), ss
+        assert np.abs(dec.astype(int) - img.astype(int)).max() <= 24, ss
+
+
+def test_jpeg_color_flat_neutral_chroma_exact():
+    """Flat gray-valued color images with even level-shift offsets decode
+    EXACTLY through the full color path (the jpeg_decode_stats oracle's
+    premise): Cb=Cr=128 quantizes to all-zero chroma under any table, and
+    the YCbCr->RGB transform is then the identity on Y."""
+    import numpy as np
+
+    from data_engineering_assignment_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg_color,
+    )
+
+    for v in (78, 130, 176):
+        flat = np.full((16, 24, 3), v, np.uint8)
+        for ss in ("444", "422", "420"):
+            assert np.array_equal(decode_jpeg(encode_jpeg_color(flat, ss)), flat)
+
+
+def test_jpeg_color_primaries_roundtrip():
+    """Saturated primaries stress the chroma channels (Cb/Cr far from
+    128): each 8x8-aligned primary block must come back close, proving Cb
+    and Cr aren't swapped or mis-scaled (a swap flips red and blue by
+    ~180 values)."""
+    import numpy as np
+
+    from data_engineering_assignment_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg_color,
+    )
+
+    img = np.zeros((8, 24, 3), np.uint8)
+    img[:, 0:8, 0] = 255   # red block
+    img[:, 8:16, 1] = 255  # green block
+    img[:, 16:24, 2] = 255  # blue block
+    for ss in ("444", "420"):
+        dec = decode_jpeg(encode_jpeg_color(img, ss)).astype(int)
+        for sl, ch in (((slice(None), slice(0, 8)), 0),
+                       ((slice(None), slice(8, 16)), 1),
+                       ((slice(None), slice(16, 24)), 2)):
+            blk = dec[sl]
+            on = blk[2:-2, 2:-2, ch]     # interior: avoid block-edge ringing
+            off = [blk[2:-2, 2:-2, c] for c in range(3) if c != ch]
+            assert on.mean() > 180, (ss, ch)
+            assert max(o.mean() for o in off) < 80, (ss, ch)
+
+
+def test_jpeg_color_via_decode_any_bgra():
+    """decode_any dispatches color JPEG to the native decoder: one BGRA
+    frame with R/B in Spark's image-source (CV) byte order."""
+    import numpy as np
+
+    from data_engineering_assignment_spark.functions.jpeg import encode_jpeg_color
+    from data_engineering_assignment_spark.functions.multimodal import decode_any
+
+    img = np.zeros((8, 8, 3), np.uint8)
+    img[:, :, 0] = 200  # pure-ish red
+    frames_, meta = decode_any(encode_jpeg_color(img, "444"))
+    assert meta == {"width": 8, "height": 8, "channels": 4, "n_frames": 1}
+    assert frames_.shape == (1, 8, 8, 4)
+    b, g, r = (frames_[0, :, :, i].astype(int) for i in range(3))
+    assert r.mean() > 150 and b.mean() < 60  # BGRA order, not RGBA
+    assert np.all(frames_[0, :, :, 3] == 255)
+
+
+def test_jpeg_standalone_markers_skipped():
+    """TEM (0x01) and RSTn (0xD0-D7) are standalone markers — no length
+    field. A conformant parser must skip them without misreading data
+    bytes as a segment length (r7 advice)."""
+    import numpy as np
+
+    from data_engineering_assignment_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg_gray,
+    )
+
+    enc = encode_jpeg_gray(np.full((8, 8), 98, np.uint8))
+    # splice standalone markers right after SOI
+    spliced = enc[:2] + b"\xff\x01\xff\xd0" + enc[2:]
+    assert np.array_equal(decode_jpeg(spliced), np.full((8, 8), 98, np.uint8))
+
+
+def test_jpeg_truncated_tables_raise_value_error():
+    """Truncated DQT/DHT payloads raise a descriptive ValueError, not a
+    bare IndexError (r7 advice)."""
+    import numpy as np
+    import pytest
+
+    from data_engineering_assignment_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg_gray,
+    )
+
+    enc = encode_jpeg_gray(np.full((8, 8), 98, np.uint8))
+    dqt_at = enc.find(b"\xff\xdb")
+    # shrink the DQT segment length so the 64 table values overrun it
+    bad = bytearray(enc)
+    bad[dqt_at + 2 : dqt_at + 4] = (10).to_bytes(2, "big")
+    with pytest.raises(ValueError, match="truncated DQT"):
+        decode_jpeg(bytes(bad))
+    dht_at = enc.find(b"\xff\xc4")
+    bad = bytearray(enc)
+    bad[dht_at + 2 : dht_at + 4] = (12).to_bytes(2, "big")
+    with pytest.raises(ValueError, match="truncated DHT"):
+        decode_jpeg(bytes(bad))
+
+
+def test_jpeg_color_committed_fixtures_decode_to_named_goldens():
+    """The committed jc_WxH_mM.jpg COLOR fixtures pin dims AND decoded
+    all-channel mean in their filenames — a color-path regression breaks
+    this without touching any fixture bytes."""
+    import re
+    from pathlib import Path
+
+    from data_engineering_assignment_spark.functions.jpeg import decode_jpeg
+
+    fdir = Path(__file__).parent / "fixtures" / "media"
+    names = sorted(p.name for p in fdir.glob("jc_*.jpg"))
+    assert len(names) >= 2
+    for name in names:
+        m = re.fullmatch(r"jc_(\d+)x(\d+)_m(\d+)\.jpg", name)
+        assert m, name
+        w, h, mean = int(m.group(1)), int(m.group(2)), int(m.group(3))
+        dec = decode_jpeg((fdir / name).read_bytes())
+        assert dec.shape == (h, w, 3)
+        assert int(round(float(dec.mean()))) == mean
