@@ -155,6 +155,8 @@ HEADLINE = [
     "bpe_merge_top32",
     # iterated BPE training loop, 6 recounted merges (oracle-gated)
     "bpe_train_merges",
+    # span-merged exact-substring dedup accounting (oracle-gated)
+    "doc_dup_spans_merged",
     # incremental semantic dedup: delta batch vs standing corpus cells
     "incremental_semantic_dedup",
 ]

@@ -358,6 +358,98 @@ def dup_span_stats(
     )
 
 
+def dup_span_merged_stats(
+    df: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Span-MERGED exact-substring dedup accounting (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better" — the
+    deduplicate-text-datasets output shape): per document, the maximal
+    duplicated REGIONS, not just the per-position sharing fraction that
+    :func:`dup_span_stats` reports. A duplicated n-gram start position j
+    covers tokens [j, j+n-1]; overlapping or contiguous covered ranges
+    merge into one span (gap rule: a new span starts when j exceeds the
+    previous start by more than ``n`` — i.e. at least one uncovered token
+    between regions).
+
+    Shape: the POSITIONAL hashed shingle stream (text.shingle_hash_stream
+    with_pos — one char fold per doc, same hash family as the SQL oracle)
+    is checkpointed once for its two consumers; duplicated keys (document
+    frequency >= 2 over distinct (doc, hash)) mark positions by equi-join;
+    the interval merge is two windows PARTITIONED BY THE ENTITY KEY
+    (doc_id) over only the duplicated positions — bounded by doc length,
+    never a content-key window. Docs with < n tokens emit no positions
+    and are absent (the dup_span_stats convention).
+
+    Output: (id, n_tokens, n_spans, dup_tokens, longest_span,
+    removal_ratio) — removal_ratio = dup_tokens / n_tokens, what
+    cut-the-spans removal would delete."""
+    from .parallelism import ensure_min_parallelism
+    from .text import shingle_hash_stream
+
+    stream = shingle_hash_stream(
+        ensure_min_parallelism(df),
+        n=n,
+        id_cols=(id_col,),
+        text_col=text_col,
+        distinct=False,
+        with_pos=True,
+    ).withColumnRenamed(id_col, "doc").localCheckpoint(eager=True)
+    dup_keys = (
+        stream.select("doc", "rh")
+        .distinct()
+        .groupBy("rh")
+        .agg(F.count(F.lit(1)).alias("_nd"))
+        .filter(F.col("_nd") >= 2)
+        .select("rh")
+    )
+    dup_pos = stream.join(dup_keys, "rh").select("doc", "pos")
+    w = Window.partitionBy("doc").orderBy("pos")
+    islanded = (
+        dup_pos.withColumn("_prev", F.lag("pos").over(w))
+        .withColumn(
+            "_new",
+            F.when(
+                F.col("_prev").isNull() | (F.col("pos") > F.col("_prev") + n),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "_isl",
+            F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    spans = islanded.groupBy("doc", "_isl").agg(
+        F.min("pos").alias("_s"), (F.max("pos") + (n - 1)).alias("_e")
+    )
+    span_len = F.col("_e") - F.col("_s") + 1
+    per_doc = spans.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(span_len).alias("dup_tokens"),
+        F.max(span_len).alias("longest_span"),
+    )
+    totals = stream.groupBy("doc").agg(
+        (F.count(F.lit(1)) + (n - 1)).alias("n_tokens")
+    )
+    return (
+        totals.join(per_doc, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            "n_tokens",
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+            F.coalesce("longest_span", F.lit(0)).cast("long").alias("longest_span"),
+            dround(
+                F.coalesce("dup_tokens", F.lit(0)).cast("double")
+                / F.col("n_tokens").cast("double"),
+                4,
+            ).alias("removal_ratio"),
+        )
+    )
+
+
 def profile_table(
     df: DataFrame, columns: list[str] | None = None, exact: bool = True
 ) -> DataFrame:

@@ -116,6 +116,7 @@ def shingle_hash_stream(
     text_col: str = "text",
     out_col: str = "rh",
     distinct: bool = True,
+    with_pos: bool = False,
 ) -> DataFrame:
     """(*id_cols, ``out_col``) stream — one row per word ``n``-gram shingle
     — carrying the shingle's rolling hash, WITHOUT building the shingle
@@ -151,6 +152,18 @@ def shingle_hash_stream(
     """
     step1 = _token_hash_projection(df, id_cols, text_col, need_pow=n > 1)
     sh = _composed_shingles(n)
+    if with_pos:
+        # positional stream: (ids, pos, rh) with pos the 0-based shingle
+        # START token index — the exact-substring-dedup span input.
+        # Incompatible with distinct (positions are inherently multiset).
+        if distinct:
+            raise ValueError("with_pos requires distinct=False")
+        out = F.when(F.col("__nt") >= n, sh).otherwise(
+            F.array().cast("array<long>")
+        )
+        return step1.select(
+            *id_cols, F.posexplode(out).alias("pos", out_col)
+        )
     if distinct:
         sh = F.array_distinct(sh)
     out = F.when(F.col("__nt") >= n, sh).otherwise(F.array().cast("array<long>"))

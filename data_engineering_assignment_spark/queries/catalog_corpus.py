@@ -327,6 +327,73 @@ def doc_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_span_stats(load(spark, sf_dir, "documents"), n=8)
 
 
+def _dup_spans_merged_oracle(n: int) -> str:
+    from .catalog_llm import _o_rhash
+
+    rh = _o_rhash(f"array_to_string(t[j + 1 : j + {n}], ' ')")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), pos AS (
+  SELECT doc_id, j, {rh} AS rh
+  FROM toks, unnest(range(0, len(t) - {n} + 1)) AS r(j)
+  WHERE len(t) >= {n}
+), dupk AS (
+  SELECT rh FROM (SELECT DISTINCT doc_id, rh FROM pos)
+  GROUP BY rh HAVING COUNT(*) >= 2
+), dpos AS (
+  SELECT p.doc_id, p.j FROM pos p JOIN dupk USING (rh)
+), isl AS (
+  SELECT doc_id, j,
+         CASE WHEN LAG(j) OVER w IS NULL OR j > LAG(j) OVER w + {n}
+              THEN 1 ELSE 0 END AS ni
+  FROM dpos WINDOW w AS (PARTITION BY doc_id ORDER BY j)
+), isl2 AS (
+  SELECT doc_id, j,
+         SUM(ni) OVER (PARTITION BY doc_id ORDER BY j
+                       ROWS UNBOUNDED PRECEDING) AS grp
+  FROM isl
+), spans AS (
+  SELECT doc_id, grp, MIN(j) AS s, MAX(j) + {n - 1} AS e
+  FROM isl2 GROUP BY 1, 2
+), agg AS (
+  SELECT doc_id, COUNT(*)::BIGINT AS n_spans,
+         SUM(e - s + 1)::BIGINT AS dup_tokens,
+         MAX(e - s + 1)::BIGINT AS longest_span
+  FROM spans GROUP BY doc_id
+), tot AS (
+  SELECT doc_id, (COUNT(*) + {n - 1})::BIGINT AS n_tokens FROM pos
+  GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_tokens,
+       COALESCE(a.n_spans, 0)::BIGINT AS n_spans,
+       COALESCE(a.dup_tokens, 0)::BIGINT AS dup_tokens,
+       COALESCE(a.longest_span, 0)::BIGINT AS longest_span,
+       {o_dround('CAST(COALESCE(a.dup_tokens, 0) AS DOUBLE)'
+                 ' / CAST(t.n_tokens AS DOUBLE)', 4)} AS removal_ratio
+FROM tot t LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@register(
+    "doc_dup_spans_merged",
+    oracle=_dup_spans_merged_oracle(8),
+    doc="LLM-prep: span-MERGED exact-substring dedup accounting (Lee et "
+    "al. 2022's deduplicate-text-datasets output shape; operators/corpus."
+    "dup_span_merged_stats) — per document, maximal duplicated regions "
+    "from merged overlapping/contiguous duplicated 8-gram extents, with "
+    "span counts, covered-token mass, longest span, and the removal "
+    "ratio cut-the-spans dedup would delete. Positional hashed shingle "
+    "stream (one char fold per doc, oracle-shared hash family), "
+    "checkpointed once; interval merge via two entity-keyed windows over "
+    "duplicated positions only. Oracle: SQL islands-and-gaps twin.",
+)
+def doc_dup_spans_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import dup_span_merged_stats
+
+    return dup_span_merged_stats(load(spark, sf_dir, "documents"), n=8)
+
+
 _BM25_TERMS = ("spark", "query", "merge", "vector")
 _BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
 

@@ -340,3 +340,59 @@ def test_bpe_merge_adjacent_greedy_left(spark):
     assert got[3] == ["b", "aa"]
     assert got[4] == ["aa", "a"]  # pre-existing 'aa' symbol never re-matches 'a'
     assert got[5] == ["a"] and got[6] == []
+
+
+def test_dup_span_merged_hand_computed(spark):
+    """Interval-merge semantics pinned by hand: overlapping duplicated
+    3-gram extents merge into maximal regions; a gap of one uncovered
+    token splits spans; clean docs report zero spans."""
+    from data_engineering_assignment_spark.operators.corpus import (
+        dup_span_merged_stats,
+    )
+
+    # Shared 4-token phrase "p q r s" gives both docs duplicated 3-gram
+    # starts at its two positions (overlapping -> ONE merged span of 4
+    # tokens). Doc 1 additionally repeats the phrase later, separated by
+    # unique tokens -> a SECOND span. Doc 3 is fully unique.
+    d1 = "p q r s u1 u2 u3 u4 p q r s"     # 12 tokens
+    d2 = "z1 z2 p q r s z3 z4"             # 8 tokens
+    d3 = "a b c d e f"                     # 6 tokens
+    docs = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, d3)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"], r["n_spans"], r["dup_tokens"],
+            r["longest_span"], r["removal_ratio"],
+        )
+        for r in dup_span_merged_stats(docs, n=3).collect()
+    }
+    # doc 1: dup starts at 0,1 (span [0,3]) and 8,9 (span [8,11])
+    assert got[1] == (12, 2, 8, 4, 0.6667)
+    # doc 2: dup starts at 2,3 -> one span [2,5], 4 tokens
+    assert got[2] == (8, 1, 4, 4, 0.5)
+    assert got[3] == (6, 0, 0, 0, 0.0)
+
+
+def test_dup_span_merged_gap_rule(spark):
+    """Adjacent coverage (next start == prev start + n) merges; a start
+    one past that (one uncovered token) does not."""
+    from data_engineering_assignment_spark.operators.corpus import (
+        dup_span_merged_stats,
+    )
+
+    # n=2: doc A has dup starts 0 and 2 (coverage [0,1] + [2,3]:
+    # contiguous -> merge to one 4-token span); doc B has starts 0 and 3
+    # (coverage [0,1] + [3,4]: token 2 uncovered -> two spans).
+    rows = [
+        (1, "x y x y a b"),      # "x y" dup'd; starts 0 and 2
+        (2, "u v c u v d e"),    # "u v" dup'd; starts 0 and 3
+        (3, "x y u v x y u v"),  # donor doc sharing both phrases
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_spans"], r["dup_tokens"], r["longest_span"])
+        for r in dup_span_merged_stats(docs, n=2).collect()
+    }
+    assert got[1] == (1, 4, 4)
+    assert got[2] == (2, 4, 2)
