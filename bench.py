@@ -159,6 +159,8 @@ HEADLINE = [
     "doc_dup_spans_merged",
     # incremental semantic dedup: delta batch vs standing corpus cells
     "incremental_semantic_dedup",
+    # two-level SemDeDup cells (sqrt-k broadcast bound; rows-only)
+    "dedup_semantic_hier",
 ]
 
 

@@ -588,6 +588,206 @@ def semantic_dup_pairs(
     )
 
 
+def hierarchical_cells(
+    corpus: DataFrame,
+    n_coarse: int,
+    n_fine: int,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed_oversample: int = 4,
+    n_rows: int | None = None,
+) -> DataFrame:
+    """Two-level (coarse→fine) spherical k-means cell assignment — the
+    documented extreme-N fix for the flat path's k×dim centroid broadcast
+    (:func:`semantic_dup_pairs` docstring: ~0.5 GB per 1e9 rows at target
+    occupancy 125). Level 1 trains ``n_coarse`` ≈ √k centroids with the
+    existing distributed Lloyd (broadcast is √k × dim); level 2 trains
+    ``n_fine`` sub-centroids WITHIN each coarse cell, and the fine
+    centroid set is never broadcast at all — it lives in a (cell1, sub,
+    cvec) DataFrame cogrouped with the rows by coarse cell, so each task
+    sees only ITS cell's ``n_fine`` centroids (total fine state k × dim
+    stays distributed).
+
+    Fine seeding is hash-deterministic and occupancy-adaptive: a rate-
+    filtered sample (expected ``seed_oversample × n_fine`` rows per coarse
+    cell — the row_number window runs over this BOUNDED sample, never the
+    cell) plus a per-cell argmin-hash guarantee row, so every nonempty
+    coarse cell gets ≥ 1 sub-centroid and thin cells naturally get fewer
+    (their occupancy doesn't need more). Fine Lloyd iterations are fully
+    distributed: cogrouped numpy argmax assignment, per-(cell1, sub, dim)
+    decimal sums (partitioning-independent), centroids rebuilt and
+    renormalized as DataFrame arrays with empty-cell fallback to the
+    previous round — the driver never holds fine state.
+
+    Returns (id, vec, cell1, sub) with every input row assigned.
+    """
+    import numpy as np
+
+    from .aggregates import DEC
+
+    prep = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vec")
+    )
+    if n_rows is None:
+        n_rows = prep.count()
+    if n_rows == 0:
+        raise ValueError("hierarchical_cells: empty corpus")
+    cents1 = kmeans_centroids(corpus, n_coarse, n_iter, id_col=id_col, vec_col=vec_col)
+    b1 = corpus.sparkSession.sparkContext.broadcast(cents1)
+    assigned1 = (
+        prep.mapInPandas(_cell_mapper(b1, 1), _VEC_SCHEMA)
+        .withColumnRenamed("cell", "cell1")
+        .localCheckpoint(eager=True)
+    )
+
+    h = F.xxhash64("id")
+    # expected seed_oversample * n_fine rows per coarse cell
+    rate_num = min(seed_oversample * n_fine * max(n_coarse, 1), n_rows)
+    sample = assigned1.filter(
+        F.pmod(h, F.lit(n_rows)) < F.lit(rate_num)
+    )
+    guarantee = assigned1.join(
+        assigned1.groupBy("cell1").agg(
+            F.min_by("id", F.struct(h.alias("h"), F.col("id"))).alias("id")
+        ),
+        ["cell1", "id"],
+    )
+    w_seed = Window.partitionBy("cell1").orderBy(h.asc(), F.col("id").asc())
+    fine = (
+        sample.unionByName(guarantee)
+        .dropDuplicates(["cell1", "id"])
+        .withColumn("_rn", F.row_number().over(w_seed))
+        .filter(F.col("_rn") <= n_fine)
+        .select(
+            "cell1",
+            (F.col("_rn") - 1).cast("int").alias("sub"),
+            _norm_array(F.col("vec")).alias("cvec"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    out_schema = "id bigint, vec array<double>, cell1 int, sub int"
+
+    def assign_fn(rows, cents):
+        import pandas as pd
+
+        if rows.empty:
+            return pd.DataFrame(
+                {"id": [], "vec": [], "cell1": [], "sub": []}
+            ).astype({"id": "int64", "cell1": "int32", "sub": "int32"})
+        cents = cents.sort_values("sub").reset_index(drop=True)
+        cmat = np.array(cents["cvec"].tolist(), dtype=np.float64)
+        block = _normed(np.array(rows["vec"].tolist(), dtype=np.float64))
+        best = np.argmax(block @ cmat.T, axis=1)
+        out = rows[["id", "vec"]].copy()
+        out["cell1"] = rows["cell1"].to_numpy()
+        out["sub"] = cents["sub"].to_numpy()[best].astype("int32")
+        return out
+
+    def assign(fine_tab):
+        return (
+            assigned1.groupBy("cell1")
+            .cogroup(fine_tab.groupBy("cell1"))
+            .applyInPandas(assign_fn, out_schema)
+        )
+
+    for _ in range(n_iter):
+        stats = (
+            assign(fine)
+            .select("cell1", "sub", F.posexplode("vec").alias("pos", "val"))
+            .groupBy("cell1", "sub", "pos")
+            .agg(
+                F.sum(F.col("val").cast(DEC)).cast("double").alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+        )
+        rebuilt = stats.groupBy("cell1", "sub").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", (F.col("s") / F.col("n")).alias("m")))),
+                lambda st: st.getField("m"),
+            ).alias("_raw")
+        )
+        fine = (
+            fine.join(rebuilt, ["cell1", "sub"], "left")
+            .select(
+                "cell1",
+                "sub",
+                F.coalesce(_norm_array_or_null(F.col("_raw")), F.col("cvec")).alias(
+                    "cvec"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return assign(fine)
+
+
+def _norm_array(vec: Column) -> Column:
+    """L2-normalize an array<double> column (zero-norm → unchanged)."""
+    nrm = F.sqrt(F.aggregate(vec, F.lit(0.0), lambda a, x: a + x * x))
+    return F.when(nrm > 0, F.transform(vec, lambda x: x / nrm)).otherwise(vec)
+
+
+def _norm_array_or_null(vec: Column) -> Column:
+    """L2-normalize, but yield NULL for missing or zero-norm arrays (the
+    Lloyd empty/degenerate-cell fallback hook for coalesce)."""
+    nrm = F.sqrt(F.aggregate(vec, F.lit(0.0), lambda a, x: a + x * x))
+    return F.when(vec.isNotNull() & (nrm > 0), F.transform(vec, lambda x: x / nrm))
+
+
+def semantic_dup_pairs_hier(
+    corpus: DataFrame,
+    threshold: float = 0.4,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 4,
+    target_cell_rows: int = 125,
+    n_coarse: int | None = None,
+    n_fine: int | None = None,
+) -> DataFrame:
+    """SemDeDup duplicate pairs over the TWO-LEVEL cell assignment
+    (:func:`hierarchical_cells`): total cell count k = ceil(N / target)
+    keeps per-cell pair work constant (the flat path's occupancy
+    discipline), split as n_coarse = ceil(√k) × n_fine = ceil(k / √k) so
+    no stage ever broadcasts or driver-holds more than √k × dim centroid
+    state. Pair scanning reuses the per-cell numpy block matmul on the
+    composite (cell1, sub) key.
+
+    Output: (id_a, id_b, cell, sim) with cell = cell1 * 65536 + sub —
+    id_a < id_b, sim rounded to ``scale``, >= threshold.
+
+    ``n_coarse``/``n_fine`` override the √k split (parity tests pin a
+    known cluster structure with them)."""
+    import math
+
+    prep = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vec")
+    )
+    n_rows = prep.count()
+    if n_rows == 0:
+        raise ValueError("semantic_dup_pairs_hier: empty corpus")
+    k = max(1, -(-n_rows // target_cell_rows))
+    if n_coarse is None:
+        n_coarse = max(1, math.ceil(math.sqrt(k)))
+    if n_fine is None:
+        n_fine = max(1, -(-k // n_coarse))
+    if n_fine >= 65536:
+        raise ValueError("semantic_dup_pairs_hier: n_fine exceeds cell encoding")
+    assigned = hierarchical_cells(
+        corpus, n_coarse, n_fine, n_iter=n_iter, id_col=id_col,
+        vec_col=vec_col, n_rows=n_rows,
+    )
+    combined = assigned.select(
+        "id", "vec",
+        (F.col("cell1").cast("int") * 65536 + F.col("sub").cast("int")).alias("cell"),
+    )
+    return combined.groupBy("cell").applyInPandas(
+        _cell_pair_scanner(threshold, scale),
+        "id_a bigint, id_b bigint, cell int, sim double",
+    )
+
+
 def _fround_double(x: float, scale: int) -> float:
     """Python replica of Spark's ``F.round(double, scale)``: round the
     SHORTEST-decimal representation HALF_UP (Catalyst's Round delegates to

@@ -729,6 +729,30 @@ def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dup_pairs(emb, threshold=0.4, target_cell_rows=125)
 
 
+@register(
+    "dedup_semantic_hier",
+    doc="SemDeDup production path over the TWO-LEVEL cell assignment "
+    "(operators/similarity.hierarchical_cells): k = ceil(N/125) total "
+    "cells split n_coarse = ceil(sqrt(k)) x n_fine — the flat path's "
+    "documented extreme-N fix (its k x dim centroid broadcast is ~0.5 GB "
+    "per 1e9 rows; here no stage broadcasts or driver-holds more than "
+    "sqrt(k) x dim: coarse centroids broadcast sqrt(k)-sized, fine "
+    "centroids live in a (cell1, sub, cvec) DataFrame cogrouped with the "
+    "rows, and fine Lloyd runs fully distributed with decimal dimension "
+    "sums). Per-cell pair work stays O(target^2) via the same occupancy "
+    "rule. Rows-only under the driver (k-means cells are not SQL-"
+    "expressible); correctness rides the flat-vs-hier pair-set parity "
+    "tests at pinned splits (3x1 and 1x3 both reproduce flat k=3 "
+    "exactly; tests/test_similarity.py) and the emitted-pair validity "
+    "floor.",
+)
+def dedup_semantic_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import semantic_dup_pairs_hier
+
+    emb = load(spark, sf_dir, "embeddings")
+    return semantic_dup_pairs_hier(emb, threshold=0.4, target_cell_rows=125)
+
+
 def _sem_assign_cte(src: str, out: str, dim: int = 64) -> str:
     """Assignment CTE pair: rows of CTE ``src`` → (vec_id, e, cell) in CTE
     ``out``, argmax cosine over the corpus-seeded `cents` (must be in

@@ -607,3 +607,83 @@ def test_fround_matches_spark_round_bitwise(spark):
     for i, v in enumerate(vals):
         mine = _fround_double(v, 4)
         assert mine == got[i] or (mine == 0.0 and got[i] == 0.0), (v, mine, got[i])
+
+
+def _clustered_embeddings(spark, n=120, n_clusters=3, dim=8, seed=3):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    base = np.eye(dim)[:n_clusters] * 10
+    rows = [
+        (i, (base[i % n_clusters] + rng.normal(0, 0.1, dim)).tolist())
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_hierarchical_equals_flat_at_pinned_splits(spark):
+    """Two-level assignment equivalence vs the flat production path: on a
+    corpus of well-separated clusters, both the 3x1 split (coarse does
+    the clustering, fine trivial) and the 1x3 split (coarse trivial, fine
+    Lloyd does the clustering) must reproduce flat k=3's pair set
+    EXACTLY, rounded sims included — pinning the cogrouped fine
+    assignment, the distributed fine Lloyd, and the composite-cell pair
+    scan against the known-good flat path."""
+    from data_engineering_assignment_spark.operators.similarity import (
+        semantic_dup_pairs,
+        semantic_dup_pairs_hier,
+    )
+
+    df = _clustered_embeddings(spark)
+    flat = {
+        (r["id_a"], r["id_b"], r["sim"])
+        for r in semantic_dup_pairs(df, threshold=0.9, n_centroids=3, n_iter=2).collect()
+    }
+    assert flat
+    for n_coarse, n_fine in ((3, 1), (1, 3)):
+        hier = {
+            (r["id_a"], r["id_b"], r["sim"])
+            for r in semantic_dup_pairs_hier(
+                df, threshold=0.9, n_iter=2 if n_coarse == 3 else 3,
+                n_coarse=n_coarse, n_fine=n_fine,
+            ).collect()
+        }
+        assert hier == flat, (n_coarse, n_fine)
+
+
+def test_hierarchical_cells_cover_every_row(spark):
+    """Every input row gets exactly one (cell1, sub) assignment — the
+    argmin-hash guarantee seed means no coarse cell can be fine-orphaned,
+    and thin coarse cells simply get fewer sub-centroids."""
+    from data_engineering_assignment_spark.operators.similarity import (
+        hierarchical_cells,
+    )
+
+    df = _clustered_embeddings(spark, n=90)
+    out = hierarchical_cells(df, n_coarse=4, n_fine=3, n_iter=2).collect()
+    assert len(out) == 90
+    assert len({r["id"] for r in out}) == 90
+    assert all(r["sub"] >= 0 and r["cell1"] >= 0 for r in out)
+
+
+def test_hierarchical_pair_validity_floor(spark):
+    """Every emitted pair must be a genuine duplicate: recomputing the
+    cosine row-wise confirms sim >= threshold and id_a < id_b."""
+    import numpy as np
+
+    from data_engineering_assignment_spark.operators.similarity import (
+        semantic_dup_pairs_hier,
+    )
+
+    df = _clustered_embeddings(spark, n=100)
+    vecs = {r["vec_id"]: np.array(r["embedding"]) for r in df.collect()}
+    pairs = semantic_dup_pairs_hier(
+        df, threshold=0.9, target_cell_rows=30
+    ).collect()
+    assert pairs
+    for r in pairs:
+        assert r["id_a"] < r["id_b"]
+        a, b = vecs[r["id_a"]], vecs[r["id_b"]]
+        cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert abs(cos - r["sim"]) < 1.5e-4
+        assert r["sim"] >= 0.9
