@@ -1002,6 +1002,104 @@ def incremental_semantic_dedup(
     )
 
 
+def incremental_semantic_dedup_stream(
+    corpus: DataFrame,
+    delta_stream: DataFrame,
+    threshold: float = 0.4,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 4,
+) -> DataFrame:
+    """STREAMING twin of :func:`incremental_semantic_dedup`: the delta
+    side arrives as a structured stream (the ingest path — availableNow
+    for catch-up batches, continuous for live feeds) and is judged
+    against the STANDING corpus cells, producing the same
+    (vec_id, cell, best_sim, n_dups, status) verdicts as the batch
+    operator (parity-asserted in tests/test_streaming.py).
+
+    Stream-legal reshaping of the batch plan, value-identical output:
+
+    * cell assignment — portable_cells' orderBy/window argmax is illegal
+      on a stream, so the delta assigns via a narrow FOLD over the
+      corpus-seeded centroids embedded as a LITERAL struct array
+      (bounded: n_centroids × dim doubles in the plan). Iterating cells
+      ascending with a strict ``>`` keeps the LOWER cell on ties —
+      exactly portable_cells' (desc sim, asc cell) rule — and the cosine
+      expression tree is the same JVM fold, so the doubles are
+      bit-identical.
+    * the corpus side joins stream-static LEFT on the cell id (the batch
+      inner-join → aggregate → attach-back shape is stream-illegal:
+      the attach-back would join the stream with its own aggregate);
+      unmatched deltas carry NULL sims and the per-id aggregate coalesces
+      them to (best_sim NULL, n_dups 0, 'novel') — the same verdicts the
+      batch attach-back produces.
+
+    The result is an unbounded aggregation keyed by delta id — run it
+    with ``outputMode("complete")`` under availableNow (the probe
+    pattern), or add a watermark upstream for continuous ingest.
+    """
+    cells_c = portable_cells(corpus, n_centroids, id_col=id_col, vec_col=vec_col)
+    c_prep = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vec")
+    )
+    h = (F.col("id") * F.lit(2654435761)) % F.lit(4294967296)
+    seeds = (
+        c_prep.select("id", "vec", h.alias("h"))
+        .orderBy("h", "id")
+        .limit(n_centroids)
+        .collect()
+    )
+    cents_arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("cell"),
+                F.array(*[F.lit(float(x)) for x in r["vec"]]).alias("cent"),
+            )
+            for i, r in enumerate(seeds)
+        ]
+    )
+    d = delta_stream.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vec")
+    )
+    vec = F.col("vec")
+    init = F.struct(
+        F.lit(float("-inf")).alias("s"), F.lit(-1).cast("int").alias("cell")
+    )
+    best = F.aggregate(
+        cents_arr,
+        init,
+        lambda acc, c: F.when(
+            cosine(vec, c.getField("cent")) > acc.getField("s"),
+            F.struct(
+                cosine(vec, c.getField("cent")).alias("s"),
+                c.getField("cell").cast("int").alias("cell"),
+            ),
+        ).otherwise(acc),
+    )
+    assigned = d.withColumn("cell", best.getField("cell"))
+    joined = assigned.join(
+        cells_c.select("cell", F.col("vec").alias("cvec")), "cell", "left"
+    )
+    sim = F.round(cosine(F.col("vec"), F.col("cvec")), scale)
+    return (
+        joined.groupBy("id", "cell")
+        .agg(
+            F.max(sim).alias("best_sim"),
+            F.sum((sim >= threshold).cast("long")).alias("_nd"),
+        )
+        .select(
+            F.col("id").alias("vec_id"),
+            "cell",
+            "best_sim",
+            F.coalesce("_nd", F.lit(0)).alias("n_dups"),
+            F.when(F.coalesce("_nd", F.lit(0)) > 0, F.lit("dup"))
+            .otherwise(F.lit("novel"))
+            .alias("status"),
+        )
+    )
+
+
 def semantic_survivor_stats(pairs: DataFrame, assigned_counts: DataFrame) -> DataFrame:
     """Per-cell SemDeDup keep/drop accounting from a duplicate-pair table.
 

@@ -594,3 +594,46 @@ def test_streaming_paragraph_dedup_count_parity(spark, tmp_path):
     deduped = paragraph_stream(src, size=16).dropDuplicates(["key"])
     out = st.run_available_now(deduped.select("key"), output_mode="append")
     assert out.count() == batch_kept
+
+
+def test_streaming_incremental_semantic_dedup_matches_batch(spark, tmp_path):
+    """incremental_semantic_dedup's delta side runs as an availableNow
+    stream against the standing corpus cells (the ingest path): literal-
+    centroid fold assignment + stream-static left join + complete-mode
+    aggregation must reproduce the batch operator's verdicts exactly —
+    cells, rounded best_sim, n_dups and status (r7 verdict item)."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_assignment_spark.operators.similarity import (
+        incremental_semantic_dedup,
+        incremental_semantic_dedup_stream,
+    )
+    from data_engineering_assignment_spark.tables import load
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 5 != 0)
+    delta = emb.filter(F.col("vec_id") % 5 == 0).limit(40)
+
+    want = {
+        r["vec_id"]: (r["cell"], r["best_sim"], r["n_dups"], r["status"])
+        for r in incremental_semantic_dedup(corpus, delta).collect()
+    }
+    assert want
+
+    path = str(tmp_path / "delta_dir")
+    delta.write.parquet(path)
+    src = spark.readStream.schema(delta.schema).parquet(path)
+    q = (
+        incremental_semantic_dedup_stream(corpus, src)
+        .writeStream.format("memory")
+        .queryName("inc_sem_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r["vec_id"]: (r["cell"], r["best_sim"], r["n_dups"], r["status"])
+        for r in spark.sql("SELECT * FROM inc_sem_stream").collect()
+    }
+    assert got == want
