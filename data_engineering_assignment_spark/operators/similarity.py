@@ -573,7 +573,11 @@ def semantic_dup_pairs(
     )
     if target_cell_rows is not None and centroids is None:
         n_rows = c_prep.count()
-        n_centroids = min(max(n_centroids, -(-n_rows // target_cell_rows)), max(n_rows, 1))
+        if n_rows == 0:
+            # match the pq_topk guard: fail loudly here, not opaquely in
+            # kmeans seeding on an empty frame (r7 advice)
+            raise ValueError("semantic_dup_pairs: empty corpus")
+        n_centroids = min(max(n_centroids, -(-n_rows // target_cell_rows)), n_rows)
     if centroids is not None:
         cents = centroids
     elif n_iter > 0:

@@ -687,3 +687,21 @@ def test_hierarchical_pair_validity_floor(spark):
         cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
         assert abs(cos - r["sim"]) < 1.5e-4
         assert r["sim"] >= 0.9
+
+
+def test_semantic_dup_pairs_empty_corpus_raises(spark):
+    """target_cell_rows sizing on an empty corpus fails with a clear
+    ValueError instead of an opaque seeding error (r7 advice), matching
+    the pq_topk guard."""
+    import pytest
+
+    from data_engineering_assignment_spark.operators.similarity import (
+        semantic_dup_pairs,
+        semantic_dup_pairs_hier,
+    )
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="empty corpus"):
+        semantic_dup_pairs(empty, target_cell_rows=100)
+    with pytest.raises(ValueError, match="empty corpus"):
+        semantic_dup_pairs_hier(empty, target_cell_rows=100)
