@@ -40,83 +40,74 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # whose implementation changed this round (a green history does not cover
 # new code), then queries whose last green row is oldest.
 #
-# Round-7 head (catalog = 131 after the SemDeDup trio + jpeg_decode_stats
-# + the dedup_semantic_kmeans production path + paragraph_dedup_stats
-# + dsir_affinity_top64 + bpe_merge_top32 + incremental_semantic_dedup):
-# the 9 never-checked queries; the 9 whose implementation changed this
-# round (trail_nn gate: events_anomaly_zscore_bucketed; histogram-level
-# NULL exclusion: quality_percentile_gate; in-join length + suffix-bound
-# filter: dedup_jaccard_prefix; zero-norm guard in twin AND oracle:
-# cosine_topk_pq; dual shuffle hint: simhash_hamming_pairs; jpg fixtures +
-# glob: binary_media_inventory; bloom_position delegation: bloom_
-# decontaminate; hashed shingle stream: incremental_dedup AND
-# decontaminate_ngram); ALL 27 queries last checked in r4 (the set the r6
-# verdict scheduled for this head); and the first 5 (alphabetical) of
-# the 45 queries last checked in r5 (click_purchase_attribution ...
-# daily_conversion_funnel, with ml_eval_metrics swapped in for
-# embedding_near_dup so the head spans catalog_ml — the module-coverage
-# contract).  The remaining 40 r5-checked queries
-# (data_mix_by_source onward) lead the r8 head, followed by the
-# r6-checked set as it ages.
+# Round-8 head (catalog = 134 after bpe_train_merges +
+# doc_dup_spans_merged + dedup_semantic_hier): the 3 never-checked
+# queries; the 3 whose implementation changed this round (fused
+# multi-order hash stream + aggregated checkpoint: dsir_affinity_top64;
+# native color path + color round-trip columns: jpeg_decode_stats; new
+# jc_*.jpg fixtures in the digest glob: binary_media_inventory); ALL 40
+# queries last checked in r5 (the set the r7 head pre-planned,
+# data_mix_by_source onward); and the first 4 (alphabetical) of the 41
+# queries last checked in r6, with ml_peak_classification swapped in
+# for cosine_topk_ivf so the head spans catalog_ml (the module-coverage
+# contract; it is also r6-checked, so no slot ages).  The remaining 37
+# r6-checked queries (cosine_topk_ivf, customer_year_setops onward)
+# lead the r9 head, followed by the r7-checked set as it ages.
 DRIVER_SAMPLE_HEAD: tuple[str, ...] = (
-    # never driver-checked (9, new this round)
-    "dedup_semantic",
-    "dedup_semantic_survivors",
-    "semantic_recall_telemetry",
-    "jpeg_decode_stats",
-    "dedup_semantic_kmeans",
-    "paragraph_dedup_stats",
-    "dsir_affinity_top64",
-    "bpe_merge_top32",
-    "incremental_semantic_dedup",
+    # never driver-checked (3, new this round)
+    "bpe_train_merges",
+    "doc_dup_spans_merged",
+    "dedup_semantic_hier",
     # implementation changed this round (green history doesn't cover it)
-    "events_anomaly_zscore_bucketed",
-    "quality_percentile_gate",
-    "dedup_jaccard_prefix",
-    "cosine_topk_pq",
-    "simhash_hamming_pairs",
+    "dsir_affinity_top64",
+    "jpeg_decode_stats",
     "binary_media_inventory",
-    "bloom_decontaminate",
-    "incremental_dedup",
-    "decontaminate_ngram",
-    # last checked r4 (all 27)
-    "above_nation_avg_customers",
-    "approx_distinct_users_rollup",
-    "brand_revenue",
-    "customers_with_open_orders",
-    "customers_without_orders",
-    "cyclic_prediction_rates",
-    "disjunctive_brand_revenue",
-    "distinct_users_per_type",
-    "doc_chunks",
-    "embedding_stats",
-    "event_props_json",
-    "events_multi_rollup",
-    "events_sliding_10m_5m",
-    "label_centroids",
-    "large_volume_orders",
-    "metrics_union",
-    "null_handling_metrics",
-    "orders_rollup",
-    "promo_revenue_pct",
-    "regional_revenue",
-    "returned_items_top20",
-    "sales_per_year",
-    "shipping_priority_top10",
-    "supplier_return_ratio",
-    "top5_orders",
-    "top_priority_null_count",
-    "user_rolling_stats",
-    # last checked r5 (first 5 alphabetically of 45; data_mix_by_source,
-    # dedup_ngram_jaccard, distinct_status_priority, doc_regex_tokens,
-    # doc_simhash, doc_tfidf_top_terms and docs_hash_sample yielded their
-    # slots to the five queries added and two rewritten mid-round and
-    # lead the r8 head)
-    "click_purchase_attribution",
-    "cms_token_counts",
-    "csv_sales_publisher_year",
-    "daily_conversion_funnel",
-    "ml_eval_metrics",
+    # last checked r5 (all 40)
+    "data_mix_by_source",
+    "dedup_ngram_jaccard",
+    "distinct_status_priority",
+    "doc_regex_tokens",
+    "doc_simhash",
+    "doc_tfidf_top_terms",
+    "docs_hash_sample",
+    "embedding_near_dup",
+    "embedding_quantize_stats",
+    "event_interarrival_stats",
+    "event_transitions",
+    "events_anomaly_zscore",
+    "events_hourly",
+    "events_sessionize",
+    "image_color_analytics",
+    "image_format_inventory",
+    "lang_source_chisq",
+    "median_price_by_priority",
+    "nation_presence_full_outer",
+    "nation_rank_top2",
+    "nation_revenue_share",
+    "order_price_distribution",
+    "order_price_histogram",
+    "orders_cdc_apply",
+    "orders_profile",
+    "plusminus_player_stats",
+    "plusminus_top_by_role",
+    "pricing_summary",
+    "purchase_asof_last_click",
+    "referential_integrity_audit",
+    "repetition_stats",
+    "seq_packing",
+    "top_tokens_per_lang",
+    "training_corpus_build",
+    "user_event_type_sets",
+    "user_retention_cohorts",
+    "user_state_scd2",
+    "vocab_encode_stats",
+    "vocab_top64",
+    "wav_audio_stats",
+    # last checked r6 (first 4 alphabetically of 41)
+    "bm25_topk",
+    "corpus_boilerplate_3gram",
+    "cosine_topk",
+    "ml_peak_classification",
 )
 
 
