@@ -601,7 +601,8 @@ def bpe_train(
     k: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
-) -> DataFrame:
+    return_state: bool = False,
+):
     """Iterated BPE training (Sennrich et al. 2016): run ``k`` merge steps,
     RECOUNTING adjacent symbol pairs after every merge, and return the
     ordered merge table — the artifact a tokenizer build ships. Extends the
@@ -623,7 +624,9 @@ def bpe_train(
     (identical outputs, smaller state).
 
     Output: (rnk 1..k, lhs, rhs, pair, n) — the merge table in training
-    order. Stops early if the pair supply is exhausted.
+    order. Stops early if the pair supply is exhausted. With
+    ``return_state=True`` returns (merge table, final word state
+    (tok, syms, freq)) — the encode step's input.
     """
     spark = df.sparkSession
     state = (
@@ -631,7 +634,7 @@ def bpe_train(
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("freq"))
         .filter(F.length("tok") >= 2)
-        .select(F.split("tok", "").alias("syms"), "freq")
+        .select("tok", F.split("tok", "").alias("syms"), "freq")
         .localCheckpoint(eager=True)
     )
     merges: list[tuple[int, str, str, str, int]] = []
@@ -660,10 +663,61 @@ def bpe_train(
         lhs, rhs, n = top[0]["lhs"], top[0]["rhs"], top[0]["n"]
         merges.append((i, lhs, rhs, lhs + rhs, int(n)))
         state = state.select(
-            _merge_adjacent(F.col("syms"), lhs, rhs).alias("syms"), "freq"
+            "tok", _merge_adjacent(F.col("syms"), lhs, rhs).alias("syms"), "freq"
         ).localCheckpoint(eager=True)
-    return spark.createDataFrame(
+    table = spark.createDataFrame(
         merges, "rnk bigint, lhs string, rhs string, pair string, n bigint"
+    )
+    return (table, state) if return_state else table
+
+
+def bpe_encode_stats(
+    df: DataFrame,
+    k: int = 6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BPE ENCODE step over trained merges: train ``k`` merges
+    (:func:`bpe_train`), then measure per document how the learned
+    subword inventory compresses its character stream — the
+    chars-per-symbol telemetry a tokenizer build reports.
+
+    The encode applies merges to the DISTINCT-WORD table only (the
+    standard trick: one fold per word per merge, already done by the
+    training loop's final state) and joins the per-word symbol count back
+    to the token stream by equality — an AQE-splittable hash join against
+    the bounded word table, never a per-token Python pass. Words shorter
+    than 2 symbols never merge, so their symbol count is their character
+    count (the left-join fallback).
+
+    Output: (id, n_tokens, n_chars, n_syms, chars_per_sym) — chars_per_sym
+    NULL for documents with no characters."""
+    _, state = bpe_train(df, k, text_col=text_col, id_col=id_col, return_state=True)
+    wsyms = state.select(F.col("tok"), F.size("syms").cast("long").alias("_ns"))
+    stream = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("tok")
+    )
+    joined = stream.join(wsyms, "tok", "left").select(
+        id_col,
+        F.length("tok").cast("long").alias("_nc"),
+        F.coalesce(F.col("_ns"), F.length("tok").cast("long")).alias("_ns"),
+    )
+    agg = joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("_nc").alias("n_chars"),
+        F.sum("_ns").alias("n_syms"),
+    )
+    return agg.select(
+        id_col,
+        "n_tokens",
+        "n_chars",
+        "n_syms",
+        F.when(
+            F.col("n_chars") > 0,
+            dround(
+                F.col("n_chars").cast("double") / F.col("n_syms").cast("double"), 4
+            ),
+        ).alias("chars_per_sym"),
     )
 
 

@@ -484,14 +484,15 @@ def bpe_merge_top32(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merge_pairs(load(spark, sf_dir, "documents"), k=32)
 
 
-def _bpe_train_oracle(k: int) -> str:
-    """Step-unrolled SQL twin of ``corpus.bpe_train``: ``k`` chained CTE
-    blocks, each recounting adjacent pairs, taking the (n DESC, lhs, rhs)
-    argmax, and applying the merge with the gaps-and-islands parity trick —
-    in a run of consecutive match positions, the left-to-right
-    non-overlapping merges are exactly the ODD island offsets (aaaa ->
-    positions 1,3; aaa -> position 1), which is the same greedy-left
-    semantics as the engine's fold."""
+def _bpe_chain_ctes(k: int) -> str:
+    """The shared step-unrolled BPE CTE chain: ``k`` blocks, each
+    recounting adjacent pairs, taking the (n DESC, lhs, rhs) argmax, and
+    applying the merge with the gaps-and-islands parity trick — in a run
+    of consecutive match positions, the left-to-right non-overlapping
+    merges are exactly the ODD island offsets (aaaa -> positions 1,3;
+    aaa -> position 1), the same greedy-left semantics as the engine's
+    fold. Exposes t1..tk (the merge rows) and s{k} (the final per-word
+    symbol state) for the train and encode oracles."""
     ctes = ["""
 WITH w AS (
   SELECT tok, COUNT(*)::BIGINT AS freq
@@ -527,12 +528,38 @@ WITH w AS (
   SELECT wid, freq, list(CASE WHEN mg THEN s || ns ELSE s END ORDER BY j) AS syms
   FROM x{i} WHERE NOT pmg GROUP BY wid, freq
 )""")
-        i += 1
+    return ",\n".join(ctes)
+
+
+def _bpe_train_oracle(k: int) -> str:
     unions = "\nUNION ALL ".join(
         f"SELECT {i}::BIGINT AS rnk, lhs, rhs, lhs || rhs AS pair, n FROM t{i}"
         for i in range(1, k + 1)
     )
-    return ",\n".join(ctes) + "\n" + unions
+    return _bpe_chain_ctes(k) + "\n" + unions
+
+
+def _bpe_encode_oracle(k: int) -> str:
+    return f"""{_bpe_chain_ctes(k)},
+wsyms AS (
+  SELECT wid AS tok, len(syms)::BIGINT AS ns FROM s{k}
+), stream AS (
+  SELECT doc_id, u.tok AS tok
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) u
+), agg AS (
+  SELECT s.doc_id,
+         COUNT(*)::BIGINT AS n_tokens,
+         SUM(length(s.tok))::BIGINT AS n_chars,
+         SUM(COALESCE(w.ns, length(s.tok)))::BIGINT AS n_syms
+  FROM stream s LEFT JOIN wsyms w USING (tok)
+  GROUP BY s.doc_id
+)
+SELECT doc_id, n_tokens, n_chars, n_syms,
+       CASE WHEN n_chars > 0 THEN
+         {o_dround('CAST(n_chars AS DOUBLE) / CAST(n_syms AS DOUBLE)', 4)}
+       END AS chars_per_sym
+FROM agg
+"""
 
 
 @register(
@@ -551,3 +578,21 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.corpus import bpe_train
 
     return bpe_train(load(spark, sf_dir, "documents"), k=6)
+
+
+@register(
+    "bpe_encode_stats",
+    oracle=_bpe_encode_oracle(6),
+    doc="Tokenizer training: the BPE ENCODE step (operators/corpus."
+    "bpe_encode_stats) — apply the 6 learned merges and report per-doc "
+    "chars-per-symbol compression telemetry. Merges fold on the bounded "
+    "distinct-word table only (the training loop's final state); the "
+    "per-word symbol count joins back to the token stream by equality "
+    "(AQE-splittable, never per-token Python). Oracle re-derives the "
+    "same merges via the shared step-unrolled CTE chain, so any "
+    "divergence in merge OR application semantics breaks the gate.",
+)
+def bpe_encode_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import bpe_encode_stats
+
+    return bpe_encode_stats(load(spark, sf_dir, "documents"), k=6)

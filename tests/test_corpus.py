@@ -396,3 +396,38 @@ def test_dup_span_merged_gap_rule(spark):
     }
     assert got[1] == (1, 4, 4)
     assert got[2] == (2, 4, 2)
+
+
+def test_bpe_encode_stats_hand_computed(spark):
+    """Encode telemetry on the hand-computed trainer fixture: after the 4
+    exhausting merges, every word collapses to one symbol, so n_syms =
+    n_tokens and chars_per_sym = n_chars / n_tokens."""
+    from data_engineering_assignment_spark.operators.corpus import bpe_encode_stats
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa abab ab"), (2, "aaaa ab ab")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_chars"], r["n_syms"], r["chars_per_sym"])
+        for r in bpe_encode_stats(docs, k=6).collect()
+    }
+    # doc 1: tokens aaaa(4) abab(4) ab(2) -> 10 chars, each word 1 symbol
+    assert got[1] == (3, 10, 3, 3.3333)
+    # doc 2: aaaa(4) ab(2) ab(2) -> 8 chars
+    assert got[2] == (3, 8, 3, 2.6667)
+
+
+def test_bpe_encode_partial_merges(spark):
+    """With fewer merges than needed to exhaust, symbol counts reflect
+    exactly the applied prefix of the merge table (k=1: only (a,a))."""
+    from data_engineering_assignment_spark.operators.corpus import bpe_encode_stats
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa abab ab"), (2, "aaaa ab ab")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["n_syms"] for r in bpe_encode_stats(docs, k=1).collect()
+    }
+    # merge (a,a): aaaa -> [aa,aa] (2), abab unchanged (4), ab unchanged (2)
+    assert got[1] == 2 + 4 + 2
+    assert got[2] == 2 + 2 + 2
