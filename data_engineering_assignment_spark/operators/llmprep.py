@@ -225,6 +225,135 @@ def repetition_stats(
     )
 
 
+def _dup_run_fold(arr: Column) -> Column:
+    """Fold a SORTED array of (key, chars) structs into duplicate-run
+    totals: (dup_n, dup_chars, top_prod) where dup_n counts every
+    occurrence belonging to a key seen >= 2 times, dup_chars weights those
+    occurrences by their char length, and top_prod = max over keys of
+    occurrences x chars (the Gopher "most frequent n-gram" mass). One
+    JVM-side pass; equal keys are equal strings, so chars is constant
+    within a run."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("pc"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("dn"),
+        F.lit(0).cast("long").alias("dc"),
+        F.lit(0).cast("long").alias("top"),
+    )
+
+    def flush(acc):
+        # totals if the current run ended here
+        run, pc = acc.getField("run"), acc.getField("pc")
+        is_dup = run >= 2
+        return (
+            F.when(is_dup, acc.getField("dn") + run).otherwise(acc.getField("dn")),
+            F.when(is_dup, acc.getField("dc") + run * pc).otherwise(acc.getField("dc")),
+            F.greatest(acc.getField("top"), run * pc),
+        )
+
+    def step(acc, x):
+        same = x.getField("key") == acc.getField("prev")
+        dn, dc, top = flush(acc)
+        return F.struct(
+            x.getField("key").alias("prev"),
+            x.getField("chars").cast("long").alias("pc"),
+            F.when(same, acc.getField("run") + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+            F.when(same, acc.getField("dn")).otherwise(dn).alias("dn"),
+            F.when(same, acc.getField("dc")).otherwise(dc).alias("dc"),
+            F.when(same, acc.getField("top")).otherwise(top).alias("top"),
+        )
+
+    def finish(acc):
+        dn, dc, top = flush(acc)
+        return F.struct(dn.alias("dup_n"), dc.alias("dup_chars"), top.alias("top_prod"))
+
+    return F.aggregate(arr, init, step, finish)
+
+
+def intra_doc_repetition(
+    df: DataFrame,
+    para_tokens: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Gopher-style INTRA-document repetition signals (Rae et al. 2021,
+    "Scaling Language Models: ... Gopher" Table A1's repetition filters):
+    per document, the fraction of duplicate paragraphs (16-token blocks
+    repeated within the SAME doc, counting every occurrence), the char
+    mass those duplicates cover, and the "most frequent n-gram" char
+    fractions for word 2- and 3-grams — the quality-filter family that
+    catches looping generations and boilerplate-stuffed pages.
+
+    Entirely narrow — ZERO shuffles: blocks and n-grams are built, sorted
+    and run-folded inside each row (the repetition_stats discipline;
+    cross-doc paragraph dedup is :func:`corpus.paragraph_dedup_stats`'s
+    job). Block strings partition the doc (O(chars)); overlapping 2/3-gram
+    strings cost a bounded 2-3x char factor. Complements the cross-doc
+    operators: a doc repeating ITSELF never needs corpus context.
+
+    Output: (id, n_paras, dup_para_frac, dup_para_char_frac,
+    top_bigram_char_frac, top_trigram_char_frac) — fractions dround(4);
+    n-gram fractions are 0 for docs too short to form the gram."""
+    toks = tokens(text_col)
+    nt = F.size(toks)
+
+    def blocks(stride: int) -> Column:
+        # floor-div: Column `/` is true division; sequence needs an int bound
+        idx = F.sequence(F.lit(0), F.floor((nt - 1) / stride).cast("int"))
+        return F.transform(
+            idx, lambda i: F.concat_ws(" ", F.slice(toks, i * stride + 1, stride))
+        )
+
+    def grams(n: int) -> Column:
+        return F.when(
+            nt >= n,
+            F.transform(
+                F.sequence(F.lit(0), nt - n),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    def keyed(arr: Column) -> Column:
+        return F.array_sort(
+            F.transform(
+                arr,
+                lambda s: F.struct(s.alias("key"), F.length(s).alias("chars")),
+            )
+        )
+
+    d = df.select(
+        F.col(id_col),
+        F.length(text_col).cast("long").alias("_tc"),
+        _dup_run_fold(keyed(blocks(para_tokens))).alias("_p"),
+        F.size(blocks(para_tokens)).cast("long").alias("n_paras"),
+        F.aggregate(
+            F.transform(blocks(para_tokens), lambda b: F.length(b).cast("long")),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).alias("_pchars"),
+        _dup_run_fold(keyed(grams(2))).alias("_g2"),
+        _dup_run_fold(keyed(grams(3))).alias("_g3"),
+    )
+    frac = lambda num, den: F.when(  # noqa: E731
+        den > 0, dround(num.cast("double") / den.cast("double"), 4)
+    ).otherwise(F.lit(0.0))
+    return d.select(
+        id_col,
+        "n_paras",
+        frac(F.col("_p").getField("dup_n"), F.col("n_paras")).alias("dup_para_frac"),
+        frac(F.col("_p").getField("dup_chars"), F.col("_pchars")).alias(
+            "dup_para_char_frac"
+        ),
+        frac(F.col("_g2").getField("top_prod"), F.col("_tc")).alias(
+            "top_bigram_char_frac"
+        ),
+        frac(F.col("_g3").getField("top_prod"), F.col("_tc")).alias(
+            "top_trigram_char_frac"
+        ),
+    )
+
+
 def quality_percentile_gate(
     df: DataFrame,
     keep_pct: int = 80,

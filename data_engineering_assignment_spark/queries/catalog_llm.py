@@ -277,6 +277,75 @@ def repetition_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(load(spark, sf_dir, "documents"))
 
 
+_INTRA_REP_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, length(text)::BIGINT AS tc, string_split(text, ' ') AS t
+  FROM documents
+), paras AS (
+  SELECT doc_id, array_to_string(t[s + 1 : s + 16], ' ') AS blk
+  FROM toks, unnest(range(0, len(t), 16)) AS u(s)
+), pc AS (
+  SELECT doc_id, blk, length(blk)::BIGINT AS chars, COUNT(*)::BIGINT AS n
+  FROM paras GROUP BY doc_id, blk
+), pagg AS (
+  SELECT doc_id,
+         SUM(n)::BIGINT AS n_paras,
+         SUM(CASE WHEN n >= 2 THEN n ELSE 0 END)::BIGINT AS dup_n,
+         SUM(CASE WHEN n >= 2 THEN n * chars ELSE 0 END)::BIGINT AS dup_chars,
+         SUM(n * chars)::BIGINT AS pchars
+  FROM pc GROUP BY doc_id
+), g2 AS (
+  SELECT doc_id, array_to_string(t[s + 1 : s + 2], ' ') AS g
+  FROM toks, unnest(range(0, len(t) - 1)) AS u(s) WHERE len(t) >= 2
+), g2c AS (
+  SELECT doc_id, MAX(cnt * chars)::BIGINT AS top2
+  FROM (SELECT doc_id, g, COUNT(*) AS cnt, length(g) AS chars
+        FROM g2 GROUP BY doc_id, g) GROUP BY doc_id
+), g3 AS (
+  SELECT doc_id, array_to_string(t[s + 1 : s + 3], ' ') AS g
+  FROM toks, unnest(range(0, len(t) - 2)) AS u(s) WHERE len(t) >= 3
+), g3c AS (
+  SELECT doc_id, MAX(cnt * chars)::BIGINT AS top3
+  FROM (SELECT doc_id, g, COUNT(*) AS cnt, length(g) AS chars
+        FROM g3 GROUP BY doc_id, g) GROUP BY doc_id
+)
+SELECT t.doc_id, p.n_paras,
+       CASE WHEN p.n_paras > 0 THEN
+         {o_dround('CAST(p.dup_n AS DOUBLE) / CAST(p.n_paras AS DOUBLE)', 4)}
+       ELSE 0.0 END AS dup_para_frac,
+       CASE WHEN p.pchars > 0 THEN
+         {o_dround('CAST(p.dup_chars AS DOUBLE) / CAST(p.pchars AS DOUBLE)', 4)}
+       ELSE 0.0 END AS dup_para_char_frac,
+       CASE WHEN t.tc > 0 THEN
+         {o_dround('CAST(COALESCE(c2.top2, 0) AS DOUBLE) / CAST(t.tc AS DOUBLE)', 4)}
+       ELSE 0.0 END AS top_bigram_char_frac,
+       CASE WHEN t.tc > 0 THEN
+         {o_dround('CAST(COALESCE(c3.top3, 0) AS DOUBLE) / CAST(t.tc AS DOUBLE)', 4)}
+       ELSE 0.0 END AS top_trigram_char_frac
+FROM toks t
+JOIN pagg p USING (doc_id)
+LEFT JOIN g2c c2 USING (doc_id)
+LEFT JOIN g3c c3 USING (doc_id)
+"""
+
+
+@register(
+    "intra_doc_repetition",
+    oracle=_INTRA_REP_ORACLE,
+    doc="LLM-prep: Gopher-style INTRA-document repetition filters (Rae et "
+    "al. 2021 Table A1; operators/llmprep.intra_doc_repetition) — "
+    "duplicate 16-token-paragraph fraction and char mass within the same "
+    "doc, plus most-frequent word 2-/3-gram char fractions. Entirely "
+    "narrow: blocks and grams are built, sorted and run-folded inside "
+    "each row, zero shuffles — the signal that catches looping "
+    "generations without touching corpus context.",
+)
+def intra_doc_repetition_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.llmprep import intra_doc_repetition
+
+    return intra_doc_repetition(load(spark, sf_dir, "documents"))
+
+
 _STRATIFIED_ORACLE = f"""
 WITH h AS (
   SELECT doc_id, lang, {_o_rhash('text')} AS rh FROM documents

@@ -221,3 +221,54 @@ def test_dsir_affinity_partitioning_independent(spark, sf_dir):
         for r in dsir_affinity_topk(docs.repartition(7), ["src0", "src1"], k=16).collect()
     ]
     assert a == b and len(a) == 16
+
+
+def test_intra_doc_repetition_hand_computed(spark):
+    """Gopher intra-doc signals on hand-countable fixtures: duplicate
+    paragraph fractions (every occurrence counts), top-n-gram char mass,
+    and the clean-doc zero case."""
+    from data_engineering_assignment_spark.operators.llmprep import (
+        intra_doc_repetition,
+    )
+
+    loop = " ".join(["a b c d"] * 4)          # 16 tokens = 4 identical 4-blocks
+    clean = "w x y z p q r s"                 # 8 tokens, no repetition
+    docs = spark.createDataFrame(
+        [(1, loop), (2, clean)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r
+        for r in intra_doc_repetition(docs, para_tokens=4).collect()
+    }
+    r1 = got[1]
+    # 4 identical paragraphs "a b c d": all 4 are duplicates
+    assert r1["n_paras"] == 4
+    assert r1["dup_para_frac"] == 1.0
+    assert r1["dup_para_char_frac"] == 1.0
+    # top bigram "d a" or "a b"... : "a b","b c","c d" x4, "d a" x3 ->
+    # max count 4, chars 3 -> 12 / len(text)=31
+    assert r1["top_bigram_char_frac"] == round(12 / 31, 4)
+    # top trigram: "a b c" x4 (5 chars) -> 20/31
+    assert r1["top_trigram_char_frac"] == round(20 / 31, 4)
+    r2 = got[2]
+    assert r2["n_paras"] == 2
+    assert r2["dup_para_frac"] == 0.0 and r2["dup_para_char_frac"] == 0.0
+    # all bigrams unique: top mass = 1 occurrence * 3 chars = 3/15
+    assert r2["top_bigram_char_frac"] == 0.2
+
+
+def test_intra_doc_repetition_short_and_empty_docs(spark):
+    """Docs too short for an n-gram report 0 fraction; empty text guards
+    every division."""
+    from data_engineering_assignment_spark.operators.llmprep import (
+        intra_doc_repetition,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "solo"), (2, "")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in intra_doc_repetition(docs).collect()}
+    assert got[1]["top_bigram_char_frac"] == 0.0
+    assert got[1]["dup_para_frac"] == 0.0
+    assert got[2]["top_bigram_char_frac"] == 0.0
+    assert got[2]["dup_para_char_frac"] == 0.0
