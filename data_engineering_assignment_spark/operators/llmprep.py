@@ -67,6 +67,114 @@ def mix_sources(
     return df.filter(hash_bucket(text_col) < rate)
 
 
+def token_budget_sample(
+    df: DataFrame,
+    budgets: dict[str, int],
+    default_budget: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Token-BUDGET data mixing: per source, keep documents in
+    deterministic content-hash order until the source's token budget is
+    filled — the "N billion tokens of web, M of code" recipe every
+    pretraining mix specifies, as opposed to :func:`mix_sources`' rate
+    percentages. A document is kept iff the token mass of every document
+    BEFORE it (in (rolling_hash(text), id) order) is still under budget,
+    so the crossing document is included and the kept set is an exact
+    deterministic prefix on every engine and partitioning.
+
+    Scale shape (the quality_percentile_gate discipline): the per-source
+    cumulative is NEVER a row window over the source (a content key — one
+    dominant source would pin its whole history in one sort task).
+    Instead: (1) histogram — token/doc sums per (source, hash-bucket),
+    map-side combinable; (2) locate — cumulative over the per-source
+    BUCKET table (≤ ``n_buckets`` rows per source) finds the bucket where
+    the budget crossing lands; (3) resolve — only that bucket's rows
+    (expected corpus/n_buckets) get the exact within-bucket window.
+    Bucket boundaries are monotone in the hash, so the bucket-prefix +
+    within-bucket order equals the global (hash, id) order.
+
+    Output: (source, budget, n_docs, tokens_total, n_kept, tokens_kept).
+    Budgets over the source total keep everything; non-positive budgets
+    keep nothing."""
+    from .text import ROLLING_MOD, rolling_hash
+
+    width = -(-ROLLING_MOD // n_buckets)
+    mapping = F.create_map(*[F.lit(x) for kv in budgets.items() for x in kv])
+    budget = F.coalesce(mapping[F.col("_src")], F.lit(int(default_budget))).cast(
+        "long"
+    )
+    e = df.select(
+        F.col(source_col).alias("_src"),
+        F.col(id_col).alias("_id"),
+        F.size(tokens(text_col)).cast("long").alias("_nt"),
+        rolling_hash(text_col).alias("_h"),
+    ).withColumn("_b", F.floor(F.col("_h") / F.lit(width)).cast("int"))
+    hist = e.groupBy("_src", "_b").agg(
+        F.sum("_nt").alias("_bt"), F.count(F.lit(1)).alias("_bc")
+    )
+    wb = (
+        Window.partitionBy("_src")
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    located = (
+        hist.withColumn("_tokb", F.coalesce(F.sum("_bt").over(wb), F.lit(0)))
+        .withColumn("_docb", F.coalesce(F.sum("_bc").over(wb), F.lit(0)))
+        .withColumn("_budget", budget)
+    )
+    target = located.filter(
+        (F.col("_tokb") < F.col("_budget"))
+        & (F.col("_tokb") + F.col("_bt") >= F.col("_budget"))
+    ).select("_src", "_b", "_tokb", "_docb", "_budget")
+    wr = (
+        Window.partitionBy("_src")
+        .orderBy(F.col("_h").asc(), F.col("_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    resolved = (
+        e.join(target, ["_src", "_b"])
+        .withColumn("_win", F.coalesce(F.sum("_nt").over(wr), F.lit(0)))
+        .withColumn("_keep", (F.col("_tokb") + F.col("_win")) < F.col("_budget"))
+        .groupBy("_src")
+        .agg(
+            F.max("_tokb").alias("_tokb"),
+            F.max("_docb").alias("_docb"),
+            F.sum(F.col("_keep").cast("long")).alias("_kin"),
+            F.sum(F.when(F.col("_keep"), F.col("_nt")).otherwise(F.lit(0))).alias(
+                "_tin"
+            ),
+        )
+    )
+    totals = hist.groupBy("_src").agg(
+        F.sum("_bc").alias("n_docs"), F.sum("_bt").alias("tokens_total")
+    )
+    return (
+        totals.withColumn("_budget", budget)
+        .join(resolved, "_src", "left")
+        .select(
+            F.col("_src").alias(source_col),
+            F.col("_budget").alias("budget"),
+            "n_docs",
+            "tokens_total",
+            F.when(F.col("_budget") <= 0, F.lit(0))
+            .otherwise(
+                F.coalesce(F.col("_docb") + F.col("_kin"), F.col("n_docs"))
+            )
+            .cast("long")
+            .alias("n_kept"),
+            F.when(F.col("_budget") <= 0, F.lit(0))
+            .otherwise(
+                F.coalesce(F.col("_tokb") + F.col("_tin"), F.col("tokens_total"))
+            )
+            .cast("long")
+            .alias("tokens_kept"),
+        )
+    )
+
+
 def decontaminate(
     train: DataFrame,
     benchmark: DataFrame,

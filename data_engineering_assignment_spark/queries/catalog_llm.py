@@ -346,6 +346,57 @@ def intra_doc_repetition_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return intra_doc_repetition(load(spark, sf_dir, "documents"))
 
 
+_BUDGETS = {"src0": 500, "src1": 800, "src2": 10_000_000, "src3": 0}
+_BUDGET_DEFAULT = 300
+
+_BUDGET_CASE = (
+    "CASE "
+    + " ".join(f"WHEN source = '{s}' THEN {b}" for s, b in _BUDGETS.items())
+    + f" ELSE {_BUDGET_DEFAULT} END"
+)
+
+_TOKEN_BUDGET_ORACLE = f"""
+WITH e AS (
+  SELECT source, doc_id,
+         len(string_split(text, ' '))::BIGINT AS nt,
+         {_o_rhash('text')} AS h,
+         ({_BUDGET_CASE})::BIGINT AS budget
+  FROM documents
+), c AS (
+  SELECT *, (SUM(nt) OVER (PARTITION BY source ORDER BY h, doc_id
+             ROWS UNBOUNDED PRECEDING) - nt) AS cumb
+  FROM e
+)
+SELECT source, ANY_VALUE(budget)::BIGINT AS budget,
+       COUNT(*)::BIGINT AS n_docs,
+       SUM(nt)::BIGINT AS tokens_total,
+       SUM(CASE WHEN cumb < budget THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       SUM(CASE WHEN cumb < budget THEN nt ELSE 0 END)::BIGINT AS tokens_kept
+FROM c GROUP BY source
+"""
+
+
+@register(
+    "token_budget_mix",
+    oracle=_TOKEN_BUDGET_ORACLE,
+    doc="LLM-prep: token-BUDGET data mixing (operators/llmprep."
+    "token_budget_sample) — per source, keep documents in deterministic "
+    "content-hash order until the source's token budget fills (the 'N "
+    "tokens of web, M of code' pretraining recipe; the crossing doc is "
+    "kept, so the kept set is an exact prefix). Never a cumulative "
+    "window over the source content key: hash-bucket histogram locates "
+    "the crossing bucket, only that bucket's rows get the exact window "
+    "(the quality_percentile_gate discipline). Exercises partial fills, "
+    "an always-full budget, a zero budget, and the default rate.",
+)
+def token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.llmprep import token_budget_sample
+
+    return token_budget_sample(
+        load(spark, sf_dir, "documents"), _BUDGETS, default_budget=_BUDGET_DEFAULT
+    )
+
+
 _STRATIFIED_ORACLE = f"""
 WITH h AS (
   SELECT doc_id, lang, {_o_rhash('text')} AS rh FROM documents

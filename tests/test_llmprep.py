@@ -272,3 +272,68 @@ def test_intra_doc_repetition_short_and_empty_docs(spark):
     assert got[1]["dup_para_frac"] == 0.0
     assert got[2]["top_bigram_char_frac"] == 0.0
     assert got[2]["dup_para_char_frac"] == 0.0
+
+
+def test_token_budget_sample_exact_prefix(spark):
+    """The kept set is the exact greedy hash-order prefix: crossing doc
+    included, budget >= total keeps all, budget <= 0 keeps none, and the
+    histogram-pruned plan matches a brute-force cumulative computed in
+    the test."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_assignment_spark.operators.llmprep import (
+        token_budget_sample,
+    )
+    from data_engineering_assignment_spark.operators.text import rolling_hash
+
+    rows = [
+        (i, f"src{i % 3}", " ".join(f"w{i}x{j}" for j in range(3 + i % 7)))
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    budgets = {"src0": 60, "src1": 10_000, "src2": 0}
+    got = {
+        r["source"]: (r["budget"], r["n_docs"], r["tokens_total"],
+                      r["n_kept"], r["tokens_kept"])
+        for r in token_budget_sample(df, budgets).collect()
+    }
+
+    # brute force: global (h, id) order per source
+    ordered = (
+        df.select(
+            "source", "doc_id",
+            F.size(F.split("text", " ")).cast("long").alias("nt"),
+            rolling_hash("text").alias("h"),
+        )
+        .orderBy("h", "doc_id")
+        .collect()
+    )
+    import collections
+    want = collections.defaultdict(lambda: [0, 0, 0, 0])  # docs, toks, kept, keptt
+    for r in ordered:
+        b = budgets[r["source"]]
+        st = want[r["source"]]
+        if st[1] < b:
+            st[2] += 1
+            st[3] += r["nt"]
+        st[0] += 1
+        st[1] += r["nt"]
+    for src, st in want.items():
+        assert got[src] == (budgets[src], st[0], st[1], st[2], st[3]), src
+    assert got["src2"][3] == 0          # zero budget keeps nothing
+    assert got["src1"][3] == got["src1"][1]  # huge budget keeps all docs
+
+
+def test_token_budget_sample_partitioning_independent(spark):
+    """Same kept counts under any input partitioning (the deterministic-
+    order contract)."""
+    from data_engineering_assignment_spark.operators.llmprep import (
+        token_budget_sample,
+    )
+
+    rows = [(i, "s", " ".join(f"t{i}_{j}" for j in range(4))) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    a = token_budget_sample(df, {"s": 300}).collect()[0]
+    b = token_budget_sample(df.repartition(13), {"s": 300}).collect()[0]
+    assert (a["n_kept"], a["tokens_kept"]) == (b["n_kept"], b["tokens_kept"])
+    assert a["tokens_kept"] >= 300  # crossing doc included
