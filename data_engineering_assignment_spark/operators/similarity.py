@@ -1272,59 +1272,83 @@ def pq_topk_portable(
 
     Output: (query_id, neighbor_id, approx_dist, rnk), rnk <= k.
     """
-    from functools import reduce
-
     if dim % m:
         raise ValueError("dim must be divisible by m")
-    d_sub = dim // m
+    c_prep = _pq_prep(corpus, id_col, vec_col)
+    q_prep = _pq_prep(queries, id_col, vec_col)
+    FLAT = _pq_flat_codebook(c_prep, n_codes)
+    codes = _pq_encode(c_prep, FLAT, m, dim, n_codes)
+    scored = (
+        codes.crossJoin(
+            F.broadcast(
+                q_prep.select(F.col("id").alias("query_id"), F.col("vec").alias("qvec"))
+            )
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("_s", _pq_adc(F.col("qvec"), F.col("codes"), FLAT, m, dim))
+    )
+    return _pq_rank(scored, k, scale)
 
-    def prep(df: DataFrame) -> DataFrame:
-        e = F.col(vec_col).cast("array<double>")
-        nrm = F.sqrt(_fold_sum(F.transform(e, lambda x: x * x)))
-        # stage 1 materializes the norm as a COLUMN: referenced inside the
-        # normalization lambda as an expression, the whole fold would
-        # inline per element — and the zero-norm CaseWhen guard references
-        # it twice, doubling an already-O(dim) fold per element (r7
-        # review); behind the boundary it is one fold per row, period
-        staged = df.select(
-            F.col(id_col).alias("id"), e.alias("_e"), nrm.alias("_nrm")
-        ).localCheckpoint(eager=True)
-        # zero-norm guard matching the production pq_topk's
-        # np.where(n == 0, 1, n): a zero vector divides by 1 (stays zero)
-        # instead of producing NaNs that sort engine-dependently; the SQL
-        # twin (_pq_oracle) writes the same CASE WHEN guard
-        safe = F.when(F.col("_nrm") == 0, F.lit(1.0)).otherwise(F.col("_nrm"))
-        # stage 2 materializes the normalized array: it is consumed via
-        # element_at inside fold lambdas downstream, and Catalyst would
-        # inline the whole normalization transform into every element
-        # access (the shingle_hash_stream trap); N x dim doubles
-        return staged.select(
-            "id", F.transform("_e", lambda x: x / safe).alias("vec")
-        ).localCheckpoint(eager=True)
 
-    c_prep = prep(corpus)
-    q_prep = prep(queries)
+def _pq_prep(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Normalize + checkpoint a vector frame for the PQ twins."""
+    e = F.col(vec_col).cast("array<double>")
+    nrm = F.sqrt(_fold_sum(F.transform(e, lambda x: x * x)))
+    # stage 1 materializes the norm as a COLUMN: referenced inside the
+    # normalization lambda as an expression, the whole fold would
+    # inline per element — and the zero-norm CaseWhen guard references
+    # it twice, doubling an already-O(dim) fold per element (r7
+    # review); behind the boundary it is one fold per row, period
+    staged = df.select(
+        F.col(id_col).alias("id"), e.alias("_e"), nrm.alias("_nrm")
+    ).localCheckpoint(eager=True)
+    # zero-norm guard matching the production pq_topk's
+    # np.where(n == 0, 1, n): a zero vector divides by 1 (stays zero)
+    # instead of producing NaNs that sort engine-dependently; the SQL
+    # twin (_pq_oracle) writes the same CASE WHEN guard
+    safe = F.when(F.col("_nrm") == 0, F.lit(1.0)).otherwise(F.col("_nrm"))
+    # stage 2 materializes the normalized array: it is consumed via
+    # element_at inside fold lambdas downstream, and Catalyst would
+    # inline the whole normalization transform into every element
+    # access (the shingle_hash_stream trap); N x dim doubles
+    return staged.select(
+        "id", F.transform("_e", lambda x: x / safe).alias("vec")
+    ).localCheckpoint(eager=True)
+
+
+def _pq_flat_codebook(c_prep: DataFrame, n_codes: int) -> Column:
+    """Knuth-hash seed codebook, collected (bounded: n_codes × dim) and
+    inlined as ONE array Literal node — F.array(*1024 lits) would re-embed
+    the whole literal construction at every element_at reference,
+    exploding the expression tree ~1000-fold (measured as multi-second
+    plan compile)."""
     h = (F.col("id") * F.lit(2654435761)) % F.lit(4294967296)
     seed_rows = (
         c_prep.select("id", "vec", h.alias("h"))
         .orderBy("h", "id")
         .limit(n_codes)
-        .collect()  # bounded: n_codes x dim doubles (centroid-pull rule)
+        .collect()
     )
-    flat = [v for r in seed_rows for v in r["vec"]]
-    # ONE array Literal node — F.array(*1024 lits) would re-embed the whole
-    # literal construction at every element_at reference, exploding the
-    # expression tree ~1000-fold (measured as multi-second plan compile)
-    FLAT = F.lit(flat)
+    return F.lit([v for r in seed_rows for v in r["vec"]])
 
-    def sq(x: Column) -> Column:
-        return x * x
+
+def _pq_sq(x: Column) -> Column:
+    return x * x
+
+
+def _pq_encode(
+    c_prep: DataFrame, FLAT: Column, m: int, dim: int, n_codes: int
+) -> DataFrame:
+    """Per-subvector argmin encoding against the literal codebook — one
+    narrow projection, no join. Distance terms are unrolled
+    left-associated sums, the same tree the SQL twin writes."""
+    from functools import reduce
+
+    d_sub = dim // m
 
     def sub_dist(vec: Column, j: Column, c: int) -> Column:
-        # unrolled left-associated sum over the subvector dims — the SQL
-        # twin writes the same (t0 + t1 + ...) tree
         terms = [
-            sq(
+            _pq_sq(
                 F.element_at(vec, (j * d_sub + i + 1).cast("int"))
                 - F.element_at(FLAT, (F.lit(c * dim) + j * d_sub + i + 1).cast("int"))
             )
@@ -1341,40 +1365,38 @@ def pq_topk_portable(
         )
         return F.array_sort(cand)[0]["c"]
 
-    codes = c_prep.select(
+    return c_prep.select(
         F.col("id").alias("neighbor_id"),
         F.transform(
             F.sequence(F.lit(0), F.lit(m - 1)), lambda j: argmin_code(F.col("vec"), j)
         ).alias("codes"),
     )
 
-    def adc(qvec: Column, codes_col: Column) -> Column:
-        def dj(j: Column) -> Column:
-            code = F.element_at(codes_col, (j + 1).cast("int"))
-            terms = [
-                sq(
-                    F.element_at(qvec, (j * d_sub + i + 1).cast("int"))
-                    - F.element_at(
-                        FLAT, (code * dim + j * d_sub + i + 1).cast("int")
-                    )
-                )
-                for i in range(d_sub)
-            ]
-            return reduce(lambda a, t: a + t, terms)
 
-        return F.aggregate(
-            F.sequence(F.lit(0), F.lit(m - 1)), F.lit(0.0), lambda acc, j: acc + dj(j)
-        )
+def _pq_adc(qvec: Column, codes_col: Column, FLAT: Column, m: int, dim: int) -> Column:
+    """Asymmetric distance: order-pinned fold over subvectors, unrolled
+    per-dim terms — one deterministic double per candidate row."""
+    from functools import reduce
 
-    scored = (
-        codes.crossJoin(
-            F.broadcast(
-                q_prep.select(F.col("id").alias("query_id"), F.col("vec").alias("qvec"))
+    d_sub = dim // m
+
+    def dj(j: Column) -> Column:
+        code = F.element_at(codes_col, (j + 1).cast("int"))
+        terms = [
+            _pq_sq(
+                F.element_at(qvec, (j * d_sub + i + 1).cast("int"))
+                - F.element_at(FLAT, (code * dim + j * d_sub + i + 1).cast("int"))
             )
-        )
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("_s", adc(F.col("qvec"), F.col("codes")))
+            for i in range(d_sub)
+        ]
+        return reduce(lambda a, t: a + t, terms)
+
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)), F.lit(0.0), lambda acc, j: acc + dj(j)
     )
+
+
+def _pq_rank(scored: DataFrame, k: int, scale: int) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(F.asc("_s"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rnk", F.row_number().over(w).cast("long"))
@@ -1388,6 +1410,83 @@ def pq_topk_portable(
             "rnk",
         )
     )
+
+
+def ivfpq_topk_portable(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 32,
+    n_codes: int = 16,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 6,
+) -> DataFrame:
+    """IVF-PQ composed index (the FAISS IVFADC shape — Jégou et al. 2011,
+    "Product Quantization for Nearest Neighbor Search"): coarse IVF cells
+    bound WHICH candidates are scored, PQ codes bound WHAT is stored and
+    the ADC cost per candidate — the pairing production ANN systems run
+    at billion-vector scale, composed here from the two oracle-gated
+    twins. Queries probe their ``n_probe`` nearest cells; only corpus
+    codes in probed cells are scored, replacing the PQ twin's full
+    compressed scan with an equi-join on the cell id (shuffle-partitioned
+    and AQE-splittable — the join IS the inverted list).
+
+    Determinism: cells assign on the NORMALIZED vectors with the same
+    order-pinned cosine folds and (desc sim, asc cell) tie rule as the
+    IVF twin; codebooks, encoding and ADC are exactly the PQ twin's.
+    Global codebook rather than per-cell residual codebooks — a
+    documented simplification (residual PQ needs per-cell codebooks whose
+    training is k-means, not SQL).
+
+    Output: (query_id, neighbor_id, approx_dist, rnk), rnk <= k.
+    """
+    if dim % m:
+        raise ValueError("dim must be divisible by m")
+    c_prep = _pq_prep(corpus, id_col, vec_col)
+    q_prep = _pq_prep(queries, id_col, vec_col)
+
+    h = (F.col("id") * F.lit(2654435761)) % F.lit(4294967296)
+    seeds = (
+        c_prep.select("id", "vec", h.alias("h")).orderBy("h", "id").limit(n_centroids)
+    )
+    w_seed = Window.orderBy("h", "id")
+    cents = seeds.select(
+        (F.row_number().over(w_seed) - 1).cast("int").alias("cell"),
+        F.col("vec").alias("cent"),
+    )
+
+    def assign(prep: DataFrame, rn_max: int, id_out: str) -> DataFrame:
+        aw = Window.partitionBy("id").orderBy(F.desc("_cs"), F.asc("cell"))
+        return (
+            prep.crossJoin(F.broadcast(cents))
+            .withColumn("_cs", cosine(F.col("vec"), F.col("cent")))
+            .withColumn("_rn", F.row_number().over(aw))
+            .filter(F.col("_rn") <= rn_max)
+            .select(F.col("id").alias(id_out), "cell")
+        )
+
+    cells = assign(c_prep, 1, "neighbor_id")
+    probes = assign(q_prep, n_probe, "query_id")
+
+    FLAT = _pq_flat_codebook(c_prep, n_codes)
+    codes = _pq_encode(c_prep, FLAT, m, dim, n_codes)
+    scored = (
+        codes.join(cells, "neighbor_id")
+        .join(F.broadcast(probes), "cell")
+        .join(
+            F.broadcast(
+                q_prep.select(F.col("id").alias("query_id"), F.col("vec").alias("qvec"))
+            ),
+            "query_id",
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("_s", _pq_adc(F.col("qvec"), F.col("codes"), FLAT, m, dim))
+    )
+    return _pq_rank(scored, k, scale)
 
 
 def pq_topk(

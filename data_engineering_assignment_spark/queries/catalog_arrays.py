@@ -532,6 +532,112 @@ def cosine_topk_pq_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk_portable(emb, queries, k=5, m=32, n_codes=16, dim=64)
 
 
+def _ivfpq_oracle(dim: int = 64, m: int = 32, n_codes: int = 16,
+                  n_centroids: int = 16, n_probe: int = 4, k: int = 5,
+                  scale: int = 6) -> str:
+    """SQL twin of ivfpq_topk_portable: the IVF twin's normalized-vector
+    cell assignment composed with the PQ twin's codebook/encode/ADC —
+    the inverted list becomes a cell-id equi-join restricting which codes
+    each query scores."""
+    d_sub = dim // m
+    cos = (
+        "list_sum(list_transform(range(1, {d}), i -> {a}[i] * {b}[i]))"
+        " / sqrt(list_sum(list_transform({a}, x -> x * x))"
+        " * list_sum(list_transform({b}, x -> x * x)))"
+    )
+    assign_cos = cos.format(d=dim + 1, a="nv.e", b="c.cent")
+
+    def unrolled(a: str, b_arr: str, b_base: str, j: str) -> str:
+        terms = [
+            f"({a}[{j}*{d_sub}+{i + 1}] - {b_arr}[{b_base} + {j}*{d_sub}+{i + 1}])"
+            f" * ({a}[{j}*{d_sub}+{i + 1}] - {b_arr}[{b_base} + {j}*{d_sub}+{i + 1}])"
+            for i in range(d_sub)
+        ]
+        return " + ".join(terms)
+
+    enc_d = unrolled("nv.e", "c.cent", "0", "s.j")
+    adc_d = unrolled("q.e", "f.f", f"cd.codes[j+1]*{dim}", "j")
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings
+), nv AS (
+  SELECT vec_id,
+         list_transform(e, x -> x / (CASE WHEN sqrt(list_sum(list_transform(e, y -> y * y))) = 0
+                                          THEN 1 ELSE sqrt(list_sum(list_transform(e, y -> y * y))) END)) AS e
+  FROM v
+), iseeds AS (
+  SELECT vec_id, e, (vec_id * 2654435761) % 4294967296 AS h
+  FROM nv ORDER BY h, vec_id LIMIT {n_centroids}
+), icents AS (
+  SELECT (ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1)::INT AS cell, e AS cent FROM iseeds
+), ca AS (
+  SELECT nv.vec_id, c.cell,
+         ROW_NUMBER() OVER (PARTITION BY nv.vec_id
+                            ORDER BY {assign_cos} DESC, c.cell ASC) AS rn
+  FROM nv CROSS JOIN icents c
+), cells AS (
+  SELECT vec_id AS neighbor_id, cell FROM ca WHERE rn = 1
+), probes AS (
+  SELECT vec_id AS query_id, cell FROM ca WHERE rn <= {n_probe} AND vec_id < 10
+), pseeds AS (
+  SELECT vec_id, e, (vec_id * 2654435761) % 4294967296 AS h
+  FROM nv ORDER BY h, vec_id LIMIT {n_codes}
+), cents AS (
+  SELECT (ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1)::INT AS cell, e AS cent FROM pseeds
+), flat AS (
+  SELECT flatten(list(cent ORDER BY cell)) AS f FROM cents
+), subs AS (
+  SELECT unnest(range(0, {m})) AS j
+), enc AS (
+  SELECT nv.vec_id, s.j, c.cell,
+         ROW_NUMBER() OVER (PARTITION BY nv.vec_id, s.j
+                            ORDER BY {enc_d} ASC, c.cell ASC) AS rn
+  FROM nv CROSS JOIN subs s CROSS JOIN cents c
+), codes AS (
+  SELECT vec_id, list(cell ORDER BY j) AS codes FROM enc WHERE rn = 1 GROUP BY vec_id
+), scored AS (
+  SELECT p.query_id, cd.vec_id AS neighbor_id,
+         list_sum(list_transform(range(0, {m}), j -> {adc_d})) AS s
+  FROM codes cd
+  JOIN cells cl ON cd.vec_id = cl.neighbor_id
+  JOIN probes p ON cl.cell = p.cell
+  JOIN nv q ON q.vec_id = p.query_id
+  CROSS JOIN flat f
+  WHERE p.query_id <> cd.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id,
+         ROUND(CAST(s AS DECIMAL(27,12)), {scale})::DOUBLE AS approx_dist,
+         (ROW_NUMBER() OVER (PARTITION BY query_id
+                             ORDER BY s ASC, neighbor_id ASC))::BIGINT AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, approx_dist, rnk FROM ranked WHERE rnk <= {k}
+"""
+
+
+@register(
+    "cosine_topk_ivfpq",
+    oracle=_ivfpq_oracle(),
+    doc="Additive similarity search, COMPOSED IVF-PQ index (the FAISS "
+    "IVFADC shape, Jegou et al. 2011; operators/similarity."
+    "ivfpq_topk_portable): coarse cells bound WHICH candidates each "
+    "query scores (n_probe=4 of 16 cells — the inverted list is a "
+    "cell-id equi-join, shuffle-partitioned and AQE-splittable), PQ "
+    "codes bound the per-candidate cost (literal codebook ADC fold). "
+    "Both halves reuse the oracle-gated IVF and PQ twins' exact "
+    "arithmetic, so the composition is oracle-gated end to end — the "
+    "pairing billion-vector ANN systems actually deploy.",
+)
+def cosine_topk_ivfpq_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivfpq_topk_portable
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivfpq_topk_portable(
+        emb, queries, k=5, m=32, n_codes=16, n_centroids=16, n_probe=4, dim=64
+    )
+
+
 def _semdedup_cells_cte(dim: int = 64, n_centroids: int = 16) -> str:
     """Shared CTE chain for the SemDeDup oracles: Knuth-hash seed centroids
     + pinned-fold argmax assignment (the _ivf_oracle skeleton), ending in

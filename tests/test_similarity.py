@@ -705,3 +705,82 @@ def test_semantic_dup_pairs_empty_corpus_raises(spark):
         semantic_dup_pairs(empty, target_cell_rows=100)
     with pytest.raises(ValueError, match="empty corpus"):
         semantic_dup_pairs_hier(empty, target_cell_rows=100)
+
+
+def test_ivfpq_probe_all_equals_pq(spark, sf_dir):
+    """With n_probe = n_centroids every cell is probed, so the IVF-PQ
+    composition must reproduce the plain PQ twin's ranked output EXACTLY
+    — pinning the cell join against the full compressed scan."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_assignment_spark.operators.similarity import (
+        ivfpq_topk_portable,
+        pq_topk_portable,
+    )
+    from data_engineering_assignment_spark.tables import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    pq = {
+        (r["query_id"], r["rnk"]): (r["neighbor_id"], r["approx_dist"])
+        for r in pq_topk_portable(emb, q, k=5).collect()
+    }
+    ivfpq = {
+        (r["query_id"], r["rnk"]): (r["neighbor_id"], r["approx_dist"])
+        for r in ivfpq_topk_portable(
+            emb, q, k=5, n_centroids=8, n_probe=8
+        ).collect()
+    }
+    assert ivfpq == pq
+    assert len(pq) == 25
+
+
+def test_ivfpq_candidates_only_from_probed_cells(spark, sf_dir):
+    """With n_probe < n_centroids, every returned neighbor must sit in one
+    of its query's probed cells (the inverted-list restriction)."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_assignment_spark.operators.similarity import (
+        ivfpq_topk_portable,
+        portable_cells,
+    )
+    from data_engineering_assignment_spark.tables import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    out = ivfpq_topk_portable(emb, q, k=5, n_centroids=16, n_probe=4).collect()
+    assert out
+    # NOTE: ivfpq assigns on NORMALIZED vectors; portable_cells on raw —
+    # cosine is scale-invariant up to ulps, so cells agree on this data
+    cells = {
+        r["id"]: r["cell"] for r in portable_cells(emb, n_centroids=16).collect()
+    }
+    # rebuild probe sets the same way (top-4 cells per query)
+    from data_engineering_assignment_spark.operators.similarity import (
+        _pq_prep,
+        cosine,
+    )
+    from pyspark.sql import Window
+
+    qp = _pq_prep(q, "vec_id", "embedding")
+    cp = _pq_prep(emb, "vec_id", "embedding")
+    h = (F.col("id") * F.lit(2654435761)) % F.lit(4294967296)
+    seeds = cp.select("id", "vec", h.alias("h")).orderBy("h", "id").limit(16)
+    w = Window.orderBy("h", "id")
+    cents = seeds.select(
+        (F.row_number().over(w) - 1).cast("int").alias("cell"),
+        F.col("vec").alias("cent"),
+    )
+    aw = Window.partitionBy("id").orderBy(F.desc("_cs"), F.asc("cell"))
+    probes = (
+        qp.crossJoin(F.broadcast(cents))
+        .withColumn("_cs", cosine(F.col("vec"), F.col("cent")))
+        .withColumn("_rn", F.row_number().over(aw))
+        .filter(F.col("_rn") <= 4)
+        .collect()
+    )
+    probed = {}
+    for r in probes:
+        probed.setdefault(r["id"], set()).add(r["cell"])
+    for r in out:
+        assert cells[r["neighbor_id"]] in probed[r["query_id"]], r
