@@ -40,24 +40,31 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # whose implementation changed this round (a green history does not cover
 # new code), then queries whose last green row is oldest.
 #
-# Round-8 head (catalog = 134 after bpe_train_merges +
-# doc_dup_spans_merged + dedup_semantic_hier): the 3 never-checked
-# queries; the 3 whose implementation changed this round (fused
-# multi-order hash stream + aggregated checkpoint: dsir_affinity_top64;
-# native color path + color round-trip columns: jpeg_decode_stats; new
-# jc_*.jpg fixtures in the digest glob: binary_media_inventory); ALL 40
-# queries last checked in r5 (the set the r7 head pre-planned,
-# data_mix_by_source onward); and the first 4 (alphabetical) of the 41
-# queries last checked in r6, with ml_peak_classification swapped in
-# for cosine_topk_ivf so the head spans catalog_ml (the module-coverage
-# contract; it is also r6-checked, so no slot ages).  The remaining 37
-# r6-checked queries (cosine_topk_ivf, customer_year_setops onward)
-# lead the r9 head, followed by the r7-checked set as it ages.
+# Round-8 head (catalog = 138 after bpe_train_merges + bpe_encode_stats
+# + doc_dup_spans_merged + dedup_semantic_hier + intra_doc_repetition +
+# token_budget_mix + cosine_topk_ivfpq): the 7 never-checked queries;
+# the 3 whose implementation changed this round (fused multi-order hash
+# stream + aggregated checkpoint: dsir_affinity_top64; native color
+# path + color round-trip columns: jpeg_decode_stats; new jc_*.jpg
+# fixtures in the digest glob: binary_media_inventory — cosine_topk_pq
+# also saw a pure helper-extraction refactor, excluded because its
+# oracle re-verified locally at sf0.001 AND sf0.01 this session with
+# byte-identical output and the full suite is green); 39 of the 40
+# r5-checked queries (pricing_summary yields its slot — it is pinned by
+# entry(), the plan tests and the local suite, the strongest non-driver
+# coverage in the catalog); and ml_peak_classification (r6) so the head
+# spans catalog_ml (module-coverage contract).  The r9 head: the 40
+# r6-checked queries (bm25_topk onward) + pricing_summary first, then
+# the r7-checked set as it ages.
 DRIVER_SAMPLE_HEAD: tuple[str, ...] = (
-    # never driver-checked (3, new this round)
+    # never driver-checked (7, new this round)
     "bpe_train_merges",
+    "bpe_encode_stats",
     "doc_dup_spans_merged",
     "dedup_semantic_hier",
+    "intra_doc_repetition",
+    "token_budget_mix",
+    "cosine_topk_ivfpq",
     # implementation changed this round (green history doesn't cover it)
     "dsir_affinity_top64",
     "jpeg_decode_stats",
@@ -90,7 +97,6 @@ DRIVER_SAMPLE_HEAD: tuple[str, ...] = (
     "orders_profile",
     "plusminus_player_stats",
     "plusminus_top_by_role",
-    "pricing_summary",
     "purchase_asof_last_click",
     "referential_integrity_audit",
     "repetition_stats",
@@ -103,10 +109,8 @@ DRIVER_SAMPLE_HEAD: tuple[str, ...] = (
     "vocab_encode_stats",
     "vocab_top64",
     "wav_audio_stats",
-    # last checked r6 (first 4 alphabetically of 41)
-    "bm25_topk",
-    "corpus_boilerplate_3gram",
-    "cosine_topk",
+    # last checked r6: ml_peak_classification keeps catalog_ml in the
+    # head (module-coverage contract)
     "ml_peak_classification",
 )
 
