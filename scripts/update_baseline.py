@@ -57,7 +57,17 @@ before believing any per-query flag. Four queries joined the headline
 set after the re-record (`dedup_semantic_kmeans`, `paragraph_dedup_stats`,
 `dsir_affinity_top64`, `bpe_merge_top32`); their entries are min-of-2
 solo probes under the same policy (scale_probe.py session: warm tables,
-noop sink), so single-run outlier expectations apply to them too."""
+noop sink), so single-run outlier expectations apply to them too.
+Round 8 re-record: three queries joined the headline set
+(`bpe_train_merges`, `doc_dup_spans_merged`, `dedup_semantic_hier` —
+entries are min across two marker-verified solo runs, totals 76.72 s and
+79.27 s with st 0.065-0.077 / mt 0.10-0.15), `dsir_affinity_top64`'s
+entry was re-recorded from the same two runs because its implementation
+changed (fused one-fold hash stream + aggregated checkpoint: sf0.1 pays
+~0.2 s for a 4.32×→1.69×/decade scale-curve fix, SCALE.md), and every
+other entry kept its historical min (ambient was ~1.0× vs the r7 table:
+comparable-query total measured 69.0 s vs 70.5 s standing, zero per-query
+flags over 1.3×)."""
 
 
 def main() -> None:
