@@ -157,6 +157,14 @@ HEADLINE = [
     "bpe_train_merges",
     # span-merged exact-substring dedup accounting (oracle-gated)
     "doc_dup_spans_merged",
+    # BPE encode step: merge application + stream join (oracle-gated)
+    "bpe_encode_stats",
+    # Gopher intra-doc repetition folds, zero shuffles (oracle-gated)
+    "intra_doc_repetition",
+    # token-budget mixing, histogram-pruned greedy fill (oracle-gated)
+    "token_budget_mix",
+    # composed IVF-PQ (IVFADC) portable twin (oracle-gated)
+    "cosine_topk_ivfpq",
     # incremental semantic dedup: delta batch vs standing corpus cells
     "incremental_semantic_dedup",
     # two-level SemDeDup cells (sqrt-k broadcast bound; rows-only)
