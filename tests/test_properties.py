@@ -283,3 +283,110 @@ def test_bpe_merge_pairs_matches_counter_model(spark, texts):
         for r in bpe_merge_pairs(df, k=100).orderBy("rnk").collect()
     ]
     assert got == [(p, n, i + 1) for i, (p, n) in enumerate(want)]
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.text(alphabet=st.sampled_from("ab c"), min_size=0, max_size=30),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_bpe_train_matches_python_model(spark, texts):
+    """The distributed BPE loop vs a literal Python re-implementation of
+    Sennrich's algorithm (recount pairs, argmax under (n desc, lhs, rhs),
+    greedy left-to-right merge) on random small corpora."""
+    from collections import Counter
+
+    from data_engineering_assignment_spark.operators.corpus import bpe_train
+
+    k = 4
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = [
+        (r["rnk"], r["lhs"], r["rhs"], r["n"])
+        for r in bpe_train(df, k=k).orderBy("rnk").collect()
+    ]
+
+    words = Counter()
+    for t in texts:
+        for tok in t.split(" "):
+            if len(tok) >= 2:
+                words[tok] += 1
+    state = {w: [list(w), f] for w, f in words.items()}
+    want = []
+    for rnk in range(1, k + 1):
+        pairs = Counter()
+        for syms, f in state.values():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += f
+        if not pairs:
+            break
+        (lhs, rhs), n = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        want.append((rnk, lhs, rhs, n))
+        for entry in state.values():
+            syms = entry[0]
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == lhs and syms[i + 1] == rhs:
+                    out.append(lhs + rhs)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            entry[0] = out
+    assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.text(alphabet=st.sampled_from("xy z"), min_size=0, max_size=40),
+        min_size=1,
+        max_size=5,
+    ),
+    st.integers(min_value=2, max_value=4),
+)
+def test_dup_span_merged_invariants(spark, texts, n):
+    """Structural invariants on random corpora: spans cover at least n
+    tokens each, never exceed the doc, and the longest fits the total."""
+    from data_engineering_assignment_spark.operators.corpus import (
+        dup_span_merged_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    for r in dup_span_merged_stats(df, n=n).collect():
+        assert 0 <= r["dup_tokens"] <= r["n_tokens"]
+        assert r["longest_span"] <= r["dup_tokens"]
+        assert r["dup_tokens"] >= n * r["n_spans"] or r["n_spans"] == 0
+        if r["n_spans"]:
+            assert r["longest_span"] >= n
+
+
+@settings(**SETTINGS)
+@given(st.integers(min_value=0, max_value=200))
+def test_token_budget_bounds(spark, budget):
+    """Budget bounds: the kept token mass reaches the budget (crossing doc
+    included) without exceeding budget + one doc, and never exceeds the
+    corpus."""
+    from data_engineering_assignment_spark.operators.llmprep import (
+        token_budget_sample,
+    )
+
+    rows = [(i, "s", " ".join(f"t{i}w{j}" for j in range(1 + i % 5)))
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    r = token_budget_sample(df, {"s": budget}).collect()[0]
+    max_doc = 5
+    if budget <= 0:
+        assert r["n_kept"] == 0 and r["tokens_kept"] == 0
+    else:
+        assert r["tokens_kept"] >= min(budget, r["tokens_total"])
+        assert r["tokens_kept"] < budget + max_doc
+        assert r["tokens_kept"] <= r["tokens_total"]
