@@ -450,6 +450,57 @@ def dup_span_merged_stats(
     )
 
 
+def hybrid_rrf(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    terms: list[str],
+    query_vec_id: int = 0,
+    k_each: int = 20,
+    k: int = 10,
+    k0: int = 60,
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hybrid lexical+semantic retrieval fused with Reciprocal Rank Fusion
+    (Cormack et al. 2009): the BM25 top-``k_each`` for a literal term set
+    and the exact-cosine top-``k_each`` for a query embedding are merged by
+
+        rrf(d) = sum over legs of 1 / (k0 + rank_leg(d))
+
+    — the standard production pattern for RAG retrieval (rank-based fusion
+    needs no score calibration between the two spaces, and each 1/(k0+r)
+    term is a single correctly-rounded IEEE division, so the fused score
+    is bit-identical on any engine). Both legs are already bounded top-k
+    tables, so the fusion is a full-outer join of two ≤ k_each-row frames
+    and a TakeOrderedAndProject — driver-free and trivially scalable; the
+    heavy lifting lives in the legs, each with its own scale discipline
+    (bm25_topk, similarity.cosine_topk).
+
+    Output: (doc_id, r_lex, r_sem, rrf, rnk) — ranks NULL for docs absent
+    from a leg, rrf rounded to 6, rnk 1..k under (rrf DESC, doc_id ASC).
+    """
+    from .similarity import cosine_topk
+
+    lex = bm25_topk(docs, terms, k=k_each, id_col=id_col).select(
+        F.col(id_col).alias("_id"), F.col("rank").alias("r_lex")
+    )
+    q = embeddings.filter(F.col(vec_id_col) == query_vec_id)
+    sem = cosine_topk(
+        embeddings, q, k=k_each, id_col=vec_id_col, vec_col=vec_col
+    ).select(F.col("neighbor_id").alias("_id"), F.col("rnk").alias("r_sem"))
+    kk = F.lit(float(k0))
+    rrf = F.coalesce(F.lit(1.0) / (kk + F.col("r_lex")), F.lit(0.0)) + F.coalesce(
+        F.lit(1.0) / (kk + F.col("r_sem")), F.lit(0.0)
+    )
+    fused = lex.join(sem, "_id", "full_outer").select(
+        F.col("_id").alias(id_col), "r_lex", "r_sem", dround(rrf, 6).alias("rrf")
+    )
+    bounded = fused.orderBy(F.desc("rrf"), F.asc(id_col)).limit(k)
+    w = Window.orderBy(F.desc("rrf"), F.asc(id_col))
+    return bounded.withColumn("rnk", F.row_number().over(w).cast("long"))
+
+
 def profile_table(
     df: DataFrame, columns: list[str] | None = None, exact: bool = True
 ) -> DataFrame:

@@ -431,6 +431,84 @@ FROM ranked WHERE rank <= 20
 """
 
 
+_RRF_ORACLE = f"""
+WITH dl AS (
+  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS dl FROM documents
+), stats AS (
+  SELECT COUNT(*)::BIGINT AS n, SUM(dl)::BIGINT AS sumdl FROM dl
+), tf AS (
+  SELECT doc_id, tok, COUNT(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+  WHERE tok IN ({_BM25_TERMS_SQL})
+  GROUP BY doc_id, tok
+), dfq AS (
+  SELECT tok, COUNT(*)::BIGINT AS df FROM tf GROUP BY tok
+), scored AS (
+  SELECT t.doc_id,
+         ((s.n - d.df + 0.5) / (d.df + 0.5))
+         * ((t.tf * 2.2)
+            / (t.tf + 1.2 * (0.25 + 0.75 * (CAST(l.dl AS DOUBLE)
+                 / (CAST(s.sumdl AS DOUBLE) / CAST(s.n AS DOUBLE)))))) AS ts
+  FROM tf t JOIN dl l USING (doc_id) JOIN dfq d USING (tok) CROSS JOIN stats s
+), perdoc AS (
+  SELECT doc_id, SUM(CAST(ts AS DECIMAL(27,12))) AS s
+  FROM scored GROUP BY doc_id
+), lex AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY s DESC, doc_id ASC)::BIGINT AS r_lex
+  FROM perdoc QUALIFY r_lex <= 20
+), v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings
+), qv AS (SELECT * FROM v WHERE vec_id = 0),
+semscored AS (
+  SELECT c.vec_id AS doc_id,
+         ROUND(
+           list_sum(list_transform(range(1, 65), i -> q.e[i] * c.e[i]))
+           / sqrt(list_sum(list_transform(q.e, x -> x * x))
+                  * list_sum(list_transform(c.e, x -> x * x))), 4) AS sim
+  FROM qv q CROSS JOIN v c WHERE q.vec_id <> c.vec_id
+), sem AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id ASC)::BIGINT AS r_sem
+  FROM semscored QUALIFY r_sem <= 20
+), fused AS (
+  SELECT COALESCE(l.doc_id, m.doc_id) AS doc_id, l.r_lex, m.r_sem,
+         {o_dround('COALESCE(1.0 / (60.0 + l.r_lex), 0.0)'
+                   ' + COALESCE(1.0 / (60.0 + m.r_sem), 0.0)', 6)} AS rrf
+  FROM lex l FULL OUTER JOIN sem m ON l.doc_id = m.doc_id
+), ranked AS (
+  SELECT doc_id, r_lex, r_sem, rrf,
+         ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id ASC)::BIGINT AS rnk
+  FROM fused
+)
+SELECT doc_id, r_lex, r_sem, rrf, rnk FROM ranked WHERE rnk <= 10
+"""
+
+
+@register(
+    "hybrid_retrieval_rrf",
+    oracle=_RRF_ORACLE,
+    doc="RAG retrieval: hybrid lexical+semantic fusion via Reciprocal Rank "
+    "Fusion (Cormack et al. 2009; operators/corpus.hybrid_rrf) — BM25 "
+    "top-20 for the literal 4-term query fused with exact-cosine top-20 "
+    "for doc 0's embedding by rrf = sum 1/(60+rank). Rank-based fusion "
+    "needs no cross-space score calibration and each term is one "
+    "correctly-rounded IEEE division, so the fused ordering is bit-"
+    "identical cross-engine; fusion itself is a full-outer join of two "
+    "bounded top-k frames.",
+)
+def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import hybrid_rrf
+
+    return hybrid_rrf(
+        load(spark, sf_dir, "documents"),
+        load(spark, sf_dir, "embeddings"),
+        list(_BM25_TERMS),
+        query_vec_id=0,
+        k_each=20,
+        k=10,
+    )
+
+
 @register(
     "bm25_topk",
     oracle=_BM25_ORACLE,

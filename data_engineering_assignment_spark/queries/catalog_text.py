@@ -105,6 +105,65 @@ def dedup_exact_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(load(spark, sf_dir, "documents"))
 
 
+_CROSS_SOURCE_DUP_ORACLE = """
+WITH fp AS (
+  SELECT md5(text) AS h, source, COUNT(*)::BIGINT AS c
+  FROM documents GROUP BY 1, 2
+), pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b, SUM(a.c * b.c)::BIGINT AS n_pairs
+  FROM fp a JOIN fp b ON a.h = b.h AND a.source < b.source
+  GROUP BY 1, 2
+  UNION ALL
+  SELECT source, source, SUM(c * (c - 1) / 2)::BIGINT
+  FROM fp WHERE c >= 2 GROUP BY 1, 2
+)
+SELECT source_a, source_b, SUM(n_pairs)::BIGINT AS n_pairs
+FROM pairs GROUP BY 1, 2 HAVING SUM(n_pairs) > 0
+"""
+
+
+@register(
+    "cross_source_dup_matrix",
+    oracle=_CROSS_SOURCE_DUP_ORACLE,
+    doc="Provenance analytics: which sources duplicate which — exact-"
+    "duplicate PAIR counts per ordered source pair, computed from per-"
+    "(fingerprint, source) COUNTS (n_pairs = c_a*c_b across sources, "
+    "C(c,2) within) so no row-level pair is ever materialized: a hot "
+    "fingerprint shared by a million docs contributes one arithmetic "
+    "row per source pair, not 10^12 join rows. Two map-side-combinable "
+    "aggregations + a self-join of the bounded (fingerprint, source) "
+    "count table.",
+)
+def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    fp = docs.groupBy(
+        F.md5(F.col("text").cast("binary")).alias("h"), F.col("source")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    a, b = fp.alias("a"), fp.alias("b")
+    cross = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h")) & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(F.sum(F.col("a.c") * F.col("b.c")).alias("n_pairs"))
+    )
+    within = (
+        fp.filter(F.col("c") >= 2)
+        .groupBy(F.col("source").alias("source_a"))
+        .agg(F.sum(F.col("c") * (F.col("c") - 1) / 2).cast("long").alias("n_pairs"))
+        .select("source_a", F.col("source_a").alias("source_b"), "n_pairs")
+    )
+    return (
+        cross.unionByName(within)
+        .groupBy("source_a", "source_b")
+        .agg(F.sum("n_pairs").alias("n_pairs"))
+        .filter(F.col("n_pairs") > 0)
+    )
+
+
 JACC = o_dround(
     "CAST(i.inter AS DOUBLE)"
     " / CAST(sa.n_shingles + sb.n_shingles - i.inter AS DOUBLE)",

@@ -431,3 +431,45 @@ def test_bpe_encode_partial_merges(spark):
     # merge (a,a): aaaa -> [aa,aa] (2), abab unchanged (4), ab unchanged (2)
     assert got[1] == 2 + 4 + 2
     assert got[2] == 2 + 2 + 2
+
+
+def test_hybrid_rrf_fusion_rules(spark):
+    """RRF fusion semantics on a constructed corpus: docs in both legs
+    outrank docs in one leg at similar ranks; ranks are NULL for the
+    missing leg; scores match the hand formula 1/(60+r)."""
+    from data_engineering_assignment_spark.operators.corpus import hybrid_rrf
+
+    # doc 0 is the query embedding owner; doc 1 matches the term AND is
+    # nearest to doc 0; doc 2 only matches the term; doc 3 only semantic.
+    docs = spark.createDataFrame(
+        [
+            (0, "nothing relevant here at all"),
+            (1, "spark spark spark is here"),
+            (2, "spark appears once here today"),
+            (3, "completely unrelated text body"),
+            (4, "also unrelated filler words entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [0.99, 0.1, 0.0, 0.0]),
+            (2, [0.0, 1.0, 0.0, 0.0]),  # orthogonal: outside the sem top-3
+            (3, [0.9, 0.4, 0.0, 0.0]),
+            (4, [0.8, 0.5, 0.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r["doc_id"]: (r["r_lex"], r["r_sem"], r["rrf"], r["rnk"])
+        for r in hybrid_rrf(docs, emb, ["spark"], k_each=3, k=5).collect()
+    }
+    # doc 1: lex rank 1 (tf 3) + sem rank 1 -> rrf = 2/61
+    assert out[1][:2] == (1, 1)
+    assert abs(out[1][2] - round(2 / 61, 6)) < 1e-9
+    assert out[1][3] == 1  # both-legs doc wins
+    # doc 2: lex only (rank 2); doc 3: sem only (rank 2)
+    assert out[2][0] == 2 and out[2][1] is None
+    assert out[3][0] is None and out[3][1] == 2
+    assert abs(out[2][2] - round(1 / 62, 6)) < 1e-9
