@@ -965,3 +965,57 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counted.join(med, "l_returnflag").select(
         "l_returnflag", "n_rows", "wmedian_price"
     )
+
+
+_AFFINITY_ORACLE = f"""
+WITH baskets AS (
+  SELECT l_orderkey, list_sort(list(DISTINCT l_partkey)) AS items
+  FROM lineitem GROUP BY l_orderkey
+), n AS (
+  SELECT COUNT(*)::BIGINT AS nb FROM baskets
+), ic AS (
+  SELECT p, COUNT(*)::BIGINT AS cnt
+  FROM (SELECT unnest(items) AS p FROM baskets) GROUP BY p
+), pc AS (
+  SELECT p1, p2, COUNT(*)::BIGINT AS pair_cnt
+  FROM (
+    SELECT a.p AS p1, b.p AS p2
+    FROM (SELECT l_orderkey, unnest(items) AS p FROM baskets) a
+    JOIN (SELECT l_orderkey, unnest(items) AS p FROM baskets) b
+      ON a.l_orderkey = b.l_orderkey AND a.p < b.p
+  ) GROUP BY 1, 2
+  HAVING COUNT(*) >= 3
+)
+SELECT pc.p1, pc.p2, pc.pair_cnt,
+       ia.cnt AS cnt_p1, ib.cnt AS cnt_p2,
+       {o_dround('CAST(pc.pair_cnt AS DOUBLE) / CAST(n.nb AS DOUBLE)', 6)} AS support,
+       {o_dround('CAST(pc.pair_cnt AS DOUBLE) / CAST(ia.cnt AS DOUBLE)', 6)} AS confidence,
+       {o_dround('(CAST(n.nb AS DOUBLE) * pc.pair_cnt)'
+                 ' / (CAST(ia.cnt AS DOUBLE) * ib.cnt)', 6)} AS lift
+FROM pc
+JOIN ic ia ON pc.p1 = ia.p
+JOIN ic ib ON pc.p2 = ib.p
+CROSS JOIN n
+ORDER BY lift DESC, pc.pair_cnt DESC, pc.p1, pc.p2
+LIMIT 25
+"""
+
+
+@register(
+    "part_affinity_rules",
+    oracle=_AFFINITY_ORACLE,
+    doc="Market-basket association rules (Agrawal & Srikant 1994): top-25 "
+    "part pairs by lift with support/confidence, over per-order distinct-"
+    "part baskets (operators/affinity.association_rules). Pairs are "
+    "enumerated IN-ROW from each basket's sorted array (baskets are "
+    "bounded), never via a basket self-join — one groupBy shuffle builds "
+    "baskets, which are localCheckpointed and fanned out to pair counts, "
+    "item counts and the basket total. All three metrics are shared-"
+    "association IEEE double expressions through the decimal-detour "
+    "rounding; total-order tie-break + limit plans as "
+    "TakeOrderedAndProject.",
+)
+def part_affinity_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.affinity import association_rules
+
+    return association_rules(load(spark, sf_dir, "lineitem"))
