@@ -169,6 +169,11 @@ HEADLINE = [
     "incremental_semantic_dedup",
     # two-level SemDeDup cells (sqrt-k broadcast bound; rows-only)
     "dedup_semantic_hier",
+    # market-basket association rules, in-row pair explode (oracle-gated)
+    "part_affinity_rules",
+    # winnowing fingerprints + MOSS-style match join (oracle-gated)
+    "doc_winnow_stats",
+    "winnow_dup_pairs",
 ]
 
 

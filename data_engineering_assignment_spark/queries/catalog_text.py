@@ -704,3 +704,119 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import jaccard_prefix_join
 
     return jaccard_prefix_join(load(spark, sf_dir, "documents"), threshold=0.5, n=3)
+
+
+def _winnow_fp_cte(k: int, w: int) -> str:
+    """Shared winnowing-fingerprint CTE chain: toks -> pos -> sel -> fp.
+
+    Mirrors operators.winnow.winnow_fingerprints exactly: positional k-gram
+    rolling hashes (the engine-shared hash family), then a rightmost-minimum
+    window pick expressed as a lexicographic struct MIN over (rh, -pos).
+    """
+    from .catalog_llm import _o_rhash
+
+    rh = _o_rhash(f"array_to_string(t[j + 1 : j + {k}], ' ')")
+    return f"""
+toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), pos AS (
+  SELECT doc_id, j, {rh} AS rh
+  FROM toks, unnest(range(0, len(t) - {k} + 1)) AS r(j)
+  WHERE len(t) >= {k}
+), sel AS (
+  SELECT doc_id,
+         MIN({{'rh': rh, 'np': -j}}) OVER win AS m,
+         COUNT(*) OVER win AS c
+  FROM pos
+  WINDOW win AS (PARTITION BY doc_id ORDER BY j
+                 ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING)
+), fp AS (
+  SELECT DISTINCT doc_id, struct_extract(m, 'rh') AS rh,
+         -struct_extract(m, 'np') AS pos
+  FROM sel WHERE c = {w}
+)"""
+
+
+_WINNOW_K, _WINNOW_W = 4, 4
+
+_WINNOW_STATS_ORACLE = f"""
+WITH {_winnow_fp_cte(_WINNOW_K, _WINNOW_W)}, agg AS (
+  SELECT doc_id, COUNT(*)::BIGINT AS n_fp,
+         COUNT(DISTINCT rh)::BIGINT AS n_fp_hashes,
+         MIN(rh)::BIGINT AS fp_min, MAX(rh)::BIGINT AS fp_max
+  FROM fp GROUP BY doc_id
+), base AS (
+  SELECT doc_id,
+         (len(string_split(text, ' ')) - {_WINNOW_K + _WINNOW_W - 2})::BIGINT
+           AS n_windows
+  FROM documents
+)
+SELECT b.doc_id, b.n_windows, a.n_fp, a.n_fp_hashes, a.fp_min, a.fp_max,
+       {o_dround('CAST(a.n_fp AS DOUBLE) / CAST(b.n_windows AS DOUBLE)', 4)}
+         AS density
+FROM base b JOIN agg a USING (doc_id)
+WHERE b.n_windows >= 1
+"""
+
+
+@register(
+    "doc_winnow_stats",
+    oracle=_WINNOW_STATS_ORACLE,
+    doc="Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003 "
+    "— the MOSS algorithm; operators/winnow.winnow_fingerprints): per "
+    "document, the selected-fingerprint counts, hash extrema and measured "
+    "density vs the ~2/(w+1) expectation, for k=4-gram hashes winnowed "
+    "with w=4. One positional hash stream (single char fold per doc, "
+    "oracle-shared hash family) + ONE entity-keyed window whose "
+    "lexicographic struct MIN over (rh, -pos) IS the rightmost-minimum "
+    "tie rule — no content-key window, no second argmax pass.",
+)
+def doc_winnow_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.winnow import winnow_stats
+
+    return winnow_stats(
+        load(spark, sf_dir, "documents"), k=_WINNOW_K, w=_WINNOW_W
+    )
+
+
+_WINNOW_PAIRS_ORACLE = f"""
+WITH {_winnow_fp_cte(_WINNOW_K, _WINNOW_W)}, fph AS (
+  SELECT DISTINCT doc_id, rh FROM fp
+), kept AS (
+  SELECT doc_id, rh FROM fph
+  WHERE rh IN (SELECT rh FROM fph GROUP BY rh HAVING COUNT(*) <= 50)
+), sizes AS (
+  SELECT doc_id, COUNT(*)::BIGINT AS n FROM kept GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*)::BIGINT AS shared_fp
+  FROM kept a JOIN kept b ON a.rh = b.rh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+)
+SELECT p.doc_a, p.doc_b, p.shared_fp, sa.n AS n_a, sb.n AS n_b,
+       {o_dround('CAST(p.shared_fp AS DOUBLE)'
+                 ' / CAST(LEAST(sa.n, sb.n) AS DOUBLE)', 4)} AS coverage
+FROM pairs p
+JOIN sizes sa ON p.doc_a = sa.doc_id
+JOIN sizes sb ON p.doc_b = sb.doc_id
+"""
+
+
+@register(
+    "winnow_dup_pairs",
+    oracle=_WINNOW_PAIRS_ORACLE,
+    doc="Winnowing-fingerprint duplicate pairs (MOSS match step; operators/"
+    "winnow.winnow_dup_pairs): documents sharing >= 2 winnowed k-gram "
+    "hashes, with the containment-style coverage score over the smaller "
+    "fingerprint set. The join runs on the ~2/(w+1)-density fingerprint "
+    "stream — the winnowing guarantee (any shared run >= k+w-1 tokens "
+    "still collides) bounds the recall cost of the sparsification. "
+    "Boilerplate fingerprints (df > 50) dropped via broadcast LEFT ANTI "
+    "against the small hot set; SHUFFLE_HASH on both sides of the "
+    "self-join — the corpus is never broadcast.",
+)
+def winnow_dup_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.winnow import winnow_dup_pairs
+
+    return winnow_dup_pairs(
+        load(spark, sf_dir, "documents"), k=_WINNOW_K, w=_WINNOW_W
+    )
