@@ -174,6 +174,11 @@ HEADLINE = [
     # winnowing fingerprints + MOSS-style match join (oracle-gated)
     "doc_winnow_stats",
     "winnow_dup_pairs",
+    # integer-exact PageRank + degree-oriented triangles (oracle-gated)
+    "copurchase_pagerank",
+    "part_copurchase_triangles",
+    # asymmetric containment pairs (oracle-gated)
+    "dedup_containment_pairs",
 ]
 
 

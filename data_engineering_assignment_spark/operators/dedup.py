@@ -707,3 +707,85 @@ def simhash_portable(
         term = F.shiftleft(bit, i)
         fp = term if fp is None else fp + term
     return acc.select("doc", fp.alias("simhash31"))
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    threshold: float = 0.6,
+    max_df: int | None = 50,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """All-pairs ASYMMETRIC n-gram containment >= threshold.
+
+    Jaccard misses subset relationships (a quote, an excerpt, a doc embedded
+    in a larger one scores low because the union is large); containment
+    |A∩B| / min(|A|, |B|) scores the smaller side's coverage, the standard
+    quote/excerpt-detection measure (Broder 1997's second resemblance
+    measure). Same scale discipline as the Jaccard path: hashed shingle
+    stream (one char fold per doc — never string shingles), hot-shingle
+    document-frequency cap via broadcast LEFT ANTI, SHUFFLE_HASH self-join.
+    ``direction`` reports which side is (near-)contained: 'a_in_b' when
+    |A| <= |B| else 'b_in_a'.
+
+    Output: (doc_a, doc_b, inter, n_a, n_b, containment, direction),
+    doc_a < doc_b.
+    """
+    from .text import shingle_hash_stream
+
+    sh = shingle_hash_stream(
+        df, n=n, id_cols=(id_col,), text_col=text_col, out_col="rh"
+    ).select(F.col(id_col).alias("doc"), "rh")
+    if max_df is not None:
+        hot = (
+            sh.groupBy("rh")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_df)
+            .select("rh")
+        )
+        sh = sh.join(F.broadcast(hot), "rh", "left_anti")
+    if checkpoint:
+        sh = sh.localCheckpoint(eager=False)
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a").hint("shuffle_hash")
+    b = sh.alias("b").hint("shuffle_hash")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.rh") == F.col("b.rh")) & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b")),
+            "doc_b",
+        )
+        .withColumn(
+            "containment",
+            dround(
+                F.col("inter").cast("double")
+                / F.least("n_a", "n_b").cast("double"),
+                4,
+            ),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter",
+            "n_a",
+            "n_b",
+            "containment",
+            F.when(F.col("n_a") <= F.col("n_b"), F.lit("a_in_b"))
+            .otherwise(F.lit("b_in_a"))
+            .alias("direction"),
+        )
+    )

@@ -1,0 +1,194 @@
+"""Distributed graph analytics: integer-exact PageRank and degree-oriented
+triangle counting, over graphs derived from the relational tables.
+
+Both algorithms are written for Spark's execution model AND for exact
+cross-engine verification:
+
+- **PageRank** (Page et al. 1999) runs the standard edge-join/aggregate
+  power iteration — but in INTEGER arithmetic: ranks are scaled longs, the
+  damping redistribution is ``(rank * 17) div (20 * deg)`` (damping 0.85 as
+  the exact rational 17/20, integral floor division). Floor division of
+  positive longs is bit-identical on every engine, so a step-unrolled SQL
+  oracle reproduces the ranks EXACTLY — no float drift across iterations,
+  no transcendental re-derivation (the CLAUDE.md libm invariant). Each
+  iteration is one shuffle join (ranks x out-edges) plus one aggregation —
+  the textbook distributed plan — with ``localCheckpoint`` truncating the
+  k-deep lineage (the BPE/k-means loop discipline).
+- **Triangle counting** uses the degree-ordered orientation (Schank 2007;
+  Suri & Vassilvitskii 2011): orient each undirected edge from its
+  lower-(degree, id) endpoint to the higher one, then count directed wedges
+  closed by an oriented edge. Orientation bounds every out-neighborhood by
+  O(sqrt(m)) regardless of hub degree — THE property that keeps the wedge
+  self-join from exploding on skewed degree distributions at 100 TB. Both
+  self-joins carry SHUFFLE_HASH hints (derived self-join invariant: never
+  let Catalyst broadcast the whole edge list).
+
+Overflow bounds: with scale S and N nodes, per-node ranks stay near S (mass
+is conserved up to floor truncation), but a worst-case hub could absorb
+~N*S/deg mass — pick S so N*S < 2^62 at the target graph size (S=1e12 is
+comfortable for graphs to ~4.6M nodes; drop to S=1e6 at 1e9 nodes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def copurchase_edges(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Undirected customer—supplier bipartite edges, LONG-encoded.
+
+    One distinct (customer, supplier) edge per trading relationship,
+    regardless of order volume. Node ids are packed into one long —
+    customer key*2, supplier key*2+1 — so every shuffle/join/aggregate in
+    the downstream iteration runs on fixed-width longs; decode to the
+    'c<key>'/'s<key>' labels only on the bounded final output
+    (:func:`decode_copurchase_node`). String keys measured ~2x slower
+    across the edge-build distinct + iteration joins at sf0.1.
+    """
+    return (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("u"),
+            (F.col("l_suppkey") * 2 + 1).alias("v"),
+        )
+        .distinct()
+    )
+
+
+def decode_copurchase_node(node) -> F.Column:
+    """'c<key>' / 's<key>' label of a packed co-purchase node id."""
+    c = F.col(node) if isinstance(node, str) else node
+    # shiftright, not (c/2).cast: the long->double detour rounds past 2^53
+    # (CLAUDE.md argmin-decode invariant); shift stays exact at any key
+    return F.when(
+        c % 2 == 0, F.concat(F.lit("c"), F.shiftright(c, 1))
+    ).otherwise(F.concat(F.lit("s"), F.shiftright(c, 1)))
+
+
+def part_pair_edges(lineitem: DataFrame, min_pair_count: int = 2) -> DataFrame:
+    """Undirected part co-purchase edges (u < v): parts sharing >=
+    ``min_pair_count`` order baskets. In-row pair enumeration — see
+    operators.affinity for the no-self-join rationale."""
+    from .affinity import _pair_structs, order_baskets
+
+    return (
+        order_baskets(lineitem)
+        .select(F.explode(_pair_structs(F.col("items"))).alias("pr"))
+        .groupBy(F.col("pr.p1").alias("u"), F.col("pr.p2").alias("v"))
+        .agg(F.count(F.lit(1)).alias("pair_cnt"))
+        .where(F.col("pair_cnt") >= min_pair_count)
+        .select("u", "v")
+    )
+
+
+def pagerank_integer(
+    edges: DataFrame,
+    iters: int = 3,
+    scale: int = 10**12,
+    damp_num: int = 17,
+    damp_den: int = 20,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """(node, pr) after ``iters`` integer power iterations.
+
+    ``edges`` is an UNDIRECTED (u, v) edge list; contributions flow both
+    ways. pr_0 = scale for every node;
+    pr_{i+1}(v) = base + sum_{u~v} (pr_i(u) * damp_num)
+                                     div (damp_den * deg(u))
+    with base = scale * (damp_den - damp_num) div damp_den. All longs, all
+    floor division — bit-identical to the unrolled SQL oracle.
+    """
+    bi = edges.select("u", "v").unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = bi.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    # (src, dst, src_deg): the loop's static side, materialized once
+    ed = bi.join(deg, "u").select(
+        F.col("u").alias("src"), F.col("v").alias("dst"), "deg"
+    )
+    ed = ed.localCheckpoint(eager=False)
+
+    base = scale * (damp_den - damp_num) // damp_den
+    ranks = ed.select(F.col("src").alias("node")).distinct().select(
+        "node", F.lit(scale).cast("long").alias("pr")
+    )
+    for i in range(iters):
+        contrib = ed.join(ranks, ed.src == ranks.node).select(
+            F.col("dst").alias("node"),
+            F.expr(f"(pr * {damp_num}) div ({damp_den} * deg)").alias("c"),
+        )
+        # every node of an undirected graph has an in-edge, so the
+        # aggregation covers all nodes — no dangling-mass special case
+        ranks = (
+            contrib.groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+            .select("node", (F.lit(base) + F.col("inflow")).alias("pr"))
+        )
+        # checkpoint PERIODICALLY, not per iteration: each checkpoint is a
+        # full job barrier, and a few chained join+agg stages plan fine —
+        # only deep loops need the lineage cut (measured: per-iteration
+        # checkpointing cost ~2x wall at 3 iterations)
+        if (i + 1) % checkpoint_every == 0 and (i + 1) < iters:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks
+
+
+def oriented_edges(edges: DataFrame) -> DataFrame:
+    """Degree-ordered orientation of an undirected (u, v) edge list.
+
+    Directs each edge from its lower-(deg, id) endpoint to the higher one —
+    out-degrees become O(sqrt(m))-bounded, so wedge enumeration never
+    concentrates on a hub.
+    """
+    bi = edges.select("u", "v").unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = bi.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    e = (
+        edges.join(deg.select(F.col("u"), F.col("deg").alias("du")), "u")
+        .join(
+            deg.select(F.col("u").alias("v"), F.col("deg").alias("dv")), "v"
+        )
+    )
+    fwd = F.struct(F.col("du").alias("d"), F.col("u").alias("n")) < F.struct(
+        F.col("dv").alias("d"), F.col("v").alias("n")
+    )
+    return e.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("b"),
+    )
+
+
+def triangle_counts(edges: DataFrame, top_k: int = 15) -> DataFrame:
+    """(node, triangles) for the top-k nodes by triangle participation.
+
+    Wedge join over the degree-oriented edge list, closed by a third
+    oriented edge; each triangle found exactly once, then exploded to its
+    three corners. Total-order tie-break (triangles desc, node asc) +
+    limit plans as TakeOrderedAndProject.
+    """
+    oe = oriented_edges(edges).localCheckpoint(eager=False)
+    e1 = oe.alias("e1").hint("shuffle_hash")
+    e2 = oe.alias("e2").hint("shuffle_hash")
+    e3 = oe.alias("e3").hint("shuffle_hash")
+    tri = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+            "left_semi",
+        )
+        .select(
+            F.array(
+                F.col("e1.a"), F.col("e1.b"), F.col("e2.b")
+            ).alias("corners")
+        )
+    )
+    return (
+        tri.select(F.explode("corners").alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+        .orderBy(F.col("triangles").desc(), "node")
+        .limit(top_k)
+    )

@@ -44,7 +44,8 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # + doc_dup_spans_merged + dedup_semantic_hier + intra_doc_repetition +
 # token_budget_mix + cosine_topk_ivfpq + cross_source_dup_matrix +
 # hybrid_retrieval_rrf + part_affinity_rules + doc_winnow_stats +
-# winnow_dup_pairs): the 12 never-checked queries (each also
+# winnow_dup_pairs + copurchase_pagerank + part_copurchase_triangles +
+# dedup_containment_pairs): the 15 never-checked queries (each also
 # oracle-rehearsed locally at sf0.001 AND sf0.01);
 # the 3 whose implementation changed this round (fused multi-order hash
 # stream + aggregated checkpoint: dsir_affinity_top64; native color
@@ -52,18 +53,18 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # fixtures in the digest glob: binary_media_inventory — cosine_topk_pq
 # also saw a pure helper-extraction refactor, excluded because its
 # oracle re-verified locally at sf0.001 AND sf0.01 this session with
-# byte-identical output and the full suite is green); 34 of the 40
+# byte-identical output and the full suite is green); 31 of the 40
 # r5-checked queries (pricing_summary yields its slot — it is pinned by
 # entry(), the plan tests and the local suite, the strongest non-driver
 # coverage in the catalog; vocab_encode_stats, vocab_top64,
-# wav_audio_stats, user_event_type_sets and user_state_scd2 yield
-# theirs to the five late-r8 queries, all five pinned by unit +
+# wav_audio_stats, user_event_type_sets, user_state_scd2,
+# top_tokens_per_lang, training_corpus_build and user_retention_cohorts
+# yield theirs to the eight late-r8 queries, all eight pinned by unit +
 # oracle-rehearsal coverage meanwhile); and ml_peak_classification (r6)
 # so the head spans catalog_ml (module-coverage contract).  The r9
 # head: the 40 r6-checked queries (bm25_topk onward) + pricing_summary
-# + vocab_encode_stats + vocab_top64 + wav_audio_stats +
-# user_event_type_sets + user_state_scd2 first, then the r7-checked set
-# as it ages.
+# + the eight displaced r5 queries first, then the r7-checked set as it
+# ages.
 DRIVER_SAMPLE_HEAD: tuple[str, ...] = (
     # never driver-checked (7, new this round)
     "bpe_train_merges",
@@ -78,6 +79,9 @@ DRIVER_SAMPLE_HEAD: tuple[str, ...] = (
     "part_affinity_rules",
     "doc_winnow_stats",
     "winnow_dup_pairs",
+    "copurchase_pagerank",
+    "part_copurchase_triangles",
+    "dedup_containment_pairs",
     # implementation changed this round (green history doesn't cover it)
     "dsir_affinity_top64",
     "jpeg_decode_stats",
@@ -114,9 +118,6 @@ DRIVER_SAMPLE_HEAD: tuple[str, ...] = (
     "referential_integrity_audit",
     "repetition_stats",
     "seq_packing",
-    "top_tokens_per_lang",
-    "training_corpus_build",
-    "user_retention_cohorts",
     # last checked r6: ml_peak_classification keeps catalog_ml in the
     # head (module-coverage contract)
     "ml_peak_classification",

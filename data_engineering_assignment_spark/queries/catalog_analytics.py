@@ -1019,3 +1019,111 @@ def part_affinity_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.affinity import association_rules
 
     return association_rules(load(spark, sf_dir, "lineitem"))
+
+
+def _pagerank_oracle(iters: int, scale: int, dn: int, dd: int) -> str:
+    """Step-unrolled integer PageRank: every CTE repeats the engine's exact
+    long arithmetic ((pr * dn) // (dd * deg), floor division of positives)."""
+    base = scale * (dd - dn) // dd
+    ctes = [
+        f"""edges AS (
+  SELECT DISTINCT 'c' || o_custkey AS u, 's' || l_suppkey AS v
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+), bi AS (
+  SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges
+), deg AS (
+  SELECT u, COUNT(*)::BIGINT AS deg FROM bi GROUP BY u
+), r0 AS (
+  SELECT u AS node, {scale}::BIGINT AS pr FROM deg
+)"""
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""r{i} AS (
+  SELECT b.v AS node,
+         ({base} + SUM((r.pr * {dn}) // ({dd} * d.deg)))::BIGINT AS pr
+  FROM bi b JOIN r{i - 1} r ON b.u = r.node JOIN deg d ON b.u = d.u
+  GROUP BY b.v
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node, pr FROM r{iters} ORDER BY pr DESC, node LIMIT 20"
+    )
+
+
+@register(
+    "copurchase_pagerank",
+    oracle=_pagerank_oracle(3, 10**12, 17, 20),
+    doc="Integer-exact PageRank (Page et al. 1999; operators/graphs."
+    "pagerank_integer) over the undirected customer—supplier trading "
+    "graph: 3 power iterations with damping 17/20 in scaled-long floor "
+    "division — bit-identical to the step-unrolled SQL oracle, no float "
+    "drift across iterations. Each iteration is one shuffle join + one "
+    "aggregation with localCheckpointed lineage (the k-means/BPE loop "
+    "discipline); top-20 by (pr, node) total order plans as "
+    "TakeOrderedAndProject.",
+)
+def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graphs import (
+        copurchase_edges,
+        decode_copurchase_node,
+        pagerank_integer,
+    )
+
+    edges = copurchase_edges(
+        load(spark, sf_dir, "orders"), load(spark, sf_dir, "lineitem")
+    )
+    # iterate on packed longs; decode to the oracle's labels at the end.
+    # The label order ('c…' < 's…' lexicographically) matches the oracle's
+    # ORDER BY node, so ordering on the decoded column is safe.
+    return (
+        pagerank_integer(edges, iters=3)
+        .select(decode_copurchase_node("node").alias("node"), "pr")
+        .orderBy(F.col("pr").desc(), "node")
+        .limit(20)
+    )
+
+
+_TRIANGLE_ORACLE = """
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+), pairs AS (
+  SELECT a.p AS u, b.p AS v
+  FROM baskets a JOIN baskets b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+), tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM pairs e1
+  JOIN pairs e2 ON e1.v = e2.u
+  JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v
+)
+SELECT node, COUNT(*)::BIGINT AS triangles
+FROM (SELECT unnest([a, b, c]) AS node FROM tri)
+GROUP BY node
+ORDER BY triangles DESC, node
+LIMIT 15
+"""
+
+
+@register(
+    "part_copurchase_triangles",
+    oracle=_TRIANGLE_ORACLE,
+    doc="Degree-oriented triangle counting (Schank 2007 / Suri & "
+    "Vassilvitskii 2011; operators/graphs.triangle_counts) on the part "
+    "co-purchase graph (parts sharing >= 2 order baskets; in-row pair "
+    "enumeration, no basket self-join): edges oriented low->high "
+    "(degree, id) bound every out-neighborhood by O(sqrt(m)), so the "
+    "wedge self-join never concentrates on a hub part; SHUFFLE_HASH on "
+    "all three sides. The oracle counts the same triangles from the "
+    "sorted-id formulation — orientation-invariance is the correctness "
+    "check. Top-15 nodes by triangle participation.",
+)
+def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graphs import part_pair_edges, triangle_counts
+
+    return triangle_counts(
+        part_pair_edges(load(spark, sf_dir, "lineitem"), min_pair_count=2),
+        top_k=15,
+    )

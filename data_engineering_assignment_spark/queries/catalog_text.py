@@ -820,3 +820,57 @@ def winnow_dup_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_dup_pairs(
         load(spark, sf_dir, "documents"), k=_WINNOW_K, w=_WINNOW_W
     )
+
+
+def _containment_oracle(n: int, max_df: int, threshold: float) -> str:
+    from .catalog_llm import _o_rhash
+
+    rh = _o_rhash(f"array_to_string(t[j + 1 : j + {n}], ' ')")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, {rh} AS rh
+  FROM toks, unnest(range(0, len(t) - {n} + 1)) AS r(j)
+  WHERE len(t) >= {n}
+), kept AS (
+  SELECT doc_id, rh FROM sh
+  WHERE rh IN (SELECT rh FROM sh GROUP BY rh HAVING COUNT(*) <= {max_df})
+), sizes AS (
+  SELECT doc_id, COUNT(*)::BIGINT AS n_sh FROM kept GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*)::BIGINT AS inter
+  FROM kept a JOIN kept b ON a.rh = b.rh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), scored AS (
+  SELECT i.doc_a, i.doc_b, i.inter, sa.n_sh AS n_a, sb.n_sh AS n_b,
+         {o_dround('CAST(i.inter AS DOUBLE)'
+                   ' / CAST(LEAST(sa.n_sh, sb.n_sh) AS DOUBLE)', 4)}
+           AS containment,
+         CASE WHEN sa.n_sh <= sb.n_sh THEN 'a_in_b' ELSE 'b_in_a' END
+           AS direction
+  FROM inter i
+  JOIN sizes sa ON i.doc_a = sa.doc_id
+  JOIN sizes sb ON i.doc_b = sb.doc_id
+)
+SELECT * FROM scored WHERE containment >= {threshold}
+"""
+
+
+@register(
+    "dedup_containment_pairs",
+    oracle=_containment_oracle(5, 50, 0.6),
+    doc="Asymmetric n-gram containment pairs (Broder 1997's second "
+    "resemblance measure — quote/excerpt detection Jaccard misses because "
+    "a subset's union is large; operators/dedup.containment_pairs): "
+    "|A∩B| / min(|A|,|B|) >= 0.6 over distinct hashed 5-gram shingles, "
+    "with the contained direction reported. Hashed shingle stream (one "
+    "char fold per doc, oracle-shared hash family), df > 50 boilerplate "
+    "cap via broadcast LEFT ANTI on the hot side, SHUFFLE_HASH both "
+    "sides of the self-join. The exact verifier counterpart to "
+    "winnow_dup_pairs' sparsified coverage join.",
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import containment_pairs
+
+    return containment_pairs(load(spark, sf_dir, "documents"), n=5)

@@ -267,3 +267,46 @@ def test_jaccard_prefix_join_prunes_hot_shingles_from_candidates(spark):
     out = jaccard_prefix_join(df, threshold=0.5, n=3)
     # no pair reaches 0.5 (1 shared shingle of 5); exactness says empty
     assert out.count() == 0
+
+
+def test_containment_pairs_detects_excerpt(spark):
+    """A doc embedded verbatim in a larger one: Jaccard is low (large
+    union) but containment of the smaller side is ~1."""
+    from data_engineering_assignment_spark.operators.dedup import containment_pairs
+
+    quote = " ".join(f"q{i}" for i in range(12))
+    big = " ".join(f"b{i}" for i in range(60)) + " " + quote
+    other = " ".join(f"z{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(0, quote), (1, big), (2, other)], "doc_id long, text string"
+    )
+    out = containment_pairs(df, n=5, threshold=0.6, max_df=None).collect()
+    assert [(r.doc_a, r.doc_b, r.direction) for r in out] == [(0, 1, "a_in_b")]
+    assert out[0].containment == 1.0
+    # the smaller side's distinct 5-gram count: 12 tokens -> 8 shingles
+    assert out[0].inter == 8 and out[0].n_a == 8
+
+
+def test_containment_direction_b_in_a(spark):
+    from data_engineering_assignment_spark.operators.dedup import containment_pairs
+
+    quote = " ".join(f"q{i}" for i in range(10))
+    big = quote + " " + " ".join(f"b{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(0, big), (1, quote)], "doc_id long, text string"
+    )
+    out = containment_pairs(df, n=5, threshold=0.6, max_df=None).collect()
+    assert [(r.doc_a, r.doc_b, r.direction) for r in out] == [(0, 1, "b_in_a")]
+
+
+def test_containment_max_df_drops_boilerplate(spark):
+    from data_engineering_assignment_spark.operators.dedup import containment_pairs
+
+    boiler = "h1 h2 h3 h4 h5"
+    rows = [(i, boiler + " " + " ".join(f"u{i}_{j}" for j in range(8)))
+            for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # without the cap, every pair shares the boilerplate shingle
+    assert containment_pairs(df, n=5, threshold=0.05, max_df=None).count() > 0
+    # with df cap 5 the only cross-corpus shingle is dropped -> no pairs
+    assert containment_pairs(df, n=5, threshold=0.05, max_df=5).count() == 0

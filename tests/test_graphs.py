@@ -1,0 +1,125 @@
+"""Graph analytics: integer PageRank vs a literal Python model, triangle
+counts vs brute force on random graphs, and the plan shapes."""
+
+from __future__ import annotations
+
+import itertools
+import random
+
+from pyspark.sql import functions as F
+
+from data_engineering_assignment_spark.operators.graphs import (
+    oriented_edges,
+    pagerank_integer,
+    triangle_counts,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "u string, v string")
+
+
+def _model_pagerank(pairs, iters, scale=10**12, dn=17, dd=20):
+    adj: dict[str, list[str]] = {}
+    for u, v in pairs:
+        adj.setdefault(u, []).append(v)
+        adj.setdefault(v, []).append(u)
+    base = scale * (dd - dn) // dd
+    pr = {n: scale for n in adj}
+    for _ in range(iters):
+        nxt = {n: base for n in adj}
+        for u, nbrs in adj.items():
+            c = (pr[u] * dn) // (dd * len(nbrs))
+            for v in nbrs:
+                nxt[v] += c
+        pr = nxt
+    return pr
+
+
+def test_pagerank_matches_python_model(spark):
+    rng = random.Random(3)
+    nodes = [f"n{i}" for i in range(12)]
+    pairs = sorted(
+        {tuple(sorted(rng.sample(nodes, 2))) for _ in range(25)}
+    )
+    for iters in (1, 3):
+        got = {
+            r.node: r.pr
+            for r in pagerank_integer(_edges(spark, pairs), iters=iters).collect()
+        }
+        assert got == _model_pagerank(pairs, iters), iters
+
+
+def test_pagerank_star_hub_ranks_highest(spark):
+    pairs = [("hub", f"leaf{i}") for i in range(5)]
+    pr = {
+        r.node: r.pr
+        for r in pagerank_integer(_edges(spark, pairs), iters=3).collect()
+    }
+    assert pr["hub"] > max(v for k, v in pr.items() if k != "hub")
+    # leaves are symmetric: identical integer ranks, no float jitter
+    assert len({v for k, v in pr.items() if k != "hub"}) == 1
+
+
+def _model_triangles(pairs):
+    es = {tuple(sorted(p)) for p in pairs}
+    nodes = sorted({n for p in es for n in p})
+    per = dict.fromkeys(nodes, 0)
+    for a, b, c in itertools.combinations(nodes, 3):
+        if ((a, b) in es) and ((b, c) in es) and ((a, c) in es):
+            for n in (a, b, c):
+                per[n] += 1
+    return {n: c for n, c in per.items() if c}
+
+
+def test_triangles_match_bruteforce_random(spark):
+    rng = random.Random(11)
+    nodes = [f"n{i:02d}" for i in range(14)]
+    pairs = sorted(
+        {tuple(sorted(rng.sample(nodes, 2))) for _ in range(45)}
+    )
+    got = {
+        r.node: r.triangles
+        for r in triangle_counts(_edges(spark, pairs), top_k=100).collect()
+    }
+    assert got == _model_triangles(pairs)
+
+
+def test_orientation_is_a_bijection_on_edges(spark):
+    pairs = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")]
+    oe = oriented_edges(_edges(spark, pairs)).collect()
+    assert len(oe) == len(pairs)
+    assert {tuple(sorted((r.a, r.b))) for r in oe} == set(pairs)
+
+
+def test_oriented_out_degree_bounded_on_star(spark):
+    # a hub with 6 leaves: orientation must point every edge AT the hub,
+    # leaving out-degree 1 per leaf — the skew-defense property
+    pairs = [("hub", f"l{i}") for i in range(6)]
+    oe = oriented_edges(_edges(spark, pairs)).collect()
+    assert all(r.b == "hub" for r in oe)
+
+
+def test_plan_shapes(spark, sf_dir):
+    from data_engineering_assignment_spark.queries import load_catalog
+
+    cat = load_catalog()
+    tri_plan = (
+        cat["part_copurchase_triangles"]
+        .build(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert tri_plan.count("ShuffledHashJoin") >= 2
+    assert "CartesianProduct" not in tri_plan
+    assert "TakeOrderedAndProject" in tri_plan
+    pr_plan = (
+        cat["copurchase_pagerank"]
+        .build(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in pr_plan
+    assert "CartesianProduct" not in pr_plan
