@@ -179,6 +179,10 @@ HEADLINE = [
     "part_copurchase_triangles",
     # asymmetric containment pairs (oracle-gated)
     "dedup_containment_pairs",
+    # JL ±1 random projection, zero-shuffle codegen folds (oracle-gated)
+    "embedding_rp_stats",
+    # point-in-time SCD-2 lookup via the as-of operator (oracle-gated)
+    "purchase_prior_state_pit",
 ]
 
 

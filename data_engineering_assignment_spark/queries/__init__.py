@@ -45,8 +45,9 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # token_budget_mix + cosine_topk_ivfpq + cross_source_dup_matrix +
 # hybrid_retrieval_rrf + part_affinity_rules + doc_winnow_stats +
 # winnow_dup_pairs + copurchase_pagerank + part_copurchase_triangles +
-# dedup_containment_pairs): the 15 never-checked queries (each also
-# oracle-rehearsed locally at sf0.001 AND sf0.01);
+# dedup_containment_pairs + winnow_recall_telemetry +
+# embedding_rp_stats + purchase_prior_state_pit): the 18 never-checked
+# queries (each also oracle-rehearsed locally at sf0.001 AND sf0.01);
 # the 3 whose implementation changed this round (fused multi-order hash
 # stream + aggregated checkpoint: dsir_affinity_top64; native color
 # path + color round-trip columns: jpeg_decode_stats; new jc_*.jpg
@@ -58,8 +59,9 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # entry(), the plan tests and the local suite, the strongest non-driver
 # coverage in the catalog; vocab_encode_stats, vocab_top64,
 # wav_audio_stats, user_event_type_sets, user_state_scd2,
-# top_tokens_per_lang, training_corpus_build and user_retention_cohorts
-# yield theirs to the eight late-r8 queries, all eight pinned by unit +
+# top_tokens_per_lang, training_corpus_build, user_retention_cohorts,
+# seq_packing, repetition_stats and referential_integrity_audit yield
+# theirs to the eleven late-r8 queries, all eleven pinned by unit +
 # oracle-rehearsal coverage meanwhile); and ml_peak_classification (r6)
 # so the head spans catalog_ml (module-coverage contract).  The r9
 # head: the 40 r6-checked queries (bm25_topk onward) + pricing_summary
@@ -82,6 +84,9 @@ DRIVER_SAMPLE_HEAD: tuple[str, ...] = (
     "copurchase_pagerank",
     "part_copurchase_triangles",
     "dedup_containment_pairs",
+    "winnow_recall_telemetry",
+    "embedding_rp_stats",
+    "purchase_prior_state_pit",
     # implementation changed this round (green history doesn't cover it)
     "dsir_affinity_top64",
     "jpeg_decode_stats",
@@ -115,9 +120,6 @@ DRIVER_SAMPLE_HEAD: tuple[str, ...] = (
     "plusminus_player_stats",
     "plusminus_top_by_role",
     "purchase_asof_last_click",
-    "referential_integrity_audit",
-    "repetition_stats",
-    "seq_packing",
     # last checked r6: ml_peak_classification keeps catalog_ml in the
     # head (module-coverage contract)
     "ml_peak_classification",

@@ -923,3 +923,58 @@ def incremental_semantic_dedup_query(spark: SparkSession, sf_dir: str) -> DataFr
     corpus = emb.filter(F.col("vec_id") % 97 != 0)
     delta = emb.filter(F.col("vec_id") % 97 == 0)
     return incremental_semantic_dedup(corpus, delta, threshold=0.4, n_centroids=16)
+
+
+def _rp_oracle(dim: int, k: int, seed: int = 42) -> str:
+    """SQL twin of rp_norm_stats: the ±1 sign rows are LITERAL lists (same
+    driver-generated matrix as the Spark expression — no cross-engine RNG),
+    every dot product a list_reduce fold in the identical prepend-0 order."""
+    from ..operators.projection import jl_signs
+
+    def fold(expr: str) -> str:
+        return (
+            f"list_reduce(list_prepend(0.0, {expr}), (a, b) -> a + b)"
+        )
+
+    xn = fold(
+        "list_transform(embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))"
+    )
+    y_terms = []
+    for j in range(k):
+        s = "[" + ", ".join(repr(c) for c in jl_signs(dim, j, seed)) + "]"
+        yj = fold(
+            f"list_transform(range(1, {dim + 1}),"
+            f" i -> CAST(embedding[i] AS DOUBLE) * ({s})[i])"
+        )
+        y_terms.append(f"({yj}) * ({yj})")
+    yn = " + ".join(y_terms)
+    return f"""
+WITH f AS (
+  SELECT vec_id, {xn} AS xn, {yn} AS yn FROM embeddings
+)
+SELECT vec_id,
+       {o_dround('xn', 6)} AS x_norm2,
+       {o_dround(f'yn / {float(k)!r}', 6)} AS y_norm2_over_k,
+       {o_dround(f'yn / ({float(k)!r} * xn)', 4)} AS distortion
+FROM f
+"""
+
+
+@register(
+    "embedding_rp_stats",
+    oracle=_rp_oracle(64, 16),
+    doc="Johnson-Lindenstrauss random projection (Achlioptas 2001 ±1 "
+    "database-friendly JL; operators/projection.rp_norm_stats): 64d -> "
+    "16d with a driver-literal sign matrix, reporting per-vector norm "
+    "preservation (distortion = ||y||²/(k||x||²), concentrated at 1 by "
+    "the JL lemma). Every dot product is a left-fold in list_reduce "
+    "order on BOTH engines, so the non-associative double sums are "
+    "bit-identical with no decimal detour; zero shuffles, zero Python, "
+    "k*dim fused multiply-adds per row inside codegen. The 4x dimension "
+    "cut is the standard pre-ANN step (cheaper IVF/PQ/LSH candidate "
+    "scans at a bounded distance distortion).",
+)
+def embedding_rp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.projection import rp_norm_stats
+
+    return rp_norm_stats(load(spark, sf_dir, "embeddings"), dim=64, k=16)

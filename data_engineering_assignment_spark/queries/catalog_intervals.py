@@ -3,7 +3,7 @@ class, SURVEY.md §2.13 J4, exercised where the oracle can gate it)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.intervals import point_in_interval_join
@@ -416,3 +416,81 @@ def plusminus_top_by_role(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return most_minutes_by_role(intervals, players)
+
+
+_PIT_SCD2_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_id, event_type, (epoch_ms(ts) // 1000)::BIGINT AS ts_s
+  FROM events
+), ch AS (
+  SELECT user_id, event_type, ts_s,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts_s, event_id) AS prev
+  FROM e
+), dim AS (
+  SELECT user_id, event_type AS state, ts_s AS valid_from
+  FROM ch WHERE prev IS NULL OR prev <> event_type
+), p AS (
+  SELECT event_id, user_id, ts_s - 3600 AS lookup_s
+  FROM e WHERE event_type = 'purchase'
+), j AS (
+  SELECT p.event_id, p.user_id, d.state
+  FROM p ASOF LEFT JOIN dim d
+    ON p.user_id = d.user_id AND d.valid_from <= p.lookup_s
+)
+SELECT COALESCE(state, 'none') AS prior_state,
+       COUNT(*)::BIGINT AS n_purchases,
+       COUNT(DISTINCT user_id)::BIGINT AS n_users
+FROM j
+GROUP BY 1
+"""
+
+
+@register(
+    "purchase_prior_state_pit",
+    oracle=_PIT_SCD2_ORACLE,
+    doc="Point-in-time dimension lookup (the temporal-join shape every "
+    "SCD-2 warehouse query needs): each purchase joined to the user's "
+    "SCD-2 state valid ONE HOUR BEFORE the purchase — change points from "
+    "the user_state_scd2 lag build, matched with the as-of operator "
+    "(union + running-last window, one shuffle, no range join), "
+    "aggregated to purchases/users per prior state. 'none' = user had no "
+    "state yet at lookup time. Oracle: DuckDB native ASOF JOIN on the "
+    "same change-point CTE.",
+)
+def purchase_prior_state_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_timestamp("ts").alias("ts_s"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    dim = (
+        ev.withColumn("prev", F.lag("event_type").over(w))
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+        .select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            F.col("ts_s").alias("valid_from"),
+        )
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", (F.col("ts_s") - 3600).alias("lookup_s")
+    )
+    joined = asof_join(
+        purchases,
+        dim,
+        by="user_id",
+        left_ts="lookup_s",
+        right_ts="valid_from",
+        value_cols=["state"],
+        strict=False,
+    )
+    return joined.groupBy(
+        F.coalesce(F.col("state"), F.lit("none")).alias("prior_state")
+    ).agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.countDistinct("user_id").alias("n_users"),
+    )

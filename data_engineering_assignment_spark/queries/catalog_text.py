@@ -874,3 +874,96 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import containment_pairs
 
     return containment_pairs(load(spark, sf_dir, "documents"), n=5)
+
+
+def _winnow_recall_oracle() -> str:
+    from .catalog_llm import _o_rhash
+
+    rh4 = _o_rhash("array_to_string(t[j + 1 : j + 4], ' ')")
+    return f"""
+WITH {_winnow_fp_cte(_WINNOW_K, _WINNOW_W)}, fph AS (
+  SELECT DISTINCT doc_id, rh FROM fp
+), wkept AS (
+  SELECT doc_id, rh FROM fph
+  WHERE rh IN (SELECT rh FROM fph GROUP BY rh HAVING COUNT(*) <= 50)
+), cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM wkept a JOIN wkept b ON a.rh = b.rh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+), csh AS (
+  SELECT DISTINCT doc_id, {rh4} AS rh
+  FROM toks, unnest(range(0, len(t) - 3)) AS r(j)
+  WHERE len(t) >= 4
+), ckept AS (
+  SELECT doc_id, rh FROM csh
+  WHERE rh IN (SELECT rh FROM csh GROUP BY rh HAVING COUNT(*) <= 50)
+), csizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM ckept GROUP BY doc_id
+), cinter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM ckept a JOIN ckept b ON a.rh = b.rh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), truth AS (
+  SELECT i.doc_a, i.doc_b FROM cinter i
+  JOIN csizes sa ON i.doc_a = sa.doc_id
+  JOIN csizes sb ON i.doc_b = sb.doc_id
+  WHERE {o_dround('CAST(i.inter AS DOUBLE)'
+                  ' / CAST(LEAST(sa.n_sh, sb.n_sh) AS DOUBLE)', 4)} >= 0.6
+), s AS (
+  SELECT (SELECT COUNT(*) FROM cand)::BIGINT AS n_candidates,
+         (SELECT COUNT(*) FROM truth)::BIGINT AS n_true_pairs,
+         (SELECT COUNT(*) FROM cand c
+          JOIN truth t ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b)::BIGINT
+           AS n_found
+)
+SELECT n_candidates, n_true_pairs, n_found,
+       {o_dround("CAST(n_found AS DOUBLE) / CAST(n_true_pairs AS DOUBLE)", 4)}
+         AS recall
+FROM s
+"""
+
+
+@register(
+    "winnow_recall_telemetry",
+    oracle=_winnow_recall_oracle(),
+    doc="Candidate-generation telemetry for the winnowing family (the "
+    "lsh_recall_telemetry discipline — sparsified paths are MEASURED, not "
+    "assumed): winnow_dup_pairs candidates (k=4, w=4, shared >= 2, df cap "
+    "50) vs exact 4-gram containment >= 0.6 ground truth on the same "
+    "corpus and hash family. One aggregated row; every leg has an exact "
+    "SQL twin, so the telemetry itself is oracle-gated. The winnowing "
+    "guarantee (any shared run of >= k+w-1 tokens still collides) shows "
+    "up as recall stability under the ~2/(w+1) stream sparsification.",
+)
+def winnow_recall_telemetry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.aggregates import dround
+    from ..operators.dedup import containment_pairs
+    from ..operators.winnow import winnow_dup_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    cand = (
+        winnow_dup_pairs(docs, k=_WINNOW_K, w=_WINNOW_W)
+        .select("doc_a", "doc_b")
+        .withColumn("_c", F.lit(1))
+    )
+    truth = (
+        containment_pairs(docs, n=4, threshold=0.6, max_df=50)
+        .select("doc_a", "doc_b")
+        .withColumn("_t", F.lit(1))
+    )
+    both = cand.join(truth, ["doc_a", "doc_b"], "full_outer")
+    return both.agg(
+        F.count("_c").alias("n_candidates"),
+        F.count("_t").alias("n_true_pairs"),
+        F.count(F.when(F.col("_c").isNotNull() & F.col("_t").isNotNull(), 1)).alias(
+            "n_found"
+        ),
+    ).select(
+        "n_candidates",
+        "n_true_pairs",
+        "n_found",
+        dround(
+            F.col("n_found").cast("double") / F.col("n_true_pairs").cast("double"),
+            4,
+        ).alias("recall"),
+    )

@@ -98,3 +98,27 @@ def test_asof_matches_pandas_merge_asof(spark):
     )
     want = {int(r.lid): (None if pd.isna(r.v) else float(r.v)) for r in merged.itertuples()}
     assert got == want
+
+
+def test_pit_scd2_none_state_and_boundary(spark):
+    """purchase_prior_state_pit semantics: a purchase whose 1h-earlier
+    lookup precedes the user's first event lands in 'none'; a state change
+    AT exactly lookup time is visible (strict=False, <=)."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_assignment_spark.operators.asof import asof_join
+
+    dim = spark.createDataFrame(
+        [(1, "view", 1000), (1, "click", 2000)],
+        "user_id long, state string, valid_from long",
+    )
+    purchases = spark.createDataFrame(
+        [(10, 1, 500), (11, 1, 2000), (12, 1, 2001)],
+        "event_id long, user_id long, lookup_s long",
+    )
+    out = asof_join(
+        purchases, dim, by="user_id", left_ts="lookup_s",
+        right_ts="valid_from", value_cols=["state"], strict=False,
+    ).select("event_id", F.coalesce("state", F.lit("none")).alias("s"))
+    got = {r.event_id: r.s for r in out.collect()}
+    assert got == {10: "none", 11: "click", 12: "click"}

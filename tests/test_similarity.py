@@ -784,3 +784,60 @@ def test_ivfpq_candidates_only_from_probed_cells(spark, sf_dir):
         probed.setdefault(r["id"], set()).add(r["cell"])
     for r in out:
         assert cells[r["neighbor_id"]] in probed[r["query_id"]], r
+
+
+def test_rp_projection_matches_numpy(spark):
+    """project() equals the numpy matmul with the same literal sign matrix."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from data_engineering_assignment_spark.operators.projection import (
+        jl_signs,
+        project,
+    )
+
+    rng = np.random.default_rng(5)
+    dim, k = 8, 4
+    vecs = rng.standard_normal((6, dim)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r.vec_id: r.y
+        for r in df.select(
+            "vec_id", project(F.col("embedding"), dim, k).alias("y")
+        ).collect()
+    }
+    signs = np.array([jl_signs(dim, j) for j in range(k)])
+    for i, v in enumerate(vecs):
+        want = signs @ v.astype("float64")
+        assert np.allclose(got[i], want, rtol=1e-12), i
+
+
+def test_rp_distortion_concentrates(spark, sf_dir):
+    """JL lemma in practice: mean distortion ~1, spread bounded."""
+    from data_engineering_assignment_spark.operators.projection import rp_norm_stats
+    from data_engineering_assignment_spark.tables import load
+
+    rows = rp_norm_stats(load(spark, sf_dir, "embeddings"), dim=64, k=16).collect()
+    assert rows
+    ds = [r.distortion for r in rows]
+    mean = sum(ds) / len(ds)
+    assert 0.8 < mean < 1.2
+    # k=16 gives sigma ~ sqrt(2/k) ~ 0.35; 3-sigma sanity band
+    assert all(0.0 < d < 3.0 for d in ds)
+
+
+def test_rp_stats_plan_no_shuffle(spark, sf_dir):
+    from data_engineering_assignment_spark.operators.projection import rp_norm_stats
+    from data_engineering_assignment_spark.tables import load
+
+    plan = (
+        rp_norm_stats(load(spark, sf_dir, "embeddings"), dim=64, k=16)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
