@@ -183,6 +183,8 @@ HEADLINE = [
     "embedding_rp_stats",
     # point-in-time SCD-2 lookup via the as-of operator (oracle-gated)
     "purchase_prior_state_pit",
+    # TPC-H Q7 shape: two-alias dimension join (oracle-gated)
+    "bination_trade_volume",
 ]
 
 

@@ -940,3 +940,58 @@ def disjunctive_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+_BINATION_ORACLE = f"""
+SELECT n1.n_name AS supp_nation,
+       n2.n_name AS cust_nation,
+       year(o_orderdate)::BIGINT AS o_year,
+       {o_dsum('l_extendedprice * (1 - l_discount)', 'revenue')}
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name <> n2.n_name
+GROUP BY 1, 2, 3
+"""
+
+
+@register(
+    "bination_trade_volume",
+    oracle=_BINATION_ORACLE,
+    doc="TPC-H Q7 shape — the TWO-ALIAS dimension join (the same nation "
+    "table joined twice under different roles): cross-nation trade "
+    "revenue by (supplier nation, customer nation, year). Both nation "
+    "instances broadcast (bounded dimension — hint allowed); customer/"
+    "supplier stay size-based for AQE (never force-broadcast SF-scaled "
+    "sides). Decimal-exact revenue sums; one aggregation, dims pruned to "
+    "(key, name).",
+)
+def bination_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    n1 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("n2_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("o_orderdate").alias("o_year"))
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")),
+                "revenue",
+            )
+        )
+    )

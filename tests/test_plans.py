@@ -337,3 +337,17 @@ def test_paragraph_dedup_no_content_key_window(spark, sf_dir):
     plan = plans.simple_plan(build(spark, sf_dir, "paragraph_dedup_stats"))
     assert "Window" not in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_bination_both_nation_aliases_broadcast(spark, sf_dir):
+    """Q7 shape: the SAME dimension joined twice under different roles —
+    both instances must broadcast; the fact-side joins must not."""
+    from data_engineering_assignment_spark.queries import load_catalog
+
+    df = load_catalog()["bination_trade_volume"].build(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # two bounded-dimension broadcasts (nation as n1 and n2)
+    assert plan.count("BroadcastExchange") >= 2
+    assert "CartesianProduct" not in plan
+    # decimal-exact revenue: the dsum detour accumulates in decimal
+    assert "decimal(27," in plan
