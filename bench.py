@@ -185,6 +185,9 @@ HEADLINE = [
     "purchase_prior_state_pit",
     # TPC-H Q7 shape: two-alias dimension join (oracle-gated)
     "bination_trade_volume",
+    # apriori triples + blocked entity resolution (oracle-gated)
+    "part_affinity_triples",
+    "part_name_linkage",
 ]
 
 

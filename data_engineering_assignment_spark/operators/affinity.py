@@ -114,3 +114,61 @@ def association_rules(
         )
         .limit(top_k)
     )
+
+
+def _triple_structs(items) -> F.Column:
+    """All (p1 < p2 < p3) triples of an ascending-sorted array, in-row.
+
+    Nested slice offsets: x at 0-based i, y at absolute i+1+j (j 0-based in
+    x's suffix), z drawn from y's suffix — 1-based slice starts i+2 and
+    i+j+3. Bounded-basket cubic, never a 3-way self-join.
+    """
+    return F.flatten(
+        F.transform(
+            items,
+            lambda x, i: F.flatten(
+                F.transform(
+                    F.slice(items, i + F.lit(2), F.size(items)),
+                    lambda y, j: F.transform(
+                        F.slice(items, i + j + F.lit(3), F.size(items)),
+                        lambda z: F.struct(
+                            x.alias("p1"), y.alias("p2"), z.alias("p3")
+                        ),
+                    ),
+                )
+            ),
+        )
+    )
+
+
+def association_triples(
+    lineitem: DataFrame, min_count: int = 3, top_k: int = 25
+) -> DataFrame:
+    """Top-k frequent item TRIPLES by basket co-occurrence — the apriori
+    level-3 itemsets, counted directly from in-row enumeration (exact; the
+    level-wise candidate prune is unnecessary when baskets are bounded).
+
+    Columns: p1, p2, p3, triple_cnt, support.
+    """
+    baskets = order_baskets(lineitem).localCheckpoint(eager=False)
+    n_baskets = baskets.agg(F.count(F.lit(1)).alias("nb"))
+    return (
+        baskets.select(F.explode(_triple_structs(F.col("items"))).alias("tr"))
+        .select("tr.p1", "tr.p2", "tr.p3")
+        .groupBy("p1", "p2", "p3")
+        .agg(F.count(F.lit(1)).alias("triple_cnt"))
+        .where(F.col("triple_cnt") >= min_count)
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "p1",
+            "p2",
+            "p3",
+            "triple_cnt",
+            dround(
+                F.col("triple_cnt").cast("double") / F.col("nb").cast("double"),
+                6,
+            ).alias("support"),
+        )
+        .orderBy(F.col("triple_cnt").desc(), "p1", "p2", "p3")
+        .limit(top_k)
+    )

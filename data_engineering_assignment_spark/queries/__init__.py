@@ -47,8 +47,9 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # winnow_dup_pairs + copurchase_pagerank + part_copurchase_triangles +
 # dedup_containment_pairs + winnow_recall_telemetry +
 # embedding_rp_stats + purchase_prior_state_pit +
-# bination_trade_volume): the 19 never-checked queries (each also
-# oracle-rehearsed locally at sf0.001 AND sf0.01);
+# bination_trade_volume + part_name_linkage + part_affinity_triples):
+# the 21 never-checked queries (each also oracle-rehearsed locally at
+# sf0.001 AND sf0.01);
 # the 3 whose implementation changed this round (fused multi-order hash
 # stream + aggregated checkpoint: dsir_affinity_top64; native color
 # path + color round-trip columns: jpeg_decode_stats; new jc_*.jpg
@@ -61,10 +62,12 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # coverage in the catalog; vocab_encode_stats, vocab_top64,
 # wav_audio_stats, user_event_type_sets, user_state_scd2,
 # top_tokens_per_lang, training_corpus_build, user_retention_cohorts,
-# seq_packing, repetition_stats, referential_integrity_audit and
-# purchase_asof_last_click yield theirs to the twelve late-r8 queries —
-# the as-of operator stays head-covered via purchase_prior_state_pit —
-# all twelve pinned by unit + oracle-rehearsal coverage meanwhile); and
+# seq_packing, repetition_stats, referential_integrity_audit,
+# purchase_asof_last_click, plusminus_top_by_role and
+# event_interarrival_stats yield theirs to the fourteen late-r8 queries
+# — the as-of operator stays head-covered via purchase_prior_state_pit,
+# the plus-minus pipeline via plusminus_player_stats — all fourteen
+# pinned by unit + oracle-rehearsal coverage meanwhile); and
 # ml_peak_classification (r6)
 # so the head spans catalog_ml (module-coverage contract).  The r9
 # head: the 40 r6-checked queries (bm25_topk onward) + pricing_summary
@@ -91,6 +94,8 @@ DRIVER_SAMPLE_HEAD: tuple[str, ...] = (
     "embedding_rp_stats",
     "purchase_prior_state_pit",
     "bination_trade_volume",
+    "part_name_linkage",
+    "part_affinity_triples",
     # implementation changed this round (green history doesn't cover it)
     "dsir_affinity_top64",
     "jpeg_decode_stats",
@@ -105,7 +110,6 @@ DRIVER_SAMPLE_HEAD: tuple[str, ...] = (
     "docs_hash_sample",
     "embedding_near_dup",
     "embedding_quantize_stats",
-    "event_interarrival_stats",
     "event_transitions",
     "events_anomaly_zscore",
     "events_hourly",
@@ -122,7 +126,6 @@ DRIVER_SAMPLE_HEAD: tuple[str, ...] = (
     "orders_cdc_apply",
     "orders_profile",
     "plusminus_player_stats",
-    "plusminus_top_by_role",
     # last checked r6: ml_peak_classification keeps catalog_ml in the
     # head (module-coverage contract)
     "ml_peak_classification",

@@ -1127,3 +1127,76 @@ def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         part_pair_edges(load(spark, sf_dir, "lineitem"), min_pair_count=2),
         top_k=15,
     )
+
+
+_LINKAGE_ORACLE = """
+WITH vocab AS (
+  SELECT p_name AS name, COUNT(*)::BIGINT AS n_rows
+  FROM part GROUP BY p_name
+), t AS (
+  SELECT name, n_rows, string_split(name, ' ')[-1] AS block FROM vocab
+)
+SELECT a.name AS name_a, b.name AS name_b,
+       levenshtein(a.name, b.name)::INTEGER AS dist,
+       a.n_rows AS n_rows_a, b.n_rows AS n_rows_b
+FROM t a JOIN t b ON a.block = b.block AND a.name < b.name
+WHERE levenshtein(a.name, b.name) <= 2
+"""
+
+
+@register(
+    "part_name_linkage",
+    oracle=_LINKAGE_ORACLE,
+    doc="Entity resolution at fact scale (Fellegi-Sunter blocking shape; "
+    "operators/linkage.blocked_name_linkage): near-duplicate part-name "
+    "spellings within edit distance 2, candidates blocked by the head "
+    "noun. The quadratic levenshtein verify runs on the DISTINCT value "
+    "vocabulary (with row counts carried for merge decisions), never per "
+    "fact row — |vocab|²-per-block work regardless of corpus row count, "
+    "with an over-sized-block cap for skewed vocabularies. Complements "
+    "nation_name_fuzzy (dimension-scale broadcast) with the fact-scale "
+    "shuffle-hash formulation.",
+)
+def part_name_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.linkage import blocked_name_linkage
+
+    return blocked_name_linkage(load(spark, sf_dir, "part"), "p_name")
+
+
+_TRIPLES_ORACLE = f"""
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+), n AS (
+  SELECT COUNT(DISTINCT o)::BIGINT AS nb FROM baskets
+), tc AS (
+  SELECT a.p AS p1, b.p AS p2, c.p AS p3, COUNT(*)::BIGINT AS triple_cnt
+  FROM baskets a
+  JOIN baskets b ON a.o = b.o AND a.p < b.p
+  JOIN baskets c ON b.o = c.o AND b.p < c.p
+  GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2
+)
+SELECT p1, p2, p3, triple_cnt,
+       {o_dround('CAST(triple_cnt AS DOUBLE) / CAST(n.nb AS DOUBLE)', 6)}
+         AS support
+FROM tc CROSS JOIN n
+ORDER BY triple_cnt DESC, p1, p2, p3
+LIMIT 25
+"""
+
+
+@register(
+    "part_affinity_triples",
+    oracle=_TRIPLES_ORACLE,
+    doc="Apriori level-3 itemsets (operators/affinity.association_triples): "
+    "top-25 part triples by basket co-occurrence with support, enumerated "
+    "IN-ROW from sorted bounded baskets (cubic in basket size, never a "
+    "3-way basket self-join — the oracle IS that 3-way join, proving "
+    "equivalence). Completes the market-basket family with "
+    "part_affinity_rules' pair metrics.",
+)
+def part_affinity_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.affinity import association_triples
+
+    # min_count=2: triples are rare at driver SFs (0 rows at >=3); the
+    # cap keeps the result non-trivial while the limit bounds it
+    return association_triples(load(spark, sf_dir, "lineitem"), min_count=2)

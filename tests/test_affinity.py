@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from data_engineering_assignment_spark.operators.affinity import (
     _pair_structs,
     association_rules,
+    association_triples,
     order_baskets,
 )
 
@@ -82,3 +83,49 @@ def test_plan_no_self_join_and_bounded_topk(spark, sf_dir):
     # basket-total broadcast
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") == 1
+
+
+def test_triple_enumeration_matches_itertools(spark):
+    from data_engineering_assignment_spark.operators.affinity import _triple_structs
+
+    baskets = [[1, 2], [3, 4, 5], [1, 3, 5, 7], list(range(9))]
+    df = spark.createDataFrame([(b,) for b in baskets], "items array<long>")
+    got = sorted(
+        (r.tr.p1, r.tr.p2, r.tr.p3)
+        for r in df.select(
+            F.explode(_triple_structs(F.col("items"))).alias("tr")
+        ).collect()
+    )
+    want = sorted(
+        t for b in baskets for t in itertools.combinations(sorted(b), 3)
+    )
+    assert got == want
+
+
+def test_association_triples_hand_computed(spark):
+    rows = [
+        (10, 1), (10, 2), (10, 3),
+        (20, 1), (20, 2), (20, 3), (20, 4),
+        (30, 1), (30, 2), (30, 3),
+        (40, 4), (40, 5),
+    ]
+    out = association_triples(_lineitem(spark, rows), min_count=3).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.p1, r.p2, r.p3, r.triple_cnt) == (1, 2, 3, 3)
+    assert r.support == 0.75
+
+
+def test_blocked_linkage_finds_typo_and_caps_blocks(spark):
+    from data_engineering_assignment_spark.operators.linkage import (
+        blocked_name_linkage,
+    )
+
+    rows = [("cold bolt",), ("old bolt",), ("blue rod",), ("cold bolt",)]
+    df = spark.createDataFrame(rows, "p_name string")
+    out = blocked_name_linkage(df, "p_name").collect()
+    assert [(r.name_a, r.name_b, r.dist, r.n_rows_a, r.n_rows_b) for r in out] == [
+        ("cold bolt", "old bolt", 1, 2, 1)
+    ]
+    # block cap: with max_block=1 every block is over-sized -> no pairs
+    assert blocked_name_linkage(df, "p_name", max_block=1).count() == 0
