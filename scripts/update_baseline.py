@@ -67,7 +67,20 @@ changed (fused one-fold hash stream + aggregated checkpoint: sf0.1 pays
 ~0.2 s for a 4.32×→1.69×/decade scale-curve fix, SCALE.md), and every
 other entry kept its historical min (ambient was ~1.0× vs the r7 table:
 comparable-query total measured 69.0 s vs 70.5 s standing, zero per-query
-flags over 1.3×)."""
+flags over 1.3×).
+Late-round-8 re-record: eleven queries joined the headline set
+(`part_affinity_rules`, `doc_winnow_stats`, `winnow_dup_pairs`,
+`copurchase_pagerank`, `part_copurchase_triangles`,
+`dedup_containment_pairs`, `embedding_rp_stats`,
+`purchase_prior_state_pit`, `bination_trade_volume`,
+`part_affinity_triples`, `part_name_linkage`). Standing entries are the
+per-query MIN across two fresh marker-verified solo runs (104.68 s
+st [.066,.083] mt [.101,.129]; 106.39 s st [.062,.060] mt [.100,.087]),
+the prior standing table for pre-existing queries (no old query's
+implementation changed this session), and the min-of-2 solo
+scale_probe.py sf0.1 values for the new queries. The usual 1-2 roaming
+multi-second transients per run apply (doc_dup_span_stats 1.36× in one
+fresh run, steady at its standing value in probes)."""
 
 
 def main() -> None:
