@@ -16,8 +16,10 @@ JPEG specification (ITU-T T.81 / ISO 10918-1) for 8-bit precision:
   interleaved scans (the real-corpus case: 4:4:4 / 4:2:2 / 4:2:0 YCbCr)
   decode the MCU stream per T.81 A.2.3, replicate the chroma planes up to
   full resolution, and convert YCbCr→RGB per JFIF (half-up rounding) into
-  an (h, w, 3) array. It decodes conformant baseline files, not just this
-  module's own output.
+  an (h, w, 3) array. Restart intervals (DRI + modulo-8 RSTn cycling with
+  byte alignment and DC-predictor reset, T.81 E.2.4) are decoded, with
+  the marker sequence enforced. It decodes conformant baseline files, not
+  just this module's own output.
 * :func:`encode_jpeg_gray` / :func:`encode_jpeg_color` — the fixture
   generators: block DCT, Annex-K quantization (K.1 luminance, K.2
   chrominance), box-averaged chroma subsampling, zigzag run-length +
@@ -26,9 +28,9 @@ JPEG specification (ITU-T T.81 / ISO 10918-1) for 8-bit precision:
   since the tables ride the file's DHT segment and the all-ones code
   stays unused as T.81 requires).
 
-Progressive scans, 12-bit precision, restart intervals, 16-bit quant
-tables, and non-interleaved color scans still route through the guarded
-PIL hook (:func:`multimodal.decode_image_pil`); this decoder raises
+Progressive scans, 12-bit precision, 16-bit quant tables, and
+non-interleaved color scans still route through the guarded PIL hook
+(:func:`multimodal.decode_image_pil`); this decoder raises
 ``NotImplementedError`` for them rather than guessing.
 """
 
@@ -147,6 +149,13 @@ class _BitWriter:
             pad = 8 - self._n
             self.write((1 << pad) - 1, pad)  # pad with 1-bits per spec
 
+    def restart_marker(self, m: int) -> None:
+        """Byte-align and emit RSTm (T.81 E.1.4) — marker bytes are
+        literal, so they bypass the 0xFF stuffing path."""
+        self.flush()
+        self.out.append(0xFF)
+        self.out.append(0xD0 + (m & 7))
+
 
 def _magnitude(v: int) -> tuple[int, int]:
     """(category, appended bits) for a DC diff / AC coefficient."""
@@ -200,8 +209,12 @@ _DHT_PAYLOAD = (
 )
 
 
-def encode_jpeg_gray(img: np.ndarray) -> bytes:
-    """Encode an (h, w) uint8 array as a baseline grayscale JPEG."""
+def encode_jpeg_gray(img: np.ndarray, restart_interval: int = 0) -> bytes:
+    """Encode an (h, w) uint8 array as a baseline grayscale JPEG.
+
+    ``restart_interval`` > 0 emits a DRI segment and an RSTn marker (with
+    DC-predictor reset) every that-many MCUs — the T.81 E.1.4 layout real
+    encoders use for error resilience / parallel decode."""
     img = np.asarray(img, dtype=np.uint8)
     h, w = img.shape
     if not (0 < h < 65536 and 0 < w < 65536):
@@ -211,22 +224,35 @@ def encode_jpeg_gray(img: np.ndarray) -> bytes:
 
     wtr = _BitWriter()
     prev_dc = 0
+    n_done = 0
+    n_rst = 0
     for bj in range(by):
         for bi in range(bx):
+            if restart_interval and n_done and n_done % restart_interval == 0:
+                wtr.restart_marker(n_rst)
+                n_rst += 1
+                prev_dc = 0
             prev_dc = _encode_block(
                 wtr, padded[bj * 8 : bj * 8 + 8, bi * 8 : bi * 8 + 8],
                 _QTABLE, prev_dc,
             )
+            n_done += 1
     wtr.flush()
 
     zz_q = bytes([0]) + bytes(int(_QTABLE[i, j]) for (i, j) in _ZIGZAG)
     sof = struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
     sos = bytes([1, 1, 0x00, 0, 63, 0])
+    dri = (
+        _seg(0xDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
     return (
         b"\xff\xd8"
         + _seg(0xDB, zz_q)
         + _seg(0xC0, sof)
         + _seg(0xC4, _DHT_PAYLOAD)
+        + dri
         + _seg(0xDA, sos)
         + bytes(wtr.out)
         + b"\xff\xd9"
@@ -255,7 +281,9 @@ _SAMPLING = {"444": ((1, 1), (1, 1), (1, 1)),
              "420": ((2, 2), (1, 1), (1, 1))}
 
 
-def encode_jpeg_color(rgb: np.ndarray, subsampling: str = "420") -> bytes:
+def encode_jpeg_color(
+    rgb: np.ndarray, subsampling: str = "420", restart_interval: int = 0
+) -> bytes:
     """Encode an (h, w, 3) uint8 RGB array as a baseline interleaved YCbCr
     JPEG (4:4:4, 4:2:2 or 4:2:0). Chroma is box-averaged (half-up) over
     each sampling window; quantization uses Annex K.1 (luma, table 0) and
@@ -299,8 +327,15 @@ def encode_jpeg_color(rgb: np.ndarray, subsampling: str = "420") -> bytes:
     qtables = [_QTABLE, _QTABLE_CHROMA, _QTABLE_CHROMA]
     wtr = _BitWriter()
     prev_dc = [0, 0, 0]
+    n_done = 0
+    n_rst = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and n_done and n_done % restart_interval == 0:
+                wtr.restart_marker(n_rst)
+                n_rst += 1
+                prev_dc = [0, 0, 0]
+            n_done += 1
             for ci, (hi, vi) in enumerate(factors):
                 for v in range(vi):
                     for u in range(hi):
@@ -322,11 +357,17 @@ def encode_jpeg_color(rgb: np.ndarray, subsampling: str = "420") -> bytes:
          3, (factors[2][0] << 4) | factors[2][1], 1]
     )
     sos = bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0])
+    dri = (
+        _seg(0xDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
     return (
         b"\xff\xd8"
         + _seg(0xDB, dqt)
         + _seg(0xC0, sof)
         + _seg(0xC4, _DHT_PAYLOAD)
+        + dri
         + _seg(0xDA, sos)
         + bytes(wtr.out)
         + b"\xff\xd9"
@@ -363,6 +404,22 @@ class _BitReader:
             self._n = 8
         self._n -= 1
         return (self._acc >> self._n) & 1
+
+    def expect_restart(self, m: int) -> None:
+        """Consume an RSTm marker at a byte-aligned restart boundary
+        (T.81 E.2.4): drop the partial byte's pad bits, then require the
+        modulo-8-cycling marker."""
+        self._n = 0
+        self._acc = 0
+        if self.pos + 1 >= len(self.data):
+            raise ValueError("JPEG: entropy data truncated at restart")
+        b0, b1 = self.data[self.pos], self.data[self.pos + 1]
+        if b0 != 0xFF or b1 != 0xD0 + (m & 7):
+            raise ValueError(
+                f"JPEG: expected RST{m & 7} at restart boundary, "
+                f"got 0x{b0:02x}{b1:02x}"
+            )
+        self.pos += 2
 
     def read_bits(self, n: int) -> int:
         v = 0
@@ -431,10 +488,12 @@ def decode_jpeg(content: bytes) -> np.ndarray:
     three-component interleaved YCbCr (4:4:4 / 4:2:2 / 4:2:0 and any
     sampling whose factors divide the maxima) → (h, w, 3) uint8 RGB.
 
-    Raises ``NotImplementedError`` for progressive scans, 12-bit
-    precision, restart intervals, 16-bit quant tables, non-interleaved
-    color scans, or component counts other than 1/3 — those route through
-    the PIL hook when available.
+    Restart intervals (DRI/RSTn) are decoded per T.81 E.2.4: at each
+    boundary the reader byte-aligns, requires the modulo-8-cycling
+    marker, and resets every DC predictor. Raises ``NotImplementedError``
+    for progressive scans, 12-bit precision, 16-bit quant tables,
+    non-interleaved color scans, or component counts other than 1/3 —
+    those route through the PIL hook when available.
     """
     if content[:2] != b"\xff\xd8":
         raise ValueError("JPEG: missing SOI")
@@ -442,6 +501,7 @@ def decode_jpeg(content: bytes) -> np.ndarray:
     # (class, id) -> {(length, code): symbol}
     htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     h = w = 0
+    restart_interval = 0
     comps: list[tuple[int, int, int, int]] = []  # (cid, hi, vi, tq)
     scan: dict[int, tuple[int, int]] = {}  # cid -> (dc_id, ac_id)
     scan_order: list[int] = []
@@ -518,9 +578,9 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                 htables[(tc, th)] = table
                 p += 17 + nsym
         elif marker == 0xDD:  # DRI
-            (interval,) = struct.unpack_from(">H", payload, 0)
-            if interval:
-                raise NotImplementedError("JPEG: restart intervals")
+            if len(payload) < 2:
+                raise ValueError("JPEG: truncated DRI payload")
+            (restart_interval,) = struct.unpack_from(">H", payload, 0)
         elif marker == 0xDA:  # SOS — entropy data follows
             ns = payload[0]
             if ns != len(comps):
@@ -563,10 +623,17 @@ def decode_jpeg(content: bytes) -> np.ndarray:
         out = np.zeros((by * 8, bx * 8), dtype=np.float64)
         rdr = _BitReader(content, pos)
         prev_dc = 0
+        n_done = 0
+        n_rst = 0
         for bj in range(by):
             for bi in range(bx):
+                if restart_interval and n_done and n_done % restart_interval == 0:
+                    rdr.expect_restart(n_rst)
+                    n_rst += 1
+                    prev_dc = 0
                 block, prev_dc = _decode_block(rdr, dc_tab, ac_tab, qt, prev_dc)
                 out[bj * 8 : bj * 8 + 8, bi * 8 : bi * 8 + 8] = block
+                n_done += 1
         return np.clip(np.round(out + 128.0), 0, 255).astype(np.uint8)[:h, :w]
 
     hmax = max(p[1] for p in plan)
@@ -582,8 +649,15 @@ def decode_jpeg(content: bytes) -> np.ndarray:
     }
     rdr = _BitReader(content, pos)
     prev = {cid: 0 for cid in scan_order}
+    n_done = 0
+    n_rst = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and n_done and n_done % restart_interval == 0:
+                rdr.expect_restart(n_rst)
+                n_rst += 1
+                prev = {cid: 0 for cid in scan_order}
+            n_done += 1
             for cid, hi, vi, qt, dc_tab, ac_tab in plan:
                 for v in range(vi):
                     for u in range(hi):

@@ -718,3 +718,61 @@ def test_jpeg_color_committed_fixtures_decode_to_named_goldens():
         dec = decode_jpeg((fdir / name).read_bytes())
         assert dec.shape == (h, w, 3)
         assert int(round(float(dec.mean()))) == mean
+
+
+def test_jpeg_restart_intervals_bit_identical():
+    """A restart-interval stream decodes to EXACTLY the same pixels as the
+    plain stream (markers + DC resets are lossless framing), gray and
+    color, for intervals that land mid-row, per-row and off-boundary."""
+    import numpy as np
+
+    from data_engineering_assignment_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg_color,
+        encode_jpeg_gray,
+    )
+
+    rng = np.random.default_rng(17)
+    gray = (rng.integers(0, 256, (24, 40), dtype=np.uint8) // 16 * 16).astype(
+        np.uint8
+    )
+    base = decode_jpeg(encode_jpeg_gray(gray))
+    for ri in (1, 2, 5, 7):
+        enc = encode_jpeg_gray(gray, restart_interval=ri)
+        assert np.array_equal(decode_jpeg(enc), base), f"gray ri={ri}"
+    # interval 9 > 8: the RST index must wrap modulo 8 across >8 restarts
+    many = encode_jpeg_gray(gray, restart_interval=1)
+    assert np.array_equal(decode_jpeg(many), base)
+
+    h, w = 24, 33
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [(xx * 7) % 256, (yy * 5) % 256, ((xx + yy) * 3) % 256], axis=-1
+    ).astype(np.uint8)
+    img = (img // 16 * 16).astype(np.uint8)
+    for ss in ("444", "420"):
+        base_c = decode_jpeg(encode_jpeg_color(img, ss))
+        for ri in (1, 3):
+            enc = encode_jpeg_color(img, ss, restart_interval=ri)
+            assert np.array_equal(decode_jpeg(enc), base_c), (ss, ri)
+
+
+def test_jpeg_restart_marker_sequence_enforced():
+    """A wrong RST index at a boundary is a hard ValueError, not silent
+    corruption."""
+    import numpy as np
+    import pytest as _pytest
+
+    from data_engineering_assignment_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg_gray,
+    )
+
+    img = np.full((8, 24), 90, np.uint8)
+    enc = bytearray(encode_jpeg_gray(img, restart_interval=1))
+    # find the first RST0 (FF D0) in the entropy stream and break its index
+    i = bytes(enc).find(b"\xff\xd0")
+    assert i > 0
+    enc[i + 1] = 0xD3
+    with _pytest.raises(ValueError, match="expected RST"):
+        decode_jpeg(bytes(enc))
