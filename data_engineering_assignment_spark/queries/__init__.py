@@ -47,9 +47,9 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # winnow_dup_pairs + copurchase_pagerank + part_copurchase_triangles +
 # dedup_containment_pairs + winnow_recall_telemetry +
 # embedding_rp_stats + purchase_prior_state_pit +
-# bination_trade_volume + part_name_linkage + part_affinity_triples):
-# the 21 never-checked queries (each also oracle-rehearsed locally at
-# sf0.001 AND sf0.01);
+# bination_trade_volume + part_name_linkage + part_affinity_triples +
+# rp_recall_telemetry): the 22 never-checked queries (each also
+# oracle-rehearsed locally at sf0.001 AND sf0.01);
 # the 3 whose implementation changed this round (fused multi-order hash
 # stream + aggregated checkpoint: dsir_affinity_top64; native color
 # path + color round-trip columns: jpeg_decode_stats; new jc_*.jpg
@@ -63,12 +63,13 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # wav_audio_stats, user_event_type_sets, user_state_scd2,
 # top_tokens_per_lang, training_corpus_build, user_retention_cohorts,
 # seq_packing, repetition_stats, referential_integrity_audit,
-# purchase_asof_last_click, plusminus_top_by_role and
-# event_interarrival_stats yield theirs to the fourteen late-r8 queries
-# — the as-of operator stays head-covered via purchase_prior_state_pit,
-# the plus-minus pipeline via plusminus_player_stats — all fourteen
-# pinned by unit + oracle-rehearsal coverage meanwhile); and
-# ml_peak_classification (r6)
+# purchase_asof_last_click, plusminus_top_by_role,
+# event_interarrival_stats and events_anomaly_zscore yield theirs to
+# the fifteen late-r8 queries — the as-of operator stays head-covered
+# via purchase_prior_state_pit, the plus-minus pipeline via
+# plusminus_player_stats, the z-score decomposition via its r7-checked
+# bucketed variant — all fifteen pinned by unit + oracle-rehearsal
+# coverage meanwhile); and ml_peak_classification (r6)
 # so the head spans catalog_ml (module-coverage contract).  The r9
 # head: the 40 r6-checked queries (bm25_topk onward) + pricing_summary
 # + the eight displaced r5 queries first, then the r7-checked set as it
@@ -96,6 +97,7 @@ DRIVER_SAMPLE_HEAD: tuple[str, ...] = (
     "bination_trade_volume",
     "part_name_linkage",
     "part_affinity_triples",
+    "rp_recall_telemetry",
     # implementation changed this round (green history doesn't cover it)
     "dsir_affinity_top64",
     "jpeg_decode_stats",
@@ -111,7 +113,6 @@ DRIVER_SAMPLE_HEAD: tuple[str, ...] = (
     "embedding_near_dup",
     "embedding_quantize_stats",
     "event_transitions",
-    "events_anomaly_zscore",
     "events_hourly",
     "events_sessionize",
     "image_color_analytics",
