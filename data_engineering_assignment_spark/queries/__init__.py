@@ -48,15 +48,17 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # dedup_containment_pairs + winnow_recall_telemetry +
 # embedding_rp_stats + purchase_prior_state_pit +
 # bination_trade_volume + part_name_linkage + part_affinity_triples +
-# rp_recall_telemetry): the 22 never-checked queries (each also
-# oracle-rehearsed locally at sf0.001 AND sf0.01);
+# rp_recall_telemetry + small_quantity_revenue + sole_return_supplier +
+# idle_customer_balance + pareto_orders + event_value_twap): the 27
+# never-checked queries (each also oracle-rehearsed locally at sf0.001
+# AND sf0.01);
 # the 3 whose implementation changed this round (fused multi-order hash
 # stream + aggregated checkpoint: dsir_affinity_top64; native color
 # path + color round-trip columns: jpeg_decode_stats; new jc_*.jpg
 # fixtures in the digest glob: binary_media_inventory — cosine_topk_pq
 # also saw a pure helper-extraction refactor, excluded because its
 # oracle re-verified locally at sf0.001 AND sf0.01 this session with
-# byte-identical output and the full suite is green); 31 of the 40
+# byte-identical output and the full suite is green); 19 of the 40
 # r5-checked queries (pricing_summary yields its slot — it is pinned by
 # entry(), the plan tests and the local suite, the strongest non-driver
 # coverage in the catalog; vocab_encode_stats, vocab_top64,
@@ -64,12 +66,16 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # top_tokens_per_lang, training_corpus_build, user_retention_cohorts,
 # seq_packing, repetition_stats, referential_integrity_audit,
 # purchase_asof_last_click, plusminus_top_by_role,
-# event_interarrival_stats and events_anomaly_zscore yield theirs to
-# the fifteen late-r8 queries — the as-of operator stays head-covered
+# event_interarrival_stats, events_anomaly_zscore,
+# distinct_status_priority, doc_simhash, events_hourly,
+# nation_presence_full_outer and order_price_histogram yield theirs to
+# the twenty late-r8 queries — the as-of operator stays head-covered
 # via purchase_prior_state_pit, the plus-minus pipeline via
 # plusminus_player_stats, the z-score decomposition via its r7-checked
-# bucketed variant — all fifteen pinned by unit + oracle-rehearsal
-# coverage meanwhile); and ml_peak_classification (r6)
+# bucketed variant, simhash via simhash_hamming_pairs' unit pins, the
+# price histogram via order_price_distribution — all twenty pinned by
+# unit + oracle-rehearsal coverage meanwhile); and
+# ml_peak_classification (r6)
 # so the head spans catalog_ml (module-coverage contract).  The r9
 # head: the 40 r6-checked queries (bm25_topk onward) + pricing_summary
 # + the eight displaced r5 queries first, then the r7-checked set as it
@@ -98,6 +104,11 @@ DRIVER_SAMPLE_HEAD: tuple[str, ...] = (
     "part_name_linkage",
     "part_affinity_triples",
     "rp_recall_telemetry",
+    "small_quantity_revenue",
+    "sole_return_supplier",
+    "idle_customer_balance",
+    "pareto_orders",
+    "event_value_twap",
     # implementation changed this round (green history doesn't cover it)
     "dsir_affinity_top64",
     "jpeg_decode_stats",
@@ -105,25 +116,20 @@ DRIVER_SAMPLE_HEAD: tuple[str, ...] = (
     # last checked r5 (all 40)
     "data_mix_by_source",
     "dedup_ngram_jaccard",
-    "distinct_status_priority",
     "doc_regex_tokens",
-    "doc_simhash",
     "doc_tfidf_top_terms",
     "docs_hash_sample",
     "embedding_near_dup",
     "embedding_quantize_stats",
     "event_transitions",
-    "events_hourly",
     "events_sessionize",
     "image_color_analytics",
     "image_format_inventory",
     "lang_source_chisq",
     "median_price_by_priority",
-    "nation_presence_full_outer",
     "nation_rank_top2",
     "nation_revenue_share",
     "order_price_distribution",
-    "order_price_histogram",
     "orders_cdc_apply",
     "orders_profile",
     "plusminus_player_stats",

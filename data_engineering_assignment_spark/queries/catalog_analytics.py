@@ -1200,3 +1200,98 @@ def part_affinity_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     # min_count=2: triples are rare at driver SFs (0 rows at >=3); the
     # cap keeps the result non-trivial while the limit bounds it
     return association_triples(load(spark, sf_dir, "lineitem"), min_count=2)
+
+
+# ---------------------------------------------------------------------------
+# 2D Pareto frontier (skyline) — distributed prune-and-merge
+# ---------------------------------------------------------------------------
+
+_PARETO_ORACLE = """
+SELECT o_orderkey, o_totalprice, o_orderdate
+FROM orders p
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders q
+  WHERE q.o_totalprice >= p.o_totalprice AND q.o_orderdate >= p.o_orderdate
+    AND (q.o_totalprice > p.o_totalprice OR q.o_orderdate > p.o_orderdate))
+"""
+
+
+@register(
+    "pareto_orders",
+    oracle=_PARETO_ORACLE,
+    doc="2D skyline (Pareto frontier, Borzsony et al. 2001 semantics): "
+    "orders not strictly dominated on (totalprice, orderdate), both "
+    "maximized; exact duplicates all survive. Distributed prune-and-merge: "
+    "phase 1 keeps each hash-bucket's local skyline via one cumulative-max "
+    "window (bucket keys are uniform synthetic hashes, never content — no "
+    "hot-key straggler; any globally dominated row is dominated by a "
+    "transitive chain ending in a bucket survivor, so the prune is "
+    "lossless); phase 2 resolves the ~k*ln(n/k) candidates exactly with a "
+    "per-price group max + a window over the candidates' DISTINCT prices "
+    "(E[skyline size] of random 2D data is H_n ~ ln n, so the final window "
+    "input is logarithmic, the documented top-k-style bound). The oracle "
+    "is the quadratic NOT EXISTS self-join, proving the algebraic rewrite.",
+)
+def pareto_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skyline import pareto_max_2d
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    return pareto_max_2d(o, "o_totalprice", "o_orderdate", "o_orderkey").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average (TWAP) — duration-weighted event values
+# ---------------------------------------------------------------------------
+
+_TWAP_ORACLE = f"""
+WITH g AS (
+  SELECT event_type, value,
+         LEAD((epoch_ms(ts) // 1000)::BIGINT)
+           OVER (PARTITION BY event_type ORDER BY ts, event_id)
+           - (epoch_ms(ts) // 1000)::BIGINT AS gap_s
+  FROM events
+)
+SELECT event_type, COUNT(*)::BIGINT AS n_segments,
+       SUM(gap_s)::BIGINT AS total_s,
+       {o_dround('SUM(CAST(value AS DECIMAL(27,6)) * gap_s)::DOUBLE / SUM(gap_s)', 4)}
+         AS twap
+FROM g WHERE gap_s IS NOT NULL
+GROUP BY 1
+"""
+
+
+@register(
+    "event_value_twap",
+    oracle=_TWAP_ORACLE,
+    doc="Time-weighted average value per event type (the TWAP/TWA "
+    "operator: each observation holds until the next one, so its weight "
+    "is the duration of its segment; the last observation carries no "
+    "weight). One lead() over an entity-keyed window builds the segment "
+    "lengths; the weighted sum is EXACT — decimal value x integer "
+    "seconds — with the single division done once in double at the end "
+    "(cancellation-free, CLAUDE.md float-parity discipline). Tie-broken "
+    "total order (ts, event_id) so segment attribution is deterministic "
+    "under any partitioning.",
+)
+def event_value_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        "value",
+        F.unix_timestamp("ts").alias("ts_s"),
+        "ts",
+    )
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    g = ev.withColumn("gap_s", F.lead("ts_s").over(w) - F.col("ts_s")).filter(
+        F.col("gap_s").isNotNull()
+    )
+    num = F.sum(F.col("value").cast("decimal(27,6)") * F.col("gap_s"))
+    return g.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum("gap_s").alias("total_s"),
+        dround(num.cast("double") / F.sum("gap_s"), 4).alias("twap"),
+    )

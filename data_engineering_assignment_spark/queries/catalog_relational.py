@@ -995,3 +995,191 @@ def bination_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H hard shapes on the available columns (Q17 / Q21 / Q22 analogs)
+# ---------------------------------------------------------------------------
+
+_SMALL_QTY_ORACLE = """
+WITH bp AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#23'),
+l_bp AS (SELECT l.* FROM lineitem l JOIN bp ON l.l_partkey = bp.p_partkey),
+a AS (
+  SELECT l_partkey,
+         SUM(CAST(l_quantity AS BIGINT))::BIGINT AS sum_qty,
+         COUNT(*)::BIGINT AS n_lines
+  FROM l_bp GROUP BY 1
+), s AS (
+  SELECT ROUND(SUM(CAST(l_extendedprice AS DECIMAL(27,6))), 2)::DOUBLE
+           AS small_qty_revenue,
+         COUNT(*)::BIGINT AS n_small_lines
+  FROM l_bp JOIN a USING (l_partkey)
+  WHERE CAST(l_quantity AS BIGINT) * 5 * n_lines < sum_qty
+)
+SELECT small_qty_revenue, n_small_lines,
+       ROUND(CAST(small_qty_revenue / 7.0 AS DECIMAL(27,8)), 2)::DOUBLE
+         AS avg_yearly
+FROM s
+"""
+
+
+@register(
+    "small_quantity_revenue",
+    oracle=_SMALL_QTY_ORACLE,
+    doc="TPC-H Q17 shape (correlated per-part average): revenue from "
+    "lineitems whose quantity is under 20%% of that part's average, for "
+    "one brand. The correlated scalar subquery is rewritten as a grouped "
+    "aggregate joined back on partkey — the per-part stats are computed "
+    "over the SAME brand-filtered lineitems, so the fact table is scanned "
+    "once and both the brand part list and the per-part aggregate are "
+    "AQE-broadcastable (never forced: part is SF-scaled). The 0.2*avg "
+    "threshold is cross-multiplied to integers (5*qty*n < sum_qty, "
+    "quantities are integral) — no division, exact on both engines; the "
+    "single /7.0 runs once in double on the already-rounded sum.",
+)
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    bp = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#23")
+        .select("p_partkey")
+    )
+    l_bp = l.join(bp, l.l_partkey == bp.p_partkey).select(
+        "l_partkey", F.col("l_quantity").cast("long").alias("qty"), "l_extendedprice"
+    )
+    a = l_bp.groupBy("l_partkey").agg(
+        F.sum("qty").alias("sum_qty"), F.count(F.lit(1)).alias("n_lines")
+    )
+    s = (
+        l_bp.join(a, "l_partkey")
+        .filter(F.col("qty") * F.lit(5) * F.col("n_lines") < F.col("sum_qty"))
+        .agg(
+            dsum("l_extendedprice", "small_qty_revenue"),
+            F.count(F.lit(1)).alias("n_small_lines"),
+        )
+    )
+    return s.select(
+        "small_qty_revenue",
+        "n_small_lines",
+        dround(F.col("small_qty_revenue") / F.lit(7.0), 2).alias("avg_yearly"),
+    )
+
+
+_SOLE_RETURN_ORACLE = """
+WITH r AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+)
+SELECT s_name, COUNT(*)::BIGINT AS numwait
+FROM r l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
+@register(
+    "sole_return_supplier",
+    oracle=_SOLE_RETURN_ORACLE,
+    doc="TPC-H Q21 shape (EXISTS + NOT EXISTS on the same fact table): "
+    "suppliers who were the ONLY supplier with returned lines in a "
+    "multi-supplier order, counted per supplier, top 20. The reference "
+    "schema lacks commit/receipt dates, so 'failed' is l_returnflag='R'; "
+    "the relational shape is intact. Spark rewrites the two correlated "
+    "subqueries as ONE per-order aggregate (distinct-supplier count + "
+    "distinct-returning-supplier count) joined to the distinct returning "
+    "pairs — the fact table is scanned twice, never self-joined row-wise; "
+    "the quadratic EXISTS/NOT-EXISTS formulation survives as the oracle, "
+    "proving the rewrite. Top-20 plans as TakeOrderedAndProject.",
+)
+def sole_return_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ls = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    per_order = ls.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_ret_supp"),
+    )
+    blamed = (
+        ls.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .join(
+            per_order.filter(
+                (F.col("n_supp") > 1) & (F.col("n_ret_supp") == 1)
+            ).select("l_orderkey"),
+            "l_orderkey",
+        )
+    )
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        blamed.join(s, blamed.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
+_IDLE_BALANCE_ORACLE = f"""
+WITH pos AS (
+  SELECT SUM(CAST(c_acctbal AS DECIMAL(19,2))) AS tot,
+         COUNT(*)::BIGINT AS n_pos
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c_mktsegment, COUNT(*)::BIGINT AS n_customers,
+       {o_dsum('c_acctbal', 'total_acctbal')}
+FROM customer c, pos
+WHERE CAST(c_acctbal AS DECIMAL(19,2)) * n_pos > tot
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+GROUP BY 1
+"""
+
+
+@register(
+    "idle_customer_balance",
+    oracle=_IDLE_BALANCE_ORACLE,
+    doc="TPC-H Q22 shape (scalar subquery threshold + anti join): "
+    "customers whose balance exceeds the average positive balance and who "
+    "placed no order since 2000, grouped by market segment (the schema's "
+    "stand-in for Q22's phone country code). The scalar average joins in "
+    "as a broadcast 1-row aggregate; the threshold comparison is "
+    "cross-multiplied in DECIMAL(19,2) — p>=19 forces int128 in DuckDB "
+    "(CLAUDE.md int64-overflow invariant) and avoids any division — and "
+    "the no-recent-orders predicate is a LEFT ANTI join against the "
+    "date-filtered orders projection (filter pushed below the anti join).",
+)
+def idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    recent = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    pos = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            F.sum(F.col("c_acctbal").cast("decimal(19,2)")).alias("tot"),
+            F.count(F.lit(1)).alias("n_pos"),
+        )
+    )
+    return (
+        c.join(recent, c.c_custkey == recent.o_custkey, "left_anti")
+        .crossJoin(F.broadcast(pos))
+        .filter(F.col("c_acctbal").cast("decimal(19,2)") * F.col("n_pos") > F.col("tot"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum("c_acctbal", "total_acctbal"),
+        )
+    )

@@ -351,3 +351,57 @@ def test_bination_both_nation_aliases_broadcast(spark, sf_dir):
     assert "CartesianProduct" not in plan
     # decimal-exact revenue: the dsum detour accumulates in decimal
     assert "decimal(27," in plan
+
+
+def test_sole_return_supplier_take_ordered_no_self_join(spark, sf_dir):
+    """Q21 shape: the EXISTS/NOT-EXISTS pair is rewritten as ONE per-order
+    aggregate — the plan must contain no row-wise lineitem self-join (no
+    cartesian) and the top-20 must plan as TakeOrderedAndProject."""
+    df = build(spark, sf_dir, "sole_return_supplier")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert plans.has_partial_aggregation(df)
+
+
+def test_idle_customer_balance_anti_join_pushdown(spark, sf_dir):
+    """Q22 shape: the recent-orders date filter must push into the orders
+    scan BELOW the anti join; the scalar threshold rides a 1-row broadcast
+    (BroadcastNestedLoopJoin over a bounded aggregate, the allowed form)."""
+    df = build(spark, sf_dir, "idle_customer_balance")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "o_orderdate" in plans.pushed_filters(df)
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_small_quantity_revenue_integer_threshold(spark, sf_dir):
+    """Q17 shape: the 0.2*avg predicate must be the cross-multiplied
+    integer comparison (no division anywhere in the threshold), and the
+    brand filter must push into the part scan."""
+    df = build(spark, sf_dir, "small_quantity_revenue")
+    assert "p_brand" in plans.pushed_filters(df)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
+def test_pareto_orders_bucket_prune_then_tiny_merge(spark, sf_dir):
+    """Skyline: phase 1 windows over the synthetic hash bucket (64-way
+    parallel), and no cartesian/self-join anywhere — the quadratic
+    formulation lives only in the oracle."""
+    df = build(spark, sf_dir, "pareto_orders")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "xxhash64" in plan  # the uniform bucket key drives phase 1
+    # phase 2's global window runs AFTER the per-bucket prune, so the
+    # frame feeding it is the candidate set, not the raw table
+    assert plan.count("Window") >= 2
+
+
+def test_event_value_twap_single_window_pass(spark, sf_dir):
+    """TWAP: one entity-keyed lead() window, then a partial-aggregable
+    grouped sum — no second window pass, no content-key window."""
+    df = build(spark, sf_dir, "event_value_twap")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window") == 1
+    assert plans.has_partial_aggregation(df)
