@@ -1295,3 +1295,81 @@ def event_value_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("gap_s").alias("total_s"),
         dround(num.cast("double") / F.sum("gap_s"), 4).alias("twap"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust outliers: median / MAD (both histogram-pruned, never a group sort)
+# ---------------------------------------------------------------------------
+
+_MAD_ORACLE = """
+WITH r AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+), med AS (
+  SELECT event_type, MAX(CASE WHEN rn = FLOOR((n+1)/2) THEN value END) AS med
+  FROM r GROUP BY 1
+), d AS (
+  SELECT e.event_type, ABS(e.value - m.med) AS dev, m.med
+  FROM events e JOIN med m USING (event_type)
+), r2 AS (
+  SELECT event_type, dev,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dev) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM d
+), mad AS (
+  SELECT event_type, MAX(CASE WHEN rn = FLOOR((n+1)/2) THEN dev END) AS mad
+  FROM r2 GROUP BY 1
+)
+SELECT d.event_type, COUNT(*)::BIGINT AS n_events,
+       MAX(d.med) AS median_value,
+       MAX(mad.mad) AS mad,
+       SUM(CASE WHEN d.dev > 3 * mad.mad THEN 1 ELSE 0 END)::BIGINT
+         AS n_outliers
+FROM d JOIN mad USING (event_type)
+GROUP BY 1
+"""
+
+
+@register(
+    "events_robust_outliers",
+    oracle=_MAD_ORACLE,
+    doc="Robust outlier detection per event type: median / MAD (median "
+    "absolute deviation) instead of mean / stddev — the classic "
+    "Hampel-style robust z-score, immune to the outliers it is hunting. "
+    "Both medians are percentile_disc at integer rank floor((n+1)/2), "
+    "computed via histogram pruning (quantiles.rank_values_pruned — a "
+    "per-type whole-group sort would be 5 unsplittable tasks at scale; "
+    "CLAUDE.md aggregate-valued-quantile invariant); the 5-row median and "
+    "MAD tables broadcast back (bounded aggregates — hint allowed). "
+    "Float parity: |x-m| and 3*MAD are each ONE correctly-rounded IEEE "
+    "op, so the outlier threshold test is engine-exact; the oracle's "
+    "quadratic-free twin is the rank-window formulation, proving the "
+    "pruned decomposition.",
+)
+def events_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quantiles import rank_values_pruned
+
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    med = rank_values_pruned(
+        ev, "value", "event_type", [("med", 1, 1, 2)], bucket_width=25.0
+    ).select("event_type", "med")
+    d = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("dev")
+    )
+    mad = rank_values_pruned(
+        d, "dev", "event_type", [("mad", 1, 1, 2)], bucket_width=10.0
+    ).select("event_type", "mad")
+    return (
+        d.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("med").alias("median_value"),
+            F.max("mad").alias("mad"),
+            F.sum(
+                F.when(F.col("dev") > F.lit(3.0) * F.col("mad"), 1).otherwise(0)
+            ).alias("n_outliers"),
+        )
+    )

@@ -1183,3 +1183,135 @@ def idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("c_acctbal", "total_acctbal"),
         )
     )
+
+
+_MARKET_SHARE_ORACLE = """
+WITH t AS (
+  SELECT year(o_orderdate)::BIGINT AS o_year,
+         CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6)) AS vol,
+         sn.n_name AS supp_nation
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  JOIN region  r ON cn.n_regionkey = r.r_regionkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  WHERE r.r_name = 'ASIA' AND year(o_orderdate) BETWEEN 1996 AND 1997
+), a AS (
+  SELECT o_year, supp_nation, SUM(vol) AS nvol FROM t GROUP BY 1, 2
+)
+SELECT o_year, supp_nation,
+       ROUND(nvol, 2)::DOUBLE AS volume,
+       ROUND(CAST(nvol::DOUBLE / SUM(nvol) OVER (PARTITION BY o_year)::DOUBLE
+                  AS DECIMAL(27,8)), 6)::DOUBLE AS mkt_share
+FROM a
+"""
+
+
+@register(
+    "nation_market_share",
+    oracle=_MARKET_SHARE_ORACLE,
+    doc="TPC-H Q8 shape (the catalog's deepest join tree): every supplier "
+    "nation's share of the ASIA customer market per year — lineitem x "
+    "orders x supplier x customer x nation(x2 aliases) x region, six "
+    "joins. Region + both nation instances broadcast (bounded dims); the "
+    "region and year filters push down so the fact join tree is pruned "
+    "before the big shuffles; generalized from Q8's single-nation scalar "
+    "to a per-nation share so the result is non-degenerate at every SF. "
+    "The share divides two EXACT decimal sums once in double over the "
+    "ALREADY-AGGREGATED (year, nation) rows — an empty-frame window over "
+    "~50 rows, never a second fact scan (nation_revenue_share pattern).",
+)
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate").between(1996, 1997)
+    )
+    s = load(spark, sf_dir, "supplier")
+    c = load(spark, sf_dir, "customer")
+    cn = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    sn = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    r = (
+        load(spark, sf_dir, "region")
+        .filter(F.col("r_name") == "ASIA")
+        .select("r_regionkey")
+    )
+    vol = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    a = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), c.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("cn_region") == F.col("r_regionkey"))
+        .join(F.broadcast(sn), s.s_nationkey == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"), "supp_nation")
+        .agg(F.sum(vol.cast("decimal(27,6)")).alias("nvol"))
+    )
+    wy = Window.partitionBy("o_year")
+    return a.select(
+        F.col("o_year").cast("long").alias("o_year"),
+        "supp_nation",
+        F.round(F.col("nvol"), 2).cast("double").alias("volume"),
+        dround(
+            F.col("nvol").cast("double") / F.sum("nvol").over(wy).cast("double"), 6
+        ).alias("mkt_share"),
+    )
+
+
+_TOP_SUPPLIER_ORACLE = """
+WITH rev AS (
+  SELECT l_suppkey,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6)))
+           AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY 1
+)
+SELECT s_suppkey, s_name, ROUND(total_rev, 2)::DOUBLE AS total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+"""
+
+
+@register(
+    "top_revenue_supplier",
+    oracle=_TOP_SUPPLIER_ORACLE,
+    doc="TPC-H Q15 shape (view + scalar MAX subquery, ties preserved): "
+    "supplier(s) achieving the maximum Q1-1996 revenue. The revenue "
+    "'view' aggregates once; the max rides back as a broadcast 1-row "
+    "aggregate and the equality test runs on the UNROUNDED exact decimal "
+    "(rounding first could merge near-ties — Q15 keeps all true ties, "
+    "and decimal equality is partitioning-independent where a double sum "
+    "is not). The supplier dimension joins AFTER the max filter, so only "
+    "the winning row(s) reach it; shipdate range pushes into the scan.",
+)
+def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = l.groupBy("l_suppkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast(
+                "decimal(27,6)"
+            )
+        ).alias("total_rev")
+    )
+    mx = rev.agg(F.max("total_rev").alias("max_rev"))
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("max_rev"))
+        .join(s, rev.l_suppkey == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round("total_rev", 2).cast("double").alias("total_revenue"),
+        )
+    )

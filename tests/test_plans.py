@@ -405,3 +405,38 @@ def test_event_value_twap_single_window_pass(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Window") == 1
     assert plans.has_partial_aggregation(df)
+
+
+def test_nation_market_share_dims_broadcast_filters_pushed(spark, sf_dir):
+    """Q8 shape: region + both nation aliases broadcast; the year range
+    pushes into the orders scan so the six-join tree prunes first."""
+    df = build(spark, sf_dir, "nation_market_share")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastExchange") >= 3
+    assert "CartesianProduct" not in plan
+    assert "o_orderdate" in plans.pushed_filters(df)
+    assert "r_name" in plans.pushed_filters(df)
+
+
+def test_top_revenue_supplier_max_filters_before_dim_join(spark, sf_dir):
+    """Q15 shape: shipdate range pushed; the scalar max rides a 1-row
+    broadcast; supplier joins after the filter (no full-dim scan wasted)."""
+    df = build(spark, sf_dir, "top_revenue_supplier")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "l_shipdate" in plans.pushed_filters(df)
+    # Catalyst converts the 1-row crossJoin + equality filter into an
+    # equi BroadcastHashJoin on max_rev — assert the broadcast, not the
+    # nested-loop form
+    assert "max_rev" in plan and plan.count("BroadcastExchange") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_events_robust_outliers_pruned_medians_broadcast_back(spark, sf_dir):
+    """MAD: both medians go through histogram pruning (no whole-group
+    content-window over raw values feeding the output) and the 5-row
+    median/MAD aggregates broadcast back to the fact scan."""
+    df = build(spark, sf_dir, "events_robust_outliers")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastExchange") >= 2
+    assert "CartesianProduct" not in plan
+    assert plans.has_partial_aggregation(df)
