@@ -188,6 +188,15 @@ HEADLINE = [
     # apriori triples + blocked entity resolution (oracle-gated)
     "part_affinity_triples",
     "part_name_linkage",
+    # TPC-H hard shapes + skyline/TWAP/MAD (oracle-gated)
+    "small_quantity_revenue",
+    "sole_return_supplier",
+    "idle_customer_balance",
+    "nation_market_share",
+    "top_revenue_supplier",
+    "pareto_orders",
+    "event_value_twap",
+    "events_robust_outliers",
 ]
 
 
