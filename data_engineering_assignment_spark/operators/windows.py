@@ -391,3 +391,61 @@ def trailing_agg_bucketed(
         f"_{p}{j}" for j in vr for p in ("v", "ts", "hs", "ms", "tq", "hq", "mq")
     ]
     return out.drop(*drop)
+
+
+def lead_ts_bucketed(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    tie_cols: list[str],
+    bucket_s: int = 3600,
+) -> DataFrame:
+    """Per-row NEXT-event timestamp under the (ts, tie) total order — the
+    100 TB formulation of ``F.lead(ts).over(partitionBy(key).orderBy(ts,
+    tie))`` for LOW-CARDINALITY keys.
+
+    The flat lead() window sorts each key's ENTIRE history in one
+    unsplittable task (the events table has 5 event types — 5-way maximum
+    parallelism at any cluster size, the same class the bucketed z-score
+    decomposition retired). Decomposed exactly:
+
+      * within-bucket — lead() over (key, time-bucket) partitions, each
+        bounded by one bucket's occupancy;
+      * boundary — the last row of each bucket takes the FIRST (min
+        (ts, tie) struct) of the key's next non-empty bucket, computed by
+        a lead() over the per-(key, bucket) AGGREGATE table (one row per
+        non-empty bucket — empty buckets simply aren't rows, so "next
+        non-empty" is just the next row) and equi-joined back.
+
+    Exact for any bucket width: every row's successor is either in its own
+    bucket or is the first row of the next non-empty bucket. Output: df +
+    ``_next_ts`` (NULL for each key's last row). Ties in ``ts_col`` are
+    ordered by ``tie_cols`` (pass the FULL-precision timestamp first when
+    ``ts_col`` is a truncated epoch: (ts_s, ts, id) sorts identically to
+    the oracle's (ts, id) because the truncation is monotone, and gap
+    attribution among same-second rows depends on it), so the
+    decomposition is deterministic at any partitioning (CLAUDE.md
+    tie-broken-total-order invariant).
+    """
+    from pyspark.sql import Window
+
+    t = F.col(ts_col)
+    e = df.withColumn(
+        "_lb", (t - F.pmod(t, F.lit(bucket_s))) / bucket_s
+    ).withColumn("_lb", F.col("_lb").cast("long"))
+    win = Window.partitionBy(key_col, "_lb").orderBy(ts_col, *tie_cols)
+    within = e.withColumn("_wnext", F.lead(ts_col).over(win))
+    firsts = e.groupBy(key_col, "_lb").agg(
+        F.min(F.struct(ts_col, *tie_cols)).alias("_first")
+    )
+    wk = Window.partitionBy(key_col).orderBy("_lb")
+    nexts = firsts.select(
+        key_col,
+        "_lb",
+        F.lead(f"_first.{ts_col}").over(wk).alias("_bnext"),
+    )
+    return (
+        within.join(nexts, [key_col, "_lb"], "left")
+        .withColumn("_next_ts", F.coalesce("_wnext", "_bnext"))
+        .drop("_lb", "_wnext", "_bnext")
+    )

@@ -1270,14 +1270,22 @@ GROUP BY 1
     doc="Time-weighted average value per event type (the TWAP/TWA "
     "operator: each observation holds until the next one, so its weight "
     "is the duration of its segment; the last observation carries no "
-    "weight). One lead() over an entity-keyed window builds the segment "
-    "lengths; the weighted sum is EXACT — decimal value x integer "
-    "seconds — with the single division done once in double at the end "
-    "(cancellation-free, CLAUDE.md float-parity discipline). Tie-broken "
-    "total order (ts, event_id) so segment attribution is deterministic "
-    "under any partitioning.",
+    "weight). The segment lengths come from windows.lead_ts_bucketed — a "
+    "flat lead() would sort each event type's ENTIRE history in one task "
+    "(5 types = 5-way maximum parallelism at any cluster size, the class "
+    "the bucketed z-score retired); the decomposition bounds every window "
+    "partition by one time bucket's occupancy and resolves boundaries "
+    "over the tiny per-bucket aggregate, EXACTLY — the oracle stays the "
+    "flat window, proving it. The weighted sum is exact — decimal value "
+    "x integer seconds — with the single division done once in double at "
+    "the end (cancellation-free, CLAUDE.md float-parity discipline). "
+    "Tie-broken total order (ts_s, ts, event_id) == the oracle's (ts, "
+    "event_id) since the second-truncation is monotone — same-second gap "
+    "attribution depends on it.",
 )
 def event_value_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.windows import lead_ts_bucketed
+
     ev = load(spark, sf_dir, "events").select(
         "event_type",
         "event_id",
@@ -1285,9 +1293,10 @@ def event_value_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_timestamp("ts").alias("ts_s"),
         "ts",
     )
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
-    g = ev.withColumn("gap_s", F.lead("ts_s").over(w) - F.col("ts_s")).filter(
-        F.col("gap_s").isNotNull()
+    g = (
+        lead_ts_bucketed(ev, "event_type", "ts_s", ["ts", "event_id"], 3600)
+        .withColumn("gap_s", F.col("_next_ts") - F.col("ts_s"))
+        .filter(F.col("gap_s").isNotNull())
     )
     num = F.sum(F.col("value").cast("decimal(27,6)") * F.col("gap_s"))
     return g.groupBy("event_type").agg(
@@ -1352,14 +1361,17 @@ def events_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.quantiles import rank_values_pruned
 
     ev = load(spark, sf_dir, "events").select("event_type", "value")
+    # narrow buckets keep the resolve-stage windows small: values
+    # concentrate near the median (heavy right tail), so a wide bucket
+    # would put ~20% of each type's rows into the one resolved bucket
     med = rank_values_pruned(
-        ev, "value", "event_type", [("med", 1, 1, 2)], bucket_width=25.0
+        ev, "value", "event_type", [("med", 1, 1, 2)], bucket_width=5.0
     ).select("event_type", "med")
     d = ev.join(F.broadcast(med), "event_type").select(
         "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("dev")
     )
     mad = rank_values_pruned(
-        d, "dev", "event_type", [("mad", 1, 1, 2)], bucket_width=10.0
+        d, "dev", "event_type", [("mad", 1, 1, 2)], bucket_width=2.0
     ).select("event_type", "mad")
     return (
         d.join(F.broadcast(mad), "event_type")

@@ -1102,22 +1102,23 @@ def sole_return_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ls = load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_returnflag"
     )
-    per_order = ls.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(
-            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-        ).alias("n_ret_supp"),
-    )
-    blamed = (
-        ls.filter(F.col("l_returnflag") == "R")
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
-        .join(
-            per_order.filter(
-                (F.col("n_supp") > 1) & (F.col("n_ret_supp") == 1)
-            ).select("l_orderkey"),
-            "l_orderkey",
+    # one map-side-combinable pass builds the distinct (order, supplier)
+    # pair table with a returned flag; both downstream shapes reuse its
+    # l_orderkey exchange (a two-countDistinct agg would Expand the fact
+    # rows 2x before the shuffle — measured 2.90x/decade vs 2.3x here)
+    pairs = ls.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias(
+            "has_r"
         )
+    )
+    per_order = pairs.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"), F.sum("has_r").alias("n_ret_supp")
+    )
+    blamed = pairs.filter(F.col("has_r") == 1).join(
+        per_order.filter(
+            (F.col("n_supp") > 1) & (F.col("n_ret_supp") == 1)
+        ).select("l_orderkey"),
+        "l_orderkey",
     )
     s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (

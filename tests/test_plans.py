@@ -398,12 +398,20 @@ def test_pareto_orders_bucket_prune_then_tiny_merge(spark, sf_dir):
     assert plan.count("Window") >= 2
 
 
-def test_event_value_twap_single_window_pass(spark, sf_dir):
-    """TWAP: one entity-keyed lead() window, then a partial-aggregable
-    grouped sum — no second window pass, no content-key window."""
+def test_event_value_twap_bucketed_lead_no_flat_type_window(spark, sf_dir):
+    """TWAP: the lead decomposition must window over (event_type, _lb)
+    bucket partitions plus the per-bucket AGGREGATE — never a flat window
+    partitioned by event_type alone over the raw rows (5 types = 5-way
+    max parallelism at any scale)."""
     df = build(spark, sf_dir, "event_value_twap")
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Window") == 1
+    # both window passes carry the bucket column in their partition spec
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    raw_specs = [s for s in specs if "_lb" not in s]
+    assert not raw_specs, raw_specs  # every window spec is bucket-scoped
+    assert plan.count("Window") >= 2
     assert plans.has_partial_aggregation(df)
 
 

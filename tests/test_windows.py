@@ -364,3 +364,41 @@ def test_trailing_agg_bucketed_null_values(spark):
         for r in trailing_agg_bucketed(df, 3600, n_buckets=60).collect()
     }
     assert flat == got
+
+
+def test_lead_ts_bucketed_matches_flat_lead(spark):
+    """The bucketed next-event decomposition is bit-identical to the flat
+    lead() window — including same-second ties (ordered by the tie cols),
+    empty buckets between events, and each key's last row (NULL)."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from data_engineering_assignment_spark.operators.windows import (
+        lead_ts_bucketed,
+    )
+
+    rng = random.Random(3)
+    rows = []
+    for i in range(400):
+        key = rng.choice(["a", "b", "c"])
+        # cluster timestamps so some buckets are dense, some empty, and
+        # ties (same ts) occur within a key
+        ts = rng.choice([100, 101, 5000, 5000, 86400 * 3, 90000]) + rng.randrange(50)
+        rows.append((key, ts, i))
+    df = spark.createDataFrame(rows, "k string, ts_s long, id long")
+
+    w = Window.partitionBy("k").orderBy("ts_s", "id")
+    flat = {
+        (r.k, r.id): r.nxt
+        for r in df.withColumn("nxt", F.lead("ts_s").over(w)).collect()
+    }
+    for nparts in (1, 7):
+        got = {
+            (r.k, r.id): r._next_ts
+            for r in lead_ts_bucketed(
+                df.repartition(nparts), "k", "ts_s", ["id"], bucket_s=3600
+            ).collect()
+        }
+        assert got == flat, nparts
