@@ -197,6 +197,7 @@ HEADLINE = [
     "pareto_orders",
     "event_value_twap",
     "events_robust_outliers",
+    "part_copurchase_kcore",
 ]
 
 

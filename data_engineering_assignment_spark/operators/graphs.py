@@ -192,3 +192,66 @@ def triangle_counts(edges: DataFrame, top_k: int = 15) -> DataFrame:
         .orderBy(F.col("triangles").desc(), "node")
         .limit(top_k)
     )
+
+
+def kcore_peel_counts(
+    edges: DataFrame, k: int, rounds: int = 4
+) -> DataFrame:
+    """One summary row of ``rounds`` synchronous k-core peeling rounds
+    (Seidman 1983 cores; the Batagelj–Zaversnik peel run a fixed number of
+    synchronized rounds, the distributed formulation): each round keeps
+    nodes whose degree in the CURRENT induced subgraph is >= k, then
+    induces the subgraph on the survivors.
+
+    All arithmetic is integer counting, so a round-unrolled SQL oracle
+    reproduces every round bit-exactly (the pagerank_integer discipline —
+    fixed iteration count, no convergence test, no float surface). Each
+    round is two semi-joins (induce on survivors) + one degree aggregate;
+    the per-round survivor table is localCheckpointed because it fans out
+    to BOTH the round's count and the next round's joins (the
+    bloom_decontaminate wide-fanout note), while ``bi`` is checkpointed
+    once up front. Node tables are SF-scaled, so the semi-joins stay
+    size-based for AQE — never force-broadcast.
+
+    Output columns: ``n_nodes_total``, ``nodes_r1..nodes_r<rounds>``
+    (survivors after each round), ``core_arcs`` (directed arc count of the
+    final induced subgraph — 2x the undirected edge count).
+    """
+    bi = (
+        edges.select("u", "v")
+        .unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .localCheckpoint(eager=False)
+    )
+    nodes = bi.select(F.col("u").alias("node")).distinct().localCheckpoint(
+        eager=False
+    )
+    counts = [nodes.agg(F.count(F.lit(1)).alias("n_nodes_total"))]
+    cur_nodes = nodes
+    cur_edges = bi
+    for i in range(1, rounds + 1):
+        if i == 1:
+            # round 0's survivor set is every node — the induce is the
+            # identity; the oracle's e1 = bi likewise
+            cur_edges = bi
+        else:
+            nu = cur_nodes.select(F.col("node").alias("u"))
+            nv = cur_nodes.select(F.col("node").alias("v"))
+            cur_edges = bi.join(nu, "u", "left_semi").join(
+                nv, "v", "left_semi"
+            )
+        cur_nodes = (
+            cur_edges.groupBy("u")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select(F.col("u").alias("node"))
+            .localCheckpoint(eager=False)
+        )
+        counts.append(cur_nodes.agg(F.count(F.lit(1)).alias(f"nodes_r{i}")))
+    fu = cur_nodes.select(F.col("node").alias("u"))
+    fv = cur_nodes.select(F.col("node").alias("v"))
+    core = cur_edges.join(fu, "u", "left_semi").join(fv, "v", "left_semi")
+    counts.append(core.agg(F.count(F.lit(1)).alias("core_arcs")))
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.crossJoin(c)
+    return out

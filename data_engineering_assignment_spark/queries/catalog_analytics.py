@@ -1385,3 +1385,70 @@ def events_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_outliers"),
         )
     )
+
+
+def _kcore_oracle(k: int, rounds: int, min_pair: int) -> str:
+    """Round-unrolled k-core peel over the part co-purchase graph — every
+    CTE repeats the engine's exact integer degree counting (the
+    _pagerank_oracle discipline). The pair CTE is the quadratic basket
+    self-join the Spark side replaces with in-row enumeration
+    (operators/affinity), doubling as that rewrite's cross-proof."""
+    ctes = [
+        f"""pairs AS (
+  SELECT a.l_orderkey, a.l_partkey AS p1, b.l_partkey AS p2
+  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), edges AS (
+  SELECT p1 AS u, p2 AS v FROM pairs GROUP BY 1, 2 HAVING COUNT(*) >= {min_pair}
+), bi AS (SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges),
+n0 AS (SELECT DISTINCT u AS node FROM bi)"""
+    ]
+    prev_e, prev_n = "bi", "n0"
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"""e{i} AS (
+  SELECT b.u, b.v FROM {prev_e} b
+  WHERE b.u IN (SELECT node FROM {prev_n})
+    AND b.v IN (SELECT node FROM {prev_n})
+), n{i} AS (
+  SELECT u AS node FROM e{i} GROUP BY u HAVING COUNT(*) >= {k}
+)"""
+        )
+        prev_e, prev_n = f"e{i}", f"n{i}"
+    sel = ", ".join(
+        f"(SELECT COUNT(*) FROM n{i})::BIGINT AS nodes_r{i}"
+        for i in range(1, rounds + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT (SELECT COUNT(*) FROM n0)::BIGINT AS n_nodes_total, {sel},
+       (SELECT COUNT(*) FROM e{rounds}
+        WHERE u IN (SELECT node FROM n{rounds})
+          AND v IN (SELECT node FROM n{rounds}))::BIGINT AS core_arcs
+"""
+    )
+
+
+@register(
+    "part_copurchase_kcore",
+    oracle=_kcore_oracle(4, 4, 2),
+    doc="k-core peeling (Seidman 1983; Batagelj-Zaversnik run as 4 "
+    "synchronous distributed rounds) on the part co-purchase graph: each "
+    "round keeps nodes with induced degree >= 4 (graphs.kcore_peel_counts "
+    "— two semi-joins + one degree aggregate per round, integer-only, so "
+    "the round-unrolled SQL oracle is bit-exact; survivor tables "
+    "localCheckpointed for their count+join fan-out, semi-joins left "
+    "size-based for AQE). At sf0.01 the peel is non-trivial "
+    "(1880 -> 865 -> 505 -> 245 -> 74 nodes); at sf0.001 the sparser "
+    "catalog makes the graph complete enough that nothing peels — "
+    "degenerate but still oracle-exact (the part_affinity_triples "
+    "SF-sensitivity precedent).",
+)
+def part_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graphs import kcore_peel_counts, part_pair_edges
+
+    edges = part_pair_edges(load(spark, sf_dir, "lineitem"), min_pair_count=2)
+    return kcore_peel_counts(edges, k=4, rounds=4)

@@ -123,3 +123,37 @@ def test_plan_shapes(spark, sf_dir):
     )
     assert "TakeOrderedAndProject" in pr_plan
     assert "CartesianProduct" not in pr_plan
+
+
+def test_kcore_peel_hand_computed(spark):
+    """Triangle {1,2,3} + pendant 4-1 + path 5-4: the 2-core is exactly the
+    triangle; round 1 peels {5}, round 2 peels {4}, then fixpoint."""
+    from data_engineering_assignment_spark.operators.graphs import (
+        kcore_peel_counts,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (1, 4), (4, 5)], "u long, v long"
+    )
+    row = kcore_peel_counts(edges, k=2, rounds=3).collect()[0]
+    assert row.n_nodes_total == 5
+    assert row.nodes_r1 == 4  # 5 has degree 1 -> peeled
+    assert row.nodes_r2 == 3  # 4 drops to degree 1 once 5 is gone
+    assert row.nodes_r3 == 3  # fixpoint: the triangle survives
+    assert row.core_arcs == 6  # 3 undirected edges x 2 directions
+
+
+def test_kcore_rounds_monotone_property(spark):
+    """Survivor counts never increase across rounds, and a complete graph
+    never peels below k+1 nodes."""
+    import itertools
+
+    from data_engineering_assignment_spark.operators.graphs import (
+        kcore_peel_counts,
+    )
+
+    k5 = list(itertools.combinations(range(5), 2))
+    edges = spark.createDataFrame(k5, "u long, v long")
+    row = kcore_peel_counts(edges, k=4, rounds=3).collect()[0]
+    assert row.n_nodes_total == row.nodes_r1 == row.nodes_r2 == row.nodes_r3 == 5
+    assert row.core_arcs == 20
