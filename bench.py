@@ -198,6 +198,7 @@ HEADLINE = [
     "event_value_twap",
     "events_robust_outliers",
     "part_copurchase_kcore",
+    "cheapest_supplier_per_part",
 ]
 
 

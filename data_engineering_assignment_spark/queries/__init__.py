@@ -51,15 +51,16 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # rp_recall_telemetry + small_quantity_revenue + sole_return_supplier +
 # idle_customer_balance + pareto_orders + event_value_twap +
 # events_robust_outliers + nation_market_share + top_revenue_supplier +
-# part_copurchase_kcore): the 31 never-checked queries (each also
-# oracle-rehearsed locally at sf0.001 AND sf0.01);
+# part_copurchase_kcore + cheapest_supplier_per_part): the 32
+# never-checked queries (each also oracle-rehearsed locally at sf0.001
+# AND sf0.01);
 # the 3 whose implementation changed this round (fused multi-order hash
 # stream + aggregated checkpoint: dsir_affinity_top64; native color
 # path + color round-trip columns: jpeg_decode_stats; new jc_*.jpg
 # fixtures in the digest glob: binary_media_inventory — cosine_topk_pq
 # also saw a pure helper-extraction refactor, excluded because its
 # oracle re-verified locally at sf0.001 AND sf0.01 this session with
-# byte-identical output and the full suite is green); 15 of the 40
+# byte-identical output and the full suite is green); 14 of the 40
 # r5-checked queries (pricing_summary yields its slot — it is pinned by
 # entry(), the plan tests and the local suite, the strongest non-driver
 # coverage in the catalog; vocab_encode_stats, vocab_top64,
@@ -70,10 +71,12 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # event_interarrival_stats, events_anomaly_zscore,
 # distinct_status_priority, doc_simhash, events_hourly,
 # nation_presence_full_outer, order_price_histogram, doc_regex_tokens,
-# embedding_quantize_stats, event_transitions and docs_hash_sample
+# embedding_quantize_stats, event_transitions, docs_hash_sample
 # (pinned via the llmprep sampling property tests and the
-# training_corpus_build shared path) yield theirs to
-# the twenty-four late-r8 queries — the as-of operator stays
+# training_corpus_build shared path) and dedup_ngram_jaccard (pinned
+# via the dedup suite; the prefix/minhash/containment family keeps
+# four head slots) yield theirs to
+# the twenty-five late-r8 queries — the as-of operator stays
 # head-covered via purchase_prior_state_pit, the plus-minus pipeline via
 # plusminus_player_stats, the z-score decomposition via its r7-checked
 # bucketed variant, simhash via simhash_hamming_pairs' unit pins, the
@@ -118,13 +121,13 @@ DRIVER_SAMPLE_HEAD: tuple[str, ...] = (
     "nation_market_share",
     "top_revenue_supplier",
     "part_copurchase_kcore",
+    "cheapest_supplier_per_part",
     # implementation changed this round (green history doesn't cover it)
     "dsir_affinity_top64",
     "jpeg_decode_stats",
     "binary_media_inventory",
     # last checked r5 (all 40)
     "data_mix_by_source",
-    "dedup_ngram_jaccard",
     "doc_tfidf_top_terms",
     "embedding_near_dup",
     "events_sessionize",

@@ -1316,3 +1316,66 @@ def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("total_rev", 2).cast("double").alias("total_revenue"),
         )
     )
+
+
+_CHEAPEST_SUPPLIER_ORACLE = """
+WITH pp AS (SELECT p_partkey, p_name FROM part WHERE p_size <= 5),
+am AS (
+  SELECT l_partkey,
+         MIN({'up': l_extendedprice / l_quantity, 'sk': l_suppkey}) AS m
+  FROM lineitem JOIN pp ON l_partkey = p_partkey
+  GROUP BY 1
+)
+SELECT am.l_partkey AS p_partkey, pp.p_name,
+       ROUND(CAST(m.up AS DECIMAL(27,8)), 4)::DOUBLE AS min_unit_price,
+       m.sk AS s_suppkey, s_name
+FROM am JOIN pp ON am.l_partkey = pp.p_partkey
+JOIN supplier ON m.sk = s_suppkey
+"""
+
+
+@register(
+    "cheapest_supplier_per_part",
+    oracle=_CHEAPEST_SUPPLIER_ORACLE,
+    doc="TPC-H Q2 shape (min-cost correlated subquery with tie rule): for "
+    "each small part, the supplier observed at the minimum unit price. "
+    "The correlated MIN + re-join collapses to ONE struct-min aggregate — "
+    "MIN of a struct is lexicographic on both engines (CLAUDE.md argmin "
+    "invariant), so (unit_price, suppkey) encodes value + deterministic "
+    "tie-break in a single pass with no second argmax window and no "
+    "re-join on the min value. unit_price is one IEEE division (exact "
+    "cross-engine for ranking; dround only on display); the size filter "
+    "pushes into the part scan and the supplier dim joins AFTER the "
+    "argmin, seeing one row per part.",
+)
+def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pp = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_size") <= 5)
+        .select("p_partkey", "p_name")
+    )
+    l = load(spark, sf_dir, "lineitem")
+    am = (
+        l.join(pp, l.l_partkey == pp.p_partkey)
+        .groupBy("l_partkey")
+        .agg(
+            F.min(
+                F.struct(
+                    (F.col("l_extendedprice") / F.col("l_quantity")).alias("up"),
+                    F.col("l_suppkey").alias("sk"),
+                )
+            ).alias("m")
+        )
+    )
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        am.join(pp, am.l_partkey == pp.p_partkey)
+        .join(s, F.col("m.sk") == s.s_suppkey)
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "p_name",
+            dround(F.col("m.up"), 4).alias("min_unit_price"),
+            F.col("m.sk").alias("s_suppkey"),
+            "s_name",
+        )
+    )
