@@ -448,3 +448,98 @@ def running_anomaly_flags(
     return stream.groupBy(key_col).applyInPandasWithState(
         update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def streaming_twap(
+    stream: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming twin of the batch ``event_value_twap``: per key, the
+    time-weighted average over all CLOSED segments seen so far (each
+    observation holds until the next one arrives; the still-open last
+    segment carries no weight — exactly the batch semantics, where the
+    final event is excluded).
+
+    State per key is O(1): the open segment's (ts_seconds, value-in-cents)
+    plus integer accumulators (cents x seconds numerator, seconds
+    denominator, segment count). Values are held in integer cents so the
+    accumulation is EXACT — the float division happens once per emission,
+    mirroring the batch decimal discipline. Within a micro-batch rows are
+    sorted by (ts, id); across batches events are assumed to arrive in
+    event-time order (the running-totals twins' assumption — a late event
+    would need watermarked reordering upstream).
+
+    Emits (key, n_segments, total_s, twap) per touched key per batch in
+    update mode; the last emission per key is the stream total.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("key", StringType()),
+            StructField("n_segments", LongType()),
+            StructField("total_s", LongType()),
+            StructField("twap", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("last_ts", LongType()),
+            StructField("last_cents", LongType()),
+            StructField("num", LongType()),  # cents * seconds
+            StructField("den", LongType()),  # seconds
+            StructField("n_seg", LongType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.exists:
+            last_ts, last_cents, num, den, n_seg = state.get
+        else:
+            last_ts, last_cents, num, den, n_seg = None, None, 0, 0, 0
+        import numpy as np
+
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values([ts_col, id_col])
+            ts_s = (pdf[ts_col].astype("int64") // 1_000_000_000).to_numpy()
+            cents = (
+                (pdf[value_col].astype("float64") * 100.0).round().astype("int64")
+            ).to_numpy()
+            # one vectorized pass: seed the diff with the open segment
+            if last_ts is not None:
+                ts_s = np.concatenate(([last_ts], ts_s))
+                cents = np.concatenate(([last_cents], cents))
+            if len(ts_s) >= 2:
+                gaps = np.diff(ts_s)
+                num += int((cents[:-1] * gaps).sum())
+                den += int(gaps.sum())
+                n_seg += len(gaps)
+            last_ts, last_cents = int(ts_s[-1]), int(cents[-1])
+        state.update((last_ts, last_cents, num, den, n_seg))
+        twap = (num / 100.0) / den if den else None
+        yield pd.DataFrame(
+            {
+                "key": [key[0]],
+                "n_segments": [n_seg],
+                "total_s": [den],
+                "twap": [twap],
+            }
+        )
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

@@ -637,3 +637,70 @@ def test_streaming_incremental_semantic_dedup_matches_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM inc_sem_stream").collect()
     }
     assert got == want
+
+
+def test_streaming_twap_matches_batch_across_batches(spark, tmp_path):
+    """Streaming TWAP accumulates closed segments across micro-batches and
+    matches the batch lead()-window formulation exactly (integer cents x
+    seconds state; the open last segment carries no weight)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path / "twap")
+    rows0 = [
+        (1, datetime(2024, 1, 1, 0, 0, 0), "a", 10.00),
+        (2, datetime(2024, 1, 1, 0, 0, 30), "a", 20.00),
+        (3, datetime(2024, 1, 1, 0, 0, 30), "a", 30.00),  # same-second tie
+        (4, datetime(2024, 1, 1, 0, 1, 0), "b", 5.50),
+    ]
+    rows1 = [
+        (5, datetime(2024, 1, 1, 0, 2, 0), "a", 40.00),  # closes batch-0's open seg
+        (6, datetime(2024, 1, 1, 0, 3, 0), "b", 7.25),
+        (7, datetime(2024, 1, 1, 0, 4, 0), "b", 1.00),
+    ]
+    schema = "event_id bigint, ts timestamp, event_type string, value double"
+    spark.createDataFrame(rows0, schema).coalesce(1).write.parquet(d)
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("append").parquet(d)
+
+    # batch truth: lead() per type ordered by (ts, event_id)
+    batch = spark.read.parquet(d)
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    g = (
+        batch.withColumn("ts_s", F.unix_timestamp("ts"))
+        .withColumn("gap_s", F.lead("ts_s").over(w) - F.col("ts_s"))
+        .filter(F.col("gap_s").isNotNull())
+    )
+    truth = {
+        r.event_type: (r.n, r.tot, r.twap)
+        for r in g.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("gap_s").alias("tot"),
+            (
+                F.sum(F.col("value") * F.col("gap_s")) / F.sum("gap_s")
+            ).alias("twap"),
+        )
+        .collect()
+    }
+
+    src = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    out = st.run_available_now(st.streaming_twap(src), output_mode="update")
+    final = {
+        r.key: r
+        for r in out.groupBy("key")
+        .agg(
+            F.max("n_segments").alias("n_segments"),
+            F.max("total_s").alias("total_s"),
+            F.max_by("twap", "n_segments").alias("twap"),
+        )
+        .collect()
+    }
+    assert set(final) == set(truth)
+    for k, (n, tot, twap) in truth.items():
+        assert final[k].n_segments == n, k
+        assert final[k].total_s == tot, k
+        assert abs(final[k].twap - twap) < 1e-9, k
