@@ -199,6 +199,7 @@ HEADLINE = [
     "events_robust_outliers",
     "part_copurchase_kcore",
     "cheapest_supplier_per_part",
+    "token_collocations",
 ]
 
 

@@ -51,16 +51,16 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # rp_recall_telemetry + small_quantity_revenue + sole_return_supplier +
 # idle_customer_balance + pareto_orders + event_value_twap +
 # events_robust_outliers + nation_market_share + top_revenue_supplier +
-# part_copurchase_kcore + cheapest_supplier_per_part): the 32
-# never-checked queries (each also oracle-rehearsed locally at sf0.001
-# AND sf0.01);
+# part_copurchase_kcore + cheapest_supplier_per_part +
+# token_collocations): the 33 never-checked queries (each also
+# oracle-rehearsed locally at sf0.001 AND sf0.01);
 # the 3 whose implementation changed this round (fused multi-order hash
 # stream + aggregated checkpoint: dsir_affinity_top64; native color
 # path + color round-trip columns: jpeg_decode_stats; new jc_*.jpg
 # fixtures in the digest glob: binary_media_inventory — cosine_topk_pq
 # also saw a pure helper-extraction refactor, excluded because its
 # oracle re-verified locally at sf0.001 AND sf0.01 this session with
-# byte-identical output and the full suite is green); 14 of the 40
+# byte-identical output and the full suite is green); 13 of the 40
 # r5-checked queries (pricing_summary yields its slot — it is pinned by
 # entry(), the plan tests and the local suite, the strongest non-driver
 # coverage in the catalog; vocab_encode_stats, vocab_top64,
@@ -75,8 +75,9 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # (pinned via the llmprep sampling property tests and the
 # training_corpus_build shared path) and dedup_ngram_jaccard (pinned
 # via the dedup suite; the prefix/minhash/containment family keeps
-# four head slots) yield theirs to
-# the twenty-five late-r8 queries — the as-of operator stays
+# four head slots) and nation_revenue_share (pinned via plan tests;
+# events_sessionize stays — it is catalog_events' module-coverage
+# representative) yield theirs to the twenty-six late-r8 queries — the as-of operator stays
 # head-covered via purchase_prior_state_pit, the plus-minus pipeline via
 # plusminus_player_stats, the z-score decomposition via its r7-checked
 # bucketed variant, simhash via simhash_hamming_pairs' unit pins, the
@@ -122,6 +123,7 @@ DRIVER_SAMPLE_HEAD: tuple[str, ...] = (
     "top_revenue_supplier",
     "part_copurchase_kcore",
     "cheapest_supplier_per_part",
+    "token_collocations",
     # implementation changed this round (green history doesn't cover it)
     "dsir_affinity_top64",
     "jpeg_decode_stats",
@@ -136,7 +138,6 @@ DRIVER_SAMPLE_HEAD: tuple[str, ...] = (
     "lang_source_chisq",
     "median_price_by_priority",
     "nation_rank_top2",
-    "nation_revenue_share",
     "order_price_distribution",
     "orders_cdc_apply",
     "orders_profile",

@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.aggregates import davg, o_davg, o_dround
+from ..operators.aggregates import davg, dround, o_davg, o_dround
 from ..operators.dedup import (
     exact_dedup,
     minhash_lsh_candidates,
@@ -966,4 +966,76 @@ def winnow_recall_telemetry(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_found").cast("double") / F.col("n_true_pairs").cast("double"),
             4,
         ).alias("recall"),
+    )
+
+
+_COLLOCATION_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+), bg AS (
+  SELECT ts[i] AS w1, ts[i+1] AS w2
+  FROM toks, UNNEST(range(1, len(ts))) AS t(i)
+), c12a AS (
+  SELECT w1, w2, COUNT(*)::BIGINT AS n12 FROM bg GROUP BY 1, 2
+), uni AS (
+  SELECT w1 AS w, SUM(n12)::BIGINT AS n FROM c12a GROUP BY 1
+), tot AS (SELECT SUM(n12)::BIGINT AS nb FROM c12a)
+SELECT w1, w2, n12,
+       ROUND(CAST((CAST(nb AS DOUBLE) * n12) / (CAST(u1.n AS DOUBLE) * u2.n)
+                  AS DECIMAL(27,8)), 6)::DOUBLE AS lift
+FROM c12a JOIN uni u1 ON w1 = u1.w JOIN uni u2 ON w2 = u2.w CROSS JOIN tot
+WHERE n12 >= 5
+ORDER BY lift DESC, n12 DESC, w1, w2 LIMIT 25
+"""
+
+
+@register(
+    "token_collocations",
+    oracle=_COLLOCATION_ORACLE,
+    doc="Collocation extraction: top-25 adjacent token bigrams by LIFT "
+    "(N*c12/(c1*c2) — the log-free PMI monotone twin; ranking by lift "
+    "orders identically to PMI = log lift, with no libm surface, "
+    "CLAUDE.md transcendental invariant). Bigrams are built IN-ROW with "
+    "zip_with over two slices of one split (no per-element HOF "
+    "re-derivation; the single explode is the Generate boundary), then "
+    "ONE aggregation; the unigram marginals and the corpus total derive "
+    "from the checkpointed bigram AGGREGATE, never from a second pass "
+    "over the token stream (first-position marginal convention, same on "
+    "both engines). Content-keyed work is all aggregate-then-equi-join "
+    "(tfidf discipline — no token-keyed windows); the 3-op IEEE lift "
+    "expression mirrors the oracle's association exactly; top-25 on the "
+    "rounded lift under a total tie order plans as "
+    "TakeOrderedAndProject.",
+)
+def token_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    ts = F.split("text", " ")
+    pairs = F.zip_with(
+        F.slice(ts, 1, F.size(ts) - 1),
+        F.slice(ts, 2, F.size(ts) - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    bg = docs.select(F.explode(pairs).alias("p")).select("p.w1", "p.w2")
+    c12a = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n12"))
+        .localCheckpoint(eager=False)
+    )
+    uni = c12a.groupBy("w1").agg(F.sum("n12").alias("n"))
+    tot = c12a.agg(F.sum("n12").alias("nb"))
+    u1 = uni.select(F.col("w1").alias("_u1w"), F.col("n").alias("n1"))
+    u2 = uni.select(F.col("w1").alias("_u2w"), F.col("n").alias("n2"))
+    lift = (F.col("nb").cast("double") * F.col("n12")) / (
+        F.col("n1").cast("double") * F.col("n2")
+    )
+    return (
+        c12a.filter(F.col("n12") >= 5)
+        .join(u1, F.col("w1") == F.col("_u1w"))
+        .join(u2, F.col("w2") == F.col("_u2w"))
+        .crossJoin(F.broadcast(tot))
+        .select("w1", "w2", "n12", dround(lift, 6).alias("lift"))
+        .orderBy(
+            F.desc("lift"), F.desc("n12"), F.asc("w1"), F.asc("w2")
+        )
+        .limit(25)
     )
