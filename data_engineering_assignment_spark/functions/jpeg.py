@@ -20,17 +20,27 @@ JPEG specification (ITU-T T.81 / ISO 10918-1) for 8-bit precision:
   byte alignment and DC-predictor reset, T.81 E.2.4) are decoded, with
   the marker sequence enforced. It decodes conformant baseline files, not
   just this module's own output.
-* :func:`encode_jpeg_gray` / :func:`encode_jpeg_color` — the fixture
-  generators: block DCT, Annex-K quantization (K.1 luminance, K.2
-  chrominance), box-averaged chroma subsampling, zigzag run-length +
-  magnitude coding, and a fixed-length canonical Huffman table (all DC
-  categories at 4 bits, all 162 run/size symbols at 8 bits — valid JPEG,
-  since the tables ride the file's DHT segment and the all-ones code
-  stays unused as T.81 requires).
+* PROGRESSIVE files (SOF2, T.81 Annex G) decode natively too: the
+  multi-scan loop accumulates coefficients across DC/AC first and
+  refinement scans — spectral selection bands, successive approximation
+  with positional correction bits, EOB runs spanning blocks, per-scan
+  restart intervals — then dequantizes and IDCTs once. Progressive is a
+  lossless reorganization of the entropy layer, so tests assert the
+  decode is bit-identical to the sequential stream of the same image.
+* :func:`encode_jpeg_gray` / :func:`encode_jpeg_color` /
+  :func:`encode_jpeg_progressive` — the fixture generators: block DCT,
+  Annex-K quantization (K.1 luminance, K.2 chrominance), box-averaged
+  chroma subsampling, zigzag run-length + magnitude coding, and a
+  fixed-length canonical Huffman table (all DC categories at 4 bits, all
+  162 run/size symbols at 8 bits — valid JPEG, since the tables ride the
+  file's DHT segment and the all-ones code stays unused as T.81
+  requires). The progressive encoder emits the real-encoder scan script
+  (DC Al=1, per-component AC bands 1-5/6-63 Al=1, refinements to Al=0)
+  with EOB runs capped at 1 (a conformant choice that keeps the
+  Annex-K-shaped symbol set; the decoder handles arbitrary runs).
 
-Progressive scans, 12-bit precision, 16-bit quant tables, and
-non-interleaved color scans still route through the guarded PIL hook
-(:func:`multimodal.decode_image_pil`); this decoder raises
+12-bit precision and 16-bit quant tables still route through the guarded
+PIL hook (:func:`multimodal.decode_image_pil`); this decoder raises
 ``NotImplementedError`` for them rather than guessing.
 """
 
@@ -165,14 +175,20 @@ def _magnitude(v: int) -> tuple[int, int]:
     return (s, v) if v > 0 else (s, v + (1 << s) - 1)
 
 
+def _quant_zz(block: np.ndarray, qtable: np.ndarray) -> list[int]:
+    """DCT + quantize one 8x8 sample block → 64 zigzag-order ints (the
+    shared forward pipeline of the sequential and progressive encoders)."""
+    coef = _A @ (block.astype(np.float64) - 128.0) @ _A.T
+    q = np.round(coef / qtable).astype(np.int64)
+    return [int(q[i, j]) for (i, j) in _ZIGZAG]
+
+
 def _encode_block(
     wtr: _BitWriter, block: np.ndarray, qtable: np.ndarray, prev_dc: int
 ) -> int:
     """DCT + quantize + entropy-code one 8x8 sample block; returns its DC
     value (the next block's predictor)."""
-    coef = _A @ (block.astype(np.float64) - 128.0) @ _A.T
-    q = np.round(coef / qtable).astype(np.int64)
-    zz = [int(q[i, j]) for (i, j) in _ZIGZAG]
+    zz = _quant_zz(block, qtable)
     s, bits = _magnitude(zz[0] - prev_dc)
     code, length = _DC_CODES[s]
     wtr.write(code, length)
@@ -281,6 +297,36 @@ _SAMPLING = {"444": ((1, 1), (1, 1), (1, 1)),
              "420": ((2, 2), (1, 1), (1, 1))}
 
 
+def _color_planes(
+    rgb: np.ndarray, factors, hmax: int, vmax: int, mcux: int, mcuy: int
+) -> list[np.ndarray]:
+    """YCbCr planes, box-averaged to each component's sampling and padded
+    to the MCU grid — the shared forward pipeline of the sequential and
+    progressive color encoders."""
+    h, w = rgb.shape[:2]
+    ycc = rgb_to_ycbcr(rgb)
+    planes: list[np.ndarray] = []
+    for ci, (hi, vi) in enumerate(factors):
+        plane = ycc[..., ci].astype(np.float64)
+        sx, sy = hmax // hi, vmax // vi
+        if sx > 1 or sy > 1:
+            # box average over the sampling window (pad to a multiple first)
+            ph = -(-h // sy) * sy
+            pw = -(-w // sx) * sx
+            p = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+            plane = _half_up(
+                p.reshape(ph // sy, sy, pw // sx, sx).mean(axis=(1, 3))
+            )
+        th, tw = mcuy * vi * 8, mcux * hi * 8
+        plane = np.pad(
+            plane,
+            ((0, th - plane.shape[0]), (0, tw - plane.shape[1])),
+            mode="edge",
+        )
+        planes.append(plane)
+    return planes
+
+
 def encode_jpeg_color(
     rgb: np.ndarray, subsampling: str = "420", restart_interval: int = 0
 ) -> bytes:
@@ -302,27 +348,7 @@ def encode_jpeg_color(
     hmax = max(f[0] for f in factors)
     vmax = max(f[1] for f in factors)
     mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
-
-    ycc = rgb_to_ycbcr(rgb)
-    planes: list[np.ndarray] = []
-    for ci, (hi, vi) in enumerate(factors):
-        plane = ycc[..., ci].astype(np.float64)
-        sx, sy = hmax // hi, vmax // vi
-        if sx > 1 or sy > 1:
-            # box average over the sampling window (pad to a multiple first)
-            ph = -(-h // sy) * sy
-            pw = -(-w // sx) * sx
-            p = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
-            plane = _half_up(
-                p.reshape(ph // sy, sy, pw // sx, sx).mean(axis=(1, 3))
-            )
-        th, tw = mcuy * vi * 8, mcux * hi * 8
-        plane = np.pad(
-            plane,
-            ((0, th - plane.shape[0]), (0, tw - plane.shape[1])),
-            mode="edge",
-        )
-        planes.append(plane)
+    planes = _color_planes(rgb, factors, hmax, vmax, mcux, mcuy)
 
     qtables = [_QTABLE, _QTABLE_CHROMA, _QTABLE_CHROMA]
     wtr = _BitWriter()
@@ -490,10 +516,12 @@ def decode_jpeg(content: bytes) -> np.ndarray:
 
     Restart intervals (DRI/RSTn) are decoded per T.81 E.2.4: at each
     boundary the reader byte-aligns, requires the modulo-8-cycling
-    marker, and resets every DC predictor. Raises ``NotImplementedError``
-    for progressive scans, 12-bit precision, 16-bit quant tables,
-    non-interleaved color scans, or component counts other than 1/3 —
-    those route through the PIL hook when available.
+    marker, and resets every DC predictor. Progressive files (SOF2)
+    dispatch to :func:`_decode_progressive` (T.81 Annex G: spectral
+    selection, successive approximation, EOB runs). Raises
+    ``NotImplementedError`` for 12-bit precision, 16-bit quant tables,
+    non-interleaved SEQUENTIAL color scans, or component counts other
+    than 1/3 — those route through the PIL hook when available.
     """
     if content[:2] != b"\xff\xd8":
         raise ValueError("JPEG: missing SOI")
@@ -526,21 +554,13 @@ def decode_jpeg(content: bytes) -> np.ndarray:
         (seglen,) = struct.unpack_from(">H", content, pos)
         payload = content[pos + 2 : pos + seglen]
         if marker == 0xDB:  # DQT (possibly several tables)
-            p = 0
-            while p < len(payload):
-                pq, tq = payload[p] >> 4, payload[p] & 0x0F
-                if pq != 0:
-                    raise NotImplementedError("JPEG: 16-bit quant tables")
-                if p + 65 > len(payload):
-                    raise ValueError("JPEG: truncated DQT payload")
-                vals = payload[p + 1 : p + 65]
-                q = np.zeros((8, 8), dtype=np.int32)
-                for k, (i, j) in enumerate(_ZIGZAG):
-                    q[i, j] = vals[k]
-                qtables[tq] = q
-                p += 65
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
-            raise NotImplementedError("JPEG: only baseline sequential (SOF0)")
+            _parse_dqt(payload, qtables)
+        elif marker == 0xC2:  # SOF2 — progressive DCT, Huffman
+            return _decode_progressive(content)
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise NotImplementedError(
+                "JPEG: only baseline sequential (SOF0) and progressive (SOF2)"
+            )
         elif marker == 0xC0:  # SOF0
             prec, h, w, ncomp = struct.unpack_from(">BHHB", payload, 0)
             if prec != 8:
@@ -556,27 +576,7 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                 samp = payload[7 + 3 * c]
                 comps.append((cid, samp >> 4, samp & 0x0F, payload[8 + 3 * c]))
         elif marker == 0xC4:  # DHT (possibly several tables)
-            p = 0
-            while p < len(payload):
-                if p + 17 > len(payload):
-                    raise ValueError("JPEG: truncated DHT payload")
-                tc, th = payload[p] >> 4, payload[p] & 0x0F
-                bits = list(payload[p + 1 : p + 17])
-                nsym = sum(bits)
-                if p + 17 + nsym > len(payload):
-                    raise ValueError("JPEG: truncated DHT payload")
-                symbols = list(payload[p + 17 : p + 17 + nsym])
-                table: dict[tuple[int, int], int] = {}
-                code = 0
-                k = 0
-                for length in range(1, 17):
-                    for _ in range(bits[length - 1]):
-                        table[(length, code)] = symbols[k]
-                        code += 1
-                        k += 1
-                    code <<= 1
-                htables[(tc, th)] = table
-                p += 17 + nsym
+            _parse_dht(payload, htables)
         elif marker == 0xDD:  # DRI
             if len(payload) < 2:
                 raise ValueError("JPEG: truncated DRI payload")
@@ -688,3 +688,619 @@ def decode_jpeg_gray(content: bytes) -> np.ndarray:
     if out.ndim != 2:
         raise NotImplementedError("JPEG: color file; use decode_jpeg")
     return out
+
+
+# --------------------------------------------- progressive (T.81 Annex G)
+
+
+def _prog_grids(h, w, factors, hmax, vmax):
+    """Per-component ((padded_bv, padded_bh), (data_bv, data_bh)) block
+    grids. Interleaved (DC) scans traverse the MCU-PADDED grid; AC scans
+    are non-interleaved by definition (T.81 G.1.1) and traverse only the
+    component's OWN data-unit grid."""
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    out = []
+    for hi, vi in factors:
+        comp_w = -(-w * hi // hmax)
+        comp_h = -(-h * vi // vmax)
+        out.append(
+            (
+                (mcuy * vi, mcux * hi),
+                (-(-comp_h // 8), -(-comp_w // 8)),
+            )
+        )
+    return mcux, mcuy, out
+
+
+def _enc_dc_scan(wtr, coefs, comp_ids, factors, mcux, mcuy, Ah, Al):
+    """DC scan encode (first when Ah==0, refinement otherwise) in MCU
+    order; single-component images degenerate to raster order."""
+    pred = {ci: 0 for ci in comp_ids}
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci in comp_ids:
+                hi, vi = factors[ci]
+                for v in range(vi):
+                    for u in range(hi):
+                        zz0 = int(coefs[ci][my * vi + v, mx * hi + u, 0])
+                        if Ah == 0:
+                            val = zz0 >> Al  # arithmetic shift (G.1.2.1)
+                            s, bits = _magnitude(val - pred[ci])
+                            code, ln = _DC_CODES[s]
+                            wtr.write(code, ln)
+                            if s:
+                                wtr.write(bits, s)
+                            pred[ci] = val
+                        else:
+                            wtr.write((zz0 >> Al) & 1, 1)
+
+
+def _enc_ac_first_scan(wtr, blocks, Ss, Se, Al):
+    """AC first scan (G.1.2.2) for one component's data-unit sequence.
+    This encoder caps every EOB run at 1 (emitting EOB0 per block), a
+    conformant choice that keeps it within the Annex-K-shaped symbol set."""
+    for zz in blocks:
+        r = 0
+        for k in range(Ss, Se + 1):
+            a = abs(int(zz[k])) >> Al  # AC point transform: |v| >> Al
+            if a == 0:
+                r += 1
+                continue
+            v = a if int(zz[k]) > 0 else -a
+            while r > 15:
+                c, ln = _AC_CODES[0xF0]
+                wtr.write(c, ln)
+                r -= 16
+            s, bits = _magnitude(v)
+            c, ln = _AC_CODES[(r << 4) | s]
+            wtr.write(c, ln)
+            wtr.write(bits, s)
+            r = 0
+        if r > 0:
+            c, ln = _AC_CODES[0x00]  # EOB0
+            wtr.write(c, ln)
+
+
+def _enc_ac_refine_scan(wtr, blocks, Ss, Se, Al):
+    """AC refinement scan (G.1.2.3): newly significant coefficients are
+    (run, 1) codes + a sign bit, where the run counts ZERO-HISTORY
+    positions only; every history (already-nonzero) coefficient the
+    decoder passes carries one correction bit, emitted at EXACTLY the
+    stream position the decoder's traversal reads it (a ZRL's span covers
+    the first 16 zero-history positions, so only the history bits inside
+    that span follow it). Each block with positions left after the last
+    newly-significant coefficient closes with EOB0 + the tail's history
+    bits (EOB runs capped at 1, the encoder's conformant choice)."""
+    for zz in blocks:
+        vals = [
+            (abs(int(zz[k])) >> Al, int(zz[k])) for k in range(Ss, Se + 1)
+        ]
+        newly = [i for i, (t, _) in enumerate(vals) if t == 1]
+        pos = 0
+        for ni in newly:
+            r = sum(1 for j in range(pos, ni) if vals[j][0] == 0)
+            while r > 15:
+                c, ln = _AC_CODES[0xF0]
+                wtr.write(c, ln)
+                zcnt = 0
+                while zcnt < 16:
+                    t = vals[pos][0]
+                    if t == 0:
+                        zcnt += 1
+                    elif t > 1:
+                        wtr.write(t & 1, 1)
+                    pos += 1
+                r -= 16
+            c, ln = _AC_CODES[(r << 4) | 1]
+            wtr.write(c, ln)
+            wtr.write(1 if vals[ni][1] > 0 else 0, 1)
+            for j in range(pos, ni):
+                t = vals[j][0]
+                if t > 1:
+                    wtr.write(t & 1, 1)
+            pos = ni + 1
+        if pos < len(vals):
+            c, ln = _AC_CODES[0x00]  # EOB0: run of 1
+            wtr.write(c, ln)
+            for j in range(pos, len(vals)):
+                t = vals[j][0]
+                if t > 1:
+                    wtr.write(t & 1, 1)
+
+
+def encode_jpeg_progressive(
+    img: np.ndarray, subsampling: str = "420"
+) -> bytes:
+    """Encode as a PROGRESSIVE JPEG (SOF2, T.81 Annex G, Huffman): the
+    spectral-selection + successive-approximation scan script real
+    encoders emit — DC first at Al=1, per-component AC bands 1-5 / 6-63
+    at Al=1, then DC and AC refinement passes down to Al=0. The
+    refinement chain reconstructs every quantized coefficient EXACTLY, so
+    the decode is bit-identical to this module's sequential encoding of
+    the same image (asserted in tests — progressive is a lossless
+    reorganization of the entropy layer).
+
+    Accepts (h, w) uint8 gray or (h, w, 3) uint8 RGB (``subsampling``
+    applies to color: 4:4:4 / 4:2:2 / 4:2:0).
+    """
+    img = np.asarray(img, dtype=np.uint8)
+    gray = img.ndim == 2
+    if not gray and (img.ndim != 3 or img.shape[2] != 3):
+        raise ValueError("encode_jpeg_progressive expects (h,w) or (h,w,3)")
+    h, w = img.shape[:2]
+    if not (0 < h < 65536 and 0 < w < 65536):
+        raise ValueError("image dims out of JPEG range")
+    if gray:
+        factors = ((1, 1),)
+        qtables = [_QTABLE]
+    else:
+        if subsampling not in _SAMPLING:
+            raise ValueError(f"unsupported subsampling {subsampling!r}")
+        factors = _SAMPLING[subsampling]
+        qtables = [_QTABLE, _QTABLE_CHROMA, _QTABLE_CHROMA]
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    mcux, mcuy, grids = _prog_grids(h, w, factors, hmax, vmax)
+    if gray:
+        by, bx = grids[0][0]
+        planes = [
+            np.pad(
+                img.astype(np.float64),
+                ((0, by * 8 - h), (0, bx * 8 - w)),
+                mode="edge",
+            )
+        ]
+    else:
+        planes = _color_planes(img, factors, hmax, vmax, mcux, mcuy)
+
+    # quantized zigzag coefficients over each component's PADDED grid
+    coefs = []
+    for ci, ((pbv, pbh), _) in enumerate(grids):
+        arr = np.zeros((pbv, pbh, 64), dtype=np.int64)
+        for bj in range(pbv):
+            for bi in range(pbh):
+                arr[bj, bi] = _quant_zz(
+                    planes[ci][bj * 8 : bj * 8 + 8, bi * 8 : bi * 8 + 8],
+                    qtables[ci],
+                )
+        coefs.append(arr)
+
+    comp_ids = list(range(len(factors)))
+
+    def data_blocks(ci):
+        dbv, dbh = grids[ci][1]
+        for bj in range(dbv):
+            for bi in range(dbh):
+                yield coefs[ci][bj, bi]
+
+    wtr = _BitWriter()
+    chunks: list[bytes] = []
+
+    def sos(comps_in_scan, Ss, Se, Ah, Al, body) -> None:
+        payload = bytes([len(comps_in_scan)])
+        for ci in comps_in_scan:
+            payload += bytes([ci + 1, 0x00])  # DC table 0 / AC table 0
+        payload += bytes([Ss, Se, (Ah << 4) | Al])
+        wtr.out = bytearray()
+        wtr._acc = 0
+        wtr._n = 0
+        body()
+        wtr.flush()
+        chunks.append(_seg(0xDA, payload) + bytes(wtr.out))
+
+    # scan script: DC first, AC bands first, DC refine, AC bands refine
+    sos(comp_ids, 0, 0, 0, 1,
+        lambda: _enc_dc_scan(wtr, coefs, comp_ids, factors, mcux, mcuy, 0, 1))
+    for ci in comp_ids:
+        for ss, se in ((1, 5), (6, 63)):
+            sos([ci], ss, se, 0, 1,
+                lambda ci=ci, ss=ss, se=se: _enc_ac_first_scan(
+                    wtr, data_blocks(ci), ss, se, 1))
+    sos(comp_ids, 0, 0, 1, 0,
+        lambda: _enc_dc_scan(wtr, coefs, comp_ids, factors, mcux, mcuy, 1, 0))
+    for ci in comp_ids:
+        for ss, se in ((1, 5), (6, 63)):
+            sos([ci], ss, se, 1, 0,
+                lambda ci=ci, ss=ss, se=se: _enc_ac_refine_scan(
+                    wtr, data_blocks(ci), ss, se, 0))
+
+    zz = lambda t: bytes(int(t[i, j]) for (i, j) in _ZIGZAG)  # noqa: E731
+    if gray:
+        dqt = bytes([0]) + zz(_QTABLE)
+        sof = struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
+    else:
+        dqt = bytes([0]) + zz(_QTABLE) + bytes([1]) + zz(_QTABLE_CHROMA)
+        sof = struct.pack(">BHHB", 8, h, w, 3) + bytes(
+            [1, (factors[0][0] << 4) | factors[0][1], 0,
+             2, (factors[1][0] << 4) | factors[1][1], 1,
+             3, (factors[2][0] << 4) | factors[2][1], 1]
+        )
+    return (
+        b"\xff\xd8"
+        + _seg(0xDB, dqt)
+        + _seg(0xC2, sof)
+        + _seg(0xC4, _DHT_PAYLOAD)
+        + b"".join(chunks)
+        + b"\xff\xd9"
+    )
+
+
+def _parse_dqt(payload: bytes, qtables: dict) -> None:
+    """DQT segment → 8x8 natural-order tables (shared by both decoders)."""
+    p = 0
+    while p < len(payload):
+        pq, tq = payload[p] >> 4, payload[p] & 0x0F
+        if pq != 0:
+            raise NotImplementedError("JPEG: 16-bit quant tables")
+        if p + 65 > len(payload):
+            raise ValueError("JPEG: truncated DQT payload")
+        vals = payload[p + 1 : p + 65]
+        q = np.zeros((8, 8), dtype=np.int32)
+        for k, (i, j) in enumerate(_ZIGZAG):
+            q[i, j] = vals[k]
+        qtables[tq] = q
+        p += 65
+
+
+def _parse_dht(payload: bytes, htables: dict) -> None:
+    """DHT segment → canonical (length, code)->symbol maps (shared)."""
+    p = 0
+    while p < len(payload):
+        if p + 17 > len(payload):
+            raise ValueError("JPEG: truncated DHT payload")
+        tc, th = payload[p] >> 4, payload[p] & 0x0F
+        bits = list(payload[p + 1 : p + 17])
+        nsym = sum(bits)
+        if p + 17 + nsym > len(payload):
+            raise ValueError("JPEG: truncated DHT payload")
+        symbols = list(payload[p + 17 : p + 17 + nsym])
+        table: dict[tuple[int, int], int] = {}
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                table[(length, code)] = symbols[k]
+                code += 1
+                k += 1
+            code <<= 1
+        htables[(tc, th)] = table
+        p += 17 + nsym
+
+
+def _scan_end(content: bytes, pos: int) -> int:
+    """Position of the next marker after entropy data starting at ``pos``
+    (skipping 0xFF00 stuffing, stray RSTn and 0xFF fill bytes)."""
+    p = pos
+    n = len(content)
+    while p + 1 < n:
+        if content[p] == 0xFF:
+            nxt = content[p + 1]
+            if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+                p += 2
+                continue
+            if nxt == 0xFF:
+                p += 1
+                continue
+            return p
+        p += 1
+    raise ValueError("JPEG: entropy data ran past end of file")
+
+
+def _dec_dc_first(rdr, coefs, scan_plan, factors, mcux, mcuy, Al, ri):
+    """DC first scan (interleaved MCU order; a 1-component scan's MCU is
+    one block). scan_plan: [(ci, dc_tab)]."""
+    pred = {ci: 0 for ci, _ in scan_plan}
+    interleaved = len(scan_plan) > 1
+    n_done = 0
+    n_rst = 0
+    if interleaved:
+        units = [(my, mx) for my in range(mcuy) for mx in range(mcux)]
+    else:
+        ci0 = scan_plan[0][0]
+        dbv, dbh = coefs[ci0].shape[:2]
+        units = [(bj, bi) for bj in range(dbv) for bi in range(dbh)]
+    for uy, ux in units:
+        if ri and n_done and n_done % ri == 0:
+            rdr.expect_restart(n_rst)
+            n_rst += 1
+            pred = {ci: 0 for ci, _ in scan_plan}
+        n_done += 1
+        for ci, dc_tab in scan_plan:
+            hi, vi = factors[ci]
+            blocks = (
+                [(uy * vi + v, ux * hi + u) for v in range(vi) for u in range(hi)]
+                if interleaved
+                else [(uy, ux)]
+            )
+            for bj, bi in blocks:
+                s = _huff_decode(rdr, dc_tab)
+                pred[ci] += _extend(rdr.read_bits(s), s)
+                coefs[ci][bj, bi, 0] = pred[ci] << Al
+
+
+def _dec_dc_refine(rdr, coefs, scan_plan, factors, mcux, mcuy, Al, ri):
+    """DC refinement scan: one raw bit per block (G.1.2.1)."""
+    interleaved = len(scan_plan) > 1
+    n_done = 0
+    n_rst = 0
+    if interleaved:
+        units = [(my, mx) for my in range(mcuy) for mx in range(mcux)]
+    else:
+        ci0 = scan_plan[0][0]
+        dbv, dbh = coefs[ci0].shape[:2]
+        units = [(bj, bi) for bj in range(dbv) for bi in range(dbh)]
+    for uy, ux in units:
+        if ri and n_done and n_done % ri == 0:
+            rdr.expect_restart(n_rst)
+            n_rst += 1
+        n_done += 1
+        for ci, _ in scan_plan:
+            hi, vi = factors[ci]
+            blocks = (
+                [(uy * vi + v, ux * hi + u) for v in range(vi) for u in range(hi)]
+                if interleaved
+                else [(uy, ux)]
+            )
+            for bj, bi in blocks:
+                if rdr.read_bit():
+                    coefs[ci][bj, bi, 0] |= 1 << Al
+
+
+def _dec_ac_first(rdr, comp, grid, ac_tab, Ss, Se, Al, ri):
+    """AC first scan (G.1.2.2) over one component's data-unit grid, with
+    EOB-run accounting across blocks."""
+    dbv, dbh = grid
+    eobrun = 0
+    n_done = 0
+    n_rst = 0
+    for bj in range(dbv):
+        for bi in range(dbh):
+            if ri and n_done and n_done % ri == 0:
+                rdr.expect_restart(n_rst)
+                n_rst += 1
+                eobrun = 0
+            n_done += 1
+            if eobrun > 0:
+                eobrun -= 1
+                continue
+            zz = comp[bj, bi]
+            k = Ss
+            while k <= Se:
+                rs = _huff_decode(rdr, ac_tab)
+                r, s = rs >> 4, rs & 0x0F
+                if s == 0:
+                    if r == 15:
+                        k += 16  # ZRL
+                        continue
+                    eobrun = (1 << r) + (rdr.read_bits(r) if r else 0) - 1
+                    break
+                k += r
+                if k > Se:
+                    raise ValueError("JPEG: AC index past band end")
+                zz[k] = _extend(rdr.read_bits(s), s) << Al
+                k += 1
+
+
+def _dec_ac_refine(rdr, comp, grid, ac_tab, Ss, Se, Al, ri):
+    """AC refinement scan (G.1.2.3, jdphuff semantics): newly significant
+    coefficients arrive as (run, 1) codes whose zero run counts only
+    ZERO-HISTORY positions; every nonzero-history coefficient passed over
+    — including the tails of EOB-run blocks — carries one correction bit."""
+    dbv, dbh = grid
+    p1 = 1 << Al
+    m1 = -1 << Al
+    eobrun = 0
+    n_done = 0
+    n_rst = 0
+
+    def correct(zz, k):
+        if rdr.read_bit() and (int(zz[k]) & p1) == 0:
+            zz[k] += p1 if int(zz[k]) >= 0 else m1
+
+    for bj in range(dbv):
+        for bi in range(dbh):
+            if ri and n_done and n_done % ri == 0:
+                rdr.expect_restart(n_rst)
+                n_rst += 1
+                eobrun = 0
+            n_done += 1
+            zz = comp[bj, bi]
+            k = Ss
+            if eobrun == 0:
+                while k <= Se:
+                    rs = _huff_decode(rdr, ac_tab)
+                    r, s = rs >> 4, rs & 0x0F
+                    val = 0
+                    if s == 0:
+                        if r != 15:
+                            eobrun = (1 << r) + (rdr.read_bits(r) if r else 0)
+                            break
+                        # r == 15: skip 16 zero-history positions
+                    else:
+                        if s != 1:
+                            raise ValueError(
+                                "JPEG: refinement magnitude must be 1"
+                            )
+                        val = p1 if rdr.read_bit() else m1
+                    while k <= Se:
+                        if int(zz[k]) != 0:
+                            correct(zz, k)
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if val != 0 and k <= Se:
+                        zz[k] = val
+                    k += 1
+            if eobrun > 0:
+                while k <= Se:
+                    if int(zz[k]) != 0:
+                        correct(zz, k)
+                    k += 1
+                eobrun -= 1
+
+
+def _decode_progressive(content: bytes) -> np.ndarray:
+    """Decode a progressive (SOF2, Huffman) JPEG: accumulate coefficients
+    across DC/AC first and refinement scans (T.81 Annex G — spectral
+    selection AND successive approximation, EOB runs, per-scan restart
+    intervals), then dequantize + IDCT once. Returns gray (h, w) or RGB
+    (h, w, 3) like the sequential path."""
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    h = w = 0
+    restart_interval = 0
+    comps: list[tuple[int, int, int, int]] = []  # (cid, hi, vi, tq)
+    coefs: list[np.ndarray] = []
+    grids: list = []
+    factors: list[tuple[int, int]] = []
+    cid_index: dict[int, int] = {}
+    mcux = mcuy = 0
+    saw_scan = False
+    pos = 2
+    if content[:2] != b"\xff\xd8":
+        raise ValueError("JPEG: missing SOI")
+    while pos < len(content):
+        if content[pos] != 0xFF:
+            raise ValueError("JPEG: expected marker")
+        while pos + 1 < len(content) and content[pos + 1] == 0xFF:
+            pos += 1
+        marker = content[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue
+        (seglen,) = struct.unpack_from(">H", content, pos)
+        payload = content[pos + 2 : pos + seglen]
+        if marker == 0xDB:
+            _parse_dqt(payload, qtables)
+        elif marker == 0xC4:
+            _parse_dht(payload, htables)
+        elif marker == 0xDD:
+            if len(payload) < 2:
+                raise ValueError("JPEG: truncated DRI payload")
+            (restart_interval,) = struct.unpack_from(">H", payload, 0)
+        elif marker == 0xC2:  # SOF2
+            prec, h, w, ncomp = struct.unpack_from(">BHHB", payload, 0)
+            if prec != 8:
+                raise NotImplementedError("JPEG: only 8-bit precision")
+            if ncomp not in (1, 3):
+                raise NotImplementedError(
+                    "JPEG: only 1 (gray) or 3 (YCbCr) components"
+                )
+            if len(payload) < 6 + 3 * ncomp:
+                raise ValueError("JPEG: truncated SOF payload")
+            for c in range(ncomp):
+                cid = payload[6 + 3 * c]
+                samp = payload[7 + 3 * c]
+                comps.append((cid, samp >> 4, samp & 0x0F, payload[8 + 3 * c]))
+            factors = [(c[1], c[2]) for c in comps]
+            hmax = max(f[0] for f in factors)
+            vmax = max(f[1] for f in factors)
+            if any(hmax % f[0] or vmax % f[1] for f in factors):
+                raise NotImplementedError("JPEG: non-dividing sampling factors")
+            mcux, mcuy, grids = _prog_grids(h, w, factors, hmax, vmax)
+            cid_index = {c[0]: i for i, c in enumerate(comps)}
+            coefs = [
+                np.zeros((pbv, pbh, 64), dtype=np.int64)
+                for (pbv, pbh), _ in grids
+            ]
+        elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError("JPEG: conflicting frame marker in progressive file")
+        elif marker == 0xDA:  # SOS — one of possibly many scans
+            if not comps:
+                raise ValueError("JPEG: SOS before SOF")
+            ns = payload[0]
+            scan_comps = []
+            for c in range(ns):
+                cid = payload[1 + 2 * c]
+                if cid not in cid_index:
+                    raise ValueError("JPEG: scan references unknown component")
+                tabs = payload[2 + 2 * c]
+                scan_comps.append((cid_index[cid], tabs >> 4, tabs & 0x0F))
+            ss, se = payload[1 + 2 * ns], payload[2 + 2 * ns]
+            a = payload[3 + 2 * ns]
+            ah, al = a >> 4, a & 0x0F
+            data_start = pos + seglen
+            rdr = _BitReader(content, data_start)
+            if ss == 0:  # DC scan (Se must be 0)
+                if se != 0:
+                    raise ValueError("JPEG: DC scan with Se != 0")
+                if ah == 0:
+                    plan = []
+                    for ci, td, _ in scan_comps:
+                        tab = htables.get((0, td))
+                        if tab is None:
+                            raise ValueError("JPEG: missing Huffman table")
+                        plan.append((ci, tab))
+                    _dec_dc_first(
+                        rdr, coefs, plan, factors, mcux, mcuy, al,
+                        restart_interval,
+                    )
+                else:
+                    plan = [(ci, None) for ci, _, _ in scan_comps]
+                    _dec_dc_refine(
+                        rdr, coefs, plan, factors, mcux, mcuy, al,
+                        restart_interval,
+                    )
+            else:  # AC scan — non-interleaved by definition
+                if ns != 1:
+                    raise ValueError("JPEG: AC scan must have one component")
+                if not (ss <= se <= 63):
+                    raise ValueError("JPEG: bad spectral band")
+                ci, _, ta = scan_comps[0]
+                tab = htables.get((1, ta))
+                if tab is None:
+                    raise ValueError("JPEG: missing Huffman table")
+                if ah == 0:
+                    _dec_ac_first(
+                        rdr, coefs[ci], grids[ci][1], tab, ss, se, al,
+                        restart_interval,
+                    )
+                else:
+                    _dec_ac_refine(
+                        rdr, coefs[ci], grids[ci][1], tab, ss, se, al,
+                        restart_interval,
+                    )
+            saw_scan = True
+            pos = _scan_end(content, rdr.pos)
+            continue
+        pos += seglen
+    if not saw_scan:
+        raise ValueError("JPEG: no scan data")
+
+    # dequantize + IDCT each component over its padded grid
+    planes = []
+    for idx, (cid, hi, vi, tq) in enumerate(comps):
+        if tq not in qtables:
+            raise ValueError("JPEG: missing quantization table")
+        qt = qtables[tq].astype(np.float64)
+        pbv, pbh = grids[idx][0]
+        out = np.zeros((pbv * 8, pbh * 8), dtype=np.float64)
+        deq = np.zeros((8, 8), dtype=np.float64)
+        for bj in range(pbv):
+            for bi in range(pbh):
+                zz = coefs[idx][bj, bi]
+                for k, (i, j) in enumerate(_ZIGZAG):
+                    deq[i, j] = zz[k]
+                out[bj * 8 : bj * 8 + 8, bi * 8 : bi * 8 + 8] = (
+                    _A.T @ (deq * qt) @ _A
+                )
+        planes.append(out)
+
+    if len(comps) == 1:
+        return np.clip(np.round(planes[0] + 128.0), 0, 255).astype(np.uint8)[
+            :h, :w
+        ]
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    full = []
+    for idx, (hi, vi) in enumerate(factors):
+        p = np.clip(np.round(planes[idx] + 128.0), 0, 255)
+        sy, sx = vmax // vi, hmax // hi
+        if sy > 1 or sx > 1:
+            p = np.repeat(np.repeat(p, sy, axis=0), sx, axis=1)
+        full.append(p[:h, :w])
+    return ycbcr_to_rgb(np.stack(full, axis=-1))

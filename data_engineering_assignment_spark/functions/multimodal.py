@@ -261,12 +261,13 @@ def decode_image_pil(content: bytes) -> tuple[np.ndarray, dict]:
 
 def decode_image_jpeg(content: bytes) -> tuple[np.ndarray, dict]:
     """JPEG → (frames, meta) in :func:`decode_png`'s BGRA shape. Baseline
-    JPEGs — grayscale AND interleaved YCbCr color (4:4:4 / 4:2:2 / 4:2:0)
-    — decode via the dependency-free T.81 decoder in :mod:`.jpeg`: gray
-    replicated to B=G=R (the decode_png color-type-0 convention), RGB
-    reordered to BGRA, alpha 255. Progressive / 12-bit / restart-interval
-    files fall through to the guarded PIL hook (with PIL absent they raise
-    its NotImplementedError rather than guessing). Malformed-stream errors
+    AND progressive JPEGs — grayscale and interleaved YCbCr color (4:4:4 /
+    4:2:2 / 4:2:0), restart intervals included — decode via the
+    dependency-free T.81 decoder in :mod:`.jpeg`: gray replicated to
+    B=G=R (the decode_png color-type-0 convention), RGB reordered to
+    BGRA, alpha 255. 12-bit / 16-bit-quant files fall through to the
+    guarded PIL hook (with PIL absent they raise its NotImplementedError
+    rather than guessing). Malformed-stream errors
     from the native parser (ValueError/IndexError/struct.error on
     truncated or exotic files) fall through to PIL as well: the hook is
     the decoder of last resort for anything the baseline parser can't

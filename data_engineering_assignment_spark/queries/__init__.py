@@ -83,7 +83,7 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # bucketed variant, simhash via simhash_hamming_pairs' unit pins, the
 # price histogram via order_price_distribution, quantization via
 # cosine_topk_pq's pins, transitions via events_sessionize — all
-# twenty-three pinned by unit + oracle-rehearsal coverage meanwhile);
+# twenty-six pinned by unit + oracle-rehearsal coverage meanwhile);
 # and ml_peak_classification (r6)
 # so the head spans catalog_ml (module-coverage contract).  The r9
 # head: the 40 r6-checked queries (bm25_topk onward) + pricing_summary
@@ -124,7 +124,8 @@ DRIVER_SAMPLE_HEAD: tuple[str, ...] = (
     "part_copurchase_kcore",
     "cheapest_supplier_per_part",
     "token_collocations",
-    # implementation changed this round (green history doesn't cover it)
+    # implementation changed this round (green history does not cover it:
+    # jpeg_decode_stats grew the PROGRESSIVE third leg this session)
     "dsir_affinity_top64",
     "jpeg_decode_stats",
     "binary_media_inventory",

@@ -203,7 +203,9 @@ SELECT (8 * (1 + doc_id % 2))::BIGINT AS width,
        COUNT(*) AS n_ok,
        SUM(68 + 2 * (doc_id % 60))::BIGINT AS val_sum,
        COUNT(*) AS n_color_ok,
-       SUM(78 + 2 * (doc_id % 50))::BIGINT AS color_val_sum
+       SUM(78 + 2 * (doc_id % 50))::BIGINT AS color_val_sum,
+       COUNT(*) AS n_prog_ok,
+       SUM(68 + 2 * (doc_id % 60))::BIGINT AS prog_val_sum
 FROM documents
 GROUP BY 1
 """
@@ -223,15 +225,24 @@ GROUP BY 1
     "subsampling, so both decoded values are pure arithmetic in doc_id "
     "and the oracle gates marker parse, Huffman, dequant, IDCT, the "
     "interleaved-MCU walk, chroma upsampling and the YCbCr->RGB transform "
-    "bit-for-bit. AC-rich, padded and chroma-rich images are covered by "
-    "the committed jg_*/jc_*.jpg fixtures (filename pins dims + decoded "
-    "mean) and round-trip unit tests.",
+    "bit-for-bit. A THIRD leg re-encodes the gray image PROGRESSIVE "
+    "(SOF2, Annex G: DC+band first scans at Al=1 plus refinements to "
+    "Al=0) and decodes it through the same dispatch — exact for the same "
+    "arithmetic reason, and gating the multi-scan accumulation path in "
+    "production. AC-rich, padded and chroma-rich images are covered by "
+    "the committed jg_*/jc_*/jgp_*/jcp_*.jpg fixtures (filename pins "
+    "dims + decoded mean) and round-trip + coefficient-property unit "
+    "tests.",
 )
 def jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    from ..functions.jpeg import encode_jpeg_color, encode_jpeg_gray
+    from ..functions.jpeg import (
+        encode_jpeg_color,
+        encode_jpeg_gray,
+        encode_jpeg_progressive,
+    )
     from ..functions.multimodal import decode_any
     from ..tables import load
 
@@ -266,13 +277,26 @@ def jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     c = (ok, int(cframes[0, 0, 0, 0]))
                 except Exception:
                     c = (False, 0)
-                rows.append(g + c)
+                penc = encode_jpeg_progressive(np.full((8, w), v, np.uint8))
+                try:
+                    pframes, _ = decode_any(penc)
+                    pok = bool(
+                        (pframes[0, :, :, :3] == v).all()
+                        and pframes.shape[1:3] == (8, w)
+                    )
+                    p = (pok, int(pframes[0, 0, 0, 0]))
+                except Exception:
+                    p = (False, 0)
+                rows.append(g + c + p)
             yield pd.DataFrame(
-                rows, columns=["width", "ok", "val", "cok", "cval"]
+                rows,
+                columns=["width", "ok", "val", "cok", "cval", "pok", "pval"],
             )
 
     decoded = docs.mapInPandas(
-        roundtrip, "width int, ok boolean, val int, cok boolean, cval int"
+        roundtrip,
+        "width int, ok boolean, val int, cok boolean, cval int,"
+        " pok boolean, pval int",
     )
     return decoded.groupBy(F.col("width").cast("long").alias("width")).agg(
         F.count(F.lit(1)).alias("n_imgs"),
@@ -280,6 +304,8 @@ def jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("val").cast("long")).alias("val_sum"),
         F.sum(F.col("cok").cast("int")).cast("long").alias("n_color_ok"),
         F.sum(F.col("cval").cast("long")).alias("color_val_sum"),
+        F.sum(F.col("pok").cast("int")).cast("long").alias("n_prog_ok"),
+        F.sum(F.col("pval").cast("long")).alias("prog_val_sum"),
     )
 
 

@@ -491,8 +491,11 @@ def test_jpeg_decode_any_dispatch_and_unknown_segments():
 
 
 def test_jpeg_rejects_out_of_scope_profiles():
-    """Progressive / color JPEGs must raise NotImplementedError (PIL hook
-    territory), never decode wrong."""
+    """Out-of-scope profiles (12-bit precision here) must raise
+    NotImplementedError (PIL hook territory), never decode wrong — and a
+    baseline entropy stream mislabeled as SOF2 is CORRUPT progressive
+    data: the multi-scan decoder must fail loudly, not emit pixels from
+    semantics that don't match the marker."""
     import numpy as np
     import pytest
 
@@ -503,9 +506,18 @@ def test_jpeg_rejects_out_of_scope_profiles():
 
     enc = bytearray(encode_jpeg_gray(np.full((8, 8), 99, np.uint8)))
     sof_at = bytes(enc).find(b"\xff\xc0")
-    progressive = bytes(enc[:sof_at + 1]) + b"\xc2" + bytes(enc[sof_at + 2:])
-    with pytest.raises(NotImplementedError):
-        decode_jpeg_gray(progressive)
+    # baseline scan relabeled progressive: the SOS tail bytes (0, 63, 0)
+    # declare a full-band DC+AC scan, invalid for SOF2 (DC scan, Se != 0)
+    mislabeled = bytes(enc[:sof_at + 1]) + b"\xc2" + bytes(enc[sof_at + 2:])
+    with pytest.raises(ValueError):
+        decode_jpeg_gray(mislabeled)
+    # 12-bit precision stays NotImplementedError on both frame types
+    for marker in (b"\xc0", b"\xc2"):
+        twelve = bytearray(enc)
+        twelve[sof_at + 1 : sof_at + 2] = marker
+        twelve[sof_at + 4] = 12  # precision byte of the SOF payload
+        with pytest.raises(NotImplementedError):
+            decode_jpeg_gray(bytes(twelve))
 
 
 def test_wav_mulaw_decode():
@@ -776,3 +788,231 @@ def test_jpeg_restart_marker_sequence_enforced():
     enc[i + 1] = 0xD3
     with _pytest.raises(ValueError, match="expected RST"):
         decode_jpeg(bytes(enc))
+
+
+def test_jpeg_progressive_bit_identical_to_sequential():
+    """Progressive is a lossless reorganization of the entropy layer: for
+    the SAME image the SOF2 multi-scan stream (spectral selection bands +
+    successive approximation, T.81 Annex G) must decode to EXACTLY the
+    sequential stream's pixels — gray and color, every subsampling, odd
+    sizes, multi-MCU sizes, random and gradient content."""
+    import numpy as np
+
+    from data_engineering_assignment_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg_color,
+        encode_jpeg_gray,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(29)
+    for h, w in ((8, 8), (1, 1), (5, 39), (24, 24), (33, 50)):
+        g = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        base = decode_jpeg(encode_jpeg_gray(g))
+        prog = decode_jpeg(encode_jpeg_progressive(g))
+        assert np.array_equal(base, prog), ("gray", h, w)
+
+    for h, w in ((16, 16), (19, 30), (37, 23)):
+        yy, xx = np.mgrid[0:h, 0:w]
+        img = np.stack(
+            [(xx * 9) % 256, (yy * 7) % 256, ((xx + yy) * 5) % 256], axis=-1
+        ).astype(np.uint8)
+        for ss in ("444", "422", "420"):
+            base = decode_jpeg(encode_jpeg_color(img, ss))
+            prog = decode_jpeg(encode_jpeg_progressive(img, ss))
+            assert np.array_equal(base, prog), ("color", ss, h, w)
+        noisy = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        for ss in ("444", "420"):
+            base = decode_jpeg(encode_jpeg_color(noisy, ss))
+            prog = decode_jpeg(encode_jpeg_progressive(noisy, ss))
+            assert np.array_equal(base, prog), ("noisy", ss, h, w)
+
+
+def test_jpeg_progressive_stream_structure():
+    """The progressive stream is structurally progressive: SOF2 frame
+    marker and multiple SOS scans (DC first/refine + per-component band
+    first/refine)."""
+    import numpy as np
+
+    from data_engineering_assignment_spark.functions.jpeg import (
+        encode_jpeg_progressive,
+    )
+
+    enc = encode_jpeg_progressive(np.full((16, 16), 77, np.uint8))
+    assert b"\xff\xc2" in enc and b"\xff\xc0" not in enc
+    assert enc.count(b"\xff\xda") == 6  # DC + 2 AC bands, first + refine
+    enc3 = encode_jpeg_progressive(
+        np.zeros((8, 8, 3), np.uint8), subsampling="444"
+    )
+    assert enc3.count(b"\xff\xda") == 2 + 2 * 3 * 2  # DC x2 + 3 comps x 2 bands x 2
+
+
+def test_jpeg_progressive_eob_runs_longer_than_one():
+    """EOBRUN > 1 decode (the EOBn path this module's encoder never emits,
+    capped at EOB0): a handcrafted 3-block scan covered by one EOB-run of
+    3 — first-scan AND refinement-scan variants — decodes to the flat
+    image."""
+    import struct
+
+    import numpy as np
+
+    from data_engineering_assignment_spark.functions.jpeg import (
+        _DC_BITS,
+        _DC_SYMBOLS,
+        _BitWriter,
+        _seg,
+        decode_jpeg,
+    )
+
+    # custom AC table: symbol 0x10 (EOB-run category 1) as the single
+    # 1-bit code '0'
+    dht = (
+        bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_SYMBOLS)
+        + bytes([0x10]) + bytes([1] + [0] * 15) + bytes([0x10])
+    )
+    # flat 128 image, 8x24 = 3 blocks: all quantized coefficients 0
+    qt = bytes([0]) + bytes([16] + [99] * 63)
+    sof = struct.pack(">BHHB", 8, 8, 24, 1) + bytes([1, 0x11, 0])
+
+    def dc_scan():
+        w = _BitWriter()
+        for _ in range(3):  # three zero diffs: DC category 0 (4-bit code)
+            code, ln = (0, 4), None
+            w.write(0, 4)
+        w.flush()
+        return _seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0])) + bytes(w.out)
+
+    def ac_first_eobrun3():
+        w = _BitWriter()
+        w.write(0, 1)  # symbol 0x10: EOBRUN = (1 << 1) + ext
+        w.write(1, 1)  # ext bit -> run = 3
+        w.flush()
+        return _seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0])) + bytes(w.out)
+
+    def ac_refine_eobrun3():
+        w = _BitWriter()
+        w.write(0, 1)
+        w.write(1, 1)
+        w.flush()
+        return _seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x10])) + bytes(w.out)
+
+    stream = (
+        b"\xff\xd8"
+        + _seg(0xDB, qt)
+        + _seg(0xC2, sof)
+        + _seg(0xC4, dht)
+        + dc_scan()
+        + ac_first_eobrun3()
+        + ac_refine_eobrun3()
+        + b"\xff\xd9"
+    )
+    out = decode_jpeg(stream)
+    assert out.shape == (8, 24)
+    assert (out == 128).all()
+
+
+def test_jpeg_progressive_ac_scan_coefficient_roundtrip_property():
+    """Coefficient-level property: for random sparse AC patterns —
+    including >16 zero-history gaps interleaved with history coefficients
+    (the ZRL-span correction-bit ordering that is easy to get wrong) —
+    the Al=1 first scan + Al=0 refinement reconstruct every coefficient
+    exactly through the real bit-stream."""
+    import numpy as np
+
+    from data_engineering_assignment_spark.functions.jpeg import (
+        _AC_BITS,
+        _AC_SYMBOLS,
+        _BitReader,
+        _BitWriter,
+        _canonical_codes,
+        _dec_ac_first,
+        _dec_ac_refine,
+        _enc_ac_first_scan,
+        _enc_ac_refine_scan,
+    )
+
+    # decoder-side table for the fixed-length encoder codes
+    dec_tab = {
+        (ln, code): sym
+        for sym, (code, ln) in _canonical_codes(_AC_BITS, _AC_SYMBOLS).items()
+    }
+
+    rng = np.random.default_rng(41)
+    blocks = np.zeros((40, 1, 64), dtype=np.int64)
+    for b in range(40):
+        nnz = rng.integers(0, 12)
+        ks = rng.choice(np.arange(1, 64), size=nnz, replace=False)
+        blocks[b, 0, ks] = rng.choice(
+            [-33, -9, -3, -2, -1, 1, 2, 3, 9, 33], size=nnz
+        )
+    # hand-plant the adversarial shape: history at k=2, 20-zero gap, then
+    # a newly-significant (|v|=1) coefficient — ZRL with an interleaved
+    # correction bit
+    blocks[0, 0, :] = 0
+    blocks[0, 0, 2] = 7
+    blocks[0, 0, 40] = -1
+    blocks[1, 0, :] = 0
+    blocks[1, 0, 30] = -5
+    blocks[1, 0, 63] = 1
+
+    for ss, se in ((1, 63), (1, 5), (6, 63)):
+        target = np.zeros_like(blocks)
+        target[:, :, ss : se + 1] = blocks[:, :, ss : se + 1]
+
+        def blk_iter():
+            for b in range(blocks.shape[0]):
+                yield target[b, 0]
+
+        w1 = _BitWriter()
+        _enc_ac_first_scan(w1, blk_iter(), ss, se, 1)
+        w1.flush()
+        w2 = _BitWriter()
+        _enc_ac_refine_scan(w2, blk_iter(), ss, se, 0)
+        w2.flush()
+
+        got = np.zeros_like(blocks)
+        _dec_ac_first(
+            _BitReader(bytes(w1.out), 0), got, (40, 1), dec_tab, ss, se, 1, 0
+        )
+        _dec_ac_refine(
+            _BitReader(bytes(w2.out), 0), got, (40, 1), dec_tab, ss, se, 0, 0
+        )
+        assert np.array_equal(got, target), (ss, se)
+
+
+def test_jpeg_progressive_committed_fixtures_decode_to_named_goldens():
+    """The committed jgp_/jcp_ PROGRESSIVE fixtures pin dims and decoded
+    mean in their filenames — a regression in the multi-scan decoder
+    breaks this without touching fixture bytes. Every fixture must carry
+    the SOF2 frame marker (it really is progressive), and decode
+    identically through decode_any's magic-byte dispatch."""
+    import re
+    from pathlib import Path
+
+    import numpy as np
+
+    from data_engineering_assignment_spark.functions.jpeg import decode_jpeg
+    from data_engineering_assignment_spark.functions.multimodal import (
+        decode_any,
+    )
+
+    fdir = Path(__file__).parent / "fixtures" / "media"
+    names = sorted(
+        p.name for p in list(fdir.glob("jgp_*.jpg")) + list(fdir.glob("jcp_*.jpg"))
+    )
+    assert len(names) >= 3
+    for name in names:
+        m = re.fullmatch(r"j([gc])p_(\d+)x(\d+)_m(\d+)\.jpg", name)
+        assert m, name
+        kind, w, h, mean = m.group(1), *map(int, m.group(2, 3, 4))
+        data = (fdir / name).read_bytes()
+        assert b"\xff\xc2" in data and b"\xff\xc0" not in data
+        dec = decode_jpeg(data)
+        assert dec.shape == ((h, w) if kind == "g" else (h, w, 3))
+        assert int(round(float(dec.mean()))) == mean
+        frames, meta = decode_any(data)
+        assert (meta["width"], meta["height"]) == (w, h)
+        if kind == "g":
+            assert np.array_equal(frames[0, :, :, 0], dec)
+        else:
+            assert np.array_equal(frames[0, :, :, :3], dec[:, :, ::-1])
