@@ -85,10 +85,21 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # cosine_topk_pq's pins, transitions via events_sessionize — all
 # twenty-six pinned by unit + oracle-rehearsal coverage meanwhile);
 # and ml_peak_classification (r6)
-# so the head spans catalog_ml (module-coverage contract).  The r9
+# so the head spans catalog_ml (module-coverage contract).  The final r8
+# session added eight TPC-H shapes (Q4/Q6/Q9/Q11/Q12/Q13/Q16/Q20:
+# priority_late_orders, forecast_revenue_delta, profit_by_nation_year,
+# part_value_concentration, late_ship_priority_mix,
+# customer_order_distribution, part_supplier_variety,
+# top_share_suppliers — all oracle-rehearsed at sf0.001 AND sf0.01);
+# they take the slots of eight more r5-checked queries
+# (data_mix_by_source, doc_tfidf_top_terms, embedding_near_dup,
+# lang_source_chisq, median_price_by_priority, nation_rank_top2,
+# orders_profile, orders_cdc_apply — every module keeps another head
+# representative; CDC stays covered by the streaming cdc_snapshot_sink
+# tests and the apply_changes property suite).  The r9
 # head: the 40 r6-checked queries (bm25_topk onward) + pricing_summary
-# + the eight displaced r5 queries first, then the r7-checked set as it
-# ages.
+# + the sixteen displaced r5 queries first, then the r7-checked set as
+# it ages.
 DRIVER_SAMPLE_HEAD: tuple[str, ...] = (
     # never driver-checked (7, new this round)
     "bpe_train_merges",
@@ -124,24 +135,24 @@ DRIVER_SAMPLE_HEAD: tuple[str, ...] = (
     "part_copurchase_kcore",
     "cheapest_supplier_per_part",
     "token_collocations",
+    "priority_late_orders",
+    "forecast_revenue_delta",
+    "profit_by_nation_year",
+    "part_value_concentration",
+    "late_ship_priority_mix",
+    "customer_order_distribution",
+    "part_supplier_variety",
+    "top_share_suppliers",
     # implementation changed this round (green history does not cover it:
     # jpeg_decode_stats grew the PROGRESSIVE third leg this session)
     "dsir_affinity_top64",
     "jpeg_decode_stats",
     "binary_media_inventory",
-    # last checked r5 (all 40)
-    "data_mix_by_source",
-    "doc_tfidf_top_terms",
-    "embedding_near_dup",
+    # last checked r5
     "events_sessionize",
     "image_color_analytics",
     "image_format_inventory",
-    "lang_source_chisq",
-    "median_price_by_priority",
-    "nation_rank_top2",
     "order_price_distribution",
-    "orders_cdc_apply",
-    "orders_profile",
     "plusminus_player_stats",
     # last checked r6: ml_peak_classification keeps catalog_ml in the
     # head (module-coverage contract)

@@ -1379,3 +1379,424 @@ def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s_name",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q4/Q6/Q9/Q11/Q12/Q13/Q16/Q20 shapes (late round 8).  The driver
+# schema lacks partsupp, l_shipmode and l_commitdate/l_receiptdate, so the
+# shapes substitute the nearest available semantics (noted per query) while
+# keeping the relational pattern — EXISTS semi-join, scalar-threshold
+# concentration, nested aggregate share filters — intact.
+# ---------------------------------------------------------------------------
+
+_LATE_ORDERS_ORACLE = """
+SELECT o_orderpriority, COUNT(*)::BIGINT AS n_late_orders
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1999-07-01'
+  AND o_orderdate <  TIMESTAMP '1999-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o.o_orderkey
+                AND l_shipdate > o.o_orderdate + INTERVAL 45 DAY)
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register(
+    "priority_late_orders",
+    oracle=_LATE_ORDERS_ORACLE,
+    doc="TPC-H Q4 shape (EXISTS semi-join + priority rollup): orders placed "
+    "in 1999Q3 with at least one lineitem shipped more than 45 days after "
+    "the order date (the schema's stand-in for commitdate < receiptdate), "
+    "counted per order priority. Spark expresses the EXISTS as a LEFT SEMI "
+    "join — equi on orderkey with the lateness residual, so it plans as a "
+    "hash semi-join (no distinct, no row blowup) and the quarter filter "
+    "pushes into the orders scan; the correlated-EXISTS formulation "
+    "survives as the oracle.",
+)
+def priority_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    ts = dict(o.dtypes)["o_orderdate"]
+    o = o.filter(
+        (F.col("o_orderdate") >= F.lit("1999-07-01").cast(ts))
+        & (F.col("o_orderdate") < F.lit("1999-10-01").cast(ts))
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        l,
+        (o.o_orderkey == l.l_orderkey)
+        & (l.l_shipdate > o.o_orderdate + F.expr("INTERVAL 45 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_late_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+_FORECAST_ORACLE = f"""
+SELECT {o_dsum('l_extendedprice * l_discount', 'revenue_delta')},
+       COUNT(*)::BIGINT AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1999-01-01'
+  AND l_shipdate <  TIMESTAMP '2000-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@register(
+    "forecast_revenue_delta",
+    oracle=_FORECAST_ORACLE,
+    doc="TPC-H Q6 shape (multi-predicate scan + global aggregate): revenue "
+    "increase if 1999 discounts in the 5-7%% band on sub-24 quantities had "
+    "been dropped. All three predicates are plain column comparisons that "
+    "push into the parquet scan (no join at all); the per-row product is "
+    "one IEEE multiply (deterministic cross-engine) and the sum runs "
+    "through the decimal detour. The cheapest possible plan: scan -> "
+    "filter -> partial agg -> single-row exchange.",
+)
+def forecast_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    ts = dict(li.dtypes)["l_shipdate"]
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1999-01-01").cast(ts))
+            & (F.col("l_shipdate") < F.lit("2000-01-01").cast(ts))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue_delta"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+_PROFIT_ORACLE = f"""
+SELECT n_name, year(o_orderdate) AS o_year,
+       {o_dsum('l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity * 0.6', 'sum_profit')}
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%gear%'
+GROUP BY 1, 2
+ORDER BY n_name, o_year DESC
+"""
+
+
+@register(
+    "profit_by_nation_year",
+    oracle=_PROFIT_ORACLE,
+    doc="TPC-H Q9 shape (5-way join + expression aggregate over derived "
+    "year): profit on 'gear' parts per supplier nation per order year, "
+    "with 60%% of retail price times quantity as the cost stand-in for the "
+    "missing ps_supplycost. The name filter prunes part BEFORE the fact "
+    "join; nation is hint-broadcast (bounded 25 rows) while part/supplier/"
+    "orders joins are left to size-based AQE (SF-scaled sides, CLAUDE.md "
+    "broadcast invariant). The per-row profit is IEEE multiply/subtract "
+    "in identical operator order on both engines; only the SUM goes "
+    "through the decimal detour.",
+)
+def profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    p = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_name").contains("gear"))
+        .select("p_partkey", "p_retailprice")
+    )
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * F.col("l_quantity") * F.lit(0.6)
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("n_name", F.year("o_orderdate").alias("o_year"))
+        .agg(dsum(profit, "sum_profit"))
+        .orderBy("n_name", F.desc("o_year"))
+    )
+
+
+_CONCENTRATION_ORACLE = """
+WITH v AS (
+  SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS val
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_3'
+  GROUP BY 1
+), t AS (
+  SELECT SUM(val) AS tot, COUNT(*)::BIGINT AS np FROM v
+)
+SELECT l_partkey, ROUND(val, 2)::DOUBLE AS part_value
+FROM v, t
+WHERE val * np > tot * 2
+"""
+
+
+@register(
+    "part_value_concentration",
+    oracle=_CONCENTRATION_ORACLE,
+    doc="TPC-H Q11 shape (grouped value vs a scalar-subquery threshold): "
+    "parts whose NATION_3-supplied lineitem value exceeds TWICE the mean "
+    "per-part value, with lineitem standing in for the missing partsupp. "
+    "The global (total, count) is a 1-row aggregate broadcast back as a "
+    "scalar (the idle_customer_balance pattern); the threshold compares "
+    "val*np > tot*2 entirely in exact decimal/integer math — no division, "
+    "no fraction literal — and, unlike Q11's fixed 1/10000, stays "
+    "scale-stable (a fixed fraction of total empties as the part count "
+    "grows; 2x-mean keeps ~1%% of parts at every SF: 14/127/1228 rows at "
+    "sf0.001/0.01/0.1). Nation is hint-broadcast; supplier stays with AQE.",
+)
+def part_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = (
+        load(spark, sf_dir, "nation")
+        .filter(F.col("n_name") == "NATION_3")
+        .select("n_nationkey")
+    )
+    v = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(27,6)")).alias("val"))
+    )
+    t = v.agg(
+        F.sum("val").alias("tot"), F.count(F.lit(1)).alias("np")
+    )
+    return (
+        v.crossJoin(F.broadcast(t))
+        .filter(F.col("val") * F.col("np") > F.col("tot") * 2)
+        .select("l_partkey", F.round("val", 2).cast("double").alias("part_value"))
+    )
+
+
+_SHIP_MIX_ORACLE = """
+SELECT l_linestatus,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1999-01-01'
+  AND l_shipdate <  TIMESTAMP '2000-01-01'
+  AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register(
+    "late_ship_priority_mix",
+    oracle=_SHIP_MIX_ORACLE,
+    doc="TPC-H Q12 shape (join + conditional counts): 1999 lineitems "
+    "shipped more than 30 days after their order, split per line status "
+    "(the schema's stand-in for l_shipmode) into high-priority vs "
+    "low-priority order counts. The year filter pushes into the lineitem "
+    "scan before the join; the lateness residual rides the equi-join; the "
+    "two CASE sums are one map-side-combinable aggregate pass.",
+)
+def late_ship_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    ts = dict(li.dtypes)["l_shipdate"]
+    li = li.filter(
+        (F.col("l_shipdate") >= F.lit("1999-01-01").cast(ts))
+        & (F.col("l_shipdate") < F.lit("2000-01-01").cast(ts))
+    ).select("l_orderkey", "l_shipdate", "l_linestatus")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(
+            o,
+            (li.l_orderkey == o.o_orderkey)
+            & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 30 DAYS")),
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            cond_sum(hi, "high_line_count"),
+            cond_sum(~hi, "low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+_ORDER_DIST_ORACLE = """
+SELECT c_count, COUNT(*)::BIGINT AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_custkey)::BIGINT AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey AND o_orderstatus <> 'P'
+  GROUP BY 1
+)
+GROUP BY 1
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+@register(
+    "customer_order_distribution",
+    oracle=_ORDER_DIST_ORACLE,
+    doc="TPC-H Q13 shape (outer join + double aggregation): the histogram "
+    "of per-customer order counts, excluding in-progress ('P') orders (the "
+    "stand-in for the comment NOT LIKE filter), customers with no orders "
+    "included at zero. Spark aggregates orders per customer FIRST and "
+    "left-joins the counts to customer — the classic join-then-group "
+    "formulation (kept as the oracle) shuffles every order row twice, "
+    "this shape shuffles the pre-aggregated per-customer counts once. "
+    "Both aggregations are map-side combinable; the second one's input "
+    "is |customers| rows.",
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    oc = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") != "P")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    per_cust = c.join(oc, c.c_custkey == oc.o_custkey, "left").select(
+        F.coalesce(F.col("cnt"), F.lit(0).cast("long")).alias("c_count")
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+_VARIETY_ORACLE = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#13'
+  AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+@register(
+    "part_supplier_variety",
+    oracle=_VARIETY_ORACLE,
+    doc="TPC-H Q16 shape (distinct pairs + NOT IN exclusion + grouped "
+    "count-distinct): how many distinct suppliers ship each (brand, type, "
+    "size) combination, excluding one brand, restricted to 8 sizes, and "
+    "excluding negative-balance suppliers (the stand-in for the complaint "
+    "NOT IN). The part-supplier relation is the distinct (partkey, "
+    "suppkey) projection of lineitem (partsupp is absent); the NOT IN is "
+    "a LEFT ANTI join (the excluded set is a filtered SF-scaled table, so "
+    "its broadcast is left to AQE per the CLAUDE.md invariant); the size "
+    "and brand filters push into the part scan before the join.",
+)
+def part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    bad = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    p = (
+        load(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#13")
+            & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    return (
+        ps.join(bad, ps.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(p, ps.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+_TOP_SHARE_ORACLE = """
+WITH pq AS (
+  SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS BIGINT)) AS sq
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE 'red %'
+    AND l_shipdate >= TIMESTAMP '1999-01-01'
+    AND l_shipdate <  TIMESTAMP '2000-01-01'
+  GROUP BY 1, 2
+), tot AS (
+  SELECT l_partkey, SUM(sq) AS tq FROM pq GROUP BY 1
+)
+SELECT DISTINCT s_suppkey, s_name, n_name
+FROM pq
+JOIN tot USING (l_partkey)
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE sq * 5 > tq
+ORDER BY s_suppkey
+"""
+
+
+@register(
+    "top_share_suppliers",
+    oracle=_TOP_SHARE_ORACLE,
+    doc="TPC-H Q20 shape (nested aggregate share threshold + semi-join to "
+    "the dimension): suppliers who shipped more than 20%% of any red "
+    "part's total 1999 quantity (the stand-in for availqty > half of "
+    "shipped), with their nation. Two aggregates over the same filtered "
+    "fact — per (part, supplier) then per part — share the scan; the "
+    "share test is integer cross-multiplication (quantities are "
+    "integral), exact on both engines; the qualifying supplier set is "
+    "distinct-bounded before the dimension joins and nation is "
+    "hint-broadcast.",
+)
+def top_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    ts = dict(li.dtypes)["l_shipdate"]
+    red = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_name").startswith("red "))
+        .select("p_partkey")
+    )
+    pq = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1999-01-01").cast(ts))
+            & (F.col("l_shipdate") < F.lit("2000-01-01").cast(ts))
+        )
+        .join(red, li.l_partkey == red.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("sq"))
+    )
+    tot = pq.groupBy("l_partkey").agg(F.sum("sq").alias("tq"))
+    winners = (
+        pq.join(tot, "l_partkey")
+        .filter(F.col("sq") * 5 > F.col("tq"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        winners.join(s, winners.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name")
+        .orderBy("s_suppkey")
+    )

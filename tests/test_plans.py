@@ -448,3 +448,93 @@ def test_events_robust_outliers_pruned_medians_broadcast_back(spark, sf_dir):
     assert plan.count("BroadcastExchange") >= 2
     assert "CartesianProduct" not in plan
     assert plans.has_partial_aggregation(df)
+
+
+def test_priority_late_orders_semi_join_pushdown(spark, sf_dir):
+    """Q4 shape: the EXISTS must plan as a hash LEFT SEMI join (no distinct,
+    no row blowup) with the quarter filter pushed into the orders scan."""
+    df = build(spark, sf_dir, "priority_late_orders")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    assert "o_orderdate" in plans.pushed_filters(df)
+    assert "CartesianProduct" not in plan
+
+
+def test_forecast_revenue_delta_all_predicates_pushed(spark, sf_dir):
+    """Q6 shape: all three predicates reach the parquet scan and only the
+    needed columns are read — the cheapest possible plan."""
+    df = build(spark, sf_dir, "forecast_revenue_delta")
+    pushed = plans.pushed_filters(df)
+    for c in ("l_shipdate", "l_discount", "l_quantity"):
+        assert c in pushed, c
+    schemas = plans.read_schemas(df)
+    assert "l_partkey" not in schemas and "l_tax" not in schemas
+    assert plans.has_partial_aggregation(df)
+
+
+def test_profit_by_nation_year_part_filter_first(spark, sf_dir):
+    """Q9 shape: the name filter prunes part before the fact join; nation
+    broadcasts; the profit expression aggregates through the decimal
+    detour (partial map-side)."""
+    df = build(spark, sf_dir, "profit_by_nation_year")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "p_name" in plans.pushed_filters(df)
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert plans.has_partial_aggregation(df)
+
+
+def test_part_value_concentration_scalar_broadcast(spark, sf_dir):
+    """Q11 shape: the nation filter pushes; the global (tot, np) rides a
+    1-row broadcast; the threshold is pure decimal/integer math."""
+    df = build(spark, sf_dir, "part_value_concentration")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "n_name" in plans.pushed_filters(df)
+    assert plan.count("BroadcastExchange") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_late_ship_priority_mix_year_pushed(spark, sf_dir):
+    """Q12 shape: the ship-year range pushes below the join; the lateness
+    residual rides the equi-join; one aggregate pass for both CASE sums."""
+    df = build(spark, sf_dir, "late_ship_priority_mix")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "l_shipdate" in plans.pushed_filters(df)
+    assert "CartesianProduct" not in plan
+    assert plans.has_partial_aggregation(df)
+
+
+def test_customer_order_distribution_aggregates_before_join(spark, sf_dir):
+    """Q13 shape: orders aggregate per customer BEFORE the outer join (the
+    join input is |customers| + |custs-with-orders| rows, never raw order
+    rows), and the orders scan reads only the two needed columns."""
+    df = build(spark, sf_dir, "customer_order_distribution")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftOuter" in plan or "RightOuter" in plan
+    schemas = plans.read_schemas(df)
+    assert "o_totalprice" not in schemas and "o_orderpriority" not in schemas
+    # two aggregations (per-customer counts, then the distribution), both partial
+    assert plans.simple_plan(df).count("HashAggregate") >= 4
+
+
+def test_part_supplier_variety_anti_join_filters_pushed(spark, sf_dir):
+    """Q16 shape: the NOT IN is a LEFT ANTI join; brand/size filters push
+    into the part scan before the join."""
+    df = build(spark, sf_dir, "part_supplier_variety")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan
+    pushed = plans.pushed_filters(df)
+    assert "p_size" in pushed and "p_brand" in pushed
+    assert "CartesianProduct" not in plan
+
+
+def test_top_share_suppliers_shared_scan_filters_pushed(spark, sf_dir):
+    """Q20 shape: name prefix and ship-year range both push into their
+    scans; the share threshold is integer cross-multiplication (no
+    division); nation broadcasts."""
+    df = build(spark, sf_dir, "top_share_suppliers")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pushed = plans.pushed_filters(df)
+    assert "p_name" in pushed and "l_shipdate" in pushed
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
