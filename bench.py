@@ -200,6 +200,15 @@ HEADLINE = [
     "part_copurchase_kcore",
     "cheapest_supplier_per_part",
     "token_collocations",
+    # TPC-H Q4/Q6/Q9/Q11/Q12/Q13/Q16/Q20 shapes (late round 8)
+    "priority_late_orders",
+    "forecast_revenue_delta",
+    "profit_by_nation_year",
+    "part_value_concentration",
+    "late_ship_priority_mix",
+    "customer_order_distribution",
+    "part_supplier_variety",
+    "top_share_suppliers",
 ]
 
 
