@@ -80,7 +80,13 @@ the prior standing table for pre-existing queries (no old query's
 implementation changed this session), and the min-of-2 solo
 scale_probe.py sf0.1 values for the new queries. The usual 1-2 roaming
 multi-second transients per run apply (doc_dup_span_stats 1.36× in one
-fresh run, steady at its standing value in probes)."""
+fresh run, steady at its standing value in probes).
+Second late-round-8 extension: the eight TPC-H Q4/Q6/Q9/Q11/Q12/Q13/
+Q16/Q20 shapes (`priority_late_orders` … `top_share_suppliers`) joined
+the headline set; their entries are the per-query MIN across two
+marker-verified solo runs (119.59 s st [.074,.072] mt [.080,.112];
+133.21 s st [.072,.077] mt [.095,.131]) with every pre-existing entry
+kept at its historical min."""
 
 
 def main() -> None:
