@@ -192,3 +192,173 @@ def cms_estimate(
     )
     others = [c for c in items.columns]
     return joined.groupBy(*others).agg(F.min("_c").alias("cms_est"))
+
+
+# ---------------------------------------------------------------------------
+# Distinct-count sketches: KMV (bottom-k) and portable HLL registers.
+#
+# Both use portable integer MIX hashes so every register value, k-th
+# minimum, and estimate is reproducible bit-for-bit in any engine — the
+# catalog queries oracle-check the sketch INTERNALS, not just row counts,
+# which is what the Spark-native hll_sketch_agg path
+# (approx_distinct_users_rollup) inherently cannot offer.
+#
+# Hash design: a single affine permutation mod P maps sequential ids to an
+# arithmetic progression — KMV then estimates the STRIDE density (measured
+# 4x off) and HLL's trailing-zero geometry inherits the progression's
+# dyadic structure (measured +80%). Four rounds of (affine mod P, 15-bit
+# half-swap) break the structure while staying inside exact int64
+# arithmetic in BOTH engines (largest product 2654435769 * (P-1) < 2^62;
+# no wrapping multiplies, which ANSI Spark and DuckDB both reject).
+# Measured on adversarial sequential-id sets: KMV within +-9% at k=64 and
+# HLL raw within 14% at m=256 (~2 sigma) across 640..500k distincts.
+# ---------------------------------------------------------------------------
+
+# round constants: classic LCG multipliers, all coprime to P
+MIX1_ROUNDS = ((2654435769, 11), (1566083941, 17), (48271, 7), (16807, 3))
+MIX2_ROUNDS = ((1103515245, 12345), (69069, 97), (2147483629, 31), (65539, 9))
+
+
+def mix_expr(x: str, rounds=MIX1_ROUNDS, div: str = "div") -> str:
+    """SQL text of the 4-round mix of integer expression ``x`` onto
+    [0, PORTABLE_MOD) — generated from the SAME literal round constants
+    for the Spark side (``div='div'``) and the DuckDB oracle
+    (``div='//'``), the projection.py literal-coefficient discipline.
+    The half-swap references its input twice, so the inline text doubles
+    per round (2^3 copies of ``x``): all cheap integer ops, chosen over a
+    staged projection because CollapseProject would re-inline stages
+    anyway."""
+    e = f"(CAST({x} AS BIGINT) % {PORTABLE_MOD})"
+    for i, (a, b) in enumerate(rounds):
+        if i:  # swap 15-bit halves (value < 2^30) between affine rounds
+            e = f"((({e}) % 32768) * 32768 + ({e}) {div} 32768)"
+        e = f"(({a} * {e} + {b}) % {PORTABLE_MOD})"
+    return e
+
+
+def id_hash(col: str, rounds=MIX1_ROUNDS) -> Column:
+    """Portable well-mixed hash of a non-negative integer id column onto
+    [0, PORTABLE_MOD)."""
+    return F.expr(mix_expr(col, rounds))
+
+
+def kmv_kth_hash(
+    df: DataFrame,
+    item_col: str,
+    key_col: str,
+    k: int,
+    bucket_width: float = 2_000_000.0,
+) -> DataFrame:
+    """Per-key KMV sketch state: the k-th smallest distinct item hash.
+
+    KMV / bottom-k (Bar-Yossef et al. 2002): with hashes uniform on
+    [0, M), the k-th smallest distinct hash ``h_(k)`` estimates the
+    distinct count as ``(k-1) * M / h_(k)`` — the sketch state is just k
+    longs, mergeable by union (the union's bottom-k is contained in the
+    union of per-part bottom-ks; asserted in tests).
+
+    The k-th minimum is located with :func:`quantiles.rank_values_pruned`
+    (rank k = (0*n + k) div 1): histogram → locate → resolve, so no key
+    group is ever sorted whole (the CLAUDE.md aggregate-valued-quantile
+    invariant — a rank window per key would pin one task per key at
+    scale). Output: (key, n_rows = EXACT distinct count for error
+    telemetry, kth_hash; null when the key has < k distinct items).
+    """
+    from .quantiles import rank_values_pruned
+
+    d = df.select(F.col(key_col), id_hash(item_col).alias("_kmv_h")).distinct()
+    out = rank_values_pruned(
+        d, "_kmv_h", key_col, [("kth_hash", 0, k, 1)], bucket_width=bucket_width
+    )
+    return out
+
+
+def kmv_estimate(kth_hash_col: str, k: int) -> Column:
+    """Distinct-count estimate from the k-th smallest hash — exact integer
+    arithmetic (``(k-1) * M div h_(k)``; true integer ``div``, never a
+    double divide + cast, which rounds across integer boundaries — the
+    CLAUDE.md shiftright invariant's sibling), so the oracle's ``//`` twin
+    is bit-exact."""
+    num = (k - 1) * PORTABLE_MOD
+    return F.when(
+        F.col(kth_hash_col).isNotNull(),
+        F.expr(f"CAST({num} AS BIGINT) div {kth_hash_col}").cast("long"),
+    )
+
+
+HLL_P = 8  # 2^8 = 256 registers
+HLL_M = 1 << HLL_P
+# the rho source value is < 2^30, so trailing zeros <= 29 and rho <= 30;
+# a value of 0 caps just above the largest reachable rho.
+HLL_RHO_CAP = 31
+# alpha_m for m = 256 (Flajolet et al. 2007 eq. 3) — computed ONCE here and
+# inlined as the SAME literal into the SQL oracle (the projection.py
+# literal-coefficient discipline), so the one double expression matches.
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+
+
+def hll_register_values(df: DataFrame, item_col: str, key_col: str) -> DataFrame:
+    """Per-(key, register) HLL state M_j = max over items of rho(item).
+
+    register = mix1(id) mod 256; rho = 1 + (trailing zeros of mix2(id)) —
+    an INDEPENDENT mix chain, because max-rho statistics are the
+    sketch's tail-sensitive part and reusing mix1's high bits measurably
+    correlates register choice with rho on sequential ids. Trailing zeros
+    come portably from the binary STRING (``bin(w)`` minus its ``0+$``
+    tail — both engines print minimal binary, no libm anywhere).
+    max() is idempotent, so the input needs NO distinct pass — the whole
+    sketch build is one map-side-combinable aggregate over the raw
+    stream, the property that makes HLL the 100 TB distinct-count path.
+    """
+    hashed = df.select(
+        F.col(key_col),
+        id_hash(item_col, MIX1_ROUNDS).alias("_h"),
+        id_hash(item_col, MIX2_ROUNDS).alias("_w"),
+    )
+    w = F.col("_w")
+    b = F.bin(w)
+    # bin(w) appears twice in rho; it is a <=30-char string op per row —
+    # cheap enough to let CollapseProject inline (the CLAUDE.md duplicated-
+    # expression watch applies to per-char folds, not one bin()).
+    rho = F.when(w == F.lit(0), F.lit(HLL_RHO_CAP)).otherwise(
+        F.length(b) - F.length(F.regexp_replace(b, "0+$", "")) + F.lit(1)
+    )
+    return (
+        hashed.select(
+            F.col(key_col),
+            (F.col("_h") % HLL_M).alias("reg"),
+            rho.cast("int").alias("rho"),
+        )
+        .groupBy(key_col, "reg")
+        .agg(F.max("rho").alias("m_j"))
+    )
+
+
+def hll_raw_estimate(registers: DataFrame, key_col: str) -> DataFrame:
+    """Collapse (key, reg, m_j) register states to the raw HLL estimate.
+
+    The harmonic mean's sum(2^-M_j) is kept EXACT as the scaled integer
+    S = sum(2^(32 - M_j)) + (m - hit) * 2^32 (absent registers have
+    M_j = 0); the only floating-point step is the final
+    alpha * m^2 * 2^32 / S — three correctly-rounded IEEE ops with a
+    literal alpha, identical in the oracle. No small-range linear-counting
+    correction (it needs ln); the RAW estimate plus the register-state
+    columns is the checkable contract, and n_regs_hit lets a caller apply
+    any correction downstream.
+    """
+    two32 = 1 << 32
+    per_key = registers.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_regs_hit"),
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 32 - m_j)")).alias("_s_hit"),
+    )
+    s = (
+        F.col("_s_hit")
+        + (F.lit(HLL_M).cast("long") - F.col("n_regs_hit")) * F.lit(two32).cast("long")
+    ).alias("reg_harmonic_scaled")
+    est = (
+        F.lit(HLL_ALPHA) * F.lit(float(HLL_M * HLL_M)) * F.lit(float(two32))
+        / F.col("reg_harmonic_scaled").cast("double")
+    ).alias("hll_raw_est")
+    return per_key.select(key_col, "n_regs_hit", s).select(
+        key_col, "n_regs_hit", "reg_harmonic_scaled", est
+    )

@@ -1452,3 +1452,129 @@ def part_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     edges = part_pair_edges(load(spark, sf_dir, "lineitem"), min_pair_count=2)
     return kcore_peel_counts(edges, k=4, rounds=4)
+
+
+_EWMA_ORACLE = """
+WITH r AS (
+  SELECT user_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id,
+       COUNT(*)::BIGINT AS n_recent,
+       SUM(CAST(value AS DECIMAL(19,2)) * (1::BIGINT << (8 - rn)))::DOUBLE
+         / SUM(1::BIGINT << (8 - rn))::DOUBLE AS ewma_last
+FROM r
+WHERE rn <= 8
+GROUP BY 1
+"""
+
+
+@register(
+    "user_value_ewma",
+    oracle=_EWMA_ORACLE,
+    doc="Exponential smoothing (EWMA, alpha = 1/2) of each user's event "
+    "values, truncated at 8 lags — the dyadic decay makes every weight a "
+    "power of two, so the weighted sum is EXACT decimal x integer "
+    "arithmetic (weights 128..1; mass below 2^-8 ignored) and the one "
+    "float op is the final num/den division: engine-exact with zero "
+    "libm (the CLAUDE.md no-transcendentals rule is why alpha is dyadic "
+    "rather than the textbook 0.9). The 8-lag truncation turns the "
+    "unbounded recursive EWMA into a bounded per-user rank + aggregate "
+    "(user_id is an entity key, so the row_number window is "
+    "occupancy-bounded, not a content-key straggler); ordering is the "
+    "tie-broken (ts DESC, event_id DESC) total order.",
+)
+def user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    recent = ev.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 8)
+    weight = F.expr("shiftleft(CAST(1 AS BIGINT), 8 - rn)")
+    num = F.sum(F.col("value").cast("decimal(19,2)") * weight).cast("double")
+    den = F.sum(weight).cast("double")
+    return recent.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_recent"),
+        (num / den).alias("ewma_last"),
+    )
+
+
+_WINSOR_ORACLE = f"""
+WITH r AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+), q AS (
+  SELECT event_type,
+         MAX(CASE WHEN rn = (n + 19) // 20 THEN value END) AS p05,
+         MAX(CASE WHEN rn = (19 * n + 19) // 20 THEN value END) AS p95
+  FROM r GROUP BY 1
+), c AS (
+  SELECT e.event_type, e.value, q.p05, q.p95,
+         CASE WHEN e.value < q.p05 THEN q.p05
+              WHEN e.value > q.p95 THEN q.p95
+              ELSE e.value END AS wv
+  FROM events e JOIN q USING (event_type)
+)
+SELECT event_type,
+       COUNT(*)::BIGINT AS n_events,
+       MAX(p05) AS p05,
+       MAX(p95) AS p95,
+       SUM(CASE WHEN value < p05 THEN 1 ELSE 0 END)::BIGINT AS n_clamped_low,
+       SUM(CASE WHEN value > p95 THEN 1 ELSE 0 END)::BIGINT AS n_clamped_high,
+       {o_davg('value', 'mean_value', 6)},
+       {o_davg('wv', 'winsorized_mean', 6)}
+FROM c
+GROUP BY 1
+"""
+
+
+@register(
+    "winsorized_value_stats",
+    oracle=_WINSOR_ORACLE,
+    doc="Winsorized mean per event type (clamp to the exact p05/p95 rank "
+    "values, then average) — the robust-statistics sibling of "
+    "events_robust_outliers' median/MAD. Both percentiles are "
+    "percentile_disc at integer ranks ceil(n/20) / ceil(19n/20), located "
+    "via quantiles.rank_values_pruned (histogram pruning; the rank-window "
+    "formulation survives only as the oracle — CLAUDE.md aggregate-valued "
+    "quantile invariant), broadcast back as a 5-row bound; the clamp is a "
+    "CASE on exact data values and both means go through the decimal "
+    "detour (davg), so every column is engine-exact.",
+)
+def winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.aggregates import davg
+    from ..operators.quantiles import rank_values_pruned
+
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    q = rank_values_pruned(
+        ev,
+        "value",
+        "event_type",
+        [("p05", 1, 19, 20), ("p95", 19, 19, 20)],
+        bucket_width=5.0,
+    ).select("event_type", "p05", "p95")
+    c = ev.join(F.broadcast(q), "event_type")
+    wv = (
+        F.when(F.col("value") < F.col("p05"), F.col("p05"))
+        .when(F.col("value") > F.col("p95"), F.col("p95"))
+        .otherwise(F.col("value"))
+    )
+    return (
+        c.withColumn("wv", wv)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.max("p05").alias("p05"),
+            F.max("p95").alias("p95"),
+            F.sum(F.when(F.col("value") < F.col("p05"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_clamped_low"),
+            F.sum(F.when(F.col("value") > F.col("p95"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_clamped_high"),
+            davg("value", "mean_value", 6),
+            davg("wv", "winsorized_mean", 6),
+        )
+    )

@@ -106,6 +106,122 @@ def approx_distinct_users_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from ..operators.sketches import MIX1_ROUNDS as _M1, MIX2_ROUNDS as _M2, mix_expr as _mx
+
+_o_mix1 = _mx("user_id", _M1, "//")
+_o_mix2 = _mx("user_id", _M2, "//")
+
+_KMV_K = 64
+_KMV_ORACLE = f"""
+WITH h AS (
+  SELECT DISTINCT (epoch_ms(date_trunc('day', ts)) // 1000)::BIGINT AS day_bucket,
+                  {_o_mix1} AS hh
+  FROM events
+), r AS (
+  SELECT day_bucket, hh,
+         ROW_NUMBER() OVER (PARTITION BY day_bucket ORDER BY hh) AS rn,
+         COUNT(*) OVER (PARTITION BY day_bucket) AS n
+  FROM h
+)
+SELECT day_bucket,
+       MAX(n)::BIGINT AS n_exact,
+       MAX(CASE WHEN rn = {_KMV_K} THEN hh END)::BIGINT AS kth_hash,
+       (CAST({(_KMV_K - 1) * 1_000_000_007} AS BIGINT)
+          // MAX(CASE WHEN rn = {_KMV_K} THEN hh END))::BIGINT AS kmv_est
+FROM r
+GROUP BY 1
+"""
+
+
+@register(
+    "kmv_distinct_users",
+    oracle=_KMV_ORACLE,
+    doc="KMV / bottom-k distinct sketch (Bar-Yossef et al. 2002) with "
+    "oracle-checkable INTERNALS: per-day k-th smallest portable user-id "
+    "hash located via quantiles.rank_values_pruned (histogram -> locate -> "
+    "resolve; no day group is ever sorted whole), estimate "
+    "(k-1)*M div h_(k) in exact integer arithmetic. The exact distinct "
+    "count rides along as error telemetry (the recall-telemetry "
+    "discipline: the sketch is MEASURED, not assumed). Mergeability "
+    "(union's bottom-k == merged per-part bottom-ks) is asserted in "
+    "tests/test_sketches.py.",
+)
+def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import kmv_estimate, kmv_kth_hash
+
+    ev = load(spark, sf_dir, "events").select(
+        F.unix_timestamp(F.date_trunc("DAY", "ts")).alias("day_bucket"), "user_id"
+    )
+    kth = kmv_kth_hash(ev, "user_id", "day_bucket", _KMV_K)
+    return kth.select(
+        "day_bucket",
+        F.col("n_rows").cast("long").alias("n_exact"),
+        F.col("kth_hash").cast("long").alias("kth_hash"),
+        kmv_estimate("kth_hash", _KMV_K).alias("kmv_est"),
+    )
+
+
+_HLL_ORACLE = f"""
+WITH s AS (
+  SELECT event_type,
+         {_o_mix1} AS hh,
+         {_o_mix2} AS ww
+  FROM events
+), rr AS (
+  SELECT event_type,
+         hh % 256 AS reg,
+         CASE WHEN ww = 0 THEN 31
+              ELSE LENGTH(bin(ww))
+                   - LENGTH(REGEXP_REPLACE(bin(ww), '0+$', '')) + 1
+         END AS rho
+  FROM s
+), m AS (
+  SELECT event_type, reg, MAX(rho) AS m_j FROM rr GROUP BY 1, 2
+), agg AS (
+  SELECT event_type,
+         COUNT(*)::BIGINT AS n_regs_hit,
+         SUM((1::BIGINT << (32 - m_j))::BIGINT)::BIGINT AS s_hit
+  FROM m GROUP BY 1
+), ex AS (
+  SELECT event_type, COUNT(DISTINCT user_id)::BIGINT AS n_exact FROM events GROUP BY 1
+)
+SELECT a.event_type, a.n_regs_hit,
+       (a.s_hit + (256 - a.n_regs_hit) * 4294967296)::BIGINT AS reg_harmonic_scaled,
+       0.7182725932495458::DOUBLE * 65536.0::DOUBLE * 4294967296.0::DOUBLE
+         / (a.s_hit + (256 - a.n_regs_hit) * 4294967296)::DOUBLE AS hll_raw_est,
+       ex.n_exact
+FROM agg a JOIN ex USING (event_type)
+"""
+
+
+@register(
+    "hll_distinct_portable",
+    oracle=_HLL_ORACLE,
+    doc="Portable HLL (Flajolet et al. 2007) whose REGISTER STATE is "
+    "oracle-checked bit-for-bit — the checkable twin of the Spark-native "
+    "hll_sketch_agg path (approx_distinct_users_rollup, which is opaque "
+    "binary and so declared no_oracle). rho = 1 + trailing zeros of the "
+    "portable hash's high bits via bin()-string ops (no libm); the "
+    "harmonic sum stays an EXACT scaled integer (sum 2^(32-M_j), absent "
+    "registers contribute 2^32); the only float is the final "
+    "alpha*m^2*2^32 / S with the alpha literal inlined into BOTH engines "
+    "(projection.py literal discipline). max() is idempotent so the "
+    "register build needs no distinct pass — one map-side-combinable "
+    "aggregate over the raw stream, the 100 TB distinct-count shape; the "
+    "exact COUNT(DISTINCT) leg is error telemetry only.",
+)
+def hll_distinct_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import hll_raw_estimate, hll_register_values
+
+    ev = load(spark, sf_dir, "events")
+    regs = hll_register_values(ev, "user_id", "event_type")
+    est = hll_raw_estimate(regs, "event_type")
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_exact")
+    )
+    return est.join(F.broadcast(exact), "event_type")
+
+
 @register(
     "event_props_json",
     oracle="""

@@ -136,3 +136,139 @@ def test_bloom_probe_is_deterministic_and_portable(spark):
          for s in rows for i in range(4)}
     )
     assert sorted(r["pos"] for r in one.collect()) == expect
+
+
+# ---------------------------------------------------------------------------
+# KMV bottom-k and portable HLL
+# ---------------------------------------------------------------------------
+
+from data_engineering_assignment_spark.operators.dedup import PORTABLE_MOD
+from data_engineering_assignment_spark.operators.sketches import (
+    MIX1_ROUNDS,
+    MIX2_ROUNDS,
+)
+
+
+def _pymix(x, rounds=MIX1_ROUNDS):
+    """Python model of sketches.mix_expr (same literal round constants)."""
+    h = x % PORTABLE_MOD
+    for i, (a, b) in enumerate(rounds):
+        if i:
+            h = (h % 32768) * 32768 + h // 32768
+        h = (a * h + b) % PORTABLE_MOD
+    return h
+
+
+def _ids(spark, ids, key="g"):
+    return spark.createDataFrame([(key, i) for i in ids], "k string, item bigint")
+
+
+def test_mix_expr_matches_python_model(spark):
+    from data_engineering_assignment_spark.operators.sketches import id_hash
+
+    ids = [0, 1, 2, 7919, 10**9, 10**12, 10**15]
+    df = spark.createDataFrame([(i,) for i in ids], "item bigint")
+    got = [r["h"] for r in df.select(id_hash("item").alias("h")).collect()]
+    assert got == [_pymix(i) for i in ids]
+    got2 = [
+        r["h"]
+        for r in df.select(id_hash("item", MIX2_ROUNDS).alias("h")).collect()
+    ]
+    assert got2 == [_pymix(i, MIX2_ROUNDS) for i in ids]
+
+
+def test_kmv_kth_hash_matches_python_model(spark):
+    from data_engineering_assignment_spark.operators.sketches import kmv_kth_hash
+
+    ids = list(range(1, 501))
+    df = _ids(spark, ids)
+    k = 16
+    out = kmv_kth_hash(df, "item", "k", k).collect()
+    assert len(out) == 1
+    hashes = sorted(_pymix(i) for i in ids)
+    assert out[0]["kth_hash"] == hashes[k - 1]
+    assert out[0]["n_rows"] == 500
+
+
+def test_kmv_estimate_within_relative_error(spark):
+    from data_engineering_assignment_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_kth_hash,
+    )
+
+    n, k = 5000, 64
+    df = _ids(spark, range(1, n + 1))
+    kth = kmv_kth_hash(df, "item", "k", k)
+    est = kth.select(kmv_estimate("kth_hash", k).alias("e")).collect()[0]["e"]
+    # KMV std err ~ 1/sqrt(k-2) = 12.7%; assert a generous 3-sigma band
+    assert abs(est - n) / n < 0.4, est
+
+
+def test_kmv_small_group_yields_null(spark):
+    from data_engineering_assignment_spark.operators.sketches import kmv_kth_hash
+
+    df = _ids(spark, range(5))
+    row = kmv_kth_hash(df, "item", "k", 64).collect()[0]
+    assert row["kth_hash"] is None and row["n_rows"] == 5
+
+
+def test_kmv_merge_property():
+    """The union's bottom-k == bottom-k of (part A's bottom-k ∪ part B's
+    bottom-k): any hash among the union's k smallest is among its own
+    part's k smallest — the mergeability that makes KMV a rollup sketch."""
+    k = 8
+    a = [_pymix(i) for i in range(1, 300)]
+    b = [_pymix(i) for i in range(200, 600)]
+    merged_state = sorted(set(sorted(set(a))[:k] + sorted(set(b))[:k]))[:k]
+    whole = sorted(set(a) | set(b))[:k]
+    assert merged_state == whole
+
+
+def test_hll_registers_match_python_model_and_are_duplicate_blind(spark):
+    from data_engineering_assignment_spark.operators.sketches import (
+        HLL_M,
+        HLL_RHO_CAP,
+        hll_register_values,
+    )
+
+    ids = list(range(1, 401))
+    df = _ids(spark, ids)
+    dup = _ids(spark, ids * 3)  # duplicates must not move any register
+
+    def model(ids):
+        regs = {}
+        for i in ids:
+            h = _pymix(i)
+            w = _pymix(i, MIX2_ROUNDS)
+            if w == 0:
+                rho = HLL_RHO_CAP
+            else:
+                rho = 1
+                while w % 2 == 0:
+                    rho += 1
+                    w //= 2
+            r = h % HLL_M
+            regs[r] = max(regs.get(r, 0), rho)
+        return regs
+
+    expect = model(ids)
+    got = {r["reg"]: r["m_j"] for r in hll_register_values(df, "item", "k").collect()}
+    got_dup = {r["reg"]: r["m_j"] for r in hll_register_values(dup, "item", "k").collect()}
+    assert got == expect
+    assert got_dup == expect
+
+
+def test_hll_raw_estimate_within_error_band(spark):
+    from data_engineering_assignment_spark.operators.sketches import (
+        hll_raw_estimate,
+        hll_register_values,
+    )
+
+    n = 20000
+    df = _ids(spark, range(1, n + 1))
+    regs = hll_register_values(df, "item", "k")
+    row = hll_raw_estimate(regs, "k").collect()[0]
+    # HLL std err ~ 1.04/sqrt(256) = 6.5%; allow 3 sigma
+    assert abs(row["hll_raw_est"] - n) / n < 0.2, row["hll_raw_est"]
+    assert row["n_regs_hit"] <= 256
+    assert row["reg_harmonic_scaled"] > 0
