@@ -261,8 +261,12 @@ def kmv_kth_hash(
     (rank k = (0*n + k) div 1): histogram → locate → resolve, so no key
     group is ever sorted whole (the CLAUDE.md aggregate-valued-quantile
     invariant — a rank window per key would pin one task per key at
-    scale). Output: (key, n_rows = EXACT distinct count for error
-    telemetry, kth_hash; null when the key has < k distinct items).
+    scale). Output: (key, n_rows = the DISTINCT-HASH count — distinct
+    after mixing onto [0, PORTABLE_MOD), which birthday collisions
+    (~n^2/2e9) can undercount vs the raw distinct count for large keys;
+    callers wanting exact-distinct telemetry should countDistinct the raw
+    column, as kmv_distinct_users does — and kth_hash; kth_hash is null
+    when the key has < k distinct hashes).
     """
     from .quantiles import rank_values_pruned
 

@@ -40,123 +40,72 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # whose implementation changed this round (a green history does not cover
 # new code), then queries whose last green row is oldest.
 #
-# Round-8 head (catalog = 141 after bpe_train_merges + bpe_encode_stats
-# + doc_dup_spans_merged + dedup_semantic_hier + intra_doc_repetition +
-# token_budget_mix + cosine_topk_ivfpq + cross_source_dup_matrix +
-# hybrid_retrieval_rrf + part_affinity_rules + doc_winnow_stats +
-# winnow_dup_pairs + copurchase_pagerank + part_copurchase_triangles +
-# dedup_containment_pairs + winnow_recall_telemetry +
-# embedding_rp_stats + purchase_prior_state_pit +
-# bination_trade_volume + part_name_linkage + part_affinity_triples +
-# rp_recall_telemetry + small_quantity_revenue + sole_return_supplier +
-# idle_customer_balance + pareto_orders + event_value_twap +
-# events_robust_outliers + nation_market_share + top_revenue_supplier +
-# part_copurchase_kcore + cheapest_supplier_per_part +
-# token_collocations): the 33 never-checked queries (each also
-# oracle-rehearsed locally at sf0.001 AND sf0.01);
-# the 3 whose implementation changed this round (fused multi-order hash
-# stream + aggregated checkpoint: dsir_affinity_top64; native color
-# path + color round-trip columns: jpeg_decode_stats; new jc_*.jpg
-# fixtures in the digest glob: binary_media_inventory — cosine_topk_pq
-# also saw a pure helper-extraction refactor, excluded because its
-# oracle re-verified locally at sf0.001 AND sf0.01 this session with
-# byte-identical output and the full suite is green); 13 of the 40
-# r5-checked queries (pricing_summary yields its slot — it is pinned by
-# entry(), the plan tests and the local suite, the strongest non-driver
-# coverage in the catalog; vocab_encode_stats, vocab_top64,
-# wav_audio_stats, user_event_type_sets, user_state_scd2,
-# top_tokens_per_lang, training_corpus_build, user_retention_cohorts,
-# seq_packing, repetition_stats, referential_integrity_audit,
-# purchase_asof_last_click, plusminus_top_by_role,
-# event_interarrival_stats, events_anomaly_zscore,
-# distinct_status_priority, doc_simhash, events_hourly,
-# nation_presence_full_outer, order_price_histogram, doc_regex_tokens,
-# embedding_quantize_stats, event_transitions, docs_hash_sample
-# (pinned via the llmprep sampling property tests and the
-# training_corpus_build shared path) and dedup_ngram_jaccard (pinned
-# via the dedup suite; the prefix/minhash/containment family keeps
-# four head slots) and nation_revenue_share (pinned via plan tests;
-# events_sessionize stays — it is catalog_events' module-coverage
-# representative) yield theirs to the twenty-six late-r8 queries — the as-of operator stays
-# head-covered via purchase_prior_state_pit, the plus-minus pipeline via
-# plusminus_player_stats, the z-score decomposition via its r7-checked
-# bucketed variant, simhash via simhash_hamming_pairs' unit pins, the
-# price histogram via order_price_distribution, quantization via
-# cosine_topk_pq's pins, transitions via events_sessionize — all
-# twenty-six pinned by unit + oracle-rehearsal coverage meanwhile);
-# and ml_peak_classification (r6)
-# so the head spans catalog_ml (module-coverage contract).  The final r8
-# session added eight TPC-H shapes (Q4/Q6/Q9/Q11/Q12/Q13/Q16/Q20:
-# priority_late_orders, forecast_revenue_delta, profit_by_nation_year,
-# part_value_concentration, late_ship_priority_mix,
-# customer_order_distribution, part_supplier_variety,
-# top_share_suppliers — all oracle-rehearsed at sf0.001 AND sf0.01);
-# they take the slots of eight more r5-checked queries
-# (data_mix_by_source, doc_tfidf_top_terms, embedding_near_dup,
-# lang_source_chisq, median_price_by_priority, nation_rank_top2,
-# orders_profile, orders_cdc_apply — every module keeps another head
-# representative; CDC stays covered by the streaming cdc_snapshot_sink
-# tests and the apply_changes property suite).  The r9
-# head: the 40 r6-checked queries (bm25_topk onward) + pricing_summary
-# + the sixteen displaced r5 queries first, then the r7-checked set as
-# it ages.
+# Round-9 head (catalog = 176): the driver has now checked 172/176 at
+# least once; the only never-checked queries are the four end-of-r8
+# additions (kmv_distinct_users, hll_distinct_portable, user_value_ewma,
+# winsorized_value_stats — each oracle-rehearsed locally at sf0.001 AND
+# sf0.01, per the r8 verdict's top item they lead the head).  After them,
+# strict age order: ALL 35 queries whose last green row is r5, then 11 of
+# the 40 r6-checked queries in catalog order — except the final slot goes
+# to ml_energy_report (r6) so the head spans catalog_ml (module-coverage
+# contract; the naive age order's 50th entry would have left catalog_ml
+# unrepresented).  The 29 remaining r6-checked queries front the r10
+# head, then r7 as it ages.
 DRIVER_SAMPLE_HEAD: tuple[str, ...] = (
-    # never driver-checked (7, new this round)
-    "bpe_train_merges",
-    "bpe_encode_stats",
-    "doc_dup_spans_merged",
-    "dedup_semantic_hier",
-    "intra_doc_repetition",
-    "token_budget_mix",
-    "cosine_topk_ivfpq",
-    "cross_source_dup_matrix",
-    "hybrid_retrieval_rrf",
-    "part_affinity_rules",
-    "doc_winnow_stats",
-    "winnow_dup_pairs",
-    "copurchase_pagerank",
-    "part_copurchase_triangles",
-    "dedup_containment_pairs",
-    "winnow_recall_telemetry",
-    "embedding_rp_stats",
-    "purchase_prior_state_pit",
-    "bination_trade_volume",
-    "part_name_linkage",
-    "part_affinity_triples",
-    "rp_recall_telemetry",
-    "small_quantity_revenue",
-    "sole_return_supplier",
-    "idle_customer_balance",
-    "pareto_orders",
-    "event_value_twap",
-    "events_robust_outliers",
-    "nation_market_share",
-    "top_revenue_supplier",
-    "part_copurchase_kcore",
-    "cheapest_supplier_per_part",
-    "token_collocations",
-    "priority_late_orders",
-    "forecast_revenue_delta",
-    "profit_by_nation_year",
-    "part_value_concentration",
-    "late_ship_priority_mix",
-    "customer_order_distribution",
-    "part_supplier_variety",
-    "top_share_suppliers",
-    # implementation changed this round (green history does not cover it:
-    # jpeg_decode_stats grew the PROGRESSIVE third leg this session)
-    "dsir_affinity_top64",
-    "jpeg_decode_stats",
-    "binary_media_inventory",
-    # last checked r5
-    "events_sessionize",
-    "image_color_analytics",
-    "image_format_inventory",
-    "order_price_distribution",
-    "plusminus_player_stats",
-    # last checked r6: ml_peak_classification keeps catalog_ml in the
-    # head (module-coverage contract)
-    "ml_peak_classification",
+    # never driver-checked (end-of-r8 additions)
+    "kmv_distinct_users",
+    "hll_distinct_portable",
+    "user_value_ewma",
+    "winsorized_value_stats",
+    # last checked r5 (35 queries, all of them)
+    "pricing_summary",
+    "nation_rank_top2",
+    "distinct_status_priority",
+    "embedding_near_dup",
+    "embedding_quantize_stats",
+    "dedup_ngram_jaccard",
+    "doc_simhash",
+    "doc_regex_tokens",
+    "top_tokens_per_lang",
+    "docs_hash_sample",
+    "data_mix_by_source",
+    "seq_packing",
+    "training_corpus_build",
+    "repetition_stats",
+    "events_hourly",
+    "event_transitions",
+    "user_retention_cohorts",
+    "purchase_asof_last_click",
+    "plusminus_top_by_role",
+    "wav_audio_stats",
+    "doc_tfidf_top_terms",
+    "orders_profile",
+    "vocab_top64",
+    "vocab_encode_stats",
+    "user_state_scd2",
+    "orders_cdc_apply",
+    "user_event_type_sets",
+    "nation_presence_full_outer",
+    "events_anomaly_zscore",
+    "order_price_histogram",
+    "median_price_by_priority",
+    "event_interarrival_stats",
+    "nation_revenue_share",
+    "referential_integrity_audit",
+    "lang_source_chisq",
+    # last checked r6 (11 of 40, oldest in catalog order)
+    "user_purchase_totals",
+    "league_table",
+    "value_quantiles_by_type",
+    "supplier_stats_salted",
+    "doc_path_format",
+    "cosine_topk",
+    "cosine_topk_lsh",
+    "cosine_topk_ivf",
+    "ivf_recall_telemetry",
+    "doc_token_stats",
+    # last checked r6; keeps catalog_ml in the head (module-coverage contract)
+    "ml_energy_report",
 )
 
 

@@ -106,7 +106,13 @@ def approx_distinct_users_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-from ..operators.sketches import MIX1_ROUNDS as _M1, MIX2_ROUNDS as _M2, mix_expr as _mx
+from ..operators.sketches import (
+    HLL_ALPHA as _HLL_ALPHA,
+    HLL_M as _HLL_M,
+    MIX1_ROUNDS as _M1,
+    MIX2_ROUNDS as _M2,
+    mix_expr as _mx,
+)
 
 _o_mix1 = _mx("user_id", _M1, "//")
 _o_mix2 = _mx("user_id", _M2, "//")
@@ -119,17 +125,23 @@ WITH h AS (
   FROM events
 ), r AS (
   SELECT day_bucket, hh,
-         ROW_NUMBER() OVER (PARTITION BY day_bucket ORDER BY hh) AS rn,
-         COUNT(*) OVER (PARTITION BY day_bucket) AS n
+         ROW_NUMBER() OVER (PARTITION BY day_bucket ORDER BY hh) AS rn
   FROM h
+), k AS (
+  SELECT day_bucket,
+         MAX(CASE WHEN rn = {_KMV_K} THEN hh END)::BIGINT AS kth_hash,
+         (CAST({(_KMV_K - 1) * 1_000_000_007} AS BIGINT)
+            // MAX(CASE WHEN rn = {_KMV_K} THEN hh END))::BIGINT AS kmv_est
+  FROM r
+  GROUP BY 1
+), ex AS (
+  SELECT (epoch_ms(date_trunc('day', ts)) // 1000)::BIGINT AS day_bucket,
+         COUNT(DISTINCT user_id)::BIGINT AS n_exact
+  FROM events
+  GROUP BY 1
 )
-SELECT day_bucket,
-       MAX(n)::BIGINT AS n_exact,
-       MAX(CASE WHEN rn = {_KMV_K} THEN hh END)::BIGINT AS kth_hash,
-       (CAST({(_KMV_K - 1) * 1_000_000_007} AS BIGINT)
-          // MAX(CASE WHEN rn = {_KMV_K} THEN hh END))::BIGINT AS kmv_est
-FROM r
-GROUP BY 1
+SELECT k.day_bucket, ex.n_exact, k.kth_hash, k.kmv_est
+FROM k JOIN ex USING (day_bucket)
 """
 
 
@@ -140,10 +152,12 @@ GROUP BY 1
     "oracle-checkable INTERNALS: per-day k-th smallest portable user-id "
     "hash located via quantiles.rank_values_pruned (histogram -> locate -> "
     "resolve; no day group is ever sorted whole), estimate "
-    "(k-1)*M div h_(k) in exact integer arithmetic. The exact distinct "
-    "count rides along as error telemetry (the recall-telemetry "
-    "discipline: the sketch is MEASURED, not assumed). Mergeability "
-    "(union's bottom-k == merged per-part bottom-ks) is asserted in "
+    "(k-1)*M div h_(k) in exact integer arithmetic. The TRUE exact "
+    "distinct count (countDistinct on the raw user_id, not the "
+    "distinct-hash count, which birthday collisions can undercount) "
+    "rides along as error telemetry (the recall-telemetry discipline: "
+    "the sketch is MEASURED, not assumed). Mergeability (union's "
+    "bottom-k == merged per-part bottom-ks) is asserted in "
     "tests/test_sketches.py.",
 )
 def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -153,9 +167,12 @@ def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_timestamp(F.date_trunc("DAY", "ts")).alias("day_bucket"), "user_id"
     )
     kth = kmv_kth_hash(ev, "user_id", "day_bucket", _KMV_K)
-    return kth.select(
+    exact = ev.groupBy("day_bucket").agg(
+        F.countDistinct("user_id").cast("long").alias("n_exact")
+    )
+    return kth.join(exact, "day_bucket").select(
         "day_bucket",
-        F.col("n_rows").cast("long").alias("n_exact"),
+        "n_exact",
         F.col("kth_hash").cast("long").alias("kth_hash"),
         kmv_estimate("kth_hash", _KMV_K).alias("kmv_est"),
     )
@@ -169,7 +186,7 @@ WITH s AS (
   FROM events
 ), rr AS (
   SELECT event_type,
-         hh % 256 AS reg,
+         hh % {_HLL_M} AS reg,
          CASE WHEN ww = 0 THEN 31
               ELSE LENGTH(bin(ww))
                    - LENGTH(REGEXP_REPLACE(bin(ww), '0+$', '')) + 1
@@ -186,9 +203,9 @@ WITH s AS (
   SELECT event_type, COUNT(DISTINCT user_id)::BIGINT AS n_exact FROM events GROUP BY 1
 )
 SELECT a.event_type, a.n_regs_hit,
-       (a.s_hit + (256 - a.n_regs_hit) * 4294967296)::BIGINT AS reg_harmonic_scaled,
-       0.7182725932495458::DOUBLE * 65536.0::DOUBLE * 4294967296.0::DOUBLE
-         / (a.s_hit + (256 - a.n_regs_hit) * 4294967296)::DOUBLE AS hll_raw_est,
+       (a.s_hit + ({_HLL_M} - a.n_regs_hit) * 4294967296)::BIGINT AS reg_harmonic_scaled,
+       {_HLL_ALPHA!r}::DOUBLE * {float(_HLL_M * _HLL_M)!r}::DOUBLE * 4294967296.0::DOUBLE
+         / (a.s_hit + ({_HLL_M} - a.n_regs_hit) * 4294967296)::DOUBLE AS hll_raw_est,
        ex.n_exact
 FROM agg a JOIN ex USING (event_type)
 """

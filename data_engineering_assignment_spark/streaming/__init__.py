@@ -456,6 +456,7 @@ def streaming_twap(
     ts_col: str = "ts",
     id_col: str = "event_id",
     value_col: str = "value",
+    value_scale: int = 100,
 ) -> DataFrame:
     """Streaming twin of the batch ``event_value_twap``: per key, the
     time-weighted average over all CLOSED segments seen so far (each
@@ -465,12 +466,20 @@ def streaming_twap(
 
     State per key is O(1): the open segment's (ts_seconds, value-in-cents)
     plus integer accumulators (cents x seconds numerator, seconds
-    denominator, segment count). Values are held in integer cents so the
-    accumulation is EXACT — the float division happens once per emission,
-    mirroring the batch decimal discipline. Within a micro-batch rows are
-    sorted by (ts, id); across batches events are assumed to arrive in
-    event-time order (the running-totals twins' assumption — a late event
-    would need watermarked reordering upstream).
+    denominator, segment count). Values are quantized to integers as
+    ``round(value * value_scale)`` so the accumulation is EXACT — the
+    float division happens once per emission, mirroring the batch decimal
+    discipline. INPUT CONTRACT: exactness (and parity with the batch
+    DECIMAL TWAP) holds only for values exactly representable at
+    1/value_scale resolution; finer-grained inputs are silently rounded
+    (numpy half-even) before accumulating — raise ``value_scale`` (e.g.
+    10_000 for 4-dp inputs) to cover them. The divergence and its
+    ``value_scale`` cure are pinned by
+    tests/test_streaming.py::test_streaming_twap_value_scale_contract.
+    Within a micro-batch rows are sorted by (ts, id); across batches
+    events are assumed to arrive in event-time order (the running-totals
+    twins' assumption — a late event would need watermarked reordering
+    upstream).
 
     Emits (key, n_segments, total_s, twap) per touched key per batch in
     update mode; the last emission per key is the stream total.
@@ -517,7 +526,9 @@ def streaming_twap(
             pdf = pdf.sort_values([ts_col, id_col])
             ts_s = (pdf[ts_col].astype("int64") // 1_000_000_000).to_numpy()
             cents = (
-                (pdf[value_col].astype("float64") * 100.0).round().astype("int64")
+                (pdf[value_col].astype("float64") * float(value_scale))
+                .round()
+                .astype("int64")
             ).to_numpy()
             # one vectorized pass: seed the diff with the open segment
             if last_ts is not None:
@@ -530,7 +541,7 @@ def streaming_twap(
                 n_seg += len(gaps)
             last_ts, last_cents = int(ts_s[-1]), int(cents[-1])
         state.update((last_ts, last_cents, num, den, n_seg))
-        twap = (num / 100.0) / den if den else None
+        twap = (num / float(value_scale)) / den if den else None
         yield pd.DataFrame(
             {
                 "key": [key[0]],

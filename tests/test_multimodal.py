@@ -752,9 +752,16 @@ def test_jpeg_restart_intervals_bit_identical():
     for ri in (1, 2, 5, 7):
         enc = encode_jpeg_gray(gray, restart_interval=ri)
         assert np.array_equal(decode_jpeg(enc), base), f"gray ri={ri}"
-    # interval 9 > 8: the RST index must wrap modulo 8 across >8 restarts
+    # ri=1 over 15 MCUs = 14 restarts: the RST index wraps modulo 8
     many = encode_jpeg_gray(gray, restart_interval=1)
     assert np.array_equal(decode_jpeg(many), base)
+    # and an interval > 8 that itself wraps: 16x400 = 100 MCUs at ri=9
+    # emits 11 restarts, so RST0..RST7 cycle past a full period even
+    # though the interval exceeds the marker alphabet
+    wide = np.tile(gray, (1, 10))[:16, :400]
+    base_w = decode_jpeg(encode_jpeg_gray(wide))
+    enc_w = encode_jpeg_gray(wide, restart_interval=9)
+    assert np.array_equal(decode_jpeg(enc_w), base_w)
 
     h, w = 24, 33
     yy, xx = np.mgrid[0:h, 0:w]

@@ -704,3 +704,41 @@ def test_streaming_twap_matches_batch_across_batches(spark, tmp_path):
         assert final[k].n_segments == n, k
         assert final[k].total_s == tot, k
         assert abs(final[k].twap - twap) < 1e-9, k
+
+
+def test_streaming_twap_value_scale_contract(spark, tmp_path):
+    """The ADVICE-flagged input contract, made visible: sub-cent values
+    silently quantize to cents at the default value_scale=100 (diverging
+    from the exact float TWAP), and a value_scale covering the input's
+    resolution restores exact parity."""
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path / "twap_subcent")
+    # sub-cent values: 0.001 resolution, equal 60 s gaps
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 0, 0), "a", 10.001),
+        (2, datetime(2024, 1, 1, 0, 1, 0), "a", 10.004),
+        (3, datetime(2024, 1, 1, 0, 2, 0), "a", 10.000),
+    ]
+    schema = "event_id bigint, ts timestamp, event_type string, value double"
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(d)
+    # two closed segments, equal weights: exact TWAP = (10.001+10.004)/2
+    exact = (10.001 + 10.004) / 2.0
+
+    def run(scale):
+        src = spark.readStream.schema(
+            spark.read.parquet(d).schema
+        ).parquet(d)
+        out = st.run_available_now(
+            st.streaming_twap(src, value_scale=scale), output_mode="update"
+        )
+        return out.agg(F.max_by("twap", "n_segments").alias("t")).collect()[0].t
+
+    # default cents scale: both values round to 10.00 -> twap 10.0 exactly,
+    # off the true mean by 2.5e-3 — the documented silent divergence
+    t100 = run(100)
+    assert abs(t100 - 10.0) < 1e-12
+    assert abs(t100 - exact) > 2e-3
+    # a scale covering the 3-dp inputs restores exactness
+    t10k = run(10_000)
+    assert abs(t10k - exact) < 1e-12
