@@ -209,6 +209,15 @@ HEADLINE = [
     "customer_order_distribution",
     "part_supplier_variety",
     "top_share_suppliers",
+    # end-of-round-8 sketch + robust-stats queries (oracle-gated)
+    "kmv_distinct_users",
+    "hll_distinct_portable",
+    "user_value_ewma",
+    "winsorized_value_stats",
+    # round-9 additions: full-profile PNG gate (Adam7/16-bit/sub-byte/
+    # palette legs) + large-star/small-star CC scale path (oracle-gated)
+    "png_profile_stats",
+    "dedup_clusters_star",
 ]
 
 
@@ -255,8 +264,12 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
+    # The driver keeps a bounded tail of COMBINED stdout+stderr: the console
+    # progress bar (suppressed in get_spark) and any ERROR-level JVM log line
+    # (r8: a harmless DAGScheduler updateAccumulators race printed a
+    # ~1.5k-char stack trace) eat budget the summary line needs — log OFF.
     spark = get_spark("bench")
-    spark.sparkContext.setLogLevel("ERROR")
+    spark.sparkContext.setLogLevel("OFF")
     catalog = load_catalog()
 
     # Warm-up on the smallest SF so per-query numbers reflect the plan, not

@@ -9,10 +9,11 @@ parallelize by file and no shuffle is introduced.
 
 PNG and WAV decode natively: :func:`decode_png` is a dependency-free
 decoder (stdlib ``zlib`` inflate + numpy scanline unfiltering) covering the
-spec's common profile — 8-bit depth, color types 0/2/3/4/6 (gray / RGB /
-palette / gray+alpha / RGBA), all five filter types, tRNS transparency —
-which is the profile the reference's OpenMoji corpus uses
-(Assignment-python.py:654-661, :710); :func:`decode_wav` covers RIFF/WAVE
+spec's FULL legal profile — every depth/color-type combination of table
+11.1 (1/2/4/8/16-bit gray, 8/16-bit RGB / gray+alpha / RGBA, 1/2/4/8-bit
+palette), all five filter types, Adam7 interlacing, tRNS transparency in
+both forms — a superset of the profile the reference's OpenMoji corpus
+uses (Assignment-python.py:654-661, :710); :func:`decode_wav` covers RIFF/WAVE
 integer PCM (8/16/32-bit), float32 and G.711 mu-law (r7), with
 :func:`extract_audio_features` as the audio feature stage. JPEG now has a
 dependency-free baseline decoder (r7); remaining compressed-audio/video
@@ -63,8 +64,30 @@ def decode_rawm(content: bytes) -> tuple[np.ndarray, dict]:
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 _JPEG_MAGIC = b"\xff\xd8\xff"
 
-# PNG color type → samples per pixel (8-bit depth)
+# PNG color type → samples per pixel
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+# PNG color type → legal bit depths (spec §11.2.2, table 11.1)
+_PNG_DEPTHS = {
+    0: (1, 2, 4, 8, 16),
+    2: (8, 16),
+    3: (1, 2, 4, 8),
+    4: (8, 16),
+    6: (8, 16),
+}
+# Adam7 interlace passes (spec §8.2): (x_start, y_start, x_step, y_step).
+# Each pass is an independently filtered sub-image (its own scanlines, its
+# own prev-row state) stored sequentially in the decompressed stream.
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+# exact 8-bit scale factors for sub-byte grayscale: 255 / (2^d - 1)
+_PNG_GRAY_SCALE = {1: 255, 2: 85, 4: 17}
 
 
 def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
@@ -111,16 +134,46 @@ def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
     return out
 
 
+def _png_samples(un: np.ndarray, pw: int, nch: int, depth: int) -> np.ndarray:
+    """Unfiltered scanline bytes (ph, stride) → samples (ph, pw, nch) as
+    uint16 SOURCE-DEPTH values (16-bit stays 16-bit; sub-byte fields are
+    unpacked MSB-first per spec §7.2, trailing pad bits dropped)."""
+    ph = un.shape[0]
+    if depth == 8:
+        return un[:, : pw * nch].reshape(ph, pw, nch).astype(np.uint16)
+    if depth == 16:
+        u = un[:, : pw * nch * 2].astype(np.uint16).reshape(ph, pw, nch, 2)
+        return (u[..., 0] << 8) | u[..., 1]
+    bits = np.unpackbits(un, axis=1)
+    ns = bits.shape[1] // depth
+    fields = bits[:, : ns * depth].reshape(ph, ns, depth).astype(np.uint16)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint16)
+    return (fields * weights).sum(axis=2, dtype=np.uint16)[:, :pw].reshape(
+        ph, pw, 1
+    )
+
+
+def _png_stride_bpp(pw: int, nch: int, depth: int) -> tuple[int, int]:
+    """(scanline bytes, filter bytes-per-pixel) for a pass of width pw."""
+    stride = (pw * nch * depth + 7) // 8
+    bpp = max(1, nch * depth // 8)
+    return stride, bpp
+
+
 def decode_png(content: bytes) -> tuple[np.ndarray, dict]:
     """Dependency-free PNG decode → one uint8 BGRA frame in the same
     (frames, meta) shape as :func:`decode_rawm`.
 
-    Handles the common profile: 8-bit depth, non-interlaced, color types
-    0/2/3/4/6, all filter types, PLTE + tRNS. 16-bit, sub-byte palette
-    depths and Adam7 interlacing raise ``NotImplementedError`` (rare in
-    training corpora; the reference's OpenMoji PNGs are plain 8-bit RGBA,
-    Assignment-python.py:710). Byte order matches Spark's ``image`` source
-    (CV BGRA), so ``functions/colors.py`` analytics apply unchanged."""
+    Covers the full legal profile (spec table 11.1): every depth/color-type
+    combination — 1/2/4/8/16-bit grayscale, 8/16-bit RGB / gray+alpha /
+    RGBA, 1/2/4/8-bit palette — all five filter types, Adam7 interlacing
+    (each pass an independently filtered sub-image), PLTE + tRNS (palette
+    alpha table AND the single-transparent-color form for gray/RGB).
+    16-bit samples map to 8-bit output by taking the high byte (OpenCV's
+    imread convention, matching the reference's image scan,
+    Assignment-python.py:710); sub-byte grayscale scales exactly by
+    255/(2^d-1). Byte order matches Spark's ``image`` source (CV BGRA), so
+    ``functions/colors.py`` analytics apply unchanged."""
     import struct as _struct
     import zlib
 
@@ -149,17 +202,41 @@ def decode_png(content: bytes) -> tuple[np.ndarray, dict]:
     w, h, depth, color_type, _comp, _filt, interlace = ihdr
     if color_type not in _PNG_CHANNELS:
         raise ValueError(f"PNG: invalid color type {color_type}")
-    if depth != 8 or interlace != 0:
-        raise NotImplementedError(
-            f"PNG: only 8-bit non-interlaced images are supported "
-            f"(got depth={depth}, interlace={interlace})"
+    if depth not in _PNG_DEPTHS[color_type]:
+        raise ValueError(
+            f"PNG: depth {depth} is illegal for color type {color_type}"
         )
+    if interlace not in (0, 1):
+        raise ValueError(f"PNG: unknown interlace method {interlace}")
     nch = _PNG_CHANNELS[color_type]
     raw = zlib.decompress(b"".join(idat))
-    stride = w * nch
-    if len(raw) != h * (stride + 1):
+
+    if interlace == 0:
+        passes = [((0, 0, 1, 1), w, h)]
+    else:
+        passes = []
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx if w > x0 else 0
+            ph = (h - y0 + dy - 1) // dy if h > y0 else 0
+            passes.append(((x0, y0, dx, dy), pw, ph))
+    expected = sum(
+        ph * (1 + _png_stride_bpp(pw, nch, depth)[0])
+        for _geom, pw, ph in passes
+        if pw and ph
+    )
+    if len(raw) != expected:
         raise ValueError("PNG: decompressed size mismatch")
-    px = _png_unfilter(raw, h, stride, nch).reshape(h, w, nch)
+
+    px = np.zeros((h, w, nch), dtype=np.uint16)
+    off = 0
+    for (x0, y0, dx, dy), pw, ph in passes:
+        if not pw or not ph:
+            continue
+        stride, bpp = _png_stride_bpp(pw, nch, depth)
+        n = ph * (1 + stride)
+        un = _png_unfilter(raw[off : off + n], ph, stride, bpp)
+        off += n
+        px[y0::dy, x0::dx] = _png_samples(un, pw, nch, depth)
 
     opaque = np.full((h, w), 255, dtype=np.uint8)
     if color_type == 3:  # palette
@@ -177,16 +254,33 @@ def decode_png(content: bytes) -> tuple[np.ndarray, dict]:
             atab[: len(t)] = t
             alpha = atab[idx]
         rgba = np.dstack([rgb, alpha])
-    elif color_type == 0:  # grayscale
-        g = px[:, :, 0]
-        rgba = np.dstack([g, g, g, opaque])
-    elif color_type == 4:  # gray + alpha
-        g = px[:, :, 0]
-        rgba = np.dstack([g, g, g, px[:, :, 1]])
-    elif color_type == 2:  # RGB
-        rgba = np.dstack([px, opaque])
-    else:  # 6: RGBA
-        rgba = px
+    else:
+        if depth == 16:
+            vals = (px >> 8).astype(np.uint8)
+        elif depth == 8:
+            vals = px.astype(np.uint8)
+        else:  # sub-byte grayscale: exact 0..255 rescale
+            vals = (px * _PNG_GRAY_SCALE[depth]).astype(np.uint8)
+        # single-transparent-color tRNS (spec §11.3.2): a 16-bit sample
+        # value per channel, compared against the SOURCE-depth samples
+        alpha = opaque
+        if trns is not None and color_type in (0, 2):
+            tvals = np.frombuffer(trns, ">u2").astype(np.uint16)
+            if len(tvals) != nch:
+                raise ValueError("PNG: bad tRNS length for color type")
+            alpha = np.where(
+                (px == tvals.reshape(1, 1, nch)).all(axis=2), 0, 255
+            ).astype(np.uint8)
+        if color_type == 0:  # grayscale
+            g = vals[:, :, 0]
+            rgba = np.dstack([g, g, g, alpha])
+        elif color_type == 4:  # gray + alpha
+            g = vals[:, :, 0]
+            rgba = np.dstack([g, g, g, vals[:, :, 1]])
+        elif color_type == 2:  # RGB
+            rgba = np.dstack([vals, alpha])
+        else:  # 6: RGBA
+            rgba = vals
     bgra = np.ascontiguousarray(rgba[:, :, [2, 1, 0, 3]])
     return bgra.reshape(1, h, w, 4), {
         "width": w,
@@ -196,16 +290,65 @@ def decode_png(content: bytes) -> tuple[np.ndarray, dict]:
     }
 
 
-def encode_png(frame: np.ndarray) -> bytes:
-    """Serialize one uint8 BGRA frame (h, w, 4) — :func:`decode_png`'s
-    output shape — as an 8-bit RGBA PNG (filter 0, one IDAT)."""
+def _png_pack_rows(samples: np.ndarray, depth: int) -> np.ndarray:
+    """Samples (ph, pw, nch) uint16 source-depth values → scanline bytes
+    (ph, stride) uint8 (big-endian 16-bit; MSB-first sub-byte packing with
+    zero pad bits, spec §7.2)."""
+    ph, pw, nch = samples.shape
+    if depth == 8:
+        return samples.astype(np.uint8).reshape(ph, pw * nch)
+    if depth == 16:
+        out = np.empty((ph, pw * nch, 2), np.uint8)
+        flat = samples.reshape(ph, pw * nch)
+        out[..., 0] = flat >> 8
+        out[..., 1] = flat & 0xFF
+        return out.reshape(ph, pw * nch * 2)
+    # sub-byte: emit each sample as `depth` bits, pad rows to a byte
+    weights = np.arange(depth - 1, -1, -1)
+    bits = (samples.reshape(ph, pw)[:, :, None] >> weights) & 1
+    bits = bits.reshape(ph, pw * depth)
+    pad = (-bits.shape[1]) % 8
+    if pad:
+        bits = np.pad(bits, ((0, 0), (0, pad)))
+    return np.packbits(bits.astype(np.uint8), axis=1)
+
+
+def _png_filter_pass(rows: np.ndarray) -> bytes:
+    """Serialize one (interlace) pass's scanline bytes with real filters:
+    row 0 type 0 (None), later rows type 2 (Up) — so decoders must keep
+    per-pass prev-row state, which pins the Adam7 filter-reset semantics."""
+    out = bytearray()
+    prev = None
+    for y in range(rows.shape[0]):
+        if prev is None:
+            out.append(0)
+            out += rows[y].tobytes()
+        else:
+            out.append(2)
+            out += ((rows[y].astype(np.int16) - prev) & 0xFF).astype(
+                np.uint8
+            ).tobytes()
+        prev = rows[y].astype(np.int16)
+    return bytes(out)
+
+
+def _png_encode_raw(
+    samples: np.ndarray,
+    color_type: int,
+    depth: int,
+    interlace: int = 0,
+    plte: bytes | None = None,
+    trns: bytes | None = None,
+) -> bytes:
+    """Serialize source-depth samples (h, w, nch) uint16 as a PNG with the
+    given color type / depth / interlace method — the shared back end of
+    every encode_png* fixture generator."""
     import struct as _struct
     import zlib
 
-    h, w, c = frame.shape
-    if c != 4 or frame.dtype != np.uint8:
-        raise ValueError("encode_png expects a (h, w, 4) uint8 BGRA frame")
-    rgba = np.ascontiguousarray(frame[:, :, [2, 1, 0, 3]])
+    h, w, nch = samples.shape
+    if depth not in _PNG_DEPTHS[color_type] or nch != _PNG_CHANNELS[color_type]:
+        raise ValueError("PNG encode: illegal depth/color-type/channels combo")
 
     def chunk(typ: bytes, data: bytes) -> bytes:
         return (
@@ -215,13 +358,73 @@ def encode_png(frame: np.ndarray) -> bytes:
             + _struct.pack(">I", zlib.crc32(typ + data))
         )
 
-    ihdr = _struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0)
-    raw = b"".join(b"\x00" + rgba[y].tobytes() for y in range(h))
-    return (
-        _PNG_MAGIC
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(raw))
-        + chunk(b"IEND", b"")
+    if interlace == 0:
+        raw = _png_filter_pass(_png_pack_rows(samples, depth))
+    else:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = samples[y0::dy, x0::dx]
+            if sub.shape[0] and sub.shape[1]:
+                parts.append(_png_filter_pass(_png_pack_rows(sub, depth)))
+        raw = b"".join(parts)
+    ihdr = _struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, interlace)
+    out = _PNG_MAGIC + chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += chunk(b"PLTE", plte)
+    if trns is not None:
+        out += chunk(b"tRNS", trns)
+    return out + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+
+
+def encode_png(frame: np.ndarray, interlace: int = 0) -> bytes:
+    """Serialize one uint8 BGRA frame (h, w, 4) — :func:`decode_png`'s
+    output shape — as an 8-bit RGBA PNG (optionally Adam7 interlaced)."""
+    h, w, c = frame.shape
+    if c != 4 or frame.dtype != np.uint8:
+        raise ValueError("encode_png expects a (h, w, 4) uint8 BGRA frame")
+    rgba = frame[:, :, [2, 1, 0, 3]].astype(np.uint16)
+    return _png_encode_raw(rgba, 6, 8, interlace)
+
+
+def encode_png16(rgba16: np.ndarray, interlace: int = 0) -> bytes:
+    """Serialize (h, w, 4) uint16 RGBA samples as a 16-bit PNG —
+    fixture generator for the high-byte-take decode path."""
+    if rgba16.ndim != 3 or rgba16.shape[2] != 4:
+        raise ValueError("encode_png16 expects a (h, w, 4) uint16 RGBA array")
+    return _png_encode_raw(rgba16.astype(np.uint16), 6, 16, interlace)
+
+
+def encode_png_gray(
+    gray: np.ndarray, depth: int = 8, interlace: int = 0
+) -> bytes:
+    """Serialize (h, w) SOURCE-DEPTH grayscale samples (values < 2^depth)
+    as a color-type-0 PNG at any legal depth (1/2/4/8/16) — fixture
+    generator for the sub-byte unpack and 16-bit gray paths."""
+    if gray.max(initial=0) >= (1 << depth):
+        raise ValueError(f"gray sample out of range for depth {depth}")
+    return _png_encode_raw(
+        gray.astype(np.uint16)[:, :, None], 0, depth, interlace
+    )
+
+
+def encode_png_palette(
+    idx: np.ndarray,
+    palette: np.ndarray,
+    trns: bytes | None = None,
+    depth: int = 8,
+    interlace: int = 0,
+) -> bytes:
+    """Serialize (h, w) palette indices + (n, 3) RGB palette (optional tRNS
+    alpha table) as a color-type-3 PNG at depth 1/2/4/8."""
+    if idx.max(initial=0) >= min(len(palette), 1 << depth):
+        raise ValueError("palette index out of range for depth/palette")
+    return _png_encode_raw(
+        idx.astype(np.uint16)[:, :, None],
+        3,
+        depth,
+        interlace,
+        plte=np.asarray(palette, np.uint8).tobytes(),
+        trns=trns,
     )
 
 

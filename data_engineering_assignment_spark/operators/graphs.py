@@ -255,3 +255,98 @@ def kcore_peel_counts(
     for c in counts[1:]:
         out = out.crossJoin(c)
     return out
+
+
+def cc_star(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star rounds
+    (Kiveris et al. 2014, "Connected Components in MapReduce and Beyond")
+    → (node, cluster) with cluster = min node id of the component — the
+    same contract as :func:`operators.dedup.dedup_clusters`.
+
+    Min-label propagation converges in O(component diameter) shuffle
+    rounds — fine for near-dup clusters (diameter 2-3), quadratic-wall on
+    a chain-shaped component (diameter n needs n rounds). The two-rule
+    star algorithm contracts components in O(log n) rounds on ANY shape:
+
+    - **large-star** (per node u over ALL neighbors): connect every
+      neighbor v > u to m = min(N(u) ∪ {u});
+    - **small-star** (per node u over smaller neighbors only): connect u
+      and every neighbor v < u to m = min(N_<(u) ∪ {u}).
+
+    Both rules are a map-side-combinable ``groupBy(u).min`` plus an
+    equi-join back on u — the aggregate-and-join-back discipline (never a
+    window over a content key); a hub node costs one combinable min, and
+    AQE can split the skewed join-back. Edges stay canonical (hi, lo)
+    longs/whatever-the-id-type throughout; each round materializes via
+    ``localCheckpoint`` because the convergence test (count + order-
+    independent hash-sum of the edge set) forces an action anyway —
+    unlike a fixed-iteration loop, there is no checkpoint-free round to
+    amortize. Fixed point: the edge set is a union of stars rooted at
+    component minima; labels read off as min(neighbor ∪ self).
+    """
+    canon = (
+        pairs.select(
+            F.greatest(F.col(a_col), F.col(b_col)).alias("hi"),
+            F.least(F.col(a_col), F.col(b_col)).alias("lo"),
+        )
+        .filter(F.col("hi") != F.col("lo"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def edge_sig(e: DataFrame) -> tuple[int, int]:
+        # bit_xor: order-independent set fingerprint with no ANSI overflow
+        # (a SUM of xxhash64 values overflows long); edges are distinct so
+        # xor cancellation of duplicates cannot occur
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(hi, lo))").alias("h"),
+        ).collect()[0]
+        return int(row["n"]), int(row["h"] or 0)
+
+    sig = edge_sig(canon)
+    edges = canon
+    for _ in range(max_iter):
+        # large-star over the symmetric neighbor view
+        sym = edges.select("hi", "lo").union(
+            edges.select(F.col("lo").alias("hi"), F.col("hi").alias("lo"))
+        )
+        nbrs = sym.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+        m_all = nbrs.groupBy("u").agg(F.min("v").alias("mn"))
+        m_all = m_all.select("u", F.least("mn", "u").alias("m"))
+        large = (
+            nbrs.filter(F.col("v") > F.col("u"))
+            .join(m_all, "u")
+            .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+            .filter(F.col("hi") != F.col("lo"))
+            .distinct()
+        )
+        # small-star over the canonical (hi -> smaller neighbors) view
+        d2 = large.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+        m_small = d2.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            d2.join(m_small, "u")
+            .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+            .filter(F.col("hi") != F.col("lo"))
+            .union(m_small.select(F.col("u").alias("hi"), F.col("m").alias("lo")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        new_sig = edge_sig(small)
+        edges = small
+        if new_sig == sig:
+            break
+        sig = new_sig
+    sym = edges.select("hi", "lo").union(
+        edges.select(F.col("lo").alias("hi"), F.col("hi").alias("lo"))
+    )
+    return (
+        sym.groupBy(F.col("hi").alias("node"))
+        .agg(F.min("lo").alias("mn"))
+        .select("node", F.least("mn", "node").alias("cluster"))
+    )

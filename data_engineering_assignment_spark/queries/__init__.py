@@ -44,19 +44,27 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # least once; the only never-checked queries are the four end-of-r8
 # additions (kmv_distinct_users, hll_distinct_portable, user_value_ewma,
 # winsorized_value_stats — each oracle-rehearsed locally at sf0.001 AND
-# sf0.01, per the r8 verdict's top item they lead the head).  After them,
-# strict age order: ALL 35 queries whose last green row is r5, then 11 of
-# the 40 r6-checked queries in catalog order — except the final slot goes
-# to ml_energy_report (r6) so the head spans catalog_ml (module-coverage
-# contract; the naive age order's 50th entry would have left catalog_ml
-# unrepresented).  The 29 remaining r6-checked queries front the r10
-# head, then r7 as it ages.
+# sf0.01, per the r8 verdict's top item they lead the head), plus the new
+# png_profile_stats (never checked) and png_decode_stats (implementation
+# changed this round: the PNG codec was rewritten for the full legal
+# profile).  After them, strict age order: ALL 35 queries whose last
+# green row is r5, then 9 of the 40 r6-checked queries in catalog order —
+# except the final slot goes to ml_energy_report (r6) so the head spans
+# catalog_ml (module-coverage contract; the naive age order's 50th entry
+# would have left catalog_ml unrepresented).  The 31 remaining r6-checked
+# queries front the r10 head, then r7 as it ages.
 DRIVER_SAMPLE_HEAD: tuple[str, ...] = (
-    # never driver-checked (end-of-r8 additions)
+    # never driver-checked (end-of-r8 additions + the new full-profile
+    # PNG gate)
     "kmv_distinct_users",
     "hll_distinct_portable",
     "user_value_ewma",
     "winsorized_value_stats",
+    "png_profile_stats",
+    "dedup_clusters_star",
+    # implementation changed this round (decode_png/encode_png rewritten
+    # for the full legal profile: Adam7, 16-bit, sub-byte, tRNS forms)
+    "png_decode_stats",
     # last checked r5 (35 queries, all of them)
     "pricing_summary",
     "nation_rank_top2",
@@ -101,9 +109,6 @@ DRIVER_SAMPLE_HEAD: tuple[str, ...] = (
     "doc_path_format",
     "cosine_topk",
     "cosine_topk_lsh",
-    "cosine_topk_ivf",
-    "ivf_recall_telemetry",
-    "doc_token_stats",
     # last checked r6; keeps catalog_ml in the head (module-coverage contract)
     "ml_energy_report",
 )

@@ -197,6 +197,158 @@ def png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PNG_PROFILE_ORACLE = """
+SELECT (3 + doc_id % 13)::BIGINT AS width,
+       COUNT(*) AS n_imgs,
+       COUNT(*) AS n_inter_ok,
+       SUM(10 + doc_id % 200)::BIGINT AS inter_val_sum,
+       COUNT(*) AS n_16_ok,
+       SUM(10 + doc_id % 200)::BIGINT AS val16_sum,
+       COUNT(*) AS n_sub_ok,
+       SUM(CASE doc_id % 3 WHEN 0 THEN (doc_id % 2) * 255
+            WHEN 1 THEN (doc_id % 4) * 85
+            ELSE (doc_id % 16) * 17 END)::BIGINT AS sub_val_sum,
+       COUNT(*) AS n_pal_ok,
+       SUM((doc_id % 16) * 16)::BIGINT AS pal_val_sum
+FROM documents
+GROUP BY 1
+"""
+
+
+@register(
+    "png_profile_stats",
+    oracle=_PNG_PROFILE_ORACLE,
+    doc="Full-profile PNG decode gate (functions/multimodal.py decode_png; "
+    "the reference's image scan decodes arbitrary PNGs via OpenCV, "
+    "Assignment-python.py:710): every document becomes FOUR real PNGs "
+    "whose pixels are arithmetic in doc_id — (1) an Adam7-INTERLACED "
+    "8-bit RGBA gradient checked bit-equal to its sequential twin, (2) a "
+    "16-BIT RGBA file whose low bytes are noise so only the high-byte "
+    "take decodes the expected values, (3) a SUB-BYTE grayscale file "
+    "(depth rotating 1/2/4 by doc_id, alternating interlaced) checked "
+    "against the exact 255/(2^d-1) rescale, and (4) a 4-bit PALETTE file "
+    "with a tRNS alpha table (alternating interlaced). Each leg's ok flag "
+    "requires full-frame equality and its value column is the decoded "
+    "(0,0) pixel, so the oracle computes everything without decoding and "
+    "any regression in pass extraction, bit unpacking, 16-bit filtering "
+    "(bpp=8) or palette/alpha lookup breaks the hash.",
+)
+def png_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.multimodal import (
+        decode_png,
+        encode_png,
+        encode_png16,
+        encode_png_gray,
+        encode_png_palette,
+    )
+    from ..tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    pal = np.stack(
+        [np.arange(16) * 16, 255 - np.arange(16) * 16, np.arange(16) * 8],
+        axis=1,
+    ).astype(np.uint8)
+    atab = (255 - np.arange(16) * 8).astype(np.uint8)
+    sub_depths = (1, 2, 4)
+    sub_scales = {1: 255, 2: 85, 4: 17}
+
+    def roundtrip(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 3 + did % 13, 2 + did % 11
+                v = 10 + did % 200
+                ys, xs = np.mgrid[0:h, 0:w]
+                # leg 1: interlaced 8-bit RGBA gradient (frame built in
+                # decode_png's BGRA order so expected == input frame)
+                frame = np.empty((h, w, 4), np.uint8)
+                frame[..., 2] = (v + 3 * xs + 5 * ys) % 256  # R
+                frame[..., 1] = (v + xs) % 256  # G
+                frame[..., 0] = (v + ys) % 256  # B
+                frame[..., 3] = 255
+                try:
+                    seq, _ = decode_png(encode_png(frame))
+                    inter, _ = decode_png(encode_png(frame, interlace=1))
+                    iok = bool(
+                        np.array_equal(seq[0], frame)
+                        and np.array_equal(inter, seq)
+                    )
+                    ival = int(inter[0, 0, 0, 2])
+                except Exception:
+                    iok, ival = False, 0
+                # leg 2: 16-bit RGBA, noisy low bytes
+                hi = (v + xs[..., None] + ys[..., None] + np.arange(4)) % 256
+                lo = (did + xs[..., None] + np.zeros_like(hi)) % 256
+                rgba16 = (hi.astype(np.uint16) << 8) | lo.astype(np.uint16)
+                exp16 = hi.astype(np.uint8)[:, :, [2, 1, 0, 3]]
+                try:
+                    d16, _ = decode_png(encode_png16(rgba16))
+                    k16ok = bool(np.array_equal(d16[0], exp16))
+                    k16val = int(d16[0, 0, 0, 2])
+                except Exception:
+                    k16ok, k16val = False, 0
+                # leg 3: sub-byte grayscale, alternating interlace
+                depth = sub_depths[did % 3]
+                mod = 1 << depth
+                g = ((xs + ys + did) % mod).astype(np.uint16)
+                try:
+                    dg, _ = decode_png(
+                        encode_png_gray(g, depth, interlace=did % 2)
+                    )
+                    exp_g = (g * sub_scales[depth]).astype(np.uint8)
+                    sok = bool(
+                        np.array_equal(dg[0, :, :, 0], exp_g)
+                        and (dg[0, :, :, 3] == 255).all()
+                    )
+                    sval = int(dg[0, 0, 0, 0])
+                except Exception:
+                    sok, sval = False, 0
+                # leg 4: 4-bit palette + tRNS alpha, alternating interlace
+                idx = ((xs + ys + did) % 16).astype(np.uint16)
+                try:
+                    dp, _ = decode_png(
+                        encode_png_palette(
+                            idx, pal, atab.tobytes(), 4, interlace=did % 2
+                        )
+                    )
+                    pok = bool(
+                        np.array_equal(dp[0, :, :, :3], pal[idx][:, :, [2, 1, 0]])
+                        and np.array_equal(dp[0, :, :, 3], atab[idx])
+                    )
+                    pval = int(dp[0, 0, 0, 2])
+                except Exception:
+                    pok, pval = False, 0
+                rows.append((w, iok, ival, k16ok, k16val, sok, sval, pok, pval))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "width", "iok", "ival", "k16ok", "k16val",
+                    "sok", "sval", "pok", "pval",
+                ],
+            )
+
+    decoded = docs.mapInPandas(
+        roundtrip,
+        "width int, iok boolean, ival int, k16ok boolean, k16val int,"
+        " sok boolean, sval int, pok boolean, pval int",
+    )
+    return decoded.groupBy(F.col("width").cast("long").alias("width")).agg(
+        F.count(F.lit(1)).alias("n_imgs"),
+        F.sum(F.col("iok").cast("int")).cast("long").alias("n_inter_ok"),
+        F.sum(F.col("ival").cast("long")).alias("inter_val_sum"),
+        F.sum(F.col("k16ok").cast("int")).cast("long").alias("n_16_ok"),
+        F.sum(F.col("k16val").cast("long")).alias("val16_sum"),
+        F.sum(F.col("sok").cast("int")).cast("long").alias("n_sub_ok"),
+        F.sum(F.col("sval").cast("long")).alias("sub_val_sum"),
+        F.sum(F.col("pok").cast("int")).cast("long").alias("n_pal_ok"),
+        F.sum(F.col("pval").cast("long")).alias("pal_val_sum"),
+    )
+
+
 _JPEG_DECODE_ORACLE = """
 SELECT (8 * (1 + doc_id % 2))::BIGINT AS width,
        COUNT(*) AS n_imgs,

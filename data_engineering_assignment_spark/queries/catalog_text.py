@@ -566,6 +566,28 @@ def dedup_clusters_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(pairs)
 
 
+@register(
+    "dedup_clusters_star",
+    oracle=_CLUSTERS_JACCARD_ORACLE,
+    doc="The SCALE path for dedup clustering: alternating large-star / "
+    "small-star connected components (Kiveris et al. 2014) over the same "
+    "exact 3-gram Jaccard >= 0.5 pairs, checked against the same "
+    "recursive-CTE transitive closure. Min-label propagation "
+    "(dedup_clusters_jaccard) needs O(component diameter) rounds — fine "
+    "for clique-ish near-dup clusters, a wall on chain-shaped components; "
+    "the two-rule star contraction converges in O(log n) rounds on any "
+    "shape (adversarial 200-node chain pinned in tests/test_graphs.py). "
+    "Same (node, cluster=component-min) contract, so the two operators "
+    "cross-check each other through one oracle.",
+)
+def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import ngram_jaccard_pairs
+    from ..operators.graphs import cc_star
+
+    pairs = ngram_jaccard_pairs(load(spark, sf_dir, "documents"), threshold=0.5)
+    return cc_star(pairs)
+
+
 _O_RH_TOK = """list_reduce(
      list_prepend(0::BIGINT,
        list_transform(range(1, length(tok) + 1),

@@ -62,6 +62,10 @@ def get_spark(
         )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
+        # no console progress bar: its \r-spam lands in stderr, and consumers
+        # that capture combined output (the bench driver keeps a bounded
+        # tail) lose real content to it
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
     for key, value in RUNTIME_CONF.items():

@@ -157,3 +157,68 @@ def test_kcore_rounds_monotone_property(spark):
     row = kcore_peel_counts(edges, k=4, rounds=3).collect()[0]
     assert row.n_nodes_total == row.nodes_r1 == row.nodes_r2 == row.nodes_r3 == 5
     assert row.core_arcs == 20
+
+
+def _cc_model(pairs):
+    """Union-find ground truth: node -> min id of its component."""
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_cc_star_matches_union_find_random(spark):
+    from data_engineering_assignment_spark.operators.graphs import cc_star
+
+    rng = random.Random(11)
+    pairs = list(
+        {
+            (rng.randrange(60), rng.randrange(60))
+            for _ in range(80)
+        }
+    )
+    pairs = [(a, b) for a, b in pairs if a != b]
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    got = {r.node: r.cluster for r in cc_star(df).collect()}
+    assert got == _cc_model(pairs)
+
+
+def test_cc_star_long_chain_converges_logarithmically(spark):
+    """The adversarial case for min-label propagation: a 200-node path has
+    diameter 199, so propagation needs ~200 rounds — the star algorithm
+    must finish inside max_iter=12 (O(log n)) and still label every node
+    with the chain minimum."""
+    from data_engineering_assignment_spark.operators.graphs import cc_star
+
+    n = 200
+    pairs = [(i, i + 1) for i in range(n - 1)]
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    got = {r.node: r.cluster for r in cc_star(df, max_iter=12).collect()}
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_cc_star_agrees_with_label_propagation(spark):
+    """Both CC implementations produce the identical (node, cluster) map on
+    a multi-component graph with different shapes (clique, chain, pair)."""
+    from data_engineering_assignment_spark.operators.dedup import dedup_clusters
+    from data_engineering_assignment_spark.operators.graphs import cc_star
+
+    pairs = (
+        [(a, b) for a, b in itertools.combinations([3, 9, 14, 20], 2)]  # clique
+        + [(100, 101), (101, 102), (102, 103), (103, 104)]  # chain
+        + [(500, 777)]  # pair
+    )
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    star = {r.node: r.cluster for r in cc_star(df).collect()}
+    prop = {r.node: r.cluster for r in dedup_clusters(df).collect()}
+    assert star == prop == _cc_model(pairs)

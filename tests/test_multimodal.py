@@ -295,11 +295,174 @@ def test_png_rgb_opaque():
     assert decoded[0, 0, 0].tolist() == [30, 20, 10, 255]  # BGR + opaque
 
 
-def test_png_16bit_raises():
+def test_png_16bit_high_byte_take():
+    """16-bit samples map to 8-bit output via the high byte (OpenCV imread
+    convention), for every 16-bit-legal color type, with low bytes chosen
+    to catch any rounding/averaging alternative."""
+    import numpy as np
+
+    from data_engineering_assignment_spark.functions.multimodal import (
+        decode_png,
+        encode_png16,
+    )
+
+    rng = np.random.default_rng(3)
+    x16 = rng.integers(0, 65536, (6, 11, 4)).astype(np.uint16)
+    d, meta = decode_png(encode_png16(x16))
+    exp = (x16 >> 8).astype(np.uint8)[:, :, [2, 1, 0, 3]]
+    assert np.array_equal(d[0], exp)
+    assert meta == {"width": 11, "height": 6, "channels": 4, "n_frames": 1}
+    # manual 16-bit gray via the raw-chunk helper: 0x0102 -> high byte 1
+    png = _png_chunks(1, 1, 16, 0, b"\x00" + bytes([1, 2]))
+    d, _ = decode_png(png)
+    assert d[0, 0, 0].tolist() == [1, 1, 1, 255]
+
+
+def test_png_16bit_sub_filter_bpp():
+    """Filter type 1 (Sub) on 16-bit RGBA references the byte 8 positions
+    back (bpp = nch * depth/8 = 8), not 4 — a bpp regression decodes the
+    second pixel wrong."""
+    import numpy as np
+
     from data_engineering_assignment_spark.functions.multimodal import decode_png
 
-    png = _png_chunks(1, 1, 16, 0, b"\x00" + bytes([1, 2]))
-    with pytest.raises(NotImplementedError, match="8-bit"):
+    first = bytes([10, 0, 20, 0, 30, 0, 40, 0])  # RGBA16 pixel 1
+    delta = bytes([5, 0, 5, 0, 5, 0, 5, 0])  # pixel 2 = pixel 1 + 0x0500
+    png = _png_chunks(2, 1, 16, 6, b"\x01" + first + delta)
+    d, _ = decode_png(png)
+    assert d[0, 0, 0].tolist() == [30, 20, 10, 40]  # BGRA of high bytes
+    assert d[0, 0, 1].tolist() == [35, 25, 15, 45]
+
+
+def test_png_adam7_matches_sequential():
+    """Adam7 interlaced files decode to exactly the sequential pixels, at
+    sizes covering empty passes (w or h < pass offsets), single pixels and
+    multi-block images; the encoder's Up-filtered rows pin the per-pass
+    prev-row reset."""
+    import numpy as np
+
+    from data_engineering_assignment_spark.functions.multimodal import (
+        decode_png,
+        encode_png,
+        encode_png16,
+    )
+
+    rng = np.random.default_rng(11)
+    for h, w in [(1, 1), (1, 9), (2, 3), (5, 7), (8, 8), (9, 10), (16, 17), (3, 33)]:
+        f = rng.integers(0, 256, (h, w, 4), np.uint8)
+        seq, _ = decode_png(encode_png(f))
+        inter, _ = decode_png(encode_png(f, interlace=1))
+        assert np.array_equal(seq, inter), (h, w)
+        assert np.array_equal(seq[0], f), (h, w)
+    x16 = rng.integers(0, 65536, (9, 12, 4)).astype(np.uint16)
+    seq, _ = decode_png(encode_png16(x16))
+    inter, _ = decode_png(encode_png16(x16, interlace=1))
+    assert np.array_equal(seq, inter)
+
+
+def test_png_sub_byte_gray_depths():
+    """1/2/4-bit grayscale unpacks MSB-first and rescales exactly by
+    255/(2^d - 1); 16-bit gray takes the high byte; each also decodes
+    identically through the Adam7 path (sub-byte row packing is per
+    pass)."""
+    import numpy as np
+
+    from data_engineering_assignment_spark.functions.multimodal import (
+        decode_png,
+        encode_png_gray,
+    )
+
+    rng = np.random.default_rng(5)
+    for depth, scale in [(1, 255), (2, 85), (4, 17)]:
+        g = rng.integers(0, 1 << depth, (5, 13)).astype(np.uint16)
+        d, _ = decode_png(encode_png_gray(g, depth))
+        assert np.array_equal(d[0, :, :, 0], (g * scale).astype(np.uint8)), depth
+        assert (d[0, :, :, 3] == 255).all()
+        di, _ = decode_png(encode_png_gray(g, depth, interlace=1))
+        assert np.array_equal(di, d), depth
+    g16 = rng.integers(0, 65536, (4, 9)).astype(np.uint16)
+    d, _ = decode_png(encode_png_gray(g16, 16))
+    assert np.array_equal(d[0, :, :, 0], (g16 >> 8).astype(np.uint8))
+
+
+def test_png_palette_sub_byte_and_trns():
+    """2/4-bit palette indices unpack to PLTE colors with tRNS alpha, and
+    the interlaced variant matches."""
+    import numpy as np
+
+    from data_engineering_assignment_spark.functions.multimodal import (
+        decode_png,
+        encode_png_palette,
+    )
+
+    rng = np.random.default_rng(9)
+    pal = np.stack(
+        [np.arange(16) * 16, 255 - np.arange(16) * 16, np.arange(16) * 8],
+        axis=1,
+    ).astype(np.uint8)
+    atab = (255 - np.arange(16) * 8).astype(np.uint8)
+    idx = rng.integers(0, 16, (7, 10)).astype(np.uint16)
+    for depth in (4, 8):
+        d, _ = decode_png(encode_png_palette(idx, pal, atab.tobytes(), depth))
+        assert np.array_equal(d[0, :, :, :3], pal[idx][:, :, [2, 1, 0]])
+        assert np.array_equal(d[0, :, :, 3], atab[idx])
+        di, _ = decode_png(
+            encode_png_palette(idx, pal, atab.tobytes(), depth, interlace=1)
+        )
+        assert np.array_equal(di, d), depth
+    idx2 = rng.integers(0, 4, (5, 9)).astype(np.uint16)
+    d, _ = decode_png(encode_png_palette(idx2, pal[:4], None, 2))
+    assert np.array_equal(d[0, :, :, :3], pal[:4][idx2][:, :, [2, 1, 0]])
+    assert (d[0, :, :, 3] == 255).all()
+
+
+def test_png_trns_single_transparent_color():
+    """The gray/RGB tRNS form (spec §11.3.2): pixels matching the 16-bit
+    sample value(s) at SOURCE depth become fully transparent — including a
+    16-bit RGB case where only an exact 16-bit match (not the 8-bit
+    rendering) is transparent."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from data_engineering_assignment_spark.functions.multimodal import (
+        _png_encode_raw,
+        decode_png,
+        encode_png_gray,
+    )
+
+    def add_trns(png: bytes, payload: bytes) -> bytes:
+        i = png.index(b"IDAT") - 4
+        chunk = (
+            struct.pack(">I", len(payload))
+            + b"tRNS"
+            + payload
+            + struct.pack(">I", zlib.crc32(b"tRNS" + payload))
+        )
+        return png[:i] + chunk + png[i:]
+
+    g = np.array([[7, 8], [9, 7]], np.uint16)
+    d, _ = decode_png(add_trns(encode_png_gray(g, 8), struct.pack(">H", 7)))
+    assert d[0, :, :, 3].tolist() == [[0, 255], [255, 0]]
+
+    x = np.zeros((1, 2, 3), np.uint16)
+    x[0, 0] = [256, 512, 768]
+    x[0, 1] = [256, 512, 769]  # same high bytes, different 16-bit value
+    png = add_trns(
+        _png_encode_raw(x, 2, 16), struct.pack(">HHH", 256, 512, 768)
+    )
+    d, _ = decode_png(png)
+    assert d[0, 0, 0, 3] == 0 and d[0, 0, 1, 3] == 255
+    assert np.array_equal(d[0, 0, 0, :3], d[0, 0, 1, :3])  # 8-bit render equal
+
+
+def test_png_illegal_depth_combo_raises():
+    from data_engineering_assignment_spark.functions.multimodal import decode_png
+
+    # depth 2 is illegal for RGB (color type 2)
+    png = _png_chunks(1, 1, 2, 2, b"\x00\x00")
+    with pytest.raises(ValueError, match="illegal"):
         decode_png(png)
 
 
