@@ -218,6 +218,9 @@ HEADLINE = [
     # palette legs) + large-star/small-star CC scale path (oracle-gated)
     "png_profile_stats",
     "dedup_clusters_star",
+    # native animated-GIF codec gate + Theil-Sen robust trend (oracle-gated)
+    "gif_decode_stats",
+    "user_value_theilsen",
 ]
 
 

@@ -500,14 +500,18 @@ def decode_image_jpeg(content: bytes) -> tuple[np.ndarray, dict]:
 
 
 def decode_any(content: bytes) -> tuple[np.ndarray, dict]:
-    """Magic-byte dispatch: RAWM container, PNG, WAV and baseline grayscale
-    JPEG natively (all dependency-free; color JPEG needs PIL). Other formats raise
+    """Magic-byte dispatch: RAWM container, PNG, GIF (multi-frame), WAV and
+    JPEG natively (all dependency-free). Other formats raise
     ``NotImplementedError``. WAV rows report (n_samples, n_channels) via
     the frame fields: width=n_samples, height=1, channels=n_channels."""
     if content[:4] == b"RAWM":
         return decode_rawm(content)
     if content[: len(_PNG_MAGIC)] == _PNG_MAGIC:
         return decode_png(content)
+    if content[:6] in (b"GIF87a", b"GIF89a"):
+        from .gif import decode_gif
+
+        return decode_gif(content)
     if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
         samples, meta = decode_wav(content)
         # (n_frames, height, width, channels) = (1, 1, n_samples, n_channels)

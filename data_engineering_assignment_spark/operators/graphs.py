@@ -319,12 +319,15 @@ def cc_star(
         nbrs = sym.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
         m_all = nbrs.groupBy("u").agg(F.min("v").alias("mn"))
         m_all = m_all.select("u", F.least("mn", "u").alias("m"))
+        # no distinct here: duplicate (hi, lo) rows are deduped logically by
+        # small-star's map-side-combinable min aggregate, and the one
+        # distinct per round (on the small-star output) keeps the edge set
+        # canonical — a second shuffle for exact dedup buys nothing
         large = (
             nbrs.filter(F.col("v") > F.col("u"))
             .join(m_all, "u")
             .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
             .filter(F.col("hi") != F.col("lo"))
-            .distinct()
         )
         # small-star over the canonical (hi -> smaller neighbors) view
         d2 = large.select(F.col("hi").alias("u"), F.col("lo").alias("v"))

@@ -44,15 +44,17 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # least once; the only never-checked queries are the four end-of-r8
 # additions (kmv_distinct_users, hll_distinct_portable, user_value_ewma,
 # winsorized_value_stats — each oracle-rehearsed locally at sf0.001 AND
-# sf0.01, per the r8 verdict's top item they lead the head), plus the new
-# png_profile_stats (never checked) and png_decode_stats (implementation
-# changed this round: the PNG codec was rewritten for the full legal
-# profile).  After them, strict age order: ALL 35 queries whose last
-# green row is r5, then 9 of the 40 r6-checked queries in catalog order —
-# except the final slot goes to ml_energy_report (r6) so the head spans
-# catalog_ml (module-coverage contract; the naive age order's 50th entry
-# would have left catalog_ml unrepresented).  The 31 remaining r6-checked
-# queries front the r10 head, then r7 as it ages.
+# sf0.01, per the r8 verdict's top item they lead the head), plus the
+# four round-9 queries (png_profile_stats, dedup_clusters_star,
+# gif_decode_stats, user_value_theilsen — never checked) and
+# png_decode_stats (implementation changed this round: the PNG codec was
+# rewritten for the full legal profile).  After them, strict age order:
+# ALL 35 queries whose last green row is r5, then 5 of the 40 r6-checked
+# queries in catalog order — except the final slot goes to
+# ml_energy_report (r6) so the head spans catalog_ml (module-coverage
+# contract; the naive age order's 50th entry would have left catalog_ml
+# unrepresented).  The 35 remaining r6-checked queries front the r10
+# head, then r7 as it ages.
 DRIVER_SAMPLE_HEAD: tuple[str, ...] = (
     # never driver-checked (end-of-r8 additions + the new full-profile
     # PNG gate)
@@ -62,6 +64,8 @@ DRIVER_SAMPLE_HEAD: tuple[str, ...] = (
     "winsorized_value_stats",
     "png_profile_stats",
     "dedup_clusters_star",
+    "gif_decode_stats",
+    "user_value_theilsen",
     # implementation changed this round (decode_png/encode_png rewritten
     # for the full legal profile: Adam7, 16-bit, sub-byte, tRNS forms)
     "png_decode_stats",
@@ -107,8 +111,6 @@ DRIVER_SAMPLE_HEAD: tuple[str, ...] = (
     "value_quantiles_by_type",
     "supplier_stats_salted",
     "doc_path_format",
-    "cosine_topk",
-    "cosine_topk_lsh",
     # last checked r6; keeps catalog_ml in the head (module-coverage contract)
     "ml_energy_report",
 )

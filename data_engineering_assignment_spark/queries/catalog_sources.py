@@ -349,6 +349,105 @@ def png_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GIF_DECODE_ORACLE = """
+SELECT (4 + doc_id % 8)::BIGINT AS width,
+       COUNT(*) AS n_gifs,
+       COUNT(*) AS n_ok,
+       SUM(16 * (doc_id % 16))::BIGINT AS val0_sum,
+       SUM(16 * ((doc_id + 2) % 16))::BIGINT AS val1_sum,
+       SUM(16 * ((doc_id + 5) % 16))::BIGINT AS val2_sum
+FROM documents
+GROUP BY 1
+"""
+
+
+@register(
+    "gif_decode_stats",
+    oracle=_GIF_DECODE_ORACLE,
+    doc="Multimodal decode gate over the native GIF codec "
+    "(functions/gif.py, GIF89a + LZW; the reference's image scan decodes "
+    "GIFs via OpenCV, Assignment-python.py:710): every document becomes a "
+    "TWO-FRAME ANIMATED GIF — a full-rect first frame (interlaced for odd "
+    "doc_ids) and a sub-rectangle second frame with a TRANSPARENT index, "
+    "decoded through decode_any's magic dispatch and verified as full "
+    "COMPOSED frames in-row. The three value columns are decoded pixels "
+    "whose expectations are pure doc_id arithmetic: val0 the first "
+    "frame's (0,0), val1 a patch pixel the transparency rule must leave "
+    "showing frame 0, val2 an opaque patch pixel — so LZW decode "
+    "(variable width, clears), interlace scatter, palette lookup, "
+    "transparency and composition are all under the oracle hash.",
+)
+def gif_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.gif import encode_gif
+    from ..functions.multimodal import decode_any
+    from ..tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    pal = np.stack(
+        [np.arange(16) * 16, 255 - np.arange(16) * 16, np.arange(16) * 8],
+        axis=1,
+    ).astype(np.uint8)
+    pal_bgr = pal[:, [2, 1, 0]]
+
+    def roundtrip(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 4 + did % 8, 3 + did % 6
+                ys, xs = np.mgrid[0:h, 0:w]
+                idx0 = ((xs + ys + did) % 16).astype(np.uint8)
+                pys, pxs = np.mgrid[0:2, 0:3]
+                idx1 = ((pxs * 2 + pys + did) % 16).astype(np.uint8)
+                transp = did % 16
+                gif = encode_gif(
+                    [idx0, idx1],
+                    pal,
+                    transparent=[None, transp],  # frame 0 fully opaque
+                    offsets=[(0, 0), (1, 1)],
+                    interlace=bool(did % 2),
+                )
+                exp0 = np.dstack(
+                    [pal_bgr[idx0], np.full((h, w), 255, np.uint8)]
+                )
+                exp1 = exp0.copy()
+                region = exp1[1:3, 1:4]
+                keep = idx1 == transp
+                region[~keep, :3] = pal_bgr[idx1[~keep]]
+                try:
+                    frames, meta = decode_any(gif)
+                    ok = bool(
+                        meta["n_frames"] == 2
+                        and frames.shape == (2, h, w, 4)
+                        and np.array_equal(frames[0], exp0)
+                        and np.array_equal(frames[1], exp1)
+                    )
+                    # decoded R channel (BGRA index 2) at the gated pixels
+                    v0 = int(frames[0, 0, 0, 2])
+                    v1 = int(frames[1, 1, 1, 2])
+                    v2 = int(frames[1, 2, 3, 2])
+                except Exception:
+                    ok, v0, v1, v2 = False, 0, 0, 0
+                rows.append((w, ok, v0, v1, v2))
+            yield pd.DataFrame(
+                rows, columns=["width", "ok", "v0", "v1", "v2"]
+            )
+
+    decoded = docs.mapInPandas(
+        roundtrip, "width int, ok boolean, v0 int, v1 int, v2 int"
+    )
+    return decoded.groupBy(F.col("width").cast("long").alias("width")).agg(
+        F.count(F.lit(1)).alias("n_gifs"),
+        F.sum(F.col("ok").cast("int")).cast("long").alias("n_ok"),
+        F.sum(F.col("v0").cast("long")).alias("val0_sum"),
+        F.sum(F.col("v1").cast("long")).alias("val1_sum"),
+        F.sum(F.col("v2").cast("long")).alias("val2_sum"),
+    )
+
+
 _JPEG_DECODE_ORACLE = """
 SELECT (8 * (1 + doc_id % 2))::BIGINT AS width,
        COUNT(*) AS n_imgs,

@@ -1186,3 +1186,108 @@ def test_jpeg_progressive_committed_fixtures_decode_to_named_goldens():
             assert np.array_equal(frames[0, :, :, 0], dec)
         else:
             assert np.array_equal(frames[0, :, :, :3], dec[:, :, ::-1])
+
+
+def test_gif_roundtrip_palettes_sizes_interlace():
+    """GIF LZW round-trips exactly across palette sizes, image sizes and
+    the 4-pass interlace, through decode_any's magic dispatch."""
+    import numpy as np
+
+    from data_engineering_assignment_spark.functions.gif import encode_gif
+    from data_engineering_assignment_spark.functions.multimodal import decode_any
+
+    rng = np.random.default_rng(21)
+    for n_colors in (2, 4, 16, 256):
+        pal = rng.integers(0, 256, (n_colors, 3), np.uint8)
+        for h, w in [(1, 1), (3, 5), (17, 23), (40, 40)]:
+            idx = rng.integers(0, n_colors, (h, w)).astype(np.uint8)
+            for inter in (False, True):
+                frames, meta = decode_any(encode_gif(idx, pal, interlace=inter))
+                exp = np.dstack(
+                    [pal[idx][:, :, [2, 1, 0]], np.full((h, w), 255, np.uint8)]
+                )
+                assert np.array_equal(frames[0], exp), (n_colors, h, w, inter)
+                assert meta["n_frames"] == 1 and meta["width"] == w
+
+
+def test_gif_lzw_width_growth_and_clears():
+    """Streams long enough to grow the code width to 12 bits and overflow
+    the 4096-entry table (CLEAR emission mid-stream) decode exactly."""
+    import numpy as np
+
+    from data_engineering_assignment_spark.functions.gif import (
+        _lzw_decode,
+        _lzw_encode,
+        decode_gif,
+        encode_gif,
+    )
+
+    rng = np.random.default_rng(0)
+    for n, ncol in [(5000, 256), (30000, 8), (50000, 2)]:
+        idx = rng.integers(0, ncol, n).astype(np.uint8)
+        mcs = max(2, (ncol - 1).bit_length())
+        out = _lzw_decode(mcs, _lzw_encode(mcs, idx), n)
+        assert np.array_equal(out, idx), (n, ncol)
+    idx = rng.integers(0, 256, (200, 200)).astype(np.uint8)
+    pal = rng.integers(0, 256, (256, 3), np.uint8)
+    frames, _ = decode_gif(encode_gif(idx, pal))
+    assert np.array_equal(frames[0, :, :, :3], pal[idx][:, :, [2, 1, 0]])
+
+
+def test_gif_animation_composition():
+    """Multi-frame GIFs compose per the viewer model: sub-rectangle
+    placement, transparent indices showing the prior canvas, disposal 2
+    restoring its rectangle to transparent, NETSCAPE loop metadata."""
+    import numpy as np
+
+    from data_engineering_assignment_spark.functions.gif import (
+        decode_gif,
+        encode_gif,
+    )
+
+    pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255], [10, 20, 30]], np.uint8)
+    f0 = np.zeros((6, 8), np.uint8)  # all red
+    f1 = np.full((2, 3), 1, np.uint8)  # green patch
+    f1[0, 0] = 3  # transparent index
+    gif = encode_gif([f0, f1], pal, transparent=3, offsets=[(0, 0), (2, 1)])
+    frames, meta = decode_gif(gif)
+    assert meta["n_frames"] == 2
+    assert (frames[0][:, :, :3] == [0, 0, 255]).all()  # BGR red
+    assert (frames[1][1, 2, :3] == [0, 0, 255]).all()  # transparent keeps red
+    assert (frames[1][1, 3, :3] == [0, 255, 0]).all()  # green patch
+    assert (frames[1][0, 0, :3] == [0, 0, 255]).all()  # outside patch
+
+    gif = encode_gif(
+        [f0, f1, np.zeros((1, 1), np.uint8)],
+        pal,
+        disposals=[0, 2, 0],
+        offsets=[(0, 0), (2, 1), (7, 5)],
+    )
+    frames, _ = decode_gif(gif)
+    assert (frames[2][1, 3] == [0, 0, 0, 0]).all()  # disposal-2 restored
+    assert (frames[2][0, 0, :3] == [0, 0, 255]).all()
+
+    _, meta = decode_gif(encode_gif([f0, f1], pal, loop=3))
+    assert meta.get("n_loops") == 3
+
+
+def test_gif_error_paths():
+    import numpy as np
+    import pytest as _pytest
+
+    from data_engineering_assignment_spark.functions.gif import (
+        decode_gif,
+        encode_gif,
+    )
+
+    with _pytest.raises(ValueError, match="signature"):
+        decode_gif(b"NOTAGIF" + b"\x00" * 20)
+    pal = np.zeros((4, 3), np.uint8)
+    with _pytest.raises(ValueError, match="power of two"):
+        encode_gif(np.zeros((2, 2), np.uint8), np.zeros((5, 3), np.uint8))
+    with _pytest.raises(ValueError, match="out of palette"):
+        encode_gif(np.full((2, 2), 7, np.uint8), pal)
+    # truncated LZW data: chop the stream mid-image
+    good = encode_gif(np.zeros((8, 8), np.uint8), pal)
+    with _pytest.raises(ValueError):
+        decode_gif(good[: len(good) - 6])
