@@ -221,6 +221,10 @@ HEADLINE = [
     # native animated-GIF codec gate + Theil-Sen robust trend (oracle-gated)
     "gif_decode_stats",
     "user_value_theilsen",
+    # native BMP codec gate (oracle-gated)
+    "bmp_decode_stats",
+    # native baseline-TIFF codec gate (oracle-gated, JDK-interop-validated)
+    "tiff_decode_stats",
 ]
 
 

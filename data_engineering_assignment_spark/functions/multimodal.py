@@ -428,6 +428,191 @@ def encode_png_palette(
     )
 
 
+def decode_bmp(content: bytes) -> tuple[np.ndarray, dict]:
+    """Dependency-free Windows BMP decode → one uint8 BGRA frame.
+
+    Covers the DIB profiles a crawl actually contains: BITMAPINFOHEADER
+    (or later headers with the same leading fields), 1/4/8-bit paletted,
+    24-bit BGR and 32-bit BGRA, BI_RGB (uncompressed) and RLE8, bottom-up
+    AND top-down row order, 4-byte row padding. Palette entries are BGRX;
+    sub-byte indices unpack MSB-first. 32-bit alpha is honored only when
+    any pixel sets it (the historical 'alpha byte is garbage zero'
+    convention renders opaque, matching viewers)."""
+    import struct as _struct
+
+    if content[:2] != b"BM" or len(content) < 54:
+        raise ValueError("not a BMP: bad signature or truncated header")
+    (data_off,) = _struct.unpack_from("<I", content, 10)
+    (hdr_size,) = _struct.unpack_from("<I", content, 14)
+    if hdr_size < 40:
+        raise NotImplementedError("BMP: BITMAPCOREHEADER (OS/2) not supported")
+    w, h_raw, _planes, bpp, comp = _struct.unpack_from("<iihHI", content, 18)
+    top_down = h_raw < 0
+    h = -h_raw if top_down else h_raw
+    if w <= 0 or h <= 0:
+        raise ValueError("BMP: bad dimensions")
+    if bpp not in (1, 4, 8, 24, 32):
+        raise NotImplementedError(f"BMP: {bpp}-bit pixels not supported")
+    if comp not in (0, 1) or (comp == 1 and bpp != 8):
+        raise NotImplementedError(f"BMP: compression {comp} not supported")
+    (n_colors,) = _struct.unpack_from("<I", content, 46)
+    pal = None
+    if bpp <= 8:
+        n = n_colors or (1 << bpp)
+        pal_off = 14 + hdr_size
+        pal = np.frombuffer(content, np.uint8, 4 * n, pal_off).reshape(n, 4)
+
+    if comp == 1:  # RLE8
+        idx = np.zeros((h, w), np.uint8)
+        pos, x, y = data_off, 0, 0
+        while pos + 1 < len(content):
+            cnt, val = content[pos], content[pos + 1]
+            pos += 2
+            if cnt:  # encoded run
+                idx[y, x : x + cnt] = val
+                x += cnt
+            elif val == 0:  # end of line
+                x, y = 0, y + 1
+            elif val == 1:  # end of bitmap
+                break
+            elif val == 2:  # delta
+                x += content[pos]
+                y += content[pos + 1]
+                pos += 2
+            else:  # absolute run of `val` literal bytes, word-aligned
+                idx[y, x : x + val] = np.frombuffer(content, np.uint8, val, pos)
+                x += val
+                pos += val + (val & 1)
+        rows = idx
+    else:
+        stride = (w * bpp + 31) // 32 * 4
+        raw = np.frombuffer(content, np.uint8, stride * h, data_off).reshape(
+            h, stride
+        )
+        if bpp == 24:
+            rows = raw[:, : w * 3].reshape(h, w, 3)
+        elif bpp == 32:
+            rows = raw[:, : w * 4].reshape(h, w, 4)
+        elif bpp == 8:
+            rows = raw[:, :w]
+        else:  # 1/4-bit: MSB-first fields
+            bits = np.unpackbits(raw, axis=1)
+            ns = bits.shape[1] // bpp
+            fields = bits[:, : ns * bpp].reshape(h, ns, bpp)
+            weights = 1 << np.arange(bpp - 1, -1, -1)
+            rows = (fields * weights).sum(axis=2).astype(np.uint8)[:, :w]
+
+    if not top_down:  # bottom-up storage (the BMP default), RLE included
+        rows = rows[::-1]
+
+    opaque = np.full((h, w), 255, np.uint8)
+    if bpp <= 8:
+        if rows.max(initial=0) >= len(pal):
+            raise ValueError("BMP: palette index out of range")
+        bgr = pal[rows][:, :, :3]  # palette is BGRX already
+        bgra = np.dstack([bgr, opaque])
+    elif bpp == 24:
+        bgra = np.dstack([rows, opaque])
+    else:  # 32-bit BGRA; all-zero alpha plane means opaque by convention
+        alpha = rows[:, :, 3]
+        if not alpha.any():
+            alpha = opaque
+        bgra = np.dstack([rows[:, :, :3], alpha])
+    bgra = np.ascontiguousarray(bgra)
+    return bgra.reshape(1, h, w, 4), {
+        "width": w,
+        "height": h,
+        "channels": 4,
+        "n_frames": 1,
+    }
+
+
+def encode_bmp(
+    frame: np.ndarray,
+    bpp: int = 32,
+    palette: np.ndarray | None = None,
+    indices: np.ndarray | None = None,
+    top_down: bool = False,
+    rle8: bool = False,
+) -> bytes:
+    """Fixture generator: serialize either a (h, w, 4) uint8 BGRA frame
+    (bpp 24/32) or (indices, palette) (bpp 1/4/8, palette (n, 3) BGR) as a
+    BITMAPINFOHEADER BMP; ``rle8`` run-length-encodes the 8-bit form."""
+    import struct as _struct
+
+    if bpp in (24, 32):
+        h, w = frame.shape[:2]
+        stride = (w * bpp + 31) // 32 * 4
+        rows = frame[:, :, :3] if bpp == 24 else frame
+        body = bytearray()
+        order = range(h) if top_down else range(h - 1, -1, -1)
+        for y in order:
+            line = rows[y].tobytes()
+            body += line + b"\x00" * (stride - len(line))
+        pal_bytes = b""
+        n_pal = 0
+    else:
+        if palette is None or indices is None:
+            raise ValueError("paletted BMP needs indices + palette")
+        h, w = indices.shape
+        n_pal = len(palette)
+        pal_bytes = b"".join(
+            bytes([b, g, r, 0]) for b, g, r in np.asarray(palette, np.uint8)
+        )
+        order = range(h) if top_down else range(h - 1, -1, -1)
+        if rle8:
+            if bpp != 8:
+                raise ValueError("RLE is only defined for 8-bit BMPs")
+            body = bytearray()
+            for y in order:
+                row = indices[y]
+                x = 0
+                while x < w:
+                    run = 1
+                    while (
+                        x + run < w and run < 255 and row[x + run] == row[x]
+                    ):
+                        run += 1
+                    body += bytes([run, int(row[x])])
+                    x += run
+                body += b"\x00\x00"  # end of line
+            body += b"\x00\x01"  # end of bitmap
+        else:
+            stride = (w * bpp + 31) // 32 * 4
+            body = bytearray()
+            for y in order:
+                if bpp == 8:
+                    line = indices[y].astype(np.uint8).tobytes()
+                else:
+                    weights = 1 << np.arange(bpp - 1, -1, -1)
+                    bits = (
+                        (indices[y][:, None] >> (bpp - 1 - np.arange(bpp))) & 1
+                    ).reshape(-1)
+                    pad = (-len(bits)) % 8
+                    bits = np.pad(bits, (0, pad))
+                    line = np.packbits(bits.astype(np.uint8)).tobytes()
+                body += line + b"\x00" * (stride - len(line))
+    data_off = 14 + 40 + len(pal_bytes)
+    info = _struct.pack(
+        "<IiihHIIiiII",
+        40,
+        w,
+        -h if top_down else h,
+        1,
+        bpp,
+        1 if rle8 else 0,
+        len(body),
+        2835,
+        2835,
+        n_pal,
+        0,
+    )
+    header = _struct.pack(
+        "<2sIHHI", b"BM", data_off + len(body), 0, 0, data_off
+    )
+    return header + info + pal_bytes + bytes(body)
+
+
 def _pil_image_module():
     """Optional-dependency hook for formats beyond PNG (JPEG, WebP, …): PIL
     is not in this container, but the path must exist. Returns PIL.Image or
@@ -512,6 +697,12 @@ def decode_any(content: bytes) -> tuple[np.ndarray, dict]:
         from .gif import decode_gif
 
         return decode_gif(content)
+    if content[:2] == b"BM" and len(content) >= 54:
+        return decode_bmp(content)
+    if content[:4] in (b"II*\x00", b"MM\x00*"):
+        from .tiff import decode_tiff
+
+        return decode_tiff(content)
     if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
         samples, meta = decode_wav(content)
         # (n_frames, height, width, channels) = (1, 1, n_samples, n_channels)

@@ -448,6 +448,182 @@ def gif_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BMP_DECODE_ORACLE = """
+SELECT (3 + doc_id % 9)::BIGINT AS width,
+       COUNT(*) AS n_bmps,
+       COUNT(*) AS n_ok,
+       SUM(doc_id % 256)::BIGINT AS val24_sum,
+       SUM(17 * (doc_id % 16))::BIGINT AS val_rle_sum
+FROM documents
+GROUP BY 1
+"""
+
+
+@register(
+    "bmp_decode_stats",
+    oracle=_BMP_DECODE_ORACLE,
+    doc="Multimodal decode gate over the native BMP codec "
+    "(functions/multimodal.py decode_bmp; the reference's image scan "
+    "decodes BMPs via OpenCV, Assignment-python.py:710): every document "
+    "becomes TWO real BMPs — a 24-bit gradient (row order alternating "
+    "bottom-up/top-down by doc_id, exercising the flip) and an RLE8 "
+    "paletted file — decoded through decode_any's magic dispatch and "
+    "verified full-frame in-row. The two value columns are decoded "
+    "pixels with pure doc_id arithmetic expectations, putting row order, "
+    "4-byte stride padding, palette lookup and RLE run decode under the "
+    "oracle hash.",
+)
+def bmp_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.multimodal import decode_any, encode_bmp
+    from ..tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    pal = np.stack(
+        [np.arange(16) * 16, 255 - np.arange(16) * 16, np.arange(16) * 17],
+        axis=1,
+    ).astype(np.uint8)  # BGR palette
+
+    def roundtrip(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 3 + did % 9, 2 + did % 7
+                ys, xs = np.mgrid[0:h, 0:w]
+                frame = np.empty((h, w, 4), np.uint8)
+                frame[..., 0] = (did + xs) % 256  # B
+                frame[..., 1] = (did + ys) % 256  # G
+                frame[..., 2] = (did + 2 * xs + 3 * ys) % 256  # R
+                frame[..., 3] = 255
+                idx = ((xs + 2 * ys + did) % 16).astype(np.uint8)
+                exp24 = frame.copy()
+                exp_rle = np.dstack(
+                    [pal[idx], np.full((h, w), 255, np.uint8)]
+                )
+                try:
+                    d24, _ = decode_any(
+                        encode_bmp(frame, 24, top_down=bool(did % 2))
+                    )
+                    drle, _ = decode_any(
+                        encode_bmp(None, 8, palette=pal, indices=idx, rle8=True)
+                    )
+                    ok = bool(
+                        np.array_equal(d24[0], exp24)
+                        and np.array_equal(drle[0], exp_rle)
+                    )
+                    v24 = int(d24[0, 0, 0, 2])
+                    vrle = int(drle[0, 0, 0, 2])
+                except Exception:
+                    ok, v24, vrle = False, 0, 0
+                rows.append((w, ok, v24, vrle))
+            yield pd.DataFrame(rows, columns=["width", "ok", "v24", "vrle"])
+
+    decoded = docs.mapInPandas(
+        roundtrip, "width int, ok boolean, v24 int, vrle int"
+    )
+    return decoded.groupBy(F.col("width").cast("long").alias("width")).agg(
+        F.count(F.lit(1)).alias("n_bmps"),
+        F.sum(F.col("ok").cast("int")).cast("long").alias("n_ok"),
+        F.sum(F.col("v24").cast("long")).alias("val24_sum"),
+        F.sum(F.col("vrle").cast("long")).alias("val_rle_sum"),
+    )
+
+
+_TIFF_DECODE_ORACLE = """
+SELECT (3 + doc_id % 9)::BIGINT AS width,
+       COUNT(*) AS n_tiffs,
+       COUNT(*) AS n_ok,
+       SUM(doc_id % 256)::BIGINT AS val_lzw_sum,
+       SUM(17 * (doc_id % 16))::BIGINT AS val_pb_sum
+FROM documents
+GROUP BY 1
+"""
+
+
+@register(
+    "tiff_decode_stats",
+    oracle=_TIFF_DECODE_ORACLE,
+    doc="Multimodal decode gate over the native baseline-TIFF codec "
+    "(functions/tiff.py; the reference's image scan decodes TIFFs via "
+    "OpenCV, Assignment-python.py:710): every document becomes TWO real "
+    "TIFFs — an RGB file compressed with TIFF-LZW under the horizontal "
+    "predictor, split into 3-row strips, byte order alternating II/MM by "
+    "doc_id, and a PackBits palette file (big-endian) — decoded through "
+    "decode_any's magic dispatch and verified full-frame in-row. The "
+    "codec itself is cross-validated bit-for-bit against the JDK ImageIO "
+    "TIFF plugin (tests/test_java_interop.py), so this gate pins the "
+    "Spark plumbing + closed-form pixel arithmetic while the interop "
+    "tests pin spec conformance.",
+)
+def tiff_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.multimodal import decode_any
+    from ..functions.tiff import encode_tiff
+    from ..tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    pal = np.stack(
+        [np.arange(16) * 17, 255 - np.arange(16) * 16, np.arange(16) * 16],
+        axis=1,
+    ).astype(np.uint8)  # RGB palette (encode_tiff convention)
+
+    def roundtrip(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 3 + did % 9, 2 + did % 7
+                ys, xs = np.mgrid[0:h, 0:w]
+                frame = np.empty((h, w, 4), np.uint8)
+                frame[..., 0] = (did + xs) % 256  # B
+                frame[..., 1] = (did + ys) % 256  # G
+                frame[..., 2] = (did + 2 * xs + 3 * ys) % 256  # R
+                frame[..., 3] = 255
+                idx = ((xs + 2 * ys + did) % 16).astype(np.uint8)
+                exp_pal = np.dstack(
+                    [pal[idx][:, :, [2, 1, 0]], np.full((h, w), 255, np.uint8)]
+                )
+                try:
+                    dlzw, _ = decode_any(
+                        encode_tiff(
+                            frame, 2, 5, 2,
+                            big_endian=bool(did % 2), rows_per_strip=3,
+                            alpha=True,
+                        )
+                    )
+                    dpb, _ = decode_any(
+                        encode_tiff(
+                            None, 3, 32773,
+                            big_endian=True, palette=pal, indices=idx,
+                        )
+                    )
+                    ok = bool(
+                        np.array_equal(dlzw[0], frame)
+                        and np.array_equal(dpb[0], exp_pal)
+                    )
+                    vlzw = int(dlzw[0, 0, 0, 2])
+                    vpb = int(dpb[0, 0, 0, 2])
+                except Exception:
+                    ok, vlzw, vpb = False, 0, 0
+                rows.append((w, ok, vlzw, vpb))
+            yield pd.DataFrame(rows, columns=["width", "ok", "vlzw", "vpb"])
+
+    decoded = docs.mapInPandas(
+        roundtrip, "width int, ok boolean, vlzw int, vpb int"
+    )
+    return decoded.groupBy(F.col("width").cast("long").alias("width")).agg(
+        F.count(F.lit(1)).alias("n_tiffs"),
+        F.sum(F.col("ok").cast("int")).cast("long").alias("n_ok"),
+        F.sum(F.col("vlzw").cast("long")).alias("val_lzw_sum"),
+        F.sum(F.col("vpb").cast("long")).alias("val_pb_sum"),
+    )
+
+
 _JPEG_DECODE_ORACLE = """
 SELECT (8 * (1 + doc_id % 2))::BIGINT AS width,
        COUNT(*) AS n_imgs,

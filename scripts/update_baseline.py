@@ -86,7 +86,20 @@ Q16/Q20 shapes (`priority_late_orders` … `top_share_suppliers`) joined
 the headline set; their entries are the per-query MIN across two
 marker-verified solo runs (119.59 s st [.074,.072] mt [.080,.112];
 133.21 s st [.072,.077] mt [.095,.131]) with every pre-existing entry
-kept at its historical min."""
+kept at its historical min.
+Round 9 extension: five queries joined the headline set — the four
+round-9 additions (`png_profile_stats`, `dedup_clusters_star`,
+`gif_decode_stats`, `user_value_theilsen`; per-query MIN across two
+marker-verified solo runs, 149.54 s st [.076,.061] mt [.116,.103] and a
+second run under the same policy) and `bmp_decode_stats` (min of its
+first marker-verified solo bench value, 1.095 s at 145.01 s total
+st [.083,.075] mt [.142,.212], and a 5-rep solo probe min 1.406 s).
+Every pre-existing entry kept its historical min; that run's four
+1.5–1.7× single-run flags (`sales_per_year`, `nation_rank_top2`,
+`supplier_return_ratio`, `dedup_minhash_lsh`) all re-probed at or near
+standing on warm-session min-of-2 (`dedup_minhash_lsh` remains the one
+documented repeat-transient: 5-rep probes span 2.2–7.7 s around its
+1.16 s plan-cost min with no plan change)."""
 
 
 def main() -> None:

@@ -1291,3 +1291,61 @@ def test_gif_error_paths():
     good = encode_gif(np.zeros((8, 8), np.uint8), pal)
     with _pytest.raises(ValueError):
         decode_gif(good[: len(good) - 6])
+
+
+def test_bmp_roundtrip_profiles():
+    """BMP decodes 24/32-bit (both row orders), 1/4/8-bit paletted and
+    RLE8 exactly, through decode_any's magic dispatch."""
+    import numpy as np
+
+    from data_engineering_assignment_spark.functions.multimodal import (
+        decode_any,
+        decode_bmp,
+        encode_bmp,
+    )
+
+    rng = np.random.default_rng(4)
+    for bpp in (24, 32):
+        for td in (False, True):
+            for h, w in [(1, 1), (3, 5), (16, 33)]:
+                f = rng.integers(0, 256, (h, w, 4), np.uint8)
+                if bpp == 32:
+                    f[..., 3] = rng.integers(1, 256, (h, w))
+                d, meta = decode_any(encode_bmp(f, bpp, top_down=td))
+                exp = f.copy()
+                if bpp == 24:
+                    exp[..., 3] = 255
+                assert np.array_equal(d[0], exp), (bpp, td, h, w)
+                assert meta["width"] == w and meta["n_frames"] == 1
+    for bpp in (1, 4, 8):
+        n = 1 << bpp
+        pal = rng.integers(0, 256, (n, 3), np.uint8)
+        idx = rng.integers(0, n, (6, 11)).astype(np.uint8)
+        d, _ = decode_bmp(encode_bmp(None, bpp, palette=pal, indices=idx))
+        assert np.array_equal(d[0, :, :, :3], pal[idx]), bpp
+    # RLE8 with genuine runs; all-zero 32-bit alpha renders opaque
+    idx = np.repeat(rng.integers(0, 8, (5, 8)), 3, axis=1).astype(np.uint8)
+    pal = rng.integers(0, 256, (256, 3), np.uint8)
+    d, _ = decode_bmp(encode_bmp(None, 8, palette=pal, indices=idx, rle8=True))
+    assert np.array_equal(d[0, :, :, :3], pal[idx])
+    f = rng.integers(0, 256, (4, 4, 4), np.uint8)
+    f[..., 3] = 0
+    d, _ = decode_bmp(encode_bmp(f, 32))
+    assert (d[0, :, :, 3] == 255).all()
+
+
+def test_bmp_error_paths():
+    import numpy as np
+    import pytest as _pytest
+
+    from data_engineering_assignment_spark.functions.multimodal import decode_bmp
+
+    with _pytest.raises(ValueError, match="signature"):
+        decode_bmp(b"XX" + b"\x00" * 60)
+    # 16-bit pixels are out of profile
+    import struct
+
+    info = struct.pack("<IiihHIIiiII", 40, 2, 2, 1, 16, 0, 0, 0, 0, 0, 0)
+    hdr = struct.pack("<2sIHHI", b"BM", 54 + 16, 0, 0, 54)
+    with _pytest.raises(NotImplementedError, match="16-bit"):
+        decode_bmp(hdr + info + b"\x00" * 16)
