@@ -225,6 +225,14 @@ HEADLINE = [
     "bmp_decode_stats",
     # native baseline-TIFF codec gate (oracle-gated, JDK-interop-validated)
     "tiff_decode_stats",
+    # IMA ADPCM audio codec gate (oracle-gated, batch-vectorized)
+    "adpcm_audio_stats",
+    # multi-source weighted SSSP over the part co-purchase graph
+    "part_distance_sssp",
+    # EXIF metadata extraction gate (oracle-gated)
+    "jpeg_exif_stats",
+    # MJPEG-AVI video container gate (oracle-gated)
+    "avi_video_stats",
 ]
 
 

@@ -703,6 +703,10 @@ def decode_any(content: bytes) -> tuple[np.ndarray, dict]:
         from .tiff import decode_tiff
 
         return decode_tiff(content)
+    if content[:4] == b"RIFF" and content[8:12] == b"AVI ":
+        from .avi import decode_avi
+
+        return decode_avi(content)
     if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
         samples, meta = decode_wav(content)
         # (n_frames, height, width, channels) = (1, 1, n_samples, n_channels)
@@ -808,15 +812,168 @@ def extract_mean_color(df: DataFrame) -> DataFrame:
 # Audio: RIFF/WAVE PCM codec (dependency-free, like decode_png) + features
 # ---------------------------------------------------------------------------
 
+# IMA/DVI ADPCM tables (IMA Digital Audio Pack recommendation; same
+# constants as every interoperable implementation)
+_IMA_STEP = np.array(
+    [7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+     41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+     190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+     724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+     2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+     6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+     16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767],
+    np.int32,
+)
+_IMA_INDEX = np.array(
+    [-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8], np.int32
+)
+
+
+def _ima_step_nibble(pred, index, n):
+    """One IMA ADPCM decode step (vectorized over any shape): returns the
+    new (pred, index). The diff reconstruction is the spec's shift-add
+    form — bit-exact to the reference integer implementation."""
+    step = _IMA_STEP[index]
+    diff = (
+        (step >> 3)
+        + np.where(n & 4, step, 0)
+        + np.where(n & 2, step >> 1, 0)
+        + np.where(n & 1, step >> 2, 0)
+    )
+    pred = np.clip(np.where(n & 8, pred - diff, pred + diff), -32768, 32767)
+    index = np.clip(index + _IMA_INDEX[n], 0, 88)
+    return pred, index
+
+
+def _decode_ima_adpcm_blocks(arr: np.ndarray, n_ch: int) -> np.ndarray:
+    """Decode (n_blocks, block_len) uint8 IMA ADPCM blocks → int32 samples
+    interleaved as (n_blocks * samples_per_block * n_ch,). Vectorized
+    across blocks and channels; only the within-block nibble scan is
+    sequential (it is a genuine recurrence)."""
+    nblk, blen = arr.shape
+    hdr = arr[:, : 4 * n_ch].reshape(nblk, n_ch, 4).astype(np.uint16)
+    pred = (hdr[:, :, 0] | (hdr[:, :, 1] << 8)).astype(np.int16).astype(np.int32)
+    index = np.clip(hdr[:, :, 2].astype(np.int32), 0, 88)
+    body = arr[:, 4 * n_ch :]
+    nwords = body.shape[1] // (4 * n_ch)
+    body = body[:, : nwords * 4 * n_ch].reshape(nblk, nwords, n_ch, 4)
+    nib = np.empty((nblk, nwords, n_ch, 8), np.uint8)
+    nib[..., 0::2] = body & 0x0F  # low nibble first per spec
+    nib[..., 1::2] = body >> 4
+    nib = nib.transpose(0, 2, 1, 3).reshape(nblk, n_ch, nwords * 8)
+    out = np.empty((nblk, n_ch, 1 + nwords * 8), np.int32)
+    out[:, :, 0] = pred
+    for t in range(nwords * 8):
+        pred, index = _ima_step_nibble(pred, index, nib[:, :, t].astype(np.int32))
+        out[:, :, t + 1] = pred
+    return out.transpose(0, 2, 1).reshape(-1)
+
+
+def _decode_ima_adpcm(data: bytes, n_ch: int, block_align: int) -> np.ndarray:
+    if block_align < 4 * n_ch + 4 * n_ch:
+        raise ValueError("WAV: IMA ADPCM block_align too small")
+    nblk, rem = divmod(len(data), block_align)
+    arr = np.frombuffer(data, np.uint8, nblk * block_align).reshape(
+        nblk, block_align
+    )
+    parts = [_decode_ima_adpcm_blocks(arr, n_ch)] if nblk else []
+    if rem >= 8 * n_ch:  # trailing short block (last block of a stream)
+        tail = np.frombuffer(data, np.uint8, rem - rem % (4 * n_ch), nblk * block_align)
+        parts.append(_decode_ima_adpcm_blocks(tail.reshape(1, -1), n_ch))
+    if not parts:
+        return np.empty(0, np.int32)
+    return np.concatenate(parts)
+
+
+def _ima_encode_nibbles(
+    samples: np.ndarray, index: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Encode one block's samples — (B, spb) int32, column 0 being the
+    header predictor — into (B, spb-1) uint8 nibbles, vectorized over the
+    batch axis (channels of one clip, or a whole corpus of mono clips,
+    as adpcm_audio_stats does). Prediction runs the decoder's own state
+    machine (:func:`_ima_step_nibble`), so decode(encode(x)) carries only
+    the codec's 4-bit quantization error. Returns the nibbles and the
+    per-row step index after the block."""
+    B, spb = samples.shape
+    pred = samples[:, 0].astype(np.int32)
+    index = index.astype(np.int32)
+    out = np.empty((B, spb - 1), np.uint8)
+    for t in range(1, spb):
+        step = _IMA_STEP[index]
+        delta = samples[:, t].astype(np.int32) - pred
+        sign = delta < 0
+        d = np.abs(delta)
+        c4 = d >= step
+        d -= np.where(c4, step, 0)
+        c2 = d >= step >> 1
+        d -= np.where(c2, step >> 1, 0)
+        c1 = d >= step >> 2
+        code = (sign * 8 + c4 * 4 + c2 * 2 + c1).astype(np.int32)
+        pred, index = _ima_step_nibble(pred, index, code)
+        out[:, t - 1] = code
+    return out, index
+
+
+def encode_wav_ima_adpcm(
+    samples: np.ndarray, sample_rate: int = 16000, block_align: int = 256
+) -> bytes:
+    """Fixture generator: encode (n_frames, n_channels) int16 samples as an
+    IMA ADPCM WAV (format tag 17) with the standard block layout and a
+    ``fact`` chunk carrying the true per-channel frame count. The encoder
+    runs the decoder's state machine for prediction, so decode(encode(x))
+    reconstructs with the codec's native 4-bit quantization error only."""
+    import struct as _struct
+
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    s = np.asarray(samples, np.int32)
+    n_frames, n_ch = s.shape
+    spb = 1 + (block_align - 4 * n_ch) * 2 // n_ch  # samples per block
+    data = bytearray()
+    index = np.zeros(n_ch, np.int32)
+    for b0 in range(0, n_frames, spb):
+        blk = s[b0 : b0 + spb]
+        if len(blk) < spb:  # pad the tail block by holding the last frame
+            blk = np.vstack([blk, np.repeat(blk[-1:], spb - len(blk), 0)])
+        for ch in range(n_ch):
+            data += _struct.pack("<hBB", int(blk[0, ch]), int(index[ch]), 0)
+        nibs, index = _ima_encode_nibbles(
+            np.ascontiguousarray(blk.T), index
+        )
+        packed = (nibs[:, 0::2] | (nibs[:, 1::2] << 4)).astype(np.uint8)
+        # interleave the spec's 4-byte channel words
+        data += packed.reshape(n_ch, -1, 4).transpose(1, 0, 2).tobytes()
+    fmt = _struct.pack(
+        "<HHIIHHHH", 17, n_ch, sample_rate,
+        sample_rate * block_align // spb, block_align, 4, 2, spb,
+    )
+    fact = _struct.pack("<I", n_frames)
+    return (
+        b"RIFF"
+        + _struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(fact) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + _struct.pack("<I", len(fact)) + fact
+        + b"data" + _struct.pack("<I", len(data)) + bytes(data)
+    )
+
+
 def decode_wav(content: bytes) -> tuple[np.ndarray, dict]:
     """Dependency-free RIFF/WAVE decode → (samples, meta).
 
     Handles the common PCM profile: format tag 1 (integer PCM, 8/16/32-bit),
-    3 (float32), and 7 (ITU-T G.711 mu-law, the 8-bit companded telephony
-    format — expanded with the standard segment/mantissa formula, bit-exact
-    to the reference g711 tables, vectorized); any channel count; chunks are
-    walked by the spec (word-aligned), so fmt/data need not be adjacent.
-    Remaining compressed formats (A-law, ADPCM, MP3-in-WAV…) raise
+    3 (float32), 7 (ITU-T G.711 mu-law) and 6 (G.711 A-law) — the 8-bit
+    companded telephony formats, expanded with the standard
+    segment/mantissa formulas, bit-exact to the reference g711 tables,
+    vectorized — plus 17 (IMA/DVI ADPCM, the 4-bit block-predictive
+    telephony/game codec: per-block per-channel predictor+step-index
+    headers, low-nibble-first data interleaved in 4-byte channel words,
+    the 89-entry step table state machine; decoded vectorized ACROSS
+    blocks with the sequential scan only over within-block nibble
+    positions). Any channel count; chunks are walked by the spec
+    (word-aligned), so fmt/data need not be adjacent. Remaining
+    compressed formats (MS-ADPCM, MP3-in-WAV…) raise
     ``NotImplementedError``.
 
     Returns samples as float64 in [-1, 1], shape (n_frames, n_channels),
@@ -825,7 +982,7 @@ def decode_wav(content: bytes) -> tuple[np.ndarray, dict]:
 
     if len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"WAVE":
         raise ValueError("not a WAV: bad RIFF/WAVE signature")
-    pos, fmt, data = 12, None, None
+    pos, fmt, data, fact = 12, None, None, None
     while pos + 8 <= len(content):
         cid = content[pos : pos + 4]
         (size,) = _struct.unpack_from("<I", content, pos + 4)
@@ -835,6 +992,8 @@ def decode_wav(content: bytes) -> tuple[np.ndarray, dict]:
             fmt = _struct.unpack_from("<HHIIHH", body)
         elif cid == b"data":
             data = body
+        elif cid == b"fact" and size >= 4:
+            (fact,) = _struct.unpack_from("<I", body)
     if fmt is None or data is None:
         raise ValueError("WAV: missing fmt or data chunk")
     tag, n_ch, rate, _byterate, _align, bits = fmt
@@ -855,13 +1014,35 @@ def decode_wav(content: bytes) -> tuple[np.ndarray, dict]:
         u = (~np.frombuffer(data, np.uint8)).astype(np.int32) & 0xFF
         t = (((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 0x07)
         samples = np.where(u & 0x80, 0x84 - t, t - 0x84).astype(np.float64) / 32768.0
+    elif tag == 6 and bits == 8:
+        # G.711 A-law expansion (g711.c alaw2linear): even-bit inversion
+        # (XOR 0x55), segment 0 is linear (no hidden bit), segments 1-7
+        # add the 0x100 hidden bit and shift
+        a = (np.frombuffer(data, np.uint8).astype(np.int32)) ^ 0x55
+        seg = (a >> 4) & 0x07
+        mant = a & 0x0F
+        mag = np.where(
+            seg == 0, (mant << 4) + 8, ((mant << 4) + 0x108) << (seg - 1)
+        )
+        samples = np.where(a & 0x80, mag, -mag).astype(np.float64) / 32768.0
+    elif tag == 17 and bits == 4:
+        block_align = fmt[4]
+        samples = _decode_ima_adpcm(data, n_ch, block_align).astype(
+            np.float64
+        ) / 32768.0
     else:
         raise NotImplementedError(
-            f"WAV: only integer PCM (8/16/32-bit), float32 and 8-bit mu-law "
-            f"are supported (got format tag {tag}, {bits}-bit)"
+            f"WAV: only integer PCM (8/16/32-bit), float32, 8-bit "
+            f"mu-law/A-law and 4-bit IMA ADPCM are supported "
+            f"(got format tag {tag}, {bits}-bit)"
         )
     n_frames = len(samples) // n_ch
     samples = samples[: n_frames * n_ch].reshape(n_frames, n_ch)
+    if fact is not None and tag != 1 and fact <= n_frames:
+        # compressed formats pad to block boundaries; `fact` holds the
+        # true per-channel frame count
+        samples = samples[:fact]
+        n_frames = fact
     return samples, {
         "sample_rate": rate,
         "n_channels": n_ch,

@@ -66,20 +66,24 @@ def decode_copurchase_node(node) -> F.Column:
     ).otherwise(F.concat(F.lit("s"), F.shiftright(c, 1)))
 
 
-def part_pair_edges(lineitem: DataFrame, min_pair_count: int = 2) -> DataFrame:
+def part_pair_edges(
+    lineitem: DataFrame, min_pair_count: int = 2, keep_count: bool = False
+) -> DataFrame:
     """Undirected part co-purchase edges (u < v): parts sharing >=
     ``min_pair_count`` order baskets. In-row pair enumeration — see
-    operators.affinity for the no-self-join rationale."""
+    operators.affinity for the no-self-join rationale. With
+    ``keep_count`` the basket count survives as ``pair_cnt`` (weighted
+    consumers: :func:`sssp_rounds` affinity distances)."""
     from .affinity import _pair_structs, order_baskets
 
-    return (
+    pairs = (
         order_baskets(lineitem)
         .select(F.explode(_pair_structs(F.col("items"))).alias("pr"))
         .groupBy(F.col("pr.p1").alias("u"), F.col("pr.p2").alias("v"))
         .agg(F.count(F.lit(1)).alias("pair_cnt"))
         .where(F.col("pair_cnt") >= min_pair_count)
-        .select("u", "v")
     )
+    return pairs if keep_count else pairs.select("u", "v")
 
 
 def pagerank_integer(
@@ -353,3 +357,46 @@ def cc_star(
         .agg(F.min("lo").alias("mn"))
         .select("node", F.least("mn", "node").alias("cluster"))
     )
+
+
+def sssp_rounds(
+    edges: DataFrame,
+    sources: DataFrame,
+    rounds: int = 4,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Multi-source shortest paths by ``rounds`` synchronous Bellman-Ford
+    relaxations → (node, dist): the minimum total edge weight over paths
+    of at most ``rounds`` edges from any source node (unreachable nodes
+    absent). Well-defined even without convergence — the hop bound IS the
+    semantics, so the round-unrolled SQL oracle is bit-exact.
+
+    ``edges`` is an UNDIRECTED (u, v, w) list with positive integer
+    weights; ``sources`` a (node,) frame. Each round is one equi-join of
+    the frontier against the symmetrized edge list plus a
+    map-side-combinable ``groupBy(node).min`` — the pagerank_integer
+    Θ(E)-per-round class, which flattens with executors; the distance
+    table is checkpointed every ``checkpoint_every`` rounds (job-barrier
+    tradeoff documented at :func:`pagerank_integer`). All longs, no
+    floats — parallel-path ties resolve identically on any engine.
+    """
+    bi = edges.select("u", "v", "w").unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
+    )
+    bi = bi.localCheckpoint(eager=False)
+    dist = sources.select(
+        F.col("node").cast("long").alias("node"),
+        F.lit(0).cast("long").alias("dist"),
+    )
+    for i in range(rounds):
+        relax = bi.join(dist, bi.u == dist.node).select(
+            F.col("v").alias("node"), (F.col("dist") + F.col("w")).alias("dist")
+        )
+        dist = (
+            dist.unionAll(relax)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+        if (i + 1) % checkpoint_every == 0 and (i + 1) < rounds:
+            dist = dist.localCheckpoint(eager=False)
+    return dist

@@ -40,22 +40,21 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # whose implementation changed this round (a green history does not cover
 # new code), then queries whose last green row is oldest.
 #
-# Round-9 head (catalog = 182): entering the round the driver had checked
+# Round-9 head (catalog = 186): entering the round the driver had checked
 # 172/176 at least once; the only never-checked queries are the four
 # end-of-r8 additions (kmv_distinct_users, hll_distinct_portable,
 # user_value_ewma, winsorized_value_stats — each oracle-rehearsed locally
 # at sf0.001 AND sf0.01, per the r8 verdict's top item they lead the
-# head), plus the six round-9 queries (png_profile_stats,
+# head), plus the ten round-9 queries (png_profile_stats,
 # dedup_clusters_star, gif_decode_stats, user_value_theilsen,
-# bmp_decode_stats, tiff_decode_stats — never checked) and
-# png_decode_stats (implementation changed this round: the PNG codec was
-# rewritten for the full legal profile).  After them, strict age order:
-# ALL 35 queries whose last green row is r5, then 3 of the 40 r6-checked
-# queries in catalog order — except the final slot goes to
-# ml_energy_report (r6) so the head spans catalog_ml (module-coverage
-# contract; the naive age order's 50th entry would have left catalog_ml
-# unrepresented).  The 37 remaining r6-checked queries front the r10
-# head, then r7 as it ages.
+# bmp_decode_stats, tiff_decode_stats, adpcm_audio_stats,
+# part_distance_sssp, jpeg_exif_stats, avi_video_stats — never checked)
+# and png_decode_stats (implementation changed this round: the PNG codec
+# was rewritten for the full legal profile).  After them, strict age
+# order: 34 of the 35 queries whose last green row is r5 (the displaced
+# 35th, lang_source_chisq, fronts the r10 head with the 40 r6-checked
+# queries) — and the final slot goes to ml_energy_report (r6) so the
+# head spans catalog_ml (module-coverage contract).
 DRIVER_SAMPLE_HEAD: tuple[str, ...] = (
     # never driver-checked (end-of-r8 additions + the new full-profile
     # PNG gate)
@@ -69,6 +68,10 @@ DRIVER_SAMPLE_HEAD: tuple[str, ...] = (
     "user_value_theilsen",
     "bmp_decode_stats",
     "tiff_decode_stats",
+    "adpcm_audio_stats",
+    "part_distance_sssp",
+    "jpeg_exif_stats",
+    "avi_video_stats",
     # implementation changed this round (decode_png/encode_png rewritten
     # for the full legal profile: Adam7, 16-bit, sub-byte, tRNS forms)
     "png_decode_stats",
@@ -107,11 +110,6 @@ DRIVER_SAMPLE_HEAD: tuple[str, ...] = (
     "event_interarrival_stats",
     "nation_revenue_share",
     "referential_integrity_audit",
-    "lang_source_chisq",
-    # last checked r6 (3 of 40, oldest in catalog order)
-    "user_purchase_totals",
-    "league_table",
-    "value_quantiles_by_type",
     # last checked r6; keeps catalog_ml in the head (module-coverage contract)
     "ml_energy_report",
 )

@@ -1677,3 +1677,87 @@ def user_value_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("ss").cast("long").alias("n_slopes"),
         (med * F.lit(3600.0)).alias("slope_per_hour"),
     )
+
+
+def _sssp_oracle(rounds: int, min_pair: int, brand: str) -> str:
+    """Round-unrolled multi-source Bellman-Ford over the weighted part
+    co-purchase graph (the _pagerank_oracle / _kcore_oracle discipline:
+    every CTE repeats the engine's exact integer relaxation, and the
+    quadratic basket self-join doubles as the in-row pair-enumeration
+    cross-proof). MIN over BIGINT stays BIGINT in DuckDB (only SUM takes
+    the HUGEINT detour), so no casts beyond dist's seed."""
+    ctes = [
+        f"""pairs AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS cnt
+  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= {min_pair}
+), edges AS (
+  SELECT p1 AS u, p2 AS v, 11 - LEAST(cnt, 10) AS w FROM pairs
+  UNION ALL
+  SELECT p2, p1, 11 - LEAST(cnt, 10) FROM pairs
+), d0 AS (
+  SELECT p_partkey AS node, 0::BIGINT AS dist
+  FROM part WHERE p_brand = '{brand}'
+)"""
+    ]
+    prev = "d0"
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"""d{i} AS (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT node, dist FROM {prev}
+    UNION ALL
+    SELECT e.v AS node, d.dist + e.w AS dist
+    FROM {prev} d JOIN edges e ON e.u = d.node
+  ) GROUP BY node
+)"""
+        )
+        prev = f"d{i}"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT dist, COUNT(*)::BIGINT AS n_parts,
+       MIN(node) AS min_part, MAX(node) AS max_part
+FROM d{rounds} GROUP BY 1
+"""
+    )
+
+
+@register(
+    "part_distance_sssp",
+    oracle=_sssp_oracle(4, 2, "Brand#13"),
+    doc="Multi-source weighted shortest paths (synchronous Bellman-Ford, "
+    "4 relaxation rounds — graphs.sssp_rounds) over the part co-purchase "
+    "graph: edge weight 11 - min(basket_count, 10), so strong affinities "
+    "are short hops; sources are every Brand#13 part; output is the "
+    "<=4-hop distance histogram with per-bucket part-key extrema. The "
+    "hop bound IS the semantics (exact truncated-path minimum), so the "
+    "round-unrolled integer oracle is bit-exact; each round is one "
+    "frontier-edge equi-join + map-side-combinable min — the "
+    "pagerank_integer Theta(E)-per-round class that flattens with "
+    "executors. Parallel-path ties cost nothing: min over longs.",
+)
+def part_distance_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graphs import part_pair_edges, sssp_rounds
+
+    edges = part_pair_edges(
+        load(spark, sf_dir, "lineitem"), min_pair_count=2, keep_count=True
+    ).select(
+        "u",
+        "v",
+        (F.lit(11) - F.least("pair_cnt", F.lit(10))).cast("long").alias("w"),
+    )
+    sources = (
+        load(spark, sf_dir, "part")
+        .where(F.col("p_brand") == "Brand#13")
+        .select(F.col("p_partkey").alias("node"))
+    )
+    dist = sssp_rounds(edges, sources, rounds=4)
+    return dist.groupBy("dist").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.min("node").alias("min_part"),
+        F.max("node").alias("max_part"),
+    )

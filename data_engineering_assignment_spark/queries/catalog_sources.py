@@ -795,6 +795,310 @@ def wav_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ADPCM_ORACLE = """
+SELECT (3 + doc_id % 5)::BIGINT AS slope0,
+       COUNT(*) AS n_wavs,
+       COUNT(*) AS n_ok,
+       SUM((doc_id * 13) % 256 * 50 - 6400)::BIGINT AS val_first_sum,
+       SUM((doc_id * 13) % 256 * 50 - 6400
+           + 121 * (3 + doc_id % 5))::BIGINT AS val_blk2_sum
+FROM documents
+GROUP BY 1
+"""
+
+
+@register(
+    "adpcm_audio_stats",
+    oracle=_ADPCM_ORACLE,
+    doc="Multimodal audio gate over the native IMA/DVI ADPCM codec "
+    "(functions/multimodal.py, WAV format tag 17 — the 4-bit "
+    "block-predictive codec telephony and game assets carry): every "
+    "document becomes a 3-block mono ADPCM WAV of a per-block-slope ramp "
+    "whose block headers are closed-form doc_id arithmetic. The decode "
+    "is verified in-row (sample count after the fact-chunk trim, BOTH "
+    "block-header samples verbatim, max 4-bit reconstruction error <= "
+    "16), and the two value columns are the decoded first samples of "
+    "blocks 1 and 2 — so block segmentation, the step-table state "
+    "machine and nibble order all sit under the oracle hash. The state "
+    "machine itself is pinned to a scalar spec-reference implementation "
+    "and golden vectors in tests/test_audio_codecs.py. At corpus scale "
+    "the whole Arrow batch is packed into ONE multi-block mono WAV "
+    "(blocks resync by construction, step index reset per doc), so both "
+    "encode and decode state machines run vectorized across docs — the "
+    "per-doc container path (incl. the fact trim) is cross-checked "
+    "against the batch decode on the batch's first doc.",
+)
+def adpcm_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import struct as _struct
+
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.multimodal import (
+        _ima_encode_nibbles,
+        decode_wav,
+        encode_wav_ima_adpcm,
+    )
+    from ..tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    spb = 1 + (64 - 4) * 2  # mono, block_align 64 -> 121 samples/block
+    n = 2 * spb + 17  # true per-doc frames; batch rows pad-hold to 3*spb
+
+    def roundtrip(batches):
+        for pdf in batches:
+            did = pdf["doc_id"].to_numpy(np.int64)
+            B = len(did)
+            if not B:
+                continue
+            s0 = (did * 13) % 256 * 50 - 6400
+            slopes = np.stack([3 + (did + b) % 5 for b in range(3)], 1)
+            # step into sample t (t >= 1) uses the slope of the block t
+            # belongs to counted from its own header: steps 1..spb use
+            # slope0, so sig[:, spb] = s0 + spb*slope0 exactly
+            blk = np.minimum((np.arange(1, 3 * spb) - 1) // spb, 2)
+            steps = slopes[:, blk].astype(np.int64)
+            steps[:, n - 1 :] = 0  # pad-hold the tail block
+            sig = s0[:, None] + np.concatenate(
+                [np.zeros((B, 1), np.int64), np.cumsum(steps, 1)], 1
+            )
+            try:
+                index = np.zeros(B, np.int32)
+                blocks = np.empty((B, 3, 64), np.uint8)
+                for b in range(3):
+                    seg = sig[:, b * spb : (b + 1) * spb].astype(np.int32)
+                    blocks[:, b, 0:2] = (
+                        seg[:, 0].astype("<i2").view(np.uint8).reshape(B, 2)
+                    )
+                    blocks[:, b, 2] = index
+                    blocks[:, b, 3] = 0
+                    nib, index = _ima_encode_nibbles(seg, index)
+                    blocks[:, b, 4:] = nib[:, 0::2] | (nib[:, 1::2] << 4)
+                data = blocks.tobytes()
+                fmt = _struct.pack(
+                    "<HHIIHHHH", 17, 1, 8000, 8000 * 64 // spb, 64, 4, 2, spb
+                )
+                wav = (
+                    b"RIFF"
+                    + _struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+                    + b"WAVE"
+                    + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+                    + b"data" + _struct.pack("<I", len(data)) + data
+                )
+                dec, meta = decode_wav(wav)
+                got = np.round(dec[:, 0] * 32768.0).astype(np.int64)
+                shape_ok = meta["n_samples"] == B * 3 * spb
+                got = got.reshape(B, 3 * spb)
+                ok = (
+                    shape_ok
+                    & (got[:, 0] == sig[:, 0])
+                    & (got[:, spb] == sig[:, spb])
+                    & (np.abs(got - sig).max(1) <= 16)
+                )
+                # per-doc container path (fact trim) on the batch's head
+                one, meta1 = decode_wav(
+                    encode_wav_ima_adpcm(sig[0, :n].astype(np.int16), 8000, 64)
+                )
+                one = np.round(one[:, 0] * 32768.0).astype(np.int64)
+                ok[0] &= meta1["n_samples"] == n and np.array_equal(
+                    one, got[0, :n]
+                )
+                v1, v2 = got[:, 0], got[:, spb]
+            except Exception:
+                ok = np.zeros(B, bool)
+                v1 = v2 = np.zeros(B, np.int64)
+            yield pd.DataFrame(
+                {"slope0": slopes[:, 0], "ok": ok, "v1": v1, "v2": v2}
+            )
+
+    decoded = docs.mapInPandas(
+        roundtrip, "slope0 int, ok boolean, v1 long, v2 long"
+    )
+    return decoded.groupBy(F.col("slope0").cast("long").alias("slope0")).agg(
+        F.count(F.lit(1)).alias("n_wavs"),
+        F.sum(F.col("ok").cast("int")).cast("long").alias("n_ok"),
+        F.sum("v1").alias("val_first_sum"),
+        F.sum("v2").alias("val_blk2_sum"),
+    )
+
+
+_AVI_ORACLE = """
+SELECT (8 * (1 + doc_id % 2))::BIGINT AS width,
+       COUNT(*) AS n_avis,
+       COUNT(*) AS n_ok,
+       SUM(68 + 2 * (doc_id % 60))::BIGINT AS val0_sum,
+       SUM(68 + 2 * ((doc_id + 1) % 60))::BIGINT AS val1_sum,
+       SUM(10 + doc_id % 20)::BIGINT AS rate_sum
+FROM documents
+GROUP BY 1
+"""
+
+
+@register(
+    "avi_video_stats",
+    oracle=_AVI_ORACLE,
+    doc="Multimodal VIDEO gate over the native MJPEG-AVI container "
+    "(functions/avi.py — the first real multi-frame video format; "
+    "frames reuse the T.81 JPEG codec): every document becomes a "
+    "3-frame AVI of flat gray JPEGs whose even level-shift offsets "
+    "survive the Annex-K quantizer exactly (the jpeg_decode_stats "
+    "arithmetic), with a per-doc integer frame-timing pair. Decoded "
+    "through decode_any's magic dispatch and verified in-row (frame "
+    "count, dims, exact rate/scale, every frame full-flat); the value "
+    "columns are decoded pixels of frames 0 and 1 plus the recovered "
+    "rate — container walk, movi chunk scan and per-frame JPEG decode "
+    "all under the oracle hash.",
+)
+def avi_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.avi import encode_avi
+    from ..functions.jpeg import encode_jpeg_gray
+    from ..functions.multimodal import decode_any
+    from ..tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def roundtrip(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w = 8 * (1 + did % 2)
+                vals = [68 + 2 * ((did + f) % 60) for f in range(3)]
+                rate = 10 + did % 20
+                try:
+                    avi = encode_avi(
+                        [
+                            encode_jpeg_gray(np.full((8, w), v, np.uint8))
+                            for v in vals
+                        ],
+                        w, 8, rate=rate, scale=1,
+                    )
+                    frames, meta = decode_any(avi)
+                    ok = bool(
+                        frames.shape == (3, 8, w, 4)
+                        and meta["rate"] == rate
+                        and meta["scale"] == 1
+                        and all(
+                            (frames[f, :, :, :3] == v).all()
+                            and (frames[f, :, :, 3] == 255).all()
+                            for f, v in enumerate(vals)
+                        )
+                    )
+                    v0 = int(frames[0, 0, 0, 0])
+                    v1 = int(frames[1, 0, 0, 0])
+                    r = int(meta["rate"])
+                except Exception:
+                    ok, v0, v1, r = False, 0, 0, 0
+                rows.append((w, ok, v0, v1, r))
+            yield pd.DataFrame(
+                rows, columns=["width", "ok", "v0", "v1", "rate"]
+            )
+
+    decoded = docs.mapInPandas(
+        roundtrip, "width int, ok boolean, v0 long, v1 long, rate long"
+    )
+    return decoded.groupBy(F.col("width").cast("long").alias("width")).agg(
+        F.count(F.lit(1)).alias("n_avis"),
+        F.sum(F.col("ok").cast("int")).cast("long").alias("n_ok"),
+        F.sum("v0").alias("val0_sum"),
+        F.sum("v1").alias("val1_sum"),
+        F.sum("rate").alias("rate_sum"),
+    )
+
+
+_EXIF_ORACLE = """
+SELECT (1 + doc_id % 8)::BIGINT AS orientation,
+       COUNT(*) AS n_imgs,
+       COUNT(*) AS n_ok,
+       SUM(100 * (1 + doc_id % 32))::BIGINT AS iso_sum,
+       SUM(1 + doc_id % 1000)::BIGINT AS exp_den_sum,
+       SUM(doc_id % 90)::BIGINT AS gps_deg_sum
+FROM documents
+GROUP BY 1
+"""
+
+
+@register(
+    "jpeg_exif_stats",
+    oracle=_EXIF_ORACLE,
+    doc="EXIF metadata extraction gate (functions/exif.py parse_exif — "
+    "additive vs the reference, whose OpenCV image route drops EXIF, "
+    "Assignment-python.py:710): every document becomes a real JPEG with "
+    "a spliced APP1 Exif segment (byte order alternating II/MM by "
+    "doc_id; IFD0 + Exif + GPS sub-IFDs; ASCII, SHORT and RATIONAL "
+    "entry types, inline and overflow values). The parsed dict is "
+    "verified field-for-field in-row against the generator, and the "
+    "value columns (ISO, exposure denominator, GPS degrees) are pure "
+    "doc_id arithmetic under the oracle hash. Rationals stay "
+    "(num, den) integer pairs end to end — no float precision loss.",
+)
+def jpeg_exif_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.exif import build_exif_app1, insert_exif, parse_exif
+    from ..functions.jpeg import encode_jpeg_gray
+    from ..tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    base = encode_jpeg_gray(
+        (np.arange(256).reshape(16, 16) % 256).astype(np.uint8)
+    )
+
+    def roundtrip(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                fields = {
+                    "make": f"GraftCam-{did % 4}",
+                    "orientation": 1 + did % 8,
+                    "datetime": f"2026:08:{1 + did % 28:02d} "
+                    f"{did % 24:02d}:00:00",
+                    "exposure_time": (1, 1 + did % 1000),
+                    "iso": 100 * (1 + did % 32),
+                    "gps_latitude_ref": "N" if did % 2 else "S",
+                    "gps_latitude": [
+                        (did % 90, 1), (did % 60, 1), (did % 60, 2),
+                    ],
+                }
+                try:
+                    got = parse_exif(
+                        insert_exif(
+                            base,
+                            build_exif_app1(fields, big_endian=bool(did % 2)),
+                        )
+                    )
+                    ok = got == fields
+                    iso = int(got.get("iso", 0))
+                    exp_den = int(got.get("exposure_time", (0, 0))[1])
+                    gps_deg = int(got.get("gps_latitude", [(0, 0)])[0][0])
+                except Exception:
+                    ok, iso, exp_den, gps_deg = False, 0, 0, 0
+                rows.append((1 + did % 8, ok, iso, exp_den, gps_deg))
+            yield pd.DataFrame(
+                rows,
+                columns=["orientation", "ok", "iso", "exp_den", "gps_deg"],
+            )
+
+    decoded = docs.mapInPandas(
+        roundtrip,
+        "orientation int, ok boolean, iso long, exp_den long, gps_deg long",
+    )
+    return decoded.groupBy(
+        F.col("orientation").cast("long").alias("orientation")
+    ).agg(
+        F.count(F.lit(1)).alias("n_imgs"),
+        F.sum(F.col("ok").cast("int")).cast("long").alias("n_ok"),
+        F.sum("iso").alias("iso_sum"),
+        F.sum("exp_den").alias("exp_den_sum"),
+        F.sum("gps_deg").alias("gps_deg_sum"),
+    )
+
+
 _IMAGE_DIR = str(Path(__file__).resolve().parents[2] / "tests" / "fixtures" / "media_png")
 
 # Static committed fixtures -> static truth: dims/mode/pixel-digest literals

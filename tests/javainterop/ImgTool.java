@@ -11,6 +11,10 @@
 //       same, but writes width, height, bands, then h*w*bands RAW raster
 //       samples, bypassing getRGB's color-space conversion (gray->sRGB is
 //       nonlinear), for gray-sample comparisons.
+//   decode-wav <in-wav> <out-bin>
+//       reads a WAV via javax.sound (PCM, U-law, A-law), converts to
+//       16-bit signed PCM, writes big-endian ints: channels, then the
+//       interleaved samples.
 //   encode <format> <w> <h> <raw-file> <out-image> [compressionType]
 //       raw-file holds w*h*3 RGB bytes (or w*h*4 RGBA when its size says
 //       so); format is an ImageIO format name (TIFF, BMP, GIF, PNG);
@@ -63,6 +67,23 @@ public class ImgTool {
                 for (int x = 0; x < w; x++)
                     for (int b = 0; b < bands; b++)
                         out.writeInt(r.getSample(x, y, b));
+            out.close();
+        } else if (args[0].equals("decode-wav")) {
+            javax.sound.sampled.AudioInputStream in =
+                javax.sound.sampled.AudioSystem.getAudioInputStream(new File(args[1]));
+            javax.sound.sampled.AudioFormat base = in.getFormat();
+            javax.sound.sampled.AudioFormat pcm = new javax.sound.sampled.AudioFormat(
+                javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+                base.getSampleRate(), 16, base.getChannels(),
+                base.getChannels() * 2, base.getSampleRate(), false);
+            javax.sound.sampled.AudioInputStream conv =
+                javax.sound.sampled.AudioSystem.getAudioInputStream(pcm, in);
+            byte[] all = conv.readAllBytes();
+            DataOutputStream out = new DataOutputStream(
+                new BufferedOutputStream(new FileOutputStream(args[2])));
+            out.writeInt(base.getChannels());
+            for (int i = 0; i + 1 < all.length; i += 2)
+                out.writeInt((short) ((all[i] & 255) | (all[i + 1] << 8)));
             out.close();
         } else if (args[0].equals("encode")) {
             String fmt = args[1];

@@ -1,0 +1,137 @@
+"""G.711 A-law + IMA/DVI ADPCM decode tests (functions/multimodal.py):
+golden anchors from the reference g711 tables, a hand-runnable scalar IMA
+reference vs the vectorized production decoder, roundtrip error bounds,
+block/channel layout, and the `fact`-chunk frame trim. javax.sound interop
+for the companded formats lives in tests/test_java_interop.py."""
+
+import struct
+
+import numpy as np
+
+from data_engineering_assignment_spark.functions.multimodal import (
+    _IMA_INDEX,
+    _IMA_STEP,
+    _decode_ima_adpcm,
+    decode_wav,
+    encode_wav_ima_adpcm,
+)
+
+
+def make_wav(tag: int, n_ch: int, data: bytes, bits: int = 8) -> bytes:
+    fmt = struct.pack("<HHIIHH", tag, n_ch, 8000, 8000 * n_ch, n_ch, bits)
+    return (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def test_alaw_golden_anchors():
+    """The four canonical alaw2linear anchors: 0x55 -> -8, 0xD5 -> +8
+    (quietest codes), 0x2A -> -32256, 0xAA -> +32256 (full scale)."""
+    s, meta = decode_wav(make_wav(6, 1, bytes([0x55, 0xD5, 0x2A, 0xAA])))
+    got = np.round(s[:, 0] * 32768.0).astype(int)
+    assert got.tolist() == [-8, 8, -32256, 32256]
+    assert meta["bit_depth"] == 8 and meta["n_samples"] == 4
+
+
+def test_alaw_monotone_per_segment():
+    """Within each positive segment, linear values increase with mantissa."""
+    vals = []
+    for seg in range(8):
+        for mant in range(16):
+            byte = (0x80 | (seg << 4) | mant) ^ 0x55
+            s, _ = decode_wav(make_wav(6, 1, bytes([byte])))
+            vals.append(int(round(s[0, 0] * 32768.0)))
+    assert vals == sorted(vals)
+    assert vals[0] == 8 and vals[-1] == 32256
+
+
+def _scalar_ima(data: bytes, n_ch: int, ba: int) -> list[int]:
+    """Straight-from-the-spec scalar IMA decoder (the independent
+    reference the vectorized production decoder is held to)."""
+    step_t, idx_t = _IMA_STEP.tolist(), _IMA_INDEX.tolist()
+    out = []
+    for off in range(0, len(data) - ba + 1, ba):
+        blk = data[off : off + ba]
+        chans, idxs = [], []
+        for ch in range(n_ch):
+            p = int.from_bytes(blk[4 * ch : 4 * ch + 2], "little", signed=True)
+            chans.append([p])
+            idxs.append(min(max(blk[4 * ch + 2], 0), 88))
+        body = blk[4 * n_ch :]
+        for w in range(len(body) // (4 * n_ch)):
+            for ch in range(n_ch):
+                four = body[(w * n_ch + ch) * 4 : (w * n_ch + ch) * 4 + 4]
+                for byte in four:
+                    for nib in (byte & 0xF, byte >> 4):
+                        step = step_t[idxs[ch]]
+                        diff = step >> 3
+                        if nib & 4:
+                            diff += step
+                        if nib & 2:
+                            diff += step >> 1
+                        if nib & 1:
+                            diff += step >> 2
+                        p = chans[ch][-1] + (-diff if nib & 8 else diff)
+                        chans[ch].append(max(-32768, min(32767, p)))
+                        idxs[ch] = max(0, min(88, idxs[ch] + idx_t[nib]))
+        for t in range(len(chans[0])):
+            for ch in range(n_ch):
+                out.append(chans[ch][t])
+    return out
+
+
+def test_ima_vectorized_matches_scalar_reference():
+    rng = np.random.default_rng(42)
+    for n_ch, ba in ((1, 36), (2, 72), (1, 256)):
+        data = rng.integers(0, 256, 3 * ba, np.uint8).tobytes()
+        got = _decode_ima_adpcm(data, n_ch, ba)
+        assert got.tolist() == _scalar_ima(data, n_ch, ba), (n_ch, ba)
+
+
+def test_ima_roundtrip_error_bound_and_block_headers():
+    """Smooth per-block-slope signal: block headers decode VERBATIM, the
+    4-bit quantization error stays tiny, and `fact` trims the padded tail."""
+    spb = 1 + (64 - 4) * 2  # mono, block_align 64 -> 121 samples/block
+    slopes = [3, 7, 5]
+    s = np.empty(2 * spb + 17, np.int64)
+    s[0] = -6000
+    for t in range(1, len(s)):
+        s[t] = s[t - 1] + slopes[min(t // spb, 2)]
+    wav = encode_wav_ima_adpcm(s.astype(np.int16), block_align=64)
+    dec, meta = decode_wav(wav)
+    got = np.round(dec[:, 0] * 32768.0).astype(np.int64)
+    assert meta["n_samples"] == len(s) == len(got)  # fact trim
+    assert got[0] == s[0] and got[spb] == s[spb]  # headers verbatim
+    assert int(np.abs(got - s).max()) <= 16
+    # stereo with distinct per-channel content
+    st = np.stack([s[:242], s[:242] * -1 + 100], axis=1).astype(np.int16)
+    wav = encode_wav_ima_adpcm(st, block_align=64)
+    dec, meta = decode_wav(wav)
+    got = np.round(dec * 32768.0).astype(np.int64)
+    assert meta["n_channels"] == 2 and meta["n_samples"] == 242
+    assert int(np.abs(got - st).max()) <= 16
+
+
+def test_ima_step_golden():
+    """Hand-computed first steps from (pred=0, index=0, step=7):
+    nibble 2 -> diff 7>>1 = +3, index 0-1 clamps to 0; still step=7,
+    nibble 15 -> -(0 + 7 + 3 + 1) = -11, index 0+8 = 8."""
+    from data_engineering_assignment_spark.functions.multimodal import (
+        _ima_step_nibble,
+    )
+
+    p, i = _ima_step_nibble(np.int32(0), np.int32(0), np.int32(2))
+    assert (int(p), int(i)) == (3, 0)
+    p, i = _ima_step_nibble(p, i, np.int32(15))
+    assert (int(p), int(i)) == (3 - 11, 8)
+
+
+def test_wav_error_paths():
+    import pytest
+
+    with pytest.raises(NotImplementedError, match="format tag 2"):
+        decode_wav(make_wav(2, 1, b"\x00" * 8, bits=4))
+    with pytest.raises(ValueError, match="block_align too small"):
+        _decode_ima_adpcm(b"\x00" * 8, 2, 8)

@@ -222,3 +222,57 @@ def test_cc_star_agrees_with_label_propagation(spark):
     star = {r.node: r.cluster for r in cc_star(df).collect()}
     prop = {r.node: r.cluster for r in dedup_clusters(df).collect()}
     assert star == prop == _cc_model(pairs)
+
+
+def _model_sssp(wedges, sources, rounds):
+    """Literal Bellman-Ford model: dist after <= `rounds` relaxations."""
+    dist = {s: 0 for s in sources}
+    bi = [(u, v, w) for u, v, w in wedges] + [(v, u, w) for u, v, w in wedges]
+    for _ in range(rounds):
+        nxt = dict(dist)
+        for u, v, w in bi:
+            if u in dist and dist[u] + w < nxt.get(v, float("inf")):
+                nxt[v] = dist[u] + w
+        dist = nxt
+    return dist
+
+
+def test_sssp_hand_computed_and_hop_bounded(spark):
+    from data_engineering_assignment_spark.operators.graphs import sssp_rounds
+
+    # path 1-2-3-4-5 (weight 1 each) with a heavy shortcut 1-4 (weight 10):
+    # within 3 rounds dist(4)=3 via the path; dist(5)=4 needs round 4;
+    # with 1 round dist(4)=10 via the shortcut (hop-bound semantics)
+    wedges = [(1, 2, 1), (2, 3, 1), (3, 4, 1), (4, 5, 1), (1, 4, 10)]
+    edges = spark.createDataFrame(wedges, "u long, v long, w long")
+    src = spark.createDataFrame([(1,)], "node long")
+    for rounds, exp in [
+        (1, {1: 0, 2: 1, 4: 10}),
+        (3, {1: 0, 2: 1, 3: 2, 4: 3, 5: 11}),
+        (4, {1: 0, 2: 1, 3: 2, 4: 3, 5: 4}),
+    ]:
+        got = {
+            r["node"]: r["dist"]
+            for r in sssp_rounds(edges, src, rounds).collect()
+        }
+        assert got == exp, rounds
+        assert got == _model_sssp(wedges, [1], rounds), rounds
+
+
+def test_sssp_multi_source_random_vs_model(spark):
+    from data_engineering_assignment_spark.operators.graphs import sssp_rounds
+
+    rng = random.Random(11)
+    nodes = list(range(40))
+    wedges = sorted(
+        {
+            (min(a, b), max(a, b))
+            for a, b in (rng.sample(nodes, 2) for _ in range(90))
+        }
+    )
+    wedges = [(u, v, rng.randint(1, 9)) for u, v in wedges]
+    sources = [0, 7, 23]
+    edges = spark.createDataFrame(wedges, "u long, v long, w long")
+    src = spark.createDataFrame([(s,) for s in sources], "node long")
+    got = {r["node"]: r["dist"] for r in sssp_rounds(edges, src, 4).collect()}
+    assert got == _model_sssp(wedges, sources, 4)

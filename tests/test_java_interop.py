@@ -185,6 +185,30 @@ def test_gif_interop(imgtool, tmp_path):
     assert np.array_equal(frames[0, :, :, :3], f[:, :, :3])
 
 
+def test_g711_interop(imgtool, tmp_path):
+    """All 256 mu-law and A-law code bytes expand to the same 16-bit
+    linear values as javax.sound's converters (the JDK ships the
+    reference g711 tables)."""
+    from tests.test_audio_codecs import make_wav
+    from data_engineering_assignment_spark.functions.multimodal import (
+        decode_wav,
+    )
+
+    sweep = bytes(range(256))
+    for tag in (6, 7):
+        wav = make_wav(tag, 1, sweep)
+        mine = np.round(decode_wav(wav)[0][:, 0] * 32768.0).astype(np.int64)
+        src = tmp_path / "g711.wav"
+        out = tmp_path / "g711.bin"
+        src.write_bytes(wav)
+        imgtool("decode-wav", src, out)
+        buf = out.read_bytes()
+        n_ch = struct.unpack_from(">i", buf)[0]
+        theirs = np.frombuffer(buf, ">i4", 256, 4).astype(np.int64)
+        assert n_ch == 1
+        assert np.array_equal(mine, theirs), tag
+
+
 def test_png_interop(imgtool, tmp_path):
     rng = np.random.default_rng(25)
     f = rng.integers(0, 256, (12, 15, 4), np.uint8)
