@@ -57,6 +57,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_df: int | None = None,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """All-pairs n-gram Jaccard similarity ≥ threshold.
 
@@ -69,6 +70,15 @@ def ngram_jaccard_pairs(
     corpus scale. Jaccard is then computed over the kept-shingle universe
     (both intersection and sizes), so it stays a proper similarity.
     Output: (doc_a, doc_b, inter, jaccard), doc_a < doc_b.
+
+    The shingle table is MATERIALIZED once (eager localCheckpoint) and the
+    self-join SHUFFLE_HASH-hinted — the _bucket_self_join discipline: the
+    explode otherwise re-executes for BOTH join sides plus the sizes
+    aggregate (3x the dominant stage, measured ~2x wall on the clusters
+    queries), and Catalyst left alone broadcasts one side = the whole
+    shingled corpus, a scale-killer at 100 TB. ``checkpoint=False`` is the
+    plan-test escape hatch (winnow_dup_pairs pattern: lineage-truncated
+    operators can't expose upstream shapes to assertions).
     """
     sh = (
         df.select(F.col(id_col).alias("doc"), F.explode(word_shingles(text_col, n)).alias("shingle"))
@@ -83,9 +93,11 @@ def ngram_jaccard_pairs(
         doc_freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
         hot = doc_freq.filter(F.col("_df") > max_df).select("shingle")
         sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    if checkpoint:
+        sh = sh.localCheckpoint(eager=True)
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    a = sh.alias("a").hint("shuffle_hash")
+    b = sh.alias("b").hint("shuffle_hash")
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
         .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))

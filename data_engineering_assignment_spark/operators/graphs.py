@@ -300,7 +300,10 @@ def cc_star(
         )
         .filter(F.col("hi") != F.col("lo"))
         .distinct()
-        .localCheckpoint(eager=True)
+        # lazy: the signature action right below materializes compute +
+        # checkpoint in ONE job (an eager checkpoint would be a separate
+        # job barrier per round; the subtree is deterministic)
+        .localCheckpoint(eager=False)
     )
 
     def edge_sig(e: DataFrame) -> tuple[int, int]:
@@ -342,7 +345,7 @@ def cc_star(
             .filter(F.col("hi") != F.col("lo"))
             .union(m_small.select(F.col("u").alias("hi"), F.col("m").alias("lo")))
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         new_sig = edge_sig(small)
         edges = small

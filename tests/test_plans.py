@@ -236,7 +236,11 @@ def test_ngram_max_df_broadcasts_hot_side_only(spark, sf_dir):
     from data_engineering_assignment_spark.operators.dedup import ngram_jaccard_pairs
     from data_engineering_assignment_spark.tables import load
 
-    df = ngram_jaccard_pairs(load(spark, sf_dir, "documents"), max_df=100)
+    # checkpoint=False: the escape hatch that keeps the anti-join visible
+    # in the plan (the materialized production path truncates lineage)
+    df = ngram_jaccard_pairs(
+        load(spark, sf_dir, "documents"), max_df=100, checkpoint=False
+    )
     # disable size-based broadcasts so only explicitly-hinted ones survive:
     # at test scale CBO broadcasts every tiny side (harmless — those degrade
     # to shuffles at 100 TB), but a HINTED broadcast never degrades.
