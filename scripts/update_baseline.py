@@ -99,7 +99,19 @@ Every pre-existing entry kept its historical min; that run's four
 `supplier_return_ratio`, `dedup_minhash_lsh`) all re-probed at or near
 standing on warm-session min-of-2 (`dedup_minhash_lsh` remains the one
 documented repeat-transient: 5-rep probes span 2.2–7.7 s around its
-1.16 s plan-cost min with no plan change)."""
+1.16 s plan-cost min with no plan change).
+Second round-9 extension: five queries joined the headline set
+(`tiff_decode_stats`, `adpcm_audio_stats`, `part_distance_sssp`,
+`jpeg_exif_stats`, `avi_video_stats`), entries the per-query MIN across
+two marker-bracketed solo 3-rep probe sessions (pre/post st
+0.076–0.090 / mt 0.112–0.225; the two full bench runs attempted in
+between landed in contended windows — mt 0.33–0.57 — and were
+discarded per the repo's contention policy). `dedup_clusters_star`
+re-recorded 6.535 → 4.418 s from the same sessions because its
+implementation changed (shingle materialization + SHUFFLE_HASH
+self-join + lazy CC checkpoints); `avi_video_stats`' entry reflects
+its fixture-encode memoization. Every other entry kept its historical
+min."""
 
 
 def main() -> None:
