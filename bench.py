@@ -233,6 +233,9 @@ HEADLINE = [
     "jpeg_exif_stats",
     # MJPEG-AVI video container gate (oracle-gated)
     "avi_video_stats",
+    # media resize + video frame-sample transformer gates (oracle-gated)
+    "media_resize_stats",
+    "video_frame_sample_stats",
 ]
 
 

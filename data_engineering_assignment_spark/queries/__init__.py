@@ -40,19 +40,21 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # whose implementation changed this round (a green history does not cover
 # new code), then queries whose last green row is oldest.
 #
-# Round-9 head (catalog = 186): entering the round the driver had checked
+# Round-9 head (catalog = 188): entering the round the driver had checked
 # 172/176 at least once; the only never-checked queries are the four
 # end-of-r8 additions (kmv_distinct_users, hll_distinct_portable,
 # user_value_ewma, winsorized_value_stats — each oracle-rehearsed locally
 # at sf0.001 AND sf0.01, per the r8 verdict's top item they lead the
-# head), plus the ten round-9 queries (png_profile_stats,
+# head), plus the twelve round-9 queries (png_profile_stats,
 # dedup_clusters_star, gif_decode_stats, user_value_theilsen,
 # bmp_decode_stats, tiff_decode_stats, adpcm_audio_stats,
-# part_distance_sssp, jpeg_exif_stats, avi_video_stats — never checked)
-# and png_decode_stats (implementation changed this round: the PNG codec
+# part_distance_sssp, jpeg_exif_stats, avi_video_stats,
+# media_resize_stats, video_frame_sample_stats — never checked) and
+# png_decode_stats (implementation changed this round: the PNG codec
 # was rewritten for the full legal profile).  After them, strict age
-# order: 34 of the 35 queries whose last green row is r5 (the displaced
-# 35th, lang_source_chisq, fronts the r10 head with the 40 r6-checked
+# order: 32 of the 35 queries whose last green row is r5 (the displaced
+# three — nation_revenue_share, referential_integrity_audit,
+# lang_source_chisq — front the r10 head with the 40 r6-checked
 # queries) — and the final slot goes to ml_energy_report (r6) so the
 # head spans catalog_ml (module-coverage contract).
 DRIVER_SAMPLE_HEAD: tuple[str, ...] = (
@@ -72,6 +74,8 @@ DRIVER_SAMPLE_HEAD: tuple[str, ...] = (
     "part_distance_sssp",
     "jpeg_exif_stats",
     "avi_video_stats",
+    "media_resize_stats",
+    "video_frame_sample_stats",
     # implementation changed this round (decode_png/encode_png rewritten
     # for the full legal profile: Adam7, 16-bit, sub-byte, tRNS forms)
     "png_decode_stats",
@@ -108,8 +112,6 @@ DRIVER_SAMPLE_HEAD: tuple[str, ...] = (
     "order_price_histogram",
     "median_price_by_priority",
     "event_interarrival_stats",
-    "nation_revenue_share",
-    "referential_integrity_audit",
     # last checked r6; keeps catalog_ml in the head (module-coverage contract)
     "ml_energy_report",
 )

@@ -1017,6 +1017,235 @@ def avi_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RESIZE_ORACLE = """
+SELECT (3 + doc_id % 9)::BIGINT AS src_w,
+       COUNT(*) AS n_media,
+       COUNT(*) AS n_ok,
+       SUM(doc_id % 256)::BIGINT AS val00_sum,
+       SUM((doc_id + 2 * ((3 * (3 + doc_id % 9)) // 4)
+                   + 3 * ((2 * (2 + doc_id % 7)) // 3)) % 256)::BIGINT
+         AS val23_sum
+FROM documents
+GROUP BY 1
+"""
+
+
+@register(
+    "media_resize_stats",
+    oracle=_RESIZE_ORACLE,
+    doc="Media RESIZE gate (functions/multimodal.py resize_media — the "
+    "nearest-neighbor Pandas-UDF transformer): every document becomes a "
+    "real BMP gradient, decoded through decode_any, transcoded to the "
+    "RAWM working container, pushed through the resize_media DataFrame "
+    "operator (3x4 output), and verified in-row against the exact "
+    "nearest-neighbor index arithmetic (out[y,x] = in[y*h//3, x*w//4]). "
+    "Both value columns are resized pixels whose expectations are pure "
+    "doc_id integer arithmetic (floor divisions match SQL //), so the "
+    "decode -> transcode -> resize chain sits under the oracle hash.",
+)
+def media_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.multimodal import (
+        decode_any,
+        decode_rawm,
+        encode_bmp,
+        encode_rawm,
+        resize_media,
+    )
+    from ..tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 3 + did % 9, 2 + did % 7
+                ys, xs = np.mgrid[0:h, 0:w]
+                frame = np.empty((h, w, 4), np.uint8)
+                frame[..., 0] = (did + xs) % 256
+                frame[..., 1] = (did + ys) % 256
+                frame[..., 2] = (did + 2 * xs + 3 * ys) % 256
+                frame[..., 3] = 255
+                decoded, _ = decode_any(encode_bmp(frame, 24))
+                rows.append(
+                    (f"doc-{did}.bmp", "image", w, h, 4, 1,
+                     encode_rawm(decoded))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "path", "media_type", "width", "height", "channels",
+                    "n_frames", "content",
+                ],
+            )
+
+    media = docs.mapInPandas(
+        build,
+        "path string, media_type string, width int, height int,"
+        " channels int, n_frames int, content binary",
+    )
+    resized = resize_media(media, out_w=4, out_h=3)
+
+    def verify(batches):
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                did = int(path.split("-")[1].split(".")[0])
+                w, h = 3 + did % 9, 2 + did % 7
+                ys, xs = np.mgrid[0:h, 0:w]
+                frame = np.empty((h, w, 4), np.uint8)
+                frame[..., 0] = (did + xs) % 256
+                frame[..., 1] = (did + ys) % 256
+                frame[..., 2] = (did + 2 * xs + 3 * ys) % 256
+                frame[..., 3] = 255
+                sy = (np.arange(3) * h // 3).astype(np.int64)
+                sx = (np.arange(4) * w // 4).astype(np.int64)
+                exp = frame[sy[:, None], sx[None, :], :]
+                try:
+                    got, meta = decode_rawm(bytes(content))
+                    ok = bool(
+                        meta["n_frames"] == 1
+                        and got.shape == (1, 3, 4, 4)
+                        and np.array_equal(got[0], exp)
+                    )
+                    v00 = int(got[0, 0, 0, 2])
+                    v23 = int(got[0, 2, 3, 2])
+                except Exception:
+                    ok, v00, v23 = False, 0, 0
+                rows.append((w, ok, v00, v23))
+            yield pd.DataFrame(rows, columns=["src_w", "ok", "v00", "v23"])
+
+    out = resized.mapInPandas(
+        verify, "src_w int, ok boolean, v00 long, v23 long"
+    )
+    return out.groupBy(F.col("src_w").cast("long").alias("src_w")).agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.sum(F.col("ok").cast("int")).cast("long").alias("n_ok"),
+        F.sum("v00").alias("val00_sum"),
+        F.sum("v23").alias("val23_sum"),
+    )
+
+
+_FRAME_SAMPLE_ORACLE = """
+SELECT (10 + doc_id % 20)::BIGINT AS rate,
+       COUNT(*) AS n_videos,
+       COUNT(*) AS n_ok,
+       SUM(68 + 2 * (doc_id % 60))::BIGINT AS val0_sum,
+       SUM(68 + 2 * ((doc_id + 2) % 60))::BIGINT AS val2_sum,
+       SUM(68 + 2 * ((doc_id + 4) % 60))::BIGINT AS val4_sum
+FROM documents
+GROUP BY 1
+"""
+
+
+@register(
+    "video_frame_sample_stats",
+    oracle=_FRAME_SAMPLE_ORACLE,
+    doc="Video FRAME-SAMPLE gate (functions/multimodal.py sample_frames "
+    "— the temporal-downsample Pandas-UDF transformer): every document "
+    "becomes a 5-frame MJPEG AVI of DC-exact flat gray frames, decoded "
+    "through decode_any, transcoded to the RAWM working container, "
+    "pushed through sample_frames(every_k=2) and verified in-row: the "
+    "kept frames must be exactly originals 0, 2, 4, each still full-flat "
+    "at its closed-form doc_id value. The three value columns are the "
+    "kept frames' decoded pixels — the AVI container walk, per-frame "
+    "JPEG decode, transcode and the k-stride sampler all under the "
+    "oracle hash.",
+)
+def video_frame_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.avi import encode_avi
+    from ..functions.jpeg import encode_jpeg_gray
+    from ..functions.multimodal import (
+        decode_any,
+        decode_rawm,
+        encode_rawm,
+        sample_frames,
+    )
+    from ..tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches):
+        jpg_memo: dict = {}
+
+        def frame(v):
+            if v not in jpg_memo:
+                jpg_memo[v] = encode_jpeg_gray(np.full((8, 8), v, np.uint8))
+            return jpg_memo[v]
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                vals = [68 + 2 * ((did + f) % 60) for f in range(5)]
+                rate = 10 + did % 20
+                avi = encode_avi([frame(v) for v in vals], 8, 8, rate=rate)
+                decoded, meta = decode_any(avi)
+                rows.append(
+                    (f"doc-{did}.avi", "video", 8, 8, 4, meta["n_frames"],
+                     encode_rawm(decoded))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "path", "media_type", "width", "height", "channels",
+                    "n_frames", "content",
+                ],
+            )
+
+    media = docs.mapInPandas(
+        build,
+        "path string, media_type string, width int, height int,"
+        " channels int, n_frames int, content binary",
+    )
+    sampled = sample_frames(media, every_k=2)
+
+    def verify(batches):
+        for pdf in batches:
+            rows = []
+            for path, content, nf in zip(
+                pdf["path"], pdf["content"], pdf["n_frames"]
+            ):
+                did = int(path.split("-")[1].split(".")[0])
+                vals = [68 + 2 * ((did + f) % 60) for f in (0, 2, 4)]
+                rate = 10 + did % 20
+                try:
+                    got, meta = decode_rawm(bytes(content))
+                    ok = bool(
+                        int(nf) == 3
+                        and got.shape == (3, 8, 8, 4)
+                        and all(
+                            (got[i, :, :, :3] == v).all()
+                            for i, v in enumerate(vals)
+                        )
+                    )
+                    v0, v2, v4 = (int(got[i, 0, 0, 0]) for i in range(3))
+                except Exception:
+                    ok, v0, v2, v4 = False, 0, 0, 0
+                rows.append((rate, ok, v0, v2, v4))
+            yield pd.DataFrame(
+                rows, columns=["rate", "ok", "v0", "v2", "v4"]
+            )
+
+    out = sampled.mapInPandas(
+        verify, "rate int, ok boolean, v0 long, v2 long, v4 long"
+    )
+    return out.groupBy(F.col("rate").cast("long").alias("rate")).agg(
+        F.count(F.lit(1)).alias("n_videos"),
+        F.sum(F.col("ok").cast("int")).cast("long").alias("n_ok"),
+        F.sum("v0").alias("val0_sum"),
+        F.sum("v2").alias("val2_sum"),
+        F.sum("v4").alias("val4_sum"),
+    )
+
+
 _EXIF_ORACLE = """
 SELECT (1 + doc_id % 8)::BIGINT AS orientation,
        COUNT(*) AS n_imgs,

@@ -111,7 +111,9 @@ re-recorded 6.535 → 4.418 s from the same sessions because its
 implementation changed (shingle materialization + SHUFFLE_HASH
 self-join + lazy CC checkpoints); `avi_video_stats`' entry reflects
 its fixture-encode memoization. Every other entry kept its historical
-min."""
+min. The media transformer gates (`media_resize_stats` 1.23 s,
+`video_frame_sample_stats` 3.168 s) joined under the same
+min-across-two-probe-sessions policy."""
 
 
 def main() -> None:
