@@ -554,3 +554,133 @@ def streaming_twap(
     return stream.groupBy(key_col).applyInPandasWithState(
         update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def misra_gries_update(counters: dict, tokens, k: int) -> dict:
+    """One Misra-Gries (1982) pass: fold ``tokens`` into the bounded
+    ``counters`` summary (at most ``k`` entries). The classic guarantee:
+    after n items, any token with true frequency > n/(k+1) is PRESENT,
+    and every counter undercounts its token by at most n/(k+1). The
+    shared scalar core of the streaming operator and its batch twin —
+    one implementation, so parity is structural."""
+    for t in tokens:
+        if t in counters:
+            counters[t] += 1
+        elif len(counters) < k:
+            counters[t] = 1
+        else:
+            for key in list(counters):
+                counters[key] -= 1
+                if counters[key] == 0:
+                    del counters[key]
+    return counters
+
+
+_HH_OUT = (
+    "key string, tokens array<string>, counts array<long>, n_processed long"
+)
+
+
+def streaming_heavy_hitters(
+    stream: DataFrame,
+    key_col: str = "lang",
+    token_col: str = "token",
+    order_col: str = "pos",
+    k: int = 8,
+    output_mode: str = "update",
+) -> DataFrame:
+    """Bounded-memory streaming heavy hitters per key: a Misra-Gries
+    summary of at most ``k`` counters held in ``applyInPandasWithState``
+    state — O(k) per key FOREVER, regardless of stream length or
+    vocabulary size (the property a naive streaming word-count lacks).
+
+    Rows are folded in ``order_col`` order within each micro-batch, so a
+    batch replay through :func:`heavy_hitters_batch` (same core, same
+    order) reproduces the summary exactly — the repo's streaming
+    batch-parity discipline. Emitted tokens/counts are sorted by token
+    for a deterministic output shape.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("key", StringType()),
+            StructField("tokens", ArrayType(StringType())),
+            StructField("counts", ArrayType(LongType())),
+            StructField("n_processed", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("tokens", ArrayType(StringType())),
+            StructField("counts", ArrayType(LongType())),
+            StructField("n", LongType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.exists:
+            toks, cnts, n = state.get
+            counters = dict(zip(toks, cnts))
+        else:
+            counters, n = {}, 0
+        for pdf in pdfs:
+            pdf = pdf.sort_values(order_col, kind="mergesort")
+            seq = pdf[token_col].tolist()
+            misra_gries_update(counters, seq, k)
+            n += len(seq)
+        items = sorted(counters.items())
+        state.update(([t for t, _ in items], [c for _, c in items], n))
+        yield pd.DataFrame(
+            {
+                "key": [key[0]],
+                "tokens": [[t for t, _ in items]],
+                "counts": [[c for _, c in items]],
+                "n_processed": [n],
+            }
+        )
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        update, out_schema, state_schema, output_mode,
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def heavy_hitters_batch(
+    df: DataFrame,
+    key_col: str = "lang",
+    token_col: str = "token",
+    order_col: str = "pos",
+    k: int = 8,
+) -> DataFrame:
+    """Batch twin of :func:`streaming_heavy_hitters`: the same
+    Misra-Gries core folded over each key's rows in ``order_col`` order
+    (one applyInPandas per key). Used by the parity tests; also the
+    sensible batch formulation when only the bounded summary (not exact
+    counts over an unbounded vocabulary) is wanted."""
+
+    def run(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(order_col, kind="mergesort")
+        counters = misra_gries_update({}, pdf[token_col].tolist(), k)
+        items = sorted(counters.items())
+        return pd.DataFrame(
+            {
+                "key": [pdf[key_col].iloc[0]],
+                "tokens": [[t for t, _ in items]],
+                "counts": [[c for _, c in items]],
+                "n_processed": [len(pdf)],
+            }
+        )
+
+    return df.groupBy(key_col).applyInPandas(run, _HH_OUT)

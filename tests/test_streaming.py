@@ -742,3 +742,101 @@ def test_streaming_twap_value_scale_contract(spark, tmp_path):
     # a scale covering the 3-dp inputs restores exactness
     t10k = run(10_000)
     assert abs(t10k - exact) < 1e-12
+
+
+def test_heavy_hitters_stream_matches_batch_twin(spark, tmp_path):
+    """Misra-Gries summary across micro-batches == the batch twin folded
+    in the same order (files arrive in pos order; state carries between
+    batches, so sequential folding IS concatenated folding)."""
+    import random
+
+    rng = random.Random(7)
+    # skewed vocabulary: 'hot1'/'hot2' frequent, long tail of rares
+    def rows(start, n):
+        out = []
+        for i in range(start, start + n):
+            r = rng.random()
+            tok = "hot1" if r < 0.35 else "hot2" if r < 0.6 else f"rare{rng.randint(0, 40)}"
+            out.append(("en" if i % 3 else "de", tok, i))
+        return out
+
+    d = str(tmp_path / "hh")
+    schema = "lang string, token string, pos bigint"
+    spark.createDataFrame(rows(0, 120), schema).coalesce(1).write.parquet(d)
+    spark.createDataFrame(rows(120, 80), schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(d)
+    )
+    out = st.run_available_now(
+        st.streaming_heavy_hitters(src, k=4), output_mode="update"
+    )
+    # last emission per key carries the final summary
+    final = {
+        r["key"]: (r["tokens"], r["counts"], r["n_processed"])
+        for r in sorted(out.collect(), key=lambda r: r["n_processed"])
+    }
+    batch = {
+        r["key"]: (r["tokens"], r["counts"], r["n_processed"])
+        for r in st.heavy_hitters_batch(spark.read.parquet(d), k=4).collect()
+    }
+    assert final == batch
+    # Misra-Gries guarantee: every token with freq > n/(k+1) survives
+    import collections
+
+    full = collections.Counter()
+    keyn = collections.Counter()
+    data = spark.read.parquet(d).collect()
+    for r in data:
+        full[(r["lang"], r["token"])] += 1
+        keyn[r["lang"]] += 1
+    for (lang, tok), c in full.items():
+        if c > keyn[lang] / 5:  # k+1 = 5
+            assert tok in batch[lang][0], (lang, tok, c)
+
+
+def test_heavy_hitters_survives_restart(spark, tmp_path):
+    """Two availableNow runs sharing one checkpoint: run 2 resumes the
+    Misra-Gries state rather than restarting it."""
+    d = str(tmp_path / "hhsrc")
+    ck = str(tmp_path / "hhck")
+    sink = str(tmp_path / "hhsink")
+    schema = "lang string, token string, pos bigint"
+    spark.createDataFrame(
+        [("en", t, i) for i, t in enumerate(["a", "a", "b", "c", "a"])], schema
+    ).coalesce(1).write.parquet(d)
+
+    def run():
+        src = spark.readStream.schema(schema).parquet(d)
+        q = (
+            st.streaming_heavy_hitters(src, k=2, output_mode="append")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    spark.createDataFrame(
+        [("en", t, 10 + i) for i, t in enumerate(["a", "b", "b", "b"])], schema
+    ).coalesce(1).write.mode("append").parquet(d)
+    run()
+    rows = sorted(
+        spark.read.parquet(sink).collect(), key=lambda r: r["n_processed"]
+    )
+    assert rows[-1]["n_processed"] == 9  # state resumed, not restarted
+    final = dict(zip(rows[-1]["tokens"], rows[-1]["counts"]))
+    # replay the 9 tokens through the scalar core
+    from data_engineering_assignment_spark.streaming import misra_gries_update
+
+    expect = misra_gries_update(
+        {}, ["a", "a", "b", "c", "a", "a", "b", "b", "b"], 2
+    )
+    assert final == expect
