@@ -41,24 +41,33 @@ def decode_avi(content: bytes) -> tuple[np.ndarray, dict]:
         raise ValueError("not an AVI: bad RIFF/AVI signature")
     avih = None
     strh = None
-    jpegs: list[bytes] = []
+    vids_idx = None
+    n_streams = 0
+    chunks: list[tuple[bytes, bytes]] = []
 
     def scan(pos: int, end: int):
-        nonlocal avih, strh
+        nonlocal avih, strh, vids_idx, n_streams
         for cid, bstart, bsize in _walk(content, pos, end):
             if cid == b"LIST":
                 scan(bstart + 4, bstart + bsize)
             elif cid == b"avih" and avih is None:
                 avih = content[bstart : bstart + bsize]
-            elif cid == b"strh" and strh is None:
-                if content[bstart : bstart + 4] == b"vids":
+            elif cid == b"strh":
+                # stream number = strh order within hdrl; keep the FIRST
+                # video stream and remember its index so movi chunks of
+                # other streams (audio, second video) are not mixed in
+                if strh is None and content[bstart : bstart + 4] == b"vids":
                     strh = content[bstart : bstart + bsize]
+                    vids_idx = n_streams
+                n_streams += 1
             elif cid[2:4] in (b"dc", b"db") and bsize >= 2:
-                jpegs.append(content[bstart : bstart + bsize])
+                chunks.append((cid[:2], content[bstart : bstart + bsize]))
 
     scan(12, len(content))
     if avih is None or strh is None:
         raise ValueError("AVI: missing avih or vids strh header")
+    want = b"%02d" % vids_idx
+    jpegs = [body for pre, body in chunks if pre == want]
     if not jpegs:
         raise ValueError("AVI: no video frame chunks in movi")
     handler = strh[4:8]

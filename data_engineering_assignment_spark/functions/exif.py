@@ -113,6 +113,11 @@ def parse_exif(content: bytes) -> dict:
     while pos + 4 <= len(content):
         if content[pos] != 0xFF:
             break
+        # JPEG B.1.1.2: any number of 0xFF fill bytes may pad before the
+        # marker byte — skip the run so the byte after the LAST 0xFF is
+        # read as the marker
+        while pos + 2 < len(content) and content[pos + 1] == 0xFF:
+            pos += 1
         marker = content[pos + 1]
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             pos += 2

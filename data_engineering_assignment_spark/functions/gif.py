@@ -284,6 +284,13 @@ def decode_gif(content: bytes) -> tuple[np.ndarray, dict]:
         frames.append(canvas[:, :, [2, 1, 0, 3]].copy())  # BGRA snapshot
         if disposal == 2:  # restore rectangle to background (transparent)
             canvas[top : top + ih, left : left + iw] = 0
+        elif disposal == 3:
+            # restore-to-previous needs a saved pre-frame canvas; raising
+            # beats silently mis-composing later frames (the codec-family
+            # out-of-profile discipline)
+            raise NotImplementedError(
+                "GIF: disposal method 3 (restore to previous) not supported"
+            )
         transparent = None
         disposal = 0
     if not frames:

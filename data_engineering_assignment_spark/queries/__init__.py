@@ -79,7 +79,9 @@ DRIVER_SAMPLE_HEAD: tuple[str, ...] = (
     # implementation changed this round (decode_png/encode_png rewritten
     # for the full legal profile: Adam7, 16-bit, sub-byte, tRNS forms)
     "png_decode_stats",
-    # last checked r5 (35 queries, all of them)
+    # last checked r5 (32 of 35; nation_revenue_share,
+    # referential_integrity_audit and lang_source_chisq displaced to the
+    # r10 head by the round-9 additions)
     "pricing_summary",
     "nation_rank_top2",
     "distinct_status_priority",

@@ -1643,12 +1643,23 @@ def user_value_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "value",
     )
-    pts = ev.groupBy("user_id").agg(
-        F.slice(
-            F.sort_array(F.collect_list(F.struct("t", "event_id", "value"))),
-            1,
-            k,
-        ).alias("pts")
+    # bound BEFORE collecting: an entity-keyed row_number window (the
+    # CLAUDE.md-sanctioned kind) keeps each user's first k points, so the
+    # aggregation buffer holds <= k structs per user instead of the user's
+    # whole history (a straggler/OOM at corpus scale); sort_array then
+    # fixes the in-array order of the bounded set
+    from pyspark.sql.window import Window
+
+    w_first = Window.partitionBy("user_id").orderBy("t", "event_id")
+    pts = (
+        ev.withColumn("rn", F.row_number().over(w_first))
+        .where(F.col("rn") <= k)
+        .groupBy("user_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("t", "event_id", "value"))
+            ).alias("pts")
+        )
     )
     slopes = (
         "array_sort(transform("

@@ -1,10 +1,9 @@
 """One-off solo probe: dedup_clusters_star cost anatomy at sf0.1.
 
 Times (min of 2) the full catalog query, the pair-generation prefix
-alone, and cc_star under eager vs lazy per-round checkpointing, and
-prints the round count. Run ALONE (JVM contention rule); used to decide
-the round-9 cc_star job-count optimization. Kept in scripts/ so future
-rounds can re-measure.
+alone, and one cc_star pass on the same pairs (full - prefix ~= the CC
+loop cost). Run ALONE (JVM contention rule); used to decide the round-9
+cc_star optimizations. Kept in scripts/ so future rounds can re-measure.
 """
 
 from __future__ import annotations
@@ -61,22 +60,13 @@ def main() -> None:
 
     print("pairs prefix:", timed(run_pairs))
 
-    # round count: instrument cc_star's convergence loop via its signature
-    from data_engineering_assignment_spark.operators import graphs as G
+    # cc_star alone on the same pairs (full - prefix ~= the CC loop cost)
+    from data_engineering_assignment_spark.operators.graphs import cc_star
 
     pairs = ngram_jaccard_pairs(docs, threshold=0.5)
-    orig_sig = None
-    rounds = {"n": 0}
-    import functools
-
-    real_cc = G.cc_star
-
-    def counting_cc(p, **kw):
-        return real_cc(p, **kw)
-
     t0 = time.perf_counter()
-    real_cc(pairs).write.format("noop").mode("overwrite").save()
-    print("cc_star on cached-plan pairs:", round(time.perf_counter() - t0, 3))
+    cc_star(pairs).write.format("noop").mode("overwrite").save()
+    print("cc_star on fresh pairs:", round(time.perf_counter() - t0, 3))
     print("markers post:", _bench.contention_markers())
 
 

@@ -113,7 +113,11 @@ self-join + lazy CC checkpoints); `avi_video_stats`' entry reflects
 its fixture-encode memoization. Every other entry kept its historical
 min. The media transformer gates (`media_resize_stats` 1.23 s,
 `video_frame_sample_stats` 3.168 s) joined under the same
-min-across-two-probe-sessions policy."""
+min-across-two-probe-sessions policy. `user_value_theilsen`
+re-recorded 3.307 → 3.705 s: its per-user point collection is now
+bounded by a row_number window BEFORE the aggregation buffer (the
+sf0.1 cost buys away an unbounded per-entity collect_list — the same
+scale-over-bench-points tradeoff as DSIR's r8 re-record)."""
 
 
 def main() -> None:

@@ -84,3 +84,15 @@ def test_avi_idx1_offsets_point_at_frames():
         assert avi[movi_at + off : movi_at + off + 4] == b"00dc"
         (csz,) = struct.unpack_from("<I", avi, movi_at + off + 4)
         assert csz == size
+
+
+def test_avi_ignores_other_stream_chunks():
+    """movi chunks of a different stream number must not join the video
+    frame list (the vids stream index comes from strh order in hdrl)."""
+    a = encode_avi([_flat(90), _flat(92)], 8, 8)
+    movi_at = a.index(b"movi")
+    i = a.index(b"00dc", a.index(b"00dc", movi_at) + 4)
+    patched = a[:i] + b"01dc" + a[i + 4 :]
+    frames, meta = decode_avi(patched)
+    assert meta["n_frames"] == 1
+    assert (frames[0, :, :, 0] == 90).all()

@@ -85,3 +85,11 @@ def test_exif_error_paths():
     bad = jpg[: i + 4] + struct.pack("<I", 10**6) + jpg[i + 8 :]
     with pytest.raises(ValueError, match="out of bounds"):
         parse_exif(bad)
+
+
+def test_exif_tolerates_fill_bytes():
+    """JPEG B.1.1.2: 0xFF fill bytes may pad before any marker."""
+    jpg = _jpeg()
+    app1 = build_exif_app1({"iso": 320})
+    padded = jpg[:2] + b"\xff\xff\xff" + app1 + jpg[2:]
+    assert parse_exif(padded) == {"iso": 320}

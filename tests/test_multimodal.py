@@ -1349,3 +1349,21 @@ def test_bmp_error_paths():
     hdr = struct.pack("<2sIHHI", b"BM", 54 + 16, 0, 0, 54)
     with _pytest.raises(NotImplementedError, match="16-bit"):
         decode_bmp(hdr + info + b"\x00" * 16)
+
+
+def test_gif_disposal_restore_previous_raises():
+    """Disposal 3 (restore-to-previous) is out of profile: raising beats
+    silently composing later frames on the wrong canvas."""
+    import numpy as np
+    import pytest as _pytest
+
+    from data_engineering_assignment_spark.functions.gif import (
+        decode_gif,
+        encode_gif,
+    )
+
+    pal = np.zeros((4, 3), np.uint8)
+    frames = [np.zeros((4, 4), np.uint8), np.ones((4, 4), np.uint8)]
+    gif = encode_gif(frames, pal, disposals=[3, 0])
+    with _pytest.raises(NotImplementedError, match="disposal"):
+        decode_gif(gif)
