@@ -236,6 +236,8 @@ HEADLINE = [
     # media resize + video frame-sample transformer gates (oracle-gated)
     "media_resize_stats",
     "video_frame_sample_stats",
+    # favicon (ICO) codec gate (oracle-gated)
+    "ico_decode_stats",
 ]
 
 

@@ -11,8 +11,8 @@ routinely, so the decode path must be real, not a PIL hook.
   CLEAR/EOI codes, deferred-clear tolerant), the 4-pass row interlace,
   GIF89a graphic-control extensions (transparency index, disposal), and
   frame COMPOSITION onto the logical screen (disposal 0/1 leave, 2 restore
-  to background) → (n_frames, H, W, 4) uint8 BGRA frames like the other
-  codecs.
+  to background, 3 restore to previous) → (n_frames, H, W, 4) uint8 BGRA
+  frames like the other codecs.
 * :func:`encode_gif` — fixture generator (the jc_*.jpg / encode_png16
   discipline: every decode path gets fixtures from our own encoder):
   arbitrary palettes (2/4/8/16/.../256), per-frame local palettes,
@@ -209,7 +209,8 @@ def decode_gif(content: bytes) -> tuple[np.ndarray, dict]:
 
     Frames are COMPOSED onto the logical screen the way a viewer renders
     them: frame 0 starts from a transparent canvas, disposal 0/1 leaves
-    the canvas for the next frame, disposal 2 restores the frame's
+    the canvas for the next frame, disposal 3 restores the rectangle to
+    its pre-frame content, disposal 2 restores the frame's
     rectangle to transparent. Transparent-index pixels leave the canvas
     unchanged (alpha stays whatever lies beneath).
     """
@@ -280,17 +281,15 @@ def decode_gif(content: bytes) -> tuple[np.ndarray, dict]:
         if transparent is not None:
             keep = idx == transparent
             rgba[keep] = region[keep]
+        # disposal 3 (restore-to-previous): the NEXT frame composes on the
+        # canvas as it was BEFORE this frame drew — save the rectangle now
+        saved = region.copy() if disposal == 3 else None
         canvas[top : top + ih, left : left + iw] = rgba
         frames.append(canvas[:, :, [2, 1, 0, 3]].copy())  # BGRA snapshot
         if disposal == 2:  # restore rectangle to background (transparent)
             canvas[top : top + ih, left : left + iw] = 0
         elif disposal == 3:
-            # restore-to-previous needs a saved pre-frame canvas; raising
-            # beats silently mis-composing later frames (the codec-family
-            # out-of-profile discipline)
-            raise NotImplementedError(
-                "GIF: disposal method 3 (restore to previous) not supported"
-            )
+            canvas[top : top + ih, left : left + iw] = saved
         transparent = None
         disposal = 0
     if not frames:

@@ -613,6 +613,109 @@ def encode_bmp(
     return header + info + pal_bytes + bytes(body)
 
 
+def decode_ico(content: bytes) -> tuple[np.ndarray, dict]:
+    """Dependency-free Windows ICO (favicon) decode → one uint8 BGRA frame.
+
+    Parses the ICONDIR, picks the largest image entry, and decodes it:
+    PNG-compressed entries (the modern favicon form) go through
+    :func:`decode_png`; classic DIB entries reuse :func:`decode_bmp` by
+    synthesizing a BMP file header around the embedded BITMAPINFOHEADER
+    (whose biHeight counts XOR+AND sections, so it is halved), then apply
+    the trailing 1-bit AND mask as transparency — except for 32-bit
+    entries whose alpha channel is already meaningful (any nonzero
+    alpha), the convention real renderers use."""
+    import struct as _struct
+
+    if len(content) < 6 or content[:4] != b"\x00\x00\x01\x00":
+        raise ValueError("not an ICO: bad ICONDIR header")
+    (n_entries,) = _struct.unpack_from("<H", content, 4)
+    if not n_entries:
+        raise ValueError("ICO: no image entries")
+    best = None
+    for i in range(n_entries):
+        off = 6 + 16 * i
+        bw, bh = content[off], content[off + 1]
+        w, h = bw or 256, bh or 256  # 0 means 256 per spec
+        size, data_off = _struct.unpack_from("<II", content, off + 8)
+        if best is None or w * h > best[0]:
+            best = (w * h, w, h, data_off, size)
+    _, w, h, data_off, size = best
+    sub = content[data_off : data_off + size]
+    if sub[: len(_PNG_MAGIC)] == _PNG_MAGIC:
+        return decode_png(sub)
+    (hdr_size,) = _struct.unpack_from("<I", sub, 0)
+    if hdr_size < 40:
+        raise NotImplementedError("ICO: non-BITMAPINFOHEADER DIB")
+    _w, h2, _planes, bpp = _struct.unpack_from("<iihH", sub, 4)
+    real_h = h2 // 2  # biHeight spans the XOR and AND sections
+    patched = bytearray(sub)
+    _struct.pack_into("<i", patched, 8, real_h)
+    (n_colors,) = _struct.unpack_from("<I", sub, 32)
+    pal_n = (n_colors or (1 << bpp)) if bpp <= 8 else 0
+    bmp_off = 14 + hdr_size + 4 * pal_n
+    bmp = (
+        b"BM"
+        + _struct.pack("<IHHI", 14 + len(patched), 0, 0, bmp_off)
+        + bytes(patched)
+    )
+    frames, meta = decode_bmp(bmp)
+    bgra = frames[0].copy()
+    # AND mask: 1-bit rows padded to 32 bits, bottom-up like the XOR part
+    xor_stride = (w * bpp + 31) // 32 * 4
+    and_stride = (w + 31) // 32 * 4
+    mask_off = hdr_size + 4 * pal_n + xor_stride * real_h
+    mask_bytes = sub[mask_off : mask_off + and_stride * real_h]
+    if len(mask_bytes) == and_stride * real_h and real_h:
+        rows = np.frombuffer(mask_bytes, np.uint8).reshape(real_h, and_stride)
+        bits = np.unpackbits(rows, axis=1)[:, :w][::-1]  # bottom-up flip
+        # honor the mask unless a 32-bit entry carries real alpha already
+        if not (bpp == 32 and (bgra[:, :, 3] != 255).any()):
+            bgra[:, :, 3] = np.where(bits == 1, 0, 255).astype(np.uint8)
+    return bgra.reshape(1, real_h, w, 4), {
+        "width": w,
+        "height": real_h,
+        "channels": 4,
+        "n_frames": 1,
+    }
+
+
+def encode_ico(entries: list[tuple[bytes, tuple[int, int]]]) -> bytes:
+    """Fixture generator: wrap pre-encoded (payload, (w, h)) entries —
+    each payload either a PNG file or an ICO-style DIB (:func:`_ico_dib`)
+    — in an ICONDIR."""
+    import struct as _struct
+
+    out = bytearray(b"\x00\x00\x01\x00" + _struct.pack("<H", len(entries)))
+    data_off = 6 + 16 * len(entries)
+    blobs = bytearray()
+    for payload, (w, h) in entries:
+        out += bytes(
+            [w if w < 256 else 0, h if h < 256 else 0, 0, 0]
+        ) + _struct.pack("<HHII", 1, 32, len(payload), data_off + len(blobs))
+        blobs += payload
+    return bytes(out) + bytes(blobs)
+
+
+def _ico_dib(frame: np.ndarray, mask: np.ndarray | None = None) -> bytes:
+    """Serialize a (h, w, 4) uint8 BGRA frame as an ICO 32-bit DIB
+    (doubled biHeight, bottom-up XOR section + 1-bit AND ``mask``)."""
+    import struct as _struct
+
+    h, w = frame.shape[:2]
+    if mask is None:
+        mask = np.zeros((h, w), np.uint8)
+    info = _struct.pack(
+        "<IiihHIIiiII", 40, w, 2 * h, 1, 32, 0,
+        w * h * 4, 2835, 2835, 0, 0,
+    )
+    xor = frame[::-1].tobytes()  # bottom-up
+    and_stride = (w + 31) // 32 * 4
+    bits = np.zeros((h, and_stride * 8), np.uint8)
+    bits[:, :w] = mask[::-1]
+    and_sec = np.packbits(bits, axis=1).tobytes()
+    return info + xor + and_sec
+
+
 def _pil_image_module():
     """Optional-dependency hook for formats beyond PNG (JPEG, WebP, …): PIL
     is not in this container, but the path must exist. Returns PIL.Image or
@@ -703,6 +806,8 @@ def decode_any(content: bytes) -> tuple[np.ndarray, dict]:
         from .tiff import decode_tiff
 
         return decode_tiff(content)
+    if content[:4] == b"\x00\x00\x01\x00" and len(content) >= 22:
+        return decode_ico(content)
     if content[:4] == b"RIFF" and content[8:12] == b"AVI ":
         from .avi import decode_avi
 

@@ -40,23 +40,24 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # whose implementation changed this round (a green history does not cover
 # new code), then queries whose last green row is oldest.
 #
-# Round-9 head (catalog = 188): entering the round the driver had checked
+# Round-9 head (catalog = 189): entering the round the driver had checked
 # 172/176 at least once; the only never-checked queries are the four
 # end-of-r8 additions (kmv_distinct_users, hll_distinct_portable,
 # user_value_ewma, winsorized_value_stats — each oracle-rehearsed locally
 # at sf0.001 AND sf0.01, per the r8 verdict's top item they lead the
-# head), plus the twelve round-9 queries (png_profile_stats,
+# head), plus the thirteen round-9 queries (png_profile_stats,
 # dedup_clusters_star, gif_decode_stats, user_value_theilsen,
 # bmp_decode_stats, tiff_decode_stats, adpcm_audio_stats,
 # part_distance_sssp, jpeg_exif_stats, avi_video_stats,
-# media_resize_stats, video_frame_sample_stats — never checked) and
-# png_decode_stats (implementation changed this round: the PNG codec
-# was rewritten for the full legal profile).  After them, strict age
-# order: 32 of the 35 queries whose last green row is r5 (the displaced
-# three — nation_revenue_share, referential_integrity_audit,
-# lang_source_chisq — front the r10 head with the 40 r6-checked
-# queries) — and the final slot goes to ml_energy_report (r6) so the
-# head spans catalog_ml (module-coverage contract).
+# media_resize_stats, video_frame_sample_stats, ico_decode_stats —
+# never checked) and png_decode_stats (implementation changed this
+# round: the PNG codec was rewritten for the full legal profile).
+# After them, strict age order: 31 of the 35 queries whose last green
+# row is r5 (the displaced four — event_interarrival_stats,
+# nation_revenue_share, referential_integrity_audit, lang_source_chisq —
+# front the r10 head with the 40 r6-checked queries) — and the final
+# slot goes to ml_energy_report (r6) so the head spans catalog_ml
+# (module-coverage contract).
 DRIVER_SAMPLE_HEAD: tuple[str, ...] = (
     # never driver-checked (end-of-r8 additions + the new full-profile
     # PNG gate)
@@ -76,12 +77,13 @@ DRIVER_SAMPLE_HEAD: tuple[str, ...] = (
     "avi_video_stats",
     "media_resize_stats",
     "video_frame_sample_stats",
+    "ico_decode_stats",
     # implementation changed this round (decode_png/encode_png rewritten
     # for the full legal profile: Adam7, 16-bit, sub-byte, tRNS forms)
     "png_decode_stats",
-    # last checked r5 (32 of 35; nation_revenue_share,
-    # referential_integrity_audit and lang_source_chisq displaced to the
-    # r10 head by the round-9 additions)
+    # last checked r5 (31 of 35; event_interarrival_stats,
+    # nation_revenue_share, referential_integrity_audit and
+    # lang_source_chisq displaced to the r10 head by the round-9 additions)
     "pricing_summary",
     "nation_rank_top2",
     "distinct_status_priority",
@@ -113,7 +115,6 @@ DRIVER_SAMPLE_HEAD: tuple[str, ...] = (
     "events_anomaly_zscore",
     "order_price_histogram",
     "median_price_by_priority",
-    "event_interarrival_stats",
     # last checked r6; keeps catalog_ml in the head (module-coverage contract)
     "ml_energy_report",
 )

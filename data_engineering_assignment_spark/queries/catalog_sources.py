@@ -1017,6 +1017,103 @@ def avi_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ICO_ORACLE = """
+SELECT (3 + doc_id % 9)::BIGINT AS width,
+       COUNT(*) AS n_icons,
+       COUNT(*) AS n_ok,
+       SUM(doc_id % 256)::BIGINT AS val_sum,
+       SUM(CASE WHEN doc_id % 2 = 0 THEN 0
+                ELSE doc_id % 200 + 55 END)::BIGINT AS alpha_sum
+FROM documents
+GROUP BY 1
+"""
+
+
+@register(
+    "ico_decode_stats",
+    oracle=_ICO_ORACLE,
+    doc="Favicon (ICO) decode gate (functions/multimodal.py decode_ico): "
+    "every document becomes a TWO-entry ICO — a 2x2 decoy plus the real "
+    "image, which alternates by doc_id between a classic 32-bit DIB "
+    "(doubled biHeight, bottom-up XOR section, 1-bit AND transparency "
+    "mask) and a PNG-compressed entry carrying per-pixel alpha. "
+    "Largest-entry selection, the synthesized-BMP-header reuse of "
+    "decode_bmp, AND-mask vs real-alpha precedence and the PNG dispatch "
+    "are all verified full-frame in-row; the value columns (a decoded "
+    "pixel and a variant-dependent alpha) are pure doc_id arithmetic "
+    "under the oracle hash.",
+)
+def ico_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.multimodal import (
+        _ico_dib,
+        decode_any,
+        encode_ico,
+        encode_png,
+    )
+    from ..tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    # 2x2 decoy: strictly smaller than the smallest real entry (3x2), so
+    # largest-entry selection always lands on the gradient image
+    decoy = np.zeros((2, 2, 4), np.uint8)
+    decoy[..., 3] = 255
+    decoy_dib = _ico_dib(decoy)
+
+    def roundtrip(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 3 + did % 9, 2 + did % 7
+                ys, xs = np.mgrid[0:h, 0:w]
+                frame = np.empty((h, w, 4), np.uint8)
+                frame[..., 0] = (did + xs) % 256
+                frame[..., 1] = (did + ys) % 256
+                frame[..., 2] = (did + 2 * xs + 3 * ys) % 256
+                try:
+                    if did % 2:  # PNG entry with real per-pixel alpha
+                        frame[..., 3] = (did % 200 + 55 + xs + ys) % 256
+                        payload = encode_png(frame)
+                        exp = frame
+                    else:  # classic DIB + AND mask transparency
+                        frame[..., 3] = 255
+                        mask = ((xs + ys + did) % 2).astype(np.uint8)
+                        payload = _ico_dib(frame, mask)
+                        exp = frame.copy()
+                        exp[..., 3] = np.where(mask == 1, 0, 255)
+                    ico = encode_ico(
+                        [(decoy_dib, (2, 2)), (payload, (w, h))]
+                    )
+                    d, meta = decode_any(ico)
+                    ok = bool(
+                        meta["width"] == w
+                        and meta["height"] == h
+                        and np.array_equal(d[0], exp)
+                    )
+                    val = int(d[0, 0, 0, 2])
+                    # PNG docs: per-pixel alpha at (0,0) = did%200+55;
+                    # DIB docs: pixel (0,1) is AND-masked (mask = (1+did)%2
+                    # = 1 for even did) -> alpha 0
+                    alpha = int(d[0, 0, 0 if did % 2 else 1, 3])
+                except Exception:
+                    ok, val, alpha = False, 0, -1
+                rows.append((w, ok, val, alpha))
+            yield pd.DataFrame(rows, columns=["width", "ok", "val", "alpha"])
+
+    decoded = docs.mapInPandas(
+        roundtrip, "width int, ok boolean, val long, alpha long"
+    )
+    return decoded.groupBy(F.col("width").cast("long").alias("width")).agg(
+        F.count(F.lit(1)).alias("n_icons"),
+        F.sum(F.col("ok").cast("int")).cast("long").alias("n_ok"),
+        F.sum("val").alias("val_sum"),
+        F.sum("alpha").alias("alpha_sum"),
+    )
+
+
 _RESIZE_ORACLE = """
 SELECT (3 + doc_id % 9)::BIGINT AS src_w,
        COUNT(*) AS n_media,

@@ -117,7 +117,9 @@ min-across-two-probe-sessions policy. `user_value_theilsen`
 re-recorded 3.307 → 3.705 s: its per-user point collection is now
 bounded by a row_number window BEFORE the aggregation buffer (the
 sf0.1 cost buys away an unbounded per-entity collect_list — the same
-scale-over-bench-points tradeoff as DSIR's r8 re-record)."""
+scale-over-bench-points tradeoff as DSIR's r8 re-record).
+`ico_decode_stats` joined late (0.908 s, min across two marker-verified
+probe sessions; 0.78×/decade)."""
 
 
 def main() -> None:

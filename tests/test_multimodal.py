@@ -1351,19 +1351,71 @@ def test_bmp_error_paths():
         decode_bmp(hdr + info + b"\x00" * 16)
 
 
-def test_gif_disposal_restore_previous_raises():
-    """Disposal 3 (restore-to-previous) is out of profile: raising beats
-    silently composing later frames on the wrong canvas."""
+def test_gif_disposal_restore_previous():
+    """Disposal 3: the frame AFTER a restore-to-previous frame composes on
+    the canvas as it was BEFORE that frame drew — here, back to the
+    transparent initial canvas, so frame 2's untouched pixels are
+    transparent, not frame 1's colors."""
     import numpy as np
-    import pytest as _pytest
 
     from data_engineering_assignment_spark.functions.gif import (
         decode_gif,
         encode_gif,
     )
 
-    pal = np.zeros((4, 3), np.uint8)
-    frames = [np.zeros((4, 4), np.uint8), np.ones((4, 4), np.uint8)]
-    gif = encode_gif(frames, pal, disposals=[3, 0])
-    with _pytest.raises(NotImplementedError, match="disposal"):
-        decode_gif(gif)
+    pal = np.array([[10, 20, 30], [200, 100, 50]], np.uint8)
+    full = np.ones((4, 4), np.uint8)  # frame 0: all palette color 1
+    patch = np.zeros((2, 2), np.uint8)  # frame 1: small color-0 patch
+    gif = encode_gif(
+        [full, patch], pal, offsets=[(0, 0), (1, 1)], disposals=[3, 0]
+    )
+    frames, meta = decode_gif(gif)
+    assert meta["n_frames"] == 2
+    # frame 0 rendered normally
+    assert (frames[0, :, :, 2] == 200).all() and (frames[0, :, :, 3] == 255).all()
+    # frame 1: only the patch is visible; the rest restored to TRANSPARENT
+    assert (frames[1, 1:3, 1:3, 2] == 10).all()
+    assert (frames[1, 0, :, 3] == 0).all() and (frames[1, 3, :, 3] == 0).all()
+
+
+def test_ico_decode_profiles():
+    """ICO: 32-bit DIB entries (alpha channel vs AND-mask transparency),
+    largest-entry selection, and PNG-compressed entries, through
+    decode_any's magic dispatch."""
+    import numpy as np
+
+    from data_engineering_assignment_spark.functions.multimodal import (
+        _ico_dib,
+        decode_any,
+        decode_ico,
+        encode_ico,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(9)
+    # opaque 32-bit frame (alpha all 255) -> AND mask drives transparency
+    f = rng.integers(0, 256, (8, 8, 4), np.uint8)
+    f[..., 3] = 255
+    mask = np.zeros((8, 8), np.uint8)
+    mask[0, :] = 1  # top row transparent
+    ico = encode_ico([(_ico_dib(f, mask), (8, 8))])
+    d, meta = decode_any(ico)
+    assert meta == {"width": 8, "height": 8, "channels": 4, "n_frames": 1}
+    assert np.array_equal(d[0, :, :, :3], f[:, :, :3])
+    assert (d[0, 0, :, 3] == 0).all() and (d[0, 1:, :, 3] == 255).all()
+    # real per-pixel alpha wins over the AND mask
+    fa = f.copy()
+    fa[..., 3] = rng.integers(1, 255, (8, 8))
+    d, _ = decode_ico(encode_ico([(_ico_dib(fa, mask), (8, 8))]))
+    assert np.array_equal(d[0], fa)
+    # multi-entry: the larger (PNG) entry is chosen
+    small = _ico_dib(f[:4, :4], None)
+    big = rng.integers(0, 256, (16, 16, 4), np.uint8)
+    png = encode_png(big)
+    d, meta = decode_ico(encode_ico([(small, (4, 4)), (png, (16, 16))]))
+    assert meta["width"] == 16
+    assert np.array_equal(d[0], big)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="ICONDIR"):
+        decode_ico(b"\x01\x00\x01\x00" + b"\x00" * 30)
