@@ -119,7 +119,13 @@ bounded by a row_number window BEFORE the aggregation buffer (the
 sf0.1 cost buys away an unbounded per-entity collect_list — the same
 scale-over-bench-points tradeoff as DSIR's r8 re-record).
 `ico_decode_stats` joined late (0.908 s, min across two marker-verified
-probe sessions; 0.78×/decade)."""
+probe sessions; 0.78×/decade). The round's closing marker-verified full
+solo run (161.82 s / 157, st [.084,.062] mt [.173,.205], 1.09× the
+then-standing table) lowered 23 entries to their new mins per the
+min-across-runs policy — notably `dedup_clusters_star` 4.418 → 3.657 s
+and `tiff_decode_stats` 3.972 → 3.250 s; its 17 sub-second 1.5–2.4×
+single-run flags are the documented ambient scatter (every multi-second
+query ran AT or BELOW standing in the same run)."""
 
 
 def main() -> None:
