@@ -616,14 +616,18 @@ def encode_bmp(
 def decode_ico(content: bytes) -> tuple[np.ndarray, dict]:
     """Dependency-free Windows ICO (favicon) decode → one uint8 BGRA frame.
 
-    Parses the ICONDIR, picks the largest image entry, and decodes it:
-    PNG-compressed entries (the modern favicon form) go through
-    :func:`decode_png`; classic DIB entries reuse :func:`decode_bmp` by
-    synthesizing a BMP file header around the embedded BITMAPINFOHEADER
-    (whose biHeight counts XOR+AND sections, so it is halved), then apply
-    the trailing 1-bit AND mask as transparency — except for 32-bit
-    entries whose alpha channel is already meaningful (any nonzero
-    alpha), the convention real renderers use."""
+    Parses the ICONDIR, picks the best image entry (largest area, then
+    highest directory bit depth — the renderer tie-break for multi-depth
+    icons), and decodes it: PNG-compressed entries (the modern favicon
+    form) go through :func:`decode_png`; classic uncompressed DIB entries
+    reuse :func:`decode_bmp` by synthesizing a BMP file header around the
+    embedded BITMAPINFOHEADER (whose biHeight counts XOR+AND sections, so
+    it is halved), then apply the trailing 1-bit AND mask as
+    transparency. 32-bit entries whose RAW alpha plane carries any
+    nonzero byte use that alpha and ignore the mask (the renderer
+    convention; checked on the raw XOR bytes, not decode_bmp's
+    normalized output, so an explicit all-255 plane also wins over the
+    mask)."""
     import struct as _struct
 
     if len(content) < 6 or content[:4] != b"\x00\x00\x01\x00":
@@ -631,22 +635,32 @@ def decode_ico(content: bytes) -> tuple[np.ndarray, dict]:
     (n_entries,) = _struct.unpack_from("<H", content, 4)
     if not n_entries:
         raise ValueError("ICO: no image entries")
+    if 6 + 16 * n_entries > len(content):
+        raise ValueError("ICO: ICONDIR truncated")
     best = None
     for i in range(n_entries):
         off = 6 + 16 * i
         bw, bh = content[off], content[off + 1]
         w, h = bw or 256, bh or 256  # 0 means 256 per spec
+        (bitcount,) = _struct.unpack_from("<H", content, off + 6)
         size, data_off = _struct.unpack_from("<II", content, off + 8)
-        if best is None or w * h > best[0]:
-            best = (w * h, w, h, data_off, size)
+        rank = (w * h, bitcount)
+        if best is None or rank > best[0]:
+            best = (rank, w, h, data_off, size)
     _, w, h, data_off, size = best
     sub = content[data_off : data_off + size]
     if sub[: len(_PNG_MAGIC)] == _PNG_MAGIC:
         return decode_png(sub)
+    if len(sub) < 40:
+        raise ValueError("ICO: DIB entry truncated")
     (hdr_size,) = _struct.unpack_from("<I", sub, 0)
     if hdr_size < 40:
         raise NotImplementedError("ICO: non-BITMAPINFOHEADER DIB")
-    _w, h2, _planes, bpp = _struct.unpack_from("<iihH", sub, 4)
+    _w, h2, _planes, bpp, comp = _struct.unpack_from("<iihHI", sub, 4)
+    if comp != 0:
+        # RLE inside an icon would shift the AND-mask offset; real icons
+        # are BI_RGB, so refuse rather than read the mask from garbage
+        raise NotImplementedError(f"ICO: compressed DIB (comp={comp})")
     real_h = h2 // 2  # biHeight spans the XOR and AND sections
     patched = bytearray(sub)
     _struct.pack_into("<i", patched, 8, real_h)
@@ -661,16 +675,26 @@ def decode_ico(content: bytes) -> tuple[np.ndarray, dict]:
     frames, meta = decode_bmp(bmp)
     bgra = frames[0].copy()
     # AND mask: 1-bit rows padded to 32 bits, bottom-up like the XOR part
+    xor_off = hdr_size + 4 * pal_n
     xor_stride = (w * bpp + 31) // 32 * 4
     and_stride = (w + 31) // 32 * 4
-    mask_off = hdr_size + 4 * pal_n + xor_stride * real_h
+    mask_off = xor_off + xor_stride * real_h
     mask_bytes = sub[mask_off : mask_off + and_stride * real_h]
-    if len(mask_bytes) == and_stride * real_h and real_h:
+    if len(mask_bytes) < and_stride * real_h:
+        raise ValueError("ICO: AND mask truncated")
+    raw_alpha_nonzero = False
+    if bpp == 32:
+        xor = np.frombuffer(
+            sub, np.uint8, xor_stride * real_h, xor_off
+        ).reshape(real_h, xor_stride)
+        raw_alpha = xor[:, : w * 4].reshape(real_h, w, 4)[:, :, 3][::-1]
+        if raw_alpha.any():
+            raw_alpha_nonzero = True
+            bgra[:, :, 3] = raw_alpha  # raw plane, pre-normalization
+    if real_h and not raw_alpha_nonzero:
         rows = np.frombuffer(mask_bytes, np.uint8).reshape(real_h, and_stride)
         bits = np.unpackbits(rows, axis=1)[:, :w][::-1]  # bottom-up flip
-        # honor the mask unless a 32-bit entry carries real alpha already
-        if not (bpp == 32 and (bgra[:, :, 3] != 255).any()):
-            bgra[:, :, 3] = np.where(bits == 1, 0, 255).astype(np.uint8)
+        bgra[:, :, 3] = np.where(bits == 1, 0, 255).astype(np.uint8)
     return bgra.reshape(1, real_h, w, 4), {
         "width": w,
         "height": real_h,

@@ -1078,8 +1078,8 @@ def ico_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                         frame[..., 3] = (did % 200 + 55 + xs + ys) % 256
                         payload = encode_png(frame)
                         exp = frame
-                    else:  # classic DIB + AND mask transparency
-                        frame[..., 3] = 255
+                    else:  # legacy zero-alpha DIB + AND mask transparency
+                        frame[..., 3] = 0
                         mask = ((xs + ys + did) % 2).astype(np.uint8)
                         payload = _ico_dib(frame, mask)
                         exp = frame.copy()

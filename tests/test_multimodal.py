@@ -1393,9 +1393,9 @@ def test_ico_decode_profiles():
     )
 
     rng = np.random.default_rng(9)
-    # opaque 32-bit frame (alpha all 255) -> AND mask drives transparency
+    # legacy zero-alpha 32-bit frame -> the AND mask drives transparency
     f = rng.integers(0, 256, (8, 8, 4), np.uint8)
-    f[..., 3] = 255
+    f[..., 3] = 0
     mask = np.zeros((8, 8), np.uint8)
     mask[0, :] = 1  # top row transparent
     ico = encode_ico([(_ico_dib(f, mask), (8, 8))])
@@ -1403,7 +1403,12 @@ def test_ico_decode_profiles():
     assert meta == {"width": 8, "height": 8, "channels": 4, "n_frames": 1}
     assert np.array_equal(d[0, :, :, :3], f[:, :, :3])
     assert (d[0, 0, :, 3] == 0).all() and (d[0, 1:, :, 3] == 255).all()
-    # real per-pixel alpha wins over the AND mask
+    # ANY nonzero raw alpha (even an explicit all-255 plane) wins over the
+    # AND mask — the renderer convention
+    fo = f.copy()
+    fo[..., 3] = 255
+    d, _ = decode_ico(encode_ico([(_ico_dib(fo, mask), (8, 8))]))
+    assert (d[0, :, :, 3] == 255).all()  # mask ignored
     fa = f.copy()
     fa[..., 3] = rng.integers(1, 255, (8, 8))
     d, _ = decode_ico(encode_ico([(_ico_dib(fa, mask), (8, 8))]))
