@@ -165,6 +165,8 @@ def _entry_bytes(value, bo: str) -> tuple[int, int, bytes]:
     if isinstance(value, list):  # rational list
         return 5, len(value), b"".join(struct.pack(bo + "II", *v) for v in value)
     if isinstance(value, int):
+        if value < 0:  # SLONG (type 9) — SHORT/LONG are unsigned
+            return 9, 1, struct.pack(bo + "i", value)
         if value < 0x10000:
             return 3, 1, struct.pack(bo + "H", value)
         return 4, 1, struct.pack(bo + "I", value)

@@ -469,6 +469,8 @@ def decode_bmp(content: bytes) -> tuple[np.ndarray, dict]:
             cnt, val = content[pos], content[pos + 1]
             pos += 2
             if cnt:  # encoded run
+                if y >= h or x + cnt > w:  # numpy would clip x silently
+                    raise ValueError("BMP: RLE run out of bounds")
                 idx[y, x : x + cnt] = val
                 x += cnt
             elif val == 0:  # end of line
@@ -480,6 +482,8 @@ def decode_bmp(content: bytes) -> tuple[np.ndarray, dict]:
                 y += content[pos + 1]
                 pos += 2
             else:  # absolute run of `val` literal bytes, word-aligned
+                if y >= h or x + val > w:
+                    raise ValueError("BMP: RLE run out of bounds")
                 idx[y, x : x + val] = np.frombuffer(content, np.uint8, val, pos)
                 x += val
                 pos += val + (val & 1)

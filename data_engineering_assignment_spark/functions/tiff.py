@@ -244,7 +244,11 @@ def decode_tiff(content: bytes) -> tuple[np.ndarray, dict]:
     if photo == 3 and spp != 1:
         raise ValueError("TIFF: palette images must have one sample per pixel")
 
-    offsets = tags[_TAG_STRIP_OFFSETS]
+    offsets = tags.get(_TAG_STRIP_OFFSETS)
+    if offsets is None:
+        # absent OR carried with an unsupported entry type (the IFD walk
+        # skips those) — either way the file is structurally unreadable
+        raise ValueError("TIFF: required tag StripOffsets missing")
     counts = tags.get(_TAG_STRIP_COUNTS)
     if counts is None:
         if comp != 1:

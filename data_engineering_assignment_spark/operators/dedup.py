@@ -71,14 +71,20 @@ def ngram_jaccard_pairs(
     (both intersection and sizes), so it stays a proper similarity.
     Output: (doc_a, doc_b, inter, jaccard), doc_a < doc_b.
 
-    The shingle table is MATERIALIZED once (eager localCheckpoint) and the
-    self-join SHUFFLE_HASH-hinted — the _bucket_self_join discipline: the
-    explode otherwise re-executes for BOTH join sides plus the sizes
-    aggregate (3x the dominant stage, measured ~2x wall on the clusters
-    queries), and Catalyst left alone broadcasts one side = the whole
-    shingled corpus, a scale-killer at 100 TB. ``checkpoint=False`` is the
-    plan-test escape hatch (winnow_dup_pairs pattern: lineage-truncated
-    operators can't expose upstream shapes to assertions).
+    The shingle table is CHECKPOINTED once (lazy localCheckpoint — the
+    caller's first action materializes compute + checkpoint in one job, so
+    DataFrame construction stays lazy and timing attributions honest; the
+    cc_star discipline) and the self-join SHUFFLE_HASH-hinted — the
+    _bucket_self_join discipline: the explode otherwise re-executes for
+    BOTH join sides plus the sizes aggregate (3x the dominant stage,
+    measured ~2x wall on the clusters queries), and Catalyst left alone
+    broadcasts one side = the whole shingled corpus, a scale-killer at
+    100 TB. The checkpointed RDD lives until the session GCs it —
+    long-lived sessions building MANY of these should unpersist via
+    ``df.rdd`` or pass ``checkpoint=False`` and cache themselves.
+    ``checkpoint=False`` is also the plan-test escape hatch
+    (winnow_dup_pairs pattern: lineage-truncated operators can't expose
+    upstream shapes to assertions).
     """
     sh = (
         df.select(F.col(id_col).alias("doc"), F.explode(word_shingles(text_col, n)).alias("shingle"))
@@ -94,7 +100,7 @@ def ngram_jaccard_pairs(
         hot = doc_freq.filter(F.col("_df") > max_df).select("shingle")
         sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     if checkpoint:
-        sh = sh.localCheckpoint(eager=True)
+        sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.alias("a").hint("shuffle_hash")
     b = sh.alias("b").hint("shuffle_hash")

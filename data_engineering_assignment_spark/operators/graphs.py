@@ -318,6 +318,7 @@ def cc_star(
 
     sig = edge_sig(canon)
     edges = canon
+    converged = False
     for _ in range(max_iter):
         # large-star over the symmetric neighbor view
         sym = edges.select("hi", "lo").union(
@@ -350,8 +351,17 @@ def cc_star(
         new_sig = edge_sig(small)
         edges = small
         if new_sig == sig:
+            converged = True
             break
         sig = new_sig
+    if not converged:
+        # the final min-over-direct-neighbors read-off is only valid at the
+        # star fixed point — returning labels from a non-fixed-point edge
+        # set would be silently WRONG, not merely approximate
+        raise RuntimeError(
+            f"cc_star: no fixed point within max_iter={max_iter} rounds "
+            "(O(log n) expected — raise max_iter)"
+        )
     sym = edges.select("hi", "lo").union(
         edges.select(F.col("lo").alias("hi"), F.col("hi").alias("lo"))
     )

@@ -93,3 +93,15 @@ def test_exif_tolerates_fill_bytes():
     app1 = build_exif_app1({"iso": 320})
     padded = jpg[:2] + b"\xff\xff\xff" + app1 + jpg[2:]
     assert parse_exif(padded) == {"iso": 320}
+
+
+def test_exif_negative_int_roundtrips_as_slong():
+    """A negative int fixture value must serialize as SLONG (type 9) and
+    parse back exactly — previously it hit the unsigned SHORT branch and
+    raised struct.error."""
+    f = {"pixel_x_dimension": -5, "iso": 100}
+    assert parse_exif(insert_exif(_jpeg(), build_exif_app1(f))) == f
+    # big-endian too
+    assert parse_exif(
+        insert_exif(_jpeg(), build_exif_app1(f, big_endian=True))
+    ) == f

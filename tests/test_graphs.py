@@ -276,3 +276,17 @@ def test_sssp_multi_source_random_vs_model(spark):
     src = spark.createDataFrame([(s,) for s in sources], "node long")
     got = {r["node"]: r["dist"] for r in sssp_rounds(edges, src, 4).collect()}
     assert got == _model_sssp(wedges, sources, 4)
+
+
+def test_cc_star_raises_when_max_iter_exhausted(spark):
+    """Returning labels from a non-fixed-point edge set would be silently
+    wrong — the read-off is only valid at convergence, so exhausting
+    max_iter must raise, not under-contract."""
+    import pytest
+
+    from data_engineering_assignment_spark.operators.graphs import cc_star
+
+    pairs = [(i, i + 1) for i in range(39)]  # 40-chain: needs >1 round
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    with pytest.raises(RuntimeError, match="max_iter"):
+        cc_star(df, max_iter=1).collect()

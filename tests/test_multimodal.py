@@ -1424,3 +1424,36 @@ def test_ico_decode_profiles():
 
     with _pytest.raises(ValueError, match="ICONDIR"):
         decode_ico(b"\x01\x00\x01\x00" + b"\x00" * 30)
+
+
+def test_bmp_rle_out_of_bounds_is_value_error():
+    """Malformed RLE8 streams (runs past the row, writes past the last
+    row) must fail with the codec's ValueError contract — numpy slice
+    assignment would silently CLIP an x-overflow and IndexError a
+    y-overflow."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from data_engineering_assignment_spark.functions.multimodal import decode_bmp
+
+    def rle_bmp(rle: bytes) -> bytes:
+        pal = bytes([0, 0, 0, 0, 255, 255, 255, 0])  # 2 BGRX entries
+        info = struct.pack("<IiihHIIiiII", 40, 2, 2, 1, 8, 1, len(rle), 0, 0, 2, 0)
+        off = 14 + 40 + len(pal)
+        hdr = struct.pack("<2sIHHI", b"BM", off + len(rle), 0, 0, off)
+        return hdr + info + pal + rle
+
+    # run of 5 on a 2-wide row: x-overflow
+    with _pytest.raises(ValueError, match="out of bounds"):
+        decode_bmp(rle_bmp(bytes([5, 1, 0, 1])))
+    # excess end-of-line opcodes then a write: y-overflow
+    with _pytest.raises(ValueError, match="out of bounds"):
+        decode_bmp(rle_bmp(bytes([0, 0, 0, 0, 0, 0, 2, 1, 0, 1])))
+    # absolute-mode run past the row end: x-overflow
+    with _pytest.raises(ValueError, match="out of bounds"):
+        decode_bmp(rle_bmp(bytes([0, 3, 1, 1, 1, 0, 0, 1])))
+    # a well-formed stream still decodes
+    d, _ = decode_bmp(rle_bmp(bytes([2, 1, 0, 0, 2, 0, 0, 1])))
+    assert d.shape == (1, 2, 2, 4)

@@ -110,3 +110,21 @@ def test_tiff_error_paths():
             struct.pack_into("<H", data, base + 8, 16)
     with pytest.raises(NotImplementedError, match="8 bits"):
         decode_tiff(bytes(data))
+
+
+def test_tiff_missing_strip_offsets_is_value_error():
+    """StripOffsets absent (here: carried with an entry type the IFD walk
+    skips) must fail with the codec's ValueError contract, not KeyError."""
+    import struct
+
+    rng = np.random.default_rng(7)
+    f = _frame(rng, 4, 4)
+    data = bytearray(encode_tiff(f, 1, 1))  # gray, uncompressed
+    (n,) = struct.unpack_from("<H", data, 8)
+    for i in range(n):
+        base = 10 + 12 * i
+        tag, typ, cnt = struct.unpack_from("<HHI", data, base)
+        if tag == 273:  # StripOffsets -> unsupported RATIONAL type
+            struct.pack_into("<H", data, base + 2, 5)
+    with pytest.raises(ValueError, match="StripOffsets"):
+        decode_tiff(bytes(data))
