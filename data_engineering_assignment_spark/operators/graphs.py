@@ -385,13 +385,24 @@ def sssp_rounds(
     semantics, so the round-unrolled SQL oracle is bit-exact.
 
     ``edges`` is an UNDIRECTED (u, v, w) list with positive integer
-    weights; ``sources`` a (node,) frame. Each round is one equi-join of
-    the frontier against the symmetrized edge list plus a
-    map-side-combinable ``groupBy(node).min`` — the pagerank_integer
-    Θ(E)-per-round class, which flattens with executors; the distance
-    table is checkpointed every ``checkpoint_every`` rounds (job-barrier
-    tradeoff documented at :func:`pagerank_integer`). All longs, no
-    floats — parallel-path ties resolve identically on any engine.
+    weights; ``sources`` a (node,) frame. Each round relaxes only the
+    DELTA FRONTIER — the nodes whose distance improved in the previous
+    round — not the whole distance table: a node whose distance did not
+    change has already contributed ``dist + w`` to every neighbor in the
+    round after it last improved, so re-relaxing it derives nothing new
+    (the textbook queue-based Bellman-Ford, run as synchronous rounds).
+    Same hop-bound semantics (inductively: after round i the table holds
+    the exact ≤ i-edge minima, and any path optimal at i+1 edges extends
+    a node that entered the frontier at round i), but the per-round join
+    input SHRINKS as the search saturates instead of growing with the
+    reached set — at 100 TB the late rounds of the old formulation joined
+    the whole reached graph against E per round for near-zero new facts.
+    Each round is one equi-join frontier⋈edges plus a map-side-combinable
+    ``groupBy(node).min`` and an anti-ish left join to split out the
+    improved rows; distance + frontier are checkpointed every
+    ``checkpoint_every`` rounds (job-barrier tradeoff documented at
+    :func:`pagerank_integer`). All longs, no floats — parallel-path ties
+    resolve identically on any engine.
     """
     bi = edges.select("u", "v", "w").unionAll(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
@@ -401,15 +412,31 @@ def sssp_rounds(
         F.col("node").cast("long").alias("node"),
         F.lit(0).cast("long").alias("dist"),
     )
+    frontier = dist  # round 0: every source "just improved" to 0
     for i in range(rounds):
-        relax = bi.join(dist, bi.u == dist.node).select(
-            F.col("v").alias("node"), (F.col("dist") + F.col("w")).alias("dist")
+        cand = (
+            bi.join(frontier, bi.u == frontier.node)
+            .select(
+                F.col("v").alias("node"),
+                (F.col("dist") + F.col("w")).alias("cand"),
+            )
+            .groupBy("node")
+            .agg(F.min("cand").alias("cand"))
+        )
+        # improved = newly reached or strictly better than the standing
+        # distance — the next round's frontier and the only rows the
+        # distance table needs to fold in
+        frontier = (
+            cand.join(dist.withColumnRenamed("dist", "old"), "node", "left_outer")
+            .filter(F.col("old").isNull() | (F.col("cand") < F.col("old")))
+            .select("node", F.col("cand").alias("dist"))
         )
         dist = (
-            dist.unionAll(relax)
+            dist.unionAll(frontier)
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
         )
         if (i + 1) % checkpoint_every == 0 and (i + 1) < rounds:
             dist = dist.localCheckpoint(eager=False)
+            frontier = frontier.localCheckpoint(eager=False)
     return dist

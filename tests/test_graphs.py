@@ -290,3 +290,19 @@ def test_cc_star_raises_when_max_iter_exhausted(spark):
     df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
     with pytest.raises(RuntimeError, match="max_iter"):
         cc_star(df, max_iter=1).collect()
+
+
+def test_sssp_frontier_plan_keeps_partial_min(spark):
+    """The per-round relaxation min must stay map-side combinable (a
+    partial HashAggregate before the exchange) through the delta-frontier
+    rewrite, and the frontier split must not plan a cartesian product."""
+    from data_engineering_assignment_spark import plans
+    from data_engineering_assignment_spark.operators.graphs import sssp_rounds
+
+    wedges = [(1, 2, 1), (2, 3, 1), (3, 4, 1)]
+    edges = spark.createDataFrame(wedges, "u long, v long, w long")
+    src = spark.createDataFrame([(1,)], "node long")
+    df = sssp_rounds(edges, src, rounds=2)
+    assert plans.has_partial_aggregation(df)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
