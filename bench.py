@@ -238,6 +238,9 @@ HEADLINE = [
     "video_frame_sample_stats",
     # favicon (ICO) codec gate (oracle-gated)
     "ico_decode_stats",
+    # round-10: perceptual image dedup — pHash + exact banded Hamming
+    # pairs over planted near-dup BMPs (oracle-gated)
+    "image_phash_pairs",
 ]
 
 

@@ -1,0 +1,123 @@
+"""Perceptual image hashes (pHash / dHash) for near-duplicate IMAGE
+dedup — the multimodal analog of the text SimHash path (operators/
+dedup.py simhash_band_pairs). The reference has no image dedup
+(its image route stops at color analytics, Assignment-python.py:710);
+this is an additive operator in the LLM-training-data set: crawled
+image corpora are full of re-encodes, brightness/contrast tweaks and
+resizes of the same picture, which byte-level exact dedup misses.
+
+pHash (Zauner 2010, "Implementation and Benchmarking of Perceptual
+Image Hash Functions"): grayscale → area-downsample to 32x32 → 2D
+DCT-II → top-left 8x8 low-frequency block → threshold each AC
+coefficient against their median → 63-bit fingerprint. Two images
+within a few bit flips are near-duplicates; pairs are generated at
+corpus scale by the EXACT bit-band LSH already proven for SimHash
+(pigeonhole: radius r needs r+1 bands — zero recall loss).
+
+Exactness-by-construction (what makes the catalog gate deterministic):
+
+* grayscale is the INTEGER BT.601 luma ``299R + 587G + 114B`` (x1000
+  scale, no division);
+* when the image divides 32 evenly the 32x32 downsample is an exact
+  integer BLOCK SUM (never a float mean), and each cell is centered as
+  ``N*b - S`` (N = 1024 cells, S = total) — still integer, so a global
+  brightness shift (+c on every channel adds a constant per cell)
+  cancels EXACTLY before any float appears;
+* a 2x pixel-replication upscale multiplies every block sum by
+  exactly 4 — a power of two, so the float DCT, the median and every
+  comparison scale bit-exactly and the hash is IDENTICAL.
+
+The DCT basis matrix uses libm cos at import time — fine here because
+no SQL oracle ever recomputes a hash (the repo's no-transcendentals
+rule is about cross-ENGINE value parity); hashes only need to be
+self-consistent within the Spark session, and the catalog gate's
+oracle predicts PAIRS arithmetically from planted-duplicate structure,
+not hash values.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_N = 32  # downsample grid
+
+
+def _dct_rows(k: int, n: int = _N) -> np.ndarray:
+    """First ``k`` rows of the n-point DCT-II basis (orthonormality
+    irrelevant: thresholding against the median is scale-invariant)."""
+    j = np.arange(n, dtype=np.float64)
+    u = np.arange(k, dtype=np.float64)[:, None]
+    return np.cos(np.pi * u * (2.0 * j + 1.0) / (2.0 * n))
+
+
+_D8 = _dct_rows(8)  # (8, 32): C = _D8 @ X @ _D8.T is the low-freq block
+
+
+def gray_scaled(frame: np.ndarray) -> np.ndarray:
+    """(h, w, 4) uint8 BGRA -> int64 luma x1000 (exact, alpha ignored)."""
+    f = frame.astype(np.int64)
+    return 299 * f[:, :, 2] + 587 * f[:, :, 1] + 114 * f[:, :, 0]
+
+
+def _grid(gray: np.ndarray, n: int) -> np.ndarray:
+    """Downsample int64 luma to (n, n): exact integer block SUMS when the
+    shape divides n (the invariance-critical path), float area-mean
+    otherwise (production images of arbitrary size; no exactness claim).
+    A sum instead of a mean is a constant positive scale per image, which
+    the median thresholding cancels."""
+    h, w = gray.shape
+    if h % n == 0 and w % n == 0:
+        bh, bw = h // n, w // n
+        return gray.reshape(n, bh, n, bw).sum(axis=(1, 3))
+    ys = np.linspace(0.0, h, n + 1)
+    xs = np.linspace(0.0, w, n + 1)
+    csum = np.zeros((h + 1, w + 1), np.float64)
+    csum[1:, 1:] = gray.astype(np.float64).cumsum(0).cumsum(1)
+
+    def _interp(c: np.ndarray, pos: np.ndarray, axis: int) -> np.ndarray:
+        lo = np.clip(pos.astype(np.int64), 0, c.shape[axis] - 1)
+        hi = np.clip(lo + 1, 0, c.shape[axis] - 1)
+        t = pos - lo
+        a = np.take(c, lo, axis=axis)
+        b = np.take(c, hi, axis=axis)
+        return a + (b - a) * (t.reshape(-1, 1) if axis == 0 else t)
+
+    # bilinear interpolation of the integral image at fractional block
+    # corners = exact area sums over fractional-boundary blocks
+    cy = _interp(csum, ys, 0)
+    cxy = _interp(cy, xs, 1)
+    return cxy[1:, 1:] - cxy[:-1, 1:] - cxy[1:, :-1] + cxy[:-1, :-1]
+
+
+def phash63(frame: np.ndarray) -> int:
+    """63-bit perceptual hash of one (h, w, 4) BGRA frame (see module
+    docstring). Bit i = (AC coefficient i > median of the 63 ACs), scan
+    order over the 8x8 low-frequency block minus DC."""
+    g = _grid(gray_scaled(frame), _N)
+    if g.dtype == np.int64:
+        centered = (g.size * g - g.sum()).astype(np.float64)
+    else:
+        centered = g - g.mean()
+    coef = _D8 @ centered @ _D8.T
+    ac = coef.ravel()[1:]  # DC is exactly 0 after centering; drop it
+    med = np.median(ac)  # 63 values -> the exact middle order stat
+    bits = ac > med
+    return _pack(bits)
+
+
+def dhash64(frame: np.ndarray) -> int:
+    """64-bit difference hash: 8x8 luma grid, bit = cell < its right
+    neighbor (wrapping at the row end so the grid stays 8x8 and the
+    integer block-sum exactness path applies to sizes divisible by 8;
+    the classic 9x8 grid forces fractional blocks on most sizes)."""
+    g = _grid(gray_scaled(frame), 8)
+    nxt = np.roll(g, -1, axis=1)
+    return _pack((g < nxt).ravel())
+
+
+def _pack(bits: np.ndarray) -> int:
+    """bit i -> 2^i, endianness-independent; results stay under 2^63 for
+    <= 63 bits, and the 64-bit dhash packs into an unsigned value the
+    caller may store in a signed long via the two's-complement view."""
+    val = int((bits.astype(np.uint64) << np.arange(len(bits), dtype=np.uint64)).sum())
+    return val if val < (1 << 63) else val - (1 << 64)

@@ -1,0 +1,75 @@
+"""Perceptual image dedup: pHash/dHash fingerprints over binary media
+columns + banded Hamming pair generation — the multimodal analog of the
+text SimHash path. The reference's image route stops at color analytics
+(Assignment-python.py:654-661,710); near-duplicate IMAGE detection is
+additive LLM-pipeline surface (crawled image corpora are full of
+re-encodes, brightness tweaks and resizes of the same picture that
+byte-exact dedup misses).
+
+Scale shape: hashing is an Arrow-batched mapInPandas pass (per-row numpy
+DCT, embarrassingly parallel, zero shuffle — the codec-gate class);
+pair generation reuses :func:`operators.dedup.simhash_band_pairs`
+verbatim, so the 100 TB discipline is inherited: exact pigeonhole
+bit-band LSH (radius r needs r+1 bands, zero recall loss), SHUFFLE_HASH
+on both self-join sides (never broadcast the corpus), one
+``bit_count(xor)`` verify on candidates.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ..functions.multimodal import decode_any
+from ..functions.phash import dhash64, phash63
+from .dedup import simhash_band_pairs
+
+
+def image_hashes(
+    df: DataFrame, content_col: str = "content", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, phash, dhash, hash_ok) per media row: decode the binary column
+    (any supported codec via decode_any) and fingerprint the FIRST frame.
+    Undecodable rows survive with hash_ok = false and NULL hashes — the
+    dead-letter discipline, never a dropped row."""
+    schema = f"{id_col} long, phash long, dhash long, hash_ok boolean"
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, content in zip(pdf[id_col], pdf[content_col]):
+                try:
+                    frames, _ = decode_any(bytes(content))
+                    rows.append(
+                        (int(did), phash63(frames[0]), dhash64(frames[0]), True)
+                    )
+                except Exception:
+                    rows.append((int(did), None, None, False))
+            yield pd.DataFrame(
+                rows, columns=[id_col, "phash", "dhash", "hash_ok"]
+            )
+
+    return df.mapInPandas(mapper, schema)
+
+
+def image_phash_pairs(
+    hashes: DataFrame,
+    radius: int = 2,
+    bands: int = 3,
+    id_col: str = "doc_id",
+    materialize: bool = True,
+) -> DataFrame:
+    """EXACT Hamming-ball near-duplicate image pairs over 63-bit pHashes
+    (doc_a, doc_b, hamming), hamming <= radius, doc_a < doc_b. Delegates
+    to the proven SimHash band machinery with bits=63."""
+    return simhash_band_pairs(
+        hashes.filter("hash_ok").select(id_col, "phash"),
+        bits=63,
+        bands=bands,
+        radius=radius,
+        id_col=id_col,
+        fp_col="phash",
+        materialize=materialize,
+    )

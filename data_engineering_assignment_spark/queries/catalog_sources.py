@@ -1473,3 +1473,77 @@ def image_format_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("image.mode").cast("int").alias("mode"),
         F.md5("image.data").alias("data_md5"),
     )
+
+
+_PHASH_PAIRS_ORACLE = """
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, 0::BIGINT AS hamming
+FROM documents a JOIN documents b
+  ON a.doc_id // 3 = b.doc_id // 3 AND a.doc_id < b.doc_id
+"""
+
+
+@register(
+    "image_phash_pairs",
+    oracle=_PHASH_PAIRS_ORACLE,
+    doc="Perceptual near-duplicate IMAGE dedup gate (functions/phash.py "
+    "pHash: 32x32 luma -> DCT -> median-thresholded 8x8 low-freq block; "
+    "operators/imagehash.py; additive vs the reference, whose image route "
+    "stops at color analytics, Assignment-python.py:654-661,710). Every "
+    "document triple doc_id//3 becomes one planted duplicate GROUP of "
+    "three real BMPs: a 32x32 md5-pixel base, a brightness-shifted copy "
+    "(+5..24 on every channel, clip-free by construction) and a 2x "
+    "pixel-replication upscale. The hash is built so both edits are "
+    "EXACT invariances (integer block sums centered as N*b - S kill the "
+    "brightness constant before any float; the 2x upscale scales every "
+    "DCT coefficient by exactly 4, a power of two, so median "
+    "comparisons are bit-identical), hence within-group Hamming is "
+    "exactly 0 and cross-group ~31 (measured min 16 over 19900 group "
+    "pairs), and the oracle enumerates the pair set arithmetically. "
+    "Pairs come from the EXACT pigeonhole bit-band LSH shared with "
+    "simhash_hamming_pairs (radius 2 / 3 bands over 63 bits, "
+    "SHUFFLE_HASH both sides) — the banded scale plan, gated to lose "
+    "nothing vs the planted truth.",
+)
+def image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.multimodal import encode_bmp
+    from ..operators.imagehash import image_hashes
+    from ..operators.imagehash import image_phash_pairs as phash_pairs
+    from ..tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def make(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                group, variant = did // 3, did % 3
+                n = 32 * 32 * 3
+                buf = np.frombuffer(
+                    b"".join(
+                        hashlib.md5(f"{group}-{i}".encode()).digest()
+                        for i in range(n // 16 + 1)
+                    )[:n],
+                    np.uint8,
+                )
+                frame = np.empty((32, 32, 4), np.uint8)
+                frame[:, :, :3] = 20 + (buf.reshape(32, 32, 3) % 196)
+                frame[:, :, 3] = 255
+                if variant == 1:  # brightness shift, clip-free (max 239)
+                    frame = frame.copy()
+                    frame[:, :, :3] += np.uint8(5 + group % 20)
+                elif variant == 2:  # 2x pixel-replication upscale
+                    frame = np.repeat(np.repeat(frame, 2, 0), 2, 1)
+                rows.append((did, encode_bmp(frame, 24)))
+            yield pd.DataFrame(rows, columns=["doc_id", "content"])
+
+    media = docs.mapInPandas(make, "doc_id long, content binary")
+    hashes = image_hashes(media)
+    return phash_pairs(hashes, radius=2, bands=3).select(
+        "doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming")
+    )

@@ -1,0 +1,124 @@
+"""Perceptual image hashing (functions/phash.py, operators/imagehash.py):
+the exactness invariances the catalog gate relies on, banded-pair
+losslessness vs brute force, and the dead-letter path."""
+
+import hashlib
+import itertools
+
+import numpy as np
+import pytest
+
+from data_engineering_assignment_spark.functions.phash import (
+    dhash64,
+    phash63,
+)
+
+
+def _base(group: int, side: int = 32) -> np.ndarray:
+    n = side * side * 3
+    buf = np.frombuffer(
+        b"".join(
+            hashlib.md5(f"{group}-{i}".encode()).digest()
+            for i in range(n // 16 + 1)
+        )[:n],
+        np.uint8,
+    )
+    f = np.empty((side, side, 4), np.uint8)
+    f[:, :, :3] = 20 + (buf.reshape(side, side, 3) % 196)
+    f[:, :, 3] = 255
+    return f
+
+
+def test_phash_brightness_and_upscale_are_exact_invariances():
+    """The two planted edits must hash IDENTICALLY (not merely close) —
+    the catalog oracle's hamming=0 contract."""
+    for g in range(40):
+        base = _base(g)
+        bright = base.copy()
+        bright[:, :, :3] += np.uint8(5 + g % 20)
+        up = np.repeat(np.repeat(base, 2, 0), 2, 1)
+        assert phash63(base) == phash63(bright) == phash63(up)
+        assert dhash64(base) == dhash64(bright) == dhash64(up)
+
+
+def test_phash_separates_distinct_images():
+    hs = [phash63(_base(g)) for g in range(80)]
+    dists = [bin(a ^ b).count("1") for a, b in itertools.combinations(hs, 2)]
+    assert min(dists) > 8  # radius-2 banding has a wide safety margin
+    assert 24 < sum(dists) / len(dists) < 40  # ~31 expected for 63 bits
+
+
+def test_phash_fits_63_bits_and_dhash_is_a_long():
+    for g in range(20):
+        assert 0 <= phash63(_base(g)) < (1 << 63)
+        assert -(1 << 63) <= dhash64(_base(g)) < (1 << 63)
+
+
+def test_phash_float_resize_path_is_deterministic():
+    """Non-multiple-of-32 sizes route through the integral-image area
+    resample; same input -> same hash, and a real edit changes it."""
+    rng = np.random.default_rng(7)
+    f = np.empty((50, 70, 4), np.uint8)
+    f[:, :, :3] = rng.integers(0, 255, (50, 70, 3), dtype=np.uint8)
+    f[:, :, 3] = 255
+    h1 = phash63(f)
+    assert h1 == phash63(f.copy())
+    g = f.copy()
+    g[:25, :35, :3] = 255 - g[:25, :35, :3]  # large structural edit
+    assert bin(h1 ^ phash63(g)).count("1") > 8
+
+
+def test_banded_pairs_lossless_vs_brute_force(spark):
+    """The radius-2 banded plan must recover EXACTLY the brute-force
+    Hamming<=2 pair set over hashes with planted 1- and 2-bit flips."""
+    from data_engineering_assignment_spark.operators.imagehash import (
+        image_phash_pairs,
+    )
+
+    rng = np.random.default_rng(11)
+    hs = {}
+    hid = 0
+    for g in range(25):
+        h = int(rng.integers(0, 1 << 63))
+        hs[hid] = h
+        hid += 1
+        flips = rng.choice(63, size=g % 3, replace=False)  # 0/1/2-bit dups
+        hv = h
+        for b in flips:
+            hv ^= 1 << int(b)
+        hs[hid] = hv
+        hid += 1
+    df = spark.createDataFrame(
+        [(i, h, True) for i, h in hs.items()],  # < 2^63: fits a signed long
+        "doc_id long, phash long, hash_ok boolean",
+    )
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in image_phash_pairs(df, radius=2, bands=3).collect()
+    }
+    want = {
+        (a, b, bin(hs[a] ^ hs[b]).count("1"))
+        for a, b in itertools.combinations(sorted(hs), 2)
+        if bin(hs[a] ^ hs[b]).count("1") <= 2
+    }
+    assert got == want and len(want) >= 15
+
+
+def test_image_hashes_dead_letter(spark):
+    """Undecodable bytes survive as hash_ok=false rows, never dropped."""
+    from data_engineering_assignment_spark.functions.multimodal import (
+        encode_bmp,
+    )
+    from data_engineering_assignment_spark.operators.imagehash import (
+        image_hashes,
+    )
+
+    good = encode_bmp(_base(1), 24)
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(b"not an image"))],
+        "doc_id long, content binary",
+    )
+    rows = {r.doc_id: r for r in image_hashes(df).collect()}
+    assert rows[1].hash_ok and rows[1].phash is not None
+    assert not rows[2].hash_ok and rows[2].phash is None
+    assert rows[1].phash == phash63(_base(1))
