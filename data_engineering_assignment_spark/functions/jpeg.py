@@ -39,9 +39,11 @@ JPEG specification (ITU-T T.81 / ISO 10918-1) for 8-bit precision:
   with EOB runs capped at 1 (a conformant choice that keeps the
   Annex-K-shaped symbol set; the decoder handles arbitrary runs).
 
-12-bit precision and 16-bit quant tables still route through the guarded
-PIL hook (:func:`multimodal.decode_image_pil`); this decoder raises
-``NotImplementedError`` for them rather than guessing.
+16-bit quantization tables (DQT Pq=1) decode natively — accepted with
+8-bit samples the way libjpeg does, though T.81 reserves them for
+12-bit precision. 12-bit sample precision itself still routes through
+the guarded PIL hook (:func:`multimodal.decode_image_pil`); this
+decoder raises ``NotImplementedError`` for it rather than guessing.
 """
 
 from __future__ import annotations
@@ -225,18 +227,29 @@ _DHT_PAYLOAD = (
 )
 
 
-def encode_jpeg_gray(img: np.ndarray, restart_interval: int = 0) -> bytes:
+def encode_jpeg_gray(
+    img: np.ndarray,
+    restart_interval: int = 0,
+    qtable: np.ndarray | None = None,
+) -> bytes:
     """Encode an (h, w) uint8 array as a baseline grayscale JPEG.
 
     ``restart_interval`` > 0 emits a DRI segment and an RSTn marker (with
     DC-predictor reset) every that-many MCUs — the T.81 E.1.4 layout real
-    encoders use for error resilience / parallel decode."""
+    encoders use for error resilience / parallel decode.
+
+    ``qtable`` overrides the Annex K.1 quantization table (8x8 natural
+    order, entries 1..65535); any entry above 255 switches the DQT
+    segment to 16-bit element precision (Pq=1)."""
     img = np.asarray(img, dtype=np.uint8)
     h, w = img.shape
     if not (0 < h < 65536 and 0 < w < 65536):
         raise ValueError("image dims out of JPEG range")
     by, bx = -(-h // 8), -(-w // 8)
     padded = np.pad(img, ((0, by * 8 - h), (0, bx * 8 - w)), mode="edge")
+    q = _QTABLE if qtable is None else np.asarray(qtable, np.int64)
+    if q.shape != (8, 8) or q.min() < 1 or q.max() > 0xFFFF:
+        raise ValueError("JPEG: qtable must be 8x8 with entries 1..65535")
 
     wtr = _BitWriter()
     prev_dc = 0
@@ -250,12 +263,17 @@ def encode_jpeg_gray(img: np.ndarray, restart_interval: int = 0) -> bytes:
                 prev_dc = 0
             prev_dc = _encode_block(
                 wtr, padded[bj * 8 : bj * 8 + 8, bi * 8 : bi * 8 + 8],
-                _QTABLE, prev_dc,
+                q, prev_dc,
             )
             n_done += 1
     wtr.flush()
 
-    zz_q = bytes([0]) + bytes(int(_QTABLE[i, j]) for (i, j) in _ZIGZAG)
+    if q.max() > 255:  # 16-bit element precision (Pq=1)
+        zz_q = bytes([0x10]) + b"".join(
+            struct.pack(">H", int(q[i, j])) for (i, j) in _ZIGZAG
+        )
+    else:
+        zz_q = bytes([0]) + bytes(int(q[i, j]) for (i, j) in _ZIGZAG)
     sof = struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
     sos = bytes([1, 1, 0x00, 0, 63, 0])
     dri = (
@@ -519,9 +537,10 @@ def decode_jpeg(content: bytes) -> np.ndarray:
     marker, and resets every DC predictor. Progressive files (SOF2)
     dispatch to :func:`_decode_progressive` (T.81 Annex G: spectral
     selection, successive approximation, EOB runs). Raises
-    ``NotImplementedError`` for 12-bit precision, 16-bit quant tables,
-    non-interleaved SEQUENTIAL color scans, or component counts other
-    than 1/3 — those route through the PIL hook when available.
+    ``NotImplementedError`` for 12-bit precision, non-interleaved
+    SEQUENTIAL color scans, or component counts other than 1/3 — those
+    route through the PIL hook when available. 16-bit quantization
+    tables (DQT Pq=1) decode natively.
     """
     if content[:2] != b"\xff\xd8":
         raise ValueError("JPEG: missing SOI")
@@ -926,20 +945,29 @@ def encode_jpeg_progressive(
 
 
 def _parse_dqt(payload: bytes, qtables: dict) -> None:
-    """DQT segment → 8x8 natural-order tables (shared by both decoders)."""
+    """DQT segment → 8x8 natural-order tables (shared by both decoders).
+
+    Pq=1 (16-bit big-endian entries) is accepted for 8-bit scans the way
+    libjpeg does — T.81 reserves it for 12-bit precision, but real
+    encoders emit it with 8-bit samples and the dequantize math is
+    precision-independent."""
     p = 0
     while p < len(payload):
         pq, tq = payload[p] >> 4, payload[p] & 0x0F
-        if pq != 0:
-            raise NotImplementedError("JPEG: 16-bit quant tables")
-        if p + 65 > len(payload):
+        if pq not in (0, 1):
+            raise ValueError(f"JPEG: bad DQT element precision {pq}")
+        step = 1 if pq == 0 else 2
+        if p + 1 + 64 * step > len(payload):
             raise ValueError("JPEG: truncated DQT payload")
-        vals = payload[p + 1 : p + 65]
+        if pq == 0:
+            vals = payload[p + 1 : p + 65]
+        else:
+            vals = struct.unpack_from(">64H", payload, p + 1)
         q = np.zeros((8, 8), dtype=np.int32)
         for k, (i, j) in enumerate(_ZIGZAG):
             q[i, j] = vals[k]
         qtables[tq] = q
-        p += 65
+        p += 1 + 64 * step
 
 
 def _parse_dht(payload: bytes, htables: dict) -> None:

@@ -632,7 +632,9 @@ SELECT (8 * (1 + doc_id % 2))::BIGINT AS width,
        COUNT(*) AS n_color_ok,
        SUM(78 + 2 * (doc_id % 50))::BIGINT AS color_val_sum,
        COUNT(*) AS n_prog_ok,
-       SUM(68 + 2 * (doc_id % 60))::BIGINT AS prog_val_sum
+       SUM(68 + 2 * (doc_id % 60))::BIGINT AS prog_val_sum,
+       COUNT(*) AS n_q16_ok,
+       SUM(32 + 32 * (doc_id % 7))::BIGINT AS q16_val_sum
 FROM documents
 GROUP BY 1
 """
@@ -656,10 +658,14 @@ GROUP BY 1
     "(SOF2, Annex G: DC+band first scans at Al=1 plus refinements to "
     "Al=0) and decodes it through the same dispatch — exact for the same "
     "arithmetic reason, and gating the multi-scan accumulation path in "
-    "production. AC-rich, padded and chroma-rich images are covered by "
-    "the committed jg_*/jc_*/jgp_*/jcp_*.jpg fixtures (filename pins "
-    "dims + decoded mean) and round-trip + coefficient-property unit "
-    "tests.",
+    "production. A FOURTH leg re-encodes with an all-256 quantization "
+    "table — entries above 255 force 16-BIT DQT element precision "
+    "(Pq=1, decoded natively since round 10) — at value 32 + 32*(id%7), "
+    "whose level-shifted DC is divisible by 32 and so survives q_dc=256 "
+    "exactly; a low-byte DQT misparse could not reproduce it. AC-rich, "
+    "padded and chroma-rich images are covered by the committed "
+    "jg_*/jc_*/jgp_*/jcp_*.jpg fixtures (filename pins dims + decoded "
+    "mean) and round-trip + coefficient-property unit tests.",
 )
 def jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
@@ -675,6 +681,7 @@ def jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents").select("doc_id")
     subsamplings = ("444", "422", "420")
+    _Q256 = np.full((8, 8), 256, np.int64)  # >255 forces the Pq=1 DQT
 
     def roundtrip(batches):
         for pdf in batches:
@@ -714,16 +721,32 @@ def jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     p = (pok, int(pframes[0, 0, 0, 0]))
                 except Exception:
                     p = (False, 0)
-                rows.append(g + c + p)
+                qv = 32 + 32 * (int(did) % 7)
+                qenc = encode_jpeg_gray(
+                    np.full((8, w), qv, np.uint8), qtable=_Q256
+                )
+                try:
+                    qframes, _ = decode_any(qenc)
+                    qok = bool(
+                        (qframes[0, :, :, :3] == qv).all()
+                        and qframes.shape[1:3] == (8, w)
+                    )
+                    q = (qok, int(qframes[0, 0, 0, 0]))
+                except Exception:
+                    q = (False, 0)
+                rows.append(g + c + p + q)
             yield pd.DataFrame(
                 rows,
-                columns=["width", "ok", "val", "cok", "cval", "pok", "pval"],
+                columns=[
+                    "width", "ok", "val", "cok", "cval", "pok", "pval",
+                    "qok", "qval",
+                ],
             )
 
     decoded = docs.mapInPandas(
         roundtrip,
         "width int, ok boolean, val int, cok boolean, cval int,"
-        " pok boolean, pval int",
+        " pok boolean, pval int, qok boolean, qval int",
     )
     return decoded.groupBy(F.col("width").cast("long").alias("width")).agg(
         F.count(F.lit(1)).alias("n_imgs"),
@@ -733,6 +756,8 @@ def jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("cval").cast("long")).alias("color_val_sum"),
         F.sum(F.col("pok").cast("int")).cast("long").alias("n_prog_ok"),
         F.sum(F.col("pval").cast("long")).alias("prog_val_sum"),
+        F.sum(F.col("qok").cast("int")).cast("long").alias("n_q16_ok"),
+        F.sum(F.col("qval").cast("long")).alias("q16_val_sum"),
     )
 
 

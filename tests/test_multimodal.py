@@ -1457,3 +1457,72 @@ def test_bmp_rle_out_of_bounds_is_value_error():
     # a well-formed stream still decodes
     d, _ = decode_bmp(rle_bmp(bytes([2, 1, 0, 0, 2, 0, 0, 1])))
     assert d.shape == (1, 2, 2, 4)
+
+
+def test_jpeg_16bit_quant_tables_decode_natively():
+    """DQT Pq=1 (16-bit big-endian entries): (1) with entries <= 255 the
+    decode is bit-identical to the 8-bit-precision twin of the SAME
+    table; (2) an entry above 255 (all-256 table) is actually USED by the
+    dequantizer — a flat image with level-shifted DC divisible by 32
+    survives q_dc=256 exactly, which a low-byte misparse (256 & 0xFF = 0
+    or 1) could not reproduce."""
+    import numpy as np
+
+    from data_engineering_assignment_spark.functions.jpeg import (
+        _QTABLE,
+        decode_jpeg,
+        encode_jpeg_gray,
+    )
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (16, 24), dtype=np.uint8)
+    # same table values, both element precisions -> same entropy data and
+    # identical decode (the 0x10 Pq nibble is the only byte-level change)
+    q8 = np.asarray(_QTABLE)
+    enc8 = encode_jpeg_gray(img, qtable=q8)
+    # hand-build the 16-bit twin: same values, Pq=1 encoding
+    import struct as _struct
+
+    from data_engineering_assignment_spark.functions.jpeg import _ZIGZAG
+
+    zz8 = bytes([0]) + bytes(int(q8[i, j]) for (i, j) in _ZIGZAG)
+    zz16 = bytes([0x10]) + b"".join(
+        _struct.pack(">H", int(q8[i, j])) for (i, j) in _ZIGZAG
+    )
+    seg8 = b"\xff\xdb" + _struct.pack(">H", len(zz8) + 2) + zz8
+    seg16 = b"\xff\xdb" + _struct.pack(">H", len(zz16) + 2) + zz16
+    assert seg8 in enc8
+    enc16b = enc8.replace(seg8, seg16)
+    assert np.array_equal(decode_jpeg(enc8), decode_jpeg(enc16b))
+
+    # >255 entries: flat v with (v-128) % 32 == 0 survives q=256 exactly
+    q256 = np.full((8, 8), 256, np.int64)
+    for v in (32, 96, 128, 160, 224):
+        enc = encode_jpeg_gray(np.full((8, 16), v, np.uint8), qtable=q256)
+        assert enc[enc.find(b"\xff\xdb") + 4] == 0x10  # Pq=1 on the wire
+        assert (decode_jpeg(enc) == v).all(), v
+
+
+def test_jpeg_qtable_validation():
+    import numpy as np
+    import pytest as _pytest
+
+    from data_engineering_assignment_spark.functions.jpeg import (
+        encode_jpeg_gray,
+    )
+
+    img = np.zeros((8, 8), np.uint8)
+    with _pytest.raises(ValueError, match="qtable"):
+        encode_jpeg_gray(img, qtable=np.zeros((8, 8), np.int64))  # 0 entry
+    with _pytest.raises(ValueError, match="qtable"):
+        encode_jpeg_gray(img, qtable=np.full((4, 4), 16, np.int64))
+    with _pytest.raises(ValueError, match="truncated DQT"):
+        from data_engineering_assignment_spark.functions.jpeg import (
+            decode_jpeg,
+        )
+
+        good = encode_jpeg_gray(img, qtable=np.full((8, 8), 256, np.int64))
+        at = good.find(b"\xff\xdb")
+        # shrink the 16-bit DQT segment so the 128 value bytes overrun it
+        bad = good[: at + 2] + b"\x00\x43" + good[at + 4 :]
+        decode_jpeg(bad)
