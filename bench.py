@@ -241,6 +241,29 @@ HEADLINE = [
     # round-10: perceptual image dedup — pHash + exact banded Hamming
     # pairs over planted near-dup BMPs (oracle-gated)
     "image_phash_pairs",
+    # round-10 headline audit: every catalog query is now either benched
+    # here or listed with a reason in BASELINE.md's exclusion table
+    # (scripts/update_baseline.py EXCLUDED; contract-tested). These 19
+    # are real user-facing queries that had no standing perf record.
+    "distinct_status_priority",
+    "top_priority_null_count",
+    "null_handling_metrics",
+    "metrics_union",
+    "doc_path_format",
+    "quality_by_source",
+    "cross_source_dup_matrix",
+    "events_sliding_10m_5m",
+    "label_centroids",
+    "jsonl_media_groups",
+    "binary_media_inventory",
+    "csv_sales_publisher_year",
+    "jpeg_decode_stats",
+    "cms_token_counts",
+    "hybrid_retrieval_rrf",
+    "nation_name_fuzzy",
+    "weighted_median_price",
+    "dedup_ngram_jaccard",
+    "doc_simhash",
 ]
 
 

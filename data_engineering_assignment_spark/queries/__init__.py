@@ -40,83 +40,67 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # whose implementation changed this round (a green history does not cover
 # new code), then queries whose last green row is oldest.
 #
-# Round-9 head (catalog = 189): entering the round the driver had checked
-# 172/176 at least once; the only never-checked queries are the four
-# end-of-r8 additions (kmv_distinct_users, hll_distinct_portable,
-# user_value_ewma, winsorized_value_stats — each oracle-rehearsed locally
-# at sf0.001 AND sf0.01, per the r8 verdict's top item they lead the
-# head), plus the thirteen round-9 queries (png_profile_stats,
-# dedup_clusters_star, gif_decode_stats, user_value_theilsen,
-# bmp_decode_stats, tiff_decode_stats, adpcm_audio_stats,
-# part_distance_sssp, jpeg_exif_stats, avi_video_stats,
-# media_resize_stats, video_frame_sample_stats, ico_decode_stats —
-# never checked) and png_decode_stats (implementation changed this
-# round: the PNG codec was rewritten for the full legal profile).
-# After them, strict age order: 31 of the 35 queries whose last green
-# row is r5 (the displaced four — event_interarrival_stats,
-# nation_revenue_share, referential_integrity_audit, lang_source_chisq —
-# front the r10 head with the 40 r6-checked queries) — and the final
-# slot goes to ml_energy_report (r6) so the head spans catalog_ml
-# (module-coverage contract).
+# Round-10 head (catalog = 190): entering the round every query had been
+# driver-checked at least once (r1-r9 union) with zero standing failures.
+# Order: the one never-checked round-10 addition (image_phash_pairs);
+# four queries whose implementation changed this round (jpeg_decode_stats
+# grew the 16-bit-DQT leg, part_distance_sssp was rewritten to the delta
+# frontier, dedup_clusters_star's cc_star gained the convergence guard,
+# dedup_ngram_jaccard's shingle checkpoint went lazy); the four oldest
+# queries (last green r5); the whole r6 cohort (38); then the oldest r7
+# queries, with the last slot going to ml_eval_metrics (r7) so the head
+# spans catalog_ml (module-coverage contract).
 DRIVER_SAMPLE_HEAD: tuple[str, ...] = (
-    # never driver-checked (end-of-r8 additions + the new full-profile
-    # PNG gate)
-    "kmv_distinct_users",
-    "hll_distinct_portable",
-    "user_value_ewma",
-    "winsorized_value_stats",
-    "png_profile_stats",
-    "dedup_clusters_star",
-    "gif_decode_stats",
-    "user_value_theilsen",
-    "bmp_decode_stats",
-    "tiff_decode_stats",
-    "adpcm_audio_stats",
+    "image_phash_pairs",
+    "jpeg_decode_stats",
     "part_distance_sssp",
-    "jpeg_exif_stats",
-    "avi_video_stats",
-    "media_resize_stats",
-    "video_frame_sample_stats",
-    "ico_decode_stats",
-    # implementation changed this round (decode_png/encode_png rewritten
-    # for the full legal profile: Adam7, 16-bit, sub-byte, tRNS forms)
-    "png_decode_stats",
-    # last checked r5 (31 of 35; event_interarrival_stats,
-    # nation_revenue_share, referential_integrity_audit and
-    # lang_source_chisq displaced to the r10 head by the round-9 additions)
-    "pricing_summary",
-    "nation_rank_top2",
-    "distinct_status_priority",
-    "embedding_near_dup",
-    "embedding_quantize_stats",
+    "dedup_clusters_star",
     "dedup_ngram_jaccard",
-    "doc_simhash",
-    "doc_regex_tokens",
-    "top_tokens_per_lang",
-    "docs_hash_sample",
-    "data_mix_by_source",
-    "seq_packing",
-    "training_corpus_build",
-    "repetition_stats",
-    "events_hourly",
-    "event_transitions",
-    "user_retention_cohorts",
-    "purchase_asof_last_click",
-    "plusminus_top_by_role",
-    "wav_audio_stats",
-    "doc_tfidf_top_terms",
-    "orders_profile",
-    "vocab_top64",
-    "vocab_encode_stats",
-    "user_state_scd2",
-    "orders_cdc_apply",
-    "user_event_type_sets",
-    "nation_presence_full_outer",
-    "events_anomaly_zscore",
-    "order_price_histogram",
-    "median_price_by_priority",
-    # last checked r6; keeps catalog_ml in the head (module-coverage contract)
-    "ml_energy_report",
+    "event_interarrival_stats",
+    "lang_source_chisq",
+    "nation_revenue_share",
+    "referential_integrity_audit",
+    "bm25_topk",
+    "corpus_boilerplate_3gram",
+    "cosine_topk",
+    "cosine_topk_ivf",
+    "cosine_topk_lsh",
+    "customer_year_setops",
+    "dedup_clusters_jaccard",
+    "dedup_clusters_lsh",
+    "dedup_exact",
+    "dedup_lsh_portable",
+    "dedup_minhash_lsh",
+    "dedup_survivors",
+    "doc_dup_span_stats",
+    "doc_normalized_fingerprint",
+    "doc_path_format",
+    "doc_rolling_hash",
+    "doc_simhash_portable",
+    "doc_token_stats",
+    "docs_stratified_sample",
+    "event_props_variant",
+    "event_value_trend",
+    "events_gapfill_5m",
+    "events_pivot_by_type",
+    "events_trailing_hour_sum",
+    "events_tumbling_10m",
+    "ivf_recall_telemetry",
+    "jsonl_media_groups",
+    "league_table",
+    "lsh_recall_telemetry",
+    "nation_name_fuzzy",
+    "order_ship_lag_30d",
+    "orders_cube",
+    "pii_redaction",
+    "quality_by_source",
+    "supplier_stats_salted",
+    "user_purchase_totals",
+    "value_quantiles_by_type",
+    "weighted_median_price",
+    "above_nation_avg_customers",
+    "approx_distinct_users_rollup",
+    "ml_eval_metrics",
 )
 
 

@@ -56,3 +56,30 @@ def test_catalog_query_builds_and_runs(spark, sf_dir, name):
     # schema must be resolvable and the plan executable at tiny scale
     assert df.columns
     df.limit(5).collect()
+
+
+def test_every_catalog_query_is_benched_or_excluded():
+    """Headline-set audit contract (round 10): a catalog query either has
+    a standing bench entry (bench.py HEADLINE) or a documented reason in
+    the BASELINE.md exclusion table (update_baseline.py EXCLUDED) —
+    silent perf-coverage gaps are how regressions hide."""
+    import importlib.util
+    import re
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[1]
+    bench_src = (root / "bench.py").read_text()
+    head = set(
+        re.findall(r'"([^"]+)"', re.search(r"HEADLINE = \[(.*?)\]", bench_src, re.S).group(1))
+    )
+    spec = importlib.util.spec_from_file_location(
+        "update_baseline", root / "scripts" / "update_baseline.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    excluded = set(mod.EXCLUDED)
+    catalog = set(load_catalog())
+    assert head <= catalog, sorted(head - catalog)
+    assert not (head & excluded), sorted(head & excluded)
+    uncovered = catalog - head - excluded
+    assert not uncovered, sorted(uncovered)
