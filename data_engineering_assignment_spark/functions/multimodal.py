@@ -432,35 +432,52 @@ def decode_bmp(content: bytes) -> tuple[np.ndarray, dict]:
     """Dependency-free Windows BMP decode → one uint8 BGRA frame.
 
     Covers the DIB profiles a crawl actually contains: BITMAPINFOHEADER
-    (or later headers with the same leading fields), 1/4/8-bit paletted,
-    24-bit BGR and 32-bit BGRA, BI_RGB (uncompressed) and RLE8, bottom-up
-    AND top-down row order, 4-byte row padding. Palette entries are BGRX;
-    sub-byte indices unpack MSB-first. 32-bit alpha is honored only when
-    any pixel sets it (the historical 'alpha byte is garbage zero'
-    convention renders opaque, matching viewers)."""
+    (or later headers with the same leading fields), the OS/2
+    BITMAPCOREHEADER (12-byte header, 16-bit dims, 3-byte palette
+    entries, always bottom-up/uncompressed), 1/4/8-bit paletted, 24-bit
+    BGR and 32-bit BGRA, BI_RGB (uncompressed) and RLE8, bottom-up AND
+    top-down row order, 4-byte row padding. Palette entries are BGRX
+    (BGR for core headers); sub-byte indices unpack MSB-first. 32-bit
+    alpha is honored only when any pixel sets it (the historical 'alpha
+    byte is garbage zero' convention renders opaque, matching
+    viewers)."""
     import struct as _struct
 
-    if content[:2] != b"BM" or len(content) < 54:
+    if content[:2] != b"BM" or len(content) < 26:
         raise ValueError("not a BMP: bad signature or truncated header")
     (data_off,) = _struct.unpack_from("<I", content, 10)
     (hdr_size,) = _struct.unpack_from("<I", content, 14)
-    if hdr_size < 40:
-        raise NotImplementedError("BMP: BITMAPCOREHEADER (OS/2) not supported")
-    w, h_raw, _planes, bpp, comp = _struct.unpack_from("<iihHI", content, 18)
+    if hdr_size >= 40 and len(content) < 54:
+        raise ValueError("not a BMP: bad signature or truncated header")
+    if hdr_size == 12:
+        # OS/2 BITMAPCOREHEADER: 16-bit dims, always bottom-up and
+        # uncompressed, 3-byte RGBTRIPLE palette entries
+        w, h_raw, _planes, bpp = _struct.unpack_from("<hhHH", content, 18)
+        comp, core = 0, True
+    elif hdr_size < 40:
+        raise NotImplementedError(f"BMP: header size {hdr_size} not supported")
+    else:
+        w, h_raw, _planes, bpp, comp = _struct.unpack_from("<iihHI", content, 18)
+        core = False
     top_down = h_raw < 0
     h = -h_raw if top_down else h_raw
     if w <= 0 or h <= 0:
         raise ValueError("BMP: bad dimensions")
-    if bpp not in (1, 4, 8, 24, 32):
+    if bpp not in (1, 4, 8, 24) and not (bpp == 32 and not core):
         raise NotImplementedError(f"BMP: {bpp}-bit pixels not supported")
     if comp not in (0, 1) or (comp == 1 and bpp != 8):
         raise NotImplementedError(f"BMP: compression {comp} not supported")
-    (n_colors,) = _struct.unpack_from("<I", content, 46)
     pal = None
     if bpp <= 8:
-        n = n_colors or (1 << bpp)
         pal_off = 14 + hdr_size
-        pal = np.frombuffer(content, np.uint8, 4 * n, pal_off).reshape(n, 4)
+        if core:
+            n = 1 << bpp
+            p3 = np.frombuffer(content, np.uint8, 3 * n, pal_off).reshape(n, 3)
+            pal = np.concatenate([p3, np.zeros((n, 1), np.uint8)], axis=1)
+        else:
+            (n_colors,) = _struct.unpack_from("<I", content, 46)
+            n = n_colors or (1 << bpp)
+            pal = np.frombuffer(content, np.uint8, 4 * n, pal_off).reshape(n, 4)
 
     if comp == 1:  # RLE8
         idx = np.zeros((h, w), np.uint8)
@@ -538,12 +555,17 @@ def encode_bmp(
     indices: np.ndarray | None = None,
     top_down: bool = False,
     rle8: bool = False,
+    os2: bool = False,
 ) -> bytes:
     """Fixture generator: serialize either a (h, w, 4) uint8 BGRA frame
     (bpp 24/32) or (indices, palette) (bpp 1/4/8, palette (n, 3) BGR) as a
-    BITMAPINFOHEADER BMP; ``rle8`` run-length-encodes the 8-bit form."""
+    BITMAPINFOHEADER BMP; ``rle8`` run-length-encodes the 8-bit form.
+    ``os2`` emits the 12-byte BITMAPCOREHEADER form instead (bpp 1/4/8/24,
+    FULL 2^bpp 3-byte palette, bottom-up, uncompressed only)."""
     import struct as _struct
 
+    if os2 and (bpp == 32 or rle8 or top_down):
+        raise ValueError("BMP: OS/2 core headers are 1/4/8/24-bit, bottom-up, uncompressed")
     if bpp in (24, 32):
         h, w = frame.shape[:2]
         stride = (w * bpp + 31) // 32 * 4
@@ -560,9 +582,16 @@ def encode_bmp(
             raise ValueError("paletted BMP needs indices + palette")
         h, w = indices.shape
         n_pal = len(palette)
-        pal_bytes = b"".join(
-            bytes([b, g, r, 0]) for b, g, r in np.asarray(palette, np.uint8)
-        )
+        if os2:
+            # core headers carry no n_colors field: always 2^bpp 3-byte rows
+            full = np.zeros((1 << bpp, 3), np.uint8)
+            full[:n_pal] = np.asarray(palette, np.uint8)
+            n_pal = len(full)
+            pal_bytes = b"".join(bytes([b, g, r]) for b, g, r in full)
+        else:
+            pal_bytes = b"".join(
+                bytes([b, g, r, 0]) for b, g, r in np.asarray(palette, np.uint8)
+            )
         order = range(h) if top_down else range(h - 1, -1, -1)
         if rle8:
             if bpp != 8:
@@ -596,21 +625,25 @@ def encode_bmp(
                     bits = np.pad(bits, (0, pad))
                     line = np.packbits(bits.astype(np.uint8)).tobytes()
                 body += line + b"\x00" * (stride - len(line))
-    data_off = 14 + 40 + len(pal_bytes)
-    info = _struct.pack(
-        "<IiihHIIiiII",
-        40,
-        w,
-        -h if top_down else h,
-        1,
-        bpp,
-        1 if rle8 else 0,
-        len(body),
-        2835,
-        2835,
-        n_pal,
-        0,
-    )
+    if os2:
+        data_off = 14 + 12 + len(pal_bytes)
+        info = _struct.pack("<IhhHH", 12, w, h, 1, bpp)
+    else:
+        data_off = 14 + 40 + len(pal_bytes)
+        info = _struct.pack(
+            "<IiihHIIiiII",
+            40,
+            w,
+            -h if top_down else h,
+            1,
+            bpp,
+            1 if rle8 else 0,
+            len(body),
+            2835,
+            2835,
+            n_pal,
+            0,
+        )
     header = _struct.pack(
         "<2sIHHI", b"BM", data_off + len(body), 0, 0, data_off
     )
@@ -828,7 +861,8 @@ def decode_any(content: bytes) -> tuple[np.ndarray, dict]:
         from .gif import decode_gif
 
         return decode_gif(content)
-    if content[:2] == b"BM" and len(content) >= 54:
+    if content[:2] == b"BM" and len(content) >= 26:
+        # 26 = file header + OS/2 BITMAPCOREHEADER, the smallest valid DIB
         return decode_bmp(content)
     if content[:4] in (b"II*\x00", b"MM\x00*"):
         from .tiff import decode_tiff

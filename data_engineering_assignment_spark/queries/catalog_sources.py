@@ -453,7 +453,9 @@ SELECT (3 + doc_id % 9)::BIGINT AS width,
        COUNT(*) AS n_bmps,
        COUNT(*) AS n_ok,
        SUM(doc_id % 256)::BIGINT AS val24_sum,
-       SUM(17 * (doc_id % 16))::BIGINT AS val_rle_sum
+       SUM(17 * (doc_id % 16))::BIGINT AS val_rle_sum,
+       COUNT(*) AS n_os2_ok,
+       SUM((doc_id + 1) % 256)::BIGINT AS val_os2_sum
 FROM documents
 GROUP BY 1
 """
@@ -468,10 +470,15 @@ GROUP BY 1
     "becomes TWO real BMPs — a 24-bit gradient (row order alternating "
     "bottom-up/top-down by doc_id, exercising the flip) and an RLE8 "
     "paletted file — decoded through decode_any's magic dispatch and "
-    "verified full-frame in-row. The two value columns are decoded "
-    "pixels with pure doc_id arithmetic expectations, putting row order, "
-    "4-byte stride padding, palette lookup and RLE run decode under the "
-    "oracle hash.",
+    "verified full-frame in-row. A THIRD leg (round 10) re-encodes the "
+    "gradient as an OS/2 BITMAPCOREHEADER file (12-byte header, 16-bit "
+    "dims, 3-byte palette rows — previously a guarded "
+    "NotImplementedError) and requires full-frame equality with the "
+    "BITMAPINFOHEADER decode; its value column reads pixel (0,1).B = "
+    "(doc_id+1)%256 so a core-header stride/offset misparse breaks the "
+    "hash. The value columns are decoded pixels with pure doc_id "
+    "arithmetic expectations, putting row order, 4-byte stride padding, "
+    "palette lookup and RLE run decode under the oracle hash.",
 )
 def bmp_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
@@ -518,17 +525,29 @@ def bmp_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     vrle = int(drle[0, 0, 0, 2])
                 except Exception:
                     ok, v24, vrle = False, 0, 0
-                rows.append((w, ok, v24, vrle))
-            yield pd.DataFrame(rows, columns=["width", "ok", "v24", "vrle"])
+                try:
+                    dos2, _ = decode_any(encode_bmp(frame, 24, os2=True))
+                    os2ok = bool(np.array_equal(dos2[0], exp24))
+                    vos2 = int(dos2[0, 0, 1, 0])  # (0,1).B = (did+1)%256
+                except Exception:
+                    os2ok, vos2 = False, 0
+                rows.append((w, ok, v24, vrle, os2ok, vos2))
+            yield pd.DataFrame(
+                rows,
+                columns=["width", "ok", "v24", "vrle", "os2ok", "vos2"],
+            )
 
     decoded = docs.mapInPandas(
-        roundtrip, "width int, ok boolean, v24 int, vrle int"
+        roundtrip,
+        "width int, ok boolean, v24 int, vrle int, os2ok boolean, vos2 int",
     )
     return decoded.groupBy(F.col("width").cast("long").alias("width")).agg(
         F.count(F.lit(1)).alias("n_bmps"),
         F.sum(F.col("ok").cast("int")).cast("long").alias("n_ok"),
         F.sum(F.col("v24").cast("long")).alias("val24_sum"),
         F.sum(F.col("vrle").cast("long")).alias("val_rle_sum"),
+        F.sum(F.col("os2ok").cast("int")).cast("long").alias("n_os2_ok"),
+        F.sum(F.col("vos2").cast("long")).alias("val_os2_sum"),
     )
 
 
@@ -684,12 +703,26 @@ def jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     _Q256 = np.full((8, 8), 256, np.int64)  # >255 forces the Pq=1 DQT
 
     def roundtrip(batches):
+        # fixture-encode memo (the avi_video_stats discipline): every leg's
+        # bytes depend on did only through small moduli — 120 gray, 300
+        # color, 120 progressive and 14 q16 distinct files vs 4 pure-Python
+        # encodes per row. The gated DECODE still runs per row.
+        memo: dict = {}
+
+        def enc_memo(key, build):
+            if key not in memo:
+                memo[key] = build()
+            return memo[key]
+
         for pdf in batches:
             rows = []
             for did in pdf["doc_id"]:
                 w = 8 * (1 + int(did) % 2)
                 v = 68 + 2 * (int(did) % 60)
-                enc = encode_jpeg_gray(np.full((8, w), v, np.uint8))
+                enc = enc_memo(
+                    ("g", w, v),
+                    lambda: encode_jpeg_gray(np.full((8, w), v, np.uint8)),
+                )
                 try:
                     frames, meta = decode_any(enc)
                     # frames are (1, h, w, 4) BGRA with gray replicated
@@ -697,9 +730,12 @@ def jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 except Exception:
                     g = (w, False, 0)
                 cv = 78 + 2 * (int(did) % 50)
-                cenc = encode_jpeg_color(
-                    np.full((8, w, 3), cv, np.uint8),
-                    subsamplings[int(did) % 3],
+                ss = subsamplings[int(did) % 3]
+                cenc = enc_memo(
+                    ("c", w, cv, ss),
+                    lambda: encode_jpeg_color(
+                        np.full((8, w, 3), cv, np.uint8), ss
+                    ),
                 )
                 try:
                     cframes, _ = decode_any(cenc)
@@ -711,7 +747,12 @@ def jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     c = (ok, int(cframes[0, 0, 0, 0]))
                 except Exception:
                     c = (False, 0)
-                penc = encode_jpeg_progressive(np.full((8, w), v, np.uint8))
+                penc = enc_memo(
+                    ("p", w, v),
+                    lambda: encode_jpeg_progressive(
+                        np.full((8, w), v, np.uint8)
+                    ),
+                )
                 try:
                     pframes, _ = decode_any(penc)
                     pok = bool(
@@ -722,8 +763,11 @@ def jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 except Exception:
                     p = (False, 0)
                 qv = 32 + 32 * (int(did) % 7)
-                qenc = encode_jpeg_gray(
-                    np.full((8, w), qv, np.uint8), qtable=_Q256
+                qenc = enc_memo(
+                    ("q", w, qv),
+                    lambda: encode_jpeg_gray(
+                        np.full((8, w), qv, np.uint8), qtable=_Q256
+                    ),
                 )
                 try:
                     qframes, _ = decode_any(qenc)

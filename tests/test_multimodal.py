@@ -1526,3 +1526,44 @@ def test_jpeg_qtable_validation():
         # shrink the 16-bit DQT segment so the 128 value bytes overrun it
         bad = good[: at + 2] + b"\x00\x43" + good[at + 4 :]
         decode_jpeg(bad)
+
+
+def test_bmp_os2_core_header_roundtrip():
+    """OS/2 BITMAPCOREHEADER (12-byte header, 16-bit dims, 3-byte palette
+    entries): 24-bit and paletted forms decode identically to their
+    BITMAPINFOHEADER twins."""
+    import numpy as np
+
+    from data_engineering_assignment_spark.functions.multimodal import (
+        decode_any,
+        decode_bmp,
+        encode_bmp,
+    )
+
+    rng = np.random.default_rng(9)
+    f = np.empty((5, 7, 4), np.uint8)
+    f[:, :, :3] = rng.integers(0, 255, (5, 7, 3), dtype=np.uint8)
+    f[:, :, 3] = 255
+    core = encode_bmp(f, 24, os2=True)
+    assert core[14:18] == b"\x0c\x00\x00\x00"  # 12-byte header on the wire
+    d_core, meta = decode_bmp(core)
+    d_info, _ = decode_bmp(encode_bmp(f, 24))
+    assert np.array_equal(d_core, d_info) and meta["width"] == 7
+    # decode_any dispatches it too (same BM magic)
+    d_any, _ = decode_any(core)
+    assert np.array_equal(d_any, d_core)
+    # paletted forms, all core depths
+    for bpp in (1, 4, 8):
+        n = 1 << bpp
+        pal = rng.integers(0, 255, (n, 3), dtype=np.uint8)
+        idx = rng.integers(0, n, (6, 5), dtype=np.uint8)
+        got, _ = decode_bmp(encode_bmp(None, bpp, palette=pal, indices=idx, os2=True))
+        want, _ = decode_bmp(encode_bmp(None, bpp, palette=pal, indices=idx))
+        assert np.array_equal(got, want), bpp
+    # invalid os2 knob combinations
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="OS/2"):
+        encode_bmp(f, 32, os2=True)
+    with _pytest.raises(ValueError, match="OS/2"):
+        encode_bmp(f, 24, os2=True, top_down=True)
