@@ -238,9 +238,10 @@ HEADLINE = [
     "video_frame_sample_stats",
     # favicon (ICO) codec gate (oracle-gated)
     "ico_decode_stats",
-    # round-10: perceptual image dedup — pHash + exact banded Hamming
-    # pairs over planted near-dup BMPs (oracle-gated)
+    # round-10: perceptual image/audio dedup — pHash/aphash + exact
+    # banded Hamming pairs over planted near-dup media (oracle-gated)
     "image_phash_pairs",
+    "audio_phash_pairs",
     # round-10 headline audit: every catalog query is now either benched
     # here or listed with a reason in BASELINE.md's exclusion table
     # (scripts/update_baseline.py EXCLUDED; contract-tested). These 19

@@ -1,10 +1,11 @@
-"""Perceptual image hashes (pHash / dHash) for near-duplicate IMAGE
-dedup — the multimodal analog of the text SimHash path (operators/
-dedup.py simhash_band_pairs). The reference has no image dedup
-(its image route stops at color analytics, Assignment-python.py:710);
-this is an additive operator in the LLM-training-data set: crawled
-image corpora are full of re-encodes, brightness/contrast tweaks and
-resizes of the same picture, which byte-level exact dedup misses.
+"""Perceptual media hashes (image pHash / dHash, audio aphash) for
+near-duplicate IMAGE and AUDIO dedup — the multimodal analog of the
+text SimHash path (operators/dedup.py simhash_band_pairs). The
+reference has no media dedup (its image route stops at color
+analytics, Assignment-python.py:710); these are additive operators in
+the LLM-training-data set: crawled media corpora are full of
+re-encodes, brightness/gain tweaks and resizes of the same asset,
+which byte-level exact dedup misses.
 
 pHash (Zauner 2010, "Implementation and Benchmarking of Perceptual
 Image Hash Functions"): grayscale → area-downsample to 32x32 → 2D
@@ -121,3 +122,47 @@ def _pack(bits: np.ndarray) -> int:
     caller may store in a signed long via the two's-complement view."""
     val = int((bits.astype(np.uint64) << np.arange(len(bits), dtype=np.uint64)).sum())
     return val if val < (1 << 63) else val - (1 << 64)
+
+
+def aphash63(samples: np.ndarray) -> int:
+    """63-bit perceptual AUDIO hash — the waveform analog of
+    :func:`phash63` for near-duplicate audio dedup (re-encodes, gain
+    changes and resamples of the same clip that byte-exact dedup misses).
+
+    Mono-mix -> per-sample ENERGY (x^2) -> 32x32 coarse energy-envelope
+    grid (exact block sums when the length divides 1024, float area-mean
+    otherwise) -> 2D DCT -> 8x8 low-frequency block -> each of the 63 AC
+    coefficients thresholded against their median.
+
+    Exactness-by-construction (what makes the catalog gate
+    deterministic): 16-bit PCM decodes to dyadic rationals k/2^15, so
+    x^2 = k^2/2^30 and every block sum is EXACT in float64 (integer
+    numerators < 2^53); a 2x gain change scales every energy by exactly
+    4 and a 2x sample-duplication upsample scales every block sum by
+    exactly 2 — both powers of two, so the float DCT, the median and
+    every comparison scale bit-exactly and the hash is IDENTICAL. A
+    duplicated channel (mono->stereo) mixes back to the identical mono
+    signal ((x + x) / 2 is exact). Energies are non-negative, so no
+    centering is needed for an offset invariance (there is none to
+    plant) and the DC term is simply dropped with the same ac[1:] cut."""
+    if samples.ndim == 2:
+        mono = samples.mean(axis=1)  # (x + x) / 2 exact for dup channels
+    else:
+        mono = samples
+    e = np.asarray(mono, np.float64) ** 2
+    n = e.shape[0]
+    if n >= 1024 and n % 1024 == 0:
+        grid = e.reshape(1024, n // 1024).sum(axis=1).reshape(_N, _N)
+    else:  # arbitrary lengths: fractional-boundary area sums (float path)
+        cs = np.zeros(n + 1, np.float64)
+        cs[1:] = e.cumsum()
+        pos = np.linspace(0.0, n, 1024 + 1)
+        lo = np.clip(pos.astype(np.int64), 0, n)
+        t = pos - lo
+        hi = np.clip(lo + 1, 0, n)
+        vals = cs[lo] + (cs[hi] - cs[lo]) * t
+        grid = (vals[1:] - vals[:-1]).reshape(_N, _N)
+    coef = _D8 @ grid @ _D8.T
+    ac = coef.ravel()[1:]
+    med = np.median(ac)
+    return _pack(ac > med)

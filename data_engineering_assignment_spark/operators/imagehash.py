@@ -1,10 +1,11 @@
-"""Perceptual image dedup: pHash/dHash fingerprints over binary media
-columns + banded Hamming pair generation — the multimodal analog of the
-text SimHash path. The reference's image route stops at color analytics
-(Assignment-python.py:654-661,710); near-duplicate IMAGE detection is
-additive LLM-pipeline surface (crawled image corpora are full of
-re-encodes, brightness tweaks and resizes of the same picture that
-byte-exact dedup misses).
+"""Perceptual media dedup: pHash/dHash image fingerprints and aphash
+audio fingerprints over binary media columns + banded Hamming pair
+generation — the multimodal analog of the text SimHash path. The
+reference's media route stops at color analytics
+(Assignment-python.py:654-661,710); near-duplicate IMAGE/AUDIO
+detection is additive LLM-pipeline surface (crawled media corpora are
+full of re-encodes, gain/brightness tweaks and resizes of the same
+asset that byte-exact dedup misses).
 
 Scale shape: hashing is an Arrow-batched mapInPandas pass (per-row numpy
 DCT, embarrassingly parallel, zero shuffle — the codec-gate class);
@@ -71,5 +72,52 @@ def image_phash_pairs(
         radius=radius,
         id_col=id_col,
         fp_col="phash",
+        materialize=materialize,
+    )
+
+
+def audio_hashes(
+    df: DataFrame, content_col: str = "content", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, aphash, hash_ok) per WAV media row: decode the binary column
+    (any :func:`multimodal.decode_wav` profile) and fingerprint the clip
+    with :func:`phash.aphash63`. Undecodable rows survive with
+    hash_ok = false and a NULL hash — the dead-letter discipline."""
+    from ..functions.multimodal import decode_wav
+    from ..functions.phash import aphash63
+
+    schema = f"{id_col} long, aphash long, hash_ok boolean"
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, content in zip(pdf[id_col], pdf[content_col]):
+                try:
+                    samples, _ = decode_wav(bytes(content))
+                    rows.append((int(did), aphash63(samples), True))
+                except Exception:
+                    rows.append((int(did), None, False))
+            yield pd.DataFrame(rows, columns=[id_col, "aphash", "hash_ok"])
+
+    return df.mapInPandas(mapper, schema)
+
+
+def audio_phash_pairs(
+    hashes: DataFrame,
+    radius: int = 2,
+    bands: int = 3,
+    id_col: str = "doc_id",
+    materialize: bool = True,
+) -> DataFrame:
+    """EXACT Hamming-ball near-duplicate audio pairs over 63-bit aphash
+    fingerprints (doc_a, doc_b, hamming) — same banded machinery as
+    :func:`image_phash_pairs`."""
+    return simhash_band_pairs(
+        hashes.filter("hash_ok").select(id_col, "aphash"),
+        bits=63,
+        bands=bands,
+        radius=radius,
+        id_col=id_col,
+        fp_col="aphash",
         materialize=materialize,
     )

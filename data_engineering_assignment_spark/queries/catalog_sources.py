@@ -1616,3 +1616,73 @@ def image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash_pairs(hashes, radius=2, bands=3).select(
         "doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming")
     )
+
+
+_APHASH_PAIRS_ORACLE = """
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, 0::BIGINT AS hamming
+FROM documents a JOIN documents b
+  ON a.doc_id // 3 = b.doc_id // 3 AND a.doc_id < b.doc_id
+"""
+
+
+@register(
+    "audio_phash_pairs",
+    oracle=_APHASH_PAIRS_ORACLE,
+    doc="Perceptual near-duplicate AUDIO dedup gate (functions/phash.py "
+    "aphash63: energy envelope -> 32x32 grid -> DCT -> median-thresholded "
+    "8x8 low-freq block; operators/imagehash.py audio_hashes; additive vs "
+    "the reference, which has no audio route at all). Every document "
+    "triple doc_id//3 becomes one planted duplicate GROUP of three real "
+    "16-bit PCM WAVs: a 2048-sample md5-derived base clip, a 2x-GAIN "
+    "stereo-duplicated copy and a 2x sample-duplication upsample. All "
+    "three edits are EXACT hash invariances (k/2^15 dyadic samples make "
+    "every energy block sum exact in float64; x2 gain scales energies by "
+    "exactly 4 and the upsample scales block sums by exactly 2 — powers "
+    "of two are bit-exact through the float DCT and median; the stereo "
+    "mixdown (x+x)/2 is exact), hence within-group Hamming is exactly 0 "
+    "(measured cross-group min 16 over 1770 group pairs) and the oracle "
+    "enumerates the pair set arithmetically. Pairs via the shared exact "
+    "pigeonhole bit-band LSH (radius 2 / 3x21-bit bands, SHUFFLE_HASH "
+    "both sides).",
+)
+def audio_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.multimodal import encode_wav
+    from ..operators.imagehash import audio_hashes
+    from ..operators.imagehash import audio_phash_pairs as aphash_pairs
+    from ..tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def make(batches):
+        n = 2048
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                group, variant = did // 3, did % 3
+                buf = b"".join(
+                    hashlib.md5(f"a{group}-{i}".encode()).digest()
+                    for i in range(n * 2 // 16 + 1)
+                )[: n * 2]
+                k = np.clip(
+                    np.frombuffer(buf, "<i2").astype(np.int64), -8191, 8191
+                )
+                if variant == 1:  # 2x gain + duplicated channel
+                    sig = np.stack([2 * k, 2 * k], axis=1)
+                elif variant == 2:  # 2x sample-duplication upsample
+                    sig = np.repeat(k, 2)
+                else:
+                    sig = k
+                rows.append((did, encode_wav(sig / 32767.0)))
+            yield pd.DataFrame(rows, columns=["doc_id", "content"])
+
+    media = docs.mapInPandas(make, "doc_id long, content binary")
+    hashes = audio_hashes(media)
+    return aphash_pairs(hashes, radius=2, bands=3).select(
+        "doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming")
+    )

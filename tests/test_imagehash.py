@@ -122,3 +122,68 @@ def test_image_hashes_dead_letter(spark):
     assert rows[1].hash_ok and rows[1].phash is not None
     assert not rows[2].hash_ok and rows[2].phash is None
     assert rows[1].phash == phash63(_base(1))
+
+
+def _clip(group: int, n: int = 2048) -> np.ndarray:
+    buf = b"".join(
+        hashlib.md5(f"a{group}-{i}".encode()).digest()
+        for i in range(n * 2 // 16 + 1)
+    )[: n * 2]
+    return np.clip(np.frombuffer(buf, "<i2").astype(np.int64), -8191, 8191)
+
+
+def test_aphash_gain_upsample_stereo_are_exact_invariances():
+    """The three planted audio edits must hash IDENTICALLY through the
+    real WAV encode/decode roundtrip — the catalog oracle's hamming=0
+    contract."""
+    from data_engineering_assignment_spark.functions.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+    from data_engineering_assignment_spark.functions.phash import aphash63
+
+    def h(sig):
+        samples, _ = decode_wav(encode_wav(sig / 32767.0))
+        return aphash63(samples)
+
+    for g in range(30):
+        k = _clip(g)
+        assert (
+            h(k)
+            == h(2 * k)
+            == h(np.repeat(k, 2))
+            == h(np.stack([2 * k, 2 * k], axis=1))
+        )
+
+
+def test_aphash_separates_distinct_clips_and_handles_odd_lengths():
+    from data_engineering_assignment_spark.functions.phash import aphash63
+
+    hs = [aphash63(_clip(g) / 32768.0) for g in range(60)]
+    dists = [bin(a ^ b).count("1") for a, b in itertools.combinations(hs, 2)]
+    assert min(dists) > 8
+    # non-multiple-of-1024 lengths route through the float area path
+    odd = _clip(7)[:1500] / 32768.0
+    h1 = aphash63(odd)
+    assert h1 == aphash63(odd.copy())
+    assert 0 <= h1 < (1 << 63)
+
+
+def test_audio_hashes_dead_letter(spark):
+    from data_engineering_assignment_spark.functions.multimodal import (
+        encode_wav,
+    )
+    from data_engineering_assignment_spark.functions.phash import aphash63
+    from data_engineering_assignment_spark.operators.imagehash import (
+        audio_hashes,
+    )
+
+    k = _clip(3)
+    good = encode_wav(k / 32767.0)
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(b"RIFFjunk"))],
+        "doc_id long, content binary",
+    )
+    rows = {r.doc_id: r for r in audio_hashes(df).collect()}
+    assert rows[1].hash_ok and rows[1].aphash is not None
+    assert not rows[2].hash_ok and rows[2].aphash is None
