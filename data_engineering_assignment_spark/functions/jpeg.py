@@ -41,9 +41,12 @@ JPEG specification (ITU-T T.81 / ISO 10918-1) for 8-bit precision:
 
 16-bit quantization tables (DQT Pq=1) decode natively — accepted with
 8-bit samples the way libjpeg does, though T.81 reserves them for
-12-bit precision. 12-bit sample precision itself still routes through
-the guarded PIL hook (:func:`multimodal.decode_image_pil`); this
-decoder raises ``NotImplementedError`` for it rather than guessing.
+12-bit precision. 12-bit SAMPLE precision decodes natively too for the
+SEQUENTIAL process (SOF1 extended sequential: level shift 2048, clamp
+0..4095, output floored to the uint8 frame contract via >> 4 —
+libjpeg's scaled-output convention); 12-bit PROGRESSIVE files still
+raise ``NotImplementedError`` and route to the guarded PIL hook
+(:func:`multimodal.decode_image_pil`).
 """
 
 from __future__ import annotations
@@ -177,20 +180,27 @@ def _magnitude(v: int) -> tuple[int, int]:
     return (s, v) if v > 0 else (s, v + (1 << s) - 1)
 
 
-def _quant_zz(block: np.ndarray, qtable: np.ndarray) -> list[int]:
+def _quant_zz(
+    block: np.ndarray, qtable: np.ndarray, mid: float = 128.0
+) -> list[int]:
     """DCT + quantize one 8x8 sample block → 64 zigzag-order ints (the
-    shared forward pipeline of the sequential and progressive encoders)."""
-    coef = _A @ (block.astype(np.float64) - 128.0) @ _A.T
+    shared forward pipeline of the sequential and progressive encoders).
+    ``mid`` is the level-shift point (128 for 8-bit, 2048 for 12-bit)."""
+    coef = _A @ (block.astype(np.float64) - mid) @ _A.T
     q = np.round(coef / qtable).astype(np.int64)
     return [int(q[i, j]) for (i, j) in _ZIGZAG]
 
 
 def _encode_block(
-    wtr: _BitWriter, block: np.ndarray, qtable: np.ndarray, prev_dc: int
+    wtr: _BitWriter,
+    block: np.ndarray,
+    qtable: np.ndarray,
+    prev_dc: int,
+    mid: float = 128.0,
 ) -> int:
     """DCT + quantize + entropy-code one 8x8 sample block; returns its DC
     value (the next block's predictor)."""
-    zz = _quant_zz(block, qtable)
+    zz = _quant_zz(block, qtable, mid)
     s, bits = _magnitude(zz[0] - prev_dc)
     code, length = _DC_CODES[s]
     wtr.write(code, length)
@@ -231,6 +241,7 @@ def encode_jpeg_gray(
     img: np.ndarray,
     restart_interval: int = 0,
     qtable: np.ndarray | None = None,
+    precision: int = 8,
 ) -> bytes:
     """Encode an (h, w) uint8 array as a baseline grayscale JPEG.
 
@@ -240,8 +251,22 @@ def encode_jpeg_gray(
 
     ``qtable`` overrides the Annex K.1 quantization table (8x8 natural
     order, entries 1..65535); any entry above 255 switches the DQT
-    segment to 16-bit element precision (Pq=1)."""
-    img = np.asarray(img, dtype=np.uint8)
+    segment to 16-bit element precision (Pq=1).
+
+    ``precision=12`` takes (h, w) uint16 samples 0..4095 and emits an
+    EXTENDED SEQUENTIAL file (SOF1, level shift 2048) — still Annex-K
+    Huffman tables, so coefficient categories beyond their ranges (very
+    high-contrast 12-bit content against a small qtable) raise KeyError;
+    the fixture generator's documented envelope."""
+    if precision == 8:
+        img = np.asarray(img, dtype=np.uint8)
+    elif precision == 12:
+        img = np.asarray(img, dtype=np.uint16)
+        if img.max(initial=0) > 4095:
+            raise ValueError("JPEG: 12-bit samples must be 0..4095")
+    else:
+        raise ValueError("JPEG: precision must be 8 or 12")
+    mid = float(1 << (precision - 1))
     h, w = img.shape
     if not (0 < h < 65536 and 0 < w < 65536):
         raise ValueError("image dims out of JPEG range")
@@ -263,7 +288,7 @@ def encode_jpeg_gray(
                 prev_dc = 0
             prev_dc = _encode_block(
                 wtr, padded[bj * 8 : bj * 8 + 8, bi * 8 : bi * 8 + 8],
-                q, prev_dc,
+                q, prev_dc, mid,
             )
             n_done += 1
     wtr.flush()
@@ -274,7 +299,7 @@ def encode_jpeg_gray(
         )
     else:
         zz_q = bytes([0]) + bytes(int(q[i, j]) for (i, j) in _ZIGZAG)
-    sof = struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
+    sof = struct.pack(">BHHB", precision, h, w, 1) + bytes([1, 0x11, 0])
     sos = bytes([1, 1, 0x00, 0, 63, 0])
     dri = (
         _seg(0xDD, struct.pack(">H", restart_interval))
@@ -284,7 +309,7 @@ def encode_jpeg_gray(
     return (
         b"\xff\xd8"
         + _seg(0xDB, zz_q)
-        + _seg(0xC0, sof)
+        + _seg(0xC1 if precision == 12 else 0xC0, sof)
         + _seg(0xC4, _DHT_PAYLOAD)
         + dri
         + _seg(0xDA, sos)
@@ -537,10 +562,11 @@ def decode_jpeg(content: bytes) -> np.ndarray:
     marker, and resets every DC predictor. Progressive files (SOF2)
     dispatch to :func:`_decode_progressive` (T.81 Annex G: spectral
     selection, successive approximation, EOB runs). Raises
-    ``NotImplementedError`` for 12-bit precision, non-interleaved
+    ``NotImplementedError`` for 12-bit PROGRESSIVE files, non-interleaved
     SEQUENTIAL color scans, or component counts other than 1/3 — those
     route through the PIL hook when available. 16-bit quantization
-    tables (DQT Pq=1) decode natively.
+    tables (DQT Pq=1) and 12-bit SEQUENTIAL precision (SOF1, output
+    floored to uint8 via >> 4) decode natively.
     """
     if content[:2] != b"\xff\xd8":
         raise ValueError("JPEG: missing SOI")
@@ -548,6 +574,7 @@ def decode_jpeg(content: bytes) -> np.ndarray:
     # (class, id) -> {(length, code): symbol}
     htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     h = w = 0
+    prec = 8
     restart_interval = 0
     comps: list[tuple[int, int, int, int]] = []  # (cid, hi, vi, tq)
     scan: dict[int, tuple[int, int]] = {}  # cid -> (dc_id, ac_id)
@@ -576,14 +603,16 @@ def decode_jpeg(content: bytes) -> np.ndarray:
             _parse_dqt(payload, qtables)
         elif marker == 0xC2:  # SOF2 — progressive DCT, Huffman
             return _decode_progressive(content)
-        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError(
-                "JPEG: only baseline sequential (SOF0) and progressive (SOF2)"
+                "JPEG: only sequential (SOF0/SOF1) and progressive (SOF2)"
             )
-        elif marker == 0xC0:  # SOF0
+        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 extended seq.
             prec, h, w, ncomp = struct.unpack_from(">BHHB", payload, 0)
-            if prec != 8:
-                raise NotImplementedError("JPEG: only 8-bit precision")
+            if prec not in (8, 12) or (marker == 0xC0 and prec != 8):
+                raise NotImplementedError(
+                    f"JPEG: {prec}-bit precision not supported here"
+                )
             if ncomp not in (1, 3):
                 raise NotImplementedError(
                     "JPEG: only 1 (gray) or 3 (YCbCr) components"
@@ -653,7 +682,11 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                 block, prev_dc = _decode_block(rdr, dc_tab, ac_tab, qt, prev_dc)
                 out[bj * 8 : bj * 8 + 8, bi * 8 : bi * 8 + 8] = block
                 n_done += 1
-        return np.clip(np.round(out + 128.0), 0, 255).astype(np.uint8)[:h, :w]
+        mid, mx = float(1 << (prec - 1)), (1 << prec) - 1
+        full = np.clip(np.round(out + mid), 0, mx).astype(np.int64)
+        # 12-bit samples floor to the uint8 contract (>> 4, libjpeg's
+        # scaled-output convention)
+        return (full >> (prec - 8)).astype(np.uint8)[:h, :w]
 
     hmax = max(p[1] for p in plan)
     vmax = max(p[2] for p in plan)
@@ -688,8 +721,11 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                         planes[cid][r0 : r0 + 8, c0 : c0 + 8] = block
 
     full = {}
+    mid, mx = float(1 << (prec - 1)), (1 << prec) - 1
     for cid, hi, vi, _, _, _ in plan:
-        p = np.clip(np.round(planes[cid] + 128.0), 0, 255)
+        p = np.clip(np.round(planes[cid] + mid), 0, mx)
+        if prec > 8:  # floor to 8-bit BEFORE the color transform
+            p = np.floor(p / float(1 << (prec - 8)))
         sy, sx = vmax // vi, hmax // hi
         if sy > 1 or sx > 1:
             p = np.repeat(np.repeat(p, sy, axis=0), sx, axis=1)

@@ -653,7 +653,9 @@ SELECT (8 * (1 + doc_id % 2))::BIGINT AS width,
        COUNT(*) AS n_prog_ok,
        SUM(68 + 2 * (doc_id % 60))::BIGINT AS prog_val_sum,
        COUNT(*) AS n_q16_ok,
-       SUM(32 + 32 * (doc_id % 7))::BIGINT AS q16_val_sum
+       SUM(32 + 32 * (doc_id % 7))::BIGINT AS q16_val_sum,
+       COUNT(*) AS n_p12_ok,
+       SUM((1048 + 2 * (doc_id % 1000)) // 16)::BIGINT AS p12_val_sum
 FROM documents
 GROUP BY 1
 """
@@ -681,7 +683,12 @@ GROUP BY 1
     "table — entries above 255 force 16-BIT DQT element precision "
     "(Pq=1, decoded natively since round 10) — at value 32 + 32*(id%7), "
     "whose level-shifted DC is divisible by 32 and so survives q_dc=256 "
-    "exactly; a low-byte DQT misparse could not reproduce it. AC-rich, "
+    "exactly; a low-byte DQT misparse could not reproduce it. A FIFTH "
+    "leg encodes 12-BIT EXTENDED SEQUENTIAL (SOF1, level shift 2048, "
+    "decoded natively since round 10) at flat value 1048 + 2*(id%1000): "
+    "the even level-shift offset survives the Annex-K q_dc=16 exactly "
+    "and the decoded uint8 value is the documented >>4 floor, so the "
+    "oracle computes (1048 + 2*(id%1000)) // 16 arithmetically. AC-rich, "
     "padded and chroma-rich images are covered by the committed "
     "jg_*/jc_*/jgp_*/jcp_*.jpg fixtures (filename pins dims + decoded "
     "mean) and round-trip + coefficient-property unit tests.",
@@ -778,19 +785,37 @@ def jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     q = (qok, int(qframes[0, 0, 0, 0]))
                 except Exception:
                     q = (False, 0)
-                rows.append(g + c + p + q)
+                v12 = 1048 + 2 * (int(did) % 1000)
+                exp12 = v12 >> 4
+                enc12 = enc_memo(
+                    ("p12", w, v12),
+                    lambda: encode_jpeg_gray(
+                        np.full((8, w), v12, np.uint16), precision=12
+                    ),
+                )
+                try:
+                    f12, _ = decode_any(enc12)
+                    ok12 = bool(
+                        (f12[0, :, :, :3] == exp12).all()
+                        and f12.shape[1:3] == (8, w)
+                    )
+                    p12 = (ok12, int(f12[0, 0, 0, 0]))
+                except Exception:
+                    p12 = (False, 0)
+                rows.append(g + c + p + q + p12)
             yield pd.DataFrame(
                 rows,
                 columns=[
                     "width", "ok", "val", "cok", "cval", "pok", "pval",
-                    "qok", "qval",
+                    "qok", "qval", "ok12", "v12",
                 ],
             )
 
     decoded = docs.mapInPandas(
         roundtrip,
         "width int, ok boolean, val int, cok boolean, cval int,"
-        " pok boolean, pval int, qok boolean, qval int",
+        " pok boolean, pval int, qok boolean, qval int,"
+        " ok12 boolean, v12 int",
     )
     return decoded.groupBy(F.col("width").cast("long").alias("width")).agg(
         F.count(F.lit(1)).alias("n_imgs"),
@@ -802,6 +827,8 @@ def jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("pval").cast("long")).alias("prog_val_sum"),
         F.sum(F.col("qok").cast("int")).cast("long").alias("n_q16_ok"),
         F.sum(F.col("qval").cast("long")).alias("q16_val_sum"),
+        F.sum(F.col("ok12").cast("int")).cast("long").alias("n_p12_ok"),
+        F.sum(F.col("v12").cast("long")).alias("p12_val_sum"),
     )
 
 

@@ -1567,3 +1567,56 @@ def test_bmp_os2_core_header_roundtrip():
         encode_bmp(f, 32, os2=True)
     with _pytest.raises(ValueError, match="OS/2"):
         encode_bmp(f, 24, os2=True, top_down=True)
+
+
+def test_jpeg_12bit_extended_sequential():
+    """SOF1 12-bit precision decodes natively: flat even level-shift
+    offsets survive Annex-K q_dc=16 exactly and floor to uint8 via >>4;
+    restart intervals share the path; guards hold for out-of-range
+    samples, bad precisions, and SOF0 files claiming 12 bits."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from data_engineering_assignment_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg_gray,
+    )
+
+    for v in (32, 1048, 2048, 3046, 4094):
+        img = np.full((16, 24), v, np.uint16)
+        enc = encode_jpeg_gray(img, precision=12)
+        assert enc[enc.find(b"\xff\xc1")] == 0xFF  # SOF1 on the wire
+        out = decode_jpeg(enc)
+        assert out.dtype == np.uint8 and (out == (v >> 4)).all(), v
+    # gradient roundtrip: blockwise content decodes close to >>4 truth
+    rng = np.random.default_rng(5)
+    img = (rng.integers(0, 64, (24, 16)).astype(np.uint16)) * 64 + 32
+    out = decode_jpeg(encode_jpeg_gray(img, precision=12))
+    assert np.abs(out.astype(int) - (img >> 4).astype(int)).max() <= 6
+    # restart intervals reset the wider DC predictors identically
+    enc = encode_jpeg_gray(img, precision=12, restart_interval=1)
+    assert np.array_equal(
+        decode_jpeg(enc), decode_jpeg(encode_jpeg_gray(img, precision=12))
+    )
+    with _pytest.raises(ValueError, match="0..4095"):
+        encode_jpeg_gray(np.full((8, 8), 5000, np.uint16), precision=12)
+    with _pytest.raises(ValueError, match="precision"):
+        encode_jpeg_gray(np.zeros((8, 8), np.uint8), precision=9)
+    # a SOF0 file claiming 12-bit precision is nonconformant -> guarded
+    enc8 = bytearray(encode_jpeg_gray(np.full((8, 8), 100, np.uint8)))
+    at = enc8.find(b"\xff\xc0")
+    enc8[at + 4] = 12
+    with _pytest.raises(NotImplementedError, match="12-bit"):
+        decode_jpeg(bytes(enc8))
+    # 12-bit PROGRESSIVE stays guarded (SOF2 patched to claim 12)
+    from data_engineering_assignment_spark.functions.jpeg import (
+        encode_jpeg_progressive,
+    )
+
+    prog = bytearray(encode_jpeg_progressive(np.full((8, 8), 100, np.uint8)))
+    at = prog.find(b"\xff\xc2")
+    prog[at + 4] = 12
+    with _pytest.raises(NotImplementedError, match="precision"):
+        decode_jpeg(bytes(prog))
