@@ -242,6 +242,7 @@ HEADLINE = [
     # banded Hamming pairs over planted near-dup media (oracle-gated)
     "image_phash_pairs",
     "audio_phash_pairs",
+    "video_phash_dups",
     # round-10 headline audit: every catalog query is now either benched
     # here or listed with a reason in BASELINE.md's exclusion table
     # (scripts/update_baseline.py EXCLUDED; contract-tested). These 19

@@ -166,3 +166,29 @@ def aphash63(samples: np.ndarray) -> int:
     ac = coef.ravel()[1:]
     med = np.median(ac)
     return _pack(ac > med)
+
+
+_VP_MOD = (1 << 61) - 1  # Mersenne prime: the fold stays a positive long
+
+
+def vphash61(frames: np.ndarray) -> int:
+    """Clip-level perceptual VIDEO fingerprint: :func:`phash63` per frame,
+    consecutive equal hashes COLLAPSED to one (so frame-rate doubling by
+    frame duplication — the temporal analog of the image upsample — is an
+    exact invariance), then a polynomial fold of the collapsed sequence
+    mod 2^61 - 1 (exact integer math, fits a positive long).
+
+    Per-frame edits that are exact :func:`phash63` invariances (global
+    brightness shift, 2x pixel-replication upscale) therefore leave the
+    clip fingerprint IDENTICAL too. Unlike the image/audio hashes this is
+    an equality fingerprint, not a Hamming one: a single changed frame
+    changes the fold completely, which is the right contract for
+    exact-clip dedup (re-encodes of the same cut); near-miss VIDEO
+    retrieval would match per-frame hashes instead (the
+    sample_frames -> image route)."""
+    fps = [phash63(frames[i]) for i in range(frames.shape[0])]
+    collapsed = [fp for i, fp in enumerate(fps) if i == 0 or fp != fps[i - 1]]
+    h = len(collapsed)  # length in the seed: [a] vs [a, a] already differ
+    for fp in collapsed:
+        h = (h * 1_000_003 + fp) % _VP_MOD
+    return h

@@ -121,3 +121,57 @@ def audio_phash_pairs(
         fp_col="aphash",
         materialize=materialize,
     )
+
+
+def video_hashes(
+    df: DataFrame, content_col: str = "content", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, vphash, n_frames, hash_ok) per video media row: decode the
+    binary column (any decode_any container) and fingerprint the clip
+    with :func:`phash.vphash61`."""
+    from ..functions.phash import vphash61
+
+    schema = f"{id_col} long, vphash long, n_frames int, hash_ok boolean"
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, content in zip(pdf[id_col], pdf[content_col]):
+                try:
+                    frames, _ = decode_any(bytes(content))
+                    rows.append(
+                        (int(did), vphash61(frames), frames.shape[0], True)
+                    )
+                except Exception:
+                    rows.append((int(did), None, None, False))
+            yield pd.DataFrame(
+                rows, columns=[id_col, "vphash", "n_frames", "hash_ok"]
+            )
+
+    return df.mapInPandas(mapper, schema)
+
+
+def video_dup_pairs(hashes: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_a, doc_b) pairs of clips with IDENTICAL vphash fingerprints —
+    exact-clip dedup. One map-side-combinable collect_list per
+    fingerprint plus an in-row pair enumeration (the affinity
+    _pair_structs discipline: groups are duplicate sets, small by
+    nature — never a self-join on a content key)."""
+    from pyspark.sql import functions as F
+
+    groups = (
+        hashes.filter("hash_ok")
+        .groupBy("vphash")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    pairs = groups.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(slice(ids, 1, size(ids) - 1), (x, i) -> "
+                "transform(slice(ids, i + 2, size(ids) - i - 1), y -> "
+                "struct(x AS doc_a, y AS doc_b))))"
+            )
+        ).alias("p")
+    )
+    return pairs.select("p.doc_a", "p.doc_b")

@@ -1713,3 +1713,88 @@ def audio_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return aphash_pairs(hashes, radius=2, bands=3).select(
         "doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming")
     )
+
+
+_VPHASH_DUPS_ORACLE = """
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM documents a JOIN documents b
+  ON a.doc_id // 3 = b.doc_id // 3 AND a.doc_id < b.doc_id
+"""
+
+
+@register(
+    "video_phash_dups",
+    oracle=_VPHASH_DUPS_ORACLE,
+    doc="Perceptual near-duplicate VIDEO dedup gate (functions/phash.py "
+    "vphash61: per-frame pHash, consecutive-equal collapse, polynomial "
+    "fold mod 2^61-1; operators/imagehash.py video_hashes / "
+    "video_dup_pairs — completes the text/image/audio/video media-dedup "
+    "family; the reference has no video route). Every document triple "
+    "doc_id//3 becomes one planted duplicate GROUP of three real RAWM "
+    "clips: a 4-frame 32x32 md5-pixel base, a brightness-shifted copy "
+    "(every frame +5..24, clip-free) and a FRAME-RATE-DOUBLED copy "
+    "(every frame duplicated). Both edits are EXACT fingerprint "
+    "invariances (brightness via the per-frame pHash integer centering; "
+    "frame duplication via the consecutive-equal collapse), so "
+    "within-group fingerprints are IDENTICAL and the oracle enumerates "
+    "the pair set arithmetically. Pair generation is one map-side-"
+    "combinable collect_list per fingerprint + in-row pair enumeration "
+    "(the affinity discipline — duplicate sets are small by nature, "
+    "never a self-join on a content key).",
+)
+def video_phash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.multimodal import encode_rawm
+    from ..operators.imagehash import video_dup_pairs, video_hashes
+    from ..tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def make(batches):
+        # one md5 seed + a vectorized PCG64 stream per frame (not an md5
+        # chain per 16 bytes), and the base clip memoized per group: the
+        # three variants of a group usually land in the same batch
+        base_memo: dict = {}
+
+        def base_clip(group: int) -> np.ndarray:
+            if group not in base_memo:
+                frames = []
+                for i in range(4):
+                    seed = int.from_bytes(
+                        hashlib.md5(f"v{group}-{i}".encode()).digest()[:8],
+                        "big",
+                    )
+                    rng = np.random.default_rng(seed)
+                    f = np.empty((32, 32, 4), np.uint8)
+                    f[:, :, :3] = 20 + rng.integers(
+                        0, 196, (32, 32, 3), dtype=np.uint8
+                    )
+                    f[:, :, 3] = 255
+                    frames.append(f)
+                if len(base_memo) > 4096:
+                    base_memo.clear()  # bound executor memory
+                base_memo[group] = np.stack(frames)
+            return base_memo[group]
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                group, variant = did // 3, did % 3
+                clip = base_clip(group)
+                if variant == 1:  # global brightness shift, clip-free
+                    clip = clip.copy()
+                    clip[:, :, :, :3] += np.uint8(5 + group % 20)
+                elif variant == 2:  # frame-rate double (dup every frame)
+                    clip = np.repeat(clip, 2, axis=0)
+                rows.append((did, encode_rawm(clip)))
+            yield pd.DataFrame(rows, columns=["doc_id", "content"])
+
+    media = docs.mapInPandas(make, "doc_id long, content binary")
+    return video_dup_pairs(video_hashes(media)).select(
+        F.col("doc_a").cast("long"), F.col("doc_b").cast("long")
+    )

@@ -187,3 +187,62 @@ def test_audio_hashes_dead_letter(spark):
     rows = {r.doc_id: r for r in audio_hashes(df).collect()}
     assert rows[1].hash_ok and rows[1].aphash is not None
     assert not rows[2].hash_ok and rows[2].aphash is None
+
+
+def _vclip(group: int, nf: int = 4) -> np.ndarray:
+    n = 32 * 32 * 3
+    frames = []
+    for i in range(nf):
+        buf = b"".join(
+            hashlib.md5(f"v{group}-{i}-{j}".encode()).digest()
+            for j in range(n // 16 + 1)
+        )[:n]
+        f = np.empty((32, 32, 4), np.uint8)
+        f[:, :, :3] = 20 + (np.frombuffer(buf, np.uint8).reshape(32, 32, 3) % 196)
+        f[:, :, 3] = 255
+        frames.append(f)
+    return np.stack(frames)
+
+
+def test_vphash_brightness_and_framerate_are_exact_invariances():
+    from data_engineering_assignment_spark.functions.phash import vphash61
+
+    for g in range(25):
+        base = _vclip(g)
+        bright = base.copy()
+        bright[:, :, :, :3] += np.uint8(5 + g % 20)
+        dup = np.repeat(base, 2, axis=0)
+        assert vphash61(base) == vphash61(bright) == vphash61(dup)
+        assert 0 <= vphash61(base) < (1 << 61)
+
+
+def test_vphash_sensitive_to_frame_content_order_and_count():
+    from data_engineering_assignment_spark.functions.phash import vphash61
+
+    base = _vclip(1)
+    assert vphash61(base) != vphash61(base[::-1])  # order matters
+    assert vphash61(base) != vphash61(base[:3])  # dropped frame matters
+    edited = base.copy()
+    edited[2, :16, :16, :3] = 255 - edited[2, :16, :16, :3]
+    assert vphash61(base) != vphash61(edited)  # one changed frame matters
+    # a clip of one frame vs the same frame repeated collapses equal
+    one = base[:1]
+    assert vphash61(one) == vphash61(np.repeat(one, 3, axis=0))
+
+
+def test_video_dup_pairs_enumerates_groups(spark):
+    from data_engineering_assignment_spark.operators.imagehash import (
+        video_dup_pairs,
+    )
+
+    rows = [
+        (1, 100, 4, True), (2, 100, 8, True), (3, 100, 4, True),  # trio
+        (4, 200, 4, True), (5, 200, 4, True),  # pair
+        (6, 300, 4, True),  # singleton
+        (7, None, None, False),  # dead letter
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, vphash long, n_frames int, hash_ok boolean"
+    )
+    got = {(r.doc_a, r.doc_b) for r in video_dup_pairs(df).collect()}
+    assert got == {(1, 2), (1, 3), (2, 3), (4, 5)}
