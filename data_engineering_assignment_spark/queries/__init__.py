@@ -40,18 +40,23 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # whose implementation changed this round (a green history does not cover
 # new code), then queries whose last green row is oldest.
 #
-# Round-10 head (catalog = 190): entering the round every query had been
+# Round-10 head (catalog = 192): entering the round every query had been
 # driver-checked at least once (r1-r9 union) with zero standing failures.
-# Order: the one never-checked round-10 addition (image_phash_pairs);
+# Order: the three never-checked round-10 additions (image_phash_pairs,
+# audio_phash_pairs, video_phash_dups);
 # four queries whose implementation changed this round (jpeg_decode_stats
 # grew the 16-bit-DQT leg, part_distance_sssp was rewritten to the delta
 # frontier, dedup_clusters_star's cc_star gained the convergence guard,
 # dedup_ngram_jaccard's shingle checkpoint went lazy); the four oldest
 # queries (last green r5); the whole r6 cohort (38); then the oldest r7
 # queries, with the last slot going to ml_eval_metrics (r7) so the head
-# spans catalog_ml (module-coverage contract).
+# spans catalog_ml (module-coverage contract); above_nation_avg_customers
+# and approx_distinct_users_rollup (r7) yielded their slots to the
+# round-10 media gates.
 DRIVER_SAMPLE_HEAD: tuple[str, ...] = (
     "image_phash_pairs",
+    "audio_phash_pairs",
+    "video_phash_dups",
     "jpeg_decode_stats",
     "part_distance_sssp",
     "dedup_clusters_star",
@@ -98,8 +103,6 @@ DRIVER_SAMPLE_HEAD: tuple[str, ...] = (
     "user_purchase_totals",
     "value_quantiles_by_type",
     "weighted_median_price",
-    "above_nation_avg_customers",
-    "approx_distinct_users_rollup",
     "ml_eval_metrics",
 )
 
