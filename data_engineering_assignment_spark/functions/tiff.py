@@ -7,7 +7,10 @@ so the decode path must be real, not a PIL hook.
 
 * :func:`decode_tiff` — baseline TIFF 6.0 profile: both byte orders
   (``II``/``MM``), classic IFD walk (BYTE/SHORT/LONG entry types, inline
-  vs offset values), multi-strip assembly with RowsPerStrip, Compression
+  vs offset values), multi-strip assembly with RowsPerStrip AND the
+  TILED organization (TIFF 6.0 §15: TileWidth/TileLength grid,
+  zero-padded edge tiles cropped, predictor restarting at every tile's
+  left edge — round 10), Compression
   1 (none) / 5 (TIFF-LZW) / 32773 (PackBits), Predictor 2 (horizontal
   differencing, per-sample-component cumsum), Photometric 0 (WhiteIsZero,
   inverted gray) / 1 (BlackIsZero) / 2 (RGB, SamplesPerPixel 3 or 4 with
@@ -53,6 +56,10 @@ _TAG_STRIP_COUNTS = 279
 _TAG_PLANAR = 284
 _TAG_PREDICTOR = 317
 _TAG_COLORMAP = 320
+_TAG_TILE_WIDTH = 322
+_TAG_TILE_LENGTH = 323
+_TAG_TILE_OFFSETS = 324
+_TAG_TILE_COUNTS = 325
 
 
 def _lzw_decode(data: bytes, expected: int) -> bytes:
@@ -244,36 +251,69 @@ def decode_tiff(content: bytes) -> tuple[np.ndarray, dict]:
     if photo == 3 and spp != 1:
         raise ValueError("TIFF: palette images must have one sample per pixel")
 
-    offsets = tags.get(_TAG_STRIP_OFFSETS)
-    if offsets is None:
-        # absent OR carried with an unsupported entry type (the IFD walk
-        # skips those) — either way the file is structurally unreadable
-        raise ValueError("TIFF: required tag StripOffsets missing")
-    counts = tags.get(_TAG_STRIP_COUNTS)
-    if counts is None:
-        if comp != 1:
-            raise ValueError("TIFF: compressed strips need StripByteCounts")
-        counts = tuple(
-            min(rows_per_strip, h - i * rows_per_strip) * w * spp
-            for i in range(len(offsets))
-        )
-    row_bytes = w * spp
-    chunks = []
-    for i, (off, cnt) in enumerate(zip(offsets, counts)):
-        n_rows = min(rows_per_strip, h - i * rows_per_strip)
-        raw = content[off : off + cnt]
+    def _chunk(raw: bytes, expected: int, kind: str) -> bytes:
         if comp == 1:
-            strip = raw[: n_rows * row_bytes]
-            if len(strip) < n_rows * row_bytes:
-                raise ValueError("TIFF: uncompressed strip truncated")
-        elif comp == 5:
-            strip = _lzw_decode(raw, n_rows * row_bytes)
-        else:
-            strip = _packbits_decode(raw, n_rows * row_bytes)
-        chunks.append(np.frombuffer(strip, np.uint8))
-    pixels = np.concatenate(chunks).reshape(h, w, spp)
-    if predictor == 2:  # horizontal differencing: undo with per-row cumsum
-        pixels = np.cumsum(pixels.astype(np.uint32), axis=1).astype(np.uint8)
+            if len(raw) < expected:
+                raise ValueError(f"TIFF: uncompressed {kind} truncated")
+            return raw[:expected]
+        if comp == 5:
+            return _lzw_decode(raw, expected)
+        return _packbits_decode(raw, expected)
+
+    if _TAG_TILE_WIDTH in tags:  # tiled organization (TIFF 6.0 §15)
+        tw, th = one(_TAG_TILE_WIDTH), one(_TAG_TILE_LENGTH)
+        if tw <= 0 or th <= 0:
+            raise ValueError("TIFF: bad tile dimensions")
+        toffs = tags.get(_TAG_TILE_OFFSETS)
+        if toffs is None:
+            raise ValueError("TIFF: tiled image missing TileOffsets")
+        tcnts = tags.get(_TAG_TILE_COUNTS)
+        tile_bytes = th * tw * spp
+        if tcnts is None:
+            if comp != 1:
+                raise ValueError("TIFF: compressed tiles need TileByteCounts")
+            tcnts = (tile_bytes,) * len(toffs)
+        tiles_x, tiles_y = -(-w // tw), -(-h // th)
+        if len(toffs) < tiles_x * tiles_y:
+            raise ValueError("TIFF: too few tiles for the image grid")
+        canvas = np.zeros((tiles_y * th, tiles_x * tw, spp), np.uint8)
+        for i in range(tiles_x * tiles_y):
+            raw = content[toffs[i] : toffs[i] + tcnts[i]]
+            tile = np.frombuffer(
+                _chunk(raw, tile_bytes, "tile"), np.uint8
+            ).reshape(th, tw, spp)
+            if predictor == 2:
+                # horizontal differencing restarts at every tile's left
+                # edge — undo per tile BEFORE placement, never globally
+                tile = np.cumsum(tile.astype(np.uint32), axis=1).astype(
+                    np.uint8
+                )
+            ty, tx = divmod(i, tiles_x)
+            canvas[ty * th : (ty + 1) * th, tx * tw : (tx + 1) * tw] = tile
+        pixels = canvas[:h, :w]
+    else:
+        offsets = tags.get(_TAG_STRIP_OFFSETS)
+        if offsets is None:
+            # absent OR carried with an unsupported entry type (the IFD
+            # walk skips those) — structurally unreadable either way
+            raise ValueError("TIFF: required tag StripOffsets missing")
+        counts = tags.get(_TAG_STRIP_COUNTS)
+        if counts is None:
+            if comp != 1:
+                raise ValueError("TIFF: compressed strips need StripByteCounts")
+            counts = tuple(
+                min(rows_per_strip, h - i * rows_per_strip) * w * spp
+                for i in range(len(offsets))
+            )
+        row_bytes = w * spp
+        chunks = []
+        for i, (off, cnt) in enumerate(zip(offsets, counts)):
+            n_rows = min(rows_per_strip, h - i * rows_per_strip)
+            strip = _chunk(content[off : off + cnt], n_rows * row_bytes, "strip")
+            chunks.append(np.frombuffer(strip, np.uint8))
+        pixels = np.concatenate(chunks).reshape(h, w, spp)
+        if predictor == 2:  # horizontal differencing: undo per-row cumsum
+            pixels = np.cumsum(pixels.astype(np.uint32), axis=1).astype(np.uint8)
 
     opaque = np.full((h, w), 255, np.uint8)
     if photo in (0, 1):
@@ -321,10 +361,14 @@ def encode_tiff(
     palette: np.ndarray | None = None,
     indices: np.ndarray | None = None,
     alpha: bool = False,
+    tile_size: tuple[int, int] | None = None,
 ) -> bytes:
     """Fixture generator: serialize either a (h, w, 4) uint8 BGRA frame
     (photometric 0/1/2; gray forms take the B channel) or
-    (indices, palette) with palette (n, 3) RGB uint8 (photometric 3)."""
+    (indices, palette) with palette (n, 3) RGB uint8 (photometric 3).
+    ``tile_size=(tw, th)`` emits the TILED organization (TIFF 6.0 §15:
+    dims multiples of 16, zero-padded edge tiles, per-tile predictor)
+    instead of strips."""
     bo = ">" if big_endian else "<"
     if photometric == 3:
         if palette is None or indices is None:
@@ -343,35 +387,59 @@ def encode_tiff(
             rgb = frame[:, :, [2, 1, 0]]
             samples = np.dstack([rgb, frame[:, :, 3]]) if alpha else rgb
         samples = samples.astype(np.uint8)
-    if predictor == 2:
-        d = samples.astype(np.int16)
-        d[:, 1:, :] -= samples[:, :-1, :].astype(np.int16)
-        samples = (d & 0xFF).astype(np.uint8)
+    def _diff(block: np.ndarray) -> np.ndarray:
+        d = block.astype(np.int16)
+        d[:, 1:, :] -= block[:, :-1, :].astype(np.int16)
+        return (d & 0xFF).astype(np.uint8)
+
+    def _compress(raw: bytes) -> bytes:
+        if compression == 5:
+            return _lzw_encode(raw)
+        if compression == 32773:
+            return _packbits_encode(raw)
+        return raw
+
     rps = rows_per_strip or h
     strips = []
-    for y0 in range(0, h, rps):
-        raw = samples[y0 : y0 + rps].tobytes()
-        if compression == 5:
-            strips.append(_lzw_encode(raw))
-        elif compression == 32773:
-            strips.append(_packbits_encode(raw))
-        else:
-            strips.append(raw)
+    if tile_size is not None:
+        tw_, th_ = tile_size
+        if tw_ % 16 or th_ % 16 or tw_ <= 0 or th_ <= 0:
+            raise ValueError("TIFF: tile dims must be positive multiples of 16")
+        tiles_x, tiles_y = -(-w // tw_), -(-h // th_)
+        padded = np.zeros((tiles_y * th_, tiles_x * tw_, spp), np.uint8)
+        padded[:h, :w] = samples
+        for ty in range(tiles_y):
+            for tx in range(tiles_x):
+                t = padded[ty * th_ : (ty + 1) * th_, tx * tw_ : (tx + 1) * tw_]
+                if predictor == 2:  # restarts at every tile's left edge
+                    t = _diff(t)
+                strips.append(_compress(t.tobytes()))
+    else:
+        if predictor == 2:
+            samples = _diff(samples)
+        for y0 in range(0, h, rps):
+            strips.append(_compress(samples[y0 : y0 + rps].tobytes()))
 
     entries: list[tuple[int, int, int, tuple[int, ...]]] = []
 
     def add(tag: int, typ: int, vals: tuple[int, ...]):
         entries.append((tag, typ, len(vals), vals))
 
+    offsets_tag = _TAG_TILE_OFFSETS if tile_size is not None else _TAG_STRIP_OFFSETS
     add(_TAG_WIDTH, 4, (w,))
     add(_TAG_HEIGHT, 4, (h,))
     add(_TAG_BITS, 3, (8,) * spp)
     add(_TAG_COMPRESSION, 3, (compression,))
     add(_TAG_PHOTOMETRIC, 3, (photometric,))
-    add(_TAG_STRIP_OFFSETS, 4, (0,) * len(strips))  # patched below
+    add(offsets_tag, 4, (0,) * len(strips))  # patched below
     add(_TAG_SPP, 3, (spp,))
-    add(_TAG_ROWS_PER_STRIP, 4, (rps,))
-    add(_TAG_STRIP_COUNTS, 4, tuple(len(s) for s in strips))
+    if tile_size is not None:
+        add(_TAG_TILE_WIDTH, 4, (tile_size[0],))
+        add(_TAG_TILE_LENGTH, 4, (tile_size[1],))
+        add(_TAG_TILE_COUNTS, 4, tuple(len(s) for s in strips))
+    else:
+        add(_TAG_ROWS_PER_STRIP, 4, (rps,))
+        add(_TAG_STRIP_COUNTS, 4, tuple(len(s) for s in strips))
     if predictor == 2:
         add(_TAG_PREDICTOR, 3, (predictor,))
     cmap_vals: tuple[int, ...] = ()
@@ -408,7 +476,7 @@ def encode_tiff(
     overflow = bytearray()
     opos = over_off
     for tag, typ, cnt, vals in entries:
-        if tag == _TAG_STRIP_OFFSETS:
+        if tag == offsets_tag:
             vals = tuple(strip_offs)
         ch, sz = _TIFF_TYPES[typ]
         total = sz * cnt

@@ -556,7 +556,9 @@ SELECT (3 + doc_id % 9)::BIGINT AS width,
        COUNT(*) AS n_tiffs,
        COUNT(*) AS n_ok,
        SUM(doc_id % 256)::BIGINT AS val_lzw_sum,
-       SUM(17 * (doc_id % 16))::BIGINT AS val_pb_sum
+       SUM(17 * (doc_id % 16))::BIGINT AS val_pb_sum,
+       COUNT(*) AS n_tiled_ok,
+       SUM((doc_id + 18 + doc_id % 9) % 256)::BIGINT AS val_tiled_sum
 FROM documents
 GROUP BY 1
 """
@@ -571,8 +573,13 @@ GROUP BY 1
     "TIFFs — an RGB file compressed with TIFF-LZW under the horizontal "
     "predictor, split into 3-row strips, byte order alternating II/MM by "
     "doc_id, and a PackBits palette file (big-endian) — decoded through "
-    "decode_any's magic dispatch and verified full-frame in-row. The "
-    "codec itself is cross-validated bit-for-bit against the JDK ImageIO "
+    "decode_any's magic dispatch and verified full-frame in-row. A THIRD "
+    "leg (round 10) encodes a 2x2 grid of 16x16 TILES (TIFF 6.0 §15, "
+    "uncompressed + predictor 2): padded edge tiles, the per-tile "
+    "predictor restart and the grid walk are all under the oracle via "
+    "the far-corner pixel (doc_id + 18 + doc_id%9) % 256, which crosses "
+    "every tile boundary. The codec itself is cross-validated "
+    "bit-for-bit against the JDK ImageIO "
     "TIFF plugin (tests/test_java_interop.py), so this gate pins the "
     "Spark plumbing + closed-form pixel arithmetic while the interop "
     "tests pin spec conformance.",
@@ -629,17 +636,48 @@ def tiff_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     vpb = int(dpb[0, 0, 0, 2])
                 except Exception:
                     ok, vlzw, vpb = False, 0, 0
-                rows.append((w, ok, vlzw, vpb))
-            yield pd.DataFrame(rows, columns=["width", "ok", "vlzw", "vpb"])
+                # tiled leg: a 2x2 tile grid of 16x16 tiles with padded
+                # edges; the far-corner pixel crosses tile boundaries, so
+                # a tile-placement/crop/per-tile-predictor bug breaks it
+                wt, ht = w + 16, h + 16
+                yt, xt = np.mgrid[0:ht, 0:wt]
+                tframe = np.empty((ht, wt, 4), np.uint8)
+                tframe[..., 0] = (did + xt) % 256
+                tframe[..., 1] = (did + yt) % 256
+                tframe[..., 2] = (did + 2 * xt + 3 * yt) % 256
+                tframe[..., 3] = 255
+                try:
+                    # uncompressed + predictor 2: tiling's OWN risks
+                    # (grid walk, padding crop, per-tile predictor
+                    # restart) without re-paying the pure-Python LZW the
+                    # strip leg already gates (19.7 -> ~4 s at sf0.1)
+                    dt, _ = decode_any(
+                        encode_tiff(
+                            tframe, 2, 1, 2,
+                            big_endian=bool(did % 2), alpha=True,
+                            tile_size=(16, 16),
+                        )
+                    )
+                    tok = bool(np.array_equal(dt[0], tframe))
+                    vt = int(dt[0, ht - 1, wt - 1, 0])
+                except Exception:
+                    tok, vt = False, 0
+                rows.append((w, ok, vlzw, vpb, tok, vt))
+            yield pd.DataFrame(
+                rows, columns=["width", "ok", "vlzw", "vpb", "tok", "vt"]
+            )
 
     decoded = docs.mapInPandas(
-        roundtrip, "width int, ok boolean, vlzw int, vpb int"
+        roundtrip,
+        "width int, ok boolean, vlzw int, vpb int, tok boolean, vt int",
     )
     return decoded.groupBy(F.col("width").cast("long").alias("width")).agg(
         F.count(F.lit(1)).alias("n_tiffs"),
         F.sum(F.col("ok").cast("int")).cast("long").alias("n_ok"),
         F.sum(F.col("vlzw").cast("long")).alias("val_lzw_sum"),
         F.sum(F.col("vpb").cast("long")).alias("val_pb_sum"),
+        F.sum(F.col("tok").cast("int")).cast("long").alias("n_tiled_ok"),
+        F.sum(F.col("vt").cast("long")).alias("val_tiled_sum"),
     )
 
 

@@ -128,3 +128,48 @@ def test_tiff_missing_strip_offsets_is_value_error():
             struct.pack_into("<H", data, base + 2, 5)
     with pytest.raises(ValueError, match="StripOffsets"):
         decode_tiff(bytes(data))
+
+
+def test_tiff_tiled_roundtrip_all_compressions():
+    """Tiled organization (TIFF 6.0 §15): edge tiles are zero-padded and
+    cropped, predictor 2 restarts at every tile's left edge, and the
+    decode is pixel-identical to the stripped encoding of the same frame
+    across none/LZW/PackBits and both byte orders."""
+    rng = np.random.default_rng(21)
+    for (w, h) in [(16, 16), (40, 24), (33, 17)]:
+        f = _frame(rng, h, w)
+        for comp in (1, 5, 32773):
+            for pred in (1, 2):
+                for be in (False, True):
+                    tiled = encode_tiff(
+                        f, 2, comp, pred, big_endian=be, tile_size=(16, 16)
+                    )
+                    striped = encode_tiff(f, 2, comp, pred, big_endian=be)
+                    dt, meta = decode_tiff(tiled)
+                    ds, _ = decode_tiff(striped)
+                    assert np.array_equal(dt, ds), (w, h, comp, pred, be)
+                    assert meta["width"] == w and meta["height"] == h
+    # decode_any dispatches tiled TIFFs identically
+    t = encode_tiff(_frame(rng, 20, 20), 2, 5, 2, tile_size=(16, 16))
+    da, _ = decode_any(t)
+    dd, _ = decode_tiff(t)
+    assert np.array_equal(da, dd)
+
+
+def test_tiff_tiled_error_paths():
+    import struct
+
+    rng = np.random.default_rng(22)
+    f = _frame(rng, 20, 20)
+    with pytest.raises(ValueError, match="multiples of 16"):
+        encode_tiff(f, 2, 1, tile_size=(8, 8))
+    good = bytearray(encode_tiff(f, 2, 5, tile_size=(16, 16)))
+    # patch TileOffsets' entry type to an unsupported one -> missing
+    (n,) = struct.unpack_from("<H", good, 8)
+    for i in range(n):
+        base = 10 + 12 * i
+        tag, typ, cnt = struct.unpack_from("<HHI", good, base)
+        if tag == 324:
+            struct.pack_into("<H", good, base + 2, 5)
+    with pytest.raises(ValueError, match="TileOffsets"):
+        decode_tiff(bytes(good))
