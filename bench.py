@@ -243,6 +243,7 @@ HEADLINE = [
     "image_phash_pairs",
     "audio_phash_pairs",
     "video_phash_dups",
+    "incremental_image_dedup",
     # round-10 headline audit: every catalog query is now either benched
     # here or listed with a reason in BASELINE.md's exclusion table
     # (scripts/update_baseline.py EXCLUDED; contract-tested). These 19

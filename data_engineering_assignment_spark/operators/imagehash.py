@@ -175,3 +175,100 @@ def video_dup_pairs(hashes: DataFrame, id_col: str = "doc_id") -> DataFrame:
         ).alias("p")
     )
     return pairs.select("p.doc_a", "p.doc_b")
+
+
+def _band_explode(
+    fps: DataFrame, bits: int, bands: int, id_col: str, fp_col: str
+) -> DataFrame:
+    """(id, fp, band, bucket) — the simhash_band_pairs bit-band split for
+    CROSS-table candidate joins (delta vs corpus)."""
+    from pyspark.sql import functions as F
+
+    base, rem = divmod(bits, bands)
+    widths = [base + 1 if b < rem else base for b in range(bands)]
+    offsets = [sum(widths[:b]) for b in range(bands)]
+    fp = F.col(fp_col)
+    return fps.select(
+        F.col(id_col).alias("_doc"),
+        fp.alias("_fp"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(fp, offsets[b])
+                        .bitwiseAND(F.lit((1 << widths[b]) - 1))
+                        .cast("string")
+                        .alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("_doc", "_fp", "bb.band", "bb.bucket")
+
+
+def incremental_image_dedup(
+    corpus_hashes: DataFrame,
+    delta_hashes: DataFrame,
+    radius: int = 2,
+    bands: int = 3,
+    id_col: str = "doc_id",
+    fp_col: str = "phash",
+) -> DataFrame:
+    """Daily-ingest image dedup: judge a DELTA batch of fingerprints
+    against the STANDING corpus — (doc_id, n_dups, best_hamming, status)
+    per delta row, status 'dup' when any corpus fingerprint lies within
+    ``radius`` bit flips (exact by the pigeonhole band guarantee),
+    else 'novel'.
+
+    The 100 TB shape inverts the usual broadcast (the incremental_dedup
+    discipline): the DELTA's banded buckets are broadcast (bounded by
+    ingest batch size) against the corpus fingerprint scan — the corpus
+    is never shuffled, collected, or broadcast, so daily ingest cost is
+    O(corpus scan + batch). One bit_count(xor) verifies candidates."""
+    from pyspark.sql import functions as F
+
+    if bands < radius + 1:
+        raise ValueError("bands must be >= radius + 1 for exact recall")
+    bits = 63
+    delta = delta_hashes.filter("hash_ok").select(id_col, fp_col)
+    corpus = corpus_hashes.filter("hash_ok").select(id_col, fp_col)
+    db = _band_explode(delta, bits, bands, id_col, fp_col)
+    cb = _band_explode(corpus, bits, bands, id_col, fp_col)
+    cand = (
+        cb.join(
+            F.broadcast(db.select(
+                F.col("_doc").alias("_d"),
+                F.col("_fp").alias("_dfp"),
+                "band",
+                "bucket",
+            )),
+            ["band", "bucket"],
+        )
+        .select(
+            F.col("_d").alias(id_col),
+            F.col("_doc").alias("_c"),
+            F.col("_fp").alias("_cfp"),
+            F.col("_dfp"),
+        )
+        .distinct()  # a pair can match in several bands
+        .withColumn("hamming", F.bit_count(F.col("_cfp").bitwiseXOR(F.col("_dfp"))))
+        .filter(F.col("hamming") <= radius)
+    )
+    hits = cand.groupBy(id_col).agg(
+        F.countDistinct("_c").cast("long").alias("n_dups"),
+        F.min("hamming").cast("long").alias("best_hamming"),
+    )
+    return (
+        delta.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_dups", F.lit(0)).alias("n_dups"),
+            "best_hamming",
+            F.when(F.col("n_dups").isNotNull(), F.lit("dup"))
+            .otherwise(F.lit("novel"))
+            .alias("status"),
+        )
+    )

@@ -42,8 +42,9 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #
 # Round-10 head (catalog = 192): entering the round every query had been
 # driver-checked at least once (r1-r9 union) with zero standing failures.
-# Order: the three never-checked round-10 additions (image_phash_pairs,
-# audio_phash_pairs, video_phash_dups);
+# Order: the four never-checked round-10 additions (image_phash_pairs,
+# audio_phash_pairs, video_phash_dups, incremental_image_dedup —
+# ivf_recall_telemetry, an r6 diagnostic, yielded its slot);
 # four queries whose implementation changed this round (jpeg_decode_stats
 # grew the 16-bit-DQT leg, part_distance_sssp was rewritten to the delta
 # frontier, dedup_clusters_star's cc_star gained the convergence guard,
@@ -57,6 +58,7 @@ DRIVER_SAMPLE_HEAD: tuple[str, ...] = (
     "image_phash_pairs",
     "audio_phash_pairs",
     "video_phash_dups",
+    "incremental_image_dedup",
     "jpeg_decode_stats",
     "part_distance_sssp",
     "dedup_clusters_star",
@@ -90,7 +92,6 @@ DRIVER_SAMPLE_HEAD: tuple[str, ...] = (
     "events_pivot_by_type",
     "events_trailing_hour_sum",
     "events_tumbling_10m",
-    "ivf_recall_telemetry",
     "jsonl_media_groups",
     "league_table",
     "lsh_recall_telemetry",

@@ -1836,3 +1836,98 @@ def video_phash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return video_dup_pairs(video_hashes(media)).select(
         F.col("doc_a").cast("long"), F.col("doc_b").cast("long")
     )
+
+
+_INCR_IMG_ORACLE = """
+WITH delta AS (
+  SELECT doc_id, doc_id // 3 AS g FROM documents WHERE doc_id % 3 = 2
+), c AS (
+  SELECT doc_id // 3 AS g, COUNT(*)::BIGINT AS n
+  FROM documents WHERE doc_id % 3 < 2 GROUP BY 1
+)
+SELECT d.doc_id,
+       CASE WHEN d.g % 5 = 0 THEN 0 ELSE COALESCE(c.n, 0) END AS n_dups,
+       CASE WHEN d.g % 5 = 0 OR COALESCE(c.n, 0) = 0 THEN NULL
+            ELSE 0 END::BIGINT AS best_hamming,
+       CASE WHEN d.g % 5 = 0 OR COALESCE(c.n, 0) = 0 THEN 'novel'
+            ELSE 'dup' END AS status
+FROM delta d LEFT JOIN c USING (g)
+"""
+
+
+@register(
+    "incremental_image_dedup",
+    oracle=_INCR_IMG_ORACLE,
+    doc="Daily-ingest IMAGE dedup (operators/imagehash.py "
+    "incremental_image_dedup): a delta batch of images (doc_id % 3 = 2 "
+    "stands in for today's crawl) judged against the standing corpus "
+    "(the other two variants of each image_phash_pairs dup group). The "
+    "100 TB shape inverts the usual broadcast (the incremental_dedup "
+    "discipline): the DELTA's banded pHash buckets are broadcast against "
+    "the corpus fingerprint scan — the corpus is never shuffled or "
+    "broadcast, so ingest cost is O(corpus scan + batch). Planted truth: "
+    "delta images in groups g % 5 = 0 are fresh md5 pixels (status "
+    "'novel', n_dups 0); every other delta is the 2x upscale of its "
+    "group's base — an EXACT pHash invariance — so it matches all its "
+    "group's corpus members at Hamming 0 and the oracle enumerates "
+    "n_dups / best_hamming / status arithmetically.",
+)
+def incremental_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.multimodal import encode_bmp
+    from ..operators.imagehash import image_hashes
+    from ..operators.imagehash import incremental_image_dedup as incr
+    from ..tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def frame_from(seed: str) -> "np.ndarray":
+        n = 32 * 32 * 3
+        buf = np.frombuffer(
+            b"".join(
+                hashlib.md5(f"{seed}-{i}".encode()).digest()
+                for i in range(n // 16 + 1)
+            )[:n],
+            np.uint8,
+        )
+        f = np.empty((32, 32, 4), np.uint8)
+        f[:, :, :3] = 20 + (buf.reshape(32, 32, 3) % 196)
+        f[:, :, 3] = 255
+        return f
+
+    def make(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                group, variant = did // 3, did % 3
+                if variant == 2 and group % 5 == 0:
+                    frame = frame_from(f"novel-{did}")  # fresh content
+                else:
+                    frame = frame_from(str(group))
+                    if variant == 1:
+                        frame = frame.copy()
+                        frame[:, :, :3] += np.uint8(5 + group % 20)
+                    elif variant == 2:
+                        frame = np.repeat(np.repeat(frame, 2, 0), 2, 1)
+                rows.append((did, encode_bmp(frame, 24)))
+            yield pd.DataFrame(rows, columns=["doc_id", "content"])
+
+    media = docs.mapInPandas(make, "doc_id long, content binary")
+    # delta membership is a pure doc_id predicate — no join back to the
+    # fixture subtree; the hash table is checkpointed ONCE (lazy) because
+    # both the corpus and delta filters consume it (without this the
+    # image build + DCT hashing execute twice)
+    hashes = image_hashes(media).localCheckpoint(eager=False)
+    corpus = hashes.filter(F.col("doc_id") % 3 < 2)
+    delta = hashes.filter(F.col("doc_id") % 3 == 2)
+    return incr(corpus, delta).select(
+        "doc_id",
+        F.col("n_dups").cast("long"),
+        F.col("best_hamming").cast("long"),
+        "status",
+    )

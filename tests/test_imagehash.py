@@ -246,3 +246,35 @@ def test_video_dup_pairs_enumerates_groups(spark):
     )
     got = {(r.doc_a, r.doc_b) for r in video_dup_pairs(df).collect()}
     assert got == {(1, 2), (1, 3), (2, 3), (4, 5)}
+
+
+def test_incremental_image_dedup_statuses_and_broadcast_side(spark):
+    """Delta rows within radius of a corpus fingerprint report
+    dup/n_dups/best_hamming; novel rows survive with NULL best; the
+    DELTA side is the broadcast (the corpus is never broadcast)."""
+    from data_engineering_assignment_spark.operators.imagehash import (
+        incremental_image_dedup,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, 100, True), (2, 100 ^ 3, True), (3, 500, True), (4, None, False)],
+        "doc_id long, phash long, hash_ok boolean",
+    )
+    delta = spark.createDataFrame(
+        [(10, 100, True), (11, 1 << 40, True), (12, 500 ^ 1, True)],
+        "doc_id long, phash long, hash_ok boolean",
+    )
+    out = incremental_image_dedup(corpus, delta, radius=2, bands=3)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert rows[10].status == "dup" and rows[10].n_dups == 2
+    assert rows[10].best_hamming == 0  # exact vs 100, hamming 2 vs 100^3
+    assert rows[11].status == "novel" and rows[11].n_dups == 0
+    assert rows[11].best_hamming is None
+    assert rows[12].status == "dup" and rows[12].best_hamming == 1
+    # plan: exactly one broadcast exchange, fed by the DELTA side
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bands"):
+        incremental_image_dedup(corpus, delta, radius=3, bands=3)
