@@ -178,10 +178,16 @@ def video_dup_pairs(hashes: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 def _band_explode(
-    fps: DataFrame, bits: int, bands: int, id_col: str, fp_col: str
+    fps: DataFrame,
+    bits: int,
+    bands: int,
+    id_col: str,
+    fp_col: str,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, fp, band, bucket) — the simhash_band_pairs bit-band split for
-    CROSS-table candidate joins (delta vs corpus)."""
+    """(id, fp, band, bucket[, carry...]) — the simhash_band_pairs
+    bit-band split for CROSS-table candidate joins (delta vs corpus) and
+    the streaming stateful group; ``carry`` columns ride along."""
     from pyspark.sql import functions as F
 
     base, rem = divmod(bits, bands)
@@ -191,6 +197,7 @@ def _band_explode(
     return fps.select(
         F.col(id_col).alias("_doc"),
         fp.alias("_fp"),
+        *[F.col(c) for c in carry],
         F.explode(
             F.array(
                 *[
@@ -205,7 +212,7 @@ def _band_explode(
                 ]
             )
         ).alias("bb"),
-    ).select("_doc", "_fp", "bb.band", "bb.bucket")
+    ).select("_doc", "_fp", *carry, "bb.band", "bb.bucket")
 
 
 def incremental_image_dedup(

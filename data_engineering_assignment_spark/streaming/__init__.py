@@ -684,3 +684,94 @@ def heavy_hitters_batch(
         )
 
     return df.groupBy(key_col).applyInPandas(run, _HH_OUT)
+
+
+def streaming_image_dedup(
+    stream: DataFrame,
+    id_col: str = "doc_id",
+    fp_col: str = "phash",
+    order_col: str = "pos",
+    radius: int = 2,
+    bands: int = 3,
+    max_bucket: int = 64,
+    output_mode: str = "append",
+) -> DataFrame:
+    """Streaming near-duplicate IMAGE detection over a fingerprint stream
+    — the stateful twin of ``operators.imagehash.incremental_image_dedup``
+    (which judges a delta BATCH; this judges each arrival as it lands).
+
+    Incoming 63-bit pHashes are split into ``bands`` disjoint bit-bands
+    (the exact pigeonhole decomposition shared with the batch path via
+    ``operators.imagehash._band_explode`` — stateless, so it runs on the
+    stream before the stateful group) and each (band, bucket) group holds
+    the fingerprints it has seen in ``applyInPandasWithState`` state.
+    Every arrival popcount-verifies against its bucket's stored
+    fingerprints and emits one (band, doc_a, doc_b, hamming) row per
+    match within ``radius`` (doc_a < doc_b; a pair agreeing in several
+    bands emits once per agreeing band — ``distinct()`` on (doc_a, doc_b)
+    downstream recovers the pair set, batch-parity-tested).
+
+    State per bucket is BOUNDED at ``max_bucket`` fingerprints: while no
+    bucket overflows, recall within ``radius`` is EXACT (pigeonhole);
+    past the cap the newest arrivals are not ENROLLED (keep-first — the
+    dedup_within_watermark bounded-state tradeoff) but still verify
+    against the stored set, so matches against the standing corpus are
+    never missed — only pairs between two post-cap arrivals in the same
+    bucket can be. Within a micro-batch rows fold in (order_col, id)
+    order, so a sequential batch replay reproduces the emission set."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from ..operators.imagehash import _band_explode
+
+    if bands < radius + 1:
+        raise ValueError("bands must be >= radius + 1 for exact recall")
+    banded = _band_explode(stream, 63, bands, id_col, fp_col, carry=(order_col,))
+
+    out_schema = StructType(
+        [
+            StructField("band", IntegerType()),
+            StructField("doc_a", LongType()),
+            StructField("doc_b", LongType()),
+            StructField("hamming", IntegerType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("ids", ArrayType(LongType())),
+            StructField("fps", ArrayType(LongType())),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        ids, fps = state.get if state.exists else ([], [])
+        ids, fps = list(ids), list(fps)
+        out = []
+        band = int(key[0])
+        for pdf in pdfs:
+            pdf = pdf.sort_values([order_col, "_doc"], kind="mergesort")
+            for did, fp in zip(pdf["_doc"], pdf["_fp"]):
+                did, fp = int(did), int(fp)
+                for sid, sfp in zip(ids, fps):
+                    d = bin(fp ^ sfp).count("1")
+                    if d <= radius and sid != did:
+                        a, b2 = (sid, did) if sid < did else (did, sid)
+                        out.append((band, a, b2, d))
+                if len(ids) < max_bucket:
+                    ids.append(did)
+                    fps.append(fp)
+        state.update((ids, fps))
+        yield pd.DataFrame(out, columns=["band", "doc_a", "doc_b", "hamming"])
+
+    return banded.groupBy("band", "bucket").applyInPandasWithState(
+        update, out_schema, state_schema, output_mode,
+        GroupStateTimeout.NoTimeout,
+    )

@@ -840,3 +840,106 @@ def test_heavy_hitters_survives_restart(spark, tmp_path):
         {}, ["a", "a", "b", "c", "a", "a", "b", "b", "b"], 2
     )
     assert final == expect
+
+
+def test_streaming_image_dedup_matches_batch_pairs(spark, tmp_path):
+    """The streaming near-dup image detector's distinct (doc_a, doc_b)
+    set across micro-batches == the batch banded pair set over the same
+    fingerprints (exact while no bucket overflows)."""
+    import itertools
+    import random
+
+    from data_engineering_assignment_spark.operators.imagehash import (
+        image_phash_pairs,
+    )
+
+    rng = random.Random(13)
+    fps = {}
+    hid = 0
+    for g in range(20):
+        h = rng.getrandbits(63)
+        fps[hid] = h; hid += 1
+        hv = h
+        for b in rng.sample(range(63), g % 3):  # planted 0/1/2-flip dups
+            hv ^= 1 << b
+        fps[hid] = hv; hid += 1
+
+    d = str(tmp_path / "imgsrc")
+    schema = "doc_id bigint, phash bigint, pos bigint"
+    items = sorted(fps.items())
+    rows = [(i, h, i) for i, h in items]
+    spark.createDataFrame(rows[:25], schema).coalesce(1).write.parquet(d)
+    spark.createDataFrame(rows[25:], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(d)
+    )
+    out = st.run_available_now(
+        st.streaming_image_dedup(src), output_mode="append"
+    )
+    got = {(r.doc_a, r.doc_b, r.hamming) for r in out.collect()}
+    batch_df = spark.createDataFrame(
+        [(i, h, True) for i, h in items], "doc_id long, phash long, hash_ok boolean"
+    )
+    want = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in image_phash_pairs(batch_df, radius=2, bands=3).collect()
+    }
+    assert got == want and len(want) >= 10
+
+
+def test_streaming_image_dedup_state_survives_restart(spark, tmp_path):
+    """Run 2 resumes the bucket state: a fingerprint arriving after
+    restart still matches one enrolled before it."""
+    d = str(tmp_path / "imgsrc2")
+    ck = str(tmp_path / "imgck")
+    sink = str(tmp_path / "imgsink")
+    schema = "doc_id bigint, phash bigint, pos bigint"
+    spark.createDataFrame(
+        [(1, 12345, 1), (2, 999 << 30, 2)], schema
+    ).coalesce(1).write.parquet(d)
+
+    def run():
+        src = spark.readStream.schema(schema).parquet(d)
+        q = (
+            st.streaming_image_dedup(src)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    spark.createDataFrame(
+        [(3, 12345 ^ 1, 3)], schema  # 1 bit from doc 1, enrolled in run 1
+    ).coalesce(1).write.mode("append").parquet(d)
+    run()
+    pairs = {(r.doc_a, r.doc_b, r.hamming) for r in spark.read.parquet(sink).collect()}
+    assert (1, 3, 1) in pairs
+    assert not any(a == 2 or b == 2 for a, b, _ in pairs)
+
+
+def test_streaming_image_dedup_bucket_cap_keeps_corpus_matches(spark, tmp_path):
+    """Past max_bucket the newest arrivals are not enrolled but still
+    verify against the stored set: corpus matches survive, post-cap
+    pairs among themselves are the documented loss."""
+    d = str(tmp_path / "imgsrc3")
+    schema = "doc_id bigint, phash bigint, pos bigint"
+    base = 0x5A5A5A5A
+    # doc 1 enrolls; docs 2..4 hit the cap (max_bucket=1): each still
+    # matches doc 1, but 2-3, 2-4, 3-4 (identical!) are not emitted
+    rows = [(i, base, i) for i in (1, 2, 3, 4)]
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(d)
+    src = spark.readStream.schema(schema).parquet(d)
+    out = st.run_available_now(
+        st.streaming_image_dedup(src, max_bucket=1), output_mode="append"
+    )
+    got = {(r.doc_a, r.doc_b) for r in out.collect()}
+    assert got == {(1, 2), (1, 3), (1, 4)}
