@@ -267,6 +267,10 @@ HEADLINE = [
     "weighted_median_price",
     "dedup_ngram_jaccard",
     "doc_simhash",
+    # WARC crawl-archive ingest gate (oracle-gated)
+    "warc_crawl_stats",
+    # MS-ADPCM audio codec gate (oracle-gated)
+    "ms_adpcm_audio_stats",
 ]
 
 

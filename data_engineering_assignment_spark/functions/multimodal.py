@@ -1054,6 +1054,167 @@ def _decode_ima_adpcm(data: bytes, n_ch: int, block_align: int) -> np.ndarray:
     return np.concatenate(parts)
 
 
+# MS-ADPCM tables (the Microsoft WAVE spec's seven predictor pairs and
+# the 16-entry delta adaptation table; same constants as libsndfile/ffmpeg)
+_MS_COEF1 = np.array([256, 512, 0, 192, 240, 460, 392], np.int64)
+_MS_COEF2 = np.array([0, -256, 0, 64, 0, -208, -232], np.int64)
+_MS_ADAPT = np.array(
+    [230, 230, 230, 230, 307, 409, 512, 614, 768, 614, 512, 409, 307,
+     230, 230, 230],
+    np.int64,
+)
+
+
+def _decode_ms_adpcm_blocks(arr: np.ndarray, n_ch: int) -> np.ndarray:
+    """Decode (n_blocks, block_len) uint8 MS-ADPCM blocks → int32 samples
+    interleaved as (n_blocks * samples_per_block * n_ch,). The two header
+    samples per channel are emitted verbatim (sample2 first — they ARE
+    the first two frames), then the nibble recurrence: predict =
+    (s1*c1 + s2*c2) >> 8, new = predict + signed_nibble * delta, delta =
+    max((adapt[n] * delta) >> 8, 16). Vectorized across blocks and
+    channels; the within-block scan is a genuine recurrence."""
+    nblk, blen = arr.shape
+    a = arr.astype(np.int64)
+    pred_idx = np.clip(a[:, :n_ch], 0, 6)
+    c1 = _MS_COEF1[pred_idx]
+    c2 = _MS_COEF2[pred_idx]
+
+    def i16(lo, hi):
+        return ((lo | (hi << 8)).astype(np.uint16)).astype(np.int16).astype(np.int64)
+
+    base = n_ch
+    delta = i16(a[:, base : base + 2 * n_ch : 2], a[:, base + 1 : base + 2 * n_ch : 2])
+    base += 2 * n_ch
+    s1 = i16(a[:, base : base + 2 * n_ch : 2], a[:, base + 1 : base + 2 * n_ch : 2])
+    base += 2 * n_ch
+    s2 = i16(a[:, base : base + 2 * n_ch : 2], a[:, base + 1 : base + 2 * n_ch : 2])
+    body = arr[:, 7 * n_ch :]
+    n_nib = body.shape[1] * 2
+    nib = np.empty((nblk, n_nib), np.uint8)
+    nib[:, 0::2] = body >> 4  # HIGH nibble first (unlike IMA)
+    nib[:, 1::2] = body & 0x0F
+    n_frames_nib = n_nib // n_ch
+    nib = nib[:, : n_frames_nib * n_ch].reshape(nblk, n_frames_nib, n_ch)
+    out = np.empty((nblk, 2 + n_frames_nib, n_ch), np.int64)
+    out[:, 0] = s2
+    out[:, 1] = s1
+    for t in range(n_frames_nib):
+        n = nib[:, t].astype(np.int64)
+        signed = np.where(n >= 8, n - 16, n)
+        predict = (s1 * c1 + s2 * c2) >> 8
+        new = np.clip(predict + signed * delta, -32768, 32767)
+        s2, s1 = s1, new
+        delta = np.maximum((_MS_ADAPT[n] * delta) >> 8, 16)
+        out[:, 2 + t] = new
+    return out.reshape(-1).astype(np.int32)
+
+
+def _decode_ms_adpcm(data: bytes, n_ch: int, block_align: int) -> np.ndarray:
+    if block_align < 7 * n_ch + n_ch:
+        raise ValueError("WAV: MS-ADPCM block_align too small")
+    nblk, rem = divmod(len(data), block_align)
+    arr = np.frombuffer(data, np.uint8, nblk * block_align).reshape(
+        nblk, block_align
+    )
+    parts = [_decode_ms_adpcm_blocks(arr, n_ch)] if nblk else []
+    if rem >= 7 * n_ch + n_ch:  # trailing short block
+        tail = np.frombuffer(
+            data, np.uint8, rem - (rem - 7 * n_ch) % n_ch, nblk * block_align
+        )
+        parts.append(_decode_ms_adpcm_blocks(tail.reshape(1, -1), n_ch))
+    if not parts:
+        return np.empty(0, np.int32)
+    return np.concatenate(parts)
+
+
+def encode_wav_ms_adpcm(
+    samples: np.ndarray,
+    sample_rate: int = 16000,
+    block_frames: int = 64,
+    predictor: int = 0,
+) -> bytes:
+    """Fixture generator: (n_frames, n_channels) int16 samples → an
+    MS-ADPCM (format tag 2) WAV with ``block_frames`` frames per block.
+    The first two frames of each block are stored VERBATIM in the block
+    header (so they decode exactly); the rest quantize greedily against
+    the chosen predictor with the spec's delta adaptation. Emits the
+    fmt extension (samples-per-block + the seven coefficient pairs) and
+    a fact chunk with the true frame count."""
+    import struct as _struct
+
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    x = np.asarray(samples, np.int64)
+    n_frames, n_ch = x.shape
+    if block_frames < 2:
+        raise ValueError("WAV: MS-ADPCM needs >= 2 frames per block")
+    c1 = int(_MS_COEF1[predictor])
+    c2 = int(_MS_COEF2[predictor])
+    blocks = bytearray()
+    for b0 in range(0, n_frames, block_frames):
+        blk = x[b0 : b0 + block_frames]
+        if blk.shape[0] < 2:  # a 1-frame tail cannot fill a header
+            blk = np.vstack([blk, blk[-1:]])
+        delta = [128] * n_ch
+        s2 = blk[0].tolist()
+        s1 = blk[1].tolist()
+        blocks += bytes([predictor] * n_ch)
+        for d in delta:
+            blocks += _struct.pack("<h", d)
+        for v in s1:
+            blocks += _struct.pack("<h", int(v))
+        for v in s2:
+            blocks += _struct.pack("<h", int(v))
+        nibbles: list[int] = []
+        for t in range(2, block_frames):
+            row = blk[t] if t < blk.shape[0] else blk[-1]
+            for ch in range(n_ch):
+                predict = (s1[ch] * c1 + s2[ch] * c2) >> 8
+                n = int(np.clip(
+                    round((int(row[ch]) - predict) / delta[ch]), -8, 7
+                ))
+                new = int(np.clip(predict + n * delta[ch], -32768, 32767))
+                s2[ch], s1[ch] = s1[ch], new
+                delta[ch] = max((int(_MS_ADAPT[n & 0x0F]) * delta[ch]) >> 8, 16)
+                nibbles.append(n & 0x0F)
+        if len(nibbles) % 2:
+            nibbles.append(0)
+        for i in range(0, len(nibbles), 2):
+            blocks += bytes([(nibbles[i] << 4) | nibbles[i + 1]])
+    block_align = 7 * n_ch + ((block_frames - 2) * n_ch + 1) // 2
+    coefs = b"".join(
+        _struct.pack("<hh", int(a), int(b))
+        for a, b in zip(_MS_COEF1, _MS_COEF2)
+    )
+    ext = _struct.pack("<H", block_frames) + coefs
+    fmt = _struct.pack(
+        "<HHIIHHH",
+        2,
+        n_ch,
+        sample_rate,
+        sample_rate * block_align // block_frames,
+        block_align,
+        4,
+        len(ext),
+    ) + ext
+    fact = _struct.pack("<I", n_frames)
+    data = bytes(blocks)
+    return (
+        b"RIFF"
+        + _struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(fact) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + _struct.pack("<I", len(fmt))
+        + fmt
+        + b"fact"
+        + _struct.pack("<I", len(fact))
+        + fact
+        + b"data"
+        + _struct.pack("<I", len(data))
+        + data
+    )
+
+
 def _ima_encode_nibbles(
     samples: np.ndarray, index: np.ndarray
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -1140,9 +1301,12 @@ def decode_wav(content: bytes) -> tuple[np.ndarray, dict]:
     headers, low-nibble-first data interleaved in 4-byte channel words,
     the 89-entry step table state machine; decoded vectorized ACROSS
     blocks with the sequential scan only over within-block nibble
-    positions). Any channel count; chunks are walked by the spec
-    (word-aligned), so fmt/data need not be adjacent. Remaining
-    compressed formats (MS-ADPCM, MP3-in-WAV…) raise
+    positions) — and 2 (MICROSOFT ADPCM: seven predictor pairs, two
+    VERBATIM header samples per channel per block, high-nibble-first
+    channel-cycled data, the 16-entry delta adaptation; same
+    across-blocks vectorization). Any channel count; chunks are walked
+    by the spec (word-aligned), so fmt/data need not be adjacent.
+    Remaining compressed formats (MP3-in-WAV…) raise
     ``NotImplementedError``.
 
     Returns samples as float64 in [-1, 1], shape (n_frames, n_channels),
@@ -1199,10 +1363,15 @@ def decode_wav(content: bytes) -> tuple[np.ndarray, dict]:
         samples = _decode_ima_adpcm(data, n_ch, block_align).astype(
             np.float64
         ) / 32768.0
+    elif tag == 2 and bits == 4:
+        block_align = fmt[4]
+        samples = _decode_ms_adpcm(data, n_ch, block_align).astype(
+            np.float64
+        ) / 32768.0
     else:
         raise NotImplementedError(
             f"WAV: only integer PCM (8/16/32-bit), float32, 8-bit "
-            f"mu-law/A-law and 4-bit IMA ADPCM are supported "
+            f"mu-law/A-law and 4-bit IMA/MS ADPCM are supported "
             f"(got format tag {tag}, {bits}-bit)"
         )
     n_frames = len(samples) // n_ch

@@ -1,0 +1,119 @@
+"""Dependency-free WARC 1.0/1.1 reader (ISO 28500) for crawl-archive
+binary columns — THE ingest format of LLM training-data pipelines
+(Common Crawl ships WARC; WET/WAT are derived views). Additive vs the
+reference, which has no crawl-archive route.
+
+* :func:`parse_warc` — iterate the records of a WARC file: plain
+  concatenated records OR the standard ``.warc.gz`` form (one gzip
+  MEMBER per record, detected by the 1f 8b magic and walked with
+  ``zlib`` ``unused_data`` — a whole-file gunzip would work too, but
+  member-at-a-time is the streamable shape real readers use). Each
+  record yields its headers dict + raw payload ``bytes``; ``response``
+  records with an ``application/http`` content type additionally split
+  the HTTP status line / headers from the body.
+* :func:`build_warc` — fixture generator: serialize (headers, payload)
+  pairs into spec-shaped records (CRLF header block, Content-Length,
+  double-CRLF record terminator), optionally per-record-gzipped.
+
+The parser is strict about structure (ValueError on a bad version line,
+missing Content-Length, or a truncated payload) and tolerant about
+content (unknown header fields ride along verbatim) — the dead-letter
+discipline expects callers to catch per-row.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+
+def _gzip_members(content: bytes):
+    """Yield decompressed gzip members (RFC 1952 allows concatenation —
+    WARC.gz uses one member per record)."""
+    pos = 0
+    while pos < len(content):
+        d = zlib.decompressobj(wbits=31)
+        out = d.decompress(content[pos:])
+        if not d.eof:
+            raise ValueError("WARC: truncated gzip member")
+        yield out
+        consumed = len(content) - pos - len(d.unused_data)
+        if consumed <= 0:
+            raise ValueError("WARC: gzip member made no progress")
+        pos += consumed
+
+
+def _parse_one(buf: bytes, pos: int) -> tuple[dict, int]:
+    """Parse one record at ``pos`` → (record dict, next position)."""
+    head_end = buf.find(b"\r\n\r\n", pos)
+    if head_end < 0:
+        raise ValueError("WARC: unterminated header block")
+    lines = buf[pos:head_end].split(b"\r\n")
+    version = lines[0].decode("ascii", "replace")
+    if not version.startswith("WARC/"):
+        raise ValueError(f"WARC: bad version line {version!r}")
+    headers: dict[str, str] = {}
+    for ln in lines[1:]:
+        k, _, v = ln.partition(b":")
+        headers[k.decode("ascii", "replace").strip()] = v.decode(
+            "utf-8", "replace"
+        ).strip()
+    if "Content-Length" not in headers:
+        raise ValueError("WARC: record missing Content-Length")
+    n = int(headers["Content-Length"])
+    body_start = head_end + 4
+    payload = buf[body_start : body_start + n]
+    if len(payload) < n:
+        raise ValueError("WARC: truncated payload")
+    rec = {"version": version, "headers": headers, "payload": payload}
+    if headers.get("Content-Type", "").startswith("application/http"):
+        split = payload.find(b"\r\n\r\n")
+        if split >= 0:
+            http_head = payload[:split].split(b"\r\n")
+            status_line = http_head[0].decode("ascii", "replace")
+            parts = status_line.split(" ", 2)
+            if len(parts) >= 2 and parts[1].isdigit():
+                rec["http_status"] = int(parts[1])
+            rec["http_body"] = payload[split + 4 :]
+    # the record terminator (two CRLFs) follows the payload
+    term = buf[body_start + n : body_start + n + 4]
+    if term[:4] != b"\r\n\r\n":
+        raise ValueError("WARC: record missing terminating CRLFCRLF")
+    return rec, body_start + n + 4
+
+
+def parse_warc(content: bytes) -> list[dict]:
+    """All records of a WARC file (plain or per-record-gzip); see module
+    docstring for the record dict shape."""
+    records: list[dict] = []
+    if content[:2] == b"\x1f\x8b":
+        for member in _gzip_members(content):
+            pos = 0
+            while pos < len(member):
+                rec, pos = _parse_one(member, pos)
+                records.append(rec)
+        return records
+    pos = 0
+    while pos < len(content):
+        rec, pos = _parse_one(content, pos)
+        records.append(rec)
+    return records
+
+
+def build_warc(
+    records: list[tuple[dict, bytes]], gzip_members: bool = False
+) -> bytes:
+    """Fixture generator: (headers, payload) pairs → WARC bytes. Adds
+    Content-Length; ``gzip_members`` emits the standard .warc.gz form
+    (one gzip member per record)."""
+    out = bytearray()
+    for headers, payload in records:
+        head = bytearray(b"WARC/1.0\r\n")
+        for k, v in headers.items():
+            head += f"{k}: {v}\r\n".encode()
+        head += f"Content-Length: {len(payload)}\r\n".encode()
+        rec = bytes(head) + b"\r\n" + payload + b"\r\n\r\n"
+        if gzip_members:
+            co = zlib.compressobj(6, zlib.DEFLATED, 31)
+            rec = co.compress(rec) + co.flush()
+        out += rec
+    return bytes(out)

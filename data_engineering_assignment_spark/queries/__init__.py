@@ -42,9 +42,11 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #
 # Round-10 head (catalog = 192): entering the round every query had been
 # driver-checked at least once (r1-r9 union) with zero standing failures.
-# Order: the four never-checked round-10 additions (image_phash_pairs,
-# audio_phash_pairs, video_phash_dups, incremental_image_dedup —
-# ivf_recall_telemetry, an r6 diagnostic, yielded its slot);
+# Order: the six never-checked round-10 additions (image_phash_pairs,
+# audio_phash_pairs, video_phash_dups, incremental_image_dedup,
+# warc_crawl_stats, ms_adpcm_audio_stats — ivf/lsh_recall_telemetry and
+# dedup_clusters_jaccard, r6 diagnostics/rows-only twins, yielded their
+# slots);
 # four queries whose implementation changed this round (jpeg_decode_stats
 # grew the 16-bit-DQT leg, part_distance_sssp was rewritten to the delta
 # frontier, dedup_clusters_star's cc_star gained the convergence guard,
@@ -59,6 +61,8 @@ DRIVER_SAMPLE_HEAD: tuple[str, ...] = (
     "audio_phash_pairs",
     "video_phash_dups",
     "incremental_image_dedup",
+    "warc_crawl_stats",
+    "ms_adpcm_audio_stats",
     "jpeg_decode_stats",
     "part_distance_sssp",
     "dedup_clusters_star",
@@ -73,7 +77,6 @@ DRIVER_SAMPLE_HEAD: tuple[str, ...] = (
     "cosine_topk_ivf",
     "cosine_topk_lsh",
     "customer_year_setops",
-    "dedup_clusters_jaccard",
     "dedup_clusters_lsh",
     "dedup_exact",
     "dedup_lsh_portable",
@@ -94,7 +97,6 @@ DRIVER_SAMPLE_HEAD: tuple[str, ...] = (
     "events_tumbling_10m",
     "jsonl_media_groups",
     "league_table",
-    "lsh_recall_telemetry",
     "nation_name_fuzzy",
     "order_ship_lag_30d",
     "orders_cube",

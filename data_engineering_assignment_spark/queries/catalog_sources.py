@@ -1931,3 +1931,179 @@ def incremental_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("best_hamming").cast("long"),
         "status",
     )
+
+
+_WARC_ORACLE = """
+SELECT 'request' AS warc_type,
+       COUNT(*) AS n_records,
+       SUM(36 + LENGTH(doc_id::VARCHAR))::BIGINT AS payload_len_sum,
+       0::BIGINT AS status_sum
+FROM documents
+UNION ALL
+SELECT 'response',
+       COUNT(*),
+       SUM(55 + doc_id % 50)::BIGINT,
+       SUM(200 + (doc_id % 2) * 104)::BIGINT
+FROM documents
+UNION ALL
+SELECT 'warcinfo', COUNT(*), (17 * COUNT(*))::BIGINT, 0::BIGINT
+FROM documents
+"""
+
+
+@register(
+    "warc_crawl_stats",
+    oracle=_WARC_ORACLE,
+    doc="WARC crawl-archive ingest gate (functions/warc.py parse_warc, "
+    "sources.warc_records; ISO 28500 — the Common Crawl wire format, "
+    "additive vs the reference which has no crawl-archive route): every "
+    "document becomes one three-record WARC (warcinfo + request + "
+    "response with an embedded HTTP message), alternating PLAIN vs "
+    "PER-RECORD-GZIP (.warc.gz, one gzip member per record walked via "
+    "zlib unused_data) by doc_id, exploded to one row per record. Every "
+    "aggregated quantity is closed-form in doc_id: the request payload "
+    "is 36 + digits(doc_id) bytes, the response 45 HTTP-head + "
+    "10 + doc_id%50 body bytes, statuses 200/304 — so the oracle pins "
+    "the header walk, Content-Length framing, record terminators, gzip "
+    "member iteration and HTTP status split arithmetically.",
+)
+def warc_crawl_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from ..functions.warc import build_warc
+    from ..sources import warc_records
+    from ..tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def make(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                status = 200 + (did % 2) * 104
+                body = b"x" * (10 + did % 50)
+                recs = [
+                    (
+                        {"WARC-Type": "warcinfo", "WARC-Record-ID": f"<urn:uuid:{did}>"},
+                        b"software: graft\r\n",
+                    ),
+                    (
+                        {
+                            "WARC-Type": "request",
+                            "WARC-Target-URI": f"http://crawl.test/{did}",
+                            "Content-Type": "application/http;msgtype=request",
+                        },
+                        f"GET /{did} HTTP/1.1\r\nHost: crawl.test\r\n\r\n".encode(),
+                    ),
+                    (
+                        {
+                            "WARC-Type": "response",
+                            "WARC-Target-URI": f"http://crawl.test/{did}",
+                            "Content-Type": "application/http;msgtype=response",
+                        },
+                        f"HTTP/1.1 {status} OK\r\nContent-Type: text/plain\r\n\r\n".encode()
+                        + body,
+                    ),
+                ]
+                rows.append((did, build_warc(recs, gzip_members=bool(did % 2))))
+            yield pd.DataFrame(rows, columns=["archive_id", "content"])
+
+    media = docs.mapInPandas(make, "archive_id long, content binary")
+    recs = warc_records(media)
+    return (
+        recs.filter("parse_ok")
+        .groupBy("warc_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_records"),
+            F.sum("payload_len").cast("long").alias("payload_len_sum"),
+            F.sum(F.coalesce("http_status", F.lit(0)))
+            .cast("long")
+            .alias("status_sum"),
+        )
+    )
+
+
+_MS_ADPCM_ORACLE = """
+SELECT (1 + doc_id % 4)::BIGINT AS slope,
+       COUNT(*) AS n_wavs,
+       COUNT(*) AS n_ok,
+       SUM((doc_id * 7) % 256 * 40 - 5000)::BIGINT AS val_first_sum,
+       SUM((doc_id * 7) % 256 * 40 - 5000
+           + 32 * (1 + doc_id % 4))::BIGINT AS val_blk2_sum
+FROM documents
+GROUP BY 1
+"""
+
+
+@register(
+    "ms_adpcm_audio_stats",
+    oracle=_MS_ADPCM_ORACLE,
+    doc="Multimodal audio gate over the native MICROSOFT ADPCM codec "
+    "(functions/multimodal.py, WAV format tag 2 — the other 4-bit "
+    "block-predictive WAV codec in the wild; guard retired round 10): "
+    "every document becomes an 80-frame mono ramp (slope 1 + doc_id%4) "
+    "encoded via encode_wav_ms_adpcm with 32-frame blocks, so frames 0/1 "
+    "and 32/33 are VERBATIM block-header samples and decode exactly. "
+    "In-row verification: fact-chunk frame count, all four header frames "
+    "verbatim, bounded greedy-quantizer drift (<= 160) on the rest; the "
+    "value columns are decoded frame 0 (= s0) and decoded frame 32 "
+    "(= s0 + 32*slope), both closed-form in doc_id, so block "
+    "segmentation, the seven-coefficient predictor and the delta "
+    "adaptation all sit under the oracle hash. The recurrence itself is "
+    "pinned to a scalar spec-reference implementation in "
+    "tests/test_audio_codecs.py.",
+)
+def ms_adpcm_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.multimodal import decode_wav, encode_wav_ms_adpcm
+    from ..tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def roundtrip(batches):
+        # fixture-encode memo (the jpeg_decode_stats discipline): the WAV
+        # bytes depend on doc_id only through ((did*7)%256, did%4) — 1024
+        # distinct files vs a per-row per-nibble Python encode loop. The
+        # gated DECODE still runs per row.
+        memo: dict = {}
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                s0 = (did * 7) % 256 * 40 - 5000
+                slope = 1 + did % 4
+                sig = (s0 + slope * np.arange(80)).astype(np.int64)
+                try:
+                    key = (s0, slope)
+                    if key not in memo:
+                        memo[key] = encode_wav_ms_adpcm(
+                            sig[:, None], block_frames=32
+                        )
+                    dec, meta = decode_wav(memo[key])
+                    got = np.round(dec[:, 0] * 32768.0).astype(np.int64)
+                    ok = bool(
+                        meta["n_samples"] == 80
+                        and got[0] == sig[0]
+                        and got[1] == sig[1]
+                        and got[32] == sig[32]
+                        and got[33] == sig[33]
+                        and np.abs(got - sig).max() <= 160
+                    )
+                    v1, v2 = int(got[0]), int(got[32])
+                except Exception:
+                    ok, v1, v2 = False, 0, 0
+                rows.append((slope, ok, v1, v2))
+            yield pd.DataFrame(rows, columns=["slope", "ok", "v1", "v2"])
+
+    decoded = docs.mapInPandas(
+        roundtrip, "slope int, ok boolean, v1 int, v2 int"
+    )
+    return decoded.groupBy(F.col("slope").cast("long").alias("slope")).agg(
+        F.count(F.lit(1)).alias("n_wavs"),
+        F.sum(F.col("ok").cast("int")).cast("long").alias("n_ok"),
+        F.sum(F.col("v1").cast("long")).alias("val_first_sum"),
+        F.sum(F.col("v2").cast("long")).alias("val_blk2_sum"),
+    )

@@ -205,3 +205,54 @@ def write_orc(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.orc(path)
+
+
+def warc_records(df: DataFrame, content_col: str = "content", id_col: str = "archive_id") -> DataFrame:
+    """Explode WARC crawl-archive binary columns into one row per record
+    (functions/warc.py: plain or per-record-gzip .warc.gz) — the ingest
+    shape of LLM training-data pipelines (Common Crawl ships WARC).
+    Arrow-batched mapInPandas; archive bytes never leave the executor.
+    Unparseable archives survive as one parse_ok = false row (dead-letter
+    discipline), so corrupt crawl files are countable, never dropped."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..functions.warc import parse_warc
+
+    schema = (
+        f"{id_col} long, rec_idx int, warc_type string, target_uri string,"
+        " content_type string, http_status int, payload_len long,"
+        " parse_ok boolean"
+    )
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            id_col, "rec_idx", "warc_type", "target_uri", "content_type",
+            "http_status", "payload_len", "parse_ok",
+        ]
+        for pdf in batches:
+            rows = []
+            for aid, content in zip(pdf[id_col], pdf[content_col]):
+                aid = int(aid)
+                try:
+                    recs = parse_warc(bytes(content))
+                    for i, r in enumerate(recs):
+                        h = r["headers"]
+                        rows.append(
+                            (
+                                aid,
+                                i,
+                                h.get("WARC-Type"),
+                                h.get("WARC-Target-URI"),
+                                h.get("Content-Type"),
+                                r.get("http_status"),
+                                len(r["payload"]),
+                                True,
+                            )
+                        )
+                except Exception:
+                    rows.append((aid, None, None, None, None, None, None, False))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(mapper, schema)

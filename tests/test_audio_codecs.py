@@ -131,7 +131,90 @@ def test_ima_step_golden():
 def test_wav_error_paths():
     import pytest
 
-    with pytest.raises(NotImplementedError, match="format tag 2"):
-        decode_wav(make_wav(2, 1, b"\x00" * 8, bits=4))
+    # format tag 2 (MS-ADPCM) decodes natively since round 10; MP3-in-WAV
+    # (tag 85) remains the guarded unsupported profile
+    with pytest.raises(NotImplementedError, match="format tag 85"):
+        decode_wav(make_wav(85, 1, b"\x00" * 8, bits=4))
     with pytest.raises(ValueError, match="block_align too small"):
         _decode_ima_adpcm(b"\x00" * 8, 2, 8)
+    with pytest.raises(ValueError, match="block_align too small"):
+        decode_wav(make_wav(2, 1, b"\x00" * 8, bits=4))
+
+
+def test_ms_adpcm_matches_scalar_spec_reference():
+    """The vectorized MS-ADPCM decoder reproduces a literal scalar
+    transcription of the spec recurrence (predict >> 8, signed nibble *
+    delta, 16-entry adaptation, floor-16 delta) on random blocks."""
+    import struct
+
+    import numpy as np
+
+    from data_engineering_assignment_spark.functions.multimodal import (
+        _MS_ADAPT,
+        _MS_COEF1,
+        _MS_COEF2,
+        _decode_ms_adpcm,
+    )
+
+    rng = np.random.default_rng(11)
+    for n_ch in (1, 2):
+        for _ in range(3):
+            nfrm = 20
+            pred = [int(rng.integers(0, 7)) for _ in range(n_ch)]
+            delta = [int(rng.integers(16, 900)) for _ in range(n_ch)]
+            s1 = [int(rng.integers(-2000, 2000)) for _ in range(n_ch)]
+            s2 = [int(rng.integers(-2000, 2000)) for _ in range(n_ch)]
+            nibs = rng.integers(0, 16, (nfrm - 2) * n_ch).tolist()
+            blk = bytearray(bytes(pred))
+            for d in delta:
+                blk += struct.pack("<h", d)
+            for v in s1:
+                blk += struct.pack("<h", v)
+            for v in s2:
+                blk += struct.pack("<h", v)
+            padded = nibs + ([0] if len(nibs) % 2 else [])
+            for i in range(0, len(padded), 2):
+                blk += bytes([(padded[i] << 4) | padded[i + 1]])
+            got = _decode_ms_adpcm(bytes(blk), n_ch, len(blk))
+            # scalar reference
+            want = []
+            st = {
+                ch: {
+                    "d": delta[ch],
+                    "s1": s1[ch],
+                    "s2": s2[ch],
+                    "c1": int(_MS_COEF1[pred[ch]]),
+                    "c2": int(_MS_COEF2[pred[ch]]),
+                }
+                for ch in range(n_ch)
+            }
+            want += s2 + s1
+            for t, n in enumerate(nibs):
+                ch = t % n_ch
+                c = st[ch]
+                signed = n - 16 if n >= 8 else n
+                predict = (c["s1"] * c["c1"] + c["s2"] * c["c2"]) >> 8
+                new = max(-32768, min(32767, predict + signed * c["d"]))
+                c["s2"], c["s1"] = c["s1"], new
+                c["d"] = max((int(_MS_ADAPT[n]) * c["d"]) >> 8, 16)
+                want.append(new)
+            assert got.tolist() == want, (n_ch, pred)
+
+
+def test_ms_adpcm_roundtrip_and_header_exactness():
+    import numpy as np
+
+    from data_engineering_assignment_spark.functions.multimodal import (
+        decode_wav,
+        encode_wav_ms_adpcm,
+    )
+
+    t = np.arange(300)
+    sig = (4000 * np.sin(2 * np.pi * t / 40)).astype(np.int64)
+    x = np.stack([sig, -sig // 3], axis=1)
+    s, meta = decode_wav(encode_wav_ms_adpcm(x, block_frames=32))
+    assert meta["n_samples"] == 300 and meta["n_channels"] == 2
+    got = np.round(s * 32768.0).astype(np.int64)
+    for b in range(0, 300, 32):  # header frames are verbatim
+        assert (got[b] == x[b]).all() and (got[b + 1] == x[b + 1]).all()
+    assert np.abs(got - x).max() < 600

@@ -1,0 +1,86 @@
+"""WARC reader tests (functions/warc.py, sources.warc_records): plain +
+per-record-gzip roundtrips, HTTP split, structural error paths, and the
+dead-letter operator row."""
+
+import pytest
+
+from data_engineering_assignment_spark.functions.warc import (
+    build_warc,
+    parse_warc,
+)
+
+RECS = [
+    (
+        {"WARC-Type": "warcinfo", "WARC-Record-ID": "<urn:uuid:1>"},
+        b"software: graft\r\n",
+    ),
+    (
+        {
+            "WARC-Type": "request",
+            "WARC-Target-URI": "http://x.test/a",
+            "Content-Type": "application/http;msgtype=request",
+        },
+        b"GET /a HTTP/1.1\r\nHost: x.test\r\n\r\n",
+    ),
+    (
+        {
+            "WARC-Type": "response",
+            "WARC-Target-URI": "http://x.test/a",
+            "Content-Type": "application/http;msgtype=response",
+        },
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\nhello world",
+    ),
+]
+
+
+def test_warc_roundtrip_plain_and_gzip():
+    for gz in (False, True):
+        got = parse_warc(build_warc(RECS, gzip_members=gz))
+        assert [r["headers"]["WARC-Type"] for r in got] == [
+            "warcinfo",
+            "request",
+            "response",
+        ]
+        assert got[1]["headers"]["WARC-Target-URI"] == "http://x.test/a"
+        assert got[2]["http_status"] == 200
+        assert got[2]["http_body"] == b"hello world"
+        assert got[0]["payload"] == b"software: graft\r\n"
+        # payloads are length-framed: binary content with CRLFs inside
+        # must not confuse the walk
+    tricky = [({"WARC-Type": "resource"}, b"\r\n\r\nWARC/1.0\r\n\r\n\r\nraw")]
+    got = parse_warc(build_warc(tricky))
+    assert len(got) == 1 and got[0]["payload"].endswith(b"raw")
+
+
+def test_warc_error_paths():
+    blob = build_warc(RECS)
+    with pytest.raises(ValueError, match="version"):
+        parse_warc(b"HTTP/1.1 200\r\n\r\n\r\n\r\n")
+    with pytest.raises(ValueError, match="truncated payload"):
+        parse_warc(blob[:-30])
+    # strip a Content-Length header
+    bad = blob.replace(b"Content-Length: 17\r\n", b"", 1)
+    with pytest.raises(ValueError, match="Content-Length"):
+        parse_warc(bad)
+    # truncated gzip member
+    gz = build_warc(RECS, gzip_members=True)
+    with pytest.raises(ValueError, match="gzip"):
+        parse_warc(gz[: len(gz) // 2])
+
+
+def test_warc_records_operator_dead_letter(spark):
+    from data_engineering_assignment_spark.sources import warc_records
+
+    good = build_warc(RECS, gzip_members=True)
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(b"\x1f\x8b broken"))],
+        "archive_id long, content binary",
+    )
+    rows = warc_records(df).collect()
+    ok = [r for r in rows if r.parse_ok]
+    bad = [r for r in rows if not r.parse_ok]
+    assert len(ok) == 3 and len(bad) == 1 and bad[0].archive_id == 2
+    by_type = {r.warc_type: r for r in ok}
+    assert by_type["response"].http_status == 200
+    assert by_type["response"].payload_len == len(RECS[2][1])
+    assert by_type["request"].target_uri == "http://x.test/a"
