@@ -515,8 +515,10 @@ def test_wav_8bit_and_float32():
     assert np.allclose(sf[:, 0], [0.5, -0.25]) and meta["bit_depth"] == 32
 
     import pytest as _pytest
+    # MS-ADPCM (tag 2) decodes natively since round 10; MP3-in-WAV stays
+    # the guarded unsupported profile
     with _pytest.raises(NotImplementedError, match="format tag"):
-        decode_wav(wav(2, 4, b"\x00\x00"))  # ADPCM
+        decode_wav(wav(85, 4, b"\x00\x00"))  # MP3-in-WAV
 
 
 def test_extract_audio_features(spark):
