@@ -41,12 +41,13 @@ JPEG specification (ITU-T T.81 / ISO 10918-1) for 8-bit precision:
 
 16-bit quantization tables (DQT Pq=1) decode natively — accepted with
 8-bit samples the way libjpeg does, though T.81 reserves them for
-12-bit precision. 12-bit SAMPLE precision decodes natively too for the
-SEQUENTIAL process (SOF1 extended sequential: level shift 2048, clamp
-0..4095, output floored to the uint8 frame contract via >> 4 —
-libjpeg's scaled-output convention); 12-bit PROGRESSIVE files still
-raise ``NotImplementedError`` and route to the guarded PIL hook
-(:func:`multimodal.decode_image_pil`).
+12-bit precision. 12-bit SAMPLE precision decodes natively for BOTH
+Huffman processes (SOF1 extended sequential and SOF2 progressive:
+level shift 2048, clamp 0..4095, output floored to the uint8 frame
+contract via >> 4 — libjpeg's scaled-output convention), leaving no
+guarded JPEG profile short of the arithmetic-coded (SOF9+) and
+lossless/hierarchical processes, which real crawls effectively never
+carry.
 """
 
 from __future__ import annotations
@@ -562,10 +563,10 @@ def decode_jpeg(content: bytes) -> np.ndarray:
     marker, and resets every DC predictor. Progressive files (SOF2)
     dispatch to :func:`_decode_progressive` (T.81 Annex G: spectral
     selection, successive approximation, EOB runs). Raises
-    ``NotImplementedError`` for 12-bit PROGRESSIVE files, non-interleaved
-    SEQUENTIAL color scans, or component counts other than 1/3 — those
-    route through the PIL hook when available. 16-bit quantization
-    tables (DQT Pq=1) and 12-bit SEQUENTIAL precision (SOF1, output
+    ``NotImplementedError`` for non-interleaved SEQUENTIAL color scans
+    or component counts other than 1/3 — those route through the PIL
+    hook when available. 16-bit quantization tables (DQT Pq=1) and
+    12-bit precision (SOF1 sequential AND SOF2 progressive, output
     floored to uint8 via >> 4) decode natively.
     """
     if content[:2] != b"\xff\xd8":
@@ -1214,6 +1215,7 @@ def _decode_progressive(content: bytes) -> np.ndarray:
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     h = w = 0
+    prec = 8
     restart_interval = 0
     comps: list[tuple[int, int, int, int]] = []  # (cid, hi, vi, tq)
     coefs: list[np.ndarray] = []
@@ -1248,8 +1250,10 @@ def _decode_progressive(content: bytes) -> np.ndarray:
             (restart_interval,) = struct.unpack_from(">H", payload, 0)
         elif marker == 0xC2:  # SOF2
             prec, h, w, ncomp = struct.unpack_from(">BHHB", payload, 0)
-            if prec != 8:
-                raise NotImplementedError("JPEG: only 8-bit precision")
+            if prec not in (8, 12):
+                raise NotImplementedError(
+                    f"JPEG: {prec}-bit precision not supported here"
+                )
             if ncomp not in (1, 3):
                 raise NotImplementedError(
                     "JPEG: only 1 (gray) or 3 (YCbCr) components"
@@ -1354,15 +1358,18 @@ def _decode_progressive(content: bytes) -> np.ndarray:
                 )
         planes.append(out)
 
+    mid, mx = float(1 << (prec - 1)), (1 << prec) - 1
     if len(comps) == 1:
-        return np.clip(np.round(planes[0] + 128.0), 0, 255).astype(np.uint8)[
-            :h, :w
-        ]
+        g = np.clip(np.round(planes[0] + mid), 0, mx).astype(np.int64)
+        # 12-bit floors to the uint8 contract (>> 4, the SOF1 convention)
+        return (g >> (prec - 8)).astype(np.uint8)[:h, :w]
     hmax = max(f[0] for f in factors)
     vmax = max(f[1] for f in factors)
     full = []
     for idx, (hi, vi) in enumerate(factors):
-        p = np.clip(np.round(planes[idx] + 128.0), 0, 255)
+        p = np.clip(np.round(planes[idx] + mid), 0, mx)
+        if prec > 8:  # floor to 8-bit BEFORE the color transform
+            p = np.floor(p / float(1 << (prec - 8)))
         sy, sx = vmax // vi, hmax // hi
         if sy > 1 or sx > 1:
             p = np.repeat(np.repeat(p, sy, axis=0), sx, axis=1)

@@ -817,11 +817,9 @@ def decode_image_jpeg(content: bytes) -> tuple[np.ndarray, dict]:
     4:2:2 / 4:2:0), restart intervals included — decode via the
     dependency-free T.81 decoder in :mod:`.jpeg`: gray replicated to
     B=G=R (the decode_png color-type-0 convention), RGB reordered to
-    BGRA, alpha 255. 16-bit quant tables and 12-bit SEQUENTIAL (SOF1)
-    files decode natively too (12-bit samples floor to uint8 via >>4);
-    only 12-bit PROGRESSIVE files fall through to the guarded PIL hook
-    (with PIL absent they raise its NotImplementedError
-    rather than guessing). Malformed-stream errors
+    BGRA, alpha 255. 16-bit quant tables and 12-bit precision (SOF1
+    sequential AND SOF2 progressive) decode natively too (12-bit
+    samples floor to uint8 via >>4). Malformed-stream errors
     from the native parser (ValueError/IndexError/struct.error on
     truncated or exotic files) fall through to PIL as well: the hook is
     the decoder of last resort for anything the baseline parser can't

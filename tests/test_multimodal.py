@@ -656,11 +656,11 @@ def test_jpeg_decode_any_dispatch_and_unknown_segments():
 
 
 def test_jpeg_rejects_out_of_scope_profiles():
-    """Out-of-scope profiles (12-bit precision here) must raise
-    NotImplementedError (PIL hook territory), never decode wrong — and a
-    baseline entropy stream mislabeled as SOF2 is CORRUPT progressive
-    data: the multi-scan decoder must fail loudly, not emit pixels from
-    semantics that don't match the marker."""
+    """Out-of-scope profiles must raise NotImplementedError (PIL hook
+    territory), never decode wrong — and a baseline entropy stream
+    mislabeled as SOF2 is CORRUPT progressive data: the multi-scan
+    decoder must fail loudly, not emit pixels from semantics that don't
+    match the marker."""
     import numpy as np
     import pytest
 
@@ -676,13 +676,19 @@ def test_jpeg_rejects_out_of_scope_profiles():
     mislabeled = bytes(enc[:sof_at + 1]) + b"\xc2" + bytes(enc[sof_at + 2:])
     with pytest.raises(ValueError):
         decode_jpeg_gray(mislabeled)
-    # 12-bit precision stays NotImplementedError on both frame types
+    # SOF0 claiming 12 bits is nonconformant (baseline is 8-bit only);
+    # bogus precisions are guarded on both frame types. (SOF1/SOF2 at
+    # 12 bits decode natively since round 10 — tested elsewhere.)
+    twelve = bytearray(enc)
+    twelve[sof_at + 4] = 12
+    with pytest.raises(NotImplementedError):
+        decode_jpeg_gray(bytes(twelve))
     for marker in (b"\xc0", b"\xc2"):
-        twelve = bytearray(enc)
-        twelve[sof_at + 1 : sof_at + 2] = marker
-        twelve[sof_at + 4] = 12  # precision byte of the SOF payload
+        ten = bytearray(enc)
+        ten[sof_at + 1 : sof_at + 2] = marker
+        ten[sof_at + 4] = 10
         with pytest.raises(NotImplementedError):
-            decode_jpeg_gray(bytes(twelve))
+            decode_jpeg_gray(bytes(ten))
 
 
 def test_wav_mulaw_decode():
@@ -1612,13 +1618,24 @@ def test_jpeg_12bit_extended_sequential():
     enc8[at + 4] = 12
     with _pytest.raises(NotImplementedError, match="12-bit"):
         decode_jpeg(bytes(enc8))
-    # 12-bit PROGRESSIVE stays guarded (SOF2 patched to claim 12)
+    # 12-bit PROGRESSIVE decodes natively too: the entropy layer is
+    # precision-independent, so an 8-bit progressive stream whose SOF2
+    # claims 12 bits decodes with the 2048 level shift — for a flat
+    # even-offset image (coefficients exact under Annex-K q_dc=16) the
+    # result is exactly (v8 - 128 + 2048) >> 4
     from data_engineering_assignment_spark.functions.jpeg import (
         encode_jpeg_progressive,
     )
 
-    prog = bytearray(encode_jpeg_progressive(np.full((8, 8), 100, np.uint8)))
-    at = prog.find(b"\xff\xc2")
-    prog[at + 4] = 12
+    for v8 in (32, 100, 128, 200, 254):
+        prog = bytearray(
+            encode_jpeg_progressive(np.full((8, 16), v8, np.uint8))
+        )
+        at = prog.find(b"\xff\xc2")
+        prog[at + 4] = 12
+        out = decode_jpeg(bytes(prog))
+        assert (out == ((v8 - 128 + 2048) >> 4)).all(), v8
+    # a bogus precision still raises
+    prog[at + 4] = 10
     with _pytest.raises(NotImplementedError, match="precision"):
         decode_jpeg(bytes(prog))
