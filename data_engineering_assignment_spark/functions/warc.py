@@ -32,7 +32,10 @@ def _gzip_members(content: bytes):
     pos = 0
     while pos < len(content):
         d = zlib.decompressobj(wbits=31)
-        out = d.decompress(content[pos:])
+        try:
+            out = d.decompress(content[pos:])
+        except zlib.error as e:  # corrupt member: keep the ValueError contract
+            raise ValueError(f"WARC: bad gzip member ({e})") from e
         if not d.eof:
             raise ValueError("WARC: truncated gzip member")
         yield out

@@ -84,3 +84,12 @@ def test_warc_records_operator_dead_letter(spark):
     assert by_type["response"].http_status == 200
     assert by_type["response"].payload_len == len(RECS[2][1])
     assert by_type["request"].target_uri == "http://x.test/a"
+
+
+def test_warc_corrupt_gzip_member_is_value_error():
+    """A record whose gzip member is corrupt (not merely truncated) must
+    raise the documented ValueError, not leak zlib.error."""
+    gz = bytearray(build_warc(RECS, gzip_members=True))
+    gz[20] ^= 0xFF  # flip a deflate byte inside the first member
+    with pytest.raises(ValueError, match="gzip"):
+        parse_warc(bytes(gz))
