@@ -271,6 +271,8 @@ HEADLINE = [
     "warc_crawl_stats",
     # MS-ADPCM audio codec gate (oracle-gated)
     "ms_adpcm_audio_stats",
+    # ZIP archive ingest gate (oracle-gated)
+    "zip_archive_stats",
 ]
 
 

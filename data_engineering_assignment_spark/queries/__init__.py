@@ -42,11 +42,11 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #
 # Round-10 head (catalog = 192): entering the round every query had been
 # driver-checked at least once (r1-r9 union) with zero standing failures.
-# Order: the six never-checked round-10 additions (image_phash_pairs,
+# Order: the seven never-checked round-10 additions (image_phash_pairs,
 # audio_phash_pairs, video_phash_dups, incremental_image_dedup,
-# warc_crawl_stats, ms_adpcm_audio_stats — ivf/lsh_recall_telemetry and
-# dedup_clusters_jaccard, r6 diagnostics/rows-only twins, yielded their
-# slots);
+# warc_crawl_stats, ms_adpcm_audio_stats, zip_archive_stats —
+# ivf/lsh_recall_telemetry and the two rows-only CC twins
+# dedup_clusters_jaccard/lsh, r6 diagnostics, yielded their slots);
 # four queries whose implementation changed this round (jpeg_decode_stats
 # grew the 16-bit-DQT leg, part_distance_sssp was rewritten to the delta
 # frontier, dedup_clusters_star's cc_star gained the convergence guard,
@@ -63,6 +63,7 @@ DRIVER_SAMPLE_HEAD: tuple[str, ...] = (
     "incremental_image_dedup",
     "warc_crawl_stats",
     "ms_adpcm_audio_stats",
+    "zip_archive_stats",
     "jpeg_decode_stats",
     "part_distance_sssp",
     "dedup_clusters_star",
@@ -77,7 +78,6 @@ DRIVER_SAMPLE_HEAD: tuple[str, ...] = (
     "cosine_topk_ivf",
     "cosine_topk_lsh",
     "customer_year_setops",
-    "dedup_clusters_lsh",
     "dedup_exact",
     "dedup_lsh_portable",
     "dedup_minhash_lsh",

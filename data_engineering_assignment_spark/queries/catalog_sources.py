@@ -2107,3 +2107,75 @@ def ms_adpcm_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("v1").cast("long")).alias("val_first_sum"),
         F.sum(F.col("v2").cast("long")).alias("val_blk2_sum"),
     )
+
+
+_ZIP_ORACLE = """
+SELECT 'doc.txt' AS member,
+       COUNT(*) AS n_members,
+       SUM(100 + doc_id % 400)::BIGINT AS bytes_sum,
+       COUNT(*) AS n_crc_ok
+FROM documents
+UNION ALL
+SELECT 'meta.json',
+       COUNT(*),
+       SUM(20 + doc_id % 10)::BIGINT,
+       COUNT(*)
+FROM documents
+"""
+
+
+@register(
+    "zip_archive_stats",
+    oracle=_ZIP_ORACLE,
+    doc="ZIP archive ingest gate (sources.zip_members; crawl dumps and "
+    "dataset drops ship as ZIPs next to WARCs — additive vs the "
+    "reference): every document becomes a two-member archive (a "
+    "DEFLATED doc.txt of 100 + doc_id%400 bytes and a STORED meta.json "
+    "of 20 + doc_id%10 bytes), exploded one row per member with each "
+    "member READ so its CRC actually verifies. Member names, "
+    "uncompressed byte counts and CRC flags are closed-form in doc_id, "
+    "so the central-directory walk, both compression methods and the "
+    "CRC check sit under the oracle hash.",
+)
+def zip_archive_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import io
+    import zipfile
+
+    import pandas as pd
+
+    from ..sources import zip_members
+    from ..tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def make(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                buf = io.BytesIO()
+                with zipfile.ZipFile(buf, "w") as zf:
+                    zf.writestr(
+                        "doc.txt",
+                        bytes([65 + did % 26]) * (100 + did % 400),
+                        zipfile.ZIP_DEFLATED,
+                    )
+                    zf.writestr(
+                        "meta.json",
+                        b"{" + b" " * (18 + did % 10) + b"}",
+                        zipfile.ZIP_STORED,
+                    )
+                rows.append((did, buf.getvalue()))
+            yield pd.DataFrame(rows, columns=["archive_id", "content"])
+
+    media = docs.mapInPandas(make, "archive_id long, content binary")
+    return (
+        zip_members(media)
+        .filter("parse_ok")
+        .groupBy("member")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("size_uncompressed").cast("long").alias("bytes_sum"),
+            F.sum(F.col("crc_ok").cast("int")).cast("long").alias("n_crc_ok"),
+        )
+    )

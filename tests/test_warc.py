@@ -93,3 +93,40 @@ def test_warc_corrupt_gzip_member_is_value_error():
     gz[20] ^= 0xFF  # flip a deflate byte inside the first member
     with pytest.raises(ValueError, match="gzip"):
         parse_warc(bytes(gz))
+
+
+def test_zip_members_operator(spark):
+    """ZIP member explode: stored + deflate members with verified CRCs, a
+    corrupt member flips only its own crc_ok, an unreadable archive
+    survives as a parse_ok=false row."""
+    import io
+    import zipfile
+
+    from data_engineering_assignment_spark.sources import zip_members
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("a.txt", "x" * 100, zipfile.ZIP_DEFLATED)
+        zf.writestr("b.bin", b"y" * 37, zipfile.ZIP_STORED)
+        zf.writestr("dir/", b"")  # directories are skipped
+    good = buf.getvalue()
+    # corrupt b.bin's stored payload (flip a byte after its local header)
+    at = good.find(b"y" * 37)
+    corrupt = good[:at] + b"z" + good[at + 1 :]
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(good)),
+            (2, bytearray(corrupt)),
+            (3, bytearray(b"PK\x03\x04 nope")),
+        ],
+        "archive_id long, content binary",
+    )
+    rows = zip_members(df).collect()
+    by = {(r.archive_id, r.member): r for r in rows}
+    assert by[(1, "a.txt")].size_uncompressed == 100
+    assert by[(1, "a.txt")].method == "deflate" and by[(1, "a.txt")].crc_ok
+    assert by[(1, "b.bin")].method == "stored" and by[(1, "b.bin")].crc_ok
+    assert not by[(2, "b.bin")].crc_ok and by[(2, "a.txt")].crc_ok
+    dead = [r for r in rows if not r.parse_ok]
+    assert len(dead) == 1 and dead[0].archive_id == 3
+    assert not any(r.member and r.member.endswith("/") for r in rows)
