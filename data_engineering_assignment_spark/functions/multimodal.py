@@ -1012,7 +1012,9 @@ def _ima_step_nibble(pred, index, n):
     return pred, index
 
 
-def _decode_ima_adpcm_blocks(arr: np.ndarray, n_ch: int) -> np.ndarray:
+def _decode_ima_adpcm_blocks(
+    arr: np.ndarray, n_ch: int, samples_per_block: int | None = None
+) -> np.ndarray:
     """Decode (n_blocks, block_len) uint8 IMA ADPCM blocks → int32 samples
     interleaved as (n_blocks * samples_per_block * n_ch,). Vectorized
     across blocks and channels; only the within-block nibble scan is
@@ -1033,20 +1035,49 @@ def _decode_ima_adpcm_blocks(arr: np.ndarray, n_ch: int) -> np.ndarray:
     for t in range(nwords * 8):
         pred, index = _ima_step_nibble(pred, index, nib[:, :, t].astype(np.int32))
         out[:, :, t + 1] = pred
-    return out.transpose(0, 2, 1).reshape(-1)
+    frames = out.transpose(0, 2, 1)  # (nblk, frames, n_ch)
+    if samples_per_block is not None:
+        # conformant blocks may carry spare nibble capacity; decoding it
+        # would inject phantom frames after every interior block
+        frames = frames[:, :samples_per_block]
+    return frames.reshape(-1)
 
 
-def _decode_ima_adpcm(data: bytes, n_ch: int, block_align: int) -> np.ndarray:
+def _fmt_samples_per_block(fmt_body: bytes) -> int | None:
+    """wSamplesPerBlock from an ADPCM fmt chunk's extension (offset 18,
+    after the 16-byte common fields + 2-byte cbSize), or None when the
+    extension is absent/short. Blocks can have SPARE nibble capacity
+    (capacity > wSamplesPerBlock); decoding every nibble would insert
+    phantom frames after each interior block and desynchronize all later
+    sample positions — the fact-chunk trim only fixes the tail."""
+    import struct as _struct
+
+    if len(fmt_body) < 20:
+        return None
+    (cb,) = _struct.unpack_from("<H", fmt_body, 16)
+    if cb < 2:
+        return None
+    (spb,) = _struct.unpack_from("<H", fmt_body, 18)
+    return spb if spb >= 1 else None
+
+
+def _decode_ima_adpcm(
+    data: bytes,
+    n_ch: int,
+    block_align: int,
+    samples_per_block: int | None = None,
+) -> np.ndarray:
     if block_align < 4 * n_ch + 4 * n_ch:
         raise ValueError("WAV: IMA ADPCM block_align too small")
     nblk, rem = divmod(len(data), block_align)
     arr = np.frombuffer(data, np.uint8, nblk * block_align).reshape(
         nblk, block_align
     )
-    parts = [_decode_ima_adpcm_blocks(arr, n_ch)] if nblk else []
+    spb = samples_per_block
+    parts = [_decode_ima_adpcm_blocks(arr, n_ch, spb)] if nblk else []
     if rem >= 8 * n_ch:  # trailing short block (last block of a stream)
         tail = np.frombuffer(data, np.uint8, rem - rem % (4 * n_ch), nblk * block_align)
-        parts.append(_decode_ima_adpcm_blocks(tail.reshape(1, -1), n_ch))
+        parts.append(_decode_ima_adpcm_blocks(tail.reshape(1, -1), n_ch, spb))
     if not parts:
         return np.empty(0, np.int32)
     return np.concatenate(parts)
@@ -1063,7 +1094,9 @@ _MS_ADAPT = np.array(
 )
 
 
-def _decode_ms_adpcm_blocks(arr: np.ndarray, n_ch: int) -> np.ndarray:
+def _decode_ms_adpcm_blocks(
+    arr: np.ndarray, n_ch: int, samples_per_block: int | None = None
+) -> np.ndarray:
     """Decode (n_blocks, block_len) uint8 MS-ADPCM blocks → int32 samples
     interleaved as (n_blocks * samples_per_block * n_ch,). The two header
     samples per channel are emitted verbatim (sample2 first — they ARE
@@ -1104,22 +1137,31 @@ def _decode_ms_adpcm_blocks(arr: np.ndarray, n_ch: int) -> np.ndarray:
         s2, s1 = s1, new
         delta = np.maximum((_MS_ADAPT[n] * delta) >> 8, 16)
         out[:, 2 + t] = new
+    if samples_per_block is not None:
+        # see _fmt_samples_per_block: spare nibble capacity is NOT data
+        out = out[:, :samples_per_block]
     return out.reshape(-1).astype(np.int32)
 
 
-def _decode_ms_adpcm(data: bytes, n_ch: int, block_align: int) -> np.ndarray:
+def _decode_ms_adpcm(
+    data: bytes,
+    n_ch: int,
+    block_align: int,
+    samples_per_block: int | None = None,
+) -> np.ndarray:
     if block_align < 7 * n_ch + n_ch:
         raise ValueError("WAV: MS-ADPCM block_align too small")
     nblk, rem = divmod(len(data), block_align)
     arr = np.frombuffer(data, np.uint8, nblk * block_align).reshape(
         nblk, block_align
     )
-    parts = [_decode_ms_adpcm_blocks(arr, n_ch)] if nblk else []
+    spb = samples_per_block
+    parts = [_decode_ms_adpcm_blocks(arr, n_ch, spb)] if nblk else []
     if rem >= 7 * n_ch + n_ch:  # trailing short block
         tail = np.frombuffer(
             data, np.uint8, rem - (rem - 7 * n_ch) % n_ch, nblk * block_align
         )
-        parts.append(_decode_ms_adpcm_blocks(tail.reshape(1, -1), n_ch))
+        parts.append(_decode_ms_adpcm_blocks(tail.reshape(1, -1), n_ch, spb))
     if not parts:
         return np.empty(0, np.int32)
     return np.concatenate(parts)
@@ -1314,6 +1356,7 @@ def decode_wav(content: bytes) -> tuple[np.ndarray, dict]:
     if len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"WAVE":
         raise ValueError("not a WAV: bad RIFF/WAVE signature")
     pos, fmt, data, fact = 12, None, None, None
+    fmt_body = b""
     while pos + 8 <= len(content):
         cid = content[pos : pos + 4]
         (size,) = _struct.unpack_from("<I", content, pos + 4)
@@ -1321,6 +1364,7 @@ def decode_wav(content: bytes) -> tuple[np.ndarray, dict]:
         pos += 8 + size + (size & 1)  # chunks are word-aligned
         if cid == b"fmt ":
             fmt = _struct.unpack_from("<HHIIHH", body)
+            fmt_body = body
         elif cid == b"data":
             data = body
         elif cid == b"fact" and size >= 4:
@@ -1358,14 +1402,14 @@ def decode_wav(content: bytes) -> tuple[np.ndarray, dict]:
         samples = np.where(a & 0x80, mag, -mag).astype(np.float64) / 32768.0
     elif tag == 17 and bits == 4:
         block_align = fmt[4]
-        samples = _decode_ima_adpcm(data, n_ch, block_align).astype(
-            np.float64
-        ) / 32768.0
+        samples = _decode_ima_adpcm(
+            data, n_ch, block_align, _fmt_samples_per_block(fmt_body)
+        ).astype(np.float64) / 32768.0
     elif tag == 2 and bits == 4:
         block_align = fmt[4]
-        samples = _decode_ms_adpcm(data, n_ch, block_align).astype(
-            np.float64
-        ) / 32768.0
+        samples = _decode_ms_adpcm(
+            data, n_ch, block_align, _fmt_samples_per_block(fmt_body)
+        ).astype(np.float64) / 32768.0
     else:
         raise NotImplementedError(
             f"WAV: only integer PCM (8/16/32-bit), float32, 8-bit "

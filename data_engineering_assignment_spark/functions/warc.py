@@ -62,7 +62,18 @@ def _parse_one(buf: bytes, pos: int) -> tuple[dict, int]:
         ).strip()
     if "Content-Length" not in headers:
         raise ValueError("WARC: record missing Content-Length")
-    n = int(headers["Content-Length"])
+    try:
+        n = int(headers["Content-Length"])
+    except ValueError:
+        raise ValueError(
+            f"WARC: non-numeric Content-Length {headers['Content-Length']!r}"
+        ) from None
+    if n < 0:
+        # A negative length would make the truncation check pass vacuously
+        # and next_pos move BACKWARD (the bytes before `pos` are the prior
+        # record's CRLFCRLF), re-parsing the same record forever — a hang,
+        # which the dead-letter discipline (exceptions) cannot catch.
+        raise ValueError(f"WARC: negative Content-Length {n}")
     body_start = head_end + 4
     payload = buf[body_start : body_start + n]
     if len(payload) < n:
@@ -92,12 +103,18 @@ def parse_warc(content: bytes) -> list[dict]:
         for member in _gzip_members(content):
             pos = 0
             while pos < len(member):
-                rec, pos = _parse_one(member, pos)
+                rec, nxt = _parse_one(member, pos)
+                if nxt <= pos:  # structural invariant: records can't be empty
+                    raise ValueError("WARC: record made no progress")
+                pos = nxt
                 records.append(rec)
         return records
     pos = 0
     while pos < len(content):
-        rec, pos = _parse_one(content, pos)
+        rec, nxt = _parse_one(content, pos)
+        if nxt <= pos:
+            raise ValueError("WARC: record made no progress")
+        pos = nxt
         records.append(rec)
     return records
 

@@ -227,7 +227,10 @@ def incremental_image_dedup(
     against the STANDING corpus — (doc_id, n_dups, best_hamming, status)
     per delta row, status 'dup' when any corpus fingerprint lies within
     ``radius`` bit flips (exact by the pigeonhole band guarantee),
-    else 'novel'.
+    else 'novel'. Delta rows whose hash failed (hash_ok = false) are NOT
+    dropped: they come back as status 'undecodable' with NULL n_dups /
+    best_hamming, so the report reconciles 1:1 against the ingest batch
+    (the module's dead-letter contract).
 
     The 100 TB shape inverts the usual broadcast (the incremental_dedup
     discipline): the DELTA's banded buckets are broadcast (bounded by
@@ -239,6 +242,7 @@ def incremental_image_dedup(
     if bands < radius + 1:
         raise ValueError("bands must be >= radius + 1 for exact recall")
     bits = 63
+    delta_all = delta_hashes.select(id_col, "hash_ok")
     delta = delta_hashes.filter("hash_ok").select(id_col, fp_col)
     corpus = corpus_hashes.filter("hash_ok").select(id_col, fp_col)
     db = _band_explode(delta, bits, bands, id_col, fp_col)
@@ -268,13 +272,18 @@ def incremental_image_dedup(
         F.min("hamming").cast("long").alias("best_hamming"),
     )
     return (
-        delta.select(id_col)
+        delta_all  # UNFILTERED ids: undecodable rows must not vanish
         .join(hits, id_col, "left")
         .select(
             id_col,
-            F.coalesce("n_dups", F.lit(0)).alias("n_dups"),
-            "best_hamming",
-            F.when(F.col("n_dups").isNotNull(), F.lit("dup"))
+            F.when(F.col("hash_ok"), F.coalesce("n_dups", F.lit(0))).alias(
+                "n_dups"
+            ),
+            F.when(F.col("hash_ok"), F.col("best_hamming")).alias(
+                "best_hamming"
+            ),
+            F.when(~F.col("hash_ok"), F.lit("undecodable"))
+            .when(F.col("n_dups").isNotNull(), F.lit("dup"))
             .otherwise(F.lit("novel"))
             .alias("status"),
         )

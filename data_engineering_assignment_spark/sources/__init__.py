@@ -295,7 +295,11 @@ def zip_members(df: DataFrame, content_col: str = "content", id_col: str = "arch
                             if info.is_dir():
                                 continue
                             try:
-                                zf.read(info.filename)  # verifies the CRC
+                                # Read by ZipInfo, not name: duplicate member
+                                # names are legal in ZIP, and a name lookup
+                                # resolves to the FIRST match — by-object read
+                                # verifies THIS member's CRC.
+                                zf.read(info)
                                 crc_ok = True
                             except Exception:
                                 crc_ok = False

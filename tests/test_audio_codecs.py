@@ -218,3 +218,94 @@ def test_ms_adpcm_roundtrip_and_header_exactness():
     for b in range(0, 300, 32):  # header frames are verbatim
         assert (got[b] == x[b]).all() and (got[b + 1] == x[b + 1]).all()
     assert np.abs(got - x).max() < 600
+
+
+def _walk_riff(blob: bytes) -> dict:
+    """Chunk id -> (offset_of_body, size) for a RIFF/WAVE blob."""
+    out, pos = {}, 12
+    while pos + 8 <= len(blob):
+        cid = blob[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", blob, pos + 4)
+        out[cid] = (pos + 8, size)
+        pos += 8 + size + (size & 1)
+    return out
+
+
+def test_ms_adpcm_spare_block_capacity_uses_samples_per_block():
+    """A conformant foreign file whose blocks carry spare nibble capacity
+    (capacity > wSamplesPerBlock) must decode to EXACTLY wSamplesPerBlock
+    frames per interior block — decoding the spare nibbles would insert
+    phantom frames and desynchronize every later sample position."""
+    from data_engineering_assignment_spark.functions.multimodal import (
+        decode_wav,
+        encode_wav_ms_adpcm,
+    )
+
+    rng = np.random.default_rng(7)
+    x = rng.integers(-3000, 3000, (16, 1)).astype(np.int64)
+    orig = encode_wav_ms_adpcm(x, block_frames=4)  # block_align = 8, 4 blocks
+    want, meta = decode_wav(orig)
+    assert meta["n_samples"] == 16
+
+    ch = _walk_riff(orig)
+    off, size = ch[b"data"]
+    data = orig[off : off + size]
+    assert len(data) % 8 == 0
+    # foreign re-framing: one junk byte (2 spare nibbles) per block,
+    # block_align 8 -> 9, wSamplesPerBlock stays 4
+    blocks = [data[i : i + 8] + b"\xff" for i in range(0, len(data), 8)]
+    data2 = b"".join(blocks)
+    foff, fsize = ch[b"fmt "]
+    fmt2 = bytearray(orig[foff : foff + fsize])
+    struct.pack_into("<H", fmt2, 12, 9)  # nBlockAlign at offset 12
+    fact_off, fact_size = ch[b"fact"]
+    fact = orig[fact_off : fact_off + fact_size]
+    blob = (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt2) + 8 + len(fact) + 8 + len(data2))
+        + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt2)) + bytes(fmt2)
+        + b"fact" + struct.pack("<I", len(fact)) + fact
+        + b"data" + struct.pack("<I", len(data2)) + data2
+    )
+    got, meta2 = decode_wav(blob)
+    assert meta2["n_samples"] == 16
+    assert np.array_equal(got, want)
+
+
+def test_ima_adpcm_spare_block_capacity_uses_samples_per_block():
+    """Same spare-capacity contract for IMA ADPCM: a spare 4-byte channel
+    word per block must not inject 8 phantom frames per interior block."""
+    from data_engineering_assignment_spark.functions.multimodal import (
+        decode_wav,
+        encode_wav_ima_adpcm,
+    )
+
+    rng = np.random.default_rng(8)
+    x = rng.integers(-3000, 3000, (18, 1)).astype(np.int64)
+    orig = encode_wav_ima_adpcm(x, block_align=8)  # spb = 9, 2 blocks
+    want, meta = decode_wav(orig)
+    assert meta["n_samples"] == 18
+
+    ch = _walk_riff(orig)
+    off, size = ch[b"data"]
+    data = orig[off : off + size]
+    assert len(data) % 8 == 0
+    blocks = [data[i : i + 8] + b"\x77" * 4 for i in range(0, len(data), 8)]
+    data2 = b"".join(blocks)
+    foff, fsize = ch[b"fmt "]
+    fmt2 = bytearray(orig[foff : foff + fsize])
+    struct.pack_into("<H", fmt2, 12, 12)  # nBlockAlign 8 -> 12
+    fact_off, fact_size = ch[b"fact"]
+    fact = orig[fact_off : fact_off + fact_size]
+    blob = (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt2) + 8 + len(fact) + 8 + len(data2))
+        + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt2)) + bytes(fmt2)
+        + b"fact" + struct.pack("<I", len(fact)) + fact
+        + b"data" + struct.pack("<I", len(data2)) + data2
+    )
+    got, meta2 = decode_wav(blob)
+    assert meta2["n_samples"] == 18
+    assert np.array_equal(got, want)

@@ -261,16 +261,24 @@ def test_incremental_image_dedup_statuses_and_broadcast_side(spark):
         "doc_id long, phash long, hash_ok boolean",
     )
     delta = spark.createDataFrame(
-        [(10, 100, True), (11, 1 << 40, True), (12, 500 ^ 1, True)],
+        [
+            (10, 100, True),
+            (11, 1 << 40, True),
+            (12, 500 ^ 1, True),
+            (13, None, False),  # undecodable ingest image
+        ],
         "doc_id long, phash long, hash_ok boolean",
     )
     out = incremental_image_dedup(corpus, delta, radius=2, bands=3)
     rows = {r.doc_id: r for r in out.collect()}
+    assert len(rows) == 4  # the report reconciles 1:1 with the ingest batch
     assert rows[10].status == "dup" and rows[10].n_dups == 2
     assert rows[10].best_hamming == 0  # exact vs 100, hamming 2 vs 100^3
     assert rows[11].status == "novel" and rows[11].n_dups == 0
     assert rows[11].best_hamming is None
     assert rows[12].status == "dup" and rows[12].best_hamming == 1
+    assert rows[13].status == "undecodable"  # dead letter, never dropped
+    assert rows[13].n_dups is None and rows[13].best_hamming is None
     # plan: exactly one broadcast exchange, fed by the DELTA side
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan

@@ -130,3 +130,48 @@ def test_zip_members_operator(spark):
     dead = [r for r in rows if not r.parse_ok]
     assert len(dead) == 1 and dead[0].archive_id == 3
     assert not any(r.member and r.member.endswith("/") for r in rows)
+
+
+def test_warc_negative_content_length_raises_not_hangs():
+    """Content-Length < 0 makes the truncation check pass vacuously and
+    would move next_pos BACKWARD (re-parsing the same record forever) —
+    the parser must raise the documented ValueError instead."""
+    rec = (
+        b"WARC/1.0\r\nWARC-Type: resource\r\n"
+        b"Content-Length: -28\r\n\r\n" + b"\r\n\r\n"
+    )
+    with pytest.raises(ValueError, match="negative Content-Length"):
+        parse_warc(rec)
+    # non-numeric lengths get the same contract (not a bare int() error)
+    rec2 = rec.replace(b"-28", b"zzz")
+    with pytest.raises(ValueError, match="Content-Length"):
+        parse_warc(rec2)
+
+
+def test_zip_members_duplicate_names_crc_checked_per_member(spark):
+    """Duplicate member names are legal in ZIP; a by-NAME read resolves to
+    the first match, so the second member's CRC would never actually be
+    verified. zip_members must read by ZipInfo and flag the corrupt
+    SECOND member while the intact first stays crc_ok."""
+    import io
+    import warnings
+    import zipfile
+
+    from data_engineering_assignment_spark.sources import zip_members
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("same.txt", b"first-payload-00", zipfile.ZIP_STORED)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")  # zipfile warns on dup names
+            zf.writestr("same.txt", b"second-payload-0", zipfile.ZIP_STORED)
+    good = buf.getvalue()
+    at = good.find(b"second-payload-0")
+    corrupt = good[:at] + b"X" + good[at + 1 :]
+    df = spark.createDataFrame(
+        [(1, bytearray(corrupt))], "archive_id long, content binary"
+    )
+    rows = sorted(zip_members(df).collect(), key=lambda r: r.crc_ok)
+    assert len(rows) == 2
+    assert [r.member for r in rows] == ["same.txt", "same.txt"]
+    assert [r.crc_ok for r in rows] == [False, True]
