@@ -273,6 +273,11 @@ HEADLINE = [
     "ms_adpcm_audio_stats",
     # ZIP archive ingest gate (oracle-gated)
     "zip_archive_stats",
+    # round-11: HTML->text extraction + URL/domain analytics + the
+    # end-to-end crawl composition (all oracle-gated)
+    "html_text_extract_stats",
+    "warc_domain_stats",
+    "crawl_text_pipeline",
 ]
 
 

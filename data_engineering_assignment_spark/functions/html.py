@@ -1,0 +1,130 @@
+"""Dependency-free HTML -> text extraction for crawl pipelines — the
+step between WARC ingest (``sources.warc_records``) and every text
+operator the engine already has (quality_score, predict_lang, dedup,
+decontaminate). Additive vs the reference, which has no crawl route
+(its media handling stops at image color analytics,
+Assignment-python.py:654-661); every real WARC-to-training-data
+pipeline (CCNet, RefinedWeb) needs main-text extraction here.
+
+Built on the stdlib ``html.parser`` state machine (not regex: script
+bodies legally contain ``<`` and quoted ``</fake>`` sequences that
+naive tag-stripping mangles; HTMLParser's CDATA mode handles
+script/style content correctly and never raises on the malformed tag
+soup real crawls are full of).
+
+Deterministic extraction contract (what a DuckDB twin can re-derive on
+closed-form fixtures, the warc_crawl_stats oracle pattern):
+
+* subtree-dropped elements: ``script style noscript template head
+  iframe svg`` (with ``<title>`` captured separately before the drop);
+* comments, doctypes and processing instructions dropped;
+* character/entity references decoded (HTMLParser convert_charrefs);
+* block-level boundaries (``p div h1-h6 li br tr ...``) end the
+  current line; inline tags (``b i a span ...``) do not;
+* within a line, whitespace runs collapse to single spaces (UNICODE
+  whitespace included — ``&nbsp;`` folds into the collapse) and empty
+  lines vanish; lines join with ``\\n``.
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+
+_DROP = {"script", "style", "noscript", "template", "head", "iframe", "svg"}
+
+_BLOCK = {
+    "address", "article", "aside", "blockquote", "br", "caption", "dd",
+    "div", "dl", "dt", "fieldset", "figcaption", "figure", "footer",
+    "form", "h1", "h2", "h3", "h4", "h5", "h6", "header", "hr", "li",
+    "main", "nav", "ol", "option", "p", "pre", "section", "select",
+    "table", "tbody", "td", "tfoot", "th", "thead", "tr", "ul",
+}
+
+
+class _Extractor(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self._parts: list[str] = []
+        self.lines: list[str] = []
+        self._drop = 0
+        self._in_title = False
+        self._title_done = False  # first <title> wins (svg:title etc.)
+        self._title_parts: list[str] = []
+        self.links: list[tuple[str, str]] = []
+        self._href: str | None = None
+        self._anchor: list[str] = []
+
+    def _flush(self) -> None:
+        text = " ".join("".join(self._parts).split())
+        if text:
+            self.lines.append(text)
+        self._parts = []
+
+    def handle_starttag(self, tag, attrs):
+        if tag == "title" and not self._title_done:
+            self._in_title = True
+        if tag in _DROP:
+            self._drop += 1
+            return
+        if self._drop:
+            return
+        if tag in _BLOCK:
+            self._flush()
+        if tag == "a":
+            self._href = dict(attrs).get("href")
+            self._anchor = []
+
+    def handle_endtag(self, tag):
+        if tag == "title" and self._in_title:
+            self._in_title = False
+            self._title_done = True
+        if tag in _DROP:
+            if self._drop:
+                self._drop -= 1
+            return
+        if self._drop:
+            return
+        if tag in _BLOCK:
+            self._flush()
+        elif tag == "a":
+            if self._href is not None:
+                self.links.append(
+                    (self._href, " ".join("".join(self._anchor).split()))
+                )
+            self._href = None
+            self._anchor = []
+
+    def handle_data(self, data):
+        if self._in_title:
+            self._title_parts.append(data)
+            return
+        if self._drop:
+            return
+        self._parts.append(data)
+        if self._href is not None:
+            self._anchor.append(data)
+
+    @property
+    def title(self) -> str | None:
+        t = " ".join("".join(self._title_parts).split())
+        return t or None
+
+    def result_text(self) -> str:
+        self._flush()
+        return "\n".join(self.lines)
+
+
+def parse_html(html: str) -> dict:
+    """Extract {text, title, links} from an HTML string — text per the
+    module contract, title from ``<title>`` (even though <head> content
+    is otherwise dropped), links as (href, anchor_text) pairs in
+    document order (links inside dropped subtrees excluded)."""
+    p = _Extractor()
+    p.feed(html)
+    p.close()
+    return {"text": p.result_text(), "title": p.title, "links": p.links}
+
+
+def extract_text(html: str) -> str:
+    """Main-content text of an HTML string (see module contract)."""
+    return parse_html(html)["text"]

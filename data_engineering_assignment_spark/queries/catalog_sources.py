@@ -2179,3 +2179,269 @@ def zip_archive_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("crc_ok").cast("int")).cast("long").alias("n_crc_ok"),
         )
     )
+
+
+def _fixture_html(cid: int, jid: int) -> str:
+    """Closed-form HTML page: every EXTRACTABLE quantity depends only on
+    ``cid`` (d = digits(cid), P = 1 + cid%3 paragraphs -> lines 3+P,
+    words 9+5P, text_len 38 + 2d + P*(14+d), 3 links, title_len 4+d —
+    pinned against functions/html.py in tests/test_crawl.py), while the
+    RAW bytes also vary with ``jid`` through content the extractor must
+    drop (script body with a bare ``<``, a comment with tags, a body
+    attribute) — so cid-keyed dedup over extracted text proves the
+    extraction normalizes away non-content variation."""
+    paras = "".join(
+        f"<p>seg <b>{j}</b> of doc {cid}</p>\n" for j in range(1 + cid % 3)
+    )
+    return (
+        "<!DOCTYPE html><html><head>"
+        f"<title>Doc {cid}</title>\n"
+        "<style>body { color: red; }</style>\n"
+        f'<script>var x = "{jid}"; if (x < {jid % 7}) alert("j & <b>");</script>\n'
+        "</head>\n"
+        f'<body data-id="{jid}">\n'
+        '<nav><a href="/home">Home</a> <a href="/about">About</a></nav>\n'
+        f"<!-- render {jid} with <b>tags</b> -->\n"
+        f"<h1>Title &amp; Heading {cid}</h1>\n"
+        + paras
+        + f'<p><a href="http://s{cid % 7}.test/p/{cid}">link text {cid}</a></p>\n'
+        "</body></html>"
+    )
+
+
+_HTML_EXTRACT_ORACLE = """
+WITH t AS (
+  SELECT doc_id % 4 AS grp,
+         LENGTH(doc_id::VARCHAR) AS d,
+         1 + doc_id % 3 AS p
+  FROM documents
+)
+SELECT grp::BIGINT AS grp,
+       COUNT(*) AS n_pages,
+       SUM(3 + p)::BIGINT AS lines_sum,
+       SUM(9 + 5 * p)::BIGINT AS words_sum,
+       SUM(38 + 2 * d + p * (14 + d))::BIGINT AS text_len_sum,
+       (3 * COUNT(*))::BIGINT AS links_sum,
+       SUM(4 + d)::BIGINT AS title_len_sum
+FROM t GROUP BY 1
+"""
+
+
+@register(
+    "html_text_extract_stats",
+    oracle=_HTML_EXTRACT_ORACLE,
+    doc="HTML -> text extraction gate (functions/html.py parse_html, "
+    "operators/crawl.py html_extract — the step between WARC ingest and "
+    "the quality/dedup operators; additive vs the reference, which has "
+    "no crawl route): every document becomes a closed-form page (title, "
+    "nav links, an entity-bearing heading, 1 + doc_id%3 paragraphs with "
+    "inline tags, a trailing link) wrapped in content the extractor "
+    "must DROP (style, a script whose body contains a bare '<', a "
+    "comment with tags). Line/word/char/link/title-length sums per "
+    "doc_id%4 are all arithmetic in doc_id, so tag stripping, entity "
+    "decoding, block-boundary line breaks and whitespace collapse all "
+    "sit under the oracle hash. Extraction is the one Arrow-batched "
+    "Python hop; every stat is a JVM expression over the struct.",
+)
+def html_text_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from ..operators.crawl import html_extract
+    from ..tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def make(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "html": [
+                        _fixture_html(int(d), int(d)) for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    media = docs.mapInPandas(make, "doc_id long, html string")
+    pages = html_extract(media, html_col="html")
+    return (
+        pages.select(
+            (F.col("doc_id") % 4).alias("grp"),
+            F.size(F.split("page.text", "\n")).alias("nl"),
+            F.size(F.split("page.text", "[ \n]")).alias("nw"),
+            F.length("page.text").alias("tl"),
+            F.size("page.links").alias("lk"),
+            F.length("page.title").alias("ttl"),
+        )
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.sum("nl").cast("long").alias("lines_sum"),
+            F.sum("nw").cast("long").alias("words_sum"),
+            F.sum("tl").cast("long").alias("text_len_sum"),
+            F.sum("lk").cast("long").alias("links_sum"),
+            F.sum("ttl").cast("long").alias("title_len_sum"),
+        )
+    )
+
+
+_DOMAIN_ORACLE = """
+SELECT 's' || (doc_id % 7)::VARCHAR || '.example' AS url_host,
+       COUNT(*) AS n_pages,
+       SUM(55 + doc_id % 50)::BIGINT AS payload_len_sum,
+       SUM(doc_id % 3)::BIGINT AS ref_sum,
+       COUNT(DISTINCT doc_id) AS n_paths
+FROM documents
+WHERE doc_id % 7 <> 0
+GROUP BY 1
+"""
+
+
+@register(
+    "warc_domain_stats",
+    oracle=_DOMAIN_ORACLE,
+    doc="URL/domain analytics over WARC target URIs (operators/crawl.py "
+    "with_url_parts + url_query_param + filter_blocked_hosts; composes "
+    "with warc_records — the per-domain accounting and blocklist "
+    "filtering every crawl pipeline needs before mixing): each document "
+    "becomes a one-response WARC targeting "
+    "http://s{doc_id%7}.example/p/{doc_id}?ref={doc_id%3}; URL parts "
+    "come from the JVM parse_url builtin (never a Python hop), the "
+    "blocklist ('s0.example') broadcasts the SMALL blocked set as LEFT "
+    "ANTI (the max_df discipline — the page corpus is never shuffled or "
+    "broadcast), and per-host page counts / payload sums / query-param "
+    "sums / distinct paths are closed-form in doc_id.",
+)
+def warc_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from ..functions.warc import build_warc
+    from ..operators.crawl import (
+        filter_blocked_hosts,
+        url_query_param,
+        with_url_parts,
+    )
+    from ..sources import warc_records
+    from ..tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def make(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                body = b"x" * (10 + did % 50)
+                recs = [
+                    (
+                        {
+                            "WARC-Type": "response",
+                            "WARC-Target-URI": (
+                                f"http://s{did % 7}.example/p/{did}"
+                                f"?ref={did % 3}"
+                            ),
+                            "Content-Type": "application/http;msgtype=response",
+                        },
+                        b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n"
+                        + body,
+                    )
+                ]
+                rows.append((did, build_warc(recs, gzip_members=bool(did % 2))))
+            yield pd.DataFrame(rows, columns=["archive_id", "content"])
+
+    media = docs.mapInPandas(make, "archive_id long, content binary")
+    recs = warc_records(media).filter("parse_ok AND warc_type = 'response'")
+    pages = with_url_parts(recs).withColumn(
+        "ref", url_query_param("target_uri", "ref").cast("long")
+    )
+    kept = filter_blocked_hosts(pages, ["s0.example"])
+    return kept.groupBy("url_host").agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.sum("payload_len").cast("long").alias("payload_len_sum"),
+        F.sum("ref").cast("long").alias("ref_sum"),
+        F.countDistinct("url_path").cast("long").alias("n_paths"),
+    )
+
+
+_CRAWL_PIPELINE_ORACLE = """
+WITH t AS (SELECT doc_id, doc_id % 64 AS g FROM documents),
+     u AS (SELECT DISTINCT g FROM t)
+SELECT (SELECT COUNT(*) FROM t) AS n_pages,
+       (SELECT SUM(14 + 5 * (g % 3)) FROM t)::BIGINT AS words_total,
+       (SELECT COUNT(*) FROM u) AS n_unique,
+       (SELECT SUM(14 + 5 * (g % 3)) FROM u)::BIGINT AS words_unique
+"""
+
+
+@register(
+    "crawl_text_pipeline",
+    oracle=_CRAWL_PIPELINE_ORACLE,
+    doc="End-to-end crawl composition gate: WARC ingest -> HTML text "
+    "extraction -> exact text dedup -> corpus accounting, all engine "
+    "operators chained (warc_records include_body, crawl.html_extract, "
+    "dedup.exact_dedup). Fixture: each document's archive holds one "
+    "HTML response whose EXTRACTABLE content depends only on "
+    "g = doc_id%64 while the raw bytes vary per doc through dropped "
+    "content (script/comment/attribute junk) — so byte-level dedup "
+    "would find nothing and the planted duplicate groups exist ONLY "
+    "after correct extraction. Page and unique-survivor word sums are "
+    "closed-form in g; archives alternate plain/.warc.gz framing.",
+)
+def crawl_text_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from ..functions.warc import build_warc
+    from ..operators.crawl import html_extract
+    from ..operators.dedup import exact_dedup
+    from ..sources import warc_records
+    from ..tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def make(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                html = _fixture_html(did % 64, did).encode()
+                recs = [
+                    (
+                        {
+                            "WARC-Type": "response",
+                            "WARC-Target-URI": f"http://c.example/{did}",
+                            "Content-Type": "application/http;msgtype=response",
+                        },
+                        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                        + html,
+                    )
+                ]
+                rows.append((did, build_warc(recs, gzip_members=bool(did % 2))))
+            yield pd.DataFrame(rows, columns=["archive_id", "content"])
+
+    media = docs.mapInPandas(make, "archive_id long, content binary")
+    recs = warc_records(media, include_body=True).filter(
+        "parse_ok AND warc_type = 'response'"
+    )
+    txt = (
+        html_extract(recs)
+        .select(
+            F.col("archive_id").alias("doc_id"),
+            F.col("page.text").alias("text"),
+            F.size(F.split("page.text", "[ \n]")).alias("n_words"),
+        )
+        # three consumers (dedup groups, total agg, survivor agg): one
+        # lazy checkpoint materializes the WARC build + parse + extract
+        # ONCE instead of once per branch
+        .localCheckpoint(eager=False)
+    )
+    groups = exact_dedup(txt)  # (text_hash, keep_id, n_copies)
+    keepers = groups.select(F.col("keep_id").alias("doc_id"))
+    total = txt.agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.sum("n_words").cast("long").alias("words_total"),
+    )
+    uniq = txt.join(keepers, "doc_id").agg(
+        F.count(F.lit(1)).alias("n_unique"),
+        F.sum("n_words").cast("long").alias("words_unique"),
+    )
+    return total.crossJoin(uniq)

@@ -207,13 +207,24 @@ def write_orc(
     writer.orc(path)
 
 
-def warc_records(df: DataFrame, content_col: str = "content", id_col: str = "archive_id") -> DataFrame:
+def warc_records(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "archive_id",
+    include_body: bool = False,
+) -> DataFrame:
     """Explode WARC crawl-archive binary columns into one row per record
     (functions/warc.py: plain or per-record-gzip .warc.gz) — the ingest
     shape of LLM training-data pipelines (Common Crawl ships WARC).
     Arrow-batched mapInPandas; archive bytes never leave the executor.
     Unparseable archives survive as one parse_ok = false row (dead-letter
-    discipline), so corrupt crawl files are countable, never dropped."""
+    discipline), so corrupt crawl files are countable, never dropped.
+
+    ``include_body=True`` adds an ``http_body`` binary column (the HTTP
+    message body of ``application/http`` response records, NULL
+    elsewhere) — the input to ``operators.crawl.html_extract``. Opt-in
+    because metadata-only scans shouldn't ship page bytes through the
+    rest of the plan."""
     from collections.abc import Iterator
 
     import pandas as pd
@@ -225,12 +236,16 @@ def warc_records(df: DataFrame, content_col: str = "content", id_col: str = "arc
         " content_type string, http_status int, payload_len long,"
         " parse_ok boolean"
     )
+    if include_body:
+        schema += ", http_body binary"
 
     def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [
             id_col, "rec_idx", "warc_type", "target_uri", "content_type",
             "http_status", "payload_len", "parse_ok",
         ]
+        if include_body:
+            cols.append("http_body")
         for pdf in batches:
             rows = []
             for aid, content in zip(pdf[id_col], pdf[content_col]):
@@ -239,20 +254,24 @@ def warc_records(df: DataFrame, content_col: str = "content", id_col: str = "arc
                     recs = parse_warc(bytes(content))
                     for i, r in enumerate(recs):
                         h = r["headers"]
-                        rows.append(
-                            (
-                                aid,
-                                i,
-                                h.get("WARC-Type"),
-                                h.get("WARC-Target-URI"),
-                                h.get("Content-Type"),
-                                r.get("http_status"),
-                                len(r["payload"]),
-                                True,
-                            )
+                        row = (
+                            aid,
+                            i,
+                            h.get("WARC-Type"),
+                            h.get("WARC-Target-URI"),
+                            h.get("Content-Type"),
+                            r.get("http_status"),
+                            len(r["payload"]),
+                            True,
                         )
+                        if include_body:
+                            row += (r.get("http_body"),)
+                        rows.append(row)
                 except Exception:
-                    rows.append((aid, None, None, None, None, None, None, False))
+                    row = (aid, None, None, None, None, None, None, False)
+                    if include_body:
+                        row += (None,)
+                    rows.append(row)
             yield pd.DataFrame(rows, columns=cols)
 
     return df.mapInPandas(mapper, schema)

@@ -1,0 +1,148 @@
+"""Crawl-pipeline tests: the HTML extraction contract (functions/html.py),
+the html_extract operator's dead-letter row, URL parts + blocklist plan
+shape, warc_records include_body, and the closed-form fixture formulas
+the crawl oracles rely on."""
+
+import pytest
+
+from data_engineering_assignment_spark.functions.html import (
+    extract_text,
+    parse_html,
+)
+
+
+def test_extract_text_contract():
+    h = (
+        "<html><head><title> My\n Title </title>"
+        "<style>p{x:1}</style>"
+        '<script>if (a < b) s = "</fake>ish";</script></head>'
+        "<body><h1>Head &amp; Tail</h1>"
+        "<p>one <b>two</b>\n three</p><p>four</p>"
+        "<div>five<br>six</div>"
+        '<noscript><img src="x"></noscript>'
+        "<!-- seven <p>eight</p> -->"
+        "</body></html>"
+    )
+    r = parse_html(h)
+    assert r["text"] == "Head & Tail\none two three\nfour\nfive\nsix"
+    assert r["title"] == "My Title"
+    # entities in data decode; inline tags glue; &nbsp; is Unicode
+    # whitespace so str.split() folds it into the single-space collapse
+    assert extract_text("<p>a&lt;b&gt;c&nbsp;&#65;</p>") == "a<b>c A"
+
+
+def test_extract_text_malformed_soup_never_raises():
+    for junk in (
+        "",
+        "plain text, no tags",
+        "<p>unclosed",
+        "</b>stray close<b>",
+        "<script>never closed",
+        "<a href=>empty</a>",
+        "<<<>>>",
+        "\x00<p>nul</p>",
+    ):
+        extract_text(junk)  # must not raise
+
+
+def test_parse_html_links_and_first_title_wins():
+    h = (
+        "<html><head><title>First</title></head><body>"
+        '<a href="/x">X <b>ray</b></a>'
+        '<script><a href="/no">no</a></script>'
+        '<svg><title>svg label</title></svg>'
+        '<a name="anchor-no-href">skip</a>'
+        '<a href="/y">Y</a></body></html>'
+    )
+    r = parse_html(h)
+    assert r["title"] == "First"
+    assert r["links"] == [("/x", "X ray"), ("/y", "Y")]
+
+
+def test_fixture_html_closed_form_formulas():
+    """The crawl oracles are arithmetic in doc_id ONLY because these
+    formulas hold for every fixture page — pin them across the id range
+    (1..3 digit ids, all P branches)."""
+    from data_engineering_assignment_spark.queries.catalog_sources import (
+        _fixture_html,
+    )
+
+    for cid in list(range(13)) + [99, 100, 101, 641, 6400]:
+        r = parse_html(_fixture_html(cid, cid * 7 + 1))
+        d = len(str(cid))
+        p = 1 + cid % 3
+        lines = r["text"].split("\n")
+        assert len(lines) == 3 + p
+        assert sum(len(ln.split(" ")) for ln in lines) == 9 + 5 * p
+        assert len(r["text"]) == 38 + 2 * d + p * (14 + d)
+        assert len(r["links"]) == 3
+        assert len(r["title"]) == 4 + d
+        # extractable content is cid-keyed: junk id must not leak
+        assert r["text"] == parse_html(_fixture_html(cid, 12345))["text"]
+
+
+def test_html_extract_dead_letter_and_struct(spark):
+    from data_engineering_assignment_spark.operators.crawl import html_extract
+
+    df = spark.createDataFrame(
+        [
+            (1, b"<html><body><p>ok &amp; fine</p></body></html>"),
+            (2, None),
+        ],
+        "doc_id long, http_body binary",
+    )
+    rows = {r.doc_id: r for r in html_extract(df).select("doc_id", "page.*").collect()}
+    assert rows[1].text == "ok & fine" and rows[1].html_ok
+    assert not rows[2].html_ok and rows[2].text is None
+    assert len(rows) == 2  # dead-letter: never a dropped row
+
+
+def test_filter_blocked_hosts_broadcasts_blocked_side(spark):
+    """The blocklist is the bounded side; the page corpus must never be
+    broadcast — assert BroadcastHashJoin LeftAnti with the one-row
+    blocklist as the build side."""
+    from data_engineering_assignment_spark.operators.crawl import (
+        filter_blocked_hosts,
+        with_url_parts,
+    )
+
+    pages = with_url_parts(
+        spark.range(1000).select(
+            F_concat_uri("id").alias("target_uri")
+        )
+    )
+    out = filter_blocked_hosts(pages, ["s0.example"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert out.count() > 0
+
+
+def F_concat_uri(col):
+    from pyspark.sql import functions as F
+
+    return F.concat(
+        F.lit("http://s"), (F.col(col) % 7).cast("string"), F.lit(".example/p")
+    )
+
+
+def test_warc_records_include_body(spark):
+    from data_engineering_assignment_spark.functions.warc import build_warc
+    from data_engineering_assignment_spark.sources import warc_records
+
+    recs = [
+        (
+            {
+                "WARC-Type": "response",
+                "Content-Type": "application/http;msgtype=response",
+            },
+            b"HTTP/1.1 200 OK\r\n\r\n<p>hi</p>",
+        ),
+        ({"WARC-Type": "warcinfo"}, b"software: x\r\n"),
+    ]
+    df = spark.createDataFrame(
+        [(1, bytearray(build_warc(recs)))], "archive_id long, content binary"
+    )
+    rows = {r.warc_type: r for r in warc_records(df, include_body=True).collect()}
+    assert bytes(rows["response"].http_body) == b"<p>hi</p>"
+    assert rows["warcinfo"].http_body is None
+    assert "http_body" not in warc_records(df).columns  # opt-in only
