@@ -286,3 +286,23 @@ def test_incremental_image_dedup_statuses_and_broadcast_side(spark):
 
     with _pytest.raises(ValueError, match="bands"):
         incremental_image_dedup(corpus, delta, radius=3, bands=3)
+
+
+def test_phash63_batch_bit_identical_to_per_frame():
+    """vphash61's batched frame hashing must be BIT-identical to the
+    per-frame phash63 call on every path (exact block-sum sizes, the
+    float fallback, empty input) — the planted-invariance oracles assume
+    nothing about WHICH code path hashed a frame."""
+    import numpy as np
+
+    from data_engineering_assignment_spark.functions.phash import (
+        phash63,
+        phash63_batch,
+    )
+
+    rng = np.random.default_rng(17)
+    for shape in [(7, 64, 96, 4), (4, 32, 32, 4), (5, 50, 70, 4)]:
+        fr = rng.integers(0, 256, shape, np.uint8)
+        want = [phash63(fr[i]) for i in range(shape[0])]
+        assert phash63_batch(fr).tolist() == want, shape
+    assert phash63_batch(np.empty((0, 32, 32, 4), np.uint8)).shape == (0,)
