@@ -278,6 +278,8 @@ HEADLINE = [
     "html_text_extract_stats",
     "warc_domain_stats",
     "crawl_text_pipeline",
+    "url_canonical_dedup",
+    "wet_export_roundtrip",
 ]
 
 

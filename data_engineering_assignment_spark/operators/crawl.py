@@ -100,21 +100,136 @@ def with_url_parts(
     df: DataFrame, url_col: str = "target_uri", prefix: str = "url_"
 ) -> DataFrame:
     """Append ``{prefix}scheme/host/path/query`` parsed from a URL column
-    — JVM ``parse_url`` expressions (codegen, NULL on malformed input),
+    — JVM ``try_parse_url`` expressions (codegen, NULL on malformed input — parse_url RAISES under ANSI),
     never a Python UDF."""
     u = F.col(url_col)
     return df.select(
         "*",
-        F.parse_url(u, F.lit("PROTOCOL")).alias(f"{prefix}scheme"),
-        F.parse_url(u, F.lit("HOST")).alias(f"{prefix}host"),
-        F.parse_url(u, F.lit("PATH")).alias(f"{prefix}path"),
-        F.parse_url(u, F.lit("QUERY")).alias(f"{prefix}query"),
+        F.try_parse_url(u, F.lit("PROTOCOL")).alias(f"{prefix}scheme"),
+        F.try_parse_url(u, F.lit("HOST")).alias(f"{prefix}host"),
+        F.try_parse_url(u, F.lit("PATH")).alias(f"{prefix}path"),
+        F.try_parse_url(u, F.lit("QUERY")).alias(f"{prefix}query"),
     )
 
 
 def url_query_param(url_col: str, key: str) -> Column:
     """The value of one query parameter (JVM parse_url 3-arg form)."""
-    return F.parse_url(F.col(url_col), F.lit("QUERY"), F.lit(key))
+    return F.try_parse_url(F.col(url_col), F.lit("QUERY"), F.lit(key))
+
+
+_TRACKING_PARAMS = ("fbclid", "gclid", "msclkid", "mc_eid")
+
+
+def canonical_url(url_col) -> Column:
+    """RFC 3986-flavored URL canonicalization as ONE JVM expression — the
+    URL-dedup normalization every crawl frontier needs (the same logical
+    page arrives spelled many ways; CCNet-style pipelines key on the
+    canonical form). Rules, each pinned by a planted fixture variant in
+    the catalog gate:
+
+    * scheme and host lowercased;
+    * default ports dropped (http:80, https:443), others kept;
+    * fragment dropped (parse_url QUERY/PATH already exclude it);
+    * duplicate slashes in the path collapsed, trailing slash stripped
+      (except the root), empty path -> '/';
+    * tracking params dropped (utm_*, fbclid, gclid, msclkid, mc_eid),
+      remaining query params SORTED; empty query -> no '?'.
+
+    Built entirely from parse_url/regexp/array builtins (codegen,
+    NULL-safe: a malformed URL yields NULL canonical via parse_url)."""
+    u = F.col(url_col) if isinstance(url_col, str) else url_col
+    scheme = F.lower(F.try_parse_url(u, F.lit("PROTOCOL")))
+    host = F.lower(F.try_parse_url(u, F.lit("HOST")))
+    port = F.regexp_extract(F.try_parse_url(u, F.lit("AUTHORITY")), r":(\d+)$", 1)
+    keep_port = (port != "") & ~(
+        ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443"))
+    )
+    raw_path = F.try_parse_url(u, F.lit("PATH"))
+    path = F.regexp_replace(raw_path, "/{2,}", "/")
+    path = F.regexp_replace(path, "(?<=.)/$", "")  # root '/' survives
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    q = F.coalesce(F.try_parse_url(u, F.lit("QUERY")), F.lit(""))
+    params = F.filter(
+        F.split(q, "&"),
+        lambda x: (x != "")
+        & ~x.startswith("utm_")
+        & ~F.split(x, "=")[0].isin(*_TRACKING_PARAMS),
+    )
+    qn = F.array_join(F.array_sort(params), "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        path,
+        F.when(qn != "", F.concat(F.lit("?"), qn)).otherwise(F.lit("")),
+    )
+
+
+def wet_export(
+    df: DataFrame,
+    text_col: str = "text",
+    uri_col: str = "uri",
+    shard_col: str = "shard",
+    gzip_members: bool = False,
+) -> DataFrame:
+    """Serialize extracted page text as WET-style WARC files — the
+    EXPORT side of the crawl pipeline (Common Crawl's WET derivative is
+    exactly this: one ``conversion`` record per page, text/plain
+    payload). One WET blob per ``shard_col`` group, records in
+    (uri, text) order so the bytes are deterministic under any
+    partitioning; ``gzip_members=True`` emits the standard .warc.gz
+    form. Output: (shard, wet binary, n_records, wet_len).
+
+    Scale shape: groupBy(shard).applyInPandas — shards are the caller's
+    bounded write granularity (a shard must fit an executor, exactly
+    like any file-sink partition); records concatenate per ISO 28500, so
+    shard files concatenate into larger WETs without re-parsing."""
+    from pyspark.sql.types import (
+        BinaryType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from ..functions.warc import build_warc
+
+    out_schema = StructType(
+        [
+            StructField(shard_col, LongType()),
+            StructField("wet", BinaryType()),
+            StructField("n_records", IntegerType()),
+            StructField("wet_len", LongType()),
+        ]
+    )
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([uri_col, text_col], kind="mergesort")
+        recs = [
+            (
+                {
+                    "WARC-Type": "conversion",
+                    "WARC-Target-URI": str(uri),
+                    "Content-Type": "text/plain",
+                },
+                str(txt).encode("utf-8"),
+            )
+            for uri, txt in zip(pdf[uri_col], pdf[text_col])
+        ]
+        blob = build_warc(recs, gzip_members=gzip_members)
+        shard = pdf[shard_col].iloc[0]
+        return pd.DataFrame(
+            {
+                shard_col: [shard],
+                "wet": [blob],
+                "n_records": [len(recs)],
+                "wet_len": [len(blob)],
+            }
+        )
+
+    return df.groupBy(shard_col).applyInPandas(build, out_schema)
 
 
 def filter_blocked_hosts(

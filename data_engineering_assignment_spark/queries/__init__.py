@@ -40,73 +40,74 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # whose implementation changed this round (a green history does not cover
 # new code), then queries whose last green row is oldest.
 #
-# Round-10 head (catalog = 192): entering the round every query had been
-# driver-checked at least once (r1-r9 union) with zero standing failures.
-# Order: the seven never-checked round-10 additions (image_phash_pairs,
-# audio_phash_pairs, video_phash_dups, incremental_image_dedup,
-# warc_crawl_stats, ms_adpcm_audio_stats, zip_archive_stats —
-# ivf/lsh_recall_telemetry and the two rows-only CC twins
-# dedup_clusters_jaccard/lsh, r6 diagnostics, yielded their slots);
-# four queries whose implementation changed this round (jpeg_decode_stats
-# grew the 16-bit-DQT leg, part_distance_sssp was rewritten to the delta
-# frontier, dedup_clusters_star's cc_star gained the convergence guard,
-# dedup_ngram_jaccard's shingle checkpoint went lazy); the four oldest
-# queries (last green r5); the whole r6 cohort (38); then the oldest r7
-# queries, with the last slot going to ml_eval_metrics (r7) so the head
-# spans catalog_ml (module-coverage contract); above_nation_avg_customers
-# and approx_distinct_users_rollup (r7) yielded their slots to the
-# round-10 media gates.
+# Round-11 head (catalog = 199): the three never-checked round-11 crawl
+# additions first (html_text_extract_stats, warc_domain_stats,
+# crawl_text_pipeline); then the nine queries whose implementation
+# changed this round (the WARC parser gained the negative-Content-Length
+# guard, zip_members reads CRCs by ZipInfo, decode_wav honors
+# wSamplesPerBlock for BOTH ADPCM codecs, and the phash int32-luma +
+# batched-DCT rewrite touches every image/video fingerprint path plus
+# incremental_image_dedup's new undecodable-row contract); then the four
+# stalest queries (last green r6 — the recall-telemetry and CC-twin
+# diagnostics that yielded their r10 slots); then 34 of the 46-strong r7
+# cohort in registration order, swapping events_anomaly_zscore_bucketed
+# in for the tail slot (it carries this round's only elevated perf probe
+# and deserves a fresh correctness row) and trading four relational
+# slots for module coverage (click_purchase_attribution /
+# event_props_json / cms_token_counts — r7 — plus ml_peak_classification,
+# r8, the oldest catalog_ml gate). The remaining r7 queries rotate in
+# next round ahead of the r8 cohort.
 DRIVER_SAMPLE_HEAD: tuple[str, ...] = (
+    "html_text_extract_stats",
+    "warc_domain_stats",
+    "crawl_text_pipeline",
+    "warc_crawl_stats",
+    "zip_archive_stats",
+    "wav_audio_stats",
+    "adpcm_audio_stats",
+    "ms_adpcm_audio_stats",
     "image_phash_pairs",
     "audio_phash_pairs",
     "video_phash_dups",
     "incremental_image_dedup",
-    "warc_crawl_stats",
-    "ms_adpcm_audio_stats",
-    "zip_archive_stats",
-    "jpeg_decode_stats",
-    "part_distance_sssp",
-    "dedup_clusters_star",
-    "dedup_ngram_jaccard",
-    "event_interarrival_stats",
-    "lang_source_chisq",
-    "nation_revenue_share",
-    "referential_integrity_audit",
-    "bm25_topk",
-    "corpus_boilerplate_3gram",
-    "cosine_topk",
-    "cosine_topk_ivf",
-    "cosine_topk_lsh",
-    "customer_year_setops",
-    "dedup_exact",
-    "dedup_lsh_portable",
-    "dedup_minhash_lsh",
-    "dedup_survivors",
-    "doc_dup_span_stats",
-    "doc_normalized_fingerprint",
-    "doc_path_format",
-    "doc_rolling_hash",
-    "doc_simhash_portable",
-    "doc_token_stats",
-    "docs_stratified_sample",
-    "event_props_variant",
-    "event_value_trend",
-    "events_gapfill_5m",
-    "events_pivot_by_type",
-    "events_trailing_hour_sum",
-    "events_tumbling_10m",
-    "jsonl_media_groups",
-    "league_table",
-    "nation_name_fuzzy",
-    "order_ship_lag_30d",
-    "orders_cube",
-    "pii_redaction",
-    "quality_by_source",
-    "supplier_stats_salted",
-    "user_purchase_totals",
-    "value_quantiles_by_type",
-    "weighted_median_price",
-    "ml_eval_metrics",
+    "ivf_recall_telemetry",
+    "dedup_clusters_lsh",
+    "lsh_recall_telemetry",
+    "dedup_clusters_jaccard",
+    "sales_per_year",
+    "top_priority_null_count",
+    "supplier_return_ratio",
+    "brand_revenue",
+    "top5_orders",
+    "null_handling_metrics",
+    "metrics_union",
+    "orders_rollup",
+    "customers_with_open_orders",
+    "customers_without_orders",
+    "distinct_users_per_type",
+    "regional_revenue",
+    "shipping_priority_top10",
+    "click_purchase_attribution",
+    "event_props_json",
+    "cms_token_counts",
+    "ml_peak_classification",
+    "disjunctive_brand_revenue",
+    "embedding_stats",
+    "label_centroids",
+    "cosine_topk_pq",
+    "dedup_semantic",
+    "dedup_semantic_survivors",
+    "semantic_recall_telemetry",
+    "dedup_semantic_kmeans",
+    "incremental_semantic_dedup",
+    "simhash_hamming_pairs",
+    "dedup_jaccard_prefix",
+    "decontaminate_ngram",
+    "quality_percentile_gate",
+    "bloom_decontaminate",
+    "incremental_dedup",
+    "paragraph_dedup_stats",
+    "events_anomaly_zscore_bucketed",
 )
 
 

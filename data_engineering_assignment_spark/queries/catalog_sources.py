@@ -2445,3 +2445,120 @@ def crawl_text_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_words").cast("long").alias("words_unique"),
     )
     return total.crossJoin(uniq)
+
+
+_URL_CANON_ORACLE = """
+SELECT (doc_id % 5)::BIGINT AS grp,
+       (4 * COUNT(*))::BIGINT AS n_urls,
+       COUNT(*) AS n_canonical,
+       SUM(28 + LENGTH(doc_id::VARCHAR))::BIGINT AS canon_len_sum
+FROM documents GROUP BY 1
+"""
+
+
+@register(
+    "url_canonical_dedup",
+    oracle=_URL_CANON_ORACLE,
+    doc="URL canonicalization gate (operators/crawl.py canonical_url — "
+    "the crawl-frontier dedup normalization; one JVM expression, zero "
+    "Python): every document yields FOUR spellings of the same logical "
+    "URL (unsorted query params; uppercase scheme+host with the default "
+    ":80 port; duplicate path slashes + a utm_ tracking param + a "
+    "fragment; a trailing slash) which must all collapse to "
+    "http://s{doc_id%7}.example/p/{doc_id}?a={doc_id%5}&b=2 — each rule "
+    "is pinned by one variant. Group counts (4 urls -> 1 canonical) and "
+    "canonical-string length sums are closed-form in doc_id. The dedup "
+    "is a map-side-combinable groupBy on the canonical string.",
+)
+def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.crawl import canonical_url
+    from ..tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    m = (F.col("doc_id") % 7).cast("int")
+    k = (F.col("doc_id") % 5).cast("int")
+    variants = docs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.format_string(
+                    "http://s%d.example/p/%d?b=2&a=%d", m, F.col("doc_id"), k
+                ),
+                F.format_string(
+                    "HTTP://S%d.EXAMPLE:80/p/%d?a=%d&b=2", m, F.col("doc_id"), k
+                ),
+                F.format_string(
+                    "http://s%d.example//p//%d?a=%d&b=2&utm_source=x#frag",
+                    m, F.col("doc_id"), k,
+                ),
+                F.format_string(
+                    "http://s%d.example/p/%d/?a=%d&b=2", m, F.col("doc_id"), k
+                ),
+            )
+        ).alias("url"),
+    )
+    groups = (
+        variants.select("doc_id", canonical_url("url").alias("curl"))
+        .groupBy("curl")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("doc_id"))
+    )
+    return groups.groupBy((F.col("doc_id") % 5).alias("grp")).agg(
+        F.sum("n").cast("long").alias("n_urls"),
+        F.count(F.lit(1)).alias("n_canonical"),
+        F.sum(F.length("curl")).cast("long").alias("canon_len_sum"),
+    )
+
+
+_WET_ORACLE = """
+SELECT (doc_id % 8)::BIGINT AS grp,
+       COUNT(*) AS n_records,
+       SUM(10 + doc_id % 90)::BIGINT AS payload_len_sum,
+       COUNT(DISTINCT doc_id) AS n_uris
+FROM documents GROUP BY 1
+"""
+
+
+@register(
+    "wet_export_roundtrip",
+    oracle=_WET_ORACLE,
+    doc="WET export gate (operators/crawl.py wet_export — the EXPORT "
+    "side of the crawl pipeline; Common Crawl's WET derivative is one "
+    "'conversion' record per page): per-document closed-form text is "
+    "sharded by doc_id%64, serialized one WET file per shard (records "
+    "in deterministic uri order; EVEN shards plain, ODD shards "
+    ".warc.gz), then re-ingested through sources.warc_records and "
+    "aggregated — counts, payload-length sums and distinct target URIs "
+    "are arithmetic in doc_id, so record framing, member gzip, header "
+    "serialization and the parse side all sit under one oracle hash.",
+)
+def wet_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.crawl import wet_export
+    from ..sources import warc_records
+    from ..tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    pages = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 64).alias("shard"),
+        F.format_string("http://w.example/%d", F.col("doc_id")).alias("uri"),
+        F.expr("repeat('t', 10 + cast(doc_id % 90 as int))").alias("text"),
+    )
+    wets = wet_export(pages.filter(F.col("shard") % 2 == 0)).unionByName(
+        wet_export(pages.filter(F.col("shard") % 2 == 1), gzip_members=True)
+    )
+    recs = warc_records(wets, content_col="wet", id_col="shard").filter(
+        "parse_ok AND warc_type = 'conversion'"
+    )
+    return (
+        recs.select(
+            (F.col("shard") % 8).alias("grp"),
+            "payload_len",
+            "target_uri",
+        )
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_records"),
+            F.sum("payload_len").cast("long").alias("payload_len_sum"),
+            F.countDistinct("target_uri").cast("long").alias("n_uris"),
+        )
+    )

@@ -146,3 +146,53 @@ def test_warc_records_include_body(spark):
     assert bytes(rows["response"].http_body) == b"<p>hi</p>"
     assert rows["warcinfo"].http_body is None
     assert "http_body" not in warc_records(df).columns  # opt-in only
+
+
+def test_canonical_url_rules(spark):
+    """Each canonicalization rule pinned: case, default vs real port,
+    dup-slash collapse, trailing slash, fragment, tracking params, query
+    sort, empty-path root, malformed -> NULL."""
+    from data_engineering_assignment_spark.operators.crawl import canonical_url
+
+    cases = [
+        ("http://s3.example/p/42?b=2&a=1", "http://s3.example/p/42?a=1&b=2"),
+        ("HTTP://S3.EXAMPLE:80/p/42?a=1&b=2", "http://s3.example/p/42?a=1&b=2"),
+        (
+            "http://s3.example//p//42?a=1&b=2&utm_source=x#frag",
+            "http://s3.example/p/42?a=1&b=2",
+        ),
+        ("http://s3.example/p/42/?a=1&b=2", "http://s3.example/p/42?a=1&b=2"),
+        ("https://h.example:8443/x?fbclid=abc", "https://h.example:8443/x"),
+        ("https://h.example:443/x", "https://h.example/x"),
+        ("http://h.example/?#f", "http://h.example/"),
+        ("http://h.example", "http://h.example/"),
+        ("not a url", None),
+        (None, None),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "u string")
+    got = [r.c for r in df.select(canonical_url("u").alias("c")).collect()]
+    assert got == [want for _, want in cases]
+
+
+def test_wet_export_deterministic_and_parseable(spark):
+    """wet_export produces byte-deterministic shard files whose records
+    parse back with parse_warc regardless of input partitioning."""
+    from data_engineering_assignment_spark.functions.warc import parse_warc
+    from data_engineering_assignment_spark.operators.crawl import wet_export
+
+    rows = [(i, i % 2, f"http://w.example/{i}", f"text {i}") for i in range(20)]
+    for nparts in (1, 7):
+        df = spark.createDataFrame(
+            rows, "doc_id long, shard long, uri string, text string"
+        ).repartition(nparts)
+        out = {r.shard: r for r in wet_export(df).collect()}
+        assert out[0].n_records == 10 and out[1].n_records == 10
+        recs = parse_warc(bytes(out[1].wet))
+        assert [r["headers"]["WARC-Type"] for r in recs] == ["conversion"] * 10
+        # deterministic order: uris sorted lexicographically within shard
+        uris = [r["headers"]["WARC-Target-URI"] for r in recs]
+        assert uris == sorted(uris)
+        if nparts == 1:
+            first = {s: bytes(r.wet) for s, r in out.items()}
+        else:
+            assert {s: bytes(r.wet) for s, r in out.items()} == first
