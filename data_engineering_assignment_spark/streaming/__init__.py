@@ -775,3 +775,30 @@ def streaming_image_dedup(
         update, out_schema, state_schema, output_mode,
         GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_url_frontier(
+    stream: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming crawl-frontier URL dedup: emit each logical page's FIRST
+    arrival only. The stream is canonicalized with
+    ``operators.crawl.canonical_url`` (a stateless JVM expression, so it
+    runs on the stream before any state) and then deduped on the
+    canonical form with :func:`dedup_within_watermark` — re-spellings of
+    the same URL (case, default port, tracking params, trailing slash,
+    fragment) collapse to one frontier entry; state is one key per
+    canonical URL per watermark window, bounded like every streaming
+    operator here. Malformed URLs (NULL canonical) are dropped — a
+    frontier cannot fetch them. Batch twin: ``distinct`` on
+    ``canonical_url`` (parity-tested)."""
+    from ..operators.crawl import canonical_url
+
+    canon = stream.withColumn("canonical_url", canonical_url(url_col)).filter(
+        F.col("canonical_url").isNotNull()
+    )
+    return dedup_within_watermark(
+        canon, keys=["canonical_url"], watermark=watermark, ts_col=ts_col
+    )

@@ -196,3 +196,34 @@ def test_wet_export_deterministic_and_parseable(spark):
             first = {s: bytes(r.wet) for s, r in out.items()}
         else:
             assert {s: bytes(r.wet) for s, r in out.items()} == first
+
+
+def test_parse_html_fuzz_never_raises_and_is_deterministic():
+    """Property fuzz (pure Python, no Spark job per example): parse_html
+    must never raise on arbitrary text and must be a pure function —
+    the dead-letter contract only catches what extraction itself
+    raises, so the extractor has to absorb any tag soup a crawl can
+    contain."""
+    from hypothesis import given, settings, strategies as hst
+
+    tokens = hst.sampled_from(
+        list("<>/&;#!-= \"'abPpAqZ\n\t\xa0\U0001F600")
+        + ["<p>", "</p>", "<script>", "</script>", "<!--", "-->",
+           "&amp;", "&#x41;", "<a href='x'>", "</a>", "<title>"]
+    )
+    soup = hst.lists(tokens, max_size=120).map("".join)
+
+    @settings(max_examples=300, deadline=None)
+    @given(soup)
+    def run(s):
+        r1 = parse_html(s)
+        r2 = parse_html(s)
+        assert r1 == r2
+        assert isinstance(r1["text"], str)
+        # normalized: no leading/trailing/doubled whitespace, no empty
+        # lines (empty TEXT is fine — a page can have no content)
+        if r1["text"]:
+            for line in r1["text"].split("\n"):
+                assert line == " ".join(line.split()) and line != ""
+
+    run()

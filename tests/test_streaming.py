@@ -943,3 +943,41 @@ def test_streaming_image_dedup_bucket_cap_keeps_corpus_matches(spark, tmp_path):
     )
     got = {(r.doc_a, r.doc_b) for r in out.collect()}
     assert got == {(1, 2), (1, 3), (1, 4)}
+
+
+def test_streaming_url_frontier_collapses_respellings(spark, tmp_path):
+    """Four spellings of one logical URL arriving in-stream collapse to a
+    single frontier row whose set of canonical urls matches the batch
+    twin (distinct on canonical_url); malformed URLs never enter state."""
+    from data_engineering_assignment_spark.operators.crawl import (
+        canonical_url,
+    )
+
+    d = str(tmp_path / "frontier")
+    schema = "url string, ts timestamp"
+    rows = [
+        ("http://s3.example/p/42?b=2&a=1", ts(0)),
+        ("HTTP://S3.EXAMPLE:80/p/42?a=1&b=2", ts(1)),
+        ("http://s3.example//p//42?a=1&b=2&utm_source=x#frag", ts(2)),
+        ("http://s3.example/p/42/?a=1&b=2", ts(3)),
+        ("https://other.example/x", ts(4)),
+        ("not a url", ts(5)),
+    ]
+    batch = spark.createDataFrame(rows, schema)
+    batch.coalesce(1).write.parquet(d)
+    src = spark.readStream.schema(schema).parquet(d)
+    out = st.run_available_now(
+        st.streaming_url_frontier(src), output_mode="append"
+    )
+    got = sorted(r["canonical_url"] for r in out.collect())
+    want = sorted(
+        r["c"]
+        for r in batch.select(canonical_url("url").alias("c"))
+        .filter("c IS NOT NULL")
+        .distinct()
+        .collect()
+    )
+    assert got == want == [
+        "http://s3.example/p/42?a=1&b=2",
+        "https://other.example/x",
+    ]
