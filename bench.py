@@ -280,6 +280,7 @@ HEADLINE = [
     "crawl_text_pipeline",
     "url_canonical_dedup",
     "wet_export_roundtrip",
+    "crawl_quality_mix",
 ]
 
 

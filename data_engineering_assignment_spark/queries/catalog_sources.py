@@ -14,7 +14,7 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.aggregates import cond_sum, dsum, o_dsum
+from ..operators.aggregates import cond_sum, davg, dsum, o_davg, o_dround, o_dsum
 from ..pipelines.sales import read_sales_csv, sales_in_window
 from ..session import tune
 from . import register
@@ -2181,7 +2181,7 @@ def zip_archive_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _fixture_html(cid: int, jid: int) -> str:
+def _fixture_html(cid: int, jid: int, stopword: bool = True) -> str:
     """Closed-form HTML page: every EXTRACTABLE quantity depends only on
     ``cid`` (d = digits(cid), P = 1 + cid%3 paragraphs -> lines 3+P,
     words 9+5P, text_len 38 + 2d + P*(14+d), 3 links, title_len 4+d —
@@ -2190,8 +2190,11 @@ def _fixture_html(cid: int, jid: int) -> str:
     drop (script body with a bare ``<``, a comment with tags, a body
     attribute) — so cid-keyed dedup over extracted text proves the
     extraction normalizes away non-content variation."""
+    mid = "of" if stopword else "zz"  # same length: formulas unchanged;
+    # 'of' is the one STOPWORD in the page, so stopword=False flips the
+    # language/quality heuristics without moving any count or length
     paras = "".join(
-        f"<p>seg <b>{j}</b> of doc {cid}</p>\n" for j in range(1 + cid % 3)
+        f"<p>seg <b>{j}</b> {mid} doc {cid}</p>\n" for j in range(1 + cid % 3)
     )
     return (
         "<!DOCTYPE html><html><head>"
@@ -2561,4 +2564,94 @@ def wet_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("payload_len").cast("long").alias("payload_len_sum"),
             F.countDistinct("target_uri").cast("long").alias("n_uris"),
         )
+    )
+
+
+def _crawl_quality_oracle() -> str:
+    sr = o_dround("stops / tc", 4)
+    return f"""
+WITH t AS (
+  SELECT (14 + 5 * (doc_id % 3))::DOUBLE AS tc,
+         CASE WHEN doc_id % 7 = 0 THEN 0.0
+              ELSE (1 + doc_id % 3)::DOUBLE END AS stops
+  FROM documents
+), s AS (
+  SELECT tc, {sr} AS sr FROM t
+), q AS (
+  SELECT tc,
+         ROUND(CAST(LEAST(1.0, tc / 100.0) * LEAST(1.0, sr * 10.0)
+                    AS DECIMAL(27,8)), 4)::DOUBLE AS quality,
+         CASE WHEN sr >= 0.05 THEN 'en' ELSE 'unk' END AS pred_lang
+  FROM s
+)
+SELECT pred_lang, COUNT(*) AS n_pages, {o_davg('quality', 'avg_quality', 4)},
+       SUM(tc)::BIGINT AS tokens_sum
+FROM q GROUP BY 1
+"""
+
+
+@register(
+    "crawl_quality_mix",
+    oracle=_crawl_quality_oracle(),
+    doc="Crawl quality/language gating composition: WARC ingest -> HTML "
+    "extraction -> the ENGINE'S OWN quality_score / predict_lang / "
+    "token_count heuristics (operators/text.py) over the extracted text "
+    "-> per-language corpus accounting — the CCNet triage step between "
+    "extraction and dedup/mixing. Fixture pages plant the language "
+    "split structurally: 'of' (the page's one stopword) is swapped for "
+    "the same-length non-stopword 'zz' when doc_id % 7 = 0, flipping "
+    "stopword_ratio below the 0.05 language threshold without moving "
+    "any count or length — so token counts, rounded ratios, quality "
+    "products and the en/unk split are ALL closed-form in doc_id and "
+    "the oracle re-derives them with the proven o_dround/o_davg decimal "
+    "machinery (no string reconstruction).",
+)
+def crawl_quality_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from ..functions.warc import build_warc
+    from ..operators.crawl import html_extract
+    from ..operators.text import predict_lang, quality_score, token_count
+    from ..tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def make(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                html = _fixture_html(did, did, stopword=did % 7 != 0).encode()
+                recs = [
+                    (
+                        {
+                            "WARC-Type": "response",
+                            "WARC-Target-URI": f"http://q.example/{did}",
+                            "Content-Type": "application/http;msgtype=response",
+                        },
+                        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                        + html,
+                    )
+                ]
+                rows.append((did, build_warc(recs, gzip_members=bool(did % 2))))
+            yield pd.DataFrame(rows, columns=["archive_id", "content"])
+
+    media = docs.mapInPandas(make, "archive_id long, content binary")
+    from ..sources import warc_records
+
+    recs = warc_records(media, include_body=True).filter(
+        "parse_ok AND warc_type = 'response'"
+    )
+    txt = html_extract(recs).select(
+        F.translate(F.col("page.text"), "\n", " ").alias("text")
+    )
+    stats = txt.select(
+        quality_score("text").alias("quality"),
+        predict_lang("text").alias("pred_lang"),
+        token_count("text").alias("tc"),
+    )
+    return stats.groupBy("pred_lang").agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        davg("quality", "avg_quality", 4),
+        F.sum("tc").cast("long").alias("tokens_sum"),
     )
