@@ -281,6 +281,7 @@ HEADLINE = [
     "url_canonical_dedup",
     "wet_export_roundtrip",
     "crawl_quality_mix",
+    "robots_crawl_filter",
 ]
 
 

@@ -1,0 +1,99 @@
+"""Dependency-free robots.txt parsing (RFC 9309, the Robots Exclusion
+Protocol) — polite-crawl filtering between the URL frontier and the
+fetch, the missing legal/etiquette gate of a crawl pipeline. Additive vs
+the reference (no crawl route).
+
+Semantics implemented (each pinned by a test or a planted oracle rule):
+
+* groups: consecutive ``User-agent`` lines share the following rules;
+  a crawler obeys the group whose agent token matches its product token
+  (case-insensitive); an exact-token group beats the ``*`` group, and
+  ONLY the chosen group's rules apply (RFC 9309 §2.2.1);
+* rules: ``Allow``/``Disallow`` path patterns; ``*`` matches any chars,
+  ``$`` anchors the end; other regex metacharacters are literal;
+* decision: the LONGEST matching pattern (octet length) wins; on a tie
+  Allow wins; no matching rule (or no robots.txt at all) -> allowed;
+  an empty Disallow value matches nothing;
+* comments (``#``) and unknown fields (Sitemap, Crawl-delay, ...) are
+  ignored for the allow decision; field names are case-insensitive.
+"""
+
+from __future__ import annotations
+
+import re
+
+
+def parse_robots(text: str) -> list[dict]:
+    """robots.txt -> list of groups ``{agents: [str], rules: [(allow,
+    pattern)]}`` in file order. Lenient like real crawlers: blank lines
+    between rule lines don't close a group; malformed lines are skipped."""
+    groups: list[dict] = []
+    cur: dict | None = None
+    expecting_agents = False
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            continue
+        field, sep, value = line.partition(":")
+        if not sep:
+            continue
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            if cur is None or not expecting_agents:
+                cur = {"agents": [], "rules": []}
+                groups.append(cur)
+                expecting_agents = True
+            cur["agents"].append(value.lower())
+        elif field in ("allow", "disallow"):
+            expecting_agents = False
+            if cur is None:  # rules before any user-agent: RFC says skip
+                continue
+            if value == "":
+                if field == "disallow":
+                    continue  # 'Disallow:' empty = allow all = no rule
+                continue  # empty Allow is meaningless too
+            cur["rules"].append((field == "allow", value))
+        else:
+            expecting_agents = False  # sitemap/crawl-delay end agent runs
+    return groups
+
+
+def rules_for_agent(text: str, agent: str) -> list[tuple[bool, str]]:
+    """The (allow, pattern) rules the ``agent`` product token must obey:
+    the union of exact-token groups if any exist, else the union of
+    ``*`` groups, else no rules (RFC 9309 group selection)."""
+    agent = agent.lower()
+    exact: list[tuple[bool, str]] = []
+    star: list[tuple[bool, str]] = []
+    for g in parse_robots(text):
+        if agent in g["agents"]:
+            exact.extend(g["rules"])
+        if "*" in g["agents"]:
+            star.extend(g["rules"])
+    return exact if exact else star
+
+
+def pattern_regex(pattern: str) -> str:
+    """RFC 9309 path pattern -> anchored Java/RE2-compatible regex for
+    prefix matching with ``rlike``: ``*`` -> ``.*``, trailing ``$`` ->
+    end anchor, everything else literal."""
+    anchored = pattern.endswith("$")
+    if anchored:
+        pattern = pattern[:-1]
+    body = ".*".join(re.escape(seg) for seg in pattern.split("*"))
+    return "^" + body + ("$" if anchored else "")
+
+
+def robots_decision(
+    rules: list[tuple[bool, str]], path: str
+) -> bool:
+    """Pure-Python reference decision (tests + small frontiers): True =
+    allowed. Longest matching pattern wins, Allow wins ties."""
+    best: tuple[int, int] | None = None  # (pattern_len, allow)
+    for allow, pattern in rules:
+        if re.search(pattern_regex(pattern), path):
+            key = (len(pattern), int(allow))
+            if best is None or key > best:
+                best = key
+    return True if best is None else bool(best[1])

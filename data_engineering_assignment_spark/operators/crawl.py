@@ -232,6 +232,84 @@ def wet_export(
     return df.groupBy(shard_col).applyInPandas(build, out_schema)
 
 
+def robots_rules(
+    robots: DataFrame,
+    agent: str,
+    host_col: str = "url_host",
+    content_col: str = "content",
+) -> DataFrame:
+    """Parse per-host robots.txt content into the rule table the given
+    crawler ``agent`` must obey (RFC 9309 group selection applied at
+    parse time): (host, allow, rule_regex, spec). ``rule_regex`` is the
+    pattern pre-translated to an anchored JVM regex so matching stays a
+    codegen ``rlike``; ``spec`` is the pattern's octet length (the RFC's
+    longest-match precedence key). Hosts whose robots parse to no
+    applicable rules emit nothing (no rules = allowed)."""
+    from collections.abc import Iterator
+
+    from ..functions.robots import pattern_regex, rules_for_agent
+
+    schema = f"{host_col} string, allow boolean, rule_regex string, spec int"
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for host, content in zip(pdf[host_col], pdf[content_col]):
+                try:
+                    if isinstance(content, (bytes, bytearray)):
+                        content = bytes(content).decode("utf-8", "replace")
+                    for allow, pattern in rules_for_agent(str(content), agent):
+                        rows.append(
+                            (host, allow, pattern_regex(pattern), len(pattern))
+                        )
+                except Exception:
+                    continue  # unreadable robots = no rules = allowed
+            yield pd.DataFrame(
+                rows, columns=[host_col, "allow", "rule_regex", "spec"]
+            )
+
+    return robots.mapInPandas(mapper, schema)
+
+
+def robots_filter(
+    urls: DataFrame,
+    robots: DataFrame,
+    agent: str,
+    host_col: str = "url_host",
+    path_col: str = "url_path",
+    content_col: str = "content",
+) -> DataFrame:
+    """Append ``allowed`` (RFC 9309 decision for ``agent``) to a URL
+    table: longest matching pattern wins, Allow wins ties, no matching
+    rule or no robots.txt for the host -> allowed.
+
+    Scale shape: decisions are computed once per DISTINCT (host, path)
+    against the host's rule table (an equi-join on host — a hot host is
+    a skewed JOIN, which AQE can split, never a window), the argmax over
+    matching rules is one map-side-combinable ``max(struct(spec,
+    allow))`` (lexicographic: precedence then the Allow tie-win), and
+    the bounded decision table joins back to the URL stream."""
+    rules = robots_rules(robots, agent, host_col, content_col)
+    cand = urls.select(host_col, path_col).distinct()
+    matched = cand.join(rules, host_col).filter(
+        F.expr(f"{path_col} rlike rule_regex")
+    )
+    dec = (
+        matched.groupBy(host_col, path_col)
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("spec"), F.col("allow").cast("int").alias("a")
+                )
+            ).alias("best")
+        )
+        .select(host_col, path_col, (F.col("best.a") == 1).alias("allowed"))
+    )
+    return urls.join(dec, [host_col, path_col], "left").withColumn(
+        "allowed", F.coalesce("allowed", F.lit(True))
+    )
+
+
 def filter_blocked_hosts(
     df: DataFrame, blocklist: DataFrame | list[str], host_col: str = "url_host"
 ) -> DataFrame:

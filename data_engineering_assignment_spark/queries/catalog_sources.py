@@ -2655,3 +2655,71 @@ def crawl_quality_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         davg("quality", "avg_quality", 4),
         F.sum("tc").cast("long").alias("tokens_sum"),
     )
+
+
+_ROBOTS_TXT = """# fixture robots (RFC 9309)
+User-agent: graftbot
+Disallow: /d/
+Allow: /d/a
+Disallow: /w/*/end$
+
+User-agent: *
+Disallow: /
+"""
+
+_ROBOTS_ORACLE = """
+WITH t AS (
+  SELECT doc_id % 7 AS m, doc_id % 4 AS k FROM documents
+)
+SELECT 's' || m::VARCHAR || '.example' AS url_host,
+       COUNT(*) AS n_urls,
+       SUM(CASE WHEN m = 6 OR k IN (0, 3) THEN 1 ELSE 0 END)::BIGINT
+         AS n_allowed,
+       SUM(CASE WHEN m <> 6 AND k IN (1, 2) THEN 1 ELSE 0 END)::BIGINT
+         AS n_blocked
+FROM t GROUP BY 1
+"""
+
+
+@register(
+    "robots_crawl_filter",
+    oracle=_ROBOTS_ORACLE,
+    doc="robots.txt crawl filtering gate (functions/robots.py RFC 9309 "
+    "parser + operators/crawl.py robots_rules/robots_filter — the "
+    "polite-crawl gate between the URL frontier and the fetch): six "
+    "hosts share a robots fixture whose rules pin longest-match "
+    "precedence (Allow /d/a beats Disallow /d/), wildcard+anchor "
+    "patterns (Disallow /w/*/end$), the no-match default, AND group "
+    "selection (the '*' group says Disallow / — obeying it as graftbot "
+    "would block everything); a seventh host has no robots at all "
+    "(left-join default = allowed). URL paths route by doc_id%4 so "
+    "per-host allow/block counts are pure arithmetic. Matching is a "
+    "codegen rlike on pre-translated regexes; the argmax over matching "
+    "rules is one max(struct(spec, allow)) per distinct (host, path).",
+)
+def robots_crawl_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.crawl import robots_filter
+    from ..tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    k = F.col("doc_id") % 4
+    urls = docs.select(
+        F.format_string(
+            "s%d.example", (F.col("doc_id") % 7).cast("int")
+        ).alias("url_host"),
+        F.when(k == 0, F.format_string("/d/a%d", F.col("doc_id")))
+        .when(k == 1, F.format_string("/d/x%d", F.col("doc_id")))
+        .when(k == 2, F.format_string("/w/%d/end", F.col("doc_id")))
+        .otherwise(F.format_string("/ok/%d", F.col("doc_id")))
+        .alias("url_path"),
+    )
+    robots = spark.createDataFrame(
+        [(f"s{m}.example", _ROBOTS_TXT) for m in range(6)],
+        "url_host string, content string",
+    )
+    out = robots_filter(urls, robots, "graftbot")
+    return out.groupBy("url_host").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.sum(F.col("allowed").cast("int")).cast("long").alias("n_allowed"),
+        F.sum((~F.col("allowed")).cast("int")).cast("long").alias("n_blocked"),
+    )

@@ -227,3 +227,71 @@ def test_parse_html_fuzz_never_raises_and_is_deterministic():
                 assert line == " ".join(line.split()) and line != ""
 
     run()
+
+
+def test_robots_parser_rfc9309_semantics():
+    from data_engineering_assignment_spark.functions.robots import (
+        parse_robots,
+        pattern_regex,
+        robots_decision,
+        rules_for_agent,
+    )
+
+    txt = (
+        "# comment\n"
+        "User-agent: GraftBot\n"
+        "User-Agent: other\n"          # consecutive agents share a group
+        "Disallow: /d/\n"
+        "Allow: /d/a\n"
+        "disallow: /w/*/end$\n"        # field names case-insensitive
+        "Disallow:\n"                  # empty = allow all = no rule
+        "\n"
+        "User-agent: *\n"
+        "Crawl-delay: 1\n"             # unknown field ignored for rules
+        "Disallow: /\n"
+    )
+    groups = parse_robots(txt)
+    assert [g["agents"] for g in groups] == [["graftbot", "other"], ["*"]]
+    rules = rules_for_agent(txt, "graftbot")
+    assert rules == [(False, "/d/"), (True, "/d/a"), (False, "/w/*/end$")]
+    # exact group beats *; an unknown agent falls back to the * group
+    assert rules_for_agent(txt, "nobody") == [(False, "/")]
+    # decisions: longest match wins, Allow wins ties, no match -> allow
+    assert robots_decision(rules, "/d/a42")          # Allow /d/a (len 4)
+    assert not robots_decision(rules, "/d/x42")      # Disallow /d/
+    assert not robots_decision(rules, "/w/9/end")    # wildcard + $ anchor
+    assert robots_decision(rules, "/w/9/endless")    # $ anchor must bind
+    assert robots_decision(rules, "/elsewhere")
+    # tie: same length Allow + Disallow -> Allow
+    assert robots_decision([(False, "/p/"), (True, "/p/")], "/p/x")
+    # regex metacharacters in patterns stay literal: the dot rule blocks
+    # the literal path but must NOT match as a regex wildcard
+    assert not robots_decision([(False, "/a.b")], "/a.b")
+    assert robots_decision([(False, "/a.b")], "/axb")
+    assert pattern_regex("/d/*x$") == "^/d/.*x$"
+
+
+def test_robots_filter_operator(spark):
+    from data_engineering_assignment_spark.operators.crawl import robots_filter
+
+    urls = spark.createDataFrame(
+        [
+            ("h1.example", "/d/a1"),   # Allow beats Disallow
+            ("h1.example", "/d/z"),    # Disallow /d/
+            ("h2.example", "/d/z"),    # no robots for h2 -> allowed
+        ],
+        "url_host string, url_path string",
+    )
+    robots = spark.createDataFrame(
+        [("h1.example", "User-agent: *\nDisallow: /d/\nAllow: /d/a\n")],
+        "url_host string, content string",
+    )
+    rows = {
+        (r.url_host, r.url_path): r.allowed
+        for r in robots_filter(urls, robots, "graftbot").collect()
+    }
+    assert rows == {
+        ("h1.example", "/d/a1"): True,
+        ("h1.example", "/d/z"): False,
+        ("h2.example", "/d/z"): True,
+    }
