@@ -282,6 +282,7 @@ HEADLINE = [
     "wet_export_roundtrip",
     "crawl_quality_mix",
     "robots_crawl_filter",
+    "crawl_to_wet_pipeline",
 ]
 
 

@@ -40,9 +40,9 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # whose implementation changed this round (a green history does not cover
 # new code), then queries whose last green row is oldest.
 #
-# Round-11 head (catalog = 199): the three never-checked round-11 crawl
-# additions first (html_text_extract_stats, warc_domain_stats,
-# crawl_text_pipeline); then the nine queries whose implementation
+# Round-11 head (catalog = 204): the eight never-checked round-11 crawl
+# additions first (html/URL/WET/quality/robots gates + the end-to-end
+# composition); then the nine queries whose implementation
 # changed this round (the WARC parser gained the negative-Content-Length
 # guard, zip_members reads CRCs by ZipInfo, decode_wav honors
 # wSamplesPerBlock for BOTH ADPCM codecs, and the phash int32-luma +
@@ -55,12 +55,18 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # and deserves a fresh correctness row) and trading four relational
 # slots for module coverage (click_purchase_attribution /
 # event_props_json / cms_token_counts — r7 — plus ml_peak_classification,
-# r8, the oldest catalog_ml gate). The remaining r7 queries rotate in
-# next round ahead of the r8 cohort.
+# r8, the oldest catalog_ml gate). The remaining r7 queries (plus
+# customers_without_orders, bumped for the robots gate) rotate in next
+# round ahead of the r8 cohort.
 DRIVER_SAMPLE_HEAD: tuple[str, ...] = (
     "html_text_extract_stats",
     "warc_domain_stats",
     "crawl_text_pipeline",
+    "url_canonical_dedup",
+    "wet_export_roundtrip",
+    "crawl_quality_mix",
+    "robots_crawl_filter",
+    "crawl_to_wet_pipeline",
     "warc_crawl_stats",
     "zip_archive_stats",
     "wav_audio_stats",
@@ -82,8 +88,6 @@ DRIVER_SAMPLE_HEAD: tuple[str, ...] = (
     "null_handling_metrics",
     "metrics_union",
     "orders_rollup",
-    "customers_with_open_orders",
-    "customers_without_orders",
     "distinct_users_per_type",
     "regional_revenue",
     "shipping_priority_top10",
@@ -103,10 +107,7 @@ DRIVER_SAMPLE_HEAD: tuple[str, ...] = (
     "simhash_hamming_pairs",
     "dedup_jaccard_prefix",
     "decontaminate_ngram",
-    "quality_percentile_gate",
     "bloom_decontaminate",
-    "incremental_dedup",
-    "paragraph_dedup_stats",
     "events_anomaly_zscore_bucketed",
 )
 

@@ -2723,3 +2723,102 @@ def robots_crawl_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("allowed").cast("int")).cast("long").alias("n_allowed"),
         F.sum((~F.col("allowed")).cast("int")).cast("long").alias("n_blocked"),
     )
+
+
+_CRAWL_WET_ORACLE = """
+WITH t AS (
+  SELECT doc_id, doc_id % 64 AS g FROM documents WHERE doc_id % 7 <> 0
+), u AS (
+  SELECT DISTINCT g FROM t
+), l AS (
+  SELECT g % 8 AS shard,
+         38 + 2 * LENGTH(g::VARCHAR)
+            + (1 + g % 3) * (14 + LENGTH(g::VARCHAR)) AS tl
+  FROM u
+)
+SELECT shard::BIGINT AS shard, COUNT(*) AS n_records,
+       SUM(tl)::BIGINT AS payload_len_sum
+FROM l GROUP BY 1
+"""
+
+
+@register(
+    "crawl_to_wet_pipeline",
+    oracle=_CRAWL_WET_ORACLE,
+    doc="CAPSTONE crawl pipeline gate — five engine operators chained "
+    "end-to-end the way a CCNet-style corpus build runs them: WARC "
+    "ingest (warc_records include_body) -> HTML main-text extraction "
+    "(crawl.html_extract) -> language gating (text.predict_lang keeps "
+    "'en'; the fixture plants 'unk' structurally at doc_id%7=0 via the "
+    "same-length stopword swap) -> exact dedup survivors "
+    "(dedup.exact_dedup min-id keepers; extractable content is keyed by "
+    "doc_id%64 while raw bytes differ per doc, so the dup groups exist "
+    "only after correct extraction) -> WET export (crawl.wet_export, "
+    "one file per g%8 shard) -> RE-INGESTED through warc_records. "
+    "Per-shard record counts and conversion-payload byte sums are "
+    "arithmetic in g, so every stage sits under one oracle hash.",
+)
+def crawl_to_wet_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from ..functions.warc import build_warc
+    from ..operators.crawl import html_extract, wet_export
+    from ..operators.dedup import exact_dedup
+    from ..operators.text import predict_lang
+    from ..sources import warc_records
+    from ..tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def make(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                html = _fixture_html(
+                    did % 64, did, stopword=did % 7 != 0
+                ).encode()
+                recs = [
+                    (
+                        {
+                            "WARC-Type": "response",
+                            "WARC-Target-URI": f"http://c.example/{did}",
+                            "Content-Type": "application/http;msgtype=response",
+                        },
+                        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                        + html,
+                    )
+                ]
+                rows.append((did, build_warc(recs, gzip_members=bool(did % 2))))
+            yield pd.DataFrame(rows, columns=["archive_id", "content"])
+
+    media = docs.mapInPandas(make, "archive_id long, content binary")
+    recs = warc_records(media, include_body=True).filter(
+        "parse_ok AND warc_type = 'response'"
+    )
+    pages = (
+        html_extract(recs)
+        .select(
+            F.col("archive_id").alias("doc_id"),
+            "target_uri",
+            F.translate(F.col("page.text"), "\n", " ").alias("text"),
+        )
+        # consumed by the language gate AND (via keepers) the survivor
+        # join: one lazy checkpoint materializes ingest+extract once
+        .localCheckpoint(eager=False)
+    )
+    kept = pages.filter(predict_lang("text") == "en")
+    keepers = exact_dedup(kept).select(F.col("keep_id").alias("doc_id"))
+    survivors = kept.join(keepers, "doc_id").select(
+        (F.col("doc_id") % 8).alias("shard"),
+        F.col("target_uri").alias("uri"),
+        "text",
+    )
+    wets = wet_export(survivors)
+    back = warc_records(wets, content_col="wet", id_col="shard").filter(
+        "parse_ok AND warc_type = 'conversion'"
+    )
+    return back.groupBy(F.col("shard").cast("long").alias("shard")).agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.sum("payload_len").cast("long").alias("payload_len_sum"),
+    )
