@@ -175,3 +175,28 @@ def test_zip_members_duplicate_names_crc_checked_per_member(spark):
     assert len(rows) == 2
     assert [r.member for r in rows] == ["same.txt", "same.txt"]
     assert [r.crc_ok for r in rows] == [False, True]
+
+
+def test_parse_warc_fuzz_terminates_with_valueerror_or_result():
+    """Property fuzz: arbitrary bytes must either parse or raise the
+    documented ValueError — never another exception type and never a
+    hang (the negative/backward Content-Length class)."""
+    from hypothesis import given, settings, strategies as hst
+
+    frags = hst.sampled_from(
+        [b"WARC/1.0\r\n", b"Content-Length: ", b"-12", b"7", b"\r\n",
+         b"\r\n\r\n", b"WARC-Type: response\r\n", b"x" * 9, b"\x1f\x8b",
+         b"\x00", b": ", b"Content-Length: 4\r\n\r\nabcd\r\n\r\n"]
+    )
+    blobs = hst.lists(frags, max_size=24).map(b"".join)
+
+    @settings(max_examples=300, deadline=None)
+    @given(blobs)
+    def run(blob):
+        try:
+            recs = parse_warc(blob)
+        except ValueError:
+            return
+        assert isinstance(recs, list)
+
+    run()
