@@ -981,3 +981,52 @@ def test_streaming_url_frontier_collapses_respellings(spark, tmp_path):
         "http://s3.example/p/42?a=1&b=2",
         "https://other.example/x",
     ]
+
+
+def test_streaming_crawl_ingest_pipeline(spark, tmp_path):
+    """The batch crawl operators run UNMODIFIED on a stream: parquet
+    archives arrive via readStream, warc_records explodes records,
+    html_extract pulls text (both are stateless mapInPandas, legal in
+    streaming), and the per-batch output matches the batch run."""
+    from data_engineering_assignment_spark.functions.warc import build_warc
+    from data_engineering_assignment_spark.operators.crawl import html_extract
+    from data_engineering_assignment_spark.sources import warc_records
+
+    d = str(tmp_path / "crawlstream")
+    rows = []
+    for i in range(6):
+        html = f"<html><body><p>page {i} of crawl</p></body></html>".encode()
+        recs = [
+            (
+                {
+                    "WARC-Type": "response",
+                    "WARC-Target-URI": f"http://st.example/{i}",
+                    "Content-Type": "application/http;msgtype=response",
+                },
+                b"HTTP/1.1 200 OK\r\n\r\n" + html,
+            )
+        ]
+        rows.append((i, bytearray(build_warc(recs, gzip_members=bool(i % 2)))))
+    batch = spark.createDataFrame(rows, "archive_id long, content binary")
+    batch.coalesce(2).write.parquet(d)
+
+    def pipeline(df):
+        recs = warc_records(df, include_body=True).filter(
+            "parse_ok AND warc_type = 'response'"
+        )
+        from pyspark.sql import functions as F
+
+        return html_extract(recs).select(
+            "archive_id", "target_uri", F.col("page.text").alias("text")
+        )
+
+    src = spark.readStream.schema(batch.schema).parquet(d)
+    got = {
+        r.archive_id: (r.target_uri, r.text)
+        for r in st.run_available_now(pipeline(src), output_mode="append").collect()
+    }
+    want = {
+        r.archive_id: (r.target_uri, r.text) for r in pipeline(batch).collect()
+    }
+    assert got == want and len(got) == 6
+    assert got[3] == ("http://st.example/3", "page 3 of crawl")
