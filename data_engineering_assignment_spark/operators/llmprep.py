@@ -403,60 +403,89 @@ def intra_doc_repetition(
     Output: (id, n_paras, dup_para_frac, dup_para_char_frac,
     top_bigram_char_frac, top_trigram_char_frac) — fractions dround(4);
     n-gram fractions are 0 for docs too short to form the gram."""
-    toks = tokens(text_col)
-    nt = F.size(toks)
+    # HOFs evaluate INTERPRETED (no codegen CSE), and CollapseProject
+    # inlines a projected expression into every consumer — the naive
+    # formulation rebuilt the token split ~8x and the block array ~5x per
+    # row. Two counter-moves (measured ~3x wall on sf0.1): LET-BINDING via
+    # a single-element transform (a lambda variable is a bound VALUE;
+    # every reference reuses it, unlike an inlined expression), and the
+    # one boundary CollapseProject cannot cross — Generate — between the
+    # packed struct and the per-column field reads (the
+    # text.shingle_hash_stream pattern).
+    def build(tk: Column) -> Column:
+        nt = F.size(tk)
 
-    def blocks(stride: int) -> Column:
-        # floor-div: Column `/` is true division; sequence needs an int bound
-        idx = F.sequence(F.lit(0), F.floor((nt - 1) / stride).cast("int"))
-        return F.transform(
-            idx, lambda i: F.concat_ws(" ", F.slice(toks, i * stride + 1, stride))
-        )
-
-    def grams(n: int) -> Column:
-        return F.when(
-            nt >= n,
-            F.transform(
-                F.sequence(F.lit(0), nt - n),
-                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-
-    def keyed(arr: Column) -> Column:
-        return F.array_sort(
-            F.transform(
-                arr,
-                lambda s: F.struct(s.alias("key"), F.length(s).alias("chars")),
+        def blocks() -> Column:
+            idx = F.sequence(F.lit(0), F.floor((nt - 1) / para_tokens).cast("int"))
+            return F.transform(
+                idx,
+                lambda i: F.concat_ws(
+                    " ", F.slice(tk, i * para_tokens + 1, para_tokens)
+                ),
             )
+
+        def grams(n: int) -> Column:
+            return F.when(
+                nt >= n,
+                F.transform(
+                    F.sequence(F.lit(0), nt - n),
+                    lambda i: F.concat_ws(" ", F.slice(tk, i + 1, n)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+
+        def keyed(arr: Column) -> Column:
+            return F.array_sort(
+                F.transform(
+                    arr,
+                    lambda x: F.struct(x.alias("key"), F.length(x).alias("chars")),
+                )
+            )
+
+        para = F.get(
+            F.transform(
+                F.array(blocks()),  # let-bind the block array: built ONCE
+                lambda blk: F.struct(
+                    _dup_run_fold(keyed(blk)).alias("p"),
+                    F.size(blk).cast("long").alias("n_paras"),
+                    F.aggregate(
+                        F.transform(blk, lambda b: F.length(b).cast("long")),
+                        F.lit(0).cast("long"),
+                        lambda a, x: a + x,
+                    ).alias("pchars"),
+                ),
+            ),
+            0,
+        )
+        return F.struct(
+            para.alias("para"),
+            _dup_run_fold(keyed(grams(2))).alias("g2"),
+            _dup_run_fold(keyed(grams(3))).alias("g3"),
         )
 
+    packed = F.get(F.transform(F.array(tokens(text_col)), build), 0)
     d = df.select(
         F.col(id_col),
         F.length(text_col).cast("long").alias("_tc"),
-        _dup_run_fold(keyed(blocks(para_tokens))).alias("_p"),
-        F.size(blocks(para_tokens)).cast("long").alias("n_paras"),
-        F.aggregate(
-            F.transform(blocks(para_tokens), lambda b: F.length(b).cast("long")),
-            F.lit(0).cast("long"),
-            lambda a, x: a + x,
-        ).alias("_pchars"),
-        _dup_run_fold(keyed(grams(2))).alias("_g2"),
-        _dup_run_fold(keyed(grams(3))).alias("_g3"),
+        F.explode(F.array(packed)).alias("_s"),  # Generate: collapse-proof
     )
+    s = F.col("_s")
     frac = lambda num, den: F.when(  # noqa: E731
         den > 0, dround(num.cast("double") / den.cast("double"), 4)
     ).otherwise(F.lit(0.0))
+    para = s.getField("para")
     return d.select(
         id_col,
-        "n_paras",
-        frac(F.col("_p").getField("dup_n"), F.col("n_paras")).alias("dup_para_frac"),
-        frac(F.col("_p").getField("dup_chars"), F.col("_pchars")).alias(
-            "dup_para_char_frac"
-        ),
-        frac(F.col("_g2").getField("top_prod"), F.col("_tc")).alias(
+        para.getField("n_paras").alias("n_paras"),
+        frac(
+            para.getField("p").getField("dup_n"), para.getField("n_paras")
+        ).alias("dup_para_frac"),
+        frac(
+            para.getField("p").getField("dup_chars"), para.getField("pchars")
+        ).alias("dup_para_char_frac"),
+        frac(s.getField("g2").getField("top_prod"), F.col("_tc")).alias(
             "top_bigram_char_frac"
         ),
-        frac(F.col("_g3").getField("top_prod"), F.col("_tc")).alias(
+        frac(s.getField("g3").getField("top_prod"), F.col("_tc")).alias(
             "top_trigram_char_frac"
         ),
     )

@@ -337,3 +337,22 @@ def test_token_budget_sample_partitioning_independent(spark):
     b = token_budget_sample(df.repartition(13), {"s": 300}).collect()[0]
     assert (a["n_kept"], a["tokens_kept"]) == (b["n_kept"], b["tokens_kept"])
     assert a["tokens_kept"] >= 300  # crossing doc included
+
+
+def test_intra_doc_repetition_plan_single_tokenize_and_generate(spark):
+    """The let-binding + Generate shape: the token split appears exactly
+    once in the executed plan (HOFs are interpreted — no codegen CSE —
+    so every extra occurrence is a full per-row re-tokenize), and the
+    packed struct crosses a Generate so CollapseProject cannot inline it
+    into the six output columns."""
+    from data_engineering_assignment_spark.operators.llmprep import (
+        intra_doc_repetition,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c d a b c d"), (2, "x y z")], "doc_id long, text string"
+    )
+    out = intra_doc_repetition(df, para_tokens=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("split(text") == 1
+    assert plan.count("Generate") == 1
