@@ -33,6 +33,10 @@ between queries run-to-run; 5-rep-probe before believing any single-run
 flag) plus sub-second ambient scatter on the cheapest queries;
 `dedup_minhash_lsh` is the one documented repeat-transient (5-rep probes
 span 2.2-7.7 s around its 1.16 s plan-cost min with no plan change).
+`events_anomaly_zscore_bucketed` drifted to ~2.1-2.6 s across every r11
+calm-window probe (11 reps, markers fast) against its r7-era 1.398 s
+min — within the 2x bar and oracle-green; the standing min is kept per
+policy, but treat ~1.5x readings on it as the new ambient, not a flag.
 History (full per-round narrative in git: this file's log): rounds 1-9
 grew the set 36 -> 157 queries while per-query mins fell or held —
 re-records happened only when a query's implementation changed (each is
