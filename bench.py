@@ -283,6 +283,7 @@ HEADLINE = [
     "crawl_quality_mix",
     "robots_crawl_filter",
     "crawl_to_wet_pipeline",
+    "html_main_content_stats",
 ]
 
 

@@ -41,12 +41,18 @@ _BLOCK = {
 }
 
 
+_BOILER = {"nav", "header", "footer", "aside"}  # structural chrome
+
+
 class _Extractor(HTMLParser):
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
         self._parts: list[str] = []
-        self.lines: list[str] = []
+        # (text, in_boiler, anchor_chars) per flushed line
+        self.lines: list[tuple[str, bool, int]] = []
         self._drop = 0
+        self._boiler = 0
+        self._line_anchor_chars = 0
         self._in_title = False
         self._title_done = False  # first <title> wins (svg:title etc.)
         self._title_parts: list[str] = []
@@ -57,8 +63,19 @@ class _Extractor(HTMLParser):
     def _flush(self) -> None:
         text = " ".join("".join(self._parts).split())
         if text:
-            self.lines.append(text)
+            self.lines.append(
+                (text, self._boiler > 0, self._line_anchor_chars)
+            )
         self._parts = []
+        self._line_anchor_chars = 0
+
+    def _end_anchor(self) -> None:
+        if self._href is not None:
+            anchor = " ".join("".join(self._anchor).split())
+            self.links.append((self._href, anchor))
+            self._line_anchor_chars += len(anchor)
+        self._href = None
+        self._anchor = []
 
     def handle_starttag(self, tag, attrs):
         if tag == "title" and not self._title_done:
@@ -70,7 +87,10 @@ class _Extractor(HTMLParser):
             return
         if tag in _BLOCK:
             self._flush()
+        if tag in _BOILER:
+            self._boiler += 1
         if tag == "a":
+            self._end_anchor()  # tag soup: an <a> implicitly closes one
             self._href = dict(attrs).get("href")
             self._anchor = []
 
@@ -86,13 +106,10 @@ class _Extractor(HTMLParser):
             return
         if tag in _BLOCK:
             self._flush()
+            if tag in _BOILER and self._boiler:
+                self._boiler -= 1
         elif tag == "a":
-            if self._href is not None:
-                self.links.append(
-                    (self._href, " ".join("".join(self._anchor).split()))
-                )
-            self._href = None
-            self._anchor = []
+            self._end_anchor()
 
     def handle_data(self, data):
         if self._in_title:
@@ -109,20 +126,46 @@ class _Extractor(HTMLParser):
         t = " ".join("".join(self._title_parts).split())
         return t or None
 
-    def result_text(self) -> str:
+    def close(self):
+        super().close()
+        self._end_anchor()
         self._flush()
-        return "\n".join(self.lines)
+
+    def result_text(self) -> str:
+        return "\n".join(t for t, _, _ in self.lines)
+
+    def result_main_text(self, max_link_density: float = 0.5) -> str:
+        """Lines surviving the boilerplate gates: not inside structural
+        chrome (nav/header/footer/aside) and with anchor-text density
+        (collapsed anchor chars / collapsed line chars) <= the cap —
+        the link-density heuristic every main-content extractor uses
+        (nav bars and link farms are mostly anchor text; prose is not).
+        """
+        return "\n".join(
+            t
+            for t, boiler, achars in self.lines
+            if not boiler and achars <= max_link_density * len(t)
+        )
 
 
 def parse_html(html: str) -> dict:
-    """Extract {text, title, links} from an HTML string — text per the
-    module contract, title from ``<title>`` (even though <head> content
-    is otherwise dropped), links as (href, anchor_text) pairs in
-    document order (links inside dropped subtrees excluded)."""
+    """Extract {text, main_text, title, links} from an HTML string —
+    text per the module contract; main_text additionally drops
+    structural chrome (nav/header/footer/aside subtree lines) and lines
+    whose anchor-text density exceeds 1/2 (the link-density heuristic:
+    nav bars and link lists are mostly anchor chars, prose is not);
+    title from ``<title>`` (even though <head> content is otherwise
+    dropped); links as (href, anchor_text) pairs in document order
+    (links inside dropped subtrees excluded)."""
     p = _Extractor()
     p.feed(html)
     p.close()
-    return {"text": p.result_text(), "title": p.title, "links": p.links}
+    return {
+        "text": p.result_text(),
+        "main_text": p.result_main_text(),
+        "title": p.title,
+        "links": p.links,
+    }
 
 
 def extract_text(html: str) -> str:

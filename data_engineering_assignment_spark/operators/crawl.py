@@ -34,6 +34,7 @@ def _html_struct():
     return StructType(
         [
             StructField("text", StringType()),
+            StructField("main_text", StringType()),
             StructField("title", StringType()),
             StructField("links", ArrayType(link)),
             StructField("html_ok", BooleanType()),
@@ -46,7 +47,8 @@ def html_extract(
     html_col: str = "http_body",
     out_col: str = "page",
 ) -> DataFrame:
-    """Append ``out_col`` = struct<text, title, links, html_ok> extracted
+    """Append ``out_col`` = struct<text, main_text, title, links,
+    html_ok> extracted
     from an HTML string/binary column via :func:`functions.html.parse_html`
     (deterministic contract: script/style/head dropped, entities decoded,
     block boundaries -> newlines, whitespace collapsed).
@@ -77,6 +79,7 @@ def html_extract(
                     vals.append(
                         {
                             "text": r["text"],
+                            "main_text": r["main_text"],
                             "title": r["title"],
                             "links": [
                                 {"href": h, "anchor": a} for h, a in r["links"]
@@ -86,8 +89,8 @@ def html_extract(
                     )
                 except Exception:
                     vals.append(
-                        {"text": None, "title": None, "links": None,
-                         "html_ok": False}
+                        {"text": None, "main_text": None, "title": None,
+                         "links": None, "html_ok": False}
                     )
             out = pdf.copy()
             out[out_col] = vals

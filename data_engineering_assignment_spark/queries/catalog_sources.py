@@ -2822,3 +2822,76 @@ def crawl_to_wet_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_records"),
         F.sum("payload_len").cast("long").alias("payload_len_sum"),
     )
+
+
+_MAIN_CONTENT_ORACLE = """
+WITH t AS (
+  SELECT doc_id % 4 AS grp,
+         LENGTH(doc_id::VARCHAR) AS d,
+         1 + doc_id % 3 AS p
+  FROM documents
+)
+SELECT grp::BIGINT AS grp,
+       COUNT(*) AS n_pages,
+       SUM(1 + p)::BIGINT AS main_lines_sum,
+       SUM(4 + 5 * p)::BIGINT AS main_words_sum,
+       SUM(16 + d + p * (14 + d))::BIGINT AS main_len_sum,
+       SUM(38 + 2 * d + p * (14 + d)
+           - (16 + d + p * (14 + d)))::BIGINT AS boiler_len_sum
+FROM t GROUP BY 1
+"""
+
+
+@register(
+    "html_main_content_stats",
+    oracle=_MAIN_CONTENT_ORACLE,
+    doc="Main-content extraction gate (functions/html.py "
+    "result_main_text — the boilerplate-removal step that separates a "
+    "CCNet-grade extractor from naive tag stripping): main_text "
+    "additionally drops lines inside structural chrome (the fixture's "
+    "<nav> bar) and lines whose anchor-text density exceeds 1/2 (the "
+    "trailing pure-link line), keeping exactly the heading + paragraph "
+    "prose. Per-doc_id%4 sums of surviving lines/words/chars AND of the "
+    "boilerplate char mass removed (full-text length minus main length) "
+    "are closed-form in doc_id, so the chrome gate, the link-density "
+    "gate and their interaction with whitespace collapse all sit under "
+    "the oracle hash.",
+)
+def html_main_content_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from ..operators.crawl import html_extract
+    from ..tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def make(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "html": [
+                        _fixture_html(int(x), int(x)) for x in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    media = docs.mapInPandas(make, "doc_id long, html string")
+    pages = html_extract(media, html_col="html")
+    return (
+        pages.select(
+            (F.col("doc_id") % 4).alias("grp"),
+            F.size(F.split("page.main_text", "\n")).alias("ml"),
+            F.size(F.split("page.main_text", "[ \n]")).alias("mw"),
+            F.length("page.main_text").alias("mlen"),
+            (F.length("page.text") - F.length("page.main_text")).alias("blen"),
+        )
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.sum("ml").cast("long").alias("main_lines_sum"),
+            F.sum("mw").cast("long").alias("main_words_sum"),
+            F.sum("mlen").cast("long").alias("main_len_sum"),
+            F.sum("blen").cast("long").alias("boiler_len_sum"),
+        )
+    )

@@ -295,3 +295,30 @@ def test_robots_filter_operator(spark):
         ("h1.example", "/d/z"): False,
         ("h2.example", "/d/z"): True,
     }
+
+
+def test_main_text_boilerplate_and_link_density():
+    """main_text drops structural-chrome lines and high-link-density
+    lines while text keeps everything."""
+    h = (
+        "<html><body>"
+        "<header><p>Site Chrome</p></header>"
+        '<nav><a href="/a">A</a> <a href="/b">B</a></nav>'
+        "<p>real prose with a few honest words and "
+        '<a href="/ref">one link</a> inside</p>'
+        '<p><a href="/x">pure link line</a></p>'
+        "<footer>copyright stuff</footer>"
+        "</body></html>"
+    )
+    r = parse_html(h)
+    assert r["text"] == (
+        "Site Chrome\nA B\nreal prose with a few honest words and "
+        "one link inside\npure link line\ncopyright stuff"
+    )
+    # prose survives (anchor 'one link' = 8 of 56 chars); chrome and the
+    # pure-link line do not
+    assert r["main_text"] == (
+        "real prose with a few honest words and one link inside"
+    )
+    # links are still collected from everywhere outside dropped subtrees
+    assert [href for href, _ in r["links"]] == ["/a", "/b", "/ref", "/x"]
