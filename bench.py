@@ -284,6 +284,7 @@ HEADLINE = [
     "robots_crawl_filter",
     "crawl_to_wet_pipeline",
     "html_main_content_stats",
+    "html_charset_stats",
 ]
 
 

@@ -171,3 +171,38 @@ def parse_html(html: str) -> dict:
 def extract_text(html: str) -> str:
     """Main-content text of an HTML string (see module contract)."""
     return parse_html(html)["text"]
+
+
+def decode_html_bytes(raw: bytes, content_type: str | None = None) -> str:
+    """Charset-aware decode of crawled HTML bytes — real crawls are not
+    all UTF-8. Precedence per the WHATWG encoding sniff: a BOM wins
+    (UTF-8 / UTF-16 LE / BE), then a ``charset=`` token in the HTTP
+    Content-Type header, then a ``<meta ... charset=...>`` inside the
+    first 1024 bytes, then UTF-8; unknown charset names fall through to
+    UTF-8. Always decodes with ``errors='replace'`` (dead-letter rows
+    are for unreadable CONTAINERS; mojibake text must still flow to the
+    quality gates that will score it down)."""
+    import re as _re
+
+    if raw[:3] == b"\xef\xbb\xbf":
+        return raw[3:].decode("utf-8", "replace")
+    if raw[:2] == b"\xff\xfe":
+        return raw[2:].decode("utf-16-le", "replace")
+    if raw[:2] == b"\xfe\xff":
+        return raw[2:].decode("utf-16-be", "replace")
+    enc = None
+    if content_type:
+        m = _re.search(r"charset=[\"']?([\w.-]+)", content_type, _re.I)
+        if m:
+            enc = m.group(1)
+    if enc is None:
+        head = raw[:1024].decode("latin-1", "replace")
+        m = _re.search(r"<meta[^>]+charset=[\"']?([\w.-]+)", head, _re.I)
+        if m:
+            enc = m.group(1)
+    if enc:
+        try:
+            return raw.decode(enc, "replace")
+        except LookupError:
+            pass
+    return raw.decode("utf-8", "replace")

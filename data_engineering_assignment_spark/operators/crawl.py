@@ -46,6 +46,7 @@ def html_extract(
     df: DataFrame,
     html_col: str = "http_body",
     out_col: str = "page",
+    content_type_col: str | None = None,
 ) -> DataFrame:
     """Append ``out_col`` = struct<text, main_text, title, links,
     html_ok> extracted
@@ -53,6 +54,9 @@ def html_extract(
     (deterministic contract: script/style/head dropped, entities decoded,
     block boundaries -> newlines, whitespace collapsed).
 
+    Binary input decodes charset-aware via
+    :func:`functions.html.decode_html_bytes` (BOM > HTTP Content-Type
+    ``content_type_col`` > meta charset > UTF-8).
     mapInPandas with every input column carried through verbatim — the
     one Python hop in the crawl pipeline; downstream stats (lengths,
     word counts, link counts) stay JVM-side expressions over the struct.
@@ -60,7 +64,7 @@ def html_extract(
     (dead-letter discipline, never a dropped row)."""
     from pyspark.sql.types import StructField, StructType
 
-    from ..functions.html import parse_html
+    from ..functions.html import decode_html_bytes, parse_html
 
     out_schema = StructType(
         list(df.schema.fields) + [StructField(out_col, _html_struct())]
@@ -69,12 +73,20 @@ def html_extract(
     def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             vals = []
-            for raw in pdf[html_col]:
+            ctypes = (
+                pdf[content_type_col]
+                if content_type_col is not None
+                else [None] * len(pdf)
+            )
+            for raw, ctype in zip(pdf[html_col], ctypes):
                 try:
                     if raw is None:
                         raise ValueError("no content")
                     if isinstance(raw, (bytes, bytearray)):
-                        raw = bytes(raw).decode("utf-8", "replace")
+                        raw = decode_html_bytes(
+                            bytes(raw),
+                            None if ctype is None else str(ctype),
+                        )
                     r = parse_html(raw)
                     vals.append(
                         {

@@ -40,7 +40,7 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # whose implementation changed this round (a green history does not cover
 # new code), then queries whose last green row is oldest.
 #
-# Round-11 head (catalog = 205): the nine never-checked round-11 crawl
+# Round-11 head (catalog = 206): the ten never-checked round-11 crawl
 # additions first (html/URL/WET/quality/robots gates + the end-to-end
 # composition); then the nine queries whose implementation
 # changed this round (the WARC parser gained the negative-Content-Length
@@ -68,6 +68,7 @@ DRIVER_SAMPLE_HEAD: tuple[str, ...] = (
     "robots_crawl_filter",
     "crawl_to_wet_pipeline",
     "html_main_content_stats",
+    "html_charset_stats",
     "warc_crawl_stats",
     "zip_archive_stats",
     "wav_audio_stats",
@@ -88,7 +89,6 @@ DRIVER_SAMPLE_HEAD: tuple[str, ...] = (
     "top5_orders",
     "null_handling_metrics",
     "metrics_union",
-    "distinct_users_per_type",
     "regional_revenue",
     "shipping_priority_top10",
     "click_purchase_attribution",

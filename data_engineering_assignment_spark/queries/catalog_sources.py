@@ -2895,3 +2895,81 @@ def html_main_content_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("blen").cast("long").alias("boiler_len_sum"),
         )
     )
+
+
+_CHARSET_ORACLE = """
+WITH t AS (
+  SELECT doc_id % 4 AS v, 1 + doc_id % 5 AS k FROM documents
+)
+SELECT v::BIGINT AS variant,
+       COUNT(*) AS n_pages,
+       SUM(k)::BIGINT AS accents_sum,
+       SUM(6 + k)::BIGINT AS text_len_sum
+FROM t GROUP BY 1
+"""
+
+
+@register(
+    "html_charset_stats",
+    oracle=_CHARSET_ORACLE,
+    doc="Charset-sniffing gate (functions/html.py decode_html_bytes, "
+    "WHATWG precedence BOM > HTTP Content-Type > meta charset > UTF-8 "
+    "— real crawls are not all UTF-8): each document's page carries "
+    "1 + doc_id%5 'e-acute' characters and is served one of four ways "
+    "by doc_id%4 — plain UTF-8, LATIN-1 declared only in the HTTP "
+    "header, UTF-16-LE with a BOM, LATIN-1 declared only in a meta tag. "
+    "The per-variant accent counts and text lengths are closed-form; "
+    "ANY mis-decode turns accents into replacement characters and "
+    "breaks the count, so every precedence branch sits under the "
+    "oracle hash.",
+)
+def html_charset_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from ..operators.crawl import html_extract
+    from ..tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def make(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                v, k = did % 4, 1 + did % 5
+                body = f"<body><p>caf{'é' * k} ok</p></body>"
+                ctype = "text/html"
+                if v == 0:
+                    raw = body.encode("utf-8")
+                elif v == 1:
+                    raw = body.encode("latin-1")
+                    ctype = "text/html; charset=ISO-8859-1"
+                elif v == 2:
+                    raw = b"\xff\xfe" + body.encode("utf-16-le")
+                else:
+                    raw = (
+                        '<meta charset="iso-8859-1">' + body
+                    ).encode("latin-1")
+                rows.append((did, raw, ctype))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "http_body", "content_type"]
+            )
+
+    media = docs.mapInPandas(
+        make, "doc_id long, http_body binary, content_type string"
+    )
+    pages = html_extract(media, content_type_col="content_type")
+    t = F.col("page.text")
+    return (
+        pages.select(
+            (F.col("doc_id") % 4).alias("variant"),
+            (F.length(t) - F.length(F.translate(t, "é", ""))).alias("acc"),
+            F.length(t).alias("tl"),
+        )
+        .groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.sum("acc").cast("long").alias("accents_sum"),
+            F.sum("tl").cast("long").alias("text_len_sum"),
+        )
+    )

@@ -322,3 +322,45 @@ def test_main_text_boilerplate_and_link_density():
     )
     # links are still collected from everywhere outside dropped subtrees
     assert [href for href, _ in r["links"]] == ["/a", "/b", "/ref", "/x"]
+
+
+def test_decode_html_bytes_precedence():
+    """BOM > HTTP header charset > meta charset > UTF-8; unknown names
+    fall through; mojibake still decodes (errors=replace)."""
+    from data_engineering_assignment_spark.functions.html import (
+        decode_html_bytes,
+    )
+
+    assert decode_html_bytes("café".encode("utf-8")) == "café"
+    assert decode_html_bytes(b"\xef\xbb\xbf" + "café".encode("utf-8")) == "café"
+    assert decode_html_bytes(b"\xff\xfe" + "café".encode("utf-16-le")) == "café"
+    assert decode_html_bytes(b"\xfe\xff" + "café".encode("utf-16-be")) == "café"
+    assert (
+        decode_html_bytes(
+            "café".encode("latin-1"), "text/html; charset=ISO-8859-1"
+        )
+        == "café"
+    )
+    assert (
+        decode_html_bytes('<meta charset="iso-8859-1"><p>café'.encode("latin-1"))
+        == '<meta charset="iso-8859-1"><p>café'
+    )
+    # header beats meta
+    assert (
+        decode_html_bytes(
+            '<meta charset="utf-16"><p>café'.encode("latin-1"),
+            "text/html; charset=latin-1",
+        )
+        == '<meta charset="utf-16"><p>café'
+    )
+    # BOM beats header
+    assert (
+        decode_html_bytes(
+            b"\xff\xfe" + "x".encode("utf-16-le"), "text/html; charset=latin-1"
+        )
+        == "x"
+    )
+    # unknown charset name -> utf-8 fallback
+    assert decode_html_bytes("café".encode("utf-8"), "charset=bogus-enc") == "café"
+    # invalid bytes never raise
+    assert "�" in decode_html_bytes(b"\xe9 bare latin-1 accent")
