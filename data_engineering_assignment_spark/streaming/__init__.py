@@ -802,3 +802,38 @@ def streaming_url_frontier(
     return dedup_within_watermark(
         canon, keys=["canonical_url"], watermark=watermark, ts_col=ts_col
     )
+
+
+def wet_stream_sink(
+    pages: DataFrame,
+    out_dir: str,
+    text_col: str = "text",
+    uri_col: str = "uri",
+    shard_col: str = "shard",
+    gzip_members: bool = False,
+):
+    """Stream extracted page text into WET files — the streaming end of
+    the crawl pipeline (continuous ingest -> continuous corpus export).
+    Every micro-batch runs :func:`operators.crawl.wet_export` (one WARC
+    'conversion' file per shard, deterministic record order) and appends
+    the blobs as parquet rows under ``out_dir`` keyed by
+    (shard, batch_id); WARC records concatenate per ISO 28500, so a
+    shard's corpus is the concatenation of its batch files in batch_id
+    order — no rewrite of standing output, append-only like a real
+    archive sink. Exactly-once comes from the checkpoint the caller
+    attaches (foreachBatch replays a failed batch id; the parquet append
+    of a replayed batch overwrites nothing but duplicates rows — dedup
+    on (shard, batch_id) at read time, the standard foreachBatch
+    idempotence note).
+
+    Returns a ``DataStreamWriter`` — caller adds trigger/checkpoint and
+    ``.start()``."""
+    from ..operators.crawl import wet_export
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        wets = wet_export(
+            batch_df, text_col, uri_col, shard_col, gzip_members
+        ).withColumn("batch_id", F.lit(batch_id))
+        wets.write.mode("append").parquet(out_dir)
+
+    return pages.writeStream.foreachBatch(apply_batch)

@@ -1030,3 +1030,45 @@ def test_streaming_crawl_ingest_pipeline(spark, tmp_path):
     }
     assert got == want and len(got) == 6
     assert got[3] == ("http://st.example/3", "page 3 of crawl")
+
+
+def test_wet_stream_sink_roundtrip(spark, tmp_path):
+    """Streaming WET export: pages arriving over two availableNow runs
+    append per-shard WET files; re-parsing the accumulated output in
+    batch_id order reproduces every page exactly once."""
+    from data_engineering_assignment_spark.functions.warc import parse_warc
+
+    src_dir = str(tmp_path / "pages")
+    out_dir = str(tmp_path / "wet")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "shard long, uri string, text string"
+
+    def run_once():
+        src = spark.readStream.schema(schema).parquet(src_dir)
+        q = (
+            st.wet_stream_sink(src, out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    spark.createDataFrame(
+        [(i % 2, f"http://w.example/{i}", f"text {i}") for i in range(4)],
+        schema,
+    ).coalesce(1).write.parquet(src_dir)
+    run_once()
+    spark.createDataFrame(
+        [(i % 2, f"http://w.example/{i}", f"text {i}") for i in range(4, 8)],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src_dir)
+    run_once()  # checkpoint resumes: only the new file is processed
+
+    rows = spark.read.parquet(out_dir).collect()
+    got = {}
+    for r in sorted(rows, key=lambda r: (r.shard, r.batch_id)):
+        for rec in parse_warc(bytes(r.wet)):
+            uri = rec["headers"]["WARC-Target-URI"]
+            assert uri not in got  # exactly once across batches
+            got[uri] = rec["payload"].decode()
+    assert got == {f"http://w.example/{i}": f"text {i}" for i in range(8)}
