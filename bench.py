@@ -285,6 +285,8 @@ HEADLINE = [
     "crawl_to_wet_pipeline",
     "html_main_content_stats",
     "html_charset_stats",
+    # CCNet-style log-free bigram LM quality scoring (oracle-gated)
+    "doc_bigram_lm_quality",
 ]
 
 

@@ -674,3 +674,58 @@ def bpe_encode_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.corpus import bpe_encode_stats
 
     return bpe_encode_stats(load(spark, sf_dir, "documents"), k=6)
+
+
+_BIGRAM_LM_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+), big AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(l)),
+                i -> {'w1': l[i], 'bg': l[i] || ' ' || l[i+1]})) AS b
+  FROM toks WHERE len(l) >= 2
+), occ AS (
+  SELECT doc_id, b.w1 AS w1, b.bg AS bg, COUNT(*)::BIGINT AS n_occ
+  FROM big GROUP BY 1, 2, 3
+), c2 AS (
+  SELECT b.bg AS bg, COUNT(*)::BIGINT AS c2 FROM big GROUP BY 1
+), c1 AS (
+  SELECT b.w1 AS w1, COUNT(*)::BIGINT AS c1 FROM big GROUP BY 1
+), sc AS (
+  SELECT doc_id, n_occ, (c2 * 1000000) // c1 AS pq
+  FROM occ JOIN c2 USING (bg) JOIN c1 USING (w1)
+), ag AS (
+  SELECT doc_id,
+         SUM(n_occ)::BIGINT AS n_bigrams,
+         SUM(n_occ * pq)::BIGINT AS lm_score_sum,
+         (SUM(n_occ * pq) // SUM(n_occ))::BIGINT AS lm_score_avg
+  FROM sc GROUP BY 1
+)
+SELECT d.doc_id,
+       COALESCE(ag.n_bigrams, 0) AS n_bigrams,
+       COALESCE(ag.lm_score_sum, 0) AS lm_score_sum,
+       ag.lm_score_avg
+FROM documents d LEFT JOIN ag USING (doc_id)
+"""
+
+
+@register(
+    "doc_bigram_lm_quality",
+    oracle=_BIGRAM_LM_ORACLE,
+    doc="CCNet-style LM quality scoring, log-free (operators/corpus.py "
+    "bigram_lm_scores): a bigram model trained on the corpus itself "
+    "scores every document by its average scaled conditional bigram "
+    "probability, p_q = (count(bigram) * 1e6) div count(prefix) — all "
+    "integer floor division (Spark `div` == DuckDB `//`, positive "
+    "operands), so the perplexity-filter shape lands with ZERO float or "
+    "libm surface and the oracle replays it exactly. Monotone in the "
+    "true conditional probability, which is all a rank-and-drop filter "
+    "needs; repetitive boilerplate scores high, garbled text low. "
+    "Scale: per-(doc,bigram) pre-aggregation before two content-key "
+    "EQUI-joins (AQE-splittable; no windows, no vocabulary broadcast); "
+    "<2-token docs survive as (0, 0, NULL) rows.",
+)
+def doc_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import bigram_lm_scores
+
+    return bigram_lm_scores(load(spark, sf_dir, "documents"))

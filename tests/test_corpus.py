@@ -473,3 +473,29 @@ def test_hybrid_rrf_fusion_rules(spark):
     assert out[2][0] == 2 and out[2][1] is None
     assert out[3][0] is None and out[3][1] == 2
     assert abs(out[2][2] - round(1 / 62, 6)) < 1e-9
+
+
+def test_bigram_lm_scores_hand_model(spark):
+    """Scores match a hand-computed bigram model; <2-token docs survive
+    as (0, 0, NULL) rows."""
+    from data_engineering_assignment_spark.operators.corpus import (
+        bigram_lm_scores,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a b"), (3, "z"), (4, "c a b")],
+        "doc_id long, text string",
+    )
+    # corpus bigrams: "a b" x4, "b a" x1, "b c" x1, "c a" x1
+    # prefix counts: a->4, b->2, c->1
+    # pq: "a b"=1e6, "b a"=5e5, "b c"=5e5, "c a"=1e6
+    out = {
+        r.doc_id: (r.n_bigrams, r.lm_score_sum, r.lm_score_avg)
+        for r in bigram_lm_scores(df).collect()
+    }
+    assert out == {
+        1: (4, 3_000_000, 750_000),
+        2: (1, 1_000_000, 1_000_000),
+        3: (0, 0, None),
+        4: (2, 2_000_000, 1_000_000),
+    }
