@@ -287,6 +287,8 @@ HEADLINE = [
     "html_charset_stats",
     # CCNet-style log-free bigram LM quality scoring (oracle-gated)
     "doc_bigram_lm_quality",
+    # crawl dead-letter census (oracle-gated)
+    "crawl_health_stats",
 ]
 
 

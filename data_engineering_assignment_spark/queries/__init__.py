@@ -40,7 +40,7 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # whose implementation changed this round (a green history does not cover
 # new code), then queries whose last green row is oldest.
 #
-# Round-11 head (catalog = 207): the eleven never-checked round-11 crawl
+# Round-11 head (catalog = 208): the twelve never-checked round-11 crawl
 # additions first (html/URL/WET/quality/robots gates + the end-to-end
 # composition); then the nine queries whose implementation
 # changed this round (the WARC parser gained the negative-Content-Length
@@ -70,6 +70,7 @@ DRIVER_SAMPLE_HEAD: tuple[str, ...] = (
     "html_main_content_stats",
     "html_charset_stats",
     "doc_bigram_lm_quality",
+    "crawl_health_stats",
     "warc_crawl_stats",
     "zip_archive_stats",
     "wav_audio_stats",
@@ -90,7 +91,6 @@ DRIVER_SAMPLE_HEAD: tuple[str, ...] = (
     "top5_orders",
     "null_handling_metrics",
     "metrics_union",
-    "shipping_priority_top10",
     "click_purchase_attribution",
     "event_props_json",
     "cms_token_counts",

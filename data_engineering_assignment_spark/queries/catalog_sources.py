@@ -2973,3 +2973,95 @@ def html_charset_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("tl").cast("long").alias("text_len_sum"),
         )
     )
+
+
+_CRAWL_HEALTH_ORACLE = """
+WITH t AS (
+  SELECT doc_id,
+         doc_id % 11 = 0 AS corrupt,
+         doc_id % 13 = 0 AS headless
+  FROM documents
+)
+SELECT COUNT(*) AS n_archives,
+       SUM(CASE WHEN corrupt THEN 1 ELSE 0 END)::BIGINT AS n_parse_fail,
+       SUM(CASE WHEN NOT corrupt AND headless THEN 1 ELSE 0 END)::BIGINT
+         AS n_html_fail,
+       SUM(CASE WHEN NOT corrupt AND NOT headless THEN 1 ELSE 0 END)::BIGINT
+         AS n_pages_ok,
+       SUM(CASE WHEN NOT corrupt AND NOT headless
+                THEN 12 + LENGTH(doc_id::VARCHAR) ELSE 0 END)::BIGINT
+         AS ok_text_len_sum
+FROM t
+"""
+
+
+@register(
+    "crawl_health_stats",
+    oracle=_CRAWL_HEALTH_ORACLE,
+    doc="Crawl dead-letter census — the operability gate every ingest "
+    "pipeline runs first: planted failures at BOTH dead-letter levels "
+    "(doc_id%11=0 archives get a flipped gzip byte -> warc_records "
+    "parse_ok=false rows; doc_id%13=0 responses carry a headless HTTP "
+    "payload with no CRLFCRLF split -> http_body NULL -> html_extract "
+    "html_ok=false rows) and every failure COUNTED, never dropped. "
+    "Category counts and the surviving pages' extracted-text length sum "
+    "are arithmetic in doc_id, so the census proves the two failure "
+    "layers stay disjoint, lossless and attributable end-to-end.",
+)
+def crawl_health_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from ..functions.warc import build_warc
+    from ..operators.crawl import html_extract
+    from ..sources import warc_records
+    from ..tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def make(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                html = f"<p>page of doc {did}</p>".encode()
+                if did % 13 == 0:  # headless HTTP payload: no CRLFCRLF
+                    payload = b"HTTP/1.1 200 OK (no header break)" + html
+                else:
+                    payload = b"HTTP/1.1 200 OK\r\n\r\n" + html
+                recs = [
+                    (
+                        {
+                            "WARC-Type": "response",
+                            "WARC-Target-URI": f"http://h.example/{did}",
+                            "Content-Type": "application/http;msgtype=response",
+                        },
+                        payload,
+                    )
+                ]
+                blob = bytearray(build_warc(recs, gzip_members=True))
+                if did % 11 == 0:
+                    blob[14] ^= 0xFF  # corrupt the gzip member body
+                rows.append((did, bytes(blob)))
+            yield pd.DataFrame(rows, columns=["archive_id", "content"])
+
+    media = docs.mapInPandas(make, "archive_id long, content binary")
+    recs = warc_records(media, include_body=True)
+    pages = html_extract(recs)
+    return pages.agg(
+        F.count(F.lit(1)).alias("n_archives"),
+        F.sum((~F.col("parse_ok")).cast("int")).cast("long").alias("n_parse_fail"),
+        F.sum((F.col("parse_ok") & ~F.col("page.html_ok")).cast("int"))
+        .cast("long")
+        .alias("n_html_fail"),
+        F.sum((F.col("parse_ok") & F.col("page.html_ok")).cast("int"))
+        .cast("long")
+        .alias("n_pages_ok"),
+        F.sum(
+            F.when(
+                F.col("parse_ok") & F.col("page.html_ok"),
+                F.length("page.text"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("ok_text_len_sum"),
+    )
