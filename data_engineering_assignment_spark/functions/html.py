@@ -58,9 +58,29 @@ class _Extractor(HTMLParser):
         self._title_parts: list[str] = []
         self.links: list[tuple[str, str]] = []
         self._href: str | None = None
-        self._anchor: list[str] = []
+        self._anchor: list[str] = []  # full anchor text (the link record)
+        self._anchor_line: list[str] = []  # anchor text since last flush
+
+    def _credit_anchor_line(self) -> None:
+        # Per-line anchor accounting: an <a> legally wrapping block
+        # elements (HTML5) contributes to EACH line it spans, so the
+        # chars accumulated since the last flush are credited to the
+        # line being flushed, not lumped onto the line where the anchor
+        # happens to end (which would let a nav-wide anchor's early
+        # lines pass the link-density gate as pure prose).
+        if self._href is not None:
+            self._line_anchor_chars += len(
+                " ".join("".join(self._anchor_line).split())
+            )
+        self._anchor_line = []
 
     def _flush(self) -> None:
+        self._credit_anchor_line()
+        if self._href is not None:
+            # a block boundary inside an open anchor renders as a break:
+            # keep a separator in the link text so 'line1</p><p>line2'
+            # doesn't fuse into 'line1line2'
+            self._anchor.append(" ")
         text = " ".join("".join(self._parts).split())
         if text:
             self.lines.append(
@@ -73,9 +93,10 @@ class _Extractor(HTMLParser):
         if self._href is not None:
             anchor = " ".join("".join(self._anchor).split())
             self.links.append((self._href, anchor))
-            self._line_anchor_chars += len(anchor)
+            self._credit_anchor_line()
         self._href = None
         self._anchor = []
+        self._anchor_line = []
 
     def handle_starttag(self, tag, attrs):
         if tag == "title" and not self._title_done:
@@ -120,6 +141,7 @@ class _Extractor(HTMLParser):
         self._parts.append(data)
         if self._href is not None:
             self._anchor.append(data)
+            self._anchor_line.append(data)
 
     @property
     def title(self) -> str | None:
@@ -169,7 +191,9 @@ def parse_html(html: str) -> dict:
 
 
 def extract_text(html: str) -> str:
-    """Main-content text of an HTML string (see module contract)."""
+    """FULL extracted text of an HTML string (see module contract) —
+    including nav/boilerplate lines; use ``parse_html(html)["main_text"]``
+    for the boilerplate/link-density-gated main content."""
     return parse_html(html)["text"]
 
 

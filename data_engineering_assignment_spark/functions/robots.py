@@ -15,7 +15,13 @@ Semantics implemented (each pinned by a test or a planted oracle rule):
   Allow wins; no matching rule (or no robots.txt at all) -> allowed;
   an empty Disallow value matches nothing;
 * comments (``#``) and unknown fields (Sitemap, Crawl-delay, ...) are
-  ignored for the allow decision; field names are case-insensitive.
+  ignored entirely — including for group structure: RFC 9309 §2.2.2
+  says crawlers SHOULD ignore unknown lines, so ``User-agent: a`` /
+  ``Sitemap: ...`` / ``User-agent: b`` is ONE two-agent group, not two;
+* the longest-match precedence key is the pattern's octet length with
+  a trailing ``$`` anchor EXCLUDED (the anchor is syntax, not matched
+  octets: ``Allow: /abcd`` outranks ``Disallow: /abc$``); field names
+  are case-insensitive.
 """
 
 from __future__ import annotations
@@ -54,8 +60,10 @@ def parse_robots(text: str) -> list[dict]:
                     continue  # 'Disallow:' empty = allow all = no rule
                 continue  # empty Allow is meaningless too
             cur["rules"].append((field == "allow", value))
-        else:
-            expecting_agents = False  # sitemap/crawl-delay end agent runs
+        # unknown fields (sitemap/crawl-delay/...) are ignored entirely:
+        # they neither end a User-agent run nor close a group (RFC 9309
+        # 'crawlers SHOULD ignore these lines'), so 'User-agent: a /
+        # Sitemap: x / User-agent: b / Disallow: /' is ONE group
     return groups
 
 
@@ -74,6 +82,16 @@ def rules_for_agent(text: str, agent: str) -> list[tuple[bool, str]]:
     return exact if exact else star
 
 
+def pattern_spec(pattern: str) -> int:
+    """RFC 9309 longest-match precedence key: the pattern's octet length
+    with a trailing ``$`` anchor EXCLUDED — the anchor is syntax, not
+    matched octets, so ``Allow: /abcd`` (4) outranks ``Disallow: /abc$``
+    (3), matching spec-conformant crawlers. Used by BOTH the pure-Python
+    decision and the Spark rule table (operators/crawl.py robots_rules)
+    so the engines can't diverge."""
+    return len(pattern[:-1]) if pattern.endswith("$") else len(pattern)
+
+
 def pattern_regex(pattern: str) -> str:
     """RFC 9309 path pattern -> anchored Java/RE2-compatible regex for
     prefix matching with ``rlike``: ``*`` -> ``.*``, trailing ``$`` ->
@@ -90,10 +108,10 @@ def robots_decision(
 ) -> bool:
     """Pure-Python reference decision (tests + small frontiers): True =
     allowed. Longest matching pattern wins, Allow wins ties."""
-    best: tuple[int, int] | None = None  # (pattern_len, allow)
+    best: tuple[int, int] | None = None  # (spec, allow)
     for allow, pattern in rules:
         if re.search(pattern_regex(pattern), path):
-            key = (len(pattern), int(allow))
+            key = (pattern_spec(pattern), int(allow))
             if best is None or key > best:
                 best = key
     return True if best is None else bool(best[1])

@@ -257,12 +257,20 @@ def robots_rules(
     crawler ``agent`` must obey (RFC 9309 group selection applied at
     parse time): (host, allow, rule_regex, spec). ``rule_regex`` is the
     pattern pre-translated to an anchored JVM regex so matching stays a
-    codegen ``rlike``; ``spec`` is the pattern's octet length (the RFC's
-    longest-match precedence key). Hosts whose robots parse to no
-    applicable rules emit nothing (no rules = allowed)."""
+    codegen ``rlike``; ``spec`` is the RFC's longest-match precedence
+    key (``functions.robots.pattern_spec``: octet length with a trailing
+    ``$`` anchor excluded). Hosts whose robots parse to no applicable
+    rules emit nothing (no rules = allowed) — and so do hosts whose
+    content RAISES during parsing: per-host parse health is deliberately
+    NOT recoverable from this table; use :func:`robots_census` when the
+    fleet needs to count fallthrough hosts (dead-letter discipline)."""
     from collections.abc import Iterator
 
-    from ..functions.robots import pattern_regex, rules_for_agent
+    from ..functions.robots import (
+        pattern_regex,
+        pattern_spec,
+        rules_for_agent,
+    )
 
     schema = f"{host_col} string, allow boolean, rule_regex string, spec int"
 
@@ -275,7 +283,12 @@ def robots_rules(
                         content = bytes(content).decode("utf-8", "replace")
                     for allow, pattern in rules_for_agent(str(content), agent):
                         rows.append(
-                            (host, allow, pattern_regex(pattern), len(pattern))
+                            (
+                                host,
+                                allow,
+                                pattern_regex(pattern),
+                                pattern_spec(pattern),
+                            )
                         )
                 except Exception:
                     continue  # unreadable robots = no rules = allowed
@@ -284,6 +297,56 @@ def robots_rules(
             )
 
     return robots.mapInPandas(mapper, schema)
+
+
+def robots_census(
+    robots: DataFrame,
+    agent: str,
+    host_col: str = "url_host",
+    content_col: str = "content",
+) -> DataFrame:
+    """Per-host robots.txt parse health — the dead-letter signal
+    :func:`robots_rules` deliberately omits from its rule table: one row
+    per input host with ``robots_ok`` (False = the content raised during
+    decode/parse, so the host fell through to the no-rules-=-allowed
+    default) and ``n_rules`` (applicable rules for ``agent`` after RFC
+    9309 group selection; 0 with ``robots_ok`` = a genuinely permissive
+    or irrelevant robots.txt). An operator fleet joins/aggregates this
+    beside the crawl so 'we obeyed zero rules because every robots.txt
+    was mojibake' is a countable condition, not a silent allow —
+    the same never-drop census discipline as crawl_health_stats."""
+    from collections.abc import Iterator
+
+    schema = f"{host_col} string, robots_ok boolean, n_rules int"
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                [
+                    (host,) + _robots_health(content, agent)
+                    for host, content in zip(
+                        pdf[host_col], pdf[content_col]
+                    )
+                ],
+                columns=[host_col, "robots_ok", "n_rules"],
+            )
+
+    return robots.mapInPandas(mapper, schema)
+
+
+def _robots_health(content, agent: str) -> tuple[bool, int]:
+    """(robots_ok, n_rules) for one host's robots.txt content — the
+    pure per-row body of :func:`robots_census` (unit-testable raise
+    path): False = decode/parse raised, the host falls through to
+    robots_rules' no-rules-=-allowed default."""
+    from ..functions.robots import rules_for_agent
+
+    try:
+        if isinstance(content, (bytes, bytearray)):
+            content = bytes(content).decode("utf-8", "replace")
+        return True, len(rules_for_agent(str(content), agent))
+    except Exception:
+        return False, 0
 
 
 def robots_filter(
@@ -297,6 +360,14 @@ def robots_filter(
     """Append ``allowed`` (RFC 9309 decision for ``agent``) to a URL
     table: longest matching pattern wins, Allow wins ties, no matching
     rule or no robots.txt for the host -> allowed.
+
+    NULL host/path rows (malformed URLs that never went through
+    ``canonical_url``/``with_url_parts``, or whose parse NULLed) take
+    the same no-matching-rule default: ``allowed = true``. That is
+    deliberate — robots filtering is an etiquette gate, not a validity
+    gate; compose :func:`~..streaming.streaming_url_frontier` or a
+    NULL-canonical dead-letter split BEFORE this operator if malformed
+    URLs must not reach the fetcher.
 
     Scale shape: decisions are computed once per DISTINCT (host, path)
     against the host's rule table (an equi-join on host — a hot host is

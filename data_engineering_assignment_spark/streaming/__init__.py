@@ -791,17 +791,30 @@ def streaming_url_frontier(
     the same URL (case, default port, tracking params, trailing slash,
     fragment) collapse to one frontier entry; state is one key per
     canonical URL per watermark window, bounded like every streaming
-    operator here. Malformed URLs (NULL canonical) are dropped — a
-    frontier cannot fetch them. Batch twin: ``distinct`` on
-    ``canonical_url`` (parity-tested)."""
+    operator here.
+
+    Malformed URLs (NULL canonical) are NOT silently dropped (the
+    dead-letter discipline): they bypass the dedup state entirely — a
+    frontier cannot key or fetch them — and pass through flagged
+    ``frontier_ok = false``, one output row per arrival, so an operator
+    fleet can count them; fetch-eligible rows carry ``frontier_ok =
+    true``. Batch twin: ``distinct`` on non-NULL ``canonical_url``
+    unioned with the NULL-canonical rows verbatim (parity-tested)."""
     from ..operators.crawl import canonical_url
 
-    canon = stream.withColumn("canonical_url", canonical_url(url_col)).filter(
-        F.col("canonical_url").isNotNull()
+    canon = stream.withColumn("canonical_url", canonical_url(url_col))
+    ok = dedup_within_watermark(
+        canon.filter(F.col("canonical_url").isNotNull()),
+        keys=["canonical_url"],
+        watermark=watermark,
+        ts_col=ts_col,
+    ).withColumn("frontier_ok", F.lit(True))
+    # stateless branch: malformed arrivals flow through un-deduped (no
+    # key to dedup on), each one countable downstream
+    bad = canon.filter(F.col("canonical_url").isNull()).withColumn(
+        "frontier_ok", F.lit(False)
     )
-    return dedup_within_watermark(
-        canon, keys=["canonical_url"], watermark=watermark, ts_col=ts_col
-    )
+    return ok.unionByName(bad)
 
 
 def wet_stream_sink(

@@ -271,6 +271,98 @@ def test_robots_parser_rfc9309_semantics():
     assert pattern_regex("/d/*x$") == "^/d/.*x$"
 
 
+def test_robots_spec_excludes_anchor_octet():
+    """RFC 9309 longest-match counts matched octets, not syntax: the
+    trailing '$' anchor is excluded from the precedence key, so
+    Allow /abcd (4 octets) outranks Disallow /abc$ (3 octets)."""
+    from data_engineering_assignment_spark.functions.robots import (
+        pattern_spec,
+        robots_decision,
+    )
+
+    assert pattern_spec("/abc$") == 4
+    assert pattern_spec("/abcd") == 5
+    assert pattern_spec("/w/*/end$") == 8
+    # anchored rule still wins where its octets are longer
+    assert not robots_decision([(False, "/abc$"), (True, "/ab")], "/abc")
+    # the regression pair: Disallow '/p/x$' is spec 4, NOT 5, so the
+    # equal-octet Allow '/p/x' TIES and the Allow tie-win applies (the
+    # old key scored the Disallow 5 and blocked the path)
+    assert robots_decision([(False, "/p/x$"), (True, "/p/x")], "/p/x")
+
+
+def test_robots_unknown_fields_do_not_split_groups():
+    """Unknown fields between User-agent lines are ignored entirely
+    (RFC 9309: crawlers SHOULD ignore these lines): 'User-agent: a /
+    Sitemap / User-agent: b / Disallow: /x' is ONE two-agent group."""
+    from data_engineering_assignment_spark.functions.robots import (
+        parse_robots,
+        rules_for_agent,
+    )
+
+    txt = (
+        "User-agent: a\n"
+        "Sitemap: http://e.example/sitemap.xml\n"
+        "User-agent: b\n"
+        "Disallow: /x\n"
+    )
+    groups = parse_robots(txt)
+    assert [g["agents"] for g in groups] == [["a", "b"]]
+    assert rules_for_agent(txt, "a") == [(False, "/x")]
+    assert rules_for_agent(txt, "b") == [(False, "/x")]
+
+
+def test_robots_census_counts_fallthrough_hosts(spark):
+    """robots_census emits per-host parse health: a host whose content
+    raises during parse is robots_ok=false (it fell through to the
+    no-rules-=-allowed default), never silently absent."""
+    from data_engineering_assignment_spark.operators.crawl import (
+        robots_census,
+        robots_rules,
+    )
+
+    class Boom:
+        def __str__(self):
+            raise RuntimeError("planted")
+
+    import pandas as pd
+
+    robots = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "url_host": ["good.example", "empty.example"],
+                "content": [
+                    "User-agent: *\nDisallow: /d/\nAllow: /d/a\n",
+                    "# nothing applicable\nSitemap: http://x/s.xml\n",
+                ],
+            }
+        )
+    )
+    rows = {
+        r.url_host: (r.robots_ok, r.n_rules)
+        for r in robots_census(robots, "graftbot").collect()
+    }
+    assert rows == {
+        "good.example": (True, 2),
+        "empty.example": (True, 0),
+    }
+    # the rule table itself stays silent about health: empty.example
+    # emits nothing there (documented robots_rules contract)
+    hosts = {
+        r.url_host
+        for r in robots_rules(robots, "graftbot").collect()
+    }
+    assert hosts == {"good.example"}
+    # the raise path: a planted object whose parse raises can't cross
+    # the Arrow boundary, so exercise the pure per-row body directly
+    from data_engineering_assignment_spark.operators.crawl import (
+        _robots_health,
+    )
+
+    assert _robots_health(Boom(), "graftbot") == (False, 0)
+    assert _robots_health(b"User-agent: *\nDisallow: /\n", "g") == (True, 1)
+
+
 def test_robots_filter_operator(spark):
     from data_engineering_assignment_spark.operators.crawl import robots_filter
 
@@ -322,6 +414,29 @@ def test_main_text_boilerplate_and_link_density():
     )
     # links are still collected from everywhere outside dropped subtrees
     assert [href for href, _ in r["links"]] == ["/a", "/b", "/ref", "/x"]
+
+
+def test_anchor_spanning_blocks_credits_each_line():
+    """An <a> legally wrapping block elements (HTML5) credits its anchor
+    chars to EACH line it spans: both wrapped lines are pure anchor text
+    and must fail the link-density gate — under end-of-anchor-only
+    accounting the first would pass as prose."""
+    h = (
+        "<body>"
+        '<a href="/mega"><p>first nav line</p><p>second nav line</p></a>'
+        "<p>honest prose line with plenty of ordinary words</p>"
+        "</body>"
+    )
+    r = parse_html(h)
+    assert r["text"] == (
+        "first nav line\nsecond nav line\n"
+        "honest prose line with plenty of ordinary words"
+    )
+    assert r["main_text"] == (
+        "honest prose line with plenty of ordinary words"
+    )
+    # the link record still carries the FULL anchor text
+    assert r["links"] == [("/mega", "first nav line second nav line")]
 
 
 def test_decode_html_bytes_precedence():

@@ -948,7 +948,9 @@ def test_streaming_image_dedup_bucket_cap_keeps_corpus_matches(spark, tmp_path):
 def test_streaming_url_frontier_collapses_respellings(spark, tmp_path):
     """Four spellings of one logical URL arriving in-stream collapse to a
     single frontier row whose set of canonical urls matches the batch
-    twin (distinct on canonical_url); malformed URLs never enter state."""
+    twin (distinct on canonical_url); malformed URLs never enter state —
+    they pass through flagged frontier_ok=false, one row per arrival
+    (countable dead-letter, never a silent drop)."""
     from data_engineering_assignment_spark.operators.crawl import (
         canonical_url,
     )
@@ -969,7 +971,8 @@ def test_streaming_url_frontier_collapses_respellings(spark, tmp_path):
     out = st.run_available_now(
         st.streaming_url_frontier(src), output_mode="append"
     )
-    got = sorted(r["canonical_url"] for r in out.collect())
+    rows = out.collect()
+    got = sorted(r["canonical_url"] for r in rows if r["frontier_ok"])
     want = sorted(
         r["c"]
         for r in batch.select(canonical_url("url").alias("c"))
@@ -981,6 +984,11 @@ def test_streaming_url_frontier_collapses_respellings(spark, tmp_path):
         "http://s3.example/p/42?a=1&b=2",
         "https://other.example/x",
     ]
+    # the malformed arrival surfaces exactly once, flagged, un-keyed
+    bad = [r for r in rows if not r["frontier_ok"]]
+    assert len(bad) == 1
+    assert bad[0]["url"] == "not a url"
+    assert bad[0]["canonical_url"] is None
 
 
 def test_streaming_crawl_ingest_pipeline(spark, tmp_path):
