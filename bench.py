@@ -289,6 +289,9 @@ HEADLINE = [
     "doc_bigram_lm_quality",
     # crawl dead-letter census (oracle-gated)
     "crawl_health_stats",
+    # round 12: PDF ingest + Content-Type dispatch (oracle-gated)
+    "pdf_text_extract_stats",
+    "doc_extract_dispatch_stats",
 ]
 
 

@@ -111,6 +111,188 @@ def html_extract(
     return df.mapInPandas(mapper, out_schema)
 
 
+def pdf_extract(
+    df: DataFrame,
+    pdf_col: str = "http_body",
+    out_col: str = "doc",
+) -> DataFrame:
+    """Append ``out_col`` = struct<text, n_pages, pdf_ok> extracted from
+    a PDF binary column via :func:`functions.pdf.pdf_text` (classic
+    plain/FlateDecode PDFs exactly; encrypted/object-stream/other-filter
+    documents and structurally broken bytes survive as pdf_ok = false
+    with NULL fields — the dead-letter discipline, never a dropped row).
+    Same scale shape as :func:`html_extract`: one Arrow-batched
+    stateless Python pass, zero shuffle; downstream stats stay JVM-side
+    expressions over the struct."""
+    from pyspark.sql.types import (
+        BooleanType,
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ..functions.pdf import pdf_text
+
+    doc_struct = StructType(
+        [
+            StructField("text", StringType()),
+            StructField("n_pages", IntegerType()),
+            StructField("pdf_ok", BooleanType()),
+        ]
+    )
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, doc_struct)]
+    )
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vals = []
+            for raw in pdf[pdf_col]:
+                try:
+                    if raw is None:
+                        raise ValueError("no content")
+                    r = pdf_text(bytes(raw))
+                    vals.append(
+                        {
+                            "text": r["text"],
+                            "n_pages": r["n_pages"],
+                            "pdf_ok": True,
+                        }
+                    )
+                except Exception:
+                    vals.append(
+                        {"text": None, "n_pages": None, "pdf_ok": False}
+                    )
+            out = pdf.copy()
+            out[out_col] = vals
+            yield out
+
+    return df.mapInPandas(mapper, out_schema)
+
+
+def document_extract(
+    df: DataFrame,
+    body_col: str = "http_body",
+    content_type_col: str | None = None,
+    out_col: str = "doc",
+) -> DataFrame:
+    """Content-Type-dispatched text extraction — ONE operator a crawl
+    pipeline points at its mixed-payload record stream: routes each row
+    to the HTML extractor (``functions.html.parse_html``, charset-aware
+    decode) or the PDF extractor (``functions.pdf.pdf_text``), appending
+    ``out_col`` = struct<text, main_text, title, n_pages, kind, doc_ok>.
+
+    Routing contract (deterministic, dead-letter-complete):
+
+    * the Content-Type header decides first: contains ``html`` -> HTML,
+      contains ``pdf`` -> PDF (parameters/case ignored);
+    * with no usable header, the payload sniffs: ``%PDF-`` magic -> PDF;
+      anything decodable that LOOKS like markup (a ``<`` in the first
+      1024 bytes) -> HTML (the WHATWG-ish fallback: HTML parsing never
+      raises, so over-routing to HTML is safe);
+    * everything else — and every row whose chosen extractor fails —
+      survives as kind='other'/'html'/'pdf' with doc_ok = false and
+      NULL fields: a countable census row, never a silent drop.
+
+    For PDF rows ``main_text`` = ``text`` (no boilerplate model) and
+    ``title`` is NULL; for HTML rows ``n_pages`` = 1. One Arrow-batched
+    stateless pass (zero shuffle), the html_extract scale shape."""
+    from pyspark.sql.types import (
+        BooleanType,
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ..functions.html import decode_html_bytes, parse_html
+    from ..functions.pdf import pdf_text
+
+    doc_struct = StructType(
+        [
+            StructField("text", StringType()),
+            StructField("main_text", StringType()),
+            StructField("title", StringType()),
+            StructField("n_pages", IntegerType()),
+            StructField("kind", StringType()),
+            StructField("doc_ok", BooleanType()),
+        ]
+    )
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, doc_struct)]
+    )
+    dead = {
+        "text": None, "main_text": None, "title": None,
+        "n_pages": None, "doc_ok": False,
+    }
+
+    def route(raw, ctype) -> str:
+        ct = (str(ctype) if ctype is not None else "").lower()
+        if "html" in ct:
+            return "html"
+        if "pdf" in ct:
+            return "pdf"
+        head = bytes(raw[:1024]) if isinstance(raw, (bytes, bytearray)) \
+            else str(raw)[:1024].encode("utf-8", "replace")
+        if head.startswith(b"%PDF-"):
+            return "pdf"
+        if b"<" in head:
+            return "html"
+        return "other"
+
+    def extract_one(raw, ctype) -> dict:
+        if raw is None:
+            return {**dead, "kind": "other"}
+        kind = route(raw, ctype)
+        try:
+            if kind == "html":
+                s = (
+                    decode_html_bytes(
+                        bytes(raw), None if ctype is None else str(ctype)
+                    )
+                    if isinstance(raw, (bytes, bytearray))
+                    else str(raw)
+                )
+                r = parse_html(s)
+                return {
+                    "text": r["text"],
+                    "main_text": r["main_text"],
+                    "title": r["title"],
+                    "n_pages": 1,
+                    "kind": kind,
+                    "doc_ok": True,
+                }
+            if kind == "pdf":
+                r = pdf_text(bytes(raw))
+                return {
+                    "text": r["text"],
+                    "main_text": r["text"],
+                    "title": None,
+                    "n_pages": r["n_pages"],
+                    "kind": kind,
+                    "doc_ok": True,
+                }
+        except Exception:
+            pass
+        return {**dead, "kind": kind}
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ctypes = (
+                pdf[content_type_col]
+                if content_type_col is not None
+                else [None] * len(pdf)
+            )
+            out = pdf.copy()
+            out[out_col] = [
+                extract_one(raw, ct) for raw, ct in zip(pdf[body_col], ctypes)
+            ]
+            yield out
+
+    return df.mapInPandas(mapper, out_schema)
+
+
 def with_url_parts(
     df: DataFrame, url_col: str = "target_uri", prefix: str = "url_"
 ) -> DataFrame:

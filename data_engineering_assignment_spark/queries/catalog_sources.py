@@ -3065,3 +3065,190 @@ def crawl_health_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("ok_text_len_sum"),
     )
+
+
+def _fixture_pdf(did: int) -> bytes:
+    """Closed-form PDF: P = 1 + did%3 pages; page p carries exactly two
+    text lines 'Doc {did} page {p}' (11+d chars, d = digits(did)) and
+    'text ({did}) on {p}' (12+d chars), so page text length = 24+2d,
+    document text length = P*(24+2d) + (P-1), lines = 2P and
+    whitespace-split words = 8P — pinned against functions/pdf.py in
+    tests/test_pdf.py. RAW bytes vary structurally with did (Flate on
+    odd ids, TJ-split kerning arrays at did%3==0, hex strings at
+    did%5==0, a nested page tree at did%7==0) without moving any
+    extracted quantity — the _fixture_html discipline: extraction must
+    normalize away every non-content variation."""
+    from ..functions.pdf import build_pdf
+
+    pages = [
+        [f"Doc {did} page {p}", f"text ({did}) on {p}"]
+        for p in range(1 + did % 3)
+    ]
+    return build_pdf(
+        pages,
+        flate=bool(did % 2),
+        tj_split=did % 3 == 0,
+        hex_strings=did % 5 == 0,
+        nested_kids=did % 7 == 0,
+    )
+
+
+_PDF_EXTRACT_ORACLE = """
+WITH t AS (
+  SELECT doc_id % 4 AS grp,
+         LENGTH(doc_id::VARCHAR) AS d,
+         1 + doc_id % 3 AS p
+  FROM documents
+)
+SELECT grp::BIGINT AS grp,
+       COUNT(*) AS n_docs,
+       SUM(p)::BIGINT AS pages_sum,
+       SUM(2 * p)::BIGINT AS lines_sum,
+       SUM(8 * p)::BIGINT AS words_sum,
+       SUM(p * (24 + 2 * d) + (p - 1))::BIGINT AS text_len_sum
+FROM t GROUP BY 1
+"""
+
+
+@register(
+    "pdf_text_extract_stats",
+    oracle=_PDF_EXTRACT_ORACLE,
+    doc="PDF -> text extraction gate (functions/pdf.py pdf_text, "
+    "operators/crawl.py pdf_extract — the second document-ingest "
+    "surface after HTML; crawl archives carry application/pdf payloads "
+    "that previously dead-lettered out of the corpus): every document "
+    "becomes a closed-form multi-page PDF whose raw bytes exercise the "
+    "parser surface structurally (plain AND FlateDecode streams, Tj "
+    "AND kerned TJ arrays, literal AND hex strings with escaped "
+    "parens, flat AND nested page trees, direct AND indirect /Length) "
+    "while every extracted quantity — page counts, line counts, word "
+    "counts, text lengths — stays arithmetic in doc_id, so stream "
+    "decode, page-tree order, the text-operator contract and string "
+    "escape handling all sit under one oracle hash. Extraction is the "
+    "one Arrow-batched Python hop (zero shuffle, the codec-gate "
+    "class); every stat is a JVM expression over the struct.",
+)
+def pdf_text_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from ..operators.crawl import pdf_extract
+    from ..tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def make(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "http_body": [
+                        _fixture_pdf(int(x)) for x in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    media = docs.mapInPandas(make, "doc_id long, http_body binary")
+    out = pdf_extract(media)
+    return (
+        out.select(
+            (F.col("doc_id") % 4).alias("grp"),
+            F.col("doc.n_pages").alias("np"),
+            F.size(F.split("doc.text", "\n")).alias("nl"),
+            F.size(F.split("doc.text", "[ \n]")).alias("nw"),
+            F.length("doc.text").alias("tl"),
+        )
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("np").cast("long").alias("pages_sum"),
+            F.sum("nl").cast("long").alias("lines_sum"),
+            F.sum("nw").cast("long").alias("words_sum"),
+            F.sum("tl").cast("long").alias("text_len_sum"),
+        )
+    )
+
+
+_DISPATCH_ORACLE = """
+WITH t AS (
+  SELECT doc_id % 5 AS r,
+         LENGTH(doc_id::VARCHAR) AS d,
+         1 + doc_id % 3 AS p
+  FROM documents
+), k AS (
+  SELECT CASE WHEN r IN (0, 1) THEN 'html'
+              WHEN r IN (2, 3) THEN 'pdf'
+              ELSE 'other' END AS kind,
+         CASE WHEN r <= 3 THEN 1 ELSE 0 END AS ok,
+         CASE WHEN r IN (0, 1) THEN 38 + 2 * d + p * (14 + d)
+              WHEN r IN (2, 3) THEN p * (24 + 2 * d) + (p - 1)
+              ELSE NULL END AS tl,
+         CASE WHEN r IN (0, 1) THEN 1
+              WHEN r IN (2, 3) THEN p
+              ELSE NULL END AS np
+  FROM t
+)
+SELECT kind, COUNT(*) AS n_docs, SUM(ok)::BIGINT AS n_ok,
+       COALESCE(SUM(tl), 0)::BIGINT AS text_len_sum,
+       COALESCE(SUM(np), 0)::BIGINT AS pages_sum
+FROM k GROUP BY 1
+"""
+
+
+@register(
+    "doc_extract_dispatch_stats",
+    oracle=_DISPATCH_ORACLE,
+    doc="Content-Type-dispatched document extraction gate "
+    "(operators/crawl.py document_extract — ONE operator a crawl "
+    "pipeline points at its mixed-payload stream): documents route by "
+    "doc_id%5 to an HTML fixture with an explicit text/html header "
+    "(0), the same fixture with NO header so the '<' sniff must route "
+    "it (1), a PDF fixture with an application/pdf header (2), the "
+    "same with NO header so the %PDF- magic must route it (3), and "
+    "undecodable junk that must survive as a countable kind='other' "
+    "dead-letter row (4). Per-kind doc counts, ok counts, text-length "
+    "sums (closed-form per the _fixture_html / _fixture_pdf "
+    "contracts) and page sums pin BOTH routing legs of the dispatch "
+    "AND both extractors' outputs under one oracle hash.",
+)
+def doc_extract_dispatch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from ..operators.crawl import document_extract
+    from ..tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def make(batches):
+        for pdf in batches:
+            rows = []
+            for x in pdf["doc_id"]:
+                did = int(x)
+                r = did % 5
+                if r in (0, 1):
+                    body = _fixture_html(did, did).encode()
+                    ctype = "text/html; charset=utf-8" if r == 0 else None
+                elif r in (2, 3):
+                    body = _fixture_pdf(did)
+                    ctype = "application/pdf" if r == 2 else None
+                else:
+                    body = b"\x00\x01" + str(did).encode()
+                    ctype = None
+                rows.append((did, body, ctype))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "http_body", "content_type"]
+            )
+
+    media = docs.mapInPandas(
+        make, "doc_id long, http_body binary, content_type string"
+    )
+    out = document_extract(media, content_type_col="content_type")
+    return out.groupBy(F.col("doc.kind").alias("kind")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("doc.doc_ok").cast("int")).cast("long").alias("n_ok"),
+        F.coalesce(F.sum(F.length("doc.text")), F.lit(0))
+        .cast("long")
+        .alias("text_len_sum"),
+        F.coalesce(F.sum("doc.n_pages"), F.lit(0))
+        .cast("long")
+        .alias("pages_sum"),
+    )
