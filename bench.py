@@ -292,6 +292,8 @@ HEADLINE = [
     # round 12: PDF ingest + Content-Type dispatch (oracle-gated)
     "pdf_text_extract_stats",
     "doc_extract_dispatch_stats",
+    # round 12: mergeable quantile sketch (oracle-gated)
+    "qdigest_event_quantiles",
 ]
 
 

@@ -366,3 +366,184 @@ def hll_raw_estimate(registers: DataFrame, key_col: str) -> DataFrame:
     return per_key.select(key_col, "n_regs_hit", s).select(
         key_col, "n_regs_hit", "reg_harmonic_scaled", est
     )
+
+
+# ---------------------------------------------------------------------------
+# q-digest: the union-MERGEABLE quantile sketch (Shrivastava et al. 2004,
+# "Medians and Beyond") — the streaming/rollup percentile path the exact
+# batch answer (quantiles.rank_values_pruned) can't serve: per-partition /
+# per-day digests merge by count-sum + one recompression, and the whole
+# structure is a DETERMINISTIC, ORDER-INDEPENDENT function of the value
+# multiset (no sampling, no insertion-order state like GK/KLL), so a SQL
+# twin can rebuild it bit-for-bit with unrolled level CTEs — the
+# cms_token_counts discipline for quantiles.
+# ---------------------------------------------------------------------------
+#
+# Structure: the complete binary tree over an integer universe [0, 2^bits)
+# in heap numbering (root 1; leaf for value v = 2^bits + v); the digest is
+# the sparse (node, cnt) multiset after a LEVEL-SYNCHRONOUS bottom-up
+# sweep: for depth L = bits..1, each parent absorbs its surviving children
+# iff child_sum + parent_cnt <= n // k (one threshold, fixed per digest).
+# Absorb decisions are per-parent and independent, so the sweep has no
+# tie-break surface at all. Every internal node's count is <= n//k and a
+# leaf's rank uncertainty is the mass parked on its <= `bits` ancestors,
+# giving the classic q-digest guarantee:
+#
+#     rank error of any quantile estimate  <=  bits * (n // k)
+#
+# (asserted empirically in tests/test_sketches.py). Digest size is
+# bounded by the universe (2^bits+1 nodes) REGARDLESS of corpus size —
+# the 100 TB story: the only corpus-sized operation is the map-side-
+# combinable leaf count; compression and queries run on the bounded
+# digest. n//k == 0 degenerates to the exact histogram (no compression).
+
+
+def _qdigest_compress(counts: dict, k: int, bits: int) -> dict:
+    """The deterministic level-synchronous sweep (pure Python ints —
+    bit-exact with the SQL oracle's unrolled CTE replay)."""
+    n = sum(counts.values())
+    thr = n // k
+    if thr <= 0:
+        return counts
+    for level in range(bits, 0, -1):
+        lo_id, hi_id = 1 << level, 1 << (level + 1)
+        by_parent: dict[int, list[int]] = {}
+        for m in [m for m in counts if lo_id <= m < hi_id]:
+            by_parent.setdefault(m >> 1, []).append(m)
+        for p, kids in by_parent.items():
+            csum = sum(counts[m] for m in kids)
+            pcnt = counts.get(p, 0)
+            if csum + pcnt <= thr:
+                for m in kids:
+                    del counts[m]
+                counts[p] = pcnt + csum
+    return counts
+
+
+def _qdigest_rows(counts: dict, bits: int) -> list[tuple]:
+    """(node, lvl, cnt, lo, hi) rows; lo/hi = the node's value span."""
+    out = []
+    for node, cnt in counts.items():
+        lvl = node.bit_length() - 1
+        side = 1 << (bits - lvl)
+        lo = (node - (1 << lvl)) * side
+        out.append((node, lvl, cnt, lo, lo + side - 1))
+    out.sort()
+    return out
+
+
+def _qdigest_apply(df: DataFrame, group_cols, k: int, bits: int) -> DataFrame:
+    """groupBy(group).applyInPandas of the sweep over (node, cnt) rows."""
+    import pandas as pd
+
+    gcols = list(group_cols or [])
+    grouped = bool(gcols)
+    if not grouped:  # one global digest: a synthetic constant group key
+        df = df.withColumn("_g", F.lit(0))
+        gcols = ["_g"]
+    gfields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if f.name in gcols
+    ) or "_g int"
+    schema = gfields + ", node long, lvl int, cnt long, lo long, hi long"
+
+    def compress(pdf: pd.DataFrame) -> pd.DataFrame:
+        counts: dict[int, int] = {}
+        for node, cnt in zip(pdf["node"], pdf["cnt"]):
+            node = int(node)
+            if not 1 <= node < (1 << (bits + 1)):
+                raise ValueError(
+                    f"q-digest node {node} outside universe 2^{bits}"
+                )
+            counts[node] = counts.get(node, 0) + int(cnt)
+        rows = _qdigest_rows(_qdigest_compress(counts, k, bits), bits)
+        head = {c: [pdf[c].iloc[0]] * len(rows) for c in gcols}
+        body = pd.DataFrame(
+            rows, columns=["node", "lvl", "cnt", "lo", "hi"]
+        )
+        return pd.concat([pd.DataFrame(head), body], axis=1)
+
+    out = df.groupBy(*gcols).applyInPandas(compress, schema)
+    return out if grouped else out.drop("_g")
+
+
+def qdigest_build(
+    df: DataFrame,
+    value_col: str,
+    k: int = 2048,
+    bits: int = 16,
+    group_cols=None,
+) -> DataFrame:
+    """Build per-group q-digests over an INTEGER column already mapped
+    into [0, 2^bits) (the caller owns the value mapping — e.g. cents =
+    floor(value * 100), an IEEE-exact double op). Output: group cols +
+    (node, lvl, cnt, lo, hi), one digest per group.
+
+    Scale shape: the ONE corpus-sized operation is the leaf count
+    (map-side-combinable groupBy, output bounded by the universe — at
+    most 2^bits rows per group no matter how many input rows); the
+    sweep then runs per group on that bounded table. Values outside
+    the universe RAISE (never silently clamp)."""
+    gcols = list(group_cols or [])
+    v = F.col(value_col).cast("long")
+    leaves = (
+        df.groupBy(*gcols, (F.lit(1 << bits) + v).alias("node"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return _qdigest_apply(leaves, gcols, k, bits)
+
+
+def qdigest_merge(
+    digests: DataFrame, k: int = 2048, bits: int = 16, group_cols=None
+) -> DataFrame:
+    """Merge q-digests (any number, stacked in one DataFrame) into one
+    digest per ``group_cols`` group (none = one global digest): node
+    counts SUM (the mergeable half — commutative/associative, safe for
+    per-partition, per-day or streaming micro-batch rollups), then one
+    recompression restores the size bound. The absorbed-mass error adds
+    across merge inputs plus one compression: still O(bits * n // k)."""
+    gcols = list(group_cols or [])
+    summed = digests.groupBy(*gcols, "node").agg(F.sum("cnt").alias("cnt"))
+    return _qdigest_apply(summed, gcols, k, bits)
+
+
+def qdigest_quantiles(
+    digest: DataFrame, pcts: list[int], bits: int = 16, group_cols=None
+) -> DataFrame:
+    """Percentile estimates from a digest: rank target r = max(1,
+    ceil(pct*n/100)) in pure integers, nodes scanned in (hi, lo) order
+    (a total order — (lo, hi) is unique per node), estimate = the hi of
+    the first node whose cumulative count reaches r (never an
+    interpolation: a value that EXISTS under the digest's uncertainty).
+    Output: group cols + (pct, n, est). Runs per group on the bounded
+    digest — never touches the corpus."""
+    import pandas as pd
+
+    gcols = list(group_cols or [])
+    grouped = bool(gcols)
+    if not grouped:
+        digest = digest.withColumn("_g", F.lit(0))
+        gcols = ["_g"]
+    gfields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in digest.schema.fields
+        if f.name in gcols
+    ) or "_g int"
+    schema = gfields + ", pct int, n long, est long"
+
+    def extract(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["hi", "lo"], kind="mergesort")
+        n = int(pdf["cnt"].sum())
+        cum = pdf["cnt"].cumsum()
+        rows = []
+        for pct in pcts:
+            r = max(1, (pct * n + 99) // 100)
+            hit = pdf.loc[cum >= r, "hi"]
+            rows.append((int(pct), n, int(hit.iloc[0])))
+        head = {c: [pdf[c].iloc[0]] * len(rows) for c in gcols}
+        body = pd.DataFrame(rows, columns=["pct", "n", "est"])
+        return pd.concat([pd.DataFrame(head), body], axis=1)
+
+    out = digest.groupBy(*gcols).applyInPandas(extract, schema)
+    return out if grouped else out.drop("_g")

@@ -729,3 +729,174 @@ def doc_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.corpus import bigram_lm_scores
 
     return bigram_lm_scores(load(spark, sf_dir, "documents"))
+
+
+_QD_BITS = 16
+_QD_K = 2048
+_QD_PCTS = (25, 50, 75, 90, 99)
+
+
+def _qd_sweep_sql(pref: str, tot: str, bits: int) -> str:
+    """The q-digest level-synchronous sweep as unrolled CTEs (one
+    ch/dc/state triple per level, {pref}{bits} -> {pref}0) — the
+    PageRank unrolled-iteration-CTE discipline: DuckDB replays the
+    EXACT integer algorithm of operators/sketches._qdigest_compress,
+    so every absorb decision is pinned cross-engine."""
+    parts = []
+    for lvl in range(bits, 0, -1):
+        lo = 1 << lvl
+        parts.append(
+            f"""{pref}ch{lvl} AS MATERIALIZED (
+  SELECT grp, node // 2 AS p, SUM(cnt)::BIGINT AS csum
+  FROM {pref}{lvl} WHERE node >= {lo} GROUP BY 1, 2
+), {pref}dc{lvl} AS MATERIALIZED (
+  SELECT c.grp, c.p, c.csum, COALESCE(q.cnt, 0)::BIGINT AS pcnt,
+         (c.csum + COALESCE(q.cnt, 0)) <= t.thr AS ab
+  FROM {pref}ch{lvl} c
+  JOIN {tot} t ON t.grp = c.grp
+  LEFT JOIN {pref}{lvl} q ON q.grp = c.grp AND q.node = c.p
+), {pref}{lvl - 1} AS MATERIALIZED (
+  SELECT s.grp, s.node, s.cnt
+  FROM {pref}{lvl} s
+  WHERE s.node < {lo}
+    AND NOT EXISTS (SELECT 1 FROM {pref}dc{lvl} d
+                    WHERE d.grp = s.grp AND d.p = s.node)
+  UNION ALL
+  SELECT s.grp, s.node, s.cnt
+  FROM {pref}{lvl} s
+  JOIN {pref}dc{lvl} d ON d.grp = s.grp AND d.p = s.node // 2
+  WHERE s.node >= {lo} AND NOT d.ab
+  UNION ALL
+  SELECT d.grp, d.p AS node,
+         (d.pcnt + CASE WHEN d.ab THEN d.csum ELSE 0 END)::BIGINT AS cnt
+  FROM {pref}dc{lvl} d
+  WHERE d.pcnt + CASE WHEN d.ab THEN d.csum ELSE 0 END > 0
+)"""
+        )
+    return ",\n".join(parts)
+
+
+def _qdigest_oracle() -> str:
+    bits, k = _QD_BITS, _QD_K
+    leaf0 = 1 << bits
+    lvl_case = " ".join(
+        f"WHEN node >= {1 << lvl} THEN {lvl}" for lvl in range(bits, -1, -1)
+    )
+    pcts = ", ".join(f"({p})" for p in _QD_PCTS)
+    return f"""
+WITH src AS MATERIALIZED (
+  SELECT event_type AS grp, CAST(FLOOR(value * 100) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL
+), s{bits} AS MATERIALIZED (
+  SELECT grp, {leaf0} + v AS node, COUNT(*)::BIGINT AS cnt
+  FROM src GROUP BY 1, 2
+), tot AS MATERIALIZED (
+  SELECT grp, SUM(cnt)::BIGINT AS n,
+         (SUM(cnt)::BIGINT // {k})::BIGINT AS thr
+  FROM s{bits} GROUP BY 1
+),
+{_qd_sweep_sql('s', 'tot', bits)},
+m{bits} AS MATERIALIZED (
+  SELECT 'ALL' AS grp, node, SUM(cnt)::BIGINT AS cnt FROM s0 GROUP BY 2
+), mtot AS MATERIALIZED (
+  SELECT grp, SUM(cnt)::BIGINT AS n,
+         (SUM(cnt)::BIGINT // {k})::BIGINT AS thr
+  FROM m{bits} GROUP BY 1
+),
+{_qd_sweep_sql('m', 'mtot', bits)},
+dig AS MATERIALIZED (
+  SELECT grp, node, cnt FROM s0
+  UNION ALL
+  SELECT grp, node, cnt FROM m0
+), lv AS MATERIALIZED (
+  SELECT grp, node, cnt, CASE {lvl_case} END AS lvl FROM dig
+), geo AS MATERIALIZED (
+  SELECT grp, node, cnt, lvl,
+         ((node - (1::BIGINT << lvl)) * (1::BIGINT << ({bits} - lvl)))::BIGINT AS lo,
+         ((node - (1::BIGINT << lvl) + 1) * (1::BIGINT << ({bits} - lvl)) - 1)::BIGINT AS hi
+  FROM lv
+), stats AS (
+  SELECT grp, COUNT(*)::BIGINT AS digest_size,
+         SUM(node * cnt)::BIGINT AS node_moment,
+         SUM(lvl * cnt)::BIGINT AS lvl_moment
+  FROM geo GROUP BY 1
+), r AS (
+  SELECT grp, cnt, lo, hi,
+         (SUM(cnt) OVER (PARTITION BY grp ORDER BY hi, lo
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS cum,
+         (SUM(cnt) OVER (PARTITION BY grp))::BIGINT AS n
+  FROM geo
+), p AS (
+  SELECT pct FROM (VALUES {pcts}) AS t(pct)
+), sel AS (
+  SELECT r.grp, p.pct, r.n,
+         MIN(r.hi) FILTER (
+           WHERE r.cum >= GREATEST(1, (p.pct * r.n + 99) // 100)
+         )::BIGINT AS est_cents
+  FROM r CROSS JOIN p
+  GROUP BY 1, 2, 3
+)
+SELECT sel.grp, sel.pct::INT AS pct, sel.n, sel.est_cents,
+       st.digest_size, st.node_moment, st.lvl_moment
+FROM sel JOIN stats st ON st.grp = sel.grp
+"""
+
+
+@register(
+    "qdigest_event_quantiles",
+    oracle=_qdigest_oracle(),
+    doc="q-digest — the union-MERGEABLE quantile sketch "
+    "(operators/sketches.py qdigest_build/merge/quantiles; Shrivastava "
+    "et al. 2004), the streaming/rollup percentile path beside the "
+    "exact batch answer (quantiles.rank_values_pruned): event values "
+    "map to integer cents (floor(value*100), an IEEE-exact double op), "
+    "one map-side-combinable leaf count per event_type bounds state by "
+    "the 2^16 UNIVERSE regardless of corpus size, then the "
+    "deterministic level-synchronous sweep compresses each digest "
+    "(every absorb decision integer-exact, no sampling/order state "
+    "like GK/KLL), the five per-type digests MERGE into an 'ALL' "
+    "rollup digest (count-sum + one recompression — the mergeability "
+    "contract), and p25/50/75/90/99 estimates extract in pure integer "
+    "rank math. The oracle replays the identical algorithm as 16 "
+    "unrolled level CTEs per digest (the PageRank discipline) and the "
+    "output carries digest size + node/level moments, so every absorb "
+    "decision of BOTH sweeps sits under the hash; rank error <= "
+    "16*(n//2048), asserted vs exact quantiles in tests.",
+)
+def qdigest_event_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import (
+        qdigest_build,
+        qdigest_merge,
+        qdigest_quantiles,
+    )
+
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cents = ev.select(
+        F.col("event_type").alias("grp"),
+        F.floor(F.col("value") * 100).cast("long").alias("v"),
+    )
+    per_type = qdigest_build(
+        cents, "v", k=_QD_K, bits=_QD_BITS, group_cols=["grp"]
+    )
+    merged = qdigest_merge(
+        per_type.withColumn("grp", F.lit("ALL")),
+        k=_QD_K,
+        bits=_QD_BITS,
+        group_cols=["grp"],
+    )
+    # consumed by the quantile extraction AND the stats agg (and merged
+    # re-reads per_type): one lazy checkpoint materializes the corpus
+    # scan + sweeps once (the crawl_to_wet fan-out pattern)
+    dig = per_type.unionByName(merged).localCheckpoint(eager=False)
+    quant = qdigest_quantiles(
+        dig, list(_QD_PCTS), bits=_QD_BITS, group_cols=["grp"]
+    ).withColumnRenamed("est", "est_cents")
+    stats = dig.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("digest_size"),
+        F.sum(F.col("node") * F.col("cnt")).cast("long").alias("node_moment"),
+        F.sum(F.col("lvl") * F.col("cnt")).cast("long").alias("lvl_moment"),
+    )
+    return quant.join(stats, "grp").select(
+        "grp", F.col("pct").cast("int").alias("pct"), "n", "est_cents",
+        "digest_size", "node_moment", "lvl_moment",
+    )

@@ -272,3 +272,136 @@ def test_hll_raw_estimate_within_error_band(spark):
     assert abs(row["hll_raw_est"] - n) / n < 0.2, row["hll_raw_est"]
     assert row["n_regs_hit"] <= 256
     assert row["reg_harmonic_scaled"] > 0
+
+
+# ---------------------------------------------------------------------------
+# q-digest
+# ---------------------------------------------------------------------------
+
+
+def _qd_exact_rank_err(vals, rows, pct):
+    """Rank distance between the digest estimate and the target rank in
+    the exact sorted multiset (0 when the estimate's own rank span covers
+    the target)."""
+    import bisect
+
+    svals = sorted(vals)
+    n = len(svals)
+    r = max(1, (pct * n + 99) // 100)
+    rows = sorted(rows, key=lambda t: (t["hi"], t["lo"]))
+    cum = 0
+    for row in rows:
+        cum += row["cnt"]
+        if cum >= r:
+            est = row["hi"]
+            break
+    lo_r = bisect.bisect_left(svals, est) + 1
+    hi_r = bisect.bisect_right(svals, est)
+    return 0 if lo_r <= r <= hi_r else min(abs(r - lo_r), abs(r - hi_r))
+
+
+def test_qdigest_error_bound_and_size(spark):
+    """The classic q-digest guarantee: rank error <= bits * (n // k) for
+    every percentile, with digest size far below the exact histogram."""
+    import random
+
+    from data_engineering_assignment_spark.operators.sketches import (
+        qdigest_build,
+    )
+
+    random.seed(11)
+    vals = [random.randrange(0, 1 << 12) for _ in range(20000)]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    rows = [r.asDict() for r in qdigest_build(df, "v", k=256, bits=12).collect()]
+    n = sum(r["cnt"] for r in rows)
+    assert n == len(vals)
+    assert len(rows) < len(set(vals))  # genuinely compressed
+    bound = 12 * (n // 256)
+    for pct in (1, 5, 25, 50, 75, 90, 99):
+        assert _qd_exact_rank_err(vals, rows, pct) <= bound
+
+
+def test_qdigest_partitioning_invariant(spark):
+    """The digest is a deterministic function of the value MULTISET:
+    any repartitioning produces the identical (node, cnt) set."""
+    import random
+
+    from data_engineering_assignment_spark.operators.sketches import (
+        qdigest_build,
+    )
+
+    random.seed(3)
+    vals = [random.randrange(0, 1 << 10) for _ in range(5000)]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    a = {
+        (r.node, r.cnt)
+        for r in qdigest_build(df.repartition(1), "v", k=64, bits=10).collect()
+    }
+    b = {
+        (r.node, r.cnt)
+        for r in qdigest_build(df.repartition(17), "v", k=64, bits=10).collect()
+    }
+    assert a == b
+
+
+def test_qdigest_merge_preserves_mass_and_bound(spark):
+    """Union-mergeability: per-shard digests merged by count-sum + one
+    recompression preserve total mass exactly and keep estimates inside
+    the (additive) error bound vs the pooled exact values."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from data_engineering_assignment_spark.operators.sketches import (
+        qdigest_build,
+        qdigest_merge,
+    )
+
+    random.seed(5)
+    a_vals = [random.randrange(0, 1 << 12) for _ in range(8000)]
+    b_vals = [random.randrange(0, 1 << 11) for _ in range(12000)]  # skewed
+    df = spark.createDataFrame(
+        [(0, v) for v in a_vals] + [(1, v) for v in b_vals], "shard int, v long"
+    )
+    shards = qdigest_build(df, "v", k=256, bits=12, group_cols=["shard"])
+    merged = qdigest_merge(shards.drop("shard"), k=256, bits=12)
+    rows = [r.asDict() for r in merged.collect()]
+    pooled = a_vals + b_vals
+    n = sum(r["cnt"] for r in rows)
+    assert n == len(pooled)
+    # merge error: two shard compressions + one merge compression
+    bound = 3 * 12 * (n // 256)
+    for pct in (25, 50, 75, 90, 99):
+        assert _qd_exact_rank_err(pooled, rows, pct) <= bound
+
+
+def test_qdigest_thr_zero_is_exact_histogram(spark):
+    from data_engineering_assignment_spark.operators.sketches import (
+        qdigest_build,
+        qdigest_quantiles,
+    )
+
+    df = spark.createDataFrame([(v,) for v in [3, 1, 4, 1, 5]], "v long")
+    rows = sorted(
+        (r.node, r.cnt) for r in qdigest_build(df, "v", k=2048, bits=8).collect()
+    )
+    assert rows == [(256 + 1, 2), (256 + 3, 1), (256 + 4, 1), (256 + 5, 1)]
+    q = {
+        r.pct: r.est
+        for r in qdigest_quantiles(
+            qdigest_build(df, "v", k=2048, bits=8), [50, 100], bits=8
+        ).collect()
+    }
+    assert q == {50: 3, 100: 5}  # exact medians on an exact histogram
+
+
+def test_qdigest_out_of_universe_raises(spark):
+    import pytest
+
+    from data_engineering_assignment_spark.operators.sketches import (
+        qdigest_build,
+    )
+
+    df = spark.createDataFrame([(300,)], "v long")
+    with pytest.raises(Exception, match="outside universe"):
+        qdigest_build(df, "v", k=16, bits=8).collect()
