@@ -578,6 +578,79 @@ def robots_filter(
     )
 
 
+def robots_rule_arrays(
+    robots: DataFrame,
+    agent: str,
+    host_col: str = "url_host",
+    content_col: str = "content",
+) -> DataFrame:
+    """Per-host robots rules packed into ONE array row: (host,
+    robots_rules: array<struct<spec, a, rule_regex>>) — the static side
+    of the STREAMING robots gate (:func:`robots_filter_stream`). A
+    host's rule list is bounded by its robots.txt size, so the array is
+    small; the table scales with host count (it is NOT broadcast-hinted
+    — at crawl scale hosts are millions, the size-based planner
+    decides)."""
+    rules = robots_rules(robots, agent, host_col, content_col)
+    return rules.groupBy(host_col).agg(
+        F.collect_list(
+            F.struct(
+                F.col("spec"),
+                F.col("allow").cast("int").alias("a"),
+                F.col("rule_regex"),
+            )
+        ).alias("robots_rules")
+    )
+
+
+def robots_allowed_expr(path_col: str, rules_col: str = "robots_rules") -> Column:
+    """The RFC 9309 decision as ONE stateless column expression over a
+    packed rule array: HOF filter keeps the rules whose regex matches
+    the path, ``array_max`` over struct(spec, a) is the lexicographic
+    argmax (longest match wins, Allow wins ties — the same
+    max(struct) trick as the batch operator), no matching rule or NULL
+    array (no robots.txt) -> allowed. Row-local, aggregation-free —
+    legal in a streaming plan."""
+    matched = F.filter(
+        F.col(rules_col),
+        lambda r: F.regexp_like(F.col(path_col), r["rule_regex"]),
+    )
+    best = F.array_max(
+        F.transform(matched, lambda r: F.struct(r["spec"], r["a"]))
+    )
+    return F.when(
+        F.col(rules_col).isNull() | (F.size(matched) == 0), F.lit(True)
+    ).otherwise(best["a"] == 1)
+
+
+def robots_filter_stream(
+    urls: DataFrame,
+    robots: DataFrame,
+    agent: str,
+    host_col: str = "url_host",
+    path_col: str = "url_path",
+    content_col: str = "content",
+) -> DataFrame:
+    """Streaming twin of :func:`robots_filter` — output-identical
+    (property-tested) but built from streaming-legal pieces only: a
+    stream-static equi-join on host against the packed per-host rule
+    table (:func:`robots_rule_arrays`) plus the row-local
+    :func:`robots_allowed_expr` decision. No aggregation over the URL
+    stream, so it composes directly after ``streaming_url_frontier`` in
+    append mode.
+
+    Cost note: the decision re-evaluates the host's regexes PER URL ROW
+    (the price of statelessness); the batch operator decides once per
+    distinct (host, path) and stays the right choice for batch
+    frontiers. NULL host/path rows take the same allowed=true default
+    as the batch operator (see robots_filter's contract note)."""
+    per_host = robots_rule_arrays(robots, agent, host_col, content_col)
+    joined = urls.join(per_host, host_col, "left")
+    return joined.withColumn(
+        "allowed", robots_allowed_expr(path_col)
+    ).drop("robots_rules")
+
+
 def filter_blocked_hosts(
     df: DataFrame, blocklist: DataFrame | list[str], host_col: str = "url_host"
 ) -> DataFrame:

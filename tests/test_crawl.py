@@ -479,3 +479,54 @@ def test_decode_html_bytes_precedence():
     assert decode_html_bytes("café".encode("utf-8"), "charset=bogus-enc") == "café"
     # invalid bytes never raise
     assert "�" in decode_html_bytes(b"\xe9 bare latin-1 accent")
+
+
+def test_robots_filter_stream_matches_batch_operator(spark):
+    """The stateless row-wise variant (packed rule arrays + HOF argmax)
+    is output-identical to the batch decision-table operator across the
+    precedence surface: longest match, Allow tie-win, $ anchor, no-match
+    default, no-robots host, NULL path."""
+    from data_engineering_assignment_spark.operators.crawl import (
+        robots_filter,
+        robots_filter_stream,
+    )
+
+    urls = spark.createDataFrame(
+        [
+            ("h1.example", "/d/a1"),     # Allow /d/a beats Disallow /d/
+            ("h1.example", "/d/z"),      # Disallow /d/
+            ("h1.example", "/w/9/end"),  # wildcard + $ anchor binds
+            ("h1.example", "/w/9/endless"),  # anchor must NOT match
+            ("h1.example", "/p/x"),      # equal-spec tie -> Allow
+            ("h1.example", "/elsewhere"),    # no match -> allowed
+            ("h2.example", "/d/z"),      # no robots -> allowed
+            ("h1.example", None),        # NULL path -> allowed default
+        ],
+        "url_host string, url_path string",
+    )
+    robots = spark.createDataFrame(
+        [
+            (
+                "h1.example",
+                "User-agent: *\nDisallow: /d/\nAllow: /d/a\n"
+                "Disallow: /w/*/end$\nDisallow: /p/x$\nAllow: /p/x\n",
+            )
+        ],
+        "url_host string, content string",
+    )
+
+    def rows(df):
+        return {
+            (r.url_host, r.url_path): r.allowed for r in df.collect()
+        }
+
+    batch = rows(robots_filter(urls, robots, "graftbot"))
+    stream = rows(robots_filter_stream(urls, robots, "graftbot"))
+    assert batch == stream
+    assert batch[("h1.example", "/d/a1")] is True
+    assert batch[("h1.example", "/d/z")] is False
+    assert batch[("h1.example", "/w/9/end")] is False
+    assert batch[("h1.example", "/w/9/endless")] is True
+    assert batch[("h1.example", "/p/x")] is True
+    assert batch[("h1.example", None)] is True
+    assert batch[("h2.example", "/d/z")] is True

@@ -1080,3 +1080,91 @@ def test_wet_stream_sink_roundtrip(spark, tmp_path):
             assert uri not in got  # exactly once across batches
             got[uri] = rec["payload"].decode()
     assert got == {f"http://w.example/{i}": f"text {i}" for i in range(8)}
+
+
+def test_streaming_frontier_robots_composition(spark, tmp_path):
+    """The last unchained crawl pair: streaming_url_frontier ->
+    with_url_parts -> robots_filter_stream (stream-static join on the
+    packed per-host rule table) -> fetch-eligible page stream. Parity
+    vs the batch composition (distinct canonical -> robots_filter) and
+    checkpoint restart (a re-spelling arriving in run 2 must NOT
+    re-enter the frontier)."""
+    from data_engineering_assignment_spark.operators.crawl import (
+        canonical_url,
+        robots_filter,
+        robots_filter_stream,
+        with_url_parts,
+    )
+
+    d = str(tmp_path / "frsrc")
+    ck = str(tmp_path / "frck")
+    sink = str(tmp_path / "frsink")
+    schema = "url string, ts timestamp"
+    robots = spark.createDataFrame(
+        [("h1.example", "User-agent: *\nDisallow: /d/\nAllow: /d/a\n")],
+        "url_host string, content string",
+    )
+    batch1 = [
+        ("http://h1.example/d/a1?b=2&a=1", ts(0)),   # allowed (Allow /d/a)
+        ("HTTP://H1.EXAMPLE:80/d/a1?a=1&b=2", ts(1)),  # same canonical
+        ("http://h1.example/d/z", ts(2)),            # blocked (Disallow /d/)
+        ("http://h2.example/anything", ts(3)),       # no robots -> allowed
+        ("not a url", ts(4)),                        # dead-letter
+    ]
+    spark.createDataFrame(batch1, schema).coalesce(1).write.parquet(d)
+
+    def run():
+        src = spark.readStream.schema(schema).parquet(d)
+        frontier = st.streaming_url_frontier(src).filter("frontier_ok")
+        parts = with_url_parts(frontier, url_col="canonical_url")
+        gated = robots_filter_stream(parts, robots, "graftbot").select(
+            "canonical_url", "url_host", "url_path", "allowed"
+        )
+        q = (
+            gated.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    got1 = {
+        (r.canonical_url, r.allowed)
+        for r in spark.read.parquet(sink).collect()
+    }
+    batch_df = spark.createDataFrame(batch1, schema)
+    canon = (
+        batch_df.select(canonical_url("url").alias("canonical_url"))
+        .filter("canonical_url IS NOT NULL")
+        .distinct()
+    )
+    want1 = {
+        (r.canonical_url, r.allowed)
+        for r in robots_filter(
+            with_url_parts(canon, url_col="canonical_url"), robots, "graftbot"
+        ).collect()
+    }
+    assert got1 == want1 == {
+        ("http://h1.example/d/a1?a=1&b=2", True),
+        ("http://h1.example/d/z", False),
+        ("http://h2.example/anything", True),
+    }
+
+    # run 2: one more re-spelling of the run-1 URL (must stay deduped via
+    # the restored checkpoint state) + one genuinely new blocked URL
+    spark.createDataFrame(
+        [
+            ("http://h1.example/d/a1/?a=1&b=2#frag", ts(5)),
+            ("http://h1.example/d/new", ts(6)),
+        ],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(d)
+    run()
+    got2 = {
+        (r.canonical_url, r.allowed)
+        for r in spark.read.parquet(sink).collect()
+    }
+    assert got2 == got1 | {("http://h1.example/d/new", False)}
