@@ -40,75 +40,78 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # whose implementation changed this round (a green history does not cover
 # new code), then queries whose last green row is oldest.
 #
-# Round-11 head (catalog = 208): the twelve never-checked round-11 crawl
-# additions first (html/URL/WET/quality/robots gates + the end-to-end
-# composition); then the nine queries whose implementation
-# changed this round (the WARC parser gained the negative-Content-Length
-# guard, zip_members reads CRCs by ZipInfo, decode_wav honors
-# wSamplesPerBlock for BOTH ADPCM codecs, and the phash int32-luma +
-# batched-DCT rewrite touches every image/video fingerprint path plus
-# incremental_image_dedup's new undecodable-row contract); then the four
-# stalest queries (last green r6 — the recall-telemetry and CC-twin
-# diagnostics that yielded their r10 slots); then 34 of the 46-strong r7
-# cohort in registration order, swapping events_anomaly_zscore_bucketed
-# in for the tail slot (it carries this round's only elevated perf probe
-# and deserves a fresh correctness row) and trading four relational
-# slots for module coverage (click_purchase_attribution /
-# event_props_json / cms_token_counts — r7 — plus ml_peak_classification,
-# r8, the oldest catalog_ml gate). The remaining r7 queries (plus
-# customers_without_orders, bumped for the robots gate) rotate in next
-# round ahead of the r8 cohort.
+# Round-12 head (catalog = 211): the three never-checked round-12
+# additions first (PDF extraction, the Content-Type dispatch, the
+# q-digest quantile sketch); then the eight queries whose implementation
+# changed this round (the robots parser's RFC 9309 conformance fixes —
+# anchor-excluded spec, unknown fields no longer splitting groups — gate
+# robots_crawl_filter, and the HTML extractor's per-line anchor
+# accounting + in-anchor block separator touch every parse_html
+# consumer); then the ENTIRE 22-query r7-stale cohort (the oldest last-
+# green rows in the catalog — the r11 verdict's rotation ask); then 14
+# of the oldest r8-cohort queries in registration order, with the last
+# four slots reserved for module coverage (the contract test requires
+# every catalog module in the first 50): the stalest catalog_arrays /
+# catalog_text / catalog_intervals / catalog_ml entries
+# (cosine_topk_ivfpq r8, cross_source_dup_matrix r8,
+# plusminus_player_stats r8, ml_energy_report r9). After this round
+# every query's last driver check is r8 or newer.
 DRIVER_SAMPLE_HEAD: tuple[str, ...] = (
-    "html_text_extract_stats",
-    "warc_domain_stats",
-    "crawl_text_pipeline",
-    "url_canonical_dedup",
-    "wet_export_roundtrip",
-    "crawl_quality_mix",
+    # never driver-checked (new this round)
+    "pdf_text_extract_stats",
+    "doc_extract_dispatch_stats",
+    "qdigest_event_quantiles",
+    # implementation changed this round
     "robots_crawl_filter",
-    "crawl_to_wet_pipeline",
+    "html_text_extract_stats",
     "html_main_content_stats",
     "html_charset_stats",
-    "doc_bigram_lm_quality",
+    "crawl_quality_mix",
+    "crawl_to_wet_pipeline",
+    "crawl_text_pipeline",
     "crawl_health_stats",
-    "warc_crawl_stats",
-    "zip_archive_stats",
-    "wav_audio_stats",
-    "adpcm_audio_stats",
-    "ms_adpcm_audio_stats",
-    "image_phash_pairs",
-    "audio_phash_pairs",
-    "video_phash_dups",
-    "incremental_image_dedup",
-    "ivf_recall_telemetry",
-    "dedup_clusters_lsh",
-    "lsh_recall_telemetry",
-    "dedup_clusters_jaccard",
-    "sales_per_year",
-    "top_priority_null_count",
-    "supplier_return_ratio",
-    "brand_revenue",
-    "top5_orders",
-    "null_handling_metrics",
-    "metrics_union",
-    "click_purchase_attribution",
-    "event_props_json",
-    "cms_token_counts",
-    "ml_peak_classification",
-    "disjunctive_brand_revenue",
-    "embedding_stats",
-    "label_centroids",
-    "cosine_topk_pq",
-    "dedup_semantic",
-    "dedup_semantic_survivors",
-    "semantic_recall_telemetry",
-    "dedup_semantic_kmeans",
-    "incremental_semantic_dedup",
-    "simhash_hamming_pairs",
-    "dedup_jaccard_prefix",
-    "decontaminate_ngram",
-    "bloom_decontaminate",
-    "events_anomaly_zscore_bucketed",
+    # last driver-checked r7 (all 22)
+    "orders_rollup",
+    "customers_with_open_orders",
+    "customers_without_orders",
+    "distinct_users_per_type",
+    "regional_revenue",
+    "shipping_priority_top10",
+    "above_nation_avg_customers",
+    "returned_items_top20",
+    "promo_revenue_pct",
+    "large_volume_orders",
+    "quality_percentile_gate",
+    "incremental_dedup",
+    "paragraph_dedup_stats",
+    "events_sliding_10m_5m",
+    "approx_distinct_users_rollup",
+    "cyclic_prediction_rates",
+    "user_rolling_stats",
+    "events_multi_rollup",
+    "csv_sales_publisher_year",
+    "doc_chunks",
+    "bpe_merge_top32",
+    "daily_conversion_funnel",
+    # oldest of the r8 cohort, registration order
+    "bination_trade_volume",
+    "small_quantity_revenue",
+    "sole_return_supplier",
+    "idle_customer_balance",
+    "nation_market_share",
+    "top_revenue_supplier",
+    "cheapest_supplier_per_part",
+    "priority_late_orders",
+    "forecast_revenue_delta",
+    "profit_by_nation_year",
+    "part_value_concentration",
+    "late_ship_priority_mix",
+    "customer_order_distribution",
+    # module-coverage slots (stalest entry of each remaining module)
+    "cosine_topk_ivfpq",
+    "cross_source_dup_matrix",
+    "plusminus_player_stats",
+    "ml_energy_report",
 )
 
 
