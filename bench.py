@@ -294,6 +294,8 @@ HEADLINE = [
     "doc_extract_dispatch_stats",
     # round 12: mergeable quantile sketch (oracle-gated)
     "qdigest_event_quantiles",
+    # round 12: mixed-payload WARC -> dispatch capstone (oracle-gated)
+    "mixed_crawl_extract_stats",
 ]
 
 

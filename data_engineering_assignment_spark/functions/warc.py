@@ -87,6 +87,13 @@ def _parse_one(buf: bytes, pos: int) -> tuple[dict, int]:
             parts = status_line.split(" ", 2)
             if len(parts) >= 2 and parts[1].isdigit():
                 rec["http_status"] = int(parts[1])
+            for line in http_head[1:]:
+                k, sep, v = line.partition(b":")
+                if sep and k.strip().lower() == b"content-type":
+                    rec["http_content_type"] = v.decode(
+                        "utf-8", "replace"
+                    ).strip()
+                    break  # first header wins (RFC 9110 singleton field)
             rec["http_body"] = payload[split + 4 :]
     # the record terminator (two CRLFs) follows the payload
     term = buf[body_start + n : body_start + n + 4]

@@ -40,15 +40,16 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # whose implementation changed this round (a green history does not cover
 # new code), then queries whose last green row is oldest.
 #
-# Round-12 head (catalog = 211): the three never-checked round-12
+# Round-12 head (catalog = 212): the four never-checked round-12
 # additions first (PDF extraction, the Content-Type dispatch, the
-# q-digest quantile sketch); then the eight queries whose implementation
+# q-digest quantile sketch, the mixed-payload WARC capstone); then the
+# eight queries whose implementation
 # changed this round (the robots parser's RFC 9309 conformance fixes —
 # anchor-excluded spec, unknown fields no longer splitting groups — gate
 # robots_crawl_filter, and the HTML extractor's per-line anchor
 # accounting + in-anchor block separator touch every parse_html
 # consumer); then the ENTIRE 22-query r7-stale cohort (the oldest last-
-# green rows in the catalog — the r11 verdict's rotation ask); then 14
+# green rows in the catalog — the r11 verdict's rotation ask); then 13
 # of the oldest r8-cohort queries in registration order, with the last
 # four slots reserved for module coverage (the contract test requires
 # every catalog module in the first 50): the stalest catalog_arrays /
@@ -61,6 +62,7 @@ DRIVER_SAMPLE_HEAD: tuple[str, ...] = (
     "pdf_text_extract_stats",
     "doc_extract_dispatch_stats",
     "qdigest_event_quantiles",
+    "mixed_crawl_extract_stats",
     # implementation changed this round
     "robots_crawl_filter",
     "html_text_extract_stats",
@@ -106,7 +108,6 @@ DRIVER_SAMPLE_HEAD: tuple[str, ...] = (
     "profit_by_nation_year",
     "part_value_concentration",
     "late_ship_priority_mix",
-    "customer_order_distribution",
     # module-coverage slots (stalest entry of each remaining module)
     "cosine_topk_ivfpq",
     "cross_source_dup_matrix",

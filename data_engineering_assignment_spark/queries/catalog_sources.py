@@ -3252,3 +3252,114 @@ def doc_extract_dispatch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("pages_sum"),
     )
+
+
+_MIXED_CRAWL_ORACLE = """
+WITH t AS (
+  SELECT doc_id % 5 AS r,
+         LENGTH(doc_id::VARCHAR) AS d,
+         1 + doc_id % 3 AS p
+  FROM documents
+), k AS (
+  SELECT CASE WHEN r IN (0, 1) THEN 'html'
+              WHEN r IN (2, 3) THEN 'pdf'
+              ELSE 'other' END AS kind,
+         CASE WHEN r <= 3 THEN 1 ELSE 0 END AS ok,
+         CASE WHEN r IN (0, 2, 4) THEN 1 ELSE 0 END AS hdr,
+         CASE WHEN r IN (0, 1) THEN 38 + 2 * d + p * (14 + d)
+              WHEN r IN (2, 3) THEN p * (24 + 2 * d) + (p - 1)
+              ELSE NULL END AS tl,
+         CASE WHEN r IN (0, 1) THEN 1
+              WHEN r IN (2, 3) THEN p
+              ELSE NULL END AS np
+  FROM t
+)
+SELECT kind, COUNT(*) AS n_pages, SUM(ok)::BIGINT AS n_ok,
+       SUM(hdr)::BIGINT AS n_with_header,
+       COALESCE(SUM(tl), 0)::BIGINT AS text_len_sum,
+       COALESCE(SUM(np), 0)::BIGINT AS pages_sum
+FROM k GROUP BY 1
+"""
+
+
+@register(
+    "mixed_crawl_extract_stats",
+    oracle=_MIXED_CRAWL_ORACLE,
+    doc="Mixed-payload crawl capstone — the round-12 ingest surface "
+    "chained through REAL archive framing: every document becomes a "
+    "one-response WARC (plain/.warc.gz alternating) whose HTTP payload "
+    "routes by doc_id%5 — HTML with a text/html Content-Type header "
+    "(0), HTML with NO header so the '<' sniff routes it (1), PDF with "
+    "an application/pdf header (2), PDF headerless via %PDF- magic "
+    "(3), and application/octet-stream junk that must survive as a "
+    "countable kind='other' dead-letter row (4) — then "
+    "warc_records(include_body) extracts the HTTP response's OWN "
+    "Content-Type header (the new http_content_type column, RFC 9110 "
+    "first-occurrence) and document_extract dispatches on it. Per-kind "
+    "counts, ok counts, WITH-HEADER counts (pinning the HTTP header "
+    "extraction itself), text-length and page sums are closed-form per "
+    "the _fixture_html/_fixture_pdf contracts, so WARC framing, HTTP "
+    "header parsing, both routing legs and both extractors sit under "
+    "one oracle hash.",
+)
+def mixed_crawl_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from ..functions.warc import build_warc
+    from ..operators.crawl import document_extract
+    from ..sources import warc_records
+    from ..tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def make(batches):
+        for pdf in batches:
+            rows = []
+            for x in pdf["doc_id"]:
+                did = int(x)
+                r = did % 5
+                if r in (0, 1):
+                    body = _fixture_html(did, did).encode()
+                    ctype = "text/html; charset=utf-8" if r == 0 else None
+                elif r in (2, 3):
+                    body = _fixture_pdf(did)
+                    ctype = "application/pdf" if r == 2 else None
+                else:
+                    body = b"\x00\x01" + str(did).encode()
+                    ctype = "application/octet-stream"
+                head = b"HTTP/1.1 200 OK\r\n"
+                if ctype is not None:
+                    head += b"Content-Type: " + ctype.encode() + b"\r\n"
+                recs = [
+                    (
+                        {
+                            "WARC-Type": "response",
+                            "WARC-Target-URI": f"http://m.example/{did}",
+                            "Content-Type": "application/http;msgtype=response",
+                        },
+                        head + b"\r\n" + body,
+                    )
+                ]
+                rows.append((did, build_warc(recs, gzip_members=bool(did % 2))))
+            yield pd.DataFrame(rows, columns=["archive_id", "content"])
+
+    media = docs.mapInPandas(make, "archive_id long, content binary")
+    recs = warc_records(media, include_body=True).filter(
+        "parse_ok AND warc_type = 'response'"
+    )
+    out = document_extract(
+        recs, body_col="http_body", content_type_col="http_content_type"
+    )
+    return out.groupBy(F.col("doc.kind").alias("kind")).agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.sum(F.col("doc.doc_ok").cast("int")).cast("long").alias("n_ok"),
+        F.sum(F.col("http_content_type").isNotNull().cast("int"))
+        .cast("long")
+        .alias("n_with_header"),
+        F.coalesce(F.sum(F.length("doc.text")), F.lit(0))
+        .cast("long")
+        .alias("text_len_sum"),
+        F.coalesce(F.sum("doc.n_pages"), F.lit(0))
+        .cast("long")
+        .alias("pages_sum"),
+    )

@@ -220,11 +220,17 @@ def warc_records(
     Unparseable archives survive as one parse_ok = false row (dead-letter
     discipline), so corrupt crawl files are countable, never dropped.
 
+    ``http_content_type`` is the HTTP response's OWN Content-Type header
+    (first occurrence, RFC 9110 singleton; NULL for non-HTTP records or
+    headerless responses) — distinct from ``content_type``, the WARC
+    record's envelope type — and is what
+    ``operators.crawl.document_extract`` dispatches on.
+
     ``include_body=True`` adds an ``http_body`` binary column (the HTTP
     message body of ``application/http`` response records, NULL
-    elsewhere) — the input to ``operators.crawl.html_extract``. Opt-in
-    because metadata-only scans shouldn't ship page bytes through the
-    rest of the plan."""
+    elsewhere) — the input to ``operators.crawl.html_extract`` /
+    ``document_extract``. Opt-in because metadata-only scans shouldn't
+    ship page bytes through the rest of the plan."""
     from collections.abc import Iterator
 
     import pandas as pd
@@ -233,8 +239,8 @@ def warc_records(
 
     schema = (
         f"{id_col} long, rec_idx int, warc_type string, target_uri string,"
-        " content_type string, http_status int, payload_len long,"
-        " parse_ok boolean"
+        " content_type string, http_status int, http_content_type string,"
+        " payload_len long, parse_ok boolean"
     )
     if include_body:
         schema += ", http_body binary"
@@ -242,7 +248,7 @@ def warc_records(
     def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [
             id_col, "rec_idx", "warc_type", "target_uri", "content_type",
-            "http_status", "payload_len", "parse_ok",
+            "http_status", "http_content_type", "payload_len", "parse_ok",
         ]
         if include_body:
             cols.append("http_body")
@@ -261,6 +267,7 @@ def warc_records(
                             h.get("WARC-Target-URI"),
                             h.get("Content-Type"),
                             r.get("http_status"),
+                            r.get("http_content_type"),
                             len(r["payload"]),
                             True,
                         )
@@ -268,7 +275,9 @@ def warc_records(
                             row += (r.get("http_body"),)
                         rows.append(row)
                 except Exception:
-                    row = (aid, None, None, None, None, None, None, False)
+                    row = (
+                        aid, None, None, None, None, None, None, None, False,
+                    )
                     if include_body:
                         row += (None,)
                     rows.append(row)

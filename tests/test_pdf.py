@@ -188,3 +188,24 @@ def test_document_extract_dispatch(spark):
         5: ("other", False, None, None, None),
         6: ("pdf", False, None, None, None),
     }
+
+
+def test_contents_array_concatenates_streams():
+    """A page whose /Contents is an ARRAY of stream refs concatenates
+    them in order (spec: the array's streams form one content stream)."""
+    import zlib
+
+    base = build_pdf([["placeholder"]], flate=False)
+    # rewrite page 3's /Contents to [4 0 R 8 0 R] and append stream 8
+    assert b"/Contents 4 0 R" in base
+    patched = base.replace(b"/Contents 4 0 R", b"/Contents [4 0 R 8 0 R]")
+    extra_raw = b"BT 0 -14 Td (second stream) Tj ET"
+    extra = zlib.compress(extra_raw)
+    patch = (
+        b"\n8 0 obj\n<< /Length %d /Filter /FlateDecode >>\nstream\n"
+        % len(extra)
+        + extra
+        + b"\nendstream\nendobj\n"
+    )
+    r = pdf_text(patched + patch)
+    assert r["pages"] == ["placeholder\nsecond stream"]

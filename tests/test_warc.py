@@ -200,3 +200,36 @@ def test_parse_warc_fuzz_terminates_with_valueerror_or_result():
         assert isinstance(recs, list)
 
     run()
+
+
+def test_http_content_type_extraction(spark):
+    """warc_records exposes the HTTP response's OWN Content-Type header
+    (first occurrence wins per RFC 9110; NULL when absent or for
+    non-HTTP records) — distinct from the WARC envelope content_type."""
+    from data_engineering_assignment_spark.functions.warc import build_warc
+    from data_engineering_assignment_spark.sources import warc_records
+
+    http_ct = {"Content-Type": "application/http;msgtype=response"}
+    recs = [
+        (
+            {"WARC-Type": "response", **http_ct},
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n"
+            b"content-type: application/json\r\n\r\n<p>x</p>",
+        ),
+        (
+            {"WARC-Type": "response", **http_ct},
+            b"HTTP/1.1 200 OK\r\nServer: x\r\n\r\nheaderless",
+        ),
+        ({"WARC-Type": "warcinfo"}, b"software: x\r\n"),
+    ]
+    df = spark.createDataFrame(
+        [(1, bytearray(build_warc(recs)))], "archive_id long, content binary"
+    )
+    rows = {
+        r.rec_idx: r.http_content_type for r in warc_records(df).collect()
+    }
+    assert rows == {
+        0: "text/html; charset=utf-8",  # first wins, case-insensitive name
+        1: None,
+        2: None,
+    }
