@@ -296,6 +296,8 @@ HEADLINE = [
     "qdigest_event_quantiles",
     # round 12: mixed-payload WARC -> dispatch capstone (oracle-gated)
     "mixed_crawl_extract_stats",
+    # round 12: HTTP chunked/gzip/deflate body decoding (oracle-gated)
+    "http_encoding_stats",
 ]
 
 

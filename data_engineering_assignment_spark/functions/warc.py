@@ -45,6 +45,71 @@ def _gzip_members(content: bytes):
         pos += consumed
 
 
+def _dechunk(body: bytes) -> bytes:
+    """Decode HTTP/1.1 chunked transfer framing (RFC 9112 §7.1): hex
+    size line (chunk extensions after ';' ignored) + data + CRLF,
+    terminated by a zero-size chunk; trailer fields after the last
+    chunk are ignored. Strict — malformed framing raises ValueError."""
+    out = bytearray()
+    pos = 0
+    while True:
+        eol = body.find(b"\r\n", pos)
+        if eol < 0:
+            raise ValueError("chunked: missing size line")
+        size_tok = body[pos:eol].split(b";", 1)[0].strip()
+        try:
+            n = int(size_tok, 16)
+        except ValueError:
+            raise ValueError(
+                f"chunked: bad size line {size_tok!r}"
+            ) from None
+        if n == 0:
+            return bytes(out)
+        start = eol + 2
+        chunk = body[start : start + n]
+        if len(chunk) < n:
+            raise ValueError("chunked: truncated chunk")
+        out += chunk
+        if body[start + n : start + n + 2] != b"\r\n":
+            raise ValueError("chunked: missing chunk terminator")
+        pos = start + n + 2
+
+
+def decode_http_body(body: bytes, http_headers: dict[str, str]) -> tuple[bytes, bool]:
+    """(decoded message body, ok) per the response's OWN framing headers
+    (lowercase-keyed dict): ``Transfer-Encoding: chunked`` is undone
+    first (WARC captures the raw wire bytes, chunk framing included),
+    then ``Content-Encoding`` gzip/x-gzip/deflate decompress (deflate
+    tries zlib-wrapped then raw per the real-world split). Unsupported
+    codings (br, zstd, compress) and any decode failure return the RAW
+    bytes with ok = False — the countable dead-letter contract: the
+    downstream extractor will dead-letter the undecoded bytes, and the
+    flag says WHY."""
+    import gzip as _gzip
+
+    try:
+        te = http_headers.get("transfer-encoding", "").lower()
+        if te:
+            codings = [t.strip() for t in te.split(",") if t.strip()]
+            if codings == ["chunked"]:
+                body = _dechunk(body)
+            elif codings and codings != ["identity"]:
+                return body, False  # stacked/unknown transfer codings
+        ce = http_headers.get("content-encoding", "identity").lower().strip()
+        if ce in ("gzip", "x-gzip"):
+            body = _gzip.decompress(body)
+        elif ce == "deflate":
+            try:
+                body = zlib.decompress(body)
+            except zlib.error:
+                body = zlib.decompress(body, wbits=-15)  # raw-deflate servers
+        elif ce not in ("identity", ""):
+            return body, False  # br / zstd / compress: guarded out of scope
+        return body, True
+    except Exception:
+        return body, False
+
+
 def _parse_one(buf: bytes, pos: int) -> tuple[dict, int]:
     """Parse one record at ``pos`` → (record dict, next position)."""
     head_end = buf.find(b"\r\n\r\n", pos)
@@ -87,14 +152,20 @@ def _parse_one(buf: bytes, pos: int) -> tuple[dict, int]:
             parts = status_line.split(" ", 2)
             if len(parts) >= 2 and parts[1].isdigit():
                 rec["http_status"] = int(parts[1])
+            hh: dict[str, str] = {}
             for line in http_head[1:]:
                 k, sep, v = line.partition(b":")
-                if sep and k.strip().lower() == b"content-type":
-                    rec["http_content_type"] = v.decode(
-                        "utf-8", "replace"
-                    ).strip()
-                    break  # first header wins (RFC 9110 singleton field)
-            rec["http_body"] = payload[split + 4 :]
+                if sep:
+                    name = k.strip().lower().decode("ascii", "replace")
+                    # first header wins (RFC 9110 singleton semantics)
+                    hh.setdefault(
+                        name, v.decode("utf-8", "replace").strip()
+                    )
+            if "content-type" in hh:
+                rec["http_content_type"] = hh["content-type"]
+            body, ok = decode_http_body(payload[split + 4 :], hh)
+            rec["http_body"] = body
+            rec["http_body_ok"] = ok
     # the record terminator (two CRLFs) follows the payload
     term = buf[body_start + n : body_start + n + 4]
     if term[:4] != b"\r\n\r\n":

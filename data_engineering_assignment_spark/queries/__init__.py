@@ -40,16 +40,17 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # whose implementation changed this round (a green history does not cover
 # new code), then queries whose last green row is oldest.
 #
-# Round-12 head (catalog = 212): the four never-checked round-12
+# Round-12 head (catalog = 213): the five never-checked round-12
 # additions first (PDF extraction, the Content-Type dispatch, the
-# q-digest quantile sketch, the mixed-payload WARC capstone); then the
+# q-digest quantile sketch, the mixed-payload WARC capstone, the HTTP
+# body-decoding gate); then the
 # eight queries whose implementation
 # changed this round (the robots parser's RFC 9309 conformance fixes —
 # anchor-excluded spec, unknown fields no longer splitting groups — gate
 # robots_crawl_filter, and the HTML extractor's per-line anchor
 # accounting + in-anchor block separator touch every parse_html
 # consumer); then the ENTIRE 22-query r7-stale cohort (the oldest last-
-# green rows in the catalog — the r11 verdict's rotation ask); then 13
+# green rows in the catalog — the r11 verdict's rotation ask); then 11
 # of the oldest r8-cohort queries in registration order, with the last
 # four slots reserved for module coverage (the contract test requires
 # every catalog module in the first 50): the stalest catalog_arrays /
@@ -63,6 +64,7 @@ DRIVER_SAMPLE_HEAD: tuple[str, ...] = (
     "doc_extract_dispatch_stats",
     "qdigest_event_quantiles",
     "mixed_crawl_extract_stats",
+    "http_encoding_stats",
     # implementation changed this round
     "robots_crawl_filter",
     "html_text_extract_stats",
@@ -107,7 +109,6 @@ DRIVER_SAMPLE_HEAD: tuple[str, ...] = (
     "forecast_revenue_delta",
     "profit_by_nation_year",
     "part_value_concentration",
-    "late_ship_priority_mix",
     # module-coverage slots (stalest entry of each remaining module)
     "cosine_topk_ivfpq",
     "cross_source_dup_matrix",

@@ -3363,3 +3363,137 @@ def mixed_crawl_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("pages_sum"),
     )
+
+
+_HTTP_ENC_ORACLE = """
+WITH t AS (
+  SELECT doc_id % 4 AS e,
+         doc_id % 13 = 0 AS br,
+         LENGTH(doc_id::VARCHAR) AS d,
+         1 + doc_id % 3 AS p
+  FROM documents
+), k AS (
+  SELECT CASE WHEN br THEN 'unsupported'
+              WHEN e = 0 THEN 'identity'
+              WHEN e = 1 THEN 'gzip'
+              WHEN e = 2 THEN 'deflate'
+              ELSE 'chunked_gzip' END AS enc,
+         CASE WHEN br THEN 0 ELSE 1 END AS ok,
+         CASE WHEN br THEN 0
+              ELSE 38 + 2 * d + p * (14 + d) END AS tl
+  FROM t
+)
+SELECT enc, COUNT(*) AS n_pages, SUM(ok)::BIGINT AS n_body_ok,
+       SUM(ok)::BIGINT AS n_extracted, SUM(tl)::BIGINT AS text_len_sum
+FROM k GROUP BY 1
+"""
+
+
+@register(
+    "http_encoding_stats",
+    oracle=_HTTP_ENC_ORACLE,
+    doc="HTTP body decoding gate (functions/warc.py decode_http_body — "
+    "real crawls store the raw wire bytes, so chunked transfer framing "
+    "and gzip/deflate content-encodings sit between WARC ingest and "
+    "every extractor): responses cycle identity / Content-Encoding "
+    "gzip / deflate / chunked+gzip framing by doc_id%4, with a planted "
+    "unsupported-coding leg (Content-Encoding: br over compressed "
+    "bytes) at doc_id%13 that must survive as http_body_ok = false "
+    "with RAW bytes — a countable dead-letter, and the reason the flag "
+    "EXISTS: the HTML extractor deliberately never raises (mojibake "
+    "flows to quality gates), so undecoded compressed bytes would "
+    "silently 'extract' without it; the gate therefore counts and "
+    "measures only rows where BOTH flags hold. Per-encoding page "
+    "counts, decode-ok counts, gated extraction counts and gated text "
+    "lengths are closed-form "
+    "per the _fixture_html contract, so de-chunking, both decompression "
+    "paths and the guard all sit under one oracle hash.",
+)
+def http_encoding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import gzip as _gzip
+    import zlib as _zlib
+
+    import pandas as pd
+
+    from ..functions.warc import build_warc
+    from ..operators.crawl import html_extract
+    from ..sources import warc_records
+    from ..tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def chunked(b: bytes, size: int = 7) -> bytes:
+        out = bytearray()
+        for i in range(0, len(b), size):
+            piece = b[i : i + size]
+            out += f"{len(piece):x}".encode() + b"\r\n" + piece + b"\r\n"
+        out += b"0\r\n\r\n"
+        return bytes(out)
+
+    def make(batches):
+        for pdf in batches:
+            rows = []
+            for x in pdf["doc_id"]:
+                did = int(x)
+                html = _fixture_html(did, did).encode()
+                e = did % 4
+                if did % 13 == 0:
+                    hdrs = b"Content-Encoding: br\r\n"
+                    body = _zlib.compress(html)  # not actually brotli
+                elif e == 0:
+                    hdrs, body = b"", html
+                elif e == 1:
+                    hdrs = b"Content-Encoding: gzip\r\n"
+                    body = _gzip.compress(html, mtime=0)
+                elif e == 2:
+                    hdrs = b"Content-Encoding: deflate\r\n"
+                    body = _zlib.compress(html)
+                else:
+                    hdrs = (
+                        b"Transfer-Encoding: chunked\r\n"
+                        b"Content-Encoding: gzip\r\n"
+                    )
+                    body = chunked(_gzip.compress(html, mtime=0))
+                recs = [
+                    (
+                        {
+                            "WARC-Type": "response",
+                            "WARC-Target-URI": f"http://e.example/{did}",
+                            "Content-Type": "application/http;msgtype=response",
+                        },
+                        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                        + hdrs
+                        + b"\r\n"
+                        + body,
+                    )
+                ]
+                rows.append((did, build_warc(recs, gzip_members=bool(did % 2))))
+            yield pd.DataFrame(rows, columns=["archive_id", "content"])
+
+    media = docs.mapInPandas(make, "archive_id long, content binary")
+    recs = warc_records(media, include_body=True).filter(
+        "parse_ok AND warc_type = 'response'"
+    )
+    pages = html_extract(recs)
+    enc = (
+        F.when(F.col("archive_id") % 13 == 0, F.lit("unsupported"))
+        .when(F.col("archive_id") % 4 == 0, F.lit("identity"))
+        .when(F.col("archive_id") % 4 == 1, F.lit("gzip"))
+        .when(F.col("archive_id") % 4 == 2, F.lit("deflate"))
+        .otherwise(F.lit("chunked_gzip"))
+    )
+    return pages.groupBy(enc.alias("enc")).agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.sum(F.col("http_body_ok").cast("int")).cast("long").alias("n_body_ok"),
+        F.sum((F.col("page.html_ok") & F.col("http_body_ok")).cast("int"))
+        .cast("long")
+        .alias("n_extracted"),
+        F.sum(
+            F.when(
+                F.col("page.html_ok") & F.col("http_body_ok"),
+                F.length("page.text"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("text_len_sum"),
+    )

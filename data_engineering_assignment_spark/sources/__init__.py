@@ -226,11 +226,16 @@ def warc_records(
     record's envelope type — and is what
     ``operators.crawl.document_extract`` dispatches on.
 
-    ``include_body=True`` adds an ``http_body`` binary column (the HTTP
-    message body of ``application/http`` response records, NULL
-    elsewhere) — the input to ``operators.crawl.html_extract`` /
-    ``document_extract``. Opt-in because metadata-only scans shouldn't
-    ship page bytes through the rest of the plan."""
+    ``include_body=True`` adds ``http_body`` (the HTTP message body of
+    ``application/http`` response records, NULL elsewhere — the input
+    to ``operators.crawl.html_extract`` / ``document_extract``) and
+    ``http_body_ok``: the body is DECODED per the response's own
+    framing headers (chunked transfer undone, gzip/deflate
+    content-encoding decompressed — functions.warc.decode_http_body);
+    ``http_body_ok = false`` means an unsupported coding (br/zstd) or a
+    decode failure and the column carries the RAW bytes, a countable
+    dead-letter. Opt-in because metadata-only scans shouldn't ship page
+    bytes through the rest of the plan."""
     from collections.abc import Iterator
 
     import pandas as pd
@@ -243,7 +248,7 @@ def warc_records(
         " payload_len long, parse_ok boolean"
     )
     if include_body:
-        schema += ", http_body binary"
+        schema += ", http_body binary, http_body_ok boolean"
 
     def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [
@@ -251,7 +256,7 @@ def warc_records(
             "http_status", "http_content_type", "payload_len", "parse_ok",
         ]
         if include_body:
-            cols.append("http_body")
+            cols += ["http_body", "http_body_ok"]
         for pdf in batches:
             rows = []
             for aid, content in zip(pdf[id_col], pdf[content_col]):
@@ -272,14 +277,17 @@ def warc_records(
                             True,
                         )
                         if include_body:
-                            row += (r.get("http_body"),)
+                            row += (
+                                r.get("http_body"),
+                                r.get("http_body_ok"),
+                            )
                         rows.append(row)
                 except Exception:
                     row = (
                         aid, None, None, None, None, None, None, None, False,
                     )
                     if include_body:
-                        row += (None,)
+                        row += (None, None)
                     rows.append(row)
             yield pd.DataFrame(rows, columns=cols)
 

@@ -233,3 +233,71 @@ def test_http_content_type_extraction(spark):
         1: None,
         2: None,
     }
+
+
+def test_decode_http_body_framings():
+    """Chunked de-framing, gzip/x-gzip, zlib-wrapped AND raw deflate,
+    identity passthrough; unsupported/broken codings return the RAW
+    bytes flagged false — never raise, never drop."""
+    import gzip
+    import zlib
+
+    from data_engineering_assignment_spark.functions.warc import (
+        _dechunk,
+        decode_http_body,
+    )
+
+    body = b"<p>hello encoded world</p>"
+    assert decode_http_body(body, {}) == (body, True)
+    assert decode_http_body(
+        gzip.compress(body, mtime=0), {"content-encoding": "gzip"}
+    ) == (body, True)
+    assert decode_http_body(
+        gzip.compress(body, mtime=0), {"content-encoding": "x-gzip"}
+    ) == (body, True)
+    assert decode_http_body(
+        zlib.compress(body), {"content-encoding": "deflate"}
+    ) == (body, True)
+    # raw-deflate servers (no zlib wrapper) — the real-world split
+    raw = zlib.compressobj(wbits=-15)
+    rawb = raw.compress(body) + raw.flush()
+    assert decode_http_body(rawb, {"content-encoding": "deflate"}) == (
+        body,
+        True,
+    )
+    # chunked framing, with a chunk extension and a trailing header
+    chunked = (
+        b"5;ext=1\r\n<p>he\r\n" b"15\r\nllo encoded world</p>\r\n"
+        b"0\r\nX-Trailer: t\r\n\r\n"
+    )
+    assert _dechunk(chunked) == body
+    assert decode_http_body(
+        chunked, {"transfer-encoding": "chunked"}
+    ) == (body, True)
+    # chunked THEN gzip (transfer framing outside content coding)
+    cg = (
+        b"a\r\n" + gzip.compress(body, mtime=0)[:10] + b"\r\n"
+        + f"{len(gzip.compress(body, mtime=0)) - 10:x}".encode()
+        + b"\r\n" + gzip.compress(body, mtime=0)[10:] + b"\r\n0\r\n\r\n"
+    )
+    assert decode_http_body(
+        cg, {"transfer-encoding": "chunked", "content-encoding": "gzip"}
+    ) == (body, True)
+    # unsupported content coding: raw + False
+    assert decode_http_body(b"\x8b\x02", {"content-encoding": "br"}) == (
+        b"\x8b\x02",
+        False,
+    )
+    # stacked transfer codings: raw + False
+    assert decode_http_body(
+        b"x", {"transfer-encoding": "gzip, chunked"}
+    ) == (b"x", False)
+    # corrupt gzip: raw + False, no raise
+    assert decode_http_body(b"\x1f\x8bjunk", {"content-encoding": "gzip"}) == (
+        b"\x1f\x8bjunk",
+        False,
+    )
+    # malformed chunk framing: raw + False
+    assert decode_http_body(
+        b"zz\r\nnope", {"transfer-encoding": "chunked"}
+    ) == (b"zz\r\nnope", False)
