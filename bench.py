@@ -298,6 +298,8 @@ HEADLINE = [
     "mixed_crawl_extract_stats",
     # round 12: HTTP chunked/gzip/deflate body decoding (oracle-gated)
     "http_encoding_stats",
+    # round 12: link graph -> integer PageRank capstone (oracle-gated)
+    "crawl_link_pagerank",
 ]
 
 

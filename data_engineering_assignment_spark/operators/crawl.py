@@ -429,6 +429,50 @@ def wet_export(
     return df.groupBy(shard_col).applyInPandas(build, out_schema)
 
 
+def page_links(
+    df: DataFrame,
+    page_col: str = "page",
+    base_col: str = "target_uri",
+) -> DataFrame:
+    """Explode an :func:`html_extract` struct's links into one row per
+    anchor with the href RESOLVED against the page's base URI (RFC 3986
+    reference resolution via stdlib ``urllib.parse.urljoin`` — relative
+    paths, root-relative, protocol-relative ``//host/...``, and absolute
+    hrefs all normalize to absolute URLs): appends ``href`` (raw),
+    ``anchor`` (text) and ``resolved_url``. The explode is JVM-side;
+    resolution is one Arrow-vectorized pandas UDF (the crawl pipeline's
+    second bounded Python hop). Feed ``resolved_url`` to
+    :func:`canonical_url` / :func:`with_url_parts` for frontier or
+    link-graph use. Rows with NULL links explode away (a page with no
+    anchors contributes no link rows — link analytics, not a page
+    census)."""
+    from urllib.parse import urljoin
+
+    from pyspark.sql.types import StringType
+
+    @F.pandas_udf(StringType())
+    def resolve(base: pd.Series, href: pd.Series) -> pd.Series:
+        out = []
+        for b, h in zip(base, href):
+            try:
+                out.append(urljoin(str(b), str(h)))
+            except Exception:
+                out.append(None)
+        return pd.Series(out)
+
+    link = F.explode(F.col(f"{page_col}.links")).alias("_link")
+    return (
+        df.select("*", link)
+        .select(
+            "*",
+            F.col("_link.href").alias("href"),
+            F.col("_link.anchor").alias("anchor"),
+        )
+        .drop("_link")
+        .withColumn("resolved_url", resolve(F.col(base_col), F.col("href")))
+    )
+
+
 def robots_rules(
     robots: DataFrame,
     agent: str,

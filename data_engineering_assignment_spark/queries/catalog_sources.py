@@ -3497,3 +3497,141 @@ def http_encoding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("text_len_sum"),
     )
+
+
+def _link_pagerank_oracle(iters: int = 3, scale: int = 10**12,
+                          dn: int = 17, dd: int = 20) -> str:
+    """Step-unrolled integer PageRank over the crawl host graph — the
+    copurchase_pagerank oracle shape, with edges re-derived from the
+    fixture's doc_id arithmetic (the Spark side must reach the SAME
+    integers through extraction -> RFC 3986 resolution ->
+    canonicalization -> host parsing)."""
+    base = scale * (dd - dn) // dd
+    ctes = [
+        f"""edges AS (
+  SELECT DISTINCT (doc_id % 7)::BIGINT AS u,
+         ((3 * doc_id + 1) % 7)::BIGINT AS v
+  FROM documents WHERE doc_id % 7 <> (3 * doc_id + 1) % 7
+  UNION
+  SELECT DISTINCT (doc_id % 7)::BIGINT, ((5 * doc_id + 2) % 7)::BIGINT
+  FROM documents WHERE doc_id % 7 <> (5 * doc_id + 2) % 7
+), bi AS (
+  SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges
+), deg AS (
+  SELECT u, COUNT(*)::BIGINT AS deg FROM bi GROUP BY u
+), r0 AS (
+  SELECT u AS node, {scale}::BIGINT AS pr FROM deg
+)"""
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""r{i} AS (
+  SELECT b.v AS node,
+         ({base} + SUM((r.pr * {dn}) // ({dd} * d.deg)))::BIGINT AS pr
+  FROM bi b JOIN r{i - 1} r ON b.u = r.node JOIN deg d ON b.u = d.u
+  GROUP BY b.v
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+outd AS (
+  SELECT u, COUNT(DISTINCT v)::BIGINT AS out_hosts FROM edges GROUP BY u
+)
+SELECT 's' || r.node::VARCHAR || '.example' AS host, r.pr, o.out_hosts
+FROM r{iters} r JOIN outd o ON o.u = r.node
+ORDER BY r.pr DESC, host"""
+    )
+
+
+@register(
+    "crawl_link_pagerank",
+    oracle=_link_pagerank_oracle(),
+    doc="Crawl link-graph capstone — cross-module composition the "
+    "anchor-graph side of a crawl needs (host authority for "
+    "prioritization, the WAT-derivative shape): pages extract via "
+    "crawl.html_extract, anchors explode + RESOLVE against the page's "
+    "base URI (crawl.page_links: RFC 3986 urljoin — the fixture plants "
+    "a root-relative self link that must DROP as a self-edge, one "
+    "absolute href and one protocol-relative '//host/...' href), "
+    "resolved links canonicalize (param sort, fragment drop) and parse "
+    "to hosts, the distinct cross-host edge list feeds the ENGINE'S "
+    "OWN integer-exact PageRank (graphs.pagerank_integer, 3 power "
+    "iterations, damping 17/20 in scaled-long floor division), and "
+    "host authority joins per-host distinct out-degree. The oracle "
+    "re-derives the edges from doc_id arithmetic and replays the "
+    "identical unrolled integer iterations — extraction, resolution, "
+    "canonicalization, host parsing AND every PageRank contribution "
+    "sit under one hash.",
+)
+def crawl_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from ..operators.crawl import (
+        canonical_url,
+        html_extract,
+        page_links,
+        with_url_parts,
+    )
+    from ..operators.graphs import pagerank_integer
+    from ..tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def make(batches):
+        for pdf in batches:
+            rows = []
+            for x in pdf["doc_id"]:
+                did = int(x)
+                html = (
+                    "<html><body>"
+                    '<a href="/self">me</a> '
+                    f'<a href="http://s{(3 * did + 1) % 7}.example'
+                    f'/p/{did}">x</a> '
+                    f'<a href="//s{(5 * did + 2) % 7}.example'
+                    f'/q/{did}?b=2&a=1#f">y</a>'
+                    "</body></html>"
+                )
+                rows.append(
+                    (did, f"http://s{did % 7}.example/p/{did}", html)
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "target_uri", "html"]
+            )
+
+    media = docs.mapInPandas(
+        make, "doc_id long, target_uri string, html string"
+    )
+    links = page_links(html_extract(media, html_col="html"))
+    canon = links.withColumn("canon", canonical_url("resolved_url"))
+    hosts = with_url_parts(
+        with_url_parts(canon, url_col="target_uri", prefix="src_"),
+        url_col="canon",
+        prefix="dst_",
+    )
+    host_id = lambda c: F.regexp_extract(  # noqa: E731
+        F.col(c), r"^s(\d+)\.example$", 1
+    ).cast("long")
+    edges = (
+        hosts.select(
+            host_id("src_host").alias("u"), host_id("dst_host").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    ranks = pagerank_integer(edges, iters=3)
+    outd = edges.groupBy("u").agg(
+        F.countDistinct("v").cast("long").alias("out_hosts")
+    )
+    return (
+        ranks.join(outd, ranks.node == outd.u)
+        .select(
+            F.concat(
+                F.lit("s"), F.col("node").cast("string"), F.lit(".example")
+            ).alias("host"),
+            "pr",
+            "out_hosts",
+        )
+        .orderBy(F.col("pr").desc(), "host")
+    )

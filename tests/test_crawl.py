@@ -530,3 +530,45 @@ def test_robots_filter_stream_matches_batch_operator(spark):
     assert batch[("h1.example", "/p/x")] is True
     assert batch[("h1.example", None)] is True
     assert batch[("h2.example", "/d/z")] is True
+
+
+def test_page_links_resolution_modes(spark):
+    """page_links resolves every RFC 3986 reference class against the
+    page base: relative path, root-relative, protocol-relative,
+    dot-segments, absolute, fragment-only; pages without anchors
+    contribute no rows."""
+    from data_engineering_assignment_spark.operators.crawl import (
+        html_extract,
+        page_links,
+    )
+
+    html = (
+        "<body>"
+        '<a href="rel/x">a</a>'
+        '<a href="/rooted">b</a>'
+        '<a href="//other.example/p">c</a>'
+        '<a href="../up">d</a>'
+        '<a href="https://abs.example/q">e</a>'
+        '<a href="#frag">f</a>'
+        "</body>"
+    )
+    df = spark.createDataFrame(
+        [
+            ("http://h.example/dir/page.html", html),
+            ("http://h.example/empty", "<body>no links</body>"),
+        ],
+        "target_uri string, html string",
+    )
+    out = page_links(html_extract(df, html_col="html"))
+    got = [
+        (r.href, r.resolved_url)
+        for r in out.orderBy("anchor").collect()
+    ]
+    assert got == [
+        ("rel/x", "http://h.example/dir/rel/x"),
+        ("/rooted", "http://h.example/rooted"),
+        ("//other.example/p", "http://other.example/p"),
+        ("../up", "http://h.example/up"),
+        ("https://abs.example/q", "https://abs.example/q"),
+        ("#frag", "http://h.example/dir/page.html#frag"),
+    ]
