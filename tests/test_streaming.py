@@ -1168,3 +1168,71 @@ def test_streaming_frontier_robots_composition(spark, tmp_path):
         for r in spark.read.parquet(sink).collect()
     }
     assert got2 == got1 | {("http://h1.example/d/new", False)}
+
+
+def test_streaming_qdigest_rollup(spark, tmp_path):
+    """The q-digest's streaming contract: each micro-batch builds its
+    own digest (foreachBatch, appended to a digest store), and the
+    rollup merge over ALL batch digests preserves exact mass and keeps
+    quantile estimates inside the additive error bound vs the pooled
+    exact values — continuous percentiles without corpus re-scans."""
+    import random
+
+    from data_engineering_assignment_spark.operators.sketches import (
+        qdigest_build,
+        qdigest_merge,
+        qdigest_quantiles,
+    )
+
+    rng = random.Random(17)
+    batches = [
+        [rng.randrange(0, 1 << 12) for _ in range(4000)] for _ in range(3)
+    ]
+    d = str(tmp_path / "qdsrc")
+    ck = str(tmp_path / "qdck")
+    store = str(tmp_path / "qdstore")
+    schema = "v long"
+
+    def sink(batch_df, batch_id):
+        from pyspark.sql import functions as SF
+
+        qdigest_build(batch_df, "v", k=256, bits=12).withColumn(
+            "batch_id", SF.lit(batch_id)
+        ).write.mode("append").parquet(store)
+
+    for i, vals in enumerate(batches):
+        spark.createDataFrame([(v,) for v in vals], schema).coalesce(
+            1
+        ).write.mode("append").parquet(d)
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(d)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    digests = spark.read.parquet(store)
+    # exactly one digest per micro-batch (checkpoint: no re-processing)
+    assert digests.select("batch_id").distinct().count() == 3
+    merged = qdigest_merge(
+        digests.select("node", "cnt"), k=256, bits=12
+    )
+    pooled = sorted(v for b in batches for v in b)
+    n = sum(r.cnt for r in merged.collect())
+    assert n == len(pooled)
+    ests = {
+        r.pct: r.est
+        for r in qdigest_quantiles(merged, [25, 50, 75, 99], bits=12).collect()
+    }
+    import bisect
+
+    bound = 4 * 12 * (n // 256)  # 3 batch compressions + 1 merge
+    for pct, est in ests.items():
+        r = max(1, (pct * n + 99) // 100)
+        lo_r = bisect.bisect_left(pooled, est) + 1
+        hi_r = bisect.bisect_right(pooled, est)
+        err = 0 if lo_r <= r <= hi_r else min(abs(r - lo_r), abs(r - hi_r))
+        assert err <= bound, (pct, est, err, bound)
