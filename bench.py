@@ -300,6 +300,8 @@ HEADLINE = [
     "http_encoding_stats",
     # round 12: link graph -> integer PageRank capstone (oracle-gated)
     "crawl_link_pagerank",
+    # round 12: fastText-shape fixed-point quality classifier (oracle-gated)
+    "quality_classifier_gate",
 ]
 
 

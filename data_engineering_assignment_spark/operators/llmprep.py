@@ -689,3 +689,41 @@ def dsir_affinity_topk(
     bounded = scores.orderBy(F.desc("affinity"), F.asc("doc_id")).limit(k)
     w = Window.orderBy(F.desc("affinity"), F.asc("doc_id"))
     return bounded.withColumn("rnk", F.row_number().over(w).cast("long"))
+
+
+def hashed_linear_scores(
+    df: DataFrame,
+    weights: list[int],
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """fastText-shape document quality classifier, engine-native: the
+    model-based filter of the CCNet/RefinedWeb triple (beside the
+    heuristic gates in operators/text.py and the bigram-LM perplexity
+    score in operators/corpus.py). Each token hashes into one of
+    ``len(weights)`` buckets via the portable rolling hash (the CMS
+    family — reproducible in any engine) and the document score is the
+    exact INTEGER sum of its tokens' bucket weights — a hashed
+    bag-of-words linear model with FIXED-POINT weights (scaled ints,
+    e.g. micro-units), trained offline and shipped as literals like the
+    JL projection coefficients (operators/projection.py discipline).
+
+    Fixed-point rather than float is what makes the score exact and
+    order-free: an integer sum is identical under any partitioning and
+    any engine, so the keep/drop margin (score >= 0) is deterministic —
+    no float-accumulation-order surface at 1000 executors. Output:
+    (doc_col, score). One explode + one map-side-combinable integer
+    aggregation keyed by the document id (entity key, AQE-splittable);
+    the weight table is a literal array in the plan, never a join."""
+    n = len(weights)
+    warr = F.array(*[F.lit(int(w)).cast("long") for w in weights])
+    tok = df.select(doc_col, F.explode(tokens(text_col)).alias("tok"))
+    scored = tok.select(
+        doc_col,
+        F.element_at(
+            warr, (rolling_hash("tok") % n + 1).cast("int")
+        ).alias("wt"),
+    )
+    return scored.groupBy(doc_col).agg(
+        F.sum("wt").cast("long").alias("score")
+    )

@@ -835,3 +835,74 @@ def dsir_affinity_top64(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return dsir_affinity_topk(docs, ["src0", "src1"], k=64)
+
+
+# fastText-shape classifier weights: trained OFFLINE in this story, shipped
+# as fixed-point literals (micro-units) exactly like the JL projection
+# coefficients — generated once with a seeded RNG at import time and
+# inlined into BOTH engines, so the arrays cannot drift apart.
+def _classifier_weights(n: int = 64, seed: int = 1234) -> list[int]:
+    import random
+
+    rng = random.Random(seed)
+    return [rng.randint(-1000, 1000) for _ in range(n)]
+
+
+_CLF_WEIGHTS = _classifier_weights()
+
+_CLF_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), rh AS (
+  SELECT doc_id,
+         list_reduce(
+           list_prepend(0::BIGINT,
+             list_transform(range(1, length(tok) + 1),
+                            i -> ascii(substr(tok, i, 1))::BIGINT)),
+           (a, b) -> (a * 31 + b) % 1000000007
+         ) AS rh
+  FROM tok
+), w AS (
+  SELECT doc_id,
+         ([{", ".join(str(w) for w in _CLF_WEIGHTS)}])[(rh % {len(_CLF_WEIGHTS)}) + 1]::BIGINT AS wt
+  FROM rh
+), s AS (
+  SELECT doc_id, SUM(wt)::BIGINT AS score FROM w GROUP BY 1
+)
+SELECT CASE WHEN score >= 0 THEN 'keep' ELSE 'drop' END AS verdict,
+       COUNT(*) AS n_docs, SUM(score)::BIGINT AS score_sum,
+       MIN(score) AS min_score, MAX(score) AS max_score
+FROM s GROUP BY 1
+"""
+
+
+@register(
+    "quality_classifier_gate",
+    oracle=_CLF_ORACLE,
+    doc="fastText-shape model-based quality filter "
+    "(operators/llmprep.hashed_linear_scores) — completes the "
+    "CCNet/RefinedWeb quality triple beside the heuristic gates "
+    "(operators/text.py) and the bigram-LM perplexity score "
+    "(operators/corpus.py): tokens hash into 64 buckets via the "
+    "portable rolling hash and each document scores as the exact "
+    "INTEGER sum of fixed-point bucket weights (offline-trained "
+    "literals, the JL-coefficient discipline), so the keep/drop margin "
+    "is deterministic under any partitioning — no float-accumulation "
+    "order surface. One explode + one map-side-combinable integer "
+    "aggregation on the document id; the oracle replays hash, lookup "
+    "and sum with the identical inlined literal array.",
+)
+def quality_classifier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.llmprep import hashed_linear_scores
+
+    docs = load(spark, sf_dir, "documents")
+    scores = hashed_linear_scores(docs, _CLF_WEIGHTS)
+    verdict = F.when(F.col("score") >= 0, F.lit("keep")).otherwise(
+        F.lit("drop")
+    )
+    return scores.groupBy(verdict.alias("verdict")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("score").cast("long").alias("score_sum"),
+        F.min("score").alias("min_score"),
+        F.max("score").alias("max_score"),
+    )
