@@ -302,6 +302,8 @@ HEADLINE = [
     "crawl_link_pagerank",
     # round 12: fastText-shape fixed-point quality classifier (oracle-gated)
     "quality_classifier_gate",
+    # round 12: CDX capture index (oracle-gated)
+    "cdx_index_stats",
 ]
 
 

@@ -27,8 +27,9 @@ import zlib
 
 
 def _gzip_members(content: bytes):
-    """Yield decompressed gzip members (RFC 1952 allows concatenation —
-    WARC.gz uses one member per record)."""
+    """Yield (decompressed member, compressed offset, compressed length)
+    triples (RFC 1952 allows concatenation — WARC.gz uses one gzip
+    member per record; the offsets are what a CDX index records)."""
     pos = 0
     while pos < len(content):
         d = zlib.decompressobj(wbits=31)
@@ -38,10 +39,10 @@ def _gzip_members(content: bytes):
             raise ValueError(f"WARC: bad gzip member ({e})") from e
         if not d.eof:
             raise ValueError("WARC: truncated gzip member")
-        yield out
         consumed = len(content) - pos - len(d.unused_data)
         if consumed <= 0:
             raise ValueError("WARC: gzip member made no progress")
+        yield out, pos, consumed
         pos += consumed
 
 
@@ -175,16 +176,25 @@ def _parse_one(buf: bytes, pos: int) -> tuple[dict, int]:
 
 def parse_warc(content: bytes) -> list[dict]:
     """All records of a WARC file (plain or per-record-gzip); see module
-    docstring for the record dict shape."""
+    docstring for the record dict shape.
+
+    Every record carries ``rec_offset``/``rec_length``: the byte span a
+    range request needs to fetch EXACTLY this record from the archive —
+    the CDX index contract. For a plain WARC that is the record's own
+    span; for ``.warc.gz`` it is the span of the COMPRESSED gzip member
+    holding the record (Common Crawl's convention: range-fetch the
+    member, gunzip, parse), shared by every record in that member."""
     records: list[dict] = []
     if content[:2] == b"\x1f\x8b":
-        for member in _gzip_members(content):
+        for member, moff, mlen in _gzip_members(content):
             pos = 0
             while pos < len(member):
                 rec, nxt = _parse_one(member, pos)
                 if nxt <= pos:  # structural invariant: records can't be empty
                     raise ValueError("WARC: record made no progress")
                 pos = nxt
+                rec["rec_offset"] = moff
+                rec["rec_length"] = mlen
                 records.append(rec)
         return records
     pos = 0
@@ -192,6 +202,8 @@ def parse_warc(content: bytes) -> list[dict]:
         rec, nxt = _parse_one(content, pos)
         if nxt <= pos:
             raise ValueError("WARC: record made no progress")
+        rec["rec_offset"] = pos
+        rec["rec_length"] = nxt - pos
         pos = nxt
         records.append(rec)
     return records

@@ -695,6 +695,60 @@ def robots_filter_stream(
     ).drop("robots_rules")
 
 
+def surt_key(url_col) -> Column:
+    """SURT-style canonical URL key (the CDX sort key Common Crawl
+    tooling uses): host lowercased and dot-reversed with commas, then
+    ``)`` + path + ``?query`` — ``http://www.Example.com/p?a=1`` ->
+    ``com,example,www)/p?a=1``. One JVM expression (parse_url + split +
+    reverse + concat, codegen); compose AFTER :func:`canonical_url` so
+    default ports, fragments, tracking params and query order are
+    already normalized. NULL on malformed URLs (try_parse_url)."""
+    u = F.col(url_col) if isinstance(url_col, str) else url_col
+    host = F.lower(F.try_parse_url(u, F.lit("HOST")))
+    rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    path = F.coalesce(F.try_parse_url(u, F.lit("PATH")), F.lit(""))
+    q = F.try_parse_url(u, F.lit("QUERY"))
+    return F.concat(
+        rev,
+        F.lit(")"),
+        path,
+        F.when(q.isNotNull() & (q != ""), F.concat(F.lit("?"), q)).otherwise(
+            F.lit("")
+        ),
+    )
+
+
+def cdx_index(
+    archives: DataFrame,
+    content_col: str = "content",
+    id_col: str = "archive_id",
+) -> DataFrame:
+    """CDX-style capture index over WARC archives — the third Common
+    Crawl derivative beside WET (:func:`wet_export`) and the metadata
+    columns WAT carries: one row per HTTP response capture with
+    (urlkey, target_uri, mime, status, rec_offset, rec_length,
+    archive_id). ``rec_offset``/``rec_length`` are the range-request
+    span of the record (plain WARC: the record's own bytes; .warc.gz:
+    the compressed member — the slice gunzips and re-parses to exactly
+    this record, unit-tested), ``urlkey`` is the SURT sort key over the
+    canonicalized URI. Index rows are a pure projection of
+    ``sources.warc_records`` metadata — page bytes never enter the
+    plan (include_body stays off)."""
+    from ..sources import warc_records
+
+    recs = warc_records(archives, content_col=content_col, id_col=id_col)
+    resp = recs.filter("parse_ok AND warc_type = 'response'")
+    return resp.select(
+        surt_key(canonical_url("target_uri")).alias("urlkey"),
+        "target_uri",
+        F.col("http_content_type").alias("mime"),
+        F.col("http_status").alias("status"),
+        "rec_offset",
+        "rec_length",
+        id_col,
+    )
+
+
 def filter_blocked_hosts(
     df: DataFrame, blocklist: DataFrame | list[str], host_col: str = "url_host"
 ) -> DataFrame:

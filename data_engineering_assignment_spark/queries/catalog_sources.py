@@ -3635,3 +3635,99 @@ def crawl_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("pr").desc(), "host")
     )
+
+
+_CDX_ORACLE = """
+WITH t AS (
+  SELECT doc_id % 7 AS m,
+         LENGTH(doc_id::VARCHAR) AS dd,
+         doc_id % 50 AS b
+  FROM documents
+), k AS (
+  SELECT 'example,s' || m::VARCHAR AS host_key,
+         197 + dd + CASE WHEN b >= 46 THEN 3 ELSE 2 END + b AS rec_len,
+         14 + dd AS key_len
+  FROM t
+)
+SELECT host_key, COUNT(*) AS n_captures,
+       (74 * COUNT(*))::BIGINT AS offsets_sum,
+       SUM(rec_len)::BIGINT AS lengths_sum,
+       SUM(key_len)::BIGINT AS urlkey_len_sum,
+       COUNT(*) AS n_html_mime,
+       COUNT(*) AS n_status_200
+FROM k GROUP BY 1
+"""
+
+
+@register(
+    "cdx_index_stats",
+    oracle=_CDX_ORACLE,
+    doc="CDX capture-index gate (operators/crawl.py cdx_index + "
+    "surt_key; functions/warc.py rec_offset/rec_length — the third "
+    "Common Crawl derivative beside the WET export and WAT-class "
+    "metadata): every document becomes a two-record plain WARC "
+    "(warcinfo then response), so each response's byte span is "
+    "closed-form in doc_id — offset is the warcinfo record's fixed 74 "
+    "bytes, length is header+payload arithmetic with the "
+    "Content-Length digit step at doc_id%50 = 46 — and the SURT urlkey "
+    "('example,s{m})/p/{id}') pins host reversal + canonicalization "
+    "via its length sum. Per-host capture counts, offset sums, length "
+    "sums, urlkey length sums and mime/status pins all sit under one "
+    "hash; the range-request contract itself (slice rec_offset..+len, "
+    "re-parse, same record — plain AND gzip-member) is unit-tested in "
+    "tests/test_warc.py. Index rows are a pure metadata projection: "
+    "page bytes never enter the plan.",
+)
+def cdx_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from ..functions.warc import build_warc
+    from ..operators.crawl import cdx_index
+    from ..tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def make(batches):
+        for pdf in batches:
+            rows = []
+            for x in pdf["doc_id"]:
+                did = int(x)
+                uri = f"http://s{did % 7}.example/p/{did}"
+                body = (
+                    b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                    + b"x" * (10 + did % 50)
+                )
+                blob = build_warc(
+                    [
+                        ({"WARC-Type": "warcinfo"}, b"software: graft\r\n"),
+                        (
+                            {
+                                "WARC-Type": "response",
+                                "WARC-Target-URI": uri,
+                                "Content-Type": (
+                                    "application/http;msgtype=response"
+                                ),
+                            },
+                            body,
+                        ),
+                    ]
+                )
+                rows.append((did, blob))
+            yield pd.DataFrame(rows, columns=["archive_id", "content"])
+
+    media = docs.mapInPandas(make, "archive_id long, content binary")
+    idx = cdx_index(media)
+    return idx.groupBy(
+        F.substring_index("urlkey", ")", 1).alias("host_key")
+    ).agg(
+        F.count(F.lit(1)).alias("n_captures"),
+        F.sum("rec_offset").cast("long").alias("offsets_sum"),
+        F.sum("rec_length").cast("long").alias("lengths_sum"),
+        F.sum(F.length("urlkey")).cast("long").alias("urlkey_len_sum"),
+        F.sum((F.col("mime") == "text/html").cast("int"))
+        .cast("long")
+        .alias("n_html_mime"),
+        F.sum((F.col("status") == 200).cast("int"))
+        .cast("long")
+        .alias("n_status_200"),
+    )

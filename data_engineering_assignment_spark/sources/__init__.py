@@ -220,6 +220,11 @@ def warc_records(
     Unparseable archives survive as one parse_ok = false row (dead-letter
     discipline), so corrupt crawl files are countable, never dropped.
 
+    ``rec_offset``/``rec_length`` are the byte span a range request
+    needs to fetch exactly this record from the archive (the CDX index
+    contract: the record's own span in a plain WARC, the compressed
+    gzip MEMBER's span in a .warc.gz — Common Crawl's convention).
+
     ``http_content_type`` is the HTTP response's OWN Content-Type header
     (first occurrence, RFC 9110 singleton; NULL for non-HTTP records or
     headerless responses) — distinct from ``content_type``, the WARC
@@ -245,7 +250,8 @@ def warc_records(
     schema = (
         f"{id_col} long, rec_idx int, warc_type string, target_uri string,"
         " content_type string, http_status int, http_content_type string,"
-        " payload_len long, parse_ok boolean"
+        " payload_len long, rec_offset long, rec_length long,"
+        " parse_ok boolean"
     )
     if include_body:
         schema += ", http_body binary, http_body_ok boolean"
@@ -253,7 +259,8 @@ def warc_records(
     def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [
             id_col, "rec_idx", "warc_type", "target_uri", "content_type",
-            "http_status", "http_content_type", "payload_len", "parse_ok",
+            "http_status", "http_content_type", "payload_len",
+            "rec_offset", "rec_length", "parse_ok",
         ]
         if include_body:
             cols += ["http_body", "http_body_ok"]
@@ -274,6 +281,8 @@ def warc_records(
                             r.get("http_status"),
                             r.get("http_content_type"),
                             len(r["payload"]),
+                            r["rec_offset"],
+                            r["rec_length"],
                             True,
                         )
                         if include_body:
@@ -284,7 +293,8 @@ def warc_records(
                         rows.append(row)
                 except Exception:
                     row = (
-                        aid, None, None, None, None, None, None, None, False,
+                        aid, None, None, None, None, None, None, None, None,
+                        None, False,
                     )
                     if include_body:
                         row += (None, None)

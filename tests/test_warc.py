@@ -301,3 +301,57 @@ def test_decode_http_body_framings():
     assert decode_http_body(
         b"zz\r\nnope", {"transfer-encoding": "chunked"}
     ) == (b"zz\r\nnope", False)
+
+
+def test_record_spans_support_range_requests():
+    """rec_offset/rec_length is the CDX range-request contract: slicing
+    exactly that span out of the archive and re-parsing yields exactly
+    that record — for plain WARCs (record's own bytes) AND .warc.gz
+    (the compressed gzip member's bytes)."""
+    from data_engineering_assignment_spark.functions.warc import (
+        build_warc,
+        parse_warc,
+    )
+
+    recs = [
+        ({"WARC-Type": "warcinfo"}, b"software: graft\r\n"),
+        (
+            {"WARC-Type": "response", "WARC-Target-URI": "http://a/1"},
+            b"HTTP/1.1 200 OK\r\n\r\nbody one",
+        ),
+        (
+            {"WARC-Type": "response", "WARC-Target-URI": "http://a/2"},
+            b"HTTP/1.1 404 NO\r\n\r\nbody two",
+        ),
+    ]
+    for gz in (False, True):
+        blob = build_warc(recs, gzip_members=gz)
+        parsed = parse_warc(blob)
+        assert len(parsed) == 3
+        # spans tile the archive exactly, in order, no gaps
+        pos = 0
+        for r in parsed:
+            assert r["rec_offset"] == pos
+            pos += r["rec_length"]
+        assert pos == len(blob)
+        for r in parsed:
+            sub = parse_warc(
+                blob[r["rec_offset"] : r["rec_offset"] + r["rec_length"]]
+            )
+            assert len(sub) == 1
+            assert sub[0]["headers"] == r["headers"]
+            assert sub[0]["payload"] == r["payload"]
+
+
+def test_surt_key(spark):
+    from data_engineering_assignment_spark.operators.crawl import surt_key
+
+    cases = [
+        ("http://www.Example.com/p?a=1", "com,example,www)/p?a=1"),
+        ("https://s3.example/q/1", "example,s3)/q/1"),
+        ("http://host.example/", "example,host)/"),
+        ("not a url", None),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "u string")
+    got = [r.k for r in df.select(surt_key("u").alias("k")).collect()]
+    assert got == [want for _, want in cases]
