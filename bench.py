@@ -304,6 +304,8 @@ HEADLINE = [
     "quality_classifier_gate",
     # round 12: CDX capture index (oracle-gated)
     "cdx_index_stats",
+    # round 12: WAT metadata export (oracle-gated)
+    "wat_export_stats",
 ]
 
 

@@ -473,6 +473,73 @@ def page_links(
     )
 
 
+def wat_export(
+    df: DataFrame,
+    uri_col: str = "uri",
+    title_col: str = "title",
+    links_col: str = "links",
+    text_len_col: str = "text_len",
+    shard_col: str = "shard",
+) -> DataFrame:
+    """Serialize per-page METADATA as WAT-style JSONL shards — the
+    metadata derivative beside :func:`wet_export` (text) and
+    :func:`cdx_index` (capture spans); Common Crawl's WAT files carry
+    exactly this envelope: per page one JSON object with the URI,
+    title, outgoing link hrefs and content-length class stats. One
+    blob per ``shard_col`` group, records in uri order with sorted JSON
+    keys and fixed separators, so the bytes are deterministic under any
+    partitioning (the wet_export discipline). Output: (shard, wat
+    binary, n_records, wat_len). Blob lines parse back with any JSON
+    reader — the catalog gate re-ingests them through Spark's own
+    from_json."""
+    import json
+
+    from pyspark.sql.types import (
+        BinaryType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField(shard_col, LongType()),
+            StructField("wat", BinaryType()),
+            StructField("n_records", IntegerType()),
+            StructField("wat_len", LongType()),
+        ]
+    )
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([uri_col], kind="mergesort")
+        lines = []
+        for _, row in pdf.iterrows():
+            links = row[links_col]
+            obj = {
+                "uri": str(row[uri_col]),
+                "title": None if row[title_col] is None else str(row[title_col]),
+                "links": [
+                    str(lk["href"]) for lk in (links if links is not None else [])
+                ],
+                "text_len": int(row[text_len_col]),
+            }
+            lines.append(
+                json.dumps(obj, sort_keys=True, separators=(",", ":"))
+            )
+        blob = ("\n".join(lines) + "\n").encode("utf-8") if lines else b""
+        return pd.DataFrame(
+            {
+                shard_col: [pdf[shard_col].iloc[0]],
+                "wat": [blob],
+                "n_records": [len(lines)],
+                "wat_len": [len(blob)],
+            }
+        )
+
+    return df.groupBy(shard_col).applyInPandas(build, out_schema)
+
+
 def robots_rules(
     robots: DataFrame,
     agent: str,

@@ -40,18 +40,19 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # whose implementation changed this round (a green history does not cover
 # new code), then queries whose last green row is oldest.
 #
-# Round-12 head (catalog = 216): the eight never-checked round-12
+# Round-12 head (catalog = 217): the nine never-checked round-12
 # additions first (PDF extraction, the Content-Type dispatch, the
 # q-digest quantile sketch, the mixed-payload WARC capstone, the HTTP
 # body-decoding gate, the link-graph PageRank capstone, the fastText-shape
-# classifier gate, the CDX capture index); then the
+# classifier gate, the CDX capture index, the WAT
+# metadata export); then the
 # eight queries whose implementation
 # changed this round (the robots parser's RFC 9309 conformance fixes —
 # anchor-excluded spec, unknown fields no longer splitting groups — gate
 # robots_crawl_filter, and the HTML extractor's per-line anchor
 # accounting + in-anchor block separator touch every parse_html
 # consumer); then the ENTIRE 22-query r7-stale cohort (the oldest last-
-# green rows in the catalog — the r11 verdict's rotation ask); then 8
+# green rows in the catalog — the r11 verdict's rotation ask); then 7
 # of the oldest r8-cohort queries in registration order, with the last
 # four slots reserved for module coverage (the contract test requires
 # every catalog module in the first 50): the stalest catalog_arrays /
@@ -69,6 +70,7 @@ DRIVER_SAMPLE_HEAD: tuple[str, ...] = (
     "crawl_link_pagerank",
     "quality_classifier_gate",
     "cdx_index_stats",
+    "wat_export_stats",
     # implementation changed this round
     "robots_crawl_filter",
     "html_text_extract_stats",
@@ -109,7 +111,6 @@ DRIVER_SAMPLE_HEAD: tuple[str, ...] = (
     "nation_market_share",
     "top_revenue_supplier",
     "cheapest_supplier_per_part",
-    "priority_late_orders",
     # module-coverage slots (stalest entry of each remaining module)
     "cosine_topk_ivfpq",
     "cross_source_dup_matrix",

@@ -3731,3 +3731,85 @@ def cdx_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_status_200"),
     )
+
+
+_WAT_ORACLE = """
+WITH t AS (
+  SELECT doc_id % 8 AS shard,
+         LENGTH(doc_id::VARCHAR) AS d,
+         1 + doc_id % 3 AS p
+  FROM documents
+)
+SELECT shard::BIGINT AS shard,
+       COUNT(*) AS n_records,
+       (3 * COUNT(*))::BIGINT AS links_sum,
+       SUM(4 + d)::BIGINT AS title_len_sum,
+       SUM(38 + 2 * d + p * (14 + d))::BIGINT AS text_len_sum
+FROM t GROUP BY 1
+"""
+
+
+@register(
+    "wat_export_stats",
+    oracle=_WAT_ORACLE,
+    doc="WAT-style metadata export gate (operators/crawl.py wat_export "
+    "— the metadata derivative completing the Common Crawl artifact "
+    "family: WET text, CDX capture spans, WAT envelopes): extracted "
+    "pages serialize per doc_id%8 shard as deterministic JSONL (uri "
+    "order, sorted keys, fixed separators — byte-identical under any "
+    "partitioning like wet_export) and the gate RE-INGESTS the blobs "
+    "through Spark's own from_json, so serialization AND parse-back "
+    "sit under one hash: per-shard record counts, link counts, title "
+    "lengths and text lengths are closed-form per the _fixture_html "
+    "contract.",
+)
+def wat_export_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from ..operators.crawl import html_extract, wat_export
+    from ..tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def make(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "html": [
+                        _fixture_html(int(x), int(x)) for x in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    media = docs.mapInPandas(make, "doc_id long, html string")
+    pages = html_extract(media, html_col="html").select(
+        (F.col("doc_id") % 8).alias("shard"),
+        F.format_string("http://w.example/%d", "doc_id").alias("uri"),
+        F.col("page.title").alias("title"),
+        F.col("page.links").alias("links"),
+        F.length("page.text").cast("long").alias("text_len"),
+    )
+    wats = wat_export(pages)
+    lines = wats.select(
+        "shard",
+        F.explode(
+            F.filter(
+                F.split(F.decode("wat", "utf-8"), "\n"),
+                lambda x: x != "",
+            )
+        ).alias("line"),
+    )
+    parsed = lines.select(
+        "shard",
+        F.from_json(
+            "line",
+            "links array<string>, text_len long, title string, uri string",
+        ).alias("j"),
+    )
+    return parsed.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.sum(F.size("j.links")).cast("long").alias("links_sum"),
+        F.sum(F.length("j.title")).cast("long").alias("title_len_sum"),
+        F.sum("j.text_len").cast("long").alias("text_len_sum"),
+    )

@@ -817,6 +817,37 @@ def streaming_url_frontier(
     return ok.unionByName(bad)
 
 
+def frontier_politeness_gate(
+    stream: DataFrame,
+    host_col: str = "url_host",
+    ts_col: str = "ts",
+    interval_seconds: int = 10,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Per-host politeness for a fetch frontier: at most ONE URL per
+    host per ``interval_seconds`` event-time bucket reaches the fetcher
+    — the crawl-scheduling courtesy every polite crawler implements
+    beside robots.txt. Implemented as dedup-within-watermark on (host,
+    time bucket): state is one entry per active host per bucket inside
+    the watermark horizon — bounded, hot hosts cost ONE state row per
+    interval no matter how many of their URLs arrive. Emits the first
+    arrival per (host, bucket) with a ``politeness_bucket`` column;
+    which URL wins is arrival order (a scheduling choice, not a
+    deterministic function of the set — parity tests assert the
+    (host, bucket) key set and the one-per-key bound, the batch twin
+    being ``distinct`` on the same key)."""
+    bucket = (
+        F.unix_timestamp(F.col(ts_col)) / F.lit(interval_seconds)
+    ).cast("long")
+    keyed = stream.withColumn("politeness_bucket", bucket)
+    return dedup_within_watermark(
+        keyed,
+        keys=[host_col, "politeness_bucket"],
+        watermark=watermark,
+        ts_col=ts_col,
+    )
+
+
 def wet_stream_sink(
     pages: DataFrame,
     out_dir: str,

@@ -1236,3 +1236,42 @@ def test_streaming_qdigest_rollup(spark, tmp_path):
         hi_r = bisect.bisect_right(pooled, est)
         err = 0 if lo_r <= r <= hi_r else min(abs(r - lo_r), abs(r - hi_r))
         assert err <= bound, (pct, est, err, bound)
+
+
+def test_frontier_politeness_gate(spark, tmp_path):
+    """At most one URL per host per event-time bucket reaches the
+    fetcher; the emitted (host, bucket) key set equals the batch twin
+    (distinct on the same key) and hot hosts collapse to one row per
+    interval."""
+    d = str(tmp_path / "polsrc")
+    schema = "url_host string, url string, ts timestamp"
+    rows = []
+    # hot host: 5 URLs inside one 10s bucket + 2 in the next bucket
+    for i in range(5):
+        rows.append(("hot.example", f"http://hot.example/{i}", ts(0)))
+    rows.append(("hot.example", "http://hot.example/10", ts(11)))
+    rows.append(("hot.example", "http://hot.example/11", ts(11)))
+    # quiet host: one URL per bucket
+    rows.append(("quiet.example", "http://quiet.example/a", ts(1)))
+    rows.append(("quiet.example", "http://quiet.example/b", ts(25)))
+    batch = spark.createDataFrame(rows, schema)
+    batch.coalesce(1).write.parquet(d)
+    src = spark.readStream.schema(schema).parquet(d)
+    out = st.run_available_now(
+        st.frontier_politeness_gate(src), output_mode="append"
+    ).collect()
+    from pyspark.sql import functions as SF
+
+    got = [(r.url_host, r.politeness_bucket) for r in out]
+    assert len(got) == len(set(got))  # one per key, never more
+    want = {
+        (r.url_host, r.b)
+        for r in batch.select(
+            "url_host",
+            (SF.unix_timestamp("ts") / 10).cast("long").alias("b"),
+        )
+        .distinct()
+        .collect()
+    }
+    assert set(got) == want
+    assert len([1 for h, _ in got if h == "hot.example"]) == 2
