@@ -306,6 +306,14 @@ HEADLINE = [
     "cdx_index_stats",
     # round 12: WAT metadata export (oracle-gated)
     "wat_export_stats",
+    # round 12: redirect chain resolution via pointer doubling (oracle-gated)
+    "redirect_resolution_stats",
+    # round 12: sitemap ingest + frontier seeding (oracle-gated)
+    "sitemap_frontier_stats",
+    # round 12: Gopher heuristic quality rule set (oracle-gated)
+    "gopher_quality_stats",
+    # round 12: KMV bottom-k set-operation estimates (oracle-gated)
+    "kmv_set_overlap",
 ]
 
 

@@ -67,6 +67,30 @@ def parse_robots(text: str) -> list[dict]:
     return groups
 
 
+def sitemap_urls(text: str) -> list[str]:
+    """``Sitemap:`` line values in file order (duplicates dropped,
+    first occurrence wins) — sitemap DISCOVERY per sitemaps.org: the
+    field is group-independent (it may appear anywhere in the file and
+    applies to all agents; RFC 9309 treats it as an ignored extension
+    field, which :func:`parse_robots` honors for group structure — this
+    reader extracts what that one ignores). Values are taken verbatim
+    (the spec requires absolute URLs; validation belongs to the
+    frontier's canonicalization gate)."""
+    out: list[str] = []
+    seen: set[str] = set()
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            continue
+        key, sep, value = line.partition(":")
+        if sep and key.strip().lower() == "sitemap":
+            v = value.strip()
+            if v and v not in seen:
+                seen.add(v)
+                out.append(v)
+    return out
+
+
 def rules_for_agent(text: str, agent: str) -> list[tuple[bool, str]]:
     """The (allow, pattern) rules the ``agent`` product token must obey:
     the union of exact-token groups if any exist, else the union of

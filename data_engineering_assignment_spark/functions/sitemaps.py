@@ -1,0 +1,94 @@
+"""Dependency-free sitemap parser (sitemaps.org protocol 0.9) — the
+crawl frontier's SEED source: a polite crawler discovers sitemaps from
+robots.txt ``Sitemap:`` lines (RFC 9309 records them as extension
+fields), fetches the XML, and enqueues the listed URLs. Additive vs the
+reference, which has no crawl route.
+
+* :func:`parse_sitemap` — one sitemap document (``<urlset>`` page lists
+  or ``<sitemapindex>`` child-sitemap lists) → kind + entry dicts.
+  Accepts ``bytes`` (gzip members sniffed by the 1f 8b magic — the
+  common ``.xml.gz`` wire form) or ``str``. Strict about structure
+  (malformed XML / wrong root raises — the dead-letter discipline
+  expects callers to catch per-row), tolerant about content (unknown
+  child elements ride along ignored, entries missing the mandatory
+  ``<loc>`` are skipped).
+* :func:`build_sitemap` — fixture generator for the oracle gates.
+
+Namespace handling is by LOCAL NAME (the spec's namespace URI, a
+default ``xmlns``, or none at all are all accepted): real-world
+sitemaps are sloppy about the declaration and a reader that rejects an
+undeclared namespace loses whole hosts.
+"""
+
+from __future__ import annotations
+
+import gzip
+import xml.etree.ElementTree as ET
+
+_FIELDS = ("lastmod", "changefreq", "priority")
+
+
+def _local(tag: str) -> str:
+    """Local element name: '{ns}loc' -> 'loc' (namespace-agnostic)."""
+    return tag.rpartition("}")[2]
+
+
+def parse_sitemap(content: bytes | str) -> dict:
+    """Parse one sitemap document → ``{"kind": "urlset"|"sitemapindex",
+    "entries": [{"loc", "lastmod", "changefreq", "priority"}, ...]}``.
+    ``sitemapindex`` children carry the same dict shape (``lastmod``
+    only; the other fields stay None). Raises ValueError on malformed
+    XML or a non-sitemap root element."""
+    if isinstance(content, (bytes, bytearray)):
+        data = bytes(content)
+        if data[:2] == b"\x1f\x8b":
+            data = gzip.decompress(data)
+    else:
+        data = content.encode("utf-8")
+    try:
+        root = ET.fromstring(data)
+    except ET.ParseError as e:
+        raise ValueError(f"sitemap: malformed XML ({e})") from e
+    kind = _local(root.tag)
+    if kind not in ("urlset", "sitemapindex"):
+        raise ValueError(f"sitemap: unexpected root element {kind!r}")
+    child_tag = "url" if kind == "urlset" else "sitemap"
+    entries: list[dict] = []
+    for el in root:
+        if _local(el.tag) != child_tag:
+            continue
+        fields: dict[str, str] = {}
+        for f in el:
+            txt = (f.text or "").strip()
+            fields.setdefault(_local(f.tag), txt)
+        loc = fields.get("loc")
+        if not loc:
+            continue  # <loc> is mandatory per spec; loc-less entries skip
+        entries.append(
+            {"loc": loc, **{k: fields.get(k) for k in _FIELDS}}
+        )
+    return {"kind": kind, "entries": entries}
+
+
+def build_sitemap(
+    entries: list[dict],
+    kind: str = "urlset",
+    gzipped: bool = False,
+) -> bytes:
+    """Fixture generator: entry dicts → spec-shaped sitemap XML bytes
+    (namespace declared, fields in spec order), optionally gzipped."""
+    child_tag = "url" if kind == "urlset" else "sitemap"
+    lines = [
+        '<?xml version="1.0" encoding="UTF-8"?>',
+        f'<{kind} xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">',
+    ]
+    for e in entries:
+        lines.append(f"<{child_tag}>")
+        lines.append(f"<loc>{e['loc']}</loc>")
+        for k in _FIELDS:
+            if e.get(k) is not None:
+                lines.append(f"<{k}>{e[k]}</{k}>")
+        lines.append(f"</{child_tag}>")
+    lines.append(f"</{kind}>")
+    out = "\n".join(lines).encode("utf-8")
+    return gzip.compress(out, 6) if gzipped else out

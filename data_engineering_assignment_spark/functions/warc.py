@@ -164,6 +164,11 @@ def _parse_one(buf: bytes, pos: int) -> tuple[dict, int]:
                     )
             if "content-type" in hh:
                 rec["http_content_type"] = hh["content-type"]
+            if "location" in hh:
+                # Location is a singleton header (RFC 9110 §10.2.2) and may
+                # be a RELATIVE reference — resolution against the capture
+                # URI happens downstream (operators.crawl.resolve_redirects).
+                rec["http_location"] = hh["location"]
             body, ok = decode_http_body(payload[split + 4 :], hh)
             rec["http_body"] = body
             rec["http_body_ok"] = ok

@@ -429,6 +429,183 @@ def wet_export(
     return df.groupBy(shard_col).applyInPandas(build, out_schema)
 
 
+def _url_resolve_udf():
+    """Arrow-vectorized (base, ref) -> absolute URL resolver — RFC 3986
+    reference resolution via stdlib ``urllib.parse.urljoin`` (relative
+    paths, root-relative, protocol-relative ``//host/...`` and absolute
+    refs all normalize). Shared by :func:`page_links` (hrefs) and
+    :func:`resolve_redirects` (Location headers). Built lazily: a
+    module-level pandas_udf with a DDL string would need a session at
+    import time."""
+    from pyspark.sql.types import StringType
+
+    @F.pandas_udf(StringType())
+    def resolve(base: pd.Series, ref: pd.Series) -> pd.Series:
+        from urllib.parse import urljoin
+
+        out = []
+        for b, h in zip(base, ref):
+            try:
+                out.append(urljoin(str(b), str(h)))
+            except Exception:
+                out.append(None)
+        return pd.Series(out)
+
+    return resolve
+
+
+def resolve_redirects(
+    df: DataFrame,
+    url_col: str = "target_uri",
+    status_col: str = "http_status",
+    location_col: str = "http_location",
+    max_hops: int = 16,
+) -> DataFrame:
+    """Resolve HTTP redirect chains to their terminal URLs — the frontier
+    step between capture and canonical page identity (a crawl that stores
+    ``/old -> 301 -> /new`` must credit content, links and dedup to the
+    TERMINAL url; Common Crawl's WAT metadata carries exactly these
+    Location hops). Additive vs the reference, which has no crawl route.
+
+    Input: one row per capture with the url, HTTP status and Location
+    header (``sources.warc_records`` columns; Location may be RELATIVE —
+    resolved against the capture url via RFC 3986 ``urljoin``, the
+    :func:`page_links` discipline). Output: one row per DISTINCT captured
+    url with ``final_url`` / ``hops`` / ``resolved``:
+
+    * a non-redirect capture is its own terminal: (url, url, 0, true);
+    * a redirect chain of length L <= ``max_hops`` ending at a
+      non-redirecting url resolves with hops = remaining chain length;
+    * cycles (self-loops included) and chains longer than ``max_hops``
+      are ``resolved = false`` with NULL final_url/hops — countable
+      dead-letter, never a wrong terminal. A url captured BOTH as a
+      redirect and a 200 (recrawl flip) counts as a redirect; duplicate
+      redirect captures keep the lexicographically least absolute target
+      (deterministic under any partitioning).
+
+    Scale shape: pointer doubling — ceil(log2(max_hops)) self-joins of
+    the redirect-EDGE table (edges only: the overwhelmingly non-redirect
+    capture mass never enters the iteration), each a content-key
+    equi-join AQE can split; never a window, never a driver loop. The
+    composed map doubles reach per round, so 16-hop chains cost 4 joins.
+    """
+    import math
+
+    u = F.col(url_col)
+    is_redirect = (
+        F.col(status_col).between(300, 399) & F.col(location_col).isNotNull()
+    )
+    resolver = _url_resolve_udf()
+    edges = (
+        df.filter(is_redirect & u.isNotNull())
+        .select(u.alias("u"), resolver(u, F.col(location_col)).alias("v"))
+        .filter(F.col("v").isNotNull())
+        .groupBy("u")
+        .agg(F.min("v").alias("v"))
+    )
+
+    ptr = edges.select("u", "v", F.lit(1).cast("long").alias("h"))
+    for _ in range(max(1, math.ceil(math.log2(max(2, max_hops))))):
+        nxt = ptr.select(
+            F.col("u").alias("nu"), F.col("v").alias("nv"),
+            F.col("h").alias("nh"),
+        )
+        ptr = ptr.join(nxt, ptr.v == nxt.nu, "left").select(
+            "u",
+            F.coalesce("nv", "v").alias("v"),
+            (F.col("h") + F.coalesce("nh", F.lit(0))).alias("h"),
+        )
+
+    # terminal test: the landing url must not itself redirect. Cycles
+    # always land on a redirecting url; over-long chains exceed max_hops.
+    out_src = edges.select(F.col("u").alias("tu"))
+    ok = F.col("tu").isNull() & (F.col("h") <= F.lit(max_hops))
+    redirected = ptr.join(out_src, ptr.v == F.col("tu"), "left").select(
+        F.col("u").alias("url"),
+        F.when(ok, F.col("v")).alias("final_url"),
+        F.when(ok, F.col("h")).alias("hops"),
+        ok.alias("resolved"),
+    )
+    terminals = (
+        df.filter(u.isNotNull())  # url-less records can't carry identity
+        .select(u.alias("url"))
+        .distinct()
+        .join(edges.select(F.col("u").alias("url")), "url", "left_anti")
+        .select(
+            "url",
+            F.col("url").alias("final_url"),
+            F.lit(0).cast("long").alias("hops"),
+            F.lit(True).alias("resolved"),
+        )
+    )
+    return redirected.unionByName(terminals)
+
+
+def sitemap_entries(
+    df: DataFrame,
+    content_col: str = "http_body",
+    uri_col: str = "target_uri",
+) -> DataFrame:
+    """Explode fetched sitemap documents into one row per entry — the
+    frontier SEED step (discovery order: robots.txt ``Sitemap:`` lines
+    via :func:`functions.robots.sitemap_urls` → fetch → this operator →
+    :func:`canonical_url` dedup against the capture index). Parsing is
+    :func:`functions.sitemaps.parse_sitemap` (urlset AND sitemapindex,
+    gzip-sniffed bytes, namespace-agnostic). Output: (sitemap_uri, kind,
+    loc, lastmod, changefreq, priority, parse_ok) — ``priority`` stays
+    the verbatim spec STRING (callers cast; no float surface here). A
+    malformed document survives as ONE parse_ok = false row and an
+    entry-less one as a (kind, NULL-loc) row — countable dead-letter /
+    census rows, never dropped. Arrow-batched mapInPandas: sitemap bytes
+    never leave the executor; each input row fans out independently
+    (embarrassingly parallel, zero shuffle)."""
+    from ..functions.sitemaps import parse_sitemap
+
+    schema = (
+        "sitemap_uri string, kind string, loc string, lastmod string,"
+        " changefreq string, priority string, parse_ok boolean"
+    )
+    cols = [
+        "sitemap_uri", "kind", "loc", "lastmod", "changefreq", "priority",
+        "parse_ok",
+    ]
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for uri, raw in zip(pdf[uri_col], pdf[content_col]):
+                uri = None if uri is None else str(uri)
+                try:
+                    if raw is None:
+                        raise ValueError("no content")
+                    r = parse_sitemap(
+                        bytes(raw)
+                        if isinstance(raw, (bytes, bytearray))
+                        else str(raw)
+                    )
+                    if not r["entries"]:
+                        rows.append(
+                            (uri, r["kind"], None, None, None, None, True)
+                        )
+                    for e in r["entries"]:
+                        rows.append(
+                            (
+                                uri,
+                                r["kind"],
+                                e["loc"],
+                                e["lastmod"],
+                                e["changefreq"],
+                                e["priority"],
+                                True,
+                            )
+                        )
+                except Exception:
+                    rows.append((uri, None, None, None, None, None, False))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(mapper, schema)
+
+
 def page_links(
     df: DataFrame,
     page_col: str = "page",
@@ -446,20 +623,7 @@ def page_links(
     link-graph use. Rows with NULL links explode away (a page with no
     anchors contributes no link rows — link analytics, not a page
     census)."""
-    from urllib.parse import urljoin
-
-    from pyspark.sql.types import StringType
-
-    @F.pandas_udf(StringType())
-    def resolve(base: pd.Series, href: pd.Series) -> pd.Series:
-        out = []
-        for b, h in zip(base, href):
-            try:
-                out.append(urljoin(str(b), str(h)))
-            except Exception:
-                out.append(None)
-        return pd.Series(out)
-
+    resolve = _url_resolve_udf()
     link = F.explode(F.col(f"{page_col}.links")).alias("_link")
     return (
         df.select("*", link)

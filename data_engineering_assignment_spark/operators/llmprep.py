@@ -229,6 +229,93 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# The Gopher required-stopword set (Rae et al. 2021, appendix A1.1 —
+# the published heuristic-filter rule table reproduced by Dolma/DataTrove).
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """Append the Gopher quality-filter rule flags (Rae et al. 2021,
+    appendix A1.1 — the published heuristic rule set every modern
+    pretraining pipeline starts from; Dolma and DataTrove reproduce the
+    same table). One boolean per rule plus the conjunction
+    ``gopher_pass``:
+
+    * ``rule_word_count`` — word count in [min_words, max_words];
+    * ``rule_mean_word_len`` — mean word length in [3, 10];
+    * ``rule_symbol_ratio`` — (# + ellipsis) per word <= 0.1;
+    * ``rule_bullet_lines`` — <= 90% of lines start with a bullet;
+    * ``rule_ellipsis_lines`` — <= 30% of lines end with '...';
+    * ``rule_alpha_words`` — >= 80% of words contain a letter;
+    * ``rule_stopwords`` — >= 2 distinct required stopwords present.
+
+    Scale shape: every rule is ONE pass of JVM column expressions over
+    the text (split / filter / translate / replace — whole-stage
+    codegen, zero Python, zero shuffle). All fraction thresholds are
+    integer CROSS-MULTIPLICATIONS (``10*symbols <= words``), so there is
+    no float surface and a SQL oracle replays the rules bit-for-bit.
+    Words split on spaces AND newlines; lines split on newlines."""
+    c = F.col(text_col)
+    words = F.split(F.replace(c, F.lit("\n"), F.lit(" ")), " ")
+    lines = F.split(c, "\n")
+    n_words = F.size(words).cast("long")
+    n_lines = F.size(lines).cast("long")
+    # total word chars == length with separators removed (one translate,
+    # no per-token fold)
+    word_chars = F.length(F.translate(c, " \n", "")).cast("long")
+    n_hash = (
+        F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))
+    ).cast("long")
+    # non-overlapping left-to-right replace in both engines; the length
+    # difference is an exact multiple of 3, so the division is exact
+    n_ellipsis = (
+        (F.length(c) - F.length(F.replace(c, F.lit("..."), F.lit("")))) / 3
+    ).cast("long")
+    n_bullet = F.size(
+        F.filter(lines, lambda l: l.startswith("-") | l.startswith("•"))
+    ).cast("long")
+    n_ell_lines = F.size(F.filter(lines, lambda l: l.endswith("..."))).cast(
+        "long"
+    )
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))).cast(
+        "long"
+    )
+    n_stop = sum(
+        F.array_contains(words, F.lit(s)).cast("int")
+        for s in GOPHER_STOPWORDS
+    )
+    sym = n_hash + n_ellipsis
+    return df.select(
+        "*",
+        n_words.alias("n_words"),
+        ((n_words >= min_words) & (n_words <= max_words)).alias(
+            "rule_word_count"
+        ),
+        (
+            (3 * n_words <= word_chars) & (word_chars <= 10 * n_words)
+        ).alias("rule_mean_word_len"),
+        (sym * 10 <= n_words).alias("rule_symbol_ratio"),
+        (n_bullet * 10 <= 9 * n_lines).alias("rule_bullet_lines"),
+        (n_ell_lines * 10 <= 3 * n_lines).alias("rule_ellipsis_lines"),
+        (n_alpha * 5 >= 4 * n_words).alias("rule_alpha_words"),
+        (n_stop >= 2).alias("rule_stopwords"),
+    ).withColumn(
+        "gopher_pass",
+        F.col("rule_word_count")
+        & F.col("rule_mean_word_len")
+        & F.col("rule_symbol_ratio")
+        & F.col("rule_bullet_lines")
+        & F.col("rule_ellipsis_lines")
+        & F.col("rule_alpha_words")
+        & F.col("rule_stopwords"),
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     capacity: int,

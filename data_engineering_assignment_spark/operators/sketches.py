@@ -368,6 +368,105 @@ def hll_raw_estimate(registers: DataFrame, key_col: str) -> DataFrame:
     )
 
 
+def kmv_bottomk(
+    df: DataFrame,
+    item_col: str,
+    key_col: str,
+    k: int,
+    bucket_width: float = 2_000_000.0,
+) -> DataFrame:
+    """Per-key KMV bottom-k SET: the k smallest distinct item hashes as a
+    sorted array — the sketch state that supports set OPERATIONS
+    (union / intersection / Jaccard via :func:`kmv_pair_overlap`), not
+    just cardinality like :func:`kmv_kth_hash`'s single value. The theta-
+    sketch shape (Dasgupta et al. 2016): same hash for the same item
+    everywhere, so two keys' samples are COMPARABLE.
+
+    Scale shape: the k-th hash is located by :func:`kmv_kth_hash`
+    (histogram-pruned — no per-key sort, no content-key window), then one
+    equi-join back keeps only hashes <= that threshold; collect_list runs
+    on the BOUNDED survivor set (<= k rows per key; a key with < k
+    distinct items keeps them all — its sketch is the complete hash set,
+    flagged exact downstream). Output: (key, n_rows, sketch array<long>
+    sorted ascending)."""
+    d = df.select(F.col(key_col), id_hash(item_col).alias("_kmv_h")).distinct()
+    kth = kmv_kth_hash(df, item_col, key_col, k, bucket_width=bucket_width)
+    kept = d.join(kth, key_col).filter(
+        F.col("kth_hash").isNull() | (F.col("_kmv_h") <= F.col("kth_hash"))
+    )
+    return kept.groupBy(key_col).agg(
+        F.first("n_rows").alias("n_rows"),
+        F.sort_array(F.collect_list("_kmv_h")).alias("sketch"),
+    )
+
+
+def kmv_pair_overlap(sketches: DataFrame, key_col: str, k: int) -> DataFrame:
+    """Pairwise set-operation estimates from KMV bottom-k sketches — the
+    theta-sketch intersection/union trick: the bottom-k of a UNION is
+    computable from the two bottom-k samples (it is contained in their
+    union), and membership of each union-sample hash in both sketches is
+    decidable exactly, so
+
+      * ``union_est``  = (k-1) * M div kth(union sample)   [KMV estimator;
+        exact size when the union sample has < k hashes — then both
+        sketches were complete],
+      * ``n_both``     = union-sample hashes present in BOTH sketches,
+      * ``inter_est``  = n_both * union_est div |union sample|,
+      * ``jaccard_pm`` = n_both * 1000 div |union sample|  (per-mille,
+        integer-exact — no float surface).
+
+    The sketch table is one bounded row per key (arrays <= k), so the
+    a.key < b.key self-join is over a SMALL dimension regardless of
+    corpus size; the per-pair work is one let-bound lambda over the <= 2k
+    merged array (array_union dedups; a single in-row pass computes the
+    union sample, its kth hash and the both-membership count — no
+    re-derivation of the merged array per reference)."""
+    a = sketches.select(
+        F.col(key_col).alias("key_a"), F.col("sketch").alias("sk_a")
+    )
+    b = sketches.select(
+        F.col(key_col).alias("key_b"), F.col("sketch").alias("sk_b")
+    )
+    # non-equi pair condition: hint the bounded sketch dimension (one row
+    # per key) so the plan is a BNLJ broadcast, never a CartesianProduct
+    pairs = a.join(F.broadcast(b), F.col("key_a") < F.col("key_b"))
+    # let-bind the union sample once (lambda vars are bound VALUES)
+    u = F.slice(F.array_sort(F.array_union("sk_a", "sk_b")), 1, k)
+    stats = F.get(
+        F.transform(
+            F.array(u),
+            lambda us: F.struct(
+                F.size(us).alias("n_u"),
+                F.element_at(us, F.size(us)).alias("kth_u"),
+                F.size(
+                    F.filter(
+                        us,
+                        lambda h: F.array_contains("sk_a", h)
+                        & F.array_contains("sk_b", h),
+                    )
+                ).alias("n_both"),
+            ),
+        ),
+        0,
+    )
+    num = (k - 1) * PORTABLE_MOD
+    with_stats = pairs.select("key_a", "key_b", stats.alias("_s"))
+    union_est = F.when(
+        F.col("_s.n_u") < k, F.col("_s.n_u").cast("long")
+    ).otherwise(F.expr(f"CAST({num} AS BIGINT) div _s.kth_u"))
+    return with_stats.select(
+        "key_a",
+        "key_b",
+        F.col("_s.n_u").cast("long").alias("n_union_sample"),
+        F.col("_s.n_both").cast("long").alias("n_both"),
+        union_est.alias("union_est"),
+    ).select(
+        "*",
+        F.expr("(n_both * union_est) div n_union_sample").alias("inter_est"),
+        F.expr("(n_both * 1000) div n_union_sample").alias("jaccard_pm"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # q-digest: the union-MERGEABLE quantile sketch (Shrivastava et al. 2004,
 # "Medians and Beyond") — the streaming/rollup percentile path the exact

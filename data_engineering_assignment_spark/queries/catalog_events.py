@@ -239,6 +239,79 @@ def hll_distinct_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(F.broadcast(exact), "event_type")
 
 
+_OVL_K = 128
+_OVL_NUM = (_OVL_K - 1) * 1_000_000_007
+_KMV_OVL_ORACLE = f"""
+WITH d AS (
+  SELECT DISTINCT event_type AS key, {_o_mix1} AS h FROM events
+), r AS (
+  SELECT key, h, ROW_NUMBER() OVER (PARTITION BY key ORDER BY h) AS rn FROM d
+), sk AS (
+  SELECT key, h FROM r WHERE rn <= {_OVL_K}
+), ks AS (SELECT DISTINCT key FROM sk
+), pr AS (
+  SELECT a.key AS key_a, b.key AS key_b FROM ks a JOIN ks b ON a.key < b.key
+), uu AS (
+  SELECT key_a, key_b, h,
+         ROW_NUMBER() OVER (PARTITION BY key_a, key_b ORDER BY h) AS rn
+  FROM (
+    SELECT DISTINCT p.key_a, p.key_b, s.h
+    FROM pr p JOIN sk s ON s.key = p.key_a OR s.key = p.key_b
+  )
+), us AS (
+  SELECT key_a, key_b, h FROM uu WHERE rn <= {_OVL_K}
+), st AS (
+  SELECT u.key_a, u.key_b,
+         COUNT(*)::BIGINT AS n_u,
+         MAX(u.h)::BIGINT AS kth_u,
+         SUM(CASE WHEN sa.h IS NOT NULL AND sb.h IS NOT NULL
+                  THEN 1 ELSE 0 END)::BIGINT AS n_both
+  FROM us u
+  LEFT JOIN sk sa ON sa.key = u.key_a AND sa.h = u.h
+  LEFT JOIN sk sb ON sb.key = u.key_b AND sb.h = u.h
+  GROUP BY 1, 2
+), fin AS (
+  SELECT key_a, key_b, n_u, n_both,
+         CASE WHEN n_u < {_OVL_K} THEN n_u
+              ELSE CAST({_OVL_NUM} AS BIGINT) // kth_u END AS union_est
+  FROM st
+)
+SELECT key_a, key_b, n_u AS n_union_sample, n_both,
+       union_est::BIGINT AS union_est,
+       ((n_both * union_est) // n_u)::BIGINT AS inter_est,
+       ((n_both * 1000) // n_u)::BIGINT AS jaccard_pm
+FROM fin
+"""
+
+
+@register(
+    "kmv_set_overlap",
+    oracle=_KMV_OVL_ORACLE,
+    doc="KMV bottom-k SET-OPERATION estimates (the theta-sketch shape, "
+    "Dasgupta et al. 2016) — pairwise union / intersection / Jaccard "
+    "of per-event-type USER sets from mergeable bottom-k samples "
+    "(operators/sketches.py kmv_bottomk + kmv_pair_overlap): the k-th "
+    "hash is histogram-pruned (kmv_kth_hash — no per-key sort, no "
+    "content-key window), the bounded survivor join-back builds <= k "
+    "element arrays, and the pair scan runs in-row over the small "
+    "sketch dimension with the union sample LET-BOUND once per pair "
+    "(lambda-var binding; the HOF re-derivation trap). Estimates stay "
+    "exact integer arithmetic (div / Jaccard per-mille) — no float "
+    "surface; a union sample smaller than k means both sketches were "
+    "complete and the union estimate is EXACT by construction. The "
+    "oracle replays sample selection, membership and the estimators "
+    "with window row_number over the same portable hash.",
+)
+def kmv_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import kmv_bottomk, kmv_pair_overlap
+
+    ev = load(spark, sf_dir, "events").select("event_type", "user_id")
+    sk = kmv_bottomk(ev, "user_id", "event_type", _OVL_K)
+    return kmv_pair_overlap(
+        sk.select(F.col("event_type"), "sketch"), "event_type", _OVL_K
+    )
+
+
 @register(
     "event_props_json",
     oracle="""

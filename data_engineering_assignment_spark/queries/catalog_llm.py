@@ -906,3 +906,132 @@ def quality_classifier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("score").alias("min_score"),
         F.max("score").alias("max_score"),
     )
+
+
+# Deterministic plant variants (applied identically in Spark and SQL) so
+# every Gopher rule exercises BOTH branches on this clean corpus: symbol
+# spam, bullet walls, ellipsis walls, one-char-word dilution, truncation.
+_GOPHER_ORACLE = """
+WITH t AS (
+  SELECT source,
+    CASE doc_id % 6
+      WHEN 0 THEN text || repeat(' #', GREATEST(n_chars // 10, 5))
+      WHEN 1 THEN repeat('- x' || chr(10), 10) || text
+      WHEN 2 THEN repeat('of and y...' || chr(10), 4) || text
+      WHEN 3 THEN text || repeat(' a b', n_chars // 4)
+      WHEN 4 THEN substr(text, 1, 30)
+      ELSE text END AS t2
+  FROM documents
+), m AS (
+  SELECT source,
+    len(string_split(replace(t2, chr(10), ' '), ' ')) AS n_words,
+    length(replace(replace(t2, chr(10), ''), ' ', '')) AS wchars,
+    length(t2) - length(replace(t2, '#', '')) AS n_hash,
+    (length(t2) - length(replace(t2, '...', ''))) // 3 AS n_ell,
+    len(string_split(t2, chr(10))) AS n_lines,
+    len(list_filter(string_split(t2, chr(10)),
+                    l -> l LIKE '-%' OR l LIKE '•%')) AS n_bullet,
+    len(list_filter(string_split(t2, chr(10)),
+                    l -> l LIKE '%...')) AS n_ell_lines,
+    len(list_filter(string_split(replace(t2, chr(10), ' '), ' '),
+                    w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha,
+    list_contains(string_split(replace(t2, chr(10), ' '), ' '), 'the')::INT
+    + list_contains(string_split(replace(t2, chr(10), ' '), ' '), 'be')::INT
+    + list_contains(string_split(replace(t2, chr(10), ' '), ' '), 'to')::INT
+    + list_contains(string_split(replace(t2, chr(10), ' '), ' '), 'of')::INT
+    + list_contains(string_split(replace(t2, chr(10), ' '), ' '), 'and')::INT
+    + list_contains(string_split(replace(t2, chr(10), ' '), ' '), 'that')::INT
+    + list_contains(string_split(replace(t2, chr(10), ' '), ' '), 'have')::INT
+    + list_contains(string_split(replace(t2, chr(10), ' '), ' '), 'with')::INT
+      AS n_stop
+  FROM t
+), r AS (
+  SELECT source,
+    (n_words >= 50 AND n_words <= 100000) AS r1,
+    (3 * n_words <= wchars AND wchars <= 10 * n_words) AS r2,
+    ((n_hash + n_ell) * 10 <= n_words) AS r3,
+    (n_bullet * 10 <= 9 * n_lines) AS r4,
+    (n_ell_lines * 10 <= 3 * n_lines) AS r5,
+    (n_alpha * 5 >= 4 * n_words) AS r6,
+    (n_stop >= 2) AS r7
+  FROM m
+)
+SELECT source, COUNT(*) AS n_docs,
+  SUM((r1 AND r2 AND r3 AND r4 AND r5 AND r6 AND r7)::INT)::BIGINT AS n_pass,
+  SUM((NOT r1)::INT)::BIGINT AS f_word_count,
+  SUM((NOT r2)::INT)::BIGINT AS f_mean_word_len,
+  SUM((NOT r3)::INT)::BIGINT AS f_symbol_ratio,
+  SUM((NOT r4)::INT)::BIGINT AS f_bullet_lines,
+  SUM((NOT r5)::INT)::BIGINT AS f_ellipsis_lines,
+  SUM((NOT r6)::INT)::BIGINT AS f_alpha_words,
+  SUM((NOT r7)::INT)::BIGINT AS f_stopwords
+FROM r GROUP BY 1
+"""
+
+
+@register(
+    "gopher_quality_stats",
+    oracle=_GOPHER_ORACLE,
+    doc="Gopher heuristic rule-set gate (operators/llmprep."
+    "gopher_quality_flags — the published Rae et al. 2021 appendix "
+    "A1.1 rule table, the third heuristic layer beside the engine's "
+    "length/stopword gates and the bigram-LM/classifier scores): the "
+    "clean corpus is doctored per doc_id%6 with identical expressions "
+    "in BOTH engines (symbol spam scaled to the doc, a 10-line bullet "
+    "wall, a 4-line ellipsis wall carrying required stopwords, "
+    "one-char-word dilution, a 30-char truncation, one untouched "
+    "class) so every rule fails somewhere and passes somewhere; all "
+    "seven rules are integer cross-multiplications over one JVM "
+    "expression pass — zero Python, zero extra shuffle, no float "
+    "surface — and per-source pass/per-rule-failure counts sit under "
+    "one hash.",
+)
+def gopher_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.llmprep import gopher_quality_flags
+
+    docs = load(spark, sf_dir, "documents")
+    n = F.col("n_chars")
+    planted = docs.select(
+        "source",
+        F.when(
+            F.col("doc_id") % 6 == 0,
+            F.concat(
+                F.col("text"),
+                F.repeat(
+                    F.lit(" #"),
+                    F.greatest(F.floor(n / 10).cast("int"), F.lit(5)),
+                ),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 6 == 1,
+            F.concat(F.repeat(F.lit("- x\n"), 10), F.col("text")),
+        )
+        .when(
+            F.col("doc_id") % 6 == 2,
+            F.concat(F.repeat(F.lit("of and y...\n"), 4), F.col("text")),
+        )
+        .when(
+            F.col("doc_id") % 6 == 3,
+            F.concat(
+                F.col("text"),
+                F.repeat(F.lit(" a b"), F.floor(n / 4).cast("int")),
+            ),
+        )
+        .when(F.col("doc_id") % 6 == 4, F.substring("text", 1, 30))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    flags = gopher_quality_flags(planted)
+    fail = lambda r: F.sum((~F.col(r)).cast("int")).cast("long")  # noqa: E731
+    return flags.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("gopher_pass").cast("int")).cast("long").alias("n_pass"),
+        fail("rule_word_count").alias("f_word_count"),
+        fail("rule_mean_word_len").alias("f_mean_word_len"),
+        fail("rule_symbol_ratio").alias("f_symbol_ratio"),
+        fail("rule_bullet_lines").alias("f_bullet_lines"),
+        fail("rule_ellipsis_lines").alias("f_ellipsis_lines"),
+        fail("rule_alpha_words").alias("f_alpha_words"),
+        fail("rule_stopwords").alias("f_stopwords"),
+    )

@@ -3813,3 +3813,242 @@ def wat_export_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("j.title")).cast("long").alias("title_len_sum"),
         F.sum("j.text_len").cast("long").alias("text_len_sum"),
     )
+
+
+_REDIRECT_ORACLE = """
+WITH t AS (
+  SELECT doc_id % 6 AS l, LENGTH(doc_id::VARCHAR) AS dd FROM documents
+)
+SELECT l::BIGINT AS chain_class,
+       SUM(CASE WHEN l = 5 THEN 3 ELSE l + 1 END)::BIGINT AS n_urls,
+       SUM(CASE WHEN l = 5 THEN 0 ELSE l + 1 END)::BIGINT AS n_resolved,
+       SUM(CASE WHEN l = 5 THEN 0 ELSE (l * (l + 1)) // 2 END)::BIGINT
+         AS hops_sum,
+       SUM(CASE WHEN l = 5 THEN 0 ELSE (l + 1) * (22 + dd) END)::BIGINT
+         AS final_len_sum
+FROM t GROUP BY 1
+"""
+
+
+@register(
+    "redirect_resolution_stats",
+    oracle=_REDIRECT_ORACLE,
+    doc="HTTP redirect chain resolution gate (operators/crawl.py "
+    "resolve_redirects; sources.warc_records http_location — the "
+    "Location singleton header, RFC 9110 §10.2.2): every document "
+    "becomes a WARC of doc_id%6 captures — chains of length 0..4 "
+    "(alternating ABSOLUTE and RELATIVE Location headers, so RFC 3986 "
+    "reference resolution is pinned) ending at a 200, and a 3-cycle for "
+    "class 5 (0->1->2->0, never resolving). Pointer doubling follows "
+    "every chain in ceil(log2(max_hops)) self-joins of the edge table; "
+    "per-class url counts, resolved counts, hop sums (node i of an "
+    "L-chain takes L-i hops -> L(L+1)/2 per doc) and terminal-url "
+    "length sums (22+digits closed-form) all sit under one hash. "
+    "Cycles land as resolved=false with NULL final/hops — countable "
+    "dead-letter, never a wrong terminal.",
+)
+def redirect_resolution_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from ..functions.warc import build_warc
+    from ..operators.crawl import resolve_redirects
+    from ..sources import warc_records
+    from ..tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def make(batches):
+        def http(status_line: str, headers: list[str], body: bytes = b"") -> bytes:
+            head = "\r\n".join([status_line, *headers])
+            return head.encode("ascii") + b"\r\n\r\n" + body
+
+        for pdf in batches:
+            rows = []
+            for x in pdf["doc_id"]:
+                did = int(x)
+                url = lambda i: f"http://s{did % 7}.example/r/{did}/{i}"  # noqa: E731
+                cls = did % 6
+                recs = []
+                if cls == 5:
+                    hops = [(0, url(1)), (1, url(2)), (2, url(0))]
+                else:
+                    # odd hop index -> RELATIVE Location (urljoin pinned)
+                    hops = [
+                        (i, url(i + 1) if i % 2 == 0 else f"/r/{did}/{i + 1}")
+                        for i in range(cls)
+                    ] + [(cls, None)]
+                for i, loc in hops:
+                    if loc is None:
+                        body = http(
+                            "HTTP/1.1 200 OK",
+                            ["Content-Type: text/html"],
+                            b"<html>done</html>",
+                        )
+                    else:
+                        body = http(
+                            "HTTP/1.1 301 Moved Permanently",
+                            [f"Location: {loc}"],
+                        )
+                    recs.append(
+                        (
+                            {
+                                "WARC-Type": "response",
+                                "WARC-Target-URI": url(i),
+                                "Content-Type": (
+                                    "application/http;msgtype=response"
+                                ),
+                            },
+                            body,
+                        )
+                    )
+                rows.append((did, build_warc(recs)))
+            yield pd.DataFrame(rows, columns=["archive_id", "content"])
+
+    media = docs.mapInPandas(make, "archive_id long, content binary")
+    res = resolve_redirects(warc_records(media), url_col="target_uri")
+    d = F.regexp_extract("url", r"/r/(\d+)/", 1).cast("long")
+    return res.groupBy((d % 6).alias("chain_class")).agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.sum(F.col("resolved").cast("int")).cast("long").alias("n_resolved"),
+        F.sum(F.coalesce(F.col("hops"), F.lit(0)))
+        .cast("long")
+        .alias("hops_sum"),
+        F.sum(F.coalesce(F.length("final_url").cast("long"), F.lit(0)))
+        .cast("long")
+        .alias("final_len_sum"),
+    )
+
+
+_SITEMAP_ORACLE = """
+WITH t AS (
+  SELECT doc_id % 7 AS h, doc_id % 11 AS m11, doc_id % 5 AS m5,
+         (doc_id % 9) + 1 AS k, LENGTH(doc_id::VARCHAR) AS dd,
+         doc_id % 10 AS p, doc_id % 28 + 1 AS day
+  FROM documents
+)
+SELECT 's' || h::VARCHAR AS host,
+  SUM(CASE WHEN m11 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_bad,
+  SUM(CASE WHEN m11 <> 0 AND m5 = 0 THEN 2 ELSE 0 END)::BIGINT
+    AS n_index_children,
+  SUM(CASE WHEN m11 <> 0 AND m5 <> 0 THEN k ELSE 0 END)::BIGINT AS n_entries,
+  SUM(CASE WHEN m11 <> 0 AND m5 <> 0 THEN k * (22 + dd) ELSE 0 END)::BIGINT
+    AS loc_len_sum,
+  MAX(CASE WHEN m11 <> 0 AND m5 <> 0
+       THEN '2026-01-' || LPAD(day::VARCHAR, 2, '0') END) AS max_lastmod,
+  SUM(CASE WHEN m11 <> 0 AND m5 <> 0 THEN k * p ELSE 0 END)::BIGINT
+    AS priority_decile_sum,
+  SUM(CASE WHEN m11 <> 0 AND m5 <> 0 THEN k - 1 ELSE 0 END)::BIGINT
+    AS n_frontier_new
+FROM t GROUP BY 1
+"""
+
+
+@register(
+    "sitemap_frontier_stats",
+    oracle=_SITEMAP_ORACLE,
+    doc="Sitemap ingest + frontier-seed gate (functions/sitemaps.py "
+    "parse_sitemap; operators/crawl.py sitemap_entries — the discovery "
+    "half of the polite-crawl loop beside robots_filter): every "
+    "document becomes one sitemap fixture — urlset of (doc_id%9)+1 "
+    "entries with closed-form locs/lastmod/priority, a 2-child "
+    "sitemapindex for doc_id%5 = 0, malformed XML for doc_id%11 = 0 "
+    "(one parse_ok=false dead-letter row), gzip members for doc_id%3 = "
+    "0 (the .xml.gz wire form, sniff pinned because counts would halve "
+    "if gz docs failed). Per-host entry counts, loc length sums, "
+    "lexicographic max lastmod, priority deciles (verbatim-string "
+    "parse, no float surface) and the frontier NEW-url count (canonical "
+    "locs LEFT ANTI the captured set — j=0 of every doc is already "
+    "captured, so exactly k-1 per urlset survive) all sit under one "
+    "hash.",
+)
+def sitemap_frontier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from ..functions.sitemaps import build_sitemap
+    from ..operators.crawl import canonical_url, sitemap_entries
+    from ..tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def make(batches):
+        for pdf in batches:
+            rows = []
+            for x in pdf["doc_id"]:
+                did = int(x)
+                h = did % 7
+                uri = f"http://s{h}.example/sitemap-{did}.xml"
+                gz = did % 3 == 0
+                if did % 11 == 0:
+                    blob = b"<urlset><url><loc>broken"
+                elif did % 5 == 0:
+                    blob = build_sitemap(
+                        [
+                            {"loc": f"http://s{h}.example/sitemap-{did}-{j}.xml"}
+                            for j in range(2)
+                        ],
+                        kind="sitemapindex",
+                        gzipped=gz,
+                    )
+                else:
+                    k = (did % 9) + 1
+                    blob = build_sitemap(
+                        [
+                            {
+                                "loc": f"http://s{h}.example/p/{did}/{j}",
+                                "lastmod": f"2026-01-{(did % 28) + 1:02d}",
+                                "changefreq": "daily",
+                                "priority": f"0.{did % 10}",
+                            }
+                            for j in range(k)
+                        ],
+                        gzipped=gz,
+                    )
+                rows.append((did, uri, blob))
+            yield pd.DataFrame(
+                rows, columns=["archive_id", "target_uri", "content"]
+            )
+
+    sm = docs.mapInPandas(
+        make, "archive_id long, target_uri string, content binary"
+    )
+    ent = sitemap_entries(sm, content_col="content")
+    host = F.concat(
+        F.lit("s"),
+        F.regexp_extract("sitemap_uri", r"//s(\d+)\.example/", 1),
+    )
+    is_url = (F.col("kind") == "urlset") & F.col("loc").isNotNull()
+    is_child = (F.col("kind") == "sitemapindex") & F.col("loc").isNotNull()
+    base = ent.groupBy(host.alias("host")).agg(
+        F.sum((~F.col("parse_ok")).cast("int")).cast("long").alias("n_bad"),
+        F.sum(is_child.cast("int")).cast("long").alias("n_index_children"),
+        F.sum(is_url.cast("int")).cast("long").alias("n_entries"),
+        F.sum(F.when(is_url, F.length("loc")).otherwise(0))
+        .cast("long")
+        .alias("loc_len_sum"),
+        F.max(F.when(is_url, F.col("lastmod"))).alias("max_lastmod"),
+        F.sum(
+            F.when(
+                is_url, F.split("priority", r"\.").getItem(1).cast("long")
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("priority_decile_sum"),
+    )
+    captured = docs.select(
+        F.format_string(
+            "http://s%d.example/p/%d/0", F.col("doc_id") % 7, F.col("doc_id")
+        ).alias("url")
+    )
+    fresh = (
+        ent.filter(is_url)
+        .select(host.alias("host"), canonical_url("loc").alias("url"))
+        .join(captured, "url", "left_anti")
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).alias("n_frontier_new"))
+    )
+    return base.join(fresh, "host", "left").select(
+        base["*"],
+        F.coalesce("n_frontier_new", F.lit(0)).cast("long").alias(
+            "n_frontier_new"
+        ),
+    )

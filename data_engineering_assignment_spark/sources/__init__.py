@@ -230,6 +230,10 @@ def warc_records(
     headerless responses) — distinct from ``content_type``, the WARC
     record's envelope type — and is what
     ``operators.crawl.document_extract`` dispatches on.
+    ``http_location`` is the response's Location header verbatim
+    (possibly a RELATIVE reference; NULL when absent) — with
+    ``http_status`` it is the redirect-edge input to
+    ``operators.crawl.resolve_redirects``.
 
     ``include_body=True`` adds ``http_body`` (the HTTP message body of
     ``application/http`` response records, NULL elsewhere — the input
@@ -250,6 +254,7 @@ def warc_records(
     schema = (
         f"{id_col} long, rec_idx int, warc_type string, target_uri string,"
         " content_type string, http_status int, http_content_type string,"
+        " http_location string,"
         " payload_len long, rec_offset long, rec_length long,"
         " parse_ok boolean"
     )
@@ -259,8 +264,8 @@ def warc_records(
     def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [
             id_col, "rec_idx", "warc_type", "target_uri", "content_type",
-            "http_status", "http_content_type", "payload_len",
-            "rec_offset", "rec_length", "parse_ok",
+            "http_status", "http_content_type", "http_location",
+            "payload_len", "rec_offset", "rec_length", "parse_ok",
         ]
         if include_body:
             cols += ["http_body", "http_body_ok"]
@@ -280,6 +285,7 @@ def warc_records(
                             h.get("Content-Type"),
                             r.get("http_status"),
                             r.get("http_content_type"),
+                            r.get("http_location"),
                             len(r["payload"]),
                             r["rec_offset"],
                             r["rec_length"],
@@ -294,7 +300,7 @@ def warc_records(
                 except Exception:
                     row = (
                         aid, None, None, None, None, None, None, None, None,
-                        None, False,
+                        None, None, False,
                     )
                     if include_body:
                         row += (None, None)

@@ -572,3 +572,216 @@ def test_page_links_resolution_modes(spark):
         ("https://abs.example/q", "https://abs.example/q"),
         ("#frag", "http://h.example/dir/page.html#frag"),
     ]
+
+
+def test_resolve_redirects_chains_cycles_and_caps(spark):
+    """resolve_redirects: terminal captures are their own final (0 hops);
+    chains resolve with per-node remaining-hop counts; relative Location
+    resolves against the capture url; cycles, self-loops and chains
+    longer than max_hops come back resolved=false with NULL final/hops;
+    a url captured both as 301 and 200 counts as a redirect; duplicate
+    redirect captures keep the lexicographically least target."""
+    from data_engineering_assignment_spark.operators.crawl import (
+        resolve_redirects,
+    )
+
+    u = lambda s: f"http://h.example/{s}"  # noqa: E731
+    rows = [
+        # 3-hop chain a -> b -> c -> d (b's Location is RELATIVE)
+        (u("a"), 301, u("b")),
+        (u("b"), 302, "/c"),
+        (u("c"), 308, u("d")),
+        (u("d"), 200, None),
+        # 2-cycle and a self-loop
+        (u("x"), 301, u("y")),
+        (u("y"), 301, u("x")),
+        (u("self"), 301, u("self")),
+        # recrawl flip: captured as 200 AND 301 -> redirect wins
+        (u("flip"), 200, None),
+        (u("flip"), 301, u("d")),
+        # duplicate redirect captures -> min(target) deterministic
+        (u("dup"), 301, u("zzz")),
+        (u("dup"), 301, u("d")),
+    ]
+    # an 18-hop chain under max_hops=16 must NOT resolve
+    rows += [(u(f"n{i:02d}"), 301, u(f"n{i + 1:02d}")) for i in range(18)]
+    rows.append((u("n18"), 200, None))
+    df = spark.createDataFrame(
+        rows, "target_uri string, http_status int, http_location string"
+    )
+    got = {
+        r.url: (r.final_url, r.hops, r.resolved)
+        for r in resolve_redirects(df).collect()
+    }
+    assert got[u("a")] == (u("d"), 3, True)
+    assert got[u("b")] == (u("d"), 2, True)
+    assert got[u("c")] == (u("d"), 1, True)
+    assert got[u("d")] == (u("d"), 0, True)
+    for dead in ("x", "y", "self"):
+        assert got[u(dead)] == (None, None, False)
+    assert got[u("flip")] == (u("d"), 1, True)
+    assert got[u("dup")] == (u("d"), 1, True)
+    # 18 > max_hops: the head of the long chain is dead-lettered...
+    assert got[u("n00")] == (None, None, False)
+    # ...but its sub-chains inside the cap still resolve (n02 is 16 away)
+    assert got[u("n02")] == (u("n18"), 16, True)
+    assert len(got) == 4 + 3 + 1 + 1 + 19
+
+
+def test_warc_records_carries_location_header(spark):
+    """warc_records exposes the Location singleton header (first wins)
+    for redirect responses and NULL elsewhere."""
+    from data_engineering_assignment_spark.functions.warc import build_warc
+    from data_engineering_assignment_spark.sources import warc_records
+
+    blob = build_warc(
+        [
+            (
+                {
+                    "WARC-Type": "response",
+                    "WARC-Target-URI": "http://h.example/old",
+                    "Content-Type": "application/http;msgtype=response",
+                },
+                b"HTTP/1.1 301 Moved Permanently\r\n"
+                b"Location: /new\r\nLocation: /second-ignored\r\n\r\n",
+            ),
+            (
+                {
+                    "WARC-Type": "response",
+                    "WARC-Target-URI": "http://h.example/ok",
+                    "Content-Type": "application/http;msgtype=response",
+                },
+                b"HTTP/1.1 200 OK\r\n\r\nhi",
+            ),
+        ]
+    )
+    df = spark.createDataFrame([(1, blob)], "archive_id long, content binary")
+    got = {
+        r.target_uri: (r.http_status, r.http_location)
+        for r in warc_records(df).collect()
+    }
+    assert got["http://h.example/old"] == (301, "/new")
+    assert got["http://h.example/ok"] == (200, None)
+
+
+def test_parse_sitemap_contract():
+    """parse_sitemap: namespaced and bare roots, urlset vs sitemapindex,
+    gzip sniff, loc-less entries skipped, unknown children ignored,
+    malformed XML / wrong root raise ValueError."""
+    import gzip
+
+    from data_engineering_assignment_spark.functions.sitemaps import (
+        build_sitemap,
+        parse_sitemap,
+    )
+
+    xml = (
+        '<?xml version="1.0"?>'
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        "<url><loc>http://h.example/a</loc>"
+        "<lastmod>2026-01-02</lastmod><priority>0.8</priority>"
+        "<mobile>ignored</mobile></url>"
+        "<url><lastmod>2026-01-03</lastmod></url>"  # loc-less: skipped
+        "<url><loc>http://h.example/b</loc></url>"
+        "</urlset>"
+    )
+    r = parse_sitemap(xml)
+    assert r["kind"] == "urlset"
+    assert [e["loc"] for e in r["entries"]] == [
+        "http://h.example/a",
+        "http://h.example/b",
+    ]
+    assert r["entries"][0]["lastmod"] == "2026-01-02"
+    assert r["entries"][0]["priority"] == "0.8"
+    assert r["entries"][1]["lastmod"] is None
+
+    # bare (undeclared-namespace) root parses the same
+    bare = "<urlset><url><loc>http://h.example/c</loc></url></urlset>"
+    assert parse_sitemap(bare)["entries"][0]["loc"] == "http://h.example/c"
+
+    # sitemapindex + gzip round-trip through the fixture builder
+    idx = build_sitemap(
+        [{"loc": "http://h.example/s1.xml"}, {"loc": "http://h.example/s2.xml"}],
+        kind="sitemapindex",
+        gzipped=True,
+    )
+    assert idx[:2] == b"\x1f\x8b"
+    r2 = parse_sitemap(idx)
+    assert r2["kind"] == "sitemapindex"
+    assert len(r2["entries"]) == 2
+    # plain-bytes path too
+    assert parse_sitemap(gzip.decompress(idx))["kind"] == "sitemapindex"
+
+    for junk in ("<urlset><url>", "<rss></rss>", "not xml at all"):
+        with pytest.raises(ValueError):
+            parse_sitemap(junk)
+
+
+def test_sitemap_entries_dead_letter_and_fanout(spark):
+    """sitemap_entries: one row per entry, entry-less documents survive
+    as a (kind, NULL-loc) census row, malformed documents as one
+    parse_ok=false row — never dropped."""
+    from data_engineering_assignment_spark.functions.sitemaps import (
+        build_sitemap,
+    )
+    from data_engineering_assignment_spark.operators.crawl import (
+        sitemap_entries,
+    )
+
+    good = build_sitemap(
+        [
+            {"loc": "http://h.example/a", "priority": "0.5"},
+            {"loc": "http://h.example/b"},
+        ]
+    )
+    empty = build_sitemap([])
+    df = spark.createDataFrame(
+        [
+            ("http://h.example/sm1.xml", bytearray(good)),
+            ("http://h.example/sm2.xml", bytearray(empty)),
+            ("http://h.example/sm3.xml", bytearray(b"<oops")),
+            ("http://h.example/sm4.xml", None),
+        ],
+        "target_uri string, http_body binary",
+    )
+    rows = sitemap_entries(df).collect()
+    by_uri = {}
+    for r in rows:
+        by_uri.setdefault(r.sitemap_uri, []).append(r)
+    assert [r.loc for r in by_uri["http://h.example/sm1.xml"]] == [
+        "http://h.example/a",
+        "http://h.example/b",
+    ]
+    assert by_uri["http://h.example/sm1.xml"][0].priority == "0.5"
+    (census,) = by_uri["http://h.example/sm2.xml"]
+    assert census.kind == "urlset" and census.loc is None and census.parse_ok
+    for dead_uri in ("http://h.example/sm3.xml", "http://h.example/sm4.xml"):
+        (dead,) = by_uri[dead_uri]
+        assert dead.parse_ok is False and dead.kind is None
+
+
+def test_robots_sitemap_discovery():
+    """sitemap_urls extracts Sitemap: lines anywhere in the file
+    (case-insensitive field, comments stripped, duplicates dropped)
+    while parse_robots keeps ignoring them for group structure."""
+    from data_engineering_assignment_spark.functions.robots import (
+        parse_robots,
+        sitemap_urls,
+    )
+
+    txt = (
+        "User-agent: a\n"
+        "Sitemap: http://h.example/sm1.xml\n"
+        "User-agent: b\n"
+        "Disallow: /x\n"
+        "SITEMAP: http://h.example/sm2.xml # trailing comment\n"
+        "sitemap: http://h.example/sm1.xml\n"  # duplicate
+        "# Sitemap: http://h.example/commented-out.xml\n"
+        "Sitemap:\n"  # empty value: skipped
+    )
+    assert sitemap_urls(txt) == [
+        "http://h.example/sm1.xml",
+        "http://h.example/sm2.xml",
+    ]
+    groups = parse_robots(txt)
+    assert len(groups) == 1 and groups[0]["agents"] == ["a", "b"]

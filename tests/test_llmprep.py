@@ -356,3 +356,38 @@ def test_intra_doc_repetition_plan_single_tokenize_and_generate(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("split(text") == 1
     assert plan.count("Generate") == 1
+
+
+def test_gopher_quality_flags_rules(spark):
+    """Each Gopher rule fires on a targeted fixture and the clean doc
+    passes all seven (integer cross-multiplication thresholds)."""
+    from data_engineering_assignment_spark.operators.llmprep import (
+        gopher_quality_flags,
+    )
+
+    clean = " ".join(["the quick brown fox of and lore"] * 8)  # 56 words
+    docs = [
+        ("clean", clean),
+        ("short", "the of tiny doc"),  # < 50 words
+        ("shouty", clean + " " + " ".join(["#"] * 20)),  # symbol ratio
+        ("bullets", ("- b\n" * 19) + clean),  # 19/20 lines bulleted
+        ("dots", ("x...\n" * 2) + clean),  # 2/3 lines end ...
+        ("digits", clean + " " + " ".join(["123"] * 20)),  # alpha < 80%
+        ("tiny-words", " ".join(["a b c d e f g"] * 8)),  # mean len < 3
+        ("no-stop", " ".join(["lorem ipsum dolor sit amet xyzzy"] * 9)),
+    ]
+    df = spark.createDataFrame(docs, "name string, text string")
+    got = {r.name: r.asDict() for r in gopher_quality_flags(df).collect()}
+    c = got["clean"]
+    assert c["gopher_pass"] and all(
+        c[k] for k in got["clean"] if k.startswith("rule_")
+    )
+    assert not got["short"]["rule_word_count"]
+    assert not got["shouty"]["rule_symbol_ratio"]
+    assert not got["bullets"]["rule_bullet_lines"]
+    assert not got["dots"]["rule_ellipsis_lines"]
+    assert not got["digits"]["rule_alpha_words"]
+    assert not got["tiny-words"]["rule_mean_word_len"]
+    assert not got["no-stop"]["rule_stopwords"]
+    for name in docs[1:]:
+        assert not got[name[0]]["gopher_pass"]
