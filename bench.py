@@ -314,6 +314,10 @@ HEADLINE = [
     "gopher_quality_stats",
     # round 12: KMV bottom-k set-operation estimates (oracle-gated)
     "kmv_set_overlap",
+    # round 12: CDX payload digests + recrawl snapshot diff (oracle-gated)
+    "cdx_recrawl_diff",
+    # round 12: C4 cleaning + cross-doc line dedup (oracle-gated)
+    "c4_clean_stats",
 ]
 
 

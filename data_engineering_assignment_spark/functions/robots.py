@@ -91,6 +91,54 @@ def sitemap_urls(text: str) -> list[str]:
     return out
 
 
+def crawl_delay(text: str, agent: str) -> int | None:
+    """``Crawl-delay`` seconds for the agent, or None — the de-facto
+    politeness field (RFC 9309 ignores it; Bing/Yandex-class crawlers
+    honor it, and our frontier politeness gate can size its per-host
+    interval from it). Group semantics mirror :func:`rules_for_agent`:
+    the field is group-scoped, structure-NEUTRAL for group boundaries
+    (parse_robots ignores it there — one documented model, not two),
+    exact-token groups beat ``*`` groups, and when several selected
+    groups declare delays the MAXIMUM wins (the conservative, politest
+    reading). Fractional values round UP to whole seconds; malformed
+    values are ignored like any unknown line."""
+    import math
+
+    agent = agent.lower()
+    groups: list[dict] = []
+    cur: dict | None = None
+    expecting_agents = False
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            continue
+        field, sep, value = line.partition(":")
+        if not sep:
+            continue
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            if cur is None or not expecting_agents:
+                cur = {"agents": [], "delays": []}
+                groups.append(cur)
+                expecting_agents = True
+            cur["agents"].append(value.lower())
+        elif field in ("allow", "disallow"):
+            expecting_agents = False
+        elif field == "crawl-delay" and cur is not None:
+            # structure-neutral (doesn't end the User-agent run) but
+            # GROUP-scoped: a group that gains more agent tokens after
+            # this line still inherits the delay
+            try:
+                cur["delays"].append(math.ceil(float(value)))
+            except (ValueError, OverflowError):  # junk / inf values
+                continue
+    exact = [d for g in groups if agent in g["agents"] for d in g["delays"]]
+    star = [d for g in groups if "*" in g["agents"] for d in g["delays"]]
+    chosen = exact if exact else star
+    return max(chosen) if chosen else None
+
+
 def rules_for_agent(text: str, agent: str) -> list[tuple[bool, str]]:
     """The (allow, pattern) rules the ``agent`` product token must obey:
     the union of exact-token groups if any exist, else the union of

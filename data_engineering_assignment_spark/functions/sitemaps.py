@@ -34,17 +34,35 @@ def _local(tag: str) -> str:
 
 
 def parse_sitemap(content: bytes | str) -> dict:
-    """Parse one sitemap document → ``{"kind": "urlset"|"sitemapindex",
-    "entries": [{"loc", "lastmod", "changefreq", "priority"}, ...]}``.
-    ``sitemapindex`` children carry the same dict shape (``lastmod``
-    only; the other fields stay None). Raises ValueError on malformed
-    XML or a non-sitemap root element."""
+    """Parse one sitemap document → ``{"kind": "urlset"|"sitemapindex"|
+    "textlist", "entries": [{"loc", "lastmod", "changefreq",
+    "priority"}, ...]}``. ``sitemapindex`` children carry the same dict
+    shape (``lastmod`` only; the other fields stay None). Non-XML input
+    is accepted as the spec's PLAIN-TEXT sitemap form — one
+    fully-qualified URL per line, UTF-8 — but ONLY if every non-empty
+    line starts with http(s)://, so junk bytes still dead-letter.
+    Raises ValueError on malformed XML, a non-sitemap root element, or
+    non-XML content that is not a clean URL list."""
     if isinstance(content, (bytes, bytearray)):
         data = bytes(content)
         if data[:2] == b"\x1f\x8b":
             data = gzip.decompress(data)
     else:
         data = content.encode("utf-8")
+    if not data.lstrip().startswith(b"<"):
+        lines = [ln.strip() for ln in data.decode("utf-8").splitlines()]
+        lines = [ln for ln in lines if ln]
+        if lines and all(
+            ln.startswith(("http://", "https://")) for ln in lines
+        ):
+            return {
+                "kind": "textlist",
+                "entries": [
+                    {"loc": ln, **{k: None for k in _FIELDS}}
+                    for ln in lines
+                ],
+            }
+        raise ValueError("sitemap: neither XML nor a plain-text URL list")
     try:
         root = ET.fromstring(data)
     except ET.ParseError as e:

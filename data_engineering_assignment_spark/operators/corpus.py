@@ -1010,3 +1010,118 @@ def bigram_lm_scores(
             F.col("lm_score_avg"),
         )
     )
+
+
+def c4_line_clean(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 3,
+    min_sentences: int = 5,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """C4-style page cleaning (Raffel et al. 2020 §2.2 — the published
+    Common Crawl cleaning recipe T5 trained on) plus cross-document LINE
+    dedup (the CCNet/RefinedWeb variant of C4's three-sentence-span
+    rule, which ``dup_span_stats`` covers at span granularity):
+
+    * line filters — keep lines ending in terminal punctuation
+      (``. ! ? "``), with >= ``min_words`` whitespace words, and not
+      mentioning ``javascript`` (case-insensitive);
+    * page filters — drop pages containing ``{`` or ``lorem ipsum``
+      (raw text), or whose KEPT lines carry < ``min_sentences``
+      sentence enders;
+    * cross-doc dedup — each surviving line is kept only at its FIRST
+      occurrence corpus-wide (lexicographic min (doc, line-index): one
+      min(struct) per line content, the arg-min invariant), then pages
+      reassemble in original line order.
+
+    Output: one row per input page (dead-letter discipline — filtered
+    pages survive with ``page_ok = false`` and NULL ``clean_text``):
+    (id, page_ok, n_lines_kept, n_lines_dropped, n_dup_dropped,
+    clean_text).
+
+    Scale shape: line filtering is one JVM HOF pass; the dedup is an
+    explode + map-side-combinable min(struct) per line content +
+    equi-join back (AQE-splittable; NEVER a window over the line key — a
+    boilerplate line is by definition a hot key); reassembly is a
+    per-doc collect of the BOUNDED surviving lines. Page text crosses
+    the shuffle once, as lines."""
+    c = F.col(text_col)
+    lines = F.split(c, "\n")
+    line_ok = (
+        lambda l: (
+            l.endswith(".") | l.endswith("!") | l.endswith("?")
+            | l.endswith('"')
+        )
+        & (F.size(F.split(l, " ")) >= min_words)
+        & ~F.lower(l).contains("javascript")
+    )
+    kept = F.filter(lines, line_ok)
+    base = df.select(
+        F.col(id_col),
+        kept.alias("_kept"),
+        (F.size(lines) - F.size(kept)).cast("long").alias("n_lines_dropped"),
+        (
+            ~c.contains("{")
+            & ~F.lower(c).contains("lorem ipsum")
+            & (
+                F.aggregate(
+                    kept,
+                    F.lit(0).cast("long"),
+                    lambda acc, l: acc + F.regexp_count(l, F.lit(r"[.!?]")),
+                )
+                >= min_sentences
+            )
+        ).alias("page_ok"),
+    )
+    if checkpoint:  # the filtered line pass feeds the explode AND the
+        # final stats join — checkpoint (lazy) so the HOF pass runs once.
+        # checkpoint=False is the plan-test escape hatch (winnow pattern).
+        base = base.localCheckpoint(eager=False)
+    exploded = base.filter("page_ok").select(
+        id_col, F.posexplode("_kept").alias("idx", "line")
+    )
+    first = exploded.groupBy("line").agg(
+        F.min(F.struct(id_col, "idx")).alias("_first")
+    )
+    survivors = (
+        exploded.join(first, "line")
+        .filter(
+            (F.col(id_col) == F.col(f"_first.{id_col}"))
+            & (F.col("idx") == F.col("_first.idx"))
+        )
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(F.collect_list(F.struct("idx", "line"))).alias("_s")
+        )
+        .select(
+            id_col,
+            F.array_join(
+                F.transform("_s", lambda s: s.getField("line")), "\n"
+            ).alias("clean_text"),
+            F.size("_s").cast("long").alias("_n_survive"),
+        )
+    )
+    out = (
+        base.join(survivors, id_col, "left")
+        .select(
+            id_col,
+            "page_ok",
+            F.when(F.col("page_ok"), F.size("_kept"))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("n_lines_kept"),
+            "n_lines_dropped",
+            F.when(
+                F.col("page_ok"),
+                F.size("_kept") - F.coalesce("_n_survive", F.lit(0)),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("n_dup_dropped"),
+            F.when(F.col("page_ok"), F.coalesce("clean_text", F.lit("")))
+            .alias("clean_text"),
+        )
+    )
+    return out

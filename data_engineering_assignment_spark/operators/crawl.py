@@ -974,10 +974,51 @@ def cdx_index(
         "target_uri",
         F.col("http_content_type").alias("mime"),
         F.col("http_status").alias("status"),
+        F.col("payload_digest").alias("digest"),
         "rec_offset",
         "rec_length",
         id_col,
     )
+
+
+def cdx_snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str = "urlkey",
+    digest_col: str = "digest",
+) -> DataFrame:
+    """Recrawl delta between two CDX snapshots — the incremental-crawl
+    planning step (what must be refetched, what appeared, what vanished):
+    one FULL OUTER equi-join on the SURT urlkey classifies every capture
+
+    * ``added``     — in the new snapshot only;
+    * ``gone``      — in the old snapshot only;
+    * ``changed``   — in both, payload digest differs;
+    * ``unchanged`` — in both, payload digest identical (a refetch the
+      next crawl can skip — the politeness/budget win).
+
+    Duplicate captures of a urlkey within one snapshot keep the
+    lexicographically greatest (digest) per key (deterministic; real CDX
+    readers take the latest capture — callers with timestamps should
+    pre-pick theirs). Output: (urlkey, old_digest, new_digest, change).
+
+    Scale shape: per-snapshot groupBy + one content-key equi-join, both
+    AQE-splittable; no window, no broadcast of either snapshot (at 100 TB
+    both sides are corpus-sized)."""
+    o = old.groupBy(F.col(key_col).alias("urlkey")).agg(
+        F.max(digest_col).alias("old_digest")
+    )
+    n = new.groupBy(F.col(key_col).alias("urlkey")).agg(
+        F.max(digest_col).alias("new_digest")
+    )
+    j = o.join(n, "urlkey", "full_outer")
+    change = (
+        F.when(F.col("old_digest").isNull(), F.lit("added"))
+        .when(F.col("new_digest").isNull(), F.lit("gone"))
+        .when(F.col("old_digest") == F.col("new_digest"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select("urlkey", "old_digest", "new_digest", change.alias("change"))
 
 
 def filter_blocked_hosts(

@@ -900,3 +900,131 @@ def qdigest_event_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "grp", F.col("pct").cast("int").alias("pct"), "n", "est_cents",
         "digest_size", "node_moment", "lvl_moment",
     )
+
+
+# Deterministic planted pages (identical expressions in both engines) so
+# every C4 rule fires both ways: unique body lines, a five-sentence line,
+# a corpus-wide duplicated footer, short/punctuation-less/javascript junk
+# lines, and brace / lorem-ipsum / too-few-sentences page classes.
+_C4_ORACLE = """
+WITH t AS (
+  SELECT doc_id AS d, source,
+    'Document ' || doc_id || ' body line one.' || chr(10) ||
+    CASE WHEN doc_id % 7 = 3 THEN 'only one sentence here.'
+         ELSE 'S' || doc_id ||
+              ' one. Two three. Four five. Six seven. Eight nine.' END ||
+    CASE WHEN doc_id % 3 = 0
+         THEN chr(10) || 'Common boilerplate footer line.' ELSE '' END ||
+    chr(10) || 'too short.' ||
+    chr(10) || 'no terminal punctuation line' ||
+    CASE WHEN doc_id % 11 = 5
+         THEN chr(10) || 'beware javascript popup ads.' ELSE '' END ||
+    CASE WHEN doc_id % 13 = 0
+         THEN chr(10) || 'curly { bracket rejects page.' ELSE '' END ||
+    CASE WHEN doc_id % 17 = 3
+         THEN chr(10) || 'classic lorem ipsum filler text.' ELSE '' END
+      AS t2
+  FROM documents
+), f AS (
+  SELECT d, source, t2, len(string_split(t2, chr(10))) AS n_lines,
+    list_filter(string_split(t2, chr(10)),
+      x -> (x LIKE '%.' OR x LIKE '%!' OR x LIKE '%?' OR x LIKE '%"')
+           AND len(string_split(x, ' ')) >= 3
+           AND NOT contains(lower(x), 'javascript')) AS kept
+  FROM t
+), p AS (
+  SELECT d, source, kept, n_lines - len(kept) AS n_dropped,
+    (NOT contains(t2, '{') AND NOT contains(lower(t2), 'lorem ipsum')
+     AND list_sum(list_transform(kept,
+           x -> len(regexp_extract_all(x, '[.!?]')))) >= 5) AS page_ok
+  FROM f
+), ex AS (
+  SELECT d, source, kept[i + 1] AS line, i AS idx
+  FROM (SELECT d, source, kept, unnest(range(0, len(kept))) AS i
+        FROM p WHERE page_ok)
+), fi AS (
+  SELECT line, MIN({'d': d, 'i': idx}) AS fst FROM ex GROUP BY line
+), sv AS (
+  SELECT e.d,
+         (SUM(length(e.line)) + COUNT(*) - 1)::BIGINT AS clean_len,
+         COUNT(*)::BIGINT AS n_surv
+  FROM ex e JOIN fi ON e.line = fi.line
+  WHERE e.d = fi.fst.d AND e.idx = fi.fst.i
+  GROUP BY 1
+), res AS (
+  SELECT p.source, p.page_ok,
+    CASE WHEN p.page_ok THEN len(p.kept) ELSE 0 END AS n_kept,
+    p.n_dropped,
+    CASE WHEN p.page_ok THEN len(p.kept) - COALESCE(sv.n_surv, 0)
+         ELSE 0 END AS n_dup,
+    CASE WHEN p.page_ok THEN COALESCE(sv.clean_len, 0) END AS clean_len
+  FROM p LEFT JOIN sv ON sv.d = p.d
+)
+SELECT source, COUNT(*) AS n_pages,
+       SUM(page_ok::INT)::BIGINT AS n_pages_ok,
+       SUM(n_kept)::BIGINT AS kept_sum,
+       SUM(n_dropped)::BIGINT AS dropped_sum,
+       SUM(n_dup)::BIGINT AS dup_dropped_sum,
+       SUM(clean_len)::BIGINT AS clean_len_sum
+FROM res GROUP BY 1
+"""
+
+
+@register(
+    "c4_clean_stats",
+    oracle=_C4_ORACLE,
+    doc="C4 cleaning gate (operators/corpus.py c4_line_clean — the "
+    "published Raffel et al. 2020 §2.2 recipe: terminal-punctuation / "
+    "min-words / javascript line filters, brace / lorem-ipsum / "
+    "min-sentences page filters, plus cross-document LINE dedup at "
+    "first occurrence, the CCNet/RefinedWeb variant of C4's span rule): "
+    "pages planted per doc_id moduli carry every rule's pass AND fail "
+    "branch, a corpus-wide duplicated footer pins the arg-min dedup "
+    "(min(struct) per line content + equi-join back — never a window "
+    "over the hot line key), and reassembled clean-text lengths pin "
+    "line order. Filtered pages survive as page_ok=false rows (the "
+    "dead-letter census); per-source page/kept/dropped/dup/length sums "
+    "sit under one hash.",
+)
+def c4_clean_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import c4_line_clean
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    line2 = F.when(d % 7 == 3, F.lit("only one sentence here.")).otherwise(
+        F.concat(
+            F.lit("S"),
+            ds,
+            F.lit(" one. Two three. Four five. Six seven. Eight nine."),
+        )
+    )
+    text2 = F.concat(
+        F.lit("Document "), ds, F.lit(" body line one.\n"),
+        line2,
+        F.when(
+            d % 3 == 0, F.lit("\nCommon boilerplate footer line.")
+        ).otherwise(F.lit("")),
+        F.lit("\ntoo short.\nno terminal punctuation line"),
+        F.when(
+            d % 11 == 5, F.lit("\nbeware javascript popup ads.")
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 13 == 0, F.lit("\ncurly { bracket rejects page.")
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 17 == 3, F.lit("\nclassic lorem ipsum filler text.")
+        ).otherwise(F.lit("")),
+    )
+    planted = docs.select("doc_id", "source", text2.alias("text"))
+    cleaned = c4_line_clean(planted).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    return cleaned.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.sum(F.col("page_ok").cast("int")).cast("long").alias("n_pages_ok"),
+        F.sum("n_lines_kept").cast("long").alias("kept_sum"),
+        F.sum("n_lines_dropped").cast("long").alias("dropped_sum"),
+        F.sum("n_dup_dropped").cast("long").alias("dup_dropped_sum"),
+        F.sum(F.length("clean_text")).cast("long").alias("clean_len_sum"),
+    )

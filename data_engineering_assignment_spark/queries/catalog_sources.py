@@ -3930,14 +3930,16 @@ SELECT 's' || h::VARCHAR AS host,
   SUM(CASE WHEN m11 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_bad,
   SUM(CASE WHEN m11 <> 0 AND m5 = 0 THEN 2 ELSE 0 END)::BIGINT
     AS n_index_children,
-  SUM(CASE WHEN m11 <> 0 AND m5 <> 0 THEN k ELSE 0 END)::BIGINT AS n_entries,
-  SUM(CASE WHEN m11 <> 0 AND m5 <> 0 THEN k * (22 + dd) ELSE 0 END)::BIGINT
+  SUM(CASE WHEN m11 <> 0 AND m5 = 1 THEN k ELSE 0 END)::BIGINT
+    AS n_text_entries,
+  SUM(CASE WHEN m11 <> 0 AND m5 >= 2 THEN k ELSE 0 END)::BIGINT AS n_entries,
+  SUM(CASE WHEN m11 <> 0 AND m5 >= 2 THEN k * (22 + dd) ELSE 0 END)::BIGINT
     AS loc_len_sum,
-  MAX(CASE WHEN m11 <> 0 AND m5 <> 0
+  MAX(CASE WHEN m11 <> 0 AND m5 >= 2
        THEN '2026-01-' || LPAD(day::VARCHAR, 2, '0') END) AS max_lastmod,
-  SUM(CASE WHEN m11 <> 0 AND m5 <> 0 THEN k * p ELSE 0 END)::BIGINT
+  SUM(CASE WHEN m11 <> 0 AND m5 >= 2 THEN k * p ELSE 0 END)::BIGINT
     AS priority_decile_sum,
-  SUM(CASE WHEN m11 <> 0 AND m5 <> 0 THEN k - 1 ELSE 0 END)::BIGINT
+  SUM(CASE WHEN m11 <> 0 AND m5 >= 1 THEN k - 1 ELSE 0 END)::BIGINT
     AS n_frontier_new
 FROM t GROUP BY 1
 """
@@ -3951,10 +3953,12 @@ FROM t GROUP BY 1
     "half of the polite-crawl loop beside robots_filter): every "
     "document becomes one sitemap fixture — urlset of (doc_id%9)+1 "
     "entries with closed-form locs/lastmod/priority, a 2-child "
-    "sitemapindex for doc_id%5 = 0, malformed XML for doc_id%11 = 0 "
-    "(one parse_ok=false dead-letter row), gzip members for doc_id%3 = "
-    "0 (the .xml.gz wire form, sniff pinned because counts would halve "
-    "if gz docs failed). Per-host entry counts, loc length sums, "
+    "sitemapindex for doc_id%5 = 0, the spec's PLAIN-TEXT one-URL-per-"
+    "line form for doc_id%5 = 1 (kind='textlist'), malformed XML for "
+    "doc_id%11 = 0 (one parse_ok=false dead-letter row), gzip members "
+    "for doc_id%3 = 0 (the .xml.gz wire form, sniff pinned because "
+    "counts would halve if gz docs failed). Per-host entry counts "
+    "(XML and text counted separately), loc length sums, "
     "lexicographic max lastmod, priority deciles (verbatim-string "
     "parse, no float surface) and the frontier NEW-url count (canonical "
     "locs LEFT ANTI the captured set — j=0 of every doc is already "
@@ -3989,6 +3993,18 @@ def sitemap_frontier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                         kind="sitemapindex",
                         gzipped=gz,
                     )
+                elif did % 5 == 1:
+                    import gzip as _gz
+
+                    k = (did % 9) + 1
+                    txt = (
+                        "\n".join(
+                            f"http://s{h}.example/p/{did}/{j}"
+                            for j in range(k)
+                        )
+                        + "\n"
+                    ).encode("utf-8")
+                    blob = _gz.compress(txt, 6) if gz else txt
                 else:
                     k = (did % 9) + 1
                     blob = build_sitemap(
@@ -4017,10 +4033,12 @@ def sitemap_frontier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract("sitemap_uri", r"//s(\d+)\.example/", 1),
     )
     is_url = (F.col("kind") == "urlset") & F.col("loc").isNotNull()
+    is_text = (F.col("kind") == "textlist") & F.col("loc").isNotNull()
     is_child = (F.col("kind") == "sitemapindex") & F.col("loc").isNotNull()
     base = ent.groupBy(host.alias("host")).agg(
         F.sum((~F.col("parse_ok")).cast("int")).cast("long").alias("n_bad"),
         F.sum(is_child.cast("int")).cast("long").alias("n_index_children"),
+        F.sum(is_text.cast("int")).cast("long").alias("n_text_entries"),
         F.sum(is_url.cast("int")).cast("long").alias("n_entries"),
         F.sum(F.when(is_url, F.length("loc")).otherwise(0))
         .cast("long")
@@ -4040,7 +4058,7 @@ def sitemap_frontier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("url")
     )
     fresh = (
-        ent.filter(is_url)
+        ent.filter(is_url | is_text)
         .select(host.alias("host"), canonical_url("loc").alias("url"))
         .join(captured, "url", "left_anti")
         .groupBy("host")
@@ -4051,4 +4069,97 @@ def sitemap_frontier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_frontier_new", F.lit(0)).cast("long").alias(
             "n_frontier_new"
         ),
+    )
+
+
+_CDX_DIFF_ORACLE = """
+WITH t AS (
+  SELECT doc_id % 4 AS c, LENGTH(doc_id::VARCHAR) AS dd FROM documents
+)
+SELECT CASE c WHEN 0 THEN 'unchanged' WHEN 1 THEN 'added'
+              WHEN 2 THEN 'changed' ELSE 'gone' END AS change,
+       COUNT(*) AS n_urls,
+       SUM(14 + dd)::BIGINT AS urlkey_len_sum,
+       SUM(CASE WHEN c <> 1 THEN 1 ELSE 0 END)::BIGINT AS n_with_old,
+       SUM(CASE WHEN c <> 3 THEN 1 ELSE 0 END)::BIGINT AS n_with_new
+FROM t GROUP BY 1
+"""
+
+
+@register(
+    "cdx_recrawl_diff",
+    oracle=_CDX_DIFF_ORACLE,
+    doc="Recrawl-delta gate (operators/crawl.py cdx_snapshot_diff; "
+    "sources.warc_records payload_digest — md5 of the raw payload, the "
+    "WARC-Payload-Digest role): two CDX snapshots are generated per "
+    "document by doc_id%4 — present-identical (unchanged), new-only "
+    "(added), present-with-mutated-body (changed), old-only (gone) — "
+    "and the FULL OUTER urlkey join classifies every capture; the "
+    "classification itself pins digest behavior (same payload -> same "
+    "digest, one-byte mutation -> different digest) because any digest "
+    "defect shifts the class counts. Per-class capture counts, SURT "
+    "urlkey length sums and old/new presence counts sit under one "
+    "hash. Scale shape: per-snapshot groupBy + one AQE-splittable "
+    "content-key equi-join; neither snapshot is broadcast.",
+)
+def cdx_recrawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from ..functions.warc import build_warc
+    from ..operators.crawl import cdx_index, cdx_snapshot_diff
+    from ..tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def make(batches):
+        for pdf in batches:
+            rows = []
+            for x in pdf["doc_id"]:
+                did = int(x)
+                c = did % 4
+                uri = f"http://s{did % 7}.example/p/{did}"
+                body = b"x" * (10 + did % 50)
+
+                def blob(extra: bytes) -> bytes:
+                    payload = (
+                        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                        + body
+                        + extra
+                    )
+                    return build_warc(
+                        [
+                            (
+                                {
+                                    "WARC-Type": "response",
+                                    "WARC-Target-URI": uri,
+                                    "Content-Type": (
+                                        "application/http;msgtype=response"
+                                    ),
+                                },
+                                payload,
+                            )
+                        ]
+                    )
+
+                if c != 1:  # old snapshot capture
+                    rows.append((did, "a", blob(b"")))
+                if c != 3:  # new snapshot capture, mutated body for c==2
+                    rows.append((did, "b", blob(b"!" if c == 2 else b"")))
+            yield pd.DataFrame(rows, columns=["archive_id", "snap", "content"])
+
+    media = docs.mapInPandas(
+        make, "archive_id long, snap string, content binary"
+    )
+    old = cdx_index(media.filter(F.col("snap") == "a"))
+    new = cdx_index(media.filter(F.col("snap") == "b"))
+    diff = cdx_snapshot_diff(old, new)
+    return diff.groupBy("change").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.sum(F.length("urlkey")).cast("long").alias("urlkey_len_sum"),
+        F.sum(F.col("old_digest").isNotNull().cast("int"))
+        .cast("long")
+        .alias("n_with_old"),
+        F.sum(F.col("new_digest").isNotNull().cast("int"))
+        .cast("long")
+        .alias("n_with_new"),
     )

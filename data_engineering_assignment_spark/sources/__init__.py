@@ -234,6 +234,11 @@ def warc_records(
     (possibly a RELATIVE reference; NULL when absent) — with
     ``http_status`` it is the redirect-edge input to
     ``operators.crawl.resolve_redirects``.
+    ``payload_digest`` is the md5 hex of the record's RAW payload bytes
+    (the WARC-Payload-Digest role, md5 because both engines can replay
+    it) — the content-change signal ``operators.crawl.cdx_snapshot_diff``
+    keys recrawl deltas on; a metadata-sized column, so it rides along
+    without ``include_body``.
 
     ``include_body=True`` adds ``http_body`` (the HTTP message body of
     ``application/http`` response records, NULL elsewhere — the input
@@ -245,6 +250,7 @@ def warc_records(
     decode failure and the column carries the RAW bytes, a countable
     dead-letter. Opt-in because metadata-only scans shouldn't ship page
     bytes through the rest of the plan."""
+    import hashlib
     from collections.abc import Iterator
 
     import pandas as pd
@@ -255,7 +261,8 @@ def warc_records(
         f"{id_col} long, rec_idx int, warc_type string, target_uri string,"
         " content_type string, http_status int, http_content_type string,"
         " http_location string,"
-        " payload_len long, rec_offset long, rec_length long,"
+        " payload_len long, payload_digest string,"
+        " rec_offset long, rec_length long,"
         " parse_ok boolean"
     )
     if include_body:
@@ -265,7 +272,8 @@ def warc_records(
         cols = [
             id_col, "rec_idx", "warc_type", "target_uri", "content_type",
             "http_status", "http_content_type", "http_location",
-            "payload_len", "rec_offset", "rec_length", "parse_ok",
+            "payload_len", "payload_digest", "rec_offset", "rec_length",
+            "parse_ok",
         ]
         if include_body:
             cols += ["http_body", "http_body_ok"]
@@ -287,6 +295,7 @@ def warc_records(
                             r.get("http_content_type"),
                             r.get("http_location"),
                             len(r["payload"]),
+                            hashlib.md5(r["payload"]).hexdigest(),
                             r["rec_offset"],
                             r["rec_length"],
                             True,
@@ -300,7 +309,7 @@ def warc_records(
                 except Exception:
                     row = (
                         aid, None, None, None, None, None, None, None, None,
-                        None, None, False,
+                        None, None, None, False,
                     )
                     if include_body:
                         row += (None, None)

@@ -823,6 +823,7 @@ def frontier_politeness_gate(
     ts_col: str = "ts",
     interval_seconds: int = 10,
     watermark: str = "10 minutes",
+    interval_col: str | None = None,
 ) -> DataFrame:
     """Per-host politeness for a fetch frontier: at most ONE URL per
     host per ``interval_seconds`` event-time bucket reaches the fetcher
@@ -835,10 +836,19 @@ def frontier_politeness_gate(
     which URL wins is arrival order (a scheduling choice, not a
     deterministic function of the set — parity tests assert the
     (host, bucket) key set and the one-per-key bound, the batch twin
-    being ``distinct`` on the same key)."""
-    bucket = (
-        F.unix_timestamp(F.col(ts_col)) / F.lit(interval_seconds)
-    ).cast("long")
+    being ``distinct`` on the same key).
+
+    ``interval_col`` names a per-row interval column (seconds) — the
+    per-HOST politeness a robots ``Crawl-delay`` prescribes
+    (:func:`functions.robots.crawl_delay`; join the bounded host→delay
+    decision table onto the stream first, stream-static). Rows with a
+    NULL interval fall back to ``interval_seconds``."""
+    secs = (
+        F.coalesce(F.col(interval_col), F.lit(interval_seconds))
+        if interval_col is not None
+        else F.lit(interval_seconds)
+    )
+    bucket = (F.unix_timestamp(F.col(ts_col)) / secs).cast("long")
     keyed = stream.withColumn("politeness_bucket", bucket)
     return dedup_within_watermark(
         keyed,

@@ -499,3 +499,44 @@ def test_bigram_lm_scores_hand_model(spark):
         3: (0, 0, None),
         4: (2, 2_000_000, 1_000_000),
     }
+
+
+def test_c4_line_clean_rules_and_cross_doc_dedup(spark):
+    """C4 line rules (terminal punctuation, min words, javascript),
+    page rules (brace, lorem ipsum, min sentences), and the cross-doc
+    first-occurrence line dedup with in-order reassembly."""
+    from data_engineering_assignment_spark.operators.corpus import (
+        c4_line_clean,
+    )
+
+    good = "One two three. Two three four. Five. Six. Seven. Eight."
+    good3 = "Alpha beta gamma. Delta five. Six. Seven. Eight. Nine."
+    docs = [
+        # doc 1: all rules pass; shares the footer with doc 3
+        (1, good + "\nShared footer line text.\nno punct\nhi."),
+        # doc 2: lorem ipsum -> page dropped despite good lines
+        (2, good + "\nclassic lorem ipsum inside."),
+        # doc 3: unique body, loses the duplicated footer to doc 1
+        (3, good3 + "\nShared footer line text.\nBeware javascript ads."),
+        # doc 4: curly brace -> page dropped
+        (4, good + "\nhas { brace."),
+        # doc 5: too few sentences
+        (5, "Only one two sentence here."),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r for r in c4_line_clean(df).collect()}
+    assert got[1].page_ok and got[3].page_ok
+    assert not got[2].page_ok and not got[4].page_ok and not got[5].page_ok
+    # doc 1 keeps both lines ('no punct' fails punctuation, 'hi.' fails
+    # min-words); doc 3's footer is a cross-doc dup of doc 1's
+    assert got[1].clean_text == good + "\nShared footer line text."
+    assert got[1].n_lines_kept == 2 and got[1].n_lines_dropped == 2
+    assert got[1].n_dup_dropped == 0
+    assert got[3].clean_text == good3  # footer deduped, javascript dropped
+    assert got[3].n_lines_kept == 2 and got[3].n_lines_dropped == 1
+    assert got[3].n_dup_dropped == 1
+    for dead in (2, 4, 5):
+        assert got[dead].clean_text is None
+        assert got[dead].n_lines_kept == 0 and got[dead].n_dup_dropped == 0
+    # dropped-line counts are census data even for dropped pages
+    assert got[5].n_lines_dropped == 0 and got[2].n_lines_dropped == 0

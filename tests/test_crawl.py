@@ -785,3 +785,121 @@ def test_robots_sitemap_discovery():
     ]
     groups = parse_robots(txt)
     assert len(groups) == 1 and groups[0]["agents"] == ["a", "b"]
+
+
+def test_parse_sitemap_plain_text_form():
+    """The spec's plain-text sitemap: one fully-qualified URL per line
+    (blank lines skipped, gzip sniffed); anything with a non-URL line
+    still dead-letters."""
+    import gzip
+
+    from data_engineering_assignment_spark.functions.sitemaps import (
+        parse_sitemap,
+    )
+
+    txt = "http://h.example/a\n\nhttps://h.example/b\n"
+    r = parse_sitemap(txt)
+    assert r["kind"] == "textlist"
+    assert [e["loc"] for e in r["entries"]] == [
+        "http://h.example/a",
+        "https://h.example/b",
+    ]
+    assert r["entries"][0]["lastmod"] is None
+    rz = parse_sitemap(gzip.compress(txt.encode()))
+    assert rz == r
+    for junk in (
+        "http://h.example/a\ngarbage line\n",
+        "ftp://h.example/a\n",
+        "",
+        "   ",
+    ):
+        with pytest.raises(ValueError):
+            parse_sitemap(junk)
+
+
+def test_warc_payload_digest_and_cdx_snapshot_diff(spark):
+    """warc_records carries md5(payload) as payload_digest; the full-outer
+    snapshot diff classifies added/gone/changed/unchanged and dedupes
+    multiple captures per urlkey deterministically."""
+    import hashlib
+
+    from data_engineering_assignment_spark.functions.warc import build_warc
+    from data_engineering_assignment_spark.operators.crawl import (
+        cdx_snapshot_diff,
+    )
+    from data_engineering_assignment_spark.sources import warc_records
+
+    payload = b"HTTP/1.1 200 OK\r\n\r\nhello"
+    blob = build_warc(
+        [
+            (
+                {
+                    "WARC-Type": "response",
+                    "WARC-Target-URI": "http://h.example/p",
+                    "Content-Type": "application/http;msgtype=response",
+                },
+                payload,
+            )
+        ]
+    )
+    df = spark.createDataFrame([(1, blob)], "archive_id long, content binary")
+    (rec,) = warc_records(df).collect()
+    assert rec.payload_digest == hashlib.md5(payload).hexdigest()
+
+    old = spark.createDataFrame(
+        [
+            ("a)/", "d1"),
+            ("b)/", "d2"),
+            ("c)/", "d3"),
+            ("dup)/", "z9"),  # duplicate captures: max(digest) wins
+            ("dup)/", "a1"),
+        ],
+        "urlkey string, digest string",
+    )
+    new = spark.createDataFrame(
+        [
+            ("a)/", "d1"),  # unchanged
+            ("b)/", "d2x"),  # changed
+            ("d)/", "d4"),  # added
+            ("dup)/", "z9"),  # matches the kept max digest
+        ],
+        "urlkey string, digest string",
+    )
+    got = {r.urlkey: r.change for r in cdx_snapshot_diff(old, new).collect()}
+    assert got == {
+        "a)/": "unchanged",
+        "b)/": "changed",
+        "c)/": "gone",
+        "d)/": "added",
+        "dup)/": "unchanged",
+    }
+
+
+def test_robots_crawl_delay_semantics():
+    """crawl_delay: group-scoped, structure-neutral for group boundaries,
+    exact-token groups beat '*', max across selected groups, fractional
+    values ceil, junk ignored."""
+    from data_engineering_assignment_spark.functions.robots import (
+        crawl_delay,
+        parse_robots,
+    )
+
+    txt = (
+        "User-agent: a\n"
+        "Crawl-delay: 2.2\n"  # group still open: b joins [a, b]
+        "User-agent: b\n"
+        "Disallow: /x\n"
+        "User-agent: *\n"
+        "Crawl-delay: 7\n"
+        "Disallow: /\n"
+        "User-agent: b\n"
+        "Crawl-delay: 1\n"
+        "Crawl-delay: notanumber\n"
+        "Disallow: /y\n"
+    )
+    assert len(parse_robots(txt)) == 3  # delay lines never split groups
+    assert crawl_delay(txt, "a") == 3  # ceil(2.2), via the [a, b] group
+    assert crawl_delay(txt, "b") == 3  # max(3, 1) across b's two groups
+    assert crawl_delay(txt, "other") == 7  # falls to the '*' group
+    assert crawl_delay("User-agent: *\nDisallow: /\n", "a") is None
+    assert crawl_delay("Crawl-delay: 5\n", "a") is None  # before any group

@@ -1275,3 +1275,120 @@ def test_frontier_politeness_gate(spark, tmp_path):
     }
     assert set(got) == want
     assert len([1 for h, _ in got if h == "hot.example"]) == 2
+
+
+def test_streaming_sitemap_frontier_seeding(spark, tmp_path):
+    """Sitemap ingest runs UNMODIFIED on a stream (stateless mapInPandas)
+    and composes with the frontier's stream-static LEFT ANTI dedup
+    against the already-captured set: per-batch seeded URLs match the
+    batch run, captured locs never surface."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_assignment_spark.functions.sitemaps import (
+        build_sitemap,
+    )
+    from data_engineering_assignment_spark.operators.crawl import (
+        canonical_url,
+        sitemap_entries,
+    )
+
+    d = str(tmp_path / "sitemapstream")
+    rows = []
+    for i in range(4):
+        if i == 3:  # plain-text form rides the same operator
+            blob = f"http://st.example/p/{i}/0\nhttp://st.example/p/{i}/1\n".encode()
+        else:
+            blob = build_sitemap(
+                [
+                    {"loc": f"http://st.example/p/{i}/{j}"}
+                    for j in range(i + 1)
+                ],
+                gzipped=bool(i % 2),
+            )
+        rows.append((f"http://st.example/sm{i}.xml", bytearray(blob)))
+    batch = spark.createDataFrame(rows, "target_uri string, content binary")
+    batch.coalesce(2).write.parquet(d)
+
+    captured = spark.createDataFrame(
+        [(f"http://st.example/p/{i}/0",) for i in range(4)], "url string"
+    )
+
+    def pipeline(df):
+        ent = sitemap_entries(df, content_col="content")
+        return (
+            ent.filter(F.col("loc").isNotNull())
+            .select(canonical_url("loc").alias("url"))
+            .join(captured, "url", "left_anti")
+        )
+
+    src = spark.readStream.schema(batch.schema).parquet(d)
+    got = {
+        r.url
+        for r in st.run_available_now(
+            pipeline(src), output_mode="append"
+        ).collect()
+    }
+    want = {r.url for r in pipeline(batch).collect()}
+    assert got == want
+    # j=0 of every sitemap was already captured; the rest seed the frontier
+    assert got == {
+        "http://st.example/p/1/1",
+        "http://st.example/p/2/1",
+        "http://st.example/p/2/2",
+        "http://st.example/p/3/1",
+    }
+
+
+def test_politeness_gate_per_host_crawl_delay(spark, tmp_path):
+    """Crawl-delay-sized politeness: a static host->interval table
+    (functions.robots.crawl_delay values) joins onto the frontier stream
+    and the gate buckets each host by ITS OWN interval; hosts without a
+    delay fall back to the default."""
+    from pyspark.sql import functions as SF
+
+    d = str(tmp_path / "poldelay")
+    schema = "url_host string, url string, ts timestamp"
+    rows = []
+    # slow.example declares a 30-minute delay: URLs at minutes 0/11/25
+    # land in ONE 1800s bucket; nodelay.example's 10s default puts the
+    # same stamps in 3 buckets
+    for i, minute in enumerate((0, 11, 25)):
+        rows.append(("slow.example", f"http://slow.example/{i}", ts(minute)))
+        rows.append(("nodelay.example", f"http://n.example/{i}", ts(minute)))
+    batch = spark.createDataFrame(rows, schema)
+    batch.coalesce(1).write.parquet(d)
+    delays = spark.createDataFrame(
+        [("slow.example", 1800)], "url_host string, delay_s int"
+    )
+    src = (
+        spark.readStream.schema(batch.schema)
+        .parquet(d)
+        .join(delays, "url_host", "left")
+    )
+    out = st.run_available_now(
+        st.frontier_politeness_gate(src, interval_col="delay_s"),
+        output_mode="append",
+    ).collect()
+    got = [(r.url_host, r.politeness_bucket) for r in out]
+    assert len(got) == len(set(got))
+    by_host = {}
+    for h, b in got:
+        by_host.setdefault(h, set()).add(b)
+    assert len(by_host["slow.example"]) == 1  # 1800s interval: one fetch
+    assert len(by_host["nodelay.example"]) == 3  # default 10s buckets
+    want = {
+        (r.url_host, r.b)
+        for r in batch.join(delays, "url_host", "left")
+        .select(
+            "url_host",
+            (
+                SF.unix_timestamp("ts")
+                / SF.coalesce("delay_s", SF.lit(10))
+            )
+            .cast("long")
+            .alias("b"),
+        )
+        .distinct()
+        .collect()
+    }
+    assert set(got) == want
