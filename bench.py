@@ -318,6 +318,8 @@ HEADLINE = [
     "cdx_recrawl_diff",
     # round 12: C4 cleaning + cross-doc line dedup (oracle-gated)
     "c4_clean_stats",
+    # round 12: HITS hubs/authorities on the host graph (oracle-gated)
+    "host_graph_hits",
 ]
 
 

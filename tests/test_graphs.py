@@ -306,3 +306,28 @@ def test_sssp_frontier_plan_keeps_partial_min(spark):
     assert plans.has_partial_aggregation(df)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_hits_integer_hand_computed(spark):
+    """Three max-norm integer HITS iterations on a 4-node digraph,
+    hand-computed: pure hubs keep score scale, the chain node decays by
+    the floor-divided max-norm each round, sinks/sources carry 0 on the
+    missing side; duplicate edges dedup."""
+    from data_engineering_assignment_spark.operators.graphs import (
+        hits_integer,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 3), (2, 3), (3, 4), (1, 3)],  # duplicate edge dedups
+        "src long, dst long",
+    )
+    got = {
+        r.node: (r.hub, r.auth)
+        for r in hits_integer(edges, iters=3).collect()
+    }
+    assert got == {
+        1: (1_000_000, 0),
+        2: (1_000_000, 0),
+        3: (125_000, 1_000_000),
+        4: (0, 125_000),
+    }
