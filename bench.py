@@ -320,6 +320,8 @@ HEADLINE = [
     "c4_clean_stats",
     # round 12: HITS hubs/authorities on the host graph (oracle-gated)
     "host_graph_hits",
+    # round 12: crawl discovery capstone (robots -> sitemaps -> gate)
+    "crawl_discovery_pipeline",
 ]
 
 

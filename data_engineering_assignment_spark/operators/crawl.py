@@ -806,6 +806,74 @@ def _robots_health(content, agent: str) -> tuple[bool, int]:
         return False, 0
 
 
+def robots_sitemaps(
+    robots: DataFrame,
+    host_col: str = "url_host",
+    content_col: str = "content",
+) -> DataFrame:
+    """Explode each host's robots.txt into its ``Sitemap:`` discovery
+    lines — one row per (host, sitemap_url), nothing for hosts that
+    declare none (:func:`functions.robots.sitemap_urls`: first
+    occurrence wins, duplicates dropped). The discovery half of the
+    seed loop: feed the urls to the fetcher, then the captures to
+    :func:`sitemap_entries`. Undecodable robots bodies contribute no
+    rows here — count them via :func:`robots_census`."""
+    from collections.abc import Iterator
+
+    from ..functions.robots import sitemap_urls
+
+    schema = f"{host_col} string, sitemap_url string"
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for host, content in zip(pdf[host_col], pdf[content_col]):
+                try:
+                    if isinstance(content, (bytes, bytearray)):
+                        content = bytes(content).decode("utf-8", "replace")
+                    for u in sitemap_urls(str(content)):
+                        rows.append((host, u))
+                except Exception:
+                    continue
+            yield pd.DataFrame(rows, columns=[host_col, "sitemap_url"])
+
+    return robots.mapInPandas(mapper, schema)
+
+
+def robots_delays(
+    robots: DataFrame,
+    agent: str,
+    host_col: str = "url_host",
+    content_col: str = "content",
+) -> DataFrame:
+    """Per-host ``Crawl-delay`` seconds for ``agent`` — one row per
+    input host, ``crawl_delay_s`` NULL when the host declares none (or
+    its robots.txt fails to parse): the politeness interval table a
+    fetch scheduler joins stream-static into
+    :func:`streaming.frontier_politeness_gate(interval_col=...)`.
+    Semantics are :func:`functions.robots.crawl_delay` (group-scoped,
+    exact-token beats '*', max across selected groups, ceil)."""
+    from collections.abc import Iterator
+
+    from ..functions.robots import crawl_delay
+
+    schema = f"{host_col} string, crawl_delay_s int"
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for host, content in zip(pdf[host_col], pdf[content_col]):
+                try:
+                    if isinstance(content, (bytes, bytearray)):
+                        content = bytes(content).decode("utf-8", "replace")
+                    rows.append((host, crawl_delay(str(content), agent)))
+                except Exception:
+                    rows.append((host, None))
+            yield pd.DataFrame(rows, columns=[host_col, "crawl_delay_s"])
+
+    return robots.mapInPandas(mapper, schema)
+
+
 def robots_filter(
     urls: DataFrame,
     robots: DataFrame,

@@ -903,3 +903,41 @@ def test_robots_crawl_delay_semantics():
     assert crawl_delay(txt, "other") == 7  # falls to the '*' group
     assert crawl_delay("User-agent: *\nDisallow: /\n", "a") is None
     assert crawl_delay("Crawl-delay: 5\n", "a") is None  # before any group
+
+
+def test_robots_sitemaps_and_delays_operators(spark):
+    """robots_sitemaps explodes Sitemap: discovery lines (none for
+    silent or undecodable hosts); robots_delays emits one row per host
+    with NULL when no delay applies to the agent."""
+    from data_engineering_assignment_spark.operators.crawl import (
+        robots_delays,
+        robots_sitemaps,
+    )
+
+    robots = spark.createDataFrame(
+        [
+            (
+                "a.example",
+                bytearray(
+                    b"User-agent: graft\nCrawl-delay: 2.5\nDisallow: /x\n"
+                    b"Sitemap: http://a.example/s1.xml\n"
+                    b"Sitemap: http://a.example/s2.xml\n"
+                ),
+            ),
+            ("b.example", bytearray(b"User-agent: *\nDisallow: /\n")),
+            ("c.example", None),
+        ],
+        "url_host string, content binary",
+    )
+    sm = {
+        (r.url_host, r.sitemap_url)
+        for r in robots_sitemaps(robots).collect()
+    }
+    assert sm == {
+        ("a.example", "http://a.example/s1.xml"),
+        ("a.example", "http://a.example/s2.xml"),
+    }
+    dl = {
+        r.url_host: r.crawl_delay_s for r in robots_delays(robots, "graft").collect()
+    }
+    assert dl == {"a.example": 3, "b.example": None, "c.example": None}
