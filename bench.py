@@ -322,6 +322,12 @@ HEADLINE = [
     "host_graph_hits",
     # round 12: crawl discovery capstone (robots -> sitemaps -> gate)
     "crawl_discovery_pipeline",
+    # round 12: TAR container ingest (oracle-gated)
+    "tar_archive_stats",
+    # round 12: rank-function completeness (ntile/percent_rank/cume_dist)
+    "user_event_rank_suite",
+    # round 12: adaptive recrawl scheduling (oracle-gated)
+    "recrawl_schedule_stats",
 ]
 
 

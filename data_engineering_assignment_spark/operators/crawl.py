@@ -806,6 +806,47 @@ def _robots_health(content, agent: str) -> tuple[bool, int]:
         return False, 0
 
 
+def recrawl_schedule(
+    diff: DataFrame,
+    prior_col: str = "prior_interval_s",
+    min_interval_s: int = 3600,
+    max_interval_s: int = 30 * 86400,
+    default_interval_s: int = 86400,
+) -> DataFrame:
+    """Adaptive revisit intervals from a :func:`cdx_snapshot_diff`
+    result — the classic multiplicative refresh policy (Cho &
+    Garcia-Molina 2003 incremental-crawler shape): pages that CHANGED
+    since the last visit halve their interval (floor-clamped), pages
+    that did NOT double it (ceiling-clamped), newly-discovered pages
+    start at the default, and GONE pages leave the schedule
+    (``next_interval_s`` NULL — a countable retirement, never a dropped
+    row). A NULL prior (first time through the scheduler) behaves as
+    the default. Appends ``next_interval_s``; all long floor division —
+    SQL-replayable, zero float surface, one stateless column map (the
+    scale cost is wherever the diff came from)."""
+    prior = F.coalesce(F.col(prior_col), F.lit(default_interval_s)).cast(
+        "long"
+    )
+    nxt = (
+        F.when(
+            F.col("change") == "changed",
+            F.greatest(F.lit(min_interval_s).cast("long"), F.expr(
+                f"CAST(coalesce({prior_col}, {default_interval_s}) AS BIGINT)"
+                " div 2"
+            )),
+        )
+        .when(
+            F.col("change") == "unchanged",
+            F.least(F.lit(max_interval_s).cast("long"), prior * 2),
+        )
+        .when(
+            F.col("change") == "added",
+            F.lit(default_interval_s).cast("long"),
+        )
+    )
+    return diff.withColumn("next_interval_s", nxt)
+
+
 def robots_sitemaps(
     robots: DataFrame,
     host_col: str = "url_host",

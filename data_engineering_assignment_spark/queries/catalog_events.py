@@ -613,3 +613,48 @@ def event_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("k").alias("k_min"),
         F.max("k").alias("k_max"),
     )
+
+
+_RANK_SUITE_ORACLE = """
+SELECT event_id, user_id,
+       ntile(4)        OVER w AS quartile,
+       row_number()    OVER w AS rn,
+       percent_rank()  OVER w AS pr,
+       cume_dist()     OVER w AS cd,
+       lag(value)      OVER w AS prev_value,
+       lead(event_type) OVER w AS next_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+@register(
+    "user_event_rank_suite",
+    oracle=_RANK_SUITE_ORACLE,
+    doc="Per-row rank-function completeness gate: ntile / percent_rank "
+    "/ cume_dist / lag / lead / row_number over one per-user window — "
+    "the window-function corners no other catalog query exercises. "
+    "The order key (ts, event_id) is a TOTAL order (event_id unique), "
+    "so ntile's tie-splitting and lag/lead neighbors are deterministic "
+    "on both engines; percent_rank/cume_dist are single exact IEEE "
+    "divisions of small integers (bit-identical, no dround needed). "
+    "user_id is an ENTITY key (bounded per-user rows), so the one "
+    "per-group sort this genuinely requires — rank-per-ROW output "
+    "cannot use histogram pruning, the documented cost — is never a "
+    "content-key straggler.",
+)
+def user_event_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.ntile(4).over(w).alias("quartile"),
+        F.row_number().over(w).alias("rn"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )

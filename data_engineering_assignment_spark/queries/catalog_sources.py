@@ -4314,3 +4314,182 @@ def crawl_discovery_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("politeness_wall_s"),
         )
     )
+
+
+_TAR_ORACLE = """
+WITH t AS (
+  SELECT doc_id AS d, (doc_id % 4) + 1 AS k,
+         CASE WHEN doc_id % 13 = 0 THEN 'bad'
+              WHEN doc_id % 2 = 1 THEN 'tar.gz' ELSE 'tar' END AS container
+  FROM documents
+), files AS (
+  SELECT d, container, 'file' AS kind,
+         (5 + (d + j) % 9)::BIGINT AS size,
+         (1700000000 + d % 100)::BIGINT AS mtime
+  FROM (SELECT d, container, unnest(range(0, k)) AS j
+        FROM t WHERE container <> 'bad')
+), links AS (
+  SELECT d, container, 'sym' AS kind, 0::BIGINT AS size,
+         NULL::BIGINT AS mtime
+  FROM t WHERE container <> 'bad'
+), bad AS (
+  SELECT d, container, NULL::VARCHAR AS kind, NULL::BIGINT AS size,
+         NULL::BIGINT AS mtime
+  FROM t WHERE container = 'bad'
+), r AS (
+  SELECT * FROM files UNION ALL SELECT * FROM links
+  UNION ALL SELECT * FROM bad
+)
+SELECT container, COUNT(*) AS n_rows,
+  SUM(CASE WHEN kind = 'file' THEN 1 ELSE 0 END)::BIGINT AS n_files,
+  SUM(CASE WHEN kind = 'sym' THEN 1 ELSE 0 END)::BIGINT AS n_links,
+  SUM(CASE WHEN kind = 'file' THEN size ELSE 0 END)::BIGINT AS size_sum,
+  SUM(CASE WHEN kind = 'file' THEN 1 ELSE 0 END)::BIGINT AS n_digest_match,
+  MAX(CASE WHEN kind = 'file' THEN mtime END)::BIGINT AS mtime_max
+FROM r GROUP BY 1
+"""
+
+
+@register(
+    "tar_archive_stats",
+    oracle=_TAR_ORACLE,
+    doc="TAR container gate (sources.tar_members — the other dump "
+    "container beside zip_members and the WARC family; plain tar AND "
+    "tar.gz sniffed by stdlib r:*): per doc a tarball of (doc_id%4)+1 "
+    "closed-form files plus a symlink and a skipped directory entry, "
+    "junk bytes for doc_id%13 = 0 (one parse_ok=false dead-letter "
+    "row). member content digests are REPLAYED in-query "
+    "(md5(repeat('x', size)) must equal the operator's md5 of the "
+    "extracted bytes — a decode defect breaks the match count), and "
+    "per-container row/file/link counts, size sums and max mtimes sit "
+    "under one hash.",
+)
+def tar_archive_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import io
+    import tarfile
+
+    import pandas as pd
+
+    from ..sources import tar_members
+    from ..tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def make(batches):
+        for pdf in batches:
+            rows = []
+            for x in pdf["doc_id"]:
+                did = int(x)
+                if did % 13 == 0:
+                    rows.append((did, b"not a tar archive at all"))
+                    continue
+                buf = io.BytesIO()
+                mode = "w:gz" if did % 2 == 1 else "w"
+                with tarfile.open(fileobj=buf, mode=mode) as tf:
+                    dirinfo = tarfile.TarInfo("sub")
+                    dirinfo.type = tarfile.DIRTYPE
+                    tf.addfile(dirinfo)
+                    for j in range((did % 4) + 1):
+                        body = b"x" * (5 + (did + j) % 9)
+                        info = tarfile.TarInfo(f"f{did}_{j}.txt")
+                        info.size = len(body)
+                        info.mtime = 1700000000 + did % 100
+                        tf.addfile(info, io.BytesIO(body))
+                    ln = tarfile.TarInfo(f"ln{did}")
+                    ln.type = tarfile.SYMTYPE
+                    ln.linkname = f"f{did}_0.txt"
+                    tf.addfile(ln)
+                rows.append((did, buf.getvalue()))
+            yield pd.DataFrame(rows, columns=["archive_id", "content"])
+
+    media = docs.mapInPandas(make, "archive_id long, content binary")
+    m = tar_members(media)
+    aid = F.col("archive_id")
+    container = (
+        F.when(aid % 13 == 0, F.lit("bad"))
+        .when(aid % 2 == 1, F.lit("tar.gz"))
+        .otherwise(F.lit("tar"))
+    )
+    is_file = F.col("kind") == "file"
+    digest_ok = F.col("content_digest") == F.md5(
+        F.repeat(F.lit("x"), F.col("size").cast("int")).cast("binary")
+    )
+    return m.groupBy(container.alias("container")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(is_file, 1).otherwise(0)).cast("long").alias("n_files"),
+        F.sum(F.when(F.col("kind") == "sym", 1).otherwise(0))
+        .cast("long")
+        .alias("n_links"),
+        F.sum(F.when(is_file, F.col("size")).otherwise(0))
+        .cast("long")
+        .alias("size_sum"),
+        F.sum(F.when(digest_ok, 1).otherwise(0))
+        .cast("long")
+        .alias("n_digest_match"),
+        F.max(F.when(is_file, F.col("mtime"))).cast("long").alias("mtime_max"),
+    )
+
+
+_RECRAWL_ORACLE = """
+WITH t AS (
+  SELECT doc_id % 4 AS c, 3600 * (1 + doc_id % 48) AS prior FROM documents
+)
+SELECT CASE c WHEN 0 THEN 'unchanged' WHEN 1 THEN 'added'
+              WHEN 2 THEN 'changed' ELSE 'gone' END AS change,
+       COUNT(*) AS n_urls,
+       SUM(CASE c
+           WHEN 0 THEN LEAST(172800, prior * 2)
+           WHEN 1 THEN 86400
+           WHEN 2 THEN GREATEST(3600, prior // 2)
+           ELSE 0 END)::BIGINT AS interval_sum
+FROM t GROUP BY 1
+"""
+
+
+@register(
+    "recrawl_schedule_stats",
+    oracle=_RECRAWL_ORACLE,
+    doc="Adaptive recrawl scheduling gate (operators/crawl.py "
+    "recrawl_schedule composed onto cdx_snapshot_diff — the Cho & "
+    "Garcia-Molina multiplicative revisit policy closing the recrawl "
+    "loop: diff classifies, the scheduler re-times): two expression-"
+    "built CDX snapshots plant all four change classes, priors span "
+    "1h..48h so BOTH clamps fire (min-floor on halved 1h priors, the "
+    "172800s ceiling on doubled >24h priors), added rows take the "
+    "default via NULL prior, gone rows retire with NULL interval "
+    "(summed as 0 on both engines). Integer floor division throughout "
+    "— per-class url counts and interval sums under one hash.",
+)
+def recrawl_schedule_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.crawl import cdx_snapshot_diff, recrawl_schedule
+    from ..tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    urlkey = F.format_string("example,s%d)/p/%d", d % 7, d)
+    old = docs.filter(d % 4 != 1).select(
+        urlkey.alias("urlkey"),
+        F.concat(F.lit("g"), d.cast("string")).alias("digest"),
+    )
+    new = docs.filter(d % 4 != 3).select(
+        urlkey.alias("urlkey"),
+        F.concat(
+            F.lit("g"),
+            d.cast("string"),
+            F.when(d % 4 == 2, F.lit("x")).otherwise(F.lit("")),
+        ).alias("digest"),
+    )
+    priors = docs.filter(d % 4 != 1).select(
+        urlkey.alias("urlkey"),
+        (3600 * (1 + d % 48)).cast("long").alias("prior_interval_s"),
+    )
+    sched = recrawl_schedule(
+        cdx_snapshot_diff(old, new).join(priors, "urlkey", "left"),
+        max_interval_s=172800,
+    )
+    return sched.groupBy("change").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.sum(F.coalesce("next_interval_s", F.lit(0)))
+        .cast("long")
+        .alias("interval_sum"),
+    )

@@ -319,6 +319,77 @@ def warc_records(
     return df.mapInPandas(mapper, schema)
 
 
+def tar_members(
+    df: DataFrame, content_col: str = "content", id_col: str = "archive_id"
+) -> DataFrame:
+    """Explode TAR archive binary columns into one row per member — the
+    other container crawl dumps and dataset drops ship in beside ZIPs
+    and WARCs (plain tar and tar.gz/bz2/xz, compression sniffed by
+    stdlib ``tarfile`` ``r:*``). Regular files are READ and carry an
+    md5 ``content_digest`` (the payload_digest discipline — both
+    engines can replay md5, and reading verifies the member actually
+    decodes); symlinks/hardlinks surface as kind rows with NULL digest;
+    directory entries are skipped like zip_members. Unreadable archives
+    survive as one parse_ok = false row (countable dead-letter)."""
+    import hashlib
+    import io
+    import tarfile
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    schema = (
+        f"{id_col} long, member string, size long, kind string,"
+        " mtime long, content_digest string, parse_ok boolean"
+    )
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            id_col, "member", "size", "kind", "mtime", "content_digest",
+            "parse_ok",
+        ]
+        for pdf in batches:
+            rows = []
+            for aid, content in zip(pdf[id_col], pdf[content_col]):
+                aid = int(aid)
+                try:
+                    with tarfile.open(
+                        fileobj=io.BytesIO(bytes(content)), mode="r:*"
+                    ) as tf:
+                        for info in tf:
+                            if info.isdir():
+                                continue
+                            if info.isreg():
+                                kind = "file"
+                                fh = tf.extractfile(info)
+                                digest = hashlib.md5(fh.read()).hexdigest()
+                            else:
+                                kind = (
+                                    "sym"
+                                    if info.issym()
+                                    else "hard"
+                                    if info.islnk()
+                                    else "special"
+                                )
+                                digest = None
+                            rows.append(
+                                (
+                                    aid,
+                                    info.name,
+                                    int(info.size),
+                                    kind,
+                                    int(info.mtime),
+                                    digest,
+                                    True,
+                                )
+                            )
+                except Exception:
+                    rows.append((aid, None, None, None, None, None, False))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(mapper, schema)
+
+
 def zip_members(df: DataFrame, content_col: str = "content", id_col: str = "archive_id") -> DataFrame:
     """Explode ZIP archive binary columns into one row per member —
     crawl dumps and dataset drops ship as ZIPs next to WARCs. Stdlib

@@ -238,3 +238,57 @@ def test_orc_roundtrip_matches_parquet(spark, sf_dir, tmp_path):
         .toString()
     )
     assert "PartitionFilters: [isnotnull(o_orderpriority" in plan
+
+
+def test_tar_members_contract(spark):
+    """tar_members: plain and gzipped tarballs explode to file rows with
+    verified md5 digests, symlinks surface with NULL digest, directory
+    entries are skipped, junk bytes dead-letter as one parse_ok=false
+    row."""
+    import hashlib
+    import io
+    import tarfile
+
+    from data_engineering_assignment_spark.sources import tar_members
+
+    def build(mode):
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode=mode) as tf:
+            d = tarfile.TarInfo("keep/")
+            d.type = tarfile.DIRTYPE
+            tf.addfile(d)
+            f = tarfile.TarInfo("keep/a.txt")
+            body = b"hello tar"
+            f.size = len(body)
+            f.mtime = 1700000123
+            tf.addfile(f, io.BytesIO(body))
+            ln = tarfile.TarInfo("alias")
+            ln.type = tarfile.SYMTYPE
+            ln.linkname = "keep/a.txt"
+            tf.addfile(ln)
+        return buf.getvalue()
+
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(build("w"))),
+            (2, bytearray(build("w:gz"))),
+            (3, bytearray(b"definitely not a tarball")),
+        ],
+        "archive_id long, content binary",
+    )
+    rows = tar_members(df).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r.archive_id, []).append(r)
+    want_digest = hashlib.md5(b"hello tar").hexdigest()
+    for aid in (1, 2):
+        got = {r.member: r for r in by_id[aid]}
+        assert set(got) == {"keep/a.txt", "alias"}  # dir skipped
+        f = got["keep/a.txt"]
+        assert (f.kind, f.size, f.mtime, f.content_digest, f.parse_ok) == (
+            "file", 9, 1700000123, want_digest, True,
+        )
+        ln = got["alias"]
+        assert (ln.kind, ln.content_digest) == ("sym", None)
+    (dead,) = by_id[3]
+    assert dead.parse_ok is False and dead.member is None
