@@ -328,6 +328,10 @@ HEADLINE = [
     "user_event_rank_suite",
     # round 12: adaptive recrawl scheduling (oracle-gated)
     "recrawl_schedule_stats",
+    # round 12: per-host contribution cap via histogram pruning (oracle-gated)
+    "host_capped_sample_stats",
+    # round 12: PSL registered-domain extraction (oracle-gated)
+    "registered_domain_stats",
 ]
 
 

@@ -48,6 +48,50 @@ def hash_sample(
     return df.filter(hash_bucket(text_col, buckets) < rate_pct)
 
 
+def capped_per_key_sample(
+    df: DataFrame,
+    key_col: str,
+    hash_col: str,
+    cap: int,
+    bucket_width: float = 2_000_000.0,
+) -> DataFrame:
+    """Keep at most ``cap`` rows per key, chosen as the rows with the
+    smallest values of ``hash_col`` — the per-DOMAIN contribution cap
+    every production corpus applies (C4/Dolma bound how much one host
+    contributes) as a deterministic function of content, not a random
+    sample: the same rows survive on every engine, every run, every
+    partitioning. ``hash_col`` is a caller-computed deterministic order
+    value (``sketches.id_hash`` for integer ids, ``text.rolling_hash``
+    for strings).
+
+    Scale shape (the kmv_bottomk trick generalized to sampling): the
+    cap-th smallest hash per key is located by
+    ``quantiles.rank_values_pruned`` (histogram → locate → resolve — no
+    per-key sort, no window over the hot host key), then ONE equi-join
+    back keeps rows at or below the threshold. Keys with fewer than
+    ``cap`` rows keep everything (NULL threshold). Ties AT the
+    threshold value all survive (a deterministic superset — both the
+    operator and any SQL replay use value-threshold semantics, so a
+    boundary hash collision cannot diverge engines)."""
+    from .quantiles import rank_values_pruned
+
+    kth = rank_values_pruned(
+        df.select(key_col, hash_col),
+        hash_col,
+        key_col,
+        [("_cap_kth", 0, cap, 1)],
+        bucket_width=bucket_width,
+    )
+    return (
+        df.join(kth.select(key_col, "_cap_kth"), key_col)
+        .filter(
+            F.col("_cap_kth").isNull()
+            | (F.col(hash_col) <= F.col("_cap_kth"))
+        )
+        .drop("_cap_kth")
+    )
+
+
 def mix_sources(
     df: DataFrame,
     rates: dict[str, int],

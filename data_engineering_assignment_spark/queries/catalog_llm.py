@@ -1035,3 +1035,72 @@ def gopher_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         fail("rule_alpha_words").alias("f_alpha_words"),
         fail("rule_stopwords").alias("f_stopwords"),
     )
+
+
+from ..operators.sketches import MIX1_ROUNDS as _MX1, mix_expr as _mix_expr
+
+_CAP_HASH_SQL = _mix_expr("doc_id", _MX1, "//")
+
+_CAPPED_ORACLE = f"""
+WITH t AS (
+  SELECT CASE WHEN doc_id % 2 = 0 THEN 0::BIGINT
+              WHEN doc_id < 20 THEN 90 + doc_id
+              ELSE doc_id % 7 END AS host_id,
+         {_CAP_HASH_SQL} AS h
+  FROM documents
+), r AS (
+  SELECT host_id, h,
+         ROW_NUMBER() OVER (PARTITION BY host_id ORDER BY h) AS rn
+  FROM t
+), k AS (
+  SELECT host_id, MAX(CASE WHEN rn = 50 THEN h END) AS kth FROM r GROUP BY 1
+), kept AS (
+  SELECT t.host_id, t.h
+  FROM t JOIN k USING (host_id)
+  WHERE k.kth IS NULL OR t.h <= k.kth
+), tot AS (
+  SELECT host_id, COUNT(*) AS n_total FROM t GROUP BY 1
+)
+SELECT tot.host_id, tot.n_total,
+       COUNT(kept.h) AS n_kept,
+       SUM(kept.h)::BIGINT AS kept_hash_sum
+FROM tot JOIN kept USING (host_id)
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "host_capped_sample_stats",
+    oracle=_CAPPED_ORACLE,
+    doc="Per-key contribution cap gate (operators/llmprep."
+    "capped_per_key_sample — the C4/Dolma per-host cap as a "
+    "DETERMINISTIC content function, the kmv_bottomk trick generalized "
+    "to sampling): keep the <=50 smallest portable doc hashes per host "
+    "with the threshold located by histogram pruning — no per-host "
+    "sort, no window over the HOT host key (host 0 holds over half the "
+    "corpus by construction); singleton hosts (doc_id < 20, odd) pin "
+    "the keep-everything NULL-threshold branch. Per-host totals, kept "
+    "counts and kept-hash sums (the selection itself, not just its "
+    "size) sit under one hash; the oracle replays with a rank window, "
+    "which the engine side deliberately avoids.",
+)
+def host_capped_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.llmprep import capped_per_key_sample
+    from ..operators.sketches import id_hash
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    t = docs.select(
+        F.when(d % 2 == 0, F.lit(0).cast("long"))
+        .when(d < 20, (90 + d).cast("long"))
+        .otherwise(d % 7)
+        .alias("host_id"),
+        id_hash("doc_id").alias("h"),
+    )
+    kept = capped_per_key_sample(t, "host_id", "h", 50)
+    tot = t.groupBy("host_id").agg(F.count(F.lit(1)).alias("n_total"))
+    agg = kept.groupBy("host_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("h").cast("long").alias("kept_hash_sum"),
+    )
+    return tot.join(agg, "host_id")

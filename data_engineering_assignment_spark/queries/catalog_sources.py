@@ -4493,3 +4493,74 @@ def recrawl_schedule_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("interval_sum"),
     )
+
+
+_RD_ORACLE = """
+WITH t AS (
+  SELECT doc_id AS d, doc_id % 8 AS m FROM documents
+), r AS (
+  SELECT m,
+    CASE m
+      WHEN 0 THEN 's' || (d % 7) || '.example'
+      WHEN 1 THEN 'b.co.uk'
+      WHEN 2 THEN 'y' || d || '.com'
+      WHEN 3 THEN 'w' || d || '.foo.ck'
+      WHEN 4 THEN 'www.ck'
+      WHEN 5 THEN NULL
+      WHEN 6 THEN 'x' || d || '.github.io'
+      ELSE 'z' || d || '.unknowntld'
+    END AS reg
+  FROM t
+)
+SELECT m::BIGINT AS host_class, COUNT(*) AS n_hosts,
+  COUNT(reg) AS n_registered,
+  COUNT(DISTINCT reg) AS n_distinct_reg,
+  SUM(COALESCE(LENGTH(reg), 0))::BIGINT AS reg_len_sum
+FROM r GROUP BY 1
+"""
+
+
+@register(
+    "registered_domain_stats",
+    oracle=_RD_ORACLE,
+    doc="Registered-domain (eTLD+1) gate (operators/crawl.py "
+    "registered_domain — the COMPLETE public-suffix-list decision: "
+    "exception beats all, else longest rule with wildcards counting "
+    "their * label, implicit * fallback, public-suffix-only hosts -> "
+    "NULL): doc_id%8 plants one class per rule kind — single-label "
+    "suffix, multi-label co.uk, deep subdomain pruning, wildcard *.ck, "
+    "the !www.ck exception, a bare suffix (NULL), a multi-label "
+    "private suffix (github.io) and an unknown TLD on the implicit "
+    "fallback. The oracle states each class's expected eTLD+1 in "
+    "closed form, so any precedence defect shifts distinct counts or "
+    "length sums. Scale shape: decisions once per DISTINCT host "
+    "(in-row candidate explode, broadcast rule join, map-side "
+    "max(struct) argmax, join back — the robots_filter shape).",
+)
+def registered_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.crawl import registered_domain
+    from ..tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    host = (
+        F.when(d % 8 == 0, F.concat(F.lit("s"), (d % 7).cast("string"), F.lit(".example")))
+        .when(d % 8 == 1, F.concat(F.lit("a"), ds, F.lit(".b.co.uk")))
+        .when(d % 8 == 2, F.concat(F.lit("deep.x.y"), ds, F.lit(".com")))
+        .when(d % 8 == 3, F.concat(F.lit("w"), ds, F.lit(".foo.ck")))
+        .when(d % 8 == 4, F.lit("www.ck"))
+        .when(d % 8 == 5, F.lit("com"))
+        .when(d % 8 == 6, F.concat(F.lit("x"), ds, F.lit(".github.io")))
+        .otherwise(F.concat(F.lit("z"), ds, F.lit(".unknowntld")))
+    )
+    t = docs.select((d % 8).alias("host_class"), host.alias("url_host"))
+    out = registered_domain(t)
+    return out.groupBy("host_class").agg(
+        F.count(F.lit(1)).alias("n_hosts"),
+        F.count("registered_domain").alias("n_registered"),
+        F.countDistinct("registered_domain").alias("n_distinct_reg"),
+        F.sum(F.coalesce(F.length("registered_domain"), F.lit(0)))
+        .cast("long")
+        .alias("reg_len_sum"),
+    )

@@ -941,3 +941,36 @@ def test_robots_sitemaps_and_delays_operators(spark):
         r.url_host: r.crawl_delay_s for r in robots_delays(robots, "graft").collect()
     }
     assert dl == {"a.example": 3, "b.example": None, "c.example": None}
+
+
+def test_registered_domain_psl_precedence(spark):
+    """Full PSL decision on hand-picked hosts: exception beats wildcard,
+    wildcard needs its extra label, bare suffixes and suffix-equal hosts
+    yield NULL, unknown TLDs use the implicit * fallback, NULL passes
+    through."""
+    from data_engineering_assignment_spark.operators.crawl import (
+        registered_domain,
+    )
+
+    rows = [
+        ("a.b.co.uk", "b.co.uk"),
+        ("co.uk", None),  # host IS the public suffix
+        ("uk", None),
+        ("w.foo.ck", "w.foo.ck"),  # *.ck -> psl foo.ck
+        ("foo.ck", None),  # foo.ck IS the (wildcard) public suffix
+        ("ck", None),  # wildcard can't match without its label
+        ("www.ck", "www.ck"),  # !www.ck exception -> psl ck
+        ("sub.www.ck", "www.ck"),
+        ("x.github.io", "x.github.io"),  # private multi-label suffix
+        ("github.io", None),
+        ("z.unknowntld", "z.unknowntld"),  # implicit * fallback
+        ("unknowntld", None),
+        (None, None),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in rows], "url_host string")
+    got = {
+        r.url_host: r.registered_domain
+        for r in registered_domain(df).collect()
+    }
+    for host, want in rows:
+        assert got[host] == want, (host, got[host], want)
