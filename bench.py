@@ -332,6 +332,8 @@ HEADLINE = [
     "host_capped_sample_stats",
     # round 12: PSL registered-domain extraction (oracle-gated)
     "registered_domain_stats",
+    # round 12: WARC revisit-record dedup export (oracle-gated)
+    "warc_revisit_roundtrip",
 ]
 
 

@@ -606,6 +606,112 @@ def sitemap_entries(
     return df.mapInPandas(mapper, schema)
 
 
+def warc_revisit_export(
+    df: DataFrame,
+    payload_col: str = "payload",
+    uri_col: str = "uri",
+    shard_col: str = "shard",
+    gzip_members: bool = False,
+) -> DataFrame:
+    """Serialize captures as WARC with REVISIT deduplication (ISO 28500
+    / WARC 1.1 §6.7.2 identical-payload-digest profile — what Heritrix
+    and Common Crawl's dedup actually write: the first capture of a
+    payload is stored in full, every later identical capture becomes a
+    near-empty ``revisit`` record carrying WARC-Refers-To-Target-URI +
+    WARC-Payload-Digest): the storage win of exact dedup WITHOUT losing
+    the capture census. 'First' is the lexicographically least uri per
+    digest — deterministic under any partitioning (the arg-min
+    invariant), and cross-shard refers-to is legal per spec. Records
+    sort by uri within each shard (byte-deterministic like wet_export);
+    stored payloads are raw bytes with Content-Type
+    application/octet-stream. Output: (shard, warc binary, n_records,
+    n_revisits, warc_len).
+
+    Scale shape: ONE map-side md5 + groupBy(digest).min(uri) + an
+    AQE-splittable equi-join back (a hot payload is a skewed JOIN key,
+    never a window), then groupBy(shard).applyInPandas serialization —
+    payload bytes cross the shuffle once."""
+    from pyspark.sql.types import (
+        BinaryType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from ..functions.warc import build_warc
+
+    digest = F.md5(F.col(payload_col))
+    rows = df.select(
+        F.col(shard_col),
+        F.col(uri_col),
+        F.col(payload_col),
+        digest.alias("_rv_digest"),
+    )
+    firsts = rows.groupBy("_rv_digest").agg(
+        F.min(uri_col).alias("_rv_first_uri")
+    )
+    tagged = rows.join(firsts, "_rv_digest")
+
+    out_schema = StructType(
+        [
+            StructField(shard_col, LongType()),
+            StructField("warc", BinaryType()),
+            StructField("n_records", IntegerType()),
+            StructField("n_revisits", IntegerType()),
+            StructField("warc_len", LongType()),
+        ]
+    )
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([uri_col], kind="mergesort")
+        recs, n_rev = [], 0
+        for _, row in pdf.iterrows():
+            uri, first = str(row[uri_col]), str(row["_rv_first_uri"])
+            dig = f"md5:{row['_rv_digest']}"
+            if uri == first:
+                recs.append(
+                    (
+                        {
+                            "WARC-Type": "response",
+                            "WARC-Target-URI": uri,
+                            "WARC-Payload-Digest": dig,
+                            "Content-Type": "application/octet-stream",
+                        },
+                        bytes(row[payload_col]),
+                    )
+                )
+            else:
+                n_rev += 1
+                recs.append(
+                    (
+                        {
+                            "WARC-Type": "revisit",
+                            "WARC-Target-URI": uri,
+                            "WARC-Refers-To-Target-URI": first,
+                            "WARC-Payload-Digest": dig,
+                            "WARC-Profile": (
+                                "http://netpreserve.org/warc/1.1/"
+                                "revisit/identical-payload-digest"
+                            ),
+                        },
+                        b"",
+                    )
+                )
+        blob = build_warc(recs, gzip_members=gzip_members)
+        return pd.DataFrame(
+            {
+                shard_col: [pdf[shard_col].iloc[0]],
+                "warc": [blob],
+                "n_records": [len(recs)],
+                "n_revisits": [n_rev],
+                "warc_len": [len(blob)],
+            }
+        )
+
+    return tagged.groupBy(shard_col).applyInPandas(build, out_schema)
+
+
 def page_links(
     df: DataFrame,
     page_col: str = "page",

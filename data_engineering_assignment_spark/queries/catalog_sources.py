@@ -4564,3 +4564,77 @@ def registered_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("reg_len_sum"),
     )
+
+
+_REVISIT_ORACLE = """
+WITH t AS (
+  SELECT doc_id % 8 AS shard,
+         'http://r.example/' || doc_id AS uri,
+         CASE WHEN doc_id % 3 = 0 THEN 'G' || (doc_id % 50)
+              ELSE 'U' || doc_id END AS body
+  FROM documents
+), f AS (
+  SELECT body, MIN(uri) AS first_uri FROM t GROUP BY 1
+)
+SELECT shard::BIGINT AS shard,
+  COUNT(*) AS n_records,
+  SUM(CASE WHEN uri = first_uri THEN 1 ELSE 0 END)::BIGINT AS n_response,
+  SUM(CASE WHEN uri <> first_uri THEN 1 ELSE 0 END)::BIGINT AS n_revisit,
+  SUM(CASE WHEN uri = first_uri THEN LENGTH(body) ELSE 0 END)::BIGINT
+    AS stored_len_sum
+FROM t JOIN f USING (body) GROUP BY 1
+"""
+
+
+@register(
+    "warc_revisit_roundtrip",
+    oracle=_REVISIT_ORACLE,
+    doc="WARC revisit-dedup export gate (operators/crawl.py "
+    "warc_revisit_export — the ISO 28500 identical-payload-digest "
+    "profile Heritrix/Common Crawl write: first capture stored full, "
+    "identical later captures as near-empty revisit records): doc_id%3 "
+    "plants ~N/3 captures across 50 shared payload groups (arg-min uri "
+    "is the stored copy, a cross-shard reference when the group spans "
+    "shards) beside unique payloads; the blobs are RE-INGESTED through "
+    "warc_records, so serialization, record typing and payload "
+    "truncation all sit under one hash — per-shard record counts, "
+    "response/revisit splits and STORED byte sums (the dedup saving "
+    "itself) replayed by the oracle's min(uri) window-free groupBy.",
+)
+def warc_revisit_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.crawl import warc_revisit_export
+    from ..sources import warc_records
+    from ..tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    caps = docs.select(
+        (d % 8).alias("shard"),
+        F.format_string("http://r.example/%d", d).alias("uri"),
+        F.when(
+            d % 3 == 0,
+            F.concat(F.lit("G"), (d % 50).cast("string")),
+        )
+        .otherwise(F.concat(F.lit("U"), d.cast("string")))
+        .cast("binary")
+        .alias("payload"),
+    )
+    wets = warc_revisit_export(caps)
+    recs = warc_records(
+        wets.select(F.col("shard").alias("archive_id"), F.col("warc").alias("content"))
+    )
+    return recs.groupBy(F.col("archive_id").alias("shard")).agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.sum((F.col("warc_type") == "response").cast("int"))
+        .cast("long")
+        .alias("n_response"),
+        F.sum((F.col("warc_type") == "revisit").cast("int"))
+        .cast("long")
+        .alias("n_revisit"),
+        F.sum(
+            F.when(F.col("warc_type") == "response", F.col("payload_len"))
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("stored_len_sum"),
+    )
