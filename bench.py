@@ -334,6 +334,8 @@ HEADLINE = [
     "registered_domain_stats",
     # round 12: WARC revisit-record dedup export (oracle-gated)
     "warc_revisit_roundtrip",
+    # round 12: revisit resolution, the read side (oracle-gated)
+    "warc_revisit_resolve_stats",
 ]
 
 

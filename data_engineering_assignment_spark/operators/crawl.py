@@ -712,6 +712,45 @@ def warc_revisit_export(
     return tagged.groupBy(shard_col).applyInPandas(build, out_schema)
 
 
+def resolve_revisits(recs: DataFrame) -> DataFrame:
+    """READ-side complement of :func:`warc_revisit_export`: give every
+    record of a revisit-deduplicated WARC stream its EFFECTIVE payload
+    length — response records keep their own, revisit records inherit
+    the stored copy's via the declared WARC-Payload-Digest (cross-
+    archive references are legal per spec, so the lookup is corpus-wide,
+    not per-file). Appends ``effective_len`` and ``revisit_resolved``
+    (false = a dangling revisit whose stored copy is missing from the
+    stream — countable dead-letter, effective_len NULL, never a
+    fabricated zero). Input is :func:`sources.warc_records` output.
+
+    Scale shape: stored lengths aggregate once per digest (map-side
+    groupBy-max over responses only) and join back on the digest — a
+    hot payload is a skewed JOIN key AQE can split, never a window."""
+    stored = (
+        recs.filter(
+            (F.col("warc_type") == "response")
+            & F.col("payload_digest_declared").isNotNull()
+        )
+        .groupBy(F.col("payload_digest_declared").alias("_rr_digest"))
+        .agg(F.max("payload_len").alias("_rr_stored_len"))
+    )
+    joined = recs.join(
+        stored,
+        recs.payload_digest_declared == stored._rr_digest,
+        "left",
+    )
+    is_rev = F.col("warc_type") == "revisit"
+    return joined.select(
+        recs["*"],
+        F.when(is_rev, F.col("_rr_stored_len"))
+        .otherwise(F.col("payload_len"))
+        .alias("effective_len"),
+        (~is_rev | F.col("_rr_stored_len").isNotNull()).alias(
+            "revisit_resolved"
+        ),
+    )
+
+
 def page_links(
     df: DataFrame,
     page_col: str = "page",

@@ -4638,3 +4638,86 @@ def warc_revisit_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("stored_len_sum"),
     )
+
+
+_REVISIT_RESOLVE_ORACLE = """
+WITH t AS (
+  SELECT doc_id % 8 AS shard,
+         CASE WHEN doc_id % 3 = 0 THEN LENGTH('G' || (doc_id % 50))
+              ELSE LENGTH('U' || doc_id) END AS blen
+  FROM documents
+)
+SELECT shard::BIGINT AS shard, COUNT(*) AS n_records,
+       0::BIGINT AS n_unresolved,
+       SUM(blen)::BIGINT AS effective_len_sum
+FROM t GROUP BY 1
+UNION ALL
+SELECT 999::BIGINT, 1::BIGINT, 1::BIGINT, 0::BIGINT
+"""
+
+
+@register(
+    "warc_revisit_resolve_stats",
+    oracle=_REVISIT_RESOLVE_ORACLE,
+    doc="Revisit RESOLUTION gate (operators/crawl.py resolve_revisits — "
+    "the read side of the identical-payload-digest dedup: every record "
+    "of a deduplicated stream recovers its EFFECTIVE payload length by "
+    "joining revisits to the stored copy on the declared "
+    "WARC-Payload-Digest header, cross-archive): the "
+    "warc_revisit_export fixture round-trips and every capture's "
+    "effective length must equal its ORIGINAL body length — per-shard "
+    "effective sums are closed-form in doc_id even though most records "
+    "store nothing — while a planted shard-999 archive holds one "
+    "DANGLING revisit (declared digest never stored) that must surface "
+    "as revisit_resolved=false with NULL effective length, never a "
+    "fabricated zero.",
+)
+def warc_revisit_resolve_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.warc import build_warc
+    from ..operators.crawl import resolve_revisits, warc_revisit_export
+    from ..sources import warc_records
+    from ..tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    caps = docs.select(
+        (d % 8).alias("shard"),
+        F.format_string("http://r.example/%d", d).alias("uri"),
+        F.when(d % 3 == 0, F.concat(F.lit("G"), (d % 50).cast("string")))
+        .otherwise(F.concat(F.lit("U"), d.cast("string")))
+        .cast("binary")
+        .alias("payload"),
+    )
+    wets = warc_revisit_export(caps).select(
+        F.col("shard").alias("archive_id"), F.col("warc").alias("content")
+    )
+    dangling = build_warc(
+        [
+            (
+                {
+                    "WARC-Type": "revisit",
+                    "WARC-Target-URI": "http://r.example/dangling",
+                    "WARC-Payload-Digest": "md5:" + "0" * 32,
+                    "WARC-Profile": (
+                        "http://netpreserve.org/warc/1.1/"
+                        "revisit/identical-payload-digest"
+                    ),
+                },
+                b"",
+            )
+        ]
+    )
+    extra = spark.createDataFrame(
+        [(999, bytearray(dangling))], "archive_id long, content binary"
+    )
+    recs = warc_records(wets.unionByName(extra))
+    res = resolve_revisits(recs)
+    return res.groupBy(F.col("archive_id").alias("shard")).agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.sum((~F.col("revisit_resolved")).cast("int"))
+        .cast("long")
+        .alias("n_unresolved"),
+        F.coalesce(F.sum("effective_len"), F.lit(0))
+        .cast("long")
+        .alias("effective_len_sum"),
+    )

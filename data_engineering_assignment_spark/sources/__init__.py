@@ -238,7 +238,10 @@ def warc_records(
     (the WARC-Payload-Digest role, md5 because both engines can replay
     it) — the content-change signal ``operators.crawl.cdx_snapshot_diff``
     keys recrawl deltas on; a metadata-sized column, so it rides along
-    without ``include_body``.
+    without ``include_body``. ``payload_digest_declared`` is the
+    record's own WARC-Payload-Digest HEADER verbatim (NULL when absent)
+    — on a revisit record it names the STORED copy's digest, the join
+    key ``operators.crawl.resolve_revisits`` uses.
 
     ``include_body=True`` adds ``http_body`` (the HTTP message body of
     ``application/http`` response records, NULL elsewhere — the input
@@ -262,6 +265,7 @@ def warc_records(
         " content_type string, http_status int, http_content_type string,"
         " http_location string,"
         " payload_len long, payload_digest string,"
+        " payload_digest_declared string,"
         " rec_offset long, rec_length long,"
         " parse_ok boolean"
     )
@@ -272,8 +276,8 @@ def warc_records(
         cols = [
             id_col, "rec_idx", "warc_type", "target_uri", "content_type",
             "http_status", "http_content_type", "http_location",
-            "payload_len", "payload_digest", "rec_offset", "rec_length",
-            "parse_ok",
+            "payload_len", "payload_digest", "payload_digest_declared",
+            "rec_offset", "rec_length", "parse_ok",
         ]
         if include_body:
             cols += ["http_body", "http_body_ok"]
@@ -296,6 +300,7 @@ def warc_records(
                             r.get("http_location"),
                             len(r["payload"]),
                             hashlib.md5(r["payload"]).hexdigest(),
+                            h.get("WARC-Payload-Digest"),
                             r["rec_offset"],
                             r["rec_length"],
                             True,
@@ -309,7 +314,7 @@ def warc_records(
                 except Exception:
                     row = (
                         aid, None, None, None, None, None, None, None, None,
-                        None, None, None, False,
+                        None, None, None, None, False,
                     )
                     if include_body:
                         row += (None, None)

@@ -1392,3 +1392,69 @@ def test_politeness_gate_per_host_crawl_delay(spark, tmp_path):
         .collect()
     }
     assert set(got) == want
+
+
+def test_streaming_kmv_bottomk_rollup(spark, tmp_path):
+    """KMV bottom-k's streaming contract: each micro-batch builds its
+    own per-key sketch (foreachBatch, appended to a sketch store), and
+    the rollup merge — k smallest of the unioned per-batch samples — is
+    IDENTICAL to the batch sketch over all data (the union's bottom-k
+    is contained in the union of per-part bottom-ks), so set-operation
+    estimates keep working without corpus re-scans."""
+    from pyspark.sql import functions as SF
+
+    from data_engineering_assignment_spark.operators.sketches import (
+        kmv_bottomk,
+    )
+
+    k = 16
+    batches = [
+        [("A", i) for i in range(0, 30)] + [("B", i) for i in range(50, 70)],
+        [("A", i) for i in range(20, 55)] + [("B", i) for i in range(60, 90)],
+        [("A", i) for i in range(100, 140)],
+    ]
+    d = str(tmp_path / "kmvsrc")
+    ck = str(tmp_path / "kmvck")
+    store = str(tmp_path / "kmvstore")
+    schema = "key string, item long"
+
+    def sink(batch_df, batch_id):
+        kmv_bottomk(batch_df, "item", "key", k).withColumn(
+            "batch_id", SF.lit(batch_id)
+        ).write.mode("append").parquet(store)
+
+    for vals in batches:
+        spark.createDataFrame(vals, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(d)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    sketches = spark.read.parquet(store)
+    assert sketches.select("batch_id").distinct().count() == 3
+    merged = {
+        r.key: r.merged
+        for r in sketches.groupBy("key")
+        .agg(
+            SF.slice(
+                SF.array_sort(
+                    SF.array_distinct(SF.flatten(SF.collect_list("sketch")))
+                ),
+                1,
+                k,
+            ).alias("merged")
+        )
+        .collect()
+    }
+    full = spark.createDataFrame(
+        [row for b in batches for row in b], schema
+    )
+    want = {r.key: r.sketch for r in kmv_bottomk(full, "item", "key", k).collect()}
+    assert merged == want
