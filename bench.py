@@ -336,6 +336,8 @@ HEADLINE = [
     "warc_revisit_roundtrip",
     # round 12: revisit resolution, the read side (oracle-gated)
     "warc_revisit_resolve_stats",
+    # round 12: per-registered-domain caps, cross-module (oracle-gated)
+    "domain_capped_corpus_stats",
 ]
 
 

@@ -1104,3 +1104,85 @@ def host_capped_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("h").cast("long").alias("kept_hash_sum"),
     )
     return tot.join(agg, "host_id")
+
+
+_DOMAIN_CAP_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id AS d, {_CAP_HASH_SQL} AS h,
+         CASE WHEN doc_id % 11 = 7 THEN 'only' || doc_id || '.com'
+              ELSE 'site' || (doc_id % 5) || '.co.uk' END AS reg
+  FROM documents
+), r AS (
+  SELECT reg, h, ROW_NUMBER() OVER (PARTITION BY reg ORDER BY h) AS rn
+  FROM t
+), k AS (
+  SELECT reg, MAX(CASE WHEN rn = 100 THEN h END) AS kth FROM r GROUP BY 1
+), kept AS (
+  SELECT t.reg, t.h FROM t JOIN k USING (reg)
+  WHERE k.kth IS NULL OR t.h <= k.kth
+), cls AS (
+  SELECT CASE WHEN reg LIKE 'site%' THEN reg ELSE 'unique' END AS domain_class,
+         reg, h
+  FROM kept
+), tot AS (
+  SELECT CASE WHEN reg LIKE 'site%' THEN reg ELSE 'unique' END AS domain_class,
+         COUNT(*) AS n_total
+  FROM t GROUP BY 1
+)
+SELECT tot.domain_class, tot.n_total,
+       COUNT(cls.h) AS n_kept,
+       SUM(cls.h)::BIGINT AS kept_hash_sum
+FROM tot JOIN cls USING (domain_class)
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "domain_capped_corpus_stats",
+    oracle=_DOMAIN_CAP_ORACLE,
+    doc="Cross-module composition gate: per-REGISTERED-DOMAIN "
+    "contribution caps — crawl.registered_domain (PSL eTLD+1) feeds "
+    "llmprep.capped_per_key_sample, the cap production pipelines "
+    "actually want (capping by HOST would leak: thirteen subdomains "
+    "per site here share one site{k}.co.uk registered domain, and the "
+    "multi-label co.uk suffix means naive last-two-label grouping "
+    "would collapse ALL sites to 'co.uk'). Five hot domains bind the "
+    "100-row cap via the histogram-pruned threshold; doc_id%11=7 "
+    "plants singleton domains on the keep-everything branch; kept-hash "
+    "sums pin the selection itself.",
+)
+def domain_capped_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.crawl import registered_domain
+    from ..operators.llmprep import capped_per_key_sample
+    from ..operators.sketches import id_hash
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    host = F.when(
+        d % 11 == 7,
+        F.concat(F.lit("only"), d.cast("string"), F.lit(".com")),
+    ).otherwise(
+        F.concat(
+            F.lit("sub"),
+            (d % 13).cast("string"),
+            F.lit(".site"),
+            (d % 5).cast("string"),
+            F.lit(".co.uk"),
+        )
+    )
+    t = docs.select(host.alias("url_host"), id_hash("doc_id").alias("h"))
+    reg = registered_domain(t)
+    kept = capped_per_key_sample(reg, "registered_domain", "h", 100)
+    cls = lambda c: F.when(  # noqa: E731
+        c.startswith("site"), c
+    ).otherwise(F.lit("unique"))
+    tot = reg.groupBy(
+        cls(F.col("registered_domain")).alias("domain_class")
+    ).agg(F.count(F.lit(1)).alias("n_total"))
+    agg = kept.groupBy(
+        cls(F.col("registered_domain")).alias("domain_class")
+    ).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("h").cast("long").alias("kept_hash_sum"),
+    )
+    return tot.join(agg, "domain_class")
