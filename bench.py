@@ -338,6 +338,8 @@ HEADLINE = [
     "warc_revisit_resolve_stats",
     # round 12: per-registered-domain caps, cross-module (oracle-gated)
     "domain_capped_corpus_stats",
+    # round 12: CCNet head/middle/tail LM-quality split (oracle-gated)
+    "ccnet_bucket_split",
 ]
 
 

@@ -1028,3 +1028,101 @@ def c4_clean_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_dup_dropped").cast("long").alias("dup_dropped_sum"),
         F.sum(F.length("clean_text")).cast("long").alias("clean_len_sum"),
     )
+
+
+_CCNET_SPLIT_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+), big AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(l)),
+                i -> {'w1': l[i], 'bg': l[i] || ' ' || l[i+1]})) AS b
+  FROM toks WHERE len(l) >= 2
+), occ AS (
+  SELECT doc_id, b.w1 AS w1, b.bg AS bg, COUNT(*)::BIGINT AS n_occ
+  FROM big GROUP BY 1, 2, 3
+), c2 AS (
+  SELECT b.bg AS bg, COUNT(*)::BIGINT AS c2 FROM big GROUP BY 1
+), c1 AS (
+  SELECT b.w1 AS w1, COUNT(*)::BIGINT AS c1 FROM big GROUP BY 1
+), sc AS (
+  SELECT doc_id, n_occ, (c2 * 1000000) // c1 AS pq
+  FROM occ JOIN c2 USING (bg) JOIN c1 USING (w1)
+), ag AS (
+  SELECT doc_id, (SUM(n_occ * pq) // SUM(n_occ))::BIGINT AS lm_score_avg
+  FROM sc GROUP BY 1
+), s AS (
+  SELECT d.source, ag.lm_score_avg
+  FROM documents d LEFT JOIN ag USING (doc_id)
+), n AS (
+  SELECT COUNT(*) AS n FROM s WHERE lm_score_avg IS NOT NULL
+), t1 AS (
+  SELECT lm_score_avg AS v FROM s WHERE lm_score_avg IS NOT NULL
+  ORDER BY lm_score_avg LIMIT 1 OFFSET (SELECT n // 3 - 1 FROM n)
+), t2 AS (
+  SELECT lm_score_avg AS v FROM s WHERE lm_score_avg IS NOT NULL
+  ORDER BY lm_score_avg LIMIT 1 OFFSET (SELECT (2 * n) // 3 - 1 FROM n)
+)
+SELECT source,
+       CASE WHEN lm_score_avg IS NULL THEN 'unscoreable'
+            WHEN lm_score_avg <= (SELECT v FROM t1) THEN 'tail'
+            WHEN lm_score_avg <= (SELECT v FROM t2) THEN 'middle'
+            ELSE 'head' END AS bucket,
+       COUNT(*) AS n_docs,
+       SUM(COALESCE(lm_score_avg, 0))::BIGINT AS score_sum
+FROM s GROUP BY 1, 2
+"""
+
+
+@register(
+    "ccnet_bucket_split",
+    oracle=_CCNET_SPLIT_ORACLE,
+    doc="CCNet head/middle/tail split (the signature move of the CCNet "
+    "pipeline: bucket the corpus by LM quality terciles and train on "
+    "the head) composed from operators/corpus.py bigram_lm_scores + "
+    "quantiles.rank_values_pruned: global tercile thresholds are the "
+    "values at ranks n div 3 and 2n div 3 — located by histogram "
+    "pruning over ONE constant key (splittable aggregates; the corpus "
+    "is never sorted) and broadcast as one row; bucket membership is "
+    "tie-invariant (<= threshold value), scoreless docs land in an "
+    "'unscoreable' census bucket. Integer-exact end to end; the oracle "
+    "replays the LM and picks thresholds by ORDER BY LIMIT/OFFSET.",
+)
+def ccnet_bucket_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import bigram_lm_scores
+    from ..operators.quantiles import rank_values_pruned
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    # the score table feeds BOTH the threshold scan and the re-bucket;
+    # do NOT checkpoint it — the two consumers are identical subtrees
+    # and ReusedExchange already runs the LM once, while a checkpoint
+    # breaks that reuse and LOST partitioning forces extra shuffles
+    # (measured: 10.8 s -> 19.5 s at sf1 with a checkpoint here)
+    scores = bigram_lm_scores(docs).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    scoreable = scores.filter(F.col("lm_score_avg").isNotNull()).select(
+        F.lit(1).alias("_g"), "lm_score_avg"
+    )
+    thr = rank_values_pruned(
+        scoreable,
+        "lm_score_avg",
+        "_g",
+        [("t1", 1, 0, 3), ("t2", 2, 0, 3)],
+        bucket_width=1000.0,
+    ).select("t1", "t2")
+    bucketed = scores.crossJoin(F.broadcast(thr)).select(
+        "source",
+        F.when(F.col("lm_score_avg").isNull(), F.lit("unscoreable"))
+        .when(F.col("lm_score_avg") <= F.col("t1"), F.lit("tail"))
+        .when(F.col("lm_score_avg") <= F.col("t2"), F.lit("middle"))
+        .otherwise(F.lit("head"))
+        .alias("bucket"),
+        "lm_score_avg",
+    )
+    return bucketed.groupBy("source", "bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.coalesce("lm_score_avg", F.lit(0)))
+        .cast("long")
+        .alias("score_sum"),
+    )
