@@ -542,3 +542,45 @@ def test_top_share_suppliers_shared_scan_filters_pushed(spark, sf_dir):
     assert "p_name" in pushed and "l_shipdate" in pushed
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_kmv_pair_overlap_is_bnlj_not_cartesian(spark, sf_dir):
+    """The non-equi pair join over the bounded sketch dimension plans as
+    a broadcast nested-loop join, never a CartesianProduct."""
+    df = build(spark, sf_dir, "kmv_set_overlap")
+    plan = plans.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_capped_sample_has_no_window(spark, sf_dir):
+    """The per-key cap is histogram-pruned: no Window operator anywhere
+    in the plan (a rank window over the hot host key would be the
+    straggler anti-pattern); windows over the per-key BUCKET aggregate
+    inside rank_values_pruned are keyed by (key) after aggregation and
+    must be the only sort surface."""
+    df = build(spark, sf_dir, "host_capped_sample_stats")
+    plan = plans.formatted_plan(df)
+    # rank_values_pruned's locate stage windows over the bucket AGGREGATE
+    # (bounded rows per key), never over the raw rows: assert no sort of
+    # the raw hash column feeds a Window directly by checking the explode
+    # row count never reaches a Window via the raw plan's row identity —
+    # cheap proxy: the plan contains at most the pruned-locate windows
+    # and no ntile/row_number over host_id alone
+    assert "row_number" not in plan.lower()
+
+
+def test_registered_domain_broadcasts_rules(spark, sf_dir):
+    """The PSL rule table is broadcast; the corpus is never shuffled for
+    the rule join."""
+    df = build(spark, sf_dir, "registered_domain_stats")
+    assert plans.has_broadcast_join(df)
+    assert "CartesianProduct" not in plans.formatted_plan(df)
+
+
+def test_resolve_redirects_no_window_no_cartesian(spark, sf_dir):
+    """Pointer doubling is pure equi-joins: no Window, no cartesian."""
+    df = build(spark, sf_dir, "redirect_resolution_stats")
+    plan = plans.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
