@@ -37,20 +37,27 @@ span 2.2-7.7 s around its 1.16 s plan-cost min with no plan change).
 calm-window probe (11 reps, markers fast) against its r7-era 1.398 s
 min — within the 2x bar and oracle-green; the standing min is kept per
 policy, but treat ~1.5x readings on it as the new ambient, not a flag.
-`robots_crawl_filter` reads ~3.5 s inside FULL 198-query bench runs
-(r11 3.63, r12 3.54) but 1.2-1.3 s steady in every probe outside them
-(r12: 5-rep solo [3.465, 1.418, 1.334, 1.306, 1.568] AND a
+`robots_crawl_filter` reads ~3.5 s inside some FULL bench runs
+(r11 3.63, early-r12 3.54) but 1.2-1.3 s steady in every probe outside
+them (r12: 5-rep solo [3.465, 1.418, 1.334, 1.306, 1.568] AND a
 bench-order 9-query context replay at 1.231 s, markers fast
 throughout) — a full-run measurement artifact (mid-run ambient or
 accumulated session state), not a plan cost; its standing 1.155 s min
 is the probe-verified truth and full-run ~3x readings on it are not
-flags.
+flags. CLOSED late r12: three marker-fast full benches in one session
+read it 2.03x / 1.6x / 1.38x with every other r11-flagged query
+<= 1.5x — the r11 3.14x flag was the documented roaming transient.
 History (full per-round narrative in git: this file's log): rounds 1-9
 grew the set 36 -> 157 queries while per-query mins fell or held —
 re-records happened only when a query's implementation changed (each is
 noted in the adding round's commit) or when ambient shifted uniformly
 (r4 ~1.8x, r7 ~1.25x — re-measured whole-table under the then-current
-policy)."""
+policy). Round 12 grew the set 204 -> 221 (crawl discovery/recrawl,
+sitemaps, Gopher + C4 + CCNet quality, KMV set ops, HITS, TAR,
+rank-function suite, registered domains, per-key caps, WARC revisit
+dedup both directions) with every addition two-run-verified in calm
+windows and 30+ standing mins improved by the round's three
+marker-fast full benches."""
 
 EXCLUDED = {
     "ivf_recall_telemetry": "diagnostic: recall telemetry, not a user query",
