@@ -40,28 +40,24 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # whose implementation changed this round (a green history does not cover
 # new code), then queries whose last green row is oldest.
 #
-# Round-12 head (catalog = 217): the nine never-checked round-12
-# additions first (PDF extraction, the Content-Type dispatch, the
-# q-digest quantile sketch, the mixed-payload WARC capstone, the HTTP
-# body-decoding gate, the link-graph PageRank capstone, the fastText-shape
-# classifier gate, the CDX capture index, the WAT
-# metadata export); then the
-# eight queries whose implementation
-# changed this round (the robots parser's RFC 9309 conformance fixes —
-# anchor-excluded spec, unknown fields no longer splitting groups — gate
-# robots_crawl_filter, and the HTML extractor's per-line anchor
-# accounting + in-anchor block separator touch every parse_html
-# consumer); then the ENTIRE 22-query r7-stale cohort (the oldest last-
-# green rows in the catalog — the r11 verdict's rotation ask); then 7
-# of the oldest r8-cohort queries in registration order, with the last
-# four slots reserved for module coverage (the contract test requires
-# every catalog module in the first 50): the stalest catalog_arrays /
-# catalog_text / catalog_intervals / catalog_ml entries
-# (cosine_topk_ivfpq r8, cross_source_dup_matrix r8,
-# plusminus_player_stats r8, ml_energy_report r9). After this round
-# every query's last driver check is r8 or newer.
+# Round-12 head (catalog = 234): ALL 26 never-driver-checked round-12
+# additions first — the 9 early-round gates (PDF extraction,
+# Content-Type dispatch, q-digest, mixed-payload capstone, HTTP body
+# decoding, link-graph PageRank, fastText-shape classifier, CDX index,
+# WAT export) and the 17 late-round gates (redirect resolution, sitemap
+# ingest + frontier seeding, Gopher rules, KMV set operations, CDX
+# recrawl diff, HITS, the discovery capstone, TAR ingest, the
+# rank-function suite, adaptive recrawl scheduling, per-key caps, PSL
+# registered domains, WARC revisit dedup write+read, per-domain caps,
+# the CCNet tercile split, C4 cleaning); then the queries whose
+# implementation changed late in the round (the WARC parser gained
+# Location/payload-digest columns and the sitemap gate a textlist leg —
+# every warc_records consumer re-verifies); then 11 of the r7-stale
+# cohort and four module-coverage slots (the contract test requires
+# every catalog module in the first 50). The remaining r7-stale rows
+# rotate to the r13 head — new code outranks stale green history.
 DRIVER_SAMPLE_HEAD: tuple[str, ...] = (
-    # never driver-checked (new this round)
+    # never driver-checked (round-12 additions, early then late)
     "pdf_text_extract_stats",
     "doc_extract_dispatch_stats",
     "qdigest_event_quantiles",
@@ -71,16 +67,35 @@ DRIVER_SAMPLE_HEAD: tuple[str, ...] = (
     "quality_classifier_gate",
     "cdx_index_stats",
     "wat_export_stats",
-    # implementation changed this round
+    "redirect_resolution_stats",
+    "sitemap_frontier_stats",
+    "gopher_quality_stats",
+    "kmv_set_overlap",
+    "cdx_recrawl_diff",
+    "host_graph_hits",
+    "crawl_discovery_pipeline",
+    "tar_archive_stats",
+    "user_event_rank_suite",
+    "recrawl_schedule_stats",
+    "host_capped_sample_stats",
+    "registered_domain_stats",
+    "warc_revisit_roundtrip",
+    "warc_revisit_resolve_stats",
+    "domain_capped_corpus_stats",
+    "ccnet_bucket_split",
+    "c4_clean_stats",
+    # implementation changed this round (warc_records schema growth,
+    # robots extension fields, sitemap textlist leg)
     "robots_crawl_filter",
-    "html_text_extract_stats",
-    "html_main_content_stats",
-    "html_charset_stats",
-    "crawl_quality_mix",
+    "warc_crawl_stats",
+    "warc_domain_stats",
+    "wet_export_roundtrip",
     "crawl_to_wet_pipeline",
-    "crawl_text_pipeline",
     "crawl_health_stats",
-    # last driver-checked r7 (all 22)
+    "crawl_text_pipeline",
+    "crawl_quality_mix",
+    "url_canonical_dedup",
+    # r7-stale cohort (oldest last-green rows; remainder rotates to r13)
     "orders_rollup",
     "customers_with_open_orders",
     "customers_without_orders",
@@ -92,25 +107,6 @@ DRIVER_SAMPLE_HEAD: tuple[str, ...] = (
     "promo_revenue_pct",
     "large_volume_orders",
     "quality_percentile_gate",
-    "incremental_dedup",
-    "paragraph_dedup_stats",
-    "events_sliding_10m_5m",
-    "approx_distinct_users_rollup",
-    "cyclic_prediction_rates",
-    "user_rolling_stats",
-    "events_multi_rollup",
-    "csv_sales_publisher_year",
-    "doc_chunks",
-    "bpe_merge_top32",
-    "daily_conversion_funnel",
-    # oldest of the r8 cohort, registration order
-    "bination_trade_volume",
-    "small_quantity_revenue",
-    "sole_return_supplier",
-    "idle_customer_balance",
-    "nation_market_share",
-    "top_revenue_supplier",
-    "cheapest_supplier_per_part",
     # module-coverage slots (stalest entry of each remaining module)
     "cosine_topk_ivfpq",
     "cross_source_dup_matrix",
