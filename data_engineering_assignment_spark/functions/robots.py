@@ -130,9 +130,11 @@ def crawl_delay(text: str, agent: str) -> int | None:
             # GROUP-scoped: a group that gains more agent tokens after
             # this line still inherits the delay
             try:
-                cur["delays"].append(math.ceil(float(value)))
+                d = math.ceil(float(value))
             except (ValueError, OverflowError):  # junk / inf values
                 continue
+            if d > 0:  # 0/negative delays are junk, ignored like any
+                cur["delays"].append(d)  # unknown line (doc contract)
     exact = [d for g in groups if agent in g["agents"] for d in g["delays"]]
     star = [d for g in groups if "*" in g["agents"] for d in g["delays"]]
     chosen = exact if exact else star

@@ -94,7 +94,11 @@ def build_sitemap(
     gzipped: bool = False,
 ) -> bytes:
     """Fixture generator: entry dicts → spec-shaped sitemap XML bytes
-    (namespace declared, fields in spec order), optionally gzipped."""
+    (namespace declared, fields in spec order, field text XML-escaped —
+    query-string URLs carry ``&``, which unescaped would make the
+    round-trip parse reject the whole document), optionally gzipped."""
+    from xml.sax.saxutils import escape
+
     child_tag = "url" if kind == "urlset" else "sitemap"
     lines = [
         '<?xml version="1.0" encoding="UTF-8"?>',
@@ -102,10 +106,10 @@ def build_sitemap(
     ]
     for e in entries:
         lines.append(f"<{child_tag}>")
-        lines.append(f"<loc>{e['loc']}</loc>")
+        lines.append(f"<loc>{escape(str(e['loc']))}</loc>")
         for k in _FIELDS:
             if e.get(k) is not None:
-                lines.append(f"<{k}>{e[k]}</{k}>")
+                lines.append(f"<{k}>{escape(str(e[k]))}</{k}>")
         lines.append(f"</{child_tag}>")
     lines.append(f"</{kind}>")
     out = "\n".join(lines).encode("utf-8")

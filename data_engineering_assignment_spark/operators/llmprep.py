@@ -303,9 +303,15 @@ def gopher_quality_flags(
     codegen, zero Python, zero shuffle). All fraction thresholds are
     integer CROSS-MULTIPLICATIONS (``10*symbols <= words``), so there is
     no float surface and a SQL oracle replays the rules bit-for-bit.
-    Words split on spaces AND newlines; lines split on newlines."""
+    Words split on spaces AND newlines with EMPTY tokens dropped (runs
+    of whitespace / blank lines are separators, not zero-length
+    "words" — matching the published Gopher whitespace tokenization);
+    lines split on newlines."""
     c = F.col(text_col)
-    words = F.split(F.replace(c, F.lit("\n"), F.lit(" ")), " ")
+    words = F.filter(
+        F.split(F.replace(c, F.lit("\n"), F.lit(" ")), " "),
+        lambda w: w != "",
+    )
     lines = F.split(c, "\n")
     n_words = F.size(words).cast("long")
     n_lines = F.size(lines).cast("long")

@@ -924,7 +924,8 @@ WITH t AS (
   FROM documents
 ), m AS (
   SELECT source,
-    len(string_split(replace(t2, chr(10), ' '), ' ')) AS n_words,
+    len(list_filter(string_split(replace(t2, chr(10), ' '), ' '),
+                    w -> w <> '')) AS n_words,
     length(replace(replace(t2, chr(10), ''), ' ', '')) AS wchars,
     length(t2) - length(replace(t2, '#', '')) AS n_hash,
     (length(t2) - length(replace(t2, '...', ''))) // 3 AS n_ell,

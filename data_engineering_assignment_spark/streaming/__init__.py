@@ -842,9 +842,14 @@ def frontier_politeness_gate(
     per-HOST politeness a robots ``Crawl-delay`` prescribes
     (:func:`functions.robots.crawl_delay`; join the bounded host→delay
     decision table onto the stream first, stream-static). Rows with a
-    NULL interval fall back to ``interval_seconds``."""
+    NULL or non-positive interval fall back to ``interval_seconds`` —
+    a real-world ``Crawl-delay: 0`` (or junk negative) must never turn
+    into a divide-by-zero that kills the streaming query; junk degrades
+    to the default, it never crashes (dead-letter discipline)."""
     secs = (
-        F.coalesce(F.col(interval_col), F.lit(interval_seconds))
+        F.when(F.col(interval_col) > 0, F.col(interval_col)).otherwise(
+            F.lit(interval_seconds)
+        )
         if interval_col is not None
         else F.lit(interval_seconds)
     )

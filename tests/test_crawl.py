@@ -716,6 +716,16 @@ def test_parse_sitemap_contract():
         with pytest.raises(ValueError):
             parse_sitemap(junk)
 
+    # query-string URLs ('&') round-trip: build_sitemap escapes field
+    # text, parse_sitemap unescapes it (r12 advisor finding — unescaped
+    # '&' made the whole fixture document dead-letter)
+    amp = "http://h.example/p?a=1&b=<2>&c='q'"
+    rt = parse_sitemap(
+        build_sitemap([{"loc": amp, "lastmod": "2026&01"}])
+    )
+    assert rt["entries"][0]["loc"] == amp
+    assert rt["entries"][0]["lastmod"] == "2026&01"
+
 
 def test_sitemap_entries_dead_letter_and_fanout(spark):
     """sitemap_entries: one row per entry, entry-less documents survive
@@ -903,6 +913,28 @@ def test_robots_crawl_delay_semantics():
     assert crawl_delay(txt, "other") == 7  # falls to the '*' group
     assert crawl_delay("User-agent: *\nDisallow: /\n", "a") is None
     assert crawl_delay("Crawl-delay: 5\n", "a") is None  # before any group
+
+
+def test_robots_crawl_delay_nonpositive_ignored():
+    """Non-positive delays (real-world 'Crawl-delay: 0', junk '-5') are
+    ignored like any unknown line — a selected group never yields a 0 or
+    negative interval to the politeness gate (r12 advisor finding)."""
+    from data_engineering_assignment_spark.functions.robots import (
+        crawl_delay,
+    )
+
+    assert crawl_delay("User-agent: *\nCrawl-delay: 0\n", "a") is None
+    assert crawl_delay("User-agent: *\nCrawl-delay: -5\n", "a") is None
+    # a positive sibling in the same group still wins
+    txt = "User-agent: *\nCrawl-delay: 0\nCrawl-delay: 4\n"
+    assert crawl_delay(txt, "a") == 4
+    # an ignored non-positive leaves the exact groups delay-less, so the
+    # existing exact-else-star fallback applies ('*' delay wins)
+    txt2 = (
+        "User-agent: bot\nCrawl-delay: -1\nDisallow: /x\n"
+        "User-agent: *\nCrawl-delay: 9\n"
+    )
+    assert crawl_delay(txt2, "bot") == 9
 
 
 def test_robots_sitemaps_and_delays_operators(spark):

@@ -391,3 +391,26 @@ def test_gopher_quality_flags_rules(spark):
     assert not got["no-stop"]["rule_stopwords"]
     for name in docs[1:]:
         assert not got[name[0]]["gopher_pass"]
+
+
+def test_gopher_whitespace_runs_not_words(spark):
+    """Runs of spaces / blank lines are separators, not zero-length
+    'words': n_words counts real tokens only, so the alpha-word and
+    mean-word-length fractions match the published Gopher tokenization
+    on multi-space text (r12 advisor finding)."""
+    from data_engineering_assignment_spark.operators.llmprep import (
+        gopher_quality_flags,
+    )
+
+    base = " ".join(["the quick brown fox of and lore"] * 8)  # 56 words
+    spaced = base.replace(" ", "   ") + "\n\n\n" + "tail words here"
+    df = spark.createDataFrame(
+        [("plain", base + " tail words here"), ("spaced", spaced)],
+        "name string, text string",
+    )
+    got = {r.name: r.asDict() for r in gopher_quality_flags(df).collect()}
+    assert got["spaced"]["n_words"] == got["plain"]["n_words"] == 59
+    for k, v in got["plain"].items():
+        if k.startswith("rule_") or k == "gopher_pass":
+            assert got["spaced"][k] == v, k
+    assert got["spaced"]["gopher_pass"]

@@ -1394,6 +1394,51 @@ def test_politeness_gate_per_host_crawl_delay(spark, tmp_path):
     assert set(got) == want
 
 
+def test_politeness_gate_nonpositive_interval_falls_back(spark, tmp_path):
+    """A joined interval of 0 (real-world 'Crawl-delay: 0') or a junk
+    negative must NOT divide-by-zero under ANSI and kill the stream —
+    non-positive intervals degrade to the default interval_seconds,
+    per the junk-never-crashes dead-letter discipline (r12 advisor
+    finding)."""
+    from pyspark.sql import functions as SF
+
+    d = str(tmp_path / "polzero")
+    schema = "url_host string, url string, ts timestamp"
+    rows = []
+    for i, minute in enumerate((0, 11, 25)):
+        rows.append(("zero.example", f"http://z.example/{i}", ts(minute)))
+        rows.append(("neg.example", f"http://g.example/{i}", ts(minute)))
+    batch = spark.createDataFrame(rows, schema)
+    batch.coalesce(1).write.parquet(d)
+    delays = spark.createDataFrame(
+        [("zero.example", 0), ("neg.example", -5)],
+        "url_host string, delay_s int",
+    )
+    src = (
+        spark.readStream.schema(batch.schema)
+        .parquet(d)
+        .join(delays, "url_host", "left")
+    )
+    out = st.run_available_now(
+        st.frontier_politeness_gate(src, interval_col="delay_s"),
+        output_mode="append",
+    ).collect()
+    got = [(r.url_host, r.politeness_bucket) for r in out]
+    assert len(got) == len(set(got))
+    # both hosts bucket on the 10s DEFAULT: 3 distinct buckets each
+    want = {
+        (r.url_host, r.b)
+        for r in batch.select(
+            "url_host",
+            (SF.unix_timestamp("ts") / SF.lit(10)).cast("long").alias("b"),
+        )
+        .distinct()
+        .collect()
+    }
+    assert set(got) == want
+    assert len(got) == 6
+
+
 def test_streaming_kmv_bottomk_rollup(spark, tmp_path):
     """KMV bottom-k's streaming contract: each micro-batch builds its
     own per-key sketch (foreachBatch, appended to a sketch store), and
