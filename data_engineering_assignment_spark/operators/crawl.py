@@ -433,10 +433,12 @@ def _url_resolve_udf():
     """Arrow-vectorized (base, ref) -> absolute URL resolver — RFC 3986
     reference resolution via stdlib ``urllib.parse.urljoin`` (relative
     paths, root-relative, protocol-relative ``//host/...`` and absolute
-    refs all normalize). Shared by :func:`page_links` (hrefs) and
-    :func:`resolve_redirects` (Location headers). Built lazily: a
-    module-level pandas_udf with a DDL string would need a session at
-    import time."""
+    refs all normalize). The SLOW leg of :func:`resolved_url_col` —
+    rows the JVM fast path handles arrive here as NULLs (the gate
+    nulls both inputs), so per-row Python cost is paid only for the
+    genuinely relative/dot-segment tail. Built lazily: a module-level
+    pandas_udf with a DDL string would need a session at import
+    time."""
     from pyspark.sql.types import StringType
 
     @F.pandas_udf(StringType())
@@ -445,6 +447,9 @@ def _url_resolve_udf():
 
         out = []
         for b, h in zip(base, ref):
+            if b is None or h is None:
+                out.append(None)
+                continue
             try:
                 out.append(urljoin(str(b), str(h)))
             except Exception:
@@ -452,6 +457,87 @@ def _url_resolve_udf():
         return pd.Series(out)
 
     return resolve
+
+
+# Fast-path guards, each chosen so the JVM result is BYTE-IDENTICAL to
+# urllib.parse.urljoin on every string it accepts (pinned against
+# stdlib behavior by tests/test_crawl.py's exhaustive case matrix):
+# tab/CR/LF anywhere (urlsplit strips them), an empty query or fragment
+# delimiter ('?#', trailing '?' or '#' — urlunparse DROPS the empty
+# part), and a path-part ';' (trailing empty params drop too) all fall
+# back to Python rather than risk a one-byte divergence.
+_CTL_RX = "[\\t\\n\\r]"
+_EMPTY_TAIL_RX = "\\?#|[?#]$"
+_PATH_SEMI_RX = "^[^?#]*;"
+_DOT_SEG_RX = "/\\.{1,2}([/?#]|$)"
+
+
+def resolve_url_fast_expr(base, ref):
+    """JVM fast path for RFC 3986 reference resolution: NULL unless the
+    (base, ref) pair falls in a class whose resolution is expressible as
+    a pure column function AND provably byte-identical to stdlib
+    ``urljoin`` — absolute http(s) refs (returned verbatim),
+    protocol-relative ``//host/...`` (base scheme prepended),
+    root-relative dot-segment-free paths (base authority prepended),
+    fragment-only refs (appended to a fragment-less base) and empty
+    refs (the base). Everything else — relative paths, dot segments,
+    exotic schemes, URLs with characters urlsplit normalizes — returns
+    NULL and is resolved by the pandas-UDF slow leg. On a real crawl
+    the fast classes are the overwhelming href mass, so the per-link
+    Python CPU named in SCALE.md applies only to the relative tail."""
+    clean = lambda c: ~c.rlike(_CTL_RX) & ~c.rlike(_EMPTY_TAIL_RX)  # noqa: E731
+    base_http = base.rlike("^https?://[^/?#]") & ~base.rlike(_CTL_RX)
+    return (
+        F.when(ref == "", base)
+        .when(
+            ref.rlike("^https?://[^/?#]")
+            & clean(ref)
+            & ~ref.rlike(_PATH_SEMI_RX),
+            ref,
+        )
+        .when(
+            ref.rlike("^//[^/?#]")
+            & clean(ref)
+            & ~ref.rlike(_PATH_SEMI_RX)
+            & base.rlike("^https?://"),
+            F.concat(F.regexp_extract(base, "^(https?)", 1), F.lit(":"), ref),
+        )
+        .when(
+            ref.rlike("^/($|[^/])")
+            & clean(ref)
+            & ~ref.rlike(_DOT_SEG_RX)
+            & ~ref.rlike(_PATH_SEMI_RX)
+            & base_http,
+            F.concat(
+                F.regexp_extract(base, "^(https?://[^/?#]*)", 1), ref
+            ),
+        )
+        .when(
+            ref.rlike("^#.")
+            & ~ref.rlike(_CTL_RX)
+            & base_http
+            & ~base.contains("#")
+            & ~base.rlike("\\?$")
+            & ~base.rlike(_PATH_SEMI_RX),
+            F.concat(base, ref),
+        )
+    )
+
+
+def resolved_url_col(base, ref):
+    """(base, ref) -> absolute URL column: the JVM fast path for the
+    common reference classes, the Arrow-batched ``urljoin`` UDF for the
+    rest. The UDF's inputs are NULLed on fast rows — Spark's
+    ArrowEvalPython node still runs over every row, but ships
+    null-masked batches and skips the per-row Python ``urljoin`` calls
+    that dominate the cost (SCALE.md's named per-link Python CPU).
+    NULL base or ref resolves to NULL (dead-letter, never 'None'
+    coercion). Shared by :func:`page_links` (hrefs) and
+    :func:`resolve_redirects` (Location headers)."""
+    fast = resolve_url_fast_expr(base, ref)
+    resolver = _url_resolve_udf()
+    slow = resolver(F.when(fast.isNull(), base), F.when(fast.isNull(), ref))
+    return F.coalesce(fast, slow)
 
 
 def resolve_redirects(
@@ -495,10 +581,12 @@ def resolve_redirects(
     is_redirect = (
         F.col(status_col).between(300, 399) & F.col(location_col).isNotNull()
     )
-    resolver = _url_resolve_udf()
     edges = (
         df.filter(is_redirect & u.isNotNull())
-        .select(u.alias("u"), resolver(u, F.col(location_col)).alias("v"))
+        .select(
+            u.alias("u"),
+            resolved_url_col(u, F.col(location_col)).alias("v"),
+        )
         .filter(F.col("v").isNotNull())
         .groupBy("u")
         .agg(F.min("v").alias("v"))
@@ -762,13 +850,15 @@ def page_links(
     paths, root-relative, protocol-relative ``//host/...``, and absolute
     hrefs all normalize to absolute URLs): appends ``href`` (raw),
     ``anchor`` (text) and ``resolved_url``. The explode is JVM-side;
-    resolution is one Arrow-vectorized pandas UDF (the crawl pipeline's
-    second bounded Python hop). Feed ``resolved_url`` to
+    resolution is :func:`resolved_url_col` — a JVM expression for the
+    common absolute/protocol-relative/root-relative/fragment classes,
+    one Arrow-vectorized pandas UDF only for the relative/dot-segment
+    tail (the crawl pipeline's second bounded Python hop). Feed
+    ``resolved_url`` to
     :func:`canonical_url` / :func:`with_url_parts` for frontier or
     link-graph use. Rows with NULL links explode away (a page with no
     anchors contributes no link rows — link analytics, not a page
     census)."""
-    resolve = _url_resolve_udf()
     link = F.explode(F.col(f"{page_col}.links")).alias("_link")
     return (
         df.select("*", link)
@@ -778,7 +868,10 @@ def page_links(
             F.col("_link.anchor").alias("anchor"),
         )
         .drop("_link")
-        .withColumn("resolved_url", resolve(F.col(base_col), F.col("href")))
+        .withColumn(
+            "resolved_url",
+            resolved_url_col(F.col(base_col), F.col("href")),
+        )
     )
 
 

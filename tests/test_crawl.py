@@ -574,6 +574,115 @@ def test_page_links_resolution_modes(spark):
     ]
 
 
+def test_resolved_url_col_matches_urljoin(spark):
+    """The JVM fast path (resolve_url_fast_expr) is byte-identical to
+    stdlib urljoin on every (base, ref) pair it accepts, and the
+    composed resolved_url_col equals urljoin everywhere (the slow leg
+    covers whatever the guards reject). Cross product of adversarial
+    bases x refs — every guard (tabs, empty query/fragment delimiters,
+    path params, dot segments, exotic schemes) gets both a fast-class
+    neighbor and a must-fall-back twin."""
+    from urllib.parse import urljoin
+
+    from pyspark.sql import functions as SF
+
+    from data_engineering_assignment_spark.operators.crawl import (
+        resolve_url_fast_expr,
+        resolved_url_col,
+    )
+
+    bases = [
+        "http://a.example/x/y",
+        "https://a.example/x/y?q=1#f",
+        "http://a.example",
+        "http://a.example/",
+        "http://u:p@a.example:8080/x;p/y?a=1;b=2",
+        "http://a.example/x/y?",
+        "http://a.example/x;",
+        "http://a.example/x\ty",
+        "HTTP://a.example/x",
+        "ftp://a.example/x",
+        "weird://a/x",
+        "notaurl",
+        "",
+    ]
+    refs = [
+        "http://c.example/d",
+        "https://c.example/d/e?q=2#g",
+        "HTTP://c.example/d",
+        "http://c.example/a/../b",
+        "http://c.example/d;",
+        "http://c.example/d;p=1",
+        "http://c.example/d?",
+        "http://c.example/d?#x",
+        "http://c.example/d\te",
+        "http:///p",
+        "http:g",
+        "mailto:x@y.z",
+        "//other.example/p?z#h",
+        "//other.example/d;",
+        "///三slash",
+        "/rooted/p?z=2#g",
+        "/",
+        "/p;v=1/q",
+        "/p/./q",
+        "/p/../q",
+        "/p/..",
+        "/p/.",
+        "/a b/c",
+        "/p?",
+        "/p#",
+        "#frag",
+        "#a#b",
+        "#",
+        "",
+        "rel/x",
+        "../up",
+        "g?y=1",
+        ";x",
+        "?q=only",
+    ]
+    pairs = [(b, r) for b in bases for r in refs]
+    df = spark.createDataFrame(pairs, "base string, ref string")
+    out = df.select(
+        "base",
+        "ref",
+        resolved_url_col(SF.col("base"), SF.col("ref")).alias("got"),
+        resolve_url_fast_expr(SF.col("base"), SF.col("ref")).alias("fast"),
+    ).collect()
+    n_fast = 0
+    for r in out:
+        want = urljoin(r.base, r.ref)
+        assert r.got == want, (r.base, r.ref, r.got, want)
+        if r.fast is not None:
+            n_fast += 1
+            assert r.fast == want, ("fast", r.base, r.ref, r.fast, want)
+    # the fast classes actually fire (absolute refs resolve JVM-side
+    # under every base; base-dependent classes under the http(s) bases;
+    # 87/429 of this deliberately guard-heavy matrix — real crawl hrefs
+    # are overwhelmingly in the fast classes)
+    assert n_fast >= 80
+
+
+def test_resolved_url_col_null_dead_letter(spark):
+    """NULL base or ref resolves to NULL — dead-letter, never a
+    str(None) coercion artifact."""
+    from pyspark.sql import functions as SF
+
+    from data_engineering_assignment_spark.operators.crawl import (
+        resolved_url_col,
+    )
+
+    df = spark.createDataFrame(
+        [(None, "/p"), ("http://a.example/x", None), (None, None)],
+        "base string, ref string",
+    )
+    got = df.select(
+        resolved_url_col(SF.col("base"), SF.col("ref")).alias("r")
+    ).collect()
+    assert [r.r for r in got] == [None, None, None]
+
+
 def test_resolve_redirects_chains_cycles_and_caps(spark):
     """resolve_redirects: terminal captures are their own final (0 hops);
     chains resolve with per-node remaining-hop counts; relative Location
