@@ -6,23 +6,43 @@ reference (no crawl/document route; Assignment-python.py stops at image
 color analytics).
 
 Scope follows the repo's codec-gate discipline (the JPEG/TIFF model):
-the structurally honest subset is implemented completely and exactly —
-classic (non-object-stream) PDFs whose content streams are plain or
-FlateDecode — and everything outside it raises a GUARDED error that the
-operator layer converts to a dead-letter row, never a wrong answer:
+the structurally honest subset is implemented completely and exactly,
+and everything outside it raises a GUARDED error that the operator
+layer converts to a dead-letter row, never a wrong answer. In scope:
 
-* encrypted documents (``/Encrypt`` in a trailer) raise;
-* content-stream filters other than ``/FlateDecode`` raise (DCTDecode,
-  LZW, ASCII85, ...), as do ``/DecodeParms`` predictors;
-* cross-reference STREAMS (PDF 1.5 ``/Type /ObjStm`` compressed
-  objects) raise — the page tree would be invisible to a byte scanner.
+* classic PDFs whose streams are plain or FlateDecode, with the full
+  ``/DecodeParms`` predictor family (PNG None/Sub/Up/Average/Paeth,
+  predictors 10-15, and TIFF predictor 2 at 8 bits/component);
+* the PDF 1.5 compressed-object profile: ``/Type /ObjStm`` object
+  streams (members expanded with file-order shadowing, below) and
+  cross-reference-STREAM files (no ``trailer`` keyword — the trailer
+  dict, including ``/Encrypt``, lives in the ``/Type /XRef`` stream
+  dict, which is where encryption detection looks too);
+* simple-font re-encoding: ``/Encoding /Differences`` glyph-name maps
+  (the ASCII Adobe-Glyph-List subset plus ``uniXXXX``/``uXXXXXX``
+  names; unknown names decode to U+FFFD — declared, deterministic) and
+  ``/ToUnicode`` CMaps (bfchar + bfrange, 1- and 2-byte codes,
+  UTF-16BE targets; an unmapped 1-byte code falls back to Latin-1, an
+  unmapped 2-byte code decodes to U+FFFD per code).
+
+Still guarded (raise): encryption, filters other than FlateDecode
+(DCT, LZW, ASCII85, ...), filter CHAINS, predictors outside the family
+above, and composite ``/Subtype /Type0`` fonts WITHOUT a /ToUnicode
+CMap (real CID decoding needs font files; with /ToUnicode present the
+map is authoritative and such fonts decode fine).
 
 Parsing is xref-INDEPENDENT by design: objects are discovered by
 scanning ``N G obj ... endobj`` spans (the repair path every real PDF
 reader has, and the only honest one for crawled files whose xref tables
 are routinely truncated or wrong; when the same object id appears more
 than once — incremental updates — the LAST definition wins, matching
-xref-table shadowing semantics).
+xref-table shadowing semantics). Object-stream members join the same
+order: a member's definition position is its CONTAINER's position, so
+a direct redefinition appended later (incremental update) shadows it,
+and a later ObjStm shadows both — the xref-table outcome, re-derived
+from byte order. The cross-reference stream itself is never needed for
+discovery; the test suite still decodes one through the predictor path
+to pin the encoding.
 
 Deterministic text contract (what a closed-form fixture oracle can
 re-derive; the functions/html.py discipline):
@@ -58,36 +78,106 @@ _DELIM = b"()<>[]{}/%"
 # ---------------------------------------------------------------------------
 
 
-def _escape_literal(s: str) -> bytes:
-    out = s.encode("latin-1")
+def _escape_bytes(out: bytes) -> bytes:
     return (
         out.replace(b"\\", b"\\\\").replace(b"(", b"\\(").replace(b")", b"\\)")
     )
 
 
+def _escape_literal(s: str) -> bytes:
+    return _escape_bytes(s.encode("latin-1"))
+
+
 def _content_stream(
-    lines: list[str], tj_split: bool = False, hex_strings: bool = False
+    lines: list[str],
+    tj_split: bool = False,
+    hex_strings: bool = False,
+    encode=None,
 ) -> bytes:
     """One page's content stream: one text line per Td line advance.
     ``tj_split`` shows each line as a TJ array split mid-string with a
     kerning number (same extracted text, different bytes); ``hex_strings``
-    shows lines as hex strings (same text, different bytes)."""
+    shows lines as hex strings (same text, different bytes); ``encode``
+    maps visible text to string bytes (a subsetted-font code map;
+    default Latin-1)."""
+    enc = encode or (lambda s: s.encode("latin-1"))
     ops = [b"BT /F1 12 Tf 72 720 Td"]
     for i, line in enumerate(lines):
         if i:
             ops.append(b"0 -14 Td")
         if hex_strings:
-            ops.append(b"<" + line.encode("latin-1").hex().encode() + b"> Tj")
+            ops.append(b"<" + enc(line).hex().encode() + b"> Tj")
         elif tj_split and len(line) > 2:
             a, b = line[: len(line) // 2], line[len(line) // 2 :]
             ops.append(
-                b"[(" + _escape_literal(a) + b") -20 ("
-                + _escape_literal(b) + b")] TJ"
+                b"[(" + _escape_bytes(enc(a)) + b") -20 ("
+                + _escape_bytes(enc(b)) + b")] TJ"
             )
         else:
-            ops.append(b"(" + _escape_literal(line) + b") Tj")
+            ops.append(b"(" + _escape_bytes(enc(line)) + b") Tj")
     ops.append(b"ET")
     return b"\n".join(ops)
+
+
+def _png_predict_up(data: bytes, columns: int) -> bytes:
+    """PNG Up (filter type 2) predictor ENCODING at the given row
+    width — the inverse of :func:`_unpredict` predictor 12 (what real
+    writers put on xref streams)."""
+    out = bytearray()
+    prior = bytes(columns)
+    for r0 in range(0, len(data), columns):
+        row = data[r0 : r0 + columns]
+        out.append(2)
+        out += bytes(
+            (row[i] - (prior[i] if i < len(prior) else 0)) & 0xFF
+            for i in range(len(row))
+        )
+        prior = row
+    return bytes(out)
+
+
+def _tounicode_cmap(code_of: dict[str, int]) -> bytes:
+    """A /ToUnicode CMap (1-byte codes, UTF-16BE targets) covering the
+    given char -> code map; consecutive (code, codepoint) runs emit as
+    bfrange, singletons as bfchar — both section kinds always exercised
+    by construction when the map has >= 2 entries."""
+    items = sorted((c, ch) for ch, c in code_of.items())
+    runs: list[list[tuple[int, str]]] = []
+    for code, ch in items:
+        if (
+            runs
+            and code == runs[-1][-1][0] + 1
+            and ord(ch) == ord(runs[-1][-1][1]) + 1
+        ):
+            runs[-1].append((code, ch))
+        else:
+            runs.append([(code, ch)])
+    chars = [r[0] for r in runs if len(r) == 1]
+    ranges = [r for r in runs if len(r) > 1]
+    lines = [
+        b"/CIDInit /ProcSet findresource begin",
+        b"12 dict begin",
+        b"begincmap",
+        b"/CMapName /Custom-UCS def",
+        b"/CMapType 2 def",
+        b"1 begincodespacerange",
+        b"<00> <ff>",
+        b"endcodespacerange",
+    ]
+    if chars:
+        lines.append(b"%d beginbfchar" % len(chars))
+        for code, ch in chars:
+            lines.append(b"<%02x> <%04x>" % (code, ord(ch)))
+        lines.append(b"endbfchar")
+    if ranges:
+        lines.append(b"%d beginbfrange" % len(ranges))
+        for r in ranges:
+            lines.append(
+                b"<%02x> <%02x> <%04x>" % (r[0][0], r[-1][0], ord(r[0][1]))
+            )
+        lines.append(b"endbfrange")
+    lines += [b"endcmap", b"CMap defined", b"end", b"end"]
+    return b"\n".join(lines)
 
 
 def build_pdf(
@@ -96,14 +186,30 @@ def build_pdf(
     tj_split: bool = False,
     hex_strings: bool = False,
     nested_kids: bool = False,
+    object_streams: bool = False,
+    content_predictor: bool = False,
+    differences: bool = False,
+    tounicode: bool = False,
 ) -> bytes:
-    """Serialize text pages into a complete, standards-valid PDF 1.4
+    """Serialize text pages into a complete, standards-valid PDF
     (header, catalog, page tree, per-page FlateDecode-or-plain content
-    streams, xref table, trailer) — the fixture writer for the extraction
+    streams, xref, trailer) — the fixture writer for the extraction
     gates, exactly like ``functions.warc.build_warc`` is for WARC.
     ``nested_kids`` routes pages through an intermediate ``/Pages`` node
     so the depth-first tree walk (not file order) is what the oracle
-    pins."""
+    pins. ``object_streams`` writes the PDF 1.5 compressed profile:
+    every non-stream object lives in one /Type /ObjStm and the file
+    ends in a cross-reference STREAM (W [1 4 1], PNG Up predictor 12,
+    type-2 entries for the compressed members, NO 'trailer' keyword).
+    ``content_predictor`` predictor-encodes the content streams
+    themselves (/DecodeParms /Predictor 12). ``differences`` re-encodes
+    text through a subsetted /Encoding /Differences font (codes from
+    128, AGL glyph names); ``tounicode`` through a /ToUnicode CMap
+    font (bfchar + bfrange, permuted 1-byte codes) — in both, raw
+    string bytes differ from the visible text and extraction must map
+    them back."""
+    if differences and tounicode:
+        raise ValueError("differences and tounicode are exclusive")
     objs: dict[int, bytes] = {}
     n_pages = len(pages)
     font_id = 3 + 2 * n_pages + (1 if nested_kids else 0)
@@ -115,6 +221,34 @@ def build_pdf(
         page_ids.append(next_id)
         content_ids.append(next_id + 1)
         next_id += 2
+
+    encode = None
+    font_body = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    cmap_id = 2 * font_id + 1
+    cmap_bytes = None
+    if differences or tounicode:
+        chars = sorted({ch for pg in pages for ln in pg for ch in ln})
+        if len(chars) > 95:
+            raise ValueError("too many distinct chars for a 1-byte subset")
+        if differences:
+            code_of = {ch: 128 + i for i, ch in enumerate(chars)}
+            names = b" ".join(
+                b"/" + _CHAR_TO_GLYPH[ch].encode("ascii") for ch in chars
+            )
+            font_body = (
+                b"<< /Type /Font /Subtype /Type1 /BaseFont /ABCDEF+Custom"
+                b" /Encoding << /Type /Encoding /Differences [128 "
+                + names
+                + b"] >> >>"
+            )
+        else:
+            code_of = {ch: 0x20 + i for i, ch in enumerate(chars)}
+            cmap_bytes = zlib.compress(_tounicode_cmap(code_of))
+            font_body = (
+                b"<< /Type /Font /Subtype /TrueType /BaseFont "
+                b"/ABCDEF+Custom /ToUnicode %d 0 R >>" % cmap_id
+            )
+        encode = lambda s: bytes(code_of[ch] for ch in s)  # noqa: E731
 
     objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
     if nested_kids and n_pages > 1:
@@ -142,8 +276,17 @@ def build_pdf(
         parent_of = {p: 2 for p in page_ids}
 
     for (pid, cid, lines) in zip(page_ids, content_ids, pages):
-        raw = _content_stream(lines, tj_split=tj_split, hex_strings=hex_strings)
-        if flate:
+        raw = _content_stream(
+            lines, tj_split=tj_split, hex_strings=hex_strings, encode=encode
+        )
+        if content_predictor:  # implies Flate: predictors ride a filter
+            raw += b" " * (-len(raw) % 16)  # whole predictor rows
+            data = zlib.compress(_png_predict_up(raw, 16))
+            filt = (
+                b" /Filter /FlateDecode"
+                b" /DecodeParms << /Predictor 12 /Columns 16 >>"
+            )
+        elif flate:
             data = zlib.compress(raw)
             filt = b" /Filter /FlateDecode"
         else:
@@ -168,26 +311,89 @@ def build_pdf(
                 + data
                 + b"\nendstream"
             )
-    objs[font_id] = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    objs[font_id] = font_body
+    stream_ids = set(content_ids)
+    if cmap_bytes is not None:
+        objs[cmap_id] = (
+            b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(cmap_bytes)
+            + cmap_bytes
+            + b"\nendstream"
+        )
+        stream_ids.add(cmap_id)
 
-    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
-    offsets: dict[int, int] = {}
-    for oid in sorted(objs):
+    if not object_streams:
+        out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+        offsets: dict[int, int] = {}
+        for oid in sorted(objs):
+            offsets[oid] = len(out)
+            out += b"%d 0 obj\n" % oid + objs[oid] + b"\nendobj\n"
+        xref_at = len(out)
+        max_id = max(objs)
+        out += b"xref\n0 %d\n" % (max_id + 1)
+        out += b"0000000000 65535 f \n"
+        for oid in range(1, max_id + 1):
+            if oid in offsets:
+                out += b"%010d 00000 n \n" % offsets[oid]
+            else:
+                out += b"0000000000 65535 f \n"
+        out += (
+            b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+            % (max_id + 1, xref_at)
+        )
+        return bytes(out)
+
+    # --- PDF 1.5 compressed profile: ObjStm members + xref stream ---
+    member_ids = sorted(o for o in objs if o not in stream_ids)
+    objstm_id = 2 * font_id + 2
+    xref_id = 2 * font_id + 3
+    bodies = [objs[o] for o in member_ids]
+    offs = []
+    at = 0
+    for b in bodies:
+        offs.append(at)
+        at += len(b) + 1
+    header = b" ".join(
+        b"%d %d" % (oid, off) for oid, off in zip(member_ids, offs)
+    ) + b"\n"
+    payload = header + b"\n".join(bodies) + b"\n"
+    stm_data = zlib.compress(payload)
+    objstm_body = (
+        b"<< /Type /ObjStm /N %d /First %d /Length %d /Filter /FlateDecode >>"
+        b"\nstream\n" % (len(member_ids), len(header), len(stm_data))
+        + stm_data
+        + b"\nendstream"
+    )
+
+    out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    offsets = {}
+    for oid in sorted(stream_ids):
         offsets[oid] = len(out)
         out += b"%d 0 obj\n" % oid + objs[oid] + b"\nendobj\n"
+    offsets[objstm_id] = len(out)
+    out += b"%d 0 obj\n" % objstm_id + objstm_body + b"\nendobj\n"
     xref_at = len(out)
-    max_id = max(objs)
-    out += b"xref\n0 %d\n" % (max_id + 1)
-    out += b"0000000000 65535 f \n"
-    for oid in range(1, max_id + 1):
-        if oid in offsets:
-            out += b"%010d 00000 n \n" % offsets[oid]
+
+    # xref stream rows, W [1 4 1]: type-0 free, type-1 direct offset,
+    # type-2 (objstm, member index); predictor 12 like real writers
+    rows = bytearray()
+    midx = {oid: i for i, oid in enumerate(member_ids)}
+    for oid in range(0, xref_id + 1):
+        if oid in midx:
+            rows += b"\x02" + objstm_id.to_bytes(4, "big") + bytes([midx[oid]])
+        elif oid in offsets or oid == xref_id:
+            off = xref_at if oid == xref_id else offsets[oid]
+            rows += b"\x01" + off.to_bytes(4, "big") + b"\x00"
         else:
-            out += b"0000000000 65535 f \n"
+            rows += b"\x00" + bytes(5)
+    xref_data = zlib.compress(_png_predict_up(bytes(rows), 6))
     out += (
-        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
-        % (max_id + 1, xref_at)
+        b"%d 0 obj\n<< /Type /XRef /Size %d /W [1 4 1] /Root 1 0 R "
+        b"/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns 6 >> "
+        b"/Length %d >>\nstream\n" % (xref_id, xref_id + 1, len(xref_data))
+        + xref_data
+        + b"\nendstream\nendobj\n"
     )
+    out += b"startxref\n%d\n%%%%EOF\n" % xref_at
     return bytes(out)
 
 
@@ -400,13 +606,18 @@ _OBJ_RE = re.compile(rb"(?<![0-9])(\d+)\s+(\d+)\s+obj\b")
 _STREAM_RE = re.compile(rb"stream(\r\n|\n|\r)")
 
 
-def _scan_objects(data: bytes) -> tuple[dict[int, object], dict[int, tuple]]:
+def _scan_objects(
+    data: bytes,
+) -> tuple[dict[int, object], dict[int, tuple], dict[int, int]]:
     """Byte-scan every ``N G obj`` span -> ({obj_id: value},
-    {obj_id: (dict, stream_start)}) with last-definition-wins shadowing
-    (incremental updates). Stream payload extents resolve later (the
-    /Length may itself be an indirect reference)."""
+    {obj_id: (dict, stream_start)}, {obj_id: last definition's file
+    position}) with last-definition-wins shadowing (incremental
+    updates). Stream payload extents resolve later (the /Length may
+    itself be an indirect reference); positions feed the same shadowing
+    rule for object-stream members."""
     values: dict[int, object] = {}
     streams: dict[int, tuple] = {}
+    positions: dict[int, int] = {}
     cursor = 0  # matches INSIDE a stream payload are not objects:
     # compressed bytes can contain 'N G obj' by accident, so the scan
     # skips to past each stream's endstream before matching again
@@ -420,6 +631,8 @@ def _scan_objects(data: bytes) -> tuple[dict[int, object], dict[int, tuple]]:
         except ValueError:
             continue  # a malformed object body; scanning continues
         values[oid] = val
+        positions[oid] = m.start()
+        streams.pop(oid, None)  # a non-stream redefinition un-streams it
         lex._skip_ws()
         sm = _STREAM_RE.match(data, lex.pos)
         if sm is not None:
@@ -430,14 +643,88 @@ def _scan_objects(data: bytes) -> tuple[dict[int, object], dict[int, tuple]]:
             cursor = len(data) if end < 0 else end + len(b"endstream")
         else:
             cursor = lex.pos
-    return values, streams
+    return values, streams, positions
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _unpredict(data: bytes, parms: dict, values: dict) -> bytes:
+    """Undo a /DecodeParms predictor after Flate decompression: PNG
+    predictors 10-15 (per-row filter byte: None/Sub/Up/Average/Paeth —
+    RFC 2083 §6.6, the encoding xref streams almost always use) and
+    TIFF predictor 2 (horizontal component delta, 8 bits/component).
+    Predictor 1 (or absent) is the identity. Anything else raises the
+    guarded error."""
+
+    def geti(key: str, default: int) -> int:
+        v = _resolve(parms.get(key, default), values)
+        if not isinstance(v, int) or v < 0:
+            raise ValueError(f"bad /DecodeParms {key}")
+        return v
+
+    pred = geti("Predictor", 1)
+    if pred == 1:
+        return data
+    colors = max(1, geti("Colors", 1))
+    bpc = geti("BitsPerComponent", 8)
+    cols = max(1, geti("Columns", 1))
+    if pred == 2:
+        if bpc != 8:
+            raise NotImplementedError(
+                "TIFF predictor with BitsPerComponent != 8 not supported"
+            )
+        out = bytearray(data)
+        row_len = cols * colors
+        for r0 in range(0, len(out), row_len):
+            row_end = min(r0 + row_len, len(out))
+            for i in range(r0 + colors, row_end):
+                out[i] = (out[i] + out[i - colors]) & 0xFF
+        return bytes(out)
+    if 10 <= pred <= 15:
+        bpp = max(1, (colors * bpc + 7) // 8)
+        row_len = (cols * colors * bpc + 7) // 8
+        out = bytearray()
+        prior = bytes(row_len)
+        pos = 0
+        while pos < len(data):
+            ftype = data[pos]
+            row = bytearray(data[pos + 1 : pos + 1 + row_len])
+            pos += 1 + row_len
+            if ftype == 1:  # Sub
+                for i in range(bpp, len(row)):
+                    row[i] = (row[i] + row[i - bpp]) & 0xFF
+            elif ftype == 2:  # Up
+                for i in range(len(row)):
+                    row[i] = (row[i] + prior[i]) & 0xFF
+            elif ftype == 3:  # Average
+                for i in range(len(row)):
+                    left = row[i - bpp] if i >= bpp else 0
+                    row[i] = (row[i] + (left + prior[i]) // 2) & 0xFF
+            elif ftype == 4:  # Paeth
+                for i in range(len(row)):
+                    left = row[i - bpp] if i >= bpp else 0
+                    pleft = prior[i - bpp] if i >= bpp else 0
+                    row[i] = (row[i] + _paeth(left, prior[i], pleft)) & 0xFF
+            elif ftype != 0:
+                raise ValueError(f"bad PNG filter type {ftype}")
+            out += row
+            prior = bytes(row) + bytes(max(0, row_len - len(row)))
+        return bytes(out)
+    raise NotImplementedError(f"PDF stream predictor {pred} not supported")
 
 
 def _stream_bytes(
     oid: int, values: dict, streams: dict, data: bytes
 ) -> bytes:
     """One stream object's decoded payload (resolving indirect /Length,
-    verifying 'endstream', applying /FlateDecode)."""
+    verifying 'endstream', applying /FlateDecode + any supported
+    /DecodeParms predictor)."""
     sdict, start = streams[oid]
     length = sdict.get("Length")
     if isinstance(length, tuple) and length[0] == "ref":
@@ -449,17 +736,66 @@ def _stream_bytes(
     if b"endstream" not in tail.translate(None, bytes(_WS)):
         raise ValueError("stream /Length does not reach endstream")
     filt = sdict.get("Filter")
+    parms = _resolve(sdict.get("DecodeParms"), values)
     if isinstance(filt, list):
         if len(filt) > 1:
             raise ValueError(f"unsupported filter chain {filt!r}")
         filt = filt[0] if filt else None
-    if "DecodeParms" in sdict and sdict["DecodeParms"] is not None:
-        raise NotImplementedError("PDF stream predictors not supported")
+        if isinstance(parms, list):
+            parms = parms[0] if parms else None
     if filt is None:
+        if parms:
+            raise NotImplementedError(
+                "/DecodeParms without a filter not supported"
+            )
         return raw
     if filt == "FlateDecode":
-        return zlib.decompress(raw)
+        out = zlib.decompress(raw)
+        if isinstance(parms, dict):
+            out = _unpredict(out, parms, values)
+        elif parms is not None:
+            raise ValueError("bad /DecodeParms")
+        return out
     raise NotImplementedError(f"PDF stream filter {filt!r} not supported")
+
+
+def _expand_object_streams(
+    values: dict, streams: dict, positions: dict, data: bytes
+) -> None:
+    """Fold every /Type /ObjStm member into ``values`` with file-order
+    shadowing: a member's definition position is its container's, so a
+    direct definition LATER in the file (incremental update) shadows the
+    member and a later ObjStm shadows both — the xref-table outcome
+    re-derived from byte order. Members are parsed from the decoded
+    payload at /First + per-member offset (ISO 32000-1 §7.5.7); spec
+    forbids streams inside an ObjStm, so members are pure values."""
+    for oid in sorted(
+        (o for o, (d, _) in streams.items() if d.get("Type") == "ObjStm"),
+        key=lambda o: positions[o],
+    ):
+        sdict, _ = streams[oid]
+        payload = _stream_bytes(oid, values, streams, data)
+        n = _resolve(sdict.get("N"), values)
+        first = _resolve(sdict.get("First"), values)
+        if not isinstance(n, int) or not isinstance(first, int):
+            raise ValueError("ObjStm missing /N or /First")
+        lex = _Lexer(payload)
+        pairs = []
+        for _ in range(2 * n):
+            tok = lex.next_token()
+            if tok is None or tok[0] != "num":
+                raise ValueError("bad ObjStm member table")
+            pairs.append(int(tok[1]))
+        cpos = positions[oid]
+        for i in range(n):
+            moid, off = pairs[2 * i], pairs[2 * i + 1]
+            if moid in positions and positions[moid] > cpos:
+                continue  # later direct/stream definition shadows this
+            try:
+                values[moid] = _parse_value(_Lexer(payload, first + off))
+            except ValueError:
+                continue  # malformed member; the rest still count
+            positions[moid] = cpos
 
 
 # ---------------------------------------------------------------------------
@@ -490,13 +826,168 @@ def _walk_pages(node_ref, values, visited) -> list[dict]:
     raise ValueError(f"unexpected page-tree node type {t!r}")
 
 
-def _page_text(content: bytes) -> str:
+# ---------------------------------------------------------------------------
+# fonts: /Encoding /Differences + /ToUnicode CMaps
+# ---------------------------------------------------------------------------
+
+# ASCII-printable subset of the Adobe Glyph List — the names every
+# /Differences array over Latin text uses. uniXXXX / uXXXX[XX] names
+# are handled programmatically; anything else decodes to U+FFFD
+# (declared in the module contract).
+_AGL = {
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "dollar": "$", "percent": "%", "ampersand": "&", "quotesingle": "'",
+    "parenleft": "(", "parenright": ")", "asterisk": "*", "plus": "+",
+    "comma": ",", "hyphen": "-", "period": ".", "slash": "/",
+    "zero": "0", "one": "1", "two": "2", "three": "3", "four": "4",
+    "five": "5", "six": "6", "seven": "7", "eight": "8", "nine": "9",
+    "colon": ":", "semicolon": ";", "less": "<", "equal": "=",
+    "greater": ">", "question": "?", "at": "@", "bracketleft": "[",
+    "backslash": "\\", "bracketright": "]", "asciicircum": "^",
+    "underscore": "_", "grave": "`", "braceleft": "{", "bar": "|",
+    "braceright": "}", "asciitilde": "~",
+}
+for _c in "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz":
+    _AGL[_c] = _c
+_CHAR_TO_GLYPH = {v: k for k, v in _AGL.items()}
+
+
+def _glyph_char(name: str) -> str:
+    if name in _AGL:
+        return _AGL[name]
+    if name.startswith("uni") and len(name) == 7:
+        try:
+            return chr(int(name[3:], 16))
+        except ValueError:
+            return "�"
+    if name.startswith("u") and 5 <= len(name) <= 7:
+        try:
+            return chr(int(name[1:], 16))
+        except ValueError:
+            return "�"
+    return "�"
+
+
+def _parse_tounicode(cmap: bytes) -> dict[bytes, str]:
+    """bfchar/bfrange sections of a /ToUnicode CMap -> {code bytes ->
+    unicode str}. Codes are the hex-string source bytes (1- or 2-byte);
+    targets are UTF-16BE hex strings. bfrange increments the LAST code
+    unit of the start target across the range (ISO 32000-1 §9.10.3's
+    Adobe CMap convention) unless the target is an array of per-code
+    strings."""
+    out: dict[bytes, str] = {}
+    lex = _Lexer(cmap)
+    mode = None
+    pending: list = []
+    while True:
+        tok = lex.next_token()
+        if tok is None:
+            break
+        kind, val = tok
+        if kind == "kw" and val in ("beginbfchar", "beginbfrange"):
+            mode, pending = val, []
+        elif kind == "kw" and val in ("endbfchar", "endbfrange"):
+            mode, pending = None, []
+        elif mode == "beginbfchar":
+            if kind == "str":
+                pending.append(val)
+                if len(pending) == 2:
+                    src, dst = pending
+                    out[bytes(src)] = dst.decode("utf-16-be", "replace")
+                    pending = []
+        elif mode == "beginbfrange":
+            if kind == "str":
+                pending.append(val)
+            elif kind == "arr_open":
+                pending.append(_parse_value(lex, tok))
+            if len(pending) == 3:
+                lo, hi, dst = pending
+                pending = []
+                if len(lo) != len(hi) or not lo:
+                    continue
+                start = int.from_bytes(lo, "big")
+                stop = int.from_bytes(hi, "big")
+                width = len(lo)
+                if isinstance(dst, list):
+                    for i, d in enumerate(dst):
+                        if start + i > stop or not isinstance(d, bytes):
+                            break
+                        out[(start + i).to_bytes(width, "big")] = d.decode(
+                            "utf-16-be", "replace"
+                        )
+                elif isinstance(dst, bytes) and len(dst) >= 2:
+                    base = dst.decode("utf-16-be", "replace")
+                    for i in range(stop - start + 1):
+                        code = (start + i).to_bytes(width, "big")
+                        out[code] = base[:-1] + chr(ord(base[-1]) + i)
+    return out
+
+
+def _font_decoder(font, values, streams, data):
+    """One font dict -> callable(bytes) -> str. Precedence: /ToUnicode
+    CMap (authoritative when present, including for /Type0 composite
+    fonts), then /Encoding /Differences over Latin-1, then Latin-1.
+    /Type0 WITHOUT /ToUnicode raises the guarded error (CID decoding
+    needs the font file)."""
+    font = _resolve(font, values)
+    if not isinstance(font, dict):
+        return lambda b: b.decode("latin-1")
+    tu = font.get("ToUnicode")
+    if isinstance(tu, tuple) and tu[0] == "ref" and tu[1] in streams:
+        cmap = _parse_tounicode(_stream_bytes(tu[1], values, streams, data))
+        widths = sorted({len(k) for k in cmap}, reverse=True)
+
+        step = min(widths) if widths else 1  # unmapped-code advance
+
+        def decode_cmap(b: bytes) -> str:
+            out = []
+            i = 0
+            while i < len(b):
+                for w in widths:
+                    key = b[i : i + w]
+                    if len(key) == w and key in cmap:
+                        out.append(cmap[key])
+                        i += w
+                        break
+                else:
+                    # unmapped: 1-byte codespaces fall back to Latin-1,
+                    # wider codes have no byte meaning -> U+FFFD
+                    out.append(
+                        b[i : i + 1].decode("latin-1") if step == 1 else "�"
+                    )
+                    i += step
+            return "".join(out)
+
+        return decode_cmap
+    if font.get("Subtype") == "Type0":
+        raise NotImplementedError(
+            "composite /Type0 font without /ToUnicode not supported"
+        )
+    enc = _resolve(font.get("Encoding"), values)
+    if isinstance(enc, dict) and isinstance(enc.get("Differences"), list):
+        table = {i: chr(i) for i in range(256)}  # Latin-1 base
+        code = 0
+        for el in enc["Differences"]:
+            if isinstance(el, int):
+                code = el
+            elif isinstance(el, str):
+                table[code & 0xFF] = _glyph_char(el)
+                code += 1
+        return lambda b: "".join(table[c] for c in b)
+    return lambda b: b.decode("latin-1")
+
+
+def _page_text(content: bytes, fonts: dict | None = None) -> str:
     """Apply the module's text-operator contract to one page's
-    (concatenated) content stream."""
+    (concatenated) content stream. ``fonts`` maps resource font names
+    (the ``Tf`` operand) to byte decoders; absent fonts and font-less
+    text decode Latin-1 (the classic fixture profile)."""
     lex = _Lexer(content)
     lines: list[str] = []
     cur: list[str] = []
     operands: list = []
+    latin1 = lambda b: b.decode("latin-1")  # noqa: E731
+    decoder = [latin1]
 
     def newline() -> None:
         text = "".join(cur)
@@ -506,7 +997,7 @@ def _page_text(content: bytes) -> str:
 
     def show(val) -> None:
         if isinstance(val, bytes):
-            cur.append(val.decode("latin-1"))
+            cur.append(decoder[0](val))
 
     while True:
         tok = lex.next_token()
@@ -535,6 +1026,14 @@ def _page_text(content: bytes) -> str:
                 # tx ty Td: a pure-horizontal move continues the line
                 if len(operands) >= 2 and operands[-1] != 0:
                     newline()
+            elif val == "Tf":
+                # /Fname size Tf: select the active font's decoder
+                if (
+                    fonts
+                    and len(operands) >= 2
+                    and isinstance(operands[-2], str)
+                ):
+                    decoder[0] = fonts.get(operands[-2], latin1)
             operands = []
         elif kind == "arr_open":
             # reuse the object parser for the array operand
@@ -550,15 +1049,19 @@ def _page_text(content: bytes) -> str:
 
 def pdf_text(data: bytes) -> dict:
     """Extract ``{pages: [str], text: str, n_pages: int}`` from PDF
-    bytes per the module contract. Raises ValueError on structurally
-    broken documents and NotImplementedError on the guarded
-    out-of-scope profiles (encryption, non-Flate filters, object
-    streams) — the operator layer (``operators.crawl.pdf_extract``)
-    converts both into dead-letter rows."""
+    bytes per the module contract (classic AND 1.5 compressed-object
+    profiles; /Differences + /ToUnicode font re-encoding). Raises
+    ValueError on structurally broken documents and NotImplementedError
+    on the guarded out-of-scope profiles (encryption, non-Flate
+    filters, Type0 fonts without /ToUnicode) — the operator layer
+    (``operators.crawl.pdf_extract``) converts both into dead-letter
+    rows."""
     if not data.startswith(b"%PDF-"):
         raise ValueError("not a PDF (missing %PDF- header)")
-    values, streams = _scan_objects(data)
-    # encryption is declared in a trailer dict, not an object
+    values, streams, positions = _scan_objects(data)
+    # encryption is declared in a trailer dict — the 'trailer' keyword
+    # in classic files, the /Type /XRef stream dict in 1.5 xref-stream
+    # files (which have no 'trailer' keyword at all)
     for tm in re.finditer(rb"trailer\b", data):
         lex = _Lexer(data, tm.end())
         try:
@@ -568,15 +1071,15 @@ def pdf_text(data: bytes) -> dict:
         if isinstance(tdict, dict) and "Encrypt" in tdict:
             raise NotImplementedError("encrypted PDF not supported")
     for oid, (sdict, _) in streams.items():
-        if sdict.get("Type") == "ObjStm":
-            raise NotImplementedError(
-                "PDF 1.5 object streams not supported"
-            )
+        if sdict.get("Type") == "XRef" and "Encrypt" in sdict:
+            raise NotImplementedError("encrypted PDF not supported")
+    _expand_object_streams(values, streams, positions, data)
     catalog = None
-    for oid in values:
-        v = values[oid]
+    best = -1
+    for oid, v in values.items():
         if isinstance(v, dict) and v.get("Type") == "Catalog":
-            catalog = v  # last definition wins (dict order = scan order)
+            if positions.get(oid, 0) > best:  # last definition wins
+                catalog, best = v, positions.get(oid, 0)
     if catalog is None:
         raise ValueError("no document catalog")
     pages = _walk_pages(catalog.get("Pages"), values, set())
@@ -593,9 +1096,32 @@ def pdf_text(data: bytes) -> dict:
             if ref[1] not in streams:
                 raise ValueError("page /Contents is not a stream")
             parts.append(_stream_bytes(ref[1], values, streams, data))
-        texts.append(_page_text(b"\n".join(parts)))
+        fonts = _page_fonts(page, values, streams, data)
+        texts.append(_page_text(b"\n".join(parts), fonts))
     return {
         "pages": texts,
         "text": "\n".join(texts),
         "n_pages": len(texts),
+    }
+
+
+def _page_fonts(page: dict, values, streams, data) -> dict:
+    """The page's font-name -> decoder map, honoring page-tree
+    /Resources inheritance (a page without its own Resources uses the
+    nearest ancestor's — ISO 32000-1 §7.7.3.4)."""
+    node, res, hops = page, None, 0
+    while isinstance(node, dict) and hops < 64:
+        res = _resolve(node.get("Resources"), values)
+        if res is not None:
+            break
+        node = _resolve(node.get("Parent"), values)
+        hops += 1
+    if not isinstance(res, dict):
+        return {}
+    fdict = _resolve(res.get("Font"), values)
+    if not isinstance(fdict, dict):
+        return {}
+    return {
+        name: _font_decoder(f, values, streams, data)
+        for name, f in fdict.items()
     }

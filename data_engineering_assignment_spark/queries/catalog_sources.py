@@ -3075,9 +3075,15 @@ def _fixture_pdf(did: int) -> bytes:
     whitespace-split words = 8P — pinned against functions/pdf.py in
     tests/test_pdf.py. RAW bytes vary structurally with did (Flate on
     odd ids, TJ-split kerning arrays at did%3==0, hex strings at
-    did%5==0, a nested page tree at did%7==0) without moving any
-    extracted quantity — the _fixture_html discipline: extraction must
-    normalize away every non-content variation."""
+    did%5==0, a nested page tree at did%7==0, the PDF 1.5
+    compressed-object profile — /Type /ObjStm members + a trailer-less
+    predictor-encoded xref STREAM — at did%11==0, PNG-predictor-encoded
+    CONTENT streams at did%13==0, and subsetted-font re-encoding at
+    did%9==0 — /Encoding /Differences glyph names — or did%17==0 —
+    a /ToUnicode bfchar/bfrange CMap, exclusive with the former)
+    without moving any extracted quantity — the _fixture_html
+    discipline: extraction must normalize away every non-content
+    variation."""
     from ..functions.pdf import build_pdf
 
     pages = [
@@ -3090,6 +3096,10 @@ def _fixture_pdf(did: int) -> bytes:
         tj_split=did % 3 == 0,
         hex_strings=did % 5 == 0,
         nested_kids=did % 7 == 0,
+        object_streams=did % 11 == 0,
+        content_predictor=did % 13 == 0,
+        tounicode=did % 17 == 0,
+        differences=did % 9 == 0 and did % 17 != 0,
     )
 
 
@@ -3120,7 +3130,12 @@ FROM t GROUP BY 1
     "becomes a closed-form multi-page PDF whose raw bytes exercise the "
     "parser surface structurally (plain AND FlateDecode streams, Tj "
     "AND kerned TJ arrays, literal AND hex strings with escaped "
-    "parens, flat AND nested page trees, direct AND indirect /Length) "
+    "parens, flat AND nested page trees, direct AND indirect /Length, "
+    "classic AND PDF 1.5 compressed profiles — /Type /ObjStm object "
+    "streams with a trailer-less PNG-predictor xref STREAM — "
+    "predictor-encoded content streams, and /Differences AND "
+    "/ToUnicode subsetted-font re-encoding whose raw string bytes "
+    "differ from the visible text) "
     "while every extracted quantity — page counts, line counts, word "
     "counts, text lengths — stays arithmetic in doc_id, so stream "
     "decode, page-tree order, the text-operator contract and string "
