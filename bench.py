@@ -340,6 +340,12 @@ HEADLINE = [
     "domain_capped_corpus_stats",
     # round 12: CCNet head/middle/tail LM-quality split (oracle-gated)
     "ccnet_bucket_split",
+    # round 13: WARC request/response pairing census (oracle-gated)
+    "warc_request_pairing_stats",
+    # round 13: multi-class language-ID classifier (oracle-gated)
+    "lang_classifier_gate",
+    # round 13: crawl composition with the model-based language gate
+    "crawl_lang_classifier_mix",
 ]
 
 

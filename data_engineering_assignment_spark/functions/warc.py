@@ -76,16 +76,51 @@ def _dechunk(body: bytes) -> bytes:
         pos = start + n + 2
 
 
+def _optional_decoder(coding: str):
+    """Guarded optional-dependency hook (the PIL-hook discipline) for
+    content codings whose codecs aren't in this container: ``br``
+    (brotli / brotlicffi) and ``zstd`` (stdlib ``compression.zstd`` on
+    3.14+, else the zstandard package). Returns a bytes->bytes
+    decompressor or None; absence keeps the flagged-raw dead-letter
+    contract, presence upgrades those rows to decoded — ~half of
+    compressed HTTP on the modern web is br, so a deployment that
+    installs the codec recovers that mass with no code change."""
+    if coding == "br":
+        for mod in ("brotli", "brotlicffi"):
+            try:
+                m = __import__(mod)
+                return m.decompress
+            except ImportError:
+                continue
+        return None
+    if coding == "zstd":
+        try:
+            from compression import zstd as _zstd  # Python 3.14+
+
+            return _zstd.decompress
+        except ImportError:
+            pass
+        try:
+            import zstandard as _zstandard
+
+            return lambda b: _zstandard.ZstdDecompressor().decompress(b)
+        except ImportError:
+            return None
+    return None
+
+
 def decode_http_body(body: bytes, http_headers: dict[str, str]) -> tuple[bytes, bool]:
     """(decoded message body, ok) per the response's OWN framing headers
     (lowercase-keyed dict): ``Transfer-Encoding: chunked`` is undone
     first (WARC captures the raw wire bytes, chunk framing included),
     then ``Content-Encoding`` gzip/x-gzip/deflate decompress (deflate
-    tries zlib-wrapped then raw per the real-world split). Unsupported
-    codings (br, zstd, compress) and any decode failure return the RAW
-    bytes with ok = False — the countable dead-letter contract: the
-    downstream extractor will dead-letter the undecoded bytes, and the
-    flag says WHY."""
+    tries zlib-wrapped then raw per the real-world split); ``br`` and
+    ``zstd`` decode through :func:`_optional_decoder` when the codec
+    is installed. Codings without a live codec (br/zstd hook absent,
+    compress) and any decode failure return the RAW bytes with
+    ok = False — the countable dead-letter contract: the downstream
+    extractor will dead-letter the undecoded bytes, and the flag says
+    WHY."""
     import gzip as _gzip
 
     try:
@@ -104,8 +139,13 @@ def decode_http_body(body: bytes, http_headers: dict[str, str]) -> tuple[bytes, 
                 body = zlib.decompress(body)
             except zlib.error:
                 body = zlib.decompress(body, wbits=-15)  # raw-deflate servers
+        elif ce in ("br", "zstd"):
+            dec = _optional_decoder(ce)
+            if dec is None:
+                return body, False  # codec not installed: flagged raw
+            body = dec(body)
         elif ce not in ("identity", ""):
-            return body, False  # br / zstd / compress: guarded out of scope
+            return body, False  # compress etc.: guarded out of scope
         return body, True
     except Exception:
         return body, False
@@ -169,6 +209,13 @@ def _parse_one(buf: bytes, pos: int) -> tuple[dict, int]:
                 # be a RELATIVE reference — resolution against the capture
                 # URI happens downstream (operators.crawl.resolve_redirects).
                 rec["http_location"] = hh["location"]
+            # request-side identity headers (msgtype=request records;
+            # harmless NULLs on responses) — what pair_requests joins
+            # onto the response via WARC-Concurrent-To
+            if "user-agent" in hh:
+                rec["http_user_agent"] = hh["user-agent"]
+            if "referer" in hh:
+                rec["http_referer"] = hh["referer"]
             body, ok = decode_http_body(payload[split + 4 :], hh)
             rec["http_body"] = body
             rec["http_body_ok"] = ok

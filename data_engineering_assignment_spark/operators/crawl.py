@@ -629,6 +629,86 @@ def resolve_redirects(
     return redirected.unionByName(terminals)
 
 
+def pair_requests(
+    df: DataFrame,
+    id_col: str = "record_id",
+    concurrent_col: str = "concurrent_to",
+    type_col: str = "warc_type",
+) -> DataFrame:
+    """Join request-record metadata onto response records via
+    ``WARC-Concurrent-To`` (ISO 28500 §5.7: a crawl that stores both
+    sides writes the request as its own record naming the response's
+    WARC-Record-ID) — the last ISO 28500 join surface, what lets
+    user-agent / referer analytics run against response content.
+
+    Output: every RESPONSE row of the input plus ``req_user_agent``,
+    ``req_referer`` and ``paired`` (false = a response captured without
+    its request — common in metadata-stripped archives, countable,
+    never dropped). Requests that name a MISSING response id are
+    orphans: countable via :func:`orphan_requests` (they are not
+    response rows, so they don't belong in this operator's output).
+    When several request records name the same response (duplicate
+    captures), the lexicographically least (archive, rec_idx) request
+    wins — deterministic under any partitioning (min-struct, the
+    resolve_redirects duplicate discipline).
+
+    Scale shape: requests pre-aggregate per concurrent-to id (map-side
+    combinable min-struct), then ONE equi-join on the record-id content
+    key — AQE-splittable, no window over a content key, no broadcast of
+    an SF-scaled side."""
+    is_resp = F.col(type_col) == "response"
+    req = (
+        df.filter(
+            (F.col(type_col) == "request")
+            & F.col(concurrent_col).isNotNull()
+        )
+        .groupBy(F.col(concurrent_col).alias("_pair_id"))
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("archive_id"),
+                    F.col("rec_idx"),
+                    F.col("http_user_agent"),
+                    F.col("http_referer"),
+                )
+            ).alias("_req")
+        )
+        .select(
+            "_pair_id",
+            F.col("_req.http_user_agent").alias("req_user_agent"),
+            F.col("_req.http_referer").alias("req_referer"),
+        )
+    )
+    return (
+        df.filter(is_resp)
+        .join(req, F.col(id_col) == F.col("_pair_id"), "left")
+        .withColumn("paired", F.col("_pair_id").isNotNull())
+        .drop("_pair_id")
+    )
+
+
+def orphan_requests(
+    df: DataFrame,
+    id_col: str = "record_id",
+    concurrent_col: str = "concurrent_to",
+    type_col: str = "warc_type",
+) -> DataFrame:
+    """Request records whose ``WARC-Concurrent-To`` names no response
+    record in the corpus — the other half of the pairing census
+    (truncated archives, mixed dumps). LEFT ANTI on the response-id
+    set; same equi-join scale shape as :func:`pair_requests`."""
+    resp_ids = (
+        df.filter(
+            (F.col(type_col) == "response") & F.col(id_col).isNotNull()
+        )
+        .select(F.col(id_col).alias("_resp_id"))
+        .distinct()
+    )
+    return df.filter(
+        (F.col(type_col) == "request") & F.col(concurrent_col).isNotNull()
+    ).join(resp_ids, F.col(concurrent_col) == F.col("_resp_id"), "left_anti")
+
+
 def sitemap_entries(
     df: DataFrame,
     content_col: str = "http_body",

@@ -864,3 +864,61 @@ def hashed_linear_scores(
     return scored.groupBy(doc_col).agg(
         F.sum("wt").cast("long").alias("score")
     )
+
+
+def hashed_multiclass_scores(
+    df: DataFrame,
+    class_weights: dict[str, list[int]],
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """Multi-class fastText-shape classifier — the language-ID /
+    domain-ID generalization of :func:`hashed_linear_scores` (fastText's
+    actual lid.176 shape: one linear scorer per label over shared
+    hashed bag-of-words features). Each class contributes one
+    fixed-point weight array over the SAME token-hash buckets; a
+    document gets one exact integer score per class (``score_<c>``
+    columns) and ``label`` = the argmax class, ties to the
+    lexicographically GREATEST class name — max-of-struct, identical
+    lexicographic semantics in Spark and DuckDB (the winnow tie-rule
+    discipline), so the label is deterministic under any partitioning
+    and fully oracle-replayable.
+
+    Scale shape: one explode, ONE rolling-hash evaluation per token
+    (let-bound via the single-element-transform idiom — k
+    ``element_at`` lookups share the bucket value instead of re-hashing
+    per class), one map-side-combinable integer aggregation on the
+    document id. Weight tables are literal arrays in the plan."""
+    classes = sorted(class_weights)
+    if not classes:
+        raise ValueError("class_weights is empty")
+    n = len(class_weights[classes[0]])
+    if any(len(class_weights[c]) != n for c in classes):
+        raise ValueError("all classes need equally sized weight arrays")
+    arrs = {
+        c: F.array(*[F.lit(int(w)).cast("long") for w in class_weights[c]])
+        for c in classes
+    }
+    bucket = (rolling_hash("tok") % n + 1).cast("int")
+    lookups = F.get(
+        F.transform(
+            F.array(bucket),
+            lambda b: F.struct(
+                *[F.element_at(arrs[c], b).alias(c) for c in classes]
+            ),
+        ),
+        0,
+    )
+    tok = df.select(doc_col, F.explode(tokens(text_col)).alias("tok"))
+    scored = tok.select(doc_col, lookups.alias("wt"))
+    agg = scored.groupBy(doc_col).agg(
+        *[
+            F.sum(F.col(f"wt.{c}")).cast("long").alias(f"score_{c}")
+            for c in classes
+        ]
+    )
+    label = F.greatest(
+        *[F.struct(F.col(f"score_{c}").alias("s"), F.lit(c).alias("c")) for c in classes]
+    )["c"] if len(classes) > 1 else F.lit(classes[0])
+    return agg.select(doc_col, *[f"score_{c}" for c in classes],
+                      label.alias("label"))

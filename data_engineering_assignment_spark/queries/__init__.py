@@ -40,78 +40,76 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # whose implementation changed this round (a green history does not cover
 # new code), then queries whose last green row is oldest.
 #
-# Round-12 head (catalog = 234): ALL 26 never-driver-checked round-12
-# additions first — the 9 early-round gates (PDF extraction,
-# Content-Type dispatch, q-digest, mixed-payload capstone, HTTP body
-# decoding, link-graph PageRank, fastText-shape classifier, CDX index,
-# WAT export) and the 17 late-round gates (redirect resolution, sitemap
-# ingest + frontier seeding, Gopher rules, KMV set operations, CDX
-# recrawl diff, HITS, the discovery capstone, TAR ingest, the
-# rank-function suite, adaptive recrawl scheduling, per-key caps, PSL
-# registered domains, WARC revisit dedup write+read, per-domain caps,
-# the CCNet tercile split, C4 cleaning); then the queries whose
-# implementation changed late in the round (the WARC parser gained
-# Location/payload-digest columns and the sitemap gate a textlist leg —
-# every warc_records consumer re-verifies); then 11 of the r7-stale
-# cohort and four module-coverage slots (the contract test requires
-# every catalog module in the first 50). The remaining r7-stale rows
-# rotate to the r13 head — new code outranks stale green history.
+# Round-13 head (catalog = 237): the 3 never-driver-checked round-13
+# additions first (WARC request/response pairing, the multi-class
+# language-ID classifier, the crawl composition that replaces the
+# predict_lang heuristic with it); then every query whose
+# implementation changed this round — the Gopher tokenization fix
+# (empty tokens dropped), the sitemap fixture XML escaping, the JVM
+# URL-resolution fast path (page_links / resolve_redirects consumers),
+# the PDF 1.5 profile (ObjStm/xref-stream/predictor/font legs in the
+# extraction fixtures), and the warc_records schema growth
+# (record_id/concurrent_to/user-agent/referer — every consumer
+# re-verifies); then the FULL r7-stale cohort (11, promised last
+# round) and the oldest r8 rows, with the stalest catalog_ml and
+# catalog_intervals entries holding the module-coverage contract
+# (every module in the first 50). After this head lands, no catalog
+# query's last green row predates r8.
 DRIVER_SAMPLE_HEAD: tuple[str, ...] = (
-    # never driver-checked (round-12 additions, early then late)
+    # never driver-checked (round-13 additions)
+    "warc_request_pairing_stats",
+    "lang_classifier_gate",
+    "crawl_lang_classifier_mix",
+    # implementation changed this round
+    "gopher_quality_stats",
+    "sitemap_frontier_stats",
+    "crawl_discovery_pipeline",
+    "crawl_link_pagerank",
+    "redirect_resolution_stats",
     "pdf_text_extract_stats",
     "doc_extract_dispatch_stats",
-    "qdigest_event_quantiles",
     "mixed_crawl_extract_stats",
-    "http_encoding_stats",
-    "crawl_link_pagerank",
-    "quality_classifier_gate",
-    "cdx_index_stats",
-    "wat_export_stats",
-    "redirect_resolution_stats",
-    "sitemap_frontier_stats",
-    "gopher_quality_stats",
-    "kmv_set_overlap",
-    "cdx_recrawl_diff",
-    "host_graph_hits",
-    "crawl_discovery_pipeline",
-    "tar_archive_stats",
-    "user_event_rank_suite",
-    "recrawl_schedule_stats",
-    "host_capped_sample_stats",
-    "registered_domain_stats",
-    "warc_revisit_roundtrip",
-    "warc_revisit_resolve_stats",
-    "domain_capped_corpus_stats",
-    "ccnet_bucket_split",
-    "c4_clean_stats",
-    # implementation changed this round (warc_records schema growth,
-    # robots extension fields, sitemap textlist leg)
-    "robots_crawl_filter",
     "warc_crawl_stats",
     "warc_domain_stats",
-    "wet_export_roundtrip",
-    "crawl_to_wet_pipeline",
     "crawl_health_stats",
+    "http_encoding_stats",
+    "cdx_index_stats",
+    "wat_export_stats",
+    "warc_revisit_roundtrip",
+    "warc_revisit_resolve_stats",
+    "crawl_to_wet_pipeline",
     "crawl_text_pipeline",
     "crawl_quality_mix",
-    "url_canonical_dedup",
-    # r7-stale cohort (oldest last-green rows; remainder rotates to r13)
-    "orders_rollup",
-    "customers_with_open_orders",
-    "customers_without_orders",
-    "distinct_users_per_type",
-    "regional_revenue",
-    "shipping_priority_top10",
-    "above_nation_avg_customers",
-    "returned_items_top20",
-    "promo_revenue_pct",
-    "large_volume_orders",
-    "quality_percentile_gate",
-    # module-coverage slots (stalest entry of each remaining module)
-    "cosine_topk_ivfpq",
-    "cross_source_dup_matrix",
-    "plusminus_player_stats",
-    "ml_energy_report",
+    "wet_export_roundtrip",
+    "cdx_recrawl_diff",
+    "robots_crawl_filter",
+    # r7-stale cohort (all 11 — the rotation promised in the r12 head)
+    "events_sliding_10m_5m",
+    "approx_distinct_users_rollup",
+    "user_rolling_stats",
+    "events_multi_rollup",
+    "daily_conversion_funnel",
+    "doc_chunks",
+    "csv_sales_publisher_year",
+    "cyclic_prediction_rates",
+    "incremental_dedup",
+    "paragraph_dedup_stats",
+    "bpe_merge_top32",
+    # oldest r8 rows + module-coverage slots (catalog_ml, catalog_intervals)
+    "binary_media_inventory",
+    "bination_trade_volume",
+    "bpe_encode_stats",
+    "bpe_train_merges",
+    "cheapest_supplier_per_part",
+    "copurchase_pagerank",
+    "customer_order_distribution",
+    "dedup_containment_pairs",
+    "dedup_semantic_hier",
+    "doc_dup_spans_merged",
+    "doc_winnow_stats",
+    "dsir_affinity_top64",
+    "ml_eval_metrics",
+    "purchase_prior_state_pit",
 )
 
 

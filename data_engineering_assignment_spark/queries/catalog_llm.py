@@ -1187,3 +1187,91 @@ def domain_capped_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("h").cast("long").alias("kept_hash_sum"),
     )
     return tot.join(agg, "domain_class")
+
+
+# Per-class weight arrays for the multi-class language-ID gate: one
+# seeded stream PER CLASS (the _classifier_weights discipline), inlined
+# identically into both engines.
+def _lang_weights(n: int = 64) -> dict[str, list[int]]:
+    import random
+
+    out = {}
+    for i, cls in enumerate(("de", "en", "unk")):
+        rng = random.Random(4000 + i)
+        out[cls] = [rng.randint(-1000, 1000) for _ in range(n)]
+    return out
+
+
+_LANG_WEIGHTS = _lang_weights()
+
+
+def _lang_oracle() -> str:
+    n = len(_LANG_WEIGHTS["en"])
+    lookups = ",\n         ".join(
+        f"([{', '.join(str(w) for w in _LANG_WEIGHTS[c])}])"
+        f"[(rh % {n}) + 1]::BIGINT AS w_{c}"
+        for c in sorted(_LANG_WEIGHTS)
+    )
+    structs = ", ".join(
+        f"{{'s': s_{c}, 'c': '{c}'}}" for c in sorted(_LANG_WEIGHTS)
+    )
+    sums = ", ".join(
+        f"SUM(w_{c})::BIGINT AS s_{c}" for c in sorted(_LANG_WEIGHTS)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), rh AS (
+  SELECT doc_id,
+         list_reduce(
+           list_prepend(0::BIGINT,
+             list_transform(range(1, length(tok) + 1),
+                            i -> ascii(substr(tok, i, 1))::BIGINT)),
+           (a, b) -> (a * 31 + b) % 1000000007
+         ) AS rh
+  FROM tok
+), w AS (
+  SELECT doc_id,
+         {lookups}
+  FROM rh
+), s AS (
+  SELECT doc_id, {sums} FROM w GROUP BY 1
+), lbl AS (
+  SELECT doc_id, s_de, s_en, s_unk,
+         list_max([{structs}]).c AS label
+  FROM s
+)
+SELECT label, COUNT(*) AS n_docs,
+       SUM(s_de)::BIGINT AS sum_de, SUM(s_en)::BIGINT AS sum_en,
+       SUM(s_unk)::BIGINT AS sum_unk
+FROM lbl GROUP BY 1
+"""
+
+
+@register(
+    "lang_classifier_gate",
+    oracle=_lang_oracle(),
+    doc="Multi-class language-ID gate (operators/llmprep."
+    "hashed_multiclass_scores — the fastText lid.176 SHAPE: one "
+    "fixed-point linear scorer per label over shared hashed "
+    "bag-of-words buckets, generalizing the binary "
+    "quality_classifier_gate): every document scores one exact integer "
+    "per class (ONE rolling-hash per token, let-bound across the three "
+    "element_at lookups) and labels by argmax with the max-of-struct "
+    "lexicographic tie rule — identical semantics in Spark and DuckDB, "
+    "so per-label counts AND all three per-class score sums sit under "
+    "one hash. One explode + one map-side-combinable integer "
+    "aggregation on the doc id; weight tables are plan literals, "
+    "never a join.",
+)
+def lang_classifier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.llmprep import hashed_multiclass_scores
+
+    docs = load(spark, sf_dir, "documents")
+    scored = hashed_multiclass_scores(docs, _LANG_WEIGHTS)
+    return scored.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("score_de").cast("long").alias("sum_de"),
+        F.sum("score_en").cast("long").alias("sum_en"),
+        F.sum("score_unk").cast("long").alias("sum_unk"),
+    )

@@ -4736,3 +4736,266 @@ def warc_revisit_resolve_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("effective_len_sum"),
     )
+
+
+_PAIRING_ORACLE = """
+WITH t AS (
+  SELECT doc_id AS d FROM documents
+), resp AS (
+  SELECT d,
+         CASE WHEN d % 5 <> 0 THEN 'bot-' || (d % 4) ELSE '<none>' END AS ua,
+         CASE WHEN d % 5 <> 0 THEN 1 ELSE 0 END AS paired,
+         CASE WHEN d % 5 <> 0 THEN 1 ELSE 0 END AS has_ref
+  FROM t
+)
+SELECT ua, COUNT(*) AS n, SUM(paired)::BIGINT AS n_paired,
+       SUM(has_ref)::BIGINT AS n_ref
+FROM resp GROUP BY 1
+UNION ALL
+SELECT '<orphan>', COUNT(*), 0::BIGINT, COUNT(*)::BIGINT
+FROM t WHERE d % 7 = 0
+"""
+
+
+@register(
+    "warc_request_pairing_stats",
+    oracle=_PAIRING_ORACLE,
+    doc="WARC request/response pairing gate (operators/crawl.py "
+    "pair_requests + orphan_requests over sources.warc_records "
+    "record_id / concurrent_to / http_user_agent / http_referer — the "
+    "last ISO 28500 join surface, §5.7 WARC-Concurrent-To: real "
+    "Common Crawl dumps store the request beside its response and "
+    "user-agent/referer analytics need the join): every document's "
+    "archive holds a response plus, unless doc_id%5==0, a request "
+    "naming it (User-Agent bot-(doc_id%4), a Referer header); "
+    "doc_id%7==0 plants an ORPHAN request naming a missing response "
+    "and doc_id%11==0 a DUPLICATE request with a decoy user-agent "
+    "that the deterministic min-struct tie rule must lose — per-agent "
+    "response counts, paired/unpaired splits, referer presence and "
+    "the orphan census sit under one hash. Scale shape: request side "
+    "pre-aggregates per concurrent-to id (map-side combinable), ONE "
+    "AQE-splittable equi-join on the record-id content key, LEFT ANTI "
+    "for orphans — no content-key window, no corpus broadcast.",
+)
+def warc_request_pairing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from ..operators.crawl import orphan_requests, pair_requests
+    from ..sources import warc_records
+    from ..tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def make(batches):
+        from ..functions.warc import build_warc
+
+        for pdf in batches:
+            rows = []
+            for x in pdf["doc_id"]:
+                did = int(x)
+                recs = [
+                    (
+                        {
+                            "WARC-Type": "response",
+                            "WARC-Record-ID": f"<urn:uuid:r{did}>",
+                            "WARC-Target-URI": f"http://p.example/{did}",
+                            "Content-Type": "application/http;msgtype=response",
+                        },
+                        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                        b"<p>doc %d</p>" % did,
+                    )
+                ]
+                if did % 5 != 0:
+                    recs.append(
+                        (
+                            {
+                                "WARC-Type": "request",
+                                "WARC-Record-ID": f"<urn:uuid:q{did}>",
+                                "WARC-Concurrent-To": f"<urn:uuid:r{did}>",
+                                "WARC-Target-URI": f"http://p.example/{did}",
+                                "Content-Type": "application/http;msgtype=request",
+                            },
+                            (
+                                f"GET /{did} HTTP/1.1\r\n"
+                                f"User-Agent: bot-{did % 4}\r\n"
+                                f"Referer: http://ref.example/{did % 6}\r\n"
+                                "\r\n"
+                            ).encode(),
+                        )
+                    )
+                if did % 11 == 0 and did % 5 != 0:
+                    # duplicate request naming the same response: the
+                    # min-struct (archive, rec_idx) rule keeps the FIRST,
+                    # so this decoy user-agent must never surface
+                    recs.append(
+                        (
+                            {
+                                "WARC-Type": "request",
+                                "WARC-Record-ID": f"<urn:uuid:q{did}dup>",
+                                "WARC-Concurrent-To": f"<urn:uuid:r{did}>",
+                                "Content-Type": "application/http;msgtype=request",
+                            },
+                            b"GET / HTTP/1.1\r\nUser-Agent: zz-decoy\r\n\r\n",
+                        )
+                    )
+                if did % 7 == 0:
+                    recs.append(
+                        (
+                            {
+                                "WARC-Type": "request",
+                                "WARC-Record-ID": f"<urn:uuid:o{did}>",
+                                "WARC-Concurrent-To": f"<urn:uuid:missing{did}>",
+                                "Content-Type": "application/http;msgtype=request",
+                            },
+                            (
+                                "GET /lost HTTP/1.1\r\n"
+                                f"User-Agent: ghost-{did % 2}\r\n"
+                                f"Referer: http://lost.example/{did}\r\n"
+                                "\r\n"
+                            ).encode(),
+                        )
+                    )
+                rows.append(
+                    (did, build_warc(recs, gzip_members=bool(did % 2)))
+                )
+            yield pd.DataFrame(rows, columns=["archive_id", "content"])
+
+    media = docs.mapInPandas(make, "archive_id long, content binary")
+    recs = warc_records(media).filter("parse_ok")
+    paired = pair_requests(recs)
+    per_ua = paired.groupBy(
+        F.coalesce("req_user_agent", F.lit("<none>")).alias("ua")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("paired").cast("int")).cast("long").alias("n_paired"),
+        F.count("req_referer").cast("long").alias("n_ref"),
+    )
+    orphans = orphan_requests(recs).agg(
+        F.lit("<orphan>").alias("ua"),
+        F.count(F.lit(1)).alias("n"),
+        F.lit(0).cast("long").alias("n_paired"),
+        F.count("http_referer").cast("long").alias("n_ref"),
+    )
+    return per_ua.unionByName(orphans)
+
+
+def _crawl_lang_mix_oracle() -> str:
+    from .catalog_llm import _LANG_WEIGHTS
+
+    n = len(_LANG_WEIGHTS["en"])
+    lookups = ",\n         ".join(
+        f"([{', '.join(str(w) for w in _LANG_WEIGHTS[c])}])"
+        f"[(rh % {n}) + 1]::BIGINT AS w_{c}"
+        for c in sorted(_LANG_WEIGHTS)
+    )
+    structs = ", ".join(
+        f"{{'s': s_{c}, 'c': '{c}'}}" for c in sorted(_LANG_WEIGHTS)
+    )
+    sums = ", ".join(
+        f"SUM(w_{c})::BIGINT AS s_{c}" for c in sorted(_LANG_WEIGHTS)
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id AS d, 1 + doc_id % 3 AS p,
+         CASE WHEN doc_id % 7 = 0 THEN 'zz' ELSE 'of' END AS mid
+  FROM documents
+), pg AS (
+  SELECT d,
+         'Home About Title & Heading ' || d
+         || ' seg 0 ' || mid || ' doc ' || d
+         || CASE WHEN p >= 2 THEN ' seg 1 ' || mid || ' doc ' || d
+                 ELSE '' END
+         || CASE WHEN p >= 3 THEN ' seg 2 ' || mid || ' doc ' || d
+                 ELSE '' END
+         || ' link text ' || d AS text
+  FROM t
+), tok AS (
+  SELECT d, unnest(string_split(text, ' ')) AS tok FROM pg
+), rh AS (
+  SELECT d,
+         list_reduce(
+           list_prepend(0::BIGINT,
+             list_transform(range(1, length(tok) + 1),
+                            i -> ascii(substr(tok, i, 1))::BIGINT)),
+           (a, b) -> (a * 31 + b) % 1000000007
+         ) AS rh
+  FROM tok
+), w AS (
+  SELECT d, {lookups} FROM rh
+), s AS (
+  SELECT d, {sums} FROM w GROUP BY 1
+), lbl AS (
+  SELECT d, s_de, s_en, s_unk, list_max([{structs}]).c AS label FROM s
+)
+SELECT label, COUNT(*) AS n_pages,
+       SUM(s_de)::BIGINT AS sum_de, SUM(s_en)::BIGINT AS sum_en,
+       SUM(s_unk)::BIGINT AS sum_unk
+FROM lbl GROUP BY 1
+"""
+
+
+@register(
+    "crawl_lang_classifier_mix",
+    oracle=_crawl_lang_mix_oracle(),
+    doc="Crawl language-gating composition, MODEL-based: WARC ingest -> "
+    "HTML extraction -> llmprep.hashed_multiclass_scores (the fastText "
+    "lid.176 shape replacing the text.predict_lang heuristic of "
+    "crawl_quality_mix — the CCNet triage step as production pipelines "
+    "actually run it) -> per-label corpus accounting. The oracle "
+    "RECONSTRUCTS every page's extracted text closed-form from doc_id "
+    "(the _fixture_html contract: nav anchors, entity-decoded heading, "
+    "1+doc_id%3 paragraphs with the doc_id%7=0 same-length stopword "
+    "swap, trailing link text) and replays tokenization, the rolling "
+    "token hash, all three weight lookups and the max-of-struct argmax "
+    "— extraction, whitespace normalization AND the classifier sit "
+    "under one hash. Scale shape: the lang_classifier_gate plan over "
+    "extracted pages (one explode, let-bound single hash per token, "
+    "one integer aggregation on the page id).",
+)
+def crawl_lang_classifier_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from ..functions.warc import build_warc
+    from ..operators.crawl import html_extract
+    from ..operators.llmprep import hashed_multiclass_scores
+    from ..sources import warc_records
+    from ..tables import load
+    from .catalog_llm import _LANG_WEIGHTS
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def make(batches):
+        for pdf in batches:
+            rows = []
+            for x in pdf["doc_id"]:
+                did = int(x)
+                html = _fixture_html(did, did, stopword=did % 7 != 0).encode()
+                recs = [
+                    (
+                        {
+                            "WARC-Type": "response",
+                            "WARC-Target-URI": f"http://q.example/{did}",
+                            "Content-Type": "application/http;msgtype=response",
+                        },
+                        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                        + html,
+                    )
+                ]
+                rows.append((did, build_warc(recs, gzip_members=bool(did % 2))))
+            yield pd.DataFrame(rows, columns=["archive_id", "content"])
+
+    media = docs.mapInPandas(make, "archive_id long, content binary")
+    recs = warc_records(media, include_body=True).filter(
+        "parse_ok AND warc_type = 'response'"
+    )
+    pages = html_extract(recs).select(
+        F.col("archive_id").alias("doc_id"),
+        F.translate(F.col("page.text"), "\n", " ").alias("text"),
+    )
+    scored = hashed_multiclass_scores(pages, _LANG_WEIGHTS)
+    return scored.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.sum("score_de").cast("long").alias("sum_de"),
+        F.sum("score_en").cast("long").alias("sum_en"),
+        F.sum("score_unk").cast("long").alias("sum_unk"),
+    )

@@ -243,6 +243,14 @@ def warc_records(
     — on a revisit record it names the STORED copy's digest, the join
     key ``operators.crawl.resolve_revisits`` uses.
 
+    ``record_id`` / ``concurrent_to`` are the WARC-Record-ID and
+    WARC-Concurrent-To headers verbatim (ISO 28500 §5.4/§5.7: a
+    'request' record names its 'response' twin's id in
+    WARC-Concurrent-To) — the join keys
+    ``operators.crawl.pair_requests`` uses to put request-side headers
+    (``http_user_agent`` / ``http_referer``, parsed from
+    msgtype=request HTTP heads) onto the response rows.
+
     ``include_body=True`` adds ``http_body`` (the HTTP message body of
     ``application/http`` response records, NULL elsewhere — the input
     to ``operators.crawl.html_extract`` / ``document_extract``) and
@@ -264,6 +272,8 @@ def warc_records(
         f"{id_col} long, rec_idx int, warc_type string, target_uri string,"
         " content_type string, http_status int, http_content_type string,"
         " http_location string,"
+        " record_id string, concurrent_to string,"
+        " http_user_agent string, http_referer string,"
         " payload_len long, payload_digest string,"
         " payload_digest_declared string,"
         " rec_offset long, rec_length long,"
@@ -276,6 +286,8 @@ def warc_records(
         cols = [
             id_col, "rec_idx", "warc_type", "target_uri", "content_type",
             "http_status", "http_content_type", "http_location",
+            "record_id", "concurrent_to",
+            "http_user_agent", "http_referer",
             "payload_len", "payload_digest", "payload_digest_declared",
             "rec_offset", "rec_length", "parse_ok",
         ]
@@ -298,6 +310,10 @@ def warc_records(
                             r.get("http_status"),
                             r.get("http_content_type"),
                             r.get("http_location"),
+                            h.get("WARC-Record-ID"),
+                            h.get("WARC-Concurrent-To"),
+                            r.get("http_user_agent"),
+                            r.get("http_referer"),
                             len(r["payload"]),
                             hashlib.md5(r["payload"]).hexdigest(),
                             h.get("WARC-Payload-Digest"),
@@ -314,7 +330,8 @@ def warc_records(
                 except Exception:
                     row = (
                         aid, None, None, None, None, None, None, None, None,
-                        None, None, None, None, False,
+                        None, None, None, None, None, None, None, None,
+                        False,
                     )
                     if include_body:
                         row += (None, None)

@@ -683,6 +683,46 @@ def test_resolved_url_col_null_dead_letter(spark):
     assert [r.r for r in got] == [None, None, None]
 
 
+def test_pair_requests_and_orphans(spark):
+    """pair_requests: responses gain req_user_agent/req_referer via
+    WARC-Concurrent-To; unpaired responses survive paired=false;
+    duplicate requests resolve by min (archive, rec_idx); orphan
+    requests (naming a missing response) come back from
+    orphan_requests and never pollute the response output."""
+    from data_engineering_assignment_spark.operators.crawl import (
+        orphan_requests,
+        pair_requests,
+    )
+
+    schema = (
+        "archive_id long, rec_idx int, warc_type string,"
+        " record_id string, concurrent_to string,"
+        " http_user_agent string, http_referer string"
+    )
+    rows = [
+        (1, 0, "response", "<urn:r1>", None, None, None),
+        (1, 1, "request", "<urn:q1>", "<urn:r1>", "bot-a", "http://ref/1"),
+        # duplicate request for r1, later rec_idx: must lose
+        (1, 2, "request", "<urn:q1d>", "<urn:r1>", "zz-decoy", None),
+        # unpaired response
+        (2, 0, "response", "<urn:r2>", None, None, None),
+        # orphan request
+        (2, 1, "request", "<urn:q9>", "<urn:r-missing>", "ghost", None),
+        # request with NULL concurrent_to: neither paired nor orphan
+        (2, 2, "request", "<urn:q0>", None, "noid", None),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    out = {r.record_id: r for r in pair_requests(df).collect()}
+    assert set(out) == {"<urn:r1>", "<urn:r2>"}
+    assert out["<urn:r1>"].paired
+    assert out["<urn:r1>"].req_user_agent == "bot-a"
+    assert out["<urn:r1>"].req_referer == "http://ref/1"
+    assert not out["<urn:r2>"].paired
+    assert out["<urn:r2>"].req_user_agent is None
+    orph = orphan_requests(df).collect()
+    assert [r.record_id for r in orph] == ["<urn:q9>"]
+
+
 def test_resolve_redirects_chains_cycles_and_caps(spark):
     """resolve_redirects: terminal captures are their own final (0 hops);
     chains resolve with per-node remaining-hop counts; relative Location

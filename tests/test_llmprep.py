@@ -393,6 +393,56 @@ def test_gopher_quality_flags_rules(spark):
         assert not got[name[0]]["gopher_pass"]
 
 
+def test_hashed_multiclass_scores(spark):
+    """Multi-class classifier: per-class integer scores are exact sums
+    of bucket weights, label is argmax with ties to the
+    lexicographically GREATEST class, and the plan evaluates the
+    rolling hash ONCE per token (let-bound across the per-class
+    lookups)."""
+    from data_engineering_assignment_spark.operators.llmprep import (
+        hashed_multiclass_scores,
+    )
+    from data_engineering_assignment_spark.operators.text import (
+        ROLLING_BASE,
+        ROLLING_MOD,
+    )
+
+    def rh(tok):
+        h = 0
+        for ch in tok:
+            h = (h * ROLLING_BASE + ord(ch)) % ROLLING_MOD
+        return h
+
+    n = 8
+    w = {
+        "aa": [10 * i for i in range(n)],
+        "bb": [7 * i + 1 for i in range(n)],
+        "zz": [10 * i for i in range(n)],  # ties 'aa' everywhere
+    }
+    docs = [(1, "alpha beta gamma"), (2, "x"), (3, "")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r for r in hashed_multiclass_scores(df, w).collect()}
+    for did, text in docs:
+        toks = text.split(" ")
+        exp = {c: sum(w[c][rh(t) % n] for t in toks) for c in w}
+        r = got[did]
+        assert (r.score_aa, r.score_bb, r.score_zz) == (
+            exp["aa"], exp["bb"], exp["zz"],
+        ), did
+        best = max(exp.values())
+        want_label = max(c for c in exp if exp[c] == best)
+        assert r.label == want_label, (did, r.label, want_label)
+    # 'aa' and 'zz' are identical: every tie must resolve to 'zz'
+    assert all(r.label in ("bb", "zz") for r in got.values())
+    plan = (
+        hashed_multiclass_scores(df, w)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("aggregate(") == 1  # one rolling-hash fold total
+
+
 def test_gopher_whitespace_runs_not_words(spark):
     """Runs of spaces / blank lines are separators, not zero-length
     'words': n_words counts real tokens only, so the alpha-word and

@@ -303,6 +303,47 @@ def test_decode_http_body_framings():
     ) == (b"zz\r\nnope", False)
 
 
+def test_decode_http_body_brotli_zstd_hook(monkeypatch):
+    """br/zstd decode through the guarded optional-dependency hook (the
+    PIL-hook discipline): codec absent -> flagged raw (the standing
+    dead-letter contract, asserted above); codec present -> decoded
+    with ok=True, and hook FAILURES still dead-letter. Proven by
+    injecting a stand-in module whose decompress is zlib's."""
+    import sys
+    import types
+    import zlib
+
+    from data_engineering_assignment_spark.functions.warc import (
+        decode_http_body,
+    )
+
+    body = b"<p>hello encoded world</p>"
+    blob = zlib.compress(body)
+    # hook absent (neither brotli nor brotlicffi in this container)
+    assert decode_http_body(blob, {"content-encoding": "br"}) == (blob, False)
+    fake = types.ModuleType("brotli")
+    fake.decompress = zlib.decompress
+    monkeypatch.setitem(sys.modules, "brotli", fake)
+    assert decode_http_body(blob, {"content-encoding": "br"}) == (body, True)
+    # a live hook that FAILS on the payload still dead-letters
+    assert decode_http_body(b"junk", {"content-encoding": "br"}) == (
+        b"junk",
+        False,
+    )
+    fake_z = types.ModuleType("zstandard")
+
+    class _Dec:
+        def decompress(self, b):
+            return zlib.decompress(b)
+
+    fake_z.ZstdDecompressor = _Dec
+    monkeypatch.setitem(sys.modules, "zstandard", fake_z)
+    assert decode_http_body(blob, {"content-encoding": "zstd"}) == (
+        body,
+        True,
+    )
+
+
 def test_record_spans_support_range_requests():
     """rec_offset/rec_length is the CDX range-request contract: slicing
     exactly that span out of the archive and re-parsing yields exactly
