@@ -346,6 +346,8 @@ HEADLINE = [
     "lang_classifier_gate",
     # round 13: crawl composition with the model-based language gate
     "crawl_lang_classifier_mix",
+    # round 13: ISO 28500 record-segmentation reassembly (oracle-gated)
+    "warc_segment_reassembly",
 ]
 
 

@@ -709,6 +709,101 @@ def orphan_requests(
     ).join(resp_ids, F.col(concurrent_col) == F.col("_resp_id"), "left_anti")
 
 
+def reassemble_segments(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "record_id",
+) -> DataFrame:
+    """Reassemble ISO 28500 §5.18-5.20 SEGMENTED records — the wire
+    form of a record too large for one WARC file: segment 1 is a
+    normal record with ``WARC-Segment-Number: 1``; the rest are
+    'continuation' records naming it in ``WARC-Segment-Origin-ID``,
+    the LAST carrying ``WARC-Segment-Total-Length``. Input: the
+    ``sources.warc_records(include_payload=True)`` shape. Output: one
+    row per LOGICAL record — every non-continuation input row plus
+    ``full_payload`` / ``n_segments`` / ``segment_status``:
+
+    * ``unsegmented`` — no segment headers; full_payload = payload;
+    * ``reassembled`` — head + contiguous continuations 2..k whose
+      concatenated length EQUALS the declared total;
+    * ``incomplete`` — a gap in the segment numbers, a missing declared
+      total (the last segment was never captured — absence is the
+      truncation signal, ISO 28500 puts the total only there), or a
+      length mismatch: full_payload NULL, countable dead-letter.
+
+    Orphan continuations (origin id matching no head) are NOT logical
+    records; census them with a LEFT ANTI on the head-id set (the
+    orphan_requests pattern). Duplicate segment numbers keep the
+    lexicographically least payload (min-struct, deterministic).
+
+    Scale shape: continuations pre-aggregate per origin id (map-side
+    combinable collect_list of (number, payload) structs — bounded by
+    the segment count of ONE record, a handful by construction since
+    segmentation exists to cap file sizes), then ONE AQE-splittable
+    equi-join onto the heads; in-row sort + binary fold concatenation,
+    no content-key window, no corpus broadcast. Memory per row is the
+    logical record's own size — the same bound any consumer of the
+    record pays."""
+    seg_n = F.col("segment_number")
+    heads = df.filter(
+        (F.col("warc_type") != "continuation") | F.col("warc_type").isNull()
+    )
+    conts = df.filter(
+        (F.col("warc_type") == "continuation")
+        & F.col("segment_origin_id").isNotNull()
+        & seg_n.isNotNull()
+    )
+    per_seg = conts.groupBy(
+        F.col("segment_origin_id").alias("_oid"),
+        seg_n.alias("_sn"),
+    ).agg(
+        F.min(F.struct(F.col(payload_col).alias("p"))).alias("_dup"),
+        F.max("segment_total_length").alias("_tot"),
+    )
+    agg = per_seg.groupBy("_oid").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("_sn"), F.col("_dup.p").alias("p")))
+        ).alias("_segs"),
+        F.max("_tot").alias("_declared_total"),
+    )
+    segs = F.col("_segs")
+    # distinct sorted integers with min 2 and max size+1 ARE exactly
+    # {2..k}: per-number dedup upstream makes the endpoint test a full
+    # contiguity proof
+    contiguous = (F.element_at(segs, 1)["_sn"] == 2) & (
+        F.element_at(segs, -1)["_sn"] == F.size(segs) + 1
+    )
+    tail_bytes = F.aggregate(
+        F.transform(segs, lambda s: s["p"]),
+        F.lit(b""),
+        lambda acc, p: F.concat(acc, p),
+    )
+    joined = heads.join(
+        agg, F.col(id_col) == F.col("_oid"), "left"
+    )
+    is_seg_head = F.col("segment_number") == 1
+    full = F.concat(F.col(payload_col), F.coalesce(tail_bytes, F.lit(b"")))
+    ok = (
+        F.col("_oid").isNotNull()
+        & contiguous
+        & F.col("_declared_total").isNotNull()
+        & (F.length(full) == F.col("_declared_total"))
+    )
+    return joined.select(
+        *df.columns,
+        F.when(~is_seg_head.eqNullSafe(True), F.lit(1))
+        .otherwise(F.coalesce(F.size(segs), F.lit(0)) + 1)
+        .alias("n_segments"),
+        F.when(~is_seg_head.eqNullSafe(True), F.lit("unsegmented"))
+        .when(ok, F.lit("reassembled"))
+        .otherwise(F.lit("incomplete"))
+        .alias("segment_status"),
+        F.when(~is_seg_head.eqNullSafe(True), F.col(payload_col))
+        .when(ok, full)
+        .alias("full_payload"),
+    )
+
+
 def sitemap_entries(
     df: DataFrame,
     content_col: str = "http_body",

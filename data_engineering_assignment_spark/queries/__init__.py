@@ -60,6 +60,7 @@ DRIVER_SAMPLE_HEAD: tuple[str, ...] = (
     "warc_request_pairing_stats",
     "lang_classifier_gate",
     "crawl_lang_classifier_mix",
+    "warc_segment_reassembly",
     # implementation changed this round
     "gopher_quality_stats",
     "sitemap_frontier_stats",
@@ -107,7 +108,6 @@ DRIVER_SAMPLE_HEAD: tuple[str, ...] = (
     "dedup_semantic_hier",
     "doc_dup_spans_merged",
     "doc_winnow_stats",
-    "dsir_affinity_top64",
     "ml_eval_metrics",
     "purchase_prior_state_pit",
 )

@@ -4999,3 +4999,151 @@ def crawl_lang_classifier_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("score_en").cast("long").alias("sum_en"),
         F.sum("score_unk").cast("long").alias("sum_unk"),
     )
+
+
+_SEGMENT_ORACLE = """
+WITH t AS (
+  SELECT doc_id AS did, 2 + doc_id % 3 AS k FROM documents
+), built AS (
+  SELECT did, k,
+         'p0:doc ' || did || ' ' || 'p1:doc ' || did || ' '
+         || CASE WHEN k >= 3 THEN 'p2:doc ' || did || ' ' ELSE '' END
+         || CASE WHEN k >= 4 THEN 'p3:doc ' || did || ' ' ELSE '' END
+           AS fullp
+  FROM t
+), seg AS (
+  SELECT did, 'seg' AS kind,
+         CASE WHEN did % 5 = 0 OR did % 7 = 0 THEN 'incomplete'
+              ELSE 'reassembled' END AS segment_status,
+         CASE WHEN did % 5 = 0 THEN k - 1 ELSE k END AS n_segments,
+         CASE WHEN did % 5 = 0 OR did % 7 = 0 THEN NULL
+              ELSE LENGTH(fullp) END AS full_len,
+         CASE WHEN did % 5 = 0 OR did % 7 = 0 THEN NULL
+              ELSE md5(fullp) END AS full_md5
+  FROM built
+), plain AS (
+  SELECT did, 'plain', 'unsegmented', 1,
+         LENGTH('u:doc ' || did), md5('u:doc ' || did)
+  FROM t
+)
+SELECT did::BIGINT AS doc_id, kind, segment_status,
+       n_segments::INT AS n_segments, full_len::BIGINT AS full_len,
+       full_md5
+FROM (SELECT * FROM seg UNION ALL SELECT * FROM plain)
+"""
+
+
+@register(
+    "warc_segment_reassembly",
+    oracle=_SEGMENT_ORACLE,
+    doc="WARC record-segmentation gate (operators/crawl.py "
+    "reassemble_segments over sources.warc_records "
+    "include_payload/segment_* — ISO 28500 §5.18-5.20, the wire form "
+    "of records too large for one file, the final ISO 28500 surface): "
+    "every document's archive holds one unsegmented response (the "
+    "pass-through leg) and one record split into 2+doc_id%3 segments; "
+    "doc_id%5==0 drops the first continuation (a GAP — and for 2-part "
+    "records the declared total with it), doc_id%7==0 declares a wrong "
+    "total, doc_id%11==0 plants an orphan continuation that must not "
+    "surface as a logical record, and a duplicate decoy segment "
+    "exercises the min-struct tie rule; per-record status, segment "
+    "counts, reassembled lengths AND md5s of the exact reassembled "
+    "bytes sit under one hash. Scale shape: per-origin map-side "
+    "collect of (number, payload) structs bounded by one record's "
+    "segment count, ONE AQE-splittable equi-join, in-row binary fold "
+    "— no content-key window, no corpus broadcast.",
+)
+def warc_segment_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from ..functions.warc import build_warc
+    from ..operators.crawl import reassemble_segments
+    from ..sources import warc_records
+    from ..tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def make(batches):
+        for pdf in batches:
+            rows = []
+            for x in pdf["doc_id"]:
+                did = int(x)
+                k = 2 + did % 3
+                parts = [f"p{j}:doc {did} ".encode() for j in range(k)]
+                total = sum(len(p) for p in parts)
+                if did % 7 == 0:
+                    total += 1  # wrong declared total: length mismatch
+                recs = [
+                    (
+                        {
+                            "WARC-Type": "response",
+                            "WARC-Record-ID": f"<urn:plain{did}>",
+                            "Content-Type": "application/http",
+                        },
+                        f"u:doc {did}".encode(),
+                    ),
+                    (
+                        {
+                            "WARC-Type": "response",
+                            "WARC-Record-ID": f"<urn:seg{did}>",
+                            "WARC-Segment-Number": "1",
+                        },
+                        parts[0],
+                    ),
+                ]
+                for j in range(1, k):
+                    if did % 5 == 0 and j == 1:
+                        continue  # gap: first continuation dropped
+                    h = {
+                        "WARC-Type": "continuation",
+                        "WARC-Record-ID": f"<urn:seg{did}c{j}>",
+                        "WARC-Segment-Origin-ID": f"<urn:seg{did}>",
+                        "WARC-Segment-Number": str(j + 1),
+                    }
+                    if j == k - 1:
+                        h["WARC-Segment-Total-Length"] = str(total)
+                    recs.append((h, parts[j]))
+                # duplicate decoy for segment 2 (lexicographically larger
+                # than any real part: must lose the min-struct tie)
+                if did % 5 != 0:
+                    recs.append(
+                        (
+                            {
+                                "WARC-Type": "continuation",
+                                "WARC-Segment-Origin-ID": f"<urn:seg{did}>",
+                                "WARC-Segment-Number": "2",
+                            },
+                            b"zz-decoy",
+                        )
+                    )
+                if did % 11 == 0:
+                    recs.append(
+                        (
+                            {
+                                "WARC-Type": "continuation",
+                                "WARC-Record-ID": f"<urn:orph{did}>",
+                                "WARC-Segment-Origin-ID": "<urn:nowhere>",
+                                "WARC-Segment-Number": "2",
+                                "WARC-Segment-Total-Length": "4",
+                            },
+                            b"NN",
+                        )
+                    )
+                rows.append(
+                    (did, build_warc(recs, gzip_members=bool(did % 2)))
+                )
+            yield pd.DataFrame(rows, columns=["archive_id", "content"])
+
+    media = docs.mapInPandas(make, "archive_id long, content binary")
+    rows = warc_records(media, include_payload=True).filter("parse_ok")
+    out = reassemble_segments(rows)
+    return out.select(
+        F.col("archive_id").alias("doc_id"),
+        F.when(F.col("segment_status") == "unsegmented", F.lit("plain"))
+        .otherwise(F.lit("seg"))
+        .alias("kind"),
+        "segment_status",
+        F.col("n_segments").cast("int").alias("n_segments"),
+        F.length("full_payload").cast("long").alias("full_len"),
+        F.md5("full_payload").alias("full_md5"),
+    )

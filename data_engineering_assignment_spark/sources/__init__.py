@@ -212,6 +212,7 @@ def warc_records(
     content_col: str = "content",
     id_col: str = "archive_id",
     include_body: bool = False,
+    include_payload: bool = False,
 ) -> DataFrame:
     """Explode WARC crawl-archive binary columns into one row per record
     (functions/warc.py: plain or per-record-gzip .warc.gz) — the ingest
@@ -251,6 +252,17 @@ def warc_records(
     (``http_user_agent`` / ``http_referer``, parsed from
     msgtype=request HTTP heads) onto the response rows.
 
+    ``segment_number`` / ``segment_origin_id`` / ``segment_total_length``
+    are the ISO 28500 §5.18-5.20 record-segmentation headers (a record
+    too large for one file writes segment 1 with its own Record-ID,
+    then 'continuation' records naming it in WARC-Segment-Origin-ID,
+    the last carrying WARC-Segment-Total-Length; junk numerics degrade
+    to NULL) — the inputs to
+    ``operators.crawl.reassemble_segments``. ``include_payload=True``
+    adds ``payload``: the record's RAW payload bytes (what continuation
+    records carry — they are not HTTP messages, so ``http_body`` never
+    has them); opt-in for the same reason as ``include_body``.
+
     ``include_body=True`` adds ``http_body`` (the HTTP message body of
     ``application/http`` response records, NULL elsewhere — the input
     to ``operators.crawl.html_extract`` / ``document_extract``) and
@@ -268,12 +280,21 @@ def warc_records(
 
     from ..functions.warc import parse_warc
 
+    def _int_or_none(v):
+        # junk numeric headers degrade to NULL, never crash the record
+        try:
+            return int(v) if v is not None else None
+        except ValueError:
+            return None
+
     schema = (
         f"{id_col} long, rec_idx int, warc_type string, target_uri string,"
         " content_type string, http_status int, http_content_type string,"
         " http_location string,"
         " record_id string, concurrent_to string,"
         " http_user_agent string, http_referer string,"
+        " segment_number int, segment_origin_id string,"
+        " segment_total_length long,"
         " payload_len long, payload_digest string,"
         " payload_digest_declared string,"
         " rec_offset long, rec_length long,"
@@ -281,6 +302,8 @@ def warc_records(
     )
     if include_body:
         schema += ", http_body binary, http_body_ok boolean"
+    if include_payload:
+        schema += ", payload binary"
 
     def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [
@@ -288,11 +311,14 @@ def warc_records(
             "http_status", "http_content_type", "http_location",
             "record_id", "concurrent_to",
             "http_user_agent", "http_referer",
+            "segment_number", "segment_origin_id", "segment_total_length",
             "payload_len", "payload_digest", "payload_digest_declared",
             "rec_offset", "rec_length", "parse_ok",
         ]
         if include_body:
             cols += ["http_body", "http_body_ok"]
+        if include_payload:
+            cols += ["payload"]
         for pdf in batches:
             rows = []
             for aid, content in zip(pdf[id_col], pdf[content_col]):
@@ -314,6 +340,9 @@ def warc_records(
                             h.get("WARC-Concurrent-To"),
                             r.get("http_user_agent"),
                             r.get("http_referer"),
+                            _int_or_none(h.get("WARC-Segment-Number")),
+                            h.get("WARC-Segment-Origin-ID"),
+                            _int_or_none(h.get("WARC-Segment-Total-Length")),
                             len(r["payload"]),
                             hashlib.md5(r["payload"]).hexdigest(),
                             h.get("WARC-Payload-Digest"),
@@ -326,15 +355,15 @@ def warc_records(
                                 r.get("http_body"),
                                 r.get("http_body_ok"),
                             )
+                        if include_payload:
+                            row += (r["payload"],)
                         rows.append(row)
                 except Exception:
-                    row = (
-                        aid, None, None, None, None, None, None, None, None,
-                        None, None, None, None, None, None, None, None,
-                        False,
-                    )
+                    row = (aid,) + (None,) * 19 + (False,)
                     if include_body:
                         row += (None, None)
+                    if include_payload:
+                        row += (None,)
                     rows.append(row)
             yield pd.DataFrame(rows, columns=cols)
 

@@ -683,6 +683,91 @@ def test_resolved_url_col_null_dead_letter(spark):
     assert [r.r for r in got] == [None, None, None]
 
 
+def test_reassemble_segments(spark):
+    """ISO 28500 record segmentation: a 3-segment record reassembles to
+    the exact original bytes; a missing middle segment, a missing LAST
+    segment (no declared total) and a length-mismatched total all come
+    back incomplete; unsegmented records pass through; duplicate
+    segment numbers keep the lexicographically least payload."""
+    from data_engineering_assignment_spark.functions.warc import build_warc
+    from data_engineering_assignment_spark.operators.crawl import (
+        reassemble_segments,
+    )
+    from data_engineering_assignment_spark.sources import warc_records
+
+    def head(rid, payload, **extra):
+        return (
+            {
+                "WARC-Type": "response",
+                "WARC-Record-ID": rid,
+                "WARC-Segment-Number": "1",
+                **extra,
+            },
+            payload,
+        )
+
+    def cont(rid, origin, n, payload, total=None):
+        h = {
+            "WARC-Type": "continuation",
+            "WARC-Record-ID": rid,
+            "WARC-Segment-Origin-ID": origin,
+            "WARC-Segment-Number": str(n),
+        }
+        if total is not None:
+            h["WARC-Segment-Total-Length"] = str(total)
+        return (h, payload)
+
+    full = b"AAAA" + b"BBBB" + b"CC"
+    recs = [
+        ({"WARC-Type": "response", "WARC-Record-ID": "<u0>"}, b"whole"),
+        head("<s1>", b"AAAA"),
+        cont("<c12>", "<s1>", 2, b"BBBB"),
+        cont("<c13>", "<s1>", 3, b"CC", total=len(full)),
+        # duplicate of segment 2 with a lexicographically LARGER payload:
+        # must lose (and the reassembly still length-checks)
+        cont("<c12d>", "<s1>", 2, b"ZZZZ"),
+        # gap: segments 1 and 3 only
+        head("<s2>", b"XX"),
+        cont("<c23>", "<s2>", 3, b"YY", total=6),
+        # missing last segment: no declared total anywhere
+        head("<s3>", b"PP"),
+        cont("<c32>", "<s3>", 2, b"QQ"),
+        # declared total disagrees with the bytes
+        head("<s4>", b"11"),
+        cont("<c42>", "<s4>", 2, b"22", total=99),
+        # orphan continuation
+        cont("<c9>", "<missing>", 2, b"NN", total=4),
+    ]
+    df = spark.createDataFrame(
+        [(1, bytearray(build_warc(recs)))], "archive_id long, content binary"
+    )
+    rows = warc_records(df, include_payload=True)
+    out = {
+        r.record_id: r
+        for r in reassemble_segments(rows).collect()
+    }
+    assert set(out) == {"<u0>", "<s1>", "<s2>", "<s3>", "<s4>"}
+    assert out["<u0>"].segment_status == "unsegmented"
+    assert bytes(out["<u0>"].full_payload) == b"whole"
+    assert out["<u0>"].n_segments == 1
+    assert out["<s1>"].segment_status == "reassembled"
+    assert bytes(out["<s1>"].full_payload) == full
+    assert out["<s1>"].n_segments == 3
+    for rid in ("<s2>", "<s3>", "<s4>"):
+        assert out[rid].segment_status == "incomplete", rid
+        assert out[rid].full_payload is None, rid
+    # orphan census: the documented LEFT ANTI pattern
+    from pyspark.sql import functions as SF
+
+    heads_ids = rows.filter("segment_number = 1").select(
+        SF.col("record_id").alias("_h")
+    )
+    orphans = rows.filter("warc_type = 'continuation'").join(
+        heads_ids, SF.col("segment_origin_id") == SF.col("_h"), "left_anti"
+    )
+    assert [r.record_id for r in orphans.collect()] == ["<c9>"]
+
+
 def test_pair_requests_and_orphans(spark):
     """pair_requests: responses gain req_user_agent/req_referer via
     WARC-Concurrent-To; unpaired responses survive paired=false;
