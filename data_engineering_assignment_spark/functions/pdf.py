@@ -10,9 +10,12 @@ the structurally honest subset is implemented completely and exactly,
 and everything outside it raises a GUARDED error that the operator
 layer converts to a dead-letter row, never a wrong answer. In scope:
 
-* classic PDFs whose streams are plain or FlateDecode, with the full
+* classic PDFs whose streams are plain or any CHAIN of FlateDecode,
+  LZWDecode (the in-repo TIFF codec's LZW, /EarlyChange honored),
+  ASCIIHexDecode, ASCII85Decode and RunLengthDecode, with the full
   ``/DecodeParms`` predictor family (PNG None/Sub/Up/Average/Paeth,
-  predictors 10-15, and TIFF predictor 2 at 8 bits/component);
+  predictors 10-15, and TIFF predictor 2 at 8 bits/component) on the
+  compression filters;
 * the PDF 1.5 compressed-object profile: ``/Type /ObjStm`` object
   streams (members expanded with file-order shadowing, below) and
   cross-reference-STREAM files (no ``trailer`` keyword — the trailer
@@ -25,11 +28,11 @@ layer converts to a dead-letter row, never a wrong answer. In scope:
   UTF-16BE targets; an unmapped 1-byte code falls back to Latin-1, an
   unmapped 2-byte code decodes to U+FFFD per code).
 
-Still guarded (raise): encryption, filters other than FlateDecode
-(DCT, LZW, ASCII85, ...), filter CHAINS, predictors outside the family
-above, and composite ``/Subtype /Type0`` fonts WITHOUT a /ToUnicode
-CMap (real CID decoding needs font files; with /ToUnicode present the
-map is authoritative and such fonts decode fine).
+Still guarded (raise): encryption, image/binary filters (DCTDecode,
+JPXDecode, JBIG2Decode, CCITTFaxDecode, Crypt), predictors outside
+the family above, and composite ``/Subtype /Type0`` fonts WITHOUT a
+/ToUnicode CMap (real CID decoding needs font files; with /ToUnicode
+present the map is authoritative and such fonts decode fine).
 
 Parsing is xref-INDEPENDENT by design: objects are discovered by
 scanning ``N G obj ... endobj`` spans (the repair path every real PDF
@@ -180,6 +183,61 @@ def _tounicode_cmap(code_of: dict[str, int]) -> bytes:
     return b"\n".join(lines)
 
 
+def _runlength_encode(data: bytes) -> bytes:
+    """RunLengthDecode fixture encoder: runs >= 3 as (257-n, byte),
+    literals chunked to 128, trailing EOD byte."""
+    out = bytearray()
+    i = 0
+    lit = bytearray()
+
+    def flush_lit():
+        nonlocal lit
+        while lit:
+            chunk, lit = lit[:128], lit[128:]
+            out.append(len(chunk) - 1)
+            out.extend(chunk)
+
+    while i < len(data):
+        j = i
+        while j < len(data) and j - i < 128 and data[j] == data[i]:
+            j += 1
+        if j - i >= 3:
+            flush_lit()
+            out.append(257 - (j - i))
+            out.append(data[i])
+        else:
+            lit += data[i:j]
+        i = j
+    flush_lit()
+    out.append(128)
+    return bytes(out)
+
+
+def _encode_chain(raw: bytes, chain: list[str]) -> bytes:
+    """Apply fixture encoders so that DECODING in /Filter array order
+    recovers ``raw``: the writer applies the filters right-to-left
+    (the last array entry is the innermost encoding)."""
+    import base64
+
+    data = raw
+    for name in reversed(chain):
+        if name == "FlateDecode":
+            data = zlib.compress(data)
+        elif name == "LZWDecode":
+            from .tiff import _lzw_encode
+
+            data = _lzw_encode(data)
+        elif name == "ASCIIHexDecode":
+            data = data.hex().encode("ascii") + b">"
+        elif name == "ASCII85Decode":
+            data = base64.a85encode(data, adobe=False) + b"~>"
+        elif name == "RunLengthDecode":
+            data = _runlength_encode(data)
+        else:
+            raise ValueError(f"no fixture encoder for {name}")
+    return data
+
+
 def build_pdf(
     pages: list[list[str]],
     flate: bool = True,
@@ -190,6 +248,7 @@ def build_pdf(
     content_predictor: bool = False,
     differences: bool = False,
     tounicode: bool = False,
+    filter_chain: list[str] | None = None,
 ) -> bytes:
     """Serialize text pages into a complete, standards-valid PDF
     (header, catalog, page tree, per-page FlateDecode-or-plain content
@@ -279,7 +338,15 @@ def build_pdf(
         raw = _content_stream(
             lines, tj_split=tj_split, hex_strings=hex_strings, encode=encode
         )
-        if content_predictor:  # implies Flate: predictors ride a filter
+        if filter_chain:
+            data = _encode_chain(raw, filter_chain)
+            names = b" ".join(b"/" + n.encode("ascii") for n in filter_chain)
+            filt = (
+                b" /Filter /" + filter_chain[0].encode("ascii")
+                if len(filter_chain) == 1
+                else b" /Filter [" + names + b"]"
+            )
+        elif content_predictor:  # implies Flate: predictors ride a filter
             raw += b" " * (-len(raw) % 16)  # whole predictor rows
             data = zlib.compress(_png_predict_up(raw, 16))
             filt = (
@@ -719,12 +786,99 @@ def _unpredict(data: bytes, parms: dict, values: dict) -> bytes:
     raise NotImplementedError(f"PDF stream predictor {pred} not supported")
 
 
+def _ascii_hex_decode(data: bytes) -> bytes:
+    """ASCIIHexDecode (ISO 32000-1 §7.4.2): hex digits, whitespace
+    ignored, '>' EOD, odd final digit pads with 0."""
+    end = data.find(b">")
+    body = data[: end if end >= 0 else len(data)]
+    digits = bytes(c for c in body if c not in _WS)
+    if any(c not in b"0123456789abcdefABCDEF" for c in digits):
+        raise ValueError("bad ASCIIHexDecode data")
+    if len(digits) % 2:
+        digits += b"0"
+    return bytes.fromhex(digits.decode("ascii"))
+
+
+def _ascii85_decode(data: bytes) -> bytes:
+    """ASCII85Decode (§7.4.3): stdlib base85 with the 'z' shortcut,
+    whitespace ignored, '~>' EOD tolerated absent (real-world crawled
+    PDFs truncate it)."""
+    import base64
+
+    end = data.find(b"~>")
+    body = data[: end if end >= 0 else len(data)]
+    body = bytes(c for c in body if c not in _WS)
+    return base64.a85decode(body, adobe=False)
+
+
+def _runlength_decode(data: bytes) -> bytes:
+    """RunLengthDecode (§7.4.5): length byte 0-127 copies n+1 literal
+    bytes, 129-255 repeats the next byte 257-n times, 128 is EOD."""
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        n = data[i]
+        if n == 128:
+            return bytes(out)
+        if n < 128:
+            chunk = data[i + 1 : i + 2 + n]
+            if len(chunk) != n + 1:
+                raise ValueError("RunLengthDecode truncated literal")
+            out += chunk
+            i += 2 + n
+        else:
+            if i + 1 >= len(data):
+                raise ValueError("RunLengthDecode truncated run")
+            out += data[i + 1 : i + 2] * (257 - n)
+            i += 2
+    return bytes(out)  # EOD-less streams end at the data boundary
+
+
+def _apply_filter(name: str, data: bytes, parms, values: dict) -> bytes:
+    """One /Filter leg. Flate and LZW accept predictor /DecodeParms;
+    LZW additionally /EarlyChange (default 1, the TIFF schedule — the
+    in-repo TIFF codec's decoder IS the implementation, ISO 32000-1
+    §7.4.4 referencing TIFF 6.0). The ASCII transports and RunLength
+    take no parms. Anything else stays guarded."""
+    if name == "FlateDecode":
+        out = zlib.decompress(data)
+    elif name == "LZWDecode":
+        from .tiff import _lzw_decode
+
+        early = 1
+        if isinstance(parms, dict):
+            early = _resolve(parms.get("EarlyChange", 1), values)
+            if early not in (0, 1):
+                raise ValueError("bad /EarlyChange")
+        out = _lzw_decode(data, None, early_change=bool(early))
+    elif name == "ASCIIHexDecode":
+        out = _ascii_hex_decode(data)
+    elif name == "ASCII85Decode":
+        out = _ascii85_decode(data)
+    elif name == "RunLengthDecode":
+        out = _runlength_decode(data)
+    else:
+        raise NotImplementedError(
+            f"PDF stream filter {name!r} not supported"
+        )
+    if name in ("FlateDecode", "LZWDecode") and isinstance(parms, dict):
+        out = _unpredict(out, parms, values)
+    elif parms not in (None, {}) and name not in (
+        "FlateDecode",
+        "LZWDecode",
+    ):
+        raise ValueError(f"/DecodeParms not applicable to {name}")
+    return out
+
+
 def _stream_bytes(
     oid: int, values: dict, streams: dict, data: bytes
 ) -> bytes:
-    """One stream object's decoded payload (resolving indirect /Length,
-    verifying 'endstream', applying /FlateDecode + any supported
-    /DecodeParms predictor)."""
+    """One stream object's decoded payload: resolve indirect /Length,
+    verify 'endstream', then apply the /Filter CHAIN in array order
+    with its parallel /DecodeParms (§7.3.8.2: a single name and a
+    one-element array are equivalent; a null parms slot means no
+    parms for that leg)."""
     sdict, start = streams[oid]
     length = sdict.get("Length")
     if isinstance(length, tuple) and length[0] == "ref":
@@ -735,28 +889,25 @@ def _stream_bytes(
     tail = data[start + length : start + length + 20]
     if b"endstream" not in tail.translate(None, bytes(_WS)):
         raise ValueError("stream /Length does not reach endstream")
-    filt = sdict.get("Filter")
+    filt = _resolve(sdict.get("Filter"), values)
     parms = _resolve(sdict.get("DecodeParms"), values)
-    if isinstance(filt, list):
-        if len(filt) > 1:
-            raise ValueError(f"unsupported filter chain {filt!r}")
-        filt = filt[0] if filt else None
-        if isinstance(parms, list):
-            parms = parms[0] if parms else None
-    if filt is None:
+    filts = filt if isinstance(filt, list) else [filt] if filt else []
+    if isinstance(parms, list):
+        plist = parms + [None] * (len(filts) - len(parms))
+    else:
+        plist = [parms] + [None] * (len(filts) - 1)
+    if not filts:
         if parms:
             raise NotImplementedError(
                 "/DecodeParms without a filter not supported"
             )
         return raw
-    if filt == "FlateDecode":
-        out = zlib.decompress(raw)
-        if isinstance(parms, dict):
-            out = _unpredict(out, parms, values)
-        elif parms is not None:
-            raise ValueError("bad /DecodeParms")
-        return out
-    raise NotImplementedError(f"PDF stream filter {filt!r} not supported")
+    out = raw
+    for name, p in zip(filts, plist):
+        if not isinstance(name, str):
+            raise ValueError("bad /Filter entry")
+        out = _apply_filter(name, out, _resolve(p, values), values)
+    return out
 
 
 def _expand_object_streams(

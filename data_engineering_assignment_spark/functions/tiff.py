@@ -62,8 +62,14 @@ _TAG_TILE_OFFSETS = 324
 _TAG_TILE_COUNTS = 325
 
 
-def _lzw_decode(data: bytes, expected: int) -> bytes:
-    """TIFF-LZW decompress one strip (MSB-first, early-change widths)."""
+def _lzw_decode(
+    data: bytes, expected: int | None = None, early_change: bool = True
+) -> bytes:
+    """LZW decompress (MSB-first): TIFF strips pass ``expected`` (stop
+    at the strip's byte count, truncation raises); PDF ``LZWDecode``
+    passes None (decode to EOI / end of data — same code family, ISO
+    32000-1 §7.4.4 references the TIFF algorithm) and ``early_change``
+    per its /DecodeParms (default 1 == TIFF's schedule)."""
     out = bytearray()
     table: list[bytes] = []
     width = 9
@@ -78,7 +84,9 @@ def _lzw_decode(data: bytes, expected: int) -> bytes:
         prev = None
 
     reset()
-    while bitpos + width <= nbits and len(out) < expected:
+    while bitpos + width <= nbits and (
+        expected is None or len(out) < expected
+    ):
         # MSB-first read of `width` bits starting at bitpos
         byte_i = bitpos >> 3
         chunk = int.from_bytes(data[byte_i : byte_i + 4].ljust(4, b"\0"), "big")
@@ -105,8 +113,11 @@ def _lzw_decode(data: bytes, expected: int) -> bytes:
         # entry to fill is 511/1023/2047 — one below the width ceiling,
         # one earlier than GIF. Verified bit-for-bit against the JDK
         # TIFF plugin's LZW output (tests/test_java_interop.py).
-        if len(table) + 1 >= (1 << width) and width < 12:
+        # PDF /EarlyChange 0 disables the one-early bump.
+        if len(table) + (1 if early_change else 0) >= (1 << width) and width < 12:
             width += 1
+    if expected is None:
+        return bytes(out)
     if len(out) < expected:
         raise ValueError("TIFF: LZW strip truncated")
     return bytes(out[:expected])

@@ -3078,9 +3078,13 @@ def _fixture_pdf(did: int) -> bytes:
     did%5==0, a nested page tree at did%7==0, the PDF 1.5
     compressed-object profile — /Type /ObjStm members + a trailer-less
     predictor-encoded xref STREAM — at did%11==0, PNG-predictor-encoded
-    CONTENT streams at did%13==0, and subsetted-font re-encoding at
+    CONTENT streams at did%13==0, subsetted-font re-encoding at
     did%9==0 — /Encoding /Differences glyph names — or did%17==0 —
-    a /ToUnicode bfchar/bfrange CMap, exclusive with the former)
+    a /ToUnicode bfchar/bfrange CMap, exclusive with the former, and
+    non-Flate filter legs: LZWDecode at did%19==0, an
+    [ASCII85Decode FlateDecode] CHAIN at did%23==0 and a
+    [RunLengthDecode FlateDecode] chain at did%29==0 — these take
+    precedence over the flate/predictor axes for their streams)
     without moving any extracted quantity — the _fixture_html
     discipline: extraction must normalize away every non-content
     variation."""
@@ -3090,6 +3094,15 @@ def _fixture_pdf(did: int) -> bytes:
         [f"Doc {did} page {p}", f"text ({did}) on {p}"]
         for p in range(1 + did % 3)
     ]
+    chain = (
+        ["LZWDecode"]
+        if did % 19 == 0
+        else ["ASCII85Decode", "FlateDecode"]
+        if did % 23 == 0
+        else ["RunLengthDecode", "FlateDecode"]
+        if did % 29 == 0
+        else None
+    )
     return build_pdf(
         pages,
         flate=bool(did % 2),
@@ -3100,6 +3113,7 @@ def _fixture_pdf(did: int) -> bytes:
         content_predictor=did % 13 == 0,
         tounicode=did % 17 == 0,
         differences=did % 9 == 0 and did % 17 != 0,
+        filter_chain=chain,
     )
 
 

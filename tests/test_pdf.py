@@ -95,8 +95,13 @@ def test_guarded_profiles_raise():
         pdf_text(b"%PDF-1.4\nno objects here")
     with pytest.raises(ValueError):
         pdf_text(good[: len(good) // 2])  # truncated mid-structure
-    with pytest.raises(NotImplementedError):
+    # LZWDecode is now SUPPORTED — mislabeling Flate bytes as LZW is a
+    # STRUCTURAL error (ValueError dead-letter), not an unsupported
+    # profile; the unsupported-filter guard moved to the image filters
+    with pytest.raises(ValueError):
         pdf_text(good.replace(b"/FlateDecode", b"/LZWDecode\x20\x20"))
+    with pytest.raises(NotImplementedError):
+        pdf_text(good.replace(b"/FlateDecode", b"/JPXDecode\x20\x20"))
     with pytest.raises(NotImplementedError):
         pdf_text(
             good.replace(b"/Root 1 0 R", b"/Root 1 0 R /Encrypt 9 0 R")
@@ -188,6 +193,46 @@ def test_xref_stream_decodes_through_predictor():
             assert f2 == objstm_oid
             seen_member += 1
     assert seen_direct >= 2 and seen_member >= 4
+
+
+def test_filter_chains_roundtrip():
+    """LZW / ASCIIHex / ASCII85 / RunLength legs and multi-filter
+    CHAINS (decoded in /Filter array order) all extract the identical
+    text, classic AND 1.5-profile; image filters stay guarded and a
+    junk /EarlyChange is a structural error."""
+    from data_engineering_assignment_spark.functions.pdf import (
+        _apply_filter,
+        _runlength_decode,
+        _runlength_encode,
+    )
+
+    pages = [["Doc 7 page 0", "text (7) on 0"], ["x \\ y <z>"]]
+    want = pdf_text(build_pdf(pages))["pages"]
+    chains = [
+        ["LZWDecode"],
+        ["ASCIIHexDecode"],
+        ["ASCII85Decode"],
+        ["RunLengthDecode"],
+        ["ASCII85Decode", "FlateDecode"],
+        ["ASCIIHexDecode", "LZWDecode"],
+        ["ASCII85Decode", "RunLengthDecode", "FlateDecode"],
+    ]
+    for ch in chains:
+        for objstm in (False, True):
+            b = build_pdf(pages, filter_chain=ch, object_streams=objstm)
+            assert pdf_text(b)["pages"] == want, (ch, objstm)
+    # RunLength encoder/decoder unit: runs, literals, 128-chunking, EOD
+    for blob in (b"", b"a", b"ab", b"aaab" * 3, bytes(range(256)) * 2,
+                 b"x" * 400, b"ab" * 200 + b"z" * 5):
+        assert _runlength_decode(_runlength_encode(blob)) == blob
+    with pytest.raises(NotImplementedError):
+        pdf_text(
+            build_pdf(pages).replace(b"/FlateDecode", b"/DCTDecode\x20\x20\x20")
+        )
+    with pytest.raises(ValueError):
+        _apply_filter("LZWDecode", b"", {"EarlyChange": 2}, {})
+    with pytest.raises(ValueError):
+        _apply_filter("ASCII85Decode", b"~>", {"Predictor": 12}, {})
 
 
 def test_tiff_predictor_2():
