@@ -442,11 +442,16 @@ def _url_resolve_udf():
     from pyspark.sql.types import StringType
 
     @F.pandas_udf(StringType())
-    def resolve(base: pd.Series, ref: pd.Series) -> pd.Series:
+    def resolve(
+        base: pd.Series, ref: pd.Series, fast: pd.Series
+    ) -> pd.Series:
         from urllib.parse import urljoin
 
         out = []
-        for b, h in zip(base, ref):
+        for b, h, f in zip(base, ref, fast):
+            if f is not None:
+                out.append(f)  # JVM fast path already resolved it
+                continue
             if b is None or h is None:
                 out.append(None)
                 continue
@@ -527,17 +532,20 @@ def resolve_url_fast_expr(base, ref):
 def resolved_url_col(base, ref):
     """(base, ref) -> absolute URL column: the JVM fast path for the
     common reference classes, the Arrow-batched ``urljoin`` UDF for the
-    rest. The UDF's inputs are NULLed on fast rows — Spark's
-    ArrowEvalPython node still runs over every row, but ships
-    null-masked batches and skips the per-row Python ``urljoin`` calls
-    that dominate the cost (SCALE.md's named per-link Python CPU).
-    NULL base or ref resolves to NULL (dead-letter, never 'None'
-    coercion). Shared by :func:`page_links` (hrefs) and
-    :func:`resolve_redirects` (Location headers)."""
-    fast = resolve_url_fast_expr(base, ref)
+    rest. The fast value is computed ONCE and passed INTO the UDF as a
+    third input, so the output is a single materialized
+    ArrowEvalPython attribute — downstream consumers (canonicalize,
+    host parse, filters) reference the attribute instead of inlining
+    the regex guard chain into every use (Catalyst re-evaluates plain
+    expressions per consumer: the first cut of this function measured
+    51 copies of the guard regexes in crawl_link_pagerank's executed
+    plan). Python cost per row on fast rows is one None-check; the
+    per-row ``urljoin`` (SCALE.md's named per-link CPU) runs only for
+    the relative/dot-segment tail. NULL base or ref resolves to NULL
+    (dead-letter, never 'None' coercion). Shared by :func:`page_links`
+    (hrefs) and :func:`resolve_redirects` (Location headers)."""
     resolver = _url_resolve_udf()
-    slow = resolver(F.when(fast.isNull(), base), F.when(fast.isNull(), ref))
-    return F.coalesce(fast, slow)
+    return resolver(base, ref, resolve_url_fast_expr(base, ref))
 
 
 def resolve_redirects(

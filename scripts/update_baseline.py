@@ -47,6 +47,17 @@ is the probe-verified truth and full-run ~3x readings on it are not
 flags. CLOSED late r12: three marker-fast full benches in one session
 read it 2.03x / 1.6x / 1.38x with every other r11-flagged query
 <= 1.5x — the r11 3.14x flag was the documented roaming transient.
+`mixed_crawl_extract_stats` ADJUDICATED r13 (the one open r12 flag,
+2.44x in BENCH_r12): 5-rep solo probe [2.552, 1.744, 1.705, 1.721,
+1.813], markers fast (st 0.067/0.075, mt 0.093/0.087) — steady ~1.7 s
+vs its 1.65 s baseline = 1.04x. The 4.03 s full-run reading was the
+documented roaming transient; plan unchanged, not weak. The same r13
+probe read `robots_crawl_filter` [2.912, 1.320, 1.037, 0.960, 0.992]
+(at baseline, flag stays closed) and `crawl_link_pagerank` [6.082,
+3.162, 3.015, 3.271, 3.125] — ~1.2x its 2.623 s entry, within
+ambient; the JVM URL fast path landed later in r13 and the standing
+entries re-verified under it (r13 run A: whole 225-query board with
+ZERO entries over 2x baseline, markers fast).
 History (full per-round narrative in git: this file's log): rounds 1-9
 grew the set 36 -> 157 queries while per-query mins fell or held —
 re-records happened only when a query's implementation changed (each is
@@ -57,7 +68,13 @@ sitemaps, Gopher + C4 + CCNet quality, KMV set ops, HITS, TAR,
 rank-function suite, registered domains, per-key caps, WARC revisit
 dedup both directions) with every addition two-run-verified in calm
 windows and 30+ standing mins improved by the round's three
-marker-fast full benches."""
+marker-fast full benches. Round 13 grew the set 221 -> 225 (WARC
+request/response pairing, multi-class language-ID classifier, the
+model-based crawl language composition, ISO 28500 segment
+reassembly), two marker-fast full benches folding the new entries
+and re-verifying every standing one under the round's operator
+changes (Gopher tokenization, JVM URL fast path, PDF 1.5 + filter
+chains, warc_records schema growth)."""
 
 EXCLUDED = {
     "ivf_recall_telemetry": "diagnostic: recall telemetry, not a user query",

@@ -195,6 +195,44 @@ def test_xref_stream_decodes_through_predictor():
     assert seen_direct >= 2 and seen_member >= 4
 
 
+def test_tounicode_two_byte_codes():
+    """2-byte CMap codes (the Type0/CID shape): bfchar + bfrange with
+    <xxxx> sources decode greedily (longest code first in mixed-width
+    maps), surrogate-free UTF-16BE targets, unmapped wide code ->
+    U+FFFD per code."""
+    from data_engineering_assignment_spark.functions.pdf import (
+        _font_decoder,
+        _parse_tounicode,
+    )
+
+    cmap = (
+        b"1 begincodespacerange\n<0000> <ffff>\nendcodespacerange\n"
+        b"2 beginbfchar\n<0041> <0058>\n<0102> <4E2D>\nendbfchar\n"
+        b"1 beginbfrange\n<0200> <0202> <0061>\nendbfrange\n"
+    )
+    m = _parse_tounicode(cmap)
+    assert m[b"\x00\x41"] == "X" and m[b"\x01\x02"] == "中"
+    assert m[b"\x02\x00"] == "a" and m[b"\x02\x02"] == "c"
+    data = cmap + b"endstream"
+    streams = {9: ({"Length": len(cmap)}, 0)}
+    dec = _font_decoder({"ToUnicode": ("ref", 9)}, {}, streams, data)
+    assert dec(b"\x00\x41\x02\x01") == "Xb"
+    # unmapped 2-byte code: U+FFFD, stream stays aligned
+    assert dec(b"\x7f\x7f\x00\x41") == "�X"
+    # mixed widths: 1-byte entries coexist, longest match wins
+    mixed = (
+        b"2 beginbfchar\n<41> <0031>\n<4142> <0032>\nendbfchar\n"
+        b"endstream"
+    )
+    dec2 = _font_decoder(
+        {"ToUnicode": ("ref", 9)},
+        {},
+        {9: ({"Length": len(mixed) - len(b"endstream")}, 0)},
+        mixed,
+    )
+    assert dec2(b"\x41\x42\x41") == "21"  # <4142> then <41>
+
+
 def test_filter_chains_roundtrip():
     """LZW / ASCIIHex / ASCII85 / RunLength legs and multi-filter
     CHAINS (decoded in /Filter array order) all extract the identical
