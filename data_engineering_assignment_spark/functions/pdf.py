@@ -28,11 +28,21 @@ layer converts to a dead-letter row, never a wrong answer. In scope:
   UTF-16BE targets; an unmapped 1-byte code falls back to Latin-1, an
   unmapped 2-byte code decodes to U+FFFD per code).
 
-Still guarded (raise): encryption, image/binary filters (DCTDecode,
-JPXDecode, JBIG2Decode, CCITTFaxDecode, Crypt), predictors outside
-the family above, and composite ``/Subtype /Type0`` fonts WITHOUT a
-/ToUnicode CMap (real CID decoding needs font files; with /ToUnicode
-present the map is authoritative and such fonts decode fine).
+* standard-security-handler DECRYPTION for the readable owner-locked
+  class (ISO 32000-1 §7.6.3, V 1/2, R 2/3 RC4): documents whose owner
+  password merely restricts print/modify while the USER password is
+  empty — the file key derives from the padding constant (Algorithm
+  2), /U verifies it (Algorithms 4/5), per-object keys decrypt every
+  stream (Algorithm 1; xref streams are never encrypted).
+
+Still guarded (raise): password-protected documents (a non-empty user
+password fails the /U check — genuinely unreadable without
+credentials), AES / V4+ encryption (needs a cipher library this
+container lacks), image/binary filters (DCTDecode, JPXDecode,
+JBIG2Decode, CCITTFaxDecode, Crypt), predictors outside the family
+above, and composite ``/Subtype /Type0`` fonts WITHOUT a /ToUnicode
+CMap (real CID decoding needs font files; with /ToUnicode present the
+map is authoritative and such fonts decode fine).
 
 Parsing is xref-INDEPENDENT by design: objects are discovered by
 scanning ``N G obj ... endobj`` spans (the repair path every real PDF
@@ -249,6 +259,7 @@ def build_pdf(
     differences: bool = False,
     tounicode: bool = False,
     filter_chain: list[str] | None = None,
+    encrypt: str | None = None,
 ) -> bytes:
     """Serialize text pages into a complete, standards-valid PDF
     (header, catalog, page tree, per-page FlateDecode-or-plain content
@@ -266,10 +277,18 @@ def build_pdf(
     128, AGL glyph names); ``tounicode`` through a /ToUnicode CMap
     font (bfchar + bfrange, permuted 1-byte codes) — in both, raw
     string bytes differ from the visible text and extraction must map
-    them back."""
+    them back. ``encrypt`` = 'rc4-40' (V1 R2) or 'rc4-128' (V2 R3)
+    writes the standard security handler with owner password 'owner'
+    and an EMPTY user password (the readable owner-locked class):
+    every stream RC4-encrypted under its per-object key, /Encrypt as
+    a direct object (never inside an ObjStm, §7.5.7), /ID in the
+    trailer / XRef dict."""
     if differences and tounicode:
         raise ValueError("differences and tounicode are exclusive")
+    if encrypt not in (None, "rc4-40", "rc4-128"):
+        raise ValueError(f"unknown encrypt profile {encrypt!r}")
     objs: dict[int, bytes] = {}
+    payload_len: dict[int, int] = {}
     n_pages = len(pages)
     font_id = 3 + 2 * n_pages + (1 if nested_kids else 0)
     page_ids = []
@@ -365,6 +384,7 @@ def build_pdf(
         )
         # indirect /Length on every other content stream: the resolver
         # path (length lives in its own object) is exercised structurally
+        payload_len[cid] = len(data)
         if cid % 2 == 0:
             objs[cid] = (
                 b"<< /Length %d 0 R%s >>\nstream\n" % (font_id + 1 + cid, filt)
@@ -387,6 +407,71 @@ def build_pdf(
             + b"\nendstream"
         )
         stream_ids.add(cmap_id)
+        payload_len[cmap_id] = len(cmap_bytes)
+
+    enc_id = 2 * font_id + 4
+    enc_trailer = b""
+    objkey = None
+    if encrypt:
+        import hashlib
+
+        r = 2 if encrypt == "rc4-40" else 3
+        v, length = (1, 40) if r == 2 else (2, 128)
+        n = length // 8
+        pval = -44  # print/modify restricted; read allowed
+        id0 = hashlib.md5(repr(pages).encode() + bytes([r])).digest()
+        # Algorithm 3: /O from owner pw 'owner', empty user pw
+        h = hashlib.md5((b"owner" + _CRYPT_PAD)[:32]).digest()
+        if r >= 3:
+            for _ in range(50):
+                h = hashlib.md5(h[:n]).digest()
+        okey = h[:n]
+        o = _rc4(okey, _CRYPT_PAD)
+        if r >= 3:
+            for i in range(1, 20):
+                o = _rc4(bytes(bb ^ i for bb in okey), o)
+        # Algorithm 2: file key from the (empty) user password
+        h = hashlib.md5(
+            _CRYPT_PAD + o + (pval & 0xFFFFFFFF).to_bytes(4, "little") + id0
+        ).digest()
+        if r >= 3:
+            for _ in range(50):
+                h = hashlib.md5(h[:n]).digest()
+        fkey = h[:n]
+        # Algorithms 4/5: /U
+        if r == 2:
+            u = _rc4(fkey, _CRYPT_PAD)
+        else:
+            u = _rc4(fkey, hashlib.md5(_CRYPT_PAD + id0).digest())
+            for i in range(1, 20):
+                u = _rc4(bytes(bb ^ i for bb in fkey), u)
+            u += b"\x00" * 16
+
+        def objkey(oid: int) -> bytes:
+            return hashlib.md5(
+                fkey + oid.to_bytes(3, "little") + b"\x00\x00"
+            ).digest()[: min(n + 5, 16)]
+
+        marker = b"\nstream\n"
+        for oid in sorted(stream_ids):
+            obj = objs[oid]
+            idx = obj.find(marker) + len(marker)
+            ln = payload_len[oid]
+            objs[oid] = (
+                obj[:idx]
+                + _rc4(objkey(oid), obj[idx : idx + ln])
+                + obj[idx + ln :]
+            )
+        objs[enc_id] = (
+            b"<< /Filter /Standard /V %d /R %d /Length %d /P %d "
+            b"/O <%s> /U <%s> >>"
+            % (v, r, length, pval, o.hex().encode(), u.hex().encode())
+        )
+        enc_trailer = b" /Encrypt %d 0 R /ID [<%s> <%s>]" % (
+            enc_id,
+            id0.hex().encode(),
+            id0.hex().encode(),
+        )
 
     if not object_streams:
         out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
@@ -404,15 +489,17 @@ def build_pdf(
             else:
                 out += b"0000000000 65535 f \n"
         out += (
-            b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
-            % (max_id + 1, xref_at)
+            b"trailer\n<< /Size %d /Root 1 0 R%s >>\nstartxref\n%d\n%%%%EOF\n"
+            % (max_id + 1, enc_trailer, xref_at)
         )
         return bytes(out)
 
     # --- PDF 1.5 compressed profile: ObjStm members + xref stream ---
-    member_ids = sorted(o for o in objs if o not in stream_ids)
+    member_ids = sorted(
+        o for o in objs if o not in stream_ids and o != enc_id
+    )
     objstm_id = 2 * font_id + 2
-    xref_id = 2 * font_id + 3
+    xref_id = 2 * font_id + 5
     bodies = [objs[o] for o in member_ids]
     offs = []
     at = 0
@@ -424,6 +511,9 @@ def build_pdf(
     ) + b"\n"
     payload = header + b"\n".join(bodies) + b"\n"
     stm_data = zlib.compress(payload)
+    objstm_id = 2 * font_id + 2
+    if objkey is not None:
+        stm_data = _rc4(objkey(objstm_id), stm_data)
     objstm_body = (
         b"<< /Type /ObjStm /N %d /First %d /Length %d /Filter /FlateDecode >>"
         b"\nstream\n" % (len(member_ids), len(header), len(stm_data))
@@ -433,6 +523,9 @@ def build_pdf(
 
     out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
     offsets = {}
+    if enc_id in objs:
+        offsets[enc_id] = len(out)
+        out += b"%d 0 obj\n" % enc_id + objs[enc_id] + b"\nendobj\n"
     for oid in sorted(stream_ids):
         offsets[oid] = len(out)
         out += b"%d 0 obj\n" % oid + objs[oid] + b"\nendobj\n"
@@ -454,9 +547,10 @@ def build_pdf(
             rows += b"\x00" + bytes(5)
     xref_data = zlib.compress(_png_predict_up(bytes(rows), 6))
     out += (
-        b"%d 0 obj\n<< /Type /XRef /Size %d /W [1 4 1] /Root 1 0 R "
+        b"%d 0 obj\n<< /Type /XRef /Size %d /W [1 4 1] /Root 1 0 R%s "
         b"/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns 6 >> "
-        b"/Length %d >>\nstream\n" % (xref_id, xref_id + 1, len(xref_data))
+        b"/Length %d >>\nstream\n"
+        % (xref_id, xref_id + 1, enc_trailer, len(xref_data))
         + xref_data
         + b"\nendstream\nendobj\n"
     )
@@ -871,14 +965,109 @@ def _apply_filter(name: str, data: bytes, parms, values: dict) -> bytes:
     return out
 
 
+# --- standard security handler (ISO 32000-1 §7.6.3) -----------------------
+
+_CRYPT_PAD = bytes(
+    [
+        0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+        0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+        0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+        0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+    ]
+)
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    s = list(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + s[i] + key[i % len(key)]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+    out = bytearray()
+    i = j = 0
+    for c in data:
+        i = (i + 1) & 0xFF
+        j = (j + s[i]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+        out.append(c ^ s[(s[i] + s[j]) & 0xFF])
+    return bytes(out)
+
+
+class _StdSecurity:
+    """RC4 standard security handler, EMPTY user password (V 1/2,
+    R 2/3) — the dominant real-crawl encrypted-PDF class: documents
+    everyone may READ whose owner password merely restricts
+    print/modify. The file key derives from the padding string alone
+    (Algorithm 2), the stored /U entry verifies it (Algorithms 4/5),
+    and per-object RC4 keys decrypt streams (Algorithm 1). V4/V5 AES
+    needs a real cipher — guarded NotImplementedError (the br/zstd
+    hook discipline would apply if a cipher library were present).
+    A non-empty user password (the /U check fails) is genuinely
+    unreadable without credentials: guarded too."""
+
+    def __init__(self, enc: dict, id0: bytes) -> None:
+        import hashlib
+
+        if enc.get("Filter") != "Standard":
+            raise NotImplementedError(
+                f"PDF security handler {enc.get('Filter')!r} not supported"
+            )
+        v = enc.get("V", 0)
+        r = enc.get("R", 2)
+        if v not in (1, 2) or r not in (2, 3):
+            raise NotImplementedError(
+                "PDF AES / V4+ encryption not supported (no cipher here)"
+            )
+        o = enc.get("O")
+        u = enc.get("U")
+        p = enc.get("P")
+        if not isinstance(o, bytes) or not isinstance(u, bytes) or not isinstance(p, int):
+            raise ValueError("bad /Encrypt dictionary")
+        length = enc.get("Length", 40)
+        if v == 1:
+            length = 40
+        if not isinstance(length, int) or length % 8 or not 40 <= length <= 128:
+            raise ValueError("bad /Encrypt /Length")
+        n = length // 8
+        # /P is a SIGNED 32-bit flag word: hash its LE byte image
+        h = hashlib.md5(
+            _CRYPT_PAD + o[:32] + (p & 0xFFFFFFFF).to_bytes(4, "little") + id0
+        ).digest()
+        if r >= 3:
+            for _ in range(50):
+                h = hashlib.md5(h[:n]).digest()
+        self.key = h[:n]
+        if r == 2:
+            ok = _rc4(self.key, _CRYPT_PAD) == u[:32]
+        else:
+            x = _rc4(self.key, hashlib.md5(_CRYPT_PAD + id0).digest())
+            for i in range(1, 20):
+                x = _rc4(bytes(b ^ i for b in self.key), x)
+            ok = x[:16] == u[:16]
+        if not ok:
+            raise NotImplementedError(
+                "password-protected PDF (non-empty user password)"
+            )
+
+    def decrypt(self, objnum: int, data: bytes) -> bytes:
+        import hashlib
+
+        k = hashlib.md5(
+            self.key + objnum.to_bytes(3, "little") + b"\x00\x00"
+        ).digest()[: min(len(self.key) + 5, 16)]
+        return _rc4(k, data)
+
+
 def _stream_bytes(
-    oid: int, values: dict, streams: dict, data: bytes
+    oid: int, values: dict, streams: dict, data: bytes, crypt=None
 ) -> bytes:
     """One stream object's decoded payload: resolve indirect /Length,
-    verify 'endstream', then apply the /Filter CHAIN in array order
-    with its parallel /DecodeParms (§7.3.8.2: a single name and a
-    one-element array are equivalent; a null parms slot means no
-    parms for that leg)."""
+    verify 'endstream', decrypt (when the document is encrypted —
+    encryption is the OUTERMOST layer, §7.6.2; xref streams are never
+    encrypted), then apply the /Filter CHAIN in array order with its
+    parallel /DecodeParms (§7.3.8.2: a single name and a one-element
+    array are equivalent; a null parms slot means no parms for that
+    leg)."""
     sdict, start = streams[oid]
     length = sdict.get("Length")
     if isinstance(length, tuple) and length[0] == "ref":
@@ -889,6 +1078,8 @@ def _stream_bytes(
     tail = data[start + length : start + length + 20]
     if b"endstream" not in tail.translate(None, bytes(_WS)):
         raise ValueError("stream /Length does not reach endstream")
+    if crypt is not None and sdict.get("Type") != "XRef":
+        raw = crypt.decrypt(oid, raw)
     filt = _resolve(sdict.get("Filter"), values)
     parms = _resolve(sdict.get("DecodeParms"), values)
     filts = filt if isinstance(filt, list) else [filt] if filt else []
@@ -911,7 +1102,7 @@ def _stream_bytes(
 
 
 def _expand_object_streams(
-    values: dict, streams: dict, positions: dict, data: bytes
+    values: dict, streams: dict, positions: dict, data: bytes, crypt=None
 ) -> None:
     """Fold every /Type /ObjStm member into ``values`` with file-order
     shadowing: a member's definition position is its container's, so a
@@ -925,7 +1116,7 @@ def _expand_object_streams(
         key=lambda o: positions[o],
     ):
         sdict, _ = streams[oid]
-        payload = _stream_bytes(oid, values, streams, data)
+        payload = _stream_bytes(oid, values, streams, data, crypt)
         n = _resolve(sdict.get("N"), values)
         first = _resolve(sdict.get("First"), values)
         if not isinstance(n, int) or not isinstance(first, int):
@@ -1074,7 +1265,7 @@ def _parse_tounicode(cmap: bytes) -> dict[bytes, str]:
     return out
 
 
-def _font_decoder(font, values, streams, data):
+def _font_decoder(font, values, streams, data, crypt=None):
     """One font dict -> callable(bytes) -> str. Precedence: /ToUnicode
     CMap (authoritative when present, including for /Type0 composite
     fonts), then /Encoding /Differences over Latin-1, then Latin-1.
@@ -1085,7 +1276,9 @@ def _font_decoder(font, values, streams, data):
         return lambda b: b.decode("latin-1")
     tu = font.get("ToUnicode")
     if isinstance(tu, tuple) and tu[0] == "ref" and tu[1] in streams:
-        cmap = _parse_tounicode(_stream_bytes(tu[1], values, streams, data))
+        cmap = _parse_tounicode(
+            _stream_bytes(tu[1], values, streams, data, crypt)
+        )
         widths = sorted({len(k) for k in cmap}, reverse=True)
 
         step = min(widths) if widths else 1  # unmapped-code advance
@@ -1212,7 +1405,12 @@ def pdf_text(data: bytes) -> dict:
     values, streams, positions = _scan_objects(data)
     # encryption is declared in a trailer dict — the 'trailer' keyword
     # in classic files, the /Type /XRef stream dict in 1.5 xref-stream
-    # files (which have no 'trailer' keyword at all)
+    # files (which have no 'trailer' keyword at all). The LAST
+    # declaration wins (incremental updates); /ID's first element
+    # feeds the key derivation.
+    enc = None
+    fid = None
+    enc_declared = False
     for tm in re.finditer(rb"trailer\b", data):
         lex = _Lexer(data, tm.end())
         try:
@@ -1220,11 +1418,23 @@ def pdf_text(data: bytes) -> dict:
         except ValueError:
             continue
         if isinstance(tdict, dict) and "Encrypt" in tdict:
-            raise NotImplementedError("encrypted PDF not supported")
+            enc_declared = True
+            enc = _resolve(tdict["Encrypt"], values)
+            fid = tdict.get("ID", fid)
     for oid, (sdict, _) in streams.items():
         if sdict.get("Type") == "XRef" and "Encrypt" in sdict:
-            raise NotImplementedError("encrypted PDF not supported")
-    _expand_object_streams(values, streams, positions, data)
+            enc_declared = True
+            enc = _resolve(sdict["Encrypt"], values)
+            fid = sdict.get("ID", fid)
+    crypt = None
+    if enc_declared:
+        if not isinstance(enc, dict):
+            raise ValueError("unresolvable /Encrypt dictionary")
+        id0 = b""
+        if isinstance(fid, list) and fid and isinstance(fid[0], bytes):
+            id0 = fid[0]
+        crypt = _StdSecurity(enc, id0)
+    _expand_object_streams(values, streams, positions, data, crypt)
     catalog = None
     best = -1
     for oid, v in values.items():
@@ -1246,8 +1456,10 @@ def pdf_text(data: bytes) -> dict:
                 raise ValueError("page /Contents is not a reference")
             if ref[1] not in streams:
                 raise ValueError("page /Contents is not a stream")
-            parts.append(_stream_bytes(ref[1], values, streams, data))
-        fonts = _page_fonts(page, values, streams, data)
+            parts.append(
+                _stream_bytes(ref[1], values, streams, data, crypt)
+            )
+        fonts = _page_fonts(page, values, streams, data, crypt)
         texts.append(_page_text(b"\n".join(parts), fonts))
     return {
         "pages": texts,
@@ -1256,7 +1468,7 @@ def pdf_text(data: bytes) -> dict:
     }
 
 
-def _page_fonts(page: dict, values, streams, data) -> dict:
+def _page_fonts(page: dict, values, streams, data, crypt=None) -> dict:
     """The page's font-name -> decoder map, honoring page-tree
     /Resources inheritance (a page without its own Resources uses the
     nearest ancestor's — ISO 32000-1 §7.7.3.4)."""
@@ -1273,6 +1485,6 @@ def _page_fonts(page: dict, values, streams, data) -> dict:
     if not isinstance(fdict, dict):
         return {}
     return {
-        name: _font_decoder(f, values, streams, data)
+        name: _font_decoder(f, values, streams, data, crypt)
         for name, f in fdict.items()
     }

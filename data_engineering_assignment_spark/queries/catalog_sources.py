@@ -3084,7 +3084,10 @@ def _fixture_pdf(did: int) -> bytes:
     non-Flate filter legs: LZWDecode at did%19==0, an
     [ASCII85Decode FlateDecode] CHAIN at did%23==0 and a
     [RunLengthDecode FlateDecode] chain at did%29==0 — these take
-    precedence over the flate/predictor axes for their streams)
+    precedence over the flate/predictor axes for their streams — and
+    RC4 standard-security encryption with an empty user password at
+    did%31==0 (128-bit V2 R3) / did%37==0 (40-bit V1 R2): the
+    readable owner-locked class, every stream decrypted per-object)
     without moving any extracted quantity — the _fixture_html
     discipline: extraction must normalize away every non-content
     variation."""
@@ -3114,6 +3117,13 @@ def _fixture_pdf(did: int) -> bytes:
         tounicode=did % 17 == 0,
         differences=did % 9 == 0 and did % 17 != 0,
         filter_chain=chain,
+        encrypt=(
+            "rc4-128"
+            if did % 31 == 0
+            else "rc4-40"
+            if did % 37 == 0
+            else None
+        ),
     )
 
 

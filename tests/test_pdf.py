@@ -102,16 +102,19 @@ def test_guarded_profiles_raise():
         pdf_text(good.replace(b"/FlateDecode", b"/LZWDecode\x20\x20"))
     with pytest.raises(NotImplementedError):
         pdf_text(good.replace(b"/FlateDecode", b"/JPXDecode\x20\x20"))
-    with pytest.raises(NotImplementedError):
+    # a declared /Encrypt pointing at a MISSING object is structural
+    # breakage (r13: supported RC4 encryption has its own test; the
+    # unreadable classes raise from _StdSecurity)
+    with pytest.raises(ValueError):
         pdf_text(
-            good.replace(b"/Root 1 0 R", b"/Root 1 0 R /Encrypt 9 0 R")
+            good.replace(b"/Root 1 0 R", b"/Root 1 0 R /Encrypt 99 0 R")
         )
     # 1.5 profile: /Encrypt lives in the XRef STREAM dict (no trailer
     # keyword in the file at all) — detection must look there
     g15 = build_pdf([["hi"]], object_streams=True)
     assert b"trailer" not in g15
-    with pytest.raises(NotImplementedError):
-        pdf_text(g15.replace(b"/Type /XRef", b"/Type /XRef /Encrypt 9 0 R"))
+    with pytest.raises(ValueError):
+        pdf_text(g15.replace(b"/Type /XRef", b"/Type /XRef /Encrypt 99 0 R"))
     # composite Type0 font WITHOUT /ToUnicode: CID decoding is guarded
     tu = build_pdf([["hi"]], tounicode=True)
     t0 = tu.replace(b"/Subtype /TrueType", b"/Subtype /Type0")
@@ -193,6 +196,38 @@ def test_xref_stream_decodes_through_predictor():
             assert f2 == objstm_oid
             seen_member += 1
     assert seen_direct >= 2 and seen_member >= 4
+
+
+def test_rc4_encrypted_readable_class():
+    """Standard security handler, empty user password (V1 R2 40-bit
+    and V2 R3 128-bit RC4): encrypted fixtures extract the identical
+    text through the classic AND 1.5 compressed profiles (per-object
+    stream decryption incl. the ObjStm and the CMap; the xref stream
+    stays unencrypted); a tampered /U (i.e. a real user password)
+    raises the password guard; AES/V4 raises the cipher guard."""
+    pages = [["Doc 5 page 0", "text (5) on 0"], ["x \\ y"]]
+    want = pdf_text(build_pdf(pages))["pages"]
+    for enc in ("rc4-40", "rc4-128"):
+        for objstm in (False, True):
+            for tu in (False, True):
+                b = build_pdf(
+                    pages, encrypt=enc, object_streams=objstm, tounicode=tu
+                )
+                assert b"Doc 5" not in b  # bytes really are encrypted
+                assert pdf_text(b)["pages"] == want, (enc, objstm, tu)
+    b = build_pdf(pages, encrypt="rc4-128")
+    i = b.find(b"/U <")
+    flip = b"0" if b[i + 5 : i + 6] != b"0" else b"1"
+    with pytest.raises(NotImplementedError, match="password-protected"):
+        pdf_text(b[: i + 5] + flip + b[i + 6 :])
+    with pytest.raises(NotImplementedError, match="AES"):
+        pdf_text(b.replace(b"/V 2 /R 3", b"/V 4 /R 4"))
+    # RC4 self-inverse sanity (the spec's test property)
+    from data_engineering_assignment_spark.functions.pdf import _rc4
+
+    key = bytes(range(16))
+    blob = bytes(range(256)) * 3
+    assert _rc4(key, _rc4(key, blob)) == blob
 
 
 def test_tounicode_two_byte_codes():
