@@ -586,6 +586,15 @@ class _Lexer:
     def next_token(self):
         """-> (kind, value) with kind in {'name','num','str','dict_open',
         'dict_close','arr_open','arr_close','kw'} or None at EOF."""
+        while True:
+            tok = self._next_token_once()
+            if tok != ("_skip", None):
+                return tok
+
+    def _next_token_once(self):
+        # one scan step; lone unmodeled delimiters return a skip marker
+        # (a LOOP in next_token, not recursion — a crawled PDF can hold
+        # megabyte runs of {}{} bytes and must not blow the stack)
         self._skip_ws()
         d, n = self.data, len(self.data)
         if self.pos >= n:
@@ -629,7 +638,7 @@ class _Lexer:
             self.pos += 1
         if self.pos == start:  # lone delimiter we don't model: skip it
             self.pos += 1
-            return self.next_token()
+            return ("_skip", None)
         return ("kw", d[start : self.pos].decode("latin-1"))
 
     def _literal_string(self) -> bytes:
@@ -711,9 +720,14 @@ class _Lexer:
         raise ValueError("unterminated hex string")
 
 
-def _parse_value(lex: _Lexer, tok=None):
+def _parse_value(lex: _Lexer, tok=None, depth: int = 0):
     """Recursive-descent PDF value: dict/array/name/num/str/bool/null/ref.
-    Refs come back as ('ref', n) after number-number-R lookahead."""
+    Refs come back as ('ref', n) after number-number-R lookahead. Depth
+    is bounded (crawled junk can open thousands of nested arrays — a
+    structural ValueError, never a RecursionError escaping the declared
+    error contract)."""
+    if depth > 128:
+        raise ValueError("object nesting too deep")
     if tok is None:
         tok = lex.next_token()
     if tok is None:
@@ -729,7 +743,7 @@ def _parse_value(lex: _Lexer, tok=None):
                 return d
             if t[0] != "name":
                 raise ValueError("dict key is not a name")
-            d[t[1]] = _parse_value(lex)
+            d[t[1]] = _parse_value(lex, depth=depth + 1)
         # unreachable
     if kind == "arr_open":
         arr = []
@@ -739,7 +753,7 @@ def _parse_value(lex: _Lexer, tok=None):
                 raise ValueError("unterminated array")
             if t[0] == "arr_close":
                 return arr
-            arr.append(_parse_value(lex, t))
+            arr.append(_parse_value(lex, t, depth=depth + 1))
     if kind == "num":
         # number number R  -> indirect reference (backtrack otherwise)
         save = lex.pos
@@ -933,28 +947,36 @@ def _apply_filter(name: str, data: bytes, parms, values: dict) -> bytes:
     LZW additionally /EarlyChange (default 1, the TIFF schedule — the
     in-repo TIFF codec's decoder IS the implementation, ISO 32000-1
     §7.4.4 referencing TIFF 6.0). The ASCII transports and RunLength
-    take no parms. Anything else stays guarded."""
-    if name == "FlateDecode":
-        out = zlib.decompress(data)
-    elif name == "LZWDecode":
-        from .tiff import _lzw_decode
+    take no parms. Anything else stays guarded. Codec-level failures
+    on corrupt bytes (zlib/base85 errors) re-raise as ValueError — the
+    declared structural-breakage class, so crawled junk never leaks an
+    undeclared exception type (fuzz-pinned)."""
+    try:
+        if name == "FlateDecode":
+            out = zlib.decompress(data)
+        elif name == "LZWDecode":
+            from .tiff import _lzw_decode
 
-        early = 1
-        if isinstance(parms, dict):
-            early = _resolve(parms.get("EarlyChange", 1), values)
-            if early not in (0, 1):
-                raise ValueError("bad /EarlyChange")
-        out = _lzw_decode(data, None, early_change=bool(early))
-    elif name == "ASCIIHexDecode":
-        out = _ascii_hex_decode(data)
-    elif name == "ASCII85Decode":
-        out = _ascii85_decode(data)
-    elif name == "RunLengthDecode":
-        out = _runlength_decode(data)
-    else:
-        raise NotImplementedError(
-            f"PDF stream filter {name!r} not supported"
-        )
+            early = 1
+            if isinstance(parms, dict):
+                early = _resolve(parms.get("EarlyChange", 1), values)
+                if early not in (0, 1):
+                    raise ValueError("bad /EarlyChange")
+            out = _lzw_decode(data, None, early_change=bool(early))
+        elif name == "ASCIIHexDecode":
+            out = _ascii_hex_decode(data)
+        elif name == "ASCII85Decode":
+            out = _ascii85_decode(data)
+        elif name == "RunLengthDecode":
+            out = _runlength_decode(data)
+        else:
+            raise NotImplementedError(
+                f"PDF stream filter {name!r} not supported"
+            )
+    except (ValueError, NotImplementedError):
+        raise
+    except Exception as e:
+        raise ValueError(f"stream decode failed ({name}): {e}") from None
     if name in ("FlateDecode", "LZWDecode") and isinstance(parms, dict):
         out = _unpredict(out, parms, values)
     elif parms not in (None, {}) and name not in (

@@ -198,6 +198,59 @@ def test_xref_stream_decodes_through_predictor():
     assert seen_direct >= 2 and seen_member >= 4
 
 
+def test_adversarial_bytes_never_escape_error_contract():
+    """Crawled junk discipline: pdf_text on mutated/truncated/hostile
+    bytes terminates with a RESULT or a DECLARED error class
+    (ValueError / NotImplementedError) — never a hang, RecursionError
+    or stray exception (hypothesis-driven mutations over every builder
+    profile plus hand-built pathological byte shapes)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    base_pdfs = [
+        build_pdf([["seed text", "line (2)"]], flate=f, object_streams=o)
+        for f in (False, True)
+        for o in (False, True)
+    ] + [build_pdf([["seed text"]], encrypt="rc4-128", tounicode=True)]
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        st.integers(0, len(base_pdfs) - 1),
+        st.lists(
+            st.tuples(st.integers(0, 4000), st.integers(0, 255)),
+            min_size=1,
+            max_size=8,
+        ),
+        st.integers(0, 4000),
+    )
+    def mutate(which, flips, cut):
+        raw = bytearray(base_pdfs[which])
+        for pos, val in flips:
+            raw[pos % len(raw)] = val
+        data = bytes(raw[: max(8, cut % (len(raw) + 1))])
+        try:
+            r = pdf_text(data)
+            assert isinstance(r["text"], str)
+        except (ValueError, NotImplementedError):
+            pass
+
+    mutate()
+    # pathological shapes: delimiter runs, deep nesting, giant lengths,
+    # stream keyword with no dict, unterminated strings
+    for evil in (
+        b"%PDF-1.4\n" + b"{}" * 200000,
+        b"%PDF-1.4\n1 0 obj\n" + b"[" * 50000 + b"\nendobj",
+        b"%PDF-1.4\n1 0 obj\n<< /Length 999999999 >>\nstream\nxx\nendstream\nendobj",
+        b"%PDF-1.4\n1 0 obj\n(never closed\nendobj",
+        b"%PDF-1.4\n1 0 obj\n<< /K (" + b"(" * 9000 + b") >>\nendobj",
+        b"%PDF-1.4\ntrailer << /Encrypt 1 0 R >>",
+    ):
+        try:
+            pdf_text(evil)
+        except (ValueError, NotImplementedError):
+            pass
+
+
 def test_rc4_encrypted_readable_class():
     """Standard security handler, empty user password (V1 R2 40-bit
     and V2 R3 128-bit RC4): encrypted fixtures extract the identical
