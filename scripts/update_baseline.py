@@ -74,7 +74,16 @@ model-based crawl language composition, ISO 28500 segment
 reassembly), two marker-fast full benches folding the new entries
 and re-verifying every standing one under the round's operator
 changes (Gopher tokenization, JVM URL fast path, PDF 1.5 + filter
-chains, warc_records schema growth)."""
+chains, warc_records schema growth). The three PDF-fixture gates
+(`pdf_text_extract_stats` 2.214 -> 3.444, `doc_extract_dispatch_stats`
+1.588 -> 2.249, `mixed_crawl_extract_stats` 1.65 -> 2.433) were
+RE-RECORDED late r13 after their fixtures gained the filter-chain +
+RC4-encryption axes (an implementation change: the extra per-doc
+decode work is real plan cost, profiled at ~0.6 ms/doc
+single-threaded); the new entries are the MINIMUM across one
+marker-fast full bench and a 5-rep probe whose window was mt-contended
+(contention only inflates, so they are upper bounds of steady cost —
+re-probe in an r14 calm window and fold down if lower)."""
 
 EXCLUDED = {
     "ivf_recall_telemetry": "diagnostic: recall telemetry, not a user query",
