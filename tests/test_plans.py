@@ -584,3 +584,40 @@ def test_resolve_redirects_no_window_no_cartesian(spark, sf_dir):
     plan = plans.formatted_plan(df)
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
+
+
+def test_pair_requests_no_corpus_broadcast_no_window(spark, sf_dir):
+    """Request/response pairing: requests pre-aggregate per concurrent-to
+    id (map-side combinable min-struct), ONE equi-join on the record-id
+    content key — no Window, no cartesian, and the partial aggregate
+    exists on the request side."""
+    df = build(spark, sf_dir, "warc_request_pairing_stats")
+    plan = plans.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert "partial_min" in plan or "min(" in plan  # map-side combine
+
+
+def test_segment_reassembly_no_window_bounded_collect(spark, sf_dir):
+    """Segment reassembly: per-origin collect_list (bounded by one
+    record's segment count) + equi-joins — no Window over a content
+    key, no cartesian."""
+    df = build(spark, sf_dir, "warc_segment_reassembly")
+    plan = plans.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert "collect_list" in plan
+
+
+def test_multiclass_classifier_single_hash_fold(spark, sf_dir):
+    """The multi-class scorer evaluates the rolling token hash ONCE per
+    token (let-bound across the per-class weight lookups) and
+    aggregates map-side on the doc id; the argmax label is a plain
+    projection (no Window, no join for the weight tables — they are
+    plan literals)."""
+    df = build(spark, sf_dir, "lang_classifier_gate")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("aggregate(") == 1  # one rolling-hash fold
+    fplan = plans.formatted_plan(df)
+    assert "Window" not in fplan
+    assert "CartesianProduct" not in fplan
