@@ -849,6 +849,10 @@ def _unpredict(data: bytes, parms: dict, values: dict) -> bytes:
     colors = max(1, geti("Colors", 1))
     bpc = geti("BitsPerComponent", 8)
     cols = max(1, geti("Columns", 1))
+    # a row can never be wider than the whole decoded stream: junk
+    # /Columns must be a structural error, not a giant allocation
+    if cols * colors * max(1, bpc) // 8 > max(1, len(data)):
+        raise ValueError("/DecodeParms /Columns exceeds stream size")
     if pred == 2:
         if bpc != 8:
             raise NotImplementedError(
@@ -978,7 +982,12 @@ def _apply_filter(name: str, data: bytes, parms, values: dict) -> bytes:
     except Exception as e:
         raise ValueError(f"stream decode failed ({name}): {e}") from None
     if name in ("FlateDecode", "LZWDecode") and isinstance(parms, dict):
-        out = _unpredict(out, parms, values)
+        try:
+            out = _unpredict(out, parms, values)
+        except (ValueError, NotImplementedError):
+            raise
+        except Exception as e:  # MemoryError/OverflowError on junk parms
+            raise ValueError(f"predictor decode failed: {e}") from None
     elif parms not in (None, {}) and name not in (
         "FlateDecode",
         "LZWDecode",
@@ -1171,7 +1180,10 @@ def _resolve(v, values):
     return values.get(v[1]) if isinstance(v, tuple) and v and v[0] == "ref" else v
 
 
-def _walk_pages(node_ref, values, visited) -> list[dict]:
+def _walk_pages(node_ref, values, visited, depth: int = 0) -> list[dict]:
+    if depth > 64:  # a linear /Pages chain must be a structural error,
+        # never a RecursionError escaping the declared contract
+        raise ValueError("page tree too deep")
     node = _resolve(node_ref, values)
     if not isinstance(node, dict):
         raise ValueError("page-tree node is not a dict")
@@ -1185,7 +1197,7 @@ def _walk_pages(node_ref, values, visited) -> list[dict]:
     if t == "Pages" or "Kids" in node:
         out: list[dict] = []
         for kid in node.get("Kids") or []:
-            out.extend(_walk_pages(kid, values, visited))
+            out.extend(_walk_pages(kid, values, visited, depth + 1))
         return out
     raise ValueError(f"unexpected page-tree node type {t!r}")
 
@@ -1257,7 +1269,9 @@ def _parse_tounicode(cmap: bytes) -> dict[bytes, str]:
                 pending.append(val)
                 if len(pending) == 2:
                     src, dst = pending
-                    out[bytes(src)] = dst.decode("utf-16-be", "replace")
+                    if src:  # a zero-length code can never match: a 0
+                        # width in the decoder would stall the scan
+                        out[bytes(src)] = dst.decode("utf-16-be", "replace")
                     pending = []
         elif mode == "beginbfrange":
             if kind == "str":
@@ -1272,6 +1286,11 @@ def _parse_tounicode(cmap: bytes) -> dict[bytes, str]:
                 start = int.from_bytes(lo, "big")
                 stop = int.from_bytes(hi, "big")
                 width = len(lo)
+                # amplification guard: a few compressed bytes must not
+                # expand to millions of entries (attacker-controlled
+                # bounds); real codespaces are <= 2 bytes anyway
+                if stop - start >= 0x10000 or len(out) > 0x20000:
+                    continue
                 if isinstance(dst, list):
                     for i, d in enumerate(dst):
                         if start + i > stop or not isinstance(d, bytes):
@@ -1301,7 +1320,7 @@ def _font_decoder(font, values, streams, data, crypt=None):
         cmap = _parse_tounicode(
             _stream_bytes(tu[1], values, streams, data, crypt)
         )
-        widths = sorted({len(k) for k in cmap}, reverse=True)
+        widths = sorted({len(k) for k in cmap if k}, reverse=True)
 
         step = min(widths) if widths else 1  # unmapped-code advance
 

@@ -23,6 +23,7 @@ discipline expects callers to catch per-row.
 
 from __future__ import annotations
 
+import functools
 import zlib
 
 
@@ -76,12 +77,16 @@ def _dechunk(body: bytes) -> bytes:
         pos = start + n + 2
 
 
+@functools.lru_cache(maxsize=None)
 def _optional_decoder(coding: str):
     """Guarded optional-dependency hook (the PIL-hook discipline) for
     content codings whose codecs aren't in this container: ``br``
     (brotli / brotlicffi) and ``zstd`` (stdlib ``compression.zstd`` on
     3.14+, else the zstandard package). Returns a bytes->bytes
-    decompressor or None; absence keeps the flagged-raw dead-letter
+    decompressor or None (memoized — decode_http_body runs per WARC
+    record inside mapInPandas, and an uncached failed import probe per
+    br record would re-scan the path finder millions of times); absence
+    keeps the flagged-raw dead-letter
     contract, presence upgrades those rows to decoded — ~half of
     compressed HTTP on the modern web is br, so a deployment that
     installs the codec recovers that mass with no code change."""

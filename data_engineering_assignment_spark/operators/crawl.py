@@ -768,46 +768,54 @@ def reassemble_segments(
         F.min(F.struct(F.col(payload_col).alias("p"))).alias("_dup"),
         F.max("segment_total_length").alias("_tot"),
     )
-    agg = per_seg.groupBy("_oid").agg(
-        F.sort_array(
-            F.collect_list(F.struct(F.col("_sn"), F.col("_dup.p").alias("p")))
-        ).alias("_segs"),
-        F.max("_tot").alias("_declared_total"),
+    segs = F.sort_array(
+        F.collect_list(F.struct(F.col("_sn"), F.col("_dup.p").alias("p")))
     )
-    segs = F.col("_segs")
     # distinct sorted integers with min 2 and max size+1 ARE exactly
     # {2..k}: per-number dedup upstream makes the endpoint test a full
-    # contiguity proof
-    contiguous = (F.element_at(segs, 1)["_sn"] == 2) & (
-        F.element_at(segs, -1)["_sn"] == F.size(segs) + 1
-    )
-    tail_bytes = F.aggregate(
-        F.transform(segs, lambda s: s["p"]),
-        F.lit(b""),
-        lambda acc, p: F.concat(acc, p),
+    # contiguity proof. Everything derived from the collected array —
+    # the byte FOLD above all — is computed ONCE here, pre-shuffle, and
+    # crosses the join as plain attributes (a downstream expression
+    # would be inlined into every consumer and re-fold the record's
+    # bytes per reference — the CLAUDE.md duplicated-expression trap).
+    agg = per_seg.groupBy("_oid").agg(
+        F.aggregate(
+            F.transform(segs, lambda s: s["p"]),
+            F.lit(b""),
+            lambda acc, p: F.concat(acc, p),
+        ).alias("_tail"),
+        (
+            (F.element_at(segs, 1)["_sn"] == 2)
+            & (F.element_at(segs, -1)["_sn"] == F.size(segs) + 1)
+        ).alias("_contiguous"),
+        F.size(segs).alias("_n_conts"),
+        F.max("_tot").alias("_declared_total"),
     )
     joined = heads.join(
         agg, F.col(id_col) == F.col("_oid"), "left"
     )
     is_seg_head = F.col("segment_number") == 1
-    full = F.concat(F.col(payload_col), F.coalesce(tail_bytes, F.lit(b"")))
+    # ok avoids touching the bytes at all: length is additive
     ok = (
         F.col("_oid").isNotNull()
-        & contiguous
+        & F.col("_contiguous")
         & F.col("_declared_total").isNotNull()
-        & (F.length(full) == F.col("_declared_total"))
+        & (
+            F.length(F.col(payload_col)) + F.length(F.col("_tail"))
+            == F.col("_declared_total")
+        )
     )
     return joined.select(
         *df.columns,
         F.when(~is_seg_head.eqNullSafe(True), F.lit(1))
-        .otherwise(F.coalesce(F.size(segs), F.lit(0)) + 1)
+        .otherwise(F.coalesce(F.col("_n_conts"), F.lit(0)) + 1)
         .alias("n_segments"),
         F.when(~is_seg_head.eqNullSafe(True), F.lit("unsegmented"))
         .when(ok, F.lit("reassembled"))
         .otherwise(F.lit("incomplete"))
         .alias("segment_status"),
         F.when(~is_seg_head.eqNullSafe(True), F.col(payload_col))
-        .when(ok, full)
+        .when(ok, F.concat(F.col(payload_col), F.col("_tail")))
         .alias("full_payload"),
     )
 

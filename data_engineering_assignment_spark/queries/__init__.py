@@ -40,10 +40,11 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # whose implementation changed this round (a green history does not cover
 # new code), then queries whose last green row is oldest.
 #
-# Round-13 head (catalog = 237): the 3 never-driver-checked round-13
+# Round-13 head (catalog = 238): the 4 never-driver-checked round-13
 # additions first (WARC request/response pairing, the multi-class
 # language-ID classifier, the crawl composition that replaces the
-# predict_lang heuristic with it); then every query whose
+# predict_lang heuristic with it, ISO 28500 segment reassembly); then
+# every query whose
 # implementation changed this round — the Gopher tokenization fix
 # (empty tokens dropped), the sitemap fixture XML escaping, the JVM
 # URL-resolution fast path (page_links / resolve_redirects consumers),

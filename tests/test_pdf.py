@@ -251,6 +251,53 @@ def test_adversarial_bytes_never_escape_error_contract():
             pass
 
 
+def test_adversarial_cmap_tree_and_parms_bounded():
+    """r13 review findings pinned: an empty bfchar code can't stall the
+    decoder (zero-width keys are dropped), a giant bfrange can't
+    amplify into millions of entries, a linear /Pages chain raises the
+    declared ValueError (not RecursionError), and a junk /Columns
+    raises ValueError instead of allocating gigabytes."""
+    from data_engineering_assignment_spark.functions.pdf import (
+        _font_decoder,
+        _parse_tounicode,
+        _unpredict,
+    )
+
+    # empty bfchar code: dropped at parse, and the decoder treats a
+    # map with only wide codes safely
+    cmap = b"2 beginbfchar\n<> <0041>\n<41> <0058>\nendbfchar\nendstream"
+    m = _parse_tounicode(cmap)
+    assert b"" not in m and m[b"\x41"] == "X"
+    dec = _font_decoder(
+        {"ToUnicode": ("ref", 9)},
+        {},
+        {9: ({"Length": len(cmap) - len(b"endstream")}, 0)},
+        cmap,
+    )
+    assert dec(b"\x41\x42") == "XB"  # terminates; unmapped -> Latin-1
+    # bfrange amplification cap: 4-byte bounds spanning 2^20 codes
+    big = _parse_tounicode(
+        b"1 beginbfrange\n<00000000> <000fffff> <0041>\nendbfrange"
+    )
+    assert len(big) == 0
+    # linear /Pages chain: declared error class, never RecursionError
+    objs = [b"%PDF-1.4\n1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"]
+    depth = 3000
+    for i in range(2, depth):
+        objs.append(
+            b"%d 0 obj\n<< /Type /Pages /Kids [%d 0 R] /Count 1 >>\nendobj\n"
+            % (i, i + 1)
+        )
+    objs.append(b"%d 0 obj\n<< /Type /Page >>\nendobj\n" % depth)
+    with pytest.raises(ValueError, match="too deep"):
+        pdf_text(b"".join(objs))
+    # /Columns bomb: structural error, not a giant allocation
+    with pytest.raises(ValueError):
+        _unpredict(b"\x02abc", {"Predictor": 12, "Columns": 10**18}, {})
+    with pytest.raises(ValueError):
+        _unpredict(b"\x02abc", {"Predictor": 2, "Columns": 10**9}, {})
+
+
 def test_rc4_encrypted_readable_class():
     """Standard security handler, empty user password (V1 R2 40-bit
     and V2 R3 128-bit RC4): encrypted fixtures extract the identical

@@ -317,13 +317,19 @@ def test_decode_http_body_brotli_zstd_hook(monkeypatch):
         decode_http_body,
     )
 
+    from data_engineering_assignment_spark.functions.warc import (
+        _optional_decoder,
+    )
+
     body = b"<p>hello encoded world</p>"
     blob = zlib.compress(body)
     # hook absent (neither brotli nor brotlicffi in this container)
+    _optional_decoder.cache_clear()
     assert decode_http_body(blob, {"content-encoding": "br"}) == (blob, False)
     fake = types.ModuleType("brotli")
     fake.decompress = zlib.decompress
     monkeypatch.setitem(sys.modules, "brotli", fake)
+    _optional_decoder.cache_clear()  # the probe memoizes (hot parse path)
     assert decode_http_body(blob, {"content-encoding": "br"}) == (body, True)
     # a live hook that FAILS on the payload still dead-letters
     assert decode_http_body(b"junk", {"content-encoding": "br"}) == (
@@ -338,10 +344,12 @@ def test_decode_http_body_brotli_zstd_hook(monkeypatch):
 
     fake_z.ZstdDecompressor = _Dec
     monkeypatch.setitem(sys.modules, "zstandard", fake_z)
+    _optional_decoder.cache_clear()
     assert decode_http_body(blob, {"content-encoding": "zstd"}) == (
         body,
         True,
     )
+    _optional_decoder.cache_clear()  # don't leak fakes to other tests
 
 
 def test_record_spans_support_range_requests():
