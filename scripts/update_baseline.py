@@ -82,8 +82,14 @@ RC4-encryption axes (an implementation change: the extra per-doc
 decode work is real plan cost, profiled at ~0.6 ms/doc
 single-threaded); the new entries are the MINIMUM across one
 marker-fast full bench and a 5-rep probe whose window was mt-contended
-(contention only inflates, so they are upper bounds of steady cost —
-re-probe in an r14 calm window and fold down if lower)."""
+(contention only inflates, so they are upper bounds of steady cost).
+CLOSED same round: a marker-FAST 5-rep probe (st 0.073/0.079, mt
+0.174/0.112) read pdf_text_extract_stats [4.392, 3.558, 4.017, 4.226,
+4.182], doc_extract_dispatch_stats [2.857, 2.561, 2.187, 2.151,
+2.202] and mixed_crawl_extract_stats [3.280, 2.545, 2.359, 2.612,
+2.330] — consistent with the entries; the lower calm mins were folded
+(2.249 -> 2.151, 2.433 -> 2.330) and the three entries now rest on
+two marker-verified sources per policy."""
 
 EXCLUDED = {
     "ivf_recall_telemetry": "diagnostic: recall telemetry, not a user query",
