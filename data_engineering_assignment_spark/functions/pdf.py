@@ -29,20 +29,28 @@ layer converts to a dead-letter row, never a wrong answer. In scope:
   unmapped 2-byte code decodes to U+FFFD per code).
 
 * standard-security-handler DECRYPTION for the readable owner-locked
-  class (ISO 32000-1 §7.6.3, V 1/2, R 2/3 RC4): documents whose owner
-  password merely restricts print/modify while the USER password is
-  empty — the file key derives from the padding constant (Algorithm
-  2), /U verifies it (Algorithms 4/5), per-object keys decrypt every
-  stream (Algorithm 1; xref streams are never encrypted).
+  class (documents whose owner password merely restricts print/modify
+  while the USER password is empty) across every spec revision:
+  V 1/2 R 2/3 classic RC4 (ISO 32000-1 §7.6.3 — file key from the
+  padding constant via Algorithm 2, /U verifies it via Algorithms
+  4/5, per-object MD5-derived keys via Algorithm 1), V 4 R 4 crypt
+  filters (/CFM /V2 RC4 and /CFM /AESV2 AES-128-CBC with the sAlT
+  key suffix, /EncryptMetadata honored), and V 5 R 5/6 /CFM /AESV3
+  AES-256 (ISO 32000-2 Algorithms 2.A/2.B: /U's validation salt
+  checks the empty password, /UE decrypts to the file key). The AES
+  core is functions/aes.py — dependency-free pure Python, FIPS-197
+  vector-pinned, with the optional ``cryptography`` accelerator
+  behind the br/zstd hook discipline (identical bytes either way).
+  Xref streams are never encrypted.
 
 Still guarded (raise): password-protected documents (a non-empty user
 password fails the /U check — genuinely unreadable without
-credentials), AES / V4+ encryption (needs a cipher library this
-container lacks), image/binary filters (DCTDecode, JPXDecode,
-JBIG2Decode, CCITTFaxDecode, Crypt), predictors outside the family
-above, and composite ``/Subtype /Type0`` fonts WITHOUT a /ToUnicode
-CMap (real CID decoding needs font files; with /ToUnicode present the
-map is authoritative and such fonts decode fine).
+credentials), non-Standard security handlers, split /StmF vs /StrF
+crypt filters and unknown /CFM names, image/binary filters (DCTDecode,
+JPXDecode, JBIG2Decode, CCITTFaxDecode, Crypt), predictors outside the
+family above, and composite ``/Subtype /Type0`` fonts WITHOUT a
+/ToUnicode CMap (real CID decoding needs font files; with /ToUnicode
+present the map is authoritative and such fonts decode fine).
 
 Parsing is xref-INDEPENDENT by design: objects are discovered by
 scanning ``N G obj ... endobj`` spans (the repair path every real PDF
@@ -81,6 +89,8 @@ from __future__ import annotations
 
 import re
 import zlib
+
+from .aes import aes_cbc_decrypt, aes_cbc_encrypt, aes_ecb_encrypt_block
 
 _WS = b"\x00\t\n\x0c\r "
 _DELIM = b"()<>[]{}/%"
@@ -277,15 +287,19 @@ def build_pdf(
     128, AGL glyph names); ``tounicode`` through a /ToUnicode CMap
     font (bfchar + bfrange, permuted 1-byte codes) — in both, raw
     string bytes differ from the visible text and extraction must map
-    them back. ``encrypt`` = 'rc4-40' (V1 R2) or 'rc4-128' (V2 R3)
+    them back. ``encrypt`` = 'rc4-40' (V1 R2), 'rc4-128' (V2 R3),
+    'aes-128' (V4 R4, /CFM /AESV2 crypt filter) or 'aes-256' (V5 R6,
+    /CFM /AESV3, full /O /U /OE /UE /Perms set per ISO 32000-2)
     writes the standard security handler with owner password 'owner'
     and an EMPTY user password (the readable owner-locked class):
-    every stream RC4-encrypted under its per-object key, /Encrypt as
-    a direct object (never inside an ObjStm, §7.5.7), /ID in the
-    trailer / XRef dict."""
+    every stream encrypted under the profile's per-object (RC4/AESV2)
+    or file (AESV3) key — AES streams gain a deterministic leading IV
+    and PKCS#7 padding, with /Length patched to the ciphertext size —
+    /Encrypt as a direct object (never inside an ObjStm, §7.5.7),
+    /ID in the trailer / XRef dict."""
     if differences and tounicode:
         raise ValueError("differences and tounicode are exclusive")
-    if encrypt not in (None, "rc4-40", "rc4-128"):
+    if encrypt not in (None, "rc4-40", "rc4-128", "aes-128", "aes-256"):
         raise ValueError(f"unknown encrypt profile {encrypt!r}")
     objs: dict[int, bytes] = {}
     payload_len: dict[int, int] = {}
@@ -411,62 +425,123 @@ def build_pdf(
 
     enc_id = 2 * font_id + 4
     enc_trailer = b""
-    objkey = None
+    enc_stream = None
     if encrypt:
         import hashlib
 
-        r = 2 if encrypt == "rc4-40" else 3
-        v, length = (1, 40) if r == 2 else (2, 128)
-        n = length // 8
+        r = {"rc4-40": 2, "rc4-128": 3, "aes-128": 4, "aes-256": 6}[encrypt]
         pval = -44  # print/modify restricted; read allowed
         id0 = hashlib.md5(repr(pages).encode() + bytes([r])).digest()
-        # Algorithm 3: /O from owner pw 'owner', empty user pw
-        h = hashlib.md5((b"owner" + _CRYPT_PAD)[:32]).digest()
-        if r >= 3:
-            for _ in range(50):
-                h = hashlib.md5(h[:n]).digest()
-        okey = h[:n]
-        o = _rc4(okey, _CRYPT_PAD)
-        if r >= 3:
-            for i in range(1, 20):
-                o = _rc4(bytes(bb ^ i for bb in okey), o)
-        # Algorithm 2: file key from the (empty) user password
-        h = hashlib.md5(
-            _CRYPT_PAD + o + (pval & 0xFFFFFFFF).to_bytes(4, "little") + id0
-        ).digest()
-        if r >= 3:
-            for _ in range(50):
-                h = hashlib.md5(h[:n]).digest()
-        fkey = h[:n]
-        # Algorithms 4/5: /U
-        if r == 2:
-            u = _rc4(fkey, _CRYPT_PAD)
-        else:
-            u = _rc4(fkey, hashlib.md5(_CRYPT_PAD + id0).digest())
-            for i in range(1, 20):
-                u = _rc4(bytes(bb ^ i for bb in fkey), u)
-            u += b"\x00" * 16
+        if r <= 4:  # RC4 / AESV2 share the MD5 key-derivation family
+            v, length = {2: (1, 40), 3: (2, 128), 4: (4, 128)}[r]
+            n = length // 8
+            # Algorithm 3: /O from owner pw 'owner', empty user pw
+            h = hashlib.md5((b"owner" + _CRYPT_PAD)[:32]).digest()
+            if r >= 3:
+                for _ in range(50):
+                    h = hashlib.md5(h[:n]).digest()
+            okey = h[:n]
+            o = _rc4(okey, _CRYPT_PAD)
+            if r >= 3:
+                for i in range(1, 20):
+                    o = _rc4(bytes(bb ^ i for bb in okey), o)
+            # Algorithm 2: file key from the (empty) user password
+            h = hashlib.md5(
+                _CRYPT_PAD + o + (pval & 0xFFFFFFFF).to_bytes(4, "little") + id0
+            ).digest()
+            if r >= 3:
+                for _ in range(50):
+                    h = hashlib.md5(h[:n]).digest()
+            fkey = h[:n]
+            # Algorithms 4/5: /U
+            if r == 2:
+                u = _rc4(fkey, _CRYPT_PAD)
+            else:
+                u = _rc4(fkey, hashlib.md5(_CRYPT_PAD + id0).digest())
+                for i in range(1, 20):
+                    u = _rc4(bytes(bb ^ i for bb in fkey), u)
+                u += b"\x00" * 16
+            if r == 4:
+                objs[enc_id] = (
+                    b"<< /Filter /Standard /V 4 /R 4 /Length 128 /P %d "
+                    b"/O <%s> /U <%s> /CF << /StdCF << /CFM /AESV2 "
+                    b"/AuthEvent /DocOpen /Length 16 >> >> "
+                    b"/StmF /StdCF /StrF /StdCF >>"
+                    % (pval, o.hex().encode(), u.hex().encode())
+                )
+            else:
+                objs[enc_id] = (
+                    b"<< /Filter /Standard /V %d /R %d /Length %d /P %d "
+                    b"/O <%s> /U <%s> >>"
+                    % (v, r, length, pval, o.hex().encode(), u.hex().encode())
+                )
+        else:  # aes-256: V5 R6 AESV3 (ISO 32000-2 Algorithms 2.A/2.B/8-10)
+            fkey = hashlib.sha256(b"filekey" + id0).digest()
+            vs = hashlib.md5(b"vs" + id0).digest()[:8]
+            ks = hashlib.md5(b"ks" + id0).digest()[:8]
+            u = _hash_r6(b"", vs) + vs + ks
+            ue = aes_cbc_encrypt(_hash_r6(b"", ks), b"\x00" * 16, fkey)
+            ovs = hashlib.md5(b"ovs" + id0).digest()[:8]
+            oks = hashlib.md5(b"oks" + id0).digest()[:8]
+            o = _hash_r6(b"owner", ovs, u) + ovs + oks
+            oe = aes_cbc_encrypt(_hash_r6(b"owner", oks, u), b"\x00" * 16, fkey)
+            perms = aes_ecb_encrypt_block(
+                fkey,
+                (pval & 0xFFFFFFFF).to_bytes(4, "little")
+                + b"\xff\xff\xff\xff"
+                + b"Tadb"  # EncryptMetadata true + the 'adb' sentinel
+                + hashlib.md5(b"perms" + id0).digest()[:4],
+            )
+            objs[enc_id] = (
+                b"<< /Filter /Standard /V 5 /R 6 /Length 256 /P %d "
+                b"/O <%s> /U <%s> /OE <%s> /UE <%s> /Perms <%s> "
+                b"/CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen "
+                b"/Length 32 >> >> /StmF /StdCF /StrF /StdCF >>"
+                % (
+                    pval,
+                    o.hex().encode(),
+                    u.hex().encode(),
+                    oe.hex().encode(),
+                    ue.hex().encode(),
+                    perms.hex().encode(),
+                )
+            )
 
-        def objkey(oid: int) -> bytes:
-            return hashlib.md5(
-                fkey + oid.to_bytes(3, "little") + b"\x00\x00"
-            ).digest()[: min(n + 5, 16)]
+        def enc_stream(oid: int, raw: bytes) -> bytes:
+            if r == 6:
+                key = fkey  # AESV3: the file key directly
+            else:
+                salt = b"sAlT" if r == 4 else b""
+                key = hashlib.md5(
+                    fkey + oid.to_bytes(3, "little") + b"\x00\x00" + salt
+                ).digest()[: min(n + 5, 16)]
+                if r <= 3:
+                    return _rc4(key, raw)
+            # AES-CBC: deterministic per-object IV (any IV decrypts — it
+            # rides in the ciphertext; fixtures must be reproducible)
+            iv = hashlib.md5(b"iv%d" % oid + id0).digest()
+            padn = 16 - len(raw) % 16
+            return iv + aes_cbc_encrypt(key, iv, raw + bytes([padn]) * padn)
 
         marker = b"\nstream\n"
         for oid in sorted(stream_ids):
             obj = objs[oid]
             idx = obj.find(marker) + len(marker)
             ln = payload_len[oid]
-            objs[oid] = (
-                obj[:idx]
-                + _rc4(objkey(oid), obj[idx : idx + ln])
-                + obj[idx + ln :]
-            )
-        objs[enc_id] = (
-            b"<< /Filter /Standard /V %d /R %d /Length %d /P %d "
-            b"/O <%s> /U <%s> >>"
-            % (v, r, length, pval, o.hex().encode(), u.hex().encode())
-        )
+            head, tail = obj[:idx], obj[idx + ln :]
+            data2 = enc_stream(oid, obj[idx : idx + ln])
+            if len(data2) != ln:  # AES grows the payload: patch /Length
+                m = re.search(rb"/Length (\d+)( 0 R)?", head)
+                if m.group(2):
+                    objs[int(m.group(1))] = b"%d" % len(data2)
+                else:
+                    head = (
+                        head[: m.start()]
+                        + b"/Length %d" % len(data2)
+                        + head[m.end() :]
+                    )
+                payload_len[oid] = len(data2)
+            objs[oid] = head + data2 + tail
         enc_trailer = b" /Encrypt %d 0 R /ID [<%s> <%s>]" % (
             enc_id,
             id0.hex().encode(),
@@ -512,8 +587,8 @@ def build_pdf(
     payload = header + b"\n".join(bodies) + b"\n"
     stm_data = zlib.compress(payload)
     objstm_id = 2 * font_id + 2
-    if objkey is not None:
-        stm_data = _rc4(objkey(objstm_id), stm_data)
+    if enc_stream is not None:
+        stm_data = enc_stream(objstm_id, stm_data)
     objstm_body = (
         b"<< /Type /ObjStm /N %d /First %d /Length %d /Filter /FlateDecode >>"
         b"\nstream\n" % (len(member_ids), len(header), len(stm_data))
@@ -1024,30 +1099,72 @@ def _rc4(key: bytes, data: bytes) -> bytes:
     return bytes(out)
 
 
-class _StdSecurity:
-    """RC4 standard security handler, EMPTY user password (V 1/2,
-    R 2/3) — the dominant real-crawl encrypted-PDF class: documents
-    everyone may READ whose owner password merely restricts
-    print/modify. The file key derives from the padding string alone
-    (Algorithm 2), the stored /U entry verifies it (Algorithms 4/5),
-    and per-object RC4 keys decrypt streams (Algorithm 1). V4/V5 AES
-    needs a real cipher — guarded NotImplementedError (the br/zstd
-    hook discipline would apply if a cipher library were present).
-    A non-empty user password (the /U check fails) is genuinely
-    unreadable without credentials: guarded too."""
+def _hash_r6(password: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """ISO 32000-2 Algorithm 2.B — the R6 (AES-256) password hash:
+    iterated SHA-256/384/512 selected by an AES-128-CBC encryption of
+    the previous digest, at least 64 rounds, continuing while the last
+    ciphertext byte exceeds (round - 32). The digest selector is the
+    first 16 ciphertext bytes as a big-endian integer mod 3 — equal to
+    the byte SUM mod 3 (256 ≡ 1 mod 3), which is what gets computed."""
+    import hashlib
 
-    def __init__(self, enc: dict, id0: bytes) -> None:
+    k = hashlib.sha256(password + salt + udata).digest()
+    digests = (hashlib.sha256, hashlib.sha384, hashlib.sha512)
+    rounds = last = 0
+    while rounds < 64 or last > rounds - 32:
+        k1 = (password + k + udata) * 64
+        e = aes_cbc_encrypt(k[:16], k[16:32], k1)
+        k = digests[sum(e[:16]) % 3](e).digest()
+        last = e[-1]
+        rounds += 1
+    return k[:32]
+
+
+class _StdSecurity:
+    """Standard security handler, EMPTY user password — the dominant
+    real-crawl encrypted-PDF class: documents everyone may READ whose
+    owner password merely restricts print/modify. Covered profiles:
+
+    * V 1/2, R 2/3 (classic RC4): file key from the padding constant
+      (Algorithm 2), /U verifies it (Algorithms 4/5), per-object
+      MD5-derived RC4 keys (Algorithm 1).
+    * V 4, R 4 (crypt filters): same Algorithm-2 file key (honoring
+      /EncryptMetadata false's 0xFFFFFFFF suffix); /StmF == /StrF
+      routed through /CF — /CFM /V2 is RC4 per-object keys, /CFM
+      /AESV2 is AES-128-CBC with the "sAlT" key-derivation suffix and
+      a per-stream leading IV + PKCS#7 padding (§7.6.2), /Identity is
+      pass-through. The cipher is functions/aes.py (dependency-free,
+      optional-hook accelerated).
+    * V 5, R 5/6 (AES-256, /CFM /AESV3): /U's validation salt checks
+      the empty user password (R5 plain SHA-256, R6 Algorithm 2.B via
+      :func:`_hash_r6`), /UE decrypts to the file key (Algorithm 2.A),
+      which encrypts every stream directly — no per-object derivation.
+
+    A non-empty user password (the /U check fails) is genuinely
+    unreadable without credentials: guarded NotImplementedError, as are
+    non-Standard handlers, split StmF/StrF, and unknown /CFM names."""
+
+    def __init__(self, enc: dict, id0: bytes, values: dict | None = None) -> None:
         import hashlib
 
+        values = values or {}
         if enc.get("Filter") != "Standard":
             raise NotImplementedError(
                 f"PDF security handler {enc.get('Filter')!r} not supported"
             )
         v = enc.get("V", 0)
         r = enc.get("R", 2)
-        if v not in (1, 2) or r not in (2, 3):
+        if v == 5 and r in (5, 6):
+            self.cfm = self._crypt_filter(enc, values, ("AESV3", "Identity"))
+            self._init_v5(enc, r)
+            return
+        if v in (1, 2) and r in (2, 3):
+            self.cfm = "V2"
+        elif v == 4 and r == 4:
+            self.cfm = self._crypt_filter(enc, values, ("V2", "AESV2", "Identity"))
+        else:
             raise NotImplementedError(
-                "PDF AES / V4+ encryption not supported (no cipher here)"
+                f"PDF /Encrypt V={v!r} R={r!r} not supported"
             )
         o = enc.get("O")
         u = enc.get("U")
@@ -1060,9 +1177,20 @@ class _StdSecurity:
         if not isinstance(length, int) or length % 8 or not 40 <= length <= 128:
             raise ValueError("bad /Encrypt /Length")
         n = length // 8
-        # /P is a SIGNED 32-bit flag word: hash its LE byte image
+        # /P is a SIGNED 32-bit flag word: hash its LE byte image. With
+        # crypt filters, /EncryptMetadata false appends 0xFFFFFFFF
+        # (Algorithm 2 step f).
+        extra = (
+            b"\xff\xff\xff\xff"
+            if v == 4 and enc.get("EncryptMetadata") is False
+            else b""
+        )
         h = hashlib.md5(
-            _CRYPT_PAD + o[:32] + (p & 0xFFFFFFFF).to_bytes(4, "little") + id0
+            _CRYPT_PAD
+            + o[:32]
+            + (p & 0xFFFFFFFF).to_bytes(4, "little")
+            + id0
+            + extra
         ).digest()
         if r >= 3:
             for _ in range(50):
@@ -1080,13 +1208,76 @@ class _StdSecurity:
                 "password-protected PDF (non-empty user password)"
             )
 
+    @staticmethod
+    def _crypt_filter(enc: dict, values: dict, allowed: tuple) -> str:
+        """Resolve /StmF//StrF through /CF to a supported /CFM name."""
+        stmf = enc.get("StmF", "Identity")
+        strf = enc.get("StrF", "Identity")
+        if stmf != strf:
+            raise NotImplementedError(
+                "split PDF /StmF vs /StrF crypt filters not supported"
+            )
+        if stmf == "Identity":
+            return "Identity"
+        cf = _resolve(enc.get("CF"), values)
+        cfd = _resolve(cf.get(stmf), values) if isinstance(cf, dict) else None
+        if not isinstance(cfd, dict):
+            raise ValueError(f"missing crypt filter dict for {stmf!r}")
+        cfm = cfd.get("CFM")
+        if cfm not in allowed:
+            raise NotImplementedError(f"PDF crypt filter /CFM {cfm!r} not supported")
+        return cfm
+
+    def _init_v5(self, enc: dict, r: int) -> None:
+        """Algorithm 2.A (empty user password): validate against /U's
+        validation salt, then decrypt /UE with the intermediate key to
+        recover the 256-bit file key."""
+        import hashlib
+
+        u = enc.get("U")
+        ue = enc.get("UE")
+        if not isinstance(u, bytes) or len(u) < 48:
+            raise ValueError("bad /Encrypt /U (need 48 bytes for V5)")
+        if not isinstance(ue, bytes) or len(ue) < 32:
+            raise ValueError("bad /Encrypt /UE")
+        vsalt, ksalt = u[32:40], u[40:48]
+        if r == 5:
+            h = hashlib.sha256(vsalt).digest()
+        else:
+            h = _hash_r6(b"", vsalt)
+        if h != u[:32]:
+            raise NotImplementedError(
+                "password-protected PDF (non-empty user password)"
+            )
+        ik = hashlib.sha256(ksalt).digest() if r == 5 else _hash_r6(b"", ksalt)
+        self.key = aes_cbc_decrypt(ik, b"\x00" * 16, ue[:32])
+
     def decrypt(self, objnum: int, data: bytes) -> bytes:
         import hashlib
 
-        k = hashlib.md5(
-            self.key + objnum.to_bytes(3, "little") + b"\x00\x00"
-        ).digest()[: min(len(self.key) + 5, 16)]
-        return _rc4(k, data)
+        if self.cfm == "Identity":
+            return data
+        if self.cfm == "AESV3":
+            key = self.key
+        else:
+            salt = b"sAlT" if self.cfm == "AESV2" else b""
+            key = hashlib.md5(
+                self.key + objnum.to_bytes(3, "little") + b"\x00\x00" + salt
+            ).digest()[: min(len(self.key) + 5, 16)]
+            if self.cfm == "V2":
+                return _rc4(key, data)
+        # AES-CBC (§7.6.2): leading 16-byte IV, PKCS#7 padding — always
+        # present, so a valid ciphertext is >= 32 bytes (empty plaintext
+        # = IV + one pad block). A zero-length payload stays empty.
+        if not data:
+            return b""
+        if len(data) < 32 or len(data) % 16:
+            raise ValueError("bad AES-encrypted stream length")
+        out = aes_cbc_decrypt(key, data[:16], data[16:])
+        pad = out[-1]
+        if not 1 <= pad <= 16 or out[-pad:] != bytes([pad]) * pad:
+            raise ValueError("bad AES stream padding")
+        return out[:-pad]
 
 
 def _stream_bytes(
@@ -1474,7 +1665,7 @@ def pdf_text(data: bytes) -> dict:
         id0 = b""
         if isinstance(fid, list) and fid and isinstance(fid[0], bytes):
             id0 = fid[0]
-        crypt = _StdSecurity(enc, id0)
+        crypt = _StdSecurity(enc, id0, values)
     _expand_object_streams(values, streams, positions, data, crypt)
     catalog = None
     best = -1

@@ -3085,12 +3085,14 @@ def _fixture_pdf(did: int) -> bytes:
     [ASCII85Decode FlateDecode] CHAIN at did%23==0 and a
     [RunLengthDecode FlateDecode] chain at did%29==0 — these take
     precedence over the flate/predictor axes for their streams — and
-    RC4 standard-security encryption with an empty user password at
-    did%31==0 (128-bit V2 R3) / did%37==0 (40-bit V1 R2): the
-    readable owner-locked class, every stream decrypted per-object)
-    without moving any extracted quantity — the _fixture_html
-    discipline: extraction must normalize away every non-content
-    variation."""
+    standard-security encryption with an empty user password — the
+    readable owner-locked class — at did%31==0 (RC4 128-bit V2 R3),
+    did%37==0 (RC4 40-bit V1 R2), did%41==0 (V4 R4 /CFM /AESV2
+    AES-128-CBC) and did%43==0 (V5 R6 /CFM /AESV3 AES-256, Algorithm
+    2.B key derivation); earlier axes take precedence so pre-existing
+    fixture bytes never move) without moving any extracted quantity —
+    the _fixture_html discipline: extraction must normalize away every
+    non-content variation."""
     from ..functions.pdf import build_pdf
 
     pages = [
@@ -3122,6 +3124,10 @@ def _fixture_pdf(did: int) -> bytes:
             if did % 31 == 0
             else "rc4-40"
             if did % 37 == 0
+            else "aes-128"
+            if did % 41 == 0
+            else "aes-256"
+            if did % 43 == 0
             else None
         ),
     )

@@ -320,14 +320,56 @@ def test_rc4_encrypted_readable_class():
     flip = b"0" if b[i + 5 : i + 6] != b"0" else b"1"
     with pytest.raises(NotImplementedError, match="password-protected"):
         pdf_text(b[: i + 5] + flip + b[i + 6 :])
-    with pytest.raises(NotImplementedError, match="AES"):
-        pdf_text(b.replace(b"/V 2 /R 3", b"/V 4 /R 4"))
+    # unknown revision combinations stay guarded (V4/V5 AES are now
+    # SUPPORTED — see test_aes_encrypted_readable_class)
+    with pytest.raises(NotImplementedError, match="not supported"):
+        pdf_text(b.replace(b"/V 2 /R 3", b"/V 6 /R 7"))
     # RC4 self-inverse sanity (the spec's test property)
     from data_engineering_assignment_spark.functions.pdf import _rc4
 
     key = bytes(range(16))
     blob = bytes(range(256)) * 3
     assert _rc4(key, _rc4(key, blob)) == blob
+
+
+def test_aes_encrypted_readable_class(monkeypatch):
+    """AES standard security handlers, empty user password: V4 R4
+    /CFM /AESV2 (AES-128-CBC, sAlT per-object keys) and V5 R6
+    /CFM /AESV3 (AES-256, Algorithm 2.B hash, /UE file-key unwrap) —
+    the post-2006 majority of encrypted crawl PDFs. Encrypted fixtures
+    extract the identical text through the classic AND 1.5 compressed
+    profiles; a tampered /U raises the password guard on both; an
+    unknown /CFM raises the filter guard; the pure-Python AES fallback
+    (cryptography absent) produces the same extraction."""
+    pages = [["Doc 6 page 0", "text (6) on 0"], ["k \\ v"]]
+    want = pdf_text(build_pdf(pages))["pages"]
+    for enc in ("aes-128", "aes-256"):
+        for objstm in (False, True):
+            for tu in (False, True):
+                b = build_pdf(
+                    pages, encrypt=enc, object_streams=objstm, tounicode=tu
+                )
+                assert b"Doc 6" not in b  # bytes really are encrypted
+                assert pdf_text(b)["pages"] == want, (enc, objstm, tu)
+        b = build_pdf(pages, encrypt=enc)
+        i = b.find(b"/U <")
+        flip = b"0" if b[i + 5 : i + 6] != b"0" else b"1"
+        with pytest.raises(NotImplementedError, match="password-protected"):
+            pdf_text(b[: i + 5] + flip + b[i + 6 :])
+    # unknown crypt filter method stays guarded
+    b = build_pdf(pages, encrypt="aes-128")
+    with pytest.raises(NotImplementedError, match="CFM"):
+        pdf_text(b.replace(b"/CFM /AESV2", b"/CFM /FooBar"))
+    # split StmF/StrF stays guarded
+    with pytest.raises(NotImplementedError, match="StmF"):
+        pdf_text(b.replace(b"/StrF /StdCF", b"/StrF /Identity"))
+    # pure-Python AES fallback: same bytes, same text (hook discipline)
+    from data_engineering_assignment_spark.functions import aes as aes_mod
+
+    monkeypatch.setattr(aes_mod, "_ACCEL", None)
+    monkeypatch.setattr(aes_mod, "_ACCEL_PROBED", True)
+    assert pdf_text(build_pdf(pages, encrypt="aes-256"))["pages"] == want
+    assert pdf_text(build_pdf(pages, encrypt="aes-128"))["pages"] == want
 
 
 def test_tounicode_two_byte_codes():
