@@ -352,6 +352,8 @@ HEADLINE = [
     "crawl_lang_classifier_mix",
     # round 13: ISO 28500 record-segmentation reassembly (oracle-gated)
     "warc_segment_reassembly",
+    # round 14: char-n-gram (CJK-capable) language-ID gate (oracle-gated)
+    "lang_classifier_cjk_gate",
 ]
 
 

@@ -26,7 +26,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .aggregates import dround
-from .text import rolling_hash, tokens
+from .text import char_shingle_hash_stream, rolling_hash, tokens
 
 # Engine-portable PII patterns: a regex subset valid in both Java regex
 # (Spark) and RE2 (DuckDB) — no backrefs, no lookaround.
@@ -871,6 +871,8 @@ def hashed_multiclass_scores(
     class_weights: dict[str, list[int]],
     text_col: str = "text",
     doc_col: str = "doc_id",
+    features: str = "word",
+    char_ns: tuple[int, ...] = (2, 3),
 ) -> DataFrame:
     """Multi-class fastText-shape classifier — the language-ID /
     domain-ID generalization of :func:`hashed_linear_scores` (fastText's
@@ -884,11 +886,23 @@ def hashed_multiclass_scores(
     discipline), so the label is deterministic under any partitioning
     and fully oracle-replayable.
 
-    Scale shape: one explode, ONE rolling-hash evaluation per token
-    (let-bound via the single-element-transform idiom — k
+    ``features`` selects the hashed feature family: ``"word"`` (the
+    default — whitespace tokens, fine for space-segmented scripts) or
+    ``"char"`` — character ``char_ns``-gram hashes via
+    :func:`~.text.char_shingle_hash_stream`, fastText lid.176's actual
+    feature set and the one that works on UNSEGMENTED scripts
+    (Chinese/Japanese/Thai whitespace-tokenize as one giant "word" per
+    line, making every word-bucket model structurally blind to them;
+    the char stream sees their script's n-grams directly). Char mode
+    emits no rows for documents shorter than min(char_ns) chars, so
+    such documents are absent from the output — mirror that in oracles.
+
+    Scale shape: one explode, ONE rolling-hash evaluation per feature
+    (word mode let-binds it via the single-element-transform idiom — k
     ``element_at`` lookups share the bucket value instead of re-hashing
-    per class), one map-side-combinable integer aggregation on the
-    document id. Weight tables are literal arrays in the plan."""
+    per class; char mode's explode already materializes the hash), one
+    map-side-combinable integer aggregation on the document id. Weight
+    tables are literal arrays in the plan."""
     classes = sorted(class_weights)
     if not classes:
         raise ValueError("class_weights is empty")
@@ -899,18 +913,32 @@ def hashed_multiclass_scores(
         c: F.array(*[F.lit(int(w)).cast("long") for w in class_weights[c]])
         for c in classes
     }
-    bucket = (rolling_hash("tok") % n + 1).cast("int")
-    lookups = F.get(
-        F.transform(
-            F.array(bucket),
-            lambda b: F.struct(
-                *[F.element_at(arrs[c], b).alias(c) for c in classes]
+    if features == "char":
+        stream = char_shingle_hash_stream(
+            df, ns=char_ns, id_cols=(doc_col,), text_col=text_col
+        )
+        bucket = (F.col("rh") % n + 1).cast("int")
+        scored = stream.select(
+            doc_col,
+            F.struct(
+                *[F.element_at(arrs[c], bucket).alias(c) for c in classes]
+            ).alias("wt"),
+        )
+    elif features == "word":
+        bucket = (rolling_hash("tok") % n + 1).cast("int")
+        lookups = F.get(
+            F.transform(
+                F.array(bucket),
+                lambda b: F.struct(
+                    *[F.element_at(arrs[c], b).alias(c) for c in classes]
+                ),
             ),
-        ),
-        0,
-    )
-    tok = df.select(doc_col, F.explode(tokens(text_col)).alias("tok"))
-    scored = tok.select(doc_col, lookups.alias("wt"))
+            0,
+        )
+        tok = df.select(doc_col, F.explode(tokens(text_col)).alias("tok"))
+        scored = tok.select(doc_col, lookups.alias("wt"))
+    else:
+        raise ValueError(f"unknown feature family {features!r}")
     agg = scored.groupBy(doc_col).agg(
         *[
             F.sum(F.col(f"wt.{c}")).cast("long").alias(f"score_{c}")

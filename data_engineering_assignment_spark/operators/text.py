@@ -261,6 +261,53 @@ def multi_shingle_hash_stream(
     return step1.select(*id_cols, F.explode(out).alias(out_col))
 
 
+def char_shingle_hash_stream(
+    df: DataFrame,
+    ns: tuple[int, ...],
+    id_cols: tuple[str, ...] = ("doc_id",),
+    text_col: str = "text",
+    out_col: str = "rh",
+    space_marker: str = "_",
+) -> DataFrame:
+    """Character n-gram hash stream — the unsegmented-script feature
+    family (fastText's ACTUAL lid.176 features are char n-grams, not
+    words: Chinese/Japanese/Thai pages whitespace-tokenize as one giant
+    "word" per line, so any word-bucket model is structurally blind to
+    them). One row per char ``n``-gram for every ``n`` in ``ns``, value
+    = the rolling hash of the n-gram's chars joined by ' ' — i.e. the
+    stream is bit-identical to ``multi_shingle_hash_stream`` run over a
+    text whose every character is its own token (spaces first replaced
+    by ``space_marker`` so word boundaries stay a feature), which is
+    exactly how it is built: each char-token's hash is its code point
+    (BMP contract: Spark's ``ascii`` reads the first UTF-16 unit and
+    DuckDB's the code point — equal on the Basic Multilingual Plane,
+    where CJK/Thai live; astral chars would diverge, the documented
+    rolling-hash boundary) and every 31^len power is the constant 31,
+    so the per-token char folds collapse away and only the shingle
+    composition remains. Emission is multiset (no per-doc distinct);
+    documents shorter than min(ns) chars emit no rows."""
+    chars = F.split(
+        F.regexp_replace(F.col(text_col), " ", space_marker), ""
+    )
+    hs = F.transform(chars, lambda ch: F.ascii(ch).cast("long"))
+    pw = F.transform(chars, lambda ch: F.lit(ROLLING_BASE).cast("long"))
+    step1 = df.select(
+        *id_cols,
+        hs.alias("__hs"),
+        *([pw.alias("__pw")] if max(ns) > 1 else []),
+        F.size(chars).alias("__nt"),
+    )
+    NT = F.col("__nt")
+    parts = [
+        F.when(NT >= n, _composed_shingles(n)).otherwise(
+            F.array().cast("array<long>")
+        )
+        for n in ns
+    ]
+    out = parts[0] if len(parts) == 1 else F.concat(*parts)
+    return step1.select(*id_cols, F.explode(out).alias(out_col))
+
+
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the full text-statistics column set (narrow, no shuffle).
 

@@ -1275,3 +1275,138 @@ def lang_classifier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("score_en").cast("long").alias("sum_en"),
         F.sum("score_unk").cast("long").alias("sum_unk"),
     )
+
+
+# --- char-n-gram (CJK-capable) language ID ---------------------------------
+# Weights trained BY CONSTRUCTION (no RNG): each class's weight array
+# marks the hashed char-2/3-gram buckets its script's fixture corpus
+# (the k=0..99 digit range the fixture texts actually span) occupies
+# with +400 and everything else with -100 — the same arrays inline into
+# both engines as literals. tests/test_llmprep.py proves the point of
+# the feature family: on held-out digit ranges the WORD-bucket model
+# mislabels ~half the unsegmented-script docs (one giant unseen token
+# per line) while the char model stays perfect.
+
+
+def _cjk_fixture_text(k: int, cls: str) -> str:
+    return {
+        "zh": f"中文网页内容第{k}页",
+        "th": f"หน้าเว็บไทย {k}",
+        "en": f"english web page {k}",
+    }[cls]
+
+
+def _cjk_weights(n: int = 256) -> dict[str, list[int]]:
+    p = 1_000_000_007
+
+    def rh(s: str) -> int:
+        h = 0
+        for ch in s:
+            h = (h * 31 + ord(ch)) % p
+        return h
+
+    def grams(text: str):
+        t2 = text.replace(" ", "_")
+        for nn in (2, 3):
+            for i in range(len(t2) - nn + 1):
+                yield rh(" ".join(t2[i : i + nn])) % n
+
+    out = {}
+    for cls in ("en", "th", "zh"):
+        hit = {
+            b
+            for k in range(100)
+            for b in grams(_cjk_fixture_text(k, cls))
+        }
+        out[cls] = [400 if b in hit else -100 for b in range(n)]
+    return out
+
+
+_CJK_WEIGHTS = _cjk_weights()
+
+
+def _cjk_oracle() -> str:
+    n = len(_CJK_WEIGHTS["en"])
+    classes = sorted(_CJK_WEIGHTS)
+    lookups = ",\n         ".join(
+        f"([{', '.join(str(w) for w in _CJK_WEIGHTS[c])}])"
+        f"[(rh % {n}) + 1]::BIGINT AS w_{c}"
+        for c in classes
+    )
+    structs = ", ".join(f"{{'s': s_{c}, 'c': '{c}'}}" for c in classes)
+    sums = ", ".join(f"SUM(w_{c})::BIGINT AS s_{c}" for c in classes)
+    outs = ", ".join(f"SUM(s_{c})::BIGINT AS sum_{c}" for c in classes)
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         CASE doc_id % 3
+           WHEN 0 THEN '中文网页内容第' || (doc_id % 100)::VARCHAR || '页'
+           WHEN 1 THEN 'หน้าเว็บไทย ' || (doc_id % 100)::VARCHAR
+           ELSE 'english web page ' || (doc_id % 100)::VARCHAR
+         END AS text
+  FROM documents
+), c AS (
+  SELECT doc_id, replace(text, ' ', '_') AS t2 FROM t
+), rh AS (
+  SELECT doc_id, unnest(list_concat(
+    list_transform(range(1, length(t2)), i ->
+      ((ascii(substr(t2, i, 1))::BIGINT * 31 + 32) * 31
+        + ascii(substr(t2, i + 1, 1))) % 1000000007),
+    list_transform(range(1, length(t2) - 1), i ->
+      ((((ascii(substr(t2, i, 1))::BIGINT * 31 + 32) * 31
+          + ascii(substr(t2, i + 1, 1))) * 31 + 32) * 31
+          + ascii(substr(t2, i + 2, 1))) % 1000000007)
+  )) AS rh FROM c
+), w AS (
+  SELECT doc_id,
+         {lookups}
+  FROM rh
+), s AS (
+  SELECT doc_id, {sums} FROM w GROUP BY 1
+), lbl AS (
+  SELECT doc_id, s_en, s_th, s_zh,
+         list_max([{structs}]).c AS label
+  FROM s
+)
+SELECT label, COUNT(*) AS n_docs, {outs}
+FROM lbl GROUP BY 1
+"""
+
+
+@register(
+    "lang_classifier_cjk_gate",
+    oracle=_cjk_oracle(),
+    doc="Char-n-gram language-ID gate (operators/llmprep."
+    "hashed_multiclass_scores features='char' over operators/text."
+    "char_shingle_hash_stream — fastText lid.176's ACTUAL feature "
+    "set): documents become mixed-script fixtures (Chinese / Thai / "
+    "English by doc_id%3, digits varying by doc_id%100) that "
+    "whitespace-tokenize as ONE giant word per CJK line — the word-"
+    "bucket model is structurally blind to them (tests/test_llmprep.py "
+    "pins ~half the held-out CJK docs mislabeled) while the char "
+    "2/3-gram stream separates the scripts perfectly. Per-label doc "
+    "counts and all three per-class exact-integer score sums replay in "
+    "SQL from the closed-form n-gram hash (BMP contract: Spark ascii "
+    "reads the first UTF-16 unit, DuckDB the code point — equal where "
+    "CJK/Thai live). One explode (the Generate boundary the composed "
+    "shingle arrays need), one map-side-combinable integer agg on the "
+    "doc id; weight tables are plan literals.",
+)
+def lang_classifier_cjk_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.llmprep import hashed_multiclass_scores
+
+    d = F.col("doc_id")
+    k = (d % 100).cast("string")
+    text = (
+        F.when(d % 3 == 0, F.concat(F.lit("中文网页内容第"), k, F.lit("页")))
+        .when(d % 3 == 1, F.concat(F.lit("หน้าเว็บไทย "), k))
+        .otherwise(F.concat(F.lit("english web page "), k))
+    )
+    docs = load(spark, sf_dir, "documents").select("doc_id", text.alias("text"))
+    scored = hashed_multiclass_scores(docs, _CJK_WEIGHTS, features="char")
+    return scored.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("score_en").cast("long").alias("sum_en"),
+        F.sum("score_th").cast("long").alias("sum_th"),
+        F.sum("score_zh").cast("long").alias("sum_zh"),
+    )

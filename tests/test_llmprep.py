@@ -443,6 +443,116 @@ def test_hashed_multiclass_scores(spark):
     assert plan.count("aggregate(") == 1  # one rolling-hash fold total
 
 
+def test_hashed_multiclass_char_features(spark):
+    """features='char': scores are exact integer sums over the char
+    2/3-gram hash stream (python-replayed), documents shorter than
+    min(char_ns) emit no row, and unknown feature families raise."""
+    import pytest
+
+    from data_engineering_assignment_spark.operators.llmprep import (
+        hashed_multiclass_scores,
+    )
+    from data_engineering_assignment_spark.operators.text import (
+        ROLLING_BASE,
+        ROLLING_MOD,
+    )
+
+    def rh(s):
+        h = 0
+        for ch in s:
+            h = (h * ROLLING_BASE + ord(ch)) % ROLLING_MOD
+        return h
+
+    def grams(text, n_buckets):
+        t2 = text.replace(" ", "_")
+        for nn in (2, 3):
+            for i in range(len(t2) - nn + 1):
+                yield rh(" ".join(t2[i : i + nn])) % n_buckets
+
+    n = 16
+    w = {
+        "aa": [11 * i - 40 for i in range(n)],
+        "bb": [5 * i + 3 for i in range(n)],
+    }
+    docs = [(1, "中文内容"), (2, "ab cd"), (3, "x"), (4, "")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: r
+        for r in hashed_multiclass_scores(df, w, features="char").collect()
+    }
+    assert set(got) == {1, 2}  # <2 chars -> no features -> no row
+    for did, text in docs[:2]:
+        exp = {c: sum(w[c][b] for b in grams(text, n)) for c in w}
+        assert (got[did].score_aa, got[did].score_bb) == (
+            exp["aa"],
+            exp["bb"],
+        ), did
+        best = max(exp.values())
+        assert got[did].label == max(c for c in exp if exp[c] == best)
+    with pytest.raises(ValueError, match="feature family"):
+        hashed_multiclass_scores(df, w, features="subword")
+
+
+def test_cjk_char_model_beats_word_model_held_out(spark):
+    """The point of the char feature family (lang_classifier_cjk_gate):
+    on digit ranges OUTSIDE the training sample, the word-bucket model
+    mislabels a large fraction of unsegmented-script docs (each CJK
+    line is one giant unseen token) while the char 2/3-gram model stays
+    perfect — fastText lid's reason for char n-grams, reproduced on the
+    gate's own trained-by-construction weights."""
+    from data_engineering_assignment_spark.operators.llmprep import (
+        hashed_multiclass_scores,
+    )
+    from data_engineering_assignment_spark.operators.text import (
+        ROLLING_BASE,
+        ROLLING_MOD,
+    )
+    from data_engineering_assignment_spark.queries.catalog_llm import (
+        _CJK_WEIGHTS,
+        _cjk_fixture_text,
+    )
+
+    def rh(s):
+        h = 0
+        for ch in s:
+            h = (h * ROLLING_BASE + ord(ch)) % ROLLING_MOD
+        return h
+
+    n = len(_CJK_WEIGHTS["en"])
+    # word-bucket twin trained the same way on the same k=0..99 sample
+    word_w = {}
+    for cls in _CJK_WEIGHTS:
+        hit = {
+            rh(t) % n
+            for k in range(100)
+            for t in _cjk_fixture_text(k, cls).split(" ")
+        }
+        word_w[cls] = [400 if b in hit else -100 for b in range(n)]
+    held_out = [
+        (i, cls, _cjk_fixture_text(k, cls))
+        for i, (k, cls) in enumerate(
+            (k, cls) for k in range(100, 140) for cls in ("zh", "th")
+        )
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, _, t in held_out], "doc_id long, text string"
+    )
+    char_lbl = {
+        r.doc_id: r.label
+        for r in hashed_multiclass_scores(
+            df, _CJK_WEIGHTS, features="char"
+        ).collect()
+    }
+    word_lbl = {
+        r.doc_id: r.label
+        for r in hashed_multiclass_scores(df, word_w).collect()
+    }
+    char_wrong = sum(1 for i, cls, _ in held_out if char_lbl[i] != cls)
+    word_wrong = sum(1 for i, cls, _ in held_out if word_lbl[i] != cls)
+    assert char_wrong == 0
+    assert word_wrong >= len(held_out) // 3  # measured 45/80 offline
+
+
 def test_gopher_whitespace_runs_not_words(spark):
     """Runs of spaces / blank lines are separators, not zero-length
     'words': n_words counts real tokens only, so the alpha-word and

@@ -214,3 +214,62 @@ def test_multi_shingle_hash_stream_parity_and_single_fold(spark):
     plan = fused._jdf.queryExecution().executedPlan().toString()
     # one hash fold + one pow fold in the projection — not one per order
     assert plan.count("split(") <= 6
+
+
+def test_char_shingle_hash_stream_parity(spark):
+    """The char n-gram stream equals (a) a pure-python replay of the
+    spaced-n-gram rolling hash and (b) multi_shingle_hash_stream over a
+    text whose every char is its own token — the equivalence that keeps
+    char-feature oracles inside the proven word-shingle hash family.
+    Mixed BMP scripts (CJK/Thai), space markers, and the <min(ns)
+    no-emission edge all pinned."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from data_engineering_assignment_spark.operators.text import (
+        ROLLING_BASE,
+        ROLLING_MOD,
+        char_shingle_hash_stream,
+        multi_shingle_hash_stream,
+    )
+
+    def rh(s):
+        h = 0
+        for ch in s:
+            h = (h * ROLLING_BASE + ord(ch)) % ROLLING_MOD
+        return h
+
+    rows = [
+        (1, "中文网页内容"),
+        (2, "hello world"),
+        (3, "ไทย ผสม ascii 7"),
+        (4, "a"),
+        (5, ""),
+        (6, "ab"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = Counter(
+        (r["doc_id"], r["rh"])
+        for r in char_shingle_hash_stream(df, ns=(2, 3)).collect()
+    )
+    want = Counter()
+    for did, t in rows:
+        t2 = t.replace(" ", "_")
+        for n in (2, 3):
+            for i in range(len(t2) - n + 1):
+                want[(did, rh(" ".join(t2[i : i + n])))] += 1
+    assert got == want
+    assert not any(did in (4, 5) for did, _ in got)  # <2 chars: no rows
+
+    spaced = df.select(
+        "doc_id",
+        F.concat_ws(
+            " ", F.split(F.regexp_replace("text", " ", "_"), "")
+        ).alias("text"),
+    )
+    twin = Counter(
+        (r["doc_id"], r["rh"])
+        for r in multi_shingle_hash_stream(spaced, ns=(2, 3)).collect()
+    )
+    assert got == twin
