@@ -354,6 +354,8 @@ HEADLINE = [
     "warc_segment_reassembly",
     # round 14: char-n-gram (CJK-capable) language-ID gate (oracle-gated)
     "lang_classifier_cjk_gate",
+    # round 14: mixed HTML+PDF link-graph capstone (oracle-gated)
+    "pdf_link_pagerank",
 ]
 
 

@@ -270,6 +270,7 @@ def build_pdf(
     tounicode: bool = False,
     filter_chain: list[str] | None = None,
     encrypt: str | None = None,
+    links: list[list[str]] | None = None,
 ) -> bytes:
     """Serialize text pages into a complete, standards-valid PDF
     (header, catalog, page tree, per-page FlateDecode-or-plain content
@@ -296,7 +297,11 @@ def build_pdf(
     or file (AESV3) key — AES streams gain a deterministic leading IV
     and PKCS#7 padding, with /Length patched to the ciphertext size —
     /Encrypt as a direct object (never inside an ObjStm, §7.5.7),
-    /ID in the trailer / XRef dict."""
+    /ID in the trailer / XRef dict. ``links`` (one list per page)
+    writes /Annots link annotations with /URI actions, the URI as a
+    HEX string — encrypted under the page object's key when the
+    document is encrypted, except in the 1.5 profile where pages are
+    ObjStm members and member strings stay plain (§7.5.7)."""
     if differences and tounicode:
         raise ValueError("differences and tounicode are exclusive")
     if encrypt not in (None, "rc4-40", "rc4-128", "aes-128", "aes-256"):
@@ -547,6 +552,27 @@ def build_pdf(
             id0.hex().encode(),
             id0.hex().encode(),
         )
+
+    if links:
+        if len(links) != n_pages:
+            raise ValueError("links needs one entry per page")
+        for pid, urls in zip(page_ids, links):
+            if not urls:
+                continue
+            parts = []
+            for u in urls:
+                raw = u.encode("latin-1")
+                # §7.5.7: ObjStm member strings are never separately
+                # encrypted (pages are members in the 1.5 profile)
+                if enc_stream is not None and not object_streams:
+                    raw = enc_stream(pid, raw)
+                parts.append(
+                    b"<< /Type /Annot /Subtype /Link /Rect [0 0 100 20]"
+                    b" /A << /S /URI /URI <%s> >> >>" % raw.hex().encode()
+                )
+            objs[pid] = (
+                objs[pid][:-2] + b"/Annots [" + b" ".join(parts) + b"] >>"
+            )
 
     if not object_streams:
         out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
@@ -1325,14 +1351,18 @@ def _stream_bytes(
 
 def _expand_object_streams(
     values: dict, streams: dict, positions: dict, data: bytes, crypt=None
-) -> None:
+) -> set:
     """Fold every /Type /ObjStm member into ``values`` with file-order
     shadowing: a member's definition position is its container's, so a
     direct definition LATER in the file (incremental update) shadows the
     member and a later ObjStm shadows both — the xref-table outcome
     re-derived from byte order. Members are parsed from the decoded
     payload at /First + per-member offset (ISO 32000-1 §7.5.7); spec
-    forbids streams inside an ObjStm, so members are pure values."""
+    forbids streams inside an ObjStm, so members are pure values.
+    Returns the set of member oids that WON shadowing — their strings
+    are never separately encrypted (§7.5.7), which string decryption
+    must know."""
+    members: set = set()
     for oid in sorted(
         (o for o, (d, _) in streams.items() if d.get("Type") == "ObjStm"),
         key=lambda o: positions[o],
@@ -1360,6 +1390,8 @@ def _expand_object_streams(
             except ValueError:
                 continue  # malformed member; the rest still count
             positions[moid] = cpos
+            members.add(moid)
+    return members
 
 
 # ---------------------------------------------------------------------------
@@ -1371,26 +1403,73 @@ def _resolve(v, values):
     return values.get(v[1]) if isinstance(v, tuple) and v and v[0] == "ref" else v
 
 
-def _walk_pages(node_ref, values, visited, depth: int = 0) -> list[dict]:
+def _walk_pages(node_ref, values, visited, depth: int = 0) -> list[tuple]:
+    """Depth-first /Kids walk; yields (oid, page_dict) pairs — the oid
+    (None for an inline node) is the string-decryption key for the
+    page's own strings (URI annotations)."""
     if depth > 64:  # a linear /Pages chain must be a structural error,
         # never a RecursionError escaping the declared contract
         raise ValueError("page tree too deep")
     node = _resolve(node_ref, values)
     if not isinstance(node, dict):
         raise ValueError("page-tree node is not a dict")
-    key = id(node) if not isinstance(node_ref, tuple) else node_ref[1]
+    is_ref = isinstance(node_ref, tuple) and node_ref and node_ref[0] == "ref"
+    key = node_ref[1] if is_ref else id(node)
     if key in visited:
         raise ValueError("cycle in page tree")
     visited.add(key)
     t = node.get("Type")
     if t == "Page":
-        return [node]
+        return [(node_ref[1] if is_ref else None, node)]
     if t == "Pages" or "Kids" in node:
-        out: list[dict] = []
+        out: list[tuple] = []
         for kid in node.get("Kids") or []:
             out.extend(_walk_pages(kid, values, visited, depth + 1))
         return out
     raise ValueError(f"unexpected page-tree node type {t!r}")
+
+
+def _page_uri_links(
+    page_oid, page, values, crypt, objstm_members, depth: int = 0
+) -> list[str]:
+    """URI-action outlinks of one page (ISO 32000-1 §12.5.6.5 link
+    annotations + §12.6.4.7 URI actions): /Annots entries whose
+    /Subtype is /Link and whose action /S is /URI, in annotation-array
+    order. The URI string decrypts under its CONTAINING object's number
+    when the document is encrypted (§7.6.2 — the innermost indirection
+    holds the string: the action object if /A is a reference, else the
+    annotation object, else the page itself), EXCEPT strings inside
+    object-stream members, which are never separately encrypted
+    (§7.5.7). Bytes decode as Latin-1 (URIs are 7-bit per spec; stray
+    high bytes stay deterministic)."""
+    annots = _resolve(page.get("Annots"), values)
+    if not isinstance(annots, list):
+        return []
+    out: list[str] = []
+    for a in annots[:4096]:  # adversarial bound, same class as bfrange
+        holder = page_oid
+        if isinstance(a, tuple) and a and a[0] == "ref":
+            holder = a[1]
+        ad = _resolve(a, values)
+        if not isinstance(ad, dict) or ad.get("Subtype") != "Link":
+            continue
+        act_ref = ad.get("A")
+        if isinstance(act_ref, tuple) and act_ref and act_ref[0] == "ref":
+            holder = act_ref[1]
+        act = _resolve(act_ref, values)
+        if not isinstance(act, dict) or act.get("S") != "URI":
+            continue
+        uri = act.get("URI")
+        if not isinstance(uri, bytes):
+            continue
+        if (
+            crypt is not None
+            and holder is not None
+            and holder not in objstm_members
+        ):
+            uri = crypt.decrypt(holder, uri)
+        out.append(uri.decode("latin-1"))
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -1624,9 +1703,12 @@ def _page_text(content: bytes, fonts: dict | None = None) -> str:
 
 
 def pdf_text(data: bytes) -> dict:
-    """Extract ``{pages: [str], text: str, n_pages: int}`` from PDF
-    bytes per the module contract (classic AND 1.5 compressed-object
-    profiles; /Differences + /ToUnicode font re-encoding). Raises
+    """Extract ``{pages: [str], text: str, n_pages: int, links: [str]}``
+    from PDF bytes per the module contract (classic AND 1.5
+    compressed-object profiles; /Differences + /ToUnicode font
+    re-encoding; ``links`` = /Annots URI actions in page-tree-then-
+    annotation order — the outlink surface the crawl link graph feeds
+    on). Raises
     ValueError on structurally broken documents and NotImplementedError
     on the guarded out-of-scope profiles (encryption, non-Flate
     filters, Type0 fonts without /ToUnicode) — the operator layer
@@ -1666,7 +1748,9 @@ def pdf_text(data: bytes) -> dict:
         if isinstance(fid, list) and fid and isinstance(fid[0], bytes):
             id0 = fid[0]
         crypt = _StdSecurity(enc, id0, values)
-    _expand_object_streams(values, streams, positions, data, crypt)
+    objstm_members = _expand_object_streams(
+        values, streams, positions, data, crypt
+    )
     catalog = None
     best = -1
     for oid, v in values.items():
@@ -1679,7 +1763,8 @@ def pdf_text(data: bytes) -> dict:
     if not pages:
         raise ValueError("empty page tree")
     texts: list[str] = []
-    for page in pages:
+    links: list[str] = []
+    for page_oid, page in pages:
         contents = page.get("Contents")
         refs = contents if isinstance(contents, list) else [contents]
         parts = []
@@ -1693,10 +1778,14 @@ def pdf_text(data: bytes) -> dict:
             )
         fonts = _page_fonts(page, values, streams, data, crypt)
         texts.append(_page_text(b"\n".join(parts), fonts))
+        links.extend(
+            _page_uri_links(page_oid, page, values, crypt, objstm_members)
+        )
     return {
         "pages": texts,
         "text": "\n".join(texts),
         "n_pages": len(texts),
+        "links": links,
     }
 
 

@@ -116,15 +116,19 @@ def pdf_extract(
     pdf_col: str = "http_body",
     out_col: str = "doc",
 ) -> DataFrame:
-    """Append ``out_col`` = struct<text, n_pages, pdf_ok> extracted from
-    a PDF binary column via :func:`functions.pdf.pdf_text` (classic
-    plain/FlateDecode PDFs exactly; encrypted/object-stream/other-filter
-    documents and structurally broken bytes survive as pdf_ok = false
-    with NULL fields — the dead-letter discipline, never a dropped row).
-    Same scale shape as :func:`html_extract`: one Arrow-batched
-    stateless Python pass, zero shuffle; downstream stats stay JVM-side
-    expressions over the struct."""
+    """Append ``out_col`` = struct<text, n_pages, links, pdf_ok>
+    extracted from a PDF binary column via :func:`functions.pdf.pdf_text`
+    (the full supported profile set: classic/1.5, filter chains, fonts,
+    RC4/AES standard security; out-of-scope documents and structurally
+    broken bytes survive as pdf_ok = false with NULL fields — the
+    dead-letter discipline, never a dropped row). ``links`` carries the
+    /Annots URI actions in page order — PDF outlinks feed the same
+    resolution path as HTML anchors, so link graphs stop undercounting
+    corpora with PDF mass. Same scale shape as :func:`html_extract`:
+    one Arrow-batched stateless Python pass, zero shuffle; downstream
+    stats stay JVM-side expressions over the struct."""
     from pyspark.sql.types import (
+        ArrayType,
         BooleanType,
         IntegerType,
         StringType,
@@ -138,6 +142,7 @@ def pdf_extract(
         [
             StructField("text", StringType()),
             StructField("n_pages", IntegerType()),
+            StructField("links", ArrayType(StringType())),
             StructField("pdf_ok", BooleanType()),
         ]
     )
@@ -157,12 +162,18 @@ def pdf_extract(
                         {
                             "text": r["text"],
                             "n_pages": r["n_pages"],
+                            "links": r["links"],
                             "pdf_ok": True,
                         }
                     )
                 except Exception:
                     vals.append(
-                        {"text": None, "n_pages": None, "pdf_ok": False}
+                        {
+                            "text": None,
+                            "n_pages": None,
+                            "links": None,
+                            "pdf_ok": False,
+                        }
                     )
             out = pdf.copy()
             out[out_col] = vals
@@ -181,7 +192,10 @@ def document_extract(
     pipeline points at its mixed-payload record stream: routes each row
     to the HTML extractor (``functions.html.parse_html``, charset-aware
     decode) or the PDF extractor (``functions.pdf.pdf_text``), appending
-    ``out_col`` = struct<text, main_text, title, n_pages, kind, doc_ok>.
+    ``out_col`` = struct<text, main_text, title, n_pages, links, kind,
+    doc_ok> — ``links`` is the unresolved outlink target list of either
+    kind (HTML anchor hrefs / PDF /Annots URI actions), one explode +
+    resolution away from the link graph.
 
     Routing contract (deterministic, dead-letter-complete):
 
@@ -199,6 +213,7 @@ def document_extract(
     ``title`` is NULL; for HTML rows ``n_pages`` = 1. One Arrow-batched
     stateless pass (zero shuffle), the html_extract scale shape."""
     from pyspark.sql.types import (
+        ArrayType,
         BooleanType,
         IntegerType,
         StringType,
@@ -215,6 +230,7 @@ def document_extract(
             StructField("main_text", StringType()),
             StructField("title", StringType()),
             StructField("n_pages", IntegerType()),
+            StructField("links", ArrayType(StringType())),
             StructField("kind", StringType()),
             StructField("doc_ok", BooleanType()),
         ]
@@ -224,7 +240,7 @@ def document_extract(
     )
     dead = {
         "text": None, "main_text": None, "title": None,
-        "n_pages": None, "doc_ok": False,
+        "n_pages": None, "links": None, "doc_ok": False,
     }
 
     def route(raw, ctype) -> str:
@@ -260,6 +276,7 @@ def document_extract(
                     "main_text": r["main_text"],
                     "title": r["title"],
                     "n_pages": 1,
+                    "links": [h for h, _ in r["links"]],
                     "kind": kind,
                     "doc_ok": True,
                 }
@@ -270,6 +287,7 @@ def document_extract(
                     "main_text": r["text"],
                     "title": None,
                     "n_pages": r["n_pages"],
+                    "links": r["links"],
                     "kind": kind,
                     "doc_ok": True,
                 }

@@ -3545,21 +3545,26 @@ def http_encoding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _link_pagerank_oracle(iters: int = 3, scale: int = 10**12,
-                          dn: int = 17, dd: int = 20) -> str:
+                          dn: int = 17, dd: int = 20,
+                          edges_cte: str | None = None) -> str:
     """Step-unrolled integer PageRank over the crawl host graph — the
     copurchase_pagerank oracle shape, with edges re-derived from the
     fixture's doc_id arithmetic (the Spark side must reach the SAME
     integers through extraction -> RFC 3986 resolution ->
-    canonicalization -> host parsing)."""
+    canonicalization -> host parsing). ``edges_cte`` overrides the
+    edge-derivation SQL (body of ``edges AS (...)``) for fixtures with
+    different link arithmetic (the mixed HTML+PDF gate)."""
     base = scale * (dd - dn) // dd
-    ctes = [
-        f"""edges AS (
+    if edges_cte is None:
+        edges_cte = """
   SELECT DISTINCT (doc_id % 7)::BIGINT AS u,
          ((3 * doc_id + 1) % 7)::BIGINT AS v
   FROM documents WHERE doc_id % 7 <> (3 * doc_id + 1) % 7
   UNION
   SELECT DISTINCT (doc_id % 7)::BIGINT, ((5 * doc_id + 2) % 7)::BIGINT
-  FROM documents WHERE doc_id % 7 <> (5 * doc_id + 2) % 7
+  FROM documents WHERE doc_id % 7 <> (5 * doc_id + 2) % 7"""
+    ctes = [
+        f"""edges AS ({edges_cte}
 ), bi AS (
   SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges
 ), deg AS (
@@ -5176,4 +5181,140 @@ def warc_segment_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_segments").cast("int").alias("n_segments"),
         F.length("full_payload").cast("long").alias("full_len"),
         F.md5("full_payload").alias("full_md5"),
+    )
+
+
+_PDF_LINK_EDGES = """
+  SELECT DISTINCT (doc_id % 7)::BIGINT AS u,
+         ((3 * doc_id + 1) % 7)::BIGINT AS v
+  FROM documents
+  WHERE doc_id % 2 = 0 AND doc_id % 7 <> (3 * doc_id + 1) % 7
+  UNION
+  SELECT DISTINCT (doc_id % 7)::BIGINT, ((5 * doc_id + 2) % 7)::BIGINT
+  FROM documents
+  WHERE doc_id % 2 = 0 AND doc_id % 7 <> (5 * doc_id + 2) % 7
+  UNION
+  SELECT DISTINCT (doc_id % 7)::BIGINT, ((3 * doc_id + 2) % 7)::BIGINT
+  FROM documents
+  WHERE doc_id % 2 = 1 AND doc_id % 7 <> (3 * doc_id + 2) % 7
+  UNION
+  SELECT DISTINCT (doc_id % 7)::BIGINT, ((5 * doc_id + 4) % 7)::BIGINT
+  FROM documents
+  WHERE doc_id % 2 = 1 AND doc_id % 7 <> (5 * doc_id + 4) % 7"""
+
+
+@register(
+    "pdf_link_pagerank",
+    oracle=_link_pagerank_oracle(edges_cte=_PDF_LINK_EDGES),
+    doc="Mixed HTML+PDF link-graph capstone (the crawl_link_pagerank "
+    "pattern with PDF legs — before this round /Annots URI actions "
+    "never fed the graph, so any corpus with PDF mass undercounted): "
+    "even doc_ids are HTML pages whose anchors carry one self link "
+    "(must DROP as a self-edge), one absolute href and one protocol-"
+    "relative href; odd doc_ids are REAL PDFs (functions/pdf.build_pdf "
+    "with /Annots /URI link annotations) whose outlinks use DIFFERENT "
+    "edge arithmetic — silently dropping the PDF legs changes the "
+    "distinct edge set and every PageRank integer. Both kinds route "
+    "through ONE operator (crawl.document_extract, Content-Type header "
+    "for HTML, %PDF- sniff for the headerless PDFs), links explode "
+    "from the new unified links field, resolve (crawl.resolved_url_col "
+    "JVM fast path), canonicalize, parse to hosts, and feed "
+    "graphs.pagerank_integer (3 iterations, damping 17/20 in scaled-"
+    "long floor division). The oracle re-derives both edge families "
+    "from doc_id arithmetic and replays the identical unrolled integer "
+    "iterations.",
+)
+def pdf_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from ..functions.pdf import build_pdf
+    from ..operators.crawl import (
+        canonical_url,
+        document_extract,
+        resolved_url_col,
+        with_url_parts,
+    )
+    from ..operators.graphs import pagerank_integer
+    from ..tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def make(batches):
+        for pdf in batches:
+            rows = []
+            for x in pdf["doc_id"]:
+                did = int(x)
+                uri = f"http://s{did % 7}.example/p/{did}"
+                if did % 2 == 0:
+                    body = (
+                        "<html><body>"
+                        '<a href="/self">me</a> '
+                        f'<a href="http://s{(3 * did + 1) % 7}.example'
+                        f'/p/{did}">x</a> '
+                        f'<a href="//s{(5 * did + 2) % 7}.example'
+                        f'/q/{did}?b=2&a=1#f">y</a>'
+                        "</body></html>"
+                    ).encode()
+                    ctype = "text/html; charset=utf-8"
+                else:
+                    body = build_pdf(
+                        [[f"pdf doc {did}"]],
+                        links=[
+                            [
+                                "/self",
+                                f"http://s{(3 * did + 2) % 7}.example"
+                                f"/p/{did}",
+                                f"//s{(5 * did + 4) % 7}.example"
+                                f"/q/{did}?b=2&a=1#f",
+                            ]
+                        ],
+                    )
+                    ctype = None  # the %PDF- sniff must route it
+                rows.append((did, uri, body, ctype))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "target_uri", "http_body", "ctype"],
+            )
+
+    media = docs.mapInPandas(
+        make,
+        "doc_id long, target_uri string, http_body binary, ctype string",
+    )
+    extracted = document_extract(media, content_type_col="ctype")
+    links = extracted.select(
+        "target_uri", F.explode("doc.links").alias("href")
+    ).withColumn(
+        "resolved_url",
+        resolved_url_col(F.col("target_uri"), F.col("href")),
+    )
+    canon = links.withColumn("canon", canonical_url("resolved_url"))
+    hosts = with_url_parts(
+        with_url_parts(canon, url_col="target_uri", prefix="src_"),
+        url_col="canon",
+        prefix="dst_",
+    )
+    host_id = lambda c: F.regexp_extract(  # noqa: E731
+        F.col(c), r"^s(\d+)\.example$", 1
+    ).cast("long")
+    edges = (
+        hosts.select(
+            host_id("src_host").alias("u"), host_id("dst_host").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    ranks = pagerank_integer(edges, iters=3)
+    outd = edges.groupBy("u").agg(
+        F.countDistinct("v").cast("long").alias("out_hosts")
+    )
+    return (
+        ranks.join(outd, ranks.node == outd.u)
+        .select(
+            F.concat(
+                F.lit("s"), F.col("node").cast("string"), F.lit(".example")
+            ).alias("host"),
+            "pr",
+            "out_hosts",
+        )
+        .orderBy(F.col("pr").desc(), "host")
     )

@@ -372,6 +372,44 @@ def test_aes_encrypted_readable_class(monkeypatch):
     assert pdf_text(build_pdf(pages, encrypt="aes-128"))["pages"] == want
 
 
+def test_pdf_uri_link_annotations():
+    """/Annots URI actions surface as links in page-tree order across
+    every profile: plain, 1.5 compressed (member strings stay PLAIN per
+    §7.5.7), and all four encryption profiles (classic-profile URI
+    strings are really encrypted in the bytes and decrypt under the
+    containing object's key). Non-Link annots and non-URI actions are
+    skipped; a links/pages length mismatch raises in the builder."""
+    pages = [["p0"], ["p1"], ["p2"]]
+    links = [["http://a.example/x", "/rel?b=2&a=1#f"], [], ["//b.example/y"]]
+    flat = ["http://a.example/x", "/rel?b=2&a=1#f", "//b.example/y"]
+    want_text = pdf_text(build_pdf(pages))["text"]
+    for enc in (None, "rc4-128", "aes-128", "aes-256"):
+        for objstm in (False, True):
+            b = build_pdf(
+                pages, links=links, encrypt=enc, object_streams=objstm
+            )
+            r = pdf_text(b)
+            assert r["text"] == want_text, (enc, objstm)
+            assert r["links"] == flat, (enc, objstm)
+            if enc and not objstm:
+                assert b"a.example" not in b  # string really encrypted
+    # page-TREE order (nested kids), not file order
+    b = build_pdf(pages, links=[["u0"], ["u1"], ["u2"]], nested_kids=True)
+    assert pdf_text(b)["links"] == ["u0", "u1", "u2"]
+    # linkless documents keep links == []
+    assert pdf_text(build_pdf(pages))["links"] == []
+    with pytest.raises(ValueError, match="one entry per page"):
+        build_pdf(pages, links=[["u"]])
+    # a non-URI action and a non-Link annot are skipped, URI kept
+    b = build_pdf([["p0"]], links=[["http://k.example/"]])
+    b = b.replace(
+        b"/Annots [",
+        b"/Annots [<< /Type /Annot /Subtype /Square >> "
+        b"<< /Type /Annot /Subtype /Link /A << /S /GoTo /D (x) >> >> ",
+    )
+    assert pdf_text(b)["links"] == ["http://k.example/"]
+
+
 def test_tounicode_two_byte_codes():
     """2-byte CMap codes (the Type0/CID shape): bfchar + bfrange with
     <xxxx> sources decode greedily (longest code first in mixed-width
