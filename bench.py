@@ -356,6 +356,8 @@ HEADLINE = [
     "lang_classifier_cjk_gate",
     # round 14: mixed HTML+PDF link-graph capstone (oracle-gated)
     "pdf_link_pagerank",
+    # round 14: MP4/ISO-BMFF container metadata gate (oracle-gated)
+    "mp4_container_stats",
 ]
 
 

@@ -86,7 +86,8 @@ _BINARY_ORACLE = f"""
 SELECT string_split(filename, '/')[-1] AS fname,
        size AS n_bytes,
        md5(hex(content)) AS content_md5
-FROM read_blob(['{_MEDIA_DIR}/*.rawm', '{_MEDIA_DIR}/*.jpg'])
+FROM read_blob(['{_MEDIA_DIR}/*.rawm', '{_MEDIA_DIR}/*.jpg',
+                '{_MEDIA_DIR}/*.mp4'])
 """
 
 
@@ -95,7 +96,9 @@ FROM read_blob(['{_MEDIA_DIR}/*.rawm', '{_MEDIA_DIR}/*.jpg'])
     oracle=_BINARY_ORACLE,
     doc="S5 oracle gate (image-format stand-in, Assignment-python.py:710): "
     "binaryFile scan with pathGlobFilter pushdown over committed RAWM + "
-    "JPEG fixtures; per-file size + content digest vs DuckDB read_blob. "
+    "JPEG + MP4 fixtures (the mp4 rows landed r14 with functions/mp4.py "
+    "— video containers no longer fall outside the inventory); per-file "
+    "size + content digest vs DuckDB read_blob. "
     "The hex detour makes the digest engine-portable (DuckDB md5 only "
     "takes VARCHAR, and BLOB::VARCHAR escapes bytes).",
 )
@@ -103,7 +106,7 @@ def binary_media_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources import read_binary_files
 
     tune(spark)
-    files = read_binary_files(spark, _MEDIA_DIR, glob="*.{rawm,jpg}")
+    files = read_binary_files(spark, _MEDIA_DIR, glob="*.{rawm,jpg,mp4}")
     return files.select(
         F.element_at(F.split("path", "/"), -1).alias("fname"),
         F.col("length").alias("n_bytes"),
@@ -5317,4 +5320,108 @@ def pdf_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "out_hosts",
         )
         .orderBy(F.col("pr").desc(), "host")
+    )
+
+
+_MP4_ORACLE = """
+WITH t AS (
+  SELECT doc_id AS d, 1 + doc_id % 4 AS s FROM documents
+), v AS (
+  SELECT CASE WHEN d % 2 = 0 THEN 'avc1' ELSE 'hev1' END AS codec,
+         160 + 16 * (d % 5) AS w, 96 + 16 * (d % 3) AS h,
+         24 * s AS ns, 1000 * s AS ms,
+         CASE WHEN d % 3 = 0 THEN 2 ELSE 1 END AS ntr,
+         CASE WHEN d % 5 = 0 THEN 1 ELSE 0 END AS mp42
+  FROM t WHERE d % 13 <> 0
+  UNION ALL
+  SELECT 'mp4a', 0, 0, 8000 * s, 1000 * s, 2,
+         CASE WHEN d % 5 = 0 THEN 1 ELSE 0 END
+  FROM t WHERE d % 13 <> 0 AND d % 3 = 0
+  UNION ALL
+  SELECT 'dead', NULL, NULL, NULL, NULL, NULL, NULL
+  FROM t WHERE d % 13 = 0
+)
+SELECT codec, COUNT(*) AS n_rows,
+       SUM(w)::BIGINT AS width_sum, SUM(h)::BIGINT AS height_sum,
+       SUM(ns)::BIGINT AS samples_sum,
+       SUM(ms)::BIGINT AS duration_ms_sum,
+       SUM(ntr)::BIGINT AS tracks_sum,
+       SUM(mp42)::BIGINT AS n_mp42
+FROM v GROUP BY 1
+"""
+
+
+@register(
+    "mp4_container_stats",
+    oracle=_MP4_ORACLE,
+    doc="MP4/ISO-BMFF container gate (functions/mp4.parse_mp4 + "
+    "sources.mp4_tracks — the dominant web video container, whose "
+    "payloads previously dead-lettered out of media inventories; "
+    "metadata only, sample decode stays guarded per the codec-gate "
+    "discipline): every document becomes a skeleton MP4 whose box "
+    "values are arithmetic in doc_id — codec fourcc by parity "
+    "(avc1/hev1 + an mp4a audio track at doc_id%3=0), 16.16 "
+    "fixed-point tkhd dims, stts frame counts (24 fps x seconds), "
+    "exact integer-floor duration_ms from BOTH timescale pairs (600 "
+    "video / 8000 audio media ticks, 1000 movie ticks), major_brand "
+    "mp42 at doc_id%5=0 — while doc_id%7=0 writes the 64-bit v1 "
+    "mvhd/tkhd/mdhd layouts and doc_id%11=0 a largesize mdat (parser "
+    "axes that must not move any value). doc_id%13=0 plants junk "
+    "bytes -> one parse_ok=false dead-letter row. Per-codec counts, "
+    "dim/sample/duration sums, per-row track counts and brand counts "
+    "sit under one hash.",
+)
+def mp4_container_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from ..functions.mp4 import build_mp4
+    from ..sources import mp4_tracks
+    from ..tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def make(batches):
+        for pdf in batches:
+            rows = []
+            for x in pdf["doc_id"]:
+                did = int(x)
+                if did % 13 == 0:
+                    rows.append((did, b"junk bytes, not an mp4 file"))
+                    continue
+                rows.append(
+                    (
+                        did,
+                        build_mp4(
+                            1 + did % 4,
+                            video=(
+                                "avc1" if did % 2 == 0 else "hev1",
+                                160 + 16 * (did % 5),
+                                96 + 16 * (did % 3),
+                                24,
+                            ),
+                            audio=("mp4a", 8000) if did % 3 == 0 else None,
+                            brand="mp42" if did % 5 == 0 else "isom",
+                            version1=did % 7 == 0,
+                            large_mdat=did % 11 == 0,
+                        ),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["archive_id", "content"])
+
+    media = docs.mapInPandas(make, "archive_id long, content binary")
+    m = mp4_tracks(media)
+    codec = F.coalesce(
+        F.col("codec"),
+        F.when(F.col("parse_ok"), F.lit("none")).otherwise(F.lit("dead")),
+    )
+    return m.groupBy(codec.alias("codec")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("width").cast("long").alias("width_sum"),
+        F.sum("height").cast("long").alias("height_sum"),
+        F.sum("n_samples").cast("long").alias("samples_sum"),
+        F.sum("duration_ms").cast("long").alias("duration_ms_sum"),
+        F.sum("n_tracks").cast("long").alias("tracks_sum"),
+        F.sum((F.col("major_brand") == "mp42").cast("int"))
+        .cast("long")
+        .alias("n_mp42"),
     )

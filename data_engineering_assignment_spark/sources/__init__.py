@@ -441,6 +441,72 @@ def tar_members(
     return df.mapInPandas(mapper, schema)
 
 
+def mp4_tracks(df: DataFrame, content_col: str = "content", id_col: str = "archive_id") -> DataFrame:
+    """Explode MP4/ISO-BMFF binary columns into one row per TRACK —
+    container metadata for the dominant web video format, without any
+    sample decode (``functions.mp4.parse_mp4``: box walk, mvhd/tkhd/
+    mdhd v0+v1, hdlr classification, stsd codec fourcc, stts sample
+    counts; H.264/AAC bitstream decode stays guarded per the codec-gate
+    discipline). Output per track: major_brand, movie_duration_ms,
+    n_tracks, track_id, kind ('video'/'audio'/raw fourcc), codec,
+    width, height, n_samples, duration_ms (exact integer floor
+    divisions of the timescale pairs) — plus parse_ok. Unparseable
+    bytes survive as ONE parse_ok = false row (the countable
+    dead-letter contract). Arrow-batched mapInPandas, zero shuffle."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..functions.mp4 import parse_mp4
+
+    schema = (
+        f"{id_col} long, major_brand string, movie_duration_ms long,"
+        " n_tracks int, track_id long, kind string, codec string,"
+        " width int, height int, n_samples long, duration_ms long,"
+        " parse_ok boolean"
+    )
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            id_col, "major_brand", "movie_duration_ms", "n_tracks",
+            "track_id", "kind", "codec", "width", "height",
+            "n_samples", "duration_ms", "parse_ok",
+        ]
+        for pdf in batches:
+            rows = []
+            for aid, content in zip(pdf[id_col], pdf[content_col]):
+                aid = int(aid)
+                try:
+                    r = parse_mp4(bytes(content))
+                    for t in r["tracks"]:
+                        rows.append(
+                            (
+                                aid, r["major_brand"],
+                                r["movie_duration_ms"], r["n_tracks"],
+                                t["track_id"], t["kind"], t["codec"],
+                                t["width"], t["height"], t["n_samples"],
+                                t["duration_ms"], True,
+                            )
+                        )
+                    if not r["tracks"]:
+                        rows.append(
+                            (
+                                aid, r["major_brand"],
+                                r["movie_duration_ms"], 0,
+                                None, None, None, None, None, None,
+                                None, True,
+                            )
+                        )
+                except Exception:
+                    rows.append(
+                        (aid, None, None, None, None, None, None,
+                         None, None, None, None, False)
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(mapper, schema)
+
+
 def zip_members(df: DataFrame, content_col: str = "content", id_col: str = "archive_id") -> DataFrame:
     """Explode ZIP archive binary columns into one row per member —
     crawl dumps and dataset drops ship as ZIPs next to WARCs. Stdlib

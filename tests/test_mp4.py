@@ -1,0 +1,124 @@
+"""functions/mp4.py — ISO-BMFF metadata walk: builder/parser roundtrip
+across the layout axes, guard contract on adversarial bytes."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from data_engineering_assignment_spark.functions.mp4 import (
+    _box,
+    build_mp4,
+    parse_mp4,
+)
+
+
+def test_roundtrip_all_axes():
+    for v1 in (False, True):
+        for lg in (False, True):
+            for audio in (None, ("mp4a", 8000)):
+                b = build_mp4(
+                    3,
+                    video=("avc1", 320, 240, 24),
+                    audio=audio,
+                    version1=v1,
+                    large_mdat=lg,
+                )
+                r = parse_mp4(b)
+                assert r["major_brand"] == "isom"
+                assert r["movie_timescale"] == 1000
+                assert r["movie_duration_ms"] == 3000
+                assert r["n_tracks"] == (2 if audio else 1)
+                vt = r["tracks"][0]
+                assert vt["kind"] == "video" and vt["codec"] == "avc1"
+                assert (vt["width"], vt["height"]) == (320, 240)
+                assert vt["n_samples"] == 72 and vt["duration_ms"] == 3000
+                if audio:
+                    at = r["tracks"][1]
+                    assert at["kind"] == "audio" and at["codec"] == "mp4a"
+                    assert at["n_samples"] == 24000
+                    assert at["duration_ms"] == 3000
+
+
+def test_duration_floor_division():
+    # 1000-tick movie scale with v1 64-bit durations: exact floor
+    b = build_mp4(7, video=("hev1", 16, 16, 30), version1=True)
+    r = parse_mp4(b)
+    assert r["movie_duration_ms"] == 7000
+    assert r["tracks"][0]["n_samples"] == 210
+
+
+def test_size_zero_box_extends_to_eof():
+    b = build_mp4(1)
+    # rewrite the trailing mdat header size to 0 (to-end-of-file form)
+    i = b.rfind(b"mdat") - 4
+    b2 = b[:i] + struct.pack(">I", 0) + b[i + 4 :]
+    assert parse_mp4(b2) == parse_mp4(b)
+
+
+def test_trackless_moov_and_missing_stbl_members():
+    b = build_mp4(2, video=None)
+    r = parse_mp4(b)
+    assert r["n_tracks"] == 0 and r["movie_duration_ms"] == 2000
+    # drop the stts box: n_samples degrades to None, container still ok
+    full = build_mp4(2)
+    i = full.find(b"stts") - 4
+    size = struct.unpack(">I", full[i : i + 4])[0]
+    gutted = full[:i] + _box(b"free", b"\x00" * (size - 8)) + full[i + size :]
+    r = parse_mp4(gutted)
+    assert r["tracks"][0]["n_samples"] is None
+    assert r["tracks"][0]["codec"] == "avc1"
+
+
+def test_guards():
+    with pytest.raises(ValueError):
+        parse_mp4(b"")
+    with pytest.raises(ValueError):
+        parse_mp4(b"junk bytes, definitely not an mp4")
+    # ftyp without moov
+    with pytest.raises(ValueError, match="ftyp/moov"):
+        parse_mp4(_box(b"ftyp", b"isom\x00\x00\x00\x00") + _box(b"free", b""))
+    # box over-reads its parent
+    bomb = struct.pack(">I", 1 << 30) + b"moov"
+    with pytest.raises(ValueError, match="out of bounds"):
+        parse_mp4(_box(b"ftyp", b"isom\x00\x00\x00\x00") + bomb)
+    # stts entry-count bomb cannot allocate
+    good = build_mp4(1)
+    i = good.find(b"stts")
+    bad = good[: i + 8] + struct.pack(">I", 1 << 30) + good[i + 12 :]
+    with pytest.raises(ValueError):
+        parse_mp4(bad)
+    # nesting bomb: 32 boxes deep trips the depth bound, not recursion
+    inner = _box(b"mvhd", b"")
+    for _ in range(32):
+        inner = _box(b"trak", inner)
+    with pytest.raises(ValueError):
+        parse_mp4(
+            _box(b"ftyp", b"isom\x00\x00\x00\x00") + _box(b"moov", inner)
+        )
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    data=st.binary(min_size=0, max_size=64),
+    mutations=st.lists(
+        st.tuples(st.integers(0, 400), st.integers(0, 255)),
+        min_size=0,
+        max_size=8,
+    ),
+)
+def test_adversarial_bytes_never_escape_error_contract(data, mutations):
+    """Mutated real files and raw fuzz either parse to a dict or raise
+    ValueError — never an unbounded allocation, recursion error, or a
+    foreign exception type (the pdf fuzz-contract discipline)."""
+    base = bytearray(build_mp4(2, audio=("mp4a", 8000)) + data)
+    for pos, val in mutations:
+        base[pos % len(base)] = val
+    try:
+        r = parse_mp4(bytes(base))
+        assert isinstance(r, dict)
+    except ValueError:
+        pass
