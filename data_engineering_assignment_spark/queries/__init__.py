@@ -40,77 +40,76 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # whose implementation changed this round (a green history does not cover
 # new code), then queries whose last green row is oldest.
 #
-# Round-13 head (catalog = 238): the 4 never-driver-checked round-13
-# additions first (WARC request/response pairing, the multi-class
-# language-ID classifier, the crawl composition that replaces the
-# predict_lang heuristic with it, ISO 28500 segment reassembly); then
-# every query whose
-# implementation changed this round — the Gopher tokenization fix
-# (empty tokens dropped), the sitemap fixture XML escaping, the JVM
-# URL-resolution fast path (page_links / resolve_redirects consumers),
-# the PDF 1.5 profile (ObjStm/xref-stream/predictor/font legs in the
-# extraction fixtures), and the warc_records schema growth
-# (record_id/concurrent_to/user-agent/referer — every consumer
-# re-verifies); then the FULL r7-stale cohort (11, promised last
-# round) and the oldest r8 rows, with the stalest catalog_ml and
-# catalog_intervals entries holding the module-coverage contract
-# (every module in the first 50). After this head lands, no catalog
-# query's last green row predates r8.
+# Round-14 head (catalog = 241): the 3 never-driver-checked round-14
+# additions first (the char-n-gram CJK language-ID gate, the mixed
+# HTML+PDF link-graph capstone, the MP4/ISO-BMFF container gate); then
+# every query whose implementation changed this round — the PDF gates
+# (AES encryption axes in _fixture_pdf, the links field in
+# pdf_extract/document_extract), binary_media_inventory (mp4 fixture
+# rows + widened glob), and both hashed_multiclass_scores consumers
+# (the features-dispatch refactor); then the FULL r8-stale cohort (33,
+# the rotation promised in the r13 head), the stalest catalog_ml row
+# (ml_peak_classification, r11 — the module has only 3 queries) and
+# catalog_intervals row (purchase_asof_last_click, r9) holding the
+# module-coverage contract (every module in the first 50), and the
+# oldest r9 rows filling to 50. After this head lands, no catalog
+# query's last green row predates r9.
 DRIVER_SAMPLE_HEAD: tuple[str, ...] = (
-    # never driver-checked (round-13 additions)
-    "warc_request_pairing_stats",
-    "lang_classifier_gate",
-    "crawl_lang_classifier_mix",
-    "warc_segment_reassembly",
+    # never driver-checked (round-14 additions)
+    "lang_classifier_cjk_gate",
+    "pdf_link_pagerank",
+    "mp4_container_stats",
     # implementation changed this round
-    "gopher_quality_stats",
-    "sitemap_frontier_stats",
-    "crawl_discovery_pipeline",
-    "crawl_link_pagerank",
-    "redirect_resolution_stats",
     "pdf_text_extract_stats",
     "doc_extract_dispatch_stats",
     "mixed_crawl_extract_stats",
-    "warc_crawl_stats",
-    "warc_domain_stats",
-    "crawl_health_stats",
-    "http_encoding_stats",
-    "cdx_index_stats",
-    "wat_export_stats",
-    "warc_revisit_roundtrip",
-    "warc_revisit_resolve_stats",
-    "crawl_to_wet_pipeline",
-    "crawl_text_pipeline",
-    "crawl_quality_mix",
-    "wet_export_roundtrip",
-    "cdx_recrawl_diff",
-    "robots_crawl_filter",
-    # r7-stale cohort (all 11 — the rotation promised in the r12 head)
-    "events_sliding_10m_5m",
-    "approx_distinct_users_rollup",
-    "user_rolling_stats",
-    "events_multi_rollup",
-    "daily_conversion_funnel",
-    "doc_chunks",
-    "csv_sales_publisher_year",
-    "cyclic_prediction_rates",
-    "incremental_dedup",
-    "paragraph_dedup_stats",
-    "bpe_merge_top32",
-    # oldest r8 rows + module-coverage slots (catalog_ml, catalog_intervals)
     "binary_media_inventory",
-    "bination_trade_volume",
-    "bpe_encode_stats",
-    "bpe_train_merges",
-    "cheapest_supplier_per_part",
-    "copurchase_pagerank",
-    "customer_order_distribution",
-    "dedup_containment_pairs",
-    "dedup_semantic_hier",
-    "doc_dup_spans_merged",
-    "doc_winnow_stats",
-    "ml_eval_metrics",
-    "purchase_prior_state_pit",
+    "lang_classifier_gate",
+    "crawl_lang_classifier_mix",
+    # r8-stale cohort (all 33 — the rotation promised in the r13 head)
+    "dsir_affinity_top64",
+    "embedding_rp_stats",
+    "event_value_twap",
+    "events_robust_outliers",
+    "events_sessionize",
+    "forecast_revenue_delta",
+    "hybrid_retrieval_rrf",
+    "idle_customer_balance",
+    "image_color_analytics",
+    "image_format_inventory",
+    "intra_doc_repetition",
+    "late_ship_priority_mix",
+    "nation_market_share",
+    "order_price_distribution",
+    "pareto_orders",
+    "part_affinity_rules",
+    "part_affinity_triples",
+    "part_copurchase_kcore",
+    "part_copurchase_triangles",
+    "part_name_linkage",
+    "part_supplier_variety",
+    "part_value_concentration",
+    "priority_late_orders",
+    "profit_by_nation_year",
+    "rp_recall_telemetry",
+    "small_quantity_revenue",
+    "sole_return_supplier",
+    "token_budget_mix",
+    "token_collocations",
+    "top_revenue_supplier",
+    "top_share_suppliers",
+    "winnow_dup_pairs",
+    "winnow_recall_telemetry",
+    # module-coverage slots (catalog_ml, catalog_intervals)
+    "ml_peak_classification",
+    "purchase_asof_last_click",
+    # oldest r9 rows filling to 50
+    "avi_video_stats",
+    "bmp_decode_stats",
+    "data_mix_by_source",
+    "distinct_status_priority",
+    "doc_regex_tokens",
+    "doc_simhash",
 )
 
 
