@@ -89,7 +89,34 @@ CLOSED same round: a marker-FAST 5-rep probe (st 0.073/0.079, mt
 2.202] and mixed_crawl_extract_stats [3.280, 2.545, 2.359, 2.612,
 2.330] — consistent with the entries; the lower calm mins were folded
 (2.249 -> 2.151, 2.433 -> 2.330) and the three entries now rest on
-two marker-verified sources per policy."""
+two marker-verified sources per policy.
+`video_phash_dups` ADJUDICATED r14 (the one open r13 flag — elevated
+in BOTH r13 full runs, 4.28 s fast / 14.59 s contended vs its 2.533 s
+entry): marker-fast 5-rep solo probe (st 0.080/0.084, mt 0.196/0.142;
+scripts/solo_probe.py) read [3.603, 3.105, 3.768, 3.439, 3.966] =
+min 3.105 s, 1.23x — and the two sibling BLAS-heavy gates probed in
+the same window at the same mild uniform elevation
+(audio_phash_pairs min 3.225 / 1.34x, image_phash_pairs min 3.115 /
+1.23x). The whole pHash/DCT family moves together with the ambient
+BLAS marker (recorded at mt ~0.112, probed at mt 0.142-0.196), the
+phash code is untouched since r10, and steady is well under the 2x
+re-record bar: ambient drift, entries KEPT, flag closed. Treat
+~1.2-1.4x readings on the phash family as the current ambient.
+Round 14 grew the set 225 -> 228 (char-n-gram CJK language ID, the
+mixed HTML+PDF link-graph capstone, MP4/ISO-BMFF container metadata).
+The session's ambient was persistently bursty (every full-bench main
+loop read mt 0.33-0.73 with st flat); bench.py's NEW contention-retry
+pass (any query >2x its standing entry gets one more min-of-2 in a
+later window, that window's markers recorded as marker_retry) ran
+marker-FAST retry windows in both full benches (0.072/0.137 and
+0.069/0.092, 19 + 25 queries retried) and the A-union-B per-query min
+board has ZERO entries over 2x standing (median 1.26x — today's
+uniform ambient, the phash-family class). The three new entries are
+per-query MINs across the two full benches and a 5-rep probe whose
+post-marker was fast (st 0.076/0.071, mt 0.278/0.144):
+lang_classifier_cjk_gate 2.178 (first executions run 2-3x steady —
+one-time codegen of the 3x256-literal weight arrays; min-of-2
+absorbs it), pdf_link_pagerank 4.118, mp4_container_stats 0.526."""
 
 EXCLUDED = {
     "ivf_recall_telemetry": "diagnostic: recall telemetry, not a user query",

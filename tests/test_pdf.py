@@ -410,6 +410,25 @@ def test_pdf_uri_link_annotations():
     assert pdf_text(b)["links"] == ["http://k.example/"]
 
 
+def test_hash_r6_frozen_known_answers():
+    """Algorithm 2.B (ISO 32000-2 R6 password hash) pinned values: the
+    AES gates' builder and reader share this function, so a roundtrip
+    alone could not catch a semantics drift — these frozen digests can
+    (no independent PDF implementation exists in this container to
+    cross-validate against; the algorithm follows the published spec,
+    and the AES core underneath is FIPS-vector-pinned separately)."""
+    from data_engineering_assignment_spark.functions.pdf import _hash_r6
+
+    assert (
+        _hash_r6(b"", b"salt8byt").hex()
+        == "a77cf236aa3981cd3243f73551c74b600e3dc3ab0b9ab3cc8dc622b2d6f8cdc3"
+    )
+    assert (
+        _hash_r6(b"owner", b"abcdefgh", b"U" * 48).hex()
+        == "263e2439fd2c06b5a15dcea83524596d8f4c0c1306bae79c97916fd374ca845d"
+    )
+
+
 def test_tounicode_two_byte_codes():
     """2-byte CMap codes (the Type0/CID shape): bfchar + bfrange with
     <xxxx> sources decode greedily (longest code first in mixed-width
