@@ -358,6 +358,8 @@ HEADLINE = [
     "pdf_link_pagerank",
     # round 14: MP4/ISO-BMFF container metadata gate (oracle-gated)
     "mp4_container_stats",
+    # round 14: WebP container metadata gate (oracle-gated)
+    "webp_container_stats",
 ]
 
 

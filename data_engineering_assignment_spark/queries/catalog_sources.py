@@ -87,7 +87,8 @@ SELECT string_split(filename, '/')[-1] AS fname,
        size AS n_bytes,
        md5(hex(content)) AS content_md5
 FROM read_blob(['{_MEDIA_DIR}/*.rawm', '{_MEDIA_DIR}/*.jpg',
-                '{_MEDIA_DIR}/*.mp4'])
+                '{_MEDIA_DIR}/*.mp4',
+                '{_MEDIA_DIR}/*.webp'])
 """
 
 
@@ -96,7 +97,7 @@ FROM read_blob(['{_MEDIA_DIR}/*.rawm', '{_MEDIA_DIR}/*.jpg',
     oracle=_BINARY_ORACLE,
     doc="S5 oracle gate (image-format stand-in, Assignment-python.py:710): "
     "binaryFile scan with pathGlobFilter pushdown over committed RAWM + "
-    "JPEG + MP4 fixtures (the mp4 rows landed r14 with functions/mp4.py "
+    "JPEG + MP4 + WebP fixtures (the mp4/webp rows landed r14 "
     "— video containers no longer fall outside the inventory); per-file "
     "size + content digest vs DuckDB read_blob. "
     "The hex detour makes the digest engine-portable (DuckDB md5 only "
@@ -106,7 +107,7 @@ def binary_media_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources import read_binary_files
 
     tune(spark)
-    files = read_binary_files(spark, _MEDIA_DIR, glob="*.{rawm,jpg,mp4}")
+    files = read_binary_files(spark, _MEDIA_DIR, glob="*.{rawm,jpg,mp4,webp}")
     return files.select(
         F.element_at(F.split("path", "/"), -1).alias("fname"),
         F.col("length").alias("n_bytes"),
@@ -5424,4 +5425,111 @@ def mp4_container_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("major_brand") == "mp42").cast("int"))
         .cast("long")
         .alias("n_mp42"),
+    )
+
+
+_WEBP_ORACLE = """
+WITH t AS (
+  SELECT doc_id AS d FROM documents
+), v AS (
+  SELECT CASE d % 3 WHEN 0 THEN 'VP8' WHEN 1 THEN 'VP8L' ELSE 'VP8X' END
+           AS format,
+         32 + (d % 9) * 16 AS w, 16 + (d % 5) * 16 AS h,
+         CASE WHEN d % 3 <> 0 AND d % 2 = 1 THEN 1 ELSE 0 END AS alpha,
+         CASE WHEN d % 3 = 2 AND d % 4 = 0 THEN 1 ELSE 0 END AS anim,
+         CASE WHEN d % 3 = 2 AND d % 4 = 0 THEN 1 + (d % 5) % 3
+              ELSE 1 END AS nf,
+         CASE WHEN d % 3 = 2 AND d % 4 = 0 THEN
+           30 * ((1 + (d % 5) % 3) * (1 + d % 7)
+                 + ((1 + (d % 5) % 3) * ((d % 5) % 3)) // 2)
+         ELSE 0 END AS dur,
+         CASE WHEN d % 3 = 2 AND d % 5 = 0 THEN 1 ELSE 0 END AS exif
+  FROM t WHERE d % 13 <> 0
+  UNION ALL
+  SELECT 'dead', NULL, NULL, NULL, NULL, NULL, NULL, NULL
+  FROM t WHERE d % 13 = 0
+)
+SELECT format, COUNT(*) AS n_files,
+       SUM(w)::BIGINT AS width_sum, SUM(h)::BIGINT AS height_sum,
+       SUM(alpha)::BIGINT AS n_alpha, SUM(anim)::BIGINT AS n_anim,
+       SUM(nf)::BIGINT AS frames_sum,
+       SUM(dur)::BIGINT AS duration_ms_sum,
+       SUM(exif)::BIGINT AS n_exif
+FROM v GROUP BY 1
+"""
+
+
+@register(
+    "webp_container_stats",
+    oracle=_WEBP_ORACLE,
+    doc="WebP container gate (functions/webp.parse_webp + "
+    "sources.webp_meta — the dominant post-JPEG image format on "
+    "modern crawls, previously dead-lettering with no census row; "
+    "metadata only, VP8/VP8L pixel decode stays guarded per the "
+    "codec-gate discipline): every document becomes a skeleton WebP "
+    "whose header values are arithmetic in doc_id — the three "
+    "profiles by doc_id%3 (lossy VP8 frame-tag + start-code + 14-bit "
+    "dims, lossless VP8L LSB-first packed dims + alpha bit, extended "
+    "VP8X 24-bit canvas + feature flags), ANIM/ANMF animation at "
+    "doc_id%4=0 with per-frame 24-bit durations whose exact integer "
+    "sum replays in SQL, EXIF-flag presence at doc_id%5=0. "
+    "doc_id%13=0 plants junk -> one parse_ok=false dead-letter row. "
+    "Per-format counts, dim sums, alpha/animation/EXIF counts, frame "
+    "and duration sums sit under one hash.",
+)
+def webp_container_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from ..functions.webp import build_webp
+    from ..sources import webp_meta
+    from ..tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def make(batches):
+        for pdf in batches:
+            rows = []
+            for x in pdf["doc_id"]:
+                did = int(x)
+                if did % 13 == 0:
+                    rows.append((did, b"junk bytes, not a webp file"))
+                    continue
+                fmt = ("VP8", "VP8L", "VP8X")[did % 3]
+                n = 1 + (did % 5) % 3
+                frames = (
+                    [30 * (i + 1 + did % 7) for i in range(n)]
+                    if fmt == "VP8X" and did % 4 == 0
+                    else None
+                )
+                rows.append(
+                    (
+                        did,
+                        build_webp(
+                            32 + (did % 9) * 16,
+                            16 + (did % 5) * 16,
+                            fmt,
+                            alpha=fmt != "VP8" and did % 2 == 1,
+                            frames=frames,
+                            exif=(
+                                b"Exif\x00\x00fixture"
+                                if fmt == "VP8X" and did % 5 == 0
+                                else None
+                            ),
+                        ),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["archive_id", "content"])
+
+    media = docs.mapInPandas(make, "archive_id long, content binary")
+    m = webp_meta(media)
+    fmt = F.coalesce(F.col("format"), F.lit("dead"))
+    return m.groupBy(fmt.alias("format")).agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("width").cast("long").alias("width_sum"),
+        F.sum("height").cast("long").alias("height_sum"),
+        F.sum(F.col("has_alpha").cast("int")).cast("long").alias("n_alpha"),
+        F.sum(F.col("is_animated").cast("int")).cast("long").alias("n_anim"),
+        F.sum("n_frames").cast("long").alias("frames_sum"),
+        F.sum("duration_ms").cast("long").alias("duration_ms_sum"),
+        F.sum(F.col("has_exif").cast("int")).cast("long").alias("n_exif"),
     )

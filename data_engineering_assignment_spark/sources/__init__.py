@@ -441,6 +441,57 @@ def tar_members(
     return df.mapInPandas(mapper, schema)
 
 
+def webp_meta(df: DataFrame, content_col: str = "content", id_col: str = "archive_id") -> DataFrame:
+    """WebP container metadata, one row per file
+    (``functions.webp.parse_webp``: RIFF walk, VP8/VP8L bitstream
+    headers, the VP8X extended profile with ANIM/ANMF animation frames
+    and exact integer duration sums; pixel decode stays guarded).
+    Output: format, width, height, has_alpha, is_animated, n_frames,
+    duration_ms, has_exif, parse_ok; junk survives as one
+    parse_ok = false row. Arrow-batched mapInPandas, zero shuffle —
+    the mp4_tracks shape."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..functions.webp import parse_webp
+
+    schema = (
+        f"{id_col} long, format string, width int, height int,"
+        " has_alpha boolean, is_animated boolean, n_frames int,"
+        " duration_ms long, has_exif boolean, parse_ok boolean"
+    )
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            id_col, "format", "width", "height", "has_alpha",
+            "is_animated", "n_frames", "duration_ms", "has_exif",
+            "parse_ok",
+        ]
+        for pdf in batches:
+            rows = []
+            for aid, content in zip(pdf[id_col], pdf[content_col]):
+                aid = int(aid)
+                try:
+                    r = parse_webp(bytes(content))
+                    rows.append(
+                        (
+                            aid, r["format"], r["width"], r["height"],
+                            r["has_alpha"], r["is_animated"],
+                            r["n_frames"], r["duration_ms"],
+                            r["has_exif"], True,
+                        )
+                    )
+                except Exception:
+                    rows.append(
+                        (aid, None, None, None, None, None, None, None,
+                         None, False)
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(mapper, schema)
+
+
 def mp4_tracks(df: DataFrame, content_col: str = "content", id_col: str = "archive_id") -> DataFrame:
     """Explode MP4/ISO-BMFF binary columns into one row per TRACK —
     container metadata for the dominant web video format, without any
