@@ -360,6 +360,8 @@ HEADLINE = [
     "mp4_container_stats",
     # round 14: WebP container metadata gate (oracle-gated)
     "webp_container_stats",
+    # round 14: AVIF/HEIC image-container metadata gate (oracle-gated)
+    "avif_container_stats",
 ]
 
 

@@ -300,3 +300,179 @@ def build_mp4(
     moov = _box(b"moov", mvhd + traks)
     mdat = _box(b"mdat", b"\x00" * 16, largesize=large_mdat)
     return ftyp + moov + mdat
+
+
+# ---------------------------------------------------------------------------
+# BMFF image brands (AVIF / HEIC) — ISO/IEC 23008-12 item structure
+# ---------------------------------------------------------------------------
+
+_IMAGE_BRANDS = {"avif", "avis", "heic", "heix", "mif1", "msf1"}
+
+
+def _fullbox_children(data: bytes, body: int, end: int, depth: int):
+    """meta is a FULL box: children start after version/flags."""
+    _fullbox_version(data, body, end)
+    return _walk_boxes(data, body + 4, end, depth)
+
+
+def parse_bmff_image(content: bytes) -> dict:
+    """Parse an ISO/IEC 23008-12 image container (AVIF/HEIC — the
+    modern-web still-image siblings of MP4, same box grammar):
+
+    ``{major_brand, primary_item, n_items, codec, width, height,
+    has_exif}``
+
+    The dims are the ``ispe`` (image spatial extents) property that
+    ``ipma`` associates with the ``pitm`` primary item — NOT simply the
+    first ispe in ``ipco`` (an alpha-auxiliary or thumbnail item can
+    own its own); ``codec`` is the primary item's ``infe`` item type
+    (av01/hvc1/...). ``has_exif`` reports an Exif item's presence.
+    Item decode (AV1/HEVC bitstreams) is out of scope per the
+    codec-gate discipline; structural errors raise ValueError."""
+    if len(content) < 16:
+        raise ValueError("too short for an ISO-BMFF file")
+    top = list(_walk_boxes(content, 0, len(content)))
+    types = [t for t, _, _ in top]
+    if b"ftyp" not in types or b"meta" not in types:
+        raise ValueError("not a BMFF image (missing ftyp/meta)")
+    fb, fe = next((b, e) for t, b, e in top if t == b"ftyp")
+    major = content[fb : fb + 4].decode("latin-1")
+    compat = {
+        content[at : at + 4].decode("latin-1")
+        for at in range(fb + 8, fe - 3, 4)
+    }
+    if major not in _IMAGE_BRANDS and not (_IMAGE_BRANDS & compat):
+        raise ValueError(f"not an image brand ({major!r})")
+    mb, me = next((b, e) for t, b, e in top if t == b"meta")
+
+    primary = None
+    items: dict[int, str] = {}
+    ispes: list[tuple[int, int]] = []  # ipco order (1-based indexing)
+    ipco_kinds: list[bytes] = []
+    assoc: dict[int, list[int]] = {}  # item_id -> ipco property indices
+    for t, b, e in _fullbox_children(content, mb, me, 1):
+        if t == b"pitm":
+            v = _fullbox_version(content, b, e)
+            primary = _u(content, b + 4, 2 if v == 0 else 4)
+        elif t == b"iinf":
+            v = _fullbox_version(content, b, e)
+            first = b + 4 + (2 if v == 0 else 4)
+            for it, ib, ie in _walk_boxes(content, first, e, 2):
+                if it != b"infe":
+                    continue
+                iv = _fullbox_version(content, ib, ie)
+                if iv < 2:
+                    raise ValueError("infe version < 2 not supported")
+                iid = _u(content, ib + 4, 2 if iv == 2 else 4)
+                at = ib + 4 + (2 if iv == 2 else 4) + 2
+                items[iid] = content[at : at + 4].decode("latin-1")
+        elif t == b"iprp":
+            for pt, pb, pe in _walk_boxes(content, b, e, 2):
+                if pt == b"ipco":
+                    for ct, cb, ce in _walk_boxes(content, pb, pe, 3):
+                        ipco_kinds.append(ct)
+                        if ct == b"ispe":
+                            _fullbox_version(content, cb, ce)
+                            ispes.append(
+                                (_u(content, cb + 4, 4), _u(content, cb + 8, 4))
+                            )
+                        else:
+                            ispes.append(None)
+                elif pt == b"ipma":
+                    v = _fullbox_version(content, pb, pe)
+                    flags = _u(content, pb + 1, 3)
+                    n = _u(content, pb + 4, 4)
+                    at = pb + 8
+                    if n > (pe - at):
+                        raise ValueError("ipma entry count exceeds box")
+                    for _ in range(n):
+                        iid = _u(content, at, 2 if v == 0 else 4)
+                        at += 2 if v == 0 else 4
+                        cnt = content[at]
+                        at += 1
+                        idxs = []
+                        for _ in range(cnt):
+                            if flags & 1:
+                                idxs.append(_u(content, at, 2) & 0x7FFF)
+                                at += 2
+                            else:
+                                idxs.append(content[at] & 0x7F)
+                                at += 1
+                        assoc[iid] = idxs
+    if primary is None or primary not in items:
+        raise ValueError("missing or dangling pitm primary item")
+    width = height = None
+    for idx in assoc.get(primary, []):
+        if 1 <= idx <= len(ispes) and ispes[idx - 1] is not None:
+            width, height = ispes[idx - 1]
+            break
+    return {
+        "major_brand": major,
+        "primary_item": primary,
+        "n_items": len(items),
+        "codec": items[primary],
+        "width": width,
+        "height": height,
+        "has_exif": "Exif" in items.values(),
+    }
+
+
+def build_bmff_image(
+    w: int,
+    h: int,
+    brand: str = "avif",
+    codec: str = "av01",
+    with_exif: bool = False,
+    with_alpha: bool = False,
+    version1: bool = False,
+) -> bytes:
+    """Serialize a standards-valid AVIF/HEIC metadata skeleton: ftyp +
+    meta(hdlr 'pict', pitm, iinf/infe items, iprp(ipco[ispe...] +
+    ipma)) + mdat. ``with_alpha`` adds an auxiliary item with its OWN
+    half-size ispe listed FIRST in ipco — a reader that grabs the first
+    ispe instead of following pitm->ipma reports the wrong dims (the
+    trap the parser test pins). ``version1`` uses the 32-bit
+    pitm/infe/ipma layouts."""
+    v = 1 if version1 else 0
+    iv = 3 if version1 else 2
+
+    def infe(iid: int, typ: str) -> bytes:
+        idb = iid.to_bytes(2 if iv == 2 else 4, "big")
+        return _fullbox(
+            b"infe", iv, idb + b"\x00\x00" + typ.encode("latin-1") + b"\x00"
+        )
+
+    items = [(1, codec)]
+    if with_alpha:
+        items.append((2, codec))  # the alpha auxiliary
+    if with_exif:
+        items.append((len(items) + 1, "Exif"))
+    props = []
+    assoc = {}
+    if with_alpha:
+        props.append(_fullbox(b"ispe", 0, struct.pack(">II", w // 2, h // 2)))
+        assoc[2] = [1]
+    props.append(_fullbox(b"ispe", 0, struct.pack(">II", w, h)))
+    assoc[1] = [len(props)]
+    ipco = _box(b"ipco", b"".join(props))
+    entries = b""
+    for iid, idxs in sorted(assoc.items()):
+        entries += iid.to_bytes(2 if v == 0 else 4, "big") + bytes(
+            [len(idxs)]
+        ) + b"".join(bytes([i]) for i in idxs)
+    ipma = _fullbox(b"ipma", v, struct.pack(">I", len(assoc)) + entries)
+    iinf = _fullbox(
+        b"iinf",
+        v,
+        len(items).to_bytes(2 if v == 0 else 4, "big")
+        + b"".join(infe(i, t) for i, t in items),
+    )
+    hdlr = _fullbox(b"hdlr", 0, b"\x00" * 4 + b"pict" + b"\x00" * 12 + b"h\x00")
+    pitm = _fullbox(b"pitm", v, (1).to_bytes(2 if v == 0 else 4, "big"))
+    meta = _fullbox(
+        b"meta", 0, hdlr + pitm + iinf + _box(b"iprp", ipco + ipma)
+    )
+    ftyp = _box(
+        b"ftyp", brand.encode("latin-1") + struct.pack(">I", 0) + b"mif1miaf"
+    )
+    return ftyp + meta + _box(b"mdat", b"\x00" * 8)

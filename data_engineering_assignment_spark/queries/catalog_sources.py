@@ -5533,3 +5533,86 @@ def webp_container_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("duration_ms").cast("long").alias("duration_ms_sum"),
         F.sum(F.col("has_exif").cast("int")).cast("long").alias("n_exif"),
     )
+
+
+_BMFF_IMAGE_ORACLE = """
+WITH t AS (
+  SELECT doc_id AS d FROM documents
+), v AS (
+  SELECT CASE WHEN d % 2 = 0 THEN 'avif' ELSE 'heic' END AS brand,
+         64 + 8 * (d % 7) AS w, 48 + 8 * (d % 4) AS h,
+         1 + CASE WHEN d % 3 = 0 THEN 1 ELSE 0 END
+           + CASE WHEN d % 5 = 0 THEN 1 ELSE 0 END AS items,
+         CASE WHEN d % 5 = 0 THEN 1 ELSE 0 END AS exif
+  FROM t WHERE d % 13 <> 0
+  UNION ALL
+  SELECT 'dead', NULL, NULL, NULL, NULL FROM t WHERE d % 13 = 0
+)
+SELECT brand, COUNT(*) AS n_files,
+       SUM(w)::BIGINT AS width_sum, SUM(h)::BIGINT AS height_sum,
+       SUM(items)::BIGINT AS items_sum, SUM(exif)::BIGINT AS n_exif
+FROM v GROUP BY 1
+"""
+
+
+@register(
+    "avif_container_stats",
+    oracle=_BMFF_IMAGE_ORACLE,
+    doc="AVIF/HEIC image-container gate (functions/mp4.parse_bmff_image "
+    "+ sources.bmff_image_meta — the modern-web still-image siblings "
+    "of MP4, ISO/IEC 23008-12 item structure over the same box "
+    "grammar; AV1/HEVC item decode stays guarded): every document "
+    "becomes a skeleton container whose values are arithmetic in "
+    "doc_id — brand/codec by parity (avif/av01 vs heic/hvc1), ispe "
+    "dims, an ALPHA auxiliary item at doc_id%3=0 whose own half-size "
+    "ispe is listed FIRST in ipco (a reader that grabs the first ispe "
+    "instead of following pitm->ipma reports wrong dims — the planted "
+    "trap), an Exif item at doc_id%5=0, and the 32-bit v1 "
+    "pitm/infe/ipma layouts at doc_id%7=0 (an axis that must not move "
+    "any value). doc_id%13=0 plants junk -> one parse_ok=false row. "
+    "Per-brand counts, dim sums, item counts and Exif counts sit "
+    "under one hash.",
+)
+def avif_container_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from ..functions.mp4 import build_bmff_image
+    from ..sources import bmff_image_meta
+    from ..tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def make(batches):
+        for pdf in batches:
+            rows = []
+            for x in pdf["doc_id"]:
+                did = int(x)
+                if did % 13 == 0:
+                    rows.append((did, b"junk bytes, not a bmff image"))
+                    continue
+                rows.append(
+                    (
+                        did,
+                        build_bmff_image(
+                            64 + 8 * (did % 7),
+                            48 + 8 * (did % 4),
+                            brand="avif" if did % 2 == 0 else "heic",
+                            codec="av01" if did % 2 == 0 else "hvc1",
+                            with_alpha=did % 3 == 0,
+                            with_exif=did % 5 == 0,
+                            version1=did % 7 == 0,
+                        ),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["archive_id", "content"])
+
+    media = docs.mapInPandas(make, "archive_id long, content binary")
+    m = bmff_image_meta(media)
+    brand = F.coalesce(F.col("major_brand"), F.lit("dead"))
+    return m.groupBy(brand.alias("brand")).agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("width").cast("long").alias("width_sum"),
+        F.sum("height").cast("long").alias("height_sum"),
+        F.sum("n_items").cast("long").alias("items_sum"),
+        F.sum(F.col("has_exif").cast("int")).cast("long").alias("n_exif"),
+    )

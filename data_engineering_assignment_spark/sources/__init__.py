@@ -492,6 +492,54 @@ def webp_meta(df: DataFrame, content_col: str = "content", id_col: str = "archiv
     return df.mapInPandas(mapper, schema)
 
 
+def bmff_image_meta(df: DataFrame, content_col: str = "content", id_col: str = "archive_id") -> DataFrame:
+    """AVIF/HEIC image-container metadata, one row per file
+    (``functions.mp4.parse_bmff_image``: ISO/IEC 23008-12 item
+    structure — pitm -> ipma -> ispe so auxiliary/thumbnail items
+    can't shadow the primary image's dims; AV1/HEVC item decode stays
+    guarded). Output: major_brand, primary_item, n_items, codec,
+    width, height, has_exif, parse_ok; junk survives as one
+    parse_ok = false row. Arrow-batched mapInPandas, zero shuffle."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..functions.mp4 import parse_bmff_image
+
+    schema = (
+        f"{id_col} long, major_brand string, primary_item long,"
+        " n_items int, codec string, width long, height long,"
+        " has_exif boolean, parse_ok boolean"
+    )
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            id_col, "major_brand", "primary_item", "n_items", "codec",
+            "width", "height", "has_exif", "parse_ok",
+        ]
+        for pdf in batches:
+            rows = []
+            for aid, content in zip(pdf[id_col], pdf[content_col]):
+                aid = int(aid)
+                try:
+                    r = parse_bmff_image(bytes(content))
+                    rows.append(
+                        (
+                            aid, r["major_brand"], r["primary_item"],
+                            r["n_items"], r["codec"], r["width"],
+                            r["height"], r["has_exif"], True,
+                        )
+                    )
+                except Exception:
+                    rows.append(
+                        (aid, None, None, None, None, None, None, None,
+                         False)
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(mapper, schema)
+
+
 def mp4_tracks(df: DataFrame, content_col: str = "content", id_col: str = "archive_id") -> DataFrame:
     """Explode MP4/ISO-BMFF binary columns into one row per TRACK —
     container metadata for the dominant web video format, without any

@@ -122,3 +122,86 @@ def test_adversarial_bytes_never_escape_error_contract(data, mutations):
         assert isinstance(r, dict)
     except ValueError:
         pass
+
+
+def test_bmff_image_roundtrip_and_alpha_trap():
+    """AVIF/HEIC item structure: dims must come from the ispe that
+    ipma associates with the pitm primary item — the builder plants the
+    alpha auxiliary's HALF-SIZE ispe first in ipco, so first-ispe
+    readers report wrong dims."""
+    from data_engineering_assignment_spark.functions.mp4 import (
+        build_bmff_image,
+        parse_bmff_image,
+    )
+
+    for v1 in (False, True):
+        for alpha in (False, True):
+            for exif in (False, True):
+                b = build_bmff_image(
+                    640, 480, "avif", "av01",
+                    with_exif=exif, with_alpha=alpha, version1=v1,
+                )
+                r = parse_bmff_image(b)
+                assert (r["width"], r["height"]) == (640, 480), (v1, alpha)
+                assert r["codec"] == "av01" and r["primary_item"] == 1
+                assert r["n_items"] == 1 + alpha + exif
+                assert r["has_exif"] is exif
+    r = parse_bmff_image(build_bmff_image(100, 80, "heic", "hvc1"))
+    assert (r["major_brand"], r["codec"]) == ("heic", "hvc1")
+
+
+def test_bmff_image_guards():
+    from data_engineering_assignment_spark.functions.mp4 import (
+        build_bmff_image,
+        build_mp4,
+        parse_bmff_image,
+    )
+
+    with pytest.raises(ValueError):
+        parse_bmff_image(b"junk not bmff at all")
+    # a video mp4 is not an image container (no meta box)
+    with pytest.raises(ValueError, match="ftyp/meta"):
+        parse_bmff_image(build_mp4(1))
+    # non-image brand with no image compat brand
+    b = build_bmff_image(10, 10)
+    with pytest.raises(ValueError, match="image brand"):
+        parse_bmff_image(
+            b.replace(b"avif", b"qt  ").replace(b"mif1miaf", b"qt  qt  ")
+        )
+    # dangling pitm (points at a missing item id)
+    i = b.find(b"pitm") + 8
+    broken = b[:i] + b"\x00\x63" + b[i + 2 :]
+    with pytest.raises(ValueError, match="pitm"):
+        parse_bmff_image(broken)
+    # ipma entry-count bomb cannot loop
+    j = b.find(b"ipma") + 8
+    bomb = b[:j] + struct.pack(">I", 1 << 30) + b[j + 4 :]
+    with pytest.raises(ValueError):
+        parse_bmff_image(bomb)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    data=st.binary(min_size=0, max_size=48),
+    mutations=st.lists(
+        st.tuples(st.integers(0, 300), st.integers(0, 255)),
+        min_size=0,
+        max_size=8,
+    ),
+)
+def test_bmff_image_adversarial_error_contract(data, mutations):
+    from data_engineering_assignment_spark.functions.mp4 import (
+        build_bmff_image,
+        parse_bmff_image,
+    )
+
+    base = bytearray(
+        build_bmff_image(64, 48, with_alpha=True, with_exif=True) + data
+    )
+    for pos, val in mutations:
+        base[pos % len(base)] = val
+    try:
+        r = parse_bmff_image(bytes(base))
+        assert isinstance(r, dict)
+    except ValueError:
+        pass
