@@ -362,6 +362,8 @@ HEADLINE = [
     "webp_container_stats",
     # round 14: AVIF/HEIC image-container metadata gate (oracle-gated)
     "avif_container_stats",
+    # round 14: RSS/Atom feed frontier-seed gate (oracle-gated)
+    "feed_frontier_stats",
 ]
 
 

@@ -903,6 +903,73 @@ def sitemap_entries(
     return df.mapInPandas(mapper, schema)
 
 
+def feed_entries(
+    df: DataFrame,
+    content_col: str = "http_body",
+    uri_col: str = "target_uri",
+) -> DataFrame:
+    """Explode fetched RSS/Atom feed documents into one row per entry —
+    the frontier's OTHER seed source beside :func:`sitemap_entries`
+    (recency-sensitive crawls discover new URLs from feeds between
+    sitemap refreshes). Parsing is :func:`functions.feeds.parse_feed`
+    (RSS 2.0 + Atom, gzip-sniffed bytes, namespace-agnostic). Output:
+    (feed_uri, kind, feed_title, link, title, published, entry_id,
+    parse_ok) — ``published`` stays the verbatim string. A malformed
+    document survives as ONE parse_ok = false row and an entry-less
+    one as a (kind, NULL-link) row — countable dead-letter / census
+    rows, never dropped. Arrow-batched mapInPandas, zero shuffle."""
+    from ..functions.feeds import parse_feed
+
+    schema = (
+        "feed_uri string, kind string, feed_title string, link string,"
+        " title string, published string, entry_id string,"
+        " parse_ok boolean"
+    )
+    cols = [
+        "feed_uri", "kind", "feed_title", "link", "title", "published",
+        "entry_id", "parse_ok",
+    ]
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for uri, raw in zip(pdf[uri_col], pdf[content_col]):
+                uri = None if uri is None else str(uri)
+                try:
+                    if raw is None:
+                        raise ValueError("no content")
+                    r = parse_feed(
+                        bytes(raw)
+                        if isinstance(raw, (bytes, bytearray))
+                        else str(raw)
+                    )
+                    if not r["entries"]:
+                        rows.append(
+                            (uri, r["kind"], r["title"], None, None,
+                             None, None, True)
+                        )
+                    for e in r["entries"]:
+                        rows.append(
+                            (
+                                uri,
+                                r["kind"],
+                                r["title"],
+                                e["link"],
+                                e["title"],
+                                e["published"],
+                                e["id"],
+                                True,
+                            )
+                        )
+                except Exception:
+                    rows.append(
+                        (uri, None, None, None, None, None, None, False)
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(mapper, schema)
+
+
 def warc_revisit_export(
     df: DataFrame,
     payload_col: str = "payload",

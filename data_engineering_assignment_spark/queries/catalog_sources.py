@@ -5616,3 +5616,112 @@ def avif_container_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_items").cast("long").alias("items_sum"),
         F.sum(F.col("has_exif").cast("int")).cast("long").alias("n_exif"),
     )
+
+
+_FEED_ORACLE = """
+WITH t AS (
+  SELECT doc_id AS d, LENGTH(doc_id::VARCHAR) AS dd,
+         1 + doc_id % 4 AS n
+  FROM documents
+), v AS (
+  SELECT CASE WHEN d % 2 = 0 THEN 'rss' ELSE 'atom' END AS kind,
+         n, n * (25 + dd) AS ll, n * (7 + dd) AS tl,
+         (n + 1) // 2 AS pub, 1 + (n - 1) // 3 AS wid
+  FROM t WHERE d % 13 <> 0
+  UNION ALL
+  -- dead rows: the Spark side's null-count sums read 0 (a SUM of cast
+  -- booleans never goes NULL) while the length sums stay NULL
+  SELECT 'dead', 0, NULL, NULL, 0, 0 FROM t WHERE d % 13 = 0
+)
+SELECT kind, COUNT(*) AS n_feeds, SUM(n)::BIGINT AS n_entries,
+       SUM(ll)::BIGINT AS link_len_sum, SUM(tl)::BIGINT AS title_len_sum,
+       SUM(pub)::BIGINT AS n_published, SUM(wid)::BIGINT AS n_with_id
+FROM v GROUP BY 1
+"""
+
+
+@register(
+    "feed_frontier_stats",
+    oracle=_FEED_ORACLE,
+    doc="RSS/Atom feed ingest gate (functions/feeds.parse_feed + "
+    "operators/crawl.feed_entries — the frontier's OTHER seed source "
+    "beside sitemap_frontier_stats: recency crawls discover new URLs "
+    "from feeds between sitemap refreshes): every document becomes a "
+    "closed-form feed — RSS 2.0 channel/item for even doc_ids, Atom "
+    "feed/entry (link from the href ATTRIBUTE, rel-alternate rule) for "
+    "odd — with 1 + doc_id%4 entries whose link/title lengths are "
+    "arithmetic in the doc_id digit count, pubDate/published on even "
+    "entry indices, guid/id on every third, and the whole document "
+    "gzipped at doc_id%5=0 (the .xml.gz wire form, value-neutral "
+    "axis). doc_id%13=0 plants junk -> one parse_ok=false dead-letter "
+    "row. Per-kind feed/entry counts, link/title length sums, "
+    "published and id counts sit under one hash.",
+)
+def feed_frontier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from ..functions.feeds import build_feed
+    from ..operators.crawl import feed_entries
+    from ..tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def make(batches):
+        for pdf in batches:
+            rows = []
+            for x in pdf["doc_id"]:
+                did = int(x)
+                uri = f"http://s{did % 7}.example/feed.xml?id={did}"
+                if did % 13 == 0:
+                    rows.append((did, uri, b"junk bytes, not a feed"))
+                    continue
+                n = 1 + did % 4
+                entries = [
+                    {
+                        "link": (
+                            f"http://s{(3 * did + j) % 7}.example"
+                            f"/feed/{did}/{j}"
+                        ),
+                        "title": f"item {did} {j}",
+                        "published": (
+                            f"2024-01-0{1 + j % 7}" if j % 2 == 0 else None
+                        ),
+                        "id": f"id-{did}-{j}" if j % 3 == 0 else None,
+                    }
+                    for j in range(n)
+                ]
+                rows.append(
+                    (
+                        did,
+                        uri,
+                        build_feed(
+                            entries,
+                            kind="rss" if did % 2 == 0 else "atom",
+                            title=f"feed {did}",
+                            gzipped=did % 5 == 0,
+                        ),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "target_uri", "http_body"]
+            )
+
+    media = docs.mapInPandas(
+        make, "doc_id long, target_uri string, http_body binary"
+    )
+    m = feed_entries(media)
+    kind = F.coalesce(F.col("kind"), F.lit("dead"))
+    return m.groupBy(kind.alias("kind")).agg(
+        F.countDistinct("feed_uri").alias("n_feeds"),
+        F.sum(F.col("link").isNotNull().cast("int"))
+        .cast("long")
+        .alias("n_entries"),
+        F.sum(F.length("link")).cast("long").alias("link_len_sum"),
+        F.sum(F.length("title")).cast("long").alias("title_len_sum"),
+        F.sum(F.col("published").isNotNull().cast("int"))
+        .cast("long")
+        .alias("n_published"),
+        F.sum(F.col("entry_id").isNotNull().cast("int"))
+        .cast("long")
+        .alias("n_with_id"),
+    )
