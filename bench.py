@@ -364,6 +364,8 @@ HEADLINE = [
     "avif_container_stats",
     # round 14: RSS/Atom feed frontier-seed gate (oracle-gated)
     "feed_frontier_stats",
+    # round 14: in-page robots directives gate (oracle-gated)
+    "robots_meta_gate",
 ]
 
 

@@ -56,8 +56,10 @@ class _Extractor(HTMLParser):
         self._in_title = False
         self._title_done = False  # first <title> wins (svg:title etc.)
         self._title_parts: list[str] = []
-        self.links: list[tuple[str, str]] = []
+        self.links: list[tuple[str, str, bool]] = []
+        self.robots: list[str] = []  # meta-robots tokens, first-seen order
         self._href: str | None = None
+        self._nofollow = False
         self._anchor: list[str] = []  # full anchor text (the link record)
         self._anchor_line: list[str] = []  # anchor text since last flush
 
@@ -92,15 +94,27 @@ class _Extractor(HTMLParser):
     def _end_anchor(self) -> None:
         if self._href is not None:
             anchor = " ".join("".join(self._anchor).split())
-            self.links.append((self._href, anchor))
+            self.links.append((self._href, anchor, self._nofollow))
             self._credit_anchor_line()
         self._href = None
+        self._nofollow = False
         self._anchor = []
         self._anchor_line = []
 
     def handle_starttag(self, tag, attrs):
         if tag == "title" and not self._title_done:
             self._in_title = True
+        if tag == "meta":
+            # meta robots directives live in <head>, which the text
+            # extractor otherwise drops — read them BEFORE the drop
+            # gate (the <title> rule). Only the generic 'robots' name:
+            # per-agent names are a politeness-policy concern upstream.
+            a = dict(attrs)
+            if (a.get("name") or "").strip().lower() == "robots":
+                for tok in (a.get("content") or "").lower().split(","):
+                    tok = tok.strip()
+                    if tok and tok not in self.robots:
+                        self.robots.append(tok)
         if tag in _DROP:
             self._drop += 1
             return
@@ -112,7 +126,14 @@ class _Extractor(HTMLParser):
             self._boiler += 1
         if tag == "a":
             self._end_anchor()  # tag soup: an <a> implicitly closes one
-            self._href = dict(attrs).get("href")
+            a = dict(attrs)
+            self._href = a.get("href")
+            # link-level opt-outs: rel tokens nofollow/ugc/sponsored all
+            # mean "don't count this edge" to a link graph
+            self._nofollow = bool(
+                {"nofollow", "ugc", "sponsored"}
+                & set((a.get("rel") or "").lower().split())
+            )
             self._anchor = []
 
     def handle_endtag(self, tag):
@@ -171,14 +192,19 @@ class _Extractor(HTMLParser):
 
 
 def parse_html(html: str) -> dict:
-    """Extract {text, main_text, title, links} from an HTML string —
-    text per the module contract; main_text additionally drops
+    """Extract {text, main_text, title, links, robots} from an HTML
+    string — text per the module contract; main_text additionally drops
     structural chrome (nav/header/footer/aside subtree lines) and lines
     whose anchor-text density exceeds 1/2 (the link-density heuristic:
     nav bars and link lists are mostly anchor chars, prose is not);
     title from ``<title>`` (even though <head> content is otherwise
-    dropped); links as (href, anchor_text) pairs in document order
-    (links inside dropped subtrees excluded)."""
+    dropped); links as (href, anchor_text, nofollow) triples in
+    document order (links inside dropped subtrees excluded; nofollow
+    true when rel carries nofollow/ugc/sponsored — the tokens a link
+    graph must not count); robots as the ``<meta name=robots>``
+    directive tokens in first-seen order (noindex/nofollow/none/... —
+    the in-page opt-outs a C4-style corpus and a frontier must
+    honor)."""
     p = _Extractor()
     p.feed(html)
     p.close()
@@ -187,6 +213,7 @@ def parse_html(html: str) -> dict:
         "main_text": p.result_main_text(),
         "title": p.title,
         "links": p.links,
+        "robots": p.robots,
     }
 
 

@@ -29,7 +29,11 @@ def _html_struct():
     )
 
     link = StructType(
-        [StructField("href", StringType()), StructField("anchor", StringType())]
+        [
+            StructField("href", StringType()),
+            StructField("anchor", StringType()),
+            StructField("nofollow", BooleanType()),
+        ]
     )
     return StructType(
         [
@@ -37,6 +41,8 @@ def _html_struct():
             StructField("main_text", StringType()),
             StructField("title", StringType()),
             StructField("links", ArrayType(link)),
+            StructField("noindex", BooleanType()),
+            StructField("nofollow", BooleanType()),
             StructField("html_ok", BooleanType()),
         ]
     )
@@ -49,10 +55,14 @@ def html_extract(
     content_type_col: str | None = None,
 ) -> DataFrame:
     """Append ``out_col`` = struct<text, main_text, title, links,
-    html_ok> extracted
+    noindex, nofollow, html_ok> extracted
     from an HTML string/binary column via :func:`functions.html.parse_html`
     (deterministic contract: script/style/head dropped, entities decoded,
-    block boundaries -> newlines, whitespace collapsed).
+    block boundaries -> newlines, whitespace collapsed). Each link
+    carries its rel-nofollow/ugc/sponsored flag; ``noindex``/``nofollow``
+    are the page-level ``<meta name=robots>`` directives ('none' implies
+    both) — the in-page opt-outs a C4-style corpus filter and a link
+    graph must honor.
 
     Binary input decodes charset-aware via
     :func:`functions.html.decode_html_bytes` (BOM > HTTP Content-Type
@@ -88,21 +98,28 @@ def html_extract(
                             None if ctype is None else str(ctype),
                         )
                     r = parse_html(raw)
+                    toks = set(r["robots"])
                     vals.append(
                         {
                             "text": r["text"],
                             "main_text": r["main_text"],
                             "title": r["title"],
                             "links": [
-                                {"href": h, "anchor": a} for h, a in r["links"]
+                                {"href": h, "anchor": a, "nofollow": nf}
+                                for h, a, nf in r["links"]
                             ],
+                            # 'none' == noindex,nofollow per the robots
+                            # meta spec
+                            "noindex": bool({"noindex", "none"} & toks),
+                            "nofollow": bool({"nofollow", "none"} & toks),
                             "html_ok": True,
                         }
                     )
                 except Exception:
                     vals.append(
                         {"text": None, "main_text": None, "title": None,
-                         "links": None, "html_ok": False}
+                         "links": None, "noindex": None, "nofollow": None,
+                         "html_ok": False}
                     )
             out = pdf.copy()
             out[out_col] = vals
@@ -193,9 +210,12 @@ def document_extract(
     to the HTML extractor (``functions.html.parse_html``, charset-aware
     decode) or the PDF extractor (``functions.pdf.pdf_text``), appending
     ``out_col`` = struct<text, main_text, title, n_pages, links, kind,
-    doc_ok> — ``links`` is the unresolved outlink target list of either
-    kind (HTML anchor hrefs / PDF /Annots URI actions), one explode +
-    resolution away from the link graph.
+    doc_ok> — ``links`` is the unresolved FOLLOW-ABLE outlink target
+    list of either kind (HTML anchor hrefs with rel
+    nofollow/ugc/sponsored anchors excluded — the tokens a link graph
+    must not count; PDF /Annots URI actions), one explode + resolution
+    away from the link graph. Consumers needing the nofollow edges too
+    should use :func:`html_extract`'s per-link flag.
 
     Routing contract (deterministic, dead-letter-complete):
 
@@ -276,7 +296,7 @@ def document_extract(
                     "main_text": r["main_text"],
                     "title": r["title"],
                     "n_pages": 1,
-                    "links": [h for h, _ in r["links"]],
+                    "links": [h for h, _, nf in r["links"] if not nf],
                     "kind": kind,
                     "doc_ok": True,
                 }
@@ -1142,6 +1162,7 @@ def page_links(
             "*",
             F.col("_link.href").alias("href"),
             F.col("_link.anchor").alias("anchor"),
+            F.col("_link.nofollow").alias("link_nofollow"),
         )
         .drop("_link")
         .withColumn(

@@ -5725,3 +5725,126 @@ def feed_frontier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_with_id"),
     )
+
+
+_ROBOTS_META_ORACLE = """
+WITH t AS (
+  SELECT doc_id AS d FROM documents
+), v AS (
+  SELECT CASE d % 4 WHEN 0 THEN 'both' WHEN 1 THEN 'none'
+              WHEN 2 THEN 'noarchive' ELSE 'absent' END AS directive,
+         1 AS ok,
+         CASE WHEN d % 4 IN (0, 1) THEN 1 ELSE 0 END AS noidx,
+         CASE WHEN d % 4 IN (0, 1) THEN 0 ELSE 1 END AS kept,
+         3 AS links, 2 AS nf_links,
+         CASE WHEN d % 4 IN (0, 1) THEN 0 ELSE 1 END AS edges
+  FROM t WHERE d % 13 <> 0
+  UNION ALL
+  SELECT 'dead', 0, 0, 0, 0, 0, 0 FROM t WHERE d % 13 = 0
+)
+SELECT directive, COUNT(*) AS n_pages, SUM(ok)::BIGINT AS n_ok,
+       SUM(noidx)::BIGINT AS n_noindex, SUM(kept)::BIGINT AS n_kept,
+       SUM(links)::BIGINT AS n_links,
+       SUM(nf_links)::BIGINT AS n_nofollow_links,
+       SUM(edges)::BIGINT AS n_frontier_edges
+FROM v GROUP BY 1
+"""
+
+
+@register(
+    "robots_meta_gate",
+    oracle=_ROBOTS_META_ORACLE,
+    doc="In-page robots-directive gate (functions/html.parse_html "
+    "robots tokens + per-link rel flags, crawl.html_extract "
+    "noindex/nofollow booleans, crawl.page_links link_nofollow — the "
+    "opt-outs a C4-style corpus filter and a link graph must honor "
+    "beside robots.txt: pages declaring noindex leave the corpus, "
+    "meta-nofollow pages and rel-nofollow/ugc/sponsored anchors leave "
+    "the frontier): doc_id%4 plants 'noindex, nofollow' / 'none' "
+    "(which implies both) / a harmless 'noarchive' / no meta at all; "
+    "every page carries one plain anchor, one rel=nofollow and one "
+    "rel='ugc sponsored'. doc_id%13=0 plants an undecodable body -> "
+    "one html_ok=false dead-letter row. Per-directive page counts, "
+    "noindex/corpus-kept counts, link and nofollow-link counts, and "
+    "the follow-able frontier-edge count sit under one hash.",
+)
+def robots_meta_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from ..operators.crawl import html_extract, page_links
+    from ..tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def make(batches):
+        for pdf in batches:
+            rows = []
+            for x in pdf["doc_id"]:
+                did = int(x)
+                uri = f"http://s{did % 7}.example/p/{did}"
+                if did % 13 == 0:
+                    rows.append((did, uri, None))
+                    continue
+                meta = (
+                    '<meta name="robots" content="noindex, nofollow">'
+                    if did % 4 == 0
+                    else '<meta name="robots" content="none">'
+                    if did % 4 == 1
+                    else '<meta name="robots" content="noarchive">'
+                    if did % 4 == 2
+                    else ""
+                )
+                html = (
+                    f"<html><head>{meta}</head><body>"
+                    f'<a href="/a/{did}">a</a> '
+                    f'<a href="/b/{did}" rel="nofollow">b</a> '
+                    f'<a href="/c/{did}" rel="ugc sponsored">c</a>'
+                    "</body></html>"
+                )
+                rows.append((did, uri, html))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "target_uri", "html"]
+            )
+
+    media = docs.mapInPandas(
+        make, "doc_id long, target_uri string, html string"
+    )
+    pages = html_extract(media, html_col="html")
+    d = F.col("doc_id")
+    directive = (
+        F.when(~F.col("page.html_ok"), F.lit("dead"))
+        .when(d % 4 == 0, F.lit("both"))
+        .when(d % 4 == 1, F.lit("none"))
+        .when(d % 4 == 2, F.lit("noarchive"))
+        .otherwise(F.lit("absent"))
+    )
+    page_stats = pages.groupBy(directive.alias("directive")).agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.sum(F.col("page.html_ok").cast("int")).cast("long").alias("n_ok"),
+        F.sum(F.coalesce(F.col("page.noindex"), F.lit(False)).cast("int"))
+        .cast("long")
+        .alias("n_noindex"),
+        F.sum(
+            (F.col("page.html_ok") & ~F.col("page.noindex")).cast("int")
+        )
+        .cast("long")
+        .alias("n_kept"),
+    )
+    links = page_links(pages)
+    link_stats = links.groupBy(directive.alias("directive")).agg(
+        F.count(F.lit(1)).alias("n_links"),
+        F.sum(F.col("link_nofollow").cast("int"))
+        .cast("long")
+        .alias("n_nofollow_links"),
+        F.sum(
+            (~F.col("link_nofollow") & ~F.col("page.nofollow")).cast("int")
+        )
+        .cast("long")
+        .alias("n_frontier_edges"),
+    )
+    return page_stats.join(link_stats, "directive", "left").select(
+        "directive", "n_pages", "n_ok", "n_noindex", "n_kept",
+        F.coalesce("n_links", F.lit(0)).alias("n_links"),
+        F.coalesce("n_nofollow_links", F.lit(0)).alias("n_nofollow_links"),
+        F.coalesce("n_frontier_edges", F.lit(0)).alias("n_frontier_edges"),
+    )

@@ -56,7 +56,7 @@ def test_parse_html_links_and_first_title_wins():
     )
     r = parse_html(h)
     assert r["title"] == "First"
-    assert r["links"] == [("/x", "X ray"), ("/y", "Y")]
+    assert r["links"] == [("/x", "X ray", False), ("/y", "Y", False)]
 
 
 def test_fixture_html_closed_form_formulas():
@@ -413,7 +413,7 @@ def test_main_text_boilerplate_and_link_density():
         "real prose with a few honest words and one link inside"
     )
     # links are still collected from everywhere outside dropped subtrees
-    assert [href for href, _ in r["links"]] == ["/a", "/b", "/ref", "/x"]
+    assert [href for href, _, _ in r["links"]] == ["/a", "/b", "/ref", "/x"]
 
 
 def test_anchor_spanning_blocks_credits_each_line():
@@ -436,7 +436,7 @@ def test_anchor_spanning_blocks_credits_each_line():
         "honest prose line with plenty of ordinary words"
     )
     # the link record still carries the FULL anchor text
-    assert r["links"] == [("/mega", "first nav line second nav line")]
+    assert r["links"] == [("/mega", "first nav line second nav line", False)]
 
 
 def test_decode_html_bytes_precedence():
@@ -1240,3 +1240,63 @@ def test_registered_domain_psl_precedence(spark):
     }
     for host, want in rows:
         assert got[host] == want, (host, got[host], want)
+
+
+def test_meta_robots_and_rel_nofollow():
+    """In-page opt-outs: <meta name=robots> tokens surface in
+    first-seen order ('none' left to consumers to expand), and each
+    link carries a nofollow flag for rel nofollow/ugc/sponsored —
+    case-insensitive, multi-token rel, meta read inside the dropped
+    <head> subtree (the <title> rule)."""
+    h = (
+        "<html><head><title>t</title>"
+        '<meta name="ROBOTS" content="NOINDEX, nofollow , noarchive">'
+        '<meta name="robots" content="noindex"></head><body>'
+        '<a href="/a">plain</a> '
+        '<a href="/b" rel="NoFollow">nf</a> '
+        '<a href="/c" rel="ugc sponsored">us</a> '
+        '<a href="/d" rel="author">ok</a>'
+        "</body></html>"
+    )
+    r = parse_html(h)
+    assert r["robots"] == ["noindex", "nofollow", "noarchive"]
+    assert r["links"] == [
+        ("/a", "plain", False),
+        ("/b", "nf", True),
+        ("/c", "us", True),
+        ("/d", "ok", False),
+    ]
+    # 'none' is preserved verbatim; no meta -> empty list
+    assert parse_html('<meta name=robots content="none">')["robots"] == ["none"]
+    assert parse_html("<p>x</p>")["robots"] == []
+    # a non-robots meta name does not leak in
+    assert parse_html('<meta name="viewport" content="noindex">')["robots"] == []
+
+
+def test_html_extract_robots_flags(spark):
+    from data_engineering_assignment_spark.operators.crawl import (
+        html_extract,
+        page_links,
+    )
+
+    rows = [
+        (1, "http://h.example/1",
+         '<meta name=robots content="noindex"><a href="/x">x</a>'),
+        (2, "http://h.example/2",
+         '<meta name=robots content="none"><a href="/y" rel=nofollow>y</a>'),
+        (3, "http://h.example/3", "<a href='/z'>z</a>"),
+        (4, "http://h.example/4", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, target_uri string, html string"
+    )
+    pages = {r.doc_id: r.page for r in html_extract(df, html_col="html").collect()}
+    assert pages[1].noindex and not pages[1].nofollow
+    assert pages[2].noindex and pages[2].nofollow  # 'none' implies both
+    assert not pages[3].noindex and not pages[3].nofollow
+    assert pages[4].noindex is None and not pages[4].html_ok
+    links = page_links(
+        html_extract(df, html_col="html")
+    ).select("doc_id", "href", "link_nofollow").collect()
+    got = {(r.doc_id, r.href): r.link_nofollow for r in links}
+    assert got == {(1, "/x"): False, (2, "/y"): True, (3, "/z"): False}
