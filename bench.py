@@ -366,6 +366,8 @@ HEADLINE = [
     "feed_frontier_stats",
     # round 14: in-page robots directives gate (oracle-gated)
     "robots_meta_gate",
+    # round 14: fragmented-MP4 (DASH/HLS streaming profile) gate
+    "fmp4_fragment_stats",
 ]
 
 

@@ -202,11 +202,39 @@ def parse_mp4(content: bytes) -> dict:
                 "duration_ms": tdur_ms,
             }
         )
+    # fragmented profile (fMP4 / CMAF — the DASH/HLS streaming form):
+    # samples live in top-level moof boxes, not the moov sample tables.
+    # Each moof: mfhd (sequence number) + traf boxes, each traf: tfhd
+    # (track id) + trun(s) whose leading u32 is the sample count.
+    n_fragments = 0
+    frag_samples: dict[int, int] = {}
+    for t, fb2, fe2 in top:
+        if t != b"moof":
+            continue
+        n_fragments += 1
+        for ft, tb2, te2 in _walk_boxes(content, fb2, fe2, 1):
+            if ft != b"traf":
+                continue
+            th = _child(content, tb2, te2, b"tfhd", 2)
+            if th is None:
+                raise ValueError("traf without tfhd")
+            _fullbox_version(content, th[0], th[1])
+            tid = _u(content, th[0] + 4, 4)
+            for rt, rb, re2 in _walk_boxes(content, tb2, te2, 2):
+                if rt != b"trun":
+                    continue
+                _fullbox_version(content, rb, re2)
+                frag_samples[tid] = frag_samples.get(tid, 0) + _u(
+                    content, rb + 4, 4
+                )
+    for tr in tracks:
+        tr["fragment_samples"] = frag_samples.get(tr["track_id"], 0)
     return {
         "major_brand": major,
         "movie_timescale": ts,
         "movie_duration_ms": dur * 1000 // ts,
         "n_tracks": len(tracks),
+        "n_fragments": n_fragments,
         "tracks": tracks,
     }
 
@@ -233,6 +261,7 @@ def build_mp4(
     brand: str = "isom",
     version1: bool = False,
     large_mdat: bool = False,
+    fragments: list[int] | None = None,
 ) -> bytes:
     """Serialize a standards-valid ISO-BMFF skeleton: ftyp + moov
     (mvhd + one trak per track: tkhd/mdia/mdhd/hdlr/minf/stbl with
@@ -243,7 +272,10 @@ def build_mp4(
     rate-tick timescale. ``version1`` writes the 64-bit v1
     mvhd/tkhd/mdhd layouts; ``large_mdat`` writes mdat with a 64-bit
     ``largesize`` header — both real-file axes the parser must walk.
-    The movie pair is (1000, 1000 * duration_s)."""
+    ``fragments`` (per-fragment VIDEO sample counts) appends the fMP4
+    streaming profile: one moof (mfhd sequence + traf/tfhd/trun) + mdat
+    pair per entry for track 1. The movie pair is
+    (1000, 1000 * duration_s)."""
 
     def times(v: int, n: int) -> bytes:
         return (b"\x00" * (8 if v else 4)) * n
@@ -299,7 +331,14 @@ def build_mp4(
     )
     moov = _box(b"moov", mvhd + traks)
     mdat = _box(b"mdat", b"\x00" * 16, largesize=large_mdat)
-    return ftyp + moov + mdat
+    out = ftyp + moov + mdat
+    for seq, n in enumerate(fragments or [], start=1):
+        mfhd = _fullbox(b"mfhd", 0, struct.pack(">I", seq))
+        tfhd = _fullbox(b"tfhd", 0, struct.pack(">I", 1))
+        trun = _fullbox(b"trun", 0, struct.pack(">I", n))
+        out += _box(b"moof", mfhd + _box(b"traf", tfhd + trun))
+        out += _box(b"mdat", b"\x00" * 8)
+    return out
 
 
 # ---------------------------------------------------------------------------

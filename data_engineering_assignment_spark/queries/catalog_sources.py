@@ -5848,3 +5848,87 @@ def robots_meta_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_nofollow_links", F.lit(0)).alias("n_nofollow_links"),
         F.coalesce("n_frontier_edges", F.lit(0)).alias("n_frontier_edges"),
     )
+
+
+_FMP4_ORACLE = """
+WITH t AS (
+  SELECT doc_id AS d, 1 + doc_id % 4 AS s, 1 + doc_id % 3 AS nf
+  FROM documents
+), v AS (
+  SELECT CASE WHEN d % 2 = 0 THEN 'avc1' ELSE 'hev1' END AS codec,
+         nf, 4 * nf * (nf + 1) + nf * (d % 5) AS fs, 24 * s AS ms
+  FROM t WHERE d % 13 <> 0
+  UNION ALL
+  SELECT 'dead', NULL, NULL, NULL FROM t WHERE d % 13 = 0
+)
+SELECT codec, COUNT(*) AS n_files,
+       SUM(nf)::BIGINT AS fragments_sum,
+       SUM(fs)::BIGINT AS frag_samples_sum,
+       SUM(ms)::BIGINT AS moov_samples_sum
+FROM v GROUP BY 1
+"""
+
+
+@register(
+    "fmp4_fragment_stats",
+    oracle=_FMP4_ORACLE,
+    doc="Fragmented-MP4 gate (functions/mp4.parse_mp4 moof/traf/trun "
+    "walk via sources.mp4_tracks — the fMP4/CMAF profile every "
+    "DASH/HLS stream ships, where samples live in top-level movie "
+    "fragments instead of the moov sample tables): every document "
+    "becomes a skeleton stream with 1 + doc_id%3 moof+mdat pairs whose "
+    "per-fragment trun sample counts are arithmetic in doc_id (sum = "
+    "4*nf*(nf+1) + nf*(doc_id%5), exact), alongside the moov-side "
+    "stts counts — so a reader that only knows the progressive profile "
+    "reports zero fragment samples and fails the hash. doc_id%13=0 "
+    "plants junk -> one parse_ok=false dead-letter row. Per-codec file "
+    "counts, fragment counts, fragment-sample and moov-sample sums sit "
+    "under one hash.",
+)
+def fmp4_fragment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from ..functions.mp4 import build_mp4
+    from ..sources import mp4_tracks
+    from ..tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def make(batches):
+        for pdf in batches:
+            rows = []
+            for x in pdf["doc_id"]:
+                did = int(x)
+                if did % 13 == 0:
+                    rows.append((did, b"junk bytes, not an mp4"))
+                    continue
+                nf = 1 + did % 3
+                rows.append(
+                    (
+                        did,
+                        build_mp4(
+                            1 + did % 4,
+                            video=(
+                                "avc1" if did % 2 == 0 else "hev1",
+                                320, 240, 24,
+                            ),
+                            fragments=[
+                                8 * (j + 1) + did % 5 for j in range(nf)
+                            ],
+                        ),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["archive_id", "content"])
+
+    media = docs.mapInPandas(make, "archive_id long, content binary")
+    m = mp4_tracks(media)
+    codec = F.coalesce(
+        F.col("codec"),
+        F.when(F.col("parse_ok"), F.lit("none")).otherwise(F.lit("dead")),
+    )
+    return m.groupBy(codec.alias("codec")).agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("n_fragments").cast("long").alias("fragments_sum"),
+        F.sum("fragment_samples").cast("long").alias("frag_samples_sum"),
+        F.sum("n_samples").cast("long").alias("moov_samples_sum"),
+    )

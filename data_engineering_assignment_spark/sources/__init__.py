@@ -547,9 +547,12 @@ def mp4_tracks(df: DataFrame, content_col: str = "content", id_col: str = "archi
     mdhd v0+v1, hdlr classification, stsd codec fourcc, stts sample
     counts; H.264/AAC bitstream decode stays guarded per the codec-gate
     discipline). Output per track: major_brand, movie_duration_ms,
-    n_tracks, track_id, kind ('video'/'audio'/raw fourcc), codec,
-    width, height, n_samples, duration_ms (exact integer floor
-    divisions of the timescale pairs) — plus parse_ok. Unparseable
+    n_tracks, n_fragments (top-level moof count — the fMP4/CMAF
+    streaming profile), track_id, kind ('video'/'audio'/raw fourcc),
+    codec, width, height, n_samples (moov sample tables),
+    duration_ms (exact integer floor divisions of the timescale
+    pairs), fragment_samples (trun sample-count sum for this track
+    across all fragments) — plus parse_ok. Unparseable
     bytes survive as ONE parse_ok = false row (the countable
     dead-letter contract). Arrow-batched mapInPandas, zero shuffle."""
     from collections.abc import Iterator
@@ -560,16 +563,17 @@ def mp4_tracks(df: DataFrame, content_col: str = "content", id_col: str = "archi
 
     schema = (
         f"{id_col} long, major_brand string, movie_duration_ms long,"
-        " n_tracks int, track_id long, kind string, codec string,"
-        " width int, height int, n_samples long, duration_ms long,"
-        " parse_ok boolean"
+        " n_tracks int, n_fragments int, track_id long, kind string,"
+        " codec string, width int, height int, n_samples long,"
+        " duration_ms long, fragment_samples long, parse_ok boolean"
     )
 
     def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [
             id_col, "major_brand", "movie_duration_ms", "n_tracks",
-            "track_id", "kind", "codec", "width", "height",
-            "n_samples", "duration_ms", "parse_ok",
+            "n_fragments", "track_id", "kind", "codec", "width",
+            "height", "n_samples", "duration_ms", "fragment_samples",
+            "parse_ok",
         ]
         for pdf in batches:
             rows = []
@@ -582,9 +586,11 @@ def mp4_tracks(df: DataFrame, content_col: str = "content", id_col: str = "archi
                             (
                                 aid, r["major_brand"],
                                 r["movie_duration_ms"], r["n_tracks"],
+                                r["n_fragments"],
                                 t["track_id"], t["kind"], t["codec"],
                                 t["width"], t["height"], t["n_samples"],
-                                t["duration_ms"], True,
+                                t["duration_ms"], t["fragment_samples"],
+                                True,
                             )
                         )
                     if not r["tracks"]:
@@ -592,14 +598,15 @@ def mp4_tracks(df: DataFrame, content_col: str = "content", id_col: str = "archi
                             (
                                 aid, r["major_brand"],
                                 r["movie_duration_ms"], 0,
+                                r["n_fragments"],
                                 None, None, None, None, None, None,
-                                None, True,
+                                None, None, True,
                             )
                         )
                 except Exception:
                     rows.append(
-                        (aid, None, None, None, None, None, None,
-                         None, None, None, None, False)
+                        (aid, None, None, None, None, None, None, None,
+                         None, None, None, None, None, False)
                     )
             yield pd.DataFrame(rows, columns=cols)
 

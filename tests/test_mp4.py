@@ -205,3 +205,42 @@ def test_bmff_image_adversarial_error_contract(data, mutations):
         assert isinstance(r, dict)
     except ValueError:
         pass
+
+
+def test_fragmented_profile():
+    """fMP4/CMAF: top-level moof count and per-track trun sample sums;
+    a progressive file reports zero fragments, and a traf without tfhd
+    is structural."""
+    from data_engineering_assignment_spark.functions.mp4 import (
+        _box,
+        _fullbox,
+        build_mp4,
+        parse_mp4,
+    )
+
+    b = build_mp4(2, fragments=[10, 20, 5])
+    r = parse_mp4(b)
+    assert r["n_fragments"] == 3
+    assert r["tracks"][0]["fragment_samples"] == 35
+    prog = parse_mp4(build_mp4(2))
+    assert prog["n_fragments"] == 0
+    assert prog["tracks"][0]["fragment_samples"] == 0
+    # fragments for an unknown track id don't credit track 1
+    alien = build_mp4(1) + _box(
+        b"moof",
+        _fullbox(b"mfhd", 0, struct.pack(">I", 1))
+        + _box(
+            b"traf",
+            _fullbox(b"tfhd", 0, struct.pack(">I", 9))
+            + _fullbox(b"trun", 0, struct.pack(">I", 7)),
+        ),
+    )
+    r = parse_mp4(alien)
+    assert r["n_fragments"] == 1
+    assert r["tracks"][0]["fragment_samples"] == 0
+    # traf without tfhd is a structural error
+    broken = build_mp4(1) + _box(
+        b"moof", _box(b"traf", _fullbox(b"trun", 0, struct.pack(">I", 7)))
+    )
+    with pytest.raises(ValueError, match="tfhd"):
+        parse_mp4(broken)
