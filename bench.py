@@ -368,6 +368,8 @@ HEADLINE = [
     "robots_meta_gate",
     # round 14: fragmented-MP4 (DASH/HLS streaming profile) gate
     "fmp4_fragment_stats",
+    # round 14: rel-canonical dedup + description metadata gate
+    "canonical_dedup_stats",
 ]
 
 

@@ -58,6 +58,9 @@ class _Extractor(HTMLParser):
         self._title_parts: list[str] = []
         self.links: list[tuple[str, str, bool]] = []
         self.robots: list[str] = []  # meta-robots tokens, first-seen order
+        self.canonical: str | None = None  # first <link rel=canonical>
+        self.description: str | None = None  # meta description precedence
+        self._og_description: str | None = None
         self._href: str | None = None
         self._nofollow = False
         self._anchor: list[str] = []  # full anchor text (the link record)
@@ -110,11 +113,26 @@ class _Extractor(HTMLParser):
             # gate (the <title> rule). Only the generic 'robots' name:
             # per-agent names are a politeness-policy concern upstream.
             a = dict(attrs)
-            if (a.get("name") or "").strip().lower() == "robots":
+            name = (a.get("name") or "").strip().lower()
+            if name == "robots":
                 for tok in (a.get("content") or "").lower().split(","):
                     tok = tok.strip()
                     if tok and tok not in self.robots:
                         self.robots.append(tok)
+            elif name == "description":
+                if self.description is None and a.get("content"):
+                    self.description = a["content"]
+            elif (a.get("property") or "").strip().lower() == "og:description":
+                if self._og_description is None and a.get("content"):
+                    self._og_description = a["content"]
+        if tag == "link":
+            # <link rel=canonical>: the in-page dedup signal — URL
+            # variants of one page declare a shared canonical target.
+            # First declaration wins (real pages sometimes repeat it).
+            a = dict(attrs)
+            rel = set((a.get("rel") or "").lower().split())
+            if "canonical" in rel and a.get("href") and self.canonical is None:
+                self.canonical = a["href"]
         if tag in _DROP:
             self._drop += 1
             return
@@ -203,8 +221,11 @@ def parse_html(html: str) -> dict:
     true when rel carries nofollow/ugc/sponsored — the tokens a link
     graph must not count); robots as the ``<meta name=robots>``
     directive tokens in first-seen order (noindex/nofollow/none/... —
-    the in-page opt-outs a C4-style corpus and a frontier must
-    honor)."""
+    the in-page opt-outs a C4-style corpus and a frontier must honor);
+    canonical as the first ``<link rel=canonical>`` href (the in-page
+    dedup signal — possibly relative, resolve against the page URI);
+    description as ``<meta name=description>`` falling back to
+    ``og:description`` (first of each wins)."""
     p = _Extractor()
     p.feed(html)
     p.close()
@@ -214,6 +235,10 @@ def parse_html(html: str) -> dict:
         "title": p.title,
         "links": p.links,
         "robots": p.robots,
+        "canonical": p.canonical,
+        "description": (
+            p.description if p.description is not None else p._og_description
+        ),
     }
 
 

@@ -43,6 +43,8 @@ def _html_struct():
             StructField("links", ArrayType(link)),
             StructField("noindex", BooleanType()),
             StructField("nofollow", BooleanType()),
+            StructField("canonical", StringType()),
+            StructField("description", StringType()),
             StructField("html_ok", BooleanType()),
         ]
     )
@@ -55,7 +57,7 @@ def html_extract(
     content_type_col: str | None = None,
 ) -> DataFrame:
     """Append ``out_col`` = struct<text, main_text, title, links,
-    noindex, nofollow, html_ok> extracted
+    noindex, nofollow, canonical, description, html_ok> extracted
     from an HTML string/binary column via :func:`functions.html.parse_html`
     (deterministic contract: script/style/head dropped, entities decoded,
     block boundaries -> newlines, whitespace collapsed). Each link
@@ -112,6 +114,8 @@ def html_extract(
                             # meta spec
                             "noindex": bool({"noindex", "none"} & toks),
                             "nofollow": bool({"nofollow", "none"} & toks),
+                            "canonical": r["canonical"],
+                            "description": r["description"],
                             "html_ok": True,
                         }
                     )
@@ -119,6 +123,7 @@ def html_extract(
                     vals.append(
                         {"text": None, "main_text": None, "title": None,
                          "links": None, "noindex": None, "nofollow": None,
+                         "canonical": None, "description": None,
                          "html_ok": False}
                     )
             out = pdf.copy()

@@ -5932,3 +5932,110 @@ def fmp4_fragment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("fragment_samples").cast("long").alias("frag_samples_sum"),
         F.sum("n_samples").cast("long").alias("moov_samples_sum"),
     )
+
+
+_CANONICAL_ORACLE = """
+WITH t AS (
+  SELECT doc_id AS d, LENGTH(doc_id::VARCHAR) AS dd FROM documents
+), v AS (
+  SELECT CASE WHEN d % 2 = 0 THEN 'absolute' ELSE 'relative' END AS kind,
+         CASE WHEN d % 2 = 0 THEN 'c' || (d // 4)::VARCHAR
+              ELSE 'r' || d::VARCHAR END AS grp,
+         CASE WHEN d % 3 = 0 THEN 10 + dd
+              WHEN d % 5 = 0 THEN 8 + dd ELSE NULL END AS dl
+  FROM t WHERE d % 13 <> 0
+  UNION ALL
+  SELECT 'dead', NULL, NULL FROM t WHERE d % 13 = 0
+)
+SELECT kind, COUNT(*) AS n_pages,
+       COUNT(DISTINCT grp) AS n_groups,
+       (COUNT(*) - COUNT(DISTINCT grp))::BIGINT AS n_dup_pages,
+       COUNT(dl) AS n_described,
+       SUM(dl)::BIGINT AS desc_len_sum
+FROM v GROUP BY 1
+"""
+
+
+@register(
+    "canonical_dedup_stats",
+    oracle=_CANONICAL_ORACLE,
+    doc="rel-canonical dedup gate (functions/html.parse_html canonical "
+    "+ description extraction, crawl.html_extract struct fields, "
+    "resolution via crawl.resolved_url_col — the IN-PAGE dedup signal "
+    "real pipelines apply before any content dedup: URL variants of "
+    "one page declare a shared canonical target, and collapsing on it "
+    "is free exact dedup): even doc_ids declare an ABSOLUTE canonical "
+    "shared by pairs (doc_id//4 buckets — the duplicate mass), odd "
+    "doc_ids a RELATIVE '/c/{id}' canonical that must resolve against "
+    "the page URI (unique — no false merges), and doc_id%13=0 plants "
+    "an undecodable body -> one dead-letter row with a NULL canonical. "
+    "meta description (doc_id%3=0) takes precedence over "
+    "og:description (doc_id%5=0) with digit-arithmetic lengths. "
+    "Per-kind page counts, distinct canonical groups, collapsed "
+    "duplicate counts and description stats sit under one hash.",
+)
+def canonical_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from ..operators.crawl import html_extract, resolved_url_col
+    from ..tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def make(batches):
+        for pdf in batches:
+            rows = []
+            for x in pdf["doc_id"]:
+                did = int(x)
+                uri = f"http://s{did % 7}.example/p/{did}"
+                if did % 13 == 0:
+                    rows.append((did, uri, None))
+                    continue
+                canon = (
+                    f"http://canon.example/c/{did // 4}"
+                    if did % 2 == 0
+                    else f"/c/{did}"
+                )
+                metas = [f'<link rel="canonical" href="{canon}">']
+                if did % 3 == 0:
+                    metas.append(
+                        f'<meta name="description" content="meta desc {did}">'
+                    )
+                if did % 5 == 0:
+                    metas.append(
+                        '<meta property="og:description" '
+                        f'content="og desc {did}">'
+                    )
+                html = (
+                    f"<html><head>{''.join(metas)}</head>"
+                    f"<body><p>page {did}</p></body></html>"
+                )
+                rows.append((did, uri, html))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "target_uri", "html"]
+            )
+
+    media = docs.mapInPandas(
+        make, "doc_id long, target_uri string, html string"
+    )
+    pages = html_extract(media, html_col="html").withColumn(
+        "canon_url",
+        resolved_url_col(F.col("target_uri"), F.col("page.canonical")),
+    )
+    d = F.col("doc_id")
+    kind = (
+        F.when(~F.col("page.html_ok"), F.lit("dead"))
+        .when(d % 2 == 0, F.lit("absolute"))
+        .otherwise(F.lit("relative"))
+    )
+    return pages.groupBy(kind.alias("kind")).agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.countDistinct("canon_url").alias("n_groups"),
+        (F.count(F.lit(1)) - F.countDistinct("canon_url"))
+        .cast("long")
+        .alias("n_dup_pages"),
+        F.count("page.description").alias("n_described"),
+        F.sum(F.length("page.description"))
+        .cast("long")
+        .alias("desc_len_sum"),
+    )

@@ -1300,3 +1300,28 @@ def test_html_extract_robots_flags(spark):
     ).select("doc_id", "href", "link_nofollow").collect()
     got = {(r.doc_id, r.href): r.link_nofollow for r in links}
     assert got == {(1, "/x"): False, (2, "/y"): True, (3, "/z"): False}
+
+
+def test_canonical_and_description_extraction():
+    """rel=canonical (first wins, multi-token rel accepted) and
+    description precedence (meta name=description over og:description,
+    first of each wins)."""
+    h = (
+        '<head><link rel="alternate canonical" href="/CANON">'
+        '<link rel="canonical" href="/second-ignored">'
+        '<meta property="OG:Description" content="og d">'
+        '<meta name="Description" content="meta d">'
+        '<meta name="description" content="later-ignored"></head>'
+        "<body>x</body>"
+    )
+    r = parse_html(h)
+    assert r["canonical"] == "/CANON"
+    assert r["description"] == "meta d"
+    # og fallback when no meta description
+    r = parse_html('<meta property="og:description" content="only og">')
+    assert r["description"] == "only og"
+    # absent -> None
+    r = parse_html("<p>x</p>")
+    assert r["canonical"] is None and r["description"] is None
+    # a non-canonical link rel does not leak in
+    assert parse_html('<link rel="stylesheet" href="/s.css">')["canonical"] is None
