@@ -370,6 +370,8 @@ HEADLINE = [
     "fmp4_fragment_stats",
     # round 14: rel-canonical dedup + description metadata gate
     "canonical_dedup_stats",
+    # round 14: MP3/ID3 metadata gate (oracle-gated)
+    "mp3_audio_stats",
 ]
 
 

@@ -6039,3 +6039,95 @@ def canonical_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("desc_len_sum"),
     )
+
+
+_MP3_ORACLE = """
+WITH t AS (
+  SELECT doc_id AS d, LENGTH(doc_id::VARCHAR) AS dd,
+         20 + doc_id % 30 AS nf,
+         ([44100, 48000, 32000])[1 + doc_id % 3] AS sr,
+         ([96, 128, 160, 192, 256])[1 + doc_id % 5] AS kb
+  FROM documents
+), v AS (
+  SELECT CASE d % 4 WHEN 0 THEN '2.3' WHEN 1 THEN '2.4'
+              WHEN 2 THEN '1' ELSE 'none' END AS id3,
+         nf, (nf * 1152000) // sr AS dur,
+         CASE WHEN d % 7 = 0 THEN 1 ELSE 0 END AS vbr, kb,
+         CASE WHEN d % 4 = 3 THEN NULL ELSE 6 + dd END AS tl
+  FROM t WHERE d % 13 <> 0
+  UNION ALL
+  SELECT 'dead', NULL, NULL, NULL, NULL, NULL FROM t WHERE d % 13 = 0
+)
+SELECT id3, COUNT(*) AS n_files, SUM(nf)::BIGINT AS frames_sum,
+       SUM(dur)::BIGINT AS duration_ms_sum, SUM(vbr)::BIGINT AS n_vbr,
+       SUM(kb)::BIGINT AS bitrate_sum, SUM(tl)::BIGINT AS title_len_sum
+FROM v GROUP BY 1
+"""
+
+
+@register(
+    "mp3_audio_stats",
+    oracle=_MP3_ORACLE,
+    doc="MP3 metadata gate (functions/mp3.parse_mp3 + sources.mp3_meta "
+    "— the dominant crawl audio format; ID3v2.3 big-endian AND "
+    "ID3v2.4 syncsafe frame sizes, trailing ID3v1 fallback, latin-1/"
+    "UTF-16+BOM/UTF-8 text encodings by doc_id%3, MPEG-1 Layer III "
+    "frame census; audio decode stays guarded): frame counts, first-"
+    "frame bitrates from the spec table, VBR detection at doc_id%7=0 "
+    "(every 4th frame bumps one bitrate index), and exact integer "
+    "durations nf*1152000//sample_rate across all three MPEG-1 sample "
+    "rates. doc_id%13=0 plants junk -> one parse_ok=false row (grouped "
+    "as 'dead'). Per-tag-version file counts, frame/duration/bitrate "
+    "sums, VBR counts and digit-arithmetic title lengths sit under "
+    "one hash.",
+)
+def mp3_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from ..functions.mp3 import build_mp3
+    from ..sources import mp3_meta
+    from ..tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def make(batches):
+        for pdf in batches:
+            rows = []
+            for x in pdf["doc_id"]:
+                did = int(x)
+                if did % 13 == 0:
+                    rows.append((did, b"junk bytes, not an mp3"))
+                    continue
+                id3 = ("2.3", "2.4", "1", "none")[did % 4]
+                rows.append(
+                    (
+                        did,
+                        build_mp3(
+                            20 + did % 30,
+                            sample_rate=(44100, 48000, 32000)[did % 3],
+                            kbps=(96, 128, 160, 192, 256)[did % 5],
+                            title=(
+                                None if id3 == "none" else f"track {did}"
+                            ),
+                            id3=id3,
+                            vbr_every=4 if did % 7 == 0 else None,
+                            encoding=(0, 1, 3)[did % 3],
+                        ),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["archive_id", "content"])
+
+    media = docs.mapInPandas(make, "archive_id long, content binary")
+    m = mp3_meta(media)
+    id3 = F.coalesce(
+        F.col("id3_version"),
+        F.when(F.col("parse_ok"), F.lit("none")).otherwise(F.lit("dead")),
+    )
+    return m.groupBy(id3.alias("id3")).agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("n_frames").cast("long").alias("frames_sum"),
+        F.sum("duration_ms").cast("long").alias("duration_ms_sum"),
+        F.sum((~F.col("cbr")).cast("int")).cast("long").alias("n_vbr"),
+        F.sum("bitrate_kbps").cast("long").alias("bitrate_sum"),
+        F.sum(F.length("title")).cast("long").alias("title_len_sum"),
+    )

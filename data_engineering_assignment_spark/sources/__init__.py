@@ -441,6 +441,57 @@ def tar_members(
     return df.mapInPandas(mapper, schema)
 
 
+def mp3_meta(df: DataFrame, content_col: str = "content", id_col: str = "archive_id") -> DataFrame:
+    """MP3 metadata, one row per file (``functions.mp3.parse_mp3``:
+    ID3v2.3/2.4 + trailing ID3v1 tag walks, MPEG-1 Layer III frame
+    census with exact integer duration; audio decode stays guarded).
+    Output: id3_version, title, artist, album, n_frames, sample_rate,
+    bitrate_kbps, cbr, duration_ms, parse_ok; junk and guarded
+    profiles survive as one parse_ok = false row. Arrow-batched
+    mapInPandas, zero shuffle — the mp4_tracks shape."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..functions.mp3 import parse_mp3
+
+    schema = (
+        f"{id_col} long, id3_version string, title string,"
+        " artist string, album string, n_frames long, sample_rate int,"
+        " bitrate_kbps int, cbr boolean, duration_ms long,"
+        " parse_ok boolean"
+    )
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            id_col, "id3_version", "title", "artist", "album",
+            "n_frames", "sample_rate", "bitrate_kbps", "cbr",
+            "duration_ms", "parse_ok",
+        ]
+        for pdf in batches:
+            rows = []
+            for aid, content in zip(pdf[id_col], pdf[content_col]):
+                aid = int(aid)
+                try:
+                    r = parse_mp3(bytes(content))
+                    rows.append(
+                        (
+                            aid, r["id3_version"], r["title"],
+                            r["artist"], r["album"], r["n_frames"],
+                            r["sample_rate"], r["bitrate_kbps"],
+                            r["cbr"], r["duration_ms"], True,
+                        )
+                    )
+                except Exception:
+                    rows.append(
+                        (aid, None, None, None, None, None, None, None,
+                         None, None, False)
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(mapper, schema)
+
+
 def webp_meta(df: DataFrame, content_col: str = "content", id_col: str = "archive_id") -> DataFrame:
     """WebP container metadata, one row per file
     (``functions.webp.parse_webp``: RIFF walk, VP8/VP8L bitstream
