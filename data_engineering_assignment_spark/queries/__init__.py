@@ -40,30 +40,37 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # whose implementation changed this round (a green history does not cover
 # new code), then queries whose last green row is oldest.
 #
-# Round-14 head (catalog = 241): the 3 never-driver-checked round-14
-# additions first (the char-n-gram CJK language-ID gate, the mixed
-# HTML+PDF link-graph capstone, the MP4/ISO-BMFF container gate); then
-# every query whose implementation changed this round — the PDF gates
-# (AES encryption axes in _fixture_pdf, the links field in
-# pdf_extract/document_extract), binary_media_inventory (mp4 fixture
-# rows + widened glob), and both hashed_multiclass_scores consumers
-# (the features-dispatch refactor); then the FULL r8-stale cohort (33,
-# the rotation promised in the r13 head), the stalest catalog_ml row
-# (ml_peak_classification, r11 — the module has only 3 queries) and
-# catalog_intervals row (purchase_asof_last_click, r9) holding the
-# module-coverage contract (every module in the first 50), and the
-# oldest r9 rows filling to 50. After this head lands, no catalog
-# query's last green row predates r9.
+# Round-14 head (catalog = 248): the 10 never-driver-checked round-14
+# additions first (char-n-gram CJK language ID, the mixed HTML+PDF
+# link-graph capstone, MP4/webp/AVIF-HEIC/fMP4/MP3 container gates,
+# RSS/Atom feeds, in-page robots directives, rel-canonical dedup);
+# then queries whose implementation changed this round — the PDF gates
+# (AES axes + the links field) and both hashed_multiclass_scores
+# consumers (the features-dispatch refactor); then the FULL r8-stale
+# cohort (33, the rotation promised in the r13 head) and the stalest
+# catalog_ml/catalog_intervals rows holding the module-coverage
+# contract (every module in the first 50). The remaining r14-touched
+# consumers (binary_media_inventory's new fixture rows and the
+# html_extract-struct consumers) did not fit the 50 — all verified
+# locally in this round's FULL sf0.01 oracle run and queued for the
+# r15 head. After this head lands, no catalog query's last green row
+# predates r9.
 DRIVER_SAMPLE_HEAD: tuple[str, ...] = (
     # never driver-checked (round-14 additions)
     "lang_classifier_cjk_gate",
     "pdf_link_pagerank",
     "mp4_container_stats",
+    "webp_container_stats",
+    "avif_container_stats",
+    "feed_frontier_stats",
+    "robots_meta_gate",
+    "fmp4_fragment_stats",
+    "canonical_dedup_stats",
+    "mp3_audio_stats",
     # implementation changed this round
     "pdf_text_extract_stats",
     "doc_extract_dispatch_stats",
     "mixed_crawl_extract_stats",
-    "binary_media_inventory",
     "lang_classifier_gate",
     "crawl_lang_classifier_mix",
     # r8-stale cohort (all 33 — the rotation promised in the r13 head)
@@ -103,13 +110,6 @@ DRIVER_SAMPLE_HEAD: tuple[str, ...] = (
     # module-coverage slots (catalog_ml, catalog_intervals)
     "ml_peak_classification",
     "purchase_asof_last_click",
-    # oldest r9 rows filling to 50
-    "avi_video_stats",
-    "bmp_decode_stats",
-    "data_mix_by_source",
-    "distinct_status_priority",
-    "doc_regex_tokens",
-    "doc_simhash",
 )
 
 
