@@ -116,7 +116,16 @@ per-query MINs across the two full benches and a 5-rep probe whose
 post-marker was fast (st 0.076/0.071, mt 0.278/0.144):
 lang_classifier_cjk_gate 2.178 (first executions run 2-3x steady —
 one-time codegen of the 3x256-literal weight arrays; min-of-2
-absorbs it), pdf_link_pagerank 4.118, mp4_container_stats 0.526."""
+absorbs it), pdf_link_pagerank 4.118, mp4_container_stats 0.526.
+LATE r14 grew the set 228 -> 235 (WebP, AVIF/HEIC, fragmented MP4
+and MP3 container gates, RSS/Atom feeds, in-page robots directives,
+rel-canonical dedup) — entries are per-query MINs across a third
+full bench (markers st 0.079/0.072, mt 0.164/0.298, retry window
+0.081/0.125, 10 retried) and a 5-rep probe with a fast closing
+marker (st 0.077/0.084, mt 0.554/0.156). That bench's one residual
+>2x reading, cdx_index_stats 1.362 vs 0.677, probed [2.290, 0.947,
+0.952, 0.863, 0.998] = 1.27x steady in the same session — the
+roaming-transient/ambient class, entry KEPT, not a flag."""
 
 EXCLUDED = {
     "ivf_recall_telemetry": "diagnostic: recall telemetry, not a user query",
