@@ -125,7 +125,20 @@ full bench (markers st 0.079/0.072, mt 0.164/0.298, retry window
 marker (st 0.077/0.084, mt 0.554/0.156). That bench's one residual
 >2x reading, cdx_index_stats 1.362 vs 0.677, probed [2.290, 0.947,
 0.952, 0.863, 0.998] = 1.27x steady in the same session — the
-roaming-transient/ambient class, entry KEPT, not a flag."""
+roaming-transient/ambient class, entry KEPT, not a flag.
+`pdf_text_extract_stats` RE-RECORDED late r14, 3.444 -> 4.702 (the
+r13 precedent: its fixtures gained the AES-128/AES-256 encryption
+axes — an implementation change with real plan cost, measured 2.05 s
+single-threaded for the 223 AES docs at sf0.1, i.e. ~9 ms/doc of
+Algorithm-2.B hashing + AES-CBC on a near-single-partition base; at
+100 TB input splits parallelize this away, which the probe can't
+show). New entry = min across a marker-fast 5-rep probe (st
+0.081/0.073, mt 0.199/0.127: [6.654, 4.870, 4.929, 4.702, 4.895])
+and the marker-fast full bench (6.788) — two sources per policy; the
+contended run A upper bound (5.232) is consistent. Its siblings
+doc_extract_dispatch_stats (probe min 2.485 = 1.16x) and
+mixed_crawl_extract_stats (2.650 = 1.14x) sit inside ambient with a
+smaller AES share — entries KEPT."""
 
 EXCLUDED = {
     "ivf_recall_telemetry": "diagnostic: recall telemetry, not a user query",
