@@ -61,6 +61,12 @@ class _Extractor(HTMLParser):
         self.canonical: str | None = None  # first <link rel=canonical>
         self.description: str | None = None  # meta description precedence
         self._og_description: str | None = None
+        # drop-depth EXCLUDING <head>: head content is dropped from the
+        # text but its metadata (title/meta/link) is authoritative,
+        # while the same elements inside template/noscript/iframe/svg
+        # are INERT and must not set page-level signals (r14 review:
+        # a <template> fragment's noindex wrongly dropped real pages)
+        self._nonhead_drop = 0
         self._href: str | None = None
         self._nofollow = False
         self._anchor: list[str] = []  # full anchor text (the link record)
@@ -105,9 +111,9 @@ class _Extractor(HTMLParser):
         self._anchor_line = []
 
     def handle_starttag(self, tag, attrs):
-        if tag == "title" and not self._title_done:
+        if tag == "title" and not self._title_done and not self._nonhead_drop:
             self._in_title = True
-        if tag == "meta":
+        if tag == "meta" and not self._nonhead_drop:
             # meta robots directives live in <head>, which the text
             # extractor otherwise drops — read them BEFORE the drop
             # gate (the <title> rule). Only the generic 'robots' name:
@@ -125,7 +131,7 @@ class _Extractor(HTMLParser):
             elif (a.get("property") or "").strip().lower() == "og:description":
                 if self._og_description is None and a.get("content"):
                     self._og_description = a["content"]
-        if tag == "link":
+        if tag == "link" and not self._nonhead_drop:
             # <link rel=canonical>: the in-page dedup signal — URL
             # variants of one page declare a shared canonical target.
             # First declaration wins (real pages sometimes repeat it).
@@ -135,6 +141,8 @@ class _Extractor(HTMLParser):
                 self.canonical = a["href"]
         if tag in _DROP:
             self._drop += 1
+            if tag != "head":
+                self._nonhead_drop += 1
             return
         if self._drop:
             return
@@ -161,6 +169,8 @@ class _Extractor(HTMLParser):
         if tag in _DROP:
             if self._drop:
                 self._drop -= 1
+            if tag != "head" and self._nonhead_drop:
+                self._nonhead_drop -= 1
             return
         if self._drop:
             return

@@ -12,7 +12,11 @@ bitrate/sample-rate tables, padding) that yields exact frame counts and
 ``duration_ms = n_frames * 1152 * 1000 // sample_rate``. AUDIO decode
 (the MDCT/huffman path) is out of scope and stays guarded; MPEG-2/2.5
 and Layers I/II raise the same honest guard (NotImplementedError —
-countable, never a wrong duration). Structural junk raises ValueError.
+countable, never a wrong duration), as do ID3v2 unsynchronisation, the
+extended header, and per-frame format flags (compression/encryption/
+grouping/v2.4 unsync — each changes the payload layout, so decoding
+without honoring them would be silently wrong text). Structural junk
+raises ValueError.
 """
 
 from __future__ import annotations
@@ -61,6 +65,11 @@ def _parse_id3v2(data: bytes) -> tuple[dict, int]:
         raise NotImplementedError(f"ID3v2.{ver} not supported")
     if data[5] & 0x40:
         raise NotImplementedError("ID3v2 extended header not supported")
+    if data[5] & 0x80:
+        # unsynchronisation stuffs 0x00 after every 0xFF in the tag —
+        # decoding text WITHOUT reversing it yields silently wrong tag
+        # values; honest guard, never a wrong answer (r14 review)
+        raise NotImplementedError("ID3v2 unsynchronisation not supported")
     size = _syncsafe(data[6:10])
     end = 10 + size
     if end > len(data):
@@ -80,6 +89,13 @@ def _parse_id3v2(data: bytes) -> tuple[dict, int]:
         if pos + 10 + fsize > end:
             raise ValueError("ID3v2 frame size exceeds tag")
         if fid in want:
+            # any per-frame FORMAT flag (compression, encryption,
+            # grouping, v2.4 unsync / data-length-indicator) changes
+            # the payload layout — decode would be silently wrong
+            if data[pos + 9]:
+                raise NotImplementedError(
+                    "ID3v2 frame format flags not supported"
+                )
             out[want[fid]] = _text_frame(data[pos + 10 : pos + 10 + fsize])
         pos += 10 + fsize
     return out, end

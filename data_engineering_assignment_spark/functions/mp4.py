@@ -107,6 +107,8 @@ def _tkhd_dims(data: bytes, body: int, end: int) -> tuple[int, int, int]:
 
 def _stts_samples(data: bytes, body: int, end: int) -> int:
     _fullbox_version(data, body, end)
+    if body + 8 > end:
+        raise ValueError("truncated stts")
     n = _u(data, body + 4, 4)
     if n > (end - body - 8) // 8:
         raise ValueError("stts entry count exceeds box")
@@ -115,6 +117,8 @@ def _stts_samples(data: bytes, body: int, end: int) -> int:
 
 def _stsd_codec(data: bytes, body: int, end: int) -> str | None:
     _fullbox_version(data, body, end)
+    if body + 8 > end:
+        raise ValueError("truncated stsd")
     n = _u(data, body + 4, 4)
     if n < 1:
         return None
@@ -219,11 +223,15 @@ def parse_mp4(content: bytes) -> dict:
             if th is None:
                 raise ValueError("traf without tfhd")
             _fullbox_version(content, th[0], th[1])
+            if th[0] + 8 > th[1]:
+                raise ValueError("truncated tfhd")
             tid = _u(content, th[0] + 4, 4)
             for rt, rb, re2 in _walk_boxes(content, tb2, te2, 2):
                 if rt != b"trun":
                     continue
                 _fullbox_version(content, rb, re2)
+                if rb + 8 > re2:
+                    raise ValueError("truncated trun")
                 frag_samples[tid] = frag_samples.get(tid, 0) + _u(
                     content, rb + 4, 4
                 )
@@ -392,18 +400,25 @@ def parse_bmff_image(content: bytes) -> dict:
     for t, b, e in _fullbox_children(content, mb, me, 1):
         if t == b"pitm":
             v = _fullbox_version(content, b, e)
+            if b + 4 + (2 if v == 0 else 4) > e:
+                raise ValueError("truncated pitm")
             primary = _u(content, b + 4, 2 if v == 0 else 4)
         elif t == b"iinf":
             v = _fullbox_version(content, b, e)
             first = b + 4 + (2 if v == 0 else 4)
+            if first > e:
+                raise ValueError("truncated iinf")
             for it, ib, ie in _walk_boxes(content, first, e, 2):
                 if it != b"infe":
                     continue
                 iv = _fullbox_version(content, ib, ie)
                 if iv < 2:
                     raise ValueError("infe version < 2 not supported")
-                iid = _u(content, ib + 4, 2 if iv == 2 else 4)
-                at = ib + 4 + (2 if iv == 2 else 4) + 2
+                idw = 2 if iv == 2 else 4
+                if ib + 4 + idw + 2 + 4 > ie:
+                    raise ValueError("truncated infe")
+                iid = _u(content, ib + 4, idw)
+                at = ib + 4 + idw + 2
                 items[iid] = content[at : at + 4].decode("latin-1")
         elif t == b"iprp":
             for pt, pb, pe in _walk_boxes(content, b, e, 2):
@@ -412,6 +427,8 @@ def parse_bmff_image(content: bytes) -> dict:
                         ipco_kinds.append(ct)
                         if ct == b"ispe":
                             _fullbox_version(content, cb, ce)
+                            if cb + 12 > ce:
+                                raise ValueError("truncated ispe")
                             ispes.append(
                                 (_u(content, cb + 4, 4), _u(content, cb + 8, 4))
                             )
@@ -419,24 +436,34 @@ def parse_bmff_image(content: bytes) -> dict:
                             ispes.append(None)
                 elif pt == b"ipma":
                     v = _fullbox_version(content, pb, pe)
+                    if pb + 8 > pe:
+                        raise ValueError("truncated ipma")
                     flags = _u(content, pb + 1, 3)
                     n = _u(content, pb + 4, 4)
                     at = pb + 8
                     if n > (pe - at):
                         raise ValueError("ipma entry count exceeds box")
+                    idw = 2 if v == 0 else 4
+                    aw = 2 if flags & 1 else 1
                     for _ in range(n):
-                        iid = _u(content, at, 2 if v == 0 else 4)
-                        at += 2 if v == 0 else 4
+                        # every read stays inside THIS box: a truncated
+                        # entry is a ValueError, never an IndexError or
+                        # a read of the next box's bytes (r14 review)
+                        if at + idw + 1 > pe:
+                            raise ValueError("truncated ipma entry")
+                        iid = _u(content, at, idw)
+                        at += idw
                         cnt = content[at]
                         at += 1
+                        if at + cnt * aw > pe:
+                            raise ValueError("truncated ipma associations")
                         idxs = []
                         for _ in range(cnt):
                             if flags & 1:
                                 idxs.append(_u(content, at, 2) & 0x7FFF)
-                                at += 2
                             else:
                                 idxs.append(content[at] & 0x7F)
-                                at += 1
+                            at += aw
                         assoc[iid] = idxs
     if primary is None or primary not in items:
         raise ValueError("missing or dangling pitm primary item")

@@ -1181,13 +1181,16 @@ class _StdSecurity:
         v = enc.get("V", 0)
         r = enc.get("R", 2)
         if v == 5 and r in (5, 6):
-            self.cfm = self._crypt_filter(enc, values, ("AESV3", "Identity"))
+            self.cfm, _ = self._crypt_filter(enc, values, ("AESV3", "Identity"))
             self._init_v5(enc, r)
             return
+        cf_length = None
         if v in (1, 2) and r in (2, 3):
             self.cfm = "V2"
         elif v == 4 and r == 4:
-            self.cfm = self._crypt_filter(enc, values, ("V2", "AESV2", "Identity"))
+            self.cfm, cf_length = self._crypt_filter(
+                enc, values, ("V2", "AESV2", "Identity")
+            )
         else:
             raise NotImplementedError(
                 f"PDF /Encrypt V={v!r} R={r!r} not supported"
@@ -1197,7 +1200,17 @@ class _StdSecurity:
         p = enc.get("P")
         if not isinstance(o, bytes) or not isinstance(u, bytes) or not isinstance(p, int):
             raise ValueError("bad /Encrypt dictionary")
-        length = enc.get("Length", 40)
+        # Key length precedence (r14 review): AESV2 is AES-128 BY SPEC
+        # regardless of any /Length hints; V4 /V2 (RC4 crypt filters)
+        # takes the crypt filter dict's /Length (authoritative for V4 —
+        # the top-level /Length may be absent entirely), then the
+        # top-level /Length, then the 40-bit default. V1 is always 40.
+        if self.cfm == "AESV2":
+            length = 128
+        elif cf_length is not None:
+            length = cf_length
+        else:
+            length = enc.get("Length", 40)
         if v == 1:
             length = 40
         if not isinstance(length, int) or length % 8 or not 40 <= length <= 128:
@@ -1235,8 +1248,12 @@ class _StdSecurity:
             )
 
     @staticmethod
-    def _crypt_filter(enc: dict, values: dict, allowed: tuple) -> str:
-        """Resolve /StmF//StrF through /CF to a supported /CFM name."""
+    def _crypt_filter(enc: dict, values: dict, allowed: tuple) -> tuple:
+        """Resolve /StmF//StrF through /CF to a supported /CFM name;
+        returns (cfm, key_bits_or_None). The crypt filter dict's
+        /Length is nominally in bits, but real writers (Acrobat
+        included) emit BYTES — values <= 32 normalize as bytes*8, and
+        40-256 bit counts pass through (the pdf.js tolerance)."""
         stmf = enc.get("StmF", "Identity")
         strf = enc.get("StrF", "Identity")
         if stmf != strf:
@@ -1244,7 +1261,7 @@ class _StdSecurity:
                 "split PDF /StmF vs /StrF crypt filters not supported"
             )
         if stmf == "Identity":
-            return "Identity"
+            return "Identity", None
         cf = _resolve(enc.get("CF"), values)
         cfd = _resolve(cf.get(stmf), values) if isinstance(cf, dict) else None
         if not isinstance(cfd, dict):
@@ -1252,7 +1269,12 @@ class _StdSecurity:
         cfm = cfd.get("CFM")
         if cfm not in allowed:
             raise NotImplementedError(f"PDF crypt filter /CFM {cfm!r} not supported")
-        return cfm
+        cf_len = cfd.get("Length")
+        if isinstance(cf_len, int) and 1 <= cf_len <= 32:
+            cf_len *= 8
+        if not isinstance(cf_len, int):
+            cf_len = None
+        return cfm, cf_len
 
     def _init_v5(self, enc: dict, r: int) -> None:
         """Algorithm 2.A (empty user password): validate against /U's

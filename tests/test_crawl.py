@@ -1325,3 +1325,27 @@ def test_canonical_and_description_extraction():
     assert r["canonical"] is None and r["description"] is None
     # a non-canonical link rel does not leak in
     assert parse_html('<link rel="stylesheet" href="/s.css">')["canonical"] is None
+
+
+def test_inert_subtree_metadata_ignored():
+    """Metadata inside template/noscript/svg/iframe subtrees is INERT
+    and must not set page-level signals; <head> remains authoritative
+    (r14 review finding: a template fragment's noindex wrongly dropped
+    real pages)."""
+    h = (
+        '<template><meta name="robots" content="noindex">'
+        '<link rel="canonical" href="/wrong">'
+        "<title>wrong title</title>"
+        '<meta name="description" content="wrong desc"></template>'
+        "<svg><title>svg label</title></svg>"
+        '<head><title>real</title><link rel="canonical" href="/right">'
+        "</head><p>prose</p>"
+    )
+    r = parse_html(h)
+    assert r["robots"] == []
+    assert r["canonical"] == "/right"
+    assert r["title"] == "real"
+    assert r["description"] is None
+    # head metadata still read (the original title rule)
+    r2 = parse_html('<head><meta name="robots" content="noindex"></head>x')
+    assert r2["robots"] == ["noindex"]

@@ -92,3 +92,18 @@ def test_adversarial_bytes_never_escape_error_contract(data, mutations):
     except (ValueError, NotImplementedError):
         # UnicodeDecodeError from mutated ID3 text IS a ValueError
         pass
+
+
+def test_unsync_and_frame_flag_guards():
+    """ID3v2 unsynchronisation and per-frame format flags change the
+    payload layout — decoding without honoring them yields silently
+    WRONG text, so both are honest guards (r14 review finding)."""
+    b = bytearray(build_mp3(3, title="ÿes", id3="2.3"))
+    b[5] |= 0x80  # tag-level unsynchronisation flag
+    with pytest.raises(NotImplementedError, match="unsynchronisation"):
+        parse_mp3(bytes(b))
+    b = bytearray(build_mp3(3, title="t", id3="2.4"))
+    i = bytes(b).find(b"TIT2")
+    b[i + 9] = 0x02  # v2.4 per-frame unsync format flag
+    with pytest.raises(NotImplementedError, match="format flags"):
+        parse_mp3(bytes(b))

@@ -244,3 +244,40 @@ def test_fragmented_profile():
     )
     with pytest.raises(ValueError, match="tfhd"):
         parse_mp4(broken)
+
+
+def test_truncated_field_reads_raise_not_zero():
+    """Truncated boxes must raise, never report 0 samples with
+    parse_ok semantics (r14 review finding): a trun cut after its
+    version/flags, an stts cut before its entry count."""
+    from data_engineering_assignment_spark.functions.mp4 import (
+        _box,
+        _fullbox,
+        build_mp4,
+        parse_mp4,
+    )
+
+    base = build_mp4(1)
+    # moof with a 4-byte trun body (version/flags only, no sample count)
+    bad = base + _box(
+        b"moof",
+        _fullbox(b"mfhd", 0, struct.pack(">I", 1))
+        + _box(
+            b"traf",
+            _fullbox(b"tfhd", 0, struct.pack(">I", 1))
+            + _fullbox(b"trun", 0, b""),
+        ),
+    )
+    with pytest.raises(ValueError, match="truncated trun"):
+        parse_mp4(bad)
+    # stts body with only version/flags
+    i = base.find(b"stts") - 4
+    size = struct.unpack(">I", base[i : i + 4])[0]
+    gutted = (
+        base[:i]
+        + _fullbox(b"stts", 0, b"")
+        + _box(b"free", b"\x00" * (size - 12))
+        + base[i + size :]
+    )
+    with pytest.raises(ValueError, match="truncated stts"):
+        parse_mp4(gutted)

@@ -363,6 +363,13 @@ def test_aes_encrypted_readable_class(monkeypatch):
     # split StmF/StrF stays guarded
     with pytest.raises(NotImplementedError, match="StmF"):
         pdf_text(b.replace(b"/StrF /StdCF", b"/StrF /Identity"))
+    # V4 key-length precedence (r14 review): AESV2 is AES-128 by spec,
+    # so a document with NO top-level /Length (legal — the crypt filter
+    # dict is authoritative for V4) still decrypts
+    b = build_pdf(pages, encrypt="aes-128")
+    b2 = b.replace(b"/V 4 /R 4 /Length 128 ", b"/V 4 /R 4 ")
+    assert b2 != b
+    assert pdf_text(b2)["pages"] == want
     # pure-Python AES fallback: same bytes, same text (hook discipline)
     from data_engineering_assignment_spark.functions import aes as aes_mod
 
