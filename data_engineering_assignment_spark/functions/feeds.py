@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import gzip
 import xml.etree.ElementTree as ET
+import zlib
 
 
 def _local(tag: str) -> str:
@@ -54,12 +55,18 @@ def parse_feed(content: bytes | str) -> dict:
     if isinstance(content, (bytes, bytearray)):
         data = bytes(content)
         if data[:2] == b"\x1f\x8b":
-            data = gzip.decompress(data)
+            try:
+                data = gzip.decompress(data)
+            except (OSError, EOFError, zlib.error) as e:
+                # BadGzipFile is an OSError; corrupted-deflate is zlib.error
+                raise ValueError(f"feed: bad gzip member ({e})") from e
     else:
         data = content.encode("utf-8")
     try:
         root = ET.fromstring(data)
-    except ET.ParseError as e:
+    except (ET.ParseError, LookupError) as e:
+        # LookupError: an XML declaration naming an unknown encoding
+        # (one mutated byte in encoding="UTF-8") escapes ParseError.
         raise ValueError(f"feed: malformed XML ({e})") from e
     kind = _local(root.tag)
     entries: list[dict] = []

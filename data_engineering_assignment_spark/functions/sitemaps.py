@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import gzip
 import xml.etree.ElementTree as ET
+import zlib
 
 _FIELDS = ("lastmod", "changefreq", "priority")
 
@@ -46,7 +47,11 @@ def parse_sitemap(content: bytes | str) -> dict:
     if isinstance(content, (bytes, bytearray)):
         data = bytes(content)
         if data[:2] == b"\x1f\x8b":
-            data = gzip.decompress(data)
+            try:
+                data = gzip.decompress(data)
+            except (OSError, EOFError, zlib.error) as e:
+                # BadGzipFile is an OSError; corrupted-deflate is zlib.error
+                raise ValueError(f"sitemap: bad gzip member ({e})") from e
     else:
         data = content.encode("utf-8")
     if not data.lstrip().startswith(b"<"):
@@ -65,7 +70,9 @@ def parse_sitemap(content: bytes | str) -> dict:
         raise ValueError("sitemap: neither XML nor a plain-text URL list")
     try:
         root = ET.fromstring(data)
-    except ET.ParseError as e:
+    except (ET.ParseError, LookupError) as e:
+        # LookupError: an unknown encoding name in the XML declaration
+        # (crawled bytes) escapes ParseError — same contract, same class.
         raise ValueError(f"sitemap: malformed XML ({e})") from e
     kind = _local(root.tag)
     if kind not in ("urlset", "sitemapindex"):

@@ -169,13 +169,16 @@ def build_webp(
     alpha: bool = False,
     frames: list[int] | None = None,
     exif: bytes | None = None,
+    icc: bytes | None = None,
 ) -> bytes:
     """Serialize a standards-valid WebP skeleton. ``fmt`` 'VP8'/'VP8L'
     write the simple one-chunk profiles; 'VP8X' writes the extended
     profile — ``frames`` (a list of per-frame durations, ms) adds
     ANIM + one ANMF per duration each embedding a VP8L sub-bitstream,
-    ``exif`` appends an EXIF chunk and sets the flag. Payload pixel
-    data is skeletal (metadata-only contract, like build_mp4's mdat)."""
+    ``exif`` appends an EXIF chunk and sets the flag, ``icc`` writes
+    an ICCP chunk (first in the chunk order, per spec) and sets the
+    flag. Payload pixel data is skeletal (metadata-only contract,
+    like build_mp4's mdat)."""
     if fmt == "VP8":
         body = _chunk(b"VP8 ", _vp8_payload(w, h))
     elif fmt == "VP8L":
@@ -185,6 +188,7 @@ def build_webp(
             (_VP8X_ALPHA if alpha else 0)
             | (_VP8X_ANIM if frames else 0)
             | (_VP8X_EXIF if exif is not None else 0)
+            | (_VP8X_ICC if icc is not None else 0)
         )
         hdr = (
             bytes([flags, 0, 0, 0])
@@ -192,6 +196,8 @@ def build_webp(
             + (h - 1).to_bytes(3, "little")
         )
         body = _chunk(b"VP8X", hdr)
+        if icc is not None:
+            body += _chunk(b"ICCP", icc)
         if frames:
             body += _chunk(b"ANIM", struct.pack("<IH", 0xFFFFFFFF, 0))
             for i, dur in enumerate(frames):

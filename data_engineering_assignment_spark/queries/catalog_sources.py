@@ -88,7 +88,7 @@ SELECT string_split(filename, '/')[-1] AS fname,
        md5(hex(content)) AS content_md5
 FROM read_blob(['{_MEDIA_DIR}/*.rawm', '{_MEDIA_DIR}/*.jpg',
                 '{_MEDIA_DIR}/*.mp4',
-                '{_MEDIA_DIR}/*.webp'])
+                '{_MEDIA_DIR}/*.webp', '{_MEDIA_DIR}/*.svg'])
 """
 
 
@@ -97,9 +97,9 @@ FROM read_blob(['{_MEDIA_DIR}/*.rawm', '{_MEDIA_DIR}/*.jpg',
     oracle=_BINARY_ORACLE,
     doc="S5 oracle gate (image-format stand-in, Assignment-python.py:710): "
     "binaryFile scan with pathGlobFilter pushdown over committed RAWM + "
-    "JPEG + MP4 + WebP fixtures (the mp4/webp rows landed r14 "
-    "— video containers no longer fall outside the inventory); per-file "
-    "size + content digest vs DuckDB read_blob. "
+    "JPEG + MP4 + WebP + SVG fixtures (the mp4/webp rows landed r14, "
+    "svg r15 — the last common web image format outside the "
+    "inventory); per-file size + content digest vs DuckDB read_blob. "
     "The hex detour makes the digest engine-portable (DuckDB md5 only "
     "takes VARCHAR, and BLOB::VARCHAR escapes bytes).",
 )
@@ -107,7 +107,7 @@ def binary_media_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources import read_binary_files
 
     tune(spark)
-    files = read_binary_files(spark, _MEDIA_DIR, glob="*.{rawm,jpg,mp4,webp}")
+    files = read_binary_files(spark, _MEDIA_DIR, glob="*.{rawm,jpg,mp4,webp,svg}")
     return files.select(
         F.element_at(F.split("path", "/"), -1).alias("fname"),
         F.col("length").alias("n_bytes"),
@@ -5443,10 +5443,11 @@ WITH t AS (
            30 * ((1 + (d % 5) % 3) * (1 + d % 7)
                  + ((1 + (d % 5) % 3) * ((d % 5) % 3)) // 2)
          ELSE 0 END AS dur,
-         CASE WHEN d % 3 = 2 AND d % 5 = 0 THEN 1 ELSE 0 END AS exif
+         CASE WHEN d % 3 = 2 AND d % 5 = 0 THEN 1 ELSE 0 END AS exif,
+         CASE WHEN d % 3 = 2 AND d % 7 = 0 THEN 1 ELSE 0 END AS icc
   FROM t WHERE d % 13 <> 0
   UNION ALL
-  SELECT 'dead', NULL, NULL, NULL, NULL, NULL, NULL, NULL
+  SELECT 'dead', NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL
   FROM t WHERE d % 13 = 0
 )
 SELECT format, COUNT(*) AS n_files,
@@ -5454,7 +5455,8 @@ SELECT format, COUNT(*) AS n_files,
        SUM(alpha)::BIGINT AS n_alpha, SUM(anim)::BIGINT AS n_anim,
        SUM(nf)::BIGINT AS frames_sum,
        SUM(dur)::BIGINT AS duration_ms_sum,
-       SUM(exif)::BIGINT AS n_exif
+       SUM(exif)::BIGINT AS n_exif,
+       SUM(icc)::BIGINT AS n_icc
 FROM v GROUP BY 1
 """
 
@@ -5472,10 +5474,13 @@ FROM v GROUP BY 1
     "dims, lossless VP8L LSB-first packed dims + alpha bit, extended "
     "VP8X 24-bit canvas + feature flags), ANIM/ANMF animation at "
     "doc_id%4=0 with per-frame 24-bit durations whose exact integer "
-    "sum replays in SQL, EXIF-flag presence at doc_id%5=0. "
+    "sum replays in SQL, EXIF-flag presence at doc_id%5=0, "
+    "ICCP chunk + flag at "
+    "doc_id%7=0 (r15 — has_icc was parsed from the VP8X flags but "
+    "dropped by the source schema, the r14 advisor finding). "
     "doc_id%13=0 plants junk -> one parse_ok=false dead-letter row. "
-    "Per-format counts, dim sums, alpha/animation/EXIF counts, frame "
-    "and duration sums sit under one hash.",
+    "Per-format counts, dim sums, alpha/animation/EXIF/ICC counts, "
+    "frame and duration sums sit under one hash.",
 )
 def webp_container_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
@@ -5515,6 +5520,11 @@ def webp_container_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 if fmt == "VP8X" and did % 5 == 0
                                 else None
                             ),
+                            icc=(
+                                b"fixture-icc-profile"
+                                if fmt == "VP8X" and did % 7 == 0
+                                else None
+                            ),
                         ),
                     )
                 )
@@ -5532,6 +5542,7 @@ def webp_container_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_frames").cast("long").alias("frames_sum"),
         F.sum("duration_ms").cast("long").alias("duration_ms_sum"),
         F.sum(F.col("has_exif").cast("int")).cast("long").alias("n_exif"),
+        F.sum(F.col("has_icc").cast("int")).cast("long").alias("n_icc"),
     )
 
 
@@ -6130,4 +6141,112 @@ def mp3_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((~F.col("cbr")).cast("int")).cast("long").alias("n_vbr"),
         F.sum("bitrate_kbps").cast("long").alias("bitrate_sum"),
         F.sum(F.length("title")).cast("long").alias("title_len_sum"),
+    )
+
+
+_SVG_ORACLE = """
+WITH t AS (
+  SELECT doc_id AS d FROM documents
+), v AS (
+  SELECT CASE d % 3 WHEN 0 THEN 'attrs' WHEN 1 THEN 'viewbox'
+              ELSE 'percent' END AS kind,
+         CASE WHEN d % 3 = 0 THEN 16 + d % 17 ELSE 24 + d % 13 END AS w,
+         CASE WHEN d % 3 = 0 THEN 9 + d % 11 ELSE 12 + d % 7 END AS h,
+         1 + (1 + d % 5)
+           + CASE WHEN d % 7 = 0 THEN 1 ELSE 0 END
+           + CASE WHEN d % 5 = 0 THEN 1 ELSE 0 END AS els,
+         CASE WHEN d % 7 = 0 THEN 1 ELSE 0 END AS scr,
+         CASE WHEN d % 5 = 0 THEN 1 ELSE 0 END AS titled
+  FROM t WHERE d % 13 <> 0
+  UNION ALL
+  SELECT 'dead', NULL, NULL, NULL, NULL, NULL FROM t WHERE d % 13 = 0
+)
+SELECT kind, COUNT(*) AS n_files,
+       SUM(w)::BIGINT AS width_sum, SUM(h)::BIGINT AS height_sum,
+       SUM(els)::BIGINT AS elements_sum, SUM(scr)::BIGINT AS n_script,
+       SUM(titled)::BIGINT AS n_titled
+FROM v GROUP BY 1
+"""
+
+
+@register(
+    "svg_image_stats",
+    oracle=_SVG_ORACLE,
+    doc="SVG metadata gate (functions/svg.parse_svg + sources.svg_meta "
+    "— the one common web image format the census had no row for, the "
+    "r14 verdict's #5; rendering stays out of scope): every document "
+    "becomes an SVG whose intrinsic size exercises the browser "
+    "fallback ladder by doc_id%3 — unitless width/height attributes "
+    "('attrs'), viewBox-only ('viewbox'), percent attributes falling "
+    "back to the viewBox extent ('percent') — with doc_id%4=0 "
+    "gzip-compressed (.svgz sniff on the distributed path), a "
+    "<script> child at doc_id%7=0 (the sanitization census signal) "
+    "and a <title> at doc_id%5=0. doc_id%13=0 plants junk -> one "
+    "parse_ok=false row (grouped as 'dead'). Per-kind file counts, "
+    "resolved-dimension sums, exact element counts and script/title "
+    "counts sit under one hash.",
+)
+def svg_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from ..functions.svg import build_svg
+    from ..sources import svg_meta
+    from ..tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def make(batches):
+        for pdf in batches:
+            rows = []
+            for x in pdf["doc_id"]:
+                did = int(x)
+                if did % 13 == 0:
+                    rows.append((did, b"junk bytes, not an svg"))
+                    continue
+                p = did % 3
+                if p == 0:
+                    width, height = 16 + did % 17, 9 + did % 11
+                    viewbox = None
+                elif p == 1:
+                    width = height = None
+                    viewbox = (0, 0, 24 + did % 13, 12 + did % 7)
+                else:
+                    width, height = f"{50 + did % 50}%", "100%"
+                    viewbox = (0, 0, 24 + did % 13, 12 + did % 7)
+                rows.append(
+                    (
+                        did,
+                        build_svg(
+                            width,
+                            height,
+                            viewbox=viewbox,
+                            n_shapes=1 + did % 5,
+                            script=did % 7 == 0,
+                            title=f"doc {did}" if did % 5 == 0 else None,
+                            gzipped=did % 4 == 0,
+                        ),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["archive_id", "content"])
+
+    media = docs.mapInPandas(make, "archive_id long, content binary")
+    m = svg_meta(media)
+    kind = (
+        F.when(~F.col("parse_ok"), F.lit("dead"))
+        .when(F.col("width_unit") == "%", F.lit("percent"))
+        .when(F.col("width_unit").isNull(), F.lit("viewbox"))
+        .otherwise(F.lit("attrs"))
+    )
+    return m.groupBy(kind.alias("kind")).agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("width").cast("long").alias("width_sum"),
+        F.sum("height").cast("long").alias("height_sum"),
+        F.sum("n_elements").cast("long").alias("elements_sum"),
+        F.sum(F.col("has_script").cast("int")).cast("long").alias("n_script"),
+        # NULL (not 0) for dead-letter rows, matching the oracle's
+        # SUM over an all-NULL group — title itself is NULL on both
+        # dead rows and untitled-but-parsed rows, so gate on parse_ok
+        F.sum(
+            F.when(F.col("parse_ok"), F.col("title").isNotNull().cast("int"))
+        ).cast("long").alias("n_titled"),
     )

@@ -441,55 +441,71 @@ def tar_members(
     return df.mapInPandas(mapper, schema)
 
 
+def _binary_meta_source(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    parse,
+    schema_tail: str,
+    rows_fn,
+) -> DataFrame:
+    """Shared skeleton for the binary container-metadata sources
+    (mp3_meta / webp_meta / bmff_image_meta / mp4_tracks / svg_meta /
+    flac_meta / ogg_meta): Arrow-batched mapInPandas, zero shuffle,
+    one ``parse(bytes)`` per file, ``rows_fn(parsed)`` yielding the
+    value tuples (one per output row, WITHOUT id/parse_ok — most
+    sources emit exactly one; explode sources like mp4_tracks emit
+    one per track). Any exception — truncation ValueErrors from the
+    bounded walks, junk bytes, guarded-profile NotImplementedErrors —
+    survives as ONE all-None ``parse_ok = false`` row: the countable
+    dead-letter contract every codec gate aggregates on.
+
+    ``schema_tail`` is the scalar column list between the id and
+    parse_ok (``"width int, height int"``); the dead-letter row width
+    and the pandas column names are derived from it, so a source can
+    never hand-count its Nones wrong (the r14 deferred review
+    finding)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    schema = f"{id_col} long, {schema_tail}, parse_ok boolean"
+    names = [c.strip().split()[0] for c in schema.split(",")]
+    n_vals = len(names) - 2  # between id and parse_ok
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, content in zip(pdf[id_col], pdf[content_col]):
+                aid = int(aid)
+                try:
+                    for vals in rows_fn(parse(bytes(content))):
+                        rows.append((aid, *vals, True))
+                except Exception:
+                    rows.append((aid,) + (None,) * n_vals + (False,))
+            yield pd.DataFrame(rows, columns=names)
+
+    return df.mapInPandas(mapper, schema)
+
+
 def mp3_meta(df: DataFrame, content_col: str = "content", id_col: str = "archive_id") -> DataFrame:
     """MP3 metadata, one row per file (``functions.mp3.parse_mp3``:
     ID3v2.3/2.4 + trailing ID3v1 tag walks, MPEG-1 Layer III frame
     census with exact integer duration; audio decode stays guarded).
     Output: id3_version, title, artist, album, n_frames, sample_rate,
     bitrate_kbps, cbr, duration_ms, parse_ok; junk and guarded
-    profiles survive as one parse_ok = false row. Arrow-batched
-    mapInPandas, zero shuffle — the mp4_tracks shape."""
-    from collections.abc import Iterator
-
-    import pandas as pd
-
+    profiles survive as one parse_ok = false row."""
     from ..functions.mp3 import parse_mp3
 
-    schema = (
-        f"{id_col} long, id3_version string, title string,"
-        " artist string, album string, n_frames long, sample_rate int,"
-        " bitrate_kbps int, cbr boolean, duration_ms long,"
-        " parse_ok boolean"
+    keys = ("id3_version", "title", "artist", "album", "n_frames",
+            "sample_rate", "bitrate_kbps", "cbr", "duration_ms")
+    return _binary_meta_source(
+        df, content_col, id_col, parse_mp3,
+        "id3_version string, title string, artist string,"
+        " album string, n_frames long, sample_rate int,"
+        " bitrate_kbps int, cbr boolean, duration_ms long",
+        lambda r: [tuple(r[k] for k in keys)],
     )
-
-    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cols = [
-            id_col, "id3_version", "title", "artist", "album",
-            "n_frames", "sample_rate", "bitrate_kbps", "cbr",
-            "duration_ms", "parse_ok",
-        ]
-        for pdf in batches:
-            rows = []
-            for aid, content in zip(pdf[id_col], pdf[content_col]):
-                aid = int(aid)
-                try:
-                    r = parse_mp3(bytes(content))
-                    rows.append(
-                        (
-                            aid, r["id3_version"], r["title"],
-                            r["artist"], r["album"], r["n_frames"],
-                            r["sample_rate"], r["bitrate_kbps"],
-                            r["cbr"], r["duration_ms"], True,
-                        )
-                    )
-                except Exception:
-                    rows.append(
-                        (aid, None, None, None, None, None, None, None,
-                         None, None, False)
-                    )
-            yield pd.DataFrame(rows, columns=cols)
-
-    return df.mapInPandas(mapper, schema)
 
 
 def webp_meta(df: DataFrame, content_col: str = "content", id_col: str = "archive_id") -> DataFrame:
@@ -498,49 +514,19 @@ def webp_meta(df: DataFrame, content_col: str = "content", id_col: str = "archiv
     headers, the VP8X extended profile with ANIM/ANMF animation frames
     and exact integer duration sums; pixel decode stays guarded).
     Output: format, width, height, has_alpha, is_animated, n_frames,
-    duration_ms, has_exif, parse_ok; junk survives as one
-    parse_ok = false row. Arrow-batched mapInPandas, zero shuffle —
-    the mp4_tracks shape."""
-    from collections.abc import Iterator
-
-    import pandas as pd
-
+    duration_ms, has_exif, has_icc, parse_ok; junk survives as one
+    parse_ok = false row."""
     from ..functions.webp import parse_webp
 
-    schema = (
-        f"{id_col} long, format string, width int, height int,"
-        " has_alpha boolean, is_animated boolean, n_frames int,"
-        " duration_ms long, has_exif boolean, parse_ok boolean"
+    keys = ("format", "width", "height", "has_alpha", "is_animated",
+            "n_frames", "duration_ms", "has_exif", "has_icc")
+    return _binary_meta_source(
+        df, content_col, id_col, parse_webp,
+        "format string, width int, height int, has_alpha boolean,"
+        " is_animated boolean, n_frames int, duration_ms long,"
+        " has_exif boolean, has_icc boolean",
+        lambda r: [tuple(r[k] for k in keys)],
     )
-
-    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cols = [
-            id_col, "format", "width", "height", "has_alpha",
-            "is_animated", "n_frames", "duration_ms", "has_exif",
-            "parse_ok",
-        ]
-        for pdf in batches:
-            rows = []
-            for aid, content in zip(pdf[id_col], pdf[content_col]):
-                aid = int(aid)
-                try:
-                    r = parse_webp(bytes(content))
-                    rows.append(
-                        (
-                            aid, r["format"], r["width"], r["height"],
-                            r["has_alpha"], r["is_animated"],
-                            r["n_frames"], r["duration_ms"],
-                            r["has_exif"], True,
-                        )
-                    )
-                except Exception:
-                    rows.append(
-                        (aid, None, None, None, None, None, None, None,
-                         None, False)
-                    )
-            yield pd.DataFrame(rows, columns=cols)
-
-    return df.mapInPandas(mapper, schema)
 
 
 def bmff_image_meta(df: DataFrame, content_col: str = "content", id_col: str = "archive_id") -> DataFrame:
@@ -550,45 +536,17 @@ def bmff_image_meta(df: DataFrame, content_col: str = "content", id_col: str = "
     can't shadow the primary image's dims; AV1/HEVC item decode stays
     guarded). Output: major_brand, primary_item, n_items, codec,
     width, height, has_exif, parse_ok; junk survives as one
-    parse_ok = false row. Arrow-batched mapInPandas, zero shuffle."""
-    from collections.abc import Iterator
-
-    import pandas as pd
-
+    parse_ok = false row."""
     from ..functions.mp4 import parse_bmff_image
 
-    schema = (
-        f"{id_col} long, major_brand string, primary_item long,"
-        " n_items int, codec string, width long, height long,"
-        " has_exif boolean, parse_ok boolean"
+    keys = ("major_brand", "primary_item", "n_items", "codec",
+            "width", "height", "has_exif")
+    return _binary_meta_source(
+        df, content_col, id_col, parse_bmff_image,
+        "major_brand string, primary_item long, n_items int,"
+        " codec string, width long, height long, has_exif boolean",
+        lambda r: [tuple(r[k] for k in keys)],
     )
-
-    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cols = [
-            id_col, "major_brand", "primary_item", "n_items", "codec",
-            "width", "height", "has_exif", "parse_ok",
-        ]
-        for pdf in batches:
-            rows = []
-            for aid, content in zip(pdf[id_col], pdf[content_col]):
-                aid = int(aid)
-                try:
-                    r = parse_bmff_image(bytes(content))
-                    rows.append(
-                        (
-                            aid, r["major_brand"], r["primary_item"],
-                            r["n_items"], r["codec"], r["width"],
-                            r["height"], r["has_exif"], True,
-                        )
-                    )
-                except Exception:
-                    rows.append(
-                        (aid, None, None, None, None, None, None, None,
-                         False)
-                    )
-            yield pd.DataFrame(rows, columns=cols)
-
-    return df.mapInPandas(mapper, schema)
 
 
 def mp4_tracks(df: DataFrame, content_col: str = "content", id_col: str = "archive_id") -> DataFrame:
@@ -603,65 +561,54 @@ def mp4_tracks(df: DataFrame, content_col: str = "content", id_col: str = "archi
     codec, width, height, n_samples (moov sample tables),
     duration_ms (exact integer floor divisions of the timescale
     pairs), fragment_samples (trun sample-count sum for this track
-    across all fragments) — plus parse_ok. Unparseable
-    bytes survive as ONE parse_ok = false row (the countable
-    dead-letter contract). Arrow-batched mapInPandas, zero shuffle."""
-    from collections.abc import Iterator
-
-    import pandas as pd
-
+    across all fragments) — plus parse_ok. Unparseable bytes survive
+    as ONE parse_ok = false row (the countable dead-letter contract).
+    A parseable file with no tracks keeps its movie-level fields on a
+    single track-less parse_ok = true row."""
     from ..functions.mp4 import parse_mp4
 
-    schema = (
-        f"{id_col} long, major_brand string, movie_duration_ms long,"
-        " n_tracks int, n_fragments int, track_id long, kind string,"
-        " codec string, width int, height int, n_samples long,"
-        " duration_ms long, fragment_samples long, parse_ok boolean"
+    def rows_fn(r):
+        movie = (r["major_brand"], r["movie_duration_ms"], r["n_tracks"],
+                 r["n_fragments"])
+        if not r["tracks"]:
+            return [(*movie[:2], 0, movie[3],
+                     None, None, None, None, None, None, None, None)]
+        return [
+            (*movie, t["track_id"], t["kind"], t["codec"], t["width"],
+             t["height"], t["n_samples"], t["duration_ms"],
+             t["fragment_samples"])
+            for t in r["tracks"]
+        ]
+
+    return _binary_meta_source(
+        df, content_col, id_col, parse_mp4,
+        "major_brand string, movie_duration_ms long, n_tracks int,"
+        " n_fragments int, track_id long, kind string, codec string,"
+        " width int, height int, n_samples long, duration_ms long,"
+        " fragment_samples long",
+        rows_fn,
     )
 
-    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cols = [
-            id_col, "major_brand", "movie_duration_ms", "n_tracks",
-            "n_fragments", "track_id", "kind", "codec", "width",
-            "height", "n_samples", "duration_ms", "fragment_samples",
-            "parse_ok",
-        ]
-        for pdf in batches:
-            rows = []
-            for aid, content in zip(pdf[id_col], pdf[content_col]):
-                aid = int(aid)
-                try:
-                    r = parse_mp4(bytes(content))
-                    for t in r["tracks"]:
-                        rows.append(
-                            (
-                                aid, r["major_brand"],
-                                r["movie_duration_ms"], r["n_tracks"],
-                                r["n_fragments"],
-                                t["track_id"], t["kind"], t["codec"],
-                                t["width"], t["height"], t["n_samples"],
-                                t["duration_ms"], t["fragment_samples"],
-                                True,
-                            )
-                        )
-                    if not r["tracks"]:
-                        rows.append(
-                            (
-                                aid, r["major_brand"],
-                                r["movie_duration_ms"], 0,
-                                r["n_fragments"],
-                                None, None, None, None, None, None,
-                                None, None, True,
-                            )
-                        )
-                except Exception:
-                    rows.append(
-                        (aid, None, None, None, None, None, None, None,
-                         None, None, None, None, None, False)
-                    )
-            yield pd.DataFrame(rows, columns=cols)
 
-    return df.mapInPandas(mapper, schema)
+def svg_meta(df: DataFrame, content_col: str = "content", id_col: str = "archive_id") -> DataFrame:
+    """SVG metadata, one row per file (``functions.svg.parse_svg``:
+    intrinsic pixel size with the attribute→viewBox fallback ladder,
+    declared units, viewBox extent, element count, script presence,
+    title; rendering stays out of scope). Output: width, height,
+    width_unit, height_unit, vb_width, vb_height, n_elements,
+    has_script, title, parse_ok; junk, non-svg XML and malformed
+    lengths survive as one parse_ok = false row."""
+    from ..functions.svg import parse_svg
+
+    keys = ("width", "height", "width_unit", "height_unit",
+            "vb_width", "vb_height", "n_elements", "has_script", "title")
+    return _binary_meta_source(
+        df, content_col, id_col, parse_svg,
+        "width double, height double, width_unit string,"
+        " height_unit string, vb_width double, vb_height double,"
+        " n_elements int, has_script boolean, title string",
+        lambda r: [tuple(r[k] for k in keys)],
+    )
 
 
 def zip_members(df: DataFrame, content_col: str = "content", id_col: str = "archive_id") -> DataFrame:

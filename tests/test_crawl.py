@@ -961,6 +961,58 @@ def test_parse_sitemap_contract():
     assert rt["entries"][0]["lastmod"] == "2026&01"
 
 
+def test_parse_sitemap_mutation_contract():
+    """Byte-mutated sitemaps parse or raise ValueError — never a foreign
+    exception (the codec fuzz discipline; r14's feeds LookupError escape
+    motivated pinning every ET.fromstring caller). Exercises the XML
+    declaration's encoding attr, the gzip member, and the body."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from data_engineering_assignment_spark.functions.sitemaps import (
+        build_sitemap,
+        parse_sitemap,
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        mutations=st.lists(
+            st.tuples(st.integers(0, 400), st.integers(0, 255)),
+            min_size=1,
+            max_size=6,
+        ),
+        gzipped=st.booleans(),
+    )
+    def _fuzz(mutations, gzipped):
+        base = bytearray(
+            build_sitemap(
+                [
+                    {"loc": "http://h.example/a", "lastmod": "2026-01-02"},
+                    {"loc": "http://h.example/b"},
+                ],
+                gzipped=gzipped,
+            )
+        )
+        for pos, val in mutations:
+            base[pos % len(base)] = val
+        try:
+            r = parse_sitemap(bytes(base))
+            assert isinstance(r, dict)
+        except ValueError:
+            pass
+
+    _fuzz()
+
+    # the named escapes, pinned directly: unknown encoding declaration
+    # (LookupError inside ET) and a truncated gzip member (EOFError)
+    bad_enc = b'<?xml version="1.0" encoding="ATF-8"?><urlset></urlset>'
+    with pytest.raises(ValueError, match="malformed XML"):
+        parse_sitemap(bad_enc)
+    gz = build_sitemap([{"loc": "http://h.example/a"}], gzipped=True)
+    with pytest.raises(ValueError, match="gzip"):
+        parse_sitemap(gz[: len(gz) // 2])
+
+
 def test_sitemap_entries_dead_letter_and_fanout(spark):
     """sitemap_entries: one row per entry, entry-less documents survive
     as a (kind, NULL-loc) census row, malformed documents as one

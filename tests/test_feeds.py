@@ -85,10 +85,16 @@ def test_guards():
         parse_feed("<rss><item/></rss>")
     with pytest.raises(ValueError, match="kind"):
         build_feed([], kind="rdf")
-    # truncated gzip member is a dead-letter, not a foreign exception
+    # truncated gzip member is a dead-letter ValueError, not a foreign
+    # exception (EOFError/BadGzipFile are wrapped)
     gz = build_feed(_ENTRIES, gzipped=True)
-    with pytest.raises(Exception):
+    with pytest.raises(ValueError, match="gzip"):
         parse_feed(gz[: len(gz) // 2])
+    # unknown encoding in the XML declaration raises LookupError inside
+    # ET.fromstring — wrapped into the same ValueError class (the r14
+    # mutation-fuzz counterexample: one byte flips UTF-8 -> ATF-8)
+    with pytest.raises(ValueError, match="malformed XML"):
+        parse_feed(b'<?xml version="1.0" encoding="ATF-8"?><rss/>')
 
 
 @settings(max_examples=150, deadline=None)

@@ -47,6 +47,16 @@ def test_vp8x_extended_profile():
     assert r["n_frames"] == 3 and r["duration_ms"] == 390
     assert r["is_animated"] and r["has_alpha"] and r["has_exif"]
     assert not r["has_icc"]
+    # ICCP chunk (written FIRST in the chunk order, per spec) sets the
+    # flag and leaves the canvas dims intact (r14 advisor finding:
+    # has_icc was parsed but dropped by the webp_meta source schema)
+    r = parse_webp(build_webp(64, 48, "VP8X", icc=b"icc-profile"))
+    assert r["has_icc"] and not r["has_exif"]
+    assert (r["width"], r["height"], r["n_frames"]) == (64, 48, 1)
+    # ICC + animation together: the ICCP chunk must not be counted as
+    # a frame or perturb the duration sum
+    r = parse_webp(build_webp(32, 32, "VP8X", frames=[10, 20], icc=b"i"))
+    assert r["has_icc"] and r["n_frames"] == 2 and r["duration_ms"] == 30
 
 
 def test_odd_chunk_padding():
