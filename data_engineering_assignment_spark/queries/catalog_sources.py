@@ -6250,3 +6250,203 @@ def svg_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("parse_ok"), F.col("title").isNotNull().cast("int"))
         ).cast("long").alias("n_titled"),
     )
+
+
+_FLAC_ORACLE = """
+WITH t AS (
+  SELECT doc_id AS d, LENGTH(doc_id::VARCHAR) AS dd,
+         ([44100, 48000, 96000])[1 + doc_id % 3] AS sr
+  FROM documents
+), v AS (
+  SELECT sr::VARCHAR AS rate,
+         sr * (1 + d % 9) + d % 7 AS samples,
+         (sr * (1 + d % 9) + d % 7) * 1000 // sr AS dur,
+         1 + d % 4 AS ch,
+         CASE WHEN d % 2 = 0 THEN 16 ELSE 24 END AS bits,
+         CASE WHEN d % 4 = 3 THEN NULL ELSE 6 + dd END AS tl,
+         CASE WHEN d % 5 = 0 THEN 1 ELSE 0 END AS pic
+  FROM t WHERE d % 13 <> 0
+  UNION ALL
+  SELECT 'dead', NULL, NULL, NULL, NULL, NULL, NULL
+  FROM t WHERE d % 13 = 0
+)
+SELECT rate, COUNT(*) AS n_files,
+       SUM(samples)::BIGINT AS samples_sum,
+       SUM(dur)::BIGINT AS duration_ms_sum,
+       SUM(ch)::BIGINT AS channels_sum, SUM(bits)::BIGINT AS bits_sum,
+       SUM(tl)::BIGINT AS title_len_sum, SUM(pic)::BIGINT AS n_pictures
+FROM v GROUP BY 1
+"""
+
+
+@register(
+    "flac_audio_stats",
+    oracle=_FLAC_ORACLE,
+    doc="FLAC metadata gate (functions/flac.parse_flac + "
+    "sources.flac_meta — the dominant lossless archive audio format, "
+    "completing the audio census beside WAV/ADPCM/MP3/Ogg; metadata "
+    "blocks only, frame decode stays guarded): STREAMINFO's packed "
+    "20/3/5/36-bit tail across three sample rates, 1-4 channels and "
+    "16/24-bit depths, exact integer durations samples*1000//rate "
+    "with a +doc_id%7 sample remainder so the floor division is "
+    "actually exercised, VORBIS_COMMENT titles (absent at doc_id%4=3) "
+    "whose digit-arithmetic lengths replay in SQL, PICTURE blocks at "
+    "doc_id%5=0. doc_id%13=0 plants junk -> one parse_ok=false row "
+    "(grouped as 'dead'). Per-rate file counts, sample/duration/"
+    "channel/bit-depth sums, title lengths and picture counts sit "
+    "under one hash.",
+)
+def flac_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from ..functions.flac import build_flac
+    from ..sources import flac_meta
+    from ..tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def make(batches):
+        for pdf in batches:
+            rows = []
+            for x in pdf["doc_id"]:
+                did = int(x)
+                if did % 13 == 0:
+                    rows.append((did, b"junk bytes, not a flac"))
+                    continue
+                sr = (44100, 48000, 96000)[did % 3]
+                rows.append(
+                    (
+                        did,
+                        build_flac(
+                            sr * (1 + did % 9) + did % 7,
+                            sample_rate=sr,
+                            channels=1 + did % 4,
+                            bits_per_sample=16 if did % 2 == 0 else 24,
+                            title=(
+                                None if did % 4 == 3 else f"track {did}"
+                            ),
+                            picture=did % 5 == 0,
+                            padding=did % 3 * 8,
+                        ),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["archive_id", "content"])
+
+    media = docs.mapInPandas(make, "archive_id long, content binary")
+    m = flac_meta(media)
+    rate = F.coalesce(
+        F.col("sample_rate").cast("string"), F.lit("dead")
+    )
+    return m.groupBy(rate.alias("rate")).agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("total_samples").cast("long").alias("samples_sum"),
+        F.sum("duration_ms").cast("long").alias("duration_ms_sum"),
+        F.sum("channels").cast("long").alias("channels_sum"),
+        F.sum("bits_per_sample").cast("long").alias("bits_sum"),
+        F.sum(F.length("title")).cast("long").alias("title_len_sum"),
+        F.sum(F.col("has_picture").cast("int")).cast("long").alias("n_pictures"),
+    )
+
+
+_OGG_ORACLE = """
+WITH t AS (
+  SELECT doc_id AS d FROM documents
+), v AS (
+  SELECT CASE d % 3 WHEN 0 THEN 'vorbis' WHEN 1 THEN 'opus'
+              ELSE 'unknown' END AS codec,
+         CASE d % 3
+           WHEN 0 THEN (([44100, 48000, 32000, 22050, 8000])[1 + d % 5]
+                        * (1 + d % 6) + d % 11) * 1000
+                       // ([44100, 48000, 32000, 22050, 8000])[1 + d % 5]
+           WHEN 1 THEN (48000 * (1 + d % 6) + d % 11 - d % 400) * 1000
+                       // 48000
+           ELSE NULL END AS dur,
+         1 + (d % 3) + (1 + d % 4) AS pages,
+         1 + d % 3 AS streams,
+         CASE WHEN d % 3 = 2 THEN NULL ELSE 1 + d % 2 END AS ch,
+         CASE d % 3 WHEN 0 THEN 0 WHEN 1 THEN d % 400 ELSE NULL END AS ps
+  FROM t WHERE d % 13 <> 0
+  UNION ALL
+  SELECT 'dead', NULL, NULL, NULL, NULL, NULL FROM t WHERE d % 13 = 0
+)
+SELECT codec, COUNT(*) AS n_files,
+       SUM(dur)::BIGINT AS duration_ms_sum,
+       SUM(pages)::BIGINT AS pages_sum,
+       SUM(streams)::BIGINT AS streams_sum,
+       SUM(ch)::BIGINT AS channels_sum,
+       SUM(ps)::BIGINT AS preskip_sum
+FROM v GROUP BY 1
+"""
+
+
+@register(
+    "ogg_audio_stats",
+    oracle=_OGG_ORACLE,
+    doc="Ogg container gate (functions/ogg.parse_ogg + "
+    "sources.ogg_meta — the streaming half of the audio census; page "
+    "walk + identification headers only, codec decode stays guarded): "
+    "Vorbis/Opus/unknown primary streams by doc_id%3, Vorbis exact "
+    "integer durations granule*1000//rate across five sample rates "
+    "with a +doc_id%11 granule remainder, Opus on the always-48kHz "
+    "output timeline minus a doc_id%400 pre-skip (RFC 7845), "
+    "1+doc_id%3 BOS streams and 1+doc_id%4 audio pages (page census "
+    "counts the BOS page of every stream: 1 primary + extras + audio "
+    "pages). doc_id%13=0 plants junk -> one parse_ok=false row "
+    "(grouped as 'dead'). Per-codec file counts, duration/page/"
+    "stream/channel/pre-skip sums sit under one hash. The +1 page "
+    "constant in the oracle's pages formula is the primary BOS page; "
+    "extra_streams each add one BOS page.",
+)
+def ogg_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from ..functions.ogg import build_ogg
+    from ..sources import ogg_meta
+    from ..tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def make(batches):
+        for pdf in batches:
+            rows = []
+            for x in pdf["doc_id"]:
+                did = int(x)
+                if did % 13 == 0:
+                    rows.append((did, b"junk bytes, not an ogg"))
+                    continue
+                codec = ("vorbis", "opus", "unknown")[did % 3]
+                if codec == "vorbis":
+                    sr = (44100, 48000, 32000, 22050, 8000)[did % 5]
+                    granule = sr * (1 + did % 6) + did % 11
+                    ps = 0
+                else:
+                    sr = 48000
+                    granule = 48000 * (1 + did % 6) + did % 11
+                    ps = did % 400
+                rows.append(
+                    (
+                        did,
+                        build_ogg(
+                            codec,
+                            granule,
+                            sample_rate=sr,
+                            channels=1 + did % 2,
+                            pre_skip=ps,
+                            n_audio_pages=1 + did % 4,
+                            extra_streams=did % 3,
+                        ),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["archive_id", "content"])
+
+    media = docs.mapInPandas(make, "archive_id long, content binary")
+    m = ogg_meta(media)
+    codec = F.coalesce(F.col("codec"), F.lit("dead"))
+    return m.groupBy(codec.alias("codec")).agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("duration_ms").cast("long").alias("duration_ms_sum"),
+        F.sum("n_pages").cast("long").alias("pages_sum"),
+        F.sum("n_streams").cast("long").alias("streams_sum"),
+        F.sum("channels").cast("long").alias("channels_sum"),
+        F.sum("pre_skip").cast("long").alias("preskip_sum"),
+    )

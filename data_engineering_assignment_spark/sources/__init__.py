@@ -611,6 +611,49 @@ def svg_meta(df: DataFrame, content_col: str = "content", id_col: str = "archive
     )
 
 
+def flac_meta(df: DataFrame, content_col: str = "content", id_col: str = "archive_id") -> DataFrame:
+    """FLAC metadata, one row per file (``functions.flac.parse_flac``:
+    STREAMINFO packed fields with exact integer duration,
+    VORBIS_COMMENT tags, PICTURE presence, block census; audio decode
+    stays guarded). Output: sample_rate, channels, bits_per_sample,
+    total_samples, duration_ms, title, artist, album, n_blocks,
+    has_picture, parse_ok; junk survives as one parse_ok = false row."""
+    from ..functions.flac import parse_flac
+
+    keys = ("sample_rate", "channels", "bits_per_sample",
+            "total_samples", "duration_ms", "title", "artist", "album",
+            "n_blocks", "has_picture")
+    return _binary_meta_source(
+        df, content_col, id_col, parse_flac,
+        "sample_rate int, channels int, bits_per_sample int,"
+        " total_samples long, duration_ms long, title string,"
+        " artist string, album string, n_blocks int,"
+        " has_picture boolean",
+        lambda r: [tuple(r[k] for k in keys)],
+    )
+
+
+def ogg_meta(df: DataFrame, content_col: str = "content", id_col: str = "archive_id") -> DataFrame:
+    """Ogg container metadata, one row per file
+    (``functions.ogg.parse_ogg``: page walk, BOS stream census,
+    Vorbis/Opus/Theora identification headers, exact integer duration
+    from the primary stream's last granule — Opus on the always-48kHz
+    output timeline minus pre-skip; codec decode stays guarded).
+    Output: n_pages, n_streams, codec, sample_rate, channels,
+    duration_ms, pre_skip, parse_ok; junk survives as one
+    parse_ok = false row."""
+    from ..functions.ogg import parse_ogg
+
+    keys = ("n_pages", "n_streams", "codec", "sample_rate", "channels",
+            "duration_ms", "pre_skip")
+    return _binary_meta_source(
+        df, content_col, id_col, parse_ogg,
+        "n_pages int, n_streams int, codec string, sample_rate int,"
+        " channels int, duration_ms long, pre_skip int",
+        lambda r: [tuple(r[k] for k in keys)],
+    )
+
+
 def zip_members(df: DataFrame, content_col: str = "content", id_col: str = "archive_id") -> DataFrame:
     """Explode ZIP archive binary columns into one row per member —
     crawl dumps and dataset drops ship as ZIPs next to WARCs. Stdlib
