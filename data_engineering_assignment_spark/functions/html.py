@@ -61,6 +61,16 @@ class _Extractor(HTMLParser):
         self.canonical: str | None = None  # first <link rel=canonical>
         self.description: str | None = None  # meta description precedence
         self._og_description: str | None = None
+        # structured data (r15): JSON-LD @type census + OpenGraph
+        # properties — the in-page metadata a corpus-curation user
+        # reads right after canonical/robots
+        self.ld_types: list[str] = []  # @type values, document order
+        self.ld_blocks = 0  # ld+json script blocks seen (ok + bad)
+        self.ld_errors = 0  # blocks whose body failed json.loads
+        self.og: list[tuple[str, str]] = []  # (property, content)
+        self._og_seen: set[str] = set()  # first value per property wins
+        self._in_ldjson = False
+        self._ld_parts: list[str] = []
         # drop-depth EXCLUDING <head>: head content is dropped from the
         # text but its metadata (title/meta/link) is authoritative,
         # while the same elements inside template/noscript/iframe/svg
@@ -128,9 +138,26 @@ class _Extractor(HTMLParser):
             elif name == "description":
                 if self.description is None and a.get("content"):
                     self.description = a["content"]
-            elif (a.get("property") or "").strip().lower() == "og:description":
+            prop = (a.get("property") or "").strip().lower()
+            if prop == "og:description":
                 if self._og_description is None and a.get("content"):
                     self._og_description = a["content"]
+            if prop.startswith("og:") and a.get("content") is not None:
+                # OpenGraph census: every og:* property, first value
+                # per property wins (the og:description rule)
+                if prop not in self._og_seen:
+                    self._og_seen.add(prop)
+                    self.og.append((prop, a["content"]))
+        if tag == "script" and not self._nonhead_drop:
+            # JSON-LD blocks live in <head> or <body>; their bodies are
+            # dropped from the text but the @type census is page
+            # metadata — same authoritative/inert split as meta/link
+            # (a <template>'s ld+json must not set page signals)
+            a = dict(attrs)
+            stype = (a.get("type") or "").strip().lower()
+            if stype == "application/ld+json":
+                self._in_ldjson = True
+                self._ld_parts = []
         if tag == "link" and not self._nonhead_drop:
             # <link rel=canonical>: the in-page dedup signal — URL
             # variants of one page declare a shared canonical target.
@@ -162,10 +189,50 @@ class _Extractor(HTMLParser):
             )
             self._anchor = []
 
+    def _end_ldjson(self) -> None:
+        import json
+
+        self._in_ldjson = False
+        self.ld_blocks += 1
+        try:
+            node = json.loads("".join(self._ld_parts))
+        except (ValueError, RecursionError):
+            # malformed blocks are countable content errors, never a
+            # page dead-letter (tolerant about content); a pathological
+            # nesting depth is the same class — parse_html never raises
+            self.ld_errors += 1
+            return
+        finally:
+            self._ld_parts = []
+        self._collect_ld_types(node)
+
+    def _collect_ld_types(self, node, depth: int = 0) -> None:
+        """@type census: top-level object, top-level array, and @graph
+        members (the three spec-shaped block forms) — nested entity
+        types are out of scope (a Product's nested Offer is the
+        Product's detail, not a page-level block). Depth-capped so a
+        pathological @graph-of-@graph chain can't recurse unboundedly."""
+        if depth > 8:
+            return
+        if isinstance(node, list):
+            for x in node:
+                self._collect_ld_types(x, depth + 1)
+        elif isinstance(node, dict):
+            t = node.get("@type")
+            if isinstance(t, str):
+                self.ld_types.append(t)
+            elif isinstance(t, list):
+                self.ld_types.extend(x for x in t if isinstance(x, str))
+            g = node.get("@graph")
+            if isinstance(g, list):
+                self._collect_ld_types(g, depth + 1)
+
     def handle_endtag(self, tag):
         if tag == "title" and self._in_title:
             self._in_title = False
             self._title_done = True
+        if tag == "script" and self._in_ldjson:
+            self._end_ldjson()
         if tag in _DROP:
             if self._drop:
                 self._drop -= 1
@@ -185,6 +252,11 @@ class _Extractor(HTMLParser):
         if self._in_title:
             self._title_parts.append(data)
             return
+        if self._in_ldjson:
+            # script bodies are CDATA — collected for the JSON parse,
+            # always excluded from the text
+            self._ld_parts.append(data)
+            return
         if self._drop:
             return
         self._parts.append(data)
@@ -199,6 +271,10 @@ class _Extractor(HTMLParser):
 
     def close(self):
         super().close()
+        if self._in_ldjson:
+            # EOF inside an unclosed ld+json script: still a block
+            # (usually a countable error — truncated JSON)
+            self._end_ldjson()
         self._end_anchor()
         self._flush()
 
@@ -235,7 +311,16 @@ def parse_html(html: str) -> dict:
     canonical as the first ``<link rel=canonical>`` href (the in-page
     dedup signal — possibly relative, resolve against the page URI);
     description as ``<meta name=description>`` falling back to
-    ``og:description`` (first of each wins)."""
+    ``og:description`` (first of each wins);
+    ld_types as the JSON-LD ``@type`` census in document order
+    (``<script type="application/ld+json">`` blocks — top-level
+    object/array and ``@graph`` members; nested entity types out of
+    scope) with ld_blocks/ld_errors counting blocks seen and blocks
+    whose body failed the JSON parse (countable content errors, never
+    a page dead-letter); og as (property, content) pairs for every
+    ``og:*`` meta, first value per property winning. Structured-data
+    elements inside inert subtrees (template/noscript/iframe/svg) set
+    nothing, same as robots/canonical."""
     p = _Extractor()
     p.feed(html)
     p.close()
@@ -249,6 +334,10 @@ def parse_html(html: str) -> dict:
         "description": (
             p.description if p.description is not None else p._og_description
         ),
+        "ld_types": p.ld_types,
+        "ld_blocks": p.ld_blocks,
+        "ld_errors": p.ld_errors,
+        "og": p.og,
     }
 
 

@@ -35,6 +35,14 @@ def _html_struct():
             StructField("nofollow", BooleanType()),
         ]
     )
+    from pyspark.sql.types import IntegerType
+
+    og_pair = StructType(
+        [
+            StructField("property", StringType()),
+            StructField("content", StringType()),
+        ]
+    )
     return StructType(
         [
             StructField("text", StringType()),
@@ -45,6 +53,10 @@ def _html_struct():
             StructField("nofollow", BooleanType()),
             StructField("canonical", StringType()),
             StructField("description", StringType()),
+            StructField("ld_types", ArrayType(StringType())),
+            StructField("ld_blocks", IntegerType()),
+            StructField("ld_errors", IntegerType()),
+            StructField("og", ArrayType(og_pair)),
             StructField("html_ok", BooleanType()),
         ]
     )
@@ -57,7 +69,8 @@ def html_extract(
     content_type_col: str | None = None,
 ) -> DataFrame:
     """Append ``out_col`` = struct<text, main_text, title, links,
-    noindex, nofollow, canonical, description, html_ok> extracted
+    noindex, nofollow, canonical, description, ld_types, ld_blocks,
+    ld_errors, og, html_ok> extracted
     from an HTML string/binary column via :func:`functions.html.parse_html`
     (deterministic contract: script/style/head dropped, entities decoded,
     block boundaries -> newlines, whitespace collapsed). Each link
@@ -116,6 +129,13 @@ def html_extract(
                             "nofollow": bool({"nofollow", "none"} & toks),
                             "canonical": r["canonical"],
                             "description": r["description"],
+                            "ld_types": r["ld_types"],
+                            "ld_blocks": r["ld_blocks"],
+                            "ld_errors": r["ld_errors"],
+                            "og": [
+                                {"property": k, "content": v}
+                                for k, v in r["og"]
+                            ],
                             "html_ok": True,
                         }
                     )
@@ -124,6 +144,8 @@ def html_extract(
                         {"text": None, "main_text": None, "title": None,
                          "links": None, "noindex": None, "nofollow": None,
                          "canonical": None, "description": None,
+                         "ld_types": None, "ld_blocks": None,
+                         "ld_errors": None, "og": None,
                          "html_ok": False}
                     )
             out = pdf.copy()

@@ -6450,3 +6450,134 @@ def ogg_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("channels").cast("long").alias("channels_sum"),
         F.sum("pre_skip").cast("long").alias("preskip_sum"),
     )
+
+
+_STRUCTURED_ORACLE = """
+WITH t AS (
+  SELECT doc_id AS d, LENGTH(doc_id::VARCHAR) AS dd FROM documents
+), v AS (
+  SELECT CASE d % 4 WHEN 0 THEN 'article' WHEN 1 THEN 'graph'
+              WHEN 2 THEN 'badjson' ELSE 'plain' END AS kind,
+         CASE d % 4 WHEN 0 THEN CASE WHEN d % 2 = 0 THEN 2 ELSE 1 END
+              WHEN 1 THEN 1 + d % 3 ELSE 0 END AS types,
+         CASE d % 4 WHEN 0 THEN CASE WHEN d % 2 = 0 THEN 12 ELSE 7 END
+              WHEN 1 THEN 6 * (1 + d % 3) ELSE 0 END AS types_len,
+         CASE WHEN d % 4 IN (0, 1, 2) THEN 1 ELSE 0 END AS blocks,
+         CASE WHEN d % 4 = 2 THEN 1 ELSE 0 END AS errors,
+         CASE d % 4 WHEN 0 THEN 2 WHEN 1 THEN 1 WHEN 2 THEN 1
+              ELSE 0 END AS og_n,
+         CASE d % 4 WHEN 0 THEN 8 + dd WHEN 1 THEN 1 + dd
+              WHEN 2 THEN 7 ELSE 0 END AS og_len
+  FROM t WHERE d % 13 <> 0
+  UNION ALL
+  SELECT 'dead', NULL, NULL, NULL, NULL, NULL, NULL
+  FROM t WHERE d % 13 = 0
+)
+SELECT kind, COUNT(*) AS n_pages, SUM(types)::BIGINT AS types_sum,
+       SUM(types_len)::BIGINT AS types_len_sum,
+       SUM(blocks)::BIGINT AS blocks_sum,
+       SUM(errors)::BIGINT AS errors_sum,
+       SUM(og_n)::BIGINT AS og_sum, SUM(og_len)::BIGINT AS og_len_sum
+FROM v GROUP BY 1
+"""
+
+
+@register(
+    "structured_data_stats",
+    oracle=_STRUCTURED_ORACLE,
+    doc="Structured-data census gate (functions/html.parse_html "
+    "ld_types/ld_blocks/ld_errors/og + the html_extract struct — "
+    "JSON-LD @type and OpenGraph property extraction, the in-page "
+    "metadata a corpus-curation user reads right after canonical/"
+    "robots; r14 verdict #4): doc_id%4 plants a plain Article block "
+    "(a ['Product','Offer'] type LIST at even doc_id) with og:title+"
+    "og:type / an @graph of 1+doc_id%3 entities with og:title / one "
+    "malformed-JSON block (countable error, page still ok) with a "
+    "DUPLICATE og:image whose first value wins / no structured data. "
+    "doc_id%13=0 plants an undecodable body -> one html_ok=false "
+    "dead-letter row. Per-kind page counts, @type counts AND name-"
+    "length sums, block/error counts, og property counts AND content-"
+    "length sums (digit-arithmetic titles) sit under one hash.",
+)
+def structured_data_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from ..operators.crawl import html_extract
+    from ..tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def make(batches):
+        for pdf in batches:
+            rows = []
+            for x in pdf["doc_id"]:
+                did = int(x)
+                if did % 13 == 0:
+                    rows.append((did, None))
+                    continue
+                k = did % 4
+                if k == 0:
+                    t = (
+                        '["Product","Offer"]' if did % 2 == 0
+                        else '"Article"'
+                    )
+                    body = (
+                        '<script type="application/ld+json">'
+                        f'{{"@type":{t}}}</script>'
+                        f'<meta property="og:title" content="t{did}">'
+                        '<meta property="og:type" content="article">'
+                    )
+                elif k == 1:
+                    ents = ",".join(
+                        f'{{"@type":"Thing{i}"}}'
+                        for i in range(1 + did % 3)
+                    )
+                    body = (
+                        '<script type="application/ld+json">'
+                        f'{{"@graph":[{ents}]}}</script>'
+                        f'<meta property="og:title" content="t{did}">'
+                    )
+                elif k == 2:
+                    body = (
+                        '<script type="application/ld+json">{not json'
+                        "</script>"
+                        '<meta property="og:image" content="img.png">'
+                        '<meta property="og:image" content="dup.png">'
+                    )
+                else:
+                    body = ""
+                rows.append(
+                    (did, f"<html><head>{body}</head><body>p</body></html>")
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "html"])
+
+    media = docs.mapInPandas(make, "doc_id long, html string")
+    pages = html_extract(media, html_col="html")
+    d = F.col("doc_id")
+    kind = (
+        F.when(~F.col("page.html_ok"), F.lit("dead"))
+        .when(d % 4 == 0, F.lit("article"))
+        .when(d % 4 == 1, F.lit("graph"))
+        .when(d % 4 == 2, F.lit("badjson"))
+        .otherwise(F.lit("plain"))
+    )
+    strlen = lambda acc, x: acc + F.length(x)  # noqa: E731
+    return pages.groupBy(kind.alias("kind")).agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.sum(F.size("page.ld_types")).cast("long").alias("types_sum"),
+        F.sum(
+            F.aggregate(
+                F.col("page.ld_types"), F.lit(0), strlen
+            )
+        ).cast("long").alias("types_len_sum"),
+        F.sum("page.ld_blocks").cast("long").alias("blocks_sum"),
+        F.sum("page.ld_errors").cast("long").alias("errors_sum"),
+        F.sum(F.size("page.og")).cast("long").alias("og_sum"),
+        F.sum(
+            F.aggregate(
+                F.col("page.og"),
+                F.lit(0),
+                lambda acc, x: acc + F.length(x["content"]),
+            )
+        ).cast("long").alias("og_len_sum"),
+    )

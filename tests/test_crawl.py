@@ -1401,3 +1401,86 @@ def test_inert_subtree_metadata_ignored():
     # head metadata still read (the original title rule)
     r2 = parse_html('<head><meta name="robots" content="noindex"></head>x')
     assert r2["robots"] == ["noindex"]
+
+
+def test_structured_data_extraction():
+    """JSON-LD @type census + OpenGraph properties (r15): blocks in
+    head AND body count; @type string/list and @graph forms; malformed
+    JSON is a countable error, not a page failure; og:* first value
+    per property wins; inert subtrees set nothing; script bodies stay
+    out of the text."""
+    h = (
+        "<html><head>"
+        '<meta property="og:title" content="T1">'
+        '<meta property="OG:Type" content="article">'
+        '<meta property="og:title" content="dup-ignored">'
+        '<script type="application/ld+json">'
+        '{"@context":"https://schema.org","@type":"Article"}</script>'
+        "</head><body>"
+        '<script type="application/ld+json">'
+        '[{"@type":["Product","Offer"]},{"@type":"Person"}]</script>'
+        '<script type="application/ld+json">'
+        '{"@graph":[{"@type":"NewsArticle"},{"@type":"Organization"}]}'
+        "</script>"
+        '<script type="application/ld+json">{bad json</script>'
+        "<script>var x = 1;</script>"
+        '<template><script type="application/ld+json">{"@type":"Inert"}'
+        '</script><meta property="og:image" content="inert.png">'
+        "</template>"
+        "body text</body></html>"
+    )
+    r = parse_html(h)
+    assert r["ld_types"] == [
+        "Article", "Product", "Offer", "Person",
+        "NewsArticle", "Organization",
+    ]
+    assert r["ld_blocks"] == 4 and r["ld_errors"] == 1
+    assert r["og"] == [("og:title", "T1"), ("og:type", "article")]
+    assert r["text"] == "body text"
+    # no structured data at all
+    r0 = parse_html("<p>plain</p>")
+    assert r0["ld_types"] == [] and r0["ld_blocks"] == 0
+    assert r0["og"] == []
+    # EOF inside an unclosed ld+json block: counted (as an error here)
+    r1 = parse_html('<script type="application/ld+json">{"@type":"X"')
+    assert r1["ld_blocks"] == 1 and r1["ld_errors"] == 1
+    # pathological nesting stays a countable error (never raises)
+    deep = '<script type="application/ld+json">' + "[" * 200000
+    assert parse_html(deep)["ld_errors"] == 1
+
+
+def test_html_extract_structured_fields(spark):
+    """html_extract carries ld_types/ld_blocks/ld_errors/og through
+    the struct, NULL on dead-letter rows."""
+    import pandas as pd
+
+    from data_engineering_assignment_spark.operators.crawl import (
+        html_extract,
+    )
+    from pyspark.sql import functions as F
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "html": [
+                '<head><meta property="og:a" content="1">'
+                '<script type="application/ld+json">{"@type":"T"}'
+                "</script></head>ok",
+                None,
+            ],
+        }
+    )
+    out = html_extract(spark.createDataFrame(pdf), html_col="html")
+    rows = {
+        r["doc_id"]: r
+        for r in out.select(
+            "doc_id", "page.ld_types", "page.ld_blocks",
+            "page.ld_errors", "page.og", "page.html_ok",
+            F.size("page.og").alias("og_n"),
+        ).collect()
+    }
+    assert rows[1]["ld_types"] == ["T"] and rows[1]["ld_blocks"] == 1
+    assert rows[1]["ld_errors"] == 0 and rows[1]["og_n"] == 1
+    assert rows[1]["og"][0]["property"] == "og:a"
+    assert not rows[2]["html_ok"] and rows[2]["ld_types"] is None
+    assert rows[2]["og_n"] is None  # size(NULL) stays NULL, not -1
