@@ -37,7 +37,11 @@ def _local(tag: str) -> str:
 def parse_sitemap(content: bytes | str) -> dict:
     """Parse one sitemap document → ``{"kind": "urlset"|"sitemapindex"|
     "textlist", "entries": [{"loc", "lastmod", "changefreq",
-    "priority"}, ...]}``. ``sitemapindex`` children carry the same dict
+    "priority", "images", "videos"}, ...]}``. ``images`` is the Google
+    image-extension loc list; ``videos`` the video-extension
+    ``{"title", "duration"}`` dicts (duration in integer seconds, None
+    when absent/non-integer) — both empty for sitemapindex/textlist.
+    ``sitemapindex`` children carry the same dict
     shape (``lastmod`` only; the other fields stay None). Non-XML input
     is accepted as the spec's PLAIN-TEXT sitemap form — one
     fully-qualified URL per line, UTF-8 — but ONLY if every non-empty
@@ -63,7 +67,12 @@ def parse_sitemap(content: bytes | str) -> dict:
             return {
                 "kind": "textlist",
                 "entries": [
-                    {"loc": ln, **{k: None for k in _FIELDS}}
+                    {
+                        "loc": ln,
+                        **{k: None for k in _FIELDS},
+                        "images": [],
+                        "videos": [],
+                    }
                     for ln in lines
                 ],
             }
@@ -83,14 +92,51 @@ def parse_sitemap(content: bytes | str) -> dict:
         if _local(el.tag) != child_tag:
             continue
         fields: dict[str, str] = {}
+        images: list[str] = []
+        videos: list[dict] = []
         for f in el:
-            txt = (f.text or "").strip()
-            fields.setdefault(_local(f.tag), txt)
+            lname = _local(f.tag)
+            if lname == "image":
+                # Google image extension: <image:image><image:loc>
+                iloc = next(
+                    (
+                        (c.text or "").strip()
+                        for c in f
+                        if _local(c.tag) == "loc" and (c.text or "").strip()
+                    ),
+                    None,
+                )
+                if iloc:
+                    images.append(iloc)
+                continue
+            if lname == "video":
+                # Google video extension: title + duration (seconds,
+                # integer per spec; non-integer text rides along as
+                # None — tolerant about content)
+                sub: dict[str, str] = {}
+                for c in f:
+                    sub.setdefault(_local(c.tag), (c.text or "").strip())
+                dur = sub.get("duration")
+                videos.append(
+                    {
+                        "title": sub.get("title") or None,
+                        "duration": (
+                            int(dur) if dur and dur.isdigit() else None
+                        ),
+                    }
+                )
+                continue
+            fields.setdefault(lname, (f.text or "").strip())
         loc = fields.get("loc")
         if not loc:
             continue  # <loc> is mandatory per spec; loc-less entries skip
         entries.append(
-            {"loc": loc, **{k: fields.get(k) for k in _FIELDS}}
+            {
+                "loc": loc,
+                **{k: fields.get(k) for k in _FIELDS},
+                "images": images,
+                "videos": videos,
+            }
         )
     return {"kind": kind, "entries": entries}
 
@@ -109,7 +155,9 @@ def build_sitemap(
     child_tag = "url" if kind == "urlset" else "sitemap"
     lines = [
         '<?xml version="1.0" encoding="UTF-8"?>',
-        f'<{kind} xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">',
+        f'<{kind} xmlns="http://www.sitemaps.org/schemas/sitemap/0.9"'
+        ' xmlns:image="http://www.google.com/schemas/sitemap-image/1.1"'
+        ' xmlns:video="http://www.google.com/schemas/sitemap-video/1.1">',
     ]
     for e in entries:
         lines.append(f"<{child_tag}>")
@@ -117,6 +165,22 @@ def build_sitemap(
         for k in _FIELDS:
             if e.get(k) is not None:
                 lines.append(f"<{k}>{escape(str(e[k]))}</{k}>")
+        for iloc in e.get("images") or []:
+            lines.append(
+                "<image:image><image:loc>"
+                f"{escape(str(iloc))}</image:loc></image:image>"
+            )
+        for v in e.get("videos") or []:
+            lines.append("<video:video>")
+            if v.get("title") is not None:
+                lines.append(
+                    f"<video:title>{escape(str(v['title']))}</video:title>"
+                )
+            if v.get("duration") is not None:
+                lines.append(
+                    f"<video:duration>{v['duration']}</video:duration>"
+                )
+            lines.append("</video:video>")
         lines.append(f"</{child_tag}>")
     lines.append(f"</{kind}>")
     out = "\n".join(lines).encode("utf-8")

@@ -896,8 +896,12 @@ def sitemap_entries(
     :func:`canonical_url` dedup against the capture index). Parsing is
     :func:`functions.sitemaps.parse_sitemap` (urlset AND sitemapindex,
     gzip-sniffed bytes, namespace-agnostic). Output: (sitemap_uri, kind,
-    loc, lastmod, changefreq, priority, parse_ok) — ``priority`` stays
-    the verbatim spec STRING (callers cast; no float surface here). A
+    loc, lastmod, changefreq, priority, n_images, n_videos,
+    video_duration_sum, parse_ok) — ``priority`` stays the verbatim
+    spec STRING (callers cast; no float surface here); the media
+    columns are the Google image/video extension census per entry
+    (r15 — duration sum over the entry's videos with a declared
+    integer duration, 0 for media-less parsed entries). A
     malformed document survives as ONE parse_ok = false row and an
     entry-less one as a (kind, NULL-loc) row — countable dead-letter /
     census rows, never dropped. Arrow-batched mapInPandas: sitemap bytes
@@ -907,11 +911,12 @@ def sitemap_entries(
 
     schema = (
         "sitemap_uri string, kind string, loc string, lastmod string,"
-        " changefreq string, priority string, parse_ok boolean"
+        " changefreq string, priority string, n_images int,"
+        " n_videos int, video_duration_sum long, parse_ok boolean"
     )
     cols = [
         "sitemap_uri", "kind", "loc", "lastmod", "changefreq", "priority",
-        "parse_ok",
+        "n_images", "n_videos", "video_duration_sum", "parse_ok",
     ]
 
     def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -929,7 +934,8 @@ def sitemap_entries(
                     )
                     if not r["entries"]:
                         rows.append(
-                            (uri, r["kind"], None, None, None, None, True)
+                            (uri, r["kind"], None, None, None, None,
+                             None, None, None, True)
                         )
                     for e in r["entries"]:
                         rows.append(
@@ -940,11 +946,21 @@ def sitemap_entries(
                                 e["lastmod"],
                                 e["changefreq"],
                                 e["priority"],
+                                len(e["images"]),
+                                len(e["videos"]),
+                                sum(
+                                    v["duration"]
+                                    for v in e["videos"]
+                                    if v["duration"] is not None
+                                ),
                                 True,
                             )
                         )
                 except Exception:
-                    rows.append((uri, None, None, None, None, None, False))
+                    rows.append(
+                        (uri, None, None, None, None, None,
+                         None, None, None, False)
+                    )
             yield pd.DataFrame(rows, columns=cols)
 
     return df.mapInPandas(mapper, schema)

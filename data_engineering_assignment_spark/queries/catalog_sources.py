@@ -2125,6 +2125,12 @@ SELECT 'meta.json',
        SUM(20 + doc_id % 10)::BIGINT,
        COUNT(*)
 FROM documents
+UNION ALL
+SELECT 'big.bin',
+       COUNT(*),
+       SUM(50 + doc_id % 50)::BIGINT,
+       COUNT(*)
+FROM documents WHERE doc_id % 3 = 0
 """
 
 
@@ -2135,11 +2141,15 @@ FROM documents
     "dataset drops ship as ZIPs next to WARCs — additive vs the "
     "reference): every document becomes a two-member archive (a "
     "DEFLATED doc.txt of 100 + doc_id%400 bytes and a STORED meta.json "
-    "of 20 + doc_id%10 bytes), exploded one row per member with each "
-    "member READ so its CRC actually verifies. Member names, "
-    "uncompressed byte counts and CRC flags are closed-form in doc_id, "
-    "so the central-directory walk, both compression methods and the "
-    "CRC check sit under the oracle hash.",
+    "of 20 + doc_id%10 bytes), plus — at doc_id%3=0 — a big.bin "
+    "written with force_zip64 (ZIP64 extra fields + 8-byte data "
+    "descriptor, the >4GiB-archive header layout, r15), exploded one "
+    "row per member with each member READ so its CRC actually "
+    "verifies. Member names, uncompressed byte counts and CRC flags "
+    "are closed-form in doc_id, so the central-directory walk, both "
+    "compression methods, the ZIP64 member layout and the CRC check "
+    "sit under the oracle hash (the hand-spliced ZIP64 "
+    "end-of-central-directory path is pinned in tests/test_sources.py).",
 )
 def zip_archive_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     import io
@@ -2169,6 +2179,11 @@ def zip_archive_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                         b"{" + b" " * (18 + did % 10) + b"}",
                         zipfile.ZIP_STORED,
                     )
+                    if did % 3 == 0:
+                        # ZIP64 member layout even at tiny sizes:
+                        # zip64 extra field + 8-byte data descriptor
+                        with zf.open("big.bin", "w", force_zip64=True) as m:
+                            m.write(bytes([66 + did % 26]) * (50 + did % 50))
                 rows.append((did, buf.getvalue()))
             yield pd.DataFrame(rows, columns=["archive_id", "content"])
 
@@ -3977,7 +3992,8 @@ _SITEMAP_ORACLE = """
 WITH t AS (
   SELECT doc_id % 7 AS h, doc_id % 11 AS m11, doc_id % 5 AS m5,
          (doc_id % 9) + 1 AS k, LENGTH(doc_id::VARCHAR) AS dd,
-         doc_id % 10 AS p, doc_id % 28 + 1 AS day
+         doc_id % 10 AS p, doc_id % 28 + 1 AS day,
+         doc_id % 3 AS m3, doc_id % 4 AS m4, 30 + doc_id % 60 AS dur
   FROM documents
 )
 SELECT 's' || h::VARCHAR AS host,
@@ -3993,6 +4009,12 @@ SELECT 's' || h::VARCHAR AS host,
        THEN '2026-01-' || LPAD(day::VARCHAR, 2, '0') END) AS max_lastmod,
   SUM(CASE WHEN m11 <> 0 AND m5 >= 2 THEN k * p ELSE 0 END)::BIGINT
     AS priority_decile_sum,
+  SUM(CASE WHEN m11 <> 0 AND m5 >= 2 THEN k * m3 ELSE 0 END)::BIGINT
+    AS n_images_sum,
+  SUM(CASE WHEN m11 <> 0 AND m5 >= 2 AND m4 = 0 THEN k ELSE 0 END)::BIGINT
+    AS n_videos_sum,
+  SUM(CASE WHEN m11 <> 0 AND m5 >= 2 AND m4 = 0 THEN k * dur
+       ELSE 0 END)::BIGINT AS video_duration_sum,
   SUM(CASE WHEN m11 <> 0 AND m5 >= 1 THEN k - 1 ELSE 0 END)::BIGINT
     AS n_frontier_new
 FROM t GROUP BY 1
@@ -4011,7 +4033,11 @@ FROM t GROUP BY 1
     "line form for doc_id%5 = 1 (kind='textlist'), malformed XML for "
     "doc_id%11 = 0 (one parse_ok=false dead-letter row), gzip members "
     "for doc_id%3 = 0 (the .xml.gz wire form, sniff pinned because "
-    "counts would halve if gz docs failed). Per-host entry counts "
+    "counts would halve if gz docs failed). Urlset entries carry the "
+    "Google media extensions (r15): doc_id%3 image:image locs per "
+    "entry and one video:video with an integer duration at doc_id%4=0 "
+    "— per-host image/video counts and exact duration sums join the "
+    "hash. Per-host entry counts "
     "(XML and text counted separately), loc length sums, "
     "lexicographic max lastmod, priority deciles (verbatim-string "
     "parse, no float surface) and the frontier NEW-url count (canonical "
@@ -4068,6 +4094,24 @@ def sitemap_frontier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 "lastmod": f"2026-01-{(did % 28) + 1:02d}",
                                 "changefreq": "daily",
                                 "priority": f"0.{did % 10}",
+                                # Google media extensions (r15): per
+                                # entry, doc_id%3 images and — at
+                                # doc_id%4=0 — one video with an
+                                # integer duration
+                                "images": [
+                                    f"http://s{h}.example/i/{did}/{j}/{i}"
+                                    for i in range(did % 3)
+                                ],
+                                "videos": (
+                                    [
+                                        {
+                                            "title": f"v{did}",
+                                            "duration": 30 + did % 60,
+                                        }
+                                    ]
+                                    if did % 4 == 0
+                                    else []
+                                ),
                             }
                             for j in range(k)
                         ],
@@ -4105,6 +4149,15 @@ def sitemap_frontier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("priority_decile_sum"),
+        F.sum(F.when(is_url, F.col("n_images")).otherwise(0))
+        .cast("long")
+        .alias("n_images_sum"),
+        F.sum(F.when(is_url, F.col("n_videos")).otherwise(0))
+        .cast("long")
+        .alias("n_videos_sum"),
+        F.sum(F.when(is_url, F.col("video_duration_sum")).otherwise(0))
+        .cast("long")
+        .alias("video_duration_sum"),
     )
     captured = docs.select(
         F.format_string(

@@ -1484,3 +1484,53 @@ def test_html_extract_structured_fields(spark):
     assert rows[1]["og"][0]["property"] == "og:a"
     assert not rows[2]["html_ok"] and rows[2]["ld_types"] is None
     assert rows[2]["og_n"] is None  # size(NULL) stays NULL, not -1
+
+
+def test_sitemap_media_extensions():
+    """Google image/video sitemap extensions (r15): image:loc lists and
+    video title/duration parse per entry; non-integer durations ride
+    along as None (tolerant about content); sitemapindex/textlist
+    entries carry empty media lists."""
+    from data_engineering_assignment_spark.functions.sitemaps import (
+        build_sitemap,
+        parse_sitemap,
+    )
+
+    ents = [
+        {
+            "loc": "http://h.example/a",
+            "images": ["http://h.example/i/1", "http://h.example/i/2"],
+            "videos": [{"title": "clip & co", "duration": 90}],
+        },
+        {"loc": "http://h.example/b"},
+    ]
+    r = parse_sitemap(build_sitemap(ents))
+    assert r["entries"][0]["images"] == [
+        "http://h.example/i/1", "http://h.example/i/2",
+    ]
+    assert r["entries"][0]["videos"] == [
+        {"title": "clip & co", "duration": 90},
+    ]
+    assert r["entries"][1]["images"] == [] and r["entries"][1]["videos"] == []
+    # non-integer duration -> None, entry still parses
+    raw = (
+        "<urlset><url><loc>http://h.example/c</loc>"
+        "<video:video xmlns:video='x'><video:title>t</video:title>"
+        "<video:duration>PT90S</video:duration></video:video>"
+        "</url></urlset>"
+    )
+    v = parse_sitemap(raw)["entries"][0]["videos"][0]
+    assert v == {"title": "t", "duration": None}
+    # image without a loc is ignored, not an error
+    raw2 = (
+        "<urlset><url><loc>http://h.example/d</loc>"
+        "<image:image xmlns:image='x'><image:caption>c</image:caption>"
+        "</image:image></url></urlset>"
+    )
+    assert parse_sitemap(raw2)["entries"][0]["images"] == []
+    # index entries keep the shape
+    idx = parse_sitemap(
+        build_sitemap([{"loc": "http://h.example/s.xml"}],
+                      kind="sitemapindex")
+    )
+    assert idx["entries"][0]["images"] == []

@@ -292,3 +292,69 @@ def test_tar_members_contract(spark):
         assert (ln.kind, ln.content_digest) == ("sym", None)
     (dead,) = by_id[3]
     assert dead.parse_ok is False and dead.member is None
+
+
+def _zip64_eocd_spliced(raw: bytes) -> bytes:
+    """Rewrite a comment-less classic archive to route through the
+    ZIP64 end-of-central-directory: insert an EOCD64 record + locator
+    before the EOCD and blank the EOCD's counts/offsets to the 0xFFFF/
+    0xFFFFFFFF sentinels — the layout every >4GiB crawl dump uses."""
+    import struct
+
+    assert raw[-22:-18] == b"PK\x05\x06"
+    (n_disk, n_total, cd_size, cd_off) = struct.unpack(
+        "<HHII", raw[-14:-2]
+    )
+    eocd64 = struct.pack(
+        "<4sQHHIIQQQQ",
+        b"PK\x06\x06", 44, 45, 45, 0, 0,
+        n_disk, n_total, cd_size, cd_off,
+    )
+    locator = struct.pack(
+        "<4sIQI", b"PK\x06\x07", 0, len(raw) - 22, 1
+    )
+    eocd = (
+        b"PK\x05\x06" + b"\x00" * 4
+        + b"\xff\xff\xff\xff"  # entry counts -> sentinel
+        + b"\xff\xff\xff\xff\xff\xff\xff\xff"  # cd size/offset -> sentinel
+        + b"\x00\x00"
+    )
+    return raw[:-22] + eocd64 + locator + eocd
+
+
+def test_zip_members_zip64(spark):
+    """zip_members reads ZIP64 archives: force_zip64 member layout
+    (zip64 extra fields + 8-byte data descriptors) AND the spliced
+    EOCD64/locator directory route; a truncated EOCD64 dead-letters."""
+    import io
+    import zipfile
+
+    from data_engineering_assignment_spark.sources import zip_members
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        with zf.open("a.bin", "w", force_zip64=True) as m:
+            m.write(b"x" * 1000)
+        zf.writestr("b.txt", b"y" * 10, zipfile.ZIP_DEFLATED)
+    plain = buf.getvalue()
+    spliced = _zip64_eocd_spliced(plain)
+    # stdlib reads the spliced form (sanity before the Spark hop)
+    assert zipfile.ZipFile(io.BytesIO(spliced)).namelist() == [
+        "a.bin", "b.txt",
+    ]
+    df = spark.createDataFrame(
+        [(1, plain), (2, spliced), (3, spliced[:-30])],
+        "archive_id long, content binary",
+    )
+    rows = zip_members(df).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["archive_id"], []).append(r)
+    for aid in (1, 2):
+        got = sorted(
+            (r["member"], r["size_uncompressed"], r["crc_ok"])
+            for r in by_id[aid]
+            if r["parse_ok"]
+        )
+        assert got == [("a.bin", 1000, True), ("b.txt", 10, True)]
+    assert len(by_id[3]) == 1 and not by_id[3][0]["parse_ok"]
