@@ -884,16 +884,18 @@ _STREAM_RE = re.compile(rb"stream(\r\n|\n|\r)")
 
 def _scan_objects(
     data: bytes,
-) -> tuple[dict[int, object], dict[int, tuple], dict[int, int]]:
+) -> tuple[dict[int, object], dict[int, tuple], dict[int, int], dict[int, int]]:
     """Byte-scan every ``N G obj`` span -> ({obj_id: value},
     {obj_id: (dict, stream_start)}, {obj_id: last definition's file
-    position}) with last-definition-wins shadowing (incremental
+    position}, {obj_id: generation}) with last-definition-wins
+    shadowing (incremental
     updates). Stream payload extents resolve later (the /Length may
     itself be an indirect reference); positions feed the same shadowing
     rule for object-stream members."""
     values: dict[int, object] = {}
     streams: dict[int, tuple] = {}
     positions: dict[int, int] = {}
+    gens: dict[int, int] = {}
     cursor = 0  # matches INSIDE a stream payload are not objects:
     # compressed bytes can contain 'N G obj' by accident, so the scan
     # skips to past each stream's endstream before matching again
@@ -908,6 +910,7 @@ def _scan_objects(
             continue  # a malformed object body; scanning continues
         values[oid] = val
         positions[oid] = m.start()
+        gens[oid] = int(m.group(2))  # string decryption needs the gen
         streams.pop(oid, None)  # a non-stream redefinition un-streams it
         lex._skip_ws()
         sm = _STREAM_RE.match(data, lex.pos)
@@ -919,7 +922,7 @@ def _scan_objects(
             cursor = len(data) if end < 0 else end + len(b"endstream")
         else:
             cursor = lex.pos
-    return values, streams, positions
+    return values, streams, positions, gens
 
 
 def _paeth(a: int, b: int, c: int) -> int:
@@ -1174,6 +1177,11 @@ class _StdSecurity:
         import hashlib
 
         values = values or {}
+        # object generation numbers (Algorithm 1 mixes the low 2 bytes
+        # into the per-object key); populated by the parse layer after
+        # the object scan — absent oids derive with gen 0, the
+        # overwhelmingly common case
+        self.gens: dict[int, int] = {}
         if enc.get("Filter") != "Standard":
             raise NotImplementedError(
                 f"PDF security handler {enc.get('Filter')!r} not supported"
@@ -1308,9 +1316,17 @@ class _StdSecurity:
         if self.cfm == "AESV3":
             key = self.key
         else:
+            # Algorithm 1: low 3 bytes of the object number + low 2
+            # bytes of its GENERATION (nonzero in incremental-update
+            # files — previously hardcoded 0, which made RC4 silently
+            # produce garbage for gen>0 objects; r14 advisor finding)
+            gen = self.gens.get(objnum, 0) & 0xFFFF
             salt = b"sAlT" if self.cfm == "AESV2" else b""
             key = hashlib.md5(
-                self.key + objnum.to_bytes(3, "little") + b"\x00\x00" + salt
+                self.key
+                + objnum.to_bytes(3, "little")
+                + gen.to_bytes(2, "little")
+                + salt
             ).digest()[: min(len(self.key) + 5, 16)]
             if self.cfm == "V2":
                 return _rc4(key, data)
@@ -1738,7 +1754,7 @@ def pdf_text(data: bytes) -> dict:
     rows."""
     if not data.startswith(b"%PDF-"):
         raise ValueError("not a PDF (missing %PDF- header)")
-    values, streams, positions = _scan_objects(data)
+    values, streams, positions, gens = _scan_objects(data)
     # encryption is declared in a trailer dict — the 'trailer' keyword
     # in classic files, the /Type /XRef stream dict in 1.5 xref-stream
     # files (which have no 'trailer' keyword at all). The LAST
@@ -1770,6 +1786,7 @@ def pdf_text(data: bytes) -> dict:
         if isinstance(fid, list) and fid and isinstance(fid[0], bytes):
             id0 = fid[0]
         crypt = _StdSecurity(enc, id0, values)
+        crypt.gens = gens  # Algorithm-1 keys mix each object's gen
     objstm_members = _expand_object_streams(
         values, streams, positions, data, crypt
     )

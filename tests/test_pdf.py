@@ -176,7 +176,7 @@ def test_xref_stream_decodes_through_predictor():
     )
 
     data = build_pdf([["page one"], ["page two"]], object_streams=True)
-    values, streams, _pos = _scan_objects(data)
+    values, streams, _pos, _gens = _scan_objects(data)
     xref_oid = next(
         o for o, (d, _) in streams.items() if d.get("Type") == "XRef"
     )
@@ -538,7 +538,7 @@ def test_tiff_predictor_2():
         + comp
         + b"\nendstream\nendobj\n"
     )
-    values, streams, _ = _scan_objects(data)
+    values, streams, _, _ = _scan_objects(data)
     assert _stream_bytes(1, values, streams, data) == raw
 
 
@@ -685,3 +685,45 @@ def test_contents_array_concatenates_streams():
     )
     r = pdf_text(patched + patch)
     assert r["pages"] == ["placeholder\nsecond stream"]
+
+
+def test_decrypt_mixes_object_generation():
+    """Algorithm-1 per-object keys mix the GENERATION's low 2 bytes —
+    previously hardcoded 0, which made RC4 silently produce garbage
+    for gen>0 objects in incremental-update files (r14 advisor
+    finding). Pins: gen>0 derivation for RC4 and AESV2, gen-0 default
+    for oids the scan never saw, and the 16-byte key cap."""
+    import hashlib
+
+    from data_engineering_assignment_spark.functions.aes import (
+        aes_cbc_encrypt,
+    )
+    from data_engineering_assignment_spark.functions.pdf import (
+        _rc4,
+        _StdSecurity,
+    )
+
+    def derived(fkey, oid, gen, salt=b""):
+        return hashlib.md5(
+            fkey + oid.to_bytes(3, "little") + gen.to_bytes(2, "little")
+            + salt
+        ).digest()[: min(len(fkey) + 5, 16)]
+
+    # RC4 (V2), 40-bit file key, object 7 generation 3
+    s = _StdSecurity.__new__(_StdSecurity)
+    s.cfm, s.key, s.gens = "V2", b"\x01\x02\x03\x04\x05", {7: 3}
+    ct = _rc4(derived(s.key, 7, 3), b"plaintext payload")
+    assert s.decrypt(7, ct) == b"plaintext payload"
+    # the old gen-0 derivation must NOT decrypt it
+    assert s.decrypt(8, ct) != b"plaintext payload"  # 8 unseen -> gen 0
+
+    # AESV2, 128-bit file key, object 9 generation 1: the pad check
+    # passes only under the gen-mixed key
+    s2 = _StdSecurity.__new__(_StdSecurity)
+    s2.cfm, s2.key, s2.gens = "AESV2", b"\x0f" * 16, {9: 1}
+    key = derived(s2.key, 9, 1, b"sAlT")
+    iv = b"\xaa" * 16
+    raw = b"secret text!"
+    padn = 16 - len(raw) % 16
+    ct2 = iv + aes_cbc_encrypt(key, iv, raw + bytes([padn]) * padn)
+    assert s2.decrypt(9, ct2) == raw
