@@ -372,6 +372,18 @@ HEADLINE = [
     "canonical_dedup_stats",
     # round 14: MP3/ID3 metadata gate (oracle-gated)
     "mp3_audio_stats",
+    # round 15: SVG metadata census gate (oracle-gated)
+    "svg_image_stats",
+    # round 15: FLAC container metadata gate (oracle-gated)
+    "flac_audio_stats",
+    # round 15: Ogg container metadata gate (oracle-gated)
+    "ogg_audio_stats",
+    # round 15: JSON-LD / OpenGraph structured-data census (oracle-gated)
+    "structured_data_stats",
+    # round 15: SRT/WebVTT subtitle gate (oracle-gated)
+    "subtitle_track_stats",
+    # round 15: HLS playlist (M3U8) gate (oracle-gated)
+    "hls_playlist_stats",
 ]
 
 

@@ -40,76 +40,80 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # whose implementation changed this round (a green history does not cover
 # new code), then queries whose last green row is oldest.
 #
-# Round-14 head (catalog = 248): the 10 never-driver-checked round-14
-# additions first (char-n-gram CJK language ID, the mixed HTML+PDF
-# link-graph capstone, MP4/webp/AVIF-HEIC/fMP4/MP3 container gates,
-# RSS/Atom feeds, in-page robots directives, rel-canonical dedup);
-# then queries whose implementation changed this round — the PDF gates
-# (AES axes + the links field) and both hashed_multiclass_scores
-# consumers (the features-dispatch refactor); then the FULL r8-stale
-# cohort (33, the rotation promised in the r13 head) and the stalest
-# catalog_ml/catalog_intervals rows holding the module-coverage
-# contract (every module in the first 50). The remaining r14-touched
-# consumers (binary_media_inventory's new fixture rows and the
-# html_extract-struct consumers) did not fit the 50 — all verified
-# locally in this round's FULL sf0.01 oracle run and queued for the
-# r15 head. After this head lands, no catalog query's last green row
-# predates r9.
+# Round-15 head (catalog = 254): the 6 never-driver-checked round-15
+# additions first (SVG census, FLAC/Ogg audio containers, JSON-LD/
+# OpenGraph structured data, SRT/WebVTT subtitles, HLS playlists);
+# then everything whose implementation
+# changed this round — the owed r14-touched cohort (documented in the
+# r14 head comment: binary_media_inventory + the html_extract-struct
+# consumers), which was ALSO re-touched by r15's struct growth
+# (ld_types/ld_blocks/ld_errors/og), the remaining html_extract
+# consumers, the gates that gained fixture axes (webp ICC, ZIP64,
+# sitemap media extensions), the feeds/sitemaps error-contract
+# consumers, and the PDF gates (generation-number key derivation);
+# then the OLDEST 20 of the 43-query r9-stale cohort alphabetically
+# plus the stalest catalog_intervals row (plusminus_top_by_role, also
+# r9) and the stalest catalog_ml row (ml_energy_report, r12) holding
+# the module-coverage contract (every module in the first 50). The
+# remaining 24 r9-stale queries (media_resize_stats,
+# median_price_by_priority, nation_presence_full_outer ...
+# winsorized_value_stats) rotate to the r16 head — all verified
+# locally in this round's FULL sf0.01 oracle runs.
 DRIVER_SAMPLE_HEAD: tuple[str, ...] = (
-    # never driver-checked (round-14 additions)
-    "lang_classifier_cjk_gate",
-    "pdf_link_pagerank",
-    "mp4_container_stats",
-    "webp_container_stats",
-    "avif_container_stats",
-    "feed_frontier_stats",
+    # never driver-checked (round-15 additions)
+    "svg_image_stats",
+    "flac_audio_stats",
+    "ogg_audio_stats",
+    "structured_data_stats",
+    "subtitle_track_stats",
+    "hls_playlist_stats",
+    # implementation changed this round (owed r14 cohort leads)
+    "binary_media_inventory",
+    "html_text_extract_stats",
+    "warc_domain_stats",
+    "crawl_text_pipeline",
+    "wat_export_stats",
+    "crawl_to_wet_pipeline",
+    "crawl_quality_mix",
+    "html_main_content_stats",
+    "html_charset_stats",
+    "crawl_health_stats",
+    "http_encoding_stats",
+    "crawl_link_pagerank",
+    "crawl_lang_classifier_mix",
     "robots_meta_gate",
-    "fmp4_fragment_stats",
     "canonical_dedup_stats",
-    "mp3_audio_stats",
-    # implementation changed this round
+    "webp_container_stats",
+    "zip_archive_stats",
+    "sitemap_frontier_stats",
+    "crawl_discovery_pipeline",
+    "feed_frontier_stats",
     "pdf_text_extract_stats",
+    "pdf_link_pagerank",
     "doc_extract_dispatch_stats",
     "mixed_crawl_extract_stats",
-    "lang_classifier_gate",
-    "crawl_lang_classifier_mix",
-    # r8-stale cohort (all 33 — the rotation promised in the r13 head)
-    "dsir_affinity_top64",
-    "embedding_rp_stats",
-    "event_value_twap",
-    "events_robust_outliers",
-    "events_sessionize",
-    "forecast_revenue_delta",
-    "hybrid_retrieval_rrf",
-    "idle_customer_balance",
-    "image_color_analytics",
-    "image_format_inventory",
-    "intra_doc_repetition",
-    "late_ship_priority_mix",
-    "nation_market_share",
-    "order_price_distribution",
-    "pareto_orders",
-    "part_affinity_rules",
-    "part_affinity_triples",
-    "part_copurchase_kcore",
-    "part_copurchase_triangles",
-    "part_name_linkage",
-    "part_supplier_variety",
-    "part_value_concentration",
-    "priority_late_orders",
-    "profit_by_nation_year",
-    "rp_recall_telemetry",
-    "small_quantity_revenue",
-    "sole_return_supplier",
-    "token_budget_mix",
-    "token_collocations",
-    "top_revenue_supplier",
-    "top_share_suppliers",
-    "winnow_dup_pairs",
-    "winnow_recall_telemetry",
-    # module-coverage slots (catalog_ml, catalog_intervals)
-    "ml_peak_classification",
-    "purchase_asof_last_click",
+    # r9-stale cohort (oldest 20, alphabetical)
+    "avi_video_stats",
+    "bmp_decode_stats",
+    "data_mix_by_source",
+    "distinct_status_priority",
+    "doc_regex_tokens",
+    "doc_simhash",
+    "doc_tfidf_top_terms",
+    "docs_hash_sample",
+    "embedding_near_dup",
+    "embedding_quantize_stats",
+    "event_transitions",
+    "events_anomaly_zscore",
+    "events_hourly",
+    "gif_decode_stats",
+    "hll_distinct_portable",
+    "ico_decode_stats",
+    "jpeg_exif_stats",
+    "kmv_distinct_users",
+    # module-coverage slots (catalog_intervals r9, catalog_ml r12)
+    "plusminus_top_by_role",
+    "ml_energy_report",
 )
 
 

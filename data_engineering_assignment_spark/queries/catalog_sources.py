@@ -6634,3 +6634,212 @@ def structured_data_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).cast("long").alias("og_len_sum"),
     )
+
+
+_SUBTITLE_ORACLE = """
+WITH t AS (
+  SELECT doc_id AS d, LENGTH(doc_id::VARCHAR) AS dd,
+         1 + doc_id % 6 AS k, 1000 + 100 * (doc_id % 7) AS per
+  FROM documents
+), v AS (
+  SELECT CASE WHEN d % 2 = 0 THEN 'srt' ELSE 'vtt' END AS kind,
+         k AS n_rows, k AS cues, k * per AS span, k * (9 + dd) AS tl,
+         CASE WHEN d % 2 = 0 THEN k
+              WHEN d % 3 = 0 THEN k ELSE 0 END AS ids
+  FROM t WHERE d % 13 <> 0
+  UNION ALL
+  SELECT 'dead', 1, 0, NULL, NULL, 0 FROM t WHERE d % 13 = 0
+)
+SELECT kind, SUM(n_rows)::BIGINT AS n_rows, SUM(cues)::BIGINT AS cues_sum,
+       SUM(span)::BIGINT AS span_ms_sum, SUM(tl)::BIGINT AS text_len_sum,
+       SUM(ids)::BIGINT AS cueid_sum
+FROM v GROUP BY 1
+"""
+
+
+@register(
+    "subtitle_track_stats",
+    oracle=_SUBTITLE_ORACLE,
+    doc="Subtitle gate (functions/subtitles.parse_srt/parse_vtt + the "
+    "sniffing front door and sources.subtitle_cues — the transcript "
+    "side of the video census, how a video-training pipeline gets "
+    "aligned text; r15): every document becomes an SRT (even doc_id) "
+    "or WebVTT (odd) track of 1+doc_id%6 consecutive cues of "
+    "1000+100*(doc_id%7) ms each, text 'cue i of <doc_id>' whose "
+    "digit-arithmetic lengths replay in SQL; WebVTT cue identifiers "
+    "planted at doc_id%3=0 (SRT numbering always present). "
+    "doc_id%13=0 plants junk -> one parse_ok=false row (grouped as "
+    "'dead'). Per-kind row/cue counts, exact integer span sums, text "
+    "lengths and cue-id counts sit under one hash.",
+)
+def subtitle_track_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from ..functions.subtitles import build_srt, build_vtt
+    from ..sources import subtitle_cues
+    from ..tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def make(batches):
+        for pdf in batches:
+            rows = []
+            for x in pdf["doc_id"]:
+                did = int(x)
+                if did % 13 == 0:
+                    rows.append((did, b"\xff\xfejunk, not a subtitle"))
+                    continue
+                k = 1 + did % 6
+                per = 1000 + 100 * (did % 7)
+                cues = [
+                    {
+                        "start_ms": i * per,
+                        "end_ms": (i + 1) * per,
+                        "text": f"cue {i} of {did}",
+                        **(
+                            {"idx": f"c{i}"}
+                            if did % 2 == 1 and did % 3 == 0
+                            else {}
+                        ),
+                    }
+                    for i in range(k)
+                ]
+                raw = (
+                    build_srt(cues) if did % 2 == 0 else build_vtt(cues)
+                ).encode("utf-8")
+                rows.append((did, raw))
+            yield pd.DataFrame(rows, columns=["archive_id", "content"])
+
+    media = docs.mapInPandas(make, "archive_id long, content binary")
+    m = subtitle_cues(media)
+    kind = F.coalesce(
+        F.col("kind"),
+        F.when(F.col("parse_ok"), F.lit("none")).otherwise(F.lit("dead")),
+    )
+    return m.groupBy(kind.alias("kind")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("start_ms").isNotNull().cast("int"))
+        .cast("long")
+        .alias("cues_sum"),
+        F.sum(F.col("end_ms") - F.col("start_ms"))
+        .cast("long")
+        .alias("span_ms_sum"),
+        F.sum(F.length("text")).cast("long").alias("text_len_sum"),
+        F.sum(F.col("cue_id").isNotNull().cast("int"))
+        .cast("long")
+        .alias("cueid_sum"),
+    )
+
+
+_HLS_ORACLE = """
+WITH t AS (
+  SELECT doc_id AS d FROM documents
+), v AS (
+  SELECT CASE WHEN d % 3 = 0 THEN 'master' ELSE 'media' END AS kind,
+         CASE WHEN d % 3 = 0 THEN 1 + d % 4 END AS nv,
+         CASE WHEN d % 3 = 0 THEN 100000 * (1 + d % 4) + d END AS maxbw,
+         CASE WHEN d % 3 = 0 AND (d % 4) % 2 = 0
+              THEN 320 * (1 + d % 4) END AS bw,
+         CASE WHEN d % 3 <> 0 THEN 1 + d % 5 END AS ns,
+         CASE WHEN d % 3 <> 0
+              THEN (1 + d % 5) * (2000 + 100 * (d % 9)) END AS dur,
+         CASE WHEN d % 3 <> 0
+              THEN CASE WHEN d % 9 = 0 THEN 2 ELSE 3 END END AS tgt,
+         CASE WHEN d % 3 <> 0 AND d % 2 = 0 THEN 1
+              WHEN d % 3 <> 0 THEN 0 END AS el
+  FROM t WHERE d % 13 <> 0
+  UNION ALL
+  SELECT 'dead', NULL, NULL, NULL, NULL, NULL, NULL, NULL
+  FROM t WHERE d % 13 = 0
+)
+SELECT kind, COUNT(*) AS n_files, SUM(nv)::BIGINT AS variants_sum,
+       SUM(maxbw)::BIGINT AS maxbw_sum,
+       SUM(bw)::BIGINT AS best_width_sum,
+       SUM(ns)::BIGINT AS segments_sum,
+       SUM(dur)::BIGINT AS duration_ms_sum,
+       SUM(tgt)::BIGINT AS target_sum, SUM(el)::BIGINT AS endlist_sum
+FROM v GROUP BY 1
+"""
+
+
+@register(
+    "hls_playlist_stats",
+    oracle=_HLS_ORACLE,
+    doc="HLS playlist gate (functions/hls.parse_m3u8 + "
+    "sources.hls_meta — the manifest layer of the streaming census "
+    "whose fMP4/CMAF segments fmp4_fragment_stats already covers; "
+    "r15): doc_id%3=0 builds a master playlist of 1+doc_id%4 variants "
+    "(arithmetic bandwidths; RESOLUTION on even variant indices; a "
+    "quoted CODECS value containing a comma — the attribute tokenizer "
+    "trap), else a media playlist of 1+doc_id%5 segments of "
+    "2000+100*(doc_id%9) ms each with exact integer-decimal EXTINF "
+    "durations, builder-derived TARGETDURATION and ENDLIST at even "
+    "doc_id (VOD vs live). doc_id%13=0 plants junk -> one "
+    "parse_ok=false row (grouped as 'dead'). Per-kind file counts, "
+    "variant/max-bandwidth/best-resolution sums, segment counts, "
+    "exact duration sums, target-duration and endlist counts sit "
+    "under one hash.",
+)
+def hls_playlist_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from ..functions.hls import build_master, build_media
+    from ..sources import hls_meta
+    from ..tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def make(batches):
+        for pdf in batches:
+            rows = []
+            for x in pdf["doc_id"]:
+                did = int(x)
+                if did % 13 == 0:
+                    rows.append((did, b"junk bytes, not a playlist"))
+                    continue
+                if did % 3 == 0:
+                    nv = 1 + did % 4
+                    raw = build_master(
+                        [
+                            {
+                                "bandwidth": 100000 * (v + 1) + did,
+                                **(
+                                    {
+                                        "width": 320 * (v + 1),
+                                        "height": 180 * (v + 1),
+                                    }
+                                    if v % 2 == 0
+                                    else {}
+                                ),
+                                "codecs": (
+                                    "avc1.64001f,mp4a.40.2"
+                                    if v == 0
+                                    else None
+                                ),
+                                "uri": f"v{v}.m3u8",
+                            }
+                            for v in range(nv)
+                        ]
+                    )
+                else:
+                    k = 1 + did % 5
+                    per = 2000 + 100 * (did % 9)
+                    raw = build_media(
+                        [per] * k, endlist=did % 2 == 0
+                    )
+                rows.append((did, raw.encode("utf-8")))
+            yield pd.DataFrame(rows, columns=["archive_id", "content"])
+
+    media = docs.mapInPandas(make, "archive_id long, content binary")
+    m = hls_meta(media)
+    kind = F.coalesce(F.col("kind"), F.lit("dead"))
+    return m.groupBy(kind.alias("kind")).agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("n_variants").cast("long").alias("variants_sum"),
+        F.sum("max_bandwidth").cast("long").alias("maxbw_sum"),
+        F.sum("best_width").cast("long").alias("best_width_sum"),
+        F.sum("n_segments").cast("long").alias("segments_sum"),
+        F.sum("total_duration_ms").cast("long").alias("duration_ms_sum"),
+        F.sum("target_duration_s").cast("long").alias("target_sum"),
+        F.sum(F.col("endlist").cast("int")).cast("long").alias("endlist_sum"),
+    )

@@ -654,6 +654,72 @@ def ogg_meta(df: DataFrame, content_col: str = "content", id_col: str = "archive
     )
 
 
+def subtitle_cues(df: DataFrame, content_col: str = "content", id_col: str = "archive_id") -> DataFrame:
+    """Explode subtitle files (SRT / WebVTT, sniffed by the WEBVTT
+    header — ``functions.subtitles.parse_subtitles``) into one row per
+    CUE: kind, cue_id (SRT number / VTT identifier, as string),
+    start_ms, end_ms (exact integer milliseconds), text, parse_ok.
+    A cue-less but valid file keeps one (kind, NULL-cue) census row;
+    junk/undecodable bytes survive as one parse_ok = false row."""
+    from ..functions.subtitles import parse_subtitles
+
+    def rows_fn(r):
+        if not r["cues"]:
+            return [(r["kind"], None, None, None, None)]
+        return [
+            (
+                r["kind"],
+                None if c["idx"] is None else str(c["idx"]),
+                c["start_ms"],
+                c["end_ms"],
+                c["text"],
+            )
+            for c in r["cues"]
+        ]
+
+    return _binary_meta_source(
+        df, content_col, id_col, parse_subtitles,
+        "kind string, cue_id string, start_ms long, end_ms long,"
+        " text string",
+        rows_fn,
+    )
+
+
+def hls_meta(df: DataFrame, content_col: str = "content", id_col: str = "archive_id") -> DataFrame:
+    """HLS playlist metadata, one row per file
+    (``functions.hls.parse_m3u8``): master playlists report the
+    variant census (count, max bandwidth, the max-bandwidth variant's
+    resolution), media playlists the segment census (count, exact
+    integer total duration, target duration, VOD-vs-live endlist).
+    Output: kind, n_variants, max_bandwidth, best_width, best_height,
+    n_segments, total_duration_ms, target_duration_s, endlist,
+    version, parse_ok; junk survives as one parse_ok = false row."""
+    from ..functions.hls import parse_m3u8
+
+    def rows_fn(r):
+        if r["kind"] == "master":
+            best = max(r["variants"], key=lambda v: v["bandwidth"])
+            return [(
+                "master", r["n_variants"], best["bandwidth"],
+                best["width"], best["height"],
+                None, None, None, None, r["version"],
+            )]
+        return [(
+            "media", None, None, None, None,
+            r["n_segments"], r["total_duration_ms"],
+            r["target_duration_s"], r["endlist"], r["version"],
+        )]
+
+    return _binary_meta_source(
+        df, content_col, id_col, parse_m3u8,
+        "kind string, n_variants int, max_bandwidth long,"
+        " best_width int, best_height int, n_segments int,"
+        " total_duration_ms long, target_duration_s int,"
+        " endlist boolean, version int",
+        rows_fn,
+    )
+
+
 def zip_members(df: DataFrame, content_col: str = "content", id_col: str = "archive_id") -> DataFrame:
     """Explode ZIP archive binary columns into one row per member —
     crawl dumps and dataset drops ship as ZIPs next to WARCs. Stdlib
