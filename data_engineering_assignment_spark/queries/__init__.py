@@ -51,7 +51,7 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # consumers, the gates that gained fixture axes (webp ICC, ZIP64,
 # sitemap media extensions), the feeds/sitemaps error-contract
 # consumers, and the PDF gates (generation-number key derivation);
-# then the OLDEST 20 of the 43-query r9-stale cohort alphabetically
+# then the OLDEST 18 of the 43-query r9-stale cohort alphabetically
 # plus the stalest catalog_intervals row (plusminus_top_by_role, also
 # r9) and the stalest catalog_ml row (ml_energy_report, r12) holding
 # the module-coverage contract (every module in the first 50). The
@@ -92,7 +92,7 @@ DRIVER_SAMPLE_HEAD: tuple[str, ...] = (
     "pdf_link_pagerank",
     "doc_extract_dispatch_stats",
     "mixed_crawl_extract_stats",
-    # r9-stale cohort (oldest 20, alphabetical)
+    # r9-stale cohort (oldest 18, alphabetical)
     "avi_video_stats",
     "bmp_decode_stats",
     "data_mix_by_source",
