@@ -384,6 +384,10 @@ HEADLINE = [
     "subtitle_track_stats",
     # round 15: HLS playlist (M3U8) gate (oracle-gated)
     "hls_playlist_stats",
+    # round 15: MIME e-mail / mbox gate (oracle-gated)
+    "eml_message_stats",
+    # round 15: Markdown normalization gate (oracle-gated)
+    "markdown_corpus_stats",
 ]
 
 

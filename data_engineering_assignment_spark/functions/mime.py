@@ -1,0 +1,182 @@
+"""RFC 5322 / MIME e-mail metadata + text extraction — mailing-list
+archives and .eml dumps are a recurring crawl-corpus class (the
+Enron-style dataset shape). Additive vs the reference (no mail
+route). Built on the stdlib ``email`` package (the ``zipfile``
+precedent: a hardened stdlib parser beats a hand-rolled one for a
+format this gnarly), wrapped in the engine's census + dead-letter
+contract.
+
+* :func:`parse_eml` — one message → header census (From/To/Subject/
+  Date/Message-ID with RFC 2047 encoded-words decoded), MIME part
+  walk (content types, charsets, transfer encodings, attachment
+  dispositions + filenames, nesting depth), and the FIRST text/plain
+  body decoded (base64 / quoted-printable / 7bit-8bit, charset-aware).
+  Strict about structure (bytes with none of the four core headers
+  dead-letter as "not an email"; a nesting depth past 16 raises
+  ValueError), tolerant about content (unknown headers/types ride
+  along; corrupt base64 decodes best-effort — the stdlib rule — and
+  a boundary-less multipart degrades to one leaf part; an
+  undecodable charset falls back to latin-1 so mojibake text still
+  flows to the quality gates).
+* :func:`build_eml` — fixture twin (deterministic
+  ``email.generator`` serialization).
+* :func:`split_mbox` — split an mbox archive into per-message bytes
+  on RFC 4155 ``From `` separator lines (the archive wire form).
+"""
+
+from __future__ import annotations
+
+import re
+
+_MBOX_SEP = re.compile(rb"(?:^|\r?\n)(From [^\r\n]*\r?\n)")
+
+
+def parse_eml(content: bytes) -> dict:
+    """Parse one RFC 5322 message → ``{"from_addr", "to_addrs"
+    (list), "subject", "date", "message_id", "n_parts",
+    "max_depth", "parts": [{"content_type", "charset",
+    "transfer_encoding", "is_attachment", "filename",
+    "size_decoded"}, ...], "text", "has_html", "n_attachments"}``.
+
+    ``text`` is the first ``text/plain`` leaf decoded; ``n_parts``
+    counts LEAF parts (a non-multipart message has 1). Raises
+    ValueError per the module contract."""
+    import email
+    import email.policy
+    from email.errors import MessageDefect
+
+    try:
+        msg = email.message_from_bytes(
+            bytes(content), policy=email.policy.default
+        )
+    except (MessageDefect, IndexError, ValueError) as e:
+        raise ValueError(f"eml: unparseable message ({e})") from e
+    if not any(msg.get(h) for h in ("From", "To", "Subject", "Date")):
+        raise ValueError("eml: not an email (no core headers)")
+
+    def header(name):
+        try:
+            v = msg.get(name)
+        except Exception as e:  # a defective header raises on ACCESS
+            raise ValueError(f"eml: defective {name} header ({e})") from e
+        return None if v is None else str(v)
+
+    parts: list[dict] = []
+    text = None
+    has_html = False
+    max_depth = 0
+
+    def walk(m, depth: int):
+        nonlocal text, has_html, max_depth
+        if depth > 16:
+            raise ValueError("eml: MIME nesting too deep")
+        max_depth = max(max_depth, depth)
+        if m.is_multipart():
+            if m.get_boundary() is None:
+                raise ValueError("eml: multipart without a boundary")
+            for sub in m.get_payload():
+                walk(sub, depth + 1)
+            return
+        ctype = m.get_content_type()
+        try:
+            payload = m.get_payload(decode=True)
+        except Exception as e:
+            raise ValueError(f"eml: undecodable part payload ({e})") from e
+        if payload is None:
+            payload = b""
+        disp = (m.get_content_disposition() or "").lower()
+        is_attachment = disp == "attachment"
+        charset = m.get_content_charset()
+        if ctype == "text/plain" and text is None and not is_attachment:
+            try:
+                text = payload.decode(charset or "utf-8", "replace")
+            except LookupError:
+                text = payload.decode("latin-1", "replace")
+        if ctype == "text/html" and not is_attachment:
+            has_html = True
+        parts.append(
+            {
+                "content_type": ctype,
+                "charset": charset,
+                "transfer_encoding": (
+                    m.get("Content-Transfer-Encoding", "7bit") or "7bit"
+                ).lower(),
+                "is_attachment": is_attachment,
+                "filename": m.get_filename(),
+                "size_decoded": len(payload),
+            }
+        )
+
+    try:
+        walk(msg, 0)
+    except (MessageDefect, LookupError) as e:
+        raise ValueError(f"eml: malformed MIME structure ({e})") from e
+
+    return {
+        "from_addr": header("From"),
+        "to_addrs": [a.strip() for a in (header("To") or "").split(",") if a.strip()],
+        "subject": header("Subject"),
+        "date": header("Date"),
+        "message_id": header("Message-ID"),
+        "n_parts": len(parts),
+        "max_depth": max_depth,
+        "parts": parts,
+        "text": text,
+        "has_html": has_html,
+        "n_attachments": sum(p["is_attachment"] for p in parts),
+    }
+
+
+def build_eml(
+    from_addr: str = "a@example.org",
+    to_addrs: str = "b@example.org",
+    subject: str = "subject",
+    date: str = "Mon, 05 Jan 2026 12:00:00 +0000",
+    text: str = "body",
+    html: str | None = None,
+    attachments: list[tuple[str, bytes]] | None = None,
+    message_id: str | None = None,
+) -> bytes:
+    """Fixture twin: build a deterministic message — text/plain only,
+    multipart/alternative when ``html`` is given, wrapped in
+    multipart/mixed when ``attachments`` (name, bytes) are given
+    (bytes attach as base64 application/octet-stream)."""
+    from email.message import EmailMessage
+
+    msg = EmailMessage()
+    msg["From"] = from_addr
+    msg["To"] = to_addrs
+    msg["Subject"] = subject
+    msg["Date"] = date
+    if message_id is not None:
+        msg["Message-ID"] = message_id
+    msg.set_content(text)
+    if html is not None:
+        msg.add_alternative(html, subtype="html")
+    for name, blob in attachments or []:
+        msg.add_attachment(
+            blob,
+            maintype="application",
+            subtype="octet-stream",
+            filename=name,
+        )
+    return msg.as_bytes()
+
+
+def split_mbox(content: bytes) -> list[bytes]:
+    """Split RFC 4155 mbox bytes into per-message chunks (each
+    EXCLUDING its ``From `` separator line). Content that does not
+    start with a separator raises ValueError (dead-letter); an empty
+    archive returns []."""
+    data = bytes(content)
+    if not data.strip():
+        return []
+    if not data.startswith(b"From "):
+        raise ValueError("mbox: missing leading 'From ' separator")
+    out: list[bytes] = []
+    matches = list(_MBOX_SEP.finditer(data))
+    for i, m in enumerate(matches):
+        start = m.end()
+        end = matches[i + 1].start(1) if i + 1 < len(matches) else len(data)
+        out.append(data[start:end])
+    return out

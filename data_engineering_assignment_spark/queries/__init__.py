@@ -40,9 +40,10 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # whose implementation changed this round (a green history does not cover
 # new code), then queries whose last green row is oldest.
 #
-# Round-15 head (catalog = 254): the 6 never-driver-checked round-15
+# Round-15 head (catalog = 256): the 8 never-driver-checked round-15
 # additions first (SVG census, FLAC/Ogg audio containers, JSON-LD/
-# OpenGraph structured data, SRT/WebVTT subtitles, HLS playlists);
+# OpenGraph structured data, SRT/WebVTT subtitles, HLS playlists,
+# MIME e-mail, the Markdown normalizer);
 # then everything whose implementation
 # changed this round — the owed r14-touched cohort (documented in the
 # r14 head comment: binary_media_inventory + the html_extract-struct
@@ -51,14 +52,15 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # consumers, the gates that gained fixture axes (webp ICC, ZIP64,
 # sitemap media extensions), the feeds/sitemaps error-contract
 # consumers, and the PDF gates (generation-number key derivation);
-# then the OLDEST 18 of the 43-query r9-stale cohort alphabetically
+# then the OLDEST 16 of the 43-query r9-stale cohort alphabetically
 # plus the stalest catalog_intervals row (plusminus_top_by_role, also
 # r9) and the stalest catalog_ml row (ml_energy_report, r12) holding
 # the module-coverage contract (every module in the first 50). The
-# remaining 24 r9-stale queries (media_resize_stats,
-# median_price_by_priority, nation_presence_full_outer ...
-# winsorized_value_stats) rotate to the r16 head — all verified
-# locally in this round's FULL sf0.01 oracle runs.
+# remaining 26 r9-stale queries (jpeg_exif_stats, kmv_distinct_users,
+# media_resize_stats, median_price_by_priority,
+# nation_presence_full_outer ... winsorized_value_stats) rotate to
+# the r16 head — all verified locally in this round's FULL sf0.01
+# oracle runs.
 DRIVER_SAMPLE_HEAD: tuple[str, ...] = (
     # never driver-checked (round-15 additions)
     "svg_image_stats",
@@ -67,6 +69,8 @@ DRIVER_SAMPLE_HEAD: tuple[str, ...] = (
     "structured_data_stats",
     "subtitle_track_stats",
     "hls_playlist_stats",
+    "eml_message_stats",
+    "markdown_corpus_stats",
     # implementation changed this round (owed r14 cohort leads)
     "binary_media_inventory",
     "html_text_extract_stats",
@@ -92,7 +96,7 @@ DRIVER_SAMPLE_HEAD: tuple[str, ...] = (
     "pdf_link_pagerank",
     "doc_extract_dispatch_stats",
     "mixed_crawl_extract_stats",
-    # r9-stale cohort (oldest 18, alphabetical)
+    # r9-stale cohort (oldest 16, alphabetical)
     "avi_video_stats",
     "bmp_decode_stats",
     "data_mix_by_source",
@@ -109,8 +113,6 @@ DRIVER_SAMPLE_HEAD: tuple[str, ...] = (
     "gif_decode_stats",
     "hll_distinct_portable",
     "ico_decode_stats",
-    "jpeg_exif_stats",
-    "kmv_distinct_users",
     # module-coverage slots (catalog_intervals r9, catalog_ml r12)
     "plusminus_top_by_role",
     "ml_energy_report",

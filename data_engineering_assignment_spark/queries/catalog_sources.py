@@ -6843,3 +6843,258 @@ def hls_playlist_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("target_duration_s").cast("long").alias("target_sum"),
         F.sum(F.col("endlist").cast("int")).cast("long").alias("endlist_sum"),
     )
+
+
+_EML_ORACLE = """
+WITH t AS (
+  SELECT doc_id AS d, LENGTH(doc_id::VARCHAR) AS dd FROM documents
+), v AS (
+  SELECT CASE d % 4 WHEN 0 THEN 'plain' WHEN 1 THEN 'alt'
+              WHEN 2 THEN 'mixed' ELSE 'full' END AS kind,
+         CASE d % 4 WHEN 0 THEN 1 WHEN 1 THEN 2
+              WHEN 2 THEN 1 + (1 + d % 3)
+              ELSE 2 + (1 + d % 3) END AS parts,
+         CASE d % 4 WHEN 0 THEN 0 WHEN 3 THEN 2 ELSE 1 END AS depth,
+         (1 + d % 5) * (6 + dd) + 1 AS tl,
+         3 + dd AS sl,
+         CASE WHEN d % 4 >= 2 THEN 1 + d % 3 ELSE 0 END AS att,
+         CASE WHEN d % 4 >= 2 THEN (1 + d % 3) * (5 + d % 7)
+              ELSE 0 END AS attb,
+         CASE WHEN d % 4 IN (1, 3) THEN 1 ELSE 0 END AS htm,
+         1 + d % 3 AS rcp
+  FROM t WHERE d % 13 <> 0
+  UNION ALL
+  SELECT 'dead', NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL
+  FROM t WHERE d % 13 = 0
+)
+SELECT kind, COUNT(*) AS n_msgs, SUM(parts)::BIGINT AS parts_sum,
+       SUM(depth)::BIGINT AS depth_sum,
+       SUM(tl)::BIGINT AS text_len_sum,
+       SUM(sl)::BIGINT AS subject_len_sum,
+       SUM(att)::BIGINT AS attachments_sum,
+       SUM(attb)::BIGINT AS att_bytes_sum,
+       SUM(htm)::BIGINT AS html_sum,
+       SUM(rcp)::BIGINT AS recipients_sum
+FROM v GROUP BY 1
+"""
+
+
+@register(
+    "eml_message_stats",
+    oracle=_EML_ORACLE,
+    doc="E-mail / MIME gate (functions/mime.parse_eml + "
+    "sources.eml_messages — mailing-list archives and .eml dumps, a "
+    "recurring crawl-corpus class; r15): doc_id%4 builds a plain "
+    "message / multipart/alternative with HTML / multipart/mixed "
+    "with 1+doc_id%3 base64 attachments of 5+doc_id%7 bytes / the "
+    "full nest (alternative inside mixed, MIME depth 2). Subjects "
+    "are non-ASCII at doc_id%5=0 so the RFC 2047 encoded-word "
+    "round-trip sits under the hash at the same decoded length "
+    "formula; recipients, digit-arithmetic body/subject lengths, "
+    "part/depth/attachment-byte sums replay in SQL. doc_id%13=0 "
+    "plants junk -> one parse_ok=false row (grouped as 'dead').",
+)
+def eml_message_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from ..functions.mime import build_eml
+    from ..sources import eml_messages
+    from ..tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def make(batches):
+        for pdf in batches:
+            rows = []
+            for x in pdf["doc_id"]:
+                did = int(x)
+                if did % 13 == 0:
+                    rows.append((did, b"\x00\xffjunk, not an email"))
+                    continue
+                k = did % 4
+                subj = (f"ré {did}" if did % 5 == 0
+                        else f"re {did}")
+                atts = (
+                    [
+                        (f"f{i}.bin", bytes([65 + did % 26]) * (5 + did % 7))
+                        for i in range(1 + did % 3)
+                    ]
+                    if k >= 2
+                    else None
+                )
+                rows.append(
+                    (
+                        did,
+                        build_eml(
+                            from_addr=f"u{did}@example.org",
+                            to_addrs=", ".join(
+                                f"r{i}@example.org"
+                                for i in range(1 + did % 3)
+                            ),
+                            subject=subj,
+                            text=f"body {did} " * (1 + did % 5),
+                            html=(
+                                f"<p>{did}</p>" if k in (1, 3) else None
+                            ),
+                            attachments=atts,
+                        ),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["archive_id", "content"])
+
+    media = docs.mapInPandas(make, "archive_id long, content binary")
+    m = eml_messages(media)
+    d = F.col("archive_id")
+    kind = (
+        F.when(~F.col("parse_ok"), F.lit("dead"))
+        .when(d % 4 == 0, F.lit("plain"))
+        .when(d % 4 == 1, F.lit("alt"))
+        .when(d % 4 == 2, F.lit("mixed"))
+        .otherwise(F.lit("full"))
+    )
+    return m.groupBy(kind.alias("kind")).agg(
+        F.count(F.lit(1)).alias("n_msgs"),
+        F.sum("n_parts").cast("long").alias("parts_sum"),
+        F.sum("max_depth").cast("long").alias("depth_sum"),
+        F.sum(F.length("text")).cast("long").alias("text_len_sum"),
+        F.sum(F.length("subject")).cast("long").alias("subject_len_sum"),
+        F.sum("n_attachments").cast("long").alias("attachments_sum"),
+        F.sum("att_bytes").cast("long").alias("att_bytes_sum"),
+        F.sum(F.col("has_html").cast("int")).cast("long").alias("html_sum"),
+        F.sum("n_recipients").cast("long").alias("recipients_sum"),
+    )
+
+
+_MARKDOWN_ORACLE = """
+WITH t AS (
+  SELECT doc_id AS d, LENGTH(doc_id::VARCHAR) AS dd FROM documents
+), v AS (
+  SELECT 1 + d % 3 AS paras,
+         (1 + d % 3) + CASE WHEN d % 2 = 0 THEN 1 ELSE 0 END AS lines,
+         (1 + d % 3) * (2 + d % 5)
+           + CASE WHEN d % 2 = 0 THEN 2 ELSE 0 END
+           + CASE WHEN d % 3 = 0 THEN 1 ELSE 0 END AS words,
+         CASE WHEN d % 2 = 0 THEN 2 + dd ELSE 0 END
+           + (1 + d % 3) * (2 * (2 + d % 5) - 1)
+           + CASE WHEN d % 3 = 0 THEN 2 + dd ELSE 0 END
+           + (1 + d % 3) + CASE WHEN d % 2 = 0 THEN 1 ELSE 0 END
+           - 1 AS tl,
+         CASE WHEN d % 2 = 0 THEN 1 ELSE 0 END AS heads,
+         CASE WHEN d % 2 = 0 THEN 1 + d % 6 ELSE 0 END AS lvl,
+         CASE WHEN d % 3 = 0 THEN 1 ELSE 0 END AS links,
+         CASE WHEN d % 3 = 0 THEN 18 + dd ELSE 0 END AS ul,
+         CASE WHEN d % 4 = 0 THEN 1 ELSE 0 END AS imgs,
+         CASE WHEN d % 5 = 0 THEN 1 ELSE 0 END AS code,
+         CASE WHEN d % 5 = 0 THEN 1 + d % 4 ELSE 0 END AS cc
+  FROM t
+)
+SELECT paras::BIGINT AS paras, COUNT(*) AS n_docs,
+       SUM(lines)::BIGINT AS lines_sum, SUM(words)::BIGINT AS words_sum,
+       SUM(tl)::BIGINT AS text_len_sum,
+       SUM(heads)::BIGINT AS headings_sum, SUM(lvl)::BIGINT AS level_sum,
+       SUM(links)::BIGINT AS links_sum, SUM(ul)::BIGINT AS url_len_sum,
+       SUM(imgs)::BIGINT AS images_sum,
+       SUM(code)::BIGINT AS code_blocks_sum,
+       SUM(cc)::BIGINT AS code_chars_sum
+FROM v GROUP BY 1
+"""
+
+
+@register(
+    "markdown_corpus_stats",
+    oracle=_MARKDOWN_ORACLE,
+    doc="Markdown normalization gate (functions/markdown."
+    "parse_markdown — GitHub/docs dumps are a major training-corpus "
+    "class; the normalizer extracts PROSE and carries code fences / "
+    "links / images as structure; r15): every document becomes a "
+    "Markdown fixture with 1+doc_id%3 paragraphs of 2+doc_id%5 "
+    "words, an ATX heading of level 1+doc_id%6 at even doc_id, an "
+    "inline link at doc_id%3=0 (its TEXT stays in the prose, its URL "
+    "does not), an image at doc_id%4=0 (alt text does NOT join the "
+    "prose), a fenced python block at doc_id%5=0 (content excluded, "
+    "censused). No dead-letter class: a text normalizer sits AFTER "
+    "the container layer and never raises — malformed markup is "
+    "content. Per-paragraph-count doc counts and digit-arithmetic "
+    "line/word/char/heading-level/URL-length/code-char sums replay "
+    "in SQL.",
+)
+def markdown_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from ..functions.markdown import build_markdown, parse_markdown
+    from ..tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    cols = [
+        "paras", "n_lines", "n_words", "text_len", "n_headings",
+        "level_sum", "n_links", "url_len", "n_images", "n_code",
+        "code_chars",
+    ]
+
+    def norm(batches):
+        for pdf in batches:
+            rows = []
+            for x in pdf["doc_id"]:
+                did = int(x)
+                md = build_markdown(
+                    n_paras=1 + did % 3,
+                    para_words=2 + did % 5,
+                    headings=(
+                        [(1 + did % 6, f"h {did}")]
+                        if did % 2 == 0
+                        else None
+                    ),
+                    links=(
+                        [(f"l{did}", f"http://h{did % 7}.example/{did}")]
+                        if did % 3 == 0
+                        else None
+                    ),
+                    images=(
+                        [(f"a{did}", f"http://i.example/{did}.png")]
+                        if did % 4 == 0
+                        else None
+                    ),
+                    code=(
+                        [("py", ["x" * (1 + did % 4)])]
+                        if did % 5 == 0
+                        else None
+                    ),
+                )
+                r = parse_markdown(md)
+                rows.append(
+                    (
+                        1 + did % 3,
+                        r["n_lines"],
+                        r["n_words"],
+                        len(r["text"]),
+                        len(r["headings"]),
+                        sum(lvl for lvl, _ in r["headings"]),
+                        len(r["links"]),
+                        sum(len(u) for _, u in r["links"]),
+                        len(r["images"]),
+                        len(r["code_blocks"]),
+                        sum(c["n_chars"] for c in r["code_blocks"]),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    stats = docs.mapInPandas(
+        norm,
+        "paras long, n_lines int, n_words int, text_len int,"
+        " n_headings int, level_sum int, n_links int, url_len int,"
+        " n_images int, n_code int, code_chars int",
+    )
+    return stats.groupBy("paras").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_lines").cast("long").alias("lines_sum"),
+        F.sum("n_words").cast("long").alias("words_sum"),
+        F.sum("text_len").cast("long").alias("text_len_sum"),
+        F.sum("n_headings").cast("long").alias("headings_sum"),
+        F.sum("level_sum").cast("long").alias("level_sum"),
+        F.sum("n_links").cast("long").alias("links_sum"),
+        F.sum("url_len").cast("long").alias("url_len_sum"),
+        F.sum("n_images").cast("long").alias("images_sum"),
+        F.sum("n_code").cast("long").alias("code_blocks_sum"),
+        F.sum("code_chars").cast("long").alias("code_chars_sum"),
+    )

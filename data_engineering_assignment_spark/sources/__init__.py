@@ -720,6 +720,36 @@ def hls_meta(df: DataFrame, content_col: str = "content", id_col: str = "archive
     )
 
 
+def eml_messages(df: DataFrame, content_col: str = "content", id_col: str = "archive_id") -> DataFrame:
+    """E-mail metadata + first-text-body extraction, one row per
+    message (``functions.mime.parse_eml``: RFC 5322 headers with
+    encoded-words decoded, MIME part walk, attachment census).
+    Output: from_addr, subject, n_recipients, n_parts, max_depth,
+    text (first text/plain leaf, charset-decoded), has_html,
+    n_attachments, att_bytes (decoded attachment byte sum), parse_ok;
+    junk survives as one parse_ok = false row."""
+    from ..functions.mime import parse_eml
+
+    def rows_fn(r):
+        return [(
+            r["from_addr"], r["subject"], len(r["to_addrs"]),
+            r["n_parts"], r["max_depth"], r["text"], r["has_html"],
+            r["n_attachments"],
+            sum(
+                p["size_decoded"] for p in r["parts"]
+                if p["is_attachment"]
+            ),
+        )]
+
+    return _binary_meta_source(
+        df, content_col, id_col, parse_eml,
+        "from_addr string, subject string, n_recipients int,"
+        " n_parts int, max_depth int, text string, has_html boolean,"
+        " n_attachments int, att_bytes long",
+        rows_fn,
+    )
+
+
 def zip_members(df: DataFrame, content_col: str = "content", id_col: str = "archive_id") -> DataFrame:
     """Explode ZIP archive binary columns into one row per member —
     crawl dumps and dataset drops ship as ZIPs next to WARCs. Stdlib
