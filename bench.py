@@ -388,6 +388,8 @@ HEADLINE = [
     "eml_message_stats",
     # round 15: Markdown normalization gate (oracle-gated)
     "markdown_corpus_stats",
+    # round 15: PNG ancillary-metadata gate (oracle-gated)
+    "png_metadata_stats",
 ]
 
 

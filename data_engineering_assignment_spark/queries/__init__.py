@@ -40,10 +40,10 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # whose implementation changed this round (a green history does not cover
 # new code), then queries whose last green row is oldest.
 #
-# Round-15 head (catalog = 256): the 8 never-driver-checked round-15
+# Round-15 head (catalog = 257): the 9 never-driver-checked round-15
 # additions first (SVG census, FLAC/Ogg audio containers, JSON-LD/
 # OpenGraph structured data, SRT/WebVTT subtitles, HLS playlists,
-# MIME e-mail, the Markdown normalizer);
+# MIME e-mail, the Markdown normalizer, PNG ancillary metadata);
 # then everything whose implementation
 # changed this round — the owed r14-touched cohort (documented in the
 # r14 head comment: binary_media_inventory + the html_extract-struct
@@ -52,11 +52,12 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # consumers, the gates that gained fixture axes (webp ICC, ZIP64,
 # sitemap media extensions), the feeds/sitemaps error-contract
 # consumers, and the PDF gates (generation-number key derivation);
-# then the OLDEST 16 of the 43-query r9-stale cohort alphabetically
+# then the OLDEST 15 of the 43-query r9-stale cohort alphabetically
 # plus the stalest catalog_intervals row (plusminus_top_by_role, also
 # r9) and the stalest catalog_ml row (ml_energy_report, r12) holding
 # the module-coverage contract (every module in the first 50). The
-# remaining 26 r9-stale queries (jpeg_exif_stats, kmv_distinct_users,
+# remaining 27 r9-stale queries (ico_decode_stats, jpeg_exif_stats,
+# kmv_distinct_users,
 # media_resize_stats, median_price_by_priority,
 # nation_presence_full_outer ... winsorized_value_stats) rotate to
 # the r16 head — all verified locally in this round's FULL sf0.01
@@ -71,6 +72,7 @@ DRIVER_SAMPLE_HEAD: tuple[str, ...] = (
     "hls_playlist_stats",
     "eml_message_stats",
     "markdown_corpus_stats",
+    "png_metadata_stats",
     # implementation changed this round (owed r14 cohort leads)
     "binary_media_inventory",
     "html_text_extract_stats",
@@ -96,7 +98,7 @@ DRIVER_SAMPLE_HEAD: tuple[str, ...] = (
     "pdf_link_pagerank",
     "doc_extract_dispatch_stats",
     "mixed_crawl_extract_stats",
-    # r9-stale cohort (oldest 16, alphabetical)
+    # r9-stale cohort (oldest 15, alphabetical)
     "avi_video_stats",
     "bmp_decode_stats",
     "data_mix_by_source",
@@ -112,7 +114,6 @@ DRIVER_SAMPLE_HEAD: tuple[str, ...] = (
     "events_hourly",
     "gif_decode_stats",
     "hll_distinct_portable",
-    "ico_decode_stats",
     # module-coverage slots (catalog_intervals r9, catalog_ml r12)
     "plusminus_top_by_role",
     "ml_energy_report",

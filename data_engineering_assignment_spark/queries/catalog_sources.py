@@ -7098,3 +7098,127 @@ def markdown_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_code").cast("long").alias("code_blocks_sum"),
         F.sum("code_chars").cast("long").alias("code_chars_sum"),
     )
+
+
+_PNG_META_ORACLE = """
+WITH t AS (
+  SELECT doc_id AS d, LENGTH(doc_id::VARCHAR) AS dd FROM documents
+), v AS (
+  SELECT (2 + d % 3)::VARCHAR AS w, 2 + d % 2 AS h,
+         1 + CASE WHEN d % 3 = 0 THEN 1 ELSE 0 END
+           + CASE WHEN d % 4 = 0 THEN 1 ELSE 0 END AS nt,
+         (4 + dd)
+           + CASE WHEN d % 3 = 0 THEN 2 + dd ELSE 0 END
+           + CASE WHEN d % 4 = 0 THEN 3 + dd ELSE 0 END AS tc,
+         CASE WHEN d % 5 = 0 THEN 1 ELSE 0 END AS ex,
+         CASE WHEN d % 5 = 0 THEN 4 + d % 16 ELSE 0 END AS exb,
+         CASE WHEN d % 2 = 0 THEN
+           printf('%04d-%02d-%02dT%02d:%02d:%02d',
+                  2020 + d % 6, 1 + d % 12, 1 + d % 28,
+                  d % 24, d % 60, d % 60) END AS tm,
+         CASE WHEN d % 7 = 0 THEN ([72, 96, 150])[1 + d % 3]
+              ELSE 0 END AS dpi
+  FROM t WHERE d % 13 <> 0
+  UNION ALL
+  SELECT 'dead', NULL, NULL, NULL, NULL, NULL, NULL, NULL
+  FROM t WHERE d % 13 = 0
+)
+SELECT w AS width, COUNT(*) AS n_files, SUM(h)::BIGINT AS height_sum,
+       SUM(nt)::BIGINT AS texts_sum, SUM(tc)::BIGINT AS text_chars_sum,
+       SUM(ex)::BIGINT AS exif_count,
+       SUM(exb)::BIGINT AS exif_bytes_sum,
+       MAX(tm) AS max_time, SUM(dpi)::BIGINT AS dpi_sum
+FROM v GROUP BY 1
+"""
+
+
+@register(
+    "png_metadata_stats",
+    oracle=_PNG_META_ORACLE,
+    doc="PNG ancillary-metadata gate (functions/pngmeta."
+    "parse_png_meta + sources.png_text_meta — the census side of the "
+    "PNG story beside the pixel decoder; corpora filter on exactly "
+    "these generator/copyright/date chunks; r15): every document "
+    "becomes a real decodable PNG carrying a tEXt Title, a zTXt at "
+    "doc_id%3=0 (zlib round-trip), an iTXt at doc_id%4=0 (UTF-8; "
+    "zlib-compressed at doc_id%8=0) — decoded text lengths are "
+    "digit-arithmetic — plus eXIf bytes at doc_id%5=0, a tIME stamp "
+    "at even doc_id whose lexicographic max replays via printf, and "
+    "a pHYs chunk at doc_id%7=0 whose metre-unit ppu converts to "
+    "dpi by exact integer arithmetic. Chunk CRCs verified; "
+    "doc_id%13=0 plants junk -> one parse_ok=false row (grouped as "
+    "'dead').",
+)
+def png_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from ..functions.pngmeta import build_png_meta
+    from ..sources import png_text_meta
+    from ..tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def make(batches):
+        for pdf in batches:
+            rows = []
+            for x in pdf["doc_id"]:
+                did = int(x)
+                if did % 13 == 0:
+                    rows.append((did, b"junk bytes, not a png"))
+                    continue
+                texts = [("Title", f"doc {did}", "text")]
+                if did % 3 == 0:
+                    texts.append(("Comment", f"c {did}", "ztxt"))
+                if did % 4 == 0:
+                    texts.append(
+                        ("Author", f"aé {did}",
+                         "itxtz" if did % 8 == 0 else "itxt")
+                    )
+                rows.append(
+                    (
+                        did,
+                        build_png_meta(
+                            2 + did % 3,
+                            2 + did % 2,
+                            texts=texts,
+                            exif=(
+                                b"II*\x00" + b"\x00" * (did % 16)
+                                if did % 5 == 0
+                                else None
+                            ),
+                            time=(
+                                (2020 + did % 6, 1 + did % 12,
+                                 1 + did % 28, did % 24, did % 60,
+                                 did % 60)
+                                if did % 2 == 0
+                                else None
+                            ),
+                            dpi=(
+                                (72, 96, 150)[did % 3]
+                                if did % 7 == 0
+                                else None
+                            ),
+                        ),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["archive_id", "content"])
+
+    media = docs.mapInPandas(make, "archive_id long, content binary")
+    m = png_text_meta(media)
+    width = F.coalesce(F.col("width").cast("string"), F.lit("dead"))
+    return m.groupBy(width.alias("width")).agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("height").cast("long").alias("height_sum"),
+        F.sum("n_texts").cast("long").alias("texts_sum"),
+        F.sum("text_chars").cast("long").alias("text_chars_sum"),
+        F.sum(F.col("has_exif").cast("int")).cast("long").alias("exif_count"),
+        F.sum("exif_bytes").cast("long").alias("exif_bytes_sum"),
+        F.max("time").alias("max_time"),
+        # 0 for parsed-but-pHYs-less rows, NULL on the dead group —
+        # matching the oracle's SUM over an all-NULL dead branch
+        F.sum(
+            F.when(F.col("parse_ok"), F.coalesce(F.col("dpi_x"), F.lit(0)))
+        )
+        .cast("long")
+        .alias("dpi_sum"),
+    )

@@ -750,6 +750,34 @@ def eml_messages(df: DataFrame, content_col: str = "content", id_col: str = "arc
     )
 
 
+def png_text_meta(df: DataFrame, content_col: str = "content", id_col: str = "archive_id") -> DataFrame:
+    """PNG ancillary-chunk metadata, one row per file
+    (``functions.pngmeta.parse_png_meta``: tEXt/zTXt/iTXt census,
+    eXIf presence, tIME stamp, pHYs dpi; chunk CRCs verified).
+    Output: width, height, bit_depth, color_type, n_texts,
+    text_chars (decoded text length sum), has_exif, exif_bytes,
+    time, dpi_x, dpi_y, parse_ok; junk and CRC-corrupt files survive
+    as one parse_ok = false row."""
+    from ..functions.pngmeta import parse_png_meta
+
+    def rows_fn(r):
+        return [(
+            r["width"], r["height"], r["bit_depth"], r["color_type"],
+            len(r["texts"]),
+            sum(len(t) for _, t in r["texts"]),
+            r["has_exif"], r["exif_bytes"], r["time"],
+            r["dpi_x"], r["dpi_y"],
+        )]
+
+    return _binary_meta_source(
+        df, content_col, id_col, parse_png_meta,
+        "width long, height long, bit_depth int, color_type int,"
+        " n_texts int, text_chars long, has_exif boolean,"
+        " exif_bytes int, time string, dpi_x int, dpi_y int",
+        rows_fn,
+    )
+
+
 def zip_members(df: DataFrame, content_col: str = "content", id_col: str = "archive_id") -> DataFrame:
     """Explode ZIP archive binary columns into one row per member —
     crawl dumps and dataset drops ship as ZIPs next to WARCs. Stdlib
