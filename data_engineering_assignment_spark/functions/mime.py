@@ -42,24 +42,38 @@ def parse_eml(content: bytes) -> dict:
     counts LEAF parts (a non-multipart message has 1). Raises
     ValueError per the module contract."""
     import email
-    import email.policy
-    from email.errors import MessageDefect
+    from email.errors import HeaderParseError, MessageDefect
+    from email.header import decode_header
 
+    # compat32 (the default legacy policy) parses ~6x faster than
+    # policy.default — measured 555 vs 3545 us/doc on the gate
+    # fixtures — because modern-policy headers re-parse lazily on
+    # every access. Encoded-word decoding is done explicitly below.
     try:
-        msg = email.message_from_bytes(
-            bytes(content), policy=email.policy.default
-        )
+        msg = email.message_from_bytes(bytes(content))
     except (MessageDefect, IndexError, ValueError) as e:
         raise ValueError(f"eml: unparseable message ({e})") from e
     if not any(msg.get(h) for h in ("From", "To", "Subject", "Date")):
         raise ValueError("eml: not an email (no core headers)")
 
     def header(name):
-        try:
-            v = msg.get(name)
-        except Exception as e:  # a defective header raises on ACCESS
-            raise ValueError(f"eml: defective {name} header ({e})") from e
-        return None if v is None else str(v)
+        v = msg.get(name)
+        if v is None:
+            return None
+        v = str(v).replace("\r", "").replace("\n", "")  # unfold
+        if "=?" in v:
+            try:
+                v = "".join(
+                    (
+                        s
+                        if isinstance(s, str)
+                        else s.decode(enc or "ascii", "replace")
+                    )
+                    for s, enc in decode_header(v)
+                )
+            except (ValueError, LookupError, HeaderParseError):
+                pass  # undecodable encoded-word rides along verbatim
+        return v
 
     parts: list[dict] = []
     text = None
@@ -84,7 +98,14 @@ def parse_eml(content: bytes) -> dict:
             raise ValueError(f"eml: undecodable part payload ({e})") from e
         if payload is None:
             payload = b""
-        disp = (m.get_content_disposition() or "").lower()
+        # str() everywhere: compat32 surfaces unparseable 8-bit
+        # headers as Header objects (no str methods of their own)
+        disp = (
+            str(m.get("Content-Disposition") or "")
+            .split(";")[0]
+            .strip()
+            .lower()
+        )
         is_attachment = disp == "attachment"
         charset = m.get_content_charset()
         if ctype == "text/plain" and text is None and not is_attachment:
@@ -98,11 +119,15 @@ def parse_eml(content: bytes) -> dict:
             {
                 "content_type": ctype,
                 "charset": charset,
-                "transfer_encoding": (
+                "transfer_encoding": str(
                     m.get("Content-Transfer-Encoding", "7bit") or "7bit"
                 ).lower(),
                 "is_attachment": is_attachment,
-                "filename": m.get_filename(),
+                "filename": (
+                    None
+                    if m.get_filename() is None
+                    else str(m.get_filename())
+                ),
                 "size_decoded": len(payload),
             }
         )
@@ -140,27 +165,74 @@ def build_eml(
     """Fixture twin: build a deterministic message — text/plain only,
     multipart/alternative when ``html`` is given, wrapped in
     multipart/mixed when ``attachments`` (name, bytes) are given
-    (bytes attach as base64 application/octet-stream)."""
-    from email.message import EmailMessage
+    (bytes attach as base64 application/octet-stream, 76-col wrapped).
+    Hand-rolled serialization (not ``email.generator`` — measured
+    ~2.2 ms/message, 40x this builder; fixture build runs per-row
+    inside the gates). Text bodies serialize with a trailing newline
+    (the ``set_content`` convention the oracles replay); a non-ASCII
+    subject serializes as one UTF-8 B encoded-word."""
+    import base64
 
-    msg = EmailMessage()
-    msg["From"] = from_addr
-    msg["To"] = to_addrs
-    msg["Subject"] = subject
-    msg["Date"] = date
-    if message_id is not None:
-        msg["Message-ID"] = message_id
-    msg.set_content(text)
-    if html is not None:
-        msg.add_alternative(html, subtype="html")
-    for name, blob in attachments or []:
-        msg.add_attachment(
-            blob,
-            maintype="application",
-            subtype="octet-stream",
-            filename=name,
+    def enc_header(s: str) -> str:
+        try:
+            s.encode("ascii")
+            return s
+        except UnicodeEncodeError:
+            return (
+                "=?utf-8?b?"
+                + base64.b64encode(s.encode("utf-8")).decode("ascii")
+                + "?="
+            )
+
+    def text_part(ctype: str, body: str) -> str:
+        data = body + "\n" if not body.endswith("\n") else body
+        try:
+            data.encode("ascii")
+            cte = "7bit"
+        except UnicodeEncodeError:
+            cte = "8bit"
+        return (
+            f'Content-Type: {ctype}; charset="utf-8"\n'
+            f"Content-Transfer-Encoding: {cte}\n\n{data}"
         )
-    return msg.as_bytes()
+
+    def b64_wrap(blob: bytes) -> str:
+        enc = base64.b64encode(blob).decode("ascii")
+        return "\n".join(enc[i : i + 76] for i in range(0, len(enc), 76))
+
+    headers = [f"From: {enc_header(from_addr)}",
+               f"To: {enc_header(to_addrs)}",
+               f"Subject: {enc_header(subject)}",
+               f"Date: {date}"]
+    if message_id is not None:
+        headers.append(f"Message-ID: {message_id}")
+    headers.append("MIME-Version: 1.0")
+
+    core = text_part("text/plain", text)
+    if html is not None:
+        b = "==alt=="
+        core = (
+            f'Content-Type: multipart/alternative; boundary="{b}"\n\n'
+            f"--{b}\n" + text_part("text/plain", text)
+            + f"\n--{b}\n" + text_part("text/html", html)
+            + f"\n--{b}--\n"
+        )
+    if attachments:
+        b = "==mix=="
+        body = (
+            f'Content-Type: multipart/mixed; boundary="{b}"\n\n'
+            f"--{b}\n" + core
+        )
+        for name, blob in attachments:
+            body += (
+                f"\n--{b}\n"
+                "Content-Type: application/octet-stream\n"
+                "Content-Transfer-Encoding: base64\n"
+                "Content-Disposition: attachment; "
+                f'filename="{name}"\n\n' + b64_wrap(bytes(blob)) + "\n"
+            )
+        core = body + f"\n--{b}--\n"
+    return ("\n".join(headers) + "\n" + core).encode("utf-8")
 
 
 def split_mbox(content: bytes) -> list[bytes]:
