@@ -165,7 +165,16 @@ fixture-build + walk cost, probed [1.487, 1.010, 0.878, 0.849,
 0.900]); `sitemap_frontier_stats` 0.984 -> 1.408 (Google image/video
 extension parse + three media aggregates, probed 1.408-1.84 steady);
 `binary_media_inventory` 0.040 -> 0.076 (two SVG fixture files
-joined the scan; sub-100ms listing-bound query)."""
+joined the scan; sub-100ms listing-bound query).
+LATE r15 grew the set 241 -> 244 (MIME e-mail, Markdown
+normalization, PNG ancillary metadata) — entries are mins across a
+third full bench (362.9 s total in the same hot-ambient day; markers
+st 0.071/0.077, mt 0.147/0.201, retry 0.074/0.156) and marker-fast
+5-rep probes. eml_message_stats first probed **31-35 s steady**:
+email.policy.default + email.generator cost 5.7 ms/doc; rewritten on
+compat32 with explicit encoded-word decode + a hand-rolled builder
+(0.30 ms/doc, 21x — SCALE.md has the breakdown) before its 1.484 s
+entry was recorded."""
 
 EXCLUDED = {
     "ivf_recall_telemetry": "diagnostic: recall telemetry, not a user query",
