@@ -129,10 +129,17 @@ def parse_m3u8(content: bytes | str) -> dict:
         elif ln.startswith("#EXTINF:"):
             dur = ln.split(":", 1)[1].split(",", 1)[0]
             i += 1
-            while i < len(lines) and lines[i].startswith("#") and not lines[
-                i
-            ].startswith("#EXT-X-STREAM-INF"):
-                i += 1  # tags between EXTINF and its URI (BYTERANGE etc.)
+            # tags between EXTINF and its URI (BYTERANGE etc.) — but a
+            # SECOND EXTINF or a STREAM-INF means the URI is missing,
+            # and swallowing it would bind this duration to the NEXT
+            # segment's URI (silent segment drop; review finding)
+            while (
+                i < len(lines)
+                and lines[i].startswith("#")
+                and not lines[i].startswith("#EXT-X-STREAM-INF")
+                and not lines[i].startswith("#EXTINF:")
+            ):
+                i += 1
             if i >= len(lines) or lines[i].startswith("#"):
                 raise ValueError("m3u8: EXTINF without a segment URI")
             segments.append(

@@ -35,7 +35,12 @@ _AUTOLINK_RE = re.compile(r"<(https?://[^>\s]+)>")
 _CODESPAN_RE = re.compile(r"`([^`]*)`")
 _HTML_TAG_RE = re.compile(r"</?[A-Za-z][^>]*>")
 _EMPH_RE = re.compile(
-    r"(\*\*\*|___|\*\*|__|\*|_|~~)(?=\S)(.+?)(?<=\S)\1"
+    r"(\*\*\*|\*\*|\*|~~)(?=\S)(.+?)(?<=\S)\1"
+)
+# underscore emphasis does NOT match intraword (CommonMark: snake_case
+# identifiers in the target GitHub corpus must survive; review finding)
+_EMPH_US_RE = re.compile(
+    r"(?<!\w)(___|__|_)(?=\S)(.+?)(?<=\S)\1(?!\w)"
 )
 
 
@@ -61,7 +66,7 @@ def _inline(
     # innermost-first emphasis stripping; bounded passes (***x*** is
     # two nested markers, never more than 3 layers in the grammar)
     for _ in range(3):
-        stripped = _EMPH_RE.sub(r"\2", text)
+        stripped = _EMPH_US_RE.sub(r"\2", _EMPH_RE.sub(r"\2", text))
         if stripped == text:
             break
         text = stripped

@@ -86,8 +86,9 @@ def parse_eml(content: bytes) -> dict:
             raise ValueError("eml: MIME nesting too deep")
         max_depth = max(max_depth, depth)
         if m.is_multipart():
-            if m.get_boundary() is None:
-                raise ValueError("eml: multipart without a boundary")
+            # a boundary-less multipart never reaches here: compat32
+            # parses it as a leaf with a str payload (the documented
+            # degrade-to-one-part behavior)
             for sub in m.get_payload():
                 walk(sub, depth + 1)
             return
@@ -137,9 +138,23 @@ def parse_eml(content: bytes) -> dict:
     except (MessageDefect, LookupError) as e:
         raise ValueError(f"eml: malformed MIME structure ({e})") from e
 
+    # RFC 5322 address-list split — quoted display names legally
+    # contain commas ('"Doe, John" <j@x>'); a naive split mangles them
+    # (review finding). getaddresses handles quoting/groups.
+    from email.utils import formataddr, getaddresses
+
+    to_raw = header("To")
+    try:
+        to_addrs = [
+            formataddr(pair) for pair in getaddresses([to_raw or ""])
+            if pair[1] or pair[0]
+        ]
+    except (ValueError, IndexError):
+        to_addrs = [a.strip() for a in (to_raw or "").split(",") if a.strip()]
+
     return {
         "from_addr": header("From"),
-        "to_addrs": [a.strip() for a in (header("To") or "").split(",") if a.strip()],
+        "to_addrs": to_addrs,
         "subject": header("Subject"),
         "date": header("Date"),
         "message_id": header("Message-ID"),

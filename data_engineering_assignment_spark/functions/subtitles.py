@@ -167,7 +167,11 @@ def build_srt(cues: list[dict]) -> str:
     SubRip text."""
     out = []
     for n, c in enumerate(cues, 1):
-        out.append(str(c.get("idx", n)))
+        # an explicit idx=None (what parse_srt returns for numberless
+        # cues) falls back to sequential numbering — never a literal
+        # 'None' line (review finding: the round-trip broke on it)
+        idx = c.get("idx")
+        out.append(str(n if idx is None else idx))
         out.append(
             f"{_fmt(c['start_ms'], ',')} --> {_fmt(c['end_ms'], ',')}"
         )

@@ -470,7 +470,21 @@ def _binary_meta_source(
     import pandas as pd
 
     schema = f"{id_col} long, {schema_tail}, parse_ok boolean"
-    names = [c.strip().split()[0] for c in schema.split(",")]
+    # split on TOP-LEVEL commas only — decimal(p,s) / struct<...> /
+    # map<...> field types legally contain commas (review finding:
+    # a naive split would mis-derive the dead-letter width and fail
+    # only at executor runtime)
+    fields, depth, start = [], 0, 0
+    for i, ch in enumerate(schema):
+        if ch in "(<":
+            depth += 1
+        elif ch in ")>":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            fields.append(schema[start:i])
+            start = i + 1
+    fields.append(schema[start:])
+    names = [f.strip().split()[0] for f in fields]
     n_vals = len(names) - 2  # between id and parse_ok
 
     def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -114,3 +114,11 @@ def test_mutation_contract(mutations, master):
         assert isinstance(r, dict)
     except ValueError:
         pass
+
+
+def test_double_extinf_raises_not_silently_drops():
+    """A second #EXTINF before the URI means the first cue's URI is
+    missing — raise, never bind duration 1 to segment 2 (r15 review
+    finding: the tag-skip loop swallowed it)."""
+    with pytest.raises(ValueError, match="segment URI"):
+        parse_m3u8("#EXTM3U\n#EXTINF:4.000,\n#EXTINF:5.000,\nseg1.ts")

@@ -99,3 +99,12 @@ def test_never_raises_and_deterministic():
 def test_fuzz_never_raises(s):
     r = parse_markdown(s)
     assert isinstance(r, dict) and isinstance(r["n_words"], int)
+
+
+def test_intraword_underscores_survive():
+    """CommonMark: intraword '_' is not emphasis — snake_case
+    identifiers in the target GitHub corpus must survive (r15 review
+    finding). Flanked underscores still strip."""
+    r = parse_markdown("use snake_case_name and my_var plus _em_ now\n")
+    assert r["text"] == "use snake_case_name and my_var plus em now"
+    assert parse_markdown("a __bold__ b\n")["text"] == "a bold b"

@@ -116,3 +116,12 @@ def test_mutation_contract(mutations):
         assert isinstance(r, dict)
     except ValueError:
         pass
+
+
+def test_quoted_display_name_with_comma():
+    """RFC 5322: quoted display names contain commas — the To split
+    must not mangle them (r15 review finding)."""
+    r = parse_eml(
+        build_eml(to_addrs='"Doe, John" <j@x.org>, plain@b.org')
+    )
+    assert r["to_addrs"] == ['"Doe, John" <j@x.org>', "plain@b.org"]

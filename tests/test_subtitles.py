@@ -109,3 +109,14 @@ def test_mutation_contract(mutations, vtt):
         assert isinstance(r, dict)
     except ValueError:
         pass
+
+
+def test_build_srt_numberless_cue_roundtrip():
+    """build_srt over parse_srt output with idx=None falls back to
+    sequential numbering, never a literal 'None' line (r15 review
+    finding: the fixture-twin round-trip broke)."""
+    cues = parse_srt("00:00:01,000 --> 00:00:02,000\nhello\n")["cues"]
+    assert cues[0]["idx"] is None
+    rebuilt = build_srt(cues)
+    assert "None" not in rebuilt
+    assert parse_srt(rebuilt)["cues"][0]["text"] == "hello"
