@@ -390,6 +390,8 @@ HEADLINE = [
     "markdown_corpus_stats",
     # round 15: PNG ancillary-metadata gate (oracle-gated)
     "png_metadata_stats",
+    # round 15: iCalendar gate (oracle-gated)
+    "ics_calendar_stats",
 ]
 
 

@@ -40,10 +40,11 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # whose implementation changed this round (a green history does not cover
 # new code), then queries whose last green row is oldest.
 #
-# Round-15 head (catalog = 257): the 9 never-driver-checked round-15
+# Round-15 head (catalog = 258): the 10 never-driver-checked round-15
 # additions first (SVG census, FLAC/Ogg audio containers, JSON-LD/
 # OpenGraph structured data, SRT/WebVTT subtitles, HLS playlists,
-# MIME e-mail, the Markdown normalizer, PNG ancillary metadata);
+# MIME e-mail, the Markdown normalizer, PNG ancillary metadata,
+# iCalendar);
 # then everything whose implementation
 # changed this round — the owed r14-touched cohort (documented in the
 # r14 head comment: binary_media_inventory + the html_extract-struct
@@ -52,11 +53,12 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # consumers, the gates that gained fixture axes (webp ICC, ZIP64,
 # sitemap media extensions), the feeds/sitemaps error-contract
 # consumers, and the PDF gates (generation-number key derivation);
-# then the OLDEST 15 of the 43-query r9-stale cohort alphabetically
+# then the OLDEST 14 of the 43-query r9-stale cohort alphabetically
 # plus the stalest catalog_intervals row (plusminus_top_by_role, also
 # r9) and the stalest catalog_ml row (ml_energy_report, r12) holding
 # the module-coverage contract (every module in the first 50). The
-# remaining 27 r9-stale queries (ico_decode_stats, jpeg_exif_stats,
+# remaining 28 r9-stale queries (hll_distinct_portable,
+# ico_decode_stats, jpeg_exif_stats,
 # kmv_distinct_users,
 # media_resize_stats, median_price_by_priority,
 # nation_presence_full_outer ... winsorized_value_stats) rotate to
@@ -73,6 +75,7 @@ DRIVER_SAMPLE_HEAD: tuple[str, ...] = (
     "eml_message_stats",
     "markdown_corpus_stats",
     "png_metadata_stats",
+    "ics_calendar_stats",
     # implementation changed this round (owed r14 cohort leads)
     "binary_media_inventory",
     "html_text_extract_stats",
@@ -98,7 +101,7 @@ DRIVER_SAMPLE_HEAD: tuple[str, ...] = (
     "pdf_link_pagerank",
     "doc_extract_dispatch_stats",
     "mixed_crawl_extract_stats",
-    # r9-stale cohort (oldest 15, alphabetical)
+    # r9-stale cohort (oldest 14, alphabetical)
     "avi_video_stats",
     "bmp_decode_stats",
     "data_mix_by_source",
@@ -113,7 +116,6 @@ DRIVER_SAMPLE_HEAD: tuple[str, ...] = (
     "events_anomaly_zscore",
     "events_hourly",
     "gif_decode_stats",
-    "hll_distinct_portable",
     # module-coverage slots (catalog_intervals r9, catalog_ml r12)
     "plusminus_top_by_role",
     "ml_energy_report",

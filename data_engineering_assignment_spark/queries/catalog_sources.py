@@ -7222,3 +7222,117 @@ def png_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("dpi_sum"),
     )
+
+
+_ICS_ORACLE = """
+WITH t AS (
+  SELECT doc_id AS d, LENGTH(doc_id::VARCHAR) AS dd FROM documents
+), v AS (
+  SELECT (1 + d % 4)::VARCHAR AS kind, 1 + d % 4 AS n_rows,
+         1 + d % 4 AS ev,
+         (1 + d % 4) * 600 * (1 + d % 5) AS dur,
+         (1 + d % 4) * (CASE WHEN d % 2 = 0 THEN 10 + dd
+                        ELSE 8 + dd END) AS sl,
+         CASE WHEN d % 3 = 0 THEN 1 ELSE 0 END AS rec,
+         (1 + d % 4) * (d % 4) AS att,
+         (1 + d % 4) * (d % 3) AS todo_rows
+  FROM t WHERE d % 13 <> 0
+  UNION ALL
+  SELECT 'dead', 1, 0, NULL, NULL, NULL, NULL, NULL
+  FROM t WHERE d % 13 = 0
+)
+SELECT kind, SUM(n_rows)::BIGINT AS n_rows, SUM(ev)::BIGINT AS events_sum,
+       SUM(dur)::BIGINT AS duration_s_sum,
+       SUM(sl)::BIGINT AS summary_len_sum,
+       SUM(rec)::BIGINT AS recurring_sum,
+       SUM(att)::BIGINT AS attendees_sum,
+       SUM(todo_rows)::BIGINT AS todo_rows_sum
+FROM v GROUP BY 1
+"""
+
+
+@register(
+    "ics_calendar_stats",
+    oracle=_ICS_ORACLE,
+    doc="iCalendar gate (functions/ics.parse_ics + sources.ics_events "
+    "— calendar exports ride in the same mail/crawl dumps as the eml "
+    "class; meeting invites ARE text/calendar MIME parts; r15): every "
+    "document becomes a VCALENDAR of 1+doc_id%4 events — EVEN event "
+    "indices derive their exact integer duration from a bare-UTC "
+    "DTSTART/DTEND pair (day-number arithmetic, no datetime module), "
+    "ODD indices from a DURATION property, both to the same "
+    "600*(1+doc_id%5)-second formula so the two paths cross-check "
+    "under one hash — plus folded SUMMARY lines whose RFC 5545 "
+    "comma escapes (planted at even doc_id) decode to digit-"
+    "arithmetic lengths, an RRULE on the first event at doc_id%3=0, "
+    "doc_id%4 attendees per event and doc_id%3 VTODOs. doc_id%13=0 "
+    "plants junk -> one parse_ok=false row (grouped as 'dead').",
+)
+def ics_calendar_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from ..functions.ics import build_ics
+    from ..sources import ics_events
+    from ..tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def make(batches):
+        for pdf in batches:
+            rows = []
+            for x in pdf["doc_id"]:
+                did = int(x)
+                if did % 13 == 0:
+                    rows.append((did, b"junk bytes, not a calendar"))
+                    continue
+                k = 1 + did % 4
+                dur = 600 * (1 + did % 5)
+                events = []
+                for i in range(k):
+                    summary = (
+                        f"ev {i}, doc {did}" if did % 2 == 0
+                        else f"ev {i} of {did}"
+                    )
+                    e = {
+                        "uid": f"e{i}-{did}@x",
+                        "summary": summary,
+                        "dtstart": f"20260105T{10 + i:02d}0000Z",
+                        "rrule": i == 0 and did % 3 == 0,
+                        "attendees": did % 4,
+                    }
+                    if i % 2 == 0:
+                        # dur = (1+did%5)*10 minutes, same hour
+                        e["dtend"] = (
+                            f"20260105T{10 + i:02d}"
+                            f"{(1 + did % 5) * 10:02d}00Z"
+                        )
+                    else:
+                        e["duration_s"] = dur
+                    events.append(e)
+                rows.append(
+                    (
+                        did,
+                        build_ics(events, todos=did % 3).encode("utf-8"),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["archive_id", "content"])
+
+    media = docs.mapInPandas(make, "archive_id long, content binary")
+    m = ics_events(media)
+    kind = (
+        F.when(~F.col("parse_ok"), F.lit("dead"))
+        .otherwise(F.col("n_events").cast("string"))
+    )
+    return m.groupBy(kind.alias("kind")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("uid").isNotNull().cast("int"))
+        .cast("long")
+        .alias("events_sum"),
+        F.sum("duration_s").cast("long").alias("duration_s_sum"),
+        F.sum(F.length("summary")).cast("long").alias("summary_len_sum"),
+        F.sum(F.col("recurring").cast("int"))
+        .cast("long")
+        .alias("recurring_sum"),
+        F.sum("n_attendees").cast("long").alias("attendees_sum"),
+        F.sum("n_todos").cast("long").alias("todo_rows_sum"),
+    )

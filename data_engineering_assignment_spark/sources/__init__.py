@@ -792,6 +792,38 @@ def png_text_meta(df: DataFrame, content_col: str = "content", id_col: str = "ar
     )
 
 
+def ics_events(df: DataFrame, content_col: str = "content", id_col: str = "archive_id") -> DataFrame:
+    """Explode iCalendar files (``functions.ics.parse_ics``) into one
+    row per VEVENT, calendar-level counts repeated on each row:
+    n_events, n_todos, uid, summary (escapes decoded), duration_s
+    (exact integer — DURATION property or a bare DATE-TIME
+    DTSTART/DTEND pair; never timezone guessing), recurring,
+    n_attendees, all_day, parse_ok. An event-less but valid calendar
+    keeps one census row; junk survives as one parse_ok = false row."""
+    from ..functions.ics import parse_ics
+
+    def rows_fn(r):
+        if not r["events"]:
+            return [(r["n_events"], r["n_todos"], None, None, None,
+                     None, None, None)]
+        return [
+            (
+                r["n_events"], r["n_todos"], e["uid"], e["summary"],
+                e["duration_s"], e["recurring"], e["n_attendees"],
+                e["all_day"],
+            )
+            for e in r["events"]
+        ]
+
+    return _binary_meta_source(
+        df, content_col, id_col, parse_ics,
+        "n_events int, n_todos int, uid string, summary string,"
+        " duration_s long, recurring boolean, n_attendees int,"
+        " all_day boolean",
+        rows_fn,
+    )
+
+
 def zip_members(df: DataFrame, content_col: str = "content", id_col: str = "archive_id") -> DataFrame:
     """Explode ZIP archive binary columns into one row per member —
     crawl dumps and dataset drops ship as ZIPs next to WARCs. Stdlib

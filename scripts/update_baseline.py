@@ -174,7 +174,10 @@ st 0.071/0.077, mt 0.147/0.201, retry 0.074/0.156) and marker-fast
 email.policy.default + email.generator cost 5.7 ms/doc; rewritten on
 compat32 with explicit encoded-word decode + a hand-rolled builder
 (0.30 ms/doc, 21x — SCALE.md has the breakdown) before its 1.484 s
-entry was recorded."""
+entry was recorded. The 4th-batch `ics_calendar_stats` entry (0.840)
+is a min across a marker-fast 5-rep probe and the scale probe's
+sf0.1 leg (0.849) — the side-probe path for queries added after the
+round's full benches."""
 
 EXCLUDED = {
     "ivf_recall_telemetry": "diagnostic: recall telemetry, not a user query",
