@@ -947,10 +947,15 @@ def bigram_lm_scores(
 
     Output: (id, n_bigrams, lm_score_sum, lm_score_avg) — avg is the
     floor mean, NULL for docs with < 2 tokens."""
+    from .parallelism import ensure_min_parallelism
     from .text import tokens
 
     toks = tokens(text_col)
-    big = df.select(
+    # bigram building is the concat_ws word-shingle class the parallelism
+    # guard was measured to help (operators/parallelism.py): narrow from
+    # the scan, one task at small-file scale, per-bigram string building —
+    # fan the docs out before the explode
+    big = ensure_min_parallelism(df).select(
         F.col(id_col),
         F.explode(
             F.when(

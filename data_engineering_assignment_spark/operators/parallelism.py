@@ -31,14 +31,37 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+# Partition-count probe memo. The ``df.rdd.getNumPartitions()`` probe costs
+# ~0.17 s per call (a full Catalyst->RDD conversion), and the r15 fixture
+# gates probe the SAME scan (documents at one sf_dir) dozens of times per
+# bench session. The memo caches the PROBE RESULT (a plan-shape fact: how
+# many splits the file layout yields under the current session), never any
+# query result — the same class of metadata AQE caches. Keyed on
+# (app id, caller key, target) so a different session, path or parallelism
+# re-probes.
+_PART_COUNT_MEMO: dict[tuple, int] = {}
 
-def ensure_min_parallelism(df: DataFrame) -> DataFrame:
+
+def ensure_min_parallelism(df: DataFrame, memo_key: str | None = None) -> DataFrame:
     """Repartition ``df`` to the session default parallelism iff its current
     partitioning is narrower — the row-group-bound small-file guard. The
     round-robin repartition is deterministic (Spark sorts within input
     partitions before distributing) and every caller's downstream
-    aggregation is partitioning-independent, so results never change."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    aggregation is partitioning-independent, so results never change.
+
+    ``memo_key``: callers probing a STABLE scan (same path, same session)
+    many times pass a key naming it, and the partition-count probe runs
+    once per session instead of once per query build."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if memo_key is not None:
+        key = (sc.applicationId, memo_key, target)
+        n = _PART_COUNT_MEMO.get(key)
+        if n is None:
+            n = df.rdd.getNumPartitions()
+            _PART_COUNT_MEMO[key] = n
+    else:
+        n = df.rdd.getNumPartitions()
+    if n >= target:
         return df
     return df.repartition(target)

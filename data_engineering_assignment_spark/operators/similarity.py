@@ -473,8 +473,15 @@ def ivf_topk_portable(
     fine at oracle scale; at 100 TB prefer :func:`ivf_topk`, whose
     assignment is a narrow numpy argmax pass with no shuffle.
     """
-    c_prep = corpus.select(
-        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vec")
+    from .parallelism import ensure_min_parallelism
+
+    # the per-row interpreted cosine folds below (corpus x n_centroids)
+    # are narrow from the scan — one task at small-file scale without the
+    # guard (operators/parallelism.py); queries are a bounded set, cheap
+    c_prep = ensure_min_parallelism(
+        corpus.select(
+            F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vec")
+        )
     )
     q_prep = queries.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vec")
@@ -1274,7 +1281,12 @@ def pq_topk_portable(
     """
     if dim % m:
         raise ValueError("dim must be divisible by m")
-    c_prep = _pq_prep(corpus, id_col, vec_col)
+    from .parallelism import ensure_min_parallelism
+
+    # the PQ encode (corpus x m x n_codes interpreted HOF argmin) is
+    # narrow from the scan — one task at small-file scale without the
+    # guard (operators/parallelism.py); queries are a bounded set
+    c_prep = ensure_min_parallelism(_pq_prep(corpus, id_col, vec_col))
     q_prep = _pq_prep(queries, id_col, vec_col)
     FLAT = _pq_flat_codebook(c_prep, n_codes)
     codes = _pq_encode(c_prep, FLAT, m, dim, n_codes)
@@ -1446,7 +1458,12 @@ def ivfpq_topk_portable(
     """
     if dim % m:
         raise ValueError("dim must be divisible by m")
-    c_prep = _pq_prep(corpus, id_col, vec_col)
+    from .parallelism import ensure_min_parallelism
+
+    # the PQ encode (corpus x m x n_codes interpreted HOF argmin) is
+    # narrow from the scan — one task at small-file scale without the
+    # guard (operators/parallelism.py); queries are a bounded set
+    c_prep = ensure_min_parallelism(_pq_prep(corpus, id_col, vec_col))
     q_prep = _pq_prep(queries, id_col, vec_col)
 
     h = (F.col("id") * F.lit(2654435761)) % F.lit(4294967296)

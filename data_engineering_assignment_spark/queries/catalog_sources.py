@@ -19,6 +19,30 @@ from ..pipelines.sales import read_sales_csv, sales_in_window
 from ..session import tune
 from . import register
 
+def _doc_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents doc_id scan, fanned out to the session's default
+    parallelism before the per-doc Python stages every fixture gate in
+    this module hangs off it.
+
+    Each gate generates and parses its media inside mapInPandas stages
+    that are NARROW from this scan. At bench scale the table is one
+    small parquet file with one row group, so the entire Python chain
+    would otherwise run as ONE task no matter how many cores the box
+    has (measured: png_profile_stats spends ~7 s of single-core codec
+    CPU that spreads to ~0.25 s across 32 cores). The guard shuffles
+    only the doc_id longs (kilobytes) and is a no-op whenever the scan
+    already parallelizes — a production-scale documents table has
+    thousands of row groups, so no shuffle is added there
+    (operators/parallelism.py has the full rationale)."""
+    from ..operators.parallelism import ensure_min_parallelism
+    from ..tables import load
+
+    return ensure_min_parallelism(
+        load(spark, sf_dir, "documents").select("doc_id"),
+        memo_key=f"doc_ids:{sf_dir}",
+    )
+
+
 _CSV_PATH = str(
     Path(__file__).resolve().parents[2] / "tests" / "fixtures" / "video_game_sales.csv"
 )
@@ -250,7 +274,7 @@ def png_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ..tables import load
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids(spark, sf_dir)
     pal = np.stack(
         [np.arange(16) * 16, 255 - np.arange(16) * 16, np.arange(16) * 8],
         axis=1,
@@ -389,7 +413,7 @@ def gif_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.multimodal import decode_any
     from ..tables import load
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids(spark, sf_dir)
     pal = np.stack(
         [np.arange(16) * 16, 255 - np.arange(16) * 16, np.arange(16) * 8],
         axis=1,
@@ -491,7 +515,7 @@ def bmp_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.multimodal import decode_any, encode_bmp
     from ..tables import load
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids(spark, sf_dir)
     pal = np.stack(
         [np.arange(16) * 16, 255 - np.arange(16) * 16, np.arange(16) * 17],
         axis=1,
@@ -596,7 +620,7 @@ def tiff_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.tiff import encode_tiff
     from ..tables import load
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids(spark, sf_dir)
     pal = np.stack(
         [np.arange(16) * 17, 255 - np.arange(16) * 16, np.arange(16) * 16],
         axis=1,
@@ -747,7 +771,7 @@ def jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.multimodal import decode_any
     from ..tables import load
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids(spark, sf_dir)
     subsamplings = ("444", "422", "420")
     _Q256 = np.full((8, 8), 256, np.int64)  # >255 forces the Pq=1 DQT
 
@@ -1096,7 +1120,7 @@ def avi_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.multimodal import decode_any
     from ..tables import load
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids(spark, sf_dir)
 
     def roundtrip(batches):
         # fixture-encode memo: only 120 distinct (value, width) frames
@@ -1405,7 +1429,7 @@ def video_frame_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ..tables import load
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids(spark, sf_dir)
 
     def build(batches):
         jpg_memo: dict = {}
@@ -1653,7 +1677,7 @@ def image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.imagehash import image_phash_pairs as phash_pairs
     from ..tables import load
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids(spark, sf_dir)
 
     def make(batches):
         for pdf in batches:
@@ -1725,7 +1749,7 @@ def audio_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.imagehash import audio_phash_pairs as aphash_pairs
     from ..tables import load
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids(spark, sf_dir)
 
     def make(batches):
         n = 2048
@@ -1794,7 +1818,7 @@ def video_phash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.imagehash import video_dup_pairs, video_hashes
     from ..tables import load
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids(spark, sf_dir)
 
     def make(batches):
         # one md5 seed + a vectorized PCG64 stream per frame (not an md5
@@ -1887,7 +1911,7 @@ def incremental_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.imagehash import incremental_image_dedup as incr
     from ..tables import load
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids(spark, sf_dir)
 
     def frame_from(seed: str) -> "np.ndarray":
         n = 32 * 32 * 3
@@ -2065,7 +2089,7 @@ def ms_adpcm_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.multimodal import decode_wav, encode_wav_ms_adpcm
     from ..tables import load
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids(spark, sf_dir)
 
     def roundtrip(batches):
         # fixture-encode memo (the jpeg_decode_stats discipline): the WAV
@@ -2160,7 +2184,7 @@ def zip_archive_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources import zip_members
     from ..tables import load
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids(spark, sf_dir)
 
     def make(batches):
         for pdf in batches:
@@ -2271,7 +2295,7 @@ def html_text_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.crawl import html_extract
     from ..tables import load
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids(spark, sf_dir)
 
     def make(batches):
         for pdf in batches:
@@ -2418,7 +2442,7 @@ def crawl_text_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources import warc_records
     from ..tables import load
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids(spark, sf_dir)
 
     def make(batches):
         for pdf in batches:
@@ -2633,7 +2657,7 @@ def crawl_quality_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import predict_lang, quality_score, token_count
     from ..tables import load
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids(spark, sf_dir)
 
     def make(batches):
         for pdf in batches:
@@ -2720,7 +2744,7 @@ def robots_crawl_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.crawl import robots_filter
     from ..tables import load
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids(spark, sf_dir)
     k = F.col("doc_id") % 4
     urls = docs.select(
         F.format_string(
@@ -2787,7 +2811,7 @@ def crawl_to_wet_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources import warc_records
     from ..tables import load
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids(spark, sf_dir)
 
     def make(batches):
         for pdf in batches:
@@ -2882,7 +2906,7 @@ def html_main_content_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.crawl import html_extract
     from ..tables import load
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids(spark, sf_dir)
 
     def make(batches):
         for pdf in batches:
@@ -3198,7 +3222,7 @@ def pdf_text_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.crawl import pdf_extract
     from ..tables import load
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids(spark, sf_dir)
 
     def make(batches):
         for pdf in batches:
@@ -3280,7 +3304,7 @@ def doc_extract_dispatch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.crawl import document_extract
     from ..tables import load
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids(spark, sf_dir)
 
     def make(batches):
         for pdf in batches:
@@ -3374,7 +3398,7 @@ def mixed_crawl_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources import warc_records
     from ..tables import load
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids(spark, sf_dir)
 
     def make(batches):
         for pdf in batches:
@@ -3484,7 +3508,7 @@ def http_encoding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources import warc_records
     from ..tables import load
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids(spark, sf_dir)
 
     def chunked(b: bytes, size: int = 7) -> bytes:
         out = bytearray()
@@ -3646,7 +3670,7 @@ def crawl_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graphs import pagerank_integer
     from ..tables import load
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids(spark, sf_dir)
 
     def make(batches):
         for pdf in batches:
@@ -3838,7 +3862,7 @@ def wat_export_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.crawl import html_extract, wat_export
     from ..tables import load
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids(spark, sf_dir)
 
     def make(batches):
         for pdf in batches:
@@ -3924,7 +3948,7 @@ def redirect_resolution_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources import warc_records
     from ..tables import load
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids(spark, sf_dir)
 
     def make(batches):
         def http(status_line: str, headers: list[str], body: bytes = b"") -> bytes:
@@ -4052,7 +4076,7 @@ def sitemap_frontier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.crawl import canonical_url, sitemap_entries
     from ..tables import load
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids(spark, sf_dir)
 
     def make(batches):
         for pdf in batches:
@@ -4216,7 +4240,7 @@ def cdx_recrawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.crawl import cdx_index, cdx_snapshot_diff
     from ..tables import load
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids(spark, sf_dir)
 
     def make(batches):
         for pdf in batches:
@@ -4314,7 +4338,7 @@ def crawl_discovery_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources import warc_records
     from ..tables import load
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids(spark, sf_dir)
 
     def make(batches):
         def http(body: bytes, ctype: str) -> bytes:
@@ -4480,7 +4504,7 @@ def tar_archive_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources import tar_members
     from ..tables import load
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids(spark, sf_dir)
 
     def make(batches):
         for pdf in batches:
@@ -4713,7 +4737,7 @@ def warc_revisit_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources import warc_records
     from ..tables import load
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids(spark, sf_dir)
     d = F.col("doc_id")
     caps = docs.select(
         (d % 8).alias("shard"),
@@ -4785,7 +4809,7 @@ def warc_revisit_resolve_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources import warc_records
     from ..tables import load
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids(spark, sf_dir)
     d = F.col("doc_id")
     caps = docs.select(
         (d % 8).alias("shard"),
@@ -4876,7 +4900,7 @@ def warc_request_pairing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources import warc_records
     from ..tables import load
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids(spark, sf_dir)
 
     def make(batches):
         from ..functions.warc import build_warc
@@ -5054,7 +5078,7 @@ def crawl_lang_classifier_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..tables import load
     from .catalog_llm import _LANG_WEIGHTS
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids(spark, sf_dir)
 
     def make(batches):
         for pdf in batches:
@@ -5153,7 +5177,7 @@ def warc_segment_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources import warc_records
     from ..tables import load
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids(spark, sf_dir)
 
     def make(batches):
         for pdf in batches:
@@ -5294,7 +5318,7 @@ def pdf_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graphs import pagerank_integer
     from ..tables import load
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids(spark, sf_dir)
 
     def make(batches):
         for pdf in batches:
@@ -5838,7 +5862,7 @@ def robots_meta_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.crawl import html_extract, page_links
     from ..tables import load
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids(spark, sf_dir)
 
     def make(batches):
         for pdf in batches:
@@ -6044,7 +6068,7 @@ def canonical_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.crawl import html_extract, resolved_url_col
     from ..tables import load
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids(spark, sf_dir)
 
     def make(batches):
         for pdf in batches:
@@ -6152,7 +6176,7 @@ def mp3_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources import mp3_meta
     from ..tables import load
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids(spark, sf_dir)
 
     def make(batches):
         for pdf in batches:
@@ -6901,7 +6925,7 @@ def eml_message_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources import eml_messages
     from ..tables import load
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids(spark, sf_dir)
 
     def make(batches):
         for pdf in batches:
@@ -7275,7 +7299,7 @@ def ics_calendar_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources import ics_events
     from ..tables import load
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids(spark, sf_dir)
 
     def make(batches):
         for pdf in batches:
