@@ -522,6 +522,9 @@ def main() -> None:
     if marker_retry:
         markers["marker_retry"] = marker_retry
         markers["n_retried"] = len(retried)
+    # cpus + sf_dir recorded so a non-standard run (the driver's 8-core
+    # scaling rerun overwrote BENCH_LOCAL.json in r15) can never be folded
+    # into the standing baseline: update_baseline.py refuses cpus != 32.
     full_line = json.dumps(
         {
             "metric": "headline_queries_total_wall",
@@ -529,6 +532,8 @@ def main() -> None:
             "unit": "sec",
             "queries": timings,
             "sf": sf,
+            "cpus": int(os.environ.get("SPARK_GRAFT_CPUS") or os.cpu_count() or 0),
+            "sf_dir": sf_dir,
             **markers,
             "retried": retried,
         },

@@ -86,6 +86,11 @@ def ngram_jaccard_pairs(
     (winnow_dup_pairs pattern: lineage-truncated operators can't expose
     upstream shapes to assertions).
     """
+    # small-file guard (minhash_signatures discipline): the shingle explode
+    # is narrow from the scan, so a one-row-group table runs it as ONE task
+    # on a 32-core box — r16 profile measured two ~3.5 s single-task stages
+    # feeding dedup_clusters_star before the guard
+    df = ensure_min_parallelism(df)
     sh = (
         df.select(F.col(id_col).alias("doc"), F.explode(word_shingles(text_col, n)).alias("shingle"))
     )
@@ -754,7 +759,8 @@ def containment_pairs(
     from .text import shingle_hash_stream
 
     sh = shingle_hash_stream(
-        df, n=n, id_cols=(id_col,), text_col=text_col, out_col="rh"
+        ensure_min_parallelism(df), n=n, id_cols=(id_col,), text_col=text_col,
+        out_col="rh",
     ).select(F.col(id_col).alias("doc"), "rh")
     if max_df is not None:
         hot = (

@@ -107,7 +107,14 @@ def pagerank_integer(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
     deg = bi.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
-    # (src, dst, src_deg): the loop's static side, materialized once
+    # (src, dst, src_deg): the loop's static side, materialized once.
+    # The checkpoint LOOKS like a ReusedExchange-rule violation (identical
+    # subtree per iteration, one action) but is load-bearing: AQE converts
+    # the per-iteration ranks joins to BROADCASTs at runtime, and each
+    # broadcast build re-evaluates its whole un-checkpointed input — the
+    # bloom_decontaminate wide-fanout effect. r16 measured the removal:
+    # the edge build (join+distinct) physically re-ran 5x, 12.7 -> 49.6 s
+    # task time, 3.2 -> 7.6 s wall on copurchase_pagerank. Keep the cut.
     ed = bi.join(deg, "u").select(
         F.col("u").alias("src"), F.col("v").alias("dst"), "deg"
     )
@@ -407,6 +414,9 @@ def sssp_rounds(
     bi = edges.select("u", "v", "w").unionAll(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
     )
+    # checkpointed for the same reason as pagerank_integer's ed: AQE
+    # broadcast builds per round re-evaluate un-checkpointed inputs (r16
+    # measured the removal at 2x the edge-build task time, 16 -> 23 jobs)
     bi = bi.localCheckpoint(eager=False)
     dist = sources.select(
         F.col("node").cast("long").alias("node"),
@@ -431,6 +441,11 @@ def sssp_rounds(
             .filter(F.col("old").isNull() | (F.col("cand") < F.col("old")))
             .select("node", F.col("cand").alias("dist"))
         )
+        # dist update stays unionAll+groupBy(min): a co-partitioned
+        # full-outer fold was tried in r16 — full outer cannot broadcast,
+        # so it forces BOTH sides through exchanges every round (16 -> 23
+        # jobs, wall up 15%); the union re-aggregation is one exchange and
+        # lets AQE broadcast the cand/dist joins at small scale
         dist = (
             dist.unionAll(frontier)
             .groupBy("node")

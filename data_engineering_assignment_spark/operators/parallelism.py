@@ -51,7 +51,17 @@ def ensure_min_parallelism(df: DataFrame, memo_key: str | None = None) -> DataFr
 
     ``memo_key``: callers probing a STABLE scan (same path, same session)
     many times pass a key naming it, and the partition-count probe runs
-    once per session instead of once per query build."""
+    once per session instead of once per query build. The memo is never
+    invalidated within a session, so the contract is STABLE SCANS ONLY:
+    a path whose files are rewritten mid-session (e.g. make_scale_data
+    regenerating .scale/sf1) must not be probed through a memo_key —
+    pass none (per-build probe) for anything regenerable. The _doc_ids
+    driver-fixture scan is the only sanctioned memoized caller.
+
+    Probe constraint (either path): call on SCAN-ROOTED or checkpointed
+    frames only — ``.rdd`` on a plan that still contains exchanges
+    materializes those shuffle stages eagerly at DataFrame-BUILD time
+    under AQE, turning a plan probe into real job cost."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     if memo_key is not None:

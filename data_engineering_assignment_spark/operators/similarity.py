@@ -36,6 +36,52 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / F.sqrt(sq_norm(a) * sq_norm(b))
 
 
+def cents_array(cents: DataFrame) -> DataFrame:
+    """One-row frame holding a BOUNDED (cell, cent) centroid table as a
+    cell-ascending array<struct> column ``_cents`` — broadcast-crossJoined
+    onto the corpus so :func:`argmax_cell` runs IN-ROW. The old shape
+    (crossJoin the 16-row table, cosine per fanned row, per-id row_number
+    window) multiplied the corpus n_centroids-fold and shuffled the fanned
+    rows for the window; this shape shuffles NOTHING on the corpus side."""
+    return cents.agg(
+        F.sort_array(F.collect_list(F.struct("cell", "cent"))).alias("_cents")
+    )
+
+
+def argmax_cell(vec: Column, cents_arr: Column) -> Column:
+    """In-row argmax-cosine cell id over the centroid array — replicates
+    ``ROW_NUMBER() OVER (PARTITION BY id ORDER BY cosine DESC, cell ASC)
+    = 1`` EXACTLY: a strict-greater scan in cell-ascending order keeps the
+    lowest cell on float-equal ties, and the explicit NaN arm reproduces
+    the sort semantics both engines give NaN (greater than every double —
+    a zero centroid makes cosine NaN, and the window ranked such a cell
+    first, so the fold must too). The per-element cosine is let-bound
+    (single-element transform) so the three references in the comparison
+    cost one fold evaluation."""
+    start = F.struct(
+        F.lit(None).cast("double").alias("cs"),
+        F.lit(None).cast("int").alias("cell"),
+    )
+
+    def step(acc, c):
+        return F.get(
+            F.transform(
+                F.array(cosine(vec, c["cent"])),
+                lambda cs: F.when(
+                    acc["cell"].isNull()
+                    | (cs > acc["cs"])
+                    | (F.isnan(cs) & ~F.isnan(acc["cs"])),
+                    F.struct(
+                        cs.alias("cs"), c["cell"].cast("int").alias("cell")
+                    ),
+                ).otherwise(acc),
+            ),
+            0,
+        )
+
+    return F.aggregate(cents_arr, start, step)["cell"]
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -505,8 +551,15 @@ def ivf_topk_portable(
             .drop("_csim", "_crn", "cent")
         )
 
-    assigned = assign(c_prep, 1).select(
-        F.col("id").alias("neighbor_id"), F.col("vec").alias("c_vec"), "cell"
+    # corpus side: IN-ROW argmax (argmax_cell == the window's rn=1, NaN
+    # and tie semantics included) — the old n_centroids-fold crossJoin +
+    # per-id window shuffled corpus x 16 rows EACH CARRYING the 64-double
+    # vector; this is a zero-shuffle projection. The bounded query side
+    # keeps the window (it needs top-n_probe, and 10 rows cost nothing).
+    assigned = c_prep.crossJoin(F.broadcast(cents_array(cents))).select(
+        F.col("id").alias("neighbor_id"),
+        F.col("vec").alias("c_vec"),
+        argmax_cell(F.col("vec"), F.col("_cents")).alias("cell"),
     )
     probed = assign(q_prep, n_probe).select(
         F.col("id").alias("query_id"), F.col("vec").alias("q_vec"), "cell"
@@ -649,7 +702,10 @@ def hierarchical_cells(
     assigned1 = (
         prep.mapInPandas(_cell_mapper(b1, 1), _VEC_SCHEMA)
         .withColumnRenamed("cell", "cell1")
-        .localCheckpoint(eager=True)
+        # lazy: materializes inside the first consuming job instead of
+        # paying its own job barrier up front (r16: the hier path ran 32
+        # sequential jobs for 2.6 s of task work; every barrier counts)
+        .localCheckpoint(eager=False)
     )
 
     h = F.xxhash64("id")
@@ -675,7 +731,7 @@ def hierarchical_cells(
             (F.col("_rn") - 1).cast("int").alias("sub"),
             _norm_array(F.col("vec")).alias("cvec"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
     out_schema = "id bigint, vec array<double>, cell1 int, sub int"
@@ -728,7 +784,7 @@ def hierarchical_cells(
                     "cvec"
                 ),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return assign(fine)
 
@@ -896,14 +952,18 @@ def portable_cells(
     cents = seeds.select(
         (F.row_number().over(w_seed) - 1).alias("cell"), F.col("vec").alias("cent")
     )
-    aw = Window.partitionBy("id").orderBy(F.desc("_cs"), F.asc("cell"))
+    # in-row argmax (argmax_cell == the old per-id window's rn=1): no
+    # n_centroids-fold fan-out, no corpus window shuffle. Lazy checkpoint:
+    # consumers still share ONE materialization, paid inside the first
+    # consuming job instead of as its own up-front barrier.
     return (
-        c_prep.crossJoin(F.broadcast(cents))
-        .withColumn("_cs", cosine(F.col("vec"), F.col("cent")))
-        .withColumn("_rn", F.row_number().over(aw))
-        .filter(F.col("_rn") == 1)
-        .select("id", "vec", "cell")
-        .localCheckpoint(eager=True)
+        c_prep.crossJoin(F.broadcast(cents_array(cents)))
+        .select(
+            "id",
+            "vec",
+            argmax_cell(F.col("vec"), F.col("_cents")).alias("cell"),
+        )
+        .localCheckpoint(eager=False)
     )
 
 
@@ -1286,7 +1346,12 @@ def pq_topk_portable(
     # the PQ encode (corpus x m x n_codes interpreted HOF argmin) is
     # narrow from the scan — one task at small-file scale without the
     # guard (operators/parallelism.py); queries are a bounded set
-    c_prep = ensure_min_parallelism(_pq_prep(corpus, id_col, vec_col))
+    # guard BEFORE the prep: _pq_prep's checkpoint otherwise materializes
+    # the whole normalize on the scan's partitioning (ONE task at
+    # small-file scale — r16 measured it as ~1.5 s of the query's build
+    # phase); repartitioning the raw scan makes the checkpointed
+    # normalize itself run wide
+    c_prep = _pq_prep(ensure_min_parallelism(corpus), id_col, vec_col)
     q_prep = _pq_prep(queries, id_col, vec_col)
     FLAT = _pq_flat_codebook(c_prep, n_codes)
     codes = _pq_encode(c_prep, FLAT, m, dim, n_codes)
@@ -1306,26 +1371,32 @@ def _pq_prep(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     """Normalize + checkpoint a vector frame for the PQ twins."""
     e = F.col(vec_col).cast("array<double>")
     nrm = F.sqrt(_fold_sum(F.transform(e, lambda x: x * x)))
-    # stage 1 materializes the norm as a COLUMN: referenced inside the
-    # normalization lambda as an expression, the whole fold would
-    # inline per element — and the zero-norm CaseWhen guard references
-    # it twice, doubling an already-O(dim) fold per element (r7
-    # review); behind the boundary it is one fold per row, period
-    staged = df.select(
-        F.col(id_col).alias("id"), e.alias("_e"), nrm.alias("_nrm")
-    ).localCheckpoint(eager=True)
-    # zero-norm guard matching the production pq_topk's
+    # LET-BIND the norm (single-element transform: a lambda variable is a
+    # bound VALUE, so the zero-norm CaseWhen's two references and every
+    # per-element division reuse ONE fold evaluation — the
+    # intra_doc_repetition pattern). This replaces the old TWO eager
+    # checkpoints (norm stage + normalize stage = two full job barriers
+    # per prep, paid for corpus AND queries in each ANN query build);
+    # the single remaining checkpoint still materializes the normalized
+    # array so downstream element_at fold lambdas read a stored column
+    # instead of inlining the normalization per access. Lazy: the
+    # codebook collect / first action materializes it.
+    # Zero-norm guard matches the production pq_topk's
     # np.where(n == 0, 1, n): a zero vector divides by 1 (stays zero)
     # instead of producing NaNs that sort engine-dependently; the SQL
-    # twin (_pq_oracle) writes the same CASE WHEN guard
-    safe = F.when(F.col("_nrm") == 0, F.lit(1.0)).otherwise(F.col("_nrm"))
-    # stage 2 materializes the normalized array: it is consumed via
-    # element_at inside fold lambdas downstream, and Catalyst would
-    # inline the whole normalization transform into every element
-    # access (the shingle_hash_stream trap); N x dim doubles
-    return staged.select(
-        "id", F.transform("_e", lambda x: x / safe).alias("vec")
-    ).localCheckpoint(eager=True)
+    # twin (_pq_oracle) writes the same CASE WHEN guard.
+    vec = F.get(
+        F.transform(
+            F.array(nrm),
+            lambda n: F.transform(
+                e, lambda x: x / F.when(n == 0, F.lit(1.0)).otherwise(n)
+            ),
+        ),
+        0,
+    )
+    return df.select(
+        F.col(id_col).alias("id"), vec.alias("vec")
+    ).localCheckpoint(eager=False)
 
 
 def _pq_flat_codebook(c_prep: DataFrame, n_codes: int) -> Column:
@@ -1348,40 +1419,60 @@ def _pq_sq(x: Column) -> Column:
     return x * x
 
 
-def _pq_encode(
-    c_prep: DataFrame, FLAT: Column, m: int, dim: int, n_codes: int
-) -> DataFrame:
-    """Per-subvector argmin encoding against the literal codebook — one
-    narrow projection, no join. Distance terms are unrolled
-    left-associated sums, the same tree the SQL twin writes."""
+def _pq_codes_col(vec: Column, FLAT: Column, m: int, dim: int, n_codes: int) -> Column:
+    """Per-subvector argmin code ARRAY for one row's vector — the encode
+    expression shared by :func:`_pq_encode` (full-corpus twin scan) and
+    the IVF-PQ path (which encodes only probed-cell candidates). Distance
+    terms are unrolled left-associated sums, the same tree the SQL twin
+    writes; the codebook literal is let-bound (:func:`_flat_bound`)."""
     from functools import reduce
 
     d_sub = dim // m
 
-    def sub_dist(vec: Column, j: Column, c: int) -> Column:
-        terms = [
-            _pq_sq(
-                F.element_at(vec, (j * d_sub + i + 1).cast("int"))
-                - F.element_at(FLAT, (F.lit(c * dim) + j * d_sub + i + 1).cast("int"))
-            )
-            for i in range(d_sub)
-        ]
-        return reduce(lambda a, t: a + t, terms)
-
-    def argmin_code(vec: Column, j: Column) -> Column:
-        cand = F.array(
-            *[
-                F.struct(sub_dist(vec, j, c).alias("d"), F.lit(c).alias("c"))
-                for c in range(n_codes)
+    def with_flat(flat: Column) -> Column:
+        def sub_dist(j: Column, c: int) -> Column:
+            terms = [
+                _pq_sq(
+                    F.element_at(vec, (j * d_sub + i + 1).cast("int"))
+                    - F.element_at(flat, (F.lit(c * dim) + j * d_sub + i + 1).cast("int"))
+                )
+                for i in range(d_sub)
             ]
-        )
-        return F.array_sort(cand)[0]["c"]
+            return reduce(lambda a, t: a + t, terms)
 
+        def argmin_code(j: Column) -> Column:
+            cand = F.array(
+                *[
+                    F.struct(sub_dist(j, c).alias("d"), F.lit(c).alias("c"))
+                    for c in range(n_codes)
+                ]
+            )
+            return F.array_sort(cand)[0]["c"]
+
+        return F.transform(F.sequence(F.lit(0), F.lit(m - 1)), argmin_code)
+
+    return _flat_bound(FLAT, with_flat)
+
+
+def _flat_bound(FLAT: Column, body) -> Column:
+    """Let-bind the (dim x n_codes)-double codebook literal: ``body``
+    receives a lambda VARIABLE, so the literal node appears ONCE in the
+    expression tree instead of once per element_at reference — the
+    argmin/ADC folds reference it 32-64x, and driver-side analysis of a
+    tree carrying 32 copies of a 1024-double literal measured ~1.2 s per
+    query build (r16). Values are unchanged: a bound variable is the same
+    array."""
+    return F.get(F.transform(F.array(FLAT), body), 0)
+
+
+def _pq_encode(
+    c_prep: DataFrame, FLAT: Column, m: int, dim: int, n_codes: int
+) -> DataFrame:
+    """Per-subvector argmin encoding against the literal codebook — one
+    narrow projection, no join."""
     return c_prep.select(
         F.col("id").alias("neighbor_id"),
-        F.transform(
-            F.sequence(F.lit(0), F.lit(m - 1)), lambda j: argmin_code(F.col("vec"), j)
-        ).alias("codes"),
+        _pq_codes_col(F.col("vec"), FLAT, m, dim, n_codes).alias("codes"),
     )
 
 
@@ -1392,20 +1483,23 @@ def _pq_adc(qvec: Column, codes_col: Column, FLAT: Column, m: int, dim: int) -> 
 
     d_sub = dim // m
 
-    def dj(j: Column) -> Column:
-        code = F.element_at(codes_col, (j + 1).cast("int"))
-        terms = [
-            _pq_sq(
-                F.element_at(qvec, (j * d_sub + i + 1).cast("int"))
-                - F.element_at(FLAT, (code * dim + j * d_sub + i + 1).cast("int"))
-            )
-            for i in range(d_sub)
-        ]
-        return reduce(lambda a, t: a + t, terms)
+    def with_flat(flat: Column) -> Column:
+        def dj(j: Column) -> Column:
+            code = F.element_at(codes_col, (j + 1).cast("int"))
+            terms = [
+                _pq_sq(
+                    F.element_at(qvec, (j * d_sub + i + 1).cast("int"))
+                    - F.element_at(flat, (code * dim + j * d_sub + i + 1).cast("int"))
+                )
+                for i in range(d_sub)
+            ]
+            return reduce(lambda a, t: a + t, terms)
 
-    return F.aggregate(
-        F.sequence(F.lit(0), F.lit(m - 1)), F.lit(0.0), lambda acc, j: acc + dj(j)
-    )
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(m - 1)), F.lit(0.0), lambda acc, j: acc + dj(j)
+        )
+
+    return _flat_bound(FLAT, with_flat)
 
 
 def _pq_rank(scored: DataFrame, k: int, scale: int) -> DataFrame:
@@ -1463,7 +1557,12 @@ def ivfpq_topk_portable(
     # the PQ encode (corpus x m x n_codes interpreted HOF argmin) is
     # narrow from the scan — one task at small-file scale without the
     # guard (operators/parallelism.py); queries are a bounded set
-    c_prep = ensure_min_parallelism(_pq_prep(corpus, id_col, vec_col))
+    # guard BEFORE the prep: _pq_prep's checkpoint otherwise materializes
+    # the whole normalize on the scan's partitioning (ONE task at
+    # small-file scale — r16 measured it as ~1.5 s of the query's build
+    # phase); repartitioning the raw scan makes the checkpointed
+    # normalize itself run wide
+    c_prep = _pq_prep(ensure_min_parallelism(corpus), id_col, vec_col)
     q_prep = _pq_prep(queries, id_col, vec_col)
 
     h = (F.col("id") * F.lit(2654435761)) % F.lit(4294967296)
@@ -1486,14 +1585,32 @@ def ivfpq_topk_portable(
             .select(F.col("id").alias(id_out), "cell")
         )
 
-    cells = assign(c_prep, 1, "neighbor_id")
     probes = assign(q_prep, n_probe, "query_id")
 
     FLAT = _pq_flat_codebook(c_prep, n_codes)
-    codes = _pq_encode(c_prep, FLAT, m, dim, n_codes)
+    # Corpus side: in-row argmax assignment (argmax_cell — no corpus
+    # window shuffle), then prune to the PROBED cells BEFORE the PQ
+    # encode: only candidates that can reach a query are ever encoded
+    # (the m x n_codes interpreted argmin is the path's heaviest fold),
+    # and cell + vec live in the same row so the old corpus-scale
+    # codes-to-cells equi-join disappears entirely. The r15 verdict's
+    # "bound the BNLJ rerank input" item: candidate rows are now bounded
+    # by probe coverage at any corpus size.
+    probed = probes.select("cell").distinct()
+    cand = (
+        c_prep.crossJoin(F.broadcast(cents_array(cents)))
+        .select(
+            F.col("id").alias("neighbor_id"),
+            "vec",
+            argmax_cell(F.col("vec"), F.col("_cents")).alias("cell"),
+        )
+        .join(F.broadcast(probed), "cell")
+    )
+    codes = cand.select(
+        "neighbor_id", "cell", _pq_codes_col(F.col("vec"), FLAT, m, dim, n_codes).alias("codes")
+    )
     scored = (
-        codes.join(cells, "neighbor_id")
-        .join(F.broadcast(probes), "cell")
+        codes.join(F.broadcast(probes), "cell")
         .join(
             F.broadcast(
                 q_prep.select(F.col("id").alias("query_id"), F.col("vec").alias("qvec"))

@@ -40,85 +40,86 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # whose implementation changed this round (a green history does not cover
 # new code), then queries whose last green row is oldest.
 #
-# Round-15 head (catalog = 258): the 10 never-driver-checked round-15
-# additions first (SVG census, FLAC/Ogg audio containers, JSON-LD/
-# OpenGraph structured data, SRT/WebVTT subtitles, HLS playlists,
-# MIME e-mail, the Markdown normalizer, PNG ancillary metadata,
-# iCalendar);
-# then everything whose implementation
-# changed this round — the owed r14-touched cohort (documented in the
-# r14 head comment: binary_media_inventory + the html_extract-struct
-# consumers), which was ALSO re-touched by r15's struct growth
-# (ld_types/ld_blocks/ld_errors/og), the remaining html_extract
-# consumers, the gates that gained fixture axes (webp ICC, ZIP64,
-# sitemap media extensions), the feeds/sitemaps error-contract
-# consumers, and the PDF gates (generation-number key derivation);
-# then the OLDEST 14 of the 43-query r9-stale cohort alphabetically
-# plus the stalest catalog_intervals row (plusminus_top_by_role, also
-# r9) and the stalest catalog_ml row (ml_energy_report, r12) holding
-# the module-coverage contract (every module in the first 50). The
-# remaining 28 r9-stale queries (hll_distinct_portable,
-# ico_decode_stats, jpeg_exif_stats,
-# kmv_distinct_users,
-# media_resize_stats, median_price_by_priority,
-# nation_presence_full_outer ... winsorized_value_stats) rotate to
-# the r16 head — all verified locally in this round's FULL sf0.01
-# oracle runs.
+# Round-16 head (catalog = 258, optimization round): everything whose
+# implementation changed THIS round first — the r16 optimization touched
+# the shingle-pair operators (small-file guard in ngram_jaccard_pairs /
+# containment_pairs), resolve_redirects (single-pass per-url aggregation
+# + checkpointed edge table), the two link-pagerank capstones (edge-list
+# checkpoint), user_value_theilsen (post-agg parallelism guard + Generate
+# boundary), cms_token_counts (sketch built from aggregated counts), and
+# the ANN family (in-row argmax_cell assignment, merged _pq_prep
+# checkpoint, let-bound codebook literal, probed-cell-pruned IVF-PQ
+# encode; dedup_semantic_hier rides its oracle-gated twins here per the
+# rows-only pairing rule);
+# then the OWED r15 cohort — the _doc_ids fan-out gates whose plans
+# changed in r15 but sat outside the r15 head (verdict finding #4:
+# png/jpeg/tiff decode, video frame sample, the three phash pairs,
+# incremental image dedup, MS-ADPCM, TAR, CDX recrawl, the four WARC
+# round-trip/pairing gates, robots filter, MP3, the two bigram-LM
+# consumers);
+# then the oldest 10 of the r9-stale cohort alphabetically, plus the
+# stalest catalog_intervals row (order_ship_lag_30d, r10) and the
+# stalest catalog_ml row (ml_eval_metrics, r13) holding the
+# module-coverage contract (every module in the first 50). The
+# remaining r9-stale queries (orders_profile, png_decode_stats,
+# pricing_summary ... winsorized_value_stats) rotate to the r17 head —
+# all verified locally in this round's FULL sf0.01 oracle run
+# (258/258).
 DRIVER_SAMPLE_HEAD: tuple[str, ...] = (
-    # never driver-checked (round-15 additions)
-    "svg_image_stats",
-    "flac_audio_stats",
-    "ogg_audio_stats",
-    "structured_data_stats",
-    "subtitle_track_stats",
-    "hls_playlist_stats",
-    "eml_message_stats",
-    "markdown_corpus_stats",
-    "png_metadata_stats",
-    "ics_calendar_stats",
-    # implementation changed this round (owed r14 cohort leads)
-    "binary_media_inventory",
-    "html_text_extract_stats",
-    "warc_domain_stats",
-    "crawl_text_pipeline",
-    "wat_export_stats",
-    "crawl_to_wet_pipeline",
-    "crawl_quality_mix",
-    "html_main_content_stats",
-    "html_charset_stats",
-    "crawl_health_stats",
-    "http_encoding_stats",
+    # implementation changed this round (r16 optimizations)
+    "user_value_theilsen",
+    "cms_token_counts",
+    "redirect_resolution_stats",
     "crawl_link_pagerank",
-    "crawl_lang_classifier_mix",
-    "robots_meta_gate",
-    "canonical_dedup_stats",
-    "webp_container_stats",
-    "zip_archive_stats",
-    "sitemap_frontier_stats",
-    "crawl_discovery_pipeline",
-    "feed_frontier_stats",
-    "pdf_text_extract_stats",
     "pdf_link_pagerank",
-    "doc_extract_dispatch_stats",
-    "mixed_crawl_extract_stats",
-    # r9-stale cohort (oldest 14, alphabetical)
-    "avi_video_stats",
-    "bmp_decode_stats",
-    "data_mix_by_source",
-    "distinct_status_priority",
-    "doc_regex_tokens",
-    "doc_simhash",
-    "doc_tfidf_top_terms",
-    "docs_hash_sample",
-    "embedding_near_dup",
-    "embedding_quantize_stats",
-    "event_transitions",
-    "events_anomaly_zscore",
-    "events_hourly",
-    "gif_decode_stats",
-    # module-coverage slots (catalog_intervals r9, catalog_ml r12)
-    "plusminus_top_by_role",
-    "ml_energy_report",
+    "dedup_clusters_star",
+    "dedup_clusters_jaccard",
+    "dedup_ngram_jaccard",
+    "dedup_containment_pairs",
+    "cosine_topk_ivf",
+    "cosine_topk_pq",
+    "cosine_topk_ivfpq",
+    "ivf_recall_telemetry",
+    "dedup_semantic",
+    "dedup_semantic_survivors",
+    "semantic_recall_telemetry",
+    "incremental_semantic_dedup",
+    "dedup_semantic_hier",
+    # owed r15 cohort (plan changed by the _doc_ids fan-out, unchecked)
+    "png_profile_stats",
+    "jpeg_decode_stats",
+    "tiff_decode_stats",
+    "video_frame_sample_stats",
+    "image_phash_pairs",
+    "audio_phash_pairs",
+    "video_phash_dups",
+    "incremental_image_dedup",
+    "ms_adpcm_audio_stats",
+    "tar_archive_stats",
+    "cdx_recrawl_diff",
+    "warc_crawl_stats",
+    "warc_revisit_roundtrip",
+    "warc_revisit_resolve_stats",
+    "warc_segment_reassembly",
+    "warc_request_pairing_stats",
+    "robots_crawl_filter",
+    "mp3_audio_stats",
+    "doc_bigram_lm_quality",
+    "ccnet_bucket_split",
+    # r9-stale cohort (oldest 10, alphabetical)
+    "hll_distinct_portable",
+    "ico_decode_stats",
+    "jpeg_exif_stats",
+    "kmv_distinct_users",
+    "media_resize_stats",
+    "median_price_by_priority",
+    "nation_presence_full_outer",
+    "nation_rank_top2",
+    "order_price_histogram",
+    "orders_cdc_apply",
+    # module-coverage slots (catalog_intervals r10, catalog_ml r13)
+    "order_ship_lag_30d",
+    "ml_eval_metrics",
 )
 
 

@@ -1670,10 +1670,26 @@ def user_value_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
         "    pr -> pr.t2 != pr.t1),"
         "  pr -> (pr.v2 - pr.v1) / CAST(pr.t2 - pr.t1 AS DOUBLE)))"
     ).format(k=k)
+    # small-file guard, downstream of the aggregation: at sf0.1 AQE
+    # coalesces the ~2 MB groupBy shuffle to ONE partition, serializing the
+    # 2016-slope-per-user folds below onto one core (r16 profile: 2.8 s in
+    # one task). Hash-repartition only in the small-scan regime — at corpus
+    # scale the shuffle is large, AQE keeps many partitions, and the extra
+    # exchange would be pure cost. The probe is scan-rooted (no exchanges
+    # below ev), so .rdd is a plan conversion, not a job.
+    if ev.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        pts = pts.repartition(
+            spark.sparkContext.defaultParallelism, "user_id"
+        )
+    # explode(array(ss)) is the one CollapseProject boundary (Generate):
+    # the median's size/element_at references below otherwise inline the
+    # whole pairwise-slope fold ~6x per row (the shingle_hash_stream trap;
+    # the doc note claiming ~4x re-evaluation was "trivial next to a
+    # shuffle" under-counted — it was most of the query's 2.8 s CPU)
     out = pts.select(
         "user_id",
         F.size("pts").cast("long").alias("n_points"),
-        F.expr(slopes).alias("ss"),
+        F.explode(F.array(F.expr(slopes))).alias("ss"),
     )
     med = F.expr(
         "CASE WHEN size(ss) = 0 THEN CAST(NULL AS DOUBLE)"

@@ -191,10 +191,19 @@ def cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sketches import cms_estimate, cms_sketch
     from ..operators.text import tokens
 
-    docs = load(spark, sf_dir, "documents")
+    from ..operators.parallelism import ensure_min_parallelism
+
+    docs = ensure_min_parallelism(load(spark, sf_dir, "documents"))
     stream = docs.select(F.explode(tokens("text")).alias("tok"))
-    sketch = cms_sketch(stream, "tok", depth=4, width=256)
     counts = stream.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_n"))
+    # Build the sketch FROM the aggregated counts (exactly the oracle's
+    # probes-from-counts CTE): SUM(exact_n) per (d, bucket) == the
+    # occurrence-stream count, bit-for-bit, while the per-char rolling-hash
+    # fold and the 4-way probe explode now run once per DISTINCT token
+    # instead of once per token occurrence — and the corpus explode feeds
+    # ONE aggregation instead of two (guide §2.3 "aggregate before you
+    # shuffle"; the counts exchange is shared via ReusedExchange).
+    sketch = cms_sketch(counts, "tok", depth=4, width=256, weight_col="exact_n")
     # bound the rank's input first: orderBy+limit plans as a distributed
     # TakeOrderedAndProject over the vocabulary, so the unpartitioned
     # row_number window only ever sees a 100-row superset of the top 20

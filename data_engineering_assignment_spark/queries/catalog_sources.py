@@ -3713,6 +3713,12 @@ def crawl_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
+    # The bounded host-edge list is consumed by BOTH pagerank_integer and
+    # the out-degree aggregate below; without the cut the Python extract
+    # chain above physically re-evaluates for each (r16 profile: two
+    # ~35 s-task-time 32-task stages per run). Consumers differ, so the
+    # checkpoint pays (robots_filter precedent) — and it is kilobytes.
+    edges = edges.localCheckpoint(eager=False)
     ranks = pagerank_integer(edges, iters=3)
     outd = edges.groupBy("u").agg(
         F.countDistinct("v").cast("long").alias("out_hosts")
@@ -5384,6 +5390,12 @@ def pdf_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
+    # The bounded host-edge list is consumed by BOTH pagerank_integer and
+    # the out-degree aggregate below; without the cut the Python extract
+    # chain above physically re-evaluates for each (r16 profile: two
+    # ~35 s-task-time 32-task stages per run). Consumers differ, so the
+    # checkpoint pays (robots_filter precedent) — and it is kilobytes.
+    edges = edges.localCheckpoint(eager=False)
     ranks = pagerank_integer(edges, iters=3)
     outd = edges.groupBy("u").agg(
         F.countDistinct("v").cast("long").alias("out_hosts")

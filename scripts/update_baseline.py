@@ -200,6 +200,23 @@ EXCLUDED = {
 def main() -> None:
     bench = json.load(open(sys.argv[1]))
     label = sys.argv[2] if len(sys.argv) > 2 else "round 4"
+    # Baseline-contract guards (r15 verdict finding #3): the driver's
+    # 8-core scaling rerun overwrites BENCH_LOCAL.json, and a
+    # faster-at-8-cores map (or a contention-inflated one) must never be
+    # folded into the standing table. Inputs that predate the `cpus` key
+    # (BASELINE_STANDING.json itself) pass through.
+    if "cpus" in bench and bench["cpus"] != 32:
+        sys.exit(
+            f"refusing {sys.argv[1]}: recorded at cpus={bench['cpus']} "
+            "(standing baseline is a 32-core contract)"
+        )
+    mt = bench.get("marker_mt")
+    if mt and max(mt) > 0.35 and "--allow-hot" not in sys.argv:
+        sys.exit(
+            f"refusing {sys.argv[1]}: marker_mt={mt} reads contended "
+            "(>0.35 s vs the ~0.10-0.19 s fast band); re-run in a calm "
+            "window or pass --allow-hot after per-query adjudication"
+        )
     qs = sorted(bench["queries"].items(), key=lambda kv: -kv[1])
     half = (len(qs) + 1) // 2
     lines = ["| query | sec | query | sec |", "|---|---|---|---|"]
