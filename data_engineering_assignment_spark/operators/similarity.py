@@ -702,10 +702,10 @@ def hierarchical_cells(
     assigned1 = (
         prep.mapInPandas(_cell_mapper(b1, 1), _VEC_SCHEMA)
         .withColumnRenamed("cell", "cell1")
-        # lazy: materializes inside the first consuming job instead of
-        # paying its own job barrier up front (r16: the hier path ran 32
-        # sequential jobs for 2.6 s of task work; every barrier counts)
-        .localCheckpoint(eager=False)
+        # EAGER (a lazy flip was tried in r16 and reverted: the multiple
+        # same-action consumers race to compute unpersisted partitions —
+        # dedup_semantic_hier benched 3.92 -> 5.54 s lazy)
+        .localCheckpoint(eager=True)
     )
 
     h = F.xxhash64("id")
@@ -731,7 +731,7 @@ def hierarchical_cells(
             (F.col("_rn") - 1).cast("int").alias("sub"),
             _norm_array(F.col("vec")).alias("cvec"),
         )
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
 
     out_schema = "id bigint, vec array<double>, cell1 int, sub int"
@@ -784,7 +784,7 @@ def hierarchical_cells(
                     "cvec"
                 ),
             )
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)
         )
     return assign(fine)
 
@@ -953,9 +953,11 @@ def portable_cells(
         (F.row_number().over(w_seed) - 1).alias("cell"), F.col("vec").alias("cent")
     )
     # in-row argmax (argmax_cell == the old per-id window's rn=1): no
-    # n_centroids-fold fan-out, no corpus window shuffle. Lazy checkpoint:
-    # consumers still share ONE materialization, paid inside the first
-    # consuming job instead of as its own up-front barrier.
+    # n_centroids-fold fan-out, no corpus window shuffle. Checkpoint stays
+    # EAGER: the consumers run in ONE action, and a lazy checkpoint lets
+    # concurrent stages race to compute unpersisted partitions — the r16
+    # bench measured incremental_semantic_dedup 1.57 -> 2.46 s under the
+    # lazy flip (assignment evaluated 2-3x concurrently) before reverting.
     return (
         c_prep.crossJoin(F.broadcast(cents_array(cents)))
         .select(
@@ -963,7 +965,7 @@ def portable_cells(
             "vec",
             argmax_cell(F.col("vec"), F.col("_cents")).alias("cell"),
         )
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
 
 
