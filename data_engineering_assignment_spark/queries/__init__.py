@@ -111,15 +111,16 @@ DRIVER_SAMPLE_HEAD: tuple[str, ...] = (
     "ico_decode_stats",
     "jpeg_exif_stats",
     "kmv_distinct_users",
-    "media_resize_stats",
     "median_price_by_priority",
     "nation_presence_full_outer",
     "nation_rank_top2",
     "order_price_histogram",
     "orders_cdc_apply",
-    # module-coverage slots (catalog_intervals r10, catalog_ml r13)
+    # module-coverage slots (catalog_intervals r10, catalog_ml r13,
+    # catalog_llm — sources held 24/50, llm had none)
     "order_ship_lag_30d",
     "ml_eval_metrics",
+    "gopher_quality_stats",
 )
 
 
