@@ -42,6 +42,22 @@ from pyspark.sql import DataFrame
 _PART_COUNT_MEMO: dict[tuple, int] = {}
 
 
+def scan_partitions(df: DataFrame, memo_key: str | None = None) -> int:
+    """Partition count of a SCAN-ROOTED (or checkpointed) frame, memoized
+    under the same contract as :func:`ensure_min_parallelism` (stable scans
+    only; the probe converts the plan to an RDD, so never call it on a
+    frame that still contains exchanges)."""
+    sc = df.sparkSession.sparkContext
+    if memo_key is not None:
+        key = (sc.applicationId, memo_key, sc.defaultParallelism)
+        n = _PART_COUNT_MEMO.get(key)
+        if n is None:
+            n = df.rdd.getNumPartitions()
+            _PART_COUNT_MEMO[key] = n
+        return n
+    return df.rdd.getNumPartitions()
+
+
 def ensure_min_parallelism(df: DataFrame, memo_key: str | None = None) -> DataFrame:
     """Repartition ``df`` to the session default parallelism iff its current
     partitioning is narrower — the row-group-bound small-file guard. The
@@ -62,16 +78,7 @@ def ensure_min_parallelism(df: DataFrame, memo_key: str | None = None) -> DataFr
     frames only — ``.rdd`` on a plan that still contains exchanges
     materializes those shuffle stages eagerly at DataFrame-BUILD time
     under AQE, turning a plan probe into real job cost."""
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    if memo_key is not None:
-        key = (sc.applicationId, memo_key, target)
-        n = _PART_COUNT_MEMO.get(key)
-        if n is None:
-            n = df.rdd.getNumPartitions()
-            _PART_COUNT_MEMO[key] = n
-    else:
-        n = df.rdd.getNumPartitions()
-    if n >= target:
+    n = scan_partitions(df, memo_key)
+    if n >= df.sparkSession.sparkContext.defaultParallelism:
         return df
-    return df.repartition(target)
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)

@@ -43,6 +43,27 @@ def _doc_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _fixture_scan_small(spark: SparkSession, sf_dir: str) -> bool:
+    """True in the small-scan regime (documents scans narrower than the
+    session's parallelism — the bench SFs). Gates checkpoint EAGERNESS on
+    fan-out pipelines: when the per-doc Python chain is long (at scale),
+    concurrent broadcast-build jobs race to compute a LAZY checkpoint's
+    unpersisted partitions (crawl_discovery_pipeline at sf1: 5 jobs
+    submitted within 80 ms, 155.7 s task time for ~100 s of real parse;
+    eager cut it to 67.6 s / 1.69x wall). At bench scale the legs are too
+    short to overlap and the eager barrier only costs (measured +0.7 s),
+    so the small regime stays lazy. Reuses the _doc_ids probe memo — no
+    extra probe cost."""
+    from ..operators.parallelism import scan_partitions
+    from ..tables import load
+
+    n = scan_partitions(
+        load(spark, sf_dir, "documents").select("doc_id"),
+        memo_key=f"doc_ids:{sf_dir}",
+    )
+    return n < spark.sparkContext.defaultParallelism
+
+
 _CSV_PATH = str(
     Path(__file__).resolve().parents[2] / "tests" / "fixtures" / "video_game_sales.csv"
 )
@@ -4409,7 +4430,10 @@ def crawl_discovery_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     recs = warc_records(media, include_body=True).filter(
         "parse_ok AND warc_type = 'response'"
     )
-    recs = recs.localCheckpoint(eager=False)  # robots + sitemap legs fan out
+    # robots + sitemap legs fan out; EAGER at scale (the final join's
+    # broadcast-build jobs launch concurrently and race to compute a lazy
+    # checkpoint's partitions — see _fixture_scan_small), lazy at bench SFs
+    recs = recs.localCheckpoint(eager=not _fixture_scan_small(spark, sf_dir))
     robots_df = recs.filter(
         F.col("target_uri").endswith("/robots.txt")
     ).select(
@@ -4983,7 +5007,19 @@ def warc_request_pairing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=["archive_id", "content"])
 
     media = docs.mapInPandas(make, "archive_id long, content binary")
-    recs = warc_records(media).filter("parse_ok")
+    # four consumers of the Python parse chain (pair_requests reads recs
+    # twice: request min-struct + response join; orphan_requests twice
+    # more: response-id set + request anti side) — one checkpoint runs
+    # the WARC build + parse ONCE instead of four times
+    recs = (
+        warc_records(media)
+        .filter("parse_ok")
+        # EAGER at scale, lazy at bench SFs (_fixture_scan_small: the
+        # pairing + orphan legs launch concurrently and race a lazy
+        # checkpoint at sf1 — eager 2.03 s vs lazy 2.81 s there; at
+        # bench scale lazy won 1.54 vs 1.76)
+        .localCheckpoint(eager=not _fixture_scan_small(spark, sf_dir))
+    )
     paired = pair_requests(recs)
     per_ua = paired.groupBy(
         F.coalesce("req_user_agent", F.lit("<none>")).alias("ua")
