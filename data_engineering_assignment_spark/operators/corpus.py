@@ -955,20 +955,24 @@ def bigram_lm_scores(
     # guard was measured to help (operators/parallelism.py): narrow from
     # the scan, one task at small-file scale, per-bigram string building —
     # fan the docs out before the explode
+    # zip_with over two slices of ONE split (the token_collocations
+    # pattern): the lambda vars are bound VALUES, so the split evaluates
+    # a constant ~4x per ROW. The previous transform(sequence, i ->
+    # element_at(toks, i)) formulation captured `toks` inside the lambda,
+    # re-deriving the whole split per element_at PER ELEMENT (~3 splits
+    # per token position — the CLAUDE.md HOF-inlining trap; r16 sf1
+    # profile billed the bigram map stage 72 s of the query's 86 s CPU).
     big = ensure_min_parallelism(df).select(
         F.col(id_col),
         F.explode(
             F.when(
                 F.size(toks) >= 2,
-                F.transform(
-                    F.sequence(F.lit(0), F.size(toks) - 2),
-                    lambda i: F.struct(
-                        F.element_at(toks, i + 1).alias("w1"),
-                        F.concat_ws(
-                            " ",
-                            F.element_at(toks, i + 1),
-                            F.element_at(toks, i + 2),
-                        ).alias("bigram"),
+                F.zip_with(
+                    F.slice(toks, 1, F.size(toks) - 1),
+                    F.slice(toks, 2, F.size(toks) - 1),
+                    lambda a, b: F.struct(
+                        a.alias("w1"),
+                        F.concat_ws(" ", a, b).alias("bigram"),
                     ),
                 ),
             ).otherwise(F.array().cast("array<struct<w1:string,bigram:string>>"))
