@@ -317,14 +317,21 @@ def dup_span_stats(
     tokens have no positions and are absent from the output.
 
     Output: (id, n_positions, n_dup_positions, dup_ratio)."""
-    toks = tokens(text_col)
-    sh_pos = F.when(
-        F.size(toks) >= n,
+    # token split LET-BOUND (word_shingles rationale): an inline `toks`
+    # inside the lambda re-splits the text once per position
+    sh_pos = F.get(
         F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            F.array(tokens(text_col)),
+            lambda tk: F.when(
+                F.size(tk) >= n,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(tk) - n),
+                    lambda i: F.concat_ws(" ", F.slice(tk, i + 1, n)),
+                ),
+            ).otherwise(F.array().cast("array<string>")),
         ),
-    ).otherwise(F.array().cast("array<string>"))
+        0,
+    )
     stream = (
         ensure_min_parallelism(df)
         .select(F.col(id_col).alias("doc"), F.explode(sh_pos).alias("shingle"))
