@@ -19,10 +19,11 @@ from ..pipelines.sales import read_sales_csv, sales_in_window
 from ..session import tune
 from . import register
 
-def _doc_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The documents doc_id scan, fanned out to the session's default
-    parallelism before the per-doc Python stages every fixture gate in
-    this module hangs off it.
+def _doc_ids(
+    spark: SparkSession, sf_dir: str, rows_per_task: int | None = None
+) -> DataFrame:
+    """The documents doc_id scan, fanned out before the per-doc Python
+    stages every fixture gate in this module hangs off it.
 
     Each gate generates and parses its media inside mapInPandas stages
     that are NARROW from this scan. At bench scale the table is one
@@ -33,13 +34,24 @@ def _doc_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     only the doc_id longs (kilobytes) and is a no-op whenever the scan
     already parallelizes — a production-scale documents table has
     thousands of row groups, so no shuffle is added there
-    (operators/parallelism.py has the full rationale)."""
-    from ..operators.parallelism import ensure_min_parallelism
+    (operators/parallelism.py has the full rationale).
+
+    ``rows_per_task`` sizes the fan-out by data volume for gates whose
+    per-doc Python work is TRIVIAL (WARC envelope/robots/sitemap text
+    parses, archive member walks — ~0.01-0.1 ms/doc): a warm Python
+    stage costs ~0.3 s + ~12-15 ms/task of plumbing on top of the
+    compute, so fanning 5 000 tiny docs to 32 tasks is slower than 5
+    right-sized tasks (measured 2.4x on crawl_discovery_pipeline).
+    Heavy per-doc gates (codec decode, HTML extract, PDF decrypt) omit
+    it and keep the defaultParallelism fan-out."""
+    from ..operators.parallelism import ensure_min_parallelism, parquet_rows
     from ..tables import load
 
     return ensure_min_parallelism(
         load(spark, sf_dir, "documents").select("doc_id"),
         memo_key=f"doc_ids:{sf_dir}",
+        rows_per_task=rows_per_task,
+        rows_fn=lambda: parquet_rows(f"{sf_dir}/documents.parquet"),
     )
 
 
